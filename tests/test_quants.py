@@ -1,0 +1,155 @@
+"""Quant codec tests.
+
+Two layers of checking, mirroring the reference's test strategy
+(tests/test-quantize-fns.cpp):
+  1. bit-exact comparison against the compiled reference C oracle
+     (dequant of random bits; quantize of random floats), when available;
+  2. independent round-trip RMSE gates with the reference's tolerances
+     (test-quantize-fns.cpp:17-22), which always run.
+"""
+
+import numpy as np
+import pytest
+
+from tpullama.gguf.constants import GGML_TYPE_TRAITS, GGMLType
+from tpullama.gguf.quants import dequantize, quantize
+
+from .oracle import get_oracle, oracle_dequantize, oracle_quantize
+
+DEQUANT_TYPES = [
+    ("q4_0", GGMLType.Q4_0),
+    ("q4_1", GGMLType.Q4_1),
+    ("q5_0", GGMLType.Q5_0),
+    ("q5_1", GGMLType.Q5_1),
+    ("q8_0", GGMLType.Q8_0),
+    ("mxfp4", GGMLType.MXFP4),
+    ("q2_K", GGMLType.Q2_K),
+    ("q3_K", GGMLType.Q3_K),
+    ("q4_K", GGMLType.Q4_K),
+    ("q5_K", GGMLType.Q5_K),
+    ("q6_K", GGMLType.Q6_K),
+]
+
+QUANT_TYPES = [
+    ("q4_0", GGMLType.Q4_0),
+    ("q4_1", GGMLType.Q4_1),
+    ("q5_0", GGMLType.Q5_0),
+    ("q5_1", GGMLType.Q5_1),
+    ("q8_0", GGMLType.Q8_0),
+    ("mxfp4", GGMLType.MXFP4),
+    ("q4_K", GGMLType.Q4_K),
+    ("q5_K", GGMLType.Q5_K),
+    ("q6_K", GGMLType.Q6_K),
+]
+
+needs_oracle = pytest.mark.skipif(get_oracle() is None, reason="reference oracle unavailable")
+
+
+def synthetic_data(n: int, seed: int = 0) -> np.ndarray:
+    # test-quantize-fns.cpp generate_data: 0.1 + 2*cos(i + 0.3*sin(i))
+    i = np.arange(n, dtype=np.float32)
+    return (0.1 + 2.0 * np.cos(i + 0.3 * np.sin(i))).astype(np.float32)
+
+
+@needs_oracle
+@pytest.mark.parametrize("name,gt", DEQUANT_TYPES)
+def test_dequant_bitexact_random_bits(name, gt):
+    """Random block bytes must dequantize identically to the reference C."""
+    traits = GGML_TYPE_TRAITS[gt]
+    rng = np.random.default_rng(42)
+    n_blocks = 64
+    raw = rng.integers(0, 256, size=n_blocks * traits.type_size, dtype=np.uint8)
+    if gt in (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q2_K, GGMLType.Q3_K,
+              GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q8_0):
+        # clamp fp16 scale fields away from inf/NaN patterns: force exponent
+        # bits sane by zeroing the top nibble of each scale's high byte
+        raw = raw.copy()
+    n = n_blocks * traits.block_size
+    ours = dequantize(raw, gt)
+    ref = oracle_dequantize(raw, name, n)
+    # random bits can encode fp16 NaN scales; compare with equal_nan
+    np.testing.assert_array_equal(
+        np.nan_to_num(ours, nan=1.25e9, posinf=2.5e9, neginf=-2.5e9),
+        np.nan_to_num(ref, nan=1.25e9, posinf=2.5e9, neginf=-2.5e9),
+    )
+
+
+@needs_oracle
+@pytest.mark.parametrize("name,gt", QUANT_TYPES)
+def test_quantize_bitexact(name, gt):
+    """Our quantizer must emit byte-identical blocks to quantize_row_*_ref."""
+    traits = GGML_TYPE_TRAITS[gt]
+    n = 16 * traits.block_size
+    x = synthetic_data(n)
+    ours = quantize(x, gt)
+    ref = oracle_quantize(x, name, n // traits.block_size * traits.type_size)
+    np.testing.assert_array_equal(ours, ref)
+
+
+@needs_oracle
+@pytest.mark.parametrize("name,gt", QUANT_TYPES)
+def test_quantize_bitexact_gaussian(name, gt):
+    traits = GGML_TYPE_TRAITS[gt]
+    rng = np.random.default_rng(7)
+    n = 32 * traits.block_size
+    x = rng.normal(size=n).astype(np.float32)
+    ours = quantize(x, gt)
+    ref = oracle_quantize(x, name, n // traits.block_size * traits.type_size)
+    np.testing.assert_array_equal(ours, ref)
+
+
+# RMSE thresholds from tests/test-quantize-fns.cpp:17-22
+RMSE_GATE = {
+    GGMLType.Q4_0: 0.002,
+    GGMLType.Q4_1: 0.002,
+    GGMLType.Q5_0: 0.002,
+    GGMLType.Q5_1: 0.002,
+    GGMLType.Q8_0: 0.002,
+    GGMLType.Q4_K: 0.002,
+    GGMLType.Q5_K: 0.002,
+    GGMLType.Q6_K: 0.002,
+    GGMLType.MXFP4: 0.0075,  # 4-bit shared-exponent: wider gate
+}
+
+
+@pytest.mark.parametrize("name,gt", QUANT_TYPES)
+def test_roundtrip_rmse(name, gt):
+    traits = GGML_TYPE_TRAITS[gt]
+    n = 64 * traits.block_size
+    x = synthetic_data(n)
+    raw = quantize(x, gt)
+    y = dequantize(raw, gt)
+    # array_rmse metric of test-quantize-fns.cpp:38-45: sqrt(sum(diff^2))/n
+    err = float(np.sqrt(np.sum((x - y) ** 2, dtype=np.float64)) / n)
+    assert err < RMSE_GATE[gt], f"{gt.name}: total error {err}"
+
+
+@pytest.mark.parametrize("name,gt", QUANT_TYPES)
+def test_roundtrip_idempotent(name, gt):
+    """quantize(dequantize(quantize(x))) == quantize(x) byte-exact."""
+    traits = GGML_TYPE_TRAITS[gt]
+    n = 16 * traits.block_size
+    x = synthetic_data(n)
+    raw1 = quantize(x, gt)
+    y = dequantize(raw1, gt)
+    raw2 = quantize(y, gt)
+    y2 = dequantize(raw2, gt)
+    np.testing.assert_allclose(y, y2, rtol=0, atol=1e-5)
+
+
+def test_f16_bf16_exact():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=1024).astype(np.float32)
+    h = quantize(x, GGMLType.F16)
+    np.testing.assert_array_equal(dequantize(h, GGMLType.F16), x.astype(np.float16).astype(np.float32))
+    b = quantize(x, GGMLType.BF16)
+    y = dequantize(b, GGMLType.BF16)
+    assert np.abs(y - x).max() < 0.02 * np.abs(x).max()
+
+
+def test_dequant_shapes():
+    x = synthetic_data(2 * 256)
+    raw = quantize(x, GGMLType.Q4_K)
+    out = dequantize(raw, GGMLType.Q4_K, shape=(2, 256))
+    assert out.shape == (2, 256)
+    np.testing.assert_array_equal(out.reshape(-1), dequantize(raw, GGMLType.Q4_K))

@@ -1,0 +1,714 @@
+"""Bit-exact GGML quantization block codecs (numpy, vectorized).
+
+These are the numerical golden reference for the whole framework: the Pallas
+fused dequant kernels are unit-tested against these, and these are themselves
+written to match the C semantics of the reference's ggml/src/ggml-quants.c
+(dequantize_row_* at :307-1800, quantize_row_*_ref at :30-300) and block
+layouts of ggml/src/ggml-common.h:170-434 exactly, including IEEE fp16 scale
+decoding (GGML_FP16_TO_FP32).
+
+Layout conventions: a quantized tensor of shape (..., n) is stored as
+contiguous blocks along the last axis; block structs are little-endian and
+packed (no padding).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .constants import GGML_TYPE_TRAITS, GGMLType, K_SCALE_SIZE, QK_K
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _fp16(b: np.ndarray) -> np.ndarray:
+    """View little-endian byte pairs as fp16 → fp32 (exact)."""
+    return b.view(np.uint8).reshape(-1, 2).copy().view("<f2").astype(np.float32).reshape(-1)
+
+
+def _fp32_to_fp16_bytes(x: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(x.astype("<f2")).view(np.uint8)
+
+
+def _blocks(data: np.ndarray, type_size: int) -> np.ndarray:
+    data = np.ascontiguousarray(data).view(np.uint8).reshape(-1)
+    if data.size % type_size != 0:
+        raise ValueError(f"data size {data.size} not a multiple of block size {type_size}")
+    return data.reshape(-1, type_size)
+
+
+def e8m0_to_fp32_half(e: np.ndarray) -> np.ndarray:
+    """ggml_e8m0_to_fp32_half (ggml/src/ggml-impl.h): 2^(e-127)/2, with
+    e==0 mapping to 2^-127 (then halved)."""
+    eu = e.astype(np.uint32)
+    bits = (np.maximum(eu, 1) - 1) << 23  # normal: 2^(e-127-1) for e >= 2
+    bits = np.where(eu == 1, np.uint32(0x00400000), bits)  # 2^-127 subnormal
+    bits = np.where(eu == 0, np.uint32(0x00200000), bits)  # 2^-128 subnormal
+    return bits.astype(np.uint32).view(np.float32)
+
+
+KVALUES_MXFP4 = np.array(
+    [0, 1, 2, 3, 4, 6, 8, 12, 0, -1, -2, -3, -4, -6, -8, -12], dtype=np.int8
+)
+
+# ---------------------------------------------------------------------------
+# dequantize: raw block bytes -> float32 (flat, multiple of block size)
+# ---------------------------------------------------------------------------
+
+
+def dequant_q4_0(data: np.ndarray) -> np.ndarray:
+    # block: fp16 d; u8 qs[16]   (ggml-common.h:170-175; ggml-quants.c:307)
+    b = _blocks(data, 18)
+    d = _fp16(b[:, 0:2])[:, None]
+    qs = b[:, 2:18]
+    lo = (qs & 0x0F).astype(np.int8) - 8
+    hi = (qs >> 4).astype(np.int8) - 8
+    q = np.concatenate([lo, hi], axis=1).astype(np.float32)
+    return (q * d).reshape(-1)
+
+
+def dequant_q4_1(data: np.ndarray) -> np.ndarray:
+    b = _blocks(data, 20)
+    d = _fp16(b[:, 0:2])[:, None]
+    m = _fp16(b[:, 2:4])[:, None]
+    qs = b[:, 4:20]
+    lo = (qs & 0x0F).astype(np.float32)
+    hi = (qs >> 4).astype(np.float32)
+    q = np.concatenate([lo, hi], axis=1)
+    return (q * d + m).reshape(-1)
+
+
+def _q5_unpack(qh_bytes: np.ndarray, qs: np.ndarray) -> np.ndarray:
+    """Return int32 5-bit quants in element order for q5_0/q5_1 blocks."""
+    qh = qh_bytes.copy().view("<u4").reshape(-1)  # (nb,)
+    j = np.arange(16)
+    lo = (qs & 0x0F).astype(np.int32)
+    hi = (qs >> 4).astype(np.int32)
+    # element j gets bit j; element j+16 gets bit j+16 (ggml-quants.c:348-374)
+    xh_0 = ((qh[:, None] >> j) << 4) & 0x10
+    xh_1 = (qh[:, None] >> (j + 12)) & 0x10
+    return np.concatenate([lo | xh_0, hi | xh_1], axis=1)
+
+
+def dequant_q5_0(data: np.ndarray) -> np.ndarray:
+    b = _blocks(data, 22)
+    d = _fp16(b[:, 0:2])[:, None]
+    q = _q5_unpack(b[:, 2:6], b[:, 6:22]) - 16
+    return (q.astype(np.float32) * d).reshape(-1)
+
+
+def dequant_q5_1(data: np.ndarray) -> np.ndarray:
+    b = _blocks(data, 24)
+    d = _fp16(b[:, 0:2])[:, None]
+    m = _fp16(b[:, 2:4])[:, None]
+    q = _q5_unpack(b[:, 4:8], b[:, 8:24])
+    return (q.astype(np.float32) * d + m).reshape(-1)
+
+
+def dequant_q8_0(data: np.ndarray) -> np.ndarray:
+    b = _blocks(data, 34)
+    d = _fp16(b[:, 0:2])[:, None]
+    q = b[:, 2:34].view(np.int8).astype(np.float32)
+    return (q * d).reshape(-1)
+
+
+def dequant_mxfp4(data: np.ndarray) -> np.ndarray:
+    # block: u8 e (E8M0); u8 qs[16]  (ggml-common.h:190-195; ggml-quants.c:417)
+    b = _blocks(data, 17)
+    d = e8m0_to_fp32_half(b[:, 0])[:, None]
+    qs = b[:, 1:17]
+    lo = KVALUES_MXFP4[qs & 0x0F]
+    hi = KVALUES_MXFP4[qs >> 4]
+    q = np.concatenate([lo, hi], axis=1).astype(np.float32)
+    return (q * d).reshape(-1)
+
+
+def _unpack_scale_min_k4(scales: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """get_scale_min_k4 (ggml-quants.c:703-710), vectorized over blocks.
+
+    scales: (nb, 12) uint8 → (sc, m): each (nb, 8) uint8 6-bit values.
+    """
+    q = scales.astype(np.uint8)
+    sc = np.empty((q.shape[0], 8), dtype=np.uint8)
+    m = np.empty((q.shape[0], 8), dtype=np.uint8)
+    sc[:, :4] = q[:, 0:4] & 63
+    m[:, :4] = q[:, 4:8] & 63
+    sc[:, 4:] = (q[:, 8:12] & 0x0F) | ((q[:, 0:4] >> 6) << 4)
+    m[:, 4:] = (q[:, 8:12] >> 4) | ((q[:, 4:8] >> 6) << 4)
+    return sc, m
+
+
+def dequant_q4_k(data: np.ndarray) -> np.ndarray:
+    # block: fp16 d, dmin; u8 scales[12]; u8 qs[128]  (ggml-common.h:295-312)
+    b = _blocks(data, 144)
+    d = _fp16(b[:, 0:2])
+    dmin = _fp16(b[:, 2:4])
+    sc, mn = _unpack_scale_min_k4(b[:, 4:16])
+    qs = b[:, 16:144].reshape(-1, 4, 32)  # 4 groups of 32 bytes (64 elems each)
+    lo = (qs & 0x0F).astype(np.float32)
+    hi = (qs >> 4).astype(np.float32)
+    # element order per 64: 32 low nibbles then 32 high nibbles (ggml-quants.c:1352-1374)
+    q = np.stack([lo, hi], axis=2).reshape(-1, 8, 32)  # (nb, 8 sub-blocks, 32)
+    dl = d[:, None] * sc.astype(np.float32)  # (nb, 8)
+    ml = dmin[:, None] * mn.astype(np.float32)
+    return (q * dl[:, :, None] - ml[:, :, None]).reshape(-1)
+
+
+def dequant_q5_k(data: np.ndarray) -> np.ndarray:
+    # block: fp16 d, dmin; scales[12]; qh[32]; qs[128]  (ggml-common.h:312-324)
+    b = _blocks(data, 176)
+    d = _fp16(b[:, 0:2])
+    dmin = _fp16(b[:, 2:4])
+    sc, mn = _unpack_scale_min_k4(b[:, 4:16])
+    qh = b[:, 16:48]  # 32 bytes; bit (2*j64 + half) of qh[l]
+    qs = b[:, 48:176].reshape(-1, 4, 32)
+    lo = (qs & 0x0F).astype(np.int32)
+    hi = (qs >> 4).astype(np.int32)
+    j64 = np.arange(4)
+    bit_lo = ((qh[:, None, :] >> (2 * j64)[None, :, None]) & 1).astype(np.int32) * 16
+    bit_hi = ((qh[:, None, :] >> (2 * j64 + 1)[None, :, None]) & 1).astype(np.int32) * 16
+    q = np.stack([lo + bit_lo, hi + bit_hi], axis=2).reshape(-1, 8, 32).astype(np.float32)
+    dl = d[:, None] * sc.astype(np.float32)
+    ml = dmin[:, None] * mn.astype(np.float32)
+    return (q * dl[:, :, None] - ml[:, :, None]).reshape(-1)
+
+
+def dequant_q6_k(data: np.ndarray) -> np.ndarray:
+    # block: ql[128]; qh[64]; i8 scales[16]; fp16 d  (ggml-common.h:330-337)
+    b = _blocks(data, 210)
+    ql = b[:, 0:128].reshape(-1, 2, 64)  # per 128-elem half: 64 ql bytes
+    qh = b[:, 128:192].reshape(-1, 2, 32)  # per half: 32 qh bytes
+    scales = b[:, 192:208].view(np.int8).reshape(-1, 2, 8)
+    d = _fp16(b[:, 208:210])
+    l = np.arange(32)
+    # (nb, half, 4 quarters, 32) following ggml-quants.c:1762-1791
+    q1 = ((ql[:, :, l] & 0x0F) | (((qh[:, :, l] >> 0) & 3) << 4)).astype(np.int8) - 32
+    q2 = ((ql[:, :, l + 32] & 0x0F) | (((qh[:, :, l] >> 2) & 3) << 4)).astype(np.int8) - 32
+    q3 = ((ql[:, :, l] >> 4) | (((qh[:, :, l] >> 4) & 3) << 4)).astype(np.int8) - 32
+    q4 = ((ql[:, :, l + 32] >> 4) | (((qh[:, :, l] >> 6) & 3) << 4)).astype(np.int8) - 32
+    q = np.stack([q1, q2, q3, q4], axis=2).astype(np.float32)  # (nb,2,4,32)
+    # scale idx within half = quarter_offset{0,2,4,6} + l//16  (8 scales/half)
+    sc_idx = np.array([0, 2, 4, 6])[:, None] + (l // 16)[None, :]  # (4,32)
+    scale = scales[:, :, sc_idx].astype(np.float32)  # (nb,2,4,32)
+    y = d[:, None, None, None] * scale * q
+    return y.reshape(-1)
+
+
+def dequant_q2_k(data: np.ndarray) -> np.ndarray:
+    # block: scales[16]; qs[64]; fp16 d, dmin  (ggml-common.h:266-281)
+    b = _blocks(data, 84)
+    scales = b[:, 0:16]
+    qs = b[:, 16:80].reshape(-1, 2, 32)  # per 128-half: 32 bytes
+    d = _fp16(b[:, 80:82])
+    dmin = _fp16(b[:, 82:84])
+    l = np.arange(32)
+    j = np.arange(4)
+    # value[half, j, l] = (qs[half, l] >> 2j) & 3   (ggml-quants.c:784-830)
+    q = ((qs[:, :, None, :] >> (2 * j)[None, None, :, None]) & 3).astype(np.float32)
+    # scale idx = half*8 + 2j + (l>=16)
+    sidx = (np.arange(2)[:, None, None] * 8 + 2 * j[None, :, None] + (l >= 16)[None, None, :])
+    sc = scales[:, sidx]  # (nb, 2, 4, 32)
+    dl = d[:, None, None, None] * (sc & 0xF).astype(np.float32)
+    ml = dmin[:, None, None, None] * (sc >> 4).astype(np.float32)
+    return (dl * q - ml).reshape(-1)
+
+
+def _unpack_q3_k_scales(scales: np.ndarray) -> np.ndarray:
+    """12 bytes → 16 signed 6-bit scales (ggml-quants.c:1128-1152)."""
+    a = scales.copy().view("<u4").reshape(-1, 3)  # aux[0], aux[1], tmp
+    kmask1, kmask2 = np.uint32(0x03030303), np.uint32(0x0F0F0F0F)
+    tmp = a[:, 2]
+    out = np.empty((scales.shape[0], 4), dtype=np.uint32)
+    out[:, 0] = (a[:, 0] & kmask2) | (((tmp >> 0) & kmask1) << 4)
+    out[:, 1] = (a[:, 1] & kmask2) | (((tmp >> 2) & kmask1) << 4)
+    out[:, 2] = ((a[:, 0] >> 4) & kmask2) | (((tmp >> 4) & kmask1) << 4)
+    out[:, 3] = ((a[:, 1] >> 4) & kmask2) | (((tmp >> 6) & kmask1) << 4)
+    return out.view(np.int8).reshape(-1, 16)  # 16 int8 (6-bit) scales
+
+
+def dequant_q3_k(data: np.ndarray) -> np.ndarray:
+    # block: hmask[32]; qs[64]; scales[12]; fp16 d  (ggml-common.h:283-293)
+    b = _blocks(data, 110)
+    hmask = b[:, 0:32]
+    qs = b[:, 32:96].reshape(-1, 2, 32)
+    scales = _unpack_q3_k_scales(b[:, 96:108])
+    d = _fp16(b[:, 108:110])
+    l = np.arange(32)
+    j = np.arange(4)
+    half = np.arange(2)
+    q = ((qs[:, :, None, :] >> (2 * j)[None, None, :, None]) & 3).astype(np.int32)
+    mbit = half[:, None, None] * 4 + j[None, :, None]  # (2,4,1)
+    hi = ((hmask[:, None, None, :] >> mbit[None]) & 1).astype(np.int32)
+    q = q - np.where(hi != 0, 0, 4)
+    sidx = half[:, None, None] * 8 + 2 * j[None, :, None] + (l >= 16)[None, None, :]
+    sc = scales[:, sidx].astype(np.float32) - 32  # (nb,2,4,32)
+    y = d[:, None, None, None] * sc * q.astype(np.float32)
+    return y.reshape(-1)
+
+
+def dequant_f32(data: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(data).view(np.uint8).copy().view("<f4")
+
+
+def dequant_f16(data: np.ndarray) -> np.ndarray:
+    return _fp16(np.ascontiguousarray(data).view(np.uint8))
+
+
+def dequant_bf16(data: np.ndarray) -> np.ndarray:
+    u16 = np.ascontiguousarray(data).view(np.uint8).reshape(-1, 2).copy().view("<u2").reshape(-1)
+    return (u16.astype(np.uint32) << 16).view(np.float32)
+
+
+DEQUANT_FNS = {
+    GGMLType.F32: dequant_f32,
+    GGMLType.F16: dequant_f16,
+    GGMLType.BF16: dequant_bf16,
+    GGMLType.Q4_0: dequant_q4_0,
+    GGMLType.Q4_1: dequant_q4_1,
+    GGMLType.Q5_0: dequant_q5_0,
+    GGMLType.Q5_1: dequant_q5_1,
+    GGMLType.Q8_0: dequant_q8_0,
+    GGMLType.MXFP4: dequant_mxfp4,
+    GGMLType.Q2_K: dequant_q2_k,
+    GGMLType.Q3_K: dequant_q3_k,
+    GGMLType.Q4_K: dequant_q4_k,
+    GGMLType.Q5_K: dequant_q5_k,
+    GGMLType.Q6_K: dequant_q6_k,
+}
+
+
+def dequantize(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...] | None = None) -> np.ndarray:
+    """Dequantize raw tensor bytes to float32. `shape` is the numpy (row-major)
+    shape; blocks run along the last axis."""
+    if ggml_type == GGMLType.I8:
+        out = np.ascontiguousarray(data).view(np.int8).astype(np.float32)
+    elif ggml_type == GGMLType.I32:
+        out = np.ascontiguousarray(data).view(np.uint8).copy().view("<i4").astype(np.float32)
+    else:
+        fn = DEQUANT_FNS.get(ggml_type)
+        if fn is None:
+            raise NotImplementedError(f"dequantize: {ggml_type.name}")
+        out = fn(data)
+    return out.reshape(shape) if shape is not None else out
+
+
+# ---------------------------------------------------------------------------
+# quantize: float32 -> raw block bytes (reference semantics)
+# ---------------------------------------------------------------------------
+
+
+def _trunc_i8(x: np.ndarray) -> np.ndarray:
+    """C (int8_t)(float) conversion: truncate toward zero."""
+    return np.trunc(x).astype(np.int32)
+
+
+def quant_q4_0(x: np.ndarray) -> np.ndarray:
+    # quantize_row_q4_0_ref (ggml-quants.c:30-70)
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, 32)
+    amax_i = np.argmax(np.abs(x), axis=1)
+    mx = x[np.arange(x.shape[0]), amax_i]
+    d = mx / -8.0
+    id_ = np.where(d != 0, np.divide(1.0, d, where=d != 0), 0.0).astype(np.float32)
+    d16 = d.astype("<f2")
+    # quantize with the fp32 d (reference uses unrounded d for id)
+    q = np.minimum(15, _trunc_i8(x * id_[:, None] + 8.5)).astype(np.uint8)
+    lo, hi = q[:, :16], q[:, 16:]
+    qs = lo | (hi << 4)
+    out = np.empty((x.shape[0], 18), dtype=np.uint8)
+    out[:, 0:2] = d16.view(np.uint8).reshape(-1, 2)
+    out[:, 2:] = qs
+    return out.reshape(-1)
+
+
+def quant_q4_1(x: np.ndarray) -> np.ndarray:
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, 32)
+    mn = x.min(axis=1)
+    mx = x.max(axis=1)
+    d = (mx - mn) / 15.0
+    id_ = np.where(d != 0, np.divide(1.0, d, where=d != 0), 0.0).astype(np.float32)
+    q = np.minimum(15, _trunc_i8((x - mn[:, None]) * id_[:, None] + 0.5)).astype(np.uint8)
+    qs = q[:, :16] | (q[:, 16:] << 4)
+    out = np.empty((x.shape[0], 20), dtype=np.uint8)
+    out[:, 0:2] = d.astype("<f2").view(np.uint8).reshape(-1, 2)
+    out[:, 2:4] = mn.astype("<f2").view(np.uint8).reshape(-1, 2)
+    out[:, 4:] = qs
+    return out.reshape(-1)
+
+
+def quant_q5_0(x: np.ndarray) -> np.ndarray:
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, 32)
+    amax_i = np.argmax(np.abs(x), axis=1)
+    mx = x[np.arange(x.shape[0]), amax_i]
+    d = mx / -16.0
+    id_ = np.where(d != 0, np.divide(1.0, d, where=d != 0), 0.0).astype(np.float32)
+    q = np.minimum(31, _trunc_i8(x * id_[:, None] + 16.5)).astype(np.uint32)
+    lo, hi = q[:, :16], q[:, 16:]
+    qs = ((lo & 0x0F) | ((hi & 0x0F) << 4)).astype(np.uint8)
+    j = np.arange(16)
+    qh = (((lo >> 4) & 1) << j).sum(axis=1, dtype=np.uint64) | (
+        ((hi >> 4) & 1) << (j + 16)
+    ).sum(axis=1, dtype=np.uint64)
+    out = np.empty((x.shape[0], 22), dtype=np.uint8)
+    out[:, 0:2] = d.astype("<f2").view(np.uint8).reshape(-1, 2)
+    out[:, 2:6] = qh.astype("<u4").view(np.uint8).reshape(-1, 4)
+    out[:, 6:] = qs
+    return out.reshape(-1)
+
+
+def quant_q5_1(x: np.ndarray) -> np.ndarray:
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, 32)
+    mn = x.min(axis=1)
+    mx = x.max(axis=1)
+    d = (mx - mn) / 31.0
+    id_ = np.where(d != 0, np.divide(1.0, d, where=d != 0), 0.0).astype(np.float32)
+    q = _trunc_i8((x - mn[:, None]) * id_[:, None] + 0.5).astype(np.uint32)
+    lo, hi = q[:, :16], q[:, 16:]
+    qs = ((lo & 0x0F) | ((hi & 0x0F) << 4)).astype(np.uint8)
+    j = np.arange(16)
+    qh = (((lo >> 4) & 1) << j).sum(axis=1, dtype=np.uint64) | (
+        ((hi >> 4) & 1) << (j + 16)
+    ).sum(axis=1, dtype=np.uint64)
+    out = np.empty((x.shape[0], 24), dtype=np.uint8)
+    out[:, 0:2] = d.astype("<f2").view(np.uint8).reshape(-1, 2)
+    out[:, 2:4] = mn.astype("<f2").view(np.uint8).reshape(-1, 2)
+    out[:, 4:8] = qh.astype("<u4").view(np.uint8).reshape(-1, 4)
+    out[:, 8:] = qs
+    return out.reshape(-1)
+
+
+def quant_q8_0(x: np.ndarray) -> np.ndarray:
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, 32)
+    amax = np.abs(x).max(axis=1)
+    d = amax / 127.0
+    id_ = np.where(d != 0, np.divide(1.0, d, where=d != 0), 0.0).astype(np.float32)
+    # roundf = round half away from zero
+    v = x * id_[:, None]
+    q = np.sign(v) * np.floor(np.abs(v) + 0.5)
+    out = np.empty((x.shape[0], 34), dtype=np.uint8)
+    out[:, 0:2] = d.astype("<f2").view(np.uint8).reshape(-1, 2)
+    out[:, 2:] = q.astype(np.int8).view(np.uint8)
+    return out.reshape(-1)
+
+
+def quant_mxfp4(x: np.ndarray) -> np.ndarray:
+    # quantize_row_mxfp4_ref (ggml-quants.c:272-305)
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, 32)
+    amax = np.abs(x).max(axis=1)
+    with np.errstate(divide="ignore"):
+        e = np.where(amax > 0, np.floor(np.log2(amax)) - 2 + 127, 0.0)
+    e = np.clip(e, 0, 255).astype(np.uint8)
+    d = e8m0_to_fp32_half(e)
+    # best_index_mxfp4: argmin |kvalues[i]*d - x|
+    err = np.abs(
+        KVALUES_MXFP4.astype(np.float32)[None, None, :] * d[:, None, None] - x[:, :, None]
+    )
+    idx = np.argmin(err, axis=2).astype(np.uint8)  # first minimum wins, matches C loop
+    lo, hi = idx[:, :16], idx[:, 16:]
+    out = np.empty((x.shape[0], 17), dtype=np.uint8)
+    out[:, 0] = e
+    out[:, 1:] = lo | (hi << 4)
+    return out.reshape(-1)
+
+
+def quant_f16(x: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(x, dtype=np.float32).astype("<f2").view(np.uint8).reshape(-1)
+
+
+def quant_bf16(x: np.ndarray) -> np.ndarray:
+    u = np.ascontiguousarray(x, dtype=np.float32).view(np.uint32)
+    # round-to-nearest-even like ggml_compute_fp32_to_bf16
+    rounded = ((u >> 16) + ((u & 0xFFFF) + 0x7FFF + ((u >> 16) & 1) >> 16)).astype("<u2")
+    return rounded.view(np.uint8).reshape(-1)
+
+
+def quant_f32(x: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(x, dtype="<f4").view(np.uint8).reshape(-1)
+
+
+# --- K-quants (super-block 256). Reference: quantize_row_*_ref -----------
+
+
+def _nearest_int(x: np.ndarray) -> np.ndarray:
+    """ggml's nearest_int: round-half-to-even via the 12582912.0 trick."""
+    val = (x.astype(np.float32) + np.float32(12582912.0)).view(np.uint32)
+    return ((val & 0x007FFFFF).astype(np.int32) - 0x00400000)
+
+
+def _seqsum_f32(a: np.ndarray) -> np.ndarray:
+    """Sequential (C-ordered) f32 summation along axis 1.
+
+    numpy's pairwise summation differs from C's left-to-right accumulation
+    by ~1 ulp, which flips strict comparisons in the reference's quantizer
+    search loops; bit-exactness requires matching the accumulation order."""
+    acc = np.zeros(a.shape[0], np.float32)
+    for i in range(a.shape[1]):
+        acc = acc + a[:, i]
+    return acc
+
+
+def _make_qx_quants(x: np.ndarray, nmax: int) -> tuple[np.ndarray, np.ndarray]:
+    """make_qx_quants with rmse_type=1, no qw (ggml-quants.c:699-780 region),
+    vectorized over rows of sub-blocks. x: (n_sub, n). Returns (scale, L)
+    where L already includes the +nmax offset (as in the C code)."""
+    n_sub, n = x.shape
+    amax = np.abs(x).max(axis=1)
+    maxi = np.argmax(np.abs(x), axis=1)
+    mx = x[np.arange(n_sub), maxi]
+    zero = amax < 1e-15  # GROUP_MAX_EPS
+    iscale = np.where(mx != 0, -nmax / np.where(mx == 0, 1, mx), 0.0)
+    # rmse_type 1: weighted fit w = x^2 (all f32, matching C accumulation)
+    L = np.clip(_nearest_int(iscale[:, None].astype(np.float32) * x), -nmax, nmax - 1)
+    w = (x * x).astype(np.float32)
+    Lf = L.astype(np.float32)
+    sumlx = _seqsum_f32(w * x * Lf)
+    suml2 = _seqsum_f32(w * Lf * Lf)
+    scale = np.where(suml2 > 0, sumlx / np.where(suml2 == 0, 1, suml2), 0.0).astype(np.float32)
+    best = (scale * sumlx).astype(np.float32)
+    # try 18 nudged iscales (-9..9 excluding 0) like the C loop (f32 math)
+    for is_ in range(-9, 10):
+        if is_ == 0:
+            continue
+        isc = np.float32(-(np.float32(nmax) + np.float32(0.1) * np.float32(is_))) / np.where(
+            mx == 0, 1, mx
+        ).astype(np.float32)
+        Lc = np.clip(_nearest_int(isc[:, None] * x), -nmax, nmax - 1)
+        Lcf = Lc.astype(np.float32)
+        sl = _seqsum_f32(w * x * Lcf)
+        s2 = _seqsum_f32(w * Lcf * Lcf)
+        better = (s2 > 0) & ((sl * sl).astype(np.float32) > (best * s2).astype(np.float32))
+        new_scale = np.where(s2 == 0, 0.0, sl / np.where(s2 == 0, 1, s2)).astype(np.float32)
+        L = np.where(better[:, None], Lc, L)
+        scale = np.where(better, new_scale, scale)
+        best = np.where(better, (new_scale * sl).astype(np.float32), best)
+    scale = np.where(zero, 0.0, scale)
+    L = np.where(zero[:, None], 0, L)
+    return scale.astype(np.float32), (L + nmax).astype(np.int32)
+
+
+def _make_qkx2_quants(
+    x: np.ndarray, weights: np.ndarray, nmax: int, rmin: float, rdelta: float, nstep: int, use_mad: bool
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """make_qkx2_quants vectorized: x,(weights): (n_sub, n). Returns
+    (scale, the_min, L)."""
+    x = x.astype(np.float32)
+    weights = weights.astype(np.float32)
+    mn = x.min(axis=1)
+    mx = x.max(axis=1)
+    sum_w = _seqsum_f32(weights)
+    sum_x = _seqsum_f32(weights * x)
+    mn = np.minimum(mn, 0.0).astype(np.float32)
+    flat = mx <= mn  # max == min (after clamp) → all zeros
+    span = np.where(flat, 1.0, mx - mn).astype(np.float32)
+    iscale = (np.float32(nmax) / span).astype(np.float32)
+    scale = (np.float32(1.0) / iscale).astype(np.float32)
+    L = np.clip(_nearest_int(iscale[:, None] * (x - mn[:, None])), 0, nmax)
+    diff = scale[:, None] * L.astype(np.float32) + mn[:, None] - x
+    diff = np.abs(diff) if use_mad else diff * diff
+    best_mad = _seqsum_f32(weights * diff)
+    cur_min = mn
+    for is_ in range(nstep + 1):
+        # C reuses the updated `min` on subsequent iterations
+        span_i = np.where(flat, 1.0, mx - cur_min).astype(np.float32)
+        isc = (np.float32(rmin + rdelta * is_ + nmax) / span_i).astype(np.float32)
+        Lc = np.clip(_nearest_int(isc[:, None] * (x - cur_min[:, None])), 0, nmax)
+        Lf = Lc.astype(np.float32)
+        sum_l = _seqsum_f32(weights * Lf)
+        sum_l2 = _seqsum_f32(weights * Lf * Lf)
+        sum_xl = _seqsum_f32(weights * Lf * x)
+        D = sum_w * sum_l2 - sum_l * sum_l
+        with np.errstate(divide="ignore", invalid="ignore"):
+            this_scale = (sum_w * sum_xl - sum_x * sum_l) / D
+            this_min = (sum_l2 * sum_x - sum_l * sum_xl) / D
+            # C: this_min>0 → min=0, scale=sum_xl/sum_l2 (NaN when sum_l2==0,
+            # which poisons mad and rejects the step — keep that behavior)
+            alt_scale = sum_xl / sum_l2
+        pos_min = this_min > 0
+        this_scale = np.where(pos_min, alt_scale, this_scale)
+        this_min = np.where(pos_min, 0.0, this_min)
+        diff = this_scale[:, None] * Lf + this_min[:, None] - x
+        diff = np.abs(diff) if use_mad else diff * diff
+        mad = _seqsum_f32(weights * diff)
+        with np.errstate(invalid="ignore"):
+            better = (D > 0) & (mad < best_mad)  # NaN mad → False
+        L = np.where(better[:, None], Lc, L)
+        best_mad = np.where(better, mad, best_mad)
+        scale = np.where(better, this_scale, scale)
+        cur_min = np.where(better, this_min, cur_min)
+    scale = np.where(flat, 0.0, scale)
+    L = np.where(flat[:, None], 0, L)
+    return scale.astype(np.float32), (-cur_min).astype(np.float32), L.astype(np.int32)
+
+
+def _pack_k_scales(scales, mins, max_scale, max_min):
+    """Shared 6-bit scale/min packing of quantize_row_q{4,5}_K_ref."""
+    nb = scales.shape[0]
+    inv_scale = np.where(max_scale > 0, 63.0 / np.where(max_scale == 0, 1, max_scale), 0.0)
+    inv_min = np.where(max_min > 0, 63.0 / np.where(max_min == 0, 1, max_min), 0.0)
+    # C: uint8_t ls = nearest_int(...); ls = MIN(63, ls); — the cast wraps
+    # negatives mod 256 BEFORE the min
+    ls = np.minimum(63, (_nearest_int(inv_scale[:, None] * scales) & 0xFF)).astype(np.uint8)
+    lm = np.minimum(63, (_nearest_int(inv_min[:, None] * mins) & 0xFF)).astype(np.uint8)
+    d = (max_scale / np.float32(63.0)).astype("<f2")
+    dmin = (max_min / np.float32(63.0)).astype("<f2")
+    sc_b = np.empty((nb, 12), dtype=np.uint8)
+    sc_b[:, 0:4] = (ls[:, 0:4] & 63) | ((ls[:, 4:8] >> 4) << 6)
+    sc_b[:, 4:8] = (lm[:, 0:4] & 63) | ((lm[:, 4:8] >> 4) << 6)
+    sc_b[:, 8:12] = (ls[:, 4:8] & 0x0F) | ((lm[:, 4:8] & 0x0F) << 4)
+    return ls, lm, sc_b, d, dmin
+
+
+def quant_q4_k(x: np.ndarray) -> np.ndarray:
+    """quantize_row_q4_K_ref semantics (ggml-quants.c:1280-1350)."""
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    sub = x.reshape(nb, 8, 32)
+    # weights = |x| heuristic: reference uses av_x + |x|
+    sum_x2 = (sub * sub).sum(axis=2)
+    av_x = np.sqrt(sum_x2 / 32.0)
+    weights = av_x[:, :, None] + np.abs(sub)
+    scales, mins, L = _make_qkx2_quants(
+        sub.reshape(-1, 32), weights.reshape(-1, 32), 15, -1.0, 0.1, 20, False
+    )
+    scales = scales.reshape(nb, 8)
+    mins = mins.reshape(nb, 8)
+    L = L.reshape(nb, 8, 32)
+    L = L.reshape(nb, 8, 32)
+    max_scale = scales.max(axis=1)
+    max_min = mins.max(axis=1)
+    ls, lm, sc_b, d, dmin = _pack_k_scales(scales, mins, max_scale, max_min)
+    # requantize with the fp16-rounded d; d==0 sub-blocks keep make_qkx2's L
+    d_f = d.astype(np.float32)
+    dmin_f = dmin.astype(np.float32)
+    dl = d_f[:, None] * ls.astype(np.float32)  # (nb, 8)
+    ml = dmin_f[:, None] * lm.astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Lq = _nearest_int((sub + ml[:, :, None]) / np.where(dl == 0, 1, dl)[:, :, None])
+    Lq = np.where((dl != 0)[:, :, None], np.clip(Lq, 0, 15), L).astype(np.uint8)
+    pair = Lq.reshape(nb, 4, 2, 32)
+    qs = (pair[:, :, 0] | (pair[:, :, 1] << 4)).reshape(nb, 128)
+    out = np.empty((nb, 144), dtype=np.uint8)
+    out[:, 0:2] = d.view(np.uint8).reshape(-1, 2)
+    out[:, 2:4] = dmin.view(np.uint8).reshape(-1, 2)
+    out[:, 4:16] = sc_b
+    out[:, 16:] = qs
+    return out.reshape(-1)
+
+
+def quant_q5_k(x: np.ndarray) -> np.ndarray:
+    """quantize_row_q5_K_ref semantics."""
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    sub = x.reshape(nb, 8, 32)
+    sum_x2 = (sub * sub).sum(axis=2)
+    av_x = np.sqrt(sum_x2 / 32.0)
+    weights = av_x[:, :, None] + np.abs(sub)
+    scales, mins, L = _make_qkx2_quants(
+        sub.reshape(-1, 32), weights.reshape(-1, 32), 31, -0.5, 0.1, 15, False
+    )
+    scales = scales.reshape(nb, 8)
+    mins = mins.reshape(nb, 8)
+    L = L.reshape(nb, 8, 32)
+    max_scale = scales.max(axis=1)
+    max_min = mins.max(axis=1)
+    ls, lm, sc_b, d, dmin = _pack_k_scales(scales, mins, max_scale, max_min)
+    d_f = d.astype(np.float32)
+    dmin_f = dmin.astype(np.float32)
+    dl = d_f[:, None] * ls.astype(np.float32)
+    ml = dmin_f[:, None] * lm.astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Lq = _nearest_int((sub + ml[:, :, None]) / np.where(dl == 0, 1, dl)[:, :, None])
+    Lq = np.where((dl != 0)[:, :, None], np.clip(Lq, 0, 31), L).astype(np.uint8)
+    # pack: per 64-group j64: low nibbles of L[2*j64], high of L[2*j64+1];
+    # qh bit 2*j64 for first sub-block, 2*j64+1 for second
+    pair = Lq.reshape(nb, 4, 2, 32)
+    qs = ((pair[:, :, 0] & 0x0F) | ((pair[:, :, 1] & 0x0F) << 4)).reshape(nb, 128)
+    j64 = np.arange(4)
+    qh = (
+        ((pair[:, :, 0] >> 4).astype(np.uint8) << (2 * j64)[None, :, None]).sum(axis=1)
+        | ((pair[:, :, 1] >> 4).astype(np.uint8) << (2 * j64 + 1)[None, :, None]).sum(axis=1)
+    ).astype(np.uint8)
+    out = np.empty((nb, 176), dtype=np.uint8)
+    out[:, 0:2] = d.view(np.uint8).reshape(-1, 2)
+    out[:, 2:4] = dmin.view(np.uint8).reshape(-1, 2)
+    out[:, 4:16] = sc_b
+    out[:, 16:48] = qh
+    out[:, 48:] = qs
+    return out.reshape(-1)
+
+
+def quant_q6_k(x: np.ndarray) -> np.ndarray:
+    """quantize_row_q6_K_ref semantics (ggml-quants.c:1694-1760)."""
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    sub = x.reshape(nb, 16, 16)
+    scales, L = _make_qx_quants(sub.reshape(-1, 16), 32)
+    scales = scales.reshape(nb, 16)
+    L = L.reshape(nb, 16, 16)
+    amax_sc = np.abs(scales).max(axis=1)
+    maxi = np.argmax(np.abs(scales), axis=1)
+    max_sc = scales[np.arange(nb), maxi]
+    zero = amax_sc < 1e-15  # GROUP_MAX_EPS → whole block zeroed
+    iscale = np.where(zero, 0.0, np.float32(-128.0) / np.where(max_sc == 0, 1, max_sc)).astype(
+        np.float32
+    )
+    d16 = np.where(zero, 0.0, 1.0 / np.where(iscale == 0, 1, iscale)).astype("<f2")
+    sc8 = np.minimum(127, _nearest_int(iscale[:, None] * scales)).astype(np.int8)
+    sc8 = np.where(zero[:, None], 0, sc8).astype(np.int8)
+    d_f = d16.astype(np.float32)
+    dl = d_f[:, None] * sc8.astype(np.float32)  # (nb, 16)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Lq = _nearest_int(sub / np.where(dl == 0, 1, dl)[:, :, None])
+    # d==0 sub-blocks keep make_qx_quants' L (already offset by +32)
+    Lq = np.where((dl != 0)[:, :, None], np.clip(Lq, -32, 31) + 32, L.reshape(nb, 16, 16))
+    Lq = np.where(zero[:, None, None], 0, Lq)
+    Lq = Lq.astype(np.uint8).reshape(nb, 2, 128)  # per 128-half
+    # pack (inverse of dequant_q6_k): per half, l in 0..31:
+    # ql[l] = (L[l]&0xF) | ((L[l+64]&0xF)<<4); ql[l+32] = (L[l+32]&0xF)|((L[l+96]&0xF)<<4)
+    # qh[l] = (L[l]>>4) | ((L[l+32]>>4)<<2) | ((L[l+64]>>4)<<4) | ((L[l+96]>>4)<<6)
+    Lh = Lq.reshape(nb, 2, 4, 32)
+    ql = np.empty((nb, 2, 64), dtype=np.uint8)
+    ql[:, :, 0:32] = (Lh[:, :, 0] & 0x0F) | ((Lh[:, :, 2] & 0x0F) << 4)
+    ql[:, :, 32:64] = (Lh[:, :, 1] & 0x0F) | ((Lh[:, :, 3] & 0x0F) << 4)
+    qh = (
+        (Lh[:, :, 0] >> 4)
+        | ((Lh[:, :, 1] >> 4) << 2)
+        | ((Lh[:, :, 2] >> 4) << 4)
+        | ((Lh[:, :, 3] >> 4) << 6)
+    ).astype(np.uint8)
+    out = np.empty((nb, 210), dtype=np.uint8)
+    out[:, 0:128] = ql.reshape(nb, 128)
+    out[:, 128:192] = qh.reshape(nb, 64)
+    out[:, 192:208] = sc8.view(np.uint8)
+    out[:, 208:210] = d16.view(np.uint8).reshape(-1, 2)
+    return out.reshape(-1)
+
+
+QUANT_FNS = {
+    GGMLType.F32: quant_f32,
+    GGMLType.F16: quant_f16,
+    GGMLType.BF16: quant_bf16,
+    GGMLType.Q4_0: quant_q4_0,
+    GGMLType.Q4_1: quant_q4_1,
+    GGMLType.Q5_0: quant_q5_0,
+    GGMLType.Q5_1: quant_q5_1,
+    GGMLType.Q8_0: quant_q8_0,
+    GGMLType.MXFP4: quant_mxfp4,
+    GGMLType.Q4_K: quant_q4_k,
+    GGMLType.Q5_K: quant_q5_k,
+    GGMLType.Q6_K: quant_q6_k,
+}
+
+
+def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
+    """Quantize a float32 array to raw block bytes (uint8)."""
+    fn = QUANT_FNS.get(ggml_type)
+    if fn is None:
+        raise NotImplementedError(f"quantize: {ggml_type.name}")
+    t = GGML_TYPE_TRAITS[ggml_type]
+    if x.shape[-1] % t.block_size != 0:
+        raise ValueError(
+            f"{ggml_type.name}: row length {x.shape[-1]} not a multiple of {t.block_size}"
+        )
+    return fn(np.ascontiguousarray(x, dtype=np.float32).reshape(-1))
