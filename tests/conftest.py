@@ -7,11 +7,19 @@ recommends in place of the reference's missing multi-node tests).
 
 import os
 
-# Must run before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must run before any jax device use. The environment pins
+# JAX_PLATFORMS=axon (the tunneled TPU) and the axon sitecustomize
+# overrides the jax_platforms config at interpreter start, so the env var
+# alone is NOT enough — override the config after import. Unit tests
+# always run on the virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,141 @@
+"""Llama-family forward pass (functional JAX).
+
+Mirrors the reference graph builder math (src/models/llama.cpp:3-90):
+per layer [rms_norm → qkv (+bias) → rope → attention → o-proj → residual
+→ rms_norm → SwiGLU FFN → residual], final norm, lm_head. Covers llama,
+llama-2/3, TinyLlama, Mistral, and (with bias tensors) Qwen2.
+
+Layer weights are stacked along a leading layer axis and iterated with
+lax.scan — the TPU-idiomatic replacement for the reference's per-layer
+graph build (one compiled program, no 100-file switch).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import attention
+from ..ops.norms import rms_norm
+from ..ops.rope import RopeParams, apply_rope, rope_cache
+from .hparams import HParams
+
+
+def _linear(x, w):
+    """x: (..., n_in) @ w: (n_out, n_in) -> (..., n_out); weights keep the
+    GGUF row-major (n_out, n_in) layout so quantized blocks stay contiguous
+    along the contraction axis."""
+    return jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (1,)), ((), ())), preferred_element_type=x.dtype
+    )
+
+
+def rope_params(hp: HParams) -> RopeParams:
+    return RopeParams(
+        n_dims=hp.n_rot,
+        mode=hp.rope_type,
+        freq_base=hp.rope_freq_base,
+        freq_scale=hp.rope_freq_scale,
+        ext_factor=hp.rope_yarn_ext_factor,
+        attn_factor=hp.rope_attn_factor,
+        beta_fast=hp.rope_beta_fast,
+        beta_slow=hp.rope_beta_slow,
+        n_ctx_orig=hp.n_ctx_orig_yarn or hp.n_ctx_train,
+    )
+
+
+def llama_forward(
+    params: dict,
+    hp: HParams,
+    tokens,  # (B, T) int32
+    positions,  # (B, T) int32
+    kv_k,  # (L, B, S, Hkv, Dk) or None (no-cache prefill over full seq)
+    kv_v,  # (L, B, S, Hkv, Dv)
+    cache_slots,  # (B, T) int32: cache row for each new token
+    attn_mask,  # (B, 1, T, S_eff) additive fp32
+):
+    """One decode/prefill step. Returns (logits, (kv_k, kv_v)) with the new
+    tokens' K/V scattered into the cache at cache_slots."""
+    B, T = tokens.shape
+    Hq, Hkv = hp.n_head, hp.n_head_kv
+    Dk, Dv = hp.n_embd_head_k, hp.n_embd_head_v
+
+    x = jnp.take(params["tok_embd"], tokens, axis=0)  # (B,T,n_embd)
+
+    rp = rope_params(hp)
+    freq_factors = params.get("rope_freqs")  # (n_rot/2,) or None
+    cos, sin = rope_cache(rp, positions, freq_factors)  # (B,T,half)
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+
+    kq_scale = (
+        hp.f_attention_scale if hp.f_attention_scale != 0.0 else 1.0 / (Dk**0.5)
+    )
+
+    batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]  # (B,1) for scatter
+
+    def layer_step(carry, layer):
+        x, k_cache, v_cache = carry
+        w = layer
+
+        h = rms_norm(x, w["attn_norm"], hp.f_norm_rms_eps)
+        q = _linear(h, w["attn_q"])
+        k = _linear(h, w["attn_k"])
+        v = _linear(h, w["attn_v"])
+        if "attn_q_bias" in w:
+            q = q + w["attn_q_bias"]
+            k = k + w["attn_k_bias"]
+            v = v + w["attn_v_bias"]
+        q = q.reshape(B, T, Hq, Dk)
+        k = k.reshape(B, T, Hkv, Dk)
+        v = v.reshape(B, T, Hkv, Dv)
+        if "attn_q_norm" in w:
+            q = rms_norm(q, w["attn_q_norm"], hp.f_norm_rms_eps)
+            k = rms_norm(k, w["attn_k_norm"], hp.f_norm_rms_eps)
+        q = apply_rope(q, cos, sin, rp.mode, rp.n_dims)
+        k = apply_rope(k, cos, sin, rp.mode, rp.n_dims)
+
+        # scatter new K/V into the cache rows for this ubatch
+        # (the ggml_set_rows indexed-write capability, llama-kv-cache.h:145)
+        k_cache = k_cache.at[batch_idx, cache_slots].set(k.astype(k_cache.dtype))
+        v_cache = v_cache.at[batch_idx, cache_slots].set(v.astype(v_cache.dtype))
+
+        att = attention(
+            q,
+            k_cache,
+            v_cache,
+            mask=attn_mask,
+            scale=kq_scale,
+            softcap=hp.attn_logit_softcap,
+        )
+        att = att.reshape(B, T, Hq * Dv)
+        att = _linear(att, w["attn_output"])
+        if "attn_output_bias" in w:
+            att = att + w["attn_output_bias"]
+        x = x + att
+
+        h = rms_norm(x, w["ffn_norm"], hp.f_norm_rms_eps)
+        gate = _linear(h, w["ffn_gate"])
+        up = _linear(h, w["ffn_up"])
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+        down = _linear(act, w["ffn_down"])
+        x = x + down
+        return (x, k_cache, v_cache), None
+
+    def scan_body(x, per_layer):
+        w, k_cache, v_cache = per_layer
+        (x, k_new, v_new), _ = layer_step((x, k_cache, v_cache), w)
+        return x, (k_new, v_new)
+
+    x, (kv_k, kv_v) = jax.lax.scan(scan_body, x, (params["layers"], kv_k, kv_v))
+
+    x = rms_norm(x, params["output_norm"], hp.f_norm_rms_eps)
+    out_w = params.get("output", params["tok_embd"])
+    logits = _linear(x, out_w)
+    if hp.final_logit_softcap:
+        logits = hp.final_logit_softcap * jnp.tanh(
+            logits.astype(jnp.float32) / hp.final_logit_softcap
+        )
+    return logits.astype(jnp.float32), (kv_k, kv_v)

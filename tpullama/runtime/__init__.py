@@ -1,0 +1,10 @@
+"""Runtime layer: KV cache, decode engine, sampling, state I/O.
+
+Reference analogs: src/llama-context.cpp (decode engine),
+src/llama-kv-cache.cpp (cache), src/llama-sampling.cpp (samplers),
+src/llama-batch.cpp (batch splitting).
+"""
+
+from .context import Context, ContextParams
+
+__all__ = ["Context", "ContextParams"]

@@ -1,0 +1,419 @@
+"""Sampler chain.
+
+Re-implements the reference's sampler vtable + chain
+(src/llama-sampling.cpp; API surface include/llama.h:1195-1323) over a
+numpy candidate array. Each sampler filters/reweights candidates;
+`SamplerChain.sample` applies them in order and the terminal sampler
+(greedy/dist/mirostat) selects a token. `accept` feeds back the chosen
+token (penalties/DRY state).
+
+Determinism: `dist`/`xtc`/mirostat use a seeded np.random.Generator.
+(Exact RNG streams differ from std::mt19937 — the *distributions* and
+all filtering semantics are identical.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+DEFAULT_SEED = 0xFFFFFFFF  # LLAMA_DEFAULT_SEED
+
+
+@dataclass
+class Candidates:
+    """llama_token_data_array analog (ids + logits [+ probs])."""
+
+    ids: np.ndarray  # int32
+    logits: np.ndarray  # float32
+    probs: np.ndarray | None = None
+    sorted: bool = False  # descending by logit
+
+    @classmethod
+    def from_logits(cls, logits: np.ndarray) -> "Candidates":
+        logits = np.asarray(logits, np.float32)
+        return cls(ids=np.arange(logits.shape[-1], dtype=np.int32), logits=logits.copy())
+
+    def softmax(self, do_sort: bool = True):
+        if do_sort and not self.sorted:
+            order = np.argsort(-self.logits, kind="stable")
+            self.ids = self.ids[order]
+            self.logits = self.logits[order]
+            self.sorted = True
+        m = self.logits.max() if self.logits.size else 0.0
+        e = np.exp(self.logits - m)
+        self.probs = e / e.sum()
+
+    def keep(self, mask_or_idx):
+        self.ids = self.ids[mask_or_idx]
+        self.logits = self.logits[mask_or_idx]
+        if self.probs is not None:
+            self.probs = self.probs[mask_or_idx]
+
+
+class Sampler:
+    name = "base"
+
+    def apply(self, cur: Candidates) -> int | None:
+        """Mutate candidates; terminal samplers return the chosen index."""
+        return None
+
+    def accept(self, token: int):
+        pass
+
+    def reset(self):
+        pass
+
+
+class Greedy(Sampler):
+    name = "greedy"
+
+    def apply(self, cur: Candidates):
+        return int(np.argmax(cur.logits))
+
+
+class Dist(Sampler):
+    """Terminal multinomial sampler (llama_sampler_init_dist)."""
+
+    name = "dist"
+
+    def __init__(self, seed: int = DEFAULT_SEED):
+        self.seed = seed
+        self.reset()
+
+    def reset(self):
+        seed = self.seed if self.seed != DEFAULT_SEED else np.random.SeedSequence().entropy
+        self.rng = np.random.default_rng(seed)
+
+    def apply(self, cur: Candidates):
+        cur.softmax(do_sort=False)
+        return int(self.rng.choice(len(cur.ids), p=cur.probs / cur.probs.sum()))
+
+
+class LogitBias(Sampler):
+    name = "logit-bias"
+
+    def __init__(self, bias: dict[int, float]):
+        self.bias = dict(bias)
+
+    def apply(self, cur: Candidates):
+        if not self.bias:
+            return None
+        # cur.ids may be permuted; map id->index lazily
+        for tok, b in self.bias.items():
+            idx = np.nonzero(cur.ids == tok)[0]
+            if idx.size:
+                cur.logits[idx[0]] += b
+        cur.sorted = False
+        return None
+
+
+class TopK(Sampler):
+    name = "top-k"
+
+    def __init__(self, k: int):
+        self.k = k
+
+    def apply(self, cur: Candidates):
+        k = self.k
+        if k <= 0 or k >= len(cur.ids):
+            return None
+        if not cur.sorted:
+            part = np.argpartition(-cur.logits, k - 1)[:k]
+            order = part[np.argsort(-cur.logits[part], kind="stable")]
+            cur.keep(order)
+            cur.sorted = True
+        else:
+            cur.keep(slice(0, k))
+        return None
+
+
+class TopP(Sampler):
+    name = "top-p"
+
+    def __init__(self, p: float, min_keep: int = 1):
+        self.p = p
+        self.min_keep = max(1, min_keep)
+
+    def apply(self, cur: Candidates):
+        if self.p >= 1.0:
+            return None
+        cur.softmax(do_sort=True)
+        cum = np.cumsum(cur.probs)
+        idx = np.nonzero(cum >= self.p)[0]
+        last = (idx[0] + 1) if idx.size else len(cur.ids)
+        last = max(last, self.min_keep)
+        cur.keep(slice(0, last))
+        return None
+
+
+class MinP(Sampler):
+    name = "min-p"
+
+    def __init__(self, p: float, min_keep: int = 1):
+        self.p = p
+        self.min_keep = max(1, min_keep)
+
+    def apply(self, cur: Candidates):
+        if self.p <= 0.0 or not len(cur.ids):
+            return None
+        max_logit = cur.logits.max()
+        min_logit = max_logit + np.log(self.p)
+        mask = cur.logits >= min_logit
+        if mask.sum() >= self.min_keep:
+            cur.keep(mask)
+            if not cur.sorted:
+                cur.sorted = False
+        else:
+            order = np.argsort(-cur.logits, kind="stable")
+            cur.keep(order[: self.min_keep])
+            cur.sorted = True
+        return None
+
+
+class Typical(Sampler):
+    name = "typical"
+
+    def __init__(self, p: float, min_keep: int = 1):
+        self.p = p
+        self.min_keep = max(1, min_keep)
+
+    def apply(self, cur: Candidates):
+        if self.p >= 1.0:
+            return None
+        cur.softmax(do_sort=True)
+        p = np.clip(cur.probs, 1e-30, None)
+        entropy = float(-(p * np.log(p)).sum())
+        shifted = np.abs(-np.log(p) - entropy)
+        order = np.argsort(shifted, kind="stable")
+        cum = np.cumsum(cur.probs[order])
+        idx = np.nonzero(cum > self.p)[0]
+        last = len(order)
+        for i in idx[:1]:
+            if self.min_keep == 0 or i >= self.min_keep - 1:
+                last = i + 1
+        cur.keep(order[:last])
+        cur.sorted = False
+        return None
+
+
+class Temp(Sampler):
+    name = "temp"
+
+    def __init__(self, t: float):
+        self.t = t
+
+    def apply(self, cur: Candidates):
+        if self.t <= 0:
+            # keep only the max (llama_sampler_temp_impl)
+            best = int(np.argmax(cur.logits))
+            cur.logits[np.arange(len(cur.logits)) != best] = -np.inf
+            return None
+        cur.logits /= self.t
+        return None
+
+
+class TempExt(Sampler):
+    """Dynamic-entropy temperature (llama_sampler_init_temp_ext)."""
+
+    name = "temp-ext"
+
+    def __init__(self, t: float, delta: float = 0.0, exponent: float = 1.0):
+        self.t, self.delta, self.exponent = t, delta, exponent
+
+    def apply(self, cur: Candidates):
+        if self.delta <= 0:
+            return Temp(self.t).apply(cur)
+        if len(cur.ids) <= 1:
+            return None
+        min_temp = max(0.0, self.t - self.delta)
+        max_temp = self.t + self.delta
+        max_entropy = -np.log(1.0 / len(cur.ids))
+        cur.softmax(do_sort=True)
+        p = cur.probs[cur.probs > 0]
+        entropy = float(-(p * np.log(p)).sum())
+        norm = entropy / max_entropy
+        dyn_temp = min_temp + (max_temp - min_temp) * (norm**self.exponent)
+        cur.logits /= max(dyn_temp, 1e-6)
+        cur.probs = None
+        return None
+
+
+class Xtc(Sampler):
+    name = "xtc"
+
+    def __init__(self, probability: float, threshold: float, min_keep: int = 1, seed: int = DEFAULT_SEED):
+        self.probability, self.threshold, self.min_keep = probability, threshold, min_keep
+        self.seed = seed
+        self.reset()
+
+    def reset(self):
+        seed = self.seed if self.seed != DEFAULT_SEED else np.random.SeedSequence().entropy
+        self.rng = np.random.default_rng(seed)
+
+    def apply(self, cur: Candidates):
+        if self.probability <= 0 or self.threshold > 0.5 or len(cur.ids) < 2:
+            return None
+        if self.rng.uniform() > self.probability:
+            return None
+        cur.softmax(do_sort=True)
+        above = np.nonzero(cur.probs >= self.threshold)[0]
+        pos_last = int(above[-1]) if above.size and (above == np.arange(above.size)).all() else 0
+        if len(cur.ids) - pos_last >= self.min_keep and pos_last > 0:
+            cur.keep(slice(pos_last, None))
+        return None
+
+
+class TopNSigma(Sampler):
+    name = "top-n-sigma"
+
+    def __init__(self, n: float):
+        self.n = n
+
+    def apply(self, cur: Candidates):
+        if self.n <= 0 or len(cur.ids) <= 1:
+            return None
+        finite = np.isfinite(cur.logits)
+        if not finite.any():
+            return None
+        mx = cur.logits[finite].max()
+        mean = cur.logits[finite].mean()
+        std = cur.logits[finite].std()
+        cur.logits[cur.logits < mx - self.n * std] = -np.inf
+        cur.softmax(do_sort=True)
+        return None
+
+
+class Penalties(Sampler):
+    """Repeat/frequency/presence penalties (llama_sampler_init_penalties)."""
+
+    name = "penalties"
+
+    def __init__(self, last_n: int = 64, repeat: float = 1.0, freq: float = 0.0, present: float = 0.0):
+        self.last_n, self.repeat, self.freq, self.present = last_n, repeat, freq, present
+        self.prev: list[int] = []
+
+    def reset(self):
+        self.prev.clear()
+
+    def accept(self, token: int):
+        if self.last_n > 0:
+            self.prev.append(token)
+            if len(self.prev) > self.last_n:
+                self.prev.pop(0)
+
+    def apply(self, cur: Candidates):
+        if self.last_n == 0 or (self.repeat == 1.0 and self.freq == 0.0 and self.present == 0.0):
+            return None
+        if not self.prev:
+            return None
+        counts: dict[int, int] = {}
+        for t in self.prev:
+            counts[t] = counts.get(t, 0) + 1
+        toks = np.fromiter(counts.keys(), np.int32, len(counts))
+        cnts = np.fromiter(counts.values(), np.float32, len(counts))
+        id_pos = {int(t): i for i, t in enumerate(cur.ids)}
+        for t, c in zip(toks, cnts):
+            i = id_pos.get(int(t))
+            if i is None:
+                continue
+            lg = cur.logits[i]
+            lg = lg * self.repeat if lg <= 0 else lg / self.repeat
+            lg -= c * self.freq + (1.0 if c > 0 else 0.0) * self.present
+            cur.logits[i] = lg
+        cur.sorted = False
+        return None
+
+
+class MirostatV2(Sampler):
+    name = "mirostat-v2"
+
+    def __init__(self, seed: int = DEFAULT_SEED, tau: float = 5.0, eta: float = 0.1):
+        self.seed, self.tau, self.eta = seed, tau, eta
+        self.reset()
+
+    def reset(self):
+        self.mu = 2.0 * self.tau
+        seed = self.seed if self.seed != DEFAULT_SEED else np.random.SeedSequence().entropy
+        self.rng = np.random.default_rng(seed)
+
+    def apply(self, cur: Candidates):
+        cur.softmax(do_sort=True)
+        surprise = -np.log2(np.clip(cur.probs, 1e-30, None))
+        keep = np.nonzero(surprise <= self.mu)[0]
+        if keep.size == 0:
+            keep = np.array([0])
+        cur.keep(keep)
+        cur.softmax(do_sort=True)
+        idx = int(self.rng.choice(len(cur.ids), p=cur.probs / cur.probs.sum()))
+        observed = -np.log2(max(cur.probs[idx], 1e-30))
+        self.mu -= self.eta * (observed - self.tau)
+        return idx
+
+
+class SamplerChain:
+    """llama_sampler_chain analog; also the common_sampler convenience
+    constructor (common/sampling.cpp std chain order: penalties → top-k →
+    typical → top-p → min-p → xtc → temp → dist)."""
+
+    def __init__(self, samplers: list[Sampler]):
+        self.samplers = samplers
+
+    @classmethod
+    def std(
+        cls,
+        *,
+        seed: int = 42,
+        temp: float = 0.8,
+        top_k: int = 40,
+        top_p: float = 0.95,
+        min_p: float = 0.05,
+        typical_p: float = 1.0,
+        penalty_last_n: int = 64,
+        penalty_repeat: float = 1.0,
+        penalty_freq: float = 0.0,
+        penalty_present: float = 0.0,
+        logit_bias: dict[int, float] | None = None,
+    ) -> "SamplerChain":
+        chain: list[Sampler] = []
+        if logit_bias:
+            chain.append(LogitBias(logit_bias))
+        chain.append(Penalties(penalty_last_n, penalty_repeat, penalty_freq, penalty_present))
+        if temp <= 0:
+            chain.append(Greedy())
+        else:
+            chain += [
+                TopK(top_k),
+                Typical(typical_p),
+                TopP(top_p),
+                MinP(min_p),
+                Temp(temp),
+                Dist(seed),
+            ]
+        return cls(chain)
+
+    @classmethod
+    def greedy(cls) -> "SamplerChain":
+        return cls([Greedy()])
+
+    def sample(self, logits: np.ndarray) -> int:
+        cur = Candidates.from_logits(logits)
+        chosen = None
+        for s in self.samplers:
+            r = s.apply(cur)
+            if r is not None:
+                chosen = r
+        if chosen is None:
+            chosen = int(np.argmax(cur.logits))
+        token = int(cur.ids[chosen])
+        self.accept(token)
+        return token
+
+    def accept(self, token: int):
+        for s in self.samplers:
+            s.accept(token)
+
+    def reset(self):
+        for s in self.samplers:
+            s.reset()
