@@ -1,0 +1,148 @@
+"""Benchmark: single-chip decode throughput on a TinyLlama-1.1B-shaped
+llama model (bf16 weights), measured with the decode loop fused on-device
+(lax.scan over steps — no host round-trips).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+vs_baseline = fraction of the chip's HBM-bandwidth roofline
+(BASELINE.md target: >= 0.85 at 8B Q4_K; this round: dense bf16 1.1B).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_params(hp, dtype, seed=0):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+
+    def mat(shape, scale):
+        return jnp.asarray(
+            rng.standard_normal(shape, dtype=np.float32) * scale, dtype=dtype
+        )
+
+    L, E, F = hp.n_layer, hp.n_embd, hp.n_ff
+    KV = hp.n_head_kv * hp.n_embd_head_k
+    s = 1.0 / np.sqrt(E)
+    params = {
+        "tok_embd": mat((hp.n_vocab, E), 0.02),
+        "output_norm": jnp.ones((E,), dtype),
+        "output": mat((hp.n_vocab, E), s),
+        "layers": {
+            "attn_norm": jnp.ones((L, E), dtype),
+            "attn_q": mat((L, E, E), s),
+            "attn_k": mat((L, KV, E), s),
+            "attn_v": mat((L, KV, E), s),
+            "attn_output": mat((L, E, E), s),
+            "ffn_norm": jnp.ones((L, E), dtype),
+            "ffn_gate": mat((L, F, E), s),
+            "ffn_up": mat((L, F, E), s),
+            "ffn_down": mat((L, E, F), 1.0 / np.sqrt(F)),
+        },
+    }
+    return params
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpullama.models.hparams import HParams
+    from tpullama.models.llama import llama_forward
+
+    dtype = jnp.bfloat16
+    hp = HParams(
+        arch="llama",
+        n_vocab=32000,
+        n_ctx_train=2048,
+        n_embd=2048,
+        n_layer=22,
+        n_ff=5632,
+        n_head=32,
+        n_head_kv=4,
+        n_embd_head_k=64,
+        n_embd_head_v=64,
+        n_rot=64,
+        rope_freq_base=10000.0,
+        rope_type=0,
+    )
+    S = int(os.environ.get("BENCH_CTX", 512))
+    N_STEPS = int(os.environ.get("BENCH_STEPS", 64))
+    B = 1
+
+    params = build_params(hp, dtype)
+    n_param_bytes = sum(
+        int(np.prod(x.shape)) * x.dtype.itemsize for x in jax.tree.leaves(params)
+    )
+
+    kv_k = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k), dtype)
+    kv_v = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_v), dtype)
+
+    def decode_loop(params, kv_k, kv_v, first_token, n_past0, n_steps):
+        """Fused greedy decode: scan n_steps, feeding argmax back."""
+
+        def step(carry, i):
+            tok, kv_k, kv_v = carry
+            pos = (n_past0 + i)[None, None]
+            slots = pos
+            kv_pos = jnp.arange(S)
+            vis = kv_pos <= (n_past0 + i)
+            mask = jnp.where(vis, 0.0, -1e30).astype(jnp.float32)[None, None, None, :]
+            logits, (kv_k, kv_v) = llama_forward(
+                params, hp, tok[None, None], pos, kv_k, kv_v, slots, mask
+            )
+            nxt = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+            return (nxt, kv_k, kv_v), nxt
+
+        (tok, kv_k, kv_v), toks = jax.lax.scan(
+            step, (first_token, kv_k, kv_v), jnp.arange(n_steps)
+        )
+        return toks, kv_k, kv_v
+
+    fn = jax.jit(decode_loop, static_argnames=("n_steps",))
+
+    t0 = time.time()
+    toks, kv_k, kv_v = fn(params, kv_k, kv_v, jnp.int32(1), jnp.int32(0), N_STEPS)
+    toks.block_until_ready()
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    toks2, kv_k, kv_v = fn(params, kv_k, kv_v, jnp.int32(2), jnp.int32(N_STEPS), N_STEPS)
+    toks2.block_until_ready()
+    dt = time.time() - t0
+    tps = N_STEPS / dt
+
+    # HBM roofline: each decoded token must stream all weights + KV once
+    hbm_bw = float(os.environ.get("BENCH_HBM_GBPS", 819)) * 1e9  # v5e
+    kv_bytes = int(np.prod(kv_k.shape)) * kv_k.dtype.itemsize * 2
+    roofline = hbm_bw / (n_param_bytes + kv_bytes)
+
+    print(
+        json.dumps(
+            {
+                "metric": "tinyllama-1.1b-bf16 single-chip greedy decode",
+                "value": round(tps, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(tps / roofline, 4),
+                "detail": {
+                    "compile_s": round(compile_s, 1),
+                    "steps": N_STEPS,
+                    "ctx": S,
+                    "param_GiB": round(n_param_bytes / 2**30, 2),
+                    "roofline_tps": round(roofline, 1),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,8 @@ def attention(q, k, v, mask=None, scale: float | None = None, softcap: float = 0
     if softcap:
         logits = softcap * jnp.tanh(logits / softcap)
     if mask is not None:
+        if mask.ndim != 4:
+            raise ValueError(f"attention mask must be 4-D (B,H,Tq,Tk); got {mask.shape}")
         logits = logits + mask.astype(jnp.float32)
     if sinks is not None:
         # per-head sink logit participates in softmax but emits no value

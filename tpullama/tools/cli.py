@@ -1,0 +1,133 @@
+"""llama-cli analog: single-shot and interactive generation.
+
+Flag names mirror the reference's arg system (common/arg.cpp) for the
+subset implemented; env-var mirrors use the same LLAMA_ARG_* names.
+
+Usage:
+  python -m tpullama.tools.cli -m model.gguf -p "prompt" -n 64 --temp 0
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="tpullama-cli", description=__doc__)
+
+    def env(name, default=None):
+        return os.environ.get(f"LLAMA_ARG_{name}", default)
+
+    ap.add_argument("-m", "--model", default=env("MODEL"), required=env("MODEL") is None)
+    ap.add_argument("-p", "--prompt", default="")
+    ap.add_argument("-f", "--file", help="read prompt from file")
+    ap.add_argument("-n", "--n-predict", type=int, default=int(env("N_PREDICT", -1)))
+    ap.add_argument("-c", "--ctx-size", type=int, default=int(env("CTX_SIZE", 4096)))
+    ap.add_argument("--temp", type=float, default=0.8)
+    ap.add_argument("--top-k", type=int, default=40)
+    ap.add_argument("--top-p", type=float, default=0.95)
+    ap.add_argument("--min-p", type=float, default=0.05)
+    ap.add_argument("--repeat-penalty", type=float, default=1.0)
+    ap.add_argument("--repeat-last-n", type=int, default=64)
+    ap.add_argument("-s", "--seed", type=int, default=-1)
+    ap.add_argument("--no-display-prompt", action="store_true")
+    ap.add_argument("-i", "--interactive", action="store_true")
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16", "float16"])
+    ap.add_argument("--device", default=None, help="jax platform override (e.g. cpu)")
+    ap.add_argument("--verbose", action="store_true")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models import load_model
+    from ..runtime import Context, ContextParams
+    from ..runtime.sampling import SamplerChain
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}[
+        args.dtype
+    ]
+
+    t0 = time.time()
+    model = load_model(args.model, dtype=dtype)
+    if args.verbose:
+        print(f"[load] {args.model} in {time.time()-t0:.1f}s "
+              f"arch={model.arch} n_layer={model.hparams.n_layer}", file=sys.stderr)
+
+    ctx = Context(model, ContextParams(n_ctx=args.ctx_size, dtype=dtype))
+    vocab = model.vocab
+
+    prompt = args.prompt
+    if args.file:
+        with open(args.file, encoding="utf-8") as f:
+            prompt = f.read()
+
+    if args.temp <= 0:
+        sampler = None  # greedy
+    else:
+        sampler = SamplerChain.std(
+            seed=args.seed if args.seed >= 0 else 0xFFFFFFFF,
+            temp=args.temp,
+            top_k=args.top_k,
+            top_p=args.top_p,
+            min_p=args.min_p,
+            penalty_last_n=args.repeat_last_n,
+            penalty_repeat=args.repeat_penalty,
+        )
+
+    def generate_round(text: str, n_predict: int):
+        toks = vocab.tokenize(text, add_special=int(ctx.n_past[0]) == 0)
+        if not args.no_display_prompt:
+            sys.stdout.write(text)
+            sys.stdout.flush()
+        logits = ctx.decode(np.asarray(toks, np.int32), n_logits=1)[-1]
+        n = n_predict if n_predict >= 0 else args.ctx_size
+        for _ in range(n):
+            if sampler is None:
+                tok = int(np.argmax(logits))
+            else:
+                tok = sampler.sample(logits)
+            if vocab.is_eog(tok):
+                break
+            sys.stdout.write(vocab.token_to_piece(tok, special=False))
+            sys.stdout.flush()
+            logits = ctx.decode(np.asarray([tok], np.int32), n_logits=1)[-1]
+        sys.stdout.write("\n")
+
+    if args.interactive:
+        print("== interactive mode (empty line to exit) ==", file=sys.stderr)
+        if prompt:
+            generate_round(prompt, args.n_predict)
+        while True:
+            try:
+                line = input("> ")
+            except EOFError:
+                break
+            if not line:
+                break
+            generate_round(line, args.n_predict)
+    else:
+        generate_round(prompt, args.n_predict)
+
+    if args.verbose:
+        p = ctx.perf
+        print(
+            f"[perf] prefill {p.n_prefill} tok @ {p.prefill_tps():.1f} t/s | "
+            f"decode {p.n_decode} tok @ {p.decode_tps():.1f} t/s",
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
