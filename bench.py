@@ -108,14 +108,16 @@ def main():
 
     fn = jax.jit(decode_loop, static_argnames=("n_steps",))
 
+    # NOTE: block_until_ready does not reliably block on the axon platform;
+    # force a device->host transfer to fence timing.
     t0 = time.time()
     toks, kv_k, kv_v = fn(params, kv_k, kv_v, jnp.int32(1), jnp.int32(0), N_STEPS)
-    toks.block_until_ready()
+    np.asarray(toks)
     compile_s = time.time() - t0
 
     t0 = time.time()
-    toks2, kv_k, kv_v = fn(params, kv_k, kv_v, jnp.int32(2), jnp.int32(N_STEPS), N_STEPS)
-    toks2.block_until_ready()
+    toks2, kv_k2, kv_v2 = fn(params, kv_k, kv_v, jnp.int32(2), jnp.int32(N_STEPS), N_STEPS)
+    np.asarray(toks2)
     dt = time.time() - t0
     tps = N_STEPS / dt
 

@@ -1,0 +1,44 @@
+"""Packed-weights (fused dequant-matmul) model path tests: the packed
+loader must produce the same logits/generation as the dense dequantized
+path (same dequant semantics, so identical math up to matmul order)."""
+
+import numpy as np
+import pytest
+
+from tpullama.gguf import GGMLType
+from tpullama.models import load_model
+from tpullama.models.testing import make_tiny_llama_gguf
+from tpullama.runtime import Context, ContextParams
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_0, GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.Q6_K],
+                         ids=lambda t: t.name)
+def test_packed_matches_dense(tmp_path, qtype):
+    path = str(tmp_path / "m.gguf")
+    make_tiny_llama_gguf(path, n_embd=256, n_ff=256, n_layer=2, qtype=qtype, seed=21)
+    dense = load_model(path)
+    packed = load_model(path, packed=True)
+    assert packed.quant_meta is not None and "layers" in packed.quant_meta
+    toks = dense.vocab.tokenize("Once upon a time", add_special=True)
+    ctx_d = Context(dense, ContextParams(n_ctx=96))
+    ctx_p = Context(packed, ContextParams(n_ctx=96))
+    ld = ctx_d.decode(np.asarray(toks), n_logits=1)[-1]
+    lp = ctx_p.decode(np.asarray(toks), n_logits=1)[-1]
+    np.testing.assert_allclose(lp, ld, rtol=1e-4, atol=1e-3)
+    out_d = ctx_d.generate([1], n_predict=6)
+    # fresh contexts for fair generation comparison
+    ctx_d2 = Context(dense, ContextParams(n_ctx=96))
+    ctx_p2 = Context(packed, ContextParams(n_ctx=96))
+    assert ctx_p2.generate(toks, n_predict=8) == ctx_d2.generate(toks, n_predict=8)
+
+
+def test_packed_memory_smaller(tmp_path):
+    path = str(tmp_path / "m.gguf")
+    make_tiny_llama_gguf(path, n_embd=256, n_ff=256, n_layer=2, qtype=GGMLType.Q4_K, seed=3)
+    packed = load_model(path, packed=True)
+    layers = packed.params["layers"]
+    q = layers["attn_q"]
+    assert isinstance(q, dict)
+    packed_bytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in q.values())
+    dense_bytes = 2 * 256 * 256 * 4
+    assert packed_bytes < dense_bytes / 3  # ~6.5 bits vs 32 bits per weight

@@ -1,0 +1,74 @@
+"""Planar repack + fused dequant-matmul tests.
+
+Oracle chain: GGUF block codec (itself bit-exact vs the reference C) →
+planar repack must dequantize identically → the Pallas kernel must match
+x @ dequant(W)^T (the test-backend-ops CPU-oracle pattern).
+"""
+
+import numpy as np
+import pytest
+
+from tpullama.gguf import GGMLType, dequantize, quantize
+from tpullama.ops.qweights import PACKED_TYPES, dequant_planar_np, repack
+
+TYPES = sorted(PACKED_TYPES, key=lambda t: t.value)
+
+
+def make_weight(n_out, n_in, qtype, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((n_out, n_in)).astype(np.float32)
+    raw = quantize(w, qtype)
+    return raw, dequantize(raw, qtype, (n_out, n_in))
+
+
+@pytest.mark.parametrize("qtype", TYPES, ids=lambda t: t.name)
+def test_repack_dequant_exact(qtype):
+    n_out, n_in = 8, 512
+    if qtype in (GGMLType.Q2_K, GGMLType.Q3_K):
+        # no quantizer for these yet: use random raw bytes
+        from tpullama.gguf.constants import GGML_TYPE_TRAITS
+
+        traits = GGML_TYPE_TRAITS[qtype]
+        rng = np.random.default_rng(1)
+        raw = rng.integers(0, 256, size=n_out * n_in // traits.block_size * traits.type_size,
+                           dtype=np.uint8)
+        # avoid NaN/inf fp16 scales in random bytes: clear scale exponents
+        ref = dequantize(raw, qtype, (n_out, n_in))
+        if not np.isfinite(ref).all():
+            pytest.skip("random fp16 scales hit inf/NaN")
+    else:
+        raw, ref = make_weight(n_out, n_in, qtype)
+    pq = repack(raw, qtype, (n_out, n_in))
+    got = dequant_planar_np(pq)
+    np.testing.assert_array_equal(got, ref.reshape(n_out, n_in))
+
+
+@pytest.mark.parametrize("qtype", TYPES, ids=lambda t: t.name)
+def test_qmm_interpret_matches_dense(qtype):
+    import jax.numpy as jnp
+
+    from tpullama.ops.pallas.qmm import quantized_matmul
+
+    n_out, n_in, T = 8, 512, 4
+    if qtype in (GGMLType.Q2_K, GGMLType.Q3_K):
+        from tpullama.gguf.constants import GGML_TYPE_TRAITS
+
+        traits = GGML_TYPE_TRAITS[qtype]
+        rng = np.random.default_rng(1)
+        raw = rng.integers(0, 256, size=n_out * n_in // traits.block_size * traits.type_size,
+                           dtype=np.uint8)
+        ref_w = dequantize(raw, qtype, (n_out, n_in))
+        if not np.isfinite(ref_w).all():
+            pytest.skip("random fp16 scales hit inf/NaN")
+    else:
+        raw, ref_w = make_weight(n_out, n_in, qtype)
+    pq = repack(raw, qtype, (n_out, n_in))
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((T, n_in)).astype(np.float32)
+    want = x @ ref_w.reshape(n_out, n_in).T
+    fields = {k: jnp.asarray(v) for k, v in pq.fields.items()}
+    got = quantized_matmul(
+        jnp.asarray(x), fields, qtype, pq.group, n_out, n_in, tile_n=8, interpret=True
+    )
+    atol = 1e-4 + 1e-6 * float(np.abs(want).max())  # fp32 accumulation noise
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=atol)

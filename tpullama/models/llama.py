@@ -23,10 +23,22 @@ from ..ops.rope import RopeParams, apply_rope, rope_cache
 from .hparams import HParams
 
 
-def _linear(x, w):
+def _linear(x, w, meta=None):
     """x: (..., n_in) @ w: (n_out, n_in) -> (..., n_out); weights keep the
     GGUF row-major (n_out, n_in) layout so quantized blocks stay contiguous
-    along the contraction axis."""
+    along the contraction axis. When `w` is a dict of packed planes
+    (loader packed mode), dispatch to the fused Pallas dequant-matmul."""
+    if isinstance(w, dict):
+        from ..ops.pallas.qmm import quantized_matmul
+
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        interpret = jax.default_backend() == "cpu"
+        y = quantized_matmul(
+            x2, w, meta.ggml_type, meta.group, meta.n_out, meta.n_in,
+            interpret=interpret,
+        )
+        return y.reshape(*lead, meta.n_out).astype(x.dtype)
     return jax.lax.dot_general(
         x, w, (((x.ndim - 1,), (1,)), ((), ())), preferred_element_type=x.dtype
     )
@@ -55,6 +67,7 @@ def llama_forward(
     kv_v,  # (L, B, S, Hkv, Dv)
     cache_slots,  # (B, T) int32: cache row for each new token
     attn_mask,  # (B, 1, T, S_eff) additive fp32
+    quant_meta: dict | None = None,  # static; mirrors packed params
 ):
     """One decode/prefill step. Returns (logits, (kv_k, kv_v)) with the new
     tokens' K/V scattered into the cache at cache_slots."""
@@ -76,14 +89,16 @@ def llama_forward(
 
     batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]  # (B,1) for scatter
 
+    lmeta = (quant_meta or {}).get("layers", {})
+
     def layer_step(carry, layer):
         x, k_cache, v_cache = carry
         w = layer
 
         h = rms_norm(x, w["attn_norm"], hp.f_norm_rms_eps)
-        q = _linear(h, w["attn_q"])
-        k = _linear(h, w["attn_k"])
-        v = _linear(h, w["attn_v"])
+        q = _linear(h, w["attn_q"], lmeta.get("attn_q"))
+        k = _linear(h, w["attn_k"], lmeta.get("attn_k"))
+        v = _linear(h, w["attn_v"], lmeta.get("attn_v"))
         if "attn_q_bias" in w:
             q = q + w["attn_q_bias"]
             k = k + w["attn_k_bias"]
@@ -111,16 +126,16 @@ def llama_forward(
             softcap=hp.attn_logit_softcap,
         )
         att = att.reshape(B, T, Hq * Dv)
-        att = _linear(att, w["attn_output"])
+        att = _linear(att, w["attn_output"], lmeta.get("attn_output"))
         if "attn_output_bias" in w:
             att = att + w["attn_output_bias"]
         x = x + att
 
         h = rms_norm(x, w["ffn_norm"], hp.f_norm_rms_eps)
-        gate = _linear(h, w["ffn_gate"])
-        up = _linear(h, w["ffn_up"])
+        gate = _linear(h, w["ffn_gate"], lmeta.get("ffn_gate"))
+        up = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
         act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
-        down = _linear(act, w["ffn_down"])
+        down = _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
         x = x + down
         return (x, k_cache, v_cache), None
 
@@ -133,7 +148,7 @@ def llama_forward(
 
     x = rms_norm(x, params["output_norm"], hp.f_norm_rms_eps)
     out_w = params.get("output", params["tok_embd"])
-    logits = _linear(x, out_w)
+    logits = _linear(x, out_w, (quant_meta or {}).get("output"))
     if hp.final_logit_softcap:
         logits = hp.final_logit_softcap * jnp.tanh(
             logits.astype(jnp.float32) / hp.final_logit_softcap

@@ -66,12 +66,24 @@ _TOP_TENSORS = {
 }
 
 
+@dataclass(frozen=True)
+class QuantMeta:
+    """Static metadata for one packed weight (hashable: lives in jit
+    closures)."""
+
+    ggml_type: GGMLType
+    group: int
+    n_out: int
+    n_in: int
+
+
 @dataclass
 class LoadedModel:
     hparams: HParams
-    params: dict  # pytree of jnp arrays
+    params: dict  # pytree of jnp arrays (dense) / dicts of planes (packed)
     reader: GGUFReader
     vocab: object = None
+    quant_meta: dict | None = None  # mirrors params structure; None = dense
 
     @property
     def arch(self) -> str:
@@ -88,8 +100,14 @@ def load_model(
     device=None,
     progress_callback: Callable[[float], bool] = _progress_noop,
     load_vocab: bool = True,
+    packed: bool = False,
 ) -> LoadedModel:
     """Load a GGUF model (path / bytes / stream) into a JAX pytree.
+
+    `packed=True` keeps supported quantized 2-D weights in planar packed
+    form (uint8 planes + f32 scale planes) for the fused Pallas
+    dequant-matmul path — weights occupy their quantized size in HBM
+    instead of being expanded to `dtype`.
 
     `progress_callback(frac)` returning False cancels the load (the
     reference's llama_progress_callback cancel semantics, llama.h:298)."""
@@ -114,26 +132,70 @@ def load_model(
     total = len(reader.tensors)
     done = 0
 
-    def fetch(name: str) -> np.ndarray:
+    from ..ops.qweights import PACKED_TYPES, repack
+
+    def tick():
         nonlocal done
-        arr = reader.tensor_f32(name)
         done += 1
         if not progress_callback(done / max(total, 1)):
             raise InterruptedError("model load cancelled by progress callback")
+
+    def fetch(name: str) -> np.ndarray:
+        arr = reader.tensor_f32(name)
+        tick()
         return arr
 
+    def packable(tname: str) -> bool:
+        info = reader.tensors[tname]
+        return (
+            packed
+            and len(info.shape) == 2
+            and info.ggml_type in PACKED_TYPES
+            and info.shape[-1] % 256 == 0
+        )
+
+    def fetch_packed(tname: str):
+        info = reader.tensors[tname]
+        pq = repack(reader.tensor_raw(tname), info.ggml_type, info.shape)
+        tick()
+        return pq
+
     params: dict = {}
+    quant_meta: dict = {}
     for pname, tname in top.items():
-        params[pname] = jnp.asarray(fetch(tname), dtype=dtype if pname != "rope_freqs" else jnp.float32)
+        if packable(tname) and pname == "output":
+            pq = fetch_packed(tname)
+            params[pname] = {k: jnp.asarray(v) for k, v in pq.fields.items()}
+            quant_meta[pname] = QuantMeta(pq.ggml_type, pq.group, *pq.shape)
+        else:
+            params[pname] = jnp.asarray(
+                fetch(tname), dtype=dtype if pname != "rope_freqs" else jnp.float32
+            )
 
     # stack per-layer tensors: (L, ...) for lax.scan + leading-axis sharding
     if n_layer:
         keys = sorted(layer_names.get(0, {}))
-        stacked: dict[str, jnp.ndarray] = {}
+        stacked: dict = {}
+        layer_meta: dict = {}
         for key in keys:
-            mats = [fetch(layer_names[il][key]) for il in range(n_layer)]
-            stacked[key] = jnp.asarray(np.stack(mats), dtype=dtype)
+            tnames = [layer_names[il][key] for il in range(n_layer)]
+            types = {reader.tensors[t].ggml_type for t in tnames}
+            # packed stacking requires a uniform type across layers (mixed
+            # per-layer types — e.g. Q4_K_M's Q6_K ffn_down head — fall
+            # back to dense for that tensor)
+            if len(types) == 1 and packable(tnames[0]):
+                pqs = [fetch_packed(t) for t in tnames]
+                stacked[key] = {
+                    fk: jnp.asarray(np.stack([pq.fields[fk] for pq in pqs]))
+                    for fk in pqs[0].fields
+                }
+                layer_meta[key] = QuantMeta(pqs[0].ggml_type, pqs[0].group, *pqs[0].shape)
+            else:
+                mats = [fetch(t) for t in tnames]
+                stacked[key] = jnp.asarray(np.stack(mats), dtype=dtype)
         params["layers"] = stacked
+        if layer_meta:
+            quant_meta["layers"] = layer_meta
 
     vocab = None
     if load_vocab and "tokenizer.ggml.tokens" in reader.kv:
@@ -143,4 +205,10 @@ def load_model(
         if hp.n_vocab == 0:
             hp.n_vocab = vocab.n_tokens
 
-    return LoadedModel(hparams=hp, params=params, reader=reader, vocab=vocab)
+    return LoadedModel(
+        hparams=hp,
+        params=params,
+        reader=reader,
+        vocab=vocab,
+        quant_meta=quant_meta or None,
+    )

@@ -104,7 +104,8 @@ class Context:
             vis = vis & (kv_pos[:, None, :] > positions[:, :, None] - self.hp.n_swa)
         mask = jnp.where(vis, jnp.float32(0), NEG_INF)[:, None, :, :]
         logits, (kv_k, kv_v) = llama_forward(
-            params, self.hp, tokens, positions, kv_k, kv_v, slots, mask
+            params, self.hp, tokens, positions, kv_k, kv_v, slots, mask,
+            quant_meta=self.model.quant_meta,
         )
         return logits[:, T - n_logits :, :], kv_k, kv_v, kv_pos
 
