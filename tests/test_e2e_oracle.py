@@ -124,6 +124,22 @@ def _bytes_to_byte_tokens(data: bytes) -> list[int]:
     return toks
 
 
+@needs_cli
+def test_moe_matches_reference(tmp_path):
+    """Mixtral-style MoE (arch 'llama' + expert tensors)."""
+    path = str(tmp_path / "moe.gguf")
+    make_tiny_llama_gguf(path, n_embd=64, n_layer=2, n_expert=4, n_expert_used=2, seed=5)
+    assert run_ours(path) == run_reference(path)
+
+
+@needs_cli
+def test_qwen2_matches_reference(tmp_path):
+    """Qwen2 arch: NEOX rope + QKV biases."""
+    path = str(tmp_path / "qwen2.gguf")
+    make_tiny_llama_gguf(path, n_embd=64, n_layer=2, seed=8, arch="qwen2")
+    assert run_ours(path) == run_reference(path)
+
+
 def test_generate_deterministic(tmp_path):
     path = str(tmp_path / "tiny.gguf")
     make_tiny_llama_gguf(path, seed=5)

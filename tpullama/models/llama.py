@@ -132,10 +132,32 @@ def llama_forward(
         x = x + att
 
         h = rms_norm(x, w["ffn_norm"], hp.f_norm_rms_eps)
-        gate = _linear(h, w["ffn_gate"], lmeta.get("ffn_gate"))
-        up = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
-        act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
-        down = _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
+        if "ffn_gate_inp" in w:
+            # MoE branch (src/models/llama.cpp:110-128: SILU, norm_w=true,
+            # softmax gating)
+            from ..ops.moe import moe_ffn
+
+            down = moe_ffn(
+                h,
+                w["ffn_gate_inp"],
+                w.get("ffn_gate_exps"),
+                w["ffn_up_exps"],
+                w["ffn_down_exps"],
+                n_expert_used=hp.n_expert_used,
+                norm_w=True,
+                w_scale=hp.expert_weights_scale,
+                gating=hp.expert_gating_func,
+            )
+            if "ffn_gate" in w:  # shared dense FFN alongside experts
+                gate = _linear(h, w["ffn_gate"], lmeta.get("ffn_gate"))
+                up = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
+                act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+                down = down + _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
+        else:
+            gate = _linear(h, w["ffn_gate"], lmeta.get("ffn_gate"))
+            up = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
+            act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+            down = _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
         x = x + down
         return (x, k_cache, v_cache), None
 

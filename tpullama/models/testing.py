@@ -44,8 +44,13 @@ def make_tiny_llama_gguf(
     qtype: GGMLType = GGMLType.F32,
     seed: int = 0,
     tied_output: bool = False,
+    n_expert: int = 0,
+    n_expert_used: int = 2,
+    arch: str = "llama",
 ):
-    """Write a random tiny llama GGUF; returns (path, n_vocab)."""
+    """Write a random tiny llama GGUF; returns (path, n_vocab).
+    n_expert > 0 makes it a Mixtral-style MoE (arch stays 'llama', as in
+    the reference)."""
     tokens, scores, types = byte_vocab()
     if n_vocab is None:
         n_vocab = len(tokens)
@@ -55,18 +60,21 @@ def make_tiny_llama_gguf(
     head_dim = n_embd // n_head
 
     w = GGUFWriter()
-    w.add_str("general.architecture", "llama")
-    w.add_str("general.name", "tiny-test-llama")
-    w.add_u32("llama.context_length", n_ctx)
-    w.add_u32("llama.embedding_length", n_embd)
-    w.add_u32("llama.block_count", n_layer)
-    w.add_u32("llama.feed_forward_length", n_ff)
-    w.add_u32("llama.attention.head_count", n_head)
-    w.add_u32("llama.attention.head_count_kv", n_head_kv)
-    w.add_u32("llama.rope.dimension_count", head_dim)
-    w.add_f32("llama.attention.layer_norm_rms_epsilon", 1e-5)
-    w.add_f32("llama.rope.freq_base", 10000.0)
-    w.add_u32("llama.vocab_size", n_vocab)
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", f"tiny-test-{arch}")
+    w.add_u32(f"{arch}.context_length", n_ctx)
+    w.add_u32(f"{arch}.embedding_length", n_embd)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_u32(f"{arch}.feed_forward_length", n_ff)
+    w.add_u32(f"{arch}.attention.head_count", n_head)
+    w.add_u32(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_u32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_f32(f"{arch}.rope.freq_base", 10000.0)
+    w.add_u32(f"{arch}.vocab_size", n_vocab)
+    if n_expert:
+        w.add_u32(f"{arch}.expert_count", n_expert)
+        w.add_u32(f"{arch}.expert_used_count", n_expert_used)
     w.add_str("tokenizer.ggml.model", "llama")
     w.add_array("tokenizer.ggml.tokens", tokens)
     w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
@@ -97,9 +105,24 @@ def make_tiny_llama_gguf(
         w.add_tensor(f"blk.{il}.attn_k.weight", mat(kv_dim, n_embd), qtype)
         w.add_tensor(f"blk.{il}.attn_v.weight", mat(kv_dim, n_embd), qtype)
         w.add_tensor(f"blk.{il}.attn_output.weight", mat(n_embd, n_embd), qtype)
+        if arch == "qwen2":
+            w.add_tensor(f"blk.{il}.attn_q.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_k.bias", (0.1 * rng.standard_normal(kv_dim)).astype(np.float32), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_v.bias", (0.1 * rng.standard_normal(kv_dim)).astype(np.float32), GGMLType.F32)
         w.add_tensor(f"blk.{il}.ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
-        w.add_tensor(f"blk.{il}.ffn_gate.weight", mat(n_ff, n_embd), qtype)
-        w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
-        w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
+        if n_expert:
+            w.add_tensor(f"blk.{il}.ffn_gate_inp.weight", mat(n_expert, n_embd), GGMLType.F32)
+            # 3-D stacked expert tensors (numpy (E, n_ff, n_embd) ==
+            # ggml ne [n_embd, n_ff, E])
+            ge = np.stack([mat(n_ff, n_embd) for _ in range(n_expert)])
+            ue = np.stack([mat(n_ff, n_embd) for _ in range(n_expert)])
+            de = np.stack([mat(n_embd, n_ff) for _ in range(n_expert)])
+            w.add_tensor(f"blk.{il}.ffn_gate_exps.weight", ge, qtype)
+            w.add_tensor(f"blk.{il}.ffn_up_exps.weight", ue, qtype)
+            w.add_tensor(f"blk.{il}.ffn_down_exps.weight", de, qtype)
+        else:
+            w.add_tensor(f"blk.{il}.ffn_gate.weight", mat(n_ff, n_embd), qtype)
+            w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
+            w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
     w.write(path)
     return path, n_vocab

@@ -21,13 +21,14 @@ def attention(q, k, v, mask=None, scale: float | None = None, softcap: float = 0
     if scale is None:
         scale = 1.0 / (D**0.5)
     group = Hq // Hkv
-    qf = q.astype(jnp.float32).transpose(0, 2, 1, 3)  # B,Hq,Tq,D
+    # grouped layout: kv heads broadcast over the q-head group without
+    # materializing repeated K/V (the GQA bandwidth saving that matters at
+    # decode when the KV cache read dominates)
+    qf = q.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(B, Hkv, group, Tq, D)
     kf = k.astype(jnp.float32).transpose(0, 2, 1, 3)  # B,Hkv,Tk,D
     vf = v.astype(jnp.float32).transpose(0, 2, 1, 3)
-    if group > 1:
-        kf = jnp.repeat(kf, group, axis=1)
-        vf = jnp.repeat(vf, group, axis=1)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    logits = jnp.einsum("bhgqd,bhkd->bhgqk", qf, kf) * scale
+    logits = logits.reshape(B, Hq, Tq, Tk)
     if softcap:
         logits = softcap * jnp.tanh(logits / softcap)
     if mask is not None:
@@ -48,7 +49,8 @@ def attention(q, k, v, mask=None, scale: float | None = None, softcap: float = 0
             logits - jnp.max(logits, axis=-1, keepdims=True)
         )
         probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vf)
+    probs_g = probs.reshape(B, Hkv, group, Tq, Tk)
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", probs_g, vf).reshape(B, Hq, Tq, D)
     return out.transpose(0, 2, 1, 3).astype(q.dtype)
 
 

@@ -1,0 +1,111 @@
+"""Mixture-of-experts FFN.
+
+Faithful to the reference's build_moe_ffn
+(src/llama-graph.cpp:880-1120; SURVEY.md A.3):
+router logits → gating (softmax / sigmoid / post-top-k softmax) →
+optional selection bias → top-k by selection probs, weights gathered
+from the *unbiased* probs → optional renormalize (clamped at the fp16
+min 6.1035e-5) → optional w_scale → gathered expert SwiGLU FFN →
+weighted sum. Llama-4's weight-before-FFN variant supported via flag.
+
+TPU mapping of ggml_mul_mat_id (the gathered batched GEMM): a gather of
+the selected experts' weights (jnp.take along the expert axis) followed
+by batched einsum — bandwidth-optimal at decode (only k experts'
+weights stream from HBM). For long prefill a ragged grouped matmul is
+the follow-up optimization.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .activations import geglu, reglu, swiglu, swiglu_oai
+
+GATING_SOFTMAX = 1
+GATING_SIGMOID = 2
+GATING_SOFTMAX_WEIGHT = 3
+
+_F16_MIN_NORMAL = 6.103515625e-5
+
+
+def moe_ffn(
+    x,  # (B, T, D)
+    gate_inp,  # (E, D) router
+    gate_exps,  # (E, F, D) or None
+    up_exps,  # (E, F, D)
+    down_exps,  # (E, D, F)
+    *,
+    n_expert_used: int,
+    gating: int = GATING_SOFTMAX,
+    norm_w: bool = True,
+    w_scale: float = 0.0,
+    act: str = "silu",
+    exp_probs_b=None,  # (E,) selection bias (DeepSeek-V3)
+    gate_inp_b=None,
+    weight_before_ffn: bool = False,
+):
+    B, T, D = x.shape
+    E = gate_inp.shape[0]
+    K = n_expert_used
+    xf = x.astype(jnp.float32)
+
+    logits = jnp.einsum("btd,ed->bte", xf, gate_inp.astype(jnp.float32))
+    if gate_inp_b is not None:
+        logits = logits + gate_inp_b.astype(jnp.float32)
+
+    if gating == GATING_SOFTMAX:
+        probs = jax.nn.softmax(logits, axis=-1)
+    elif gating == GATING_SIGMOID:
+        probs = jax.nn.sigmoid(logits)
+    else:  # SOFTMAX_WEIGHT: softmax applied after top-k
+        probs = logits
+
+    selection = probs if exp_probs_b is None else probs + exp_probs_b.astype(jnp.float32)
+
+    # top-k selection by selection probs; weights from unbiased probs
+    _, sel = jax.lax.top_k(selection, K)  # (B, T, K) int32
+    weights = jnp.take_along_axis(probs, sel, axis=-1)  # (B, T, K)
+
+    if gating == GATING_SOFTMAX_WEIGHT:
+        weights = jax.nn.softmax(weights, axis=-1)
+    if norm_w:
+        s = jnp.clip(weights.sum(axis=-1, keepdims=True), _F16_MIN_NORMAL, None)
+        weights = weights / s
+    if w_scale:
+        weights = weights * w_scale
+
+    # gather the selected experts' weights and run the FFN per (token, k)
+    # x: (B,T,D); gathered gate/up: (B,T,K,F,D); down: (B,T,K,D,F)
+    def expert_apply(xt):
+        x_, sel_, w_ = xt  # (T,D), (T,K), (T,K)
+        g_w = jnp.take(gate_exps, sel_, axis=0) if gate_exps is not None else None
+        u_w = jnp.take(up_exps, sel_, axis=0)  # (T,K,F,D)
+        d_w = jnp.take(down_exps, sel_, axis=0)  # (T,K,D,F)
+        if weight_before_ffn:
+            # llama4: weights applied to the expert *input* (llama-graph.cpp:1131)
+            xk = x_[:, None, :] * w_[:, :, None]  # (T,K,D)
+        else:
+            xk = jnp.broadcast_to(x_[:, None, :], (x_.shape[0], sel_.shape[1], x_.shape[1]))
+        up = jnp.einsum("tkd,tkfd->tkf", xk, u_w.astype(x_.dtype))
+        if g_w is not None:
+            gate = jnp.einsum("tkd,tkfd->tkf", xk, g_w.astype(x_.dtype))
+        else:
+            gate = up
+        if act == "silu":
+            h = swiglu(gate, up) if g_w is not None else jax.nn.silu(gate)
+        elif act == "gelu":
+            h = geglu(gate, up) if g_w is not None else jax.nn.gelu(gate, approximate=True)
+        elif act == "relu":
+            h = reglu(gate, up) if g_w is not None else jnp.maximum(gate, 0)
+        elif act == "swiglu_oai":
+            h = swiglu_oai(gate, up)
+        else:
+            raise ValueError(act)
+        out = jnp.einsum("tkf,tkdf->tkd", h, d_w.astype(h.dtype))
+        if not weight_before_ffn:
+            out = out * w_[:, :, None]
+        return out.sum(axis=1)  # (T, D)
+
+    out = jax.vmap(expert_apply)((xf, sel, weights))
+    return out.astype(x.dtype)
