@@ -1,0 +1,203 @@
+"""Server integration tests (the tools/server/tests pytest pattern):
+spawn the HTTP server on a tiny model, exercise the OpenAI-compatible
+endpoints with a real client."""
+
+import json
+import socket
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tpullama.models import load_model
+from tpullama.models.testing import make_tiny_llama_gguf
+from tpullama.server.engine import ServerEngine, Task
+from tpullama.server.http import serve
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("srv") / "m.gguf")
+    make_tiny_llama_gguf(path, seed=23)
+    model = load_model(path)
+    port = _free_port()
+    httpd = serve(model, port=port, n_slots=2, n_ctx=128, block=False)
+    # wait for ready
+    base = f"http://127.0.0.1:{port}"
+    for _ in range(100):
+        try:
+            urllib.request.urlopen(base + "/health", timeout=1)
+            break
+        except Exception:
+            time.sleep(0.1)
+    yield base
+    httpd.shutdown()
+    httpd.engine.stop()
+
+
+def _post(base, path, body, timeout=120):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def test_health(server):
+    with urllib.request.urlopen(server + "/health") as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+
+def test_models(server):
+    with urllib.request.urlopen(server + "/v1/models") as r:
+        data = json.loads(r.read())
+    assert data["object"] == "list" and len(data["data"]) == 1
+
+
+def test_completion(server):
+    out = _post(server, "/v1/completions", {
+        "prompt": "Hello", "max_tokens": 8, "temperature": 0,
+    })
+    assert out["object"] == "text_completion"
+    assert out["usage"]["completion_tokens"] >= 1
+    assert isinstance(out["choices"][0]["text"], str)
+
+
+def test_completion_deterministic(server):
+    a = _post(server, "/v1/completions", {"prompt": "abc", "max_tokens": 6, "temperature": 0})
+    b = _post(server, "/v1/completions", {"prompt": "abc", "max_tokens": 6, "temperature": 0})
+    assert a["choices"][0]["text"] == b["choices"][0]["text"]
+
+
+def test_chat_completion(server):
+    out = _post(server, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 6, "temperature": 0,
+    })
+    assert out["object"] == "chat.completion"
+    assert out["choices"][0]["message"]["role"] == "assistant"
+
+
+def test_tokenize_roundtrip(server):
+    toks = _post(server, "/tokenize", {"content": "hello world"})["tokens"]
+    assert len(toks) > 0
+    text = _post(server, "/detokenize", {"tokens": toks})["content"]
+    assert text.endswith("hello world") or text == "hello world"
+
+
+def test_parallel_requests(server):
+    """Two concurrent requests must both complete (continuous batching)."""
+    results = [None, None]
+
+    def go(i, prompt):
+        results[i] = _post(server, "/v1/completions", {
+            "prompt": prompt, "max_tokens": 8, "temperature": 0,
+        })
+
+    t1 = threading.Thread(target=go, args=(0, "aaa"))
+    t2 = threading.Thread(target=go, args=(1, "bbb"))
+    t1.start(); t2.start(); t1.join(60); t2.join(60)
+    assert results[0] is not None and results[1] is not None
+    assert results[0]["usage"]["completion_tokens"] >= 1
+    assert results[1]["usage"]["completion_tokens"] >= 1
+
+
+def test_parallel_matches_serial(server):
+    """Batched decode must give the same text as a fresh serial request."""
+    serial = _post(server, "/v1/completions", {"prompt": "xyz", "max_tokens": 6, "temperature": 0})
+    results = {}
+
+    def go(key, prompt):
+        results[key] = _post(server, "/v1/completions", {
+            "prompt": prompt, "max_tokens": 6, "temperature": 0,
+        })
+
+    ts = [threading.Thread(target=go, args=(k, p)) for k, p in
+          [("xyz", "xyz"), ("other", "hello there")]]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(60)
+    assert results["xyz"]["choices"][0]["text"] == serial["choices"][0]["text"]
+
+
+def test_streaming(server):
+    req = urllib.request.Request(
+        server + "/v1/completions",
+        data=json.dumps({"prompt": "st", "max_tokens": 5, "temperature": 0,
+                         "stream": True}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    chunks = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for line in r:
+            line = line.decode().strip()
+            if line.startswith("data: "):
+                payload = line[6:]
+                if payload == "[DONE]":
+                    break
+                chunks.append(json.loads(payload))
+    assert len(chunks) >= 1
+    assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+def test_grammar_constrained(server):
+    out = _post(server, "/v1/completions", {
+        "prompt": "num:", "max_tokens": 10, "temperature": 0,
+        "grammar": 'root ::= [0-9]{2}',
+    })
+    text = out["choices"][0]["text"]
+    assert len(text) == 2 and text.isdigit(), text
+
+
+def test_json_schema_response_format(server):
+    out = _post(server, "/v1/completions", {
+        "prompt": "j:", "max_tokens": 30, "temperature": 0,
+        "json_schema": {"type": "object", "properties": {"n": {"type": "integer"}},
+                        "required": ["n"], "additionalProperties": False},
+    })
+    parsed = json.loads(out["choices"][0]["text"])
+    assert isinstance(parsed["n"], int)
+
+
+def test_stop_string(server):
+    full = _post(server, "/v1/completions", {"prompt": "q", "max_tokens": 12, "temperature": 0})
+    text = full["choices"][0]["text"]
+    if len(text) >= 3:
+        stop = text[1]
+        out = _post(server, "/v1/completions", {
+            "prompt": "q", "max_tokens": 12, "temperature": 0, "stop": [stop],
+        })
+        assert stop not in out["choices"][0]["text"]
+
+
+def test_error_unknown_endpoint(server):
+    try:
+        _post(server, "/v1/nonexistent", {})
+        assert False, "should 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_metrics_and_slots(server):
+    with urllib.request.urlopen(server + "/metrics") as r:
+        text = r.read().decode()
+    assert "llamacpp:tokens_predicted_total" in text
+    with urllib.request.urlopen(server + "/slots") as r:
+        slots = json.loads(r.read())
+    assert len(slots) == 2
+
+
+import urllib.error  # noqa: E402

@@ -3,17 +3,21 @@
 The TPU-native replacement for llama_context + ggml scheduler
 (src/llama-context.cpp:983 decode loop): instead of rebuilding a ggml
 graph per ubatch and scheduling it over backends, we compile a small set
-of bucketed XLA programs (prefill at power-of-two chunk lengths, decode
-at T=1) once — the same role as the reference's worst-case graph
-reserve + graph-reuse cache (llama-context.cpp:353-399,
-llama-graph.h:427) — and keep the KV cache as device-resident arrays
-with scatter writes (the ggml_set_rows cell-write capability,
-src/llama-kv-cache.h:145-150).
+of bucketed XLA programs (per-sequence prefill at power-of-two chunk
+lengths; all-sequence decode at T=1) once — the same role as the
+reference's worst-case graph reserve + graph-reuse cache
+(llama-context.cpp:353-399, llama-graph.h:427) — and keep the KV cache
+as device-resident arrays with scatter writes (the ggml_set_rows
+cell-write capability, src/llama-kv-cache.h:145-150).
+
+Multi-sequence: the cache is (L, n_seqs, S_per_seq, H, D) — the
+reference's !kv_unified per-stream layout (llama-kv-cache.h:64,204).
+Per-sequence prefill dynamically slices one sequence's lane; batched
+decode steps every sequence at once (continuous batching's hot loop).
 
 Sequence position bookkeeping lives in a device array `kv_pos`
 ((B, S), -1 = empty cell), from which the causal mask is computed inside
-jit — no host round-trip in the decode loop (the find_slot/kq_mask
-machinery of SURVEY.md A.5 without host sync).
+jit — no host round-trip in the decode loop.
 """
 
 from __future__ import annotations
@@ -38,7 +42,7 @@ class ContextParams:
     """llama_context_default_params analog (llama.h:282+; defaults per
     SURVEY.md A.11)."""
 
-    n_ctx: int = 512
+    n_ctx: int = 512  # per sequence
     n_batch: int = 2048
     n_ubatch: int = 512
     n_seqs: int = 1
@@ -62,6 +66,7 @@ class PerfCounters:
     t_decode_ms: float = 0.0
     n_prefill: int = 0
     n_decode: int = 0
+    n_reused: int = 0
 
     def prefill_tps(self) -> float:
         return self.n_prefill / (self.t_prefill_ms / 1000) if self.t_prefill_ms else 0.0
@@ -71,9 +76,6 @@ class PerfCounters:
 
 
 class Context:
-    """Single-sequence-first decode context (multi-seq batching arrives with
-    the server's slot engine)."""
-
     def __init__(self, model: LoadedModel, params: ContextParams | None = None):
         self.model = model
         self.hp: HParams = model.hparams
@@ -81,21 +83,21 @@ class Context:
         hp = self.hp
         B = self.p.n_seqs
         S = self.p.n_ctx + 1  # +1 scratch row for padded-token writes
+        self._S = S
         kv_dt = self.p.kv_dtype or self.p.dtype
         self.kv_k = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k), kv_dt)
         self.kv_v = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_v), kv_dt)
         self.kv_pos = jnp.full((B, S), -1, jnp.int32)
         self.n_past = np.zeros(B, np.int32)  # host mirror of next position
         self.perf = PerfCounters()
-        self._step_fn = jax.jit(self._step, static_argnames=("n_logits",))
+        self._seq_fn = jax.jit(self._step_seq, static_argnames=("n_logits",))
+        self._all_fn = jax.jit(self._step_all)
 
     # ------------------------------------------------------------------
 
-    def _step(self, params, kv_k, kv_v, kv_pos, tokens, positions, slots, n_logits: int):
-        """One ubatch: scatter K/V + masked attention + logits for the last
-        n_logits tokens."""
+    def _forward(self, params, kv_k, kv_v, kv_pos, tokens, positions, slots):
+        """Shared core: scatter K/V, build mask, run the model."""
         B, T = tokens.shape
-        S = kv_pos.shape[1]
         batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
         kv_pos = kv_pos.at[batch_idx, slots].set(positions)
         # visibility: cell occupied ∧ causal (SURVEY.md A.5 predicate)
@@ -107,14 +109,37 @@ class Context:
             params, self.hp, tokens, positions, kv_k, kv_v, slots, mask,
             quant_meta=self.model.quant_meta,
         )
-        return logits[:, T - n_logits :, :], kv_k, kv_v, kv_pos
+        return logits, kv_k, kv_v, kv_pos
 
-    def decode(self, tokens: np.ndarray, n_logits: int = 1) -> np.ndarray:
-        """Process a batch of tokens for sequence 0 (B=1 path). tokens:
-        (T,) int. Returns logits (n_logits, n_vocab)."""
+    def _step_seq(self, params, kv_k, kv_v, kv_pos, seq, tokens, positions, slots, n_logits: int):
+        """Prefill/decode for ONE sequence: dynamic-slice its cache lane."""
+        L = kv_k.shape[0]
+        S = kv_k.shape[2]
+        kk = jax.lax.dynamic_slice_in_dim(kv_k, seq, 1, axis=1)
+        vv = jax.lax.dynamic_slice_in_dim(kv_v, seq, 1, axis=1)
+        pp = jax.lax.dynamic_slice_in_dim(kv_pos, seq, 1, axis=0)
+        T = tokens.shape[1]
+        logits, kk, vv, pp = self._forward(params, kk, vv, pp, tokens, positions, slots)
+        kv_k = jax.lax.dynamic_update_slice_in_dim(kv_k, kk, seq, axis=1)
+        kv_v = jax.lax.dynamic_update_slice_in_dim(kv_v, vv, seq, axis=1)
+        kv_pos = jax.lax.dynamic_update_slice_in_dim(kv_pos, pp, seq, axis=0)
+        return logits[0, T - n_logits :, :], kv_k, kv_v, kv_pos
+
+    def _step_all(self, params, kv_k, kv_v, kv_pos, tokens, positions, slots):
+        """One decode token for every sequence at once. tokens: (B, 1)."""
+        logits, kv_k, kv_v, kv_pos = self._forward(
+            params, kv_k, kv_v, kv_pos, tokens, positions, slots
+        )
+        return logits[:, -1, :], kv_k, kv_v, kv_pos
+
+    # ------------------------------------------------------- decode APIs
+
+    def decode(self, tokens: np.ndarray, n_logits: int = 1, seq_id: int = 0) -> np.ndarray:
+        """Process tokens for one sequence. tokens: (T,) int.
+        Returns logits (n_logits, n_vocab)."""
         tokens = np.asarray(tokens, np.int32).reshape(1, -1)
-        B, T = tokens.shape
-        n_past = int(self.n_past[0])
+        _, T = tokens.shape
+        n_past = int(self.n_past[seq_id])
         if n_past + T > self.p.n_ctx:
             raise ValueError(
                 f"context overflow: {n_past}+{T} > n_ctx={self.p.n_ctx} "
@@ -122,30 +147,18 @@ class Context:
             )
         Tb = _bucket(T) if T > 1 else 1
         pad = Tb - T
-        S = self.p.n_ctx + 1
+        S = self._S
         toks = np.pad(tokens, ((0, 0), (0, pad)))
-        pos = np.pad(
-            np.arange(n_past, n_past + T, dtype=np.int32).reshape(1, T),
-            ((0, 0), (0, pad)),
-            constant_values=-1,
-        )
-        slots = np.pad(
-            np.arange(n_past, n_past + T, dtype=np.int32).reshape(1, T),
-            ((0, 0), (0, pad)),
-            constant_values=S - 1,  # scratch row
-        )
+        rng = np.arange(n_past, n_past + T, dtype=np.int32).reshape(1, T)
+        pos = np.pad(rng, ((0, 0), (0, pad)), constant_values=-1)
+        slots = np.pad(rng, ((0, 0), (0, pad)), constant_values=S - 1)
         t0 = time.perf_counter()
-        logits, self.kv_k, self.kv_v, self.kv_pos = self._step_fn(
-            self.model.params,
-            self.kv_k,
-            self.kv_v,
-            self.kv_pos,
-            jnp.asarray(toks),
-            jnp.asarray(pos),
-            jnp.asarray(slots),
+        logits, self.kv_k, self.kv_v, self.kv_pos = self._seq_fn(
+            self.model.params, self.kv_k, self.kv_v, self.kv_pos,
+            jnp.int32(seq_id), jnp.asarray(toks), jnp.asarray(pos), jnp.asarray(slots),
             n_logits=n_logits + pad,
         )
-        out = np.asarray(logits[0])
+        out = np.asarray(logits)
         dt = (time.perf_counter() - t0) * 1000
         if T > 1:
             self.perf.t_prefill_ms += dt
@@ -153,42 +166,75 @@ class Context:
         else:
             self.perf.t_decode_ms += dt
             self.perf.n_decode += 1
-        self.n_past[0] = n_past + T
+        self.n_past[seq_id] = n_past + T
         if pad:
-            out = out[: out.shape[0] - pad] if n_logits + pad > pad else out
-            out = out[:n_logits] if out.shape[0] > n_logits else out
+            out = out[:n_logits]
+        return out
+
+    def decode_batch(self, tokens: np.ndarray, active: np.ndarray) -> np.ndarray:
+        """One decode step for all sequences (continuous batching hot loop).
+        tokens: (B,) int32, active: (B,) bool. Returns logits (B, n_vocab);
+        inactive rows are garbage."""
+        B = self.p.n_seqs
+        S = self._S
+        tokens = np.asarray(tokens, np.int32).reshape(B, 1)
+        active = np.asarray(active, bool)
+        pos = np.where(active, self.n_past, -1).astype(np.int32).reshape(B, 1)
+        slots = np.where(active, self.n_past, S - 1).astype(np.int32).reshape(B, 1)
+        t0 = time.perf_counter()
+        logits, self.kv_k, self.kv_v, self.kv_pos = self._all_fn(
+            self.model.params, self.kv_k, self.kv_v, self.kv_pos,
+            jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(slots),
+        )
+        out = np.asarray(logits)
+        self.perf.t_decode_ms += (time.perf_counter() - t0) * 1000
+        self.perf.n_decode += int(active.sum())
+        self.n_past[active] += 1
         return out
 
     # ------------------------------------------------------- seq ops
 
-    def seq_rm(self, p0: int, p1: int):
-        """Remove positions [p0, p1) from sequence 0
-        (llama_memory_seq_rm)."""
+    def seq_rm(self, p0: int, p1: int, seq_id: int = 0):
+        """Remove positions [p0, p1) from a sequence (llama_memory_seq_rm)."""
         if p1 < 0:
             p1 = 1 << 30
-        keep = ~((self.kv_pos >= p0) & (self.kv_pos < p1))
-        self.kv_pos = jnp.where(keep, self.kv_pos, -1)
-        if p1 >= int(self.n_past[0]):
-            self.n_past[0] = min(int(self.n_past[0]), p0)
+        row = self.kv_pos[seq_id]
+        keep = ~((row >= p0) & (row < p1))
+        self.kv_pos = self.kv_pos.at[seq_id].set(jnp.where(keep, row, -1))
+        if p1 >= int(self.n_past[seq_id]):
+            self.n_past[seq_id] = min(int(self.n_past[seq_id]), p0)
 
-    def seq_add(self, p0: int, p1: int, delta: int):
+    def seq_add(self, p0: int, p1: int, delta: int, seq_id: int = 0):
         """Shift positions in [p0, p1) by delta (llama_memory_seq_add).
-        K-cache re-rotation is applied lazily at the next step via the
-        positions stored in kv_pos (rope is applied pre-cache, so shifting
-        changes only masks — exact re-rotation support lands with the
-        context-shift milestone)."""
-        rng = (self.kv_pos >= p0) & (self.kv_pos < p1)
-        self.kv_pos = jnp.where(rng, self.kv_pos + delta, self.kv_pos)
+        Masks shift immediately; exact K re-rotation (the reference's lazy
+        rope-shift graph, llama-kv-cache.cpp:606) lands with the
+        context-shift milestone."""
+        row = self.kv_pos[seq_id]
+        rng = (row >= p0) & (row < p1)
+        self.kv_pos = self.kv_pos.at[seq_id].set(jnp.where(rng, row + delta, row))
+        if p1 >= int(self.n_past[seq_id]) >= p0:
+            self.n_past[seq_id] = int(self.n_past[seq_id]) + delta
 
-    def reset(self):
-        self.kv_pos = jnp.full_like(self.kv_pos, -1)
-        self.n_past[:] = 0
+    def seq_cp(self, src: int, dst: int):
+        """Copy a sequence's cache to another slot (llama_memory_seq_cp)."""
+        self.kv_k = self.kv_k.at[:, dst].set(self.kv_k[:, src])
+        self.kv_v = self.kv_v.at[:, dst].set(self.kv_v[:, src])
+        self.kv_pos = self.kv_pos.at[dst].set(self.kv_pos[src])
+        self.n_past[dst] = self.n_past[src]
+
+    def reset(self, seq_id: int | None = None):
+        if seq_id is None:
+            self.kv_pos = jnp.full_like(self.kv_pos, -1)
+            self.n_past[:] = 0
+        else:
+            self.kv_pos = self.kv_pos.at[seq_id].set(-1)
+            self.n_past[seq_id] = 0
 
     # ------------------------------------------------------- generate
 
     def generate(self, prompt_tokens, n_predict: int = 32, sampler=None) -> list[int]:
         """Greedy/sampled generation loop (tools/main/main.cpp:685-716
-        analog)."""
+        analog), sequence 0."""
         out: list[int] = []
         logits = self.decode(np.asarray(prompt_tokens, np.int32), n_logits=1)[-1]
         for _ in range(n_predict):

@@ -1,0 +1,326 @@
+"""Continuous-batching slot engine.
+
+The reference's server loop re-built TPU-style
+(tools/server/server-context.cpp): slots own one sequence lane each in a
+shared multi-seq Context; every engine iteration
+  1. assigns queued tasks to idle slots,
+  2. advances at most one slot's prompt processing by one n_ubatch chunk
+     (per-sequence prefill program),
+  3. runs ONE batched decode step for all generating slots
+     (all-sequence decode program), samples per slot, handles stop
+     conditions and streaming.
+Prompt-cache reuse: a new task whose prompt shares a prefix with the
+slot's previous tokens keeps the common prefix (server-context.cpp
+prompt reuse; llama_memory_seq_rm for the tail).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..runtime import Context, ContextParams
+from ..runtime.sampling import SamplerChain
+
+
+class SlotState(Enum):
+    IDLE = "idle"
+    PROMPT = "processing_prompt"
+    GENERATING = "generating"
+
+
+@dataclass
+class Task:
+    prompt_tokens: list
+    n_predict: int = 128
+    sampler: SamplerChain | None = None
+    grammar: object = None
+    stop: list = field(default_factory=list)  # stop strings
+    stream_queue: Optional[queue.Queue] = None
+    id: int = 0
+    # results
+    done: threading.Event = field(default_factory=threading.Event)
+    out_tokens: list = field(default_factory=list)
+    out_text: str = ""
+    stop_reason: str = ""
+    error: str = ""
+    t_start: float = 0.0
+    t_first_token: float = 0.0
+    t_done: float = 0.0
+
+    @property
+    def ttft_ms(self) -> float:
+        return (self.t_first_token - self.t_start) * 1000 if self.t_first_token else 0.0
+
+
+@dataclass
+class Slot:
+    id: int
+    state: SlotState = SlotState.IDLE
+    task: Optional[Task] = None
+    n_prompt_done: int = 0
+    cache_tokens: list = field(default_factory=list)  # tokens in this seq's KV
+    pending_text: str = ""  # holdback buffer for stop-string matching
+    last_token: int = 0
+
+
+class ServerEngine:
+    def __init__(self, model, n_slots: int = 4, n_ctx: int = 1024, n_ubatch: int = 256,
+                 dtype=None):
+        import jax.numpy as jnp
+
+        self.model = model
+        self.vocab = model.vocab
+        cp = ContextParams(
+            n_ctx=n_ctx, n_seqs=n_slots, n_ubatch=n_ubatch,
+            dtype=dtype or jnp.float32,
+        )
+        self.ctx = Context(model, cp)
+        self.n_ubatch = n_ubatch
+        self.slots = [Slot(i) for i in range(n_slots)]
+        self.queue: "queue.Queue[Task]" = queue.Queue()
+        self._task_counter = 0
+        self._lock = threading.Lock()
+        self._stop_flag = False
+        self._thread: Optional[threading.Thread] = None
+        # metrics (server_metrics analog, server-context.cpp:416)
+        self.metrics = {
+            "n_prompt_tokens_processed": 0,
+            "n_tokens_predicted": 0,
+            "n_requests": 0,
+            "n_errors": 0,
+            "deferred": 0,
+        }
+
+    # ------------------------------------------------------------- API
+
+    def submit(self, task: Task) -> Task:
+        with self._lock:
+            self._task_counter += 1
+            task.id = self._task_counter
+        task.t_start = time.perf_counter()
+        self.metrics["n_requests"] += 1
+        self.queue.put(task)
+        return task
+
+    def start(self):
+        self._stop_flag = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop_flag = True
+        if self._thread:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    def busy(self) -> bool:
+        return any(s.state != SlotState.IDLE for s in self.slots) or not self.queue.empty()
+
+    # ------------------------------------------------------------ loop
+
+    def _loop(self):
+        while not self._stop_flag:
+            worked = self.step()
+            if not worked:
+                time.sleep(0.002)
+
+    def step(self) -> bool:
+        """One update_slots iteration. Returns True if any work happened."""
+        worked = self._assign_tasks()
+        worked = self._process_prompts() or worked
+        worked = self._decode_step() or worked
+        return worked
+
+    def _assign_tasks(self) -> bool:
+        worked = False
+        for slot in self.slots:
+            if slot.state != SlotState.IDLE:
+                continue
+            try:
+                task = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            prompt = list(task.prompt_tokens)
+            if len(prompt) >= self.ctx.p.n_ctx:
+                task.error = f"prompt too long ({len(prompt)} >= n_ctx {self.ctx.p.n_ctx})"
+                self.metrics["n_errors"] += 1
+                task.done.set()
+                if task.stream_queue is not None:
+                    task.stream_queue.put(None)
+                continue
+            # prompt-cache reuse: keep the common prefix with the previous
+            # request on this slot (server-context.cpp prompt.reuse)
+            common = 0
+            for a, b in zip(slot.cache_tokens, prompt):
+                if a != b:
+                    break
+                common += 1
+            # always recompute at least the last prompt token (to get logits)
+            common = min(common, len(prompt) - 1)
+            if common > 0:
+                self.ctx.seq_rm(common, -1, seq_id=slot.id)
+                self.ctx.n_past[slot.id] = common
+                self.ctx.perf.n_reused += common
+            else:
+                self.ctx.reset(slot.id)
+            slot.task = task
+            slot.n_prompt_done = common
+            slot.cache_tokens = prompt[:common]
+            slot.pending_text = ""
+            slot.state = SlotState.PROMPT
+            worked = True
+        return worked
+
+    def _process_prompts(self) -> bool:
+        # advance one slot's prompt by one chunk per iteration (keeps decode
+        # latency for generating slots bounded, like n_batch budgeting)
+        for slot in self.slots:
+            if slot.state != SlotState.PROMPT:
+                continue
+            task = slot.task
+            prompt = task.prompt_tokens
+            start = slot.n_prompt_done
+            chunk = prompt[start : start + self.n_ubatch]
+            logits = self.ctx.decode(
+                np.asarray(chunk, np.int32), n_logits=1, seq_id=slot.id
+            )
+            slot.n_prompt_done += len(chunk)
+            slot.cache_tokens = list(prompt[: slot.n_prompt_done])
+            self.metrics["n_prompt_tokens_processed"] += len(chunk)
+            if slot.n_prompt_done >= len(prompt):
+                tok = self._sample(slot, logits[-1])
+                if not self._emit(slot, tok):
+                    continue
+                slot.state = SlotState.GENERATING
+            return True
+        return False
+
+    def _decode_step(self) -> bool:
+        gen = [s for s in self.slots if s.state == SlotState.GENERATING]
+        if not gen:
+            return False
+        B = len(self.slots)
+        tokens = np.zeros(B, np.int32)
+        active = np.zeros(B, bool)
+        for s in gen:
+            tokens[s.id] = s.last_token
+            active[s.id] = True
+        if any(
+            int(self.ctx.n_past[s.id]) + 1 > self.ctx.p.n_ctx for s in gen
+        ):
+            for s in gen:
+                if int(self.ctx.n_past[s.id]) + 1 > self.ctx.p.n_ctx:
+                    self._finish(s, "length")
+            return True
+        logits = self.ctx.decode_batch(tokens, active)
+        for s in gen:
+            tok = self._sample(s, logits[s.id])
+            self._emit(s, tok)
+        return True
+
+    # ------------------------------------------------------- helpers
+
+    def _sample(self, slot: Slot, logits: np.ndarray) -> int:
+        task = slot.task
+        if task.grammar is not None:
+            from ..runtime.sampling import Candidates
+
+            cur = Candidates.from_logits(logits)
+            task.grammar.apply(cur)
+            if task.sampler is None:
+                i = int(np.argmax(cur.logits))
+                tok = int(cur.ids[i])
+            else:
+                # sample from grammar-masked logits via the chain
+                full = np.full_like(logits, -np.inf)
+                full[cur.ids] = cur.logits
+                tok = task.sampler.sample(full)
+            task.grammar.accept(tok)
+            return tok
+        if task.sampler is None:
+            return int(np.argmax(logits))
+        return task.sampler.sample(logits)
+
+    def _emit(self, slot: Slot, tok: int) -> bool:
+        """Record a sampled token; returns False if the slot finished."""
+        task = slot.task
+        if not task.t_first_token:
+            task.t_first_token = time.perf_counter()
+        if self.vocab.is_eog(tok):
+            self._finish(slot, "stop")
+            return False
+        task.out_tokens.append(tok)
+        slot.cache_tokens.append(tok)
+        slot.last_token = tok
+        self.metrics["n_tokens_predicted"] += 1
+        piece = self.vocab.token_to_piece(tok, special=False)
+        slot.pending_text += piece
+        # stop-string scan with holdback of possible partial matches
+        emit_now = slot.pending_text
+        for stop in task.stop:
+            idx = slot.pending_text.find(stop)
+            if idx >= 0:
+                task.out_text += slot.pending_text[:idx]
+                if task.stream_queue is not None and slot.pending_text[:idx]:
+                    task.stream_queue.put(slot.pending_text[:idx])
+                self._finish(slot, "stop", flush=False)
+                return False
+            # holdback longest suffix that is a prefix of a stop string
+            for k in range(min(len(stop) - 1, len(emit_now)), 0, -1):
+                if stop.startswith(emit_now[-k:]):
+                    emit_now = emit_now[:-k]
+                    break
+        if task.stop:
+            flush = emit_now
+            slot.pending_text = slot.pending_text[len(flush):]
+        else:
+            flush = slot.pending_text
+            slot.pending_text = ""
+        if flush:
+            task.out_text += flush
+            if task.stream_queue is not None:
+                task.stream_queue.put(flush)
+        if len(task.out_tokens) >= task.n_predict:
+            self._finish(slot, "length")
+            return False
+        return True
+
+    def _finish(self, slot: Slot, reason: str, flush: bool = True):
+        task = slot.task
+        if flush and slot.pending_text:
+            task.out_text += slot.pending_text
+            if task.stream_queue is not None:
+                task.stream_queue.put(slot.pending_text)
+        slot.pending_text = ""
+        task.stop_reason = reason
+        task.t_done = time.perf_counter()
+        task.done.set()
+        if task.stream_queue is not None:
+            task.stream_queue.put(None)  # sentinel: stream end
+        slot.task = None
+        slot.state = SlotState.IDLE
+
+    # ------------------------------------------------------- sync API
+
+    def complete(self, prompt: str, n_predict: int = 64, sampler=None, stop=None,
+                 grammar=None, timeout: float = 600.0) -> Task:
+        toks = self.vocab.tokenize(prompt, add_special=True)
+        task = Task(
+            prompt_tokens=toks, n_predict=n_predict, sampler=sampler,
+            stop=stop or [],
+        )
+        task.grammar = grammar
+        self.submit(task)
+        if self._thread is None:
+            while not task.done.is_set():
+                self.step()
+        else:
+            task.done.wait(timeout)
+        return task

@@ -1,0 +1,390 @@
+"""HTTP server: OpenAI-compatible + llama.cpp-native endpoints.
+
+Routes mirror tools/server/server.cpp:149-187:
+  GET  /health /props /metrics /slots /v1/models
+  POST /completion /v1/completions /v1/chat/completions
+  POST /tokenize /detokenize /apply-template
+
+Streaming uses SSE (data: {...}\n\n, terminated by data: [DONE]).
+Chat templating: the GGUF's tokenizer.chat_template rendered with jinja2
+(the role minja plays in the reference), with a ChatML fallback.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from ..runtime.sampling import SamplerChain
+from .engine import ServerEngine, Task
+
+CHATML_FALLBACK = (
+    "{% for message in messages %}<|im_start|>{{ message.role }}\n"
+    "{{ message.content }}<|im_end|>\n{% endfor %}"
+    "{% if add_generation_prompt %}<|im_start|>assistant\n{% endif %}"
+)
+
+
+def apply_chat_template(model, messages: list, add_generation_prompt: bool = True) -> str:
+    import jinja2
+
+    template = model.reader.kv.get("tokenizer.chat_template") or CHATML_FALLBACK
+    env = jinja2.Environment(loader=jinja2.BaseLoader())
+    try:
+        tpl = env.from_string(template)
+        return tpl.render(
+            messages=messages,
+            add_generation_prompt=add_generation_prompt,
+            bos_token="", eos_token="",
+        )
+    except jinja2.TemplateError:
+        tpl = env.from_string(CHATML_FALLBACK)
+        return tpl.render(messages=messages, add_generation_prompt=add_generation_prompt)
+
+
+def _make_sampler(body: dict) -> SamplerChain | None:
+    temp = float(body.get("temperature", 0.8))
+    if temp <= 0:
+        return None
+    return SamplerChain.std(
+        seed=int(body.get("seed", 0xFFFFFFFF)),
+        temp=temp,
+        top_k=int(body.get("top_k", 40)),
+        top_p=float(body.get("top_p", 0.95)),
+        min_p=float(body.get("min_p", 0.05)),
+        penalty_last_n=int(body.get("repeat_last_n", 64)),
+        penalty_repeat=float(body.get("repeat_penalty", 1.0)),
+        penalty_freq=float(body.get("frequency_penalty", 0.0)),
+        penalty_present=float(body.get("presence_penalty", 0.0)),
+    )
+
+
+def _make_grammar(body: dict, vocab):
+    from ..runtime.grammar import Grammar
+    from ..runtime.json_schema import json_schema_to_gbnf
+
+    g_text = body.get("grammar")
+    schema = body.get("json_schema")
+    rf = body.get("response_format")
+    if rf and rf.get("type") == "json_schema":
+        schema = rf.get("json_schema", {}).get("schema", rf.get("schema", {}))
+    elif rf and rf.get("type") == "json_object":
+        schema = {"type": "object"}
+    if schema is not None and g_text is None:
+        g_text = json_schema_to_gbnf(schema)
+    if g_text:
+        return Grammar.from_gbnf(g_text, vocab=vocab)
+    return None
+
+
+class ServerState:
+    def __init__(self, engine: ServerEngine, model_name: str = "model"):
+        self.engine = engine
+        self.model_name = model_name
+        self.t_start = time.time()
+
+
+def make_handler(state: ServerState):
+    engine = state.engine
+    vocab = engine.vocab
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        # ---- helpers ----
+        def _json(self, obj, code: int = 200):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _error(self, msg, code=400, etype="invalid_request_error"):
+            self._json({"error": {"message": msg, "type": etype, "code": code}}, code)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            if n == 0:
+                return {}
+            try:
+                return json.loads(self.rfile.read(n))
+            except json.JSONDecodeError:
+                raise ValueError("invalid JSON body")
+
+        def _sse_start(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+        def _sse(self, obj):
+            data = f"data: {json.dumps(obj)}\n\n".encode()
+            self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+
+        def _sse_done(self):
+            data = b"data: [DONE]\n\n"
+            self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+
+        # ---- GET ----
+        def do_GET(self):
+            path = self.path.split("?")[0]
+            if path == "/health":
+                self._json({"status": "ok"})
+            elif path == "/v1/models" or path == "/models":
+                self._json({
+                    "object": "list",
+                    "data": [{
+                        "id": state.model_name, "object": "model",
+                        "created": int(state.t_start), "owned_by": "tpullama",
+                    }],
+                })
+            elif path == "/props":
+                hp = engine.model.hparams
+                self._json({
+                    "model_path": state.model_name,
+                    "n_ctx": engine.ctx.p.n_ctx * engine.ctx.p.n_seqs,
+                    "n_ctx_per_seq": engine.ctx.p.n_ctx,
+                    "total_slots": len(engine.slots),
+                    "model": {"arch": hp.arch, "n_embd": hp.n_embd, "n_layer": hp.n_layer,
+                              "n_vocab": hp.n_vocab},
+                })
+            elif path == "/slots":
+                self._json([
+                    {
+                        "id": s.id, "state": s.state.value,
+                        "n_past": int(engine.ctx.n_past[s.id]),
+                        "task_id": s.task.id if s.task else None,
+                    }
+                    for s in engine.slots
+                ])
+            elif path == "/metrics":
+                # Prometheus text format (server_metrics analog)
+                m = engine.metrics
+                p = engine.ctx.perf
+                lines = [
+                    "# TYPE llamacpp:prompt_tokens_total counter",
+                    f"llamacpp:prompt_tokens_total {m['n_prompt_tokens_processed']}",
+                    "# TYPE llamacpp:tokens_predicted_total counter",
+                    f"llamacpp:tokens_predicted_total {m['n_tokens_predicted']}",
+                    "# TYPE llamacpp:requests_total counter",
+                    f"llamacpp:requests_total {m['n_requests']}",
+                    "# TYPE llamacpp:n_decode_total counter",
+                    f"llamacpp:n_decode_total {p.n_decode}",
+                    "# TYPE llamacpp:prompt_tokens_seconds gauge",
+                    f"llamacpp:prompt_tokens_seconds {p.prefill_tps():.3f}",
+                    "# TYPE llamacpp:predicted_tokens_seconds gauge",
+                    f"llamacpp:predicted_tokens_seconds {p.decode_tps():.3f}",
+                ]
+                data = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            else:
+                self._error(f"unknown endpoint {path}", 404)
+
+        # ---- POST ----
+        def do_POST(self):
+            path = self.path.split("?")[0]
+            try:
+                body = self._body()
+            except ValueError as e:
+                return self._error(str(e))
+            try:
+                if path in ("/completion", "/completions", "/v1/completions"):
+                    self._handle_completion(body, oai=path.startswith("/v1"))
+                elif path == "/v1/chat/completions":
+                    self._handle_chat(body)
+                elif path == "/tokenize":
+                    toks = vocab.tokenize(
+                        body.get("content", ""),
+                        add_special=bool(body.get("add_special", False)),
+                        parse_special=bool(body.get("parse_special", True)),
+                    )
+                    self._json({"tokens": toks})
+                elif path == "/detokenize":
+                    self._json({"content": vocab.detokenize(body.get("tokens", []))})
+                elif path == "/apply-template":
+                    text = apply_chat_template(engine.model, body.get("messages", []))
+                    self._json({"prompt": text})
+                elif path == "/embedding" or path == "/v1/embeddings":
+                    self._error("embeddings not yet implemented", 501, "not_supported_error")
+                else:
+                    self._error(f"unknown endpoint {path}", 404)
+            except BrokenPipeError:
+                pass
+            except Exception as e:  # surface as OAI-style error
+                self._error(f"{type(e).__name__}: {e}", 500, "server_error")
+
+        def _submit(self, prompt_text, body) -> tuple[Task, queue.Queue | None]:
+            stream = bool(body.get("stream", False))
+            toks = vocab.tokenize(prompt_text, add_special=True)
+            stop = body.get("stop") or []
+            if isinstance(stop, str):
+                stop = [stop]
+            task = Task(
+                prompt_tokens=toks,
+                n_predict=int(body.get("n_predict", body.get("max_tokens", 128))),
+                sampler=_make_sampler(body),
+                stop=stop,
+                stream_queue=queue.Queue() if stream else None,
+            )
+            task.grammar = _make_grammar(body, vocab)
+            engine.submit(task)
+            return task, task.stream_queue
+
+        def _handle_completion(self, body, oai: bool):
+            prompt = body.get("prompt", "")
+            task, sq = self._submit(prompt, body)
+            rid = f"cmpl-{uuid.uuid4().hex[:12]}"
+            if sq is None:
+                task.done.wait(600)
+                if task.error:
+                    return self._error(task.error)
+                if oai:
+                    self._json({
+                        "id": rid, "object": "text_completion",
+                        "created": int(time.time()), "model": state.model_name,
+                        "choices": [{"text": task.out_text, "index": 0,
+                                     "finish_reason": task.stop_reason or "stop"}],
+                        "usage": {
+                            "prompt_tokens": len(task.prompt_tokens),
+                            "completion_tokens": len(task.out_tokens),
+                            "total_tokens": len(task.prompt_tokens) + len(task.out_tokens),
+                        },
+                    })
+                else:
+                    self._json({
+                        "content": task.out_text,
+                        "tokens_predicted": len(task.out_tokens),
+                        "stop_type": task.stop_reason,
+                        "timings": {"ttft_ms": task.ttft_ms},
+                    })
+                return
+            self._sse_start()
+            while True:
+                piece = sq.get()
+                if piece is None:
+                    break
+                if oai:
+                    self._sse({
+                        "id": rid, "object": "text_completion",
+                        "choices": [{"text": piece, "index": 0, "finish_reason": None}],
+                    })
+                else:
+                    self._sse({"content": piece, "stop": False})
+            if oai:
+                self._sse({
+                    "id": rid, "object": "text_completion",
+                    "choices": [{"text": "", "index": 0,
+                                 "finish_reason": task.stop_reason or "stop"}],
+                })
+            else:
+                self._sse({"content": "", "stop": True, "stop_type": task.stop_reason})
+            self._sse_done()
+
+        def _handle_chat(self, body):
+            messages = body.get("messages", [])
+            prompt = apply_chat_template(engine.model, messages)
+            task, sq = self._submit(prompt, body)
+            rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
+            created = int(time.time())
+            if sq is None:
+                task.done.wait(600)
+                if task.error:
+                    return self._error(task.error)
+                self._json({
+                    "id": rid, "object": "chat.completion", "created": created,
+                    "model": state.model_name,
+                    "choices": [{
+                        "index": 0,
+                        "message": {"role": "assistant", "content": task.out_text},
+                        "finish_reason": task.stop_reason or "stop",
+                    }],
+                    "usage": {
+                        "prompt_tokens": len(task.prompt_tokens),
+                        "completion_tokens": len(task.out_tokens),
+                        "total_tokens": len(task.prompt_tokens) + len(task.out_tokens),
+                    },
+                })
+                return
+            self._sse_start()
+            first = True
+            while True:
+                piece = sq.get()
+                if piece is None:
+                    break
+                delta = {"content": piece}
+                if first:
+                    delta["role"] = "assistant"
+                    first = False
+                self._sse({
+                    "id": rid, "object": "chat.completion.chunk", "created": created,
+                    "choices": [{"index": 0, "delta": delta, "finish_reason": None}],
+                })
+            self._sse({
+                "id": rid, "object": "chat.completion.chunk", "created": created,
+                "choices": [{"index": 0, "delta": {},
+                             "finish_reason": task.stop_reason or "stop"}],
+            })
+            self._sse_done()
+
+    return Handler
+
+
+def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
+          n_ctx: int = 1024, model_name: str = "model", block: bool = True):
+    engine = ServerEngine(model, n_slots=n_slots, n_ctx=n_ctx)
+    engine.start()
+    state = ServerState(engine, model_name)
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    httpd.engine = engine
+    if block:
+        try:
+            httpd.serve_forever()
+        finally:
+            engine.stop()
+    else:
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+    return httpd
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="tpullama-server")
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("-c", "--ctx-size", type=int, default=2048)
+    ap.add_argument("-np", "--parallel", type=int, default=4, help="number of slots")
+    ap.add_argument("--device", default=None)
+    ap.add_argument("--dtype", default="float32")
+    args = ap.parse_args(argv)
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+    from ..models import load_model
+
+    model = load_model(args.model)
+    print(f"serving {args.model} on http://{args.host}:{args.port} "
+          f"({args.parallel} slots x {args.ctx_size} ctx)")
+    serve(model, args.host, args.port, n_slots=args.parallel, n_ctx=args.ctx_size,
+          model_name=args.model)
+
+
+if __name__ == "__main__":
+    main()
