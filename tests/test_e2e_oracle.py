@@ -140,6 +140,15 @@ def test_qwen2_matches_reference(tmp_path):
     assert run_ours(path) == run_reference(path)
 
 
+@needs_cli
+def test_gemma3_matches_reference(tmp_path):
+    """Gemma3: embd scale, QK-norm, sandwich norms, alternating SWA with
+    dual rope bases, GELU FFN."""
+    path = str(tmp_path / "g3.gguf")
+    make_tiny_llama_gguf(path, n_embd=64, n_layer=8, seed=70, arch="gemma3", n_ctx=256)
+    assert run_ours(path) == run_reference(path)
+
+
 def test_generate_deterministic(tmp_path):
     path = str(tmp_path / "tiny.gguf")
     make_tiny_llama_gguf(path, seed=5)

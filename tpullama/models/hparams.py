@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+
 ROPE_SCALING_NONE = "none"
 ROPE_SCALING_LINEAR = "linear"
 ROPE_SCALING_YARN = "yarn"
@@ -48,7 +50,11 @@ class HParams:
     final_logit_softcap: float = 0.0
     n_swa: int = 0  # sliding window size (0 = none)
     swa_layers: tuple = ()  # per-layer bool: uses sliding window
+    rope_freq_base_swa: float = 10000.0  # rope base for SWA layers (gemma3)
     use_qk_norm: bool = False
+    # arch-level behavior flags (set per arch below)
+    embd_scale: float = 0.0  # scale token embeddings (gemma: sqrt(n_embd))
+    act: str = "silu"
 
     # MoE
     n_expert: int = 0
@@ -129,6 +135,31 @@ class HParams:
             n_ff_exp=int(g("expert_feed_forward_length", 0) or 0),
             n_ff_shexp=int(g("expert_shared_feed_forward_length", 0) or 0),
         )
+
+        # per-arch specialization (llama_model::load_hparams analogs)
+        if arch in ("gemma", "gemma2", "gemma3", "gemma-embedding"):
+            hp.embd_scale = float(np.sqrt(n_embd)) if n_embd else 0.0
+            hp.act = "gelu"
+        if arch == "gemma3":
+            # SWA pattern 6: every 6th layer dense (llama-model.cpp:1261-1286)
+            hp.swa_layers = tuple(il % 6 < 5 for il in range(hp.n_layer))
+            hp.rope_freq_base_swa = 10000.0
+            if hp.n_swa == 0:
+                hp.n_swa = 1024
+            if hp.f_attention_scale == 0.0:
+                if hp.n_layer == 62:  # 27B variant
+                    hp.f_attention_scale = 1.0 / float(np.sqrt(n_embd / max(n_head, 1)))
+                else:
+                    hp.f_attention_scale = 1.0 / float(np.sqrt(n_embd_head_k))
+        elif arch == "gemma2":
+            hp.swa_layers = tuple(il % 2 < 1 for il in range(hp.n_layer))
+            hp.rope_freq_base_swa = hp.rope_freq_base
+            if hp.attn_logit_softcap == 0.0:
+                hp.attn_logit_softcap = 50.0
+            if hp.final_logit_softcap == 0.0:
+                hp.final_logit_softcap = 30.0
+            if hp.n_layer == 46 and hp.f_attention_scale == 0.0:  # 27B
+                hp.f_attention_scale = 1.0 / float(np.sqrt(n_embd / max(n_head, 1)))
 
         # rope type per arch (llama_model_rope_type, src/llama-model.cpp:7777+)
         NORM_ARCHES = {

@@ -76,12 +76,27 @@ def llama_forward(
     Dk, Dv = hp.n_embd_head_k, hp.n_embd_head_v
 
     x = jnp.take(params["tok_embd"], tokens, axis=0)  # (B,T,n_embd)
+    if hp.embd_scale:
+        # gemma scales raw token embeddings by sqrt(n_embd)
+        x = (x.astype(jnp.float32) * hp.embd_scale).astype(x.dtype)
 
     rp = rope_params(hp)
     freq_factors = params.get("rope_freqs")  # (n_rot/2,) or None
     cos, sin = rope_cache(rp, positions, freq_factors)  # (B,T,half)
     cos = cos[:, :, None, :]
     sin = sin[:, :, None, :]
+    has_swa = bool(hp.swa_layers) and any(hp.swa_layers)
+    if has_swa:
+        # SWA layers may use a different rope base (gemma3: 10k vs 1M)
+        from dataclasses import replace as _replace
+
+        rp_swa = _replace(rp, freq_base=hp.rope_freq_base_swa)
+        cos_swa, sin_swa = rope_cache(rp_swa, positions, None)
+        cos_swa = cos_swa[:, :, None, :]
+        sin_swa = sin_swa[:, :, None, :]
+        mask_full, mask_swa = attn_mask
+    else:
+        mask_full = attn_mask if not isinstance(attn_mask, tuple) else attn_mask[0]
 
     kq_scale = (
         hp.f_attention_scale if hp.f_attention_scale != 0.0 else 1.0 / (Dk**0.5)
@@ -109,8 +124,15 @@ def llama_forward(
         if "attn_q_norm" in w:
             q = rms_norm(q, w["attn_q_norm"], hp.f_norm_rms_eps)
             k = rms_norm(k, w["attn_k_norm"], hp.f_norm_rms_eps)
-        q = apply_rope(q, cos, sin, rp.mode, rp.n_dims)
-        k = apply_rope(k, cos, sin, rp.mode, rp.n_dims)
+        if has_swa:
+            is_swa = w["_is_swa"]
+            c = jnp.where(is_swa, cos_swa, cos)
+            s = jnp.where(is_swa, sin_swa, sin)
+            layer_mask = jnp.where(is_swa, mask_swa, mask_full)
+        else:
+            c, s, layer_mask = cos, sin, mask_full
+        q = apply_rope(q, c, s, rp.mode, rp.n_dims)
+        k = apply_rope(k, c, s, rp.mode, rp.n_dims)
 
         # scatter new K/V into the cache rows for this ubatch
         # (the ggml_set_rows indexed-write capability, llama-kv-cache.h:145)
@@ -121,7 +143,7 @@ def llama_forward(
             q,
             k_cache,
             v_cache,
-            mask=attn_mask,
+            mask=layer_mask,
             scale=kq_scale,
             softcap=hp.attn_logit_softcap,
         )
@@ -129,6 +151,8 @@ def llama_forward(
         att = _linear(att, w["attn_output"], lmeta.get("attn_output"))
         if "attn_output_bias" in w:
             att = att + w["attn_output_bias"]
+        if "post_attn_norm" in w:
+            att = rms_norm(att, w["post_attn_norm"], hp.f_norm_rms_eps)
         x = x + att
 
         h = rms_norm(x, w["ffn_norm"], hp.f_norm_rms_eps)
@@ -156,8 +180,14 @@ def llama_forward(
         else:
             gate = _linear(h, w["ffn_gate"], lmeta.get("ffn_gate"))
             up = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
-            act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+            gf = gate.astype(jnp.float32)
+            if hp.act == "gelu":
+                act = jax.nn.gelu(gf, approximate=True).astype(gate.dtype) * up
+            else:
+                act = jax.nn.silu(gf).astype(gate.dtype) * up
             down = _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
+        if "post_ffn_norm" in w:
+            down = rms_norm(down, w["post_ffn_norm"], hp.f_norm_rms_eps)
         x = x + down
         return (x, k_cache, v_cache), None
 
@@ -166,7 +196,11 @@ def llama_forward(
         (x, k_new, v_new), _ = layer_step((x, k_cache, v_cache), w)
         return x, (k_new, v_new)
 
-    x, (kv_k, kv_v) = jax.lax.scan(scan_body, x, (params["layers"], kv_k, kv_v))
+    layers = params["layers"]
+    if has_swa:
+        layers = dict(layers)
+        layers["_is_swa"] = jnp.asarray(hp.swa_layers)
+    x, (kv_k, kv_v) = jax.lax.scan(scan_body, x, (layers, kv_k, kv_v))
 
     x = rms_norm(x, params["output_norm"], hp.f_norm_rms_eps)
     out_w = params.get("output", params["tok_embd"])

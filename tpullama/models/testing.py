@@ -75,6 +75,10 @@ def make_tiny_llama_gguf(
     if n_expert:
         w.add_u32(f"{arch}.expert_count", n_expert)
         w.add_u32(f"{arch}.expert_used_count", n_expert_used)
+    if arch in ("gemma3", "gemma2"):
+        w.add_u32(f"{arch}.attention.sliding_window", 32)
+        w.add_u32(f"{arch}.attention.key_length", head_dim)
+        w.add_u32(f"{arch}.attention.value_length", head_dim)
     w.add_str("tokenizer.ggml.model", "llama")
     w.add_array("tokenizer.ggml.tokens", tokens)
     w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
@@ -109,6 +113,11 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.attn_q.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k.bias", (0.1 * rng.standard_normal(kv_dim)).astype(np.float32), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_v.bias", (0.1 * rng.standard_normal(kv_dim)).astype(np.float32), GGMLType.F32)
+        if arch == "gemma3":
+            w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(head_dim), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.post_ffw_norm.weight", norm_w(n_embd), GGMLType.F32)
         w.add_tensor(f"blk.{il}.ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
         if n_expert:
             w.add_tensor(f"blk.{il}.ffn_gate_inp.weight", mat(n_expert, n_embd), GGMLType.F32)

@@ -102,9 +102,14 @@ class Context:
         kv_pos = kv_pos.at[batch_idx, slots].set(positions)
         # visibility: cell occupied ∧ causal (SURVEY.md A.5 predicate)
         vis = (kv_pos[:, None, :] >= 0) & (kv_pos[:, None, :] <= positions[:, :, None])
-        if self.hp.n_swa:
-            vis = vis & (kv_pos[:, None, :] > positions[:, :, None] - self.hp.n_swa)
         mask = jnp.where(vis, jnp.float32(0), NEG_INF)[:, None, :, :]
+        if self.hp.n_swa and self.hp.swa_layers:
+            # iswa models: full mask for dense layers + windowed for SWA
+            vis_swa = vis & (kv_pos[:, None, :] > positions[:, :, None] - self.hp.n_swa)
+            mask = (mask, jnp.where(vis_swa, jnp.float32(0), NEG_INF)[:, None, :, :])
+        elif self.hp.n_swa:
+            vis = vis & (kv_pos[:, None, :] > positions[:, :, None] - self.hp.n_swa)
+            mask = jnp.where(vis, jnp.float32(0), NEG_INF)[:, None, :, :]
         logits, (kv_k, kv_v) = llama_forward(
             params, self.hp, tokens, positions, kv_k, kv_v, slots, mask,
             quant_meta=self.model.quant_meta,
