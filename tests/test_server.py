@@ -201,3 +201,14 @@ def test_metrics_and_slots(server):
 
 
 import urllib.error  # noqa: E402
+
+
+def test_embeddings(server):
+    out = _post(server, "/v1/embeddings", {"input": ["hello", "world"]})
+    assert out["object"] == "list" and len(out["data"]) == 2
+    import math
+    v = out["data"][0]["embedding"]
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-4  # normalized
+    # same input twice -> identical embedding
+    out2 = _post(server, "/v1/embeddings", {"input": "hello"})
+    assert out2["data"][0]["embedding"] == out["data"][0]["embedding"]

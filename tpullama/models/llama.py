@@ -68,6 +68,7 @@ def llama_forward(
     cache_slots,  # (B, T) int32: cache row for each new token
     attn_mask,  # (B, 1, T, S_eff) additive fp32
     quant_meta: dict | None = None,  # static; mirrors packed params
+    return_embd: bool = False,  # also return the final-norm hidden states
 ):
     """One decode/prefill step. Returns (logits, (kv_k, kv_v)) with the new
     tokens' K/V scattered into the cache at cache_slots."""
@@ -209,4 +210,6 @@ def llama_forward(
         logits = hp.final_logit_softcap * jnp.tanh(
             logits.astype(jnp.float32) / hp.final_logit_softcap
         )
+    if return_embd:
+        return logits.astype(jnp.float32), x.astype(jnp.float32), (kv_k, kv_v)
     return logits.astype(jnp.float32), (kv_k, kv_v)

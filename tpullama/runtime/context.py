@@ -37,6 +37,30 @@ from ..models.loader import LoadedModel
 NEG_INF = jnp.float32(-1e30)  # avoids NaN rows for fully-masked (padded) queries
 
 
+def _shift_k_rows(kv_k, seq, mask_cells, delta, hp):
+    """Rotate cached K of one sequence by a uniform position delta
+    (cells selected by mask_cells). kv_k: (L, B, S, Hkv, Dk).
+    Runs op-by-op (shift is infrequent — context shift / self-extend)."""
+    deltas = jnp.where(mask_cells, delta, 0)  # (S,)
+    return _rotate(kv_k, seq, deltas, hp)
+
+
+def _shift_k_rows_per_cell(kv_k, seq, deltas, hp):
+    return _rotate(kv_k, seq, deltas, hp)
+
+
+def _rotate(kv_k, seq, deltas, hp):
+    from ..models.llama import rope_params
+    from ..ops.rope import apply_rope, rope_cache
+
+    rp = rope_params(hp)
+    cos, sin = rope_cache(rp, deltas)  # (S, half)
+    k = jax.lax.dynamic_slice_in_dim(kv_k, seq, 1, axis=1)  # (L,1,S,H,D)
+    rotated = apply_rope(k, cos[None, None, :, None, :], sin[None, None, :, None, :],
+                         rp.mode, rp.n_dims).astype(kv_k.dtype)
+    return jax.lax.dynamic_update_slice_in_dim(kv_k, rotated, seq, axis=1)
+
+
 @dataclass
 class ContextParams:
     """llama_context_default_params analog (llama.h:282+; defaults per
@@ -88,7 +112,10 @@ class Context:
         self.kv_k = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k), kv_dt)
         self.kv_v = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_v), kv_dt)
         self.kv_pos = jnp.full((B, S), -1, jnp.int32)
-        self.n_past = np.zeros(B, np.int32)  # host mirror of next position
+        # host mirrors: per-cell positions (find_slot free-cell allocator,
+        # llama-kv-cache.cpp:679 analog) and next logical position
+        self._pos_host = np.full((B, S), -1, np.int32)
+        self.n_past = np.zeros(B, np.int32)
         self.perf = PerfCounters()
         self._seq_fn = jax.jit(self._step_seq, static_argnames=("n_logits",))
         self._all_fn = jax.jit(self._step_all)
@@ -110,11 +137,11 @@ class Context:
         elif self.hp.n_swa:
             vis = vis & (kv_pos[:, None, :] > positions[:, :, None] - self.hp.n_swa)
             mask = jnp.where(vis, jnp.float32(0), NEG_INF)[:, None, :, :]
-        logits, (kv_k, kv_v) = llama_forward(
+        logits, embd, (kv_k, kv_v) = llama_forward(
             params, self.hp, tokens, positions, kv_k, kv_v, slots, mask,
-            quant_meta=self.model.quant_meta,
+            quant_meta=self.model.quant_meta, return_embd=True,
         )
-        return logits, kv_k, kv_v, kv_pos
+        return logits, embd, kv_k, kv_v, kv_pos
 
     def _step_seq(self, params, kv_k, kv_v, kv_pos, seq, tokens, positions, slots, n_logits: int):
         """Prefill/decode for ONE sequence: dynamic-slice its cache lane."""
@@ -124,15 +151,15 @@ class Context:
         vv = jax.lax.dynamic_slice_in_dim(kv_v, seq, 1, axis=1)
         pp = jax.lax.dynamic_slice_in_dim(kv_pos, seq, 1, axis=0)
         T = tokens.shape[1]
-        logits, kk, vv, pp = self._forward(params, kk, vv, pp, tokens, positions, slots)
+        logits, embd, kk, vv, pp = self._forward(params, kk, vv, pp, tokens, positions, slots)
         kv_k = jax.lax.dynamic_update_slice_in_dim(kv_k, kk, seq, axis=1)
         kv_v = jax.lax.dynamic_update_slice_in_dim(kv_v, vv, seq, axis=1)
         kv_pos = jax.lax.dynamic_update_slice_in_dim(kv_pos, pp, seq, axis=0)
-        return logits[0, T - n_logits :, :], kv_k, kv_v, kv_pos
+        return logits[0, T - n_logits :, :], embd[0], kv_k, kv_v, kv_pos
 
     def _step_all(self, params, kv_k, kv_v, kv_pos, tokens, positions, slots):
         """One decode token for every sequence at once. tokens: (B, 1)."""
-        logits, kv_k, kv_v, kv_pos = self._forward(
+        logits, _, kv_k, kv_v, kv_pos = self._forward(
             params, kv_k, kv_v, kv_pos, tokens, positions, slots
         )
         return logits[:, -1, :], kv_k, kv_v, kv_pos
@@ -156,13 +183,19 @@ class Context:
         toks = np.pad(tokens, ((0, 0), (0, pad)))
         rng = np.arange(n_past, n_past + T, dtype=np.int32).reshape(1, T)
         pos = np.pad(rng, ((0, 0), (0, pad)), constant_values=-1)
-        slots = np.pad(rng, ((0, 0), (0, pad)), constant_values=S - 1)
+        free = np.nonzero(self._pos_host[seq_id, : S - 1] < 0)[0]
+        if len(free) < T:
+            raise ValueError(f"no free KV cells: need {T}, have {len(free)}")
+        srow = free[:T].astype(np.int32).reshape(1, T)
+        slots = np.pad(srow, ((0, 0), (0, pad)), constant_values=S - 1)
+        self._pos_host[seq_id, srow[0]] = rng[0]
         t0 = time.perf_counter()
-        logits, self.kv_k, self.kv_v, self.kv_pos = self._seq_fn(
+        logits, embd, self.kv_k, self.kv_v, self.kv_pos = self._seq_fn(
             self.model.params, self.kv_k, self.kv_v, self.kv_pos,
             jnp.int32(seq_id), jnp.asarray(toks), jnp.asarray(pos), jnp.asarray(slots),
             n_logits=n_logits + pad,
         )
+        self._last_embd = (embd, T)  # (T_padded, n_embd) device array
         out = np.asarray(logits)
         dt = (time.perf_counter() - t0) * 1000
         if T > 1:
@@ -185,7 +218,15 @@ class Context:
         tokens = np.asarray(tokens, np.int32).reshape(B, 1)
         active = np.asarray(active, bool)
         pos = np.where(active, self.n_past, -1).astype(np.int32).reshape(B, 1)
-        slots = np.where(active, self.n_past, S - 1).astype(np.int32).reshape(B, 1)
+        slots = np.full(B, S - 1, np.int32)
+        for b in range(B):
+            if active[b]:
+                free = np.nonzero(self._pos_host[b, : S - 1] < 0)[0]
+                if len(free) == 0:
+                    raise ValueError(f"no free KV cells for seq {b}")
+                slots[b] = free[0]
+                self._pos_host[b, free[0]] = int(self.n_past[b])
+        slots = slots.reshape(B, 1)
         t0 = time.perf_counter()
         logits, self.kv_k, self.kv_v, self.kv_pos = self._all_fn(
             self.model.params, self.kv_k, self.kv_v, self.kv_pos,
@@ -197,6 +238,30 @@ class Context:
         self.n_past[active] += 1
         return out
 
+    def embeddings(self, tokens, pooling: str = "mean", seq_id: int = 0,
+                   normalize: bool = True) -> np.ndarray:
+        """Embed a token sequence (llama_get_embeddings + pooling types
+        NONE/MEAN/CLS/LAST; common_embd_normalize).
+        Returns (n_embd,) for pooled types or (T, n_embd) for 'none'."""
+        self.reset(seq_id)
+        self.decode(np.asarray(tokens, np.int32), n_logits=1, seq_id=seq_id)
+        embd, T = self._last_embd
+        e = np.asarray(embd)[:T]
+        if pooling == "none":
+            out = e
+        elif pooling == "mean":
+            out = e.mean(axis=0)
+        elif pooling == "cls":
+            out = e[0]
+        elif pooling == "last":
+            out = e[-1]
+        else:
+            raise ValueError(f"unknown pooling {pooling!r}")
+        if normalize and pooling != "none":
+            n = np.linalg.norm(out)
+            out = out / n if n > 0 else out
+        return out
+
     # ------------------------------------------------------- seq ops
 
     def seq_rm(self, p0: int, p1: int, seq_id: int = 0):
@@ -206,33 +271,58 @@ class Context:
         row = self.kv_pos[seq_id]
         keep = ~((row >= p0) & (row < p1))
         self.kv_pos = self.kv_pos.at[seq_id].set(jnp.where(keep, row, -1))
+        h = self._pos_host[seq_id]
+        h[(h >= p0) & (h < p1)] = -1
         if p1 >= int(self.n_past[seq_id]):
             self.n_past[seq_id] = min(int(self.n_past[seq_id]), p0)
 
     def seq_add(self, p0: int, p1: int, delta: int, seq_id: int = 0):
-        """Shift positions in [p0, p1) by delta (llama_memory_seq_add).
-        Masks shift immediately; exact K re-rotation (the reference's lazy
-        rope-shift graph, llama-kv-cache.cpp:606) lands with the
-        context-shift milestone."""
+        """Shift positions in [p0, p1) by delta (llama_memory_seq_add),
+        re-rotating the cached K rows by the delta — the reference's lazy
+        rope-shift graph (llama_kv_cache::update, llama-kv-cache.cpp:606)
+        applied eagerly: R(pos+d) = R(d)·R(pos) per rope frequency."""
         row = self.kv_pos[seq_id]
         rng = (row >= p0) & (row < p1)
+        self.kv_k = _shift_k_rows(
+            self.kv_k, jnp.int32(seq_id), rng, jnp.int32(delta), self.hp
+        )
         self.kv_pos = self.kv_pos.at[seq_id].set(jnp.where(rng, row + delta, row))
+        h = self._pos_host[seq_id]
+        h[(h >= p0) & (h < p1)] += delta
         if p1 >= int(self.n_past[seq_id]) >= p0:
             self.n_past[seq_id] = int(self.n_past[seq_id]) + delta
+
+    def seq_div(self, p0: int, p1: int, d: int, seq_id: int = 0):
+        """Integer-divide positions in [p0, p1) by d (llama_memory_seq_div
+        — the self-extend / grouped-attention primitive, SURVEY.md A.10).
+        Cached K is re-rotated by (new_pos - old_pos) per cell."""
+        row = self.kv_pos[seq_id]
+        rng = (row >= p0) & (row < p1)
+        new_row = jnp.where(rng, row // d, row)
+        self.kv_k = _shift_k_rows_per_cell(
+            self.kv_k, jnp.int32(seq_id), jnp.where(rng, new_row - row, 0), self.hp
+        )
+        self.kv_pos = self.kv_pos.at[seq_id].set(new_row)
+        h = self._pos_host[seq_id]
+        sel = (h >= p0) & (h < p1)
+        h[sel] = h[sel] // d
 
     def seq_cp(self, src: int, dst: int):
         """Copy a sequence's cache to another slot (llama_memory_seq_cp)."""
         self.kv_k = self.kv_k.at[:, dst].set(self.kv_k[:, src])
         self.kv_v = self.kv_v.at[:, dst].set(self.kv_v[:, src])
         self.kv_pos = self.kv_pos.at[dst].set(self.kv_pos[src])
+        self._pos_host[dst] = self._pos_host[src]
         self.n_past[dst] = self.n_past[src]
 
     def reset(self, seq_id: int | None = None):
         if seq_id is None:
             self.kv_pos = jnp.full_like(self.kv_pos, -1)
+            self._pos_host[:] = -1
             self.n_past[:] = 0
         else:
             self.kv_pos = self.kv_pos.at[seq_id].set(-1)
+            self._pos_host[seq_id] = -1
             self.n_past[seq_id] = 0
 
     # ------------------------------------------------------- generate

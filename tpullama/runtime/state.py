@@ -77,6 +77,7 @@ def state_save(ctx, dest, tokens: list[int] | None = None) -> None:
         "kv_k": np.asarray(ctx.kv_k),
         "kv_v": np.asarray(ctx.kv_v),
         "kv_pos": np.asarray(ctx.kv_pos),
+        "pos_host": np.asarray(ctx._pos_host),
         "n_past": np.asarray(ctx.n_past),
     }
     if tokens is not None:
@@ -104,6 +105,7 @@ def state_load(ctx, src) -> list[int] | None:
     ctx.kv_k = jnp.asarray(arrays["kv_k"])
     ctx.kv_v = jnp.asarray(arrays["kv_v"])
     ctx.kv_pos = jnp.asarray(arrays["kv_pos"])
+    ctx._pos_host[:] = arrays.get("pos_host", np.asarray(arrays["kv_pos"]))
     ctx.n_past[:] = arrays["n_past"]
     toks = arrays.get("tokens")
     return list(toks) if toks is not None else None
@@ -115,6 +117,7 @@ def seq_save(ctx, seq_id: int, dest, tokens: list[int] | None = None) -> None:
         "kv_k": np.asarray(ctx.kv_k[:, seq_id]),
         "kv_v": np.asarray(ctx.kv_v[:, seq_id]),
         "kv_pos": np.asarray(ctx.kv_pos[seq_id]),
+        "pos_host": np.asarray(ctx._pos_host[seq_id]),
         "n_past": np.asarray([ctx.n_past[seq_id]]),
     }
     if tokens is not None:
@@ -141,6 +144,7 @@ def seq_load(ctx, seq_id: int, src) -> list[int] | None:
     ctx.kv_k = ctx.kv_k.at[:, seq_id].set(jnp.asarray(arrays["kv_k"]))
     ctx.kv_v = ctx.kv_v.at[:, seq_id].set(jnp.asarray(arrays["kv_v"]))
     ctx.kv_pos = ctx.kv_pos.at[seq_id].set(jnp.asarray(arrays["kv_pos"]))
+    ctx._pos_host[seq_id] = arrays.get("pos_host", np.asarray(arrays["kv_pos"]))
     ctx.n_past[seq_id] = int(arrays["n_past"][0])
     toks = arrays.get("tokens")
     return list(toks) if toks is not None else None

@@ -41,6 +41,9 @@ class Task:
     n_predict: int = 128
     sampler: SamplerChain | None = None
     grammar: object = None
+    embedding: bool = False  # embedding task: pooled hidden state, no gen
+    pooling: str = "mean"
+    embedding_out: object = None
     stop: list = field(default_factory=list)  # stop strings
     stream_queue: Optional[queue.Queue] = None
     id: int = 0
@@ -154,6 +157,21 @@ class ServerEngine:
                 task.done.set()
                 if task.stream_queue is not None:
                     task.stream_queue.put(None)
+                continue
+            if task.embedding:
+                # embedding tasks run in one shot on the slot's lane
+                try:
+                    self.ctx.reset(slot.id)
+                    task.embedding_out = self.ctx.embeddings(
+                        prompt, pooling=task.pooling, seq_id=slot.id
+                    )
+                    slot.cache_tokens = []
+                except Exception as e:  # noqa: BLE001
+                    task.error = f"{type(e).__name__}: {e}"
+                    self.metrics["n_errors"] += 1
+                task.t_done = time.perf_counter()
+                task.done.set()
+                worked = True
                 continue
             # prompt-cache reuse: keep the common prefix with the previous
             # request on this slot (server-context.cpp prompt.reuse)

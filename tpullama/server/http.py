@@ -218,14 +218,43 @@ def make_handler(state: ServerState):
                 elif path == "/apply-template":
                     text = apply_chat_template(engine.model, body.get("messages", []))
                     self._json({"prompt": text})
-                elif path == "/embedding" or path == "/v1/embeddings":
-                    self._error("embeddings not yet implemented", 501, "not_supported_error")
+                elif path in ("/embedding", "/embeddings", "/v1/embeddings"):
+                    self._handle_embeddings(body)
                 else:
                     self._error(f"unknown endpoint {path}", 404)
             except BrokenPipeError:
                 pass
             except Exception as e:  # surface as OAI-style error
                 self._error(f"{type(e).__name__}: {e}", 500, "server_error")
+
+        def _handle_embeddings(self, body):
+            inputs = body.get("input", body.get("content", ""))
+            single = isinstance(inputs, str)
+            if single:
+                inputs = [inputs]
+            data = []
+            n_prompt = 0
+            for i, text in enumerate(inputs):
+                toks = vocab.tokenize(text, add_special=True)
+                n_prompt += len(toks)
+                task = Task(prompt_tokens=toks, embedding=True,
+                            pooling=body.get("pooling", "mean"))
+                engine.submit(task)
+                if engine._thread is None:
+                    while not task.done.is_set():
+                        engine.step()
+                else:
+                    task.done.wait(600)
+                if task.error:
+                    return self._error(task.error)
+                data.append({
+                    "object": "embedding", "index": i,
+                    "embedding": [float(x) for x in task.embedding_out],
+                })
+            self._json({
+                "object": "list", "data": data, "model": state.model_name,
+                "usage": {"prompt_tokens": n_prompt, "total_tokens": n_prompt},
+            })
 
         def _submit(self, prompt_text, body) -> tuple[Task, queue.Queue | None]:
             stream = bool(body.get("stream", False))
