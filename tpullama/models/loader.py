@@ -132,7 +132,8 @@ def load_model(
     total = len(reader.tensors)
     done = 0
 
-    from ..ops.qweights import PACKED_TYPES, repack
+    from ..native import native_dequantize, native_repack
+    from ..ops.qweights import PACKED_TYPES, PlanarQuant, repack
 
     def tick():
         nonlocal done
@@ -141,7 +142,12 @@ def load_model(
             raise InterruptedError("model load cancelled by progress callback")
 
     def fetch(name: str) -> np.ndarray:
-        arr = reader.tensor_f32(name)
+        info = reader.tensors[name]
+        arr = native_dequantize(reader.tensor_raw(name), info.ggml_type, info.n_elements)
+        if arr is not None:
+            arr = arr.reshape(info.shape)
+        else:
+            arr = reader.tensor_f32(name)
         tick()
         return arr
 
@@ -156,7 +162,13 @@ def load_model(
 
     def fetch_packed(tname: str):
         info = reader.tensors[tname]
-        pq = repack(reader.tensor_raw(tname), info.ggml_type, info.shape)
+        n_rows = int(np.prod(info.shape[:-1]))
+        res = native_repack(reader.tensor_raw(tname), info.ggml_type, n_rows, info.shape[-1])
+        if res is not None:
+            fields, group = res
+            pq = PlanarQuant(info.ggml_type, (n_rows, info.shape[-1]), fields, group)
+        else:
+            pq = repack(reader.tensor_raw(tname), info.ggml_type, info.shape)
         tick()
         return pq
 
