@@ -153,3 +153,31 @@ def test_dequant_shapes():
     out = dequantize(raw, GGMLType.Q4_K, shape=(2, 256))
     assert out.shape == (2, 256)
     np.testing.assert_array_equal(out.reshape(-1), dequantize(raw, GGMLType.Q4_K))
+
+
+@needs_oracle
+@pytest.mark.parametrize("name,gt,ts", [
+    ("quantize_q4_K", GGMLType.Q4_K, 144),
+    ("quantize_q5_K", GGMLType.Q5_K, 176),
+    ("quantize_q6_K", GGMLType.Q6_K, 210),
+])
+def test_imatrix_weighted_quantize_bitexact(name, gt, ts):
+    """Weighted (imatrix) K-quant fitting must match the reference's
+    public quantize_<type>(..., imatrix) byte-exactly."""
+    import ctypes
+
+    lib = get_oracle()
+    fn = getattr(lib, name)
+    fn.restype = ctypes.c_size_t
+    rng = np.random.default_rng(5)
+    nrow, n_per_row = 4, 512
+    x = rng.normal(size=(nrow, n_per_row)).astype(np.float32)
+    imx = np.abs(rng.normal(size=n_per_row)).astype(np.float32) + 0.1
+    out = np.zeros(nrow * (n_per_row // 256) * ts, np.uint8)
+    fn(
+        x.ctypes.data_as(ctypes.c_void_p), out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(nrow), ctypes.c_int64(n_per_row),
+        imx.ctypes.data_as(ctypes.c_void_p),
+    )
+    ours = quantize(x, gt, quant_weights=imx)
+    np.testing.assert_array_equal(ours, out)

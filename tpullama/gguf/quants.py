@@ -448,19 +448,20 @@ def _seqsum_f32(a: np.ndarray) -> np.ndarray:
     return acc
 
 
-def _make_qx_quants(x: np.ndarray, nmax: int) -> tuple[np.ndarray, np.ndarray]:
-    """make_qx_quants with rmse_type=1, no qw (ggml-quants.c:699-780 region),
-    vectorized over rows of sub-blocks. x: (n_sub, n). Returns (scale, L)
-    where L already includes the +nmax offset (as in the C code)."""
+def _make_qx_quants(x: np.ndarray, nmax: int, qw: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """make_qx_quants with rmse_type=1 (ggml-quants.c:699-780 region),
+    vectorized over rows of sub-blocks. x: (n_sub, n); qw: optional
+    importance weights (imatrix). Returns (scale, L) where L already
+    includes the +nmax offset (as in the C code)."""
     n_sub, n = x.shape
     amax = np.abs(x).max(axis=1)
     maxi = np.argmax(np.abs(x), axis=1)
     mx = x[np.arange(n_sub), maxi]
     zero = amax < 1e-15  # GROUP_MAX_EPS
     iscale = np.where(mx != 0, -nmax / np.where(mx == 0, 1, mx), 0.0)
-    # rmse_type 1: weighted fit w = x^2 (all f32, matching C accumulation)
+    # rmse_type 1: weighted fit w = qw or x^2 (f32, matching C accumulation)
     L = np.clip(_nearest_int(iscale[:, None].astype(np.float32) * x), -nmax, nmax - 1)
-    w = (x * x).astype(np.float32)
+    w = (qw.astype(np.float32) if qw is not None else (x * x)).astype(np.float32)
     Lf = L.astype(np.float32)
     sumlx = _seqsum_f32(w * x * Lf)
     suml2 = _seqsum_f32(w * Lf * Lf)
@@ -539,6 +540,68 @@ def _make_qkx2_quants(
     scale = np.where(flat, 0.0, scale)
     L = np.where(flat[:, None], 0, L)
     return scale.astype(np.float32), (-cur_min).astype(np.float32), L.astype(np.int32)
+
+
+def _make_qp_quants(x: np.ndarray, nmax: int, sw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """make_qp_quants (ggml-quants.c): weighted non-negative fit of
+    per-sub-block scale values to an n-bit grid with coordinate
+    refinement. Vectorized over super-blocks; x: (nb, n) >= 0, sw: (nb, n)
+    weights. Returns (scale, L)."""
+    x = x.astype(np.float32)
+    sw = sw.astype(np.float32)
+    nb, n = x.shape
+    mx = x.max(axis=1)
+    zero = mx < 1e-15  # GROUP_MAX_EPS
+    mxs = np.where(zero, 1, mx).astype(np.float32)
+    iscale = (np.float32(nmax) / mxs).astype(np.float32)
+    L0 = _nearest_int(iscale[:, None] * x)
+    scale0 = (1.0 / iscale).astype(np.float32)
+    diff = x - scale0[:, None] * L0.astype(np.float32)
+    best_mse = _seqsum_f32(sw * diff * diff)
+    best_iscale = iscale
+    for is_ in range(-4, 5):
+        if is_ == 0:
+            continue
+        isc = (np.float32(0.1 * is_ + nmax) / mxs).astype(np.float32)
+        sc = (1.0 / isc).astype(np.float32)
+        Lc = np.minimum(nmax, _nearest_int(isc[:, None] * x))
+        diff = x - sc[:, None] * Lc.astype(np.float32)
+        mse = _seqsum_f32(sw * diff * diff)
+        better = mse < best_mse
+        best_mse = np.where(better, mse, best_mse)
+        best_iscale = np.where(better, isc, best_iscale)
+    L = np.minimum(nmax, _nearest_int(best_iscale[:, None] * x)).astype(np.int32)
+    Lf = L.astype(np.float32)
+    sumlx = _seqsum_f32(sw * x * Lf)
+    suml2 = _seqsum_f32(sw * Lf * Lf)
+    for _ in range(5):
+        n_changed = np.zeros(nb, bool)
+        for i in range(n):
+            w = sw[:, i]
+            Li = L[:, i].astype(np.float32)
+            slx = sumlx - w * x[:, i] * Li
+            sl2 = suml2 - w * Li * Li
+            ok = (slx > 0) & (sl2 > 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                new_l = np.minimum(
+                    nmax, _nearest_int(x[:, i] * sl2 / np.where(slx == 0, 1, slx))
+                )
+            changed = ok & (new_l != L[:, i])
+            nlf = new_l.astype(np.float32)
+            slx2 = slx + w * x[:, i] * nlf
+            sl22 = sl2 + w * nlf * nlf
+            accept = changed & (slx2 * slx2 * suml2 > sumlx * sumlx * sl22)
+            L[:, i] = np.where(accept, new_l, L[:, i])
+            sumlx = np.where(accept, slx2, sumlx)
+            suml2 = np.where(accept, sl22, suml2)
+            n_changed |= accept
+        if not n_changed.any():
+            break
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out_scale = np.where(suml2 > 0, sumlx / np.where(suml2 == 0, 1, suml2), 0.0)
+    out_scale = np.where(zero, 0.0, out_scale).astype(np.float32)
+    L = np.where(zero[:, None], 0, L)
+    return out_scale, np.clip(L, 0, nmax).astype(np.int32)
 
 
 def _pack_k_scales(scales, mins, max_scale, max_min):
@@ -685,6 +748,117 @@ def quant_q6_k(x: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+
+
+def _quant_q45_k_weighted(x: np.ndarray, qw: np.ndarray, five: bool) -> np.ndarray:
+    """quantize_row_q{4,5}_K_impl with quant_weights (imatrix):
+    weights = qw * sqrt(sigma2 + x^2); qkx3 search (-0.9, 0.05, 36);
+    super-block scale/min fitted by make_qp_quants with sw = sub-block
+    weight sums."""
+    nmax = 31 if five else 15
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK_K)
+    qw = np.ascontiguousarray(qw, dtype=np.float32).reshape(-1, QK_K)
+    if qw.shape[0] == 1 and x.shape[0] != 1:
+        qw = np.broadcast_to(qw, x.shape)
+    nb = x.shape[0]
+    sub = x.reshape(nb, 8, 32)
+    sum_x2 = _seqsum_f32((x * x).reshape(-1, QK_K)).reshape(nb)
+    sigma2 = 2.0 * sum_x2 / QK_K
+    weights = (qw.reshape(nb, 8, 32)
+               * np.sqrt(sigma2[:, None, None] + sub * sub)).astype(np.float32)
+    sw = _seqsum_f32(weights.reshape(-1, 32)).reshape(nb, 8)
+    scales, mins, L = _make_qkx2_quants(
+        sub.reshape(-1, 32), weights.reshape(-1, 32), nmax, -0.9, 0.05, 36, False
+    )
+    scales = scales.reshape(nb, 8)
+    mins = mins.reshape(nb, 8)
+    L = L.reshape(nb, 8, 32)
+    d_block, Ls = _make_qp_quants(scales, 63, sw)
+    m_block, Lm = _make_qp_quants(mins, 63, sw)
+    ls = Ls.astype(np.uint8)
+    lm = Lm.astype(np.uint8)
+    d = d_block.astype("<f2")
+    dmin = m_block.astype("<f2")
+    sc_b = np.empty((nb, 12), dtype=np.uint8)
+    sc_b[:, 0:4] = (ls[:, 0:4] & 63) | ((ls[:, 4:8] >> 4) << 6)
+    sc_b[:, 4:8] = (lm[:, 0:4] & 63) | ((lm[:, 4:8] >> 4) << 6)
+    sc_b[:, 8:12] = (ls[:, 4:8] & 0x0F) | ((lm[:, 4:8] & 0x0F) << 4)
+    d_f = d.astype(np.float32)
+    dmin_f = dmin.astype(np.float32)
+    dl = d_f[:, None] * ls.astype(np.float32)
+    ml = dmin_f[:, None] * lm.astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Lq = _nearest_int((sub + ml[:, :, None]) / np.where(dl == 0, 1, dl)[:, :, None])
+    Lq = np.where((dl != 0)[:, :, None], np.clip(Lq, 0, nmax), L).astype(np.uint8)
+    pair = Lq.reshape(nb, 4, 2, 32)
+    if five:
+        qs = ((pair[:, :, 0] & 0x0F) | ((pair[:, :, 1] & 0x0F) << 4)).reshape(nb, 128)
+        j64 = np.arange(4)
+        qh = (
+            ((pair[:, :, 0] >> 4).astype(np.uint8) << (2 * j64)[None, :, None]).sum(axis=1)
+            | ((pair[:, :, 1] >> 4).astype(np.uint8) << (2 * j64 + 1)[None, :, None]).sum(axis=1)
+        ).astype(np.uint8)
+        out = np.empty((nb, 176), dtype=np.uint8)
+        out[:, 0:2] = d.view(np.uint8).reshape(-1, 2)
+        out[:, 2:4] = dmin.view(np.uint8).reshape(-1, 2)
+        out[:, 4:16] = sc_b
+        out[:, 16:48] = qh
+        out[:, 48:] = qs
+    else:
+        qs = (pair[:, :, 0] | (pair[:, :, 1] << 4)).reshape(nb, 128)
+        out = np.empty((nb, 144), dtype=np.uint8)
+        out[:, 0:2] = d.view(np.uint8).reshape(-1, 2)
+        out[:, 2:4] = dmin.view(np.uint8).reshape(-1, 2)
+        out[:, 4:16] = sc_b
+        out[:, 16:] = qs
+    return out.reshape(-1)
+
+
+def _quant_q6_k_weighted(x: np.ndarray, qw: np.ndarray) -> np.ndarray:
+    """quantize_row_q6_K_impl with quant_weights: make_qx_quants gets the
+    raw imatrix weights per 16-group."""
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, QK_K)
+    qw = np.ascontiguousarray(qw, dtype=np.float32).reshape(-1, QK_K)
+    if qw.shape[0] == 1 and x.shape[0] != 1:
+        qw = np.broadcast_to(qw, x.shape)
+    nb = x.shape[0]
+    sub = x.reshape(nb, 16, 16)
+    scales, L = _make_qx_quants(sub.reshape(-1, 16), 32, qw.reshape(-1, 16))
+    scales = scales.reshape(nb, 16)
+    L = L.reshape(nb, 16, 16)
+    amax_sc = np.abs(scales).max(axis=1)
+    maxi = np.argmax(np.abs(scales), axis=1)
+    max_sc = scales[np.arange(nb), maxi]
+    zero = amax_sc < 1e-15
+    iscale = np.where(zero, 0.0, np.float32(-128.0) / np.where(max_sc == 0, 1, max_sc)).astype(np.float32)
+    d16 = np.where(zero, 0.0, 1.0 / np.where(iscale == 0, 1, iscale)).astype("<f2")
+    sc8 = np.minimum(127, _nearest_int(iscale[:, None] * scales)).astype(np.int8)
+    sc8 = np.where(zero[:, None], 0, sc8).astype(np.int8)
+    d_f = d16.astype(np.float32)
+    dl = d_f[:, None] * sc8.astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Lq = _nearest_int(sub / np.where(dl == 0, 1, dl)[:, :, None])
+    Lq = np.where((dl != 0)[:, :, None], np.clip(Lq, -32, 31) + 32, L.reshape(nb, 16, 16))
+    Lq = np.where(zero[:, None, None], 0, Lq)
+    Lq = Lq.astype(np.uint8).reshape(nb, 2, 128)
+    Lh = Lq.reshape(nb, 2, 4, 32)
+    ql = np.empty((nb, 2, 64), dtype=np.uint8)
+    ql[:, :, 0:32] = (Lh[:, :, 0] & 0x0F) | ((Lh[:, :, 2] & 0x0F) << 4)
+    ql[:, :, 32:64] = (Lh[:, :, 1] & 0x0F) | ((Lh[:, :, 3] & 0x0F) << 4)
+    qh = (
+        (Lh[:, :, 0] >> 4)
+        | ((Lh[:, :, 1] >> 4) << 2)
+        | ((Lh[:, :, 2] >> 4) << 4)
+        | ((Lh[:, :, 3] >> 4) << 6)
+    ).astype(np.uint8)
+    out = np.empty((nb, 210), dtype=np.uint8)
+    out[:, 0:128] = ql.reshape(nb, 128)
+    out[:, 128:192] = qh.reshape(nb, 64)
+    out[:, 192:208] = sc8.view(np.uint8)
+    out[:, 208:210] = d16.view(np.uint8).reshape(-1, 2)
+    return out.reshape(-1)
+
+
 QUANT_FNS = {
     GGMLType.F32: quant_f32,
     GGMLType.F16: quant_f16,
@@ -701,14 +875,32 @@ QUANT_FNS = {
 }
 
 
-def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
-    """Quantize a float32 array to raw block bytes (uint8)."""
-    fn = QUANT_FNS.get(ggml_type)
-    if fn is None:
-        raise NotImplementedError(f"quantize: {ggml_type.name}")
+def quantize(x: np.ndarray, ggml_type: GGMLType, quant_weights: np.ndarray | None = None) -> np.ndarray:
+    """Quantize a float32 array to raw block bytes (uint8).
+
+    quant_weights: optional per-column importance weights (imatrix) of
+    shape (n_per_row,); used by the K-quant weighted fitting
+    (quantize_row_*_impl semantics)."""
     t = GGML_TYPE_TRAITS[ggml_type]
     if x.shape[-1] % t.block_size != 0:
         raise ValueError(
             f"{ggml_type.name}: row length {x.shape[-1]} not a multiple of {t.block_size}"
         )
+    if quant_weights is not None:
+        n_per_row = x.shape[-1]
+        rows = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, n_per_row)
+        qw = np.broadcast_to(
+            np.asarray(quant_weights, np.float32).reshape(1, n_per_row), rows.shape
+        )
+        if ggml_type == GGMLType.Q4_K:
+            return _quant_q45_k_weighted(rows, qw, five=False)
+        if ggml_type == GGMLType.Q5_K:
+            return _quant_q45_k_weighted(rows, qw, five=True)
+        if ggml_type == GGMLType.Q6_K:
+            return _quant_q6_k_weighted(rows, qw)
+        # other types ignore the weights (matching the reference's
+        # unweighted fallbacks)
+    fn = QUANT_FNS.get(ggml_type)
+    if fn is None:
+        raise NotImplementedError(f"quantize: {ggml_type.name}")
     return fn(np.ascontiguousarray(x, dtype=np.float32).reshape(-1))

@@ -69,6 +69,7 @@ def llama_forward(
     attn_mask,  # (B, 1, T, S_eff) additive fp32
     quant_meta: dict | None = None,  # static; mirrors packed params
     return_embd: bool = False,  # also return the final-norm hidden states
+    collect_imatrix: bool = False,  # also return per-layer activation sums
 ):
     """One decode/prefill step. Returns (logits, (kv_k, kv_v)) with the new
     tokens' K/V scattered into the cache at cache_slots."""
@@ -112,6 +113,7 @@ def llama_forward(
         w = layer
 
         h = rms_norm(x, w["attn_norm"], hp.f_norm_rms_eps)
+        h_attn = h
         q = _linear(h, w["attn_q"], lmeta.get("attn_q"))
         k = _linear(h, w["attn_k"], lmeta.get("attn_k"))
         v = _linear(h, w["attn_v"], lmeta.get("attn_v"))
@@ -149,6 +151,7 @@ def llama_forward(
             softcap=hp.attn_logit_softcap,
         )
         att = att.reshape(B, T, Hq * Dv)
+        att_in = att
         att = _linear(att, w["attn_output"], lmeta.get("attn_output"))
         if "attn_output_bias" in w:
             att = att + w["attn_output_bias"]
@@ -157,6 +160,7 @@ def llama_forward(
         x = x + att
 
         h = rms_norm(x, w["ffn_norm"], hp.f_norm_rms_eps)
+        act_saved = None
         if "ffn_gate_inp" in w:
             # MoE branch (src/models/llama.cpp:110-128: SILU, norm_w=true,
             # softmax gating)
@@ -186,22 +190,42 @@ def llama_forward(
                 act = jax.nn.gelu(gf, approximate=True).astype(gate.dtype) * up
             else:
                 act = jax.nn.silu(gf).astype(gate.dtype) * up
+            act_saved = act
             down = _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
         if "post_ffn_norm" in w:
             down = rms_norm(down, w["post_ffn_norm"], hp.f_norm_rms_eps)
         x = x + down
-        return (x, k_cache, v_cache), None
+        stats = None
+        if collect_imatrix:
+            # sum of squared activations per input column for each matmul
+            # (the cb_eval statistic of tools/imatrix)
+            def ss(a):
+                return jnp.sum(a.astype(jnp.float32) ** 2, axis=(0, 1))
+
+            stats = {
+                "attn_in": ss(h_attn),
+                "attn_out_in": ss(att_in),
+                "ffn_in": ss(h),
+            }
+            if act_saved is not None:
+                stats["ffn_down_in"] = ss(act_saved)
+        return (x, k_cache, v_cache), stats
 
     def scan_body(x, per_layer):
         w, k_cache, v_cache = per_layer
-        (x, k_new, v_new), _ = layer_step((x, k_cache, v_cache), w)
-        return x, (k_new, v_new)
+        (x, k_new, v_new), stats = layer_step((x, k_cache, v_cache), w)
+        return x, ((k_new, v_new), stats) if collect_imatrix else (k_new, v_new)
 
     layers = params["layers"]
     if has_swa:
         layers = dict(layers)
         layers["_is_swa"] = jnp.asarray(hp.swa_layers)
-    x, (kv_k, kv_v) = jax.lax.scan(scan_body, x, (layers, kv_k, kv_v))
+    if collect_imatrix:
+        x, ((kv_k, kv_v), imatrix_stats) = jax.lax.scan(
+            scan_body, x, (layers, kv_k, kv_v)
+        )
+    else:
+        x, (kv_k, kv_v) = jax.lax.scan(scan_body, x, (layers, kv_k, kv_v))
 
     x = rms_norm(x, params["output_norm"], hp.f_norm_rms_eps)
     out_w = params.get("output", params["tok_embd"])
@@ -210,6 +234,10 @@ def llama_forward(
         logits = hp.final_logit_softcap * jnp.tanh(
             logits.astype(jnp.float32) / hp.final_logit_softcap
         )
+    if collect_imatrix:
+        imatrix_stats = dict(imatrix_stats or {})
+        imatrix_stats["output_in"] = jnp.sum(x.astype(jnp.float32) ** 2, axis=(0, 1))
+        return logits.astype(jnp.float32), imatrix_stats, (kv_k, kv_v)
     if return_embd:
         return logits.astype(jnp.float32), x.astype(jnp.float32), (kv_k, kv_v)
     return logits.astype(jnp.float32), (kv_k, kv_v)

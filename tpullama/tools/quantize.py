@@ -100,8 +100,13 @@ def quantize_model(
     dst,
     ftype: str,
     overrides: list[tuple[str, GGMLType]] | None = None,
+    imatrix: dict | str | None = None,
     verbose: bool = True,
 ) -> dict:
+    if isinstance(imatrix, str):
+        from .imatrix import load_imatrix
+
+        imatrix = load_imatrix(imatrix)
     if ftype not in FTYPES:
         raise ValueError(f"unknown ftype {ftype!r}; choose from {sorted(FTYPES)}")
     r = GGUFReader(src)
@@ -126,7 +131,8 @@ def quantize_model(
             w.add_tensor(name, np.empty(info.shape), ggml_type=tt, raw=raw)
         else:
             data = r.tensor_f32(name)
-            raw = quantize(data, tt)
+            qw = (imatrix or {}).get(name)
+            raw = quantize(data, tt, quant_weights=qw)
             w.add_tensor(name, np.empty(info.shape), ggml_type=tt, raw=raw)
         out_b = w._tensors[-1][3]
         stats["in_bytes"] += info.nbytes
@@ -159,12 +165,14 @@ def main(argv=None) -> int:
         "--tensor-type", action="append", default=[],
         help="per-tensor override REGEX=TYPE (e.g. 'ffn_down=Q6_K')",
     )
+    ap.add_argument("--imatrix", default=None, help="imatrix file for weighted quantization")
     args = ap.parse_args(argv)
     overrides = []
     for ov in args.tensor_type:
         pat, _, tname = ov.partition("=")
         overrides.append((pat, GGMLType[tname]))
-    quantize_model(args.input, args.output, args.ftype.upper(), overrides)
+    quantize_model(args.input, args.output, args.ftype.upper(), overrides,
+                   imatrix=args.imatrix)
     return 0
 
 
