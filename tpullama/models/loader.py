@@ -94,6 +94,54 @@ def _progress_noop(frac: float) -> bool:
     return True
 
 
+class _MultiReader:
+    """Union view over split GGUF shards (tools/gguf-split layout): kv
+    from shard 0, tensors from all shards."""
+
+    def __init__(self, readers):
+        self.readers = readers
+        self.kv = readers[0].kv
+        self.tensors = {}
+        self._where = {}
+        for r in readers:
+            for name, info in r.tensors.items():
+                self.tensors[name] = info
+                self._where[name] = r
+        self.alignment = readers[0].alignment
+
+    def tensor_raw(self, name):
+        return self._where[name].tensor_raw(name)
+
+    def tensor_f32(self, name):
+        return self._where[name].tensor_f32(name)
+
+
+def load_model_from_splits(sources: list, **kw):
+    """Load from an explicit list of shard paths/buffers
+    (llama_model_load_from_splits analog, src/llama.cpp:351)."""
+    readers = [GGUFReader(s) for s in sources]
+    return load_model(_MultiReader(readers), **kw)
+
+
+def load_model_from_split_futures(
+    keys: list[str], context: str, registry=None, timeout: float | None = None, **kw
+):
+    """Async split-future loading (the fork's
+    llama_model_load_from_split_futures, src/llama.cpp:361): blocks on
+    each split's future as its bytes are fulfilled from another thread
+    via tpullama.gguf.fulfill_split_future."""
+    from ..gguf.stream import GLOBAL_REGISTRY
+
+    reg = registry or GLOBAL_REGISTRY
+    readers = []
+    for key in keys:
+        fut = reg.register(key, context)
+        data = fut.extract(timeout=timeout)
+        readers.append(GGUFReader(data))
+    reg.release_context(context)
+    return load_model(_MultiReader(readers), **kw)
+
+
 def load_model(
     source: Source,
     dtype=jnp.float32,
@@ -111,7 +159,19 @@ def load_model(
 
     `progress_callback(frac)` returning False cancels the load (the
     reference's llama_progress_callback cancel semantics, llama.h:298)."""
-    reader = GGUFReader(source)
+    if isinstance(source, _MultiReader):
+        reader = source
+    else:
+        reader = GGUFReader(source)
+        if int(reader.kv.get("split.count", 0) or 0) > 1 and isinstance(source, (str,)):
+            # first shard of a split model: open the siblings
+            from ..tools.gguf_split import shard_paths_from_first
+
+            return load_model_from_splits(
+                shard_paths_from_first(source), dtype=dtype, device=device,
+                progress_callback=progress_callback, load_vocab=load_vocab,
+                packed=packed,
+            )
     hp = HParams.from_gguf(reader)
 
     layer_names: dict[int, dict[str, str]] = {}
