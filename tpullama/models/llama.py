@@ -220,12 +220,15 @@ def llama_forward(
     if has_swa:
         layers = dict(layers)
         layers["_is_swa"] = jnp.asarray(hp.swa_layers)
+    import os
+
+    unroll = int(os.environ.get("TPULLAMA_SCAN_UNROLL", 1))
     if collect_imatrix:
         x, ((kv_k, kv_v), imatrix_stats) = jax.lax.scan(
-            scan_body, x, (layers, kv_k, kv_v)
+            scan_body, x, (layers, kv_k, kv_v), unroll=unroll
         )
     else:
-        x, (kv_k, kv_v) = jax.lax.scan(scan_body, x, (layers, kv_k, kv_v))
+        x, (kv_k, kv_v) = jax.lax.scan(scan_body, x, (layers, kv_k, kv_v), unroll=unroll)
 
     x = rms_norm(x, params["output_norm"], hp.f_norm_rms_eps)
     out_w = params.get("output", params["tok_embd"])

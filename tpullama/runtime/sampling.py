@@ -352,6 +352,166 @@ class MirostatV2(Sampler):
         return idx
 
 
+class MirostatV1(Sampler):
+    """llama_sampler_init_mirostat (v1): surprise-targeting with estimated
+    Zipf exponent (llama-sampling.cpp:1325+)."""
+
+    name = "mirostat"
+
+    def __init__(self, n_vocab: int, seed: int = DEFAULT_SEED, tau: float = 5.0,
+                 eta: float = 0.1, m: int = 100):
+        self.n_vocab, self.seed, self.tau, self.eta, self.m = n_vocab, seed, tau, eta, m
+        self.reset()
+
+    def reset(self):
+        self.mu = 2.0 * self.tau
+        seed = self.seed if self.seed != DEFAULT_SEED else np.random.SeedSequence().entropy
+        self.rng = np.random.default_rng(seed)
+
+    def apply(self, cur: Candidates):
+        cur.softmax(do_sort=True)
+        n = len(cur.ids)
+        m = min(self.m, n - 1)
+        if m < 2:
+            return 0
+        # estimate s_hat (Zipf exponent) from the top-m probabilities
+        ti = np.log(np.arange(2, m + 1) / np.arange(1, m))
+        b = np.log(cur.probs[: m - 1] / np.clip(cur.probs[1:m], 1e-30, None))
+        s_hat = float((ti * b).sum() / (ti * ti).sum())
+        eps = s_hat - 1.0
+        k = ((eps * (2.0 ** self.mu)) / (1.0 - float(self.n_vocab) ** -eps)) ** (
+            1.0 / s_hat
+        )
+        k = int(np.clip(np.round(k), 1, n))
+        cur.keep(slice(0, k))
+        cur.softmax(do_sort=True)
+        idx = int(self.rng.choice(len(cur.ids), p=cur.probs / cur.probs.sum()))
+        observed = -np.log2(max(float(cur.probs[idx]), 1e-30))
+        self.mu -= self.eta * (observed - self.tau)
+        return idx
+
+
+class Dry(Sampler):
+    """DRY repetition penalty (llama_sampler_init_dry semantics:
+    Z-algorithm suffix-repeat detection, restart sequences, penalty =
+    multiplier * base^(repeat_len - allowed_length))."""
+
+    name = "dry"
+
+    def __init__(self, vocab=None, multiplier: float = 0.0, base: float = 1.75,
+                 allowed_length: int = 2, penalty_last_n: int = -1,
+                 sequence_breakers=("\n", ":", '"', "*"), total_context: int = 4096):
+        self.multiplier = multiplier
+        self.base = base
+        self.allowed_length = allowed_length
+        self.penalty_last_n = penalty_last_n
+        self.total_context = total_context
+        self.last: list[int] = []
+        # breaker sequences: {head_token: [tail tuples]}
+        self.breakers: dict[int, list[tuple[int, ...]]] = {}
+        if vocab is not None:
+            for s in sequence_breakers:
+                toks = vocab.tokenize(s, add_special=False, parse_special=False)
+                # drop a leading space-prefix artifact token if present
+                if len(toks) > 1 and vocab.token_to_piece(toks[0], special=False).strip() == "":
+                    toks = toks[1:]
+                if not toks:
+                    continue
+                head, tail = toks[0], tuple(toks[1:10])
+                self.breakers.setdefault(head, []).append(tail)
+
+    def reset(self):
+        self.last.clear()
+
+    def accept(self, token: int):
+        self.last.append(token)
+        cap = self.total_context if self.penalty_last_n < 0 else self.penalty_last_n
+        if len(self.last) > cap:
+            del self.last[: len(self.last) - cap]
+
+    def apply(self, cur: Candidates):
+        if self.multiplier == 0.0 or self.base < 1.0 or self.penalty_last_n == 0:
+            return None
+        eff_n = self.total_context if self.penalty_last_n < 0 else max(self.penalty_last_n, 0)
+        n = min(len(self.last), eff_n, self.total_context)
+        if n <= self.allowed_length:
+            return None
+        toks = self.last[-n:]
+
+        def rat(i):  # i tokens from the end
+            return toks[n - 1 - i]
+
+        # step 1: restart sequences limit the repeat window
+        rep_limit = n
+        for i in range(n):
+            tails = self.breakers.get(rat(i))
+            if tails is None:
+                continue
+            longest = -1
+            for tail in tails:
+                sl = len(tail)
+                if sl > longest and sl <= i:
+                    if all(tail[o] == rat(i - o - 1) for o in range(sl)):
+                        longest = sl
+            if longest >= 0:
+                rep_limit = i - longest
+                break
+        if rep_limit < self.allowed_length:
+            return None
+
+        # step 2: reverse Z-algorithm suffix-repeat lengths
+        repeat = [0] * n
+        last = n - 1
+        lt = rt = 0
+        for k in range(1, n):
+            if k > rt:
+                m = 0
+                while m + k < n and rat(m) == rat(m + k):
+                    m += 1
+                repeat[last - k] = min(m, rep_limit)
+                if m > 0:
+                    lt, rt = k, k + m - 1
+            else:
+                p = k - lt
+                right = rt - k + 1
+                if repeat[last - p] < right:
+                    repeat[last - k] = min(repeat[last - p], rep_limit)
+                else:
+                    i = rt + 1
+                    while i < n and rat(i) == rat(i - k):
+                        i += 1
+                    repeat[last - k] = min(i - k, rep_limit)
+                    lt, rt = k, i - 1
+
+        # step 3: max repeat length per continuation token
+        max_rep: dict[int, int] = {}
+        for i in range(n - 1):
+            rl = repeat[i]
+            if rl >= self.allowed_length:
+                tok = rat(n - 2 - i)
+                if max_rep.get(tok, 0) < rl:
+                    max_rep[tok] = rl
+        if not max_rep:
+            return None
+
+        # step 4: penalties
+        max_exp = 88.7228391 / np.log(self.base) if self.base > 1.000001 else 0
+        id_pos = {int(t): i for i, t in enumerate(cur.ids)}
+        for tok, rl in max_rep.items():
+            tails = self.breakers.get(tok)
+            if tails is not None and any(len(t) == 0 for t in tails):
+                continue  # single-token breakers are never penalized
+            i = id_pos.get(tok)
+            if i is None:
+                continue
+            exponent = rl - self.allowed_length
+            if max_exp and exponent > max_exp:
+                exponent = max_exp
+            cur.logits[i] -= self.multiplier * (self.base ** exponent)
+        cur.sorted = False
+        return None
+
+
 class SamplerChain:
     """llama_sampler_chain analog; also the common_sampler convenience
     constructor (common/sampling.cpp std chain order: penalties → top-k →
