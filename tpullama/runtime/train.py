@@ -1,0 +1,132 @@
+"""Training / finetuning hooks.
+
+The analog of the reference's opt stack (ggml/src/ggml-opt.cpp +
+llama_opt_init / llama_opt_epoch, include/llama.h:1422-1431), built the
+TPU way: the functional forward differentiates directly with jax.grad
+and optimizers come from optax (AdamW & SGD, matching the reference's
+two step ops, ggml.h:561-562). Dataset batching mirrors ggml_opt_dataset
+(sliding windows of n_ctx tokens with shift-by-one labels; train/eval
+split by fraction).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import llama_forward
+
+
+@dataclass
+class OptParams:
+    """llama_opt_params analog."""
+
+    n_ctx: int = 128
+    n_batch: int = 4
+    lr: float = 1e-4
+    optimizer: str = "adamw"  # or "sgd"
+    weight_decay: float = 0.0
+    val_split: float = 0.05
+    param_filter: str | None = None  # regex on param path; None = all
+
+
+def make_dataset(tokens: list[int], n_ctx: int, stride: int | None = None):
+    """Sliding windows of n_ctx+1 tokens (ggml_opt_dataset semantics)."""
+    stride = stride or n_ctx
+    toks = np.asarray(tokens, np.int32)
+    windows = []
+    for start in range(0, len(toks) - n_ctx - 1 + 1, stride):
+        windows.append(toks[start : start + n_ctx + 1])
+    if not windows:
+        raise ValueError(f"dataset too small: {len(toks)} tokens < n_ctx+1")
+    return np.stack(windows)  # (n_windows, n_ctx+1)
+
+
+def _causal_mask(T: int, S: int):
+    i = np.arange(T)
+    c = np.arange(S)
+    vis = (c[None, :] <= i[:, None]) & (c[None, :] < T)
+    return jnp.asarray(np.where(vis, 0.0, -1e30).astype(np.float32))[None, None]
+
+
+class Trainer:
+    """llama_opt_init + llama_opt_epoch analog."""
+
+    def __init__(self, model, params: OptParams | None = None):
+        import optax
+
+        self.model = model
+        self.hp = model.hparams
+        self.p = params or OptParams()
+        if self.p.optimizer == "adamw":
+            self.tx = optax.adamw(self.p.lr, weight_decay=self.p.weight_decay)
+        elif self.p.optimizer == "sgd":
+            self.tx = optax.sgd(self.p.lr)
+        else:
+            raise ValueError(f"unknown optimizer {self.p.optimizer!r}")
+        if any(isinstance(v, dict) for v in model.params.get("layers", {}).values()):
+            raise ValueError("training requires dense weights (packed=False)")
+        self.train_params = model.params
+        self.opt_state = self.tx.init(self.train_params)
+        self._step = jax.jit(self._step_impl)
+        self._eval = jax.jit(self._loss)
+
+    def _loss(self, params, batch):
+        """Mean cross-entropy of next-token prediction. batch: (B, n_ctx+1)."""
+        hp = self.hp
+        B = batch.shape[0]
+        T = batch.shape[1] - 1
+        S = T + 1
+        inputs = batch[:, :T]
+        targets = batch[:, 1 : T + 1]
+        kv_k = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k), jnp.float32)
+        kv_v = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_v), jnp.float32)
+        pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+        mask = _causal_mask(T, S)
+        logits, _ = llama_forward(params, hp, inputs, pos, kv_k, kv_v, pos, mask)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        return nll.mean()
+
+    def _step_impl(self, params, opt_state, batch):
+        loss, grads = jax.value_and_grad(self._loss)(params, batch)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def epoch(self, dataset: np.ndarray, shuffle_seed: int | None = None):
+        """One epoch over the train split; returns (train_loss, val_loss).
+        (llama_opt_epoch semantics: leading (1-val_split) fraction trains,
+        the rest evaluates.)"""
+        n = len(dataset)
+        n_val = int(n * self.p.val_split)
+        n_train = n - n_val
+        order = np.arange(n_train)
+        if shuffle_seed is not None:
+            np.random.default_rng(shuffle_seed).shuffle(order)
+        B = self.p.n_batch
+        train_losses = []
+        for i in range(0, n_train - B + 1, B):
+            batch = jnp.asarray(dataset[order[i : i + B]])
+            self.train_params, self.opt_state, loss = self._step(
+                self.train_params, self.opt_state, batch
+            )
+            train_losses.append(float(loss))
+        val_losses = []
+        for i in range(n_train, n - B + 1, B):
+            val_losses.append(float(self._eval(self.train_params, jnp.asarray(dataset[i : i + B]))))
+        return (
+            float(np.mean(train_losses)) if train_losses else float("nan"),
+            float(np.mean(val_losses)) if val_losses else float("nan"),
+        )
+
+    def finish(self):
+        """Write trained params back onto the model."""
+        self.model.params = self.train_params
+        return self.model
