@@ -175,3 +175,14 @@ def test_prefill_decode_consistency(tmp_path):
         ctx_b.decode(np.asarray([t]), n_logits=1)
     lb = ctx_b.decode(np.asarray([toks[-1]]), n_logits=1)[-1]
     np.testing.assert_allclose(la, lb, rtol=2e-4, atol=2e-4)
+
+
+def test_burst_matches_stepwise(tmp_path):
+    """Fused on-device greedy bursts must equal step-by-step decoding."""
+    path = str(tmp_path / "tiny.gguf")
+    make_tiny_llama_gguf(path, seed=131)
+    m = load_model(path)
+    toks = m.vocab.tokenize(PROMPT, add_special=True)
+    a = Context(m, ContextParams(n_ctx=96)).generate(toks, n_predict=18)
+    b = Context(m, ContextParams(n_ctx=96)).generate(toks, n_predict=18, burst=7)
+    assert a == b

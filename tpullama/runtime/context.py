@@ -119,6 +119,7 @@ class Context:
         self.perf = PerfCounters()
         self._seq_fn = jax.jit(self._step_seq, static_argnames=("n_logits",))
         self._all_fn = jax.jit(self._step_all)
+        self._burst_fn = jax.jit(self._burst, static_argnames=("n_steps",))
 
     # ------------------------------------------------------------------
 
@@ -163,6 +164,58 @@ class Context:
             params, kv_k, kv_v, kv_pos, tokens, positions, slots
         )
         return logits[:, -1, :], kv_k, kv_v, kv_pos
+
+    def _burst(self, params, kv_k, kv_v, kv_pos, first_tok, n_past0, n_steps: int):
+        """Fused greedy decode of n_steps tokens for sequence 0, entirely
+        on-device (one dispatch instead of n_steps round-trips — the
+        decode analog of the reference's graph-reuse steady state)."""
+
+        def step(carry, _):
+            tok, kk, vv, kp, npast = carry
+            slot = jnp.argmax(kp[0] < 0).astype(jnp.int32)  # first free cell
+            toks = tok[None, None]
+            pos = npast[None, None]
+            slots = slot[None, None]
+            logits, _, kk, vv, kp = self._forward(params, kk, vv, kp, toks, pos, slots)
+            nxt = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+            return (nxt, kk, vv, kp, npast + 1), nxt
+
+        (tok, kv_k, kv_v, kv_pos, n_past), toks = jax.lax.scan(
+            step, (first_tok, kv_k, kv_v, kv_pos, n_past0), None, length=n_steps
+        )
+        return toks, kv_k, kv_v, kv_pos
+
+    def decode_burst(self, first_token: int, n_steps: int) -> np.ndarray:
+        """Greedy-decode n_steps tokens after first_token (seq 0, B=1) in a
+        single device dispatch. Returns the generated token ids; the cache
+        advances by n_steps + 1 (first_token + generated[:-1])."""
+        if self.p.n_seqs != 1:
+            raise ValueError("decode_burst is single-sequence (B=1)")
+        n_past = int(self.n_past[0])
+        if n_past + n_steps + 1 > self.p.n_ctx:
+            raise ValueError("context overflow for burst")
+        free = np.nonzero(self._pos_host[0, : self._S - 1] < 0)[0]
+        if len(free) < n_steps + 1:
+            raise ValueError("no free KV cells for burst")
+        t0 = time.perf_counter()
+        toks, self.kv_k, self.kv_v, self.kv_pos = self._burst_fn(
+            self.model.params, self.kv_k, self.kv_v, self.kv_pos,
+            jnp.int32(first_token), jnp.int32(n_past), n_steps=n_steps,
+        )
+        out = np.asarray(toks)
+        self.perf.t_decode_ms += (time.perf_counter() - t0) * 1000
+        self.perf.n_decode += n_steps
+        # host mirrors: the burst consumed the first n_steps free cells with
+        # positions n_past..n_past+n_steps-1 (sequential on-device argmax
+        # matches the host free list order)
+        self._pos_host[0, free[:n_steps]] = np.arange(n_past, n_past + n_steps)
+        self.n_past[0] = n_past + n_steps
+        return out
+
+    def rollback_to(self, position: int, seq_id: int = 0):
+        """Drop all cache entries at positions >= position."""
+        self.seq_rm(position, -1, seq_id=seq_id)
+        self.n_past[seq_id] = min(int(self.n_past[seq_id]), position)
 
     # ------------------------------------------------------- decode APIs
 
@@ -327,18 +380,46 @@ class Context:
 
     # ------------------------------------------------------- generate
 
-    def generate(self, prompt_tokens, n_predict: int = 32, sampler=None) -> list[int]:
+    def generate(self, prompt_tokens, n_predict: int = 32, sampler=None,
+                 burst: int = 0) -> list[int]:
         """Greedy/sampled generation loop (tools/main/main.cpp:685-716
-        analog), sequence 0."""
+        analog), sequence 0. With burst > 0 and greedy sampling, decodes
+        in fused on-device chunks of `burst` tokens (one dispatch per
+        chunk; EOG truncates with cache rollback)."""
         out: list[int] = []
         logits = self.decode(np.asarray(prompt_tokens, np.int32), n_logits=1)[-1]
+        vocab = self.model.vocab
+        if sampler is None and burst > 1 and self.p.n_seqs == 1:
+            tok = int(np.argmax(logits))
+            out.append(tok)
+            while len(out) < n_predict and not (vocab is not None and vocab.is_eog(tok)):
+                n = min(burst, n_predict - len(out),
+                        self.p.n_ctx - int(self.n_past[0]) - 1)
+                if n < 1:
+                    break
+                chunk = self.decode_burst(tok, n).tolist()
+                eog_at = None
+                if vocab is not None:
+                    for i, t in enumerate(chunk):
+                        if vocab.is_eog(t):
+                            eog_at = i
+                            break
+                if eog_at is not None:
+                    kept = chunk[: eog_at + 1]
+                    # drop cache rows written by tokens after the EOG
+                    self.rollback_to(int(self.n_past[0]) - (len(chunk) - len(kept)))
+                    out += kept
+                    return out[:n_predict]
+                out += chunk
+                tok = chunk[-1]
+            return out[:n_predict]
         for _ in range(n_predict):
             if sampler is None:
                 tok = int(np.argmax(logits))
             else:
                 tok = sampler.sample(logits)
             out.append(tok)
-            if self.model.vocab is not None and self.model.vocab.is_eog(tok):
+            if vocab is not None and vocab.is_eog(tok):
                 break
             logits = self.decode(np.asarray([tok], np.int32), n_logits=1)[-1]
         return out

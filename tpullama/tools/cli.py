@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-i", "--interactive", action="store_true")
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16", "float16"])
     ap.add_argument("--device", default=None, help="jax platform override (e.g. cpu)")
+    ap.add_argument("--burst", type=int, default=16,
+                    help="greedy decode chunk size for fused on-device steps")
     ap.add_argument("--verbose", action="store_true")
     return ap
 
@@ -90,8 +92,18 @@ def main(argv=None) -> int:
         if not args.no_display_prompt:
             sys.stdout.write(text)
             sys.stdout.flush()
-        logits = ctx.decode(np.asarray(toks, np.int32), n_logits=1)[-1]
         n = n_predict if n_predict >= 0 else args.ctx_size
+        if sampler is None and not args.interactive:
+            # greedy: fused on-device bursts (one dispatch per chunk)
+            out = ctx.generate(toks, n_predict=n, burst=int(args.burst))
+            for tok in out:
+                if vocab.is_eog(tok):
+                    break
+                sys.stdout.write(vocab.token_to_piece(tok, special=False))
+            sys.stdout.write("\n")
+            sys.stdout.flush()
+            return
+        logits = ctx.decode(np.asarray(toks, np.int32), n_logits=1)[-1]
         for _ in range(n):
             if sampler is None:
                 tok = int(np.argmax(logits))
