@@ -63,3 +63,28 @@ def test_ppl_parity(tmp_path, qtype, n_embd, n_ff, gate):
     # relative gate: these tiny random models have large absolute PPL, so
     # scale the reference's 0.05-on-real-models gate accordingly
     assert abs(ours - ref) / ref < 0.01, f"{qtype.name}: ours {ours} vs ref {ref}"
+
+
+def test_kl_divergence_mode(tmp_path):
+    """KL mode: f32 vs Q4_K of the same model has small KL; identical
+    models have ~zero KL."""
+    from tpullama.tools.perplexity import kl_divergence, save_kl_base
+    from tpullama.tools.quantize import quantize_model
+
+    model_path = str(tmp_path / "m.gguf")
+    make_corpus(str(tmp_path / "c.txt"))
+    make_tiny_llama_gguf(model_path, n_embd=256, n_ff=256, n_layer=2, seed=9)
+    text = open(str(tmp_path / "c.txt")).read()
+    base = load_model(model_path)
+    kb = str(tmp_path / "base.kl")
+    save_kl_base(base, text, kb, n_ctx=128, n_batch=128)
+    stats_same = kl_divergence(base, text, kb, n_ctx=128, n_batch=128)
+    assert stats_same["kl_mean"] < 1e-3
+    assert stats_same["same_top_frac"] > 0.99
+
+    qpath = str(tmp_path / "q.gguf")
+    quantize_model(model_path, qpath, "Q4_K", verbose=False)
+    qm = load_model(qpath)
+    stats_q = kl_divergence(qm, text, kb, n_ctx=128, n_batch=128)
+    assert stats_q["kl_mean"] > stats_same["kl_mean"]
+    assert stats_q["kl_mean"] < 1.0  # sane quantization, not garbage
