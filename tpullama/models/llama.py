@@ -139,17 +139,41 @@ def llama_forward(
 
         # scatter new K/V into the cache rows for this ubatch
         # (the ggml_set_rows indexed-write capability, llama-kv-cache.h:145)
-        k_cache = k_cache.at[batch_idx, cache_slots].set(k.astype(k_cache.dtype))
-        v_cache = v_cache.at[batch_idx, cache_slots].set(v.astype(v_cache.dtype))
+        if isinstance(k_cache, dict):
+            # int8 KV: symmetric per-(token, head) quantization
+            # (the type_k/type_v quantized-cache capability)
+            def q8(a):
+                amax = jnp.max(jnp.abs(a.astype(jnp.float32)), axis=-1, keepdims=True)
+                s = amax / 127.0
+                qv = jnp.round(a.astype(jnp.float32) / jnp.maximum(s, 1e-12))
+                return jnp.clip(qv, -127, 127).astype(jnp.int8), s[..., 0]
 
-        att = attention(
-            q,
-            k_cache,
-            v_cache,
-            mask=layer_mask,
-            scale=kq_scale,
-            softcap=hp.attn_logit_softcap,
-        )
+            kq8, ks = q8(k)
+            vq8, vs = q8(v)
+            k_cache = {
+                "q": k_cache["q"].at[batch_idx, cache_slots].set(kq8),
+                "s": k_cache["s"].at[batch_idx, cache_slots].set(ks),
+            }
+            v_cache = {
+                "q": v_cache["q"].at[batch_idx, cache_slots].set(vq8),
+                "s": v_cache["s"].at[batch_idx, cache_slots].set(vs),
+            }
+            att = attention(
+                q, k_cache["q"], v_cache["q"], mask=layer_mask, scale=kq_scale,
+                softcap=hp.attn_logit_softcap,
+                k_scale=k_cache["s"], v_scale=v_cache["s"],
+            )
+        else:
+            k_cache = k_cache.at[batch_idx, cache_slots].set(k.astype(k_cache.dtype))
+            v_cache = v_cache.at[batch_idx, cache_slots].set(v.astype(v_cache.dtype))
+            att = attention(
+                q,
+                k_cache,
+                v_cache,
+                mask=layer_mask,
+                scale=kq_scale,
+                softcap=hp.attn_logit_softcap,
+            )
         att = att.reshape(B, T, Hq * Dv)
         att_in = att
         att = _linear(att, w["attn_output"], lmeta.get("attn_output"))

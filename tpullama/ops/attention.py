@@ -12,9 +12,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def attention(q, k, v, mask=None, scale: float | None = None, softcap: float = 0.0, sinks=None):
+def attention(q, k, v, mask=None, scale: float | None = None, softcap: float = 0.0,
+              sinks=None, k_scale=None, v_scale=None):
     """q: (B, Tq, Hq, D); k, v: (B, Tk, Hkv, D); mask: broadcastable to
     (B, Hq, Tq, Tk), additive fp32 (0 visible, -inf masked).
+    k_scale/v_scale: optional per-(token, head) dequant scales (B, Tk, Hkv)
+    for int8 KV caches — K's scale factors out of the QK dot, V's folds
+    into the probabilities, so no dequantized cache is materialized.
     Returns (B, Tq, Hq, D)."""
     B, Tq, Hq, D = q.shape
     _, Tk, Hkv, _ = k.shape
@@ -28,6 +32,9 @@ def attention(q, k, v, mask=None, scale: float | None = None, softcap: float = 0
     kf = k.astype(jnp.float32).transpose(0, 2, 1, 3)  # B,Hkv,Tk,D
     vf = v.astype(jnp.float32).transpose(0, 2, 1, 3)
     logits = jnp.einsum("bhgqd,bhkd->bhgqk", qf, kf) * scale
+    if k_scale is not None:
+        ks = k_scale.astype(jnp.float32).transpose(0, 2, 1)  # B,Hkv,Tk
+        logits = logits * ks[:, :, None, None, :]
     logits = logits.reshape(B, Hq, Tq, Tk)
     if softcap:
         logits = softcap * jnp.tanh(logits / softcap)
@@ -50,6 +57,9 @@ def attention(q, k, v, mask=None, scale: float | None = None, softcap: float = 0
         )
         probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
     probs_g = probs.reshape(B, Hkv, group, Tq, Tk)
+    if v_scale is not None:
+        vs = v_scale.astype(jnp.float32).transpose(0, 2, 1)  # B,Hkv,Tk
+        probs_g = probs_g * vs[:, :, None, None, :]
     out = jnp.einsum("bhgqk,bhkd->bhgqd", probs_g, vf).reshape(B, Hq, Tq, D)
     return out.transpose(0, 2, 1, 3).astype(q.dtype)
 

@@ -109,8 +109,19 @@ class Context:
         S = self.p.n_ctx + 1  # +1 scratch row for padded-token writes
         self._S = S
         kv_dt = self.p.kv_dtype or self.p.dtype
-        self.kv_k = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k), kv_dt)
-        self.kv_v = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_v), kv_dt)
+        if kv_dt == jnp.int8:
+            # quantized KV cache: int8 values + f32 per-(token, head) scales
+            self.kv_k = {
+                "q": jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k), jnp.int8),
+                "s": jnp.zeros((hp.n_layer, B, S, hp.n_head_kv), jnp.float32),
+            }
+            self.kv_v = {
+                "q": jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_v), jnp.int8),
+                "s": jnp.zeros((hp.n_layer, B, S, hp.n_head_kv), jnp.float32),
+            }
+        else:
+            self.kv_k = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k), kv_dt)
+            self.kv_v = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_v), kv_dt)
         self.kv_pos = jnp.full((B, S), -1, jnp.int32)
         # host mirrors: per-cell positions (find_slot free-cell allocator,
         # llama-kv-cache.cpp:679 analog) and next logical position
@@ -146,15 +157,19 @@ class Context:
 
     def _step_seq(self, params, kv_k, kv_v, kv_pos, seq, tokens, positions, slots, n_logits: int):
         """Prefill/decode for ONE sequence: dynamic-slice its cache lane."""
-        L = kv_k.shape[0]
-        S = kv_k.shape[2]
-        kk = jax.lax.dynamic_slice_in_dim(kv_k, seq, 1, axis=1)
-        vv = jax.lax.dynamic_slice_in_dim(kv_v, seq, 1, axis=1)
+        slice1 = lambda t: jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, seq, 1, axis=1), t
+        )
+        kk = slice1(kv_k)
+        vv = slice1(kv_v)
         pp = jax.lax.dynamic_slice_in_dim(kv_pos, seq, 1, axis=0)
         T = tokens.shape[1]
         logits, embd, kk, vv, pp = self._forward(params, kk, vv, pp, tokens, positions, slots)
-        kv_k = jax.lax.dynamic_update_slice_in_dim(kv_k, kk, seq, axis=1)
-        kv_v = jax.lax.dynamic_update_slice_in_dim(kv_v, vv, seq, axis=1)
+        upd1 = lambda full, part: jax.tree.map(
+            lambda a, b: jax.lax.dynamic_update_slice_in_dim(a, b, seq, axis=1), full, part
+        )
+        kv_k = upd1(kv_k, kk)
+        kv_v = upd1(kv_v, vv)
         kv_pos = jax.lax.dynamic_update_slice_in_dim(kv_pos, pp, seq, axis=0)
         return logits[0, T - n_logits :, :], embd[0], kv_k, kv_v, kv_pos
 
@@ -336,6 +351,11 @@ class Context:
         applied eagerly: R(pos+d) = R(d)·R(pos) per rope frequency."""
         row = self.kv_pos[seq_id]
         rng = (row >= p0) & (row < p1)
+        if isinstance(self.kv_k, dict):
+            raise NotImplementedError(
+                "context shift with int8 KV cache lands next round "
+                "(requires dequant-rotate-requant)"
+            )
         self.kv_k = _shift_k_rows(
             self.kv_k, jnp.int32(seq_id), rng, jnp.int32(delta), self.hp
         )
@@ -362,8 +382,9 @@ class Context:
 
     def seq_cp(self, src: int, dst: int):
         """Copy a sequence's cache to another slot (llama_memory_seq_cp)."""
-        self.kv_k = self.kv_k.at[:, dst].set(self.kv_k[:, src])
-        self.kv_v = self.kv_v.at[:, dst].set(self.kv_v[:, src])
+        cp = lambda t: jax.tree.map(lambda a: a.at[:, dst].set(a[:, src]), t)
+        self.kv_k = cp(self.kv_k)
+        self.kv_v = cp(self.kv_v)
         self.kv_pos = self.kv_pos.at[dst].set(self.kv_pos[src])
         self._pos_host[dst] = self._pos_host[src]
         self.n_past[dst] = self.n_past[src]
