@@ -87,3 +87,28 @@ def oracle_quantize(x: np.ndarray, type_name: str, nbytes: int) -> np.ndarray:
         ctypes.c_int64(x.size),
     )
     return out
+
+
+def oracle_quantize_chunk(
+    x: np.ndarray, type_name: str, nbytes: int, quant_weights: np.ndarray | None = None
+) -> np.ndarray:
+    """Call the reference quantize_<type>(src, dst, nrow, n_per_row, qw)
+    row API (the ggml_quantize_chunk path — imatrix-aware, and for iq4
+    types the ntry=7 scale search)."""
+    lib = get_oracle()
+    fn = getattr(lib, f"quantize_{type_name}")
+    fn.restype = ctypes.c_size_t
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    out = np.zeros(nbytes, dtype=np.uint8)
+    qw_p = ctypes.c_void_p(None)
+    if quant_weights is not None:
+        quant_weights = np.ascontiguousarray(quant_weights, dtype=np.float32)
+        qw_p = quant_weights.ctypes.data_as(ctypes.c_void_p)
+    fn(
+        x.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(1),
+        ctypes.c_int64(x.size),
+        qw_p,
+    )
+    return out

@@ -50,6 +50,44 @@ def test_reference_loads_our_quantized_file(tmp_path):
     assert r.returncode == 0, r.stderr[-1500:]
 
 
+@pytest.mark.parametrize("ftype", ["IQ4_XS", "TQ2_0", "IQ4_NL"])
+def test_quantize_iq4_ternary_end_to_end(tmp_path, ftype):
+    """IQ4/ternary ftypes: mix rules apply and the model still generates."""
+    src = str(tmp_path / "in.gguf")
+    dst = str(tmp_path / "out.gguf")
+    make_tiny_llama_gguf(src, n_embd=256, n_ff=256, n_layer=2, seed=65)
+    stats = quantize_model(src, dst, ftype, verbose=False)
+    assert stats["out_bytes"] < stats["in_bytes"] * 0.3
+    r = GGUFReader(dst)
+    if ftype == "TQ2_0":
+        assert r.tensors["token_embd.weight"].ggml_type == GGMLType.Q4_K
+    if ftype in ("IQ4_XS", "IQ4_NL"):
+        # tiny model: n_head == n_head_kv (no GQA upgrade), but first-eighth
+        # ffn_down upgrades without an imatrix
+        assert r.tensors["blk.0.ffn_down.weight"].ggml_type == GGMLType.Q5_K
+        assert r.tensors["blk.1.ffn_down.weight"].ggml_type == GGMLType[ftype]
+    m = load_model(dst)
+    ctx = Context(m, ContextParams(n_ctx=64))
+    out = ctx.generate(m.vocab.tokenize("Hello", add_special=True), n_predict=4)
+    assert len(out) == 4
+
+
+@pytest.mark.skipif(not os.path.exists(LLAMA_CLI), reason="reference cli not built")
+@pytest.mark.parametrize("ftype", ["IQ4_XS", "TQ2_0"])
+def test_reference_loads_iq4_ternary(tmp_path, ftype):
+    src = str(tmp_path / "in.gguf")
+    dst = str(tmp_path / "out.gguf")
+    make_tiny_llama_gguf(src, n_embd=256, n_ff=256, n_layer=2, seed=66)
+    quantize_model(src, dst, ftype, verbose=False)
+    r = subprocess.run(
+        [LLAMA_CLI, "-m", dst, "-p", "Hi", "-n", "4", "--temp", "0", "-no-cnv",
+         "--no-warmup"],
+        capture_output=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+
+
 def test_tensor_overrides(tmp_path):
     src = str(tmp_path / "in.gguf")
     dst = str(tmp_path / "out.gguf")

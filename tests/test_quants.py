@@ -28,6 +28,10 @@ DEQUANT_TYPES = [
     ("q4_K", GGMLType.Q4_K),
     ("q5_K", GGMLType.Q5_K),
     ("q6_K", GGMLType.Q6_K),
+    ("iq4_nl", GGMLType.IQ4_NL),
+    ("iq4_xs", GGMLType.IQ4_XS),
+    ("tq1_0", GGMLType.TQ1_0),
+    ("tq2_0", GGMLType.TQ2_0),
 ]
 
 QUANT_TYPES = [
@@ -40,6 +44,15 @@ QUANT_TYPES = [
     ("q4_K", GGMLType.Q4_K),
     ("q5_K", GGMLType.Q5_K),
     ("q6_K", GGMLType.Q6_K),
+    ("tq1_0", GGMLType.TQ1_0),
+    ("tq2_0", GGMLType.TQ2_0),
+]
+
+# types whose quantize() mirrors the row API quantize_<t>() rather than
+# quantize_row_<t>_ref (different ntry for iq4_nl)
+CHUNK_QUANT_TYPES = [
+    ("iq4_nl", GGMLType.IQ4_NL),
+    ("iq4_xs", GGMLType.IQ4_XS),
 ]
 
 needs_oracle = pytest.mark.skipif(get_oracle() is None, reason="reference oracle unavailable")
@@ -98,6 +111,24 @@ def test_quantize_bitexact_gaussian(name, gt):
     np.testing.assert_array_equal(ours, ref)
 
 
+@needs_oracle
+@pytest.mark.parametrize("name,gt", CHUNK_QUANT_TYPES)
+@pytest.mark.parametrize("weighted", [False, True])
+def test_quantize_chunk_bitexact(name, gt, weighted):
+    """iq4 quantizers must match the row-API quantize_<t>() byte-for-byte,
+    with and without imatrix weights."""
+    from .oracle import oracle_quantize_chunk
+
+    traits = GGML_TYPE_TRAITS[gt]
+    rng = np.random.default_rng(3)
+    n = 16 * traits.block_size
+    x = rng.normal(size=n).astype(np.float32)
+    qw = (0.1 + rng.random(n).astype(np.float32)) if weighted else None
+    ours = quantize(x, gt, quant_weights=qw)
+    ref = oracle_quantize_chunk(x, name, n // traits.block_size * traits.type_size, qw)
+    np.testing.assert_array_equal(ours, ref)
+
+
 # RMSE thresholds from tests/test-quantize-fns.cpp:17-22
 RMSE_GATE = {
     GGMLType.Q4_0: 0.002,
@@ -109,7 +140,21 @@ RMSE_GATE = {
     GGMLType.Q5_K: 0.002,
     GGMLType.Q6_K: 0.002,
     GGMLType.MXFP4: 0.0075,  # 4-bit shared-exponent: wider gate
+    GGMLType.TQ1_0: 0.01,  # MAX_QUANTIZATION_TOTAL_ERROR_TERNARY
+    GGMLType.TQ2_0: 0.01,
+    GGMLType.IQ4_NL: 0.002,
+    GGMLType.IQ4_XS: 0.002,
 }
+
+
+@pytest.mark.parametrize("name,gt", CHUNK_QUANT_TYPES)
+def test_roundtrip_rmse_iq4(name, gt):
+    traits = GGML_TYPE_TRAITS[gt]
+    n = 64 * traits.block_size
+    x = synthetic_data(n)
+    y = dequantize(quantize(x, gt), gt)
+    err = float(np.sqrt(np.sum((x - y) ** 2, dtype=np.float64)) / n)
+    assert err < RMSE_GATE[gt], f"{gt.name}: total error {err}"
 
 
 @pytest.mark.parametrize("name,gt", QUANT_TYPES)

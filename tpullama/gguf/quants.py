@@ -125,6 +125,79 @@ def dequant_mxfp4(data: np.ndarray) -> np.ndarray:
     return (q * d).reshape(-1)
 
 
+# non-linear 4-bit codebook (ggml-common.h:1088 kvalues_iq4nl)
+KVALUES_IQ4NL = np.array(
+    [-127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69, 89, 113],
+    dtype=np.int8,
+)
+_IQ4NL_F32 = KVALUES_IQ4NL.astype(np.float32)
+
+
+def dequant_iq4_nl(data: np.ndarray) -> np.ndarray:
+    # block: fp16 d; u8 qs[16] (ggml-quants.c dequantize_row_iq4_nl)
+    b = _blocks(data, 18)
+    d = _fp16(b[:, 0:2])[:, None]
+    qs = b[:, 2:18]
+    q = np.concatenate([KVALUES_IQ4NL[qs & 0x0F], KVALUES_IQ4NL[qs >> 4]], axis=1)
+    return (q.astype(np.float32) * d).reshape(-1)
+
+
+def dequant_iq4_xs(data: np.ndarray) -> np.ndarray:
+    # block: fp16 d; u16 scales_h; u8 scales_l[4]; u8 qs[128]
+    # (ggml-quants.c dequantize_row_iq4_xs)
+    b = _blocks(data, 136)
+    d = _fp16(b[:, 0:2])
+    sh = b[:, 2:4].copy().view("<u2")[:, 0].astype(np.uint32)
+    sl = b[:, 4:8]
+    qs = b[:, 8:136].reshape(-1, 8, 16)
+    ib = np.arange(8)
+    ls = ((sl[:, ib // 2] >> (4 * (ib % 2)[None, :])) & 0x0F) | (
+        ((sh[:, None] >> (2 * ib)[None, :]) & 3) << 4
+    ).astype(np.uint8)
+    dl = d[:, None] * (ls.astype(np.float32) - 32.0)  # (nb, 8)
+    lo = KVALUES_IQ4NL[qs & 0x0F].astype(np.float32)
+    hi = KVALUES_IQ4NL[qs >> 4].astype(np.float32)
+    y = np.concatenate([lo, hi], axis=2) * dl[:, :, None].astype(np.float32)
+    return y.reshape(-1)
+
+
+_POW3 = np.array([1, 3, 9, 27, 81, 243], dtype=np.uint16)
+
+
+def _tq1_trits(q: np.ndarray, n: int) -> np.ndarray:
+    """Decode trit n (0=most significant) from a tq1_0 fixed-point byte:
+    uint8 wrap-around multiply then mul-shift (dequantize_row_tq1_0)."""
+    qq = (q.astype(np.uint16) * _POW3[n]) & 0xFF
+    return ((qq * 3) >> 8).astype(np.int8) - 1
+
+
+def dequant_tq1_0(data: np.ndarray) -> np.ndarray:
+    # block: u8 qs[48]; u8 qh[4]; fp16 d (trailing!) — ggml-common.h:241-248
+    b = _blocks(data, 54)
+    d = _fp16(b[:, 52:54])[:, None]
+    y = np.empty((b.shape[0], 256), np.float32)
+    qs32 = b[:, 0:32]  # elems 0..159: y[n*32+m] <- trit n of qs[m]
+    for n in range(5):
+        y[:, n * 32 : (n + 1) * 32] = _tq1_trits(qs32, n)
+    qs16 = b[:, 32:48]  # elems 160..239
+    for n in range(5):
+        y[:, 160 + n * 16 : 160 + (n + 1) * 16] = _tq1_trits(qs16, n)
+    qh = b[:, 48:52]  # elems 240..255
+    for n in range(4):
+        y[:, 240 + n * 4 : 240 + (n + 1) * 4] = _tq1_trits(qh, n)
+    return (y * d).reshape(-1)
+
+
+def dequant_tq2_0(data: np.ndarray) -> np.ndarray:
+    # block: u8 qs[64]; fp16 d — ggml-common.h:251-255
+    b = _blocks(data, 66)
+    d = _fp16(b[:, 64:66])[:, None]
+    qs = b[:, 0:64].reshape(-1, 2, 32)  # (nb, j-group, m)
+    l = np.arange(4)
+    q = (qs[:, :, None, :] >> (2 * l)[None, None, :, None]) & 3  # (nb, 2, 4, 32)
+    return ((q.astype(np.float32) - 1.0).reshape(-1, 256) * d).reshape(-1)
+
+
 def _unpack_scale_min_k4(scales: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """get_scale_min_k4 (ggml-quants.c:703-710), vectorized over blocks.
 
@@ -276,6 +349,10 @@ DEQUANT_FNS = {
     GGMLType.Q4_K: dequant_q4_k,
     GGMLType.Q5_K: dequant_q5_k,
     GGMLType.Q6_K: dequant_q6_k,
+    GGMLType.IQ4_NL: dequant_iq4_nl,
+    GGMLType.IQ4_XS: dequant_iq4_xs,
+    GGMLType.TQ1_0: dequant_tq1_0,
+    GGMLType.TQ2_0: dequant_tq2_0,
 }
 
 
@@ -859,6 +936,159 @@ def _quant_q6_k_weighted(x: np.ndarray, qw: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+def _best_index_iq4nl(x: np.ndarray) -> np.ndarray:
+    """best_index_int8 over the kvalues_iq4nl codebook, vectorized.
+    Nearest codebook index; ties round up (matches the C comparison)."""
+    x = x.astype(np.float32)
+    idx = np.clip(np.searchsorted(_IQ4NL_F32, x, side="right"), 1, 15)
+    lo, hi = _IQ4NL_F32[idx - 1], _IQ4NL_F32[idx]
+    out = np.where((x - lo) < (hi - x), idx - 1, idx)
+    out = np.where(x <= _IQ4NL_F32[0], 0, out)
+    out = np.where(x >= _IQ4NL_F32[15], 15, out)
+    return out.astype(np.uint8)
+
+
+def _iq4_fit_scales(xb: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Per-32-block scale search of quantize_row_iq4_nl_impl (ntry=7).
+    xb, w: (nblk, 32) f32. Returns per-block scale d (f32), 0 for
+    all-zero blocks."""
+    nblk = xb.shape[0]
+    amax = np.abs(xb).max(axis=1)
+    mx = xb[np.arange(nblk), np.argmax(np.abs(xb), axis=1)]
+    zero = amax < 1e-15  # GROUP_MAX_EPS
+    safe_mx = np.where(zero, 1.0, mx).astype(np.float32)
+
+    def sums(idv):
+        L = _best_index_iq4nl(idv[:, None].astype(np.float32) * xb)
+        q = _IQ4NL_F32[L]
+        return _seqsum_f32((w * q) * xb), _seqsum_f32((w * q) * q)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d0 = (-safe_mx / _IQ4NL_F32[0]).astype(np.float32)
+        sumqx, sumq2 = sums((np.float32(1.0) / d0).astype(np.float32))
+        d = (sumqx / sumq2).astype(np.float32)
+        best = (d * sumqx).astype(np.float32)
+        for itry in range(-7, 8):
+            idv = ((np.float32(itry) + _IQ4NL_F32[0]) / safe_mx).astype(np.float32)
+            sumqx, sumq2 = sums(idv)
+            better = (sumq2 > 0) & (sumqx * sumqx > best * sumq2)
+            new_d = np.where(better, sumqx / np.where(sumq2 == 0, 1.0, sumq2), d).astype(
+                np.float32
+            )
+            d = new_d
+            best = np.where(better, d * sumqx, best).astype(np.float32)
+    return np.where(zero, np.float32(0.0), d).astype(np.float32)
+
+
+def quant_iq4_nl(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """quantize_iq4_nl (ggml-quants.c:4750): 32-elem blocks, non-linear
+    4-bit codebook, ntry=7 scale search."""
+    xb = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, 32)
+    if qw is not None:
+        sigma2 = (np.float32(2.0 / 32.0) * _seqsum_f32(xb * xb)).astype(np.float32)
+        w = (qw.reshape(-1, 32).astype(np.float32) * np.sqrt(sigma2[:, None] + xb * xb)).astype(
+            np.float32
+        )
+    else:
+        w = xb * xb
+    d = _iq4_fit_scales(xb, w)
+    with np.errstate(divide="ignore"):
+        idv = np.where(d != 0, np.float32(1.0) / d, np.float32(0.0)).astype(np.float32)
+    L = _best_index_iq4nl(idv[:, None] * xb)
+    out = np.empty((xb.shape[0], 18), np.uint8)
+    out[:, 0:2] = _fp32_to_fp16_bytes(d).reshape(-1, 2)
+    out[:, 2:18] = L[:, :16] | (L[:, 16:] << 4)
+    return out.reshape(-1)
+
+
+def quant_iq4_xs(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """quantize_iq4_xs (ggml-quants.c:4788): 256-elem super-blocks of
+    eight 32-blocks, 6-bit block scales over the iq4nl codebook."""
+    xs = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, 256)
+    nsb = xs.shape[0]
+    xb = xs.reshape(-1, 32)  # (nsb*8, 32)
+    if qw is not None:
+        sigma2 = (np.float32(2.0 / 256.0) * _seqsum_f32(xs * xs)).astype(np.float32)
+        s2 = np.repeat(sigma2, 8)[:, None]
+        w = (qw.reshape(-1, 32).astype(np.float32) * np.sqrt(s2 + xb * xb)).astype(np.float32)
+    else:
+        w = xb * xb
+    scales = _iq4_fit_scales(xb, w).reshape(nsb, 8)
+    max_sc = scales[np.arange(nsb), np.argmax(np.abs(scales), axis=1)]
+    d = (-max_sc / np.float32(32.0)).astype(np.float32)
+    with np.errstate(divide="ignore"):
+        idv = np.where(d != 0, np.float32(1.0) / d, np.float32(0.0)).astype(np.float32)
+    l = np.clip(_nearest_int(idv[:, None] * scales), -32, 31)  # (nsb, 8)
+    dl = (d[:, None] * l.astype(np.float32)).astype(np.float32)
+    with np.errstate(divide="ignore"):
+        idl = np.where(dl != 0, np.float32(1.0) / dl, np.float32(0.0)).astype(np.float32)
+    L = _best_index_iq4nl(idl.reshape(-1)[:, None] * xb).reshape(nsb, 8, 32)
+    lq = (l + 32).astype(np.uint8)
+    out = np.empty((nsb, 136), np.uint8)
+    out[:, 0:2] = _fp32_to_fp16_bytes(d).reshape(-1, 2)
+    sh = np.zeros(nsb, np.uint32)
+    for ib in range(8):
+        sh |= (lq[:, ib].astype(np.uint32) >> 4) << (2 * ib)
+    out[:, 2:4] = sh.astype("<u2").view(np.uint8).reshape(nsb, 2)
+    out[:, 4:8] = (lq[:, 0::2] & 0x0F) | ((lq[:, 1::2] & 0x0F) << 4)
+    out[:, 8:136] = (L[:, :, :16] | (L[:, :, 16:] << 4)).reshape(nsb, 128)
+    return out.reshape(-1)
+
+
+def _tq_trits(x: np.ndarray) -> np.ndarray:
+    """lroundf(x*id)+1 ternary digits in {0,1,2} (round half away from 0)."""
+    return (np.sign(x) * np.floor(np.abs(x) + np.float32(0.5))).astype(np.int32) + 1
+
+
+def _tq1_pack(tr: np.ndarray) -> np.ndarray:
+    """Pack trit groups (n_bytes, k<=5) big-endian base-3 into the
+    fixed-point byte encoding q = ceil(q3 * 256 / 243)."""
+    q = np.zeros(tr.shape[0], np.uint16)
+    for n in range(tr.shape[1]):
+        q = q * 3 + tr[:, n].astype(np.uint16)
+    if tr.shape[1] < 5:
+        q = q * (3 ** (5 - tr.shape[1]))
+    return ((q * 256 + 242) // 243).astype(np.uint8)
+
+
+def quant_tq1_0(x: np.ndarray) -> np.ndarray:
+    """quantize_row_tq1_0_ref: ternary 1.6875 bpw, 5 trits/byte base-243."""
+    xs = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, 256)
+    nb = xs.shape[0]
+    amax = np.abs(xs).max(axis=1).astype(np.float32)
+    with np.errstate(divide="ignore"):
+        idv = np.where(amax != 0, np.float32(1.0) / amax, np.float32(0.0)).astype(np.float32)
+    t = _tq_trits(xs * idv[:, None])
+    out = np.empty((nb, 54), np.uint8)
+    # qs[m] packs x[m + n*32] for trit position n (see dequant_tq1_0)
+    g = t[:, 0:160].reshape(nb, 5, 32).transpose(0, 2, 1).reshape(-1, 5)
+    out[:, 0:32] = _tq1_pack(g).reshape(nb, 32)
+    g = t[:, 160:240].reshape(nb, 5, 16).transpose(0, 2, 1).reshape(-1, 5)
+    out[:, 32:48] = _tq1_pack(g).reshape(nb, 16)
+    g = t[:, 240:256].reshape(nb, 4, 4).transpose(0, 2, 1).reshape(-1, 4)
+    out[:, 48:52] = _tq1_pack(g).reshape(nb, 4)
+    out[:, 52:54] = _fp32_to_fp16_bytes(amax).reshape(-1, 2)
+    return out.reshape(-1)
+
+
+def quant_tq2_0(x: np.ndarray) -> np.ndarray:
+    """quantize_row_tq2_0_ref: ternary 2.0625 bpw, 2 bits/elem."""
+    xs = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, 256)
+    nb = xs.shape[0]
+    amax = np.abs(xs).max(axis=1).astype(np.float32)
+    with np.errstate(divide="ignore"):
+        idv = np.where(amax != 0, np.float32(1.0) / amax, np.float32(0.0)).astype(np.float32)
+    t = _tq_trits(xs * idv[:, None]).astype(np.uint8)  # {0,1,2}
+    g = t.reshape(nb, 2, 4, 32)  # (nb, j-group, bitpos, m)
+    q = np.zeros((nb, 2, 32), np.uint8)
+    for n in range(4):
+        q |= (g[:, :, n, :] & 3) << (2 * n)
+    out = np.empty((nb, 66), np.uint8)
+    out[:, 0:64] = q.reshape(nb, 64)
+    out[:, 64:66] = _fp32_to_fp16_bytes(amax).reshape(-1, 2)
+    return out.reshape(-1)
+
+
 QUANT_FNS = {
     GGMLType.F32: quant_f32,
     GGMLType.F16: quant_f16,
@@ -872,6 +1102,10 @@ QUANT_FNS = {
     GGMLType.Q4_K: quant_q4_k,
     GGMLType.Q5_K: quant_q5_k,
     GGMLType.Q6_K: quant_q6_k,
+    GGMLType.IQ4_NL: quant_iq4_nl,
+    GGMLType.IQ4_XS: quant_iq4_xs,
+    GGMLType.TQ1_0: quant_tq1_0,
+    GGMLType.TQ2_0: quant_tq2_0,
 }
 
 
@@ -898,6 +1132,10 @@ def quantize(x: np.ndarray, ggml_type: GGMLType, quant_weights: np.ndarray | Non
             return _quant_q45_k_weighted(rows, qw, five=True)
         if ggml_type == GGMLType.Q6_K:
             return _quant_q6_k_weighted(rows, qw)
+        if ggml_type == GGMLType.IQ4_NL:
+            return quant_iq4_nl(rows, qw)
+        if ggml_type == GGMLType.IQ4_XS:
+            return quant_iq4_xs(rows, qw)
         # other types ignore the weights (matching the reference's
         # unweighted fallbacks)
     fn = QUANT_FNS.get(ggml_type)

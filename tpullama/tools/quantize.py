@@ -38,6 +38,10 @@ FTYPES = {
     "Q5_K_S": GGMLType.Q5_K,
     "Q5_K_M": GGMLType.Q5_K,
     "Q6_K": GGMLType.Q6_K,
+    "IQ4_NL": GGMLType.IQ4_NL,
+    "IQ4_XS": GGMLType.IQ4_XS,
+    "TQ1_0": GGMLType.TQ1_0,
+    "TQ2_0": GGMLType.TQ2_0,
 }
 
 
@@ -49,6 +53,7 @@ def tensor_target_type(
     n_head: int = 1,
     n_head_kv: int = 1,
     overrides: list[tuple[str, GGMLType]] | None = None,
+    has_imatrix: bool = False,
 ) -> GGMLType:
     """llama_tensor_get_type rules (src/llama-quant.cpp:178-420),
     simplified to the shipped mixes."""
@@ -74,9 +79,17 @@ def tensor_target_type(
             return GGMLType.Q6_K
         return default
     if name == "token_embd.weight":
+        if default in (GGMLType.TQ1_0, GGMLType.TQ2_0):
+            # ternary mixes keep the embedding at Q4_K (llama-quant.cpp:251-253)
+            return GGMLType.Q4_K
         # token_embedding stays at the base type for the shipped mixes
         return default
     if ".attn_v.weight" in name:
+        if default in (GGMLType.IQ4_NL, GGMLType.IQ4_XS) and (
+            n_head_kv and n_head // n_head_kv >= 4
+        ):
+            # high-GQA upgrade (llama-quant.cpp:299-301)
+            return GGMLType.Q5_K
         if is_m and default == GGMLType.Q4_K:
             # Q4_K_M: attn_v -> Q6_K on high-GQA models, else Q5_K? The
             # reference upgrades to Q6_K when n_head/n_head_kv >= 4
@@ -85,6 +98,15 @@ def tensor_target_type(
         if is_m and default == GGMLType.Q5_K:
             return GGMLType.Q6_K
         return default
+    if (
+        ".ffn_down" in name
+        and default in (GGMLType.IQ4_NL, GGMLType.IQ4_XS)
+        and not has_imatrix
+        and 0 <= il < max(1, n_layer // 8)
+    ):
+        # early layers carry more signal without an imatrix
+        # (llama-quant.cpp:366-368)
+        return GGMLType.Q5_K
     if ".ffn_down" in name and is_m and il >= 0:
         # first ~1/8 of layers upgrade one step (llama-quant.cpp:336-380)
         if il < max(1, n_layer // 8):
@@ -124,7 +146,8 @@ def quantize_model(
     stats = {"in_bytes": 0, "out_bytes": 0, "tensors": 0}
     for name, info in r.tensors.items():
         tt = tensor_target_type(
-            name, info.shape, ftype, n_layer, n_head, n_head_kv, overrides
+            name, info.shape, ftype, n_layer, n_head, n_head_kv, overrides,
+            has_imatrix=imatrix is not None,
         )
         if tt == info.ggml_type:
             raw = np.asarray(r.tensor_raw(name))
