@@ -145,3 +145,56 @@ def test_chain_greedy():
     logits = np.zeros(10, np.float32)
     logits[4] = 1.0
     assert SamplerChain.greedy().sample(logits) == 4
+
+
+# ----------------------------------------------------------------- infill
+
+class _FakeVocab:
+    """Minimal vocab for Infill: 0:'he' 1:'hello' 2:'wor' 3:EOG 4:'x'."""
+
+    eos_id = 3
+    eot_id = 3
+
+    def __init__(self, pieces=None, eog=(3,)):
+        self.pieces = pieces or {0: "he", 1: "hello", 2: "wor", 3: "", 4: "x"}
+        self.eog = set(eog)
+
+    def is_eog(self, t):
+        return t in self.eog
+
+    def token_to_piece(self, t, special=False):
+        return self.pieces.get(t, "")
+
+
+def test_infill_eog_dominance_keeps_only_eog():
+    from tpullama.runtime.sampling import Infill
+
+    # EOG prob high relative to text: 3*p_eog*n > p_txt
+    cur = cands([1.0, 1.0, 1.0, 5.0, 1.0])  # token 3 is EOG and dominant
+    Infill(_FakeVocab()).apply(cur)
+    assert list(cur.ids) == [3]
+
+
+def test_infill_prefix_merge_and_threshold():
+    from tpullama.runtime.sampling import Infill
+
+    # 'he' (p small) is a prefix of 'hello' (p large): merged into 'hello';
+    # 'wor' keeps enough mass to survive; EOG prob tiny
+    cur = cands([3.0, 4.0, 4.0, -8.0, -8.0])
+    Infill(_FakeVocab()).apply(cur)
+    ids = set(int(t) for t in cur.ids)
+    assert 1 in ids and 2 in ids  # hello + wor survive
+    assert 0 not in ids  # 'he' merged away
+    assert np.isclose(cur.probs.sum(), 1.0)
+
+
+def test_infill_all_below_threshold_falls_back_to_eot():
+    from tpullama.runtime.sampling import Infill
+
+    # many equally-unlikely text tokens, each p < 0.2, no EOG mass
+    v = _FakeVocab(pieces={i: f"t{i}" for i in range(10)}, eog=(9,))
+    v.eos_id = v.eot_id = 9
+    cur = cands([1.0] * 9 + [-20.0])
+    Infill(v).apply(cur)
+    assert list(cur.ids) == [9]
+    assert cur.probs[0] == 1.0

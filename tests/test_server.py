@@ -212,3 +212,62 @@ def test_embeddings(server):
     # same input twice -> identical embedding
     out2 = _post(server, "/v1/embeddings", {"input": "hello"})
     assert out2["data"][0]["embedding"] == out["data"][0]["embedding"]
+
+
+def test_infill_unsupported_model(server):
+    """Byte-vocab tiny model has no FIM tokens -> 501."""
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, "/infill", {"input_prefix": "def f(", "input_suffix": "return x"})
+    assert ei.value.code == 501
+
+
+def test_infill_endpoint(tmp_path):
+    """A model with FIM token ids serves /infill (FIM prompt built per
+    format_infill; generation runs)."""
+    path = str(tmp_path / "fim.gguf")
+    make_tiny_llama_gguf(path, seed=29, extra_kv={
+        "tokenizer.ggml.fim_pre_token_id": 5,
+        "tokenizer.ggml.fim_suf_token_id": 6,
+        "tokenizer.ggml.fim_mid_token_id": 7,
+    })
+    model = load_model(path)
+    port = _free_port()
+    httpd = serve(model, port=port, n_slots=1, n_ctx=128, block=False)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        for _ in range(100):
+            try:
+                urllib.request.urlopen(base + "/health", timeout=1)
+                break
+            except Exception:
+                time.sleep(0.1)
+        out = _post(base, "/infill", {
+            "input_prefix": "Hello ", "input_suffix": " world",
+            "n_predict": 4, "temperature": 0,
+        })
+        assert out["tokens_predicted"] == 4
+    finally:
+        httpd.shutdown()
+        httpd.engine.stop()
+
+
+def test_format_infill_structure():
+    from tpullama.server.http import format_infill
+
+    class V:
+        fim_pre_id, fim_suf_id, fim_mid_id = 900, 901, 902
+        fim_rep_id = fim_sep_id = -1
+        add_bos = True
+        bos_id = 1
+
+        def tokenize(self, t, add_special=False, parse_special=False):
+            return [10 + len(t)]
+
+    toks = format_infill(V(), "abc", "xy", n_batch=64, n_ctx=256)
+    # [BOS][FIM_PRE]prefix[FIM_SUF]suffix[FIM_MID]
+    assert toks == [1, 900, 13, 901, 12, 902]
+    # spm order swaps prefix/suffix halves
+    toks_spm = format_infill(V(), "abc", "xy", n_batch=64, n_ctx=256, spm_infill=True)
+    assert toks_spm == [1, 901, 12, 900, 13, 902]

@@ -47,6 +47,7 @@ def make_tiny_llama_gguf(
     n_expert: int = 0,
     n_expert_used: int = 2,
     arch: str = "llama",
+    extra_kv: dict | None = None,
 ):
     """Write a random tiny llama GGUF; returns (path, n_vocab).
     n_expert > 0 makes it a Mixtral-style MoE (arch stays 'llama', as in
@@ -86,6 +87,8 @@ def make_tiny_llama_gguf(
     w.add_u32("tokenizer.ggml.bos_token_id", 1)
     w.add_u32("tokenizer.ggml.eos_token_id", 2)
     w.add_u32("tokenizer.ggml.unknown_token_id", 0)
+    for k, v in (extra_kv or {}).items():
+        w.add_kv(k, v)
     w.add_bool("tokenizer.ggml.add_bos_token", True)
     w.add_bool("tokenizer.ggml.add_eos_token", False)
 

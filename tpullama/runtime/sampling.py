@@ -512,6 +512,79 @@ class Dry(Sampler):
         return None
 
 
+class Infill(Sampler):
+    """Fill-in-middle sampler (llama_sampler_init_infill,
+    src/llama-sampling.cpp llama_sampler_infill_apply): biases toward EOG
+    when text probability is low, merges prefix-overlapping token pieces,
+    and applies two keep-thresholds. Meant to run after top-k-style
+    filters (the pair merge is O(n^2) in candidate count)."""
+
+    name = "infill"
+
+    def __init__(self, vocab):
+        self.vocab = vocab
+
+    def _piece(self, tok: int) -> bytes:
+        try:
+            return self.vocab.token_to_piece(int(tok), special=False).encode("utf-8")
+        except Exception:
+            return b""
+
+    def apply(self, cur: Candidates):
+        cur.softmax(do_sort=True)
+        is_eog = np.array([self.vocab.is_eog(int(t)) for t in cur.ids])
+        p = cur.probs
+        p_eog_sum = float(p[is_eog].sum())
+        p_txt_sum = float(p[~is_eog].sum())
+
+        if 3.0 * p_eog_sum * len(cur.ids) > p_txt_sum:
+            # low text probability -> keep just the EOG tokens
+            cur.keep(is_eog)
+            if cur.probs is not None and cur.probs.sum() > 0:
+                cur.probs = cur.probs / cur.probs.sum()
+            return None
+
+        # combine tokens sharing a piece prefix (merge into the likelier one)
+        n = len(cur.ids)
+        pieces = [self._piece(t) for t in cur.ids]
+        logits, probs = cur.logits, cur.probs
+        for i0 in range(n):
+            for i1 in range(n):
+                if logits[i0] == -np.inf:
+                    break
+                if i0 == i1 or logits[i1] == -np.inf:
+                    continue
+                p0, p1 = pieces[i0], pieces[i1]
+                if p0 and len(p0) <= len(p1) and p1.startswith(p0):
+                    dst, src = (i1, i0) if probs[i1] > probs[i0] else (i0, i1)
+                    probs[dst] += probs[src]
+                    logits[src] = -np.inf
+                    probs[src] = 0.0
+
+        # threshold pass 1: drop non-EOG below 0.2
+        keep = (probs >= 0.2) | is_eog
+        n_non_eog = int((keep & ~is_eog).sum())
+        if n_non_eog == 0:
+            # reduce to a single EOT (or EOS) token
+            eot = getattr(self.vocab, "eot_id", -1)
+            if eot is None or eot < 0:
+                eot = self.vocab.eos_id
+            cur.ids = np.array([eot], np.int32)
+            cur.logits = np.array([1.0], np.float32)
+            cur.probs = np.array([1.0], np.float32)
+            return None
+        cur.keep(keep)
+        cur.probs = cur.probs / cur.probs.sum()
+
+        # threshold pass 2: drop non-EOG below 1/(n_non_eog+1)
+        is_eog = is_eog[keep]
+        thold = 1.0 / (n_non_eog + 1)
+        keep2 = (cur.probs >= thold) | is_eog
+        cur.keep(keep2)
+        cur.probs = cur.probs / cur.probs.sum()
+        return None
+
+
 class SamplerChain:
     """llama_sampler_chain analog; also the common_sampler convenience
     constructor (common/sampling.cpp std chain order: penalties → top-k →

@@ -46,6 +46,59 @@ def apply_chat_template(model, messages: list, add_generation_prompt: bool = Tru
         return tpl.render(messages=messages, add_generation_prompt=add_generation_prompt)
 
 
+def format_infill(
+    vocab,
+    input_prefix: str,
+    input_suffix: str,
+    input_extra: list | None = None,
+    n_batch: int = 2048,
+    n_predict: int = 128,
+    n_ctx: int = 4096,
+    spm_infill: bool = False,
+    tokens_prompt: list[int] | None = None,
+) -> list[int]:
+    """Build the FIM prompt (server-common.cpp:1538-1640 format_infill):
+    optional repo-level extra chunks, then
+    [FIM_PRE]prefix[FIM_SUF]suffix[FIM_MID] (or suffix-prefix-middle when
+    spm_infill). Prefix:suffix budget is 3:1 of n_batch."""
+    tokens_prompt = tokens_prompt or []
+
+    def tok(t):
+        return vocab.tokenize(t, add_special=False, parse_special=False)
+
+    extra_tokens: list[int] = []
+    if vocab.fim_rep_id >= 0:
+        extra_tokens += [vocab.fim_rep_id] + tok("myproject\n")
+    for chunk in input_extra or []:
+        text = chunk.get("text", "")
+        filename = chunk.get("filename", "tmp")
+        if vocab.fim_sep_id >= 0:
+            extra_tokens += [vocab.fim_sep_id] + tok(filename + "\n")
+        else:
+            extra_tokens += tok("\n\n--- snippet ---\n\n")
+        extra_tokens += tok(text)
+    if vocab.fim_sep_id >= 0:
+        extra_tokens += [vocab.fim_sep_id] + tok("filename\n")
+
+    tokens_prefix = tok(input_prefix)
+    tokens_suffix = tok(input_suffix)
+    n_prefix_take = min(len(tokens_prefix), 3 * (n_batch // 4))
+    n_suffix_take = min(len(tokens_suffix), max(0, n_batch // 4 - (2 + len(tokens_prompt))))
+    n_extra_take = min(max(0, n_ctx - n_batch - 2 * n_predict), len(extra_tokens))
+
+    tokens_prefix = tokens_prefix[len(tokens_prefix) - n_prefix_take :]
+    tokens_suffix = tokens_suffix[:n_suffix_take]
+    tokens_prefix = [vocab.fim_pre_id] + tokens_prefix + list(tokens_prompt)
+    tokens_suffix = [vocab.fim_suf_id] + tokens_suffix
+
+    embd_inp = tokens_suffix if spm_infill else tokens_prefix
+    embd_end = tokens_prefix if spm_infill else tokens_suffix
+    if vocab.add_bos:
+        embd_inp = [vocab.bos_id] + embd_inp
+    embd_inp = (extra_tokens[len(extra_tokens) - n_extra_take :] if n_extra_take else []) + embd_inp
+    return embd_inp + embd_end + [vocab.fim_mid_id]
+
+
 def _make_sampler(body: dict) -> SamplerChain | None:
     temp = float(body.get("temperature", 0.8))
     if temp <= 0:
@@ -220,6 +273,8 @@ def make_handler(state: ServerState):
                     self._json({"prompt": text})
                 elif path in ("/embedding", "/embeddings", "/v1/embeddings"):
                     self._handle_embeddings(body)
+                elif path == "/infill":
+                    self._handle_infill(body)
                 else:
                     self._error(f"unknown endpoint {path}", 404)
             except BrokenPipeError:
@@ -272,6 +327,49 @@ def make_handler(state: ServerState):
             task.grammar = _make_grammar(body, vocab)
             engine.submit(task)
             return task, task.stream_queue
+
+        def _handle_infill(self, body):
+            """Fill-in-middle completion (server.cpp handle_infill)."""
+            if vocab.fim_pre_id < 0 or vocab.fim_suf_id < 0 or vocab.fim_mid_id < 0:
+                return self._error(
+                    "infill is not supported by this model: missing FIM tokens", 501
+                )
+            if "input_prefix" not in body and "input_suffix" not in body:
+                return self._error("\"input_prefix\" or \"input_suffix\" is required")
+            prompt = body.get("prompt", "")
+            toks = format_infill(
+                vocab,
+                body.get("input_prefix", ""),
+                body.get("input_suffix", ""),
+                body.get("input_extra"),
+                n_batch=int(body.get("n_batch", 2048)),
+                n_predict=int(body.get("n_predict", 128)),
+                n_ctx=engine.ctx.p.n_ctx,
+                spm_infill=bool(body.get("spm_infill", False)),
+                tokens_prompt=vocab.tokenize(prompt, add_special=False) if prompt else None,
+            )
+            stop = body.get("stop") or []
+            if isinstance(stop, str):
+                stop = [stop]
+            task = Task(
+                prompt_tokens=toks,
+                n_predict=int(body.get("n_predict", body.get("max_tokens", 128))),
+                sampler=_make_sampler(body),
+                stop=stop,
+            )
+            engine.submit(task)
+            if engine._thread is None:
+                while not task.done.is_set():
+                    engine.step()
+            else:
+                task.done.wait(600)
+            if task.error:
+                return self._error(task.error)
+            self._json({
+                "content": task.out_text,
+                "tokens_predicted": len(task.out_tokens),
+                "stop_type": task.stop_reason,
+            })
 
         def _handle_completion(self, body, oai: bool):
             prompt = body.get("prompt", "")

@@ -204,6 +204,28 @@ class Vocab:
                           "<|endoftext|>", "<EOT>", "_<EOT>", "<|end_of_text|>"):
                 self.eog_ids.add(i)
 
+        # FIM token detection by text (llama-vocab.cpp:2225-2340); GGUF-keyed
+        # overrides applied by from_gguf after construction
+        _FIM_TEXTS = {
+            "fim_pre_id": ("<|fim_prefix|>", "<fim-prefix>", "<fim_prefix>",
+                           "<｜fim▁begin｜>", "<PRE>", "▁<PRE>", "<|code_prefix|>"),
+            "fim_suf_id": ("<|fim_suffix|>", "<fim-suffix>", "<fim_suffix>",
+                           "<｜fim▁hole｜>", "<SUF>", "▁<SUF>", "<|code_suffix|>"),
+            "fim_mid_id": ("<|fim_middle|>", "<fim-middle>", "<fim_middle>",
+                           "<｜fim▁end｜>", "<MID>", "▁<MID>", "<|code_middle|>"),
+            "fim_pad_id": ("<|fim_pad|>", "<fim-pad>", "<fim_pad>", "<PAD>"),
+            "fim_rep_id": ("<|fim_repo|>", "<|repo_name|>", "<fim-repo>",
+                           "<REPO>", "<reponame>"),
+            "fim_sep_id": ("<|file_sep|>", "<|fim_file_separator|>"),
+        }
+        for attr_name, texts in _FIM_TEXTS.items():
+            tid = TOKEN_NULL
+            for txt in texts:
+                if txt in self.token_to_id:
+                    tid = self.token_to_id[txt]
+                    break
+            setattr(self, attr_name, tid)
+
     # ------------------------------------------------------------------ load
 
     @classmethod
@@ -288,6 +310,28 @@ class Vocab:
             pre=pre,
             **defaults,
         )
+
+        # FIM id overrides from GGUF keys (llama-vocab.cpp:2139-2149).
+        # Explicit keys take precedence over the text-based detection that
+        # ran in __init__ (the reference reads keys first, then text-detects
+        # only the still-null ids).
+        for key, attr in (
+            ("tokenizer.ggml.fim_pre_token_id", "fim_pre_id"),
+            ("tokenizer.ggml.fim_suf_token_id", "fim_suf_id"),
+            ("tokenizer.ggml.fim_mid_token_id", "fim_mid_id"),
+            ("tokenizer.ggml.fim_pad_token_id", "fim_pad_id"),
+            ("tokenizer.ggml.fim_rep_token_id", "fim_rep_id"),
+            ("tokenizer.ggml.fim_sep_token_id", "fim_sep_id"),
+            # legacy aliases (only fill if still unset)
+            ("tokenizer.ggml.prefix_token_id", "fim_pre_id"),
+            ("tokenizer.ggml.suffix_token_id", "fim_suf_id"),
+            ("tokenizer.ggml.middle_token_id", "fim_mid_id"),
+        ):
+            if key in kv and (
+                key.startswith("tokenizer.ggml.fim_")
+                or getattr(vocab, attr) == TOKEN_NULL
+            ):
+                setattr(vocab, attr, int(kv[key]))
 
         # model-specific attr fixups (llama-vocab.cpp:2509-2530)
         name = str(kv.get("general.name", "")).lower()
