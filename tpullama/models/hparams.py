@@ -66,6 +66,20 @@ class HParams:
     n_ff_exp: int = 0
     n_ff_shexp: int = 0
 
+    # SSM (mamba-family; %s.ssm.* keys, llama-arch.cpp:231-236)
+    ssm_d_conv: int = 0
+    ssm_d_inner: int = 0
+    ssm_d_state: int = 0
+    ssm_dt_rank: int = 0
+    ssm_n_group: int = 0
+    ssm_dt_b_c_rms: bool = False
+
+    @property
+    def is_recurrent(self) -> bool:
+        """Model keeps per-seq recurrent state instead of a KV cache
+        (llama_model_is_recurrent)."""
+        return self.arch in ("mamba", "mamba2", "falcon-mamba", "rwkv6", "rwkv7")
+
     @property
     def n_embd_k_gqa(self) -> int:
         return self.n_embd_head_k * self.n_head_kv
@@ -134,6 +148,12 @@ class HParams:
             expert_gating_func=int(g("expert_gating_func", 1) or 1),
             n_ff_exp=int(g("expert_feed_forward_length", 0) or 0),
             n_ff_shexp=int(g("expert_shared_feed_forward_length", 0) or 0),
+            ssm_d_conv=int(g("ssm.conv_kernel", 0) or 0),
+            ssm_d_inner=int(g("ssm.inner_size", 0) or 0),
+            ssm_d_state=int(g("ssm.state_size", 0) or 0),
+            ssm_dt_rank=int(g("ssm.time_step_rank", 0) or 0),
+            ssm_n_group=int(g("ssm.group_count", 0) or 0),
+            ssm_dt_b_c_rms=bool(g("ssm.dt_b_c_rms", False)),
         )
 
         # per-arch specialization (llama_model::load_hparams analogs)

@@ -56,6 +56,19 @@ _LAYER_TENSORS = {
     "post_attention_norm.weight": "post_attn_norm",
     "post_ffw_norm.weight": "post_ffn_norm",
     "attn_sinks.weight": "attn_sinks",
+    # SSM / mamba (llama-arch.cpp:996-1005; no ".weight" on ssm_a/ssm_d)
+    "ssm_in.weight": "ssm_in",
+    "ssm_conv1d.weight": "ssm_conv1d",
+    "ssm_conv1d.bias": "ssm_conv1d_b",
+    "ssm_x.weight": "ssm_x",
+    "ssm_dt.weight": "ssm_dt",
+    "ssm_dt.bias": "ssm_dt_b",
+    "ssm_a": "ssm_a",
+    "ssm_d": "ssm_d",
+    "ssm_out.weight": "ssm_out",
+    "ssm_dt_norm.weight": "ssm_dt_norm",
+    "ssm_b_norm.weight": "ssm_b_norm",
+    "ssm_c_norm.weight": "ssm_c_norm",
 }
 
 _TOP_TENSORS = {

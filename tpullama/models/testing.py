@@ -138,3 +138,77 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
     w.write(path)
     return path, n_vocab
+
+
+def make_tiny_mamba_gguf(
+    path,
+    n_embd: int = 64,
+    n_layer: int = 2,
+    d_state: int = 16,
+    d_conv: int = 4,
+    seed: int = 0,
+):
+    """Write a random tiny mamba GGUF (key set mirrors the reference
+    converter's MambaModel.set_gguf_parameters; tensor shapes follow
+    llama-model.cpp LLM_ARCH_MAMBA create_tensor calls)."""
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    d_inner = 2 * n_embd
+    dt_rank = -(n_embd // -16)  # ceil(n_embd/16)
+
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "mamba")
+    w.add_str("general.name", "tiny-test-mamba")
+    w.add_u32("mamba.context_length", 1 << 20)
+    w.add_u32("mamba.embedding_length", n_embd)
+    w.add_u32("mamba.feed_forward_length", 0)
+    w.add_u32("mamba.attention.head_count", 0)
+    w.add_u32("mamba.block_count", n_layer)
+    w.add_u32("mamba.ssm.conv_kernel", d_conv)
+    w.add_u32("mamba.ssm.inner_size", d_inner)
+    w.add_u32("mamba.ssm.state_size", d_state)
+    w.add_u32("mamba.ssm.time_step_rank", dt_rank)
+    w.add_f32("mamba.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_bool("mamba.ssm.dt_b_c_rms", False)
+    w.add_u32("mamba.vocab_size", n_vocab)
+    w.add_str("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.bos_token_id", 1)
+    w.add_u32("tokenizer.ggml.eos_token_id", 2)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 0)
+    w.add_bool("tokenizer.ggml.add_bos_token", True)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        w.add_tensor(p + "attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ssm_in.weight", mat(2 * d_inner, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ssm_conv1d.weight", mat(d_inner, d_conv, 0.3), GGMLType.F32)
+        w.add_tensor(p + "ssm_conv1d.bias",
+                     (0.1 * rng.standard_normal(d_inner)).astype(np.float32), GGMLType.F32)
+        w.add_tensor(p + "ssm_x.weight", mat(dt_rank + 2 * d_state, d_inner), GGMLType.F32)
+        w.add_tensor(p + "ssm_dt.weight", mat(d_inner, dt_rank), GGMLType.F32)
+        # dt bias around softplus^-1(0.01..0.1) region, as in real checkpoints
+        w.add_tensor(p + "ssm_dt.bias",
+                     (-3.0 + rng.standard_normal(d_inner)).astype(np.float32), GGMLType.F32)
+        # A = -exp(A_log) < 0 (converter negates); keep magnitudes ~ -1..-16
+        a = -np.exp(rng.uniform(0.0, 2.5, size=(d_inner, d_state))).astype(np.float32)
+        w.add_tensor(p + "ssm_a", a, GGMLType.F32)
+        w.add_tensor(p + "ssm_d",
+                     (1.0 + 0.1 * rng.standard_normal(d_inner)).astype(np.float32), GGMLType.F32)
+        w.add_tensor(p + "ssm_out.weight", mat(n_embd, d_inner), GGMLType.F32)
+    w.write(path)
+    return path, n_vocab

@@ -6,5 +6,6 @@ src/llama-batch.cpp (batch splitting).
 """
 
 from .context import Context, ContextParams
+from .recurrent import RecurrentContext, make_context
 
-__all__ = ["Context", "ContextParams"]
+__all__ = ["Context", "ContextParams", "RecurrentContext", "make_context"]

@@ -1,0 +1,139 @@
+"""Recurrent-state context (mamba/rwkv family).
+
+The reference keeps one recurrent cell per sequence instead of a KV
+cache (src/llama-memory-recurrent.cpp): state rows are copied/reset as
+whole units, and positions only matter for bookkeeping. This context
+mirrors the llama_context API subset that makes sense for recurrent
+memory (decode / generate / reset / seq_cp); partial-suffix removal is
+not representable (same limitation as the reference, which re-processes
+the prompt in that case).
+
+Prefill uses fixed power-of-two token buckets with the model's
+`last_idx` state snapshot, so any prompt length hits one of a few
+compiled graphs while the carried state stays exact.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.hparams import HParams
+from ..models.loader import LoadedModel
+from ..models.mamba import init_states, mamba_forward
+from .context import ContextParams, PerfCounters, _bucket
+
+
+class RecurrentContext:
+    """llama_context analog for recurrent (SSM) models."""
+
+    def __init__(self, model: LoadedModel, params: ContextParams | None = None):
+        self.model = model
+        self.hp: HParams = model.hparams
+        self.p = params or ContextParams()
+        B = self.p.n_seqs
+        self.conv_state, self.ssm_state = init_states(self.hp, B)
+        self.n_past = np.zeros(B, np.int32)
+        self.perf = PerfCounters()
+        self._fn = jax.jit(self._step)
+
+    def _step(self, params, tokens, conv, ssm, last_idx, seq):
+        """Run one chunk for sequence `seq`; returns (logits at last_idx,
+        new states scattered back into the per-seq arrays)."""
+        cs = jax.lax.dynamic_slice_in_dim(conv, seq, 1, axis=1)
+        ss = jax.lax.dynamic_slice_in_dim(ssm, seq, 1, axis=1)
+        logits, (cs, ss) = mamba_forward(
+            params, self.hp, tokens, cs, ss,
+            quant_meta=self.model.quant_meta, last_idx=last_idx,
+        )
+        conv = jax.lax.dynamic_update_slice_in_dim(conv, cs, seq, axis=1)
+        ssm = jax.lax.dynamic_update_slice_in_dim(ssm, ss, seq, axis=1)
+        sel = jax.lax.dynamic_slice_in_dim(logits[0], last_idx, 1, axis=0)[0]
+        return sel, conv, ssm
+
+    def decode(self, tokens: np.ndarray, n_logits: int = 1, seq_id: int = 0) -> np.ndarray:
+        """Process tokens for one sequence; returns logits of the LAST
+        token (recurrent memory has no per-position random access, so
+        n_logits > 1 is not supported — chunk at the caller instead)."""
+        tokens = np.asarray(tokens, np.int32).reshape(-1)
+        if n_logits > 1:
+            raise ValueError("recurrent context returns only last-token logits")
+        t0 = time.time()
+        n = len(tokens)
+        nb = _bucket(n)
+        padded = np.zeros(nb, np.int32)
+        padded[:n] = tokens
+        logits, self.conv_state, self.ssm_state = self._fn(
+            self.model.params,
+            jnp.asarray(padded[None, :]),
+            self.conv_state,
+            self.ssm_state,
+            jnp.int32(n - 1),
+            jnp.int32(seq_id),
+        )
+        out = np.asarray(logits)[None, :]
+        self.n_past[seq_id] += n
+        if n > 1:
+            self.perf.t_prefill_ms += (time.time() - t0) * 1000
+            self.perf.n_prefill += n
+        else:
+            self.perf.t_decode_ms += (time.time() - t0) * 1000
+            self.perf.n_decode += 1
+        return out
+
+    # ------------------------------------------------------- sequence ops
+
+    def reset(self, seq_id: int | None = None):
+        if seq_id is None:
+            self.conv_state, self.ssm_state = init_states(self.hp, self.p.n_seqs)
+            self.n_past[:] = 0
+        else:
+            self.conv_state = self.conv_state.at[:, seq_id].set(0.0)
+            self.ssm_state = self.ssm_state.at[:, seq_id].set(0.0)
+            self.n_past[seq_id] = 0
+
+    def seq_rm(self, p0: int, p1: int, seq_id: int = 0):
+        """Recurrent cells are indivisible: only whole-sequence removal is
+        supported (llama_memory_recurrent::seq_rm rejects partial ranges)."""
+        if p0 > 0 or (0 <= p1 < int(self.n_past[seq_id])):
+            raise ValueError(
+                "recurrent memory cannot remove a partial position range; "
+                "reset the sequence and re-process instead"
+            )
+        self.reset(seq_id)
+
+    def seq_cp(self, src: int, dst: int):
+        self.conv_state = self.conv_state.at[:, dst].set(self.conv_state[:, src])
+        self.ssm_state = self.ssm_state.at[:, dst].set(self.ssm_state[:, src])
+        self.n_past[dst] = self.n_past[src]
+
+    # --------------------------------------------------------- generation
+
+    def generate(self, prompt_tokens, n_predict: int = 32, sampler=None,
+                 burst: int = 0) -> list[int]:
+        out: list[int] = []
+        logits = self.decode(np.asarray(prompt_tokens, np.int32))[-1]
+        vocab = self.model.vocab
+        for _ in range(n_predict):
+            if sampler is None:
+                tok = int(np.argmax(logits))
+            else:
+                tok = sampler.sample(logits)
+            out.append(tok)
+            if vocab is not None and vocab.is_eog(tok):
+                break
+            logits = self.decode(np.asarray([tok], np.int32))[-1]
+        return out
+
+
+def make_context(model: LoadedModel, params: ContextParams | None = None):
+    """Context factory: recurrent models get a RecurrentContext, attention
+    models the KV-cache Context (llama_context init dispatch analog)."""
+    from .context import Context
+
+    if model.hparams.is_recurrent:
+        return RecurrentContext(model, params)
+    return Context(model, params)

@@ -66,7 +66,9 @@ def main(argv=None) -> int:
         print(f"[load] {args.model} in {time.time()-t0:.1f}s "
               f"arch={model.arch} n_layer={model.hparams.n_layer}", file=sys.stderr)
 
-    ctx = Context(model, ContextParams(n_ctx=args.ctx_size, dtype=dtype))
+    from ..runtime import make_context
+
+    ctx = make_context(model, ContextParams(n_ctx=args.ctx_size, dtype=dtype))
     vocab = model.vocab
 
     prompt = args.prompt
