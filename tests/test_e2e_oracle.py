@@ -141,6 +141,22 @@ def test_qwen2_matches_reference(tmp_path):
 
 
 @needs_cli
+@needs_cli
+@pytest.mark.parametrize("arch", ["qwen3", "phi3"])
+def test_qwen3_phi3_match_reference(tmp_path, arch):
+    """qwen3: per-head q/k rms norm; phi3: fused qkv + fused swiglu."""
+    path = str(tmp_path / f"tiny_{arch}.gguf")
+    make_tiny_llama_gguf(path, n_layer=2, arch=arch, seed=17)
+    assert run_ours(path) == run_reference(path)
+
+
+@needs_cli
+def test_qwen3moe_matches_reference(tmp_path):
+    path = str(tmp_path / "tiny_qwen3moe.gguf")
+    make_tiny_llama_gguf(path, n_layer=2, arch="qwen3moe", n_expert=4, seed=17)
+    assert run_ours(path) == run_reference(path)
+
+
 def test_gemma3_matches_reference(tmp_path):
     """Gemma3: embd scale, QK-norm, sandwich norms, alternating SWA with
     dual rope bases, GELU FFN."""

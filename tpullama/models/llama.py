@@ -114,13 +114,24 @@ def llama_forward(
 
         h = rms_norm(x, w["attn_norm"], hp.f_norm_rms_eps)
         h_attn = h
-        q = _linear(h, w["attn_q"], lmeta.get("attn_q"))
-        k = _linear(h, w["attn_k"], lmeta.get("attn_k"))
-        v = _linear(h, w["attn_v"], lmeta.get("attn_v"))
-        if "attn_q_bias" in w:
-            q = q + w["attn_q_bias"]
-            k = k + w["attn_k_bias"]
-            v = v + w["attn_v_bias"]
+        if "attn_qkv" in w:
+            # fused QKV (phi3 and friends): rows [Q | K | V]
+            qkv = _linear(h, w["attn_qkv"], lmeta.get("attn_qkv"))
+            if "attn_qkv_bias" in w:
+                qkv = qkv + w["attn_qkv_bias"]
+            n_q = Hq * Dk
+            n_kv = Hkv * Dk
+            q = qkv[..., :n_q]
+            k = qkv[..., n_q : n_q + n_kv]
+            v = qkv[..., n_q + n_kv :]
+        else:
+            q = _linear(h, w["attn_q"], lmeta.get("attn_q"))
+            k = _linear(h, w["attn_k"], lmeta.get("attn_k"))
+            v = _linear(h, w["attn_v"], lmeta.get("attn_v"))
+            if "attn_q_bias" in w:
+                q = q + w["attn_q_bias"]
+                k = k + w["attn_k_bias"]
+                v = v + w["attn_v_bias"]
         q = q.reshape(B, T, Hq, Dk)
         k = k.reshape(B, T, Hkv, Dk)
         v = v.reshape(B, T, Hkv, Dv)
@@ -206,6 +217,15 @@ def llama_forward(
                 up = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
                 act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
                 down = down + _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
+        elif "ffn_gate" not in w:
+            # fused gate+up (phi3: LLM_FFN_SWIGLU on a 2*n_ff projection;
+            # ggml_swiglu: first half activated, second half linear)
+            up2 = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
+            n_ff = up2.shape[-1] // 2
+            gate, up = up2[..., :n_ff], up2[..., n_ff:]
+            act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+            act_saved = act
+            down = _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
         else:
             gate = _linear(h, w["ffn_gate"], lmeta.get("ffn_gate"))
             up = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))

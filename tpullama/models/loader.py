@@ -36,6 +36,8 @@ _LAYER_TENSORS = {
     "attn_k.weight": "attn_k",
     "attn_v.weight": "attn_v",
     "attn_output.weight": "attn_output",
+    "attn_qkv.weight": "attn_qkv",
+    "attn_qkv.bias": "attn_qkv_bias",
     "attn_q.bias": "attn_q_bias",
     "attn_k.bias": "attn_k_bias",
     "attn_v.bias": "attn_v_bias",

@@ -62,7 +62,9 @@ def make_tiny_llama_gguf(
 
     w = GGUFWriter()
     w.add_str("general.architecture", arch)
-    w.add_str("general.name", f"tiny-test-{arch}")
+    # avoid "phi3" in the name: the reference's name-triggered vocab fixup
+    # hard-requires <|endoftext|> which the byte vocab lacks
+    w.add_str("general.name", f"tiny-test-{arch}".replace("phi", "fi"))
     w.add_u32(f"{arch}.context_length", n_ctx)
     w.add_u32(f"{arch}.embedding_length", n_embd)
     w.add_u32(f"{arch}.block_count", n_layer)
@@ -76,6 +78,8 @@ def make_tiny_llama_gguf(
     if n_expert:
         w.add_u32(f"{arch}.expert_count", n_expert)
         w.add_u32(f"{arch}.expert_used_count", n_expert_used)
+        if arch == "qwen3moe":
+            w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
     if arch in ("gemma3", "gemma2"):
         w.add_u32(f"{arch}.attention.sliding_window", 32)
         w.add_u32(f"{arch}.attention.key_length", head_dim)
@@ -108,9 +112,14 @@ def make_tiny_llama_gguf(
     kv_dim = head_dim * n_head_kv
     for il in range(n_layer):
         w.add_tensor(f"blk.{il}.attn_norm.weight", norm_w(n_embd), GGMLType.F32)
-        w.add_tensor(f"blk.{il}.attn_q.weight", mat(n_embd, n_embd), qtype)
-        w.add_tensor(f"blk.{il}.attn_k.weight", mat(kv_dim, n_embd), qtype)
-        w.add_tensor(f"blk.{il}.attn_v.weight", mat(kv_dim, n_embd), qtype)
+        if arch == "phi3":
+            # fused [Q|K|V] rows (llama-model.cpp phi3 wqkv)
+            w.add_tensor(f"blk.{il}.attn_qkv.weight",
+                         mat(n_embd + 2 * kv_dim, n_embd), qtype)
+        else:
+            w.add_tensor(f"blk.{il}.attn_q.weight", mat(n_embd, n_embd), qtype)
+            w.add_tensor(f"blk.{il}.attn_k.weight", mat(kv_dim, n_embd), qtype)
+            w.add_tensor(f"blk.{il}.attn_v.weight", mat(kv_dim, n_embd), qtype)
         w.add_tensor(f"blk.{il}.attn_output.weight", mat(n_embd, n_embd), qtype)
         if arch == "qwen2":
             w.add_tensor(f"blk.{il}.attn_q.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
@@ -121,6 +130,10 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_ffw_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if arch in ("qwen3", "qwen3moe"):
+            # per-head q/k RMS norm, no qkv biases (llm_build_qwen3)
+            w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(head_dim), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
         w.add_tensor(f"blk.{il}.ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
         if n_expert:
             w.add_tensor(f"blk.{il}.ffn_gate_inp.weight", mat(n_expert, n_embd), GGMLType.F32)
@@ -132,6 +145,10 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.ffn_gate_exps.weight", ge, qtype)
             w.add_tensor(f"blk.{il}.ffn_up_exps.weight", ue, qtype)
             w.add_tensor(f"blk.{il}.ffn_down_exps.weight", de, qtype)
+        elif arch == "phi3":
+            # fused [gate|up] rows, SWIGLU split at runtime
+            w.add_tensor(f"blk.{il}.ffn_up.weight", mat(2 * n_ff, n_embd), qtype)
+            w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
         else:
             w.add_tensor(f"blk.{il}.ffn_gate.weight", mat(n_ff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
