@@ -142,12 +142,19 @@ def test_qwen2_matches_reference(tmp_path):
 
 @needs_cli
 @needs_cli
-@pytest.mark.parametrize("arch", ["qwen3", "phi3"])
-def test_qwen3_phi3_match_reference(tmp_path, arch):
-    """qwen3: per-head q/k rms norm; phi3: fused qkv + fused swiglu."""
+@pytest.mark.parametrize("arch", ["qwen3", "phi3", "granite", "starcoder2"])
+def test_new_archs_match_reference(tmp_path, arch):
+    """qwen3: per-head q/k rms norm; phi3: fused qkv + fused swiglu;
+    granite: embd/residual/attention/logit scales; starcoder2: LayerNorm
+    with biases + non-gated GELU FFN.
+
+    NUL bytes are stripped on both sides: llama-cli prints pieces with
+    printf, so a generated <0x00> byte token produces no output there."""
     path = str(tmp_path / f"tiny_{arch}.gguf")
     make_tiny_llama_gguf(path, n_layer=2, arch=arch, seed=17)
-    assert run_ours(path) == run_reference(path)
+    ours = run_ours(path).replace(b"\x00", b"")
+    ref = run_reference(path).replace(b"\x00", b"")
+    assert ours == ref
 
 
 @needs_cli

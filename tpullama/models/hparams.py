@@ -55,6 +55,11 @@ class HParams:
     # arch-level behavior flags (set per arch below)
     embd_scale: float = 0.0  # scale token embeddings (gemma: sqrt(n_embd))
     act: str = "silu"
+    norm_type: str = "rms"  # "rms" (LLM_NORM_RMS) | "layer" (LLM_NORM)
+    ffn_gated: bool = True  # gated GLU vs plain up->act->down
+    ffn_fused_up: bool = False  # phi3: [gate|up] fused in ffn_up
+    f_residual_scale: float = 0.0  # granite residual multiplier
+    final_logit_scale: float = 0.0  # multiply final logits (granite 1/ls, command-r ls)
 
     # MoE
     n_expert: int = 0
@@ -157,6 +162,18 @@ class HParams:
         )
 
         # per-arch specialization (llama_model::load_hparams analogs)
+        if arch in ("phi3", "phimoe"):
+            hp.ffn_fused_up = True
+        if arch == "starcoder2":
+            # LLM_NORM with biases, plain GELU FFN (llm_build_starcoder2)
+            hp.norm_type = "layer"
+            hp.ffn_gated = False
+            hp.act = "gelu"
+        if arch in ("granite", "granite-moe", "granitemoe"):
+            hp.embd_scale = float(g("embedding_scale", 0.0) or 0.0)
+            hp.f_residual_scale = float(g("residual_scale", 0.0) or 0.0)
+            if hp.f_logit_scale:
+                hp.final_logit_scale = 1.0 / hp.f_logit_scale
         if arch in ("gemma", "gemma2", "gemma3", "gemma-embedding"):
             hp.embd_scale = float(np.sqrt(n_embd)) if n_embd else 0.0
             hp.act = "gelu"

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import attention
-from ..ops.norms import rms_norm
+from ..ops.norms import layer_norm, rms_norm
 from ..ops.rope import RopeParams, apply_rope, rope_cache
 from .hparams import HParams
 
@@ -108,11 +108,16 @@ def llama_forward(
 
     lmeta = (quant_meta or {}).get("layers", {})
 
+    def norm_fn(h, wgt, bias=None):
+        if hp.norm_type == "layer":
+            return layer_norm(h, wgt, bias, hp.f_norm_eps)
+        return rms_norm(h, wgt, hp.f_norm_rms_eps)
+
     def layer_step(carry, layer):
         x, k_cache, v_cache = carry
         w = layer
 
-        h = rms_norm(x, w["attn_norm"], hp.f_norm_rms_eps)
+        h = norm_fn(x, w["attn_norm"], w.get("attn_norm_bias"))
         h_attn = h
         if "attn_qkv" in w:
             # fused QKV (phi3 and friends): rows [Q | K | V]
@@ -192,9 +197,11 @@ def llama_forward(
             att = att + w["attn_output_bias"]
         if "post_attn_norm" in w:
             att = rms_norm(att, w["post_attn_norm"], hp.f_norm_rms_eps)
+        if hp.f_residual_scale:
+            att = att * hp.f_residual_scale
         x = x + att
 
-        h = rms_norm(x, w["ffn_norm"], hp.f_norm_rms_eps)
+        h = norm_fn(x, w["ffn_norm"], w.get("ffn_norm_bias"))
         act_saved = None
         if "ffn_gate_inp" in w:
             # MoE branch (src/models/llama.cpp:110-128: SILU, norm_w=true,
@@ -217,7 +224,7 @@ def llama_forward(
                 up = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
                 act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
                 down = down + _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
-        elif "ffn_gate" not in w:
+        elif hp.ffn_fused_up:
             # fused gate+up (phi3: LLM_FFN_SWIGLU on a 2*n_ff projection;
             # ggml_swiglu: first half activated, second half linear)
             up2 = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
@@ -226,6 +233,20 @@ def llama_forward(
             act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
             act_saved = act
             down = _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
+        elif not hp.ffn_gated:
+            # plain up -> act -> down with biases (starcoder2/gpt2 family,
+            # LLM_FFN_GELU + LLM_FFN_SEQ)
+            up = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
+            if "ffn_up_bias" in w:
+                up = up + w["ffn_up_bias"]
+            if hp.act == "gelu":
+                act = jax.nn.gelu(up.astype(jnp.float32), approximate=True).astype(up.dtype)
+            else:
+                act = jax.nn.silu(up.astype(jnp.float32)).astype(up.dtype)
+            act_saved = act
+            down = _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
+            if "ffn_down_bias" in w:
+                down = down + w["ffn_down_bias"]
         else:
             gate = _linear(h, w["ffn_gate"], lmeta.get("ffn_gate"))
             up = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
@@ -238,6 +259,8 @@ def llama_forward(
             down = _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
         if "post_ffn_norm" in w:
             down = rms_norm(down, w["post_ffn_norm"], hp.f_norm_rms_eps)
+        if hp.f_residual_scale:
+            down = down * hp.f_residual_scale
         x = x + down
         stats = None
         if collect_imatrix:
@@ -274,9 +297,11 @@ def llama_forward(
     else:
         x, (kv_k, kv_v) = jax.lax.scan(scan_body, x, (layers, kv_k, kv_v), unroll=unroll)
 
-    x = rms_norm(x, params["output_norm"], hp.f_norm_rms_eps)
+    x = norm_fn(x, params["output_norm"], params.get("output_norm_bias"))
     out_w = params.get("output", params["tok_embd"])
     logits = _linear(x, out_w, (quant_meta or {}).get("output"))
+    if hp.final_logit_scale:
+        logits = logits.astype(jnp.float32) * hp.final_logit_scale
     if hp.final_logit_softcap:
         logits = hp.final_logit_softcap * jnp.tanh(
             logits.astype(jnp.float32) / hp.final_logit_softcap

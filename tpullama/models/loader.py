@@ -32,6 +32,7 @@ from .hparams import HParams
 # canonical per-layer tensor suffixes -> param names (src/llama-arch.cpp:312+)
 _LAYER_TENSORS = {
     "attn_norm.weight": "attn_norm",
+    "attn_norm.bias": "attn_norm_bias",
     "attn_q.weight": "attn_q",
     "attn_k.weight": "attn_k",
     "attn_v.weight": "attn_v",
@@ -45,6 +46,9 @@ _LAYER_TENSORS = {
     "attn_q_norm.weight": "attn_q_norm",
     "attn_k_norm.weight": "attn_k_norm",
     "ffn_norm.weight": "ffn_norm",
+    "ffn_norm.bias": "ffn_norm_bias",
+    "ffn_up.bias": "ffn_up_bias",
+    "ffn_down.bias": "ffn_down_bias",
     "ffn_gate.weight": "ffn_gate",
     "ffn_up.weight": "ffn_up",
     "ffn_down.weight": "ffn_down",
@@ -76,6 +80,7 @@ _LAYER_TENSORS = {
 _TOP_TENSORS = {
     "token_embd.weight": "tok_embd",
     "output_norm.weight": "output_norm",
+    "output_norm.bias": "output_norm_bias",
     "output.weight": "output",
     "rope_freqs.weight": "rope_freqs",
 }

@@ -80,6 +80,13 @@ def make_tiny_llama_gguf(
         w.add_u32(f"{arch}.expert_used_count", n_expert_used)
         if arch == "qwen3moe":
             w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
+    if arch == "starcoder2":
+        w.add_f32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    if arch == "granite":
+        w.add_f32(f"{arch}.logit_scale", 8.0)
+        w.add_f32(f"{arch}.residual_scale", 0.5)
+        w.add_f32(f"{arch}.embedding_scale", 12.0)
+        w.add_f32(f"{arch}.attention.scale", 0.0078125)
     if arch in ("gemma3", "gemma2"):
         w.add_u32(f"{arch}.attention.sliding_window", 32)
         w.add_u32(f"{arch}.attention.key_length", head_dim)
@@ -107,6 +114,8 @@ def make_tiny_llama_gguf(
     # norms stay F32 (the reference's 1-D tensor rule, SURVEY.md A.7)
     w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), qtype)
     w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    if arch == "starcoder2":
+        w.add_tensor("output_norm.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
     if not tied_output:
         w.add_tensor("output.weight", mat(n_vocab, n_embd), qtype)
     kv_dim = head_dim * n_head_kv
@@ -125,6 +134,18 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.attn_q.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k.bias", (0.1 * rng.standard_normal(kv_dim)).astype(np.float32), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_v.bias", (0.1 * rng.standard_normal(kv_dim)).astype(np.float32), GGMLType.F32)
+        if arch == "starcoder2":
+            # LLM_NORM biases + qkv/o/ffn biases (llama-model.cpp:4035-4058)
+            def bias(n):
+                return (0.1 * rng.standard_normal(n)).astype(np.float32)
+            w.add_tensor(f"blk.{il}.attn_norm.bias", bias(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_q.bias", bias(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_k.bias", bias(kv_dim), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_v.bias", bias(kv_dim), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_output.bias", bias(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.ffn_norm.bias", bias(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.ffn_up.bias", bias(n_ff), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.ffn_down.bias", bias(n_embd), GGMLType.F32)
         if arch == "gemma3":
             w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(head_dim), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
@@ -148,6 +169,10 @@ def make_tiny_llama_gguf(
         elif arch == "phi3":
             # fused [gate|up] rows, SWIGLU split at runtime
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(2 * n_ff, n_embd), qtype)
+            w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
+        elif arch == "starcoder2":
+            # non-gated GELU FFN
+            w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
         else:
             w.add_tensor(f"blk.{il}.ffn_gate.weight", mat(n_ff, n_embd), qtype)
