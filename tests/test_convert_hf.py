@@ -1,0 +1,143 @@
+"""HF -> GGUF converter tests: the strongest oracle available — the
+converted model's logits must match HF transformers' own forward pass
+bit-for-bit-ish (<=1e-5), which pins down the rope permutation, name
+mapping, and hparam plumbing. Also cross-checks the reference llama-cli
+can load the produced file."""
+
+import json
+import os
+import struct
+import subprocess
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from tpullama.models import load_model  # noqa: E402
+from tpullama.models.llama import llama_forward  # noqa: E402
+from tpullama.tools.convert_hf import convert, parse_spm_model  # noqa: E402
+
+LLAMA_CLI = os.environ.get("TPULLAMA_REF_CLI", "/tmp/refbuild/bin/llama-cli")
+
+
+def _write_bpe_tokenizer(d):
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    vocab = {chr(33 + i): i for i in range(256)}
+    vocab.update({"<s>": 256, "</s>": 257})
+    tok = Tokenizer(models.BPE(vocab=vocab, merges=[]))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.save(str(d) + "/tokenizer.json")
+    json.dump({"add_bos_token": False}, open(str(d) + "/tokenizer_config.json", "w"))
+
+
+def _logits_match(gguf_path, hf_model, ids):
+    import jax.numpy as jnp
+
+    with torch.no_grad():
+        hf_logits = hf_model(torch.tensor([ids])).logits[0].numpy()
+    m = load_model(gguf_path)
+    hp = m.hparams
+    B, T, S = 1, len(ids), 8
+    kv_k = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k), jnp.float32)
+    kv_v = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_v), jnp.float32)
+    toks = jnp.asarray([ids], jnp.int32)
+    pos = jnp.arange(T, dtype=jnp.int32)[None]
+    mask = jnp.where(
+        jnp.arange(S)[None, None, None, :] <= pos[:, None, :, None], 0.0, -1e30
+    ).astype(jnp.float32)
+    mask = jnp.where(jnp.arange(S)[None, None, None, :] < T, mask, -1e30)
+    logits, _ = llama_forward(m.params, hp, toks, pos, kv_k, kv_v, pos, mask)
+    ours = np.asarray(logits[0])
+    assert np.abs(ours - hf_logits).max() < 1e-5
+    assert (ours.argmax(-1) == hf_logits.argmax(-1)).all()
+
+
+def _common_cfg(extra=None):
+    base = dict(
+        vocab_size=300, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    base.update(extra or {})
+    return base
+
+
+@pytest.mark.parametrize("family", ["llama", "qwen3", "phi3"])
+def test_convert_matches_transformers(tmp_path, family):
+    torch.manual_seed(0)
+    if family == "llama":
+        from transformers import LlamaConfig, LlamaForCausalLM
+
+        model = LlamaForCausalLM(LlamaConfig(**_common_cfg())).eval()
+    elif family == "qwen3":
+        from transformers import Qwen3Config, Qwen3ForCausalLM
+
+        model = Qwen3ForCausalLM(Qwen3Config(**_common_cfg())).eval()
+    else:
+        from transformers import Phi3Config, Phi3ForCausalLM
+
+        model = Phi3ForCausalLM(
+            Phi3Config(**_common_cfg(dict(pad_token_id=0, bos_token_id=1,
+                                          eos_token_id=2)))
+        ).eval()
+    d = tmp_path / family
+    model.save_pretrained(str(d))
+    _write_bpe_tokenizer(d)
+    out = str(tmp_path / f"{family}.gguf")
+    convert(str(d), out, outtype="f32", verbose=False)
+    _logits_match(out, model, [5, 99, 200, 7, 42])
+
+
+@pytest.mark.skipif(not os.path.exists(LLAMA_CLI), reason="reference cli not built")
+def test_reference_loads_converted(tmp_path):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(LlamaConfig(**_common_cfg())).eval()
+    d = tmp_path / "m"
+    model.save_pretrained(str(d))
+    _write_bpe_tokenizer(d)
+    out = str(tmp_path / "m.gguf")
+    convert(str(d), out, outtype="f16", verbose=False)
+    r = subprocess.run(
+        [LLAMA_CLI, "-m", out, "-p", "abc", "-n", "4", "--temp", "0",
+         "-no-cnv", "--no-warmup"],
+        capture_output=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+
+
+def test_spm_proto_parser(tmp_path):
+    """Hand-encode a minimal sentencepiece ModelProto and parse it."""
+
+    def varint(x):
+        out = b""
+        while True:
+            b7 = x & 0x7F
+            x >>= 7
+            out += bytes([b7 | (0x80 if x else 0)])
+            if not x:
+                return out
+
+    def piece(text, score, ptype):
+        body = b"\x0a" + varint(len(text.encode())) + text.encode()
+        body += b"\x15" + struct.pack("<f", score)
+        body += b"\x18" + varint(ptype)
+        return b"\x0a" + varint(len(body)) + body
+
+    blob = piece("<unk>", 0.0, 2) + piece("<s>", 0.0, 3) + piece("hello", -2.5, 1)
+    p = tmp_path / "tokenizer.model"
+    p.write_bytes(blob)
+    pieces = parse_spm_model(str(p))
+    assert pieces == [("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("hello", -2.5, 1)]
+
+
+def test_unsupported_arch_raises(tmp_path):
+    d = tmp_path / "x"
+    d.mkdir()
+    json.dump({"architectures": ["FrobnicatorForCausalLM"]}, open(d / "config.json", "w"))
+    with pytest.raises(NotImplementedError, match="Frobnicator"):
+        convert(str(d), str(tmp_path / "x.gguf"))

@@ -1,0 +1,371 @@
+"""HF checkpoint -> GGUF converter (convert_hf_to_gguf.py analog).
+
+Supported families this round: llama/mistral (incl. GQA + rope scaling),
+qwen2, qwen3, phi3 (fused qkv / gate_up). Tensors come from
+*.safetensors (sharded or single) or pytorch_model*.bin; the tokenizer
+from tokenizer.model (SentencePiece — parsed with a built-in minimal
+protobuf reader, no sentencepiece dependency) or tokenizer.json (HF
+fast/BPE).
+
+Reference anchors: convert_hf_to_gguf.py LlamaModel.permute (line 2416),
+MODEL_ARCH tensor name tables (gguf-py/gguf/constants.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import struct
+import sys
+
+import numpy as np
+
+from ..gguf import GGMLType, GGUFWriter, quantize
+
+# ------------------------------------------------------------------ vocab
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        b = buf[i]
+        i += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, i
+        shift += 7
+
+
+def parse_spm_model(path: str):
+    """Minimal sentencepiece ModelProto reader: extracts the `pieces`
+    list (field 1: SentencePiece {1: piece, 2: score, 3: type})."""
+    data = open(path, "rb").read()
+    pieces = []
+    i = 0
+    n = len(data)
+    while i < n:
+        tag, i = _read_varint(data, i)
+        field, wire = tag >> 3, tag & 7
+        if field == 1 and wire == 2:  # repeated SentencePiece
+            ln, i = _read_varint(data, i)
+            sub = data[i : i + ln]
+            i += ln
+            piece, score, ptype = "", 0.0, 1
+            j = 0
+            while j < len(sub):
+                t2, j = _read_varint(sub, j)
+                f2, w2 = t2 >> 3, t2 & 7
+                if f2 == 1 and w2 == 2:
+                    l2, j = _read_varint(sub, j)
+                    piece = sub[j : j + l2].decode("utf-8", errors="replace")
+                    j += l2
+                elif f2 == 2 and w2 == 5:
+                    score = struct.unpack("<f", sub[j : j + 4])[0]
+                    j += 4
+                elif f2 == 3 and w2 == 0:
+                    ptype, j = _read_varint(sub, j)
+                else:  # skip unknown
+                    if w2 == 0:
+                        _, j = _read_varint(sub, j)
+                    elif w2 == 2:
+                        l2, j = _read_varint(sub, j)
+                        j += l2
+                    elif w2 == 5:
+                        j += 4
+                    elif w2 == 1:
+                        j += 8
+            pieces.append((piece, score, ptype))
+        else:
+            if wire == 0:
+                _, i = _read_varint(data, i)
+            elif wire == 2:
+                ln, i = _read_varint(data, i)
+                i += ln
+            elif wire == 5:
+                i += 4
+            elif wire == 1:
+                i += 8
+    return pieces
+
+
+# sentencepiece type -> gguf token type
+# (NORMAL=1 UNKNOWN=2 CONTROL=3 USER_DEFINED=4 UNUSED=5 BYTE=6)
+_SPM_TYPE = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6}
+
+
+def _pad_vocab(tokens, types, scores, n_vocab):
+    """Pad to the model's embedding-row count with [PAD{i}] UNUSED tokens
+    (the reference converter's pad_vocab behavior) — llama.cpp requires
+    len(tokens) == token_embd rows."""
+    while len(tokens) < n_vocab:
+        tokens.append(f"[PAD{len(tokens)}]")
+        types.append(5)  # UNUSED
+        if scores is not None:
+            scores.append(-1000.0)
+
+
+def write_vocab(w: GGUFWriter, model_dir: str, arch: str, config: dict, pre: str):
+    spm = os.path.join(model_dir, "tokenizer.model")
+    tok_json = os.path.join(model_dir, "tokenizer.json")
+    tcfg = {}
+    tcfg_path = os.path.join(model_dir, "tokenizer_config.json")
+    if os.path.exists(tcfg_path):
+        tcfg = json.load(open(tcfg_path))
+
+    if os.path.exists(spm):
+        pieces = parse_spm_model(spm)
+        tokens = [p[0] for p in pieces]
+        scores = [p[1] for p in pieces]
+        types = [_SPM_TYPE.get(p[2], 1) for p in pieces]
+        # added_tokens beyond the spm vocab
+        added = os.path.join(model_dir, "added_tokens.json")
+        if os.path.exists(added):
+            for txt, idx in sorted(json.load(open(added)).items(), key=lambda kv: kv[1]):
+                if idx >= len(tokens):
+                    tokens.append(txt)
+                    scores.append(-1000.0)
+                    types.append(4)
+        _pad_vocab(tokens, types, scores, int(config.get("vocab_size", 0)))
+        w.add_str("tokenizer.ggml.model", "llama")
+        w.add_str("tokenizer.ggml.pre", "default")
+        w.add_array("tokenizer.ggml.tokens", tokens)
+        w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+        w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+        w.add_bool("tokenizer.ggml.add_bos_token", bool(tcfg.get("add_bos_token", True)))
+        w.add_bool("tokenizer.ggml.add_eos_token", bool(tcfg.get("add_eos_token", False)))
+    elif os.path.exists(tok_json):
+        tj = json.load(open(tok_json))
+        model = tj.get("model", {})
+        if model.get("type") != "BPE":
+            raise NotImplementedError(f"tokenizer.json model type {model.get('type')!r}")
+        vocab = model["vocab"]  # token -> id
+        by_id = sorted(vocab.items(), key=lambda kv: kv[1])
+        tokens = [t for t, _ in by_id]
+        types = [1] * len(tokens)
+        for at in tj.get("added_tokens", []):
+            i = at["id"]
+            while i >= len(tokens):
+                tokens.append("")
+                types.append(1)
+            tokens[i] = at["content"]
+            types[i] = 3 if at.get("special") else 4
+        _pad_vocab(tokens, types, None, int(config.get("vocab_size", 0)))
+        merges = model.get("merges", [])
+        if merges and not isinstance(merges[0], str):
+            merges = [" ".join(m) for m in merges]
+        w.add_str("tokenizer.ggml.model", "gpt2")
+        w.add_str("tokenizer.ggml.pre", pre)
+        w.add_array("tokenizer.ggml.tokens", tokens)
+        w.add_array(
+            "tokenizer.ggml.token_type", np.asarray(types, np.int32)
+        )
+        w.add_array("tokenizer.ggml.merges", merges)
+        w.add_bool("tokenizer.ggml.add_bos_token", bool(tcfg.get("add_bos_token", False)))
+        w.add_bool("tokenizer.ggml.add_eos_token", bool(tcfg.get("add_eos_token", False)))
+    else:
+        raise FileNotFoundError("no tokenizer.model or tokenizer.json found")
+
+    for key, cfg_key in (
+        ("tokenizer.ggml.bos_token_id", "bos_token_id"),
+        ("tokenizer.ggml.eos_token_id", "eos_token_id"),
+        ("tokenizer.ggml.padding_token_id", "pad_token_id"),
+    ):
+        v = config.get(cfg_key)
+        if isinstance(v, list):
+            v = v[0] if v else None
+        if v is not None:
+            w.add_u32(key, int(v))
+    if "chat_template" in tcfg and isinstance(tcfg["chat_template"], str):
+        w.add_str("tokenizer.chat_template", tcfg["chat_template"])
+
+
+# ---------------------------------------------------------------- tensors
+
+
+def iter_hf_tensors(model_dir: str):
+    """Yield (name, numpy f32 array) from safetensors shards or torch bins."""
+    idx = os.path.join(model_dir, "model.safetensors.index.json")
+    single = os.path.join(model_dir, "model.safetensors")
+    if os.path.exists(idx) or os.path.exists(single):
+        from safetensors import safe_open
+
+        if os.path.exists(idx):
+            files = sorted(set(json.load(open(idx))["weight_map"].values()))
+        else:
+            files = ["model.safetensors"]
+        for fn in files:
+            with safe_open(os.path.join(model_dir, fn), framework="np") as f:
+                for name in f.keys():
+                    yield name, np.asarray(f.get_tensor(name), dtype=np.float32)
+        return
+    bins = sorted(
+        f for f in os.listdir(model_dir)
+        if re.match(r"pytorch_model.*\.bin$", f)
+    )
+    if not bins:
+        raise FileNotFoundError("no model.safetensors or pytorch_model*.bin")
+    import torch
+
+    for fn in bins:
+        sd = torch.load(os.path.join(model_dir, fn), map_location="cpu", weights_only=True)
+        for name, t in sd.items():
+            yield name, t.to(torch.float32).numpy()
+
+
+def permute_rope(w: np.ndarray, n_head: int) -> np.ndarray:
+    """HF interleaved -> GGUF half-split rope row order
+    (convert_hf_to_gguf.py:2416 LlamaModel.permute)."""
+    return (
+        w.reshape(n_head, 2, w.shape[0] // n_head // 2, *w.shape[1:])
+        .swapaxes(1, 2)
+        .reshape(w.shape)
+    )
+
+
+# HF name -> gguf name; {bid} substituted
+_NAME_MAP = [
+    (r"^model\.embed_tokens\.weight$", "token_embd.weight"),
+    (r"^model\.norm\.weight$", "output_norm.weight"),
+    (r"^lm_head\.weight$", "output.weight"),
+    (r"^model\.layers\.(\d+)\.input_layernorm\.weight$", "blk.{bid}.attn_norm.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.q_proj\.(weight|bias)$", "blk.{bid}.attn_q.{suf}"),
+    (r"^model\.layers\.(\d+)\.self_attn\.k_proj\.(weight|bias)$", "blk.{bid}.attn_k.{suf}"),
+    (r"^model\.layers\.(\d+)\.self_attn\.v_proj\.(weight|bias)$", "blk.{bid}.attn_v.{suf}"),
+    (r"^model\.layers\.(\d+)\.self_attn\.o_proj\.weight$", "blk.{bid}.attn_output.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.q_norm\.weight$", "blk.{bid}.attn_q_norm.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.k_norm\.weight$", "blk.{bid}.attn_k_norm.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.qkv_proj\.weight$", "blk.{bid}.attn_qkv.weight"),
+    (r"^model\.layers\.(\d+)\.post_attention_layernorm\.weight$", "blk.{bid}.ffn_norm.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.gate_proj\.weight$", "blk.{bid}.ffn_gate.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.up_proj\.weight$", "blk.{bid}.ffn_up.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.down_proj\.weight$", "blk.{bid}.ffn_down.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.gate_up_proj\.weight$", "blk.{bid}.ffn_up.weight"),
+]
+
+_ARCH_MAP = {
+    "LlamaForCausalLM": "llama",
+    "MistralForCausalLM": "llama",
+    "Qwen2ForCausalLM": "qwen2",
+    "Qwen3ForCausalLM": "qwen3",
+    "Phi3ForCausalLM": "phi3",
+}
+
+_PRE_BY_ARCH = {"qwen2": "qwen2", "qwen3": "qwen2", "llama": "llama-bpe"}
+
+OUTTYPES = {
+    "f32": GGMLType.F32,
+    "f16": GGMLType.F16,
+    "bf16": GGMLType.BF16,
+    "q8_0": GGMLType.Q8_0,
+}
+
+
+def convert(model_dir: str, outfile: str, outtype: str = "f16",
+            pre: str | None = None, verbose: bool = True) -> dict:
+    config = json.load(open(os.path.join(model_dir, "config.json")))
+    archs = config.get("architectures", [])
+    hf_arch = archs[0] if archs else ""
+    if hf_arch not in _ARCH_MAP:
+        raise NotImplementedError(f"architecture {hf_arch!r} not supported yet")
+    arch = _ARCH_MAP[hf_arch]
+    qt = OUTTYPES[outtype]
+
+    n_embd = int(config["hidden_size"])
+    n_head = int(config["num_attention_heads"])
+    n_head_kv = int(config.get("num_key_value_heads", n_head))
+    n_layer = int(config["num_hidden_layers"])
+    head_dim = int(config.get("head_dim") or n_embd // n_head)
+
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", os.path.basename(os.path.abspath(model_dir)))
+    w.add_u32("general.file_type", {GGMLType.F32: 0, GGMLType.F16: 1,
+                                    GGMLType.BF16: 32, GGMLType.Q8_0: 7}[qt])
+    w.add_u32(f"{arch}.context_length", int(config.get("max_position_embeddings", 2048)))
+    w.add_u32(f"{arch}.embedding_length", n_embd)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_u32(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add_u32(f"{arch}.attention.head_count", n_head)
+    w.add_u32(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_u32(f"{arch}.rope.dimension_count", head_dim)
+    if config.get("head_dim"):
+        w.add_u32(f"{arch}.attention.key_length", head_dim)
+        w.add_u32(f"{arch}.attention.value_length", head_dim)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon",
+              float(config.get("rms_norm_eps", 1e-5)))
+    w.add_f32(f"{arch}.rope.freq_base", float(config.get("rope_theta", 10000.0)))
+    w.add_u32(f"{arch}.vocab_size", int(config["vocab_size"]))
+    rs = config.get("rope_scaling") or {}
+    rs_type = rs.get("rope_type", rs.get("type", ""))
+    if rs_type in ("linear", "yarn"):
+        w.add_str(f"{arch}.rope.scaling.type", rs_type)
+        w.add_f32(f"{arch}.rope.scaling.factor", float(rs.get("factor", 1.0)))
+        if rs_type == "yarn":
+            w.add_u32(f"{arch}.rope.scaling.original_context_length",
+                      int(rs.get("original_max_position_embeddings", 0)))
+
+    write_vocab(w, model_dir, arch, config,
+                pre or _PRE_BY_ARCH.get(arch, "default"))
+
+    # llama (NORM rope) needs HF->gguf q/k row permutation; NEOX archs don't
+    permute_qk = arch == "llama"
+    stats = {"tensors": 0, "bytes": 0}
+    seen_output = False
+    for name, data in iter_hf_tensors(model_dir):
+        gname = None
+        for pat, repl in _NAME_MAP:
+            m = re.match(pat, name)
+            if m:
+                gname = repl.format(
+                    bid=m.group(1) if m.groups() else "",
+                    suf=m.groups()[-1] if len(m.groups()) > 1 else "weight",
+                )
+                break
+        if gname is None:
+            if verbose:
+                print(f"skip {name}", file=sys.stderr)
+            continue
+        if permute_qk and ".attn_q." in gname:
+            data = permute_rope(data, n_head)
+        elif permute_qk and ".attn_k." in gname:
+            data = permute_rope(data, n_head_kv)
+        if gname == "output.weight":
+            seen_output = True
+        # 1-D stays f32 (the reference's quantization rule)
+        tt = qt if data.ndim >= 2 else GGMLType.F32
+        if tt != GGMLType.F32 and data.shape[-1] % 32 != 0:
+            tt = GGMLType.F32
+        raw = quantize(data, tt) if tt != GGMLType.F32 else None
+        if raw is not None:
+            w.add_tensor(gname, np.empty(data.shape), ggml_type=tt, raw=raw)
+        else:
+            w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
+        stats["tensors"] += 1
+        stats["bytes"] += data.nbytes
+        if verbose:
+            print(f"{name:60s} -> {gname:30s} {tt.name}", file=sys.stderr)
+    if not seen_output and config.get("tie_word_embeddings"):
+        pass  # loader falls back to tok_embd (TENSOR_DUPLICATED analog)
+    w.write(outfile)
+    if verbose:
+        print(f"wrote {outfile} ({stats['tensors']} tensors)", file=sys.stderr)
+    return stats
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tpullama-convert-hf", description=__doc__)
+    ap.add_argument("model_dir")
+    ap.add_argument("--outfile", required=True)
+    ap.add_argument("--outtype", default="f16", choices=sorted(OUTTYPES))
+    ap.add_argument("--pre", default=None, help="override tokenizer.ggml.pre")
+    ap.add_argument("-q", "--quiet", action="store_true")
+    a = ap.parse_args(argv)
+    convert(a.model_dir, a.outfile, a.outtype, a.pre, verbose=not a.quiet)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
