@@ -138,3 +138,66 @@ def test_greedy_matches_reference(tiny):
         else:
             b += m.vocab.token_to_piece(t, special=False).encode()
     assert bytes(b) == ref, f"ours={bytes(b)!r} ref={ref!r}"
+
+
+# ----------------------------------------------------------------- mamba2
+
+@pytest.fixture(scope="module")
+def tiny2(tmp_path_factory):
+    from tpullama.models.testing import make_tiny_mamba2_gguf
+
+    path = str(tmp_path_factory.mktemp("mamba2") / "m2.gguf")
+    make_tiny_mamba2_gguf(path, seed=4)
+    return path, load_model(path)
+
+
+def test_mamba2_hparams(tiny2):
+    _, m = tiny2
+    hp = m.hparams
+    assert hp.arch == "mamba2" and hp.is_recurrent
+    assert hp.ssm_n_group == 2 and hp.ssm_dt_rank == hp.ssm_d_inner // 16
+    assert "ssm_norm" in m.params["layers"]
+
+
+def test_mamba2_chunked_equals_stepwise(tiny2):
+    import jax.numpy as jnp
+
+    _, m = tiny2
+    hp = m.hparams
+    toks = jnp.asarray([[1, 5, 9, 12, 7, 30]], jnp.int32)
+    conv, ssm = init_states(hp, 1)
+    full, _ = mamba_forward(m.params, hp, toks, conv, ssm)
+    full_last = np.asarray(full[0, -1])
+    conv, ssm = init_states(hp, 1)
+    for t in range(toks.shape[1]):
+        lt, (conv, ssm) = mamba_forward(m.params, hp, toks[:, t : t + 1], conv, ssm)
+    np.testing.assert_allclose(np.asarray(lt[0, -1]), full_last, atol=2e-5)
+
+
+@needs_cli
+def test_mamba2_greedy_matches_reference(tiny2):
+    path, m = tiny2
+    PROMPT = "Once upon a time"
+    r = subprocess.run(
+        [LLAMA_CLI, "-m", path, "-p", PROMPT, "-n", "20", "--temp", "0",
+         "-no-cnv", "--no-warmup"],
+        capture_output=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = r.stdout
+    idx = data.find(PROMPT.encode())
+    ref = data[idx + len(PROMPT.encode()) :].rstrip(b"\n")
+
+    from tpullama.tokenizer.vocab import TokenAttr
+    from tpullama.runtime import make_context
+
+    ctx = make_context(m, ContextParams(n_ctx=128))
+    out = ctx.generate(m.vocab.tokenize(PROMPT, add_special=True), n_predict=20)
+    b = bytearray()
+    for t in out:
+        d = m.vocab.id_to_token[t]
+        if d.attr & TokenAttr.BYTE:
+            b.append(int(d.text[3:5], 16))
+        else:
+            b += m.vocab.token_to_piece(t, special=False).encode()
+    assert bytes(b).replace(b"\0", b"") == ref.replace(b"\0", b"")

@@ -72,6 +72,7 @@ _LAYER_TENSORS = {
     "ssm_a": "ssm_a",
     "ssm_d": "ssm_d",
     "ssm_out.weight": "ssm_out",
+    "ssm_norm.weight": "ssm_norm",
     "ssm_dt_norm.weight": "ssm_dt_norm",
     "ssm_b_norm.weight": "ssm_b_norm",
     "ssm_c_norm.weight": "ssm_c_norm",

@@ -72,9 +72,16 @@ def _selective_scan(ssm_state, x, dt, A, B, C, last_idx=None):
     B, C: (Bt, T, d_state); last_idx: scalar int32 state-snapshot token.
     Returns (y (Bt, T, d_inner), new_state)."""
     dt_sp = _softplus(dt)  # (Bt, T, d)
-    # per-step decay and drive, shapes (Bt, T, d_inner, d_state)
+    # per-step decay and drive, shapes (Bt, T, d_inner, d_state).
+    # B/C may be (Bt, T, d_state) (mamba-1, single group) or already
+    # expanded per-channel (Bt, T, d_inner, d_state) (mamba-2 groups).
+    if B.ndim == 3:
+        B = B[:, :, None, :]
+        C_e = C
+    else:
+        C_e = None
     a = jnp.exp(dt_sp[..., None] * A[None, None])
-    bx = (dt_sp * x)[..., None] * B[:, :, None, :]
+    bx = (dt_sp * x)[..., None] * B
 
     if x.shape[1] == 1:
         h = ssm_state[:, None] * a + bx  # (Bt, 1, d, s)
@@ -89,7 +96,10 @@ def _selective_scan(ssm_state, x, dt, A, B, C, last_idx=None):
             return al * ar, ar * bl + br
 
         _, h = jax.lax.associative_scan(combine, (a, bx), axis=1)
-    y = jnp.einsum("btds,bts->btd", h, C)
+    if C_e is not None:
+        y = jnp.einsum("btds,bts->btd", h, C_e)
+    else:
+        y = jnp.einsum("btds,btds->btd", h, C)
     if last_idx is None:
         h_out = h[:, -1]
     else:
@@ -143,6 +153,65 @@ def _mamba_layer(x, lp, conv_state, ssm_state, hp: HParams, quant_meta=None,
     return lin(y, "ssm_out"), conv_state, ssm_state
 
 
+def _mamba2_layer(x, lp, conv_state, ssm_state, hp: HParams, quant_meta=None,
+                  last_idx=None):
+    """One mamba-2 block (build_mamba2_layer): fused z/xBC/dt projection,
+    conv over x+B+C channels, per-head scalar decay, grouped RMS norm."""
+    qm = quant_meta or {}
+
+    def lin(h, name):
+        return _linear(h, lp[name], qm.get(name))
+
+    d_inner = hp.ssm_d_inner
+    d_state = hp.ssm_d_state
+    n_head = hp.ssm_dt_rank
+    head_dim = d_inner // n_head
+    G = hp.ssm_n_group
+    d_xbc = d_inner + 2 * G * d_state
+
+    zxbcdt = lin(x, "ssm_in")  # (B, T, 2*d_inner + 2*G*ds + n_head)
+    z = zxbcdt[..., :d_inner]
+    xbc = zxbcdt[..., d_inner : d_inner + d_xbc]
+    dt = zxbcdt[..., d_inner + d_xbc :]  # (B, T, n_head)
+
+    xbc, conv_state = _causal_conv(
+        xbc, conv_state, lp["ssm_conv1d"], lp["ssm_conv1d_b"], last_idx
+    )
+    xbc = jax.nn.silu(xbc)
+
+    xi = xbc[..., :d_inner]
+    Bm = xbc[..., d_inner : d_inner + G * d_state]
+    Cm = xbc[..., d_inner + G * d_state :]
+    Bt, T = xi.shape[0], xi.shape[1]
+
+    dt = (dt + lp["ssm_dt_b"][None, None, :]).astype(jnp.float32)
+    # expand per-head quantities to per-channel for the shared scan:
+    # dt, A, D repeat head_dim times; B/C repeat (d_inner/G) times per group
+    dt_full = jnp.repeat(dt, head_dim, axis=-1)  # (B, T, d_inner)
+    A = lp["ssm_a"].astype(jnp.float32).reshape(n_head)  # scalar per head
+    A_full = jnp.broadcast_to(
+        jnp.repeat(A, head_dim)[:, None], (d_inner, d_state)
+    )
+    Bg = Bm.astype(jnp.float32).reshape(Bt, T, G, d_state)
+    Cg = Cm.astype(jnp.float32).reshape(Bt, T, G, d_state)
+    B_full = jnp.repeat(Bg, d_inner // G, axis=2)  # (B, T, d_inner, ds)
+    C_full = jnp.repeat(Cg, d_inner // G, axis=2)
+
+    y, ssm_state = _selective_scan(
+        ssm_state, xi.astype(jnp.float32), dt_full, A_full, B_full, C_full,
+        last_idx,
+    )
+    D = jnp.repeat(lp["ssm_d"].astype(jnp.float32).reshape(n_head), head_dim)
+    y = y + xi.astype(jnp.float32) * D[None, None, :]
+    y = y * jax.nn.silu(z.astype(jnp.float32))
+    if "ssm_norm" in lp:
+        # grouped RMS norm: weight (G, d_inner/G), per-group normalization
+        yg = y.reshape(Bt, T, G, d_inner // G)
+        yg = rms_norm(yg, eps=hp.f_norm_rms_eps) * lp["ssm_norm"].astype(jnp.float32)[None, None]
+        y = yg.reshape(Bt, T, d_inner)
+    return lin(y.astype(x.dtype), "ssm_out"), conv_state, ssm_state
+
+
 def mamba_forward(
     params,
     hp: HParams,
@@ -162,10 +231,12 @@ def mamba_forward(
     layers = params["layers"]
     lq = (quant_meta or {}).get("layers", {})
 
+    layer_fn = _mamba2_layer if hp.arch in ("mamba2", "falcon-mamba2") else _mamba_layer
+
     def scan_body(h, layer):
         lp, cs, ss = layer
         hin = rms_norm(h, lp["attn_norm"], eps=hp.f_norm_rms_eps)
-        out, cs, ss = _mamba_layer(hin, lp, cs, ss, hp, lq, last_idx)
+        out, cs, ss = layer_fn(hin, lp, cs, ss, hp, lq, last_idx)
         return h + out, (cs, ss)
 
     unroll = int(os.environ.get("TPULLAMA_SCAN_UNROLL", 1))
@@ -182,9 +253,12 @@ def mamba_forward(
 
 
 def init_states(hp: HParams, n_seqs: int, dtype=jnp.float32):
-    """Zero recurrent state cells (llama_memory_recurrent init)."""
-    conv = jnp.zeros(
-        (hp.n_layer, n_seqs, hp.ssm_d_conv - 1, hp.ssm_d_inner), dtype
-    )
+    """Zero recurrent state cells (llama_memory_recurrent init).
+    mamba-2 convolves over the x+B+C channels, so its conv cell is wider
+    (hparams.n_embd_r analog)."""
+    conv_w = hp.ssm_d_inner
+    if hp.arch in ("mamba2", "falcon-mamba2"):
+        conv_w = hp.ssm_d_inner + 2 * hp.ssm_n_group * hp.ssm_d_state
+    conv = jnp.zeros((hp.n_layer, n_seqs, hp.ssm_d_conv - 1, conv_w), dtype)
     ssm = jnp.zeros((hp.n_layer, n_seqs, hp.ssm_d_inner, hp.ssm_d_state), dtype)
     return conv, ssm

@@ -254,3 +254,82 @@ def make_tiny_mamba_gguf(
         w.add_tensor(p + "ssm_out.weight", mat(n_embd, d_inner), GGMLType.F32)
     w.write(path)
     return path, n_vocab
+
+
+def make_tiny_mamba2_gguf(
+    path,
+    n_embd: int = 64,
+    n_layer: int = 2,
+    d_state: int = 32,
+    d_conv: int = 4,
+    head_dim: int = 16,
+    n_group: int = 2,
+    seed: int = 0,
+):
+    """Write a random tiny mamba2 GGUF (converter Mamba2Model key set;
+    tensor shapes per llama-model.cpp LLM_ARCH_MAMBA2)."""
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    d_inner = 2 * n_embd
+    n_head = d_inner // head_dim
+    d_xbc = d_inner + 2 * n_group * d_state
+    d_in_proj = 2 * d_inner + 2 * n_group * d_state + n_head
+
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "mamba2")
+    w.add_str("general.name", "tiny-test-mamba2")
+    w.add_u32("mamba2.context_length", 1 << 20)
+    w.add_u32("mamba2.embedding_length", n_embd)
+    w.add_u32("mamba2.feed_forward_length", 0)
+    w.add_u32("mamba2.attention.head_count", 0)
+    w.add_u32("mamba2.block_count", n_layer)
+    w.add_u32("mamba2.ssm.conv_kernel", d_conv)
+    w.add_u32("mamba2.ssm.inner_size", d_inner)
+    w.add_u32("mamba2.ssm.state_size", d_state)
+    w.add_u32("mamba2.ssm.time_step_rank", n_head)
+    w.add_u32("mamba2.ssm.group_count", n_group)
+    w.add_f32("mamba2.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_u32("mamba2.vocab_size", n_vocab)
+    w.add_str("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.bos_token_id", 1)
+    w.add_u32("tokenizer.ggml.eos_token_id", 2)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 0)
+    w.add_bool("tokenizer.ggml.add_bos_token", True)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        w.add_tensor(p + "attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ssm_in.weight", mat(d_in_proj, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ssm_conv1d.weight", mat(d_xbc, d_conv, 0.3), GGMLType.F32)
+        w.add_tensor(p + "ssm_conv1d.bias",
+                     (0.1 * rng.standard_normal(d_xbc)).astype(np.float32), GGMLType.F32)
+        w.add_tensor(p + "ssm_dt.bias",
+                     (-3.0 + rng.standard_normal(n_head)).astype(np.float32), GGMLType.F32)
+        # per-head scalar A < 0; ggml ne {1, n_head} == numpy (n_head, 1)
+        w.add_tensor(p + "ssm_a",
+                     -np.exp(rng.uniform(0.0, 2.0, size=(n_head, 1))).astype(np.float32),
+                     GGMLType.F32)
+        w.add_tensor(p + "ssm_d",
+                     (1.0 + 0.1 * rng.standard_normal((n_head, 1))).astype(np.float32),
+                     GGMLType.F32)
+        # grouped norm weight: ggml {d_inner/G, G} == numpy (G, d_inner/G)
+        w.add_tensor(p + "ssm_norm.weight",
+                     norm_w((n_group, d_inner // n_group)), GGMLType.F32)
+        w.add_tensor(p + "ssm_out.weight", mat(n_embd, d_inner), GGMLType.F32)
+    w.write(path)
+    return path, n_vocab
