@@ -141,12 +141,12 @@ def test_qwen2_matches_reference(tmp_path):
 
 
 @needs_cli
-@needs_cli
-@pytest.mark.parametrize("arch", ["qwen3", "phi3", "granite", "starcoder2"])
+@pytest.mark.parametrize("arch", ["qwen3", "phi3", "granite", "starcoder2", "olmo2"])
 def test_new_archs_match_reference(tmp_path, arch):
     """qwen3: per-head q/k rms norm; phi3: fused qkv + fused swiglu;
     granite: embd/residual/attention/logit scales; starcoder2: LayerNorm
-    with biases + non-gated GELU FFN.
+    with biases + non-gated GELU FFN; olmo2: post-norm blocks + full-width
+    q/k norm.
 
     NUL bytes are stripped on both sides: llama-cli prints pieces with
     printf, so a generated <0x00> byte token produces no output there."""

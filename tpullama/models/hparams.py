@@ -56,6 +56,8 @@ class HParams:
     embd_scale: float = 0.0  # scale token embeddings (gemma: sqrt(n_embd))
     act: str = "silu"
     norm_type: str = "rms"  # "rms" (LLM_NORM_RMS) | "layer" (LLM_NORM)
+    pre_norm: bool = True  # False: olmo2-style post-norm-only blocks
+    qk_norm_full: bool = False  # q/k norm over full width pre-reshape (olmo2)
     ffn_gated: bool = True  # gated GLU vs plain up->act->down
     ffn_fused_up: bool = False  # phi3: [gate|up] fused in ffn_up
     f_residual_scale: float = 0.0  # granite residual multiplier
@@ -164,6 +166,10 @@ class HParams:
         # per-arch specialization (llama_model::load_hparams analogs)
         if arch in ("phi3", "phimoe"):
             hp.ffn_fused_up = True
+        if arch in ("olmo2", "olmo3"):
+            # post-norm blocks, full-width q/k norm (llm_build_olmo2)
+            hp.pre_norm = False
+            hp.qk_norm_full = True
         if arch == "starcoder2":
             # LLM_NORM with biases, plain GELU FFN (llm_build_starcoder2)
             hp.norm_type = "layer"

@@ -117,7 +117,7 @@ def llama_forward(
         x, k_cache, v_cache = carry
         w = layer
 
-        h = norm_fn(x, w["attn_norm"], w.get("attn_norm_bias"))
+        h = norm_fn(x, w["attn_norm"], w.get("attn_norm_bias")) if hp.pre_norm else x
         h_attn = h
         if "attn_qkv" in w:
             # fused QKV (phi3 and friends): rows [Q | K | V]
@@ -137,10 +137,14 @@ def llama_forward(
                 q = q + w["attn_q_bias"]
                 k = k + w["attn_k_bias"]
                 v = v + w["attn_v_bias"]
+        if "attn_q_norm" in w and hp.qk_norm_full:
+            # olmo2: q/k RMS norm over the full projection width, pre-reshape
+            q = rms_norm(q, w["attn_q_norm"], hp.f_norm_rms_eps)
+            k = rms_norm(k, w["attn_k_norm"], hp.f_norm_rms_eps)
         q = q.reshape(B, T, Hq, Dk)
         k = k.reshape(B, T, Hkv, Dk)
         v = v.reshape(B, T, Hkv, Dv)
-        if "attn_q_norm" in w:
+        if "attn_q_norm" in w and not hp.qk_norm_full:
             q = rms_norm(q, w["attn_q_norm"], hp.f_norm_rms_eps)
             k = rms_norm(k, w["attn_k_norm"], hp.f_norm_rms_eps)
         if has_swa:
@@ -201,7 +205,7 @@ def llama_forward(
             att = att * hp.f_residual_scale
         x = x + att
 
-        h = norm_fn(x, w["ffn_norm"], w.get("ffn_norm_bias"))
+        h = norm_fn(x, w["ffn_norm"], w.get("ffn_norm_bias")) if hp.pre_norm else x
         act_saved = None
         if "ffn_gate_inp" in w:
             # MoE branch (src/models/llama.cpp:110-128: SILU, norm_w=true,

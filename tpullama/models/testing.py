@@ -120,7 +120,8 @@ def make_tiny_llama_gguf(
         w.add_tensor("output.weight", mat(n_vocab, n_embd), qtype)
     kv_dim = head_dim * n_head_kv
     for il in range(n_layer):
-        w.add_tensor(f"blk.{il}.attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if arch != "olmo2":
+            w.add_tensor(f"blk.{il}.attn_norm.weight", norm_w(n_embd), GGMLType.F32)
         if arch == "phi3":
             # fused [Q|K|V] rows (llama-model.cpp phi3 wqkv)
             w.add_tensor(f"blk.{il}.attn_qkv.weight",
@@ -155,7 +156,14 @@ def make_tiny_llama_gguf(
             # per-head q/k RMS norm, no qkv biases (llm_build_qwen3)
             w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(head_dim), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
-        w.add_tensor(f"blk.{il}.ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if arch == "olmo2":
+            # full-width q/k norms + post norms; no attn_norm/ffn_norm
+            w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(kv_dim), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.post_ffw_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if arch != "olmo2":
+            w.add_tensor(f"blk.{il}.ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
         if n_expert:
             w.add_tensor(f"blk.{il}.ffn_gate_inp.weight", mat(n_expert, n_embd), GGMLType.F32)
             # 3-D stacked expert tensors (numpy (E, n_ff, n_embd) ==
