@@ -81,6 +81,14 @@ class HParams:
     ssm_n_group: int = 0
     ssm_dt_b_c_rms: bool = False
 
+    pooling_type: str = "none"  # %s.pooling_type (llama-arch.cpp:170)
+    causal_attn: bool = True
+
+    @property
+    def is_encoder(self) -> bool:
+        """Bidirectional encoder (no KV cache, embeddings output)."""
+        return self.arch in ("bert", "nomic-bert", "jina-bert-v2", "gemma-embedding")
+
     @property
     def is_recurrent(self) -> bool:
         """Model keeps per-seq recurrent state instead of a KV cache
@@ -164,6 +172,11 @@ class HParams:
         )
 
         # per-arch specialization (llama_model::load_hparams analogs)
+        if arch == "bert":
+            hp.norm_type = "layer"
+            hp.causal_attn = False
+            _POOL = {0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}
+            hp.pooling_type = _POOL.get(int(g("pooling_type", 0) or 0), "none")
         if arch in ("phi3", "phimoe"):
             hp.ffn_fused_up = True
         if arch in ("olmo2", "olmo3"):

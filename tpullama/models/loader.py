@@ -62,6 +62,11 @@ _LAYER_TENSORS = {
     "post_attention_norm.weight": "post_attn_norm",
     "post_ffw_norm.weight": "post_ffn_norm",
     "attn_sinks.weight": "attn_sinks",
+    # BERT-family (llama-arch.cpp:586-604)
+    "attn_output_norm.weight": "attn_out_norm",
+    "attn_output_norm.bias": "attn_out_norm_bias",
+    "layer_output_norm.weight": "layer_out_norm",
+    "layer_output_norm.bias": "layer_out_norm_bias",
     # SSM / mamba (llama-arch.cpp:996-1005; no ".weight" on ssm_a/ssm_d)
     "ssm_in.weight": "ssm_in",
     "ssm_conv1d.weight": "ssm_conv1d",
@@ -80,6 +85,14 @@ _LAYER_TENSORS = {
 
 _TOP_TENSORS = {
     "token_embd.weight": "tok_embd",
+    "token_embd_norm.weight": "token_embd_norm",
+    "token_embd_norm.bias": "token_embd_norm_bias",
+    "token_types.weight": "token_types",
+    "position_embd.weight": "position_embd",
+    "cls.weight": "cls",
+    "cls.bias": "cls_bias",
+    "cls.output.weight": "cls_output",
+    "cls.output.bias": "cls_output_bias",
     "output_norm.weight": "output_norm",
     "output_norm.bias": "output_norm_bias",
     "output.weight": "output",

@@ -341,3 +341,88 @@ def make_tiny_mamba2_gguf(
         w.add_tensor(p + "ssm_out.weight", mat(n_embd, d_inner), GGMLType.F32)
     w.write(path)
     return path, n_vocab
+
+
+def make_tiny_bert_gguf(
+    path,
+    n_embd: int = 64,
+    n_layer: int = 2,
+    n_head: int = 4,
+    n_ff: int = 128,
+    n_ctx: int = 64,
+    rank_head: bool = False,
+    pooling: int = 2,
+    seed: int = 0,
+):
+    """Write a random tiny BERT GGUF (WPM vocab, post-LN encoder;
+    llama-arch.cpp:586-604 tensor set; rank_head adds cls/cls.output)."""
+    tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    for b in range(97, 123):
+        tokens.append(chr(b))
+    for b in range(97, 123):
+        tokens.append("##" + chr(b))
+    types = [3, 2, 3, 3, 3] + [1] * (len(tokens) - 5)
+    n_vocab = len(tokens)
+
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "bert")
+    w.add_str("general.name", "tiny-test-bert")
+    w.add_u32("bert.context_length", n_ctx)
+    w.add_u32("bert.embedding_length", n_embd)
+    w.add_u32("bert.block_count", n_layer)
+    w.add_u32("bert.feed_forward_length", n_ff)
+    w.add_u32("bert.attention.head_count", n_head)
+    w.add_f32("bert.attention.layer_norm_epsilon", 1e-12)
+    w.add_u32("bert.vocab_size", n_vocab)
+    w.add_u32("bert.pooling_type", 4 if rank_head else pooling)
+    w.add_str("tokenizer.ggml.model", "bert")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.bos_token_id", 2)
+    w.add_u32("tokenizer.ggml.eos_token_id", 3)
+    w.add_u32("tokenizer.ggml.seperator_token_id", 3)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 1)
+    w.add_u32("tokenizer.ggml.padding_token_id", 0)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def vec(n, s=0.1):
+        return (s * rng.standard_normal(n)).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.05), GGMLType.F32)
+    w.add_tensor("token_types.weight", mat(2, n_embd, 0.05), GGMLType.F32)
+    w.add_tensor("position_embd.weight", mat(n_ctx, n_embd, 0.05), GGMLType.F32)
+    w.add_tensor("token_embd_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("token_embd_norm.bias", vec(n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        w.add_tensor(p + "attn_q.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_q.bias", vec(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_k.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_k.bias", vec(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_v.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_v.bias", vec(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_output.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_output.bias", vec(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_output_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_output_norm.bias", vec(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.bias", vec(n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.bias", vec(n_embd), GGMLType.F32)
+        w.add_tensor(p + "layer_output_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "layer_output_norm.bias", vec(n_embd), GGMLType.F32)
+    if rank_head:
+        w.add_tensor("cls.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor("cls.bias", vec(n_embd), GGMLType.F32)
+        w.add_tensor("cls.output.weight", mat(1, n_embd), GGMLType.F32)
+        w.add_tensor("cls.output.bias", vec(1), GGMLType.F32)
+    w.write(path)
+    return path, n_vocab

@@ -136,4 +136,8 @@ def make_context(model: LoadedModel, params: ContextParams | None = None):
 
     if model.hparams.is_recurrent:
         return RecurrentContext(model, params)
+    if model.hparams.is_encoder:
+        from .encoder import EncoderContext
+
+        return EncoderContext(model, params)
     return Context(model, params)

@@ -84,7 +84,15 @@ class ServerEngine:
             n_ctx=n_ctx, n_seqs=n_slots, n_ubatch=n_ubatch,
             dtype=dtype or jnp.float32,
         )
-        self.ctx = Context(model, cp)
+        if model.hparams.is_encoder:
+            # encoder-only model: embeddings/rerank served directly
+            from ..runtime.encoder import EncoderContext
+
+            self.encoder = EncoderContext(model, cp)
+            self.ctx = None
+        else:
+            self.ctx = Context(model, cp)
+            self.encoder = None
         self.n_ubatch = n_ubatch
         self.slots = [Slot(i) for i in range(n_slots)]
         self.queue: "queue.Queue[Task]" = queue.Queue()
@@ -136,6 +144,16 @@ class ServerEngine:
 
     def step(self) -> bool:
         """One update_slots iteration. Returns True if any work happened."""
+        if self.ctx is None:
+            # encoder-only model: requests are served synchronously by the
+            # HTTP handlers; fail any queued generation tasks
+            try:
+                task = self.queue.get_nowait()
+                task.error = "this model is an encoder (embeddings/rerank only)"
+                task.done.set()
+                return True
+            except queue.Empty:
+                return False
         worked = self._assign_tasks()
         worked = self._process_prompts() or worked
         worked = self._decode_step() or worked

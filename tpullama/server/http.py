@@ -205,8 +205,9 @@ def make_handler(state: ServerState):
                 hp = engine.model.hparams
                 self._json({
                     "model_path": state.model_name,
-                    "n_ctx": engine.ctx.p.n_ctx * engine.ctx.p.n_seqs,
-                    "n_ctx_per_seq": engine.ctx.p.n_ctx,
+                    "n_ctx": (engine.ctx or engine.encoder).p.n_ctx
+                    * (engine.ctx or engine.encoder).p.n_seqs,
+                    "n_ctx_per_seq": (engine.ctx or engine.encoder).p.n_ctx,
                     "total_slots": len(engine.slots),
                     "model": {"arch": hp.arch, "n_embd": hp.n_embd, "n_layer": hp.n_layer,
                               "n_vocab": hp.n_vocab},
@@ -215,7 +216,7 @@ def make_handler(state: ServerState):
                 self._json([
                     {
                         "id": s.id, "state": s.state.value,
-                        "n_past": int(engine.ctx.n_past[s.id]),
+                        "n_past": int(engine.ctx.n_past[s.id]) if engine.ctx is not None else 0,
                         "task_id": s.task.id if s.task else None,
                     }
                     for s in engine.slots
@@ -223,6 +224,8 @@ def make_handler(state: ServerState):
             elif path == "/metrics":
                 # Prometheus text format (server_metrics analog)
                 m = engine.metrics
+                if engine.ctx is None:
+                    return self._json({"note": "encoder model: no decode metrics"})
                 p = engine.ctx.perf
                 lines = [
                     "# TYPE llamacpp:prompt_tokens_total counter",
@@ -275,6 +278,8 @@ def make_handler(state: ServerState):
                     self._handle_embeddings(body)
                 elif path == "/infill":
                     self._handle_infill(body)
+                elif path in ("/rerank", "/v1/rerank", "/reranking"):
+                    self._handle_rerank(body)
                 else:
                     self._error(f"unknown endpoint {path}", 404)
             except BrokenPipeError:
@@ -287,6 +292,23 @@ def make_handler(state: ServerState):
             single = isinstance(inputs, str)
             if single:
                 inputs = [inputs]
+            if getattr(engine, "encoder", None) is not None:
+                # encoder model: run the bidirectional model directly
+                batch = [vocab.tokenize(t, add_special=True) for t in inputs]
+                embs = engine.encoder.embed_batch(
+                    batch, pooling=body.get("pooling",
+                                            engine.model.hparams.pooling_type or "mean")
+                )
+                self._json({
+                    "object": "list",
+                    "data": [{"object": "embedding", "index": i,
+                              "embedding": [float(x) for x in e]}
+                             for i, e in enumerate(embs)],
+                    "model": state.model_name,
+                    "usage": {"prompt_tokens": sum(len(b) for b in batch),
+                              "total_tokens": sum(len(b) for b in batch)},
+                })
+                return
             data = []
             n_prompt = 0
             for i, text in enumerate(inputs):
@@ -328,6 +350,31 @@ def make_handler(state: ServerState):
             engine.submit(task)
             return task, task.stream_queue
 
+        def _handle_rerank(self, body):
+            """Jina-compatible rerank API (server.cpp handle_rerank)."""
+            enc = getattr(engine, "encoder", None)
+            if enc is None:
+                return self._error(
+                    "reranking requires a rank-pooled encoder model", 501
+                )
+            query = body.get("query")
+            docs = body.get("documents", [])
+            if not isinstance(query, str) or not docs:
+                return self._error("\"query\" and \"documents\" are required")
+            top_n = int(body.get("top_n", len(docs)))
+            scores = enc.rank(query, [str(d) for d in docs])
+            order = sorted(range(len(docs)), key=lambda i: -float(scores[i]))
+            results = [
+                {"index": i, "relevance_score": float(scores[i])}
+                for i in order[:top_n]
+            ]
+            self._json({
+                "model": state.model_name,
+                "object": "list",
+                "results": results,
+                "usage": {"prompt_tokens": 0, "total_tokens": 0},
+            })
+
         def _handle_infill(self, body):
             """Fill-in-middle completion (server.cpp handle_infill)."""
             if vocab.fim_pre_id < 0 or vocab.fim_suf_id < 0 or vocab.fim_mid_id < 0:
@@ -344,7 +391,7 @@ def make_handler(state: ServerState):
                 body.get("input_extra"),
                 n_batch=int(body.get("n_batch", 2048)),
                 n_predict=int(body.get("n_predict", 128)),
-                n_ctx=engine.ctx.p.n_ctx,
+                n_ctx=(engine.ctx or engine.encoder).p.n_ctx,
                 spm_infill=bool(body.get("spm_infill", False)),
                 tokens_prompt=vocab.tokenize(prompt, add_special=False) if prompt else None,
             )

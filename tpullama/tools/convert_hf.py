@@ -115,6 +115,39 @@ def write_vocab(w: GGUFWriter, model_dir: str, arch: str, config: dict, pre: str
     if os.path.exists(tcfg_path):
         tcfg = json.load(open(tcfg_path))
 
+    if arch == "bert":
+        # WordPiece vocab: tokenizer.json (model type WordPiece) or vocab.txt
+        tokens = None
+        if os.path.exists(tok_json):
+            tj = json.load(open(tok_json))
+            model = tj.get("model", {})
+            if model.get("type") == "WordPiece":
+                by_id = sorted(model["vocab"].items(), key=lambda kv: kv[1])
+                tokens = [t for t, _ in by_id]
+                types = [1] * len(tokens)
+                for at in tj.get("added_tokens", []):
+                    if at["id"] < len(tokens) and at.get("special"):
+                        types[at["id"]] = 3
+        if tokens is None and os.path.exists(os.path.join(model_dir, "vocab.txt")):
+            tokens = [l.rstrip("\n") for l in open(os.path.join(model_dir, "vocab.txt"))]
+            types = [3 if t.startswith("[") and t.endswith("]") else 1 for t in tokens]
+        if tokens is None:
+            raise FileNotFoundError("bert: no WordPiece tokenizer.json or vocab.txt")
+        _pad_vocab(tokens, types, None, int(config.get("vocab_size", 0)))
+        w.add_str("tokenizer.ggml.model", "bert")
+        w.add_array("tokenizer.ggml.tokens", tokens)
+        w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+        tok_ids = {t: i for i, t in enumerate(tokens)}
+        for key, txt in (
+            ("tokenizer.ggml.bos_token_id", "[CLS]"),
+            ("tokenizer.ggml.eos_token_id", "[SEP]"),
+            ("tokenizer.ggml.seperator_token_id", "[SEP]"),
+            ("tokenizer.ggml.unknown_token_id", "[UNK]"),
+            ("tokenizer.ggml.padding_token_id", "[PAD]"),
+        ):
+            if txt in tok_ids:
+                w.add_u32(key, tok_ids[txt])
+        return
     if os.path.exists(spm):
         pieces = parse_spm_model(spm)
         tokens = [p[0] for p in pieces]
@@ -245,12 +278,31 @@ _NAME_MAP = [
     (r"^model\.layers\.(\d+)\.mlp\.gate_up_proj\.weight$", "blk.{bid}.ffn_up.weight"),
 ]
 
+_BERT_NAME_MAP = [
+    (r"^(?:bert\.)?embeddings\.word_embeddings\.weight$", "token_embd.weight"),
+    (r"^(?:bert\.)?embeddings\.token_type_embeddings\.weight$", "token_types.weight"),
+    (r"^(?:bert\.)?embeddings\.position_embeddings\.weight$", "position_embd.weight"),
+    (r"^(?:bert\.)?embeddings\.LayerNorm\.(weight|bias)$", "token_embd_norm.{suf}"),
+    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.attention\.self\.query\.(weight|bias)$", "blk.{bid}.attn_q.{suf}"),
+    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.attention\.self\.key\.(weight|bias)$", "blk.{bid}.attn_k.{suf}"),
+    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.attention\.self\.value\.(weight|bias)$", "blk.{bid}.attn_v.{suf}"),
+    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.attention\.output\.dense\.(weight|bias)$", "blk.{bid}.attn_output.{suf}"),
+    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.attention\.output\.LayerNorm\.(weight|bias)$", "blk.{bid}.attn_output_norm.{suf}"),
+    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.intermediate\.dense\.(weight|bias)$", "blk.{bid}.ffn_up.{suf}"),
+    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.output\.dense\.(weight|bias)$", "blk.{bid}.ffn_down.{suf}"),
+    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.output\.LayerNorm\.(weight|bias)$", "blk.{bid}.layer_output_norm.{suf}"),
+    (r"^(?:bert\.)?pooler\.dense\.(weight|bias)$", "cls.{suf}"),
+    (r"^classifier\.(weight|bias)$", "cls.output.{suf}"),
+]
+
 _ARCH_MAP = {
     "LlamaForCausalLM": "llama",
     "MistralForCausalLM": "llama",
     "Qwen2ForCausalLM": "qwen2",
     "Qwen3ForCausalLM": "qwen3",
     "Phi3ForCausalLM": "phi3",
+    "BertModel": "bert",
+    "BertForSequenceClassification": "bert",
 }
 
 _PRE_BY_ARCH = {"qwen2": "qwen2", "qwen3": "qwen2", "llama": "llama-bpe"}
@@ -282,6 +334,54 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
     w = GGUFWriter()
     w.add_str("general.architecture", arch)
     w.add_str("general.name", os.path.basename(os.path.abspath(model_dir)))
+
+    if arch == "bert":
+        w.add_u32("bert.context_length", int(config.get("max_position_embeddings", 512)))
+        w.add_u32("bert.embedding_length", n_embd)
+        w.add_u32("bert.block_count", n_layer)
+        w.add_u32("bert.feed_forward_length", int(config["intermediate_size"]))
+        w.add_u32("bert.attention.head_count", n_head)
+        w.add_f32("bert.attention.layer_norm_epsilon",
+                  float(config.get("layer_norm_eps", 1e-12)))
+        w.add_u32("bert.vocab_size", int(config["vocab_size"]))
+        pool_cfg = os.path.join(model_dir, "1_Pooling", "config.json")
+        pooling = 2  # CLS default
+        if os.path.exists(pool_cfg):
+            pc = json.load(open(pool_cfg))
+            if pc.get("pooling_mode_mean_tokens"):
+                pooling = 1
+        w.add_u32("bert.pooling_type", pooling)
+        write_vocab(w, model_dir, arch, config, pre or "default")
+        qt_b = qt
+        stats = {"tensors": 0, "bytes": 0}
+        for name, data in iter_hf_tensors(model_dir):
+            gname = None
+            for pat, repl in _BERT_NAME_MAP:
+                m = re.match(pat, name)
+                if m:
+                    g = m.groups()
+                    gname = repl.format(
+                        bid=g[0] if g and g[0] and g[0].isdigit() else "",
+                        suf=g[-1] if g else "weight",
+                    )
+                    break
+            if gname is None:
+                if verbose:
+                    print(f"skip {name}", file=sys.stderr)
+                continue
+            tt = qt_b if data.ndim >= 2 and data.shape[-1] % 32 == 0 else GGMLType.F32
+            if tt != GGMLType.F32:
+                w.add_tensor(gname, np.empty(data.shape), ggml_type=tt,
+                             raw=quantize(data, tt))
+            else:
+                w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
+            stats["tensors"] += 1
+            if verbose:
+                print(f"{name:60s} -> {gname:30s} {tt.name}", file=sys.stderr)
+        w.write(outfile)
+        if verbose:
+            print(f"wrote {outfile} ({stats['tensors']} tensors)", file=sys.stderr)
+        return stats
     w.add_u32("general.file_type", {GGMLType.F32: 0, GGMLType.F16: 1,
                                     GGMLType.BF16: 32, GGMLType.Q8_0: 7}[qt])
     w.add_u32(f"{arch}.context_length", int(config.get("max_position_embeddings", 2048)))
