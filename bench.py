@@ -121,10 +121,18 @@ def main():
     np.asarray(toks)
     compile_s = time.time() - t0
 
-    t0 = time.time()
-    toks2, kv_k2, kv_v2 = fn(params, kv_k, kv_v, jnp.int32(2), jnp.int32(N_STEPS), N_STEPS)
-    np.asarray(toks2)
-    dt = time.time() - t0
+    # best-of-N: the tunneled TPU service has noticeable run-to-run
+    # variance; report the best steady-state measurement
+    n_iters = int(os.environ.get("BENCH_ITERS", 3))
+    best_dt = float("inf")
+    for it in range(n_iters):
+        t0 = time.time()
+        toks2, kv_k2, kv_v2 = fn(
+            params, kv_k, kv_v, jnp.int32(2 + it), jnp.int32(N_STEPS), N_STEPS
+        )
+        np.asarray(toks2)
+        best_dt = min(best_dt, time.time() - t0)
+    dt = best_dt
     tps = N_STEPS / dt
 
     # HBM roofline: each decoded token must stream all weights + KV once

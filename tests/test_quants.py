@@ -32,6 +32,13 @@ DEQUANT_TYPES = [
     ("iq4_xs", GGMLType.IQ4_XS),
     ("tq1_0", GGMLType.TQ1_0),
     ("tq2_0", GGMLType.TQ2_0),
+    ("iq2_xxs", GGMLType.IQ2_XXS),
+    ("iq2_xs", GGMLType.IQ2_XS),
+    ("iq2_s", GGMLType.IQ2_S),
+    ("iq3_xxs", GGMLType.IQ3_XXS),
+    ("iq3_s", GGMLType.IQ3_S),
+    ("iq1_s", GGMLType.IQ1_S),
+    ("iq1_m", GGMLType.IQ1_M),
 ]
 
 QUANT_TYPES = [

@@ -90,6 +90,13 @@ GGML_TYPE_TRAITS: dict[GGMLType, TypeTraits] = {
     GGMLType.Q8_K: TypeTraits(QK_K, 4 + QK_K + QK_K // 16 * 2, True),
     GGMLType.TQ1_0: TypeTraits(QK_K, 2 + QK_K // 64 + (QK_K - 4 * QK_K // 64) // 5, True),
     GGMLType.TQ2_0: TypeTraits(QK_K, 2 + QK_K // 4, True),
+    GGMLType.IQ2_XXS: TypeTraits(QK_K, 2 + QK_K // 8 * 2, True),
+    GGMLType.IQ2_XS: TypeTraits(QK_K, 2 + QK_K // 8 * 2 + QK_K // 32, True),
+    GGMLType.IQ2_S: TypeTraits(QK_K, 2 + QK_K // 4 + QK_K // 16, True),
+    GGMLType.IQ3_XXS: TypeTraits(QK_K, 2 + 3 * QK_K // 8, True),
+    GGMLType.IQ3_S: TypeTraits(QK_K, 2 + 13 * (QK_K // 32) + QK_K // 64, True),
+    GGMLType.IQ1_S: TypeTraits(QK_K, 2 + QK_K // 8 + QK_K // 16, True),
+    GGMLType.IQ1_M: TypeTraits(QK_K, QK_K // 8 + QK_K // 16 + QK_K // 32, True),
     GGMLType.IQ4_NL: TypeTraits(32, 2 + 16, True),
     GGMLType.IQ4_XS: TypeTraits(QK_K, 2 + 2 + QK_K // 64 + QK_K // 2, True),
 }

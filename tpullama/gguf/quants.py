@@ -161,6 +161,157 @@ def dequant_iq4_xs(data: np.ndarray) -> np.ndarray:
     return y.reshape(-1)
 
 
+# --- IQ grid-codebook formats (dequant; ggml-quants.c dequantize_row_iq*) --
+
+IQ1_DELTA = np.float32(0.125)  # IQ1S_DELTA / IQ1M_DELTA (ggml-common.h:1099)
+
+
+def _iq_grids():
+    from . import _iq_grids as g
+
+    return g
+
+
+def _signs_from_mask(sign_bytes):
+    """Expand packed sign bytes -> (+1/-1) per element (kmask_iq2xs bits)."""
+    bits = (sign_bytes[..., None] >> np.arange(8, dtype=np.uint8)) & 1
+    return np.where(bits > 0, np.float32(-1.0), np.float32(1.0))
+
+
+def dequant_iq2_xxs(data: np.ndarray) -> np.ndarray:
+    g = _iq_grids()
+    b = _blocks(data, 34 * 2 - 2)  # 2 + 64
+    d = _fp16(b[:, 0:2])
+    qs = b[:, 2:66].copy().view("<u2").reshape(-1, 8, 4).astype(np.uint32)
+    # per 32-group: aux32[0] = qs[0] | qs[1]<<16 (grid idx bytes);
+    # aux32[1] = qs[2] | qs[3]<<16 (signs + 4-bit scale)
+    aux0 = qs[:, :, 0] | (qs[:, :, 1] << 16)
+    aux1 = qs[:, :, 2] | (qs[:, :, 3] << 16)
+    db = d[:, None] * (0.5 + (aux1 >> 28).astype(np.float32)) * np.float32(0.25)
+    idx = (aux0[..., None] >> (8 * np.arange(4))) & 0xFF  # (nb, 8, 4)
+    grid = g.IQ2XXS_GRID.view(np.uint8).reshape(256, 8)[idx]  # (nb,8,4,8)
+    sgn = g.KSIGNS_IQ2XS[(aux1[..., None] >> (7 * np.arange(4))) & 127]
+    y = grid.astype(np.float32) * _signs_from_mask(sgn) * db[..., None, None]
+    return y.reshape(-1)
+
+
+def dequant_iq2_xs(data: np.ndarray) -> np.ndarray:
+    g = _iq_grids()
+    b = _blocks(data, 74)
+    d = _fp16(b[:, 0:2])
+    qs = b[:, 2:66].copy().view("<u2").reshape(-1, 8, 4)
+    scales = b[:, 66:74]
+    db = np.stack([
+        (scales & 0x0F).astype(np.float32), (scales >> 4).astype(np.float32)
+    ], axis=2)  # (nb, 8, 2)
+    db = d[:, None, None] * (0.5 + db) * np.float32(0.25)
+    grid = g.IQ2XS_GRID.view(np.uint8).reshape(512, 8)[qs & 511]
+    sgn = g.KSIGNS_IQ2XS[qs >> 9]
+    l_half = np.arange(4) // 2
+    y = (grid.astype(np.float32) * _signs_from_mask(sgn)
+         * db[:, :, l_half][..., None])
+    return y.reshape(-1)
+
+
+def dequant_iq2_s(data: np.ndarray) -> np.ndarray:
+    g = _iq_grids()
+    b = _blocks(data, 82)
+    d = _fp16(b[:, 0:2])
+    qs = b[:, 2:34].reshape(-1, 8, 4).astype(np.uint16)
+    signs = b[:, 34:66].reshape(-1, 8, 4)
+    qh = b[:, 66:74].astype(np.uint16)
+    scales = b[:, 74:82]
+    db = np.stack([
+        (scales & 0x0F).astype(np.float32), (scales >> 4).astype(np.float32)
+    ], axis=2)
+    db = d[:, None, None] * (0.5 + db) * np.float32(0.25)
+    shift = (8 - 2 * np.arange(4)).astype(np.uint16)
+    idx = qs | ((qh[:, :, None] << shift) & 0x300)
+    grid = g.IQ2S_GRID.view(np.uint8).reshape(1024, 8)[idx]
+    l_half = np.arange(4) // 2
+    y = (grid.astype(np.float32) * _signs_from_mask(signs)
+         * db[:, :, l_half][..., None])
+    return y.reshape(-1)
+
+
+def dequant_iq3_xxs(data: np.ndarray) -> np.ndarray:
+    g = _iq_grids()
+    b = _blocks(data, 98)
+    d = _fp16(b[:, 0:2])
+    qs = b[:, 2:66].reshape(-1, 8, 8)  # (nb, ib32, 8 grid-bytes)
+    aux = b[:, 66:98].copy().view("<u4").reshape(-1, 8).astype(np.uint32)
+    db = d[:, None] * (0.5 + (aux >> 28).astype(np.float32)) * np.float32(0.5)
+    grid = g.IQ3XXS_GRID.view(np.uint8).reshape(256, 4)[qs]  # (nb,8,8,4)
+    sgn = g.KSIGNS_IQ2XS[(aux[..., None] >> (7 * np.arange(4))) & 127]  # (nb,8,4)
+    smask = _signs_from_mask(sgn).reshape(-1, 8, 4, 8)  # 8 signs per l
+    y = (grid.reshape(-1, 8, 4, 8).astype(np.float32) * smask
+         * db[..., None, None])
+    return y.reshape(-1)
+
+
+def dequant_iq3_s(data: np.ndarray) -> np.ndarray:
+    g = _iq_grids()
+    b = _blocks(data, 110)
+    d = _fp16(b[:, 0:2])
+    qs = b[:, 2:66].reshape(-1, 8, 8).astype(np.uint16)  # 8 per ib32
+    qh = b[:, 66:74].astype(np.uint16)  # one per ib32
+    signs = b[:, 74:106].reshape(-1, 8, 4)
+    scales = b[:, 106:110]
+    dbs = np.stack([
+        (scales & 0x0F).astype(np.float32), (scales >> 4).astype(np.float32)
+    ], axis=2).reshape(-1, 8)  # (nb, 8) per-ib32 scale nibble
+    db = d[:, None] * (1.0 + 2.0 * dbs)
+    # grid index: qs[2l+e] | ((qh[ib32] << (8-2l-e)) & 256)
+    sh = (8 - np.arange(8)).astype(np.uint16)  # e interleaved: 8-2l, 7-2l
+    idx = qs | ((qh[:, :, None] << sh) & 256)
+    grid = g.IQ3S_GRID.view(np.uint8).reshape(512, 4)[idx]  # (nb,8,8,4)
+    smask = _signs_from_mask(signs).reshape(-1, 8, 4, 8)
+    y = (grid.reshape(-1, 8, 4, 8).astype(np.float32) * smask
+         * db[..., None, None])
+    return y.reshape(-1)
+
+
+def dequant_iq1_s(data: np.ndarray) -> np.ndarray:
+    g = _iq_grids()
+    b = _blocks(data, 50)
+    d = _fp16(b[:, 0:2])
+    qs = b[:, 2:34].reshape(-1, 8, 4).astype(np.uint16)
+    qh = b[:, 34:50].copy().view("<u2").reshape(-1, 8).astype(np.uint16)
+    dl = d[:, None] * (2.0 * ((qh >> 12) & 7).astype(np.float32) + 1.0)
+    delta = np.where(qh & 0x8000, -IQ1_DELTA, IQ1_DELTA)  # (nb, 8)
+    idx = qs | (((qh[:, :, None] >> (3 * np.arange(4))) & 7) << 8)
+    grid = g.IQ1S_GRID.view(np.int8).reshape(2048, 8)[idx]  # (nb,8,4,8)
+    y = dl[..., None, None] * (grid.astype(np.float32) + delta[..., None, None])
+    return y.reshape(-1)
+
+
+def dequant_iq1_m(data: np.ndarray) -> np.ndarray:
+    g = _iq_grids()
+    b = _blocks(data, 56)
+    qs = b[:, 0:32].reshape(-1, 8, 4)
+    qh = b[:, 32:48].reshape(-1, 8, 2).astype(np.uint16)
+    sc = b[:, 48:56].copy().view("<u2").astype(np.uint32)  # (nb, 4)
+    # fp16 scale reassembled from the 4 high nibbles (iq1m_scale_t)
+    du16 = ((sc[:, 0] >> 12) | ((sc[:, 1] >> 8) & 0x00F0)
+            | ((sc[:, 2] >> 4) & 0x0F00) | (sc[:, 3] & 0xF000)).astype("<u2")
+    d = du16.view("<f2").astype(np.float32)
+    ib = np.arange(8)
+    dl1 = d[:, None] * (2.0 * ((sc[:, ib // 2] >> (6 * (ib % 2))) & 7).astype(np.float32) + 1.0)
+    dl2 = d[:, None] * (2.0 * ((sc[:, ib // 2] >> (6 * (ib % 2) + 3)) & 7).astype(np.float32) + 1.0)
+    dl = np.stack([dl1, dl1, dl2, dl2], axis=2)  # (nb, 8, 4)
+    idx = np.empty(qs.shape, np.uint16)
+    idx[:, :, 0] = qs[:, :, 0] | ((qh[:, :, 0] << 8) & 0x700)
+    idx[:, :, 1] = qs[:, :, 1] | ((qh[:, :, 0] << 4) & 0x700)
+    idx[:, :, 2] = qs[:, :, 2] | ((qh[:, :, 1] << 8) & 0x700)
+    idx[:, :, 3] = qs[:, :, 3] | ((qh[:, :, 1] << 4) & 0x700)
+    hbit = np.stack([qh[:, :, 0] & 0x08, qh[:, :, 0] & 0x80,
+                     qh[:, :, 1] & 0x08, qh[:, :, 1] & 0x80], axis=2)
+    delta = np.where(hbit > 0, -IQ1_DELTA, IQ1_DELTA)
+    grid = g.IQ1S_GRID.view(np.int8).reshape(2048, 8)[idx]
+    y = dl[..., None] * (grid.astype(np.float32) + delta[..., None])
+    return y.reshape(-1)
+
+
 _POW3 = np.array([1, 3, 9, 27, 81, 243], dtype=np.uint16)
 
 
@@ -349,6 +500,13 @@ DEQUANT_FNS = {
     GGMLType.Q4_K: dequant_q4_k,
     GGMLType.Q5_K: dequant_q5_k,
     GGMLType.Q6_K: dequant_q6_k,
+    GGMLType.IQ2_XXS: dequant_iq2_xxs,
+    GGMLType.IQ2_XS: dequant_iq2_xs,
+    GGMLType.IQ2_S: dequant_iq2_s,
+    GGMLType.IQ3_XXS: dequant_iq3_xxs,
+    GGMLType.IQ3_S: dequant_iq3_s,
+    GGMLType.IQ1_S: dequant_iq1_s,
+    GGMLType.IQ1_M: dequant_iq1_m,
     GGMLType.IQ4_NL: dequant_iq4_nl,
     GGMLType.IQ4_XS: dequant_iq4_xs,
     GGMLType.TQ1_0: dequant_tq1_0,
