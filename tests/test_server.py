@@ -271,3 +271,45 @@ def test_format_infill_structure():
     # spm order swaps prefix/suffix halves
     toks_spm = format_infill(V(), "abc", "xy", n_batch=64, n_ctx=256, spm_infill=True)
     assert toks_spm == [1, 901, 12, 900, 13, 902]
+
+
+# ------------------------------------------------------------- tool calls
+
+def test_parse_tool_calls_dialects():
+    from tpullama.server.chat import parse_tool_calls
+
+    # hermes / qwen
+    c, calls = parse_tool_calls(
+        'thinking...<tool_call>{"name": "get_weather", "arguments": {"city": "Paris"}}</tool_call>'
+    )
+    assert calls and calls[0]["function"]["name"] == "get_weather"
+    assert json.loads(calls[0]["function"]["arguments"]) == {"city": "Paris"}
+    assert c == "thinking..."
+    # mistral
+    c, calls = parse_tool_calls(
+        '[TOOL_CALLS][{"name": "f", "arguments": {"x": 1}}, {"name": "g", "arguments": {}}]'
+    )
+    assert [x["function"]["name"] for x in calls] == ["f", "g"]
+    # llama3 bare json
+    c, calls = parse_tool_calls('{"name": "lookup", "parameters": {"q": "llamas"}}')
+    assert calls[0]["function"]["name"] == "lookup"
+    assert json.loads(calls[0]["function"]["arguments"]) == {"q": "llamas"}
+    # no calls
+    c, calls = parse_tool_calls("just plain text { not json }")
+    assert calls == [] and "plain text" in c
+    # malformed json inside tags -> ignored, text kept
+    c, calls = parse_tool_calls("<tool_call>{oops</tool_call>")
+    assert calls == []
+
+
+def test_chat_completion_with_tools(server):
+    """Passing tools= must not break the chat flow (random model won't emit
+    a call; response stays a normal assistant message)."""
+    out = _post(server, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "hi"}],
+        "tools": [{"type": "function", "function": {
+            "name": "get_weather", "parameters": {"type": "object"}}}],
+        "max_tokens": 4, "temperature": 0,
+    })
+    assert out["choices"][0]["finish_reason"] in ("stop", "length")
+    assert "tool_calls" not in out["choices"][0]["message"]

@@ -29,7 +29,8 @@ CHATML_FALLBACK = (
 )
 
 
-def apply_chat_template(model, messages: list, add_generation_prompt: bool = True) -> str:
+def apply_chat_template(model, messages: list, add_generation_prompt: bool = True,
+                        tools: list | None = None) -> str:
     import jinja2
 
     template = model.reader.kv.get("tokenizer.chat_template") or CHATML_FALLBACK
@@ -39,6 +40,7 @@ def apply_chat_template(model, messages: list, add_generation_prompt: bool = Tru
         return tpl.render(
             messages=messages,
             add_generation_prompt=add_generation_prompt,
+            tools=tools or None,
             bos_token="", eos_token="",
         )
     except jinja2.TemplateError:
@@ -469,8 +471,14 @@ def make_handler(state: ServerState):
             self._sse_done()
 
         def _handle_chat(self, body):
+            from .chat import parse_tool_calls, tools_to_template_ctx
+
             messages = body.get("messages", [])
-            prompt = apply_chat_template(engine.model, messages)
+            tools_body = body.get("tools")
+            if tools_body is not None and not isinstance(tools_body, list):
+                return self._error('"tools" must be an array of tool specs')
+            tools = tools_to_template_ctx(tools_body)
+            prompt = apply_chat_template(engine.model, messages, tools=tools or None)
             task, sq = self._submit(prompt, body)
             rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
             created = int(time.time())
@@ -478,13 +486,21 @@ def make_handler(state: ServerState):
                 task.done.wait(600)
                 if task.error:
                     return self._error(task.error)
+                content, tool_calls = (
+                    parse_tool_calls(task.out_text) if tools else (task.out_text, [])
+                )
+                message = {"role": "assistant", "content": content or None}
+                finish = task.stop_reason or "stop"
+                if tool_calls:
+                    message["tool_calls"] = tool_calls
+                    finish = "tool_calls"
                 self._json({
                     "id": rid, "object": "chat.completion", "created": created,
                     "model": state.model_name,
                     "choices": [{
                         "index": 0,
-                        "message": {"role": "assistant", "content": task.out_text},
-                        "finish_reason": task.stop_reason or "stop",
+                        "message": message,
+                        "finish_reason": finish,
                     }],
                     "usage": {
                         "prompt_tokens": len(task.prompt_tokens),
