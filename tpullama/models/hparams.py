@@ -81,6 +81,11 @@ class HParams:
     ssm_n_group: int = 0
     ssm_dt_b_c_rms: bool = False
 
+    # RWKV (%s.wkv.head_size etc.)
+    wkv_head_size: int = 0
+    rescale_every_n_layers: int = 0
+    token_shift_count: int = 2
+
     pooling_type: str = "none"  # %s.pooling_type (llama-arch.cpp:170)
     causal_attn: bool = True
 
@@ -169,6 +174,9 @@ class HParams:
             ssm_dt_rank=int(g("ssm.time_step_rank", 0) or 0),
             ssm_n_group=int(g("ssm.group_count", 0) or 0),
             ssm_dt_b_c_rms=bool(g("ssm.dt_b_c_rms", False)),
+            wkv_head_size=int(g("wkv.head_size", 0) or 0),
+            rescale_every_n_layers=int(g("rescale_every_n_layers", 0) or 0),
+            token_shift_count=int(g("token_shift_count", 2) or 2),
         )
 
         # per-arch specialization (llama_model::load_hparams analogs)

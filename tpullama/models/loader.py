@@ -67,6 +67,34 @@ _LAYER_TENSORS = {
     "attn_output_norm.bias": "attn_out_norm_bias",
     "layer_output_norm.weight": "layer_out_norm",
     "layer_output_norm.bias": "layer_out_norm_bias",
+    # RWKV6 (llama-arch.cpp RWKV6 table)
+    "attn_norm_2.weight": "attn_norm_2",
+    "attn_norm_2.bias": "attn_norm_2_bias",
+    "time_mix_w1.weight": "time_mix_w1",
+    "time_mix_w2.weight": "time_mix_w2",
+    "time_mix_lerp_x.weight": "time_mix_lerp_x",
+    "time_mix_lerp_w.weight": "time_mix_lerp_w",
+    "time_mix_lerp_k.weight": "time_mix_lerp_k",
+    "time_mix_lerp_v.weight": "time_mix_lerp_v",
+    "time_mix_lerp_r.weight": "time_mix_lerp_r",
+    "time_mix_lerp_g.weight": "time_mix_lerp_g",
+    "time_mix_lerp_fused.weight": "time_mix_lerp_fused",
+    "time_mix_first.weight": "time_mix_first",
+    "time_mix_decay.weight": "time_mix_decay",
+    "time_mix_decay_w1.weight": "time_mix_decay_w1",
+    "time_mix_decay_w2.weight": "time_mix_decay_w2",
+    "time_mix_key.weight": "time_mix_key",
+    "time_mix_value.weight": "time_mix_value",
+    "time_mix_receptance.weight": "time_mix_receptance",
+    "time_mix_gate.weight": "time_mix_gate",
+    "time_mix_ln.weight": "time_mix_ln",
+    "time_mix_ln.bias": "time_mix_ln_b",
+    "time_mix_output.weight": "time_mix_output",
+    "channel_mix_lerp_k.weight": "channel_mix_lerp_k",
+    "channel_mix_lerp_r.weight": "channel_mix_lerp_r",
+    "channel_mix_key.weight": "channel_mix_key",
+    "channel_mix_value.weight": "channel_mix_value",
+    "channel_mix_receptance.weight": "channel_mix_receptance",
     # SSM / mamba (llama-arch.cpp:996-1005; no ".weight" on ssm_a/ssm_d)
     "ssm_in.weight": "ssm_in",
     "ssm_conv1d.weight": "ssm_conv1d",
@@ -299,6 +327,16 @@ def load_model(
             else:
                 mats = [fetch(t) for t in tnames]
                 stacked[key] = jnp.asarray(np.stack(mats), dtype=dtype)
+        if (
+            hp.arch.startswith("rwkv")
+            and "time_mix_lerp_fused" not in stacked
+            and "time_mix_lerp_w" in stacked
+        ):
+            # older rwkv6 GGUFs ship 5 separate lerp vectors; the fused form
+            # is their stack (x_i = x + sx*(delta_i + lerp_i) either way)
+            stacked["time_mix_lerp_fused"] = jnp.stack(
+                [stacked.pop(f"time_mix_lerp_{c}") for c in "wkvrg"], axis=1
+            ).reshape(n_layer, 5, 1, 1, -1)
         params["layers"] = stacked
         if layer_meta:
             quant_meta["layers"] = layer_meta

@@ -1,0 +1,164 @@
+"""RWKV6 forward pass (linear-attention RNN).
+
+Reference parity: llm_build_rwkv6 / build_rwkv6_time_mix /
+build_rwkv6_channel_mix (src/models/rwkv6.cpp, rwkv6-base.cpp) and the
+ggml_rwkv_wkv6 CPU kernel (ggml-cpu/ops.cpp:
+S[i,j] <- S[i,j]*w[t,i] + k[i]v[j];  y[j] += r[i]*(S[i,j] + u[i]k[i]v[j])).
+
+TPU-first: the WKV recurrence is (like mamba's) a first-order linear
+recurrence over (head, i, j) cells — evaluated with
+jax.lax.associative_scan over time for prefill; T==1 decode is one fused
+elementwise update. Token-shift is a 2-vector carried state per layer.
+
+State layout:
+  shift_state: (n_layer, B, 2, n_embd)   [att_shift, ffn_shift]
+  wkv_state:   (n_layer, B, n_head, head_size, head_size)
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.norms import layer_norm
+from .hparams import HParams
+from .llama import _linear
+
+
+def _wkv6(wkv_state, r, k, v, w, u, last_idx=None):
+    """r/k/v/w: (B, T, H, D); u: (H, D); wkv_state: (B, H, D, D).
+    Returns (y (B, T, H, D), new_state)."""
+    B, T, H, D = r.shape
+    kv = k[..., :, None] * v[..., None, :]  # (B,T,H,D,D)
+    if T == 1:
+        s_prev = wkv_state[:, None]
+        s = s_prev * w[..., None] + kv
+    else:
+        a = jnp.broadcast_to(w[..., None], kv.shape)
+        b = kv.at[:, 0].add(a[:, 0] * wkv_state)
+
+        def combine(l, rgt):
+            al, bl = l
+            ar, br = rgt
+            return al * ar, ar * bl + br
+
+        _, s = jax.lax.associative_scan(combine, (a, b), axis=1)
+        s_prev = jnp.concatenate([wkv_state[:, None], s[:, :-1]], axis=1)
+    y = jnp.einsum("bthi,bthij->bthj", r, s_prev + u[None, None, :, :, None] * kv)
+    if last_idx is None:
+        s_out = s[:, -1]
+    else:
+        s_out = jax.lax.dynamic_slice_in_dim(s, last_idx, 1, axis=1)[:, 0]
+    return y, s_out
+
+
+def _time_mix(x, x_prev, lp, hp: HParams, wkv_state, last_idx=None):
+    """build_rwkv6_time_mix. x, x_prev: (B, T, E)."""
+    B, T, E = x.shape
+    D = hp.wkv_head_size
+    H = E // D
+
+    sx = x_prev - x
+    xxx = x + sx * lp["time_mix_lerp_x"]
+    dim = lp["time_mix_w1"].shape[0] // 5
+    tmp = jnp.tanh(_linear(xxx, lp["time_mix_w1"])).reshape(B, T, 5, dim)
+    # w2: (5, E, dim) -> per-slot projection back to E
+    delta = jnp.einsum("btfd,fed->btfe", tmp, lp["time_mix_w2"])
+    # fused lerp deltas (n_embd,1,1,5 in ggml == (5,1,E) numpy)
+    xf = x[:, :, None] + sx[:, :, None] * (delta + lp["time_mix_lerp_fused"][:, 0, 0, :][None, None])
+    xw, xk, xv, xr, xg = (xf[:, :, i] for i in range(5))
+
+    r = _linear(xr, lp["time_mix_receptance"])
+    k = _linear(xk, lp["time_mix_key"])
+    v = _linear(xv, lp["time_mix_value"])
+    g = jax.nn.silu(_linear(xg, lp["time_mix_gate"]).astype(jnp.float32))
+
+    w = _linear(jnp.tanh(_linear(xw, lp["time_mix_decay_w1"])), lp["time_mix_decay_w2"])
+    w = w + lp["time_mix_decay"]
+    w = jnp.exp(-jnp.exp(w.astype(jnp.float32)))
+
+    y, wkv_state = _wkv6(
+        wkv_state,
+        r.astype(jnp.float32).reshape(B, T, H, D),
+        k.astype(jnp.float32).reshape(B, T, H, D),
+        v.astype(jnp.float32).reshape(B, T, H, D),
+        w.reshape(B, T, H, D),
+        lp["time_mix_first"].astype(jnp.float32),
+        last_idx,
+    )
+    # per-head group norm, eps 64e-5 (ggml_norm on (D, H, T))
+    mu = y.mean(axis=-1, keepdims=True)
+    var = ((y - mu) ** 2).mean(axis=-1, keepdims=True)
+    y = (y - mu) / jnp.sqrt(var + 64e-5)
+    y = y.reshape(B, T, E) * lp["time_mix_ln"] + lp["time_mix_ln_b"]
+    y = y * g
+    return _linear(y.astype(x.dtype), lp["time_mix_output"]), wkv_state
+
+
+def _channel_mix(x, x_prev, lp):
+    """build_rwkv6_channel_mix (RWKV6 branch)."""
+    sx = x_prev - x
+    xk = sx * lp["channel_mix_lerp_k"] + x
+    xr = sx * lp["channel_mix_lerp_r"] + x
+    r = jax.nn.sigmoid(_linear(xr, lp["channel_mix_receptance"]).astype(jnp.float32))
+    k = jnp.square(jax.nn.relu(_linear(xk, lp["channel_mix_key"]).astype(jnp.float32)))
+    return (r * _linear(k.astype(x.dtype), lp["channel_mix_value"]).astype(jnp.float32)).astype(x.dtype)
+
+
+def rwkv6_forward(
+    params,
+    hp: HParams,
+    tokens,
+    shift_state,
+    wkv_state,
+    quant_meta=None,
+    return_embd: bool = False,
+    last_idx=None,
+):
+    """tokens: (B, T); shift_state: (L, B, 2, E);
+    wkv_state: (L, B, H, D, D). Returns (logits, (shift, wkv))."""
+    eps = hp.f_norm_eps
+    x = jnp.take(params["tok_embd"], tokens, axis=0)
+    x = layer_norm(x, params["token_embd_norm"], params.get("token_embd_norm_bias"), eps)
+    T = x.shape[1]
+
+    def pick_last(a):
+        if last_idx is None:
+            return a[:, -1]
+        return jax.lax.dynamic_slice_in_dim(a, last_idx, 1, axis=1)[:, 0]
+
+    def scan_body(carry, layer):
+        h, il = carry
+        lp, shift, wkv = layer
+        att_norm = layer_norm(h, lp["attn_norm"], lp["attn_norm_bias"], eps)
+        x_prev = jnp.concatenate([shift[:, 0:1], att_norm[:, : T - 1]], axis=1)
+        att, wkv = _time_mix(att_norm, x_prev, lp, hp, wkv, last_idx)
+        h = h + att
+        ffn_norm = layer_norm(h, lp["attn_norm_2"], lp["attn_norm_2_bias"], eps)
+        x_prev = jnp.concatenate([shift[:, 1:2], ffn_norm[:, : T - 1]], axis=1)
+        h = h + _channel_mix(ffn_norm, x_prev, lp)
+        if hp.rescale_every_n_layers:
+            h = jnp.where((il + 1) % hp.rescale_every_n_layers == 0, h * 0.5, h)
+        new_shift = jnp.stack([pick_last(att_norm), pick_last(ffn_norm)], axis=1)
+        return (h, il + 1), (new_shift, wkv)
+
+    unroll = int(os.environ.get("TPULLAMA_SCAN_UNROLL", 1))
+    (x, _), (shift_state, wkv_state) = jax.lax.scan(
+        scan_body, (x, jnp.int32(0)), (params["layers"], shift_state, wkv_state),
+        unroll=unroll,
+    )
+    x = layer_norm(x, params["output_norm"], params.get("output_norm_bias"), eps)
+    if return_embd:
+        return x, (shift_state, wkv_state)
+    logits = _linear(x, params.get("output", params["tok_embd"]))
+    return logits.astype(jnp.float32), (shift_state, wkv_state)
+
+
+def init_states(hp: HParams, n_seqs: int, dtype=jnp.float32):
+    D = hp.wkv_head_size
+    H = hp.n_embd // D
+    shift = jnp.zeros((hp.n_layer, n_seqs, 2, hp.n_embd), dtype)
+    wkv = jnp.zeros((hp.n_layer, n_seqs, H, D, D), dtype)
+    return shift, wkv

@@ -426,3 +426,101 @@ def make_tiny_bert_gguf(
         w.add_tensor("cls.output.bias", vec(1), GGMLType.F32)
     w.write(path)
     return path, n_vocab
+
+
+def make_tiny_rwkv6_gguf(
+    path,
+    n_embd: int = 64,
+    n_layer: int = 2,
+    head_size: int = 16,
+    n_ff: int = 128,
+    seed: int = 0,
+    rescale_every: int = 2,
+):
+    """Write a random tiny RWKV6 GGUF (llama-arch.cpp RWKV6 tensor table;
+    shapes per llama-model.cpp:5304-5360)."""
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    H = n_embd // head_size
+    dim = 8       # time_mix_extra_dim
+    dec_dim = 16  # time_decay_extra_dim
+
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "rwkv6")
+    w.add_str("general.name", "tiny-test-rwkv6")
+    w.add_u32("rwkv6.context_length", 1 << 20)
+    w.add_u32("rwkv6.embedding_length", n_embd)
+    w.add_u32("rwkv6.block_count", n_layer)
+    w.add_u32("rwkv6.feed_forward_length", n_ff)
+    w.add_u32("rwkv6.attention.head_count", 0)
+    w.add_u32("rwkv6.wkv.head_size", head_size)
+    w.add_u32("rwkv6.time_mix_extra_dim", 8)
+    w.add_u32("rwkv6.time_decay_extra_dim", 16)
+    w.add_f32("rwkv6.attention.layer_norm_epsilon", 1e-5)
+    w.add_u32("rwkv6.rescale_every_n_layers", rescale_every)
+    w.add_u32("rwkv6.token_shift_count", 2)
+    w.add_u32("rwkv6.vocab_size", n_vocab)
+    w.add_str("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.bos_token_id", 1)
+    w.add_u32("tokenizer.ggml.eos_token_id", 2)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 0)
+    w.add_bool("tokenizer.ggml.add_bos_token", True)
+
+    def mat(*shape, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(shape[-1])
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def vec(n, s=0.1):
+        return (s * rng.standard_normal(n)).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, scale=0.05), GGMLType.F32)
+    w.add_tensor("token_embd_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("token_embd_norm.bias", vec(n_embd), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("output_norm.bias", vec(n_embd), GGMLType.F32)
+    w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        w.add_tensor(p + "attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_norm.bias", vec(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_norm_2.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_norm_2.bias", vec(n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_w1.weight", mat(5 * dim, n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_w2.weight", mat(5, n_embd, dim), GGMLType.F32)
+        w.add_tensor(p + "time_mix_lerp_x.weight",
+                     (0.5 + 0.1 * rng.standard_normal((1, 1, n_embd))).astype(np.float32),
+                     GGMLType.F32)
+        w.add_tensor(p + "time_mix_lerp_fused.weight",
+                     (0.5 + 0.1 * rng.standard_normal((5, 1, 1, n_embd))).astype(np.float32),
+                     GGMLType.F32)
+        w.add_tensor(p + "time_mix_first.weight", mat(H, head_size, scale=0.3), GGMLType.F32)
+        w.add_tensor(p + "time_mix_decay.weight",
+                     (-1.0 + rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
+        w.add_tensor(p + "time_mix_decay_w1.weight", mat(dec_dim, n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_decay_w2.weight", mat(n_embd, dec_dim), GGMLType.F32)
+        w.add_tensor(p + "time_mix_key.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_value.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_receptance.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_gate.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_ln.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_ln.bias", vec(n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_output.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "channel_mix_lerp_k.weight",
+                     (0.5 + 0.1 * rng.standard_normal((1, 1, n_embd))).astype(np.float32),
+                     GGMLType.F32)
+        w.add_tensor(p + "channel_mix_lerp_r.weight",
+                     (0.5 + 0.1 * rng.standard_normal((1, 1, n_embd))).astype(np.float32),
+                     GGMLType.F32)
+        w.add_tensor(p + "channel_mix_key.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "channel_mix_value.weight", mat(n_embd, n_ff), GGMLType.F32)
+        w.add_tensor(p + "channel_mix_receptance.weight", mat(n_embd, n_embd), GGMLType.F32)
+    w.write(path)
+    return path, n_vocab

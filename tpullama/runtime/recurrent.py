@@ -23,8 +23,18 @@ import numpy as np
 
 from ..models.hparams import HParams
 from ..models.loader import LoadedModel
-from ..models.mamba import init_states, mamba_forward
 from .context import ContextParams, PerfCounters, _bucket
+
+
+def _model_fns(hp: HParams):
+    """(forward, init_states) for the recurrent family."""
+    if hp.arch.startswith("rwkv"):
+        from ..models.rwkv import init_states, rwkv6_forward
+
+        return rwkv6_forward, init_states
+    from ..models.mamba import init_states, mamba_forward
+
+    return mamba_forward, init_states
 
 
 class RecurrentContext:
@@ -35,7 +45,8 @@ class RecurrentContext:
         self.hp: HParams = model.hparams
         self.p = params or ContextParams()
         B = self.p.n_seqs
-        self.conv_state, self.ssm_state = init_states(self.hp, B)
+        self._fwd, self._init = _model_fns(self.hp)
+        self.conv_state, self.ssm_state = self._init(self.hp, B)
         self.n_past = np.zeros(B, np.int32)
         self.perf = PerfCounters()
         self._fn = jax.jit(self._step)
@@ -45,7 +56,7 @@ class RecurrentContext:
         new states scattered back into the per-seq arrays)."""
         cs = jax.lax.dynamic_slice_in_dim(conv, seq, 1, axis=1)
         ss = jax.lax.dynamic_slice_in_dim(ssm, seq, 1, axis=1)
-        logits, (cs, ss) = mamba_forward(
+        logits, (cs, ss) = self._fwd(
             params, self.hp, tokens, cs, ss,
             quant_meta=self.model.quant_meta, last_idx=last_idx,
         )
@@ -88,7 +99,7 @@ class RecurrentContext:
 
     def reset(self, seq_id: int | None = None):
         if seq_id is None:
-            self.conv_state, self.ssm_state = init_states(self.hp, self.p.n_seqs)
+            self.conv_state, self.ssm_state = self._init(self.hp, self.p.n_seqs)
             self.n_past[:] = 0
         else:
             self.conv_state = self.conv_state.at[:, seq_id].set(0.0)
