@@ -86,6 +86,9 @@ class HParams:
     rescale_every_n_layers: int = 0
     token_shift_count: int = 2
 
+    # hybrid (jamba): per-layer kv head counts; 0 = recurrent layer
+    n_head_kv_layers: tuple = ()
+
     pooling_type: str = "none"  # %s.pooling_type (llama-arch.cpp:170)
     causal_attn: bool = True
 
@@ -99,6 +102,13 @@ class HParams:
         """Model keeps per-seq recurrent state instead of a KV cache
         (llama_model_is_recurrent)."""
         return self.arch in ("mamba", "mamba2", "falcon-mamba", "rwkv6", "rwkv7")
+
+    @property
+    def is_hybrid(self) -> bool:
+        """Mixed attention + recurrent layers (jamba/granite-hybrid)."""
+        return self.arch in ("jamba", "granite-hybrid", "falcon-h1") or (
+            bool(self.n_head_kv_layers) and 0 in self.n_head_kv_layers
+        )
 
     @property
     def n_embd_k_gqa(self) -> int:
@@ -118,7 +128,14 @@ class HParams:
 
         n_embd = int(g("embedding_length", 0))
         n_head = int(g("attention.head_count", 1))
-        n_head_kv = int(g("attention.head_count_kv", n_head))
+        n_head_kv_raw = g("attention.head_count_kv", n_head)
+        n_head_kv_layers = ()
+        if isinstance(n_head_kv_raw, (list, tuple, np.ndarray)):
+            # per-layer array (jamba-style hybrids); 0 marks recurrent layers
+            n_head_kv_layers = tuple(int(v) for v in n_head_kv_raw)
+            n_head_kv = max(n_head_kv_layers)
+        else:
+            n_head_kv = int(n_head_kv_raw)
         n_embd_head_k = int(g("attention.key_length", n_embd // max(n_head, 1)))
         n_embd_head_v = int(g("attention.value_length", n_embd // max(n_head, 1)))
         n_rot = int(g("rope.dimension_count", n_embd_head_k))
@@ -174,6 +191,7 @@ class HParams:
             ssm_dt_rank=int(g("ssm.time_step_rank", 0) or 0),
             ssm_n_group=int(g("ssm.group_count", 0) or 0),
             ssm_dt_b_c_rms=bool(g("ssm.dt_b_c_rms", False)),
+            n_head_kv_layers=n_head_kv_layers,
             wkv_head_size=int(g("wkv.head_size", 0) or 0),
             rescale_every_n_layers=int(g("rescale_every_n_layers", 0) or 0),
             token_shift_count=int(g("token_shift_count", 2) or 2),

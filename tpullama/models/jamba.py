@@ -1,0 +1,121 @@
+"""Jamba hybrid forward pass (interleaved attention + mamba layers).
+
+Reference parity: llm_build_jamba (src/models/jamba.cpp) — per-layer
+dispatch on n_head_kv(il): 0 means a mamba layer (with Jamba's weighted
+dt/B/C RMS norms), otherwise rope-less GQA attention; dense or MoE FFN
+after every layer.
+
+TPU-first: layers with heterogeneous tensor sets can't ride one
+lax.scan, so the hybrid forward is a Python-unrolled loop (traced once
+under jit); attention layers index into a compact KV cache holding only
+attention layers' slots, mamba layers into compact recurrent state
+stacks.
+
+State layout:
+  kv_k/kv_v:  (n_attn_layers, B, S, Hkv, D)
+  conv_state: (n_mamba_layers, B, d_conv-1, d_inner)
+  ssm_state:  (n_mamba_layers, B, d_inner, d_state)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import attention
+from ..ops.norms import rms_norm
+from .hparams import HParams
+from .llama import _linear
+from .mamba import _mamba_layer
+
+
+def attn_layer_indices(hp: HParams):
+    return [il for il, h in enumerate(hp.n_head_kv_layers) if h > 0]
+
+
+def mamba_layer_indices(hp: HParams):
+    return [il for il, h in enumerate(hp.n_head_kv_layers) if h == 0]
+
+
+def jamba_forward(
+    params,
+    hp: HParams,
+    tokens,  # (B, T)
+    positions,  # (B, T) — bookkeeping only; jamba attention has no rope
+    kv_k,
+    kv_v,
+    cache_slots,  # (B, T) rows to write in the KV cache
+    attn_mask,  # (B, 1, T, S) additive
+    conv_state,
+    ssm_state,
+    quant_meta=None,
+    last_idx=None,
+):
+    B, T = tokens.shape
+    Dk, Dv = hp.n_embd_head_k, hp.n_embd_head_v
+    Hq = hp.n_head
+    batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    x = jnp.take(params["tok_embd"], tokens, axis=0)
+    ai = ri = 0
+    new_conv, new_ssm = [], []
+    new_k, new_v = [], []
+    for il, lp in enumerate(params["layer_list"]):
+        h = rms_norm(x, lp["attn_norm"], hp.f_norm_rms_eps)
+        n_kv = hp.n_head_kv_layers[il]
+        if n_kv == 0:
+            out, cs, ss = _mamba_layer(
+                h, lp, conv_state[ri], ssm_state[ri], hp, None, last_idx
+            )
+            new_conv.append(cs)
+            new_ssm.append(ss)
+            ri += 1
+        else:
+            q = _linear(h, lp["attn_q"]).reshape(B, T, Hq, Dk)
+            k = _linear(h, lp["attn_k"]).reshape(B, T, n_kv, Dk)
+            v = _linear(h, lp["attn_v"]).reshape(B, T, n_kv, Dv)
+            kc = kv_k[ai].at[batch_idx, cache_slots].set(k.astype(kv_k.dtype))
+            vc = kv_v[ai].at[batch_idx, cache_slots].set(v.astype(kv_v.dtype))
+            att = attention(q, kc, vc, mask=attn_mask, scale=1.0 / (Dk**0.5))
+            out = _linear(att.reshape(B, T, Hq * Dv), lp["attn_output"])
+            new_k.append(kc)
+            new_v.append(vc)
+            ai += 1
+        x = x + out
+
+        h = rms_norm(x, lp["ffn_norm"], hp.f_norm_rms_eps)
+        if "ffn_gate_inp" in lp:
+            from ..ops.moe import moe_ffn
+
+            down = moe_ffn(
+                h, lp["ffn_gate_inp"], lp.get("ffn_gate_exps"),
+                lp["ffn_up_exps"], lp["ffn_down_exps"],
+                n_expert_used=hp.n_expert_used, norm_w=False,
+                w_scale=0.0, gating=1,
+            )
+        else:
+            gate = _linear(h, lp["ffn_gate"])
+            up = _linear(h, lp["ffn_up"])
+            act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+            down = _linear(act, lp["ffn_down"])
+        x = x + down
+
+    x = rms_norm(x, params["output_norm"], hp.f_norm_rms_eps)
+    logits = _linear(x, params.get("output", params["tok_embd"]))
+    return logits.astype(jnp.float32), (
+        jnp.stack(new_k) if new_k else kv_k,
+        jnp.stack(new_v) if new_v else kv_v,
+        jnp.stack(new_conv) if new_conv else conv_state,
+        jnp.stack(new_ssm) if new_ssm else ssm_state,
+    )
+
+
+def init_hybrid_states(hp: HParams, n_seqs: int, n_ctx: int, dtype=jnp.float32):
+    n_attn = len(attn_layer_indices(hp))
+    n_rec = len(mamba_layer_indices(hp))
+    S = n_ctx + 1  # +1 scratch row for padded-token writes
+    kv_k = jnp.zeros((n_attn, n_seqs, S, hp.n_head_kv, hp.n_embd_head_k), dtype)
+    kv_v = jnp.zeros((n_attn, n_seqs, S, hp.n_head_kv, hp.n_embd_head_v), dtype)
+    conv = jnp.zeros((n_rec, n_seqs, hp.ssm_d_conv - 1, hp.ssm_d_inner), dtype)
+    ssm = jnp.zeros((n_rec, n_seqs, hp.ssm_d_inner, hp.ssm_d_state), dtype)
+    return kv_k, kv_v, conv, ssm

@@ -306,8 +306,14 @@ def load_model(
                 fetch(tname), dtype=dtype if pname != "rope_freqs" else jnp.float32
             )
 
-    # stack per-layer tensors: (L, ...) for lax.scan + leading-axis sharding
-    if n_layer:
+    if n_layer and hp.is_hybrid:
+        # hybrid archs (jamba): layers have heterogeneous tensor sets, so
+        # keep a per-layer list (Python-loop forward) instead of stacking
+        params["layer_list"] = [
+            {k: jnp.asarray(fetch(nm), dtype=dtype) for k, nm in layer_names[il].items()}
+            for il in range(n_layer)
+        ]
+    elif n_layer:
         keys = sorted(layer_names.get(0, {}))
         stacked: dict = {}
         layer_meta: dict = {}

@@ -131,11 +131,12 @@ def _mamba_layer(x, lp, conv_state, ssm_state, hp: HParams, quant_meta=None,
     dt = x_db[..., :dt_rank]
     Bm = x_db[..., dt_rank : dt_rank + d_state]
     Cm = x_db[..., dt_rank + d_state :]
-    if hp.ssm_dt_b_c_rms:
-        # FalconMamba applies RMS norm on dt/B/C (graph-context-mamba.cpp)
-        dt = rms_norm(dt, eps=hp.f_norm_rms_eps)
-        Bm = rms_norm(Bm, eps=hp.f_norm_rms_eps)
-        Cm = rms_norm(Cm, eps=hp.f_norm_rms_eps)
+    if hp.ssm_dt_b_c_rms or "ssm_dt_norm" in lp:
+        # FalconMamba (weightless) / Jamba (weighted) RMS norm on dt/B/C
+        # (graph-context-mamba.cpp:150-154)
+        dt = rms_norm(dt, lp.get("ssm_dt_norm"), eps=hp.f_norm_rms_eps)
+        Bm = rms_norm(Bm, lp.get("ssm_b_norm"), eps=hp.f_norm_rms_eps)
+        Cm = rms_norm(Cm, lp.get("ssm_c_norm"), eps=hp.f_norm_rms_eps)
 
     dt = lin(dt, "ssm_dt") + lp["ssm_dt_b"][None, None, :]  # (B, T, d_inner)
 

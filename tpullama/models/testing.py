@@ -524,3 +524,95 @@ def make_tiny_rwkv6_gguf(
         w.add_tensor(p + "channel_mix_receptance.weight", mat(n_embd, n_embd), GGMLType.F32)
     w.write(path)
     return path, n_vocab
+
+
+def make_tiny_jamba_gguf(
+    path,
+    n_embd: int = 64,
+    n_layer: int = 4,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    d_state: int = 16,
+    d_conv: int = 4,
+    n_ff: int = 128,
+    seed: int = 0,
+):
+    """Write a random tiny Jamba GGUF: even layers are attention (no
+    rope), odd layers mamba with weighted dt/B/C norms (llama-model.cpp
+    LLM_ARCH_JAMBA)."""
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    d_inner = 2 * n_embd
+    dt_rank = -(n_embd // -16)
+    head_dim = n_embd // n_head
+    kv_dim = head_dim * n_head_kv
+    kv_arr = [n_head_kv if il % 2 == 0 else 0 for il in range(n_layer)]
+
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "jamba")
+    w.add_str("general.name", "tiny-test-jamba")
+    w.add_u32("jamba.context_length", 1 << 18)
+    w.add_u32("jamba.embedding_length", n_embd)
+    w.add_u32("jamba.block_count", n_layer)
+    w.add_u32("jamba.feed_forward_length", n_ff)
+    w.add_u32("jamba.attention.head_count", n_head)
+    w.add_array("jamba.attention.head_count_kv", np.asarray(kv_arr, np.uint32))
+    w.add_u32("jamba.ssm.conv_kernel", d_conv)
+    w.add_u32("jamba.ssm.inner_size", d_inner)
+    w.add_u32("jamba.ssm.state_size", d_state)
+    w.add_u32("jamba.ssm.time_step_rank", dt_rank)
+    w.add_f32("jamba.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_u32("jamba.vocab_size", n_vocab)
+    w.add_str("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.bos_token_id", 1)
+    w.add_u32("tokenizer.ggml.eos_token_id", 2)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 0)
+    w.add_bool("tokenizer.ggml.add_bos_token", True)
+
+    def mat(*shape, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(shape[-1])
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, scale=0.02), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        w.add_tensor(p + "attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if kv_arr[il] == 0:
+            w.add_tensor(p + "ssm_in.weight", mat(2 * d_inner, n_embd), GGMLType.F32)
+            w.add_tensor(p + "ssm_conv1d.weight", mat(d_inner, d_conv, scale=0.3), GGMLType.F32)
+            w.add_tensor(p + "ssm_conv1d.bias",
+                         (0.1 * rng.standard_normal(d_inner)).astype(np.float32), GGMLType.F32)
+            w.add_tensor(p + "ssm_x.weight", mat(dt_rank + 2 * d_state, d_inner), GGMLType.F32)
+            w.add_tensor(p + "ssm_dt_norm.weight", norm_w(dt_rank), GGMLType.F32)
+            w.add_tensor(p + "ssm_dt.weight", mat(d_inner, dt_rank), GGMLType.F32)
+            w.add_tensor(p + "ssm_dt.bias",
+                         (-3.0 + rng.standard_normal(d_inner)).astype(np.float32), GGMLType.F32)
+            w.add_tensor(p + "ssm_b_norm.weight", norm_w(d_state), GGMLType.F32)
+            w.add_tensor(p + "ssm_c_norm.weight", norm_w(d_state), GGMLType.F32)
+            w.add_tensor(p + "ssm_a",
+                         -np.exp(rng.uniform(0.0, 2.5, size=(d_inner, d_state))).astype(np.float32),
+                         GGMLType.F32)
+            w.add_tensor(p + "ssm_d",
+                         (1.0 + 0.1 * rng.standard_normal(d_inner)).astype(np.float32), GGMLType.F32)
+            w.add_tensor(p + "ssm_out.weight", mat(n_embd, d_inner), GGMLType.F32)
+        else:
+            w.add_tensor(p + "attn_q.weight", mat(n_embd, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_k.weight", mat(kv_dim, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_v.weight", mat(kv_dim, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_output.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_gate.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+    w.write(path)
+    return path, n_vocab

@@ -7,6 +7,7 @@ src/llama-batch.cpp (batch splitting).
 
 from .context import Context, ContextParams
 from .encoder import EncoderContext
+from .hybrid import HybridContext
 from .recurrent import RecurrentContext, make_context
 
-__all__ = ["Context", "ContextParams", "EncoderContext", "RecurrentContext", "make_context"]
+__all__ = ["Context", "ContextParams", "EncoderContext", "HybridContext", "RecurrentContext", "make_context"]
