@@ -37,6 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-i", "--interactive", action="store_true")
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16", "float16"])
     ap.add_argument("--device", default=None, help="jax platform override (e.g. cpu)")
+    ap.add_argument("-md", "--model-draft", default=env("MODEL_DRAFT"),
+                    help="draft model for speculative decoding")
+    ap.add_argument("--draft-max", type=int, default=16,
+                    help="max tokens drafted per speculative round")
+    ap.add_argument("--draft-p-min", type=float, default=0.75,
+                    help="draft token confidence threshold")
     ap.add_argument("--burst", type=int, default=16,
                     help="greedy decode chunk size for fused on-device steps")
     ap.add_argument("--verbose", action="store_true")
@@ -89,12 +95,48 @@ def main(argv=None) -> int:
             penalty_repeat=args.repeat_penalty,
         )
 
+    spec = None
+    if args.model_draft:
+        from ..runtime.speculative import Speculative, SpeculativeParams
+
+        draft = load_model(args.model_draft, dtype=dtype)
+        # common_speculative_are_compatible analog: draft must be an
+        # attention model with a near-identical vocab
+        if draft.hparams.is_recurrent or draft.hparams.is_hybrid or draft.hparams.is_encoder:
+            print("error: draft model must be a causal attention model",
+                  file=sys.stderr)
+            return 1
+        if abs(draft.hparams.n_vocab - model.hparams.n_vocab) > 100:
+            print(f"error: draft vocab size {draft.hparams.n_vocab} is "
+                  f"incompatible with target {model.hparams.n_vocab}",
+                  file=sys.stderr)
+            return 1
+        spec = Speculative(
+            draft, SpeculativeParams(n_draft=args.draft_max, p_min=args.draft_p_min), n_ctx=args.ctx_size
+        )
+        if args.verbose:
+            print(f"[draft] {args.model_draft} arch={draft.arch}", file=sys.stderr)
+
     def generate_round(text: str, n_predict: int):
         toks = vocab.tokenize(text, add_special=int(ctx.n_past[0]) == 0)
         if not args.no_display_prompt:
             sys.stdout.write(text)
             sys.stdout.flush()
         n = n_predict if n_predict >= 0 else args.ctx_size
+        if spec is not None:
+            from ..runtime.speculative import generate_speculative
+
+            out, stats = generate_speculative(ctx, spec, toks, n_predict=n,
+                                              sampler=sampler)
+            for tok in out:
+                if vocab.is_eog(tok):
+                    break
+                sys.stdout.write(vocab.token_to_piece(tok, special=False))
+            sys.stdout.write("\n")
+            if args.verbose:
+                print(f"[spec] drafted={stats.get('n_drafted')} "
+                      f"accepted={stats.get('n_accepted')}", file=sys.stderr)
+            return
         if sampler is None and not args.interactive:
             # greedy: fused on-device bursts (one dispatch per chunk)
             out = ctx.generate(toks, n_predict=n, burst=int(args.burst))
