@@ -158,6 +158,18 @@ def test_new_archs_match_reference(tmp_path, arch):
 
 
 @needs_cli
+@pytest.mark.parametrize("arch", ["gpt2", "falcon"])
+def test_gpt2_falcon_match_reference(tmp_path, arch):
+    """gpt2: learned positions + LN biases + fused qkv, no rope;
+    falcon: parallel attn+ffn residual from the attn norm."""
+    path = str(tmp_path / f"tiny_{arch}.gguf")
+    make_tiny_llama_gguf(path, n_layer=2, arch=arch, seed=17, n_head_kv=4)
+    ours = run_ours(path).replace(b"\x00", b"")
+    ref = run_reference(path).replace(b"\x00", b"")
+    assert ours == ref
+
+
+@needs_cli
 def test_qwen3moe_matches_reference(tmp_path):
     path = str(tmp_path / "tiny_qwen3moe.gguf")
     make_tiny_llama_gguf(path, n_layer=2, arch="qwen3moe", n_expert=4, seed=17)

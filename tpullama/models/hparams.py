@@ -60,6 +60,7 @@ class HParams:
     qk_norm_full: bool = False  # q/k norm over full width pre-reshape (olmo2)
     ffn_gated: bool = True  # gated GLU vs plain up->act->down
     ffn_fused_up: bool = False  # phi3: [gate|up] fused in ffn_up
+    parallel_residual: bool = False  # falcon: attn + ffn from same norm, summed
     f_residual_scale: float = 0.0  # granite residual multiplier
     final_logit_scale: float = 0.0  # multiply final logits (granite 1/ls, command-r ls)
 
@@ -209,6 +210,17 @@ class HParams:
             # post-norm blocks, full-width q/k norm (llm_build_olmo2)
             hp.pre_norm = False
             hp.qk_norm_full = True
+        if arch == "gpt2":
+            # LN + biases, fused qkv, learned positions, no rope
+            hp.norm_type = "layer"
+            hp.ffn_gated = False
+            hp.act = "gelu"
+        if arch == "falcon":
+            # parallel attn+ffn residual from the attn norm (llm_build_falcon)
+            hp.norm_type = "layer"
+            hp.ffn_gated = False
+            hp.act = "gelu"
+            hp.parallel_residual = True
         if arch == "starcoder2":
             # LLM_NORM with biases, plain GELU FFN (llm_build_starcoder2)
             hp.norm_type = "layer"
@@ -251,5 +263,10 @@ class HParams:
             "chameleon", "bailingmoe", "smollm3", "arcee", "ernie4_5",
             "mistral3",
         }
-        hp.rope_type = 0 if arch in NORM_ARCHES else 2
+        NONE_ARCHES = {"gpt2", "gptj", "mpt", "bloom", "starcoder", "refact",
+                       "bert", "jina-bert-v2", "t5", "jamba", "mamba", "mamba2"}
+        if arch in NONE_ARCHES:
+            hp.rope_type = -1  # LLAMA_ROPE_TYPE_NONE
+        else:
+            hp.rope_type = 0 if arch in NORM_ARCHES else 2
         return hp

@@ -81,12 +81,19 @@ def llama_forward(
     if hp.embd_scale:
         # gemma scales raw token embeddings by sqrt(n_embd)
         x = (x.astype(jnp.float32) * hp.embd_scale).astype(x.dtype)
+    if "position_embd" in params:
+        # learned absolute positions (gpt2 family)
+        x = x + jnp.take(params["position_embd"], positions, axis=0).astype(x.dtype)
 
+    use_rope = hp.rope_type >= 0
     rp = rope_params(hp)
-    freq_factors = params.get("rope_freqs")  # (n_rot/2,) or None
-    cos, sin = rope_cache(rp, positions, freq_factors)  # (B,T,half)
-    cos = cos[:, :, None, :]
-    sin = sin[:, :, None, :]
+    if use_rope:
+        freq_factors = params.get("rope_freqs")  # (n_rot/2,) or None
+        cos, sin = rope_cache(rp, positions, freq_factors)  # (B,T,half)
+        cos = cos[:, :, None, :]
+        sin = sin[:, :, None, :]
+    else:
+        cos = sin = None
     has_swa = bool(hp.swa_layers) and any(hp.swa_layers)
     if has_swa:
         # SWA layers may use a different rope base (gemma3: 10k vs 1M)
@@ -154,8 +161,9 @@ def llama_forward(
             layer_mask = jnp.where(is_swa, mask_swa, mask_full)
         else:
             c, s, layer_mask = cos, sin, mask_full
-        q = apply_rope(q, c, s, rp.mode, rp.n_dims)
-        k = apply_rope(k, c, s, rp.mode, rp.n_dims)
+        if use_rope:
+            q = apply_rope(q, c, s, rp.mode, rp.n_dims)
+            k = apply_rope(k, c, s, rp.mode, rp.n_dims)
 
         # scatter new K/V into the cache rows for this ubatch
         # (the ggml_set_rows indexed-write capability, llama-kv-cache.h:145)
@@ -203,9 +211,16 @@ def llama_forward(
             att = rms_norm(att, w["post_attn_norm"], hp.f_norm_rms_eps)
         if hp.f_residual_scale:
             att = att * hp.f_residual_scale
-        x = x + att
-
-        h = norm_fn(x, w["ffn_norm"], w.get("ffn_norm_bias")) if hp.pre_norm else x
+        if hp.parallel_residual:
+            # falcon: FFN reads the attn-norm output; both deltas sum onto x
+            h = w_norm2 = None
+            if "attn_norm_2" in w:
+                h = norm_fn(x, w["attn_norm_2"], w.get("attn_norm_2_bias"))
+            else:
+                h = h_attn
+        else:
+            x = x + att
+            h = norm_fn(x, w["ffn_norm"], w.get("ffn_norm_bias")) if hp.pre_norm else x
         act_saved = None
         if "ffn_gate_inp" in w:
             # MoE branch (src/models/llama.cpp:110-128: SILU, norm_w=true,
@@ -265,7 +280,10 @@ def llama_forward(
             down = rms_norm(down, w["post_ffn_norm"], hp.f_norm_rms_eps)
         if hp.f_residual_scale:
             down = down * hp.f_residual_scale
-        x = x + down
+        if hp.parallel_residual:
+            x = x + att + down
+        else:
+            x = x + down
         stats = None
         if collect_imatrix:
             # sum of squared activations per input column for each matmul

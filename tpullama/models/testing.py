@@ -80,7 +80,7 @@ def make_tiny_llama_gguf(
         w.add_u32(f"{arch}.expert_used_count", n_expert_used)
         if arch == "qwen3moe":
             w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
-    if arch == "starcoder2":
+    if arch in ("starcoder2", "gpt2", "falcon"):
         w.add_f32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
     if arch == "granite":
         w.add_f32(f"{arch}.logit_scale", 8.0)
@@ -119,18 +119,32 @@ def make_tiny_llama_gguf(
     if not tied_output:
         w.add_tensor("output.weight", mat(n_vocab, n_embd), qtype)
     kv_dim = head_dim * n_head_kv
+    if arch == "gpt2":
+        w.add_tensor("position_embd.weight", mat(n_ctx, n_embd, 0.02), GGMLType.F32)
+        w.add_tensor("output_norm.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
+    if arch == "falcon":
+        w.add_tensor("output_norm.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
     for il in range(n_layer):
         if arch != "olmo2":
             w.add_tensor(f"blk.{il}.attn_norm.weight", norm_w(n_embd), GGMLType.F32)
-        if arch == "phi3":
-            # fused [Q|K|V] rows (llama-model.cpp phi3 wqkv)
+        if arch in ("gpt2", "falcon"):
+            w.add_tensor(f"blk.{il}.attn_norm.bias",
+                         (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
+        if arch in ("phi3", "gpt2", "falcon"):
+            # fused [Q|K|V] rows (llama-model.cpp phi3/gpt2/falcon wqkv)
             w.add_tensor(f"blk.{il}.attn_qkv.weight",
                          mat(n_embd + 2 * kv_dim, n_embd), qtype)
+            if arch == "gpt2":
+                w.add_tensor(f"blk.{il}.attn_qkv.bias",
+                             (0.1 * rng.standard_normal(n_embd + 2 * kv_dim)).astype(np.float32), GGMLType.F32)
         else:
             w.add_tensor(f"blk.{il}.attn_q.weight", mat(n_embd, n_embd), qtype)
             w.add_tensor(f"blk.{il}.attn_k.weight", mat(kv_dim, n_embd), qtype)
             w.add_tensor(f"blk.{il}.attn_v.weight", mat(kv_dim, n_embd), qtype)
         w.add_tensor(f"blk.{il}.attn_output.weight", mat(n_embd, n_embd), qtype)
+        if arch == "gpt2":
+            w.add_tensor(f"blk.{il}.attn_output.bias",
+                         (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch == "qwen2":
             w.add_tensor(f"blk.{il}.attn_q.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k.bias", (0.1 * rng.standard_normal(kv_dim)).astype(np.float32), GGMLType.F32)
@@ -162,8 +176,11 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(kv_dim), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_ffw_norm.weight", norm_w(n_embd), GGMLType.F32)
-        if arch != "olmo2":
+        if arch not in ("olmo2", "falcon"):
             w.add_tensor(f"blk.{il}.ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if arch == "gpt2":
+            w.add_tensor(f"blk.{il}.ffn_norm.bias",
+                         (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if n_expert:
             w.add_tensor(f"blk.{il}.ffn_gate_inp.weight", mat(n_expert, n_embd), GGMLType.F32)
             # 3-D stacked expert tensors (numpy (E, n_ff, n_embd) ==
@@ -178,10 +195,17 @@ def make_tiny_llama_gguf(
             # fused [gate|up] rows, SWIGLU split at runtime
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(2 * n_ff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
-        elif arch == "starcoder2":
+        elif arch in ("starcoder2", "falcon"):
             # non-gated GELU FFN
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
+        elif arch == "gpt2":
+            w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
+            w.add_tensor(f"blk.{il}.ffn_up.bias",
+                         (0.1 * rng.standard_normal(n_ff)).astype(np.float32), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
+            w.add_tensor(f"blk.{il}.ffn_down.bias",
+                         (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         else:
             w.add_tensor(f"blk.{il}.ffn_gate.weight", mat(n_ff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
