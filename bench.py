@@ -31,22 +31,31 @@ def build_params(hp, dtype, seed=0):
     L, E, F = hp.n_layer, hp.n_embd, hp.n_ff
     KV = hp.n_head_kv * hp.n_embd_head_k
     s = 1.0 / np.sqrt(E)
+    fused = hp.ffn_fused_up
     params = {
         "tok_embd": mat((hp.n_vocab, E), 0.02),
         "output_norm": jnp.ones((E,), dtype),
         "output": mat((hp.n_vocab, E), s),
         "layers": {
             "attn_norm": jnp.ones((L, E), dtype),
-            "attn_q": mat((L, E, E), s),
-            "attn_k": mat((L, KV, E), s),
-            "attn_v": mat((L, KV, E), s),
             "attn_output": mat((L, E, E), s),
             "ffn_norm": jnp.ones((L, E), dtype),
-            "ffn_gate": mat((L, F, E), s),
-            "ffn_up": mat((L, F, E), s),
             "ffn_down": mat((L, E, F), 1.0 / np.sqrt(F)),
         },
     }
+    if fused:
+        # fused [Q|K|V] and [gate|up] projections: 3 matvecs/layer instead
+        # of 7 — each dispatch carries ~10us fixed cost at decode shapes
+        params["layers"]["attn_qkv"] = mat((L, E + 2 * KV, E), s)
+        params["layers"]["ffn_up"] = mat((L, 2 * F, E), s)
+    else:
+        params["layers"].update({
+            "attn_q": mat((L, E, E), s),
+            "attn_k": mat((L, KV, E), s),
+            "attn_v": mat((L, KV, E), s),
+            "ffn_gate": mat((L, F, E), s),
+            "ffn_up": mat((L, F, E), s),
+        })
     return params
 
 
@@ -76,6 +85,8 @@ def main():
         rope_freq_base=10000.0,
         rope_type=0,
     )
+    if os.environ.get("BENCH_FUSED", "0") == "1":
+        hp.ffn_fused_up = True
     S = int(os.environ.get("BENCH_CTX", 512))
     # 32 fused steps beats 64 on this backend: the fully-unrolled 64-step
     # program (1400+ layer bodies) degrades XLA scheduling more than the

@@ -211,6 +211,7 @@ def load_model(
     progress_callback: Callable[[float], bool] = _progress_noop,
     load_vocab: bool = True,
     packed: bool = False,
+    fuse_projections: bool = False,
 ) -> LoadedModel:
     """Load a GGUF model (path / bytes / stream) into a JAX pytree.
 
@@ -218,6 +219,12 @@ def load_model(
     form (uint8 planes + f32 scale planes) for the fused Pallas
     dequant-matmul path — weights occupy their quantized size in HBM
     instead of being expanded to `dtype`.
+
+    `fuse_projections=True` concatenates Q/K/V into one [Q|K|V] matmul
+    and gate/up into one [gate|up] matmul (dense mode only) — fewer,
+    larger MXU dispatches; each decode-shape dispatch carries ~10us of
+    fixed cost on TPU, so 7 matvecs/layer -> 3 is a real win. The math
+    is unchanged (row-wise identical dot products).
 
     `progress_callback(frac)` returning False cancels the load (the
     reference's llama_progress_callback cancel semantics, llama.h:298)."""
@@ -333,6 +340,31 @@ def load_model(
             else:
                 mats = [fetch(t) for t in tnames]
                 stacked[key] = jnp.asarray(np.stack(mats), dtype=dtype)
+        if (
+            fuse_projections
+            and not packed
+            and "attn_q" in stacked
+            and not isinstance(stacked["attn_q"], dict)
+            and "attn_q_norm" not in stacked
+        ):
+            # [Q|K|V] fusion (and [gate|up] when the FFN is gated). Skipped
+            # for qk-norm archs: their per-head norms need q/k pre-rope
+            # anyway but the fused split covers that; the real blocker is
+            # per-tensor quant packing.
+            stacked["attn_qkv"] = jnp.concatenate(
+                [stacked.pop("attn_q"), stacked.pop("attn_k"), stacked.pop("attn_v")],
+                axis=1,
+            )
+            if all(f"attn_{c}_bias" in stacked for c in "qkv"):
+                stacked["attn_qkv_bias"] = jnp.concatenate(
+                    [stacked.pop("attn_q_bias"), stacked.pop("attn_k_bias"),
+                     stacked.pop("attn_v_bias")], axis=1,
+                )
+            if hp.ffn_gated and "ffn_gate" in stacked and not isinstance(stacked["ffn_gate"], dict):
+                stacked["ffn_up"] = jnp.concatenate(
+                    [stacked.pop("ffn_gate"), stacked["ffn_up"]], axis=1
+                )
+                hp.ffn_fused_up = True
         if (
             hp.arch.startswith("rwkv")
             and "time_mix_lerp_fused" not in stacked
