@@ -172,6 +172,8 @@ class Vocab:
         self.clean_spaces = clean_spaces
         self.ignore_merges = ignore_merges
 
+        self.precompiled_charsmap: bytes | None = None
+        self._ugm = None
         self.bpe_ranks: dict[tuple[str, str], int] = {}
         if merges:
             for i, m in enumerate(merges):
@@ -266,6 +268,13 @@ class Vocab:
                 add_sep=True, add_bos=True, add_eos=False,
                 clean_spaces=True,
             )
+        elif model == "t5":
+            vtype = VocabType.UGM
+            defaults = dict(
+                bos_id=TOKEN_NULL, eos_id=1, unk_id=2, pad_id=0,
+                add_bos=False, add_eos=True, add_space_prefix=True,
+                remove_extra_whitespaces=False,
+            )
         elif model in ("none", "no_vocab"):
             vtype = VocabType.NONE
             defaults = {}
@@ -332,6 +341,12 @@ class Vocab:
                 or getattr(vocab, attr) == TOKEN_NULL
             ):
                 setattr(vocab, attr, int(kv[key]))
+
+        pc = kv.get("tokenizer.ggml.precompiled_charsmap")
+        if pc is not None:
+            import numpy as _np
+
+            vocab.precompiled_charsmap = bytes(_np.asarray(pc, dtype=_np.uint8))
 
         # model-specific attr fixups (llama-vocab.cpp:2509-2530)
         name = str(kv.get("general.name", "")).lower()
@@ -433,6 +448,21 @@ class Vocab:
                     output.append(frag.token)
                 else:
                     self._bpe_tokenize(frag.text, output)
+            if add_special and self.add_eos:
+                output.append(self.eos_id)
+        elif self.type == VocabType.UGM:
+            # llama-vocab.cpp:2926-2960: no BOS by default, EOS appended
+            if add_special and self.add_bos and self.bos_id != TOKEN_NULL:
+                output.append(self.bos_id)
+            if self._ugm is None:
+                from .ugm import UgmTokenizer
+
+                self._ugm = UgmTokenizer(self, self.precompiled_charsmap)
+            for frag in fragments:
+                if frag.token != TOKEN_NULL:
+                    output.append(frag.token)
+                else:
+                    output.extend(self._ugm.tokenize(frag.text))
             if add_special and self.add_eos:
                 output.append(self.eos_id)
         elif self.type == VocabType.WPM:
