@@ -29,6 +29,36 @@ TOKEN_NULL = -1
 SPM_ESCAPED_SPACE = "▁"  # ▁
 
 
+def rwkv_unescape(escaped: str) -> bytes:
+    r"""llama_unescape_rwkv_token: \t \n \r \xHH and backslash escapes."""
+    out = bytearray()
+    i = 0
+    n = len(escaped)
+    while i < n:
+        c = escaped[i]
+        if c == "\\" and i + 1 < n:
+            nxt = escaped[i + 1]
+            if nxt == "t":
+                out.append(9)
+                i += 2
+            elif nxt == "n":
+                out.append(10)
+                i += 2
+            elif nxt == "r":
+                out.append(13)
+                i += 2
+            elif nxt == "x" and i + 3 < n + 1:
+                out.append(int(escaped[i + 2 : i + 4], 16))
+                i += 4
+            else:
+                out.append(ord(nxt))
+                i += 2
+        else:
+            out += c.encode("utf-8")
+            i += 1
+    return bytes(out)
+
+
 class VocabType(enum.Enum):
     NONE = "none"
     SPM = "spm"
@@ -174,6 +204,8 @@ class Vocab:
 
         self.precompiled_charsmap: bytes | None = None
         self._ugm = None
+        self._rwkv_trie = None
+        self._rwkv_pieces = None
         self.bpe_ranks: dict[tuple[str, str], int] = {}
         if merges:
             for i, m in enumerate(merges):
@@ -274,6 +306,12 @@ class Vocab:
                 bos_id=TOKEN_NULL, eos_id=1, unk_id=2, pad_id=0,
                 add_bos=False, add_eos=True, add_space_prefix=True,
                 remove_extra_whitespaces=False,
+            )
+        elif model == "rwkv":
+            vtype = VocabType.RWKV
+            defaults = dict(
+                add_bos=False, add_eos=False, add_space_prefix=False,
+                clean_spaces=False,
             )
         elif model in ("none", "no_vocab"):
             vtype = VocabType.NONE
@@ -465,6 +503,37 @@ class Vocab:
                     output.extend(self._ugm.tokenize(frag.text))
             if add_special and self.add_eos:
                 output.append(self.eos_id)
+        elif self.type == VocabType.RWKV:
+            # greedy longest-match over raw bytes (llm_tokenizer_rwkv)
+            if self._rwkv_trie is None:
+                from .ugm import _Trie
+
+                self._rwkv_trie = _Trie()
+                self._rwkv_pieces = [rwkv_unescape(td.text) for td in self.id_to_token]
+                for tid, raw in enumerate(self._rwkv_pieces):
+                    if raw:
+                        self._rwkv_trie.insert(raw, tid)
+            for frag in fragments:
+                if frag.token != TOKEN_NULL:
+                    output.append(frag.token)
+                    continue
+                data = frag.text.encode("utf-8")
+                pos = 0
+                while pos < len(data):
+                    node = self._rwkv_trie.children.get(data[pos])
+                    token_id, token_end = TOKEN_NULL, 0
+                    p = pos + 1
+                    while node is not None:
+                        if node.value is not None:
+                            token_id, token_end = node.value, p
+                        node = node.children.get(data[p]) if p < len(data) else None
+                        p += 1
+                    if token_end == 0:
+                        output.append(self.unk_id)
+                        pos += 1
+                    else:
+                        output.append(token_id)
+                        pos = token_end
         elif self.type == VocabType.WPM:
             if add_special:
                 output.append(self.bos_id)
