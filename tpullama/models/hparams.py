@@ -90,6 +90,11 @@ class HParams:
     # hybrid (jamba): per-layer kv head counts; 0 = recurrent layer
     n_head_kv_layers: tuple = ()
 
+    # T5 / encoder-decoder
+    n_rel_attn_bkts: int = 0
+    dec_start_token_id: int = -1
+    dec_n_layer: int = 0
+
     pooling_type: str = "none"  # %s.pooling_type (llama-arch.cpp:170)
     causal_attn: bool = True
 
@@ -103,6 +108,10 @@ class HParams:
         """Model keeps per-seq recurrent state instead of a KV cache
         (llama_model_is_recurrent)."""
         return self.arch in ("mamba", "mamba2", "falcon-mamba", "rwkv6", "rwkv7")
+
+    @property
+    def is_encoder_decoder(self) -> bool:
+        return self.arch in ("t5", "t5encoder")
 
     @property
     def is_hybrid(self) -> bool:
@@ -193,6 +202,9 @@ class HParams:
             ssm_n_group=int(g("ssm.group_count", 0) or 0),
             ssm_dt_b_c_rms=bool(g("ssm.dt_b_c_rms", False)),
             n_head_kv_layers=n_head_kv_layers,
+            n_rel_attn_bkts=int(g("attention.relative_buckets_count", 0) or 0),
+            dec_start_token_id=int(g("decoder_start_token_id", -1) if g("decoder_start_token_id") is not None else -1),
+            dec_n_layer=int(g("decoder_block_count", 0) or 0),
             wkv_head_size=int(g("wkv.head_size", 0) or 0),
             rescale_every_n_layers=int(g("rescale_every_n_layers", 0) or 0),
             token_shift_count=int(g("token_shift_count", 2) or 2),
@@ -210,6 +222,10 @@ class HParams:
             # post-norm blocks, full-width q/k norm (llm_build_olmo2)
             hp.pre_norm = False
             hp.qk_norm_full = True
+        if arch == "t5":
+            hp.act = "relu"
+            if not hp.dec_n_layer:
+                hp.dec_n_layer = hp.n_layer
         if arch == "gpt2":
             # LN + biases, fused qkv, learned positions, no rope
             hp.norm_type = "layer"

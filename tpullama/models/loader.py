@@ -313,7 +313,12 @@ def load_model(
                 fetch(tname), dtype=dtype if pname != "rope_freqs" else jnp.float32
             )
 
-    if n_layer and hp.is_hybrid:
+    if hp.arch == "t5":
+        from .t5 import load_t5_params
+
+        t5p = load_t5_params(reader, hp, fetch, dtype)
+        params.update(t5p)
+    elif n_layer and hp.is_hybrid:
         # hybrid archs (jamba): layers have heterogeneous tensor sets, so
         # keep a per-layer list (Python-loop forward) instead of stacking
         params["layer_list"] = [

@@ -640,3 +640,90 @@ def make_tiny_jamba_gguf(
         w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
     w.write(path)
     return path, n_vocab
+
+
+def make_tiny_t5_gguf(
+    path,
+    n_embd: int = 64,
+    n_layer: int = 2,
+    n_head: int = 4,
+    n_ff: int = 128,
+    n_rel_bkts: int = 32,
+    seed: int = 0,
+):
+    """Write a random tiny T5 GGUF (enc.blk/dec.blk name scheme with a
+    UGM byte-ish vocab; llama-arch.cpp T5 table)."""
+    # UGM vocab: pad/eos/unk + single-char pieces
+    tokens = ["<pad>", "</s>", "<unk>", "▁"]
+    scores = [0.0, 0.0, 0.0, -2.0]
+    types = [3, 3, 2, 1]
+    for b in range(32, 127):
+        tokens.append(chr(b))
+        scores.append(-5.0 - (b - 32) * 0.01)
+        types.append(1)
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "t5")
+    w.add_str("general.name", "tiny-test-t5")
+    w.add_u32("t5.context_length", 512)
+    w.add_u32("t5.embedding_length", n_embd)
+    w.add_u32("t5.block_count", n_layer)
+    w.add_u32("t5.decoder_block_count", n_layer)
+    w.add_u32("t5.feed_forward_length", n_ff)
+    w.add_u32("t5.attention.head_count", n_head)
+    w.add_u32("t5.attention.key_length", head_dim)
+    w.add_u32("t5.attention.value_length", head_dim)
+    w.add_u32("t5.attention.relative_buckets_count", n_rel_bkts)
+    w.add_f32("t5.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_u32("t5.decoder_start_token_id", 0)
+    w.add_u32("t5.vocab_size", n_vocab)
+    w.add_str("tokenizer.ggml.model", "t5")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.eos_token_id", 1)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 2)
+    w.add_u32("tokenizer.ggml.padding_token_id", 0)
+    w.add_bool("tokenizer.ggml.add_space_prefix", True)
+    w.add_bool("tokenizer.ggml.remove_extra_whitespaces", True)
+    w.add_bool("tokenizer.ggml.add_eos_token", True)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.05), GGMLType.F32)
+    w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
+    w.add_tensor("enc.output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("dec.output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        for side in ("enc", "dec"):
+            p = f"{side}.blk.{il}."
+            w.add_tensor(p + "attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+            if il == 0:
+                # rel_b only on layer 0 (shared), ggml {n_head, n_bkts}
+                w.add_tensor(p + "attn_rel_b.weight",
+                             (0.3 * rng.standard_normal((n_rel_bkts, n_head))).astype(np.float32),
+                             GGMLType.F32)
+            w.add_tensor(p + "attn_q.weight", mat(n_embd, n_embd, 0.08), GGMLType.F32)
+            w.add_tensor(p + "attn_k.weight", mat(n_embd, n_embd, 0.08), GGMLType.F32)
+            w.add_tensor(p + "attn_v.weight", mat(n_embd, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_o.weight", mat(n_embd, n_embd), GGMLType.F32)
+            if side == "dec":
+                w.add_tensor(p + "cross_attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+                w.add_tensor(p + "cross_attn_q.weight", mat(n_embd, n_embd, 0.08), GGMLType.F32)
+                w.add_tensor(p + "cross_attn_k.weight", mat(n_embd, n_embd, 0.08), GGMLType.F32)
+                w.add_tensor(p + "cross_attn_v.weight", mat(n_embd, n_embd), GGMLType.F32)
+                w.add_tensor(p + "cross_attn_o.weight", mat(n_embd, n_embd), GGMLType.F32)
+            w.add_tensor(p + "ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+            w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+    w.write(path)
+    return path, n_vocab

@@ -9,5 +9,6 @@ from .context import Context, ContextParams
 from .encoder import EncoderContext
 from .hybrid import HybridContext
 from .recurrent import RecurrentContext, make_context
+from .seq2seq import Seq2SeqContext
 
-__all__ = ["Context", "ContextParams", "EncoderContext", "HybridContext", "RecurrentContext", "make_context"]
+__all__ = ["Context", "ContextParams", "EncoderContext", "HybridContext", "RecurrentContext", "Seq2SeqContext", "make_context"]

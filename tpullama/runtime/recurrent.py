@@ -145,6 +145,10 @@ def make_context(model: LoadedModel, params: ContextParams | None = None):
     models the KV-cache Context (llama_context init dispatch analog)."""
     from .context import Context
 
+    if model.hparams.is_encoder_decoder:
+        from .seq2seq import Seq2SeqContext
+
+        return Seq2SeqContext(model, params)
     if model.hparams.is_hybrid:
         from .hybrid import HybridContext
 
