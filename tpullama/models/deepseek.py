@@ -1,0 +1,126 @@
+"""DeepSeek-V2/V3 forward pass (MLA latent-compressed attention).
+
+Reference parity: llm_build_deepseek2 (src/models/deepseek2.cpp) —
+non-absorbed MHA decompression path: low-rank Q (q_a/q_b with RMS norm
+for non-lite) split into [nope | rope] halves, KV compressed through
+wkv_a_mqa into (kv_lora_rank + rope) then decompressed by wkv_b into
+k_nope/v; K = [k_pe (shared across heads) | k_nope]; YaRN mscale folded
+into kq_scale (deepseek2.cpp:22-25). First n_layer_dense_lead layers are
+dense-FFN, the rest MoE with shared experts and (V3) sigmoid gating with
+expert-probs bias.
+
+Like jamba, layers are heterogeneous (dense lead vs MoE) so the forward
+is a Python-unrolled loop over params["layer_list"].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import attention
+from ..ops.norms import rms_norm
+from ..ops.rope import RopeParams, apply_rope, rope_cache
+from .hparams import HParams
+from .llama import _linear, rope_params
+
+
+def deepseek2_forward(
+    params,
+    hp: HParams,
+    tokens,
+    positions,
+    kv_k,  # (L, B, S, H, Dk)  Dk = qk_rope + qk_nope
+    kv_v,  # (L, B, S, H, Dv)
+    cache_slots,
+    attn_mask,
+    quant_meta=None,
+):
+    B, T = tokens.shape
+    H = hp.n_head
+    qk_rope = hp.n_rot
+    qk_nope = hp.n_embd_head_k - qk_rope
+    Dv = hp.n_embd_head_v
+    kv_rank = hp.n_lora_kv
+    batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    # YaRN mscale correction (deepseek2.cpp:22-25)
+    rp = rope_params(hp)
+    mscale = rp.attn_factor * (
+        1.0 + hp.rope_yarn_log_mul * np.log(1.0 / max(rp.freq_scale, 1e-9))
+    )
+    kq_scale = mscale * mscale / np.sqrt(hp.n_embd_head_k)
+    from dataclasses import replace as _replace
+
+    rp = _replace(rp, attn_factor=1.0 / (1.0 + 0.1 * np.log(1.0 / max(rp.freq_scale, 1e-9))))
+    cos, sin = rope_cache(rp, positions)
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+
+    x = jnp.take(params["tok_embd"], tokens, axis=0)
+    new_k, new_v = [], []
+    for li, lp in enumerate(params["layer_list"]):
+        h = rms_norm(x, lp["attn_norm"], hp.f_norm_rms_eps)
+        if "attn_q_a" in lp:
+            q = _linear(h, lp["attn_q_a"])
+            q = rms_norm(q, lp["attn_q_a_norm"], hp.f_norm_rms_eps)
+            q = _linear(q, lp["attn_q_b"])
+        else:  # lite variants use a plain Q projection
+            q = _linear(h, lp["attn_q"])
+        q = q.reshape(B, T, H, qk_nope + qk_rope)
+        q_nope, q_pe = q[..., :qk_nope], q[..., qk_nope:]
+
+        kv_pe = _linear(h, lp["attn_kv_a_mqa"])  # (B, T, kv_rank + qk_rope)
+        kv_cmpr = kv_pe[..., :kv_rank]
+        k_pe = kv_pe[..., kv_rank:].reshape(B, T, 1, qk_rope)
+
+        q_pe = apply_rope(q_pe, cos, sin, rp.mode, qk_rope)
+        k_pe = apply_rope(k_pe, cos, sin, rp.mode, qk_rope)
+        kv_cmpr = rms_norm(kv_cmpr, lp["attn_kv_a_norm"], hp.f_norm_rms_eps)
+
+        # decompress: wkv_b -> per-head [k_nope | v]
+        kv = _linear(kv_cmpr, lp["attn_kv_b"]).reshape(B, T, H, qk_nope + Dv)
+        k_nope, v = kv[..., :qk_nope], kv[..., qk_nope:]
+
+        # rope part first (matches the cache layout used for shifting)
+        qh = jnp.concatenate([q_pe, q_nope], axis=-1)
+        kh = jnp.concatenate([jnp.broadcast_to(k_pe, (B, T, H, qk_rope)), k_nope], axis=-1)
+
+        kc = kv_k[li].at[batch_idx, cache_slots].set(kh.astype(kv_k.dtype))
+        vc = kv_v[li].at[batch_idx, cache_slots].set(v.astype(kv_v.dtype))
+        att = attention(qh, kc, vc, mask=attn_mask, scale=float(kq_scale))
+        x = x + _linear(att.reshape(B, T, H * Dv), lp["attn_output"])
+        new_k.append(kc)
+        new_v.append(vc)
+
+        h = rms_norm(x, lp["ffn_norm"], hp.f_norm_rms_eps)
+        if "ffn_gate_inp" in lp:
+            from ..ops.moe import moe_ffn
+
+            down = moe_ffn(
+                h, lp["ffn_gate_inp"], lp.get("ffn_gate_exps"),
+                lp["ffn_up_exps"], lp["ffn_down_exps"],
+                n_expert_used=hp.n_expert_used,
+                norm_w=hp.expert_weights_norm,
+                w_scale=hp.expert_weights_scale,
+                gating=hp.expert_gating_func,
+                exp_probs_b=lp.get("exp_probs_b"),
+                weight_before_ffn=False,
+            )
+            if "ffn_gate_shexp" in lp:
+                gate = _linear(h, lp["ffn_gate_shexp"])
+                up = _linear(h, lp["ffn_up_shexp"])
+                act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+                down = down + _linear(act, lp["ffn_down_shexp"])
+        else:
+            gate = _linear(h, lp["ffn_gate"])
+            up = _linear(h, lp["ffn_up"])
+            act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+            down = _linear(act, lp["ffn_down"])
+        x = x + down
+
+    x = rms_norm(x, params["output_norm"], hp.f_norm_rms_eps)
+    logits = _linear(x, params.get("output", params["tok_embd"]))
+    return logits.astype(jnp.float32), (jnp.stack(new_k), jnp.stack(new_v))

@@ -90,6 +90,12 @@ class HParams:
     # hybrid (jamba): per-layer kv head counts; 0 = recurrent layer
     n_head_kv_layers: tuple = ()
 
+    # DeepSeek-V2/V3 (MLA)
+    n_lora_q: int = 0
+    n_lora_kv: int = 0
+    n_layer_dense_lead: int = 0
+    rope_yarn_log_mul: float = 0.0
+
     # T5 / encoder-decoder
     n_rel_attn_bkts: int = 0
     dec_start_token_id: int = -1
@@ -202,6 +208,10 @@ class HParams:
             ssm_n_group=int(g("ssm.group_count", 0) or 0),
             ssm_dt_b_c_rms=bool(g("ssm.dt_b_c_rms", False)),
             n_head_kv_layers=n_head_kv_layers,
+            n_lora_q=int(g("attention.q_lora_rank", 0) or 0),
+            n_lora_kv=int(g("attention.kv_lora_rank", 0) or 0),
+            n_layer_dense_lead=int(g("leading_dense_block_count", 0) or 0),
+            rope_yarn_log_mul=float(g("rope.scaling.yarn_log_multiplier", 0.0) or 0.0),
             n_rel_attn_bkts=int(g("attention.relative_buckets_count", 0) or 0),
             dec_start_token_id=int(g("decoder_start_token_id", -1) if g("decoder_start_token_id") is not None else -1),
             dec_n_layer=int(g("decoder_block_count", 0) or 0),

@@ -59,6 +59,17 @@ _LAYER_TENSORS = {
     "ffn_gate_shexp.weight": "ffn_gate_shexp",
     "ffn_up_shexp.weight": "ffn_up_shexp",
     "ffn_down_shexp.weight": "ffn_down_shexp",
+    # deepseek2 MLA projections
+    "attn_q_a.weight": "attn_q_a",
+    "attn_q_b.weight": "attn_q_b",
+    "attn_q_a_norm.weight": "attn_q_a_norm",
+    "attn_kv_a_mqa.weight": "attn_kv_a_mqa",
+    "attn_kv_a_norm.weight": "attn_kv_a_norm",
+    "attn_kv_b.weight": "attn_kv_b",
+    "attn_k_b.weight": "attn_k_b",
+    "attn_v_b.weight": "attn_v_b",
+    "exp_probs_b.bias": "exp_probs_b",
+    "ffn_gate_inp.bias": "ffn_gate_inp_b",
     "post_attention_norm.weight": "post_attn_norm",
     "post_ffw_norm.weight": "post_ffn_norm",
     "attn_sinks.weight": "attn_sinks",
@@ -318,7 +329,7 @@ def load_model(
 
         t5p = load_t5_params(reader, hp, fetch, dtype)
         params.update(t5p)
-    elif n_layer and hp.is_hybrid:
+    elif n_layer and (hp.is_hybrid or hp.arch == "deepseek2"):
         # hybrid archs (jamba): layers have heterogeneous tensor sets, so
         # keep a per-layer list (Python-loop forward) instead of stacking
         params["layer_list"] = [

@@ -727,3 +727,101 @@ def make_tiny_t5_gguf(
             w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
     w.write(path)
     return path, n_vocab
+
+
+def make_tiny_deepseek2_gguf(
+    path,
+    n_embd: int = 64,
+    n_layer: int = 2,
+    n_head: int = 4,
+    qk_rope: int = 16,
+    qk_nope: int = 32,
+    v_head: int = 32,
+    q_rank: int = 24,
+    kv_rank: int = 32,
+    n_ff: int = 128,
+    n_expert: int = 4,
+    n_expert_used: int = 2,
+    ff_exp: int = 64,
+    seed: int = 0,
+):
+    """Write a random tiny DeepSeek-V2 GGUF (MLA attention; layer 0 dense
+    FFN, later layers MoE with one shared expert; llama-model.cpp
+    LLM_ARCH_DEEPSEEK2)."""
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    qk_head = qk_rope + qk_nope
+
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "deepseek2")
+    w.add_str("general.name", "tiny-test-ds2")
+    w.add_u32("deepseek2.context_length", 512)
+    w.add_u32("deepseek2.embedding_length", n_embd)
+    w.add_u32("deepseek2.block_count", n_layer)
+    w.add_u32("deepseek2.feed_forward_length", n_ff)
+    w.add_u32("deepseek2.attention.head_count", n_head)
+    w.add_u32("deepseek2.attention.head_count_kv", n_head)
+    w.add_u32("deepseek2.attention.key_length", qk_head)
+    w.add_u32("deepseek2.attention.value_length", v_head)
+    w.add_u32("deepseek2.rope.dimension_count", qk_rope)
+    w.add_f32("deepseek2.rope.freq_base", 10000.0)
+    w.add_f32("deepseek2.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_u32("deepseek2.leading_dense_block_count", 1)
+    w.add_u32("deepseek2.attention.q_lora_rank", q_rank)
+    w.add_u32("deepseek2.attention.kv_lora_rank", kv_rank)
+    w.add_u32("deepseek2.expert_count", n_expert)
+    w.add_u32("deepseek2.expert_used_count", n_expert_used)
+    w.add_u32("deepseek2.expert_feed_forward_length", ff_exp)
+    w.add_u32("deepseek2.expert_shared_count", 1)
+    w.add_f32("deepseek2.expert_weights_scale", 1.0)
+    w.add_u32("deepseek2.vocab_size", n_vocab)
+    w.add_str("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.bos_token_id", 1)
+    w.add_u32("tokenizer.ggml.eos_token_id", 2)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 0)
+    w.add_bool("tokenizer.ggml.add_bos_token", True)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        w.add_tensor(p + "attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_q_a.weight", mat(q_rank, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_q_a_norm.weight", norm_w(q_rank), GGMLType.F32)
+        w.add_tensor(p + "attn_q_b.weight", mat(n_head * qk_head, q_rank), GGMLType.F32)
+        w.add_tensor(p + "attn_kv_a_mqa.weight", mat(kv_rank + qk_rope, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_kv_a_norm.weight", norm_w(kv_rank), GGMLType.F32)
+        w.add_tensor(p + "attn_kv_b.weight",
+                     mat(n_head * (qk_nope + v_head), kv_rank), GGMLType.F32)
+        w.add_tensor(p + "attn_output.weight", mat(n_embd, n_head * v_head), GGMLType.F32)
+        w.add_tensor(p + "ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if il < 1:
+            w.add_tensor(p + "ffn_gate.weight", mat(n_ff, n_embd), GGMLType.F32)
+            w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+            w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+        else:
+            w.add_tensor(p + "ffn_gate_inp.weight", mat(n_expert, n_embd), GGMLType.F32)
+            ge = np.stack([mat(ff_exp, n_embd) for _ in range(n_expert)])
+            ue = np.stack([mat(ff_exp, n_embd) for _ in range(n_expert)])
+            de = np.stack([mat(n_embd, ff_exp) for _ in range(n_expert)])
+            w.add_tensor(p + "ffn_gate_exps.weight", ge, GGMLType.F32)
+            w.add_tensor(p + "ffn_up_exps.weight", ue, GGMLType.F32)
+            w.add_tensor(p + "ffn_down_exps.weight", de, GGMLType.F32)
+            w.add_tensor(p + "ffn_gate_shexp.weight", mat(ff_exp, n_embd), GGMLType.F32)
+            w.add_tensor(p + "ffn_up_shexp.weight", mat(ff_exp, n_embd), GGMLType.F32)
+            w.add_tensor(p + "ffn_down_shexp.weight", mat(n_embd, ff_exp), GGMLType.F32)
+    w.write(path)
+    return path, n_vocab

@@ -19,7 +19,7 @@ def attention(q, k, v, mask=None, scale: float | None = None, softcap: float = 0
     k_scale/v_scale: optional per-(token, head) dequant scales (B, Tk, Hkv)
     for int8 KV caches — K's scale factors out of the QK dot, V's folds
     into the probabilities, so no dequantized cache is materialized.
-    Returns (B, Tq, Hq, D)."""
+    Returns (B, Tq, Hq, Dv) (Dv may differ from D, e.g. deepseek2 MLA)."""
     B, Tq, Hq, D = q.shape
     _, Tk, Hkv, _ = k.shape
     if scale is None:
@@ -60,7 +60,8 @@ def attention(q, k, v, mask=None, scale: float | None = None, softcap: float = 0
     if v_scale is not None:
         vs = v_scale.astype(jnp.float32).transpose(0, 2, 1)  # B,Hkv,Tk
         probs_g = probs_g * vs[:, :, None, None, :]
-    out = jnp.einsum("bhgqk,bhkd->bhgqd", probs_g, vf).reshape(B, Hq, Tq, D)
+    Dv = vf.shape[-1]  # may differ from the q/k head dim (deepseek2 MLA)
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", probs_g, vf).reshape(B, Hq, Tq, Dv)
     return out.transpose(0, 2, 1, 3).astype(q.dtype)
 
 

@@ -149,10 +149,20 @@ class Context:
         elif self.hp.n_swa:
             vis = vis & (kv_pos[:, None, :] > positions[:, :, None] - self.hp.n_swa)
             mask = jnp.where(vis, jnp.float32(0), NEG_INF)[:, None, :, :]
-        logits, embd, (kv_k, kv_v) = llama_forward(
-            params, self.hp, tokens, positions, kv_k, kv_v, slots, mask,
-            quant_meta=self.model.quant_meta, return_embd=True,
-        )
+        if self.hp.arch == "deepseek2":
+            from ..models.deepseek import deepseek2_forward
+
+            logits, (kv_k, kv_v) = deepseek2_forward(
+                params, self.hp, tokens, positions, kv_k, kv_v, slots,
+                mask if not isinstance(mask, tuple) else mask[0],
+                quant_meta=self.model.quant_meta,
+            )
+            embd = logits  # MLA path: no separate embd output yet
+        else:
+            logits, embd, (kv_k, kv_v) = llama_forward(
+                params, self.hp, tokens, positions, kv_k, kv_v, slots, mask,
+                quant_meta=self.model.quant_meta, return_embd=True,
+            )
         return logits, embd, kv_k, kv_v, kv_pos
 
     def _step_seq(self, params, kv_k, kv_v, kv_pos, seq, tokens, positions, slots, n_logits: int):
