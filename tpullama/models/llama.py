@@ -284,6 +284,9 @@ def llama_forward(
             x = x + att + down
         else:
             x = x + down
+        if "_cvec" in w:
+            # control-vector adapter (llama_adapter_cvec::apply_to)
+            x = x + w["_cvec"]
         stats = None
         if collect_imatrix:
             # sum of squared activations per input column for each matmul

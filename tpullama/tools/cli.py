@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="max tokens drafted per speculative round")
     ap.add_argument("--draft-p-min", type=float, default=0.75,
                     help="draft token confidence threshold")
+    ap.add_argument("--control-vector", action="append", default=[],
+                    help="control vector gguf, optionally FILE:strength")
     ap.add_argument("--burst", type=int, default=16,
                     help="greedy decode chunk size for fused on-device steps")
     ap.add_argument("--verbose", action="store_true")
@@ -94,6 +96,14 @@ def main(argv=None) -> int:
             penalty_last_n=args.repeat_last_n,
             penalty_repeat=args.repeat_penalty,
         )
+
+    for cv in args.control_vector:
+        from ..runtime.cvec import apply_control_vector
+
+        path_s, _, strength = cv.partition(":")
+        apply_control_vector(model, path_s, float(strength) if strength else 1.0)
+        if args.verbose:
+            print(f"[cvec] applied {path_s}", file=sys.stderr)
 
     spec = None
     if args.model_draft:
