@@ -170,6 +170,17 @@ def test_gpt2_falcon_match_reference(tmp_path, arch):
 
 
 @needs_cli
+def test_gemma1_matches_reference(tmp_path):
+    """Gemma v1: embd scale + GELU, tied output, MQA (1 kv head)."""
+    path = str(tmp_path / "tiny_gemma.gguf")
+    make_tiny_llama_gguf(path, n_layer=2, arch="gemma", seed=17, n_head_kv=1,
+                         tied_output=True)
+    ours = run_ours(path).replace(b"\x00", b"")
+    ref = run_reference(path).replace(b"\x00", b"")
+    assert ours == ref
+
+
+@needs_cli
 def test_qwen3moe_matches_reference(tmp_path):
     path = str(tmp_path / "tiny_qwen3moe.gguf")
     make_tiny_llama_gguf(path, n_layer=2, arch="qwen3moe", n_expert=4, seed=17)

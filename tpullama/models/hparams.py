@@ -241,6 +241,12 @@ class HParams:
             hp.norm_type = "layer"
             hp.ffn_gated = False
             hp.act = "gelu"
+        if arch in ("command-r", "cohere2"):
+            # LN (no biases), parallel attn+ffn residual from the attn
+            # norm, gated silu FFN, logits scaled by logit_scale
+            hp.norm_type = "layer"
+            hp.parallel_residual = True
+            hp.final_logit_scale = hp.f_logit_scale
         if arch == "falcon":
             # parallel attn+ffn residual from the attn norm (llm_build_falcon)
             hp.norm_type = "layer"

@@ -80,8 +80,10 @@ def make_tiny_llama_gguf(
         w.add_u32(f"{arch}.expert_used_count", n_expert_used)
         if arch == "qwen3moe":
             w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
-    if arch in ("starcoder2", "gpt2", "falcon"):
+    if arch in ("starcoder2", "gpt2", "falcon", "command-r"):
         w.add_f32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    if arch == "command-r":
+        w.add_f32(f"{arch}.logit_scale", 0.5)
     if arch == "granite":
         w.add_f32(f"{arch}.logit_scale", 8.0)
         w.add_f32(f"{arch}.residual_scale", 0.5)
