@@ -187,6 +187,16 @@ def test_qwen3moe_matches_reference(tmp_path):
     assert run_ours(path) == run_reference(path)
 
 
+@needs_cli
+def test_qwen2moe_matches_reference(tmp_path):
+    """qwen2moe: un-renormalized top-k weights + sigmoid-gated shared
+    expert. llama-cli prints a literal " [end of text]" marker on EOG."""
+    path = str(tmp_path / "tiny_qwen2moe.gguf")
+    make_tiny_llama_gguf(path, n_layer=2, arch="qwen2moe", n_expert=4, seed=17)
+    ref = run_reference(path).split(b" [end of text]")[0]
+    assert run_ours(path) == ref
+
+
 def test_gemma3_matches_reference(tmp_path):
     """Gemma3: embd scale, QK-norm, sandwich norms, alternating SWA with
     dual rope bases, GELU FFN."""

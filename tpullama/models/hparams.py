@@ -71,6 +71,7 @@ class HParams:
     expert_weights_scale: float = 0.0
     expert_weights_norm: bool = False
     expert_gating_func: int = 1  # 1=softmax, 2=sigmoid
+    moe_norm_topk: bool = True  # renormalize top-k weights (build_moe_ffn norm_w)
     n_ff_exp: int = 0
     n_ff_shexp: int = 0
 
@@ -232,6 +233,10 @@ class HParams:
             # post-norm blocks, full-width q/k norm (llm_build_olmo2)
             hp.pre_norm = False
             hp.qk_norm_full = True
+        if arch == "qwen2moe":
+            # top-k weights NOT renormalized; shared expert has its own
+            # sigmoid gate (llm_build_qwen2moe)
+            hp.moe_norm_topk = False
         if arch == "t5":
             hp.act = "relu"
             if not hp.dec_n_layer:

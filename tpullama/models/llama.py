@@ -234,10 +234,21 @@ def llama_forward(
                 w["ffn_up_exps"],
                 w["ffn_down_exps"],
                 n_expert_used=hp.n_expert_used,
-                norm_w=True,
+                norm_w=hp.moe_norm_topk,
                 w_scale=hp.expert_weights_scale,
                 gating=hp.expert_gating_func,
             )
+            if "ffn_gate_shexp" in w:
+                # shared expert; qwen2moe gates it with its own sigmoid
+                # router (llm_build_qwen2moe:104-119)
+                gate = _linear(h, w["ffn_gate_shexp"], lmeta.get("ffn_gate_shexp"))
+                up = _linear(h, w["ffn_up_shexp"], lmeta.get("ffn_up_shexp"))
+                act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+                shexp = _linear(act, w["ffn_down_shexp"], lmeta.get("ffn_down_shexp"))
+                if "ffn_gate_inp_shexp" in w:
+                    g = _linear(h, w["ffn_gate_inp_shexp"]).astype(jnp.float32)
+                    shexp = shexp * jax.nn.sigmoid(g).astype(shexp.dtype)
+                down = down + shexp
             if "ffn_gate" in w:  # shared dense FFN alongside experts
                 gate = _linear(h, w["ffn_gate"], lmeta.get("ffn_gate"))
                 up = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))

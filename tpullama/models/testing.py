@@ -78,8 +78,10 @@ def make_tiny_llama_gguf(
     if n_expert:
         w.add_u32(f"{arch}.expert_count", n_expert)
         w.add_u32(f"{arch}.expert_used_count", n_expert_used)
-        if arch == "qwen3moe":
+        if arch in ("qwen3moe", "qwen2moe"):
             w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
+        if arch == "qwen2moe":
+            w.add_u32(f"{arch}.expert_shared_feed_forward_length", n_ff)
     if arch in ("starcoder2", "gpt2", "falcon", "command-r"):
         w.add_f32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
     if arch == "command-r":
@@ -193,6 +195,12 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.ffn_gate_exps.weight", ge, qtype)
             w.add_tensor(f"blk.{il}.ffn_up_exps.weight", ue, qtype)
             w.add_tensor(f"blk.{il}.ffn_down_exps.weight", de, qtype)
+            if arch == "qwen2moe":
+                w.add_tensor(f"blk.{il}.ffn_gate_inp_shexp.weight",
+                             mat(1, n_embd), GGMLType.F32)
+                w.add_tensor(f"blk.{il}.ffn_gate_shexp.weight", mat(n_ff, n_embd), qtype)
+                w.add_tensor(f"blk.{il}.ffn_up_shexp.weight", mat(n_ff, n_embd), qtype)
+                w.add_tensor(f"blk.{il}.ffn_down_shexp.weight", mat(n_embd, n_ff), qtype)
         elif arch == "phi3":
             # fused [gate|up] rows, SWIGLU split at runtime
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(2 * n_ff, n_embd), qtype)
