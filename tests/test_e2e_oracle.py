@@ -170,6 +170,17 @@ def test_gpt2_falcon_match_reference(tmp_path, arch):
 
 
 @needs_cli
+def test_phi2_matches_reference(tmp_path):
+    """phi2: LN+biases, parallel attn/ffn from the attn norm, fused
+    biased qkv, partial rope, biased lm head."""
+    path = str(tmp_path / "tiny_phi2.gguf")
+    make_tiny_llama_gguf(path, n_layer=2, arch="phi2", seed=17, n_head_kv=4)
+    ours = run_ours(path).replace(b"\x00", b"")
+    ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
+    assert ours == ref
+
+
+@needs_cli
 def test_gemma1_matches_reference(tmp_path):
     """Gemma v1: embd scale + GELU, tied output, MQA (1 kv head)."""
     path = str(tmp_path / "tiny_gemma.gguf")

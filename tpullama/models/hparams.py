@@ -252,6 +252,13 @@ class HParams:
             hp.norm_type = "layer"
             hp.parallel_residual = True
             hp.final_logit_scale = hp.f_logit_scale
+        if arch == "phi2":
+            # LN + biases, parallel attn+ffn from the attn norm, plain
+            # GELU FFN, biased lm head (llm_build_phi2)
+            hp.norm_type = "layer"
+            hp.parallel_residual = True
+            hp.ffn_gated = False
+            hp.act = "gelu"
         if arch == "falcon":
             # parallel attn+ffn residual from the attn norm (llm_build_falcon)
             hp.norm_type = "layer"

@@ -336,6 +336,8 @@ def llama_forward(
     x = norm_fn(x, params["output_norm"], params.get("output_norm_bias"))
     out_w = params.get("output", params["tok_embd"])
     logits = _linear(x, out_w, (quant_meta or {}).get("output"))
+    if "output_bias" in params:
+        logits = logits + params["output_bias"]
     if hp.final_logit_scale:
         logits = logits.astype(jnp.float32) * hp.final_logit_scale
     if hp.final_logit_softcap:

@@ -136,6 +136,7 @@ _TOP_TENSORS = {
     "output_norm.weight": "output_norm",
     "output_norm.bias": "output_norm_bias",
     "output.weight": "output",
+    "output.bias": "output_bias",
     "rope_freqs.weight": "rope_freqs",
 }
 

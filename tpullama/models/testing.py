@@ -82,7 +82,7 @@ def make_tiny_llama_gguf(
             w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
         if arch == "qwen2moe":
             w.add_u32(f"{arch}.expert_shared_feed_forward_length", n_ff)
-    if arch in ("starcoder2", "gpt2", "falcon", "command-r"):
+    if arch in ("starcoder2", "gpt2", "falcon", "command-r", "phi2"):
         w.add_f32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
     if arch == "command-r":
         w.add_f32(f"{arch}.logit_scale", 0.5)
@@ -126,19 +126,21 @@ def make_tiny_llama_gguf(
     if arch == "gpt2":
         w.add_tensor("position_embd.weight", mat(n_ctx, n_embd, 0.02), GGMLType.F32)
         w.add_tensor("output_norm.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
-    if arch == "falcon":
+    if arch in ("falcon", "phi2"):
         w.add_tensor("output_norm.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
+    if arch == "phi2":
+        w.add_tensor("output.bias", (0.1 * rng.standard_normal(n_vocab)).astype(np.float32), GGMLType.F32)
     for il in range(n_layer):
         if arch != "olmo2":
             w.add_tensor(f"blk.{il}.attn_norm.weight", norm_w(n_embd), GGMLType.F32)
-        if arch in ("gpt2", "falcon"):
+        if arch in ("gpt2", "falcon", "phi2"):
             w.add_tensor(f"blk.{il}.attn_norm.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
-        if arch in ("phi3", "gpt2", "falcon"):
+        if arch in ("phi3", "gpt2", "falcon", "phi2"):
             # fused [Q|K|V] rows (llama-model.cpp phi3/gpt2/falcon wqkv)
             w.add_tensor(f"blk.{il}.attn_qkv.weight",
                          mat(n_embd + 2 * kv_dim, n_embd), qtype)
-            if arch == "gpt2":
+            if arch in ("gpt2", "phi2"):
                 w.add_tensor(f"blk.{il}.attn_qkv.bias",
                              (0.1 * rng.standard_normal(n_embd + 2 * kv_dim)).astype(np.float32), GGMLType.F32)
         else:
@@ -146,7 +148,7 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.attn_k.weight", mat(kv_dim, n_embd), qtype)
             w.add_tensor(f"blk.{il}.attn_v.weight", mat(kv_dim, n_embd), qtype)
         w.add_tensor(f"blk.{il}.attn_output.weight", mat(n_embd, n_embd), qtype)
-        if arch == "gpt2":
+        if arch in ("gpt2", "phi2"):
             w.add_tensor(f"blk.{il}.attn_output.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch == "qwen2":
@@ -180,7 +182,7 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(kv_dim), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_ffw_norm.weight", norm_w(n_embd), GGMLType.F32)
-        if arch not in ("olmo2", "falcon"):
+        if arch not in ("olmo2", "falcon", "phi2"):
             w.add_tensor(f"blk.{il}.ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
         if arch == "gpt2":
             w.add_tensor(f"blk.{il}.ffn_norm.bias",
@@ -209,7 +211,7 @@ def make_tiny_llama_gguf(
             # non-gated GELU FFN
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
-        elif arch == "gpt2":
+        elif arch in ("gpt2", "phi2"):
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_up.bias",
                          (0.1 * rng.standard_normal(n_ff)).astype(np.float32), GGMLType.F32)
