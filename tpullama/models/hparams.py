@@ -265,6 +265,9 @@ class HParams:
             hp.ffn_gated = False
             hp.act = "gelu"
             hp.parallel_residual = True
+        if arch in ("orion", "stablelm"):
+            # LayerNorm (+bias) pre-norms with gated silu FFN
+            hp.norm_type = "layer"
         if arch == "starcoder2":
             # LLM_NORM with biases, plain GELU FFN (llm_build_starcoder2)
             hp.norm_type = "layer"

@@ -82,7 +82,7 @@ def make_tiny_llama_gguf(
             w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
         if arch == "qwen2moe":
             w.add_u32(f"{arch}.expert_shared_feed_forward_length", n_ff)
-    if arch in ("starcoder2", "gpt2", "falcon", "command-r", "phi2"):
+    if arch in ("starcoder2", "gpt2", "falcon", "command-r", "phi2", "orion", "stablelm"):
         w.add_f32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
     if arch == "command-r":
         w.add_f32(f"{arch}.logit_scale", 0.5)
@@ -126,15 +126,18 @@ def make_tiny_llama_gguf(
     if arch == "gpt2":
         w.add_tensor("position_embd.weight", mat(n_ctx, n_embd, 0.02), GGMLType.F32)
         w.add_tensor("output_norm.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
-    if arch in ("falcon", "phi2"):
+    if arch in ("falcon", "phi2", "orion", "stablelm"):
         w.add_tensor("output_norm.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
     if arch == "phi2":
         w.add_tensor("output.bias", (0.1 * rng.standard_normal(n_vocab)).astype(np.float32), GGMLType.F32)
     for il in range(n_layer):
         if arch != "olmo2":
             w.add_tensor(f"blk.{il}.attn_norm.weight", norm_w(n_embd), GGMLType.F32)
-        if arch in ("gpt2", "falcon", "phi2"):
+        if arch in ("gpt2", "falcon", "phi2", "orion", "stablelm"):
             w.add_tensor(f"blk.{il}.attn_norm.bias",
+                         (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
+        if arch in ("orion", "stablelm"):
+            w.add_tensor(f"blk.{il}.ffn_norm.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch in ("phi3", "gpt2", "falcon", "phi2"):
             # fused [Q|K|V] rows (llama-model.cpp phi3/gpt2/falcon wqkv)
