@@ -594,6 +594,80 @@ class SamplerChain:
         self.samplers = samplers
 
     @classmethod
+    def from_params(
+        cls,
+        *,
+        vocab=None,
+        seed: int = DEFAULT_SEED,
+        temp: float = 0.8,
+        dynatemp_range: float = 0.0,
+        dynatemp_exponent: float = 1.0,
+        top_k: int = 40,
+        top_p: float = 0.95,
+        min_p: float = 0.05,
+        typical_p: float = 1.0,
+        xtc_probability: float = 0.0,
+        xtc_threshold: float = 0.1,
+        top_n_sigma: float = -1.0,
+        penalty_last_n: int = 64,
+        penalty_repeat: float = 1.0,
+        penalty_freq: float = 0.0,
+        penalty_present: float = 0.0,
+        dry_multiplier: float = 0.0,
+        dry_base: float = 1.75,
+        dry_allowed_length: int = 2,
+        dry_penalty_last_n: int = -1,
+        dry_sequence_breakers: list | None = None,
+        mirostat: int = 0,
+        mirostat_tau: float = 5.0,
+        mirostat_eta: float = 0.1,
+        logit_bias: dict[int, float] | None = None,
+        n_vocab: int = 0,
+    ) -> "SamplerChain":
+        """Full common_sampler default chain (common/sampling.cpp:240-300
+        order: logit-bias -> penalties -> dry -> top-n-sigma -> top-k ->
+        typical -> top-p -> min-p -> xtc -> temp-ext -> dist; mirostat>0
+        replaces the truncation samplers with temp + mirostat)."""
+        chain: list[Sampler] = []
+        if logit_bias:
+            chain.append(LogitBias(logit_bias))
+        chain.append(Penalties(penalty_last_n, penalty_repeat, penalty_freq,
+                               penalty_present))
+        if dry_multiplier > 0:
+            dry_kw = dict(vocab=vocab, multiplier=dry_multiplier, base=dry_base,
+                          allowed_length=dry_allowed_length,
+                          penalty_last_n=dry_penalty_last_n)
+            if dry_sequence_breakers is not None:
+                dry_kw["sequence_breakers"] = tuple(dry_sequence_breakers)
+            chain.append(Dry(**dry_kw))
+        if temp <= 0:
+            chain.append(Greedy())
+            return cls(chain)
+        if mirostat == 1:
+            chain += [Temp(temp), MirostatV1(n_vocab or 32768, seed, mirostat_tau,
+                                             mirostat_eta)]
+            return cls(chain)
+        if mirostat == 2:
+            chain += [Temp(temp), MirostatV2(seed, mirostat_tau, mirostat_eta)]
+            return cls(chain)
+        if top_n_sigma >= 0:
+            chain.append(TopNSigma(top_n_sigma))
+        chain += [
+            TopK(top_k),
+            Typical(typical_p),
+            TopP(top_p),
+            MinP(min_p),
+        ]
+        if xtc_probability > 0:
+            chain.append(Xtc(xtc_probability, xtc_threshold, seed=seed))
+        if dynatemp_range > 0:
+            chain.append(TempExt(temp, dynatemp_range, dynatemp_exponent))
+        else:
+            chain.append(Temp(temp))
+        chain.append(Dist(seed))
+        return cls(chain)
+
+    @classmethod
     def std(
         cls,
         *,

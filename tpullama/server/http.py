@@ -101,20 +101,44 @@ def format_infill(
     return embd_inp + embd_end + [vocab.fim_mid_id]
 
 
-def _make_sampler(body: dict) -> SamplerChain | None:
+def _make_sampler(body: dict, vocab=None, n_vocab: int = 0) -> SamplerChain | None:
+    """Full llama-server sampling-parameter surface
+    (tools/server README "completion" params)."""
     temp = float(body.get("temperature", 0.8))
     if temp <= 0:
         return None
-    return SamplerChain.std(
+    lb = body.get("logit_bias") or None
+    if isinstance(lb, list):  # OpenAI style [[tok, bias], ...]
+        lb = {int(t): float(b) for t, b in lb}
+    elif isinstance(lb, dict):
+        lb = {int(t): float(b) for t, b in lb.items()}
+    return SamplerChain.from_params(
+        vocab=vocab,
         seed=int(body.get("seed", 0xFFFFFFFF)),
         temp=temp,
+        dynatemp_range=float(body.get("dynatemp_range", 0.0)),
+        dynatemp_exponent=float(body.get("dynatemp_exponent", 1.0)),
         top_k=int(body.get("top_k", 40)),
         top_p=float(body.get("top_p", 0.95)),
         min_p=float(body.get("min_p", 0.05)),
+        typical_p=float(body.get("typical_p", 1.0)),
+        xtc_probability=float(body.get("xtc_probability", 0.0)),
+        xtc_threshold=float(body.get("xtc_threshold", 0.1)),
+        top_n_sigma=float(body.get("top_n_sigma", -1.0)),
         penalty_last_n=int(body.get("repeat_last_n", 64)),
         penalty_repeat=float(body.get("repeat_penalty", 1.0)),
         penalty_freq=float(body.get("frequency_penalty", 0.0)),
         penalty_present=float(body.get("presence_penalty", 0.0)),
+        dry_multiplier=float(body.get("dry_multiplier", 0.0)),
+        dry_base=float(body.get("dry_base", 1.75)),
+        dry_allowed_length=int(body.get("dry_allowed_length", 2)),
+        dry_penalty_last_n=int(body.get("dry_penalty_last_n", -1)),
+        dry_sequence_breakers=body.get("dry_sequence_breakers"),
+        mirostat=int(body.get("mirostat", 0)),
+        mirostat_tau=float(body.get("mirostat_tau", 5.0)),
+        mirostat_eta=float(body.get("mirostat_eta", 0.1)),
+        logit_bias=lb,
+        n_vocab=n_vocab,
     )
 
 
@@ -344,7 +368,7 @@ def make_handler(state: ServerState):
             task = Task(
                 prompt_tokens=toks,
                 n_predict=int(body.get("n_predict", body.get("max_tokens", 128))),
-                sampler=_make_sampler(body),
+                sampler=_make_sampler(body, vocab, engine.model.hparams.n_vocab),
                 stop=stop,
                 stream_queue=queue.Queue() if stream else None,
             )
@@ -403,7 +427,7 @@ def make_handler(state: ServerState):
             task = Task(
                 prompt_tokens=toks,
                 n_predict=int(body.get("n_predict", body.get("max_tokens", 128))),
-                sampler=_make_sampler(body),
+                sampler=_make_sampler(body, vocab, engine.model.hparams.n_vocab),
                 stop=stop,
             )
             engine.submit(task)
