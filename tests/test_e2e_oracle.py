@@ -142,7 +142,7 @@ def test_qwen2_matches_reference(tmp_path):
 
 @needs_cli
 @pytest.mark.parametrize("arch", ["qwen3", "phi3", "granite", "starcoder2", "olmo2",
-                                  "internlm2", "orion", "stablelm"])
+                                  "internlm2", "orion", "stablelm", "mistral3"])
 def test_new_archs_match_reference(tmp_path, arch):
     """qwen3: per-head q/k rms norm; phi3: fused qkv + fused swiglu;
     granite: embd/residual/attention/logit scales; starcoder2: LayerNorm
