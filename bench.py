@@ -18,45 +18,82 @@ import time
 import numpy as np
 
 
-def build_params(hp, dtype, seed=0):
+def build_params(hp, dtype, seed=0, quant=None):
+    """quant: GGMLType name (e.g. "Q4_K") -> big matmul weights become
+    synthetic planar-packed fields (random bits + small scales — same
+    perf profile as real quantized weights, no slow CPU quantize)."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
+    qmeta: dict = {"layers": {}}
 
     def mat(shape, scale):
         return jnp.asarray(
             rng.standard_normal(shape, dtype=np.float32) * scale, dtype=dtype
         )
 
+    def qmat(shape, scale, meta_slot=None, meta_key=None):
+        """Packed synthetic weight for the qmm path (leading dims stack)."""
+        if quant is None:
+            return mat(shape, scale)
+        from tpullama.gguf.constants import GGMLType
+        from tpullama.models.loader import QuantMeta
+
+        t = GGMLType[quant]
+        *lead, N, K = shape
+        group = 16 if t in (GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q6_K) else 32
+        fields = {}
+        bitmap = {
+            "Q4_0": [("q4", 4)], "Q4_K": [("q4", 4)], "Q5_K": [("q4", 4), ("q1", 1)],
+            "Q6_K": [("q4", 4), ("q2", 2)], "Q8_0": [("q8", 8)],
+            "MXFP4": [("q4_lut", 4)], "Q2_K": [("q2", 2)],
+            "Q3_K": [("q2", 2), ("q1", 1)],
+        }[quant]
+        for fname, bits in bitmap:
+            nbytes = K * bits // 8
+            arr = rng.integers(0, 256, size=(*lead, N, nbytes), dtype=np.uint8)
+            fields[fname] = jnp.asarray(arr.view(np.int8) if fname == "q8" else arr)
+        fields["scale"] = jnp.asarray(
+            rng.standard_normal((*lead, N, K // group), dtype=np.float32) * scale * 0.1
+        )
+        if t not in (GGMLType.Q8_0, GGMLType.MXFP4):
+            fields["minv"] = jnp.asarray(
+                rng.standard_normal((*lead, N, K // group), dtype=np.float32) * scale
+            )
+        if meta_slot is not None:
+            meta_slot[meta_key] = QuantMeta(t, group, N, K)
+        return fields
+
     L, E, F = hp.n_layer, hp.n_embd, hp.n_ff
     KV = hp.n_head_kv * hp.n_embd_head_k
     s = 1.0 / np.sqrt(E)
     fused = hp.ffn_fused_up
+    lm = qmeta["layers"]
     params = {
         "tok_embd": mat((hp.n_vocab, E), 0.02),
         "output_norm": jnp.ones((E,), dtype),
-        "output": mat((hp.n_vocab, E), s),
+        "output": qmat((hp.n_vocab, E), s, qmeta, "output"),
         "layers": {
             "attn_norm": jnp.ones((L, E), dtype),
-            "attn_output": mat((L, E, E), s),
+            "attn_output": qmat((L, E, E), s, lm, "attn_output"),
             "ffn_norm": jnp.ones((L, E), dtype),
-            "ffn_down": mat((L, E, F), 1.0 / np.sqrt(F)),
+            "ffn_down": qmat((L, E, F), 1.0 / np.sqrt(F), lm, "ffn_down"),
         },
     }
     if fused:
         # fused [Q|K|V] and [gate|up] projections: 3 matvecs/layer instead
         # of 7 — each dispatch carries ~10us fixed cost at decode shapes
-        params["layers"]["attn_qkv"] = mat((L, E + 2 * KV, E), s)
-        params["layers"]["ffn_up"] = mat((L, 2 * F, E), s)
+        params["layers"]["attn_qkv"] = qmat((L, E + 2 * KV, E), s, lm, "attn_qkv")
+        params["layers"]["ffn_up"] = qmat((L, 2 * F, E), s, lm, "ffn_up")
     else:
         params["layers"].update({
-            "attn_q": mat((L, E, E), s),
-            "attn_k": mat((L, KV, E), s),
-            "attn_v": mat((L, KV, E), s),
-            "ffn_gate": mat((L, F, E), s),
-            "ffn_up": mat((L, F, E), s),
+            "attn_q": qmat((L, E, E), s, lm, "attn_q"),
+            "attn_k": qmat((L, KV, E), s, lm, "attn_k"),
+            "attn_v": qmat((L, KV, E), s, lm, "attn_v"),
+            "ffn_gate": qmat((L, F, E), s, lm, "ffn_gate"),
+            "ffn_up": qmat((L, F, E), s, lm, "ffn_up"),
         })
-    return params
+    return (params, qmeta if quant else None)
 
 
 def main():
@@ -94,7 +131,8 @@ def main():
     N_STEPS = int(os.environ.get("BENCH_STEPS", 32))
     B = 1
 
-    params = build_params(hp, dtype)
+    quant = os.environ.get("BENCH_QUANT") or None
+    params, quant_meta = build_params(hp, dtype, quant=quant)
     n_param_bytes = sum(
         int(np.prod(x.shape)) * x.dtype.itemsize for x in jax.tree.leaves(params)
     )
@@ -113,7 +151,8 @@ def main():
             vis = kv_pos <= (n_past0 + i)
             mask = jnp.where(vis, 0.0, -1e30).astype(jnp.float32)[None, None, None, :]
             logits, (kv_k, kv_v) = llama_forward(
-                params, hp, tok[None, None], pos, kv_k, kv_v, slots, mask
+                params, hp, tok[None, None], pos, kv_k, kv_v, slots, mask,
+                quant_meta=quant_meta,
             )
             nxt = jnp.argmax(logits[0, -1]).astype(jnp.int32)
             return (nxt, kv_k, kv_v), nxt
@@ -154,7 +193,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "tinyllama-1.1b-bf16 single-chip greedy decode",
+                "metric": f"tinyllama-1.1b-{quant.lower() if quant else 'bf16'} single-chip greedy decode",
                 "value": round(tps, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(tps / roofline, 4),

@@ -209,6 +209,7 @@ def test_qwen2moe_matches_reference(tmp_path):
     assert run_ours(path) == ref
 
 
+@needs_cli
 def test_gemma3_matches_reference(tmp_path):
     """Gemma3: embd scale, QK-norm, sandwich norms, alternating SWA with
     dual rope bases, GELU FFN."""

@@ -72,3 +72,40 @@ def test_qmm_interpret_matches_dense(qtype):
     )
     atol = 1e-4 + 1e-6 * float(np.abs(want).max())  # fp32 accumulation noise
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=atol)
+
+
+@pytest.mark.parametrize("qtype", TYPES, ids=lambda t: t.name)
+def test_qmm_fast_path_nmse(qtype):
+    """The bf16 fast path (TPU decode mode: 1-pass MXU dot + hoisted min
+    term) must stay within the backend-vs-oracle matmul NMSE tolerance
+    (SURVEY.md A.12, tests/test-backend-ops.cpp matmul overrides)."""
+    import jax.numpy as jnp
+
+    from tpullama.ops.pallas.qmm import quantized_matmul
+
+    n_out, n_in, T = 8, 512, 4
+    if qtype in (GGMLType.Q2_K, GGMLType.Q3_K):
+        from tpullama.gguf.constants import GGML_TYPE_TRAITS
+
+        traits = GGML_TYPE_TRAITS[qtype]
+        rng = np.random.default_rng(1)
+        raw = rng.integers(0, 256, size=n_out * n_in // traits.block_size * traits.type_size,
+                           dtype=np.uint8)
+        ref_w = dequantize(raw, qtype, (n_out, n_in))
+        if not np.isfinite(ref_w).all():
+            pytest.skip("random fp16 scales hit inf/NaN")
+    else:
+        raw, ref_w = make_weight(n_out, n_in, qtype)
+    pq = repack(raw, qtype, (n_out, n_in))
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((T, n_in)).astype(np.float32)
+    want = x @ ref_w.reshape(n_out, n_in).T
+    fields = {k: jnp.asarray(v) for k, v in pq.fields.items()}
+    got = np.asarray(
+        quantized_matmul(
+            jnp.asarray(x), fields, qtype, pq.group, n_out, n_in,
+            tile_n=8, interpret=True, exact=False,
+        )
+    )
+    nmse = float(np.sum((got - want) ** 2) / np.maximum(np.sum(want**2), 1e-12))
+    assert nmse < 5e-4, nmse

@@ -27,7 +27,13 @@ def _linear(x, w, meta=None):
     """x: (..., n_in) @ w: (n_out, n_in) -> (..., n_out); weights keep the
     GGUF row-major (n_out, n_in) layout so quantized blocks stay contiguous
     along the contraction axis. When `w` is a dict of packed planes
-    (loader packed mode), dispatch to the fused Pallas dequant-matmul."""
+    (loader packed mode), dispatch to the fused Pallas dequant-matmul; a
+    `(fields, layer_idx)` tuple is a layer-stacked packed weight indexed
+    inside the kernel (avoids HBM-materialized per-layer slices under
+    lax.scan)."""
+    layer = None
+    if isinstance(w, tuple):
+        w, layer = w
     if isinstance(w, dict):
         from ..ops.pallas.qmm import quantized_matmul
 
@@ -36,7 +42,7 @@ def _linear(x, w, meta=None):
         interpret = jax.default_backend() == "cpu"
         y = quantized_matmul(
             x2, w, meta.ggml_type, meta.group, meta.n_out, meta.n_in,
-            interpret=interpret,
+            interpret=interpret, layer=layer,
         )
         return y.reshape(*lead, meta.n_out).astype(x.dtype)
     return jax.lax.dot_general(
@@ -314,24 +320,37 @@ def llama_forward(
                 stats["ffn_down_in"] = ss(act_saved)
         return (x, k_cache, v_cache), stats
 
-    def scan_body(x, per_layer):
-        w, k_cache, v_cache = per_layer
-        (x, k_new, v_new), stats = layer_step((x, k_cache, v_cache), w)
-        return x, ((k_new, v_new), stats) if collect_imatrix else (k_new, v_new)
-
     layers = params["layers"]
     if has_swa:
         layers = dict(layers)
         layers["_is_swa"] = jnp.asarray(hp.swa_layers)
+    # layer-stacked packed weights stay out of the scan xs: the kernel
+    # indexes the layer itself (see _linear / quantized_matmul `layer`)
+    packed_stacks = {k: v for k, v in layers.items() if isinstance(v, dict)}
+    if packed_stacks:
+        layers = {k: v for k, v in layers.items() if not isinstance(v, dict)}
+
+    def scan_body(x, per_layer):
+        w, lidx, k_cache, v_cache = per_layer
+        if packed_stacks:
+            w = dict(w)
+            for k, fields in packed_stacks.items():
+                w[k] = (fields, lidx)
+        (x, k_new, v_new), stats = layer_step((x, k_cache, v_cache), w)
+        return x, ((k_new, v_new), stats) if collect_imatrix else (k_new, v_new)
+
     import os
 
+    layer_ids = jnp.arange(hp.n_layer, dtype=jnp.int32)
     unroll = int(os.environ.get("TPULLAMA_SCAN_UNROLL", 1))
     if collect_imatrix:
         x, ((kv_k, kv_v), imatrix_stats) = jax.lax.scan(
-            scan_body, x, (layers, kv_k, kv_v), unroll=unroll
+            scan_body, x, (layers, layer_ids, kv_k, kv_v), unroll=unroll
         )
     else:
-        x, (kv_k, kv_v) = jax.lax.scan(scan_body, x, (layers, kv_k, kv_v), unroll=unroll)
+        x, (kv_k, kv_v) = jax.lax.scan(
+            scan_body, x, (layers, layer_ids, kv_k, kv_v), unroll=unroll
+        )
 
     x = norm_fn(x, params["output_norm"], params.get("output_norm_bias"))
     out_w = params.get("output", params["tok_embd"])

@@ -7,6 +7,20 @@ lane-aligned concat (the global-stripe layout makes unpacked element
 order match natural order — no sub-lane shuffles), multiplies by
 per-group scales via pltpu.repeat, and feeds the MXU.
 
+Two numeric modes:
+  - fast (TPU default): dequantized weights are rounded to bf16 and the
+    dot runs one MXU pass (f32 accumulation). The asymmetric-min term is
+    hoisted out of the elementwise path into a second small dot:
+        y = x̂ @ (q·scale)^T − xgsum @ minv^T
+    where xgsum sums activations per quant group. This halves the VPU
+    work per element and cuts MXU passes 6→1. The bf16 rounding keeps
+    more weight/activation precision than the reference's own quantized
+    matmul path (which quantizes activations to 8-bit Q8_1 for its
+    dp4a/MMQ kernels, ggml/src/ggml-cuda/mmq.cu).
+  - exact (interpret default, TPULLAMA_QMM_EXACT=1 to force): full f32
+    dequant + HIGHEST-precision dot, bit-identical to the numpy oracle;
+    keeps the CPU token-exact tests aligned with llama.cpp's CPU backend.
+
 Bandwidth-bound goal: bytes moved ≈ packed weight bytes (4.5-6.5
 bits/weight), the HBM-roofline target of BASELINE.md.
 
@@ -17,7 +31,7 @@ of dp4a warps.
 
 from __future__ import annotations
 
-import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -28,8 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ...gguf.constants import GGMLType
 from ..qweights import PlanarQuant
 
-# MXFP4 magnitude LUT (index 0..7): {0,1,2,3,4,6,8,12}
-_MXFP4_MAGS = (0.0, 1.0, 2.0, 3.0, 4.0, 6.0, 8.0, 12.0)
+# MXFP4 magnitude LUT (index 0..7): {0,1,2,3,4,6,8,12} packed as nibbles
+# of one i32 constant -> mag = (LUT >> 4*idx) & 0xF (2 VPU ops, no selects)
+_MXFP4_LUT = 0xC8643210
 
 
 def _repeat_lanes(a, reps: int):
@@ -60,29 +75,41 @@ def _unpack_stripes(field_refs: dict, ggml_type: GGMLType):
     if "q4_lut" in field_refs:
         q = field_refs["q4_lut"][...].astype(jnp.int32)
         idx = jnp.concatenate([q & 0xF, q >> 4], axis=-1)
-        mag = idx & 7
-        m = jnp.zeros(mag.shape, jnp.float32)
-        for v, lut in enumerate(_MXFP4_MAGS):
-            if lut:
-                m = jnp.where(mag == v, jnp.float32(lut), m)
-        sign = jnp.where((idx >> 3) != 0, jnp.float32(-1), jnp.float32(1))
-        return m * sign
+        mag = (
+            (jnp.uint32(_MXFP4_LUT) >> ((idx & 7).astype(jnp.uint32) * 4)) & 0xF
+        ).astype(jnp.int32)
+        return jnp.where((idx >> 3) != 0, -mag, mag).astype(jnp.float32)
     return val.astype(jnp.float32)
 
 
 def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group: int,
                      n_out: int, n_in: int, *, tile_n: int = 256, tile_t: int = 256,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False, exact: bool | None = None,
+                     layer=None) -> jnp.ndarray:
     """y = x @ W^T with W packed. x: (T, n_in). Returns (T, n_out) f32.
 
     Grid tiles T (activations) and N (output rows); each program streams a
     full packed K-row stripe for its output tile. The K dimension is not
     tiled (fine to n_in ~ 16k: at 4.5 bits the weight tile is small and x
     rides in VMEM once per T-tile).
+
+    layer: traced int32 layer index when pq_fields are layer-stacked
+    (L, N, ...). The kernel indexes the layer via a scalar-prefetch
+    index map, so a lax.scan over layers passes the whole stack without
+    XLA materializing per-layer slices in HBM (a 3x-traffic trap: the
+    pallas custom call can't fuse a dynamic-slice producer the way a
+    plain dot does).
     """
     T, K = x.shape
     assert K == n_in, (x.shape, n_in)
     N = n_out
+    if exact is None:
+        exact = interpret or os.environ.get("TPULLAMA_QMM_EXACT", "0") == "1"
+    tile_n = int(os.environ.get("TPULLAMA_QMM_TILE_N", tile_n))
+    vpu = (
+        T == 1 and not exact and os.environ.get("TPULLAMA_QMM_VPU", "0") == "1"
+    )
+    stacked = layer is not None
     tn = min(tile_n, N)
     while N % tn:
         tn //= 2
@@ -92,46 +119,117 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
         x = jnp.pad(x, ((0, pad_t), (0, 0)))
     Tp = T + pad_t
     field_names = [n for n in pq_fields]
+    has_minv = "minv" in pq_fields
     grid = (Tp // tt, N // tn)
 
+    x = x.astype(jnp.float32)
     # permute x into the stored group-transposed element order (see
     # qweights.group_permute) so in-kernel tile-repeated scales align
-    x = x.reshape(Tp, K // group, group).swapaxes(1, 2).reshape(Tp, K)
+    xg = x.reshape(Tp, K // group, group)
+    if not exact and has_minv:
+        # group sums for the hoisted min term: y -= xgsum @ minv^T
+        xgsum = jnp.sum(xg, axis=2)  # (Tp, K/group)
+    else:
+        xgsum = None
+    x = xg.swapaxes(1, 2).reshape(Tp, K)
 
     bits = {"q4": 4, "q4_lut": 4, "q2": 2, "q1": 1, "q8": 8}
 
-    in_specs = [pl.BlockSpec((tt, K), lambda t, n: (t, 0), memory_space=pltpu.VMEM)]
+    def xmap(t, n, *s):
+        return (t, 0)
+
+    def xmap_out(t, n, *s):
+        return (t, n)
+
+    in_specs = [pl.BlockSpec((tt, K), xmap, memory_space=pltpu.VMEM)]
+    extra_inputs = []
+    if xgsum is not None:
+        in_specs.append(
+            pl.BlockSpec((tt, K // group), xmap, memory_space=pltpu.VMEM)
+        )
+        extra_inputs.append(xgsum)
     for name in field_names:
-        if name in bits:
-            kbytes = K * bits[name] // 8
+        kcols = K * bits[name] // 8 if name in bits else K // group
+        if stacked:
             in_specs.append(
-                pl.BlockSpec((tn, kbytes), lambda t, n: (n, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec(
+                    (1, tn, kcols),
+                    lambda t, n, s: (s[0], n, 0),
+                    memory_space=pltpu.VMEM,
+                )
             )
-        else:  # scale/minv planes (N, K/group)
+        else:
             in_specs.append(
-                pl.BlockSpec((tn, K // group), lambda t, n: (n, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec((tn, kcols), lambda t, n: (n, 0), memory_space=pltpu.VMEM)
             )
 
-    def kernel(x_ref, *refs):
+    def kernel(*refs):
+        if stacked:
+            _s_ref, *refs = refs
+        x_ref, *refs = refs
+        if xgsum is not None:
+            xgsum_ref, *refs = refs
         *field_tiles, out_ref = refs
-        fields = dict(zip(field_names, field_tiles))
+        if stacked:
+            fields = {k: r.at[0] for k, r in zip(field_names, field_tiles)}
+        else:
+            fields = dict(zip(field_names, field_tiles))
         val = _unpack_stripes(fields, ggml_type)
         scale = _repeat_lanes(fields["scale"][...], group)
-        w = val * scale
-        if "minv" in fields:
-            w = w - _repeat_lanes(fields["minv"][...], group)
-        out_ref[...] = jax.lax.dot_general(
-            x_ref[...].astype(jnp.float32), w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        if exact:
+            w = val * scale
+            if has_minv:
+                w = w - _repeat_lanes(fields["minv"][...], group)
+            out_ref[...] = jax.lax.dot_general(
+                x_ref[...], w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        elif vpu:
+            # decode (T=1) path: the MXU is weight-load bound at batch 1,
+            # so do the matvec on the VPU: w*x broadcast + lane reduction
+            w = val * scale
+            acc = jnp.sum(w * x_ref[0][None, :], axis=-1)[None, :]  # (1, tn)
+            if has_minv:
+                acc = acc - jnp.sum(
+                    fields["minv"][...] * xgsum_ref[0][None, :], axis=-1
+                )[None, :]
+            out_ref[...] = acc
+        else:
+            w = (val * scale).astype(jnp.bfloat16)
+            acc = jax.lax.dot_general(
+                x_ref[...].astype(jnp.bfloat16), w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if has_minv:
+                acc = acc - jax.lax.dot_general(
+                    xgsum_ref[...], fields["minv"][...], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            out_ref[...] = acc
 
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((tt, tn), lambda t, n: (t, n), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Tp, N), jnp.float32),
-        interpret=interpret,
-    )(x, *[pq_fields[n] for n in field_names])
+    out_spec = pl.BlockSpec((tt, tn), xmap_out, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((Tp, N), jnp.float32)
+    operands = (x, *extra_inputs, *[pq_fields[n] for n in field_names])
+    if stacked:
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_spec,
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
+    else:
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*operands)
     return out[:T] if pad_t else out
