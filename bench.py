@@ -125,13 +125,16 @@ def main():
     if os.environ.get("BENCH_FUSED", "0") == "1":
         hp.ffn_fused_up = True
     S = int(os.environ.get("BENCH_CTX", 512))
-    # 32 fused steps beats 64 on this backend: the fully-unrolled 64-step
-    # program (1400+ layer bodies) degrades XLA scheduling more than the
-    # extra dispatch amortization buys (measured 242 vs 225 tok/s)
-    N_STEPS = int(os.environ.get("BENCH_STEPS", 32))
+    # 128 fused steps amortizes the ~20ms tunnel dispatch to <0.2ms/tok
+    # (the step loop is a lax.scan, so compile time stays flat)
+    N_STEPS = int(os.environ.get("BENCH_STEPS", 128))
     B = 1
 
-    quant = os.environ.get("BENCH_QUANT") or None
+    # default benchmark: Q4_K quantized decode (the llama.cpp-parity
+    # scenario); BENCH_QUANT=none for the dense bf16 path
+    quant = os.environ.get("BENCH_QUANT", "Q4_K")
+    if quant.lower() in ("", "none", "bf16"):
+        quant = None
     params, quant_meta = build_params(hp, dtype, quant=quant)
     n_param_bytes = sum(
         int(np.prod(x.shape)) * x.dtype.itemsize for x in jax.tree.leaves(params)
