@@ -255,3 +255,14 @@ def test_burst_matches_stepwise(tmp_path):
     a = Context(m, ContextParams(n_ctx=96)).generate(toks, n_predict=18)
     b = Context(m, ContextParams(n_ctx=96)).generate(toks, n_predict=18, burst=7)
     assert a == b
+
+
+@needs_cli
+def test_gptoss_matches_reference(tmp_path):
+    """gpt-oss (openai-moe): attention sinks, alternating SWA (pattern 2),
+    qkv/o biases, router + per-expert biases, post-top-k softmax gating,
+    swiglu_oai experts (models/openai-moe-iswa.cpp)."""
+    path = str(tmp_path / "tiny_gptoss.gguf")
+    make_tiny_llama_gguf(path, n_layer=4, arch="gpt-oss", n_expert=4, seed=23)
+    ref = run_reference(path).split(b" [end of text]")[0]
+    assert run_ours(path) == ref

@@ -70,8 +70,9 @@ class HParams:
     n_expert_shared: int = 0
     expert_weights_scale: float = 0.0
     expert_weights_norm: bool = False
-    expert_gating_func: int = 1  # 1=softmax, 2=sigmoid
+    expert_gating_func: int = 1  # 1=softmax, 2=sigmoid, 3=post-top-k softmax
     moe_norm_topk: bool = True  # renormalize top-k weights (build_moe_ffn norm_w)
+    moe_act: str = "silu"  # expert activation (swiglu_oai for gpt-oss)
     n_ff_exp: int = 0
     n_ff_shexp: int = 0
 
@@ -233,6 +234,19 @@ class HParams:
             # post-norm blocks, full-width q/k norm (llm_build_olmo2)
             hp.pre_norm = False
             hp.qk_norm_full = True
+        if arch == "gpt-oss":
+            # openai-moe (llm_build_openai_moe_iswa): alternating SWA
+            # (pattern 2, dense at odd layers), same rope base both;
+            # MoE with post-top-k softmax gating, un-normalized weights,
+            # swiglu_oai experts, 1/sqrt(n_rot) attention scale
+            # (llama-model.cpp:2107-2120, models/openai-moe-iswa.cpp)
+            hp.swa_layers = tuple(il % 2 < 1 for il in range(hp.n_layer))
+            hp.rope_freq_base_swa = hp.rope_freq_base
+            hp.moe_norm_topk = False
+            hp.expert_gating_func = 3  # SOFTMAX_WEIGHT, set by the builder
+            hp.moe_act = "swiglu_oai"
+            if hp.f_attention_scale == 0.0 and n_rot:
+                hp.f_attention_scale = 1.0 / float(np.sqrt(n_rot))
         if arch == "qwen2moe":
             # top-k weights NOT renormalized; shared expert has its own
             # sigmoid gate (llm_build_qwen2moe)

@@ -194,7 +194,7 @@ def llama_forward(
             }
             att = attention(
                 q, k_cache["q"], v_cache["q"], mask=layer_mask, scale=kq_scale,
-                softcap=hp.attn_logit_softcap,
+                softcap=hp.attn_logit_softcap, sinks=w.get("attn_sinks"),
                 k_scale=k_cache["s"], v_scale=v_cache["s"],
             )
         else:
@@ -207,6 +207,7 @@ def llama_forward(
                 mask=layer_mask,
                 scale=kq_scale,
                 softcap=hp.attn_logit_softcap,
+                sinks=w.get("attn_sinks"),
             )
         att = att.reshape(B, T, Hq * Dv)
         att_in = att
@@ -243,6 +244,11 @@ def llama_forward(
                 norm_w=hp.moe_norm_topk,
                 w_scale=hp.expert_weights_scale,
                 gating=hp.expert_gating_func,
+                act=hp.moe_act,
+                gate_inp_b=w.get("ffn_gate_inp_b"),
+                up_exps_b=w.get("ffn_up_exps_b"),
+                gate_exps_b=w.get("ffn_gate_exps_b"),
+                down_exps_b=w.get("ffn_down_exps_b"),
             )
             if "ffn_gate_shexp" in w:
                 # shared expert; qwen2moe gates it with its own sigmoid

@@ -74,6 +74,10 @@ _LAYER_TENSORS = {
     "post_attention_norm.weight": "post_attn_norm",
     "post_ffw_norm.weight": "post_ffn_norm",
     "attn_sinks.weight": "attn_sinks",
+    # per-expert biases (gpt-oss; ggml_add_id operands)
+    "ffn_gate_exps.bias": "ffn_gate_exps_b",
+    "ffn_up_exps.bias": "ffn_up_exps_b",
+    "ffn_down_exps.bias": "ffn_down_exps_b",
     # BERT-family (llama-arch.cpp:586-604)
     "attn_output_norm.weight": "attn_out_norm",
     "attn_output_norm.bias": "attn_out_norm_bias",
@@ -121,6 +125,15 @@ _LAYER_TENSORS = {
     "ssm_dt_norm.weight": "ssm_dt_norm",
     "ssm_b_norm.weight": "ssm_b_norm",
     "ssm_c_norm.weight": "ssm_c_norm",
+}
+
+# per-arch remaps of GGUF tensor suffixes onto forward-pass roles.
+# gpt-oss names its FFN pre-norm "post_attention_norm" (it normalizes
+# ffn_inp = attn_out + residual before the MoE — exactly the ffn_norm
+# slot; models/openai-moe-iswa.cpp:80-86), unlike gemma3 where the same
+# tensor post-scales the attention output.
+_ARCH_TENSOR_OVERRIDES = {
+    "gpt-oss": {"post_attention_norm.weight": "ffn_norm"},
 }
 
 _TOP_TENSORS = {
@@ -264,7 +277,9 @@ def load_model(
         if m:
             il = int(m.group(1))
             suffix = m.group(2)
-            pname = _LAYER_TENSORS.get(suffix)
+            pname = _ARCH_TENSOR_OVERRIDES.get(hp.arch, {}).get(
+                suffix, _LAYER_TENSORS.get(suffix)
+            )
             if pname is not None:
                 layer_names.setdefault(il, {})[pname] = name
         elif name in _TOP_TENSORS:

@@ -78,10 +78,12 @@ def make_tiny_llama_gguf(
     if n_expert:
         w.add_u32(f"{arch}.expert_count", n_expert)
         w.add_u32(f"{arch}.expert_used_count", n_expert_used)
-        if arch in ("qwen3moe", "qwen2moe"):
+        if arch in ("qwen3moe", "qwen2moe", "gpt-oss"):
             w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
         if arch == "qwen2moe":
             w.add_u32(f"{arch}.expert_shared_feed_forward_length", n_ff)
+    if arch == "gpt-oss":
+        w.add_u32(f"{arch}.attention.sliding_window", 32)
     if arch in ("starcoder2", "gpt2", "falcon", "command-r", "phi2", "orion", "stablelm"):
         w.add_f32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
     if arch == "command-r":
@@ -185,11 +187,34 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(kv_dim), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_ffw_norm.weight", norm_w(n_embd), GGMLType.F32)
-        if arch not in ("olmo2", "falcon", "phi2"):
+        if arch not in ("olmo2", "falcon", "phi2", "gpt-oss"):
             w.add_tensor(f"blk.{il}.ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
         if arch == "gpt2":
             w.add_tensor(f"blk.{il}.ffn_norm.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
+        if arch == "gpt-oss":
+            # required tensor set of LLM_ARCH_OPENAI_MOE
+            # (llama-model.cpp:6174-6229): qkv/o biases, per-head sinks,
+            # router bias, per-expert ffn biases, post-attention norm
+            def bias(n):
+                return (0.1 * rng.standard_normal(n)).astype(np.float32)
+
+            w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_q.bias", bias(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_k.bias", bias(kv_dim), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_v.bias", bias(kv_dim), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_output.bias", bias(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_sinks.weight", bias(n_head), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.ffn_gate_inp.bias", bias(n_expert), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.ffn_gate_exps.bias",
+                         (0.1 * rng.standard_normal((n_expert, n_ff))).astype(np.float32),
+                         GGMLType.F32)
+            w.add_tensor(f"blk.{il}.ffn_up_exps.bias",
+                         (0.1 * rng.standard_normal((n_expert, n_ff))).astype(np.float32),
+                         GGMLType.F32)
+            w.add_tensor(f"blk.{il}.ffn_down_exps.bias",
+                         (0.1 * rng.standard_normal((n_expert, n_embd))).astype(np.float32),
+                         GGMLType.F32)
         if n_expert:
             w.add_tensor(f"blk.{il}.ffn_gate_inp.weight", mat(n_expert, n_embd), GGMLType.F32)
             # 3-D stacked expert tensors (numpy (E, n_ff, n_embd) ==

@@ -43,6 +43,9 @@ def moe_ffn(
     act: str = "silu",
     exp_probs_b=None,  # (E,) selection bias (DeepSeek-V3)
     gate_inp_b=None,
+    up_exps_b=None,  # (E, F) per-expert biases (gpt-oss; ggml_add_id)
+    gate_exps_b=None,  # (E, F)
+    down_exps_b=None,  # (E, D)
     weight_before_ffn: bool = False,
 ):
     B, T, D = x.shape
@@ -88,8 +91,12 @@ def moe_ffn(
         else:
             xk = jnp.broadcast_to(x_[:, None, :], (x_.shape[0], sel_.shape[1], x_.shape[1]))
         up = jnp.einsum("tkd,tkfd->tkf", xk, u_w.astype(x_.dtype))
+        if up_exps_b is not None:
+            up = up + jnp.take(up_exps_b, sel_, axis=0).astype(up.dtype)
         if g_w is not None:
             gate = jnp.einsum("tkd,tkfd->tkf", xk, g_w.astype(x_.dtype))
+            if gate_exps_b is not None:
+                gate = gate + jnp.take(gate_exps_b, sel_, axis=0).astype(gate.dtype)
         else:
             gate = up
         if act == "silu":
@@ -103,6 +110,8 @@ def moe_ffn(
         else:
             raise ValueError(act)
         out = jnp.einsum("tkf,tkdf->tkd", h, d_w.astype(h.dtype))
+        if down_exps_b is not None:
+            out = out + jnp.take(down_exps_b, sel_, axis=0).astype(out.dtype)
         if not weight_before_ffn:
             out = out * w_[:, :, None]
         return out.sum(axis=1)  # (T, D)
