@@ -266,3 +266,24 @@ def test_gptoss_matches_reference(tmp_path):
     make_tiny_llama_gguf(path, n_layer=4, arch="gpt-oss", n_expert=4, seed=23)
     ref = run_reference(path).split(b" [end of text]")[0]
     assert run_ours(path) == ref
+
+
+@needs_cli
+@pytest.mark.parametrize("arch,kw", [
+    ("command-r", dict(tied_output=True)),
+    ("cohere2", dict(tied_output=True, n_layer=5, n_ctx=256)),
+    ("gptneox", dict(n_head_kv=4)),
+    ("mpt", dict(n_head_kv=4, tied_output=True)),
+    ("bloom", dict(n_head_kv=4, tied_output=True)),
+])
+def test_arch_batch_b_matches_reference(tmp_path, arch, kw):
+    """command-r: LN + parallel residual + logit scale, tied head;
+    cohere2: SWA pattern 4 with NoPE dense layers; gptneox: LN+bias,
+    fused biased qkv, parallel residual with own ffn_norm, partial rope;
+    mpt: ALiBi + clamp_kqv + full-width q/k LN; bloom: ALiBi + embedding
+    LayerNorm."""
+    path = str(tmp_path / f"tiny_{arch}.gguf")
+    make_tiny_llama_gguf(path, n_layer=kw.pop("n_layer", 2), arch=arch, seed=29, **kw)
+    ours = run_ours(path).replace(b"\x00", b"")
+    ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
+    assert ours == ref

@@ -51,6 +51,9 @@ class HParams:
     n_swa: int = 0  # sliding window size (0 = none)
     swa_layers: tuple = ()  # per-layer bool: uses sliding window
     rope_freq_base_swa: float = 10000.0  # rope base for SWA layers (gemma3)
+    rope_swa_only: bool = False  # rope only on SWA layers; dense = NoPE (cohere2)
+    f_max_alibi_bias: float = 0.0  # ALiBi slope ceiling (mpt/bloom)
+    f_clamp_kqv: float = 0.0  # clamp qkv projections to ±value (mpt/dbrx/olmo)
     use_qk_norm: bool = False
     # arch-level behavior flags (set per arch below)
     embd_scale: float = 0.0  # scale token embeddings (gemma: sqrt(n_embd))
@@ -266,6 +269,28 @@ class HParams:
             hp.norm_type = "layer"
             hp.parallel_residual = True
             hp.final_logit_scale = hp.f_logit_scale
+        if arch == "cohere2":
+            # SWA pattern 4 (3 SWA : 1 dense); rope applies ONLY to SWA
+            # layers — dense layers are NoPE (models/cohere2-iswa.cpp:61)
+            hp.swa_layers = tuple(il % 4 < 3 for il in range(hp.n_layer))
+            hp.rope_freq_base_swa = hp.rope_freq_base
+            hp.rope_swa_only = True
+        if arch == "gptneox":
+            # LN+bias norms, fused biased qkv, non-gated GELU FFN with
+            # biases, partial rotary, optional parallel residual with its
+            # own ffn_norm (models/gptneox.cpp:68-110)
+            hp.norm_type = "layer"
+            hp.ffn_gated = False
+            hp.act = "gelu"
+            hp.parallel_residual = bool(g("use_parallel_residual", True))
+        if arch in ("mpt", "bloom"):
+            hp.norm_type = "layer"
+            hp.ffn_gated = False
+            hp.act = "gelu"
+            hp.f_max_alibi_bias = float(g("attention.max_alibi_bias", 8.0) or 8.0)
+        if arch == "mpt":
+            hp.f_clamp_kqv = float(g("attention.clamp_kqv", 0.0) or 0.0)
+            hp.qk_norm_full = True  # mpt q/k LN norms are full-width
         if arch == "phi2":
             # LN + biases, parallel attn+ffn from the attn norm, plain
             # GELU FFN, biased lm head (llm_build_phi2)

@@ -90,6 +90,16 @@ def llama_forward(
     if "position_embd" in params:
         # learned absolute positions (gpt2 family)
         x = x + jnp.take(params["position_embd"], positions, axis=0).astype(x.dtype)
+    if "token_embd_norm" in params:
+        # embedding LayerNorm (bloom tok_norm)
+        x = (
+            layer_norm(
+                x, params["token_embd_norm"], params.get("token_embd_norm_bias"),
+                hp.f_norm_eps,
+            )
+            if hp.norm_type == "layer"
+            else rms_norm(x, params["token_embd_norm"], hp.f_norm_rms_eps)
+        )
 
     use_rope = hp.rope_type >= 0
     rp = rope_params(hp)
@@ -109,6 +119,11 @@ def llama_forward(
         cos_swa, sin_swa = rope_cache(rp_swa, positions, None)
         cos_swa = cos_swa[:, :, None, :]
         sin_swa = sin_swa[:, :, None, :]
+        if hp.rope_swa_only:
+            # cohere2: dense (full-attention) layers are NoPE — identity
+            # rotation (models/cohere2-iswa.cpp:61-77)
+            cos = jnp.ones_like(cos_swa)
+            sin = jnp.zeros_like(sin_swa)
         mask_full, mask_swa = attn_mask
     else:
         mask_full = attn_mask if not isinstance(attn_mask, tuple) else attn_mask[0]
@@ -116,6 +131,20 @@ def llama_forward(
     kq_scale = (
         hp.f_attention_scale if hp.f_attention_scale != 0.0 else 1.0 / (Dk**0.5)
     )
+
+    alibi_slopes = None
+    if hp.f_max_alibi_bias > 0.0:
+        # ggml_soft_max_ext slope schedule (ggml-cpu/ops.cpp soft_max):
+        # geometric per-head slopes below max_bias; mask carries -|Δpos|
+        import math
+
+        n2 = 1 << int(math.floor(math.log2(Hq)))
+        m0 = 2.0 ** (-hp.f_max_alibi_bias / n2)
+        m1 = 2.0 ** (-hp.f_max_alibi_bias / 2.0 / n2)
+        alibi_slopes = jnp.asarray(
+            [m0 ** (h + 1) if h < n2 else m1 ** (2 * (h - n2) + 1) for h in range(Hq)],
+            jnp.float32,
+        )
 
     batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]  # (B,1) for scatter
 
@@ -150,16 +179,28 @@ def llama_forward(
                 q = q + w["attn_q_bias"]
                 k = k + w["attn_k_bias"]
                 v = v + w["attn_v_bias"]
+        if hp.f_clamp_kqv:
+            # mpt/dbrx/olmo clamp the qkv projections (ggml_clamp)
+            q = jnp.clip(q, -hp.f_clamp_kqv, hp.f_clamp_kqv)
+            k = jnp.clip(k, -hp.f_clamp_kqv, hp.f_clamp_kqv)
+            v = jnp.clip(v, -hp.f_clamp_kqv, hp.f_clamp_kqv)
+
+        def qk_norm(a, wgt, bias=None):
+            # LN variant: mpt full-width (+bias), command-r per-head (H,D)
+            if hp.norm_type == "layer":
+                return layer_norm(a, wgt, bias, hp.f_norm_eps)
+            return rms_norm(a, wgt, hp.f_norm_rms_eps)
+
         if "attn_q_norm" in w and hp.qk_norm_full:
-            # olmo2: q/k RMS norm over the full projection width, pre-reshape
-            q = rms_norm(q, w["attn_q_norm"], hp.f_norm_rms_eps)
-            k = rms_norm(k, w["attn_k_norm"], hp.f_norm_rms_eps)
+            # olmo2/mpt: q/k norm over the full projection width, pre-reshape
+            q = qk_norm(q, w["attn_q_norm"], w.get("attn_q_norm_bias"))
+            k = qk_norm(k, w["attn_k_norm"], w.get("attn_k_norm_bias"))
         q = q.reshape(B, T, Hq, Dk)
         k = k.reshape(B, T, Hkv, Dk)
         v = v.reshape(B, T, Hkv, Dv)
         if "attn_q_norm" in w and not hp.qk_norm_full:
-            q = rms_norm(q, w["attn_q_norm"], hp.f_norm_rms_eps)
-            k = rms_norm(k, w["attn_k_norm"], hp.f_norm_rms_eps)
+            q = qk_norm(q, w["attn_q_norm"])
+            k = qk_norm(k, w["attn_k_norm"])
         if has_swa:
             is_swa = w["_is_swa"]
             c = jnp.where(is_swa, cos_swa, cos)
@@ -195,6 +236,7 @@ def llama_forward(
             att = attention(
                 q, k_cache["q"], v_cache["q"], mask=layer_mask, scale=kq_scale,
                 softcap=hp.attn_logit_softcap, sinks=w.get("attn_sinks"),
+                alibi_slopes=alibi_slopes,
                 k_scale=k_cache["s"], v_scale=v_cache["s"],
             )
         else:
@@ -208,6 +250,7 @@ def llama_forward(
                 scale=kq_scale,
                 softcap=hp.attn_logit_softcap,
                 sinks=w.get("attn_sinks"),
+                alibi_slopes=alibi_slopes,
             )
         att = att.reshape(B, T, Hq * Dv)
         att_in = att
@@ -219,9 +262,12 @@ def llama_forward(
         if hp.f_residual_scale:
             att = att * hp.f_residual_scale
         if hp.parallel_residual:
-            # falcon: FFN reads the attn-norm output; both deltas sum onto x
-            h = w_norm2 = None
-            if "attn_norm_2" in w:
+            # falcon/phi2/command-r: FFN reads the attn-norm output; both
+            # deltas sum onto x. gptneox par-res has its own ffn_norm on
+            # the layer input; old falcon-40b uses a second attn norm.
+            if "ffn_norm" in w:
+                h = norm_fn(x, w["ffn_norm"], w.get("ffn_norm_bias"))
+            elif "attn_norm_2" in w:
                 h = norm_fn(x, w["attn_norm_2"], w.get("attn_norm_2_bias"))
             else:
                 h = h_attn

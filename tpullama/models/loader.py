@@ -45,6 +45,8 @@ _LAYER_TENSORS = {
     "attn_output.bias": "attn_output_bias",
     "attn_q_norm.weight": "attn_q_norm",
     "attn_k_norm.weight": "attn_k_norm",
+    "attn_q_norm.bias": "attn_q_norm_bias",
+    "attn_k_norm.bias": "attn_k_norm_bias",
     "ffn_norm.weight": "ffn_norm",
     "ffn_norm.bias": "ffn_norm_bias",
     "ffn_up.bias": "ffn_up_bias",

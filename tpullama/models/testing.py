@@ -84,10 +84,18 @@ def make_tiny_llama_gguf(
             w.add_u32(f"{arch}.expert_shared_feed_forward_length", n_ff)
     if arch == "gpt-oss":
         w.add_u32(f"{arch}.attention.sliding_window", 32)
-    if arch in ("starcoder2", "gpt2", "falcon", "command-r", "phi2", "orion", "stablelm"):
+    if arch in ("starcoder2", "gpt2", "falcon", "command-r", "cohere2", "phi2",
+                "orion", "stablelm", "gptneox", "mpt", "bloom"):
         w.add_f32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
-    if arch == "command-r":
+    if arch in ("command-r", "cohere2"):
         w.add_f32(f"{arch}.logit_scale", 0.5)
+    if arch == "cohere2":
+        w.add_u32(f"{arch}.attention.sliding_window", 32)
+    if arch == "gptneox":
+        w.add_bool(f"{arch}.use_parallel_residual", True)
+    if arch == "mpt":
+        w.add_f32(f"{arch}.attention.max_alibi_bias", 8.0)
+        w.add_f32(f"{arch}.attention.clamp_kqv", 2.0)
     if arch == "granite":
         w.add_f32(f"{arch}.logit_scale", 8.0)
         w.add_f32(f"{arch}.residual_scale", 0.5)
@@ -128,24 +136,29 @@ def make_tiny_llama_gguf(
     if arch == "gpt2":
         w.add_tensor("position_embd.weight", mat(n_ctx, n_embd, 0.02), GGMLType.F32)
         w.add_tensor("output_norm.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
-    if arch in ("falcon", "phi2", "orion", "stablelm"):
+    if arch in ("falcon", "phi2", "orion", "stablelm", "gptneox", "mpt", "bloom"):
         w.add_tensor("output_norm.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
+    if arch == "bloom":
+        w.add_tensor("token_embd_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor("token_embd_norm.bias",
+                     (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
     if arch == "phi2":
         w.add_tensor("output.bias", (0.1 * rng.standard_normal(n_vocab)).astype(np.float32), GGMLType.F32)
     for il in range(n_layer):
         if arch != "olmo2":
             w.add_tensor(f"blk.{il}.attn_norm.weight", norm_w(n_embd), GGMLType.F32)
-        if arch in ("gpt2", "falcon", "phi2", "orion", "stablelm"):
+        if arch in ("gpt2", "falcon", "phi2", "orion", "stablelm", "gptneox",
+                    "mpt", "bloom"):
             w.add_tensor(f"blk.{il}.attn_norm.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch in ("orion", "stablelm"):
             w.add_tensor(f"blk.{il}.ffn_norm.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
-        if arch in ("phi3", "gpt2", "falcon", "phi2"):
+        if arch in ("phi3", "gpt2", "falcon", "phi2", "gptneox", "mpt", "bloom"):
             # fused [Q|K|V] rows (llama-model.cpp phi3/gpt2/falcon wqkv)
             w.add_tensor(f"blk.{il}.attn_qkv.weight",
                          mat(n_embd + 2 * kv_dim, n_embd), qtype)
-            if arch in ("gpt2", "phi2"):
+            if arch in ("gpt2", "phi2", "gptneox", "mpt", "bloom"):
                 w.add_tensor(f"blk.{il}.attn_qkv.bias",
                              (0.1 * rng.standard_normal(n_embd + 2 * kv_dim)).astype(np.float32), GGMLType.F32)
         else:
@@ -153,7 +166,7 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.attn_k.weight", mat(kv_dim, n_embd), qtype)
             w.add_tensor(f"blk.{il}.attn_v.weight", mat(kv_dim, n_embd), qtype)
         w.add_tensor(f"blk.{il}.attn_output.weight", mat(n_embd, n_embd), qtype)
-        if arch in ("gpt2", "phi2"):
+        if arch in ("gpt2", "phi2", "gptneox", "bloom"):
             w.add_tensor(f"blk.{il}.attn_output.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch == "qwen2":
@@ -172,6 +185,9 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.ffn_norm.bias", bias(n_embd), GGMLType.F32)
             w.add_tensor(f"blk.{il}.ffn_up.bias", bias(n_ff), GGMLType.F32)
             w.add_tensor(f"blk.{il}.ffn_down.bias", bias(n_embd), GGMLType.F32)
+        # note: mpt's optional qk_ln tensors are NOT written — the
+        # reference's own mpt graph asserts on the non-contiguous
+        # reshape of the K view when they are present (ggml.c:3530)
         if arch == "gemma3":
             w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(head_dim), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
@@ -187,9 +203,9 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(kv_dim), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_ffw_norm.weight", norm_w(n_embd), GGMLType.F32)
-        if arch not in ("olmo2", "falcon", "phi2", "gpt-oss"):
+        if arch not in ("olmo2", "falcon", "phi2", "gpt-oss", "command-r", "cohere2"):
             w.add_tensor(f"blk.{il}.ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
-        if arch == "gpt2":
+        if arch in ("gpt2", "gptneox", "mpt", "bloom"):
             w.add_tensor(f"blk.{il}.ffn_norm.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch == "gpt-oss":
@@ -239,7 +255,7 @@ def make_tiny_llama_gguf(
             # non-gated GELU FFN
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
-        elif arch in ("gpt2", "phi2"):
+        elif arch in ("gpt2", "phi2", "gptneox", "mpt", "bloom"):
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_up.bias",
                          (0.1 * rng.standard_normal(n_ff)).astype(np.float32), GGMLType.F32)

@@ -13,12 +13,15 @@ import jax.numpy as jnp
 
 
 def attention(q, k, v, mask=None, scale: float | None = None, softcap: float = 0.0,
-              sinks=None, k_scale=None, v_scale=None):
+              sinks=None, k_scale=None, v_scale=None, alibi_slopes=None):
     """q: (B, Tq, Hq, D); k, v: (B, Tk, Hkv, D); mask: broadcastable to
     (B, Hq, Tq, Tk), additive fp32 (0 visible, -inf masked).
     k_scale/v_scale: optional per-(token, head) dequant scales (B, Tk, Hkv)
     for int8 KV caches — K's scale factors out of the QK dot, V's folds
     into the probabilities, so no dequantized cache is materialized.
+    alibi_slopes: optional (Hq,) ALiBi slopes; the mask then carries
+    -|p_q - p_k| in visible slots and is multiplied per head
+    (ggml_soft_max_ext max_bias semantics; mask values per SURVEY.md A.5).
     Returns (B, Tq, Hq, Dv) (Dv may differ from D, e.g. deepseek2 MLA)."""
     B, Tq, Hq, D = q.shape
     _, Tk, Hkv, _ = k.shape
@@ -41,7 +44,12 @@ def attention(q, k, v, mask=None, scale: float | None = None, softcap: float = 0
     if mask is not None:
         if mask.ndim != 4:
             raise ValueError(f"attention mask must be 4-D (B,H,Tq,Tk); got {mask.shape}")
-        logits = logits + mask.astype(jnp.float32)
+        if alibi_slopes is not None:
+            logits = logits + alibi_slopes.astype(jnp.float32).reshape(
+                1, Hq, 1, 1
+            ) * mask.astype(jnp.float32)
+        else:
+            logits = logits + mask.astype(jnp.float32)
     if sinks is not None:
         # per-head sink logit participates in softmax but emits no value
         # (llama-graph.cpp flash path "sinks"; gpt-oss)

@@ -141,7 +141,13 @@ class Context:
         kv_pos = kv_pos.at[batch_idx, slots].set(positions)
         # visibility: cell occupied ∧ causal (SURVEY.md A.5 predicate)
         vis = (kv_pos[:, None, :] >= 0) & (kv_pos[:, None, :] <= positions[:, :, None])
-        mask = jnp.where(vis, jnp.float32(0), NEG_INF)[:, None, :, :]
+        if self.hp.f_max_alibi_bias > 0.0:
+            # ALiBi models: visible slots carry -|p0 - p1| and the model
+            # multiplies per-head slopes in (SURVEY.md A.5, mask :1301)
+            dist = jnp.abs(kv_pos[:, None, :] - positions[:, :, None]).astype(jnp.float32)
+            mask = jnp.where(vis, -dist, NEG_INF)[:, None, :, :]
+        else:
+            mask = jnp.where(vis, jnp.float32(0), NEG_INF)[:, None, :, :]
         if self.hp.n_swa and self.hp.swa_layers:
             # iswa models: full mask for dense layers + windowed for SWA
             vis_swa = vis & (kv_pos[:, None, :] > positions[:, :, None] - self.hp.n_swa)
