@@ -287,3 +287,26 @@ def test_arch_batch_b_matches_reference(tmp_path, arch, kw):
     ours = run_ours(path).replace(b"\x00", b"")
     ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
     assert ours == ref
+
+
+@needs_cli
+@pytest.mark.parametrize("arch,kw", [
+    ("olmo", dict(tied_output=True)),
+    ("olmoe", dict(n_expert=4, n_head_kv=4)),
+    ("nemotron", dict()),
+    ("exaone", dict()),
+    ("smollm3", dict(n_layer=5)),
+    ("arcee", dict()),
+    ("minicpm", dict(tied_output=True)),
+])
+def test_arch_batch_c_matches_reference(tmp_path, arch, kw):
+    """olmo: non-parametric LayerNorm + clamp_kqv; olmoe: full-width q/k
+    RMS norms + un-normalized MoE; nemotron: LN+bias + squared-relu FFN
+    with biases; exaone: llama-like with NEOX rope; smollm3: NoPE every
+    4th layer; arcee: squared-relu non-gated FFN; minicpm: granite scale
+    stack with legacy defaults."""
+    path = str(tmp_path / f"tiny_{arch}.gguf")
+    make_tiny_llama_gguf(path, n_layer=kw.pop("n_layer", 2), arch=arch, seed=31, **kw)
+    ours = run_ours(path).replace(b"\x00", b"")
+    ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
+    assert ours == ref

@@ -59,6 +59,8 @@ class HParams:
     embd_scale: float = 0.0  # scale token embeddings (gemma: sqrt(n_embd))
     act: str = "silu"
     norm_type: str = "rms"  # "rms" (LLM_NORM_RMS) | "layer" (LLM_NORM)
+    norm_nonparam: bool = False  # olmo: LayerNorm with no weight/bias tensors
+    no_rope_layer_step: int = 0  # every Nth layer is NoPE (smollm3/llama4)
     pre_norm: bool = True  # False: olmo2-style post-norm-only blocks
     qk_norm_full: bool = False  # q/k norm over full width pre-reshape (olmo2)
     ffn_gated: bool = True  # gated GLU vs plain up->act->down
@@ -233,6 +235,39 @@ class HParams:
             hp.pooling_type = _POOL.get(int(g("pooling_type", 0) or 0), "none")
         if arch in ("phi3", "phimoe"):
             hp.ffn_fused_up = True
+        if arch == "olmo":
+            # non-parametric LayerNorm (no norm tensors at all), optional
+            # qkv clamp, gated silu FFN (llm_build_olmo)
+            hp.norm_type = "layer"
+            hp.norm_nonparam = True
+            hp.f_clamp_kqv = float(g("attention.clamp_kqv", 0.0) or 0.0)
+        if arch == "olmoe":
+            # full-width q/k RMS norms pre-reshape; MoE weights not
+            # renormalized (llm_build_olmoe)
+            hp.qk_norm_full = True
+            hp.moe_norm_topk = False
+        if arch == "nemotron":
+            # LayerNorm+bias, non-gated squared-relu FFN with biases
+            hp.norm_type = "layer"
+            hp.ffn_gated = False
+            hp.act = "relu_sqr"
+        if arch == "arcee":
+            # AFM: non-gated squared-relu FFN over RMS norms
+            hp.ffn_gated = False
+            hp.act = "relu_sqr"
+        if arch == "smollm3":
+            hp.no_rope_layer_step = 4  # every 4th layer NoPE
+        if arch == "minicpm":
+            # granite-style scale stack with fixed legacy defaults
+            # (llama-model.cpp:741-755)
+            hp.embd_scale = float(g("embedding_scale", 12.0) or 12.0)
+            hp.f_residual_scale = float(
+                g("residual_scale", 1.4 / np.sqrt(hp.n_layer) if hp.n_layer else 0.0)
+                or 0.0
+            )
+            ls = float(g("logit_scale", 256.0 / n_embd if n_embd else 1.0) or 1.0)
+            if ls:
+                hp.final_logit_scale = 1.0 / ls
         if arch in ("olmo2", "olmo3"):
             # post-norm blocks, full-width q/k norm (llm_build_olmo2)
             hp.pre_norm = False

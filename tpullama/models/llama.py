@@ -159,7 +159,7 @@ def llama_forward(
         x, k_cache, v_cache = carry
         w = layer
 
-        h = norm_fn(x, w["attn_norm"], w.get("attn_norm_bias")) if hp.pre_norm else x
+        h = norm_fn(x, w.get("attn_norm"), w.get("attn_norm_bias")) if hp.pre_norm else x
         h_attn = h
         if "attn_qkv" in w:
             # fused QKV (phi3 and friends): rows [Q | K | V]
@@ -208,6 +208,10 @@ def llama_forward(
             layer_mask = jnp.where(is_swa, mask_swa, mask_full)
         else:
             c, s, layer_mask = cos, sin, mask_full
+        if hp.no_rope_layer_step and use_rope:
+            # smollm3/llama4: every Nth layer skips rope (identity rotation)
+            c = jnp.where(w["_is_nope"], jnp.ones_like(c), c)
+            s = jnp.where(w["_is_nope"], jnp.zeros_like(s), s)
         if use_rope:
             q = apply_rope(q, c, s, rp.mode, rp.n_dims)
             k = apply_rope(k, c, s, rp.mode, rp.n_dims)
@@ -273,7 +277,7 @@ def llama_forward(
                 h = h_attn
         else:
             x = x + att
-            h = norm_fn(x, w["ffn_norm"], w.get("ffn_norm_bias")) if hp.pre_norm else x
+            h = norm_fn(x, w.get("ffn_norm"), w.get("ffn_norm_bias")) if hp.pre_norm else x
         act_saved = None
         if "ffn_gate_inp" in w:
             # MoE branch (src/models/llama.cpp:110-128: SILU, norm_w=true,
@@ -329,6 +333,9 @@ def llama_forward(
                 up = up + w["ffn_up_bias"]
             if hp.act == "gelu":
                 act = jax.nn.gelu(up.astype(jnp.float32), approximate=True).astype(up.dtype)
+            elif hp.act == "relu_sqr":
+                # LLM_FFN_RELU_SQR (nemotron/arcee): relu(x)^2
+                act = (jnp.maximum(up.astype(jnp.float32), 0) ** 2).astype(up.dtype)
             else:
                 act = jax.nn.silu(up.astype(jnp.float32)).astype(up.dtype)
             act_saved = act
@@ -373,9 +380,14 @@ def llama_forward(
         return (x, k_cache, v_cache), stats
 
     layers = params["layers"]
-    if has_swa:
+    if has_swa or hp.no_rope_layer_step:
         layers = dict(layers)
+    if has_swa:
         layers["_is_swa"] = jnp.asarray(hp.swa_layers)
+    if hp.no_rope_layer_step:
+        layers["_is_nope"] = jnp.asarray(
+            [(il + 1) % hp.no_rope_layer_step == 0 for il in range(hp.n_layer)]
+        )
     # layer-stacked packed weights stay out of the scan xs: the kernel
     # indexes the layer itself (see _linear / quantized_matmul `layer`)
     packed_stacks = {k: v for k, v in layers.items() if isinstance(v, dict)}
@@ -404,7 +416,7 @@ def llama_forward(
             scan_body, x, (layers, layer_ids, kv_k, kv_v), unroll=unroll
         )
 
-    x = norm_fn(x, params["output_norm"], params.get("output_norm_bias"))
+    x = norm_fn(x, params.get("output_norm"), params.get("output_norm_bias"))
     out_w = params.get("output", params["tok_embd"])
     logits = _linear(x, out_w, (quant_meta or {}).get("output"))
     if "output_bias" in params:

@@ -85,8 +85,10 @@ def make_tiny_llama_gguf(
     if arch == "gpt-oss":
         w.add_u32(f"{arch}.attention.sliding_window", 32)
     if arch in ("starcoder2", "gpt2", "falcon", "command-r", "cohere2", "phi2",
-                "orion", "stablelm", "gptneox", "mpt", "bloom"):
+                "orion", "stablelm", "gptneox", "mpt", "bloom", "olmo", "nemotron"):
         w.add_f32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    if arch == "olmo":
+        w.add_f32(f"{arch}.attention.clamp_kqv", 2.0)
     if arch in ("command-r", "cohere2"):
         w.add_f32(f"{arch}.logit_scale", 0.5)
     if arch == "cohere2":
@@ -127,7 +129,8 @@ def make_tiny_llama_gguf(
 
     # norms stay F32 (the reference's 1-D tensor rule, SURVEY.md A.7)
     w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), qtype)
-    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    if arch != "olmo":  # olmo: non-parametric norms, no tensors
+        w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
     if arch == "starcoder2":
         w.add_tensor("output_norm.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
     if not tied_output:
@@ -136,7 +139,8 @@ def make_tiny_llama_gguf(
     if arch == "gpt2":
         w.add_tensor("position_embd.weight", mat(n_ctx, n_embd, 0.02), GGMLType.F32)
         w.add_tensor("output_norm.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
-    if arch in ("falcon", "phi2", "orion", "stablelm", "gptneox", "mpt", "bloom"):
+    if arch in ("falcon", "phi2", "orion", "stablelm", "gptneox", "mpt", "bloom",
+                "nemotron"):
         w.add_tensor("output_norm.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
     if arch == "bloom":
         w.add_tensor("token_embd_norm.weight", norm_w(n_embd), GGMLType.F32)
@@ -145,10 +149,10 @@ def make_tiny_llama_gguf(
     if arch == "phi2":
         w.add_tensor("output.bias", (0.1 * rng.standard_normal(n_vocab)).astype(np.float32), GGMLType.F32)
     for il in range(n_layer):
-        if arch != "olmo2":
+        if arch not in ("olmo2", "olmo"):
             w.add_tensor(f"blk.{il}.attn_norm.weight", norm_w(n_embd), GGMLType.F32)
         if arch in ("gpt2", "falcon", "phi2", "orion", "stablelm", "gptneox",
-                    "mpt", "bloom"):
+                    "mpt", "bloom", "nemotron"):
             w.add_tensor(f"blk.{il}.attn_norm.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch in ("orion", "stablelm"):
@@ -193,6 +197,10 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_ffw_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if arch == "olmoe":
+            # full-width q/k RMS norms pre-reshape (llm_build_olmoe)
+            w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(kv_dim), GGMLType.F32)
         if arch in ("qwen3", "qwen3moe"):
             # per-head q/k RMS norm, no qkv biases (llm_build_qwen3)
             w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(head_dim), GGMLType.F32)
@@ -203,9 +211,10 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(kv_dim), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_ffw_norm.weight", norm_w(n_embd), GGMLType.F32)
-        if arch not in ("olmo2", "falcon", "phi2", "gpt-oss", "command-r", "cohere2"):
+        if arch not in ("olmo2", "falcon", "phi2", "gpt-oss", "command-r", "cohere2",
+                        "olmo"):
             w.add_tensor(f"blk.{il}.ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
-        if arch in ("gpt2", "gptneox", "mpt", "bloom"):
+        if arch in ("gpt2", "gptneox", "mpt", "bloom", "nemotron"):
             w.add_tensor(f"blk.{il}.ffn_norm.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch == "gpt-oss":
@@ -251,11 +260,11 @@ def make_tiny_llama_gguf(
             # fused [gate|up] rows, SWIGLU split at runtime
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(2 * n_ff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
-        elif arch in ("starcoder2", "falcon"):
-            # non-gated GELU FFN
+        elif arch in ("starcoder2", "falcon", "arcee"):
+            # non-gated FFN (GELU; relu^2 for arcee)
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
-        elif arch in ("gpt2", "phi2", "gptneox", "mpt", "bloom"):
+        elif arch in ("gpt2", "phi2", "gptneox", "mpt", "bloom", "nemotron"):
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_up.bias",
                          (0.1 * rng.standard_normal(n_ff)).astype(np.float32), GGMLType.F32)
@@ -320,7 +329,8 @@ def make_tiny_mamba_gguf(
         return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
 
     w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), GGMLType.F32)
-    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    if arch != "olmo":  # olmo: non-parametric norms, no tensors
+        w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
     w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
     for il in range(n_layer):
         p = f"blk.{il}."
@@ -397,7 +407,8 @@ def make_tiny_mamba2_gguf(
         return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
 
     w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), GGMLType.F32)
-    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    if arch != "olmo":  # olmo: non-parametric norms, no tensors
+        w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
     w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
     for il in range(n_layer):
         p = f"blk.{il}."
@@ -564,7 +575,8 @@ def make_tiny_rwkv6_gguf(
     w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, scale=0.05), GGMLType.F32)
     w.add_tensor("token_embd_norm.weight", norm_w(n_embd), GGMLType.F32)
     w.add_tensor("token_embd_norm.bias", vec(n_embd), GGMLType.F32)
-    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    if arch != "olmo":  # olmo: non-parametric norms, no tensors
+        w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
     w.add_tensor("output_norm.bias", vec(n_embd), GGMLType.F32)
     w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
     for il in range(n_layer):
@@ -662,7 +674,8 @@ def make_tiny_jamba_gguf(
         return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
 
     w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, scale=0.02), GGMLType.F32)
-    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    if arch != "olmo":  # olmo: non-parametric norms, no tensors
+        w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
     w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
     for il in range(n_layer):
         p = f"blk.{il}."
@@ -850,7 +863,8 @@ def make_tiny_deepseek2_gguf(
         return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
 
     w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), GGMLType.F32)
-    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    if arch != "olmo":  # olmo: non-parametric norms, no tensors
+        w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
     w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
     for il in range(n_layer):
         p = f"blk.{il}."
