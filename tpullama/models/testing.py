@@ -329,8 +329,7 @@ def make_tiny_mamba_gguf(
         return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
 
     w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), GGMLType.F32)
-    if arch != "olmo":  # olmo: non-parametric norms, no tensors
-        w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
     w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
     for il in range(n_layer):
         p = f"blk.{il}."
@@ -407,8 +406,7 @@ def make_tiny_mamba2_gguf(
         return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
 
     w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), GGMLType.F32)
-    if arch != "olmo":  # olmo: non-parametric norms, no tensors
-        w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
     w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
     for il in range(n_layer):
         p = f"blk.{il}."
@@ -575,8 +573,7 @@ def make_tiny_rwkv6_gguf(
     w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, scale=0.05), GGMLType.F32)
     w.add_tensor("token_embd_norm.weight", norm_w(n_embd), GGMLType.F32)
     w.add_tensor("token_embd_norm.bias", vec(n_embd), GGMLType.F32)
-    if arch != "olmo":  # olmo: non-parametric norms, no tensors
-        w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
     w.add_tensor("output_norm.bias", vec(n_embd), GGMLType.F32)
     w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
     for il in range(n_layer):
@@ -674,8 +671,7 @@ def make_tiny_jamba_gguf(
         return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
 
     w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, scale=0.02), GGMLType.F32)
-    if arch != "olmo":  # olmo: non-parametric norms, no tensors
-        w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
     w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
     for il in range(n_layer):
         p = f"blk.{il}."
@@ -863,8 +859,7 @@ def make_tiny_deepseek2_gguf(
         return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
 
     w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), GGMLType.F32)
-    if arch != "olmo":  # olmo: non-parametric norms, no tensors
-        w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
     w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
     for il in range(n_layer):
         p = f"blk.{il}."
