@@ -310,3 +310,25 @@ def test_arch_batch_c_matches_reference(tmp_path, arch, kw):
     ours = run_ours(path).replace(b"\x00", b"")
     ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
     assert ours == ref
+
+
+@needs_cli
+@pytest.mark.parametrize("arch,kw", [
+    ("baichuan", dict(n_head_kv=4, n_layer=32)),
+    ("baichuan", dict(n_head_kv=4, n_layer=40)),
+    ("qwen", dict(n_head_kv=4)),
+    ("starcoder", dict(n_head_kv=4, tied_output=True)),
+    ("refact", dict(n_head_kv=4)),
+    ("xverse", dict(n_head_kv=4)),
+    ("ernie4_5", dict(n_head_kv=2)),
+])
+def test_arch_batch_d_matches_reference(tmp_path, arch, kw):
+    """baichuan/xverse/ernie4_5: llama-like with NORM rope; qwen (v1):
+    fused biased qkv + half-width gated FFN; starcoder (gpt-bigcode):
+    learned positions + LN+bias + fused qkv; refact: ALiBi over RMS
+    norms with gated silu."""
+    path = str(tmp_path / f"tiny_{arch}.gguf")
+    make_tiny_llama_gguf(path, n_layer=kw.pop("n_layer", 2), arch=arch, seed=37, **kw)
+    ours = run_ours(path).replace(b"\x00", b"")
+    ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
+    assert ours == ref

@@ -255,6 +255,15 @@ class HParams:
             # AFM: non-gated squared-relu FFN over RMS norms
             hp.ffn_gated = False
             hp.act = "relu_sqr"
+        if arch == "refact":
+            # rms norms + gated silu over ALiBi attention, no rope
+            hp.f_max_alibi_bias = 8.0
+        if arch == "starcoder":
+            # gpt-bigcode: learned positions, LN+bias, fused biased qkv,
+            # non-gated GELU FFN with biases
+            hp.norm_type = "layer"
+            hp.ffn_gated = False
+            hp.act = "gelu"
         if arch == "smollm3":
             hp.no_rope_layer_step = 4  # every 4th layer NoPE
         if arch == "minicpm":
@@ -390,4 +399,9 @@ class HParams:
             hp.rope_type = -1  # LLAMA_ROPE_TYPE_NONE
         else:
             hp.rope_type = 0 if arch in NORM_ARCHES else 2
+        if arch == "baichuan" and hp.n_layer == 40:
+            # baichuan-13B: no rope, ALiBi attention (llm_build_baichuan
+            # LLM_TYPE_13B branch; f_max_alibi_bias llama-model.cpp:880)
+            hp.rope_type = -1
+            hp.f_max_alibi_bias = 8.0
         return hp

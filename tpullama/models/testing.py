@@ -85,7 +85,8 @@ def make_tiny_llama_gguf(
     if arch == "gpt-oss":
         w.add_u32(f"{arch}.attention.sliding_window", 32)
     if arch in ("starcoder2", "gpt2", "falcon", "command-r", "cohere2", "phi2",
-                "orion", "stablelm", "gptneox", "mpt", "bloom", "olmo", "nemotron"):
+                "orion", "stablelm", "gptneox", "mpt", "bloom", "olmo", "nemotron",
+                "starcoder"):
         w.add_f32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
     if arch == "olmo":
         w.add_f32(f"{arch}.attention.clamp_kqv", 2.0)
@@ -136,7 +137,7 @@ def make_tiny_llama_gguf(
     if not tied_output:
         w.add_tensor("output.weight", mat(n_vocab, n_embd), qtype)
     kv_dim = head_dim * n_head_kv
-    if arch == "gpt2":
+    if arch in ("gpt2", "starcoder"):
         w.add_tensor("position_embd.weight", mat(n_ctx, n_embd, 0.02), GGMLType.F32)
         w.add_tensor("output_norm.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
     if arch in ("falcon", "phi2", "orion", "stablelm", "gptneox", "mpt", "bloom",
@@ -152,17 +153,18 @@ def make_tiny_llama_gguf(
         if arch not in ("olmo2", "olmo"):
             w.add_tensor(f"blk.{il}.attn_norm.weight", norm_w(n_embd), GGMLType.F32)
         if arch in ("gpt2", "falcon", "phi2", "orion", "stablelm", "gptneox",
-                    "mpt", "bloom", "nemotron"):
+                    "mpt", "bloom", "nemotron", "starcoder"):
             w.add_tensor(f"blk.{il}.attn_norm.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch in ("orion", "stablelm"):
             w.add_tensor(f"blk.{il}.ffn_norm.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
-        if arch in ("phi3", "gpt2", "falcon", "phi2", "gptneox", "mpt", "bloom"):
+        if arch in ("phi3", "gpt2", "falcon", "phi2", "gptneox", "mpt", "bloom",
+                    "starcoder", "qwen"):
             # fused [Q|K|V] rows (llama-model.cpp phi3/gpt2/falcon wqkv)
             w.add_tensor(f"blk.{il}.attn_qkv.weight",
                          mat(n_embd + 2 * kv_dim, n_embd), qtype)
-            if arch in ("gpt2", "phi2", "gptneox", "mpt", "bloom"):
+            if arch in ("gpt2", "phi2", "gptneox", "mpt", "bloom", "starcoder", "qwen"):
                 w.add_tensor(f"blk.{il}.attn_qkv.bias",
                              (0.1 * rng.standard_normal(n_embd + 2 * kv_dim)).astype(np.float32), GGMLType.F32)
         else:
@@ -170,7 +172,7 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.attn_k.weight", mat(kv_dim, n_embd), qtype)
             w.add_tensor(f"blk.{il}.attn_v.weight", mat(kv_dim, n_embd), qtype)
         w.add_tensor(f"blk.{il}.attn_output.weight", mat(n_embd, n_embd), qtype)
-        if arch in ("gpt2", "phi2", "gptneox", "bloom"):
+        if arch in ("gpt2", "phi2", "gptneox", "bloom", "starcoder"):
             w.add_tensor(f"blk.{il}.attn_output.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch == "qwen2":
@@ -214,7 +216,7 @@ def make_tiny_llama_gguf(
         if arch not in ("olmo2", "falcon", "phi2", "gpt-oss", "command-r", "cohere2",
                         "olmo"):
             w.add_tensor(f"blk.{il}.ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
-        if arch in ("gpt2", "gptneox", "mpt", "bloom", "nemotron"):
+        if arch in ("gpt2", "gptneox", "mpt", "bloom", "nemotron", "starcoder"):
             w.add_tensor(f"blk.{il}.ffn_norm.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch == "gpt-oss":
@@ -264,7 +266,8 @@ def make_tiny_llama_gguf(
             # non-gated FFN (GELU; relu^2 for arcee)
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
-        elif arch in ("gpt2", "phi2", "gptneox", "mpt", "bloom", "nemotron"):
+        elif arch in ("gpt2", "phi2", "gptneox", "mpt", "bloom", "nemotron",
+                      "starcoder"):
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_up.bias",
                          (0.1 * rng.standard_normal(n_ff)).astype(np.float32), GGMLType.F32)
@@ -272,9 +275,12 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.ffn_down.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         else:
-            w.add_tensor(f"blk.{il}.ffn_gate.weight", mat(n_ff, n_embd), qtype)
-            w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
-            w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
+            # qwen1 stores gate/up at n_ff/2 of the metadata value
+            # (llama-model.cpp LLM_ARCH_QWEN create_tensor)
+            eff = n_ff // 2 if arch == "qwen" else n_ff
+            w.add_tensor(f"blk.{il}.ffn_gate.weight", mat(eff, n_embd), qtype)
+            w.add_tensor(f"blk.{il}.ffn_up.weight", mat(eff, n_embd), qtype)
+            w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, eff), qtype)
     w.write(path)
     return path, n_vocab
 
