@@ -332,3 +332,21 @@ def test_arch_batch_d_matches_reference(tmp_path, arch, kw):
     ours = run_ours(path).replace(b"\x00", b"")
     ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
     assert ours == ref
+
+
+@needs_cli
+@pytest.mark.parametrize("arch,kw", [
+    ("chatglm", dict(n_head_kv=2)),
+    ("glm4", dict(n_head_kv=2, tied_output=True)),
+    ("seed_oss", dict(n_head_kv=2)),
+    ("hunyuan-dense", dict(n_head_kv=2)),
+])
+def test_arch_batch_e_matches_reference(tmp_path, arch, kw):
+    """chatglm: fused biased qkv + fused-swiglu FFN + half-dim NORM rope;
+    glm4: post-attention/post-MLP norms; seed_oss: FFN pre-norm stored as
+    post_attention_norm; hunyuan-dense: per-head q/k norms AFTER rope."""
+    path = str(tmp_path / f"tiny_{arch}.gguf")
+    make_tiny_llama_gguf(path, n_layer=kw.pop("n_layer", 2), arch=arch, seed=41, **kw)
+    ours = run_ours(path).replace(b"\x00", b"")
+    ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
+    assert ours == ref

@@ -63,6 +63,7 @@ class HParams:
     no_rope_layer_step: int = 0  # every Nth layer is NoPE (smollm3/llama4)
     pre_norm: bool = True  # False: olmo2-style post-norm-only blocks
     qk_norm_full: bool = False  # q/k norm over full width pre-reshape (olmo2)
+    qk_norm_after_rope: bool = False  # hunyuan: per-head q/k norm post-rope
     ffn_gated: bool = True  # gated GLU vs plain up->act->down
     ffn_fused_up: bool = False  # phi3: [gate|up] fused in ffn_up
     parallel_residual: bool = False  # falcon: attn + ffn from same norm, summed
@@ -255,6 +256,13 @@ class HParams:
             # AFM: non-gated squared-relu FFN over RMS norms
             hp.ffn_gated = False
             hp.act = "relu_sqr"
+        if arch in ("chatglm", "glm4"):
+            # fused-swiglu FFN (LLM_FFN_SWIGLU on a 2*n_ff up projection);
+            # glm4 adds post-attention and post-MLP norms
+            hp.ffn_fused_up = True
+        if arch == "hunyuan-dense":
+            # per-head q/k RMS norms applied AFTER rope
+            hp.qk_norm_after_rope = True
         if arch == "refact":
             # rms norms + gated silu over ALiBi attention, no rope
             hp.f_max_alibi_bias = 8.0
@@ -391,7 +399,7 @@ class HParams:
             "minicpm", "xverse", "command-r", "cohere2", "olmo", "arctic",
             "deepseek", "deepseek2", "chatglm", "granite", "granite-moe",
             "chameleon", "bailingmoe", "smollm3", "arcee", "ernie4_5",
-            "mistral3",
+            "mistral3", "glm4",
         }
         NONE_ARCHES = {"gpt2", "gptj", "mpt", "bloom", "starcoder", "refact",
                        "bert", "jina-bert-v2", "t5", "jamba", "mamba", "mamba2"}

@@ -198,7 +198,7 @@ def llama_forward(
         q = q.reshape(B, T, Hq, Dk)
         k = k.reshape(B, T, Hkv, Dk)
         v = v.reshape(B, T, Hkv, Dv)
-        if "attn_q_norm" in w and not hp.qk_norm_full:
+        if "attn_q_norm" in w and not hp.qk_norm_full and not hp.qk_norm_after_rope:
             q = qk_norm(q, w["attn_q_norm"])
             k = qk_norm(k, w["attn_k_norm"])
         if has_swa:
@@ -215,6 +215,10 @@ def llama_forward(
         if use_rope:
             q = apply_rope(q, c, s, rp.mode, rp.n_dims)
             k = apply_rope(k, c, s, rp.mode, rp.n_dims)
+        if "attn_q_norm" in w and not hp.qk_norm_full and hp.qk_norm_after_rope:
+            # hunyuan-dense: per-head q/k norm post-rope
+            q = qk_norm(q, w["attn_q_norm"])
+            k = qk_norm(k, w["attn_k_norm"])
 
         # scatter new K/V into the cache rows for this ubatch
         # (the ggml_set_rows indexed-write capability, llama-kv-cache.h:145)

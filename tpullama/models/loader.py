@@ -136,6 +136,8 @@ _LAYER_TENSORS = {
 # tensor post-scales the attention output.
 _ARCH_TENSOR_OVERRIDES = {
     "gpt-oss": {"post_attention_norm.weight": "ffn_norm"},
+    # seed_oss names its FFN pre-norm the same way (models/seed-oss.cpp:86)
+    "seed_oss": {"post_attention_norm.weight": "ffn_norm"},
 }
 
 _TOP_TENSORS = {

@@ -71,7 +71,8 @@ def make_tiny_llama_gguf(
     w.add_u32(f"{arch}.feed_forward_length", n_ff)
     w.add_u32(f"{arch}.attention.head_count", n_head)
     w.add_u32(f"{arch}.attention.head_count_kv", n_head_kv)
-    w.add_u32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_u32(f"{arch}.rope.dimension_count",
+              head_dim // 2 if arch in ("chatglm", "glm4") else head_dim)
     w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
     w.add_f32(f"{arch}.rope.freq_base", 10000.0)
     w.add_u32(f"{arch}.vocab_size", n_vocab)
@@ -160,11 +161,12 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.ffn_norm.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch in ("phi3", "gpt2", "falcon", "phi2", "gptneox", "mpt", "bloom",
-                    "starcoder", "qwen"):
+                    "starcoder", "qwen", "chatglm"):
             # fused [Q|K|V] rows (llama-model.cpp phi3/gpt2/falcon wqkv)
             w.add_tensor(f"blk.{il}.attn_qkv.weight",
                          mat(n_embd + 2 * kv_dim, n_embd), qtype)
-            if arch in ("gpt2", "phi2", "gptneox", "mpt", "bloom", "starcoder", "qwen"):
+            if arch in ("gpt2", "phi2", "gptneox", "mpt", "bloom", "starcoder",
+                        "qwen", "chatglm"):
                 w.add_tensor(f"blk.{il}.attn_qkv.bias",
                              (0.1 * rng.standard_normal(n_embd + 2 * kv_dim)).astype(np.float32), GGMLType.F32)
         else:
@@ -199,6 +201,14 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_ffw_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if arch == "glm4":
+            w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.post_ffw_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if arch == "hunyuan-dense":
+            w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(head_dim), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
+        if arch == "seed_oss":
+            w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
         if arch == "olmoe":
             # full-width q/k RMS norms pre-reshape (llm_build_olmoe)
             w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(n_embd), GGMLType.F32)
@@ -214,7 +224,7 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_ffw_norm.weight", norm_w(n_embd), GGMLType.F32)
         if arch not in ("olmo2", "falcon", "phi2", "gpt-oss", "command-r", "cohere2",
-                        "olmo"):
+                        "olmo", "seed_oss"):
             w.add_tensor(f"blk.{il}.ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
         if arch in ("gpt2", "gptneox", "mpt", "bloom", "nemotron", "starcoder"):
             w.add_tensor(f"blk.{il}.ffn_norm.bias",
@@ -258,7 +268,7 @@ def make_tiny_llama_gguf(
                 w.add_tensor(f"blk.{il}.ffn_gate_shexp.weight", mat(n_ff, n_embd), qtype)
                 w.add_tensor(f"blk.{il}.ffn_up_shexp.weight", mat(n_ff, n_embd), qtype)
                 w.add_tensor(f"blk.{il}.ffn_down_shexp.weight", mat(n_embd, n_ff), qtype)
-        elif arch == "phi3":
+        elif arch in ("phi3", "chatglm", "glm4"):
             # fused [gate|up] rows, SWIGLU split at runtime
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(2 * n_ff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
