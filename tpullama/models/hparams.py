@@ -115,7 +115,8 @@ class HParams:
     @property
     def is_encoder(self) -> bool:
         """Bidirectional encoder (no KV cache, embeddings output)."""
-        return self.arch in ("bert", "nomic-bert", "jina-bert-v2", "gemma-embedding")
+        return self.arch in ("bert", "nomic-bert", "jina-bert-v2", "gemma-embedding",
+                             "t5encoder")
 
     @property
     def is_recurrent(self) -> bool:
@@ -125,7 +126,7 @@ class HParams:
 
     @property
     def is_encoder_decoder(self) -> bool:
-        return self.arch in ("t5", "t5encoder")
+        return self.arch == "t5"
 
     @property
     def is_hybrid(self) -> bool:
@@ -306,7 +307,7 @@ class HParams:
             # top-k weights NOT renormalized; shared expert has its own
             # sigmoid gate (llm_build_qwen2moe)
             hp.moe_norm_topk = False
-        if arch == "t5":
+        if arch in ("t5", "t5encoder"):
             hp.act = "relu"
             if not hp.dec_n_layer:
                 hp.dec_n_layer = hp.n_layer

@@ -345,7 +345,7 @@ def load_model(
                 fetch(tname), dtype=dtype if pname != "rope_freqs" else jnp.float32
             )
 
-    if hp.arch == "t5":
+    if hp.arch in ("t5", "t5encoder"):
         from .t5 import load_t5_params
 
         t5p = load_t5_params(reader, hp, fetch, dtype)

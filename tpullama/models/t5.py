@@ -66,14 +66,21 @@ def _ffn(h, lp, prefix, lmeta=None):
     return _linear(act, lp[prefix + "ffn_down"])
 
 
-def t5_encode(params, hp: HParams, tokens, pad_mask):
-    """tokens: (B, T); pad_mask: (B, T) 1=real. Returns (B, T, n_embd)."""
+def t5_encode(params, hp: HParams, tokens, pad_mask, causal: bool = False):
+    """tokens: (B, T); pad_mask: (B, T) 1=real. Returns (B, T, n_embd).
+
+    causal=True reproduces the reference's t5encoder-under-llama-embedding
+    default (hparams.causal_attn stays true for LLM_ARCH_T5ENCODER, and
+    the embedding path honors it unless --attention non-causal)."""
     B, T = tokens.shape
     Hq, Hkv = hp.n_head, hp.n_head_kv
     Dk, Dv = hp.n_embd_head_k, hp.n_embd_head_v
     x = jnp.take(params["tok_embd"], tokens, axis=0)
     pos = jnp.arange(T, dtype=jnp.int32)
-    mask = jnp.where(pad_mask > 0, 0.0, -1e30).astype(jnp.float32)[:, None, None, :]
+    vis = (pad_mask > 0)[:, None, None, :]
+    if causal:
+        vis = vis & (pos[:, None] >= pos[None, :])[None, None, :, :]
+    mask = jnp.where(vis, 0.0, -1e30).astype(jnp.float32)
 
     rel_b0 = params["enc_layers"][0]["attn_rel_b"]
     bias = _pos_bias(rel_b0, pos, pos, hp.n_rel_attn_bkts, bidirectional=True)

@@ -731,9 +731,11 @@ def make_tiny_t5_gguf(
     n_ff: int = 128,
     n_rel_bkts: int = 32,
     seed: int = 0,
+    encoder_only: bool = False,
 ):
     """Write a random tiny T5 GGUF (enc.blk/dec.blk name scheme with a
-    UGM byte-ish vocab; llama-arch.cpp T5 table)."""
+    UGM byte-ish vocab; llama-arch.cpp T5 table). encoder_only writes the
+    LLM_ARCH_T5ENCODER variant (no decoder stack)."""
     # UGM vocab: pad/eos/unk + single-char pieces
     tokens = ["<pad>", "</s>", "<unk>", "▁"]
     scores = [0.0, 0.0, 0.0, -2.0]
@@ -746,21 +748,24 @@ def make_tiny_t5_gguf(
     head_dim = n_embd // n_head
 
     rng = np.random.default_rng(seed)
+    arch = "t5encoder" if encoder_only else "t5"
     w = GGUFWriter()
-    w.add_str("general.architecture", "t5")
-    w.add_str("general.name", "tiny-test-t5")
-    w.add_u32("t5.context_length", 512)
-    w.add_u32("t5.embedding_length", n_embd)
-    w.add_u32("t5.block_count", n_layer)
-    w.add_u32("t5.decoder_block_count", n_layer)
-    w.add_u32("t5.feed_forward_length", n_ff)
-    w.add_u32("t5.attention.head_count", n_head)
-    w.add_u32("t5.attention.key_length", head_dim)
-    w.add_u32("t5.attention.value_length", head_dim)
-    w.add_u32("t5.attention.relative_buckets_count", n_rel_bkts)
-    w.add_f32("t5.attention.layer_norm_rms_epsilon", 1e-6)
-    w.add_u32("t5.decoder_start_token_id", 0)
-    w.add_u32("t5.vocab_size", n_vocab)
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", f"tiny-test-{arch}")
+    w.add_u32(f"{arch}.context_length", 512)
+    w.add_u32(f"{arch}.embedding_length", n_embd)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    if not encoder_only:
+        w.add_u32(f"{arch}.decoder_block_count", n_layer)
+    w.add_u32(f"{arch}.feed_forward_length", n_ff)
+    w.add_u32(f"{arch}.attention.head_count", n_head)
+    w.add_u32(f"{arch}.attention.key_length", head_dim)
+    w.add_u32(f"{arch}.attention.value_length", head_dim)
+    w.add_u32(f"{arch}.attention.relative_buckets_count", n_rel_bkts)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    if not encoder_only:
+        w.add_u32(f"{arch}.decoder_start_token_id", 0)
+    w.add_u32(f"{arch}.vocab_size", n_vocab)
     w.add_str("tokenizer.ggml.model", "t5")
     w.add_array("tokenizer.ggml.tokens", tokens)
     w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
@@ -781,11 +786,13 @@ def make_tiny_t5_gguf(
         return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
 
     w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.05), GGMLType.F32)
-    w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
+    if not encoder_only:
+        w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
     w.add_tensor("enc.output_norm.weight", norm_w(n_embd), GGMLType.F32)
-    w.add_tensor("dec.output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    if not encoder_only:
+        w.add_tensor("dec.output_norm.weight", norm_w(n_embd), GGMLType.F32)
     for il in range(n_layer):
-        for side in ("enc", "dec"):
+        for side in (("enc",) if encoder_only else ("enc", "dec")):
             p = f"{side}.blk.{il}."
             w.add_tensor(p + "attn_norm.weight", norm_w(n_embd), GGMLType.F32)
             if il == 0:

@@ -24,8 +24,16 @@ class EncoderContext:
         self._fn = jax.jit(self._run, static_argnames=("pooling",))
 
     def _run(self, params, tokens, positions, pad_mask, pooling):
-        embd = bert_forward(params, self.hp, tokens, positions, pad_mask,
-                            quant_meta=self.model.quant_meta)
+        if self.hp.arch == "t5encoder":
+            # encoder-only T5 (LLM_ARCH_T5ENCODER, models/t5-enc.cpp);
+            # causal by default like the reference's llama-embedding
+            from ..models.t5 import t5_encode
+
+            embd = t5_encode(params, self.hp, tokens, pad_mask,
+                             causal=self.hp.causal_attn)
+        else:
+            embd = bert_forward(params, self.hp, tokens, positions, pad_mask,
+                                quant_meta=self.model.quant_meta)
         return pool(embd, pad_mask, pooling, params)
 
     def _prep(self, batch_tokens: list[list[int]]):
