@@ -106,6 +106,19 @@ _LAYER_TENSORS = {
     "time_mix_receptance.weight": "time_mix_receptance",
     "time_mix_gate.weight": "time_mix_gate",
     "time_mix_ln.weight": "time_mix_ln",
+    # RWKV7 (delta-rule) extras
+    "time_mix_w0.weight": "time_mix_w0",
+    "time_mix_a0.weight": "time_mix_a0",
+    "time_mix_a1.weight": "time_mix_a1",
+    "time_mix_a2.weight": "time_mix_a2",
+    "time_mix_v0.weight": "time_mix_v0",
+    "time_mix_v1.weight": "time_mix_v1",
+    "time_mix_v2.weight": "time_mix_v2",
+    "time_mix_g1.weight": "time_mix_g1",
+    "time_mix_g2.weight": "time_mix_g2",
+    "time_mix_k_k.weight": "time_mix_k_k",
+    "time_mix_k_a.weight": "time_mix_k_a",
+    "time_mix_r_k.weight": "time_mix_r_k",
     "time_mix_ln.bias": "time_mix_ln_b",
     "time_mix_output.weight": "time_mix_output",
     "channel_mix_lerp_k.weight": "channel_mix_lerp_k",
@@ -350,7 +363,7 @@ def load_model(
 
         t5p = load_t5_params(reader, hp, fetch, dtype)
         params.update(t5p)
-    elif n_layer and (hp.is_hybrid or hp.arch == "deepseek2"):
+    elif n_layer and (hp.is_hybrid or hp.arch in ("deepseek2", "rwkv7", "arwkv7")):
         # hybrid archs (jamba): layers have heterogeneous tensor sets, so
         # keep a per-layer list (Python-loop forward) instead of stacking
         params["layer_list"] = [

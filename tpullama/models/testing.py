@@ -913,3 +913,190 @@ def make_tiny_deepseek2_gguf(
             w.add_tensor(p + "ffn_down_shexp.weight", mat(n_embd, ff_exp), GGMLType.F32)
     w.write(path)
     return path, n_vocab
+
+
+def make_tiny_rwkv7_gguf(
+    path,
+    n_embd: int = 128,
+    n_layer: int = 2,
+    head_size: int = 64,
+    n_ff: int = 128,
+    seed: int = 0,
+):
+    """Write a random tiny RWKV7 GGUF (llama-arch.cpp RWKV7 tensor table;
+    shapes per llama-model.cpp LLM_ARCH_RWKV7 create_tensor).
+
+    head_size must be 64: the reference's AVX2 rwkv_wkv7 kernel strides
+    rows by GGML_F32_STEP and reads past shorter rows (ops.cpp "There
+    shouldn't be left-overs though") — verified elementwise against a
+    C harness at D=64."""
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    d_decay, d_iclr, d_gate = 8, 8, 8
+
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "rwkv7")
+    w.add_str("general.name", "tiny-test-rwkv7")
+    w.add_u32("rwkv7.context_length", 1 << 20)
+    w.add_u32("rwkv7.embedding_length", n_embd)
+    w.add_u32("rwkv7.block_count", n_layer)
+    w.add_u32("rwkv7.feed_forward_length", n_ff)
+    w.add_u32("rwkv7.attention.head_count", 0)
+    w.add_u32("rwkv7.wkv.head_size", head_size)
+    w.add_u32("rwkv7.attention.decay_lora_rank", d_decay)
+    w.add_u32("rwkv7.attention.iclr_lora_rank", d_iclr)
+    w.add_u32("rwkv7.attention.value_residual_mix_lora_rank", d_iclr)
+    w.add_u32("rwkv7.attention.gate_lora_rank", d_gate)
+    w.add_f32("rwkv7.attention.layer_norm_epsilon", 1e-5)
+    w.add_u32("rwkv7.token_shift_count", 2)
+    w.add_u32("rwkv7.vocab_size", n_vocab)
+    w.add_str("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.bos_token_id", 1)
+    w.add_u32("tokenizer.ggml.eos_token_id", 2)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 0)
+    w.add_bool("tokenizer.ggml.add_bos_token", True)
+
+    def mat(*shape, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(shape[-1])
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def vec(n, s=0.1):
+        return (s * rng.standard_normal(n)).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, scale=0.05), GGMLType.F32)
+    w.add_tensor("token_embd_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("token_embd_norm.bias", vec(n_embd), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("output_norm.bias", vec(n_embd), GGMLType.F32)
+    w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        w.add_tensor(p + "attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_norm.bias", vec(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_norm_2.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_norm_2.bias", vec(n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_w0.weight", vec(n_embd, 0.5), GGMLType.F32)
+        w.add_tensor(p + "time_mix_w1.weight", mat(d_decay, n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_w2.weight", mat(n_embd, d_decay), GGMLType.F32)
+        w.add_tensor(p + "time_mix_a0.weight", vec(n_embd, 0.5), GGMLType.F32)
+        w.add_tensor(p + "time_mix_a1.weight", mat(d_iclr, n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_a2.weight", mat(n_embd, d_iclr), GGMLType.F32)
+        w.add_tensor(p + "time_mix_v0.weight", vec(n_embd, 0.5), GGMLType.F32)
+        w.add_tensor(p + "time_mix_v1.weight", mat(d_iclr, n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_v2.weight", mat(n_embd, d_iclr), GGMLType.F32)
+        w.add_tensor(p + "time_mix_g1.weight", mat(d_gate, n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_g2.weight", mat(n_embd, d_gate), GGMLType.F32)
+        w.add_tensor(p + "time_mix_k_k.weight", norm_w(n_embd) * 0.7, GGMLType.F32)
+        w.add_tensor(p + "time_mix_k_a.weight", norm_w(n_embd) * 0.5, GGMLType.F32)
+        w.add_tensor(p + "time_mix_r_k.weight", vec(n_embd, 0.3), GGMLType.F32)
+        # fused lerp slots [r,w,k,v,a,g]: ggml {n_embd,1,1,6} == numpy (6,1,1,E)
+        w.add_tensor(p + "time_mix_lerp_fused.weight",
+                     (0.5 + 0.1 * rng.standard_normal((6, 1, 1, n_embd))).astype(np.float32),
+                     GGMLType.F32)
+        w.add_tensor(p + "time_mix_key.weight", mat(n_embd, n_embd, scale=0.08), GGMLType.F32)
+        w.add_tensor(p + "time_mix_value.weight", mat(n_embd, n_embd, scale=0.08), GGMLType.F32)
+        w.add_tensor(p + "time_mix_receptance.weight", mat(n_embd, n_embd, scale=0.08), GGMLType.F32)
+        w.add_tensor(p + "time_mix_ln.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_ln.bias", vec(n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_output.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "channel_mix_lerp_k.weight", (0.5 + 0.1 * rng.standard_normal((1, 1, n_embd))).astype(np.float32), GGMLType.F32)
+        w.add_tensor(p + "channel_mix_key.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "channel_mix_value.weight", mat(n_embd, n_ff), GGMLType.F32)
+    w.write(path)
+    return path, n_vocab
+
+
+def make_tiny_arwkv7_gguf(
+    path,
+    n_embd: int = 128,
+    n_layer: int = 2,
+    head_size: int = 64,
+    n_ff: int = 128,
+    seed: int = 0,
+):
+    """Write a random tiny ARWKV7 GGUF (llama-model.cpp LLM_ARCH_ARWKV7
+    create_tensor): rwkv7 time-mix + llama SwiGLU FFN under RMS norms,
+    single token-shift slot. Exercises the no-gate / no-group-norm
+    branch (5-slot lerp_fused; time_mix_g*/time_mix_ln omitted)."""
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    d_decay, d_iclr, d_gate = 8, 8, 8
+
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "arwkv7")
+    w.add_str("general.name", "tiny-test-arwkv7")
+    w.add_u32("arwkv7.context_length", 1 << 20)
+    w.add_u32("arwkv7.embedding_length", n_embd)
+    w.add_u32("arwkv7.block_count", n_layer)
+    w.add_u32("arwkv7.feed_forward_length", n_ff)
+    w.add_u32("arwkv7.attention.head_count", 0)
+    w.add_u32("arwkv7.wkv.head_size", head_size)
+    w.add_u32("arwkv7.attention.decay_lora_rank", d_decay)
+    w.add_u32("arwkv7.attention.iclr_lora_rank", d_iclr)
+    w.add_u32("arwkv7.attention.value_residual_mix_lora_rank", d_iclr)
+    w.add_u32("arwkv7.attention.gate_lora_rank", d_gate)
+    w.add_f32("arwkv7.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_u32("arwkv7.token_shift_count", 1)
+    w.add_u32("arwkv7.vocab_size", n_vocab)
+    w.add_str("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.bos_token_id", 1)
+    w.add_u32("tokenizer.ggml.eos_token_id", 2)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 0)
+    w.add_bool("tokenizer.ggml.add_bos_token", True)
+
+    def mat(*shape, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(shape[-1])
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def vec(n, s=0.1):
+        return (s * rng.standard_normal(n)).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, scale=0.05), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        w.add_tensor(p + "attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_w0.weight", vec(n_embd, 0.5), GGMLType.F32)
+        w.add_tensor(p + "time_mix_w1.weight", mat(d_decay, n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_w2.weight", mat(n_embd, d_decay), GGMLType.F32)
+        w.add_tensor(p + "time_mix_a0.weight", vec(n_embd, 0.5), GGMLType.F32)
+        w.add_tensor(p + "time_mix_a1.weight", mat(d_iclr, n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_a2.weight", mat(n_embd, d_iclr), GGMLType.F32)
+        # v0/v1/v2 exist for layer 0 too ("actually not used" — v_first)
+        w.add_tensor(p + "time_mix_v0.weight", vec(n_embd, 0.5), GGMLType.F32)
+        w.add_tensor(p + "time_mix_v1.weight", mat(d_iclr, n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_v2.weight", mat(n_embd, d_iclr), GGMLType.F32)
+        w.add_tensor(p + "time_mix_k_k.weight", norm_w(n_embd) * 0.7, GGMLType.F32)
+        w.add_tensor(p + "time_mix_k_a.weight", norm_w(n_embd) * 0.5, GGMLType.F32)
+        w.add_tensor(p + "time_mix_r_k.weight", vec(n_embd, 0.3), GGMLType.F32)
+        # 5 slots [r,w,k,v,a] — no gating
+        w.add_tensor(p + "time_mix_lerp_fused.weight",
+                     (0.5 + 0.1 * rng.standard_normal((5, 1, 1, n_embd))).astype(np.float32),
+                     GGMLType.F32)
+        w.add_tensor(p + "time_mix_key.weight", mat(n_embd, n_embd, scale=0.08), GGMLType.F32)
+        w.add_tensor(p + "time_mix_value.weight", mat(n_embd, n_embd, scale=0.08), GGMLType.F32)
+        w.add_tensor(p + "time_mix_receptance.weight", mat(n_embd, n_embd, scale=0.08), GGMLType.F32)
+        w.add_tensor(p + "time_mix_output.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_gate.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+    w.write(path)
+    return path, n_vocab

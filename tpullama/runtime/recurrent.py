@@ -28,6 +28,14 @@ from .context import ContextParams, PerfCounters, _bucket
 
 def _model_fns(hp: HParams):
     """(forward, init_states) for the recurrent family."""
+    if hp.arch == "arwkv7":
+        from ..models.rwkv import arwkv7_forward, init_states
+
+        return arwkv7_forward, init_states
+    if hp.arch == "rwkv7":
+        from ..models.rwkv import init_states, rwkv7_forward
+
+        return rwkv7_forward, init_states
     if hp.arch.startswith("rwkv"):
         from ..models.rwkv import init_states, rwkv6_forward
 
@@ -60,8 +68,10 @@ class RecurrentContext:
             params, self.hp, tokens, cs, ss,
             quant_meta=self.model.quant_meta, last_idx=last_idx,
         )
-        conv = jax.lax.dynamic_update_slice_in_dim(conv, cs, seq, axis=1)
-        ssm = jax.lax.dynamic_update_slice_in_dim(ssm, ss, seq, axis=1)
+        # states are carried f32 regardless of weight dtype (the shift
+        # snapshot comes back in activation dtype under bf16 loads)
+        conv = jax.lax.dynamic_update_slice_in_dim(conv, cs.astype(conv.dtype), seq, axis=1)
+        ssm = jax.lax.dynamic_update_slice_in_dim(ssm, ss.astype(ssm.dtype), seq, axis=1)
         sel = jax.lax.dynamic_slice_in_dim(logits[0], last_idx, 1, axis=0)[0]
         return sel, conv, ssm
 
