@@ -154,3 +154,37 @@ def test_arwkv7_greedy_matches_reference(tmp_path):
         else:
             b += m.vocab.token_to_piece(t, special=False).encode()
     assert bytes(b).replace(b"\0", b"") == ref.replace(b"\0", b"")
+
+
+@needs_cli
+def test_rwkv6qwen2_greedy_matches_reference(tmp_path):
+    """rwkv6qwen2 (qrwkv): gated linear attention (no bonus term,
+    post-update-state output, D^-0.5 scale), sigmoid gate, GQA k/v
+    repeat, projection biases, SwiGLU FFN."""
+    from tpullama.models.testing import make_tiny_rwkv6qwen2_gguf
+    from tpullama.tokenizer.vocab import TokenAttr
+
+    path = str(tmp_path / "tiny_rwkv6qwen2.gguf")
+    make_tiny_rwkv6qwen2_gguf(path, n_layer=3, seed=61)
+    PROMPT = "Once upon a time"
+    r = subprocess.run(
+        [LLAMA_CLI, "-m", path, "-p", PROMPT, "-n", "20", "--temp", "0",
+         "-no-cnv", "--no-warmup"],
+        capture_output=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = r.stdout
+    idx = data.find(PROMPT.encode())
+    ref = data[idx + len(PROMPT.encode()):].rstrip(b"\n").split(b" [end of text]")[0]
+
+    m = load_model(path)
+    ctx = make_context(m, ContextParams(n_ctx=128))
+    out = ctx.generate(m.vocab.tokenize(PROMPT, add_special=True), n_predict=20)
+    b = bytearray()
+    for t in out:
+        d = m.vocab.id_to_token[t]
+        if d.attr & TokenAttr.BYTE:
+            b.append(int(d.text[3:5], 16))
+        else:
+            b += m.vocab.token_to_piece(t, special=False).encode()
+    assert bytes(b).replace(b"\0", b"") == ref.replace(b"\0", b"")

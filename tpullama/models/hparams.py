@@ -122,7 +122,8 @@ class HParams:
     def is_recurrent(self) -> bool:
         """Model keeps per-seq recurrent state instead of a KV cache
         (llama_model_is_recurrent)."""
-        return self.arch in ("mamba", "mamba2", "falcon-mamba", "rwkv6", "rwkv7", "arwkv7")
+        return self.arch in ("mamba", "mamba2", "falcon-mamba", "rwkv6", "rwkv7", "arwkv7",
+                             "rwkv6qwen2")
 
     @property
     def is_encoder_decoder(self) -> bool:

@@ -104,6 +104,10 @@ _LAYER_TENSORS = {
     "time_mix_key.weight": "time_mix_key",
     "time_mix_value.weight": "time_mix_value",
     "time_mix_receptance.weight": "time_mix_receptance",
+    # RWKV6QWEN2 (qrwkv) optional projection biases
+    "time_mix_key.bias": "time_mix_key_b",
+    "time_mix_value.bias": "time_mix_value_b",
+    "time_mix_receptance.bias": "time_mix_receptance_b",
     "time_mix_gate.weight": "time_mix_gate",
     "time_mix_ln.weight": "time_mix_ln",
     # RWKV7 (delta-rule) extras
@@ -363,7 +367,8 @@ def load_model(
 
         t5p = load_t5_params(reader, hp, fetch, dtype)
         params.update(t5p)
-    elif n_layer and (hp.is_hybrid or hp.arch in ("deepseek2", "rwkv7", "arwkv7")):
+    elif n_layer and (hp.is_hybrid or hp.arch in ("deepseek2", "rwkv7", "arwkv7",
+                                                  "rwkv6qwen2")):
         # hybrid archs (jamba): layers have heterogeneous tensor sets, so
         # keep a per-layer list (Python-loop forward) instead of stacking
         params["layer_list"] = [

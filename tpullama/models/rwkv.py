@@ -373,3 +373,140 @@ def arwkv7_forward(
         return x, (shift_state, wkv_state)
     logits = _linear(x, params.get("output", params["tok_embd"]))
     return logits.astype(jnp.float32), (shift_state, wkv_state)
+
+
+# ---------------------------------------------------------------------------
+# RWKV6QWEN2 (QRWKV: qwen2 converted to rwkv6-style gated linear attention)
+# Reference parity: llm_build_rwkv6qwen2 (src/models/rwkv6qwen2.cpp) +
+# the is_qrwkv branches of build_rwkv6_time_mix (rwkv6-base.cpp:48-160)
+# and the ggml_gated_linear_attn CPU kernel (ggml-cpu/ops.cpp:9573):
+#   S[i,j] = S_prev[i,j]·g_i + k_i·v_j ;  y_j = scale · Σ_i q_i · S[i,j]
+# (diagonal per-k-dim decay → same associative-scan form as wkv6, but the
+# output reads the POST-update state and there is no bonus `u` term).
+# ---------------------------------------------------------------------------
+
+
+def _gla(wkv_state, q, k, v, g, scale, last_idx=None):
+    """q/k/v/g: (B, T, H, D); wkv_state: (B, H, D, D) [i=k-dim, j=v-dim].
+    Returns (y (B, T, H, D), final_state)."""
+    B, T, H, D = q.shape
+    kv = k[..., :, None] * v[..., None, :]  # (B,T,H,D,D)
+    if T == 1:
+        s = wkv_state[:, None] * g[..., None] + kv
+    else:
+        a = jnp.broadcast_to(g[..., None], kv.shape)
+        b = kv.at[:, 0].add(a[:, 0] * wkv_state)
+
+        def combine(l, rgt):
+            al, bl = l
+            ar, br = rgt
+            return al * ar, ar * bl + br
+
+        _, s = jax.lax.associative_scan(combine, (a, b), axis=1)
+    y = scale * jnp.einsum("bthi,bthij->bthj", q, s)
+    if last_idx is None:
+        s_out = s[:, -1]
+    else:
+        s_out = jax.lax.dynamic_slice_in_dim(s, last_idx, 1, axis=1)[:, 0]
+    return y, s_out
+
+
+def _time_mix6_qrwkv(x, x_prev, lp, hp: HParams, wkv_state, last_idx=None):
+    """build_rwkv6_time_mix, is_qrwkv branches (no time_mix_first):
+    sigmoid gate, optional r/k/v biases, GQA k/v head repeat, k·(1-w),
+    gated-linear-attn with scale D^-0.5, no group norm."""
+    B, T, E = x.shape
+    D = hp.wkv_head_size
+    H = E // D
+    f32 = jnp.float32
+
+    sx = x_prev - x
+    xxx = x + sx * lp["time_mix_lerp_x"]
+    dim = lp["time_mix_w1"].shape[0] // 5
+    tmp = jnp.tanh(_linear(xxx, lp["time_mix_w1"])).reshape(B, T, 5, dim)
+    delta = jnp.einsum("btfd,fed->btfe", tmp, lp["time_mix_w2"])
+    xf = x[:, :, None] + sx[:, :, None] * (delta + lp["time_mix_lerp_fused"][:, 0, 0, :][None, None])
+    xw, xk, xv, xr, xg = (xf[:, :, i] for i in range(5))
+
+    r = _linear(xr, lp["time_mix_receptance"]).astype(f32)
+    k = _linear(xk, lp["time_mix_key"]).astype(f32)
+    v = _linear(xv, lp["time_mix_value"]).astype(f32)
+    if "time_mix_receptance_b" in lp:
+        r = r + lp["time_mix_receptance_b"]
+    if "time_mix_key_b" in lp:
+        k = k + lp["time_mix_key_b"]
+    if "time_mix_value_b" in lp:
+        v = v + lp["time_mix_value_b"]
+    g = jax.nn.sigmoid(_linear(xg, lp["time_mix_gate"]).astype(f32))
+
+    # GQA: k/v projected to n_head_kv heads, repeated per group
+    Hkv = k.shape[-1] // D
+    if Hkv != H:
+        grp = H // Hkv
+        k = jnp.broadcast_to(k.reshape(B, T, Hkv, 1, D), (B, T, Hkv, grp, D)).reshape(B, T, H, D)
+        v = jnp.broadcast_to(v.reshape(B, T, Hkv, 1, D), (B, T, Hkv, grp, D)).reshape(B, T, H, D)
+    else:
+        k = k.reshape(B, T, H, D)
+        v = v.reshape(B, T, H, D)
+
+    w = _linear(jnp.tanh(_linear(xw, lp["time_mix_decay_w1"])), lp["time_mix_decay_w2"])
+    w = w + lp["time_mix_decay"]
+    w = jnp.exp(-jnp.exp(w.astype(f32))).reshape(B, T, H, D)
+
+    k = k - k * w  # k·(1-w)
+    if last_idx is not None and T > 1:
+        # bucketed-prefill tail steps → identity map (g=1, k=0)
+        valid = (jnp.arange(T) <= last_idx)[None, :, None, None]
+        w = jnp.where(valid, w, 1.0)
+        k = jnp.where(valid, k, 0.0)
+
+    y, wkv_state = _gla(wkv_state, r.reshape(B, T, H, D), k, v, w,
+                        float(D) ** -0.5, last_idx)
+    y = y.reshape(B, T, E) * g
+    return _linear(y.astype(x.dtype), lp["time_mix_output"]), wkv_state
+
+
+def rwkv6qwen2_forward(
+    params,
+    hp: HParams,
+    tokens,
+    shift_state,
+    wkv_state,
+    quant_meta=None,
+    return_embd: bool = False,
+    last_idx=None,
+):
+    """RWKV6QWEN2 (llm_build_rwkv6qwen2): qrwkv time-mix under RMS norms
+    with a llama SwiGLU FFN, single token-shift slot, no embedding norm."""
+    from ..ops.norms import rms_norm
+
+    x = jnp.take(params["tok_embd"], tokens, axis=0)
+    T = x.shape[1]
+
+    def pick_last(a):
+        if last_idx is None:
+            return a[:, -1]
+        return jax.lax.dynamic_slice_in_dim(a, last_idx, 1, axis=1)[:, 0]
+
+    new_shifts, new_wkvs = [], []
+    for il, lp in enumerate(params["layer_list"]):
+        shift, wkv = shift_state[il], wkv_state[il]
+        att_norm = rms_norm(x, lp["attn_norm"], hp.f_norm_rms_eps)
+        x_prev = jnp.concatenate([shift[:, 0:1], att_norm[:, : T - 1]], axis=1)
+        att, wkv = _time_mix6_qrwkv(att_norm, x_prev, lp, hp, wkv, last_idx)
+        x = x + att
+        h = rms_norm(x, lp["ffn_norm"], hp.f_norm_rms_eps)
+        gate = _linear(h, lp["ffn_gate"])
+        up = _linear(h, lp["ffn_up"])
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+        x = x + _linear(act, lp["ffn_down"])
+        new_shifts.append(pick_last(att_norm)[:, None])
+        new_wkvs.append(wkv)
+
+    shift_state = jnp.stack(new_shifts)
+    wkv_state = jnp.stack(new_wkvs)
+    x = rms_norm(x, params["output_norm"], hp.f_norm_rms_eps)
+    if return_embd:
+        return x, (shift_state, wkv_state)
+    logits = _linear(x, params.get("output", params["tok_embd"]))
+    return logits.astype(jnp.float32), (shift_state, wkv_state)

@@ -1100,3 +1100,92 @@ def make_tiny_arwkv7_gguf(
         w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
     w.write(path)
     return path, n_vocab
+
+
+def make_tiny_rwkv6qwen2_gguf(
+    path,
+    n_embd: int = 128,
+    n_layer: int = 2,
+    head_size: int = 64,
+    n_head_kv: int = 1,
+    n_ff: int = 128,
+    seed: int = 0,
+):
+    """Write a random tiny RWKV6QWEN2 GGUF (llama-model.cpp
+    LLM_ARCH_RWKV6QWEN2 create_tensor): qrwkv gated-linear-attn time-mix
+    (no time_mix_first) + llama SwiGLU FFN, GQA k/v heads, projection
+    biases, single token-shift slot."""
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    d_mix, d_decay = 8, 8
+    kv_size = n_head_kv * head_size
+
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "rwkv6qwen2")
+    w.add_str("general.name", "tiny-test-rwkv6qwen2")
+    w.add_u32("rwkv6qwen2.context_length", 1 << 20)
+    w.add_u32("rwkv6qwen2.embedding_length", n_embd)
+    w.add_u32("rwkv6qwen2.block_count", n_layer)
+    w.add_u32("rwkv6qwen2.feed_forward_length", n_ff)
+    w.add_u32("rwkv6qwen2.attention.head_count", n_embd // head_size)
+    w.add_u32("rwkv6qwen2.attention.head_count_kv", n_head_kv)
+    w.add_u32("rwkv6qwen2.wkv.head_size", head_size)
+    w.add_u32("rwkv6qwen2.time_mix_extra_dim", d_mix)
+    w.add_u32("rwkv6qwen2.time_decay_extra_dim", d_decay)
+    w.add_f32("rwkv6qwen2.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_u32("rwkv6qwen2.token_shift_count", 1)
+    w.add_u32("rwkv6qwen2.vocab_size", n_vocab)
+    w.add_str("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.bos_token_id", 1)
+    w.add_u32("tokenizer.ggml.eos_token_id", 2)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 0)
+    w.add_bool("tokenizer.ggml.add_bos_token", True)
+
+    def mat(*shape, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(shape[-1])
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def vec(n, s=0.1):
+        return (s * rng.standard_normal(n)).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, scale=0.05), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        w.add_tensor(p + "attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        # w1: ggml {n_embd, 5*d_mix} == numpy (5*d_mix, n_embd)
+        w.add_tensor(p + "time_mix_w1.weight", mat(5 * d_mix, n_embd), GGMLType.F32)
+        # w2: ggml {d_mix, n_embd, 5} == numpy (5, n_embd, d_mix)
+        w.add_tensor(p + "time_mix_w2.weight", mat(5, n_embd, d_mix), GGMLType.F32)
+        w.add_tensor(p + "time_mix_lerp_x.weight",
+                     (0.5 + 0.1 * rng.standard_normal((1, 1, n_embd))).astype(np.float32),
+                     GGMLType.F32)
+        w.add_tensor(p + "time_mix_lerp_fused.weight",
+                     (0.5 + 0.1 * rng.standard_normal((5, 1, 1, n_embd))).astype(np.float32),
+                     GGMLType.F32)
+        w.add_tensor(p + "time_mix_decay.weight", vec(n_embd, 0.5), GGMLType.F32)
+        w.add_tensor(p + "time_mix_decay_w1.weight", mat(d_decay, n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_decay_w2.weight", mat(n_embd, d_decay), GGMLType.F32)
+        w.add_tensor(p + "time_mix_key.weight", mat(kv_size, n_embd, scale=0.08), GGMLType.F32)
+        w.add_tensor(p + "time_mix_key.bias", vec(kv_size), GGMLType.F32)
+        w.add_tensor(p + "time_mix_value.weight", mat(kv_size, n_embd, scale=0.08), GGMLType.F32)
+        w.add_tensor(p + "time_mix_value.bias", vec(kv_size), GGMLType.F32)
+        w.add_tensor(p + "time_mix_receptance.weight", mat(n_embd, n_embd, scale=0.08), GGMLType.F32)
+        w.add_tensor(p + "time_mix_receptance.bias", vec(n_embd), GGMLType.F32)
+        w.add_tensor(p + "time_mix_gate.weight", mat(n_embd, n_embd, scale=0.08), GGMLType.F32)
+        w.add_tensor(p + "time_mix_output.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_gate.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+    w.write(path)
+    return path, n_vocab

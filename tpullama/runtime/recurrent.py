@@ -36,6 +36,10 @@ def _model_fns(hp: HParams):
         from ..models.rwkv import init_states, rwkv7_forward
 
         return rwkv7_forward, init_states
+    if hp.arch == "rwkv6qwen2":
+        from ..models.rwkv import init_states, rwkv6qwen2_forward
+
+        return rwkv6qwen2_forward, init_states
     if hp.arch.startswith("rwkv"):
         from ..models.rwkv import init_states, rwkv6_forward
 
