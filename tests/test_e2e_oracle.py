@@ -350,3 +350,44 @@ def test_arch_batch_e_matches_reference(tmp_path, arch, kw):
     ours = run_ours(path).replace(b"\x00", b"")
     ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
     assert ours == ref
+
+
+@needs_cli
+@pytest.mark.parametrize("arch,kw", [
+    ("dbrx", dict(n_expert=4, n_head_kv=2)),
+    ("jais", dict(n_head_kv=2)),
+    ("grok", dict(n_expert=4, n_head_kv=2)),
+    ("exaone4", dict(n_head_kv=2)),
+    ("hunyuan-moe", dict(n_expert=4, n_head_kv=2)),
+])
+def test_arch_batch_f_matches_reference(tmp_path, arch, kw):
+    """dbrx: LN + fused clamped qkv + softmax MoE with attn_output_norm as
+    the FFN pre-norm; jais: ALiBi + fused biased qkv + gated FFN with
+    gate/up/down biases + 1/D attention scale; grok: gelu MoE + parallel
+    dense FFN at sqrt(2)/2, attention tanh softcap with output-scale,
+    scaled embeddings/logits; exaone4: post-norm blocks with per-head qk
+    norm; hunyuan-moe: post-rope qk norms + shared expert."""
+    path = str(tmp_path / f"tiny_{arch}.gguf")
+    make_tiny_llama_gguf(path, n_layer=kw.pop("n_layer", 2), arch=arch, seed=43, **kw)
+    ours = run_ours(path).replace(b"\x00", b"")
+    ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
+    assert ours == ref
+
+
+@needs_cli
+@pytest.mark.parametrize("arch,kw", [
+    ("dots1", dict(n_expert=4, n_head_kv=4, n_layer=3)),  # dots1 wk/wv are full-width (MHA)
+    ("glm4moe", dict(n_expert=4, n_head_kv=2, n_layer=3)),
+    ("ernie4_5-moe", dict(n_expert=4, n_head_kv=2, n_layer=4)),
+])
+def test_arch_batch_g_matches_reference(tmp_path, arch, kw):
+    """Heterogeneous dense/MoE stacks (per-layer list forward): dots1
+    (dense lead + sigmoid gating + selection bias + shared expert),
+    glm4moe (post_attention_norm as FFN norm, qkv biases, partial rope,
+    trailing NextN layer skipped), ernie4_5-moe (interleaved MoE every
+    2nd layer past the dense lead)."""
+    path = str(tmp_path / f"tiny_{arch.replace('/', '_')}.gguf")
+    make_tiny_llama_gguf(path, n_layer=kw.pop("n_layer", 2), arch=arch, seed=47, **kw)
+    ours = run_ours(path).replace(b"\x00", b"")
+    ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
+    assert ours == ref

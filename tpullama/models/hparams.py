@@ -79,6 +79,9 @@ class HParams:
     expert_gating_func: int = 1  # 1=softmax, 2=sigmoid, 3=post-top-k softmax
     moe_norm_topk: bool = True  # renormalize top-k weights (build_moe_ffn norm_w)
     moe_act: str = "silu"  # expert activation (swiglu_oai for gpt-oss)
+    moe_dense_scale: float = 1.0  # scale on (moe + parallel dense ffn) (grok sqrt(2)/2)
+    n_moe_layer_step: int = 0  # every Nth layer is MoE past the dense lead (ernie4_5-moe)
+    nextn_layers: int = 0  # trailing MTP layers excluded from the forward (glm4moe)
     n_ff_exp: int = 0
     n_ff_shexp: int = 0
 
@@ -128,6 +131,13 @@ class HParams:
     @property
     def is_encoder_decoder(self) -> bool:
         return self.arch == "t5"
+
+    @property
+    def has_heterogeneous_layers(self) -> bool:
+        """Mixed dense/MoE layer stacks: loaded as a per-layer list and run
+        with an unrolled Python loop instead of lax.scan (the tensor sets
+        differ per layer, so a homogeneous stack is impossible)."""
+        return self.arch in ("dots1", "glm4moe", "ernie4_5-moe")
 
     @property
     def is_hybrid(self) -> bool:
@@ -262,9 +272,58 @@ class HParams:
             # fused-swiglu FFN (LLM_FFN_SWIGLU on a 2*n_ff up projection);
             # glm4 adds post-attention and post-MLP norms
             hp.ffn_fused_up = True
-        if arch == "hunyuan-dense":
+        if arch in ("hunyuan-dense", "hunyuan-moe"):
             # per-head q/k RMS norms applied AFTER rope
             hp.qk_norm_after_rope = True
+        if arch == "dbrx":
+            # LN (weight-only) norms, fused clamped qkv (llm_build_dbrx);
+            # the ffn pre-norm is stored as attn_output_norm (loader remap)
+            hp.norm_type = "layer"
+            hp.f_clamp_kqv = float(g("attention.clamp_kqv", 0.0) or 0.0)
+        if arch == "jais":
+            # LN+bias norms, fused biased qkv, ALiBi (no rope), gated silu
+            # FFN with gate/up/down biases, 1/D attention scale
+            # (llm_build_jais: build_attn scale = 1.0f/n_embd_head)
+            hp.norm_type = "layer"
+            hp.f_max_alibi_bias = float(g("attention.max_alibi_bias", 8.0) or 8.0)
+            if n_embd_head_v:
+                hp.f_attention_scale = 1.0 / float(n_embd_head_v)
+        if arch == "grok":
+            # grok-1 defaults (llama-model.cpp LLM_ARCH_GROK): gelu MoE +
+            # optional parallel dense ffn summed at sqrt(2)/2, attention
+            # softcap 30 with output-scale pre-multiplier, scaled
+            # embeddings/logits (models/grok.cpp)
+            hp.act = "gelu"
+            hp.moe_act = "gelu"
+            hp.embd_scale = float(g("embedding_scale", 78.38367176906169))
+            hp.f_attention_scale = float(g("attention.output_scale", 0.08838834764831845))
+            hp.attn_logit_softcap = float(g("attn_logit_softcapping", 30.0))
+            hp.final_logit_scale = float(g("logit_scale", 0.5773502691896257))
+            hp.moe_dense_scale = float(np.sqrt(2.0) / 2.0)
+            if g("rope.scaling.yarn_beta_fast") is None:
+                hp.rope_beta_fast = 8.0
+        if arch in ("dots1", "glm4moe"):
+            # deepseek-style MoE: norm_topk from expert_weights_norm,
+            # selection bias (exp_probs_b), dense lead layers, shared
+            # experts (models/dots1.cpp, models/glm4-moe.cpp)
+            hp.moe_norm_topk = hp.expert_weights_norm
+        if arch == "glm4moe":
+            if g("expert_gating_func") is None:
+                hp.expert_gating_func = 2  # sigmoid default (GLM-4.5)
+            hp.nextn_layers = int(g("nextn_predict_layers", 0) or 0)
+            hp.n_layer -= hp.nextn_layers  # MTP layers are loaded but skipped
+        if arch == "ernie4_5-moe":
+            hp.n_moe_layer_step = int(g("interleave_moe_layer_step", 1) or 1)
+        if arch == "exaone4":
+            # post-norm blocks (no attn/ffn pre-norms), per-head q/k RMS
+            # norm pre-rope; 32B variant adds SWA pattern 4
+            hp.pre_norm = False
+            if hp.n_layer == 64:
+                hp.swa_layers = tuple(il % 4 != 3 for il in range(hp.n_layer))
+                hp.rope_freq_base_swa = hp.rope_freq_base
+                hp.rope_swa_only = True  # rope only on SWA layers (exaone4.cpp:37)
+                if hp.n_swa == 0:
+                    hp.n_swa = 4096
         if arch == "refact":
             # rms norms + gated silu over ALiBi attention, no rope
             hp.f_max_alibi_bias = 8.0
@@ -401,10 +460,11 @@ class HParams:
             "minicpm", "xverse", "command-r", "cohere2", "olmo", "arctic",
             "deepseek", "deepseek2", "chatglm", "granite", "granite-moe",
             "chameleon", "bailingmoe", "smollm3", "arcee", "ernie4_5",
-            "mistral3", "glm4",
+            "ernie4_5-moe", "mistral3", "glm4",
         }
         NONE_ARCHES = {"gpt2", "gptj", "mpt", "bloom", "starcoder", "refact",
-                       "bert", "jina-bert-v2", "t5", "jamba", "mamba", "mamba2"}
+                       "bert", "jina-bert-v2", "t5", "jamba", "mamba", "mamba2",
+                       "jais"}
         if arch in NONE_ARCHES:
             hp.rope_type = -1  # LLAMA_ROPE_TYPE_NONE
         else:

@@ -299,6 +299,7 @@ def llama_forward(
                 w_scale=hp.expert_weights_scale,
                 gating=hp.expert_gating_func,
                 act=hp.moe_act,
+                exp_probs_b=w.get("exp_probs_b"),
                 gate_inp_b=w.get("ffn_gate_inp_b"),
                 up_exps_b=w.get("ffn_up_exps_b"),
                 gate_exps_b=w.get("ffn_gate_exps_b"),
@@ -315,11 +316,17 @@ def llama_forward(
                     g = _linear(h, w["ffn_gate_inp_shexp"]).astype(jnp.float32)
                     shexp = shexp * jax.nn.sigmoid(g).astype(shexp.dtype)
                 down = down + shexp
-            if "ffn_gate" in w:  # shared dense FFN alongside experts
+            if "ffn_gate" in w:  # parallel dense FFN alongside experts (grok)
                 gate = _linear(h, w["ffn_gate"], lmeta.get("ffn_gate"))
                 up = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
-                act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+                gf = gate.astype(jnp.float32)
+                act = (
+                    jax.nn.gelu(gf, approximate=True) if hp.act == "gelu" else jax.nn.silu(gf)
+                ).astype(gate.dtype) * up
                 down = down + _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
+                if hp.moe_dense_scale != 1.0:
+                    # grok: (moe_out + ffn_out) * sqrt(2)/2 (models/grok.cpp:118)
+                    down = down * hp.moe_dense_scale
         elif hp.ffn_fused_up:
             # fused gate+up (phi3: LLM_FFN_SWIGLU on a 2*n_ff projection;
             # ggml_swiglu: first half activated, second half linear)
@@ -348,7 +355,11 @@ def llama_forward(
                 down = down + w["ffn_down_bias"]
         else:
             gate = _linear(h, w["ffn_gate"], lmeta.get("ffn_gate"))
+            if "ffn_gate_bias" in w:
+                gate = gate + w["ffn_gate_bias"]
             up = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
+            if "ffn_up_bias" in w:
+                up = up + w["ffn_up_bias"]
             gf = gate.astype(jnp.float32)
             if hp.act == "gelu":
                 act = jax.nn.gelu(gf, approximate=True).astype(gate.dtype) * up
@@ -356,6 +367,8 @@ def llama_forward(
                 act = jax.nn.silu(gf).astype(gate.dtype) * up
             act_saved = act
             down = _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
+            if "ffn_down_bias" in w:
+                down = down + w["ffn_down_bias"]
         if "post_ffn_norm" in w:
             down = rms_norm(down, w["post_ffn_norm"], hp.f_norm_rms_eps)
         if hp.f_residual_scale:
@@ -382,6 +395,51 @@ def llama_forward(
             if act_saved is not None:
                 stats["ffn_down_in"] = ss(act_saved)
         return (x, k_cache, v_cache), stats
+
+    if "layer_list" in params:
+        # heterogeneous layer stacks (mixed dense/MoE: dots1/glm4moe/
+        # ernie4_5-moe): unrolled per-layer loop, the tensor sets differ
+        # per layer so a homogeneous lax.scan stack is impossible
+        def kv_at(c, li):
+            return {k: v[li] for k, v in c.items()} if isinstance(c, dict) else c[li]
+
+        def kv_set(c, li, new):
+            if isinstance(c, dict):
+                return {k: c[k].at[li].set(new[k]) for k in c}
+            return c.at[li].set(new)
+
+        imx = []
+        for li, w in enumerate(params["layer_list"]):
+            w = dict(w)
+            if has_swa:
+                w["_is_swa"] = jnp.asarray(bool(hp.swa_layers[li]))
+            if hp.no_rope_layer_step:
+                w["_is_nope"] = jnp.asarray((li + 1) % hp.no_rope_layer_step == 0)
+            (x, kc, vc), stats = layer_step((x, kv_at(kv_k, li), kv_at(kv_v, li)), w)
+            kv_k = kv_set(kv_k, li, kc)
+            kv_v = kv_set(kv_v, li, vc)
+            if collect_imatrix:
+                imx.append(stats)
+        if collect_imatrix:
+            imatrix_stats = jax.tree.map(lambda *xs: jnp.stack(xs), *imx) if imx else {}
+        x = norm_fn(x, params.get("output_norm"), params.get("output_norm_bias"))
+        out_w = params.get("output", params["tok_embd"])
+        logits = _linear(x, out_w, (quant_meta or {}).get("output"))
+        if "output_bias" in params:
+            logits = logits + params["output_bias"]
+        if hp.final_logit_scale:
+            logits = logits.astype(jnp.float32) * hp.final_logit_scale
+        if hp.final_logit_softcap:
+            logits = hp.final_logit_softcap * jnp.tanh(
+                logits.astype(jnp.float32) / hp.final_logit_softcap
+            )
+        if collect_imatrix:
+            imatrix_stats = dict(imatrix_stats or {})
+            imatrix_stats["output_in"] = jnp.sum(x.astype(jnp.float32) ** 2, axis=(0, 1))
+            return logits.astype(jnp.float32), imatrix_stats, (kv_k, kv_v)
+        if return_embd:
+            return logits.astype(jnp.float32), x.astype(jnp.float32), (kv_k, kv_v)
+        return logits.astype(jnp.float32), (kv_k, kv_v)
 
     layers = params["layers"]
     if has_swa or hp.no_rope_layer_step:

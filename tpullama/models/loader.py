@@ -73,6 +73,7 @@ _LAYER_TENSORS = {
     "attn_v_b.weight": "attn_v_b",
     "exp_probs_b.bias": "exp_probs_b",
     "ffn_gate_inp.bias": "ffn_gate_inp_b",
+    "ffn_gate.bias": "ffn_gate_bias",
     "post_attention_norm.weight": "post_attn_norm",
     "post_ffw_norm.weight": "post_ffn_norm",
     "attn_sinks.weight": "attn_sinks",
@@ -155,6 +156,14 @@ _ARCH_TENSOR_OVERRIDES = {
     "gpt-oss": {"post_attention_norm.weight": "ffn_norm"},
     # seed_oss names its FFN pre-norm the same way (models/seed-oss.cpp:86)
     "seed_oss": {"post_attention_norm.weight": "ffn_norm"},
+    # dbrx's attn_output_norm is the FFN pre-norm (models/dbrx.cpp:81-85);
+    # grok's is a post-attention norm applied before the residual add
+    # (models/grok.cpp:80-84)
+    "dbrx": {"attn_output_norm.weight": "ffn_norm"},
+    "grok": {"attn_output_norm.weight": "post_attn_norm"},
+    # glm4moe normalizes ffn_inp with post_attention_norm — the ffn_norm
+    # slot (models/glm4-moe.cpp:93-96)
+    "glm4moe": {"post_attention_norm.weight": "ffn_norm"},
 }
 
 _TOP_TENSORS = {
@@ -367,8 +376,8 @@ def load_model(
 
         t5p = load_t5_params(reader, hp, fetch, dtype)
         params.update(t5p)
-    elif n_layer and (hp.is_hybrid or hp.arch in ("deepseek2", "rwkv7", "arwkv7",
-                                                  "rwkv6qwen2")):
+    elif n_layer and (hp.is_hybrid or hp.has_heterogeneous_layers
+                      or hp.arch in ("deepseek2", "rwkv7", "arwkv7", "rwkv6qwen2")):
         # hybrid archs (jamba): layers have heterogeneous tensor sets, so
         # keep a per-layer list (Python-loop forward) instead of stacking
         params["layer_list"] = [

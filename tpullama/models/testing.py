@@ -72,7 +72,7 @@ def make_tiny_llama_gguf(
     w.add_u32(f"{arch}.attention.head_count", n_head)
     w.add_u32(f"{arch}.attention.head_count_kv", n_head_kv)
     w.add_u32(f"{arch}.rope.dimension_count",
-              head_dim // 2 if arch in ("chatglm", "glm4") else head_dim)
+              head_dim // 2 if arch in ("chatglm", "glm4", "glm4moe") else head_dim)
     w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
     w.add_f32(f"{arch}.rope.freq_base", 10000.0)
     w.add_u32(f"{arch}.vocab_size", n_vocab)
@@ -87,8 +87,44 @@ def make_tiny_llama_gguf(
         w.add_u32(f"{arch}.attention.sliding_window", 32)
     if arch in ("starcoder2", "gpt2", "falcon", "command-r", "cohere2", "phi2",
                 "orion", "stablelm", "gptneox", "mpt", "bloom", "olmo", "nemotron",
-                "starcoder"):
+                "starcoder", "dbrx", "jais"):
         w.add_f32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    if arch == "dbrx":
+        w.add_f32(f"{arch}.attention.clamp_kqv", 2.0)
+    if arch == "jais":
+        w.add_f32(f"{arch}.attention.max_alibi_bias", 8.0)
+    if arch == "grok":
+        # non-default values so the scale plumbing is actually exercised
+        w.add_f32(f"{arch}.embedding_scale", 2.0)
+        w.add_f32(f"{arch}.logit_scale", 0.8)
+        w.add_f32(f"{arch}.attention.output_scale", 0.25)
+        w.add_f32(f"{arch}.attn_logit_softcapping", 30.0)
+        w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
+    if arch == "dots1":
+        w.add_u32(f"{arch}.leading_dense_block_count", 1)
+        w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
+        w.add_u32(f"{arch}.expert_shared_count", 1)
+        w.add_f32(f"{arch}.expert_weights_scale", 2.5)
+        w.add_bool(f"{arch}.expert_weights_norm", True)
+        w.add_u32(f"{arch}.expert_gating_func", 2)  # sigmoid
+    if arch == "glm4moe":
+        w.add_u32(f"{arch}.leading_dense_block_count", 1)
+        w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
+        w.add_u32(f"{arch}.expert_shared_count", 1)
+        w.add_f32(f"{arch}.expert_weights_scale", 2.5)
+        w.add_bool(f"{arch}.expert_weights_norm", True)
+        w.add_u32(f"{arch}.expert_gating_func", 2)
+        w.add_u32(f"{arch}.nextn_predict_layers", 1)
+    if arch == "ernie4_5-moe":
+        # step=1: the reference's create_tensor requires the MoE tensor set
+        # on every layer past the dense lead (llama-model.cpp ERNIE4_5_MOE)
+        w.add_u32(f"{arch}.interleave_moe_layer_step", 1)
+        w.add_u32(f"{arch}.leading_dense_block_count", 1)
+        w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
+        w.add_u32(f"{arch}.expert_shared_feed_forward_length", n_ff)
+    if arch == "hunyuan-moe":
+        w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
+        w.add_u32(f"{arch}.expert_shared_feed_forward_length", n_ff)
     if arch == "olmo":
         w.add_f32(f"{arch}.attention.clamp_kqv", 2.0)
     if arch in ("command-r", "cohere2"):
@@ -142,7 +178,7 @@ def make_tiny_llama_gguf(
         w.add_tensor("position_embd.weight", mat(n_ctx, n_embd, 0.02), GGMLType.F32)
         w.add_tensor("output_norm.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
     if arch in ("falcon", "phi2", "orion", "stablelm", "gptneox", "mpt", "bloom",
-                "nemotron"):
+                "nemotron", "jais"):
         w.add_tensor("output_norm.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
     if arch == "bloom":
         w.add_tensor("token_embd_norm.weight", norm_w(n_embd), GGMLType.F32)
@@ -150,23 +186,31 @@ def make_tiny_llama_gguf(
                      (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
     if arch == "phi2":
         w.add_tensor("output.bias", (0.1 * rng.standard_normal(n_vocab)).astype(np.float32), GGMLType.F32)
+    # which layers carry the MoE tensor set (dense-lead / interleave archs)
+    if n_expert:
+        if arch in ("dots1", "glm4moe", "ernie4_5-moe"):
+            moe_layers = {il for il in range(n_layer) if il >= 1}
+        else:
+            moe_layers = set(range(n_layer))
+    else:
+        moe_layers = set()
     for il in range(n_layer):
-        if arch not in ("olmo2", "olmo"):
+        if arch not in ("olmo2", "olmo", "exaone4"):
             w.add_tensor(f"blk.{il}.attn_norm.weight", norm_w(n_embd), GGMLType.F32)
         if arch in ("gpt2", "falcon", "phi2", "orion", "stablelm", "gptneox",
-                    "mpt", "bloom", "nemotron", "starcoder"):
+                    "mpt", "bloom", "nemotron", "starcoder", "jais"):
             w.add_tensor(f"blk.{il}.attn_norm.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch in ("orion", "stablelm"):
             w.add_tensor(f"blk.{il}.ffn_norm.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch in ("phi3", "gpt2", "falcon", "phi2", "gptneox", "mpt", "bloom",
-                    "starcoder", "qwen", "chatglm"):
+                    "starcoder", "qwen", "chatglm", "dbrx", "jais"):
             # fused [Q|K|V] rows (llama-model.cpp phi3/gpt2/falcon wqkv)
             w.add_tensor(f"blk.{il}.attn_qkv.weight",
                          mat(n_embd + 2 * kv_dim, n_embd), qtype)
             if arch in ("gpt2", "phi2", "gptneox", "mpt", "bloom", "starcoder",
-                        "qwen", "chatglm"):
+                        "qwen", "chatglm", "jais"):
                 w.add_tensor(f"blk.{il}.attn_qkv.bias",
                              (0.1 * rng.standard_normal(n_embd + 2 * kv_dim)).astype(np.float32), GGMLType.F32)
         else:
@@ -174,10 +218,10 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.attn_k.weight", mat(kv_dim, n_embd), qtype)
             w.add_tensor(f"blk.{il}.attn_v.weight", mat(kv_dim, n_embd), qtype)
         w.add_tensor(f"blk.{il}.attn_output.weight", mat(n_embd, n_embd), qtype)
-        if arch in ("gpt2", "phi2", "gptneox", "bloom", "starcoder"):
+        if arch in ("gpt2", "phi2", "gptneox", "bloom", "starcoder", "jais"):
             w.add_tensor(f"blk.{il}.attn_output.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
-        if arch == "qwen2":
+        if arch in ("qwen2", "glm4moe"):
             w.add_tensor(f"blk.{il}.attn_q.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k.bias", (0.1 * rng.standard_normal(kv_dim)).astype(np.float32), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_v.bias", (0.1 * rng.standard_normal(kv_dim)).astype(np.float32), GGMLType.F32)
@@ -204,9 +248,15 @@ def make_tiny_llama_gguf(
         if arch == "glm4":
             w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_ffw_norm.weight", norm_w(n_embd), GGMLType.F32)
-        if arch == "hunyuan-dense":
+        if arch in ("hunyuan-dense", "hunyuan-moe", "dots1", "glm4moe", "exaone4"):
             w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(head_dim), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
+        if arch in ("glm4moe", "exaone4"):
+            w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if arch in ("exaone4", "grok"):
+            w.add_tensor(f"blk.{il}.post_ffw_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if arch in ("dbrx", "grok"):
+            w.add_tensor(f"blk.{il}.attn_output_norm.weight", norm_w(n_embd), GGMLType.F32)
         if arch == "seed_oss":
             w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
         if arch == "olmoe":
@@ -224,9 +274,10 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_ffw_norm.weight", norm_w(n_embd), GGMLType.F32)
         if arch not in ("olmo2", "falcon", "phi2", "gpt-oss", "command-r", "cohere2",
-                        "olmo", "seed_oss"):
+                        "olmo", "seed_oss", "dbrx", "glm4moe", "exaone4"):
             w.add_tensor(f"blk.{il}.ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
-        if arch in ("gpt2", "gptneox", "mpt", "bloom", "nemotron", "starcoder"):
+        if arch in ("gpt2", "gptneox", "mpt", "bloom", "nemotron", "starcoder",
+                    "jais"):
             w.add_tensor(f"blk.{il}.ffn_norm.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch == "gpt-oss":
@@ -252,8 +303,13 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.ffn_down_exps.bias",
                          (0.1 * rng.standard_normal((n_expert, n_embd))).astype(np.float32),
                          GGMLType.F32)
-        if n_expert:
+        if n_expert and il in moe_layers:
             w.add_tensor(f"blk.{il}.ffn_gate_inp.weight", mat(n_expert, n_embd), GGMLType.F32)
+            if arch in ("dots1", "glm4moe"):
+                # expert-selection bias (DeepSeek-V3 style exp_probs_b)
+                w.add_tensor(f"blk.{il}.exp_probs_b.bias",
+                             (0.3 * rng.standard_normal(n_expert)).astype(np.float32),
+                             GGMLType.F32)
             # 3-D stacked expert tensors (numpy (E, n_ff, n_embd) ==
             # ggml ne [n_embd, n_ff, E])
             ge = np.stack([mat(n_ff, n_embd) for _ in range(n_expert)])
@@ -265,9 +321,28 @@ def make_tiny_llama_gguf(
             if arch == "qwen2moe":
                 w.add_tensor(f"blk.{il}.ffn_gate_inp_shexp.weight",
                              mat(1, n_embd), GGMLType.F32)
+            if arch in ("qwen2moe", "dots1", "glm4moe", "ernie4_5-moe",
+                        "hunyuan-moe"):
                 w.add_tensor(f"blk.{il}.ffn_gate_shexp.weight", mat(n_ff, n_embd), qtype)
                 w.add_tensor(f"blk.{il}.ffn_up_shexp.weight", mat(n_ff, n_embd), qtype)
                 w.add_tensor(f"blk.{il}.ffn_down_shexp.weight", mat(n_embd, n_ff), qtype)
+            if arch == "grok":
+                # optional parallel dense FFN (models/grok.cpp:112-119)
+                w.add_tensor(f"blk.{il}.ffn_gate.weight", mat(n_ff, n_embd), qtype)
+                w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
+                w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
+            if arch == "glm4moe" and il == n_layer - 1:
+                # trailing NextN/MTP layer extras (loaded-but-skipped)
+                w.add_tensor(f"blk.{il}.nextn.eh_proj.weight",
+                             mat(n_embd, 2 * n_embd), GGMLType.F32)
+                w.add_tensor(f"blk.{il}.nextn.enorm.weight", norm_w(n_embd), GGMLType.F32)
+                w.add_tensor(f"blk.{il}.nextn.hnorm.weight", norm_w(n_embd), GGMLType.F32)
+                w.add_tensor(f"blk.{il}.nextn.embed_tokens.weight",
+                             mat(n_vocab, n_embd, 0.02), GGMLType.F32)
+                w.add_tensor(f"blk.{il}.nextn.shared_head_head.weight",
+                             mat(n_vocab, n_embd), GGMLType.F32)
+                w.add_tensor(f"blk.{il}.nextn.shared_head_norm.weight",
+                             norm_w(n_embd), GGMLType.F32)
         elif arch in ("phi3", "chatglm", "glm4"):
             # fused [gate|up] rows, SWIGLU split at runtime
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(2 * n_ff, n_embd), qtype)
@@ -291,6 +366,14 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.ffn_gate.weight", mat(eff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(eff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, eff), qtype)
+            if arch == "jais":
+                # gated FFN with gate/up/down biases (llm_build_jais)
+                w.add_tensor(f"blk.{il}.ffn_gate.bias",
+                             (0.1 * rng.standard_normal(eff)).astype(np.float32), GGMLType.F32)
+                w.add_tensor(f"blk.{il}.ffn_up.bias",
+                             (0.1 * rng.standard_normal(eff)).astype(np.float32), GGMLType.F32)
+                w.add_tensor(f"blk.{il}.ffn_down.bias",
+                             (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
     w.write(path)
     return path, n_vocab
 
