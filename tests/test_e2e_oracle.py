@@ -391,3 +391,50 @@ def test_arch_batch_g_matches_reference(tmp_path, arch, kw):
     ours = run_ours(path).replace(b"\x00", b"")
     ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
     assert ours == ref
+
+
+@needs_cli
+@pytest.mark.parametrize("arch,kw", [
+    ("gemma2", dict(n_layer=4, tied_output=True)),
+    ("arctic", dict(n_expert=4, n_head_kv=2)),
+    ("bailingmoe", dict(n_expert=4, n_head_kv=2)),
+    ("chameleon", dict(n_head_kv=2)),
+    ("codeshell", dict(n_head_kv=2)),
+])
+def test_arch_batch_h_matches_reference(tmp_path, arch, kw):
+    """gemma2: sandwich norms, alternating SWA, attn+final softcaps, GELU
+    PAR FFN, tied output; arctic: parallel n_embd-wide dense FFN + MoE
+    over the ffn_norm_exps-normed layer input; bailingmoe: n_rot head dim
+    + softmax MoE (renormed, unscaled) + shared expert; chameleon:
+    per-head LayerNorm qk norms pre-rope + image-logit suppression;
+    codeshell: gpt2-style LN/biases but NEOX rope."""
+    path = str(tmp_path / f"tiny_{arch}.gguf")
+    make_tiny_llama_gguf(path, n_layer=kw.pop("n_layer", 2), arch=arch, seed=53, **kw)
+    ours = run_ours(path).replace(b"\x00", b"")
+    ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
+    assert ours == ref
+
+
+@needs_cli
+def test_chameleon_swin_matches_reference(tmp_path):
+    """Chameleon swin_norm variant: attn/ffn norms applied to the block
+    OUTPUTS before the residual adds (models/chameleon.cpp:27,107-136)."""
+    path = str(tmp_path / "tiny_chameleon_swin.gguf")
+    make_tiny_llama_gguf(path, n_layer=2, arch="chameleon", seed=54, n_head_kv=2,
+                         extra_kv={"swin_norm": True})
+    ours = run_ours(path).replace(b"\x00", b"")
+    ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
+    assert ours == ref
+
+
+@needs_cli
+def test_openelm_matches_reference(tmp_path):
+    """OpenELM: per-layer head counts and FFN widths (u32 arrays), fused
+    head-major QKV, per-head-dim RMS qk norms, tied output."""
+    from tpullama.models.testing import make_tiny_openelm_gguf
+
+    path = str(tmp_path / "tiny_openelm.gguf")
+    make_tiny_openelm_gguf(path, seed=55)
+    ours = run_ours(path).replace(b"\x00", b"")
+    ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
+    assert ours == ref

@@ -64,6 +64,12 @@ class HParams:
     pre_norm: bool = True  # False: olmo2-style post-norm-only blocks
     qk_norm_full: bool = False  # q/k norm over full width pre-reshape (olmo2)
     qk_norm_after_rope: bool = False  # hunyuan: per-head q/k norm post-rope
+    qk_norm_ln: bool = False  # chameleon: q/k norm is LayerNorm(+bias) even
+    # though block norms are RMS (llama-model.cpp:1957 f_norm_eps=1e-5)
+    swin_norm: bool = False  # chameleon swin variant: norms applied to the
+    # attn/ffn OUTPUTS before the residual adds (models/chameleon.cpp:27,107)
+    n_head_layers: tuple = ()  # per-layer query head counts (openelm)
+    n_ff_layers: tuple = ()  # per-layer FFN widths (openelm)
     ffn_gated: bool = True  # gated GLU vs plain up->act->down
     ffn_fused_up: bool = False  # phi3: [gate|up] fused in ffn_up
     parallel_residual: bool = False  # falcon: attn + ffn from same norm, summed
@@ -137,7 +143,7 @@ class HParams:
         """Mixed dense/MoE layer stacks: loaded as a per-layer list and run
         with an unrolled Python loop instead of lax.scan (the tensor sets
         differ per layer, so a homogeneous stack is impossible)."""
-        return self.arch in ("dots1", "glm4moe", "ernie4_5-moe")
+        return self.arch in ("dots1", "glm4moe", "ernie4_5-moe", "openelm")
 
     @property
     def is_hybrid(self) -> bool:
@@ -163,7 +169,21 @@ class HParams:
             return kv.get(f"{arch}.{key}", default)
 
         n_embd = int(g("embedding_length", 0))
-        n_head = int(g("attention.head_count", 1))
+        n_head_raw = g("attention.head_count", 1)
+        n_head_layers = ()
+        if isinstance(n_head_raw, (list, tuple, np.ndarray)):
+            # per-layer query head counts (openelm)
+            n_head_layers = tuple(int(v) for v in n_head_raw)
+            n_head = max(n_head_layers)
+        else:
+            n_head = int(n_head_raw)
+        n_ff_raw = g("feed_forward_length", 0)
+        n_ff_layers = ()
+        if isinstance(n_ff_raw, (list, tuple, np.ndarray)):
+            n_ff_layers = tuple(int(v) for v in n_ff_raw)
+            n_ff = max(n_ff_layers)
+        else:
+            n_ff = int(n_ff_raw or 0)
         n_head_kv_raw = g("attention.head_count_kv", n_head)
         n_head_kv_layers = ()
         if isinstance(n_head_kv_raw, (list, tuple, np.ndarray)):
@@ -192,7 +212,7 @@ class HParams:
             n_ctx_train=int(g("context_length", 0)),
             n_embd=n_embd,
             n_layer=int(g("block_count", 0)),
-            n_ff=int(g("feed_forward_length", 0)),
+            n_ff=n_ff,
             n_head=n_head,
             n_head_kv=n_head_kv,
             n_embd_head_k=n_embd_head_k,
@@ -228,6 +248,8 @@ class HParams:
             ssm_n_group=int(g("ssm.group_count", 0) or 0),
             ssm_dt_b_c_rms=bool(g("ssm.dt_b_c_rms", False)),
             n_head_kv_layers=n_head_kv_layers,
+            n_head_layers=n_head_layers,
+            n_ff_layers=n_ff_layers,
             n_lora_q=int(g("attention.q_lora_rank", 0) or 0),
             n_lora_kv=int(g("attention.kv_lora_rank", 0) or 0),
             n_layer_dense_lead=int(g("leading_dense_block_count", 0) or 0),
@@ -324,6 +346,29 @@ class HParams:
                 hp.rope_swa_only = True  # rope only on SWA layers (exaone4.cpp:37)
                 if hp.n_swa == 0:
                     hp.n_swa = 4096
+        if arch == "bailingmoe":
+            # head dim comes from rope.dimension_count, not n_embd/n_head
+            # (models/bailingmoe.cpp:54-56 reshape with n_rot; tensor shapes
+            # llama-model.cpp:5709-5712); top-k renorm from expert_weights_norm,
+            # expert_weights_scale is NOT applied (scale_w=false in the
+            # build_moe_ffn call)
+            hp.n_embd_head_k = hp.n_embd_head_v = n_rot
+            hp.moe_norm_topk = hp.expert_weights_norm
+            hp.expert_weights_scale = 0.0
+        if arch == "chameleon":
+            # per-head LayerNorm q/k norms at torch-default eps, pre-rope
+            # (llama-model.cpp:1954-1958); swin variant post-norms blocks
+            hp.qk_norm_ln = True
+            hp.f_norm_eps = 1e-5
+            hp.swin_norm = bool(g("swin_norm", False))
+            if hp.swin_norm:
+                hp.pre_norm = False
+        if arch == "codeshell":
+            # gpt2-family: LN+bias norms, fused biased qkv, plain biased
+            # GELU FFN — but with NEOX rope (models/codeshell.cpp)
+            hp.norm_type = "layer"
+            hp.ffn_gated = False
+            hp.act = "gelu"
         if arch == "refact":
             # rms norms + gated silu over ALiBi attention, no rope
             hp.f_max_alibi_bias = 8.0

@@ -155,9 +155,12 @@ def llama_forward(
             return layer_norm(h, wgt, bias, hp.f_norm_eps)
         return rms_norm(h, wgt, hp.f_norm_rms_eps)
 
-    def layer_step(carry, layer):
+    def layer_step(carry, layer, hq=None, hkv=None):
         x, k_cache, v_cache = carry
         w = layer
+        x_in = x  # layer input (arctic's MoE branch reads it)
+        Hq_l = hq or Hq  # per-layer head counts (openelm)
+        Hkv_l = hkv or Hkv
 
         h = norm_fn(x, w.get("attn_norm"), w.get("attn_norm_bias")) if hp.pre_norm else x
         h_attn = h
@@ -166,8 +169,8 @@ def llama_forward(
             qkv = _linear(h, w["attn_qkv"], lmeta.get("attn_qkv"))
             if "attn_qkv_bias" in w:
                 qkv = qkv + w["attn_qkv_bias"]
-            n_q = Hq * Dk
-            n_kv = Hkv * Dk
+            n_q = Hq_l * Dk
+            n_kv = Hkv_l * Dk
             q = qkv[..., :n_q]
             k = qkv[..., n_q : n_q + n_kv]
             v = qkv[..., n_q + n_kv :]
@@ -186,8 +189,9 @@ def llama_forward(
             v = jnp.clip(v, -hp.f_clamp_kqv, hp.f_clamp_kqv)
 
         def qk_norm(a, wgt, bias=None):
-            # LN variant: mpt full-width (+bias), command-r per-head (H,D)
-            if hp.norm_type == "layer":
+            # LN variant: mpt full-width (+bias), command-r per-head (H,D),
+            # chameleon per-head LN(+bias) under RMS block norms (qk_norm_ln)
+            if hp.norm_type == "layer" or hp.qk_norm_ln:
                 return layer_norm(a, wgt, bias, hp.f_norm_eps)
             return rms_norm(a, wgt, hp.f_norm_rms_eps)
 
@@ -195,12 +199,12 @@ def llama_forward(
             # olmo2/mpt: q/k norm over the full projection width, pre-reshape
             q = qk_norm(q, w["attn_q_norm"], w.get("attn_q_norm_bias"))
             k = qk_norm(k, w["attn_k_norm"], w.get("attn_k_norm_bias"))
-        q = q.reshape(B, T, Hq, Dk)
-        k = k.reshape(B, T, Hkv, Dk)
-        v = v.reshape(B, T, Hkv, Dv)
+        q = q.reshape(B, T, Hq_l, Dk)
+        k = k.reshape(B, T, Hkv_l, Dk)
+        v = v.reshape(B, T, Hkv_l, Dv)
         if "attn_q_norm" in w and not hp.qk_norm_full and not hp.qk_norm_after_rope:
-            q = qk_norm(q, w["attn_q_norm"])
-            k = qk_norm(k, w["attn_k_norm"])
+            q = qk_norm(q, w["attn_q_norm"], w.get("attn_q_norm_bias"))
+            k = qk_norm(k, w["attn_k_norm"], w.get("attn_k_norm_bias"))
         if has_swa:
             is_swa = w["_is_swa"]
             c = jnp.where(is_swa, cos_swa, cos)
@@ -248,19 +252,23 @@ def llama_forward(
                 k_scale=k_cache["s"], v_scale=v_cache["s"],
             )
         else:
+            pad_kv = k_cache.shape[-2] - Hkv_l  # openelm: cache sized for
+            if pad_kv:  # max(n_head_kv); unused head lanes stay zero
+                k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
+                v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
             k_cache = k_cache.at[batch_idx, cache_slots].set(k.astype(k_cache.dtype))
             v_cache = v_cache.at[batch_idx, cache_slots].set(v.astype(v_cache.dtype))
             att = attention(
                 q,
-                k_cache,
-                v_cache,
+                k_cache[:, :, :Hkv_l] if pad_kv else k_cache,
+                v_cache[:, :, :Hkv_l] if pad_kv else v_cache,
                 mask=layer_mask,
                 scale=kq_scale,
                 softcap=hp.attn_logit_softcap,
                 sinks=w.get("attn_sinks"),
                 alibi_slopes=alibi_slopes,
             )
-        att = att.reshape(B, T, Hq * Dv)
+        att = att.reshape(B, T, Hq_l * Dv)
         att_in = att
         att = _linear(att, w["attn_output"], lmeta.get("attn_output"))
         if "attn_output_bias" in w:
@@ -281,15 +289,29 @@ def llama_forward(
                 h = h_attn
         else:
             x = x + att
-            h = norm_fn(x, w.get("ffn_norm"), w.get("ffn_norm_bias")) if hp.pre_norm else x
+            if hp.pre_norm:
+                h = norm_fn(x, w.get("ffn_norm"), w.get("ffn_norm_bias"))
+            elif hp.swin_norm:
+                # chameleon swin: the FFN reads the post-normed ATTENTION
+                # OUTPUT, not the residual sum — `cur` is never reassigned
+                # to ffn_inp in the swin path (models/chameleon.cpp:114-127)
+                h = att
+            else:
+                h = x
         act_saved = None
         if "ffn_gate_inp" in w:
             # MoE branch (src/models/llama.cpp:110-128: SILU, norm_w=true,
             # softmax gating)
             from ..ops.moe import moe_ffn
 
+            moe_h = h
+            if "ffn_norm_exps" in w:
+                # arctic: the MoE branch reads the LAYER INPUT normed by its
+                # own ffn_norm_exps, parallel to the dense FFN over ffn_inp
+                # (models/arctic.cpp:96-110)
+                moe_h = rms_norm(x_in, w["ffn_norm_exps"], hp.f_norm_rms_eps)
             down = moe_ffn(
-                h,
+                moe_h,
                 w["ffn_gate_inp"],
                 w.get("ffn_gate_exps"),
                 w["ffn_up_exps"],
@@ -415,7 +437,11 @@ def llama_forward(
                 w["_is_swa"] = jnp.asarray(bool(hp.swa_layers[li]))
             if hp.no_rope_layer_step:
                 w["_is_nope"] = jnp.asarray((li + 1) % hp.no_rope_layer_step == 0)
-            (x, kc, vc), stats = layer_step((x, kv_at(kv_k, li), kv_at(kv_v, li)), w)
+            (x, kc, vc), stats = layer_step(
+                (x, kv_at(kv_k, li), kv_at(kv_v, li)), w,
+                hq=hp.n_head_layers[li] if hp.n_head_layers else None,
+                hkv=hp.n_head_kv_layers[li] if hp.n_head_kv_layers else None,
+            )
             kv_k = kv_set(kv_k, li, kc)
             kv_v = kv_set(kv_v, li, vc)
             if collect_imatrix:
@@ -488,6 +514,12 @@ def llama_forward(
     if hp.final_logit_softcap:
         logits = hp.final_logit_softcap * jnp.tanh(
             logits.astype(jnp.float32) / hp.final_logit_softcap
+        )
+    if hp.arch == "chameleon":
+        # suppress image-token logits for text-only output
+        # (models/chameleon.cpp:160-172: rows 4..8196 set to -FLT_MAX)
+        logits = logits.astype(jnp.float32).at[..., 4:8196].set(
+            jnp.finfo(jnp.float32).min
         )
     if collect_imatrix:
         imatrix_stats = dict(imatrix_stats or {})

@@ -55,6 +55,7 @@ _LAYER_TENSORS = {
     "ffn_up.weight": "ffn_up",
     "ffn_down.weight": "ffn_down",
     "ffn_gate_inp.weight": "ffn_gate_inp",
+    "ffn_norm_exps.weight": "ffn_norm_exps",
     "ffn_gate_exps.weight": "ffn_gate_exps",
     "ffn_up_exps.weight": "ffn_up_exps",
     "ffn_down_exps.weight": "ffn_down_exps",
@@ -299,6 +300,14 @@ def load_model(
             )
     hp = HParams.from_gguf(reader)
 
+    arch_overrides = dict(_ARCH_TENSOR_OVERRIDES.get(hp.arch, {}))
+    if hp.swin_norm:
+        # chameleon swin: attn/ffn norms post-norm their block outputs
+        # before the residual adds (models/chameleon.cpp:27,107-136) —
+        # exactly the post_attn/post_ffn norm slots
+        arch_overrides["attn_norm.weight"] = "post_attn_norm"
+        arch_overrides["ffn_norm.weight"] = "post_ffn_norm"
+
     layer_names: dict[int, dict[str, str]] = {}
     top: dict[str, str] = {}
     pat = re.compile(r"^blk\.(\d+)\.(.+)$")
@@ -307,9 +316,7 @@ def load_model(
         if m:
             il = int(m.group(1))
             suffix = m.group(2)
-            pname = _ARCH_TENSOR_OVERRIDES.get(hp.arch, {}).get(
-                suffix, _LAYER_TENSORS.get(suffix)
-            )
+            pname = arch_overrides.get(suffix, _LAYER_TENSORS.get(suffix))
             if pname is not None:
                 layer_names.setdefault(il, {})[pname] = name
         elif name in _TOP_TENSORS:

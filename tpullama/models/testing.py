@@ -52,10 +52,12 @@ def make_tiny_llama_gguf(
     """Write a random tiny llama GGUF; returns (path, n_vocab).
     n_expert > 0 makes it a Mixtral-style MoE (arch stays 'llama', as in
     the reference)."""
-    tokens, scores, types = byte_vocab()
+    # chameleon's graph hard-codes image-token rows 4..8196 masked to
+    # -FLT_MAX (models/chameleon.cpp:160-172): the vocab must span them
+    tokens, scores, types = byte_vocab(n_extra=8000 if arch == "chameleon" else 0)
     if n_vocab is None:
         n_vocab = len(tokens)
-    assert n_vocab == len(tokens), "byte vocab is fixed size 260"
+    assert n_vocab == len(tokens), "vocab is fixed by byte_vocab"
 
     rng = np.random.default_rng(seed)
     head_dim = n_embd // n_head
@@ -125,6 +127,22 @@ def make_tiny_llama_gguf(
     if arch == "hunyuan-moe":
         w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
         w.add_u32(f"{arch}.expert_shared_feed_forward_length", n_ff)
+    if arch == "bailingmoe":
+        # llama-model.cpp LLM_ARCH_BAILINGMOE hparams: dense lead unused by
+        # the builder (MoE every layer), shexp always present
+        w.add_u32(f"{arch}.leading_dense_block_count", 0)
+        w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
+        w.add_u32(f"{arch}.expert_shared_count", 1)
+        w.add_f32(f"{arch}.expert_weights_scale", 1.0)
+        w.add_bool(f"{arch}.expert_weights_norm", True)
+    if arch == "chameleon":
+        w.add_bool(f"{arch}.swin_norm", bool((extra_kv or {}).get("swin_norm", False)))
+    if arch == "codeshell":
+        w.add_f32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    if arch == "gemma2":
+        # explicit softcaps so the reference and we read the same values
+        w.add_f32(f"{arch}.attn_logit_softcapping", 30.0)
+        w.add_f32(f"{arch}.final_logit_softcapping", 25.0)
     if arch == "olmo":
         w.add_f32(f"{arch}.attention.clamp_kqv", 2.0)
     if arch in ("command-r", "cohere2"):
@@ -153,7 +171,8 @@ def make_tiny_llama_gguf(
     w.add_u32("tokenizer.ggml.eos_token_id", 2)
     w.add_u32("tokenizer.ggml.unknown_token_id", 0)
     for k, v in (extra_kv or {}).items():
-        w.add_kv(k, v)
+        if k != "swin_norm":
+            w.add_kv(k, v)
     w.add_bool("tokenizer.ggml.add_bos_token", True)
     w.add_bool("tokenizer.ggml.add_eos_token", False)
 
@@ -178,7 +197,7 @@ def make_tiny_llama_gguf(
         w.add_tensor("position_embd.weight", mat(n_ctx, n_embd, 0.02), GGMLType.F32)
         w.add_tensor("output_norm.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
     if arch in ("falcon", "phi2", "orion", "stablelm", "gptneox", "mpt", "bloom",
-                "nemotron", "jais"):
+                "nemotron", "jais", "codeshell"):
         w.add_tensor("output_norm.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
     if arch == "bloom":
         w.add_tensor("token_embd_norm.weight", norm_w(n_embd), GGMLType.F32)
@@ -198,19 +217,19 @@ def make_tiny_llama_gguf(
         if arch not in ("olmo2", "olmo", "exaone4"):
             w.add_tensor(f"blk.{il}.attn_norm.weight", norm_w(n_embd), GGMLType.F32)
         if arch in ("gpt2", "falcon", "phi2", "orion", "stablelm", "gptneox",
-                    "mpt", "bloom", "nemotron", "starcoder", "jais"):
+                    "mpt", "bloom", "nemotron", "starcoder", "jais", "codeshell"):
             w.add_tensor(f"blk.{il}.attn_norm.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch in ("orion", "stablelm"):
             w.add_tensor(f"blk.{il}.ffn_norm.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch in ("phi3", "gpt2", "falcon", "phi2", "gptneox", "mpt", "bloom",
-                    "starcoder", "qwen", "chatglm", "dbrx", "jais"):
+                    "starcoder", "qwen", "chatglm", "dbrx", "jais", "codeshell"):
             # fused [Q|K|V] rows (llama-model.cpp phi3/gpt2/falcon wqkv)
             w.add_tensor(f"blk.{il}.attn_qkv.weight",
                          mat(n_embd + 2 * kv_dim, n_embd), qtype)
             if arch in ("gpt2", "phi2", "gptneox", "mpt", "bloom", "starcoder",
-                        "qwen", "chatglm", "jais"):
+                        "qwen", "chatglm", "jais", "codeshell"):
                 w.add_tensor(f"blk.{il}.attn_qkv.bias",
                              (0.1 * rng.standard_normal(n_embd + 2 * kv_dim)).astype(np.float32), GGMLType.F32)
         else:
@@ -218,7 +237,7 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.attn_k.weight", mat(kv_dim, n_embd), qtype)
             w.add_tensor(f"blk.{il}.attn_v.weight", mat(kv_dim, n_embd), qtype)
         w.add_tensor(f"blk.{il}.attn_output.weight", mat(n_embd, n_embd), qtype)
-        if arch in ("gpt2", "phi2", "gptneox", "bloom", "starcoder", "jais"):
+        if arch in ("gpt2", "phi2", "gptneox", "bloom", "starcoder", "jais", "codeshell"):
             w.add_tensor(f"blk.{il}.attn_output.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch in ("qwen2", "glm4moe"):
@@ -245,9 +264,20 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_ffw_norm.weight", norm_w(n_embd), GGMLType.F32)
-        if arch == "glm4":
+        if arch in ("glm4", "gemma2"):
             w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_ffw_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if arch == "chameleon":
+            # per-head LayerNorm q/k norms + biases, ggml shape
+            # {n_embd_head_k, n_head} (llama-model.cpp:5573-5577)
+            w.add_tensor(f"blk.{il}.attn_q_norm.weight",
+                         norm_w(n_head * head_dim).reshape(n_head, head_dim), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_k_norm.weight",
+                         norm_w(n_head_kv * head_dim).reshape(n_head_kv, head_dim), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_q_norm.bias",
+                         (0.1 * rng.standard_normal((n_head, head_dim))).astype(np.float32), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_k_norm.bias",
+                         (0.1 * rng.standard_normal((n_head_kv, head_dim))).astype(np.float32), GGMLType.F32)
         if arch in ("hunyuan-dense", "hunyuan-moe", "dots1", "glm4moe", "exaone4"):
             w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(head_dim), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
@@ -277,7 +307,7 @@ def make_tiny_llama_gguf(
                         "olmo", "seed_oss", "dbrx", "glm4moe", "exaone4"):
             w.add_tensor(f"blk.{il}.ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
         if arch in ("gpt2", "gptneox", "mpt", "bloom", "nemotron", "starcoder",
-                    "jais"):
+                    "jais", "codeshell"):
             w.add_tensor(f"blk.{il}.ffn_norm.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch == "gpt-oss":
@@ -321,8 +351,15 @@ def make_tiny_llama_gguf(
             if arch == "qwen2moe":
                 w.add_tensor(f"blk.{il}.ffn_gate_inp_shexp.weight",
                              mat(1, n_embd), GGMLType.F32)
+            if arch == "arctic":
+                # MoE branch norm + n_embd-wide parallel dense FFN
+                # (llama-model.cpp:4592-4620)
+                w.add_tensor(f"blk.{il}.ffn_norm_exps.weight", norm_w(n_embd), GGMLType.F32)
+                w.add_tensor(f"blk.{il}.ffn_gate.weight", mat(n_embd, n_embd), qtype)
+                w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_embd, n_embd), qtype)
+                w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_embd), qtype)
             if arch in ("qwen2moe", "dots1", "glm4moe", "ernie4_5-moe",
-                        "hunyuan-moe"):
+                        "hunyuan-moe", "bailingmoe"):
                 w.add_tensor(f"blk.{il}.ffn_gate_shexp.weight", mat(n_ff, n_embd), qtype)
                 w.add_tensor(f"blk.{il}.ffn_up_shexp.weight", mat(n_ff, n_embd), qtype)
                 w.add_tensor(f"blk.{il}.ffn_down_shexp.weight", mat(n_embd, n_ff), qtype)
@@ -352,7 +389,7 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
         elif arch in ("gpt2", "phi2", "gptneox", "mpt", "bloom", "nemotron",
-                      "starcoder"):
+                      "starcoder", "codeshell"):
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_up.bias",
                          (0.1 * rng.standard_normal(n_ff)).astype(np.float32), GGMLType.F32)
@@ -374,6 +411,76 @@ def make_tiny_llama_gguf(
                              (0.1 * rng.standard_normal(eff)).astype(np.float32), GGMLType.F32)
                 w.add_tensor(f"blk.{il}.ffn_down.bias",
                              (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
+    w.write(path)
+    return path, n_vocab
+
+
+def make_tiny_openelm_gguf(
+    path,
+    n_embd: int = 64,
+    head_dim: int = 16,
+    n_head_layers=(4, 2),
+    n_head_kv_layers=(2, 1),
+    n_ff_layers=(128, 64),
+    n_ctx: int = 256,
+    seed: int = 0,
+):
+    """OpenELM: per-layer head counts / FFN widths (GGUF u32 arrays), fused
+    head-major QKV, per-head-dim RMS q/k norms pre-rope, NEOX rope, tied
+    output (llama-model.cpp:4532-4562, models/openelm.cpp)."""
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    n_layer = len(n_head_layers)
+    rng = np.random.default_rng(seed)
+
+    w = GGUFWriter()
+    arch = "openelm"
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", "tiny-test-openelm")
+    w.add_u32(f"{arch}.context_length", n_ctx)
+    w.add_u32(f"{arch}.embedding_length", n_embd)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_array(f"{arch}.feed_forward_length", np.asarray(n_ff_layers, np.uint32))
+    w.add_array(f"{arch}.attention.head_count", np.asarray(n_head_layers, np.uint32))
+    w.add_array(f"{arch}.attention.head_count_kv", np.asarray(n_head_kv_layers, np.uint32))
+    w.add_u32(f"{arch}.attention.key_length", head_dim)
+    w.add_u32(f"{arch}.attention.value_length", head_dim)
+    w.add_u32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_f32(f"{arch}.rope.freq_base", 10000.0)
+    w.add_u32(f"{arch}.vocab_size", n_vocab)
+    w.add_str("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.bos_token_id", 1)
+    w.add_u32("tokenizer.ggml.eos_token_id", 2)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 0)
+    w.add_bool("tokenizer.ggml.add_bos_token", True)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        hq, hkv, n_ff = n_head_layers[il], n_head_kv_layers[il], n_ff_layers[il]
+        w.add_tensor(f"blk.{il}.attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(f"blk.{il}.attn_qkv.weight",
+                     mat((hq + 2 * hkv) * head_dim, n_embd), GGMLType.F32)
+        w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(head_dim), GGMLType.F32)
+        w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
+        w.add_tensor(f"blk.{il}.attn_output.weight",
+                     mat(n_embd, hq * head_dim), GGMLType.F32)
+        w.add_tensor(f"blk.{il}.ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(f"blk.{il}.ffn_gate.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
     w.write(path)
     return path, n_vocab
 
