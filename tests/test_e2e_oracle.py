@@ -438,3 +438,29 @@ def test_openelm_matches_reference(tmp_path):
     ours = run_ours(path).replace(b"\x00", b"")
     ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
     assert ours == ref
+
+
+@needs_cli
+def test_llama4_matches_reference(tmp_path):
+    """Llama-4: interleaved MoE (sigmoid gating over raw-logit selection,
+    input-side weights, shared expert), chunked-SWA pattern with NoPE
+    every 4th layer, weightless post-rope qk norm."""
+    path = str(tmp_path / "tiny_llama4.gguf")
+    make_tiny_llama_gguf(path, n_layer=4, arch="llama4", seed=57, n_expert=4,
+                         n_head_kv=2)
+    ours = run_ours(path).replace(b"\x00", b"")
+    ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
+    assert ours == ref
+
+
+@needs_cli
+def test_deci_matches_reference(tmp_path):
+    """DeciLM / Nemotron-NAS: per-layer variable GQA with attention-free,
+    linear-attention (wo only), and FFN-free (skipped) layers."""
+    from tpullama.models.testing import make_tiny_deci_gguf
+
+    path = str(tmp_path / "tiny_deci.gguf")
+    make_tiny_deci_gguf(path, seed=58)
+    ours = run_ours(path).replace(b"\x00", b"")
+    ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
+    assert ours == ref

@@ -49,7 +49,12 @@ class HParams:
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
     n_swa: int = 0  # sliding window size (0 = none)
+    swa_type: str = "standard"  # "standard" | "chunked" (llama4)
     swa_layers: tuple = ()  # per-layer bool: uses sliding window
+    attn_temp_scale: float = 0.0  # llama4 NoPE-layer Q temperature tuning
+    attn_temp_floor_scale: int = 8192
+    qk_norm_weightless: bool = False  # llama4: weightless RMS qk norm
+    # post-rope on rope layers only (models/llama-iswa.cpp:88-93)
     rope_freq_base_swa: float = 10000.0  # rope base for SWA layers (gemma3)
     rope_swa_only: bool = False  # rope only on SWA layers; dense = NoPE (cohere2)
     f_max_alibi_bias: float = 0.0  # ALiBi slope ceiling (mpt/bloom)
@@ -86,6 +91,8 @@ class HParams:
     moe_norm_topk: bool = True  # renormalize top-k weights (build_moe_ffn norm_w)
     moe_act: str = "silu"  # expert activation (swiglu_oai for gpt-oss)
     moe_dense_scale: float = 1.0  # scale on (moe + parallel dense ffn) (grok sqrt(2)/2)
+    moe_select_logits: bool = False  # llama4: top-k over raw router logits
+    moe_weight_before_ffn: bool = False  # llama4: weights scale expert inputs
     n_moe_layer_step: int = 0  # every Nth layer is MoE past the dense lead (ernie4_5-moe)
     nextn_layers: int = 0  # trailing MTP layers excluded from the forward (glm4moe)
     n_ff_exp: int = 0
@@ -143,13 +150,18 @@ class HParams:
         """Mixed dense/MoE layer stacks: loaded as a per-layer list and run
         with an unrolled Python loop instead of lax.scan (the tensor sets
         differ per layer, so a homogeneous stack is impossible)."""
-        return self.arch in ("dots1", "glm4moe", "ernie4_5-moe", "openelm")
+        return (
+            self.arch in ("dots1", "glm4moe", "ernie4_5-moe", "openelm", "deci")
+            or (self.arch == "llama4" and self.n_expert > 0 and self.n_moe_layer_step > 1)
+        )
 
     @property
     def is_hybrid(self) -> bool:
         """Mixed attention + recurrent layers (jamba/granite-hybrid)."""
         return self.arch in ("jamba", "granite-hybrid", "falcon-h1") or (
-            bool(self.n_head_kv_layers) and 0 in self.n_head_kv_layers
+            bool(self.n_head_kv_layers)
+            and 0 in self.n_head_kv_layers
+            and self.ssm_d_state > 0  # deci/openelm zero-kv layers aren't SSM
         )
 
     @property
@@ -346,6 +358,29 @@ class HParams:
                 hp.rope_swa_only = True  # rope only on SWA layers (exaone4.cpp:37)
                 if hp.n_swa == 0:
                     hp.n_swa = 4096
+        if arch == "llama4":
+            # llama-model.cpp:655-689: chunked SWA 8192 pattern 4 (3 chunked
+            # + 1 full/NoPE), NoPE every 4th layer with Q temperature tuning,
+            # weightless post-rope qk norm (except 128E), sigmoid MoE with
+            # raw-logit selection and input-side weights, interleaved dense
+            # layers by n_moe_layer_step
+            hp.n_moe_layer_step = int(g("interleave_moe_layer_step", 1) or 1)
+            swa = g("attention.sliding_window")
+            if swa is not None and int(swa) == 0:
+                hp.no_rope_layer_step = 0  # always rope, no SWA
+            else:
+                hp.swa_type = "chunked"
+                hp.n_swa = 8192
+                hp.swa_layers = tuple(il % 4 < 3 for il in range(hp.n_layer))
+                hp.rope_freq_base_swa = hp.rope_freq_base
+                hp.attn_temp_scale = 0.1
+                hp.attn_temp_floor_scale = 8192
+                hp.no_rope_layer_step = 4
+            hp.qk_norm_weightless = hp.n_expert != 128
+            hp.moe_norm_topk = False
+            hp.expert_gating_func = 2  # sigmoid
+            hp.moe_select_logits = True
+            hp.moe_weight_before_ffn = True
         if arch == "bailingmoe":
             # head dim comes from rope.dimension_count, not n_embd/n_head
             # (models/bailingmoe.cpp:54-56 reshape with n_rot; tensor shapes

@@ -223,6 +223,33 @@ def llama_forward(
             # hunyuan-dense: per-head q/k norm post-rope
             q = qk_norm(q, w["attn_q_norm"])
             k = qk_norm(k, w["attn_k_norm"])
+        if hp.qk_norm_weightless:
+            # llama4 Llama4TextL2Norm: weightless RMS norm post-rope,
+            # applied on rope layers only (models/llama-iswa.cpp:88-93)
+            qn = rms_norm(q, None, hp.f_norm_rms_eps)
+            kn = rms_norm(k, None, hp.f_norm_rms_eps)
+            if hp.no_rope_layer_step:
+                q = jnp.where(w["_is_nope"], q, qn)
+                k = jnp.where(w["_is_nope"], k, kn)
+            else:
+                q, k = qn, kn
+        if hp.attn_temp_scale and hp.no_rope_layer_step:
+            # llama4 NoPE-layer Q temperature tuning
+            # (llm_graph_input_attn_temp, llama-graph.cpp:70-85)
+            tscale = (
+                jnp.log(
+                    jnp.floor(
+                        (positions.astype(jnp.float32) + 1.0)
+                        / hp.attn_temp_floor_scale
+                    )
+                    + 1.0
+                )
+                * hp.attn_temp_scale
+                + 1.0
+            )
+            q = jnp.where(
+                w["_is_nope"], q * tscale[..., None, None].astype(q.dtype), q
+            )
 
         # scatter new K/V into the cache rows for this ubatch
         # (the ggml_set_rows indexed-write capability, llama-kv-cache.h:145)
@@ -326,6 +353,8 @@ def llama_forward(
                 up_exps_b=w.get("ffn_up_exps_b"),
                 gate_exps_b=w.get("ffn_gate_exps_b"),
                 down_exps_b=w.get("ffn_down_exps_b"),
+                select_logits=hp.moe_select_logits,
+                weight_before_ffn=hp.moe_weight_before_ffn,
             )
             if "ffn_gate_shexp" in w:
                 # shared expert; qwen2moe gates it with its own sigmoid
@@ -433,6 +462,31 @@ def llama_forward(
         imx = []
         for li, w in enumerate(params["layer_list"]):
             w = dict(w)
+            if hp.arch == "deci":
+                # per-layer variable-GQA stack with attention-free /
+                # "linear attention" / FFN-free layers (models/deci.cpp)
+                hq_l = hp.n_head_layers[li] if hp.n_head_layers else hp.n_head
+                hkv_l = (
+                    hp.n_head_kv_layers[li] if hp.n_head_kv_layers else hp.n_head_kv
+                )
+                nff_l = hp.n_ff_layers[li] if hp.n_ff_layers else hp.n_ff
+                if nff_l == 0:
+                    # FFN-free layer: the reference `continue`s without
+                    # updating inpL — the whole block is a no-op
+                    # (models/deci.cpp:93-95)
+                    continue
+                if hq_l == 0 or hkv_l == 0:
+                    if hq_l > 0:
+                        # linear attention: wo over the attn-normed input
+                        # (models/deci.cpp:40-43)
+                        h = rms_norm(x, w["attn_norm"], hp.f_norm_rms_eps)
+                        x = x + _linear(h, w["attn_output"], lmeta.get("attn_output"))
+                    h = rms_norm(x, w["ffn_norm"], hp.f_norm_rms_eps)
+                    gate = _linear(h, w["ffn_gate"], lmeta.get("ffn_gate"))
+                    up = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
+                    act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+                    x = x + _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
+                    continue
             if has_swa:
                 w["_is_swa"] = jnp.asarray(bool(hp.swa_layers[li]))
             if hp.no_rope_layer_step:

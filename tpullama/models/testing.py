@@ -139,6 +139,11 @@ def make_tiny_llama_gguf(
         w.add_bool(f"{arch}.swin_norm", bool((extra_kv or {}).get("swin_norm", False)))
     if arch == "codeshell":
         w.add_f32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    if arch == "llama4":
+        # interleaved MoE (every 2nd layer) + chunked-SWA defaults kick in
+        # when no sliding_window key is written (llama-model.cpp:661-671)
+        w.add_u32(f"{arch}.interleave_moe_layer_step", 2)
+        w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
     if arch == "gemma2":
         # explicit softcaps so the reference and we read the same values
         w.add_f32(f"{arch}.attn_logit_softcapping", 30.0)
@@ -209,6 +214,8 @@ def make_tiny_llama_gguf(
     if n_expert:
         if arch in ("dots1", "glm4moe", "ernie4_5-moe"):
             moe_layers = {il for il in range(n_layer) if il >= 1}
+        elif arch == "llama4":
+            moe_layers = {il for il in range(n_layer) if (il + 1) % 2 == 0}
         else:
             moe_layers = set(range(n_layer))
     else:
@@ -359,7 +366,7 @@ def make_tiny_llama_gguf(
                 w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_embd, n_embd), qtype)
                 w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_embd), qtype)
             if arch in ("qwen2moe", "dots1", "glm4moe", "ernie4_5-moe",
-                        "hunyuan-moe", "bailingmoe"):
+                        "hunyuan-moe", "bailingmoe", "llama4"):
                 w.add_tensor(f"blk.{il}.ffn_gate_shexp.weight", mat(n_ff, n_embd), qtype)
                 w.add_tensor(f"blk.{il}.ffn_up_shexp.weight", mat(n_ff, n_embd), qtype)
                 w.add_tensor(f"blk.{il}.ffn_down_shexp.weight", mat(n_embd, n_ff), qtype)
@@ -481,6 +488,79 @@ def make_tiny_openelm_gguf(
         w.add_tensor(f"blk.{il}.ffn_gate.weight", mat(n_ff, n_embd), GGMLType.F32)
         w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
         w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+    w.write(path)
+    return path, n_vocab
+
+
+def make_tiny_deci_gguf(
+    path,
+    n_embd: int = 64,
+    layers=((4, 2, 128), (0, 0, 128), (4, 0, 128), (4, 2, 0), (4, 2, 128)),
+    n_ctx: int = 256,
+    seed: int = 0,
+):
+    """DeciLM/Nemotron-NAS: per-layer (n_head, n_head_kv, n_ff) triples —
+    n_head==0 is an attention-free layer, n_head_kv==0 a "linear
+    attention" (wo only) layer, n_ff==0 an FFN-free (skipped) layer
+    (models/deci.cpp, llama-model.cpp LLM_ARCH_DECI create_tensor)."""
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    n_layer = len(layers)
+    heads = [l[0] for l in layers]
+    kvs = [l[1] for l in layers]
+    ffs = [l[2] for l in layers]
+    head_dim = n_embd // max(heads)
+    rng = np.random.default_rng(seed)
+
+    arch = "deci"
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", "tiny-test-deci")
+    w.add_u32(f"{arch}.context_length", n_ctx)
+    w.add_u32(f"{arch}.embedding_length", n_embd)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_array(f"{arch}.feed_forward_length", np.asarray(ffs, np.uint32))
+    w.add_array(f"{arch}.attention.head_count", np.asarray(heads, np.uint32))
+    w.add_array(f"{arch}.attention.head_count_kv", np.asarray(kvs, np.uint32))
+    w.add_u32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_f32(f"{arch}.rope.freq_base", 10000.0)
+    w.add_u32(f"{arch}.vocab_size", n_vocab)
+    w.add_str("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.bos_token_id", 1)
+    w.add_u32("tokenizer.ggml.eos_token_id", 2)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 0)
+    w.add_bool("tokenizer.ggml.add_bos_token", True)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
+    for il, (hq, hkv, n_ff) in enumerate(layers):
+        if hq > 0 and hkv == 0:
+            w.add_tensor(f"blk.{il}.attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_output.weight", mat(n_embd, n_embd), GGMLType.F32)
+        elif hkv > 0:
+            w.add_tensor(f"blk.{il}.attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_q.weight", mat(hq * head_dim, n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_k.weight", mat(hkv * head_dim, n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_v.weight", mat(hkv * head_dim, n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_output.weight", mat(n_embd, hq * head_dim), GGMLType.F32)
+        if n_ff > 0:
+            w.add_tensor(f"blk.{il}.ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.ffn_gate.weight", mat(n_ff, n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
     w.write(path)
     return path, n_vocab
 

@@ -47,6 +47,8 @@ def moe_ffn(
     gate_exps_b=None,  # (E, F)
     down_exps_b=None,  # (E, D)
     weight_before_ffn: bool = False,
+    select_logits: bool = False,  # llama4: top-k on raw router logits,
+    # sigmoid applied only to the selected weights (llama-graph.cpp:947-949)
 ):
     B, T, D = x.shape
     E = gate_inp.shape[0]
@@ -65,6 +67,8 @@ def moe_ffn(
         probs = logits
 
     selection = probs if exp_probs_b is None else probs + exp_probs_b.astype(jnp.float32)
+    if select_logits:
+        selection = logits
 
     # top-k selection by selection probs; weights from unbiased probs
     _, sel = jax.lax.top_k(selection, K)  # (B, T, K) int32

@@ -149,8 +149,16 @@ class Context:
         else:
             mask = jnp.where(vis, jnp.float32(0), NEG_INF)[:, None, :, :]
         if self.hp.n_swa and self.hp.swa_layers:
-            # iswa models: full mask for dense layers + windowed for SWA
-            vis_swa = vis & (kv_pos[:, None, :] > positions[:, :, None] - self.hp.n_swa)
+            # iswa models: full mask for dense layers + windowed for SWA;
+            # chunked (llama4): kv visible iff at/after the query's chunk
+            # start (llama_hparams::is_masked_swa LLAMA_SWA_TYPE_CHUNKED)
+            if self.hp.swa_type == "chunked":
+                chunk_start = (positions[:, :, None] // self.hp.n_swa) * self.hp.n_swa
+                vis_swa = vis & (kv_pos[:, None, :] >= chunk_start)
+            else:
+                vis_swa = vis & (
+                    kv_pos[:, None, :] > positions[:, :, None] - self.hp.n_swa
+                )
             mask = (mask, jnp.where(vis_swa, jnp.float32(0), NEG_INF)[:, None, :, :])
         elif self.hp.n_swa:
             vis = vis & (kv_pos[:, None, :] > positions[:, :, None] - self.hp.n_swa)
