@@ -83,3 +83,55 @@ def test_greedy_matches_reference(tiny):
         else:
             b += m.vocab.token_to_piece(t, special=False).encode()
     assert bytes(b).replace(b"\0", b"") == ref.replace(b"\0", b"")
+
+
+def _greedy_vs_reference(path, m, n=16):
+    PROMPT = "Once upon a time"
+    r = subprocess.run(
+        [LLAMA_CLI, "-m", path, "-p", PROMPT, "-n", str(n), "--temp", "0",
+         "-no-cnv", "--no-warmup"],
+        capture_output=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = r.stdout
+    idx = data.find(PROMPT.encode())
+    ref = data[idx + len(PROMPT.encode()):].rstrip(b"\n")
+    ref = ref.split(b" [end of text]")[0]
+
+    from tpullama.tokenizer.vocab import TokenAttr
+
+    ctx = make_context(m, ContextParams(n_ctx=128))
+    out = ctx.generate(m.vocab.tokenize(PROMPT, add_special=True), n_predict=n)
+    b = bytearray()
+    for t in out:
+        d = m.vocab.id_to_token[t]
+        if d.attr & TokenAttr.BYTE:
+            b.append(int(d.text[3:5], 16))
+        else:
+            b += m.vocab.token_to_piece(t, special=False).encode()
+    assert bytes(b).replace(b"\0", b"") == ref.replace(b"\0", b"")
+
+
+@needs_cli
+def test_granite_hybrid_matches_reference(tmp_path):
+    """granite-hybrid: mamba2 + roped-attention layers with granite
+    embedding/residual/logit/attention scales."""
+    from tpullama.models.testing import make_tiny_granite_hybrid_gguf
+
+    path = str(tmp_path / "gh.gguf")
+    make_tiny_granite_hybrid_gguf(path, seed=61)
+    m = load_model(path)
+    assert m.hparams.is_hybrid and m.hparams.hybrid_mamba2
+    _greedy_vs_reference(path, m)
+
+
+@needs_cli
+def test_falcon_h1_matches_reference(tmp_path):
+    """falcon-h1: parallel attention + mamba2 in every layer."""
+    from tpullama.models.testing import make_tiny_falcon_h1_gguf
+
+    path = str(tmp_path / "fh1.gguf")
+    make_tiny_falcon_h1_gguf(path, seed=62)
+    m = load_model(path)
+    assert m.hparams.is_hybrid
+    _greedy_vs_reference(path, m)

@@ -127,6 +127,7 @@ class HParams:
 
     pooling_type: str = "none"  # %s.pooling_type (llama-arch.cpp:170)
     causal_attn: bool = True
+    rope_finetuned: bool = False  # granite-hybrid: rope on/off switch
 
     @property
     def is_encoder(self) -> bool:
@@ -156,6 +157,12 @@ class HParams:
         )
 
     @property
+    def hybrid_mamba2(self) -> bool:
+        """Hybrid archs whose recurrent layers are mamba-2 blocks
+        (build_mamba2_layer) rather than jamba's mamba-1."""
+        return self.arch in ("granite-hybrid", "falcon-h1")
+
+    @property
     def is_hybrid(self) -> bool:
         """Mixed attention + recurrent layers (jamba/granite-hybrid)."""
         return self.arch in ("jamba", "granite-hybrid", "falcon-h1") or (
@@ -176,9 +183,12 @@ class HParams:
     def from_gguf(cls, reader) -> "HParams":
         kv = reader.kv
         arch = kv.get("general.architecture", "llama")
+        key_arch = arch  # GGUF metadata keys always use the on-disk string
+        if arch == "granitehybrid":  # normalize to our hyphenated spelling
+            arch = "granite-hybrid"
 
         def g(key, default=None):
-            return kv.get(f"{arch}.{key}", default)
+            return kv.get(f"{key_arch}.{key}", default)
 
         n_embd = int(g("embedding_length", 0))
         n_head_raw = g("attention.head_count", 1)
@@ -505,11 +515,15 @@ class HParams:
             hp.norm_type = "layer"
             hp.ffn_gated = False
             hp.act = "gelu"
-        if arch in ("granite", "granite-moe", "granitemoe"):
+        if arch in ("granite", "granite-moe", "granitemoe", "granite-hybrid"):
             hp.embd_scale = float(g("embedding_scale", 0.0) or 0.0)
             hp.f_residual_scale = float(g("residual_scale", 0.0) or 0.0)
             if hp.f_logit_scale:
                 hp.final_logit_scale = 1.0 / hp.f_logit_scale
+        if arch == "granite-hybrid":
+            # rope_finetuned doubles as the rope on/off switch, default on
+            # (llama-model.cpp GRANITE_HYBRID hparams)
+            hp.rope_finetuned = bool(g("rope.scaling.finetuned", True))
         if arch in ("gemma", "gemma2", "gemma3", "gemma-embedding"):
             hp.embd_scale = float(np.sqrt(n_embd)) if n_embd else 0.0
             hp.act = "gelu"
@@ -539,6 +553,7 @@ class HParams:
             "llama", "llama4", "deci", "baichuan", "starcoder", "internlm2",
             "minicpm", "xverse", "command-r", "cohere2", "olmo", "arctic",
             "deepseek", "deepseek2", "chatglm", "granite", "granite-moe",
+            "granite-hybrid",
             "chameleon", "bailingmoe", "smollm3", "arcee", "ernie4_5",
             "ernie4_5-moe", "mistral3", "glm4",
         }

@@ -26,14 +26,19 @@ from ..ops.attention import attention
 from ..ops.norms import rms_norm
 from .hparams import HParams
 from .llama import _linear
-from .mamba import _mamba_layer
+from .mamba import _mamba2_layer, _mamba_layer
 
 
 def attn_layer_indices(hp: HParams):
+    if hp.arch == "falcon-h1":
+        # every falcon-h1 layer runs attention AND mamba in parallel
+        return list(range(hp.n_layer))
     return [il for il, h in enumerate(hp.n_head_kv_layers) if h > 0]
 
 
 def mamba_layer_indices(hp: HParams):
+    if hp.arch == "falcon-h1":
+        return list(range(hp.n_layer))
     return [il for il, h in enumerate(hp.n_head_kv_layers) if h == 0]
 
 
@@ -55,32 +60,78 @@ def jamba_forward(
     Dk, Dv = hp.n_embd_head_k, hp.n_embd_head_v
     Hq = hp.n_head
     batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    fh1 = hp.arch == "falcon-h1"
+    # rope: falcon-h1 always (NEOX); granite-hybrid behind rope_finetuned
+    use_rope = fh1 or (hp.arch == "granite-hybrid" and hp.rope_finetuned)
+    if use_rope:
+        from .llama import rope_params
+        from ..ops.rope import apply_rope, rope_cache
+
+        rp = rope_params(hp)
+        cos, sin = rope_cache(rp, positions, params.get("rope_freqs"))
+        cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+    kq_scale = (
+        hp.f_attention_scale if hp.f_attention_scale else 1.0 / (Dk**0.5)
+    )
+    mamba_layer = _mamba2_layer if hp.hybrid_mamba2 else _mamba_layer
 
     x = jnp.take(params["tok_embd"], tokens, axis=0)
+    if hp.embd_scale:
+        x = (x.astype(jnp.float32) * hp.embd_scale).astype(x.dtype)
     ai = ri = 0
     new_conv, new_ssm = [], []
     new_k, new_v = [], []
+
+    def attn_out(h, lp, n_kv):
+        q = _linear(h, lp["attn_q"])
+        k = _linear(h, lp["attn_k"])
+        v = _linear(h, lp["attn_v"])
+        if "attn_q_bias" in lp:
+            q, k, v = q + lp["attn_q_bias"], k + lp["attn_k_bias"], v + lp["attn_v_bias"]
+        q = q.reshape(B, T, Hq, Dk)
+        k = k.reshape(B, T, n_kv, Dk)
+        v = v.reshape(B, T, n_kv, Dv)
+        if use_rope:
+            q = apply_rope(q, cos, sin, rp.mode, rp.n_dims)
+            k = apply_rope(k, cos, sin, rp.mode, rp.n_dims)
+        kc = kv_k[ai].at[batch_idx, cache_slots].set(k.astype(kv_k.dtype))
+        vc = kv_v[ai].at[batch_idx, cache_slots].set(v.astype(kv_v.dtype))
+        att = attention(q, kc, vc, mask=attn_mask, scale=kq_scale)
+        out = _linear(att.reshape(B, T, Hq * Dv), lp["attn_output"])
+        if "attn_output_bias" in lp:
+            out = out + lp["attn_output_bias"]
+        return out, kc, vc
+
     for il, lp in enumerate(params["layer_list"]):
         h = rms_norm(x, lp["attn_norm"], hp.f_norm_rms_eps)
-        n_kv = hp.n_head_kv_layers[il]
-        if n_kv == 0:
-            out, cs, ss = _mamba_layer(
+        if fh1:
+            # parallel attention + mamba2 over the same normed input,
+            # summed before the residual (models/falcon-h1.cpp:28-73)
+            out, kc, vc = attn_out(h, lp, hp.n_head_kv)
+            new_k.append(kc)
+            new_v.append(vc)
+            ai += 1
+            ssm_out, cs, ss = mamba_layer(
+                h, lp, conv_state[ri], ssm_state[ri], hp, None, last_idx
+            )
+            new_conv.append(cs)
+            new_ssm.append(ss)
+            ri += 1
+            out = out + ssm_out
+        elif hp.n_head_kv_layers[il] == 0:
+            out, cs, ss = mamba_layer(
                 h, lp, conv_state[ri], ssm_state[ri], hp, None, last_idx
             )
             new_conv.append(cs)
             new_ssm.append(ss)
             ri += 1
         else:
-            q = _linear(h, lp["attn_q"]).reshape(B, T, Hq, Dk)
-            k = _linear(h, lp["attn_k"]).reshape(B, T, n_kv, Dk)
-            v = _linear(h, lp["attn_v"]).reshape(B, T, n_kv, Dv)
-            kc = kv_k[ai].at[batch_idx, cache_slots].set(k.astype(kv_k.dtype))
-            vc = kv_v[ai].at[batch_idx, cache_slots].set(v.astype(kv_v.dtype))
-            att = attention(q, kc, vc, mask=attn_mask, scale=1.0 / (Dk**0.5))
-            out = _linear(att.reshape(B, T, Hq * Dv), lp["attn_output"])
+            out, kc, vc = attn_out(h, lp, hp.n_head_kv_layers[il])
             new_k.append(kc)
             new_v.append(vc)
             ai += 1
+        if hp.f_residual_scale:
+            out = out * hp.f_residual_scale
         x = x + out
 
         h = rms_norm(x, lp["ffn_norm"], hp.f_norm_rms_eps)
@@ -90,19 +141,33 @@ def jamba_forward(
             down = moe_ffn(
                 h, lp["ffn_gate_inp"], lp.get("ffn_gate_exps"),
                 lp["ffn_up_exps"], lp["ffn_down_exps"],
-                n_expert_used=hp.n_expert_used, norm_w=False,
+                n_expert_used=hp.n_expert_used,
+                # jamba: no renorm; granite-hybrid MoE: norm_w=true
+                # (models/granite-hybrid.cpp:158-166)
+                norm_w=hp.arch == "granite-hybrid",
                 w_scale=0.0, gating=1,
             )
+            if "ffn_gate_shexp" in lp:
+                # granite MoE shared expert
+                gate = _linear(h, lp["ffn_gate_shexp"])
+                up = _linear(h, lp["ffn_up_shexp"])
+                act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+                down = down + _linear(act, lp["ffn_down_shexp"])
         else:
             gate = _linear(h, lp["ffn_gate"])
             up = _linear(h, lp["ffn_up"])
             act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
             down = _linear(act, lp["ffn_down"])
+        if hp.f_residual_scale:
+            down = down * hp.f_residual_scale
         x = x + down
 
     x = rms_norm(x, params["output_norm"], hp.f_norm_rms_eps)
     logits = _linear(x, params.get("output", params["tok_embd"]))
-    return logits.astype(jnp.float32), (
+    logits = logits.astype(jnp.float32)
+    if hp.final_logit_scale:
+        logits = logits * hp.final_logit_scale
+    return logits, (
         jnp.stack(new_k) if new_k else kv_k,
         jnp.stack(new_v) if new_v else kv_v,
         jnp.stack(new_conv) if new_conv else conv_state,
@@ -116,6 +181,12 @@ def init_hybrid_states(hp: HParams, n_seqs: int, n_ctx: int, dtype=jnp.float32):
     S = n_ctx + 1  # +1 scratch row for padded-token writes
     kv_k = jnp.zeros((n_attn, n_seqs, S, hp.n_head_kv, hp.n_embd_head_k), dtype)
     kv_v = jnp.zeros((n_attn, n_seqs, S, hp.n_head_kv, hp.n_embd_head_v), dtype)
-    conv = jnp.zeros((n_rec, n_seqs, hp.ssm_d_conv - 1, hp.ssm_d_inner), dtype)
+    # mamba2 convolves over x+B+C channels, mamba1 over d_inner only
+    d_conv_ch = (
+        hp.ssm_d_inner + 2 * hp.ssm_n_group * hp.ssm_d_state
+        if hp.hybrid_mamba2
+        else hp.ssm_d_inner
+    )
+    conv = jnp.zeros((n_rec, n_seqs, hp.ssm_d_conv - 1, d_conv_ch), dtype)
     ssm = jnp.zeros((n_rec, n_seqs, hp.ssm_d_inner, hp.ssm_d_state), dtype)
     return kv_k, kv_v, conv, ssm

@@ -48,6 +48,8 @@ _LAYER_TENSORS = {
     "attn_q_norm.bias": "attn_q_norm_bias",
     "attn_k_norm.bias": "attn_k_norm_bias",
     "ffn_norm.weight": "ffn_norm",
+    "ffn_norm": "ffn_norm",  # falcon-h1 emits no ".weight" suffix
+    # (llama-model.cpp FALCON_H1: tn(LLM_TENSOR_FFN_NORM, i))
     "ffn_norm.bias": "ffn_norm_bias",
     "ffn_up.bias": "ffn_up_bias",
     "ffn_down.bias": "ffn_down_bias",

@@ -993,6 +993,193 @@ def make_tiny_jamba_gguf(
     return path, n_vocab
 
 
+def _hybrid_mamba2_tensors(w, p, rng, n_embd, d_inner, d_state, d_conv, n_group,
+                           n_ssm_head, mat, norm_w):
+    """Mamba2 block tensor set shared by granite-hybrid/falcon-h1
+    (llama-model.cpp GRANITE_HYBRID/FALCON_H1 create_tensor)."""
+    d_xbc = d_inner + 2 * n_group * d_state
+    d_in_proj = 2 * d_inner + 2 * n_group * d_state + n_ssm_head
+    w.add_tensor(p + "ssm_in.weight", mat(d_in_proj, n_embd), GGMLType.F32)
+    w.add_tensor(p + "ssm_conv1d.weight", mat(d_xbc, d_conv, 0.3), GGMLType.F32)
+    w.add_tensor(p + "ssm_conv1d.bias",
+                 (0.1 * rng.standard_normal(d_xbc)).astype(np.float32), GGMLType.F32)
+    w.add_tensor(p + "ssm_dt.bias",
+                 (-3.0 + rng.standard_normal(n_ssm_head)).astype(np.float32), GGMLType.F32)
+    w.add_tensor(p + "ssm_a",
+                 -np.exp(rng.uniform(0.0, 2.0, size=(n_ssm_head, 1))).astype(np.float32),
+                 GGMLType.F32)
+    w.add_tensor(p + "ssm_d",
+                 (1.0 + 0.1 * rng.standard_normal((n_ssm_head, 1))).astype(np.float32),
+                 GGMLType.F32)
+    w.add_tensor(p + "ssm_norm.weight",
+                 norm_w(d_inner).reshape(n_group, d_inner // n_group), GGMLType.F32)
+    w.add_tensor(p + "ssm_out.weight", mat(n_embd, d_inner), GGMLType.F32)
+
+
+def make_tiny_granite_hybrid_gguf(
+    path,
+    n_embd: int = 64,
+    n_layer: int = 4,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    d_state: int = 32,
+    d_conv: int = 4,
+    n_group: int = 2,
+    n_ff: int = 128,
+    seed: int = 0,
+):
+    """Granite-hybrid: mamba2 layers (head_count_kv 0) interleaved with
+    roped attention layers + granite residual/embedding/logit scales."""
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    d_inner = 2 * n_embd
+    head_dim = n_embd // n_head
+    n_ssm_head = d_inner // 16
+    kv_arr = [n_head_kv if il % 2 == 0 else 0 for il in range(n_layer)]
+
+    rng = np.random.default_rng(seed)
+    arch = "granitehybrid"  # the reference's on-disk arch string (no hyphen)
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", "tiny-test-granite-hybrid")
+    w.add_u32(f"{arch}.context_length", 1 << 18)
+    w.add_u32(f"{arch}.embedding_length", n_embd)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_u32(f"{arch}.feed_forward_length", n_ff)
+    w.add_u32(f"{arch}.attention.head_count", n_head)
+    w.add_array(f"{arch}.attention.head_count_kv", np.asarray(kv_arr, np.uint32))
+    w.add_u32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_f32(f"{arch}.rope.freq_base", 10000.0)
+    w.add_u32(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_u32(f"{arch}.ssm.inner_size", d_inner)
+    w.add_u32(f"{arch}.ssm.state_size", d_state)
+    w.add_u32(f"{arch}.ssm.time_step_rank", n_ssm_head)
+    w.add_u32(f"{arch}.ssm.group_count", n_group)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_f32(f"{arch}.logit_scale", 8.0)
+    w.add_f32(f"{arch}.residual_scale", 0.5)
+    w.add_f32(f"{arch}.embedding_scale", 12.0)
+    w.add_f32(f"{arch}.attention.scale", 0.0078125)
+    w.add_u32(f"{arch}.vocab_size", n_vocab)
+    w.add_str("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.bos_token_id", 1)
+    w.add_u32("tokenizer.ggml.eos_token_id", 2)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 0)
+    w.add_bool("tokenizer.ggml.add_bos_token", True)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
+    kv_dim = head_dim * n_head_kv
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        w.add_tensor(p + "attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if kv_arr[il] == 0:
+            _hybrid_mamba2_tensors(w, p, rng, n_embd, d_inner, d_state, d_conv,
+                                   n_group, n_ssm_head, mat, norm_w)
+        else:
+            w.add_tensor(p + "attn_q.weight", mat(n_embd, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_k.weight", mat(kv_dim, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_v.weight", mat(kv_dim, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_output.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_gate.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+    w.write(path)
+    return path, n_vocab
+
+
+def make_tiny_falcon_h1_gguf(
+    path,
+    n_embd: int = 64,
+    n_layer: int = 2,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    d_state: int = 32,
+    d_conv: int = 4,
+    n_group: int = 2,
+    n_ff: int = 128,
+    seed: int = 0,
+):
+    """Falcon-H1: every layer runs roped GQA attention AND a mamba2 block
+    in parallel over the same normed input (models/falcon-h1.cpp)."""
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    d_inner = 2 * n_embd
+    head_dim = n_embd // n_head
+    n_ssm_head = d_inner // 16
+    kv_dim = head_dim * n_head_kv
+
+    rng = np.random.default_rng(seed)
+    arch = "falcon-h1"
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", "tiny-test-falcon-h1")
+    w.add_u32(f"{arch}.context_length", 1 << 18)
+    w.add_u32(f"{arch}.embedding_length", n_embd)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_u32(f"{arch}.feed_forward_length", n_ff)
+    w.add_u32(f"{arch}.attention.head_count", n_head)
+    w.add_u32(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_u32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_f32(f"{arch}.rope.freq_base", 10000.0)
+    w.add_u32(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_u32(f"{arch}.ssm.inner_size", d_inner)
+    w.add_u32(f"{arch}.ssm.state_size", d_state)
+    w.add_u32(f"{arch}.ssm.time_step_rank", n_ssm_head)
+    w.add_u32(f"{arch}.ssm.group_count", n_group)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_u32(f"{arch}.vocab_size", n_vocab)
+    w.add_str("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.bos_token_id", 1)
+    w.add_u32("tokenizer.ggml.eos_token_id", 2)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 0)
+    w.add_bool("tokenizer.ggml.add_bos_token", True)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        w.add_tensor(p + "attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        _hybrid_mamba2_tensors(w, p, rng, n_embd, d_inner, d_state, d_conv,
+                               n_group, n_ssm_head, mat, norm_w)
+        w.add_tensor(p + "attn_q.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_k.weight", mat(kv_dim, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_v.weight", mat(kv_dim, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_output.weight", mat(n_embd, n_embd), GGMLType.F32)
+        # falcon-h1's ffn_norm is emitted WITHOUT the ".weight" suffix
+        w.add_tensor(p + "ffn_norm", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_gate.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+    w.write(path)
+    return path, n_vocab
+
+
 def make_tiny_t5_gguf(
     path,
     n_embd: int = 64,
