@@ -60,6 +60,9 @@ def deepseek2_forward(
     sin = sin[:, :, None, :]
 
     x = jnp.take(params["tok_embd"], tokens, axis=0)
+    if hp.embd_scale:
+        # minicpm3 scales input embeddings by 12 (models/minicpm3.cpp:5,20)
+        x = (x.astype(jnp.float32) * hp.embd_scale).astype(x.dtype)
     new_k, new_v = [], []
     for li, lp in enumerate(params["layer_list"]):
         h = rms_norm(x, lp["attn_norm"], hp.f_norm_rms_eps)
@@ -91,7 +94,11 @@ def deepseek2_forward(
         kc = kv_k[li].at[batch_idx, cache_slots].set(kh.astype(kv_k.dtype))
         vc = kv_v[li].at[batch_idx, cache_slots].set(v.astype(kv_v.dtype))
         att = attention(qh, kc, vc, mask=attn_mask, scale=float(kq_scale))
-        x = x + _linear(att.reshape(B, T, H * Dv), lp["attn_output"])
+        att = _linear(att.reshape(B, T, H * Dv), lp["attn_output"])
+        if hp.f_residual_scale:
+            # minicpm3 residual scale 1.4/sqrt(n_layer) (minicpm3.cpp:144)
+            att = att * hp.f_residual_scale
+        x = x + att
         new_k.append(kc)
         new_v.append(vc)
 
@@ -114,13 +121,24 @@ def deepseek2_forward(
                 up = _linear(h, lp["ffn_up_shexp"])
                 act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
                 down = down + _linear(act, lp["ffn_down_shexp"])
-        else:
+        elif "ffn_gate" in lp:
             gate = _linear(h, lp["ffn_gate"])
             up = _linear(h, lp["ffn_up"])
             act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
             down = _linear(act, lp["ffn_down"])
+        else:
+            # plm: non-gated relu^2 FFN (models/plm.cpp:140-142)
+            up = _linear(h, lp["ffn_up"]).astype(jnp.float32)
+            down = _linear(
+                (jnp.maximum(up, 0) ** 2).astype(x.dtype), lp["ffn_down"]
+            )
+        if hp.f_residual_scale:
+            down = down * hp.f_residual_scale
         x = x + down
 
     x = rms_norm(x, params["output_norm"], hp.f_norm_rms_eps)
+    if hp.final_logit_scale:
+        # minicpm3 lm-head scale 256/n_embd (minicpm3.cpp:187-190)
+        x = (x.astype(jnp.float32) * hp.final_logit_scale).astype(x.dtype)
     logits = _linear(x, params.get("output", params["tok_embd"]))
     return logits.astype(jnp.float32), (jnp.stack(new_k), jnp.stack(new_v))

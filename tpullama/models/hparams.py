@@ -93,6 +93,9 @@ class HParams:
     moe_dense_scale: float = 1.0  # scale on (moe + parallel dense ffn) (grok sqrt(2)/2)
     moe_select_logits: bool = False  # llama4: top-k over raw router logits
     moe_weight_before_ffn: bool = False  # llama4: weights scale expert inputs
+    moe_router_raw_input: bool = False  # smallthinker: router reads layer input
+    no_rope_mod0: bool = False  # NoPE at il % step == 0 (smallthinker) instead
+    # of (il+1) % step == 0 (llama4/smollm3)
     n_moe_layer_step: int = 0  # every Nth layer is MoE past the dense lead (ernie4_5-moe)
     nextn_layers: int = 0  # trailing MTP layers excluded from the forward (glm4moe)
     n_ff_exp: int = 0
@@ -155,6 +158,12 @@ class HParams:
             self.arch in ("dots1", "glm4moe", "ernie4_5-moe", "openelm", "deci")
             or (self.arch == "llama4" and self.n_expert > 0 and self.n_moe_layer_step > 1)
         )
+
+    @property
+    def is_mla(self) -> bool:
+        """Latent-compressed (MLA) attention archs sharing the deepseek2
+        forward (models/{deepseek2,plm,minicpm3}.cpp)."""
+        return self.arch in ("deepseek2", "plm", "minicpm3")
 
     @property
     def hybrid_mamba2(self) -> bool:
@@ -391,6 +400,36 @@ class HParams:
             hp.expert_gating_func = 2  # sigmoid
             hp.moe_select_logits = True
             hp.moe_weight_before_ffn = True
+        if arch == "plamo":
+            # parallel residual where the FFN reads the attn-norm output;
+            # out = ffn + attn + layer input (models/plamo.cpp:75-89)
+            hp.parallel_residual = True
+        if arch == "plm":
+            # deepseek2-lite-style MLA (kv compression, plain Q) with a
+            # non-gated relu^2 FFN (models/plm.cpp:140-142)
+            hp.act = "relu_sqr"
+            hp.ffn_gated = False
+        if arch == "minicpm3":
+            # MLA with q-lora + MiniCPM's fixed scale stack
+            # (models/minicpm3.cpp:5-8,144,188)
+            hp.embd_scale = 12.0
+            hp.f_residual_scale = 1.4 / float(np.sqrt(hp.n_layer)) if hp.n_layer else 0.0
+            hp.final_logit_scale = 256.0 / n_embd if n_embd else 0.0
+        if arch == "smallthinker":
+            # router reads the RAW layer input; relu-gated experts; NoPE at
+            # il %% 4 == 0 only when SWA present (models/smallthinker.cpp)
+            hp.moe_act = "relu"
+            hp.moe_router_raw_input = True
+            if hp.n_swa > 0:
+                hp.n_swa = 4096  # hardcoded regardless of the key's value
+                hp.swa_layers = tuple(il % 4 != 0 for il in range(hp.n_layer))
+                hp.rope_freq_base_swa = hp.rope_freq_base
+                # rope skipped at il%4==0, EXCEPT when the default step (4)
+                # equals n_layer — the builder's `step == n_layer ||
+                # il % step != 0` then always ropes
+                if hp.n_layer != 4:
+                    hp.no_rope_layer_step = 4
+                    hp.no_rope_mod0 = True
         if arch == "bailingmoe":
             # head dim comes from rope.dimension_count, not n_embd/n_head
             # (models/bailingmoe.cpp:54-56 reshape with n_rot; tensor shapes
@@ -552,7 +591,7 @@ class HParams:
         NORM_ARCHES = {
             "llama", "llama4", "deci", "baichuan", "starcoder", "internlm2",
             "minicpm", "xverse", "command-r", "cohere2", "olmo", "arctic",
-            "deepseek", "deepseek2", "chatglm", "granite", "granite-moe",
+            "deepseek", "deepseek2", "plm", "chatglm", "granite", "granite-moe",
             "granite-hybrid",
             "chameleon", "bailingmoe", "smollm3", "arcee", "ernie4_5",
             "ernie4_5-moe", "mistral3", "glm4",

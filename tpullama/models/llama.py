@@ -355,6 +355,7 @@ def llama_forward(
                 down_exps_b=w.get("ffn_down_exps_b"),
                 select_logits=hp.moe_select_logits,
                 weight_before_ffn=hp.moe_weight_before_ffn,
+                x_router=x_in if hp.moe_router_raw_input else None,
             )
             if "ffn_gate_shexp" in w:
                 # shared expert; qwen2moe gates it with its own sigmoid
@@ -490,7 +491,11 @@ def llama_forward(
             if has_swa:
                 w["_is_swa"] = jnp.asarray(bool(hp.swa_layers[li]))
             if hp.no_rope_layer_step:
-                w["_is_nope"] = jnp.asarray((li + 1) % hp.no_rope_layer_step == 0)
+                w["_is_nope"] = jnp.asarray(
+                    li % hp.no_rope_layer_step == 0
+                    if hp.no_rope_mod0
+                    else (li + 1) % hp.no_rope_layer_step == 0
+                )
             (x, kc, vc), stats = layer_step(
                 (x, kv_at(kv_k, li), kv_at(kv_v, li)), w,
                 hq=hp.n_head_layers[li] if hp.n_head_layers else None,
@@ -528,7 +533,12 @@ def llama_forward(
         layers["_is_swa"] = jnp.asarray(hp.swa_layers)
     if hp.no_rope_layer_step:
         layers["_is_nope"] = jnp.asarray(
-            [(il + 1) % hp.no_rope_layer_step == 0 for il in range(hp.n_layer)]
+            [
+                il % hp.no_rope_layer_step == 0
+                if hp.no_rope_mod0
+                else (il + 1) % hp.no_rope_layer_step == 0
+                for il in range(hp.n_layer)
+            ]
         )
     # layer-stacked packed weights stay out of the scan xs: the kernel
     # indexes the layer itself (see _linear / quantized_matmul `layer`)

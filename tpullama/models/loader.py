@@ -385,8 +385,8 @@ def load_model(
 
         t5p = load_t5_params(reader, hp, fetch, dtype)
         params.update(t5p)
-    elif n_layer and (hp.is_hybrid or hp.has_heterogeneous_layers
-                      or hp.arch in ("deepseek2", "rwkv7", "arwkv7", "rwkv6qwen2")):
+    elif n_layer and (hp.is_hybrid or hp.has_heterogeneous_layers or hp.is_mla
+                      or hp.arch in ("rwkv7", "arwkv7", "rwkv6qwen2")):
         # hybrid archs (jamba): layers have heterogeneous tensor sets, so
         # keep a per-layer list (Python-loop forward) instead of stacking
         params["layer_list"] = [

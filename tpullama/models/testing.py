@@ -139,6 +139,13 @@ def make_tiny_llama_gguf(
         w.add_bool(f"{arch}.swin_norm", bool((extra_kv or {}).get("swin_norm", False)))
     if arch == "codeshell":
         w.add_f32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    if arch == "smallthinker":
+        # writing sliding_window>0 turns on SWA(4096 hardcoded) + the
+        # il%4==0 NoPE pattern (llama-model.cpp LLM_ARCH_SMALLTHINKER)
+        w.add_u32(f"{arch}.attention.sliding_window", 512)
+        w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
+        w.add_u32(f"{arch}.expert_gating_func", 1)  # softmax (explicit:
+        # the reference aborts on the unset/NONE default)
     if arch == "llama4":
         # interleaved MoE (every 2nd layer) + chunked-SWA defaults kick in
         # when no sliding_window key is written (llama-model.cpp:661-671)
@@ -244,10 +251,11 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.attn_k.weight", mat(kv_dim, n_embd), qtype)
             w.add_tensor(f"blk.{il}.attn_v.weight", mat(kv_dim, n_embd), qtype)
         w.add_tensor(f"blk.{il}.attn_output.weight", mat(n_embd, n_embd), qtype)
-        if arch in ("gpt2", "phi2", "gptneox", "bloom", "starcoder", "jais", "codeshell"):
+        if arch in ("gpt2", "phi2", "gptneox", "bloom", "starcoder", "jais",
+                    "codeshell", "pangu-embedded"):
             w.add_tensor(f"blk.{il}.attn_output.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
-        if arch in ("qwen2", "glm4moe"):
+        if arch in ("qwen2", "glm4moe", "pangu-embedded"):
             w.add_tensor(f"blk.{il}.attn_q.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k.bias", (0.1 * rng.standard_normal(kv_dim)).astype(np.float32), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_v.bias", (0.1 * rng.standard_normal(kv_dim)).astype(np.float32), GGMLType.F32)
@@ -311,7 +319,7 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_ffw_norm.weight", norm_w(n_embd), GGMLType.F32)
         if arch not in ("olmo2", "falcon", "phi2", "gpt-oss", "command-r", "cohere2",
-                        "olmo", "seed_oss", "dbrx", "glm4moe", "exaone4"):
+                        "olmo", "seed_oss", "dbrx", "glm4moe", "exaone4", "plamo"):
             w.add_tensor(f"blk.{il}.ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
         if arch in ("gpt2", "gptneox", "mpt", "bloom", "nemotron", "starcoder",
                     "jais", "codeshell"):
@@ -1174,6 +1182,89 @@ def make_tiny_falcon_h1_gguf(
         # falcon-h1's ffn_norm is emitted WITHOUT the ".weight" suffix
         w.add_tensor(p + "ffn_norm", norm_w(n_embd), GGMLType.F32)
         w.add_tensor(p + "ffn_gate.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+    w.write(path)
+    return path, n_vocab
+
+
+def make_tiny_mla_lite_gguf(
+    path,
+    arch: str = "plm",  # "plm" | "minicpm3"
+    n_embd: int = 64,
+    n_layer: int = 2,
+    n_head: int = 4,
+    qk_rope: int = 16,
+    qk_nope: int = 32,
+    v_head: int = 32,
+    q_rank: int = 24,
+    kv_rank: int = 32,
+    n_ff: int = 128,
+    seed: int = 0,
+):
+    """plm: MLA with plain Q + non-gated relu^2 FFN, tied output; minicpm3:
+    MLA with q-lora + gated silu FFN + MiniCPM scale stack, tied output
+    (llama-model.cpp LLM_ARCH_PLM / LLM_ARCH_MINICPM3)."""
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    qk_head = qk_rope + qk_nope
+
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", f"tiny-test-{arch}")
+    w.add_u32(f"{arch}.context_length", 512)
+    w.add_u32(f"{arch}.embedding_length", n_embd)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_u32(f"{arch}.feed_forward_length", n_ff)
+    w.add_u32(f"{arch}.attention.head_count", n_head)
+    w.add_u32(f"{arch}.attention.head_count_kv", n_head)
+    w.add_u32(f"{arch}.attention.key_length", qk_head)
+    w.add_u32(f"{arch}.attention.value_length", v_head)
+    w.add_u32(f"{arch}.rope.dimension_count", qk_rope)
+    w.add_f32(f"{arch}.rope.freq_base", 10000.0)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_u32(f"{arch}.attention.kv_lora_rank", kv_rank)
+    if arch == "minicpm3":
+        w.add_u32(f"{arch}.attention.q_lora_rank", q_rank)
+    w.add_u32(f"{arch}.vocab_size", n_vocab)
+    w.add_str("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.bos_token_id", 1)
+    w.add_u32("tokenizer.ggml.eos_token_id", 2)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 0)
+    w.add_bool("tokenizer.ggml.add_bos_token", True)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    # both archs tie lm_head to the token embedding
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        w.add_tensor(p + "attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if arch == "minicpm3":
+            w.add_tensor(p + "attn_q_a.weight", mat(q_rank, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_q_a_norm.weight", norm_w(q_rank), GGMLType.F32)
+            w.add_tensor(p + "attn_q_b.weight", mat(n_head * qk_head, q_rank), GGMLType.F32)
+        else:
+            w.add_tensor(p + "attn_q.weight", mat(n_head * qk_head, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_kv_a_mqa.weight", mat(kv_rank + qk_rope, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_kv_a_norm.weight", norm_w(kv_rank), GGMLType.F32)
+        w.add_tensor(p + "attn_kv_b.weight",
+                     mat(n_head * (qk_nope + v_head), kv_rank), GGMLType.F32)
+        w.add_tensor(p + "attn_output.weight", mat(n_embd, n_head * v_head), GGMLType.F32)
+        w.add_tensor(p + "ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if arch == "minicpm3":
+            w.add_tensor(p + "ffn_gate.weight", mat(n_ff, n_embd), GGMLType.F32)
         w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
         w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
     w.write(path)

@@ -49,13 +49,16 @@ def moe_ffn(
     weight_before_ffn: bool = False,
     select_logits: bool = False,  # llama4: top-k on raw router logits,
     # sigmoid applied only to the selected weights (llama-graph.cpp:947-949)
+    x_router=None,  # smallthinker: router logits from the raw layer input
+    # (models/smallthinker.cpp:32), experts still run on x
 ):
     B, T, D = x.shape
     E = gate_inp.shape[0]
     K = n_expert_used
     xf = x.astype(jnp.float32)
 
-    logits = jnp.einsum("btd,ed->bte", xf, gate_inp.astype(jnp.float32))
+    xr = xf if x_router is None else x_router.astype(jnp.float32)
+    logits = jnp.einsum("btd,ed->bte", xr, gate_inp.astype(jnp.float32))
     if gate_inp_b is not None:
         logits = logits + gate_inp_b.astype(jnp.float32)
 

@@ -163,7 +163,7 @@ class Context:
         elif self.hp.n_swa:
             vis = vis & (kv_pos[:, None, :] > positions[:, :, None] - self.hp.n_swa)
             mask = jnp.where(vis, jnp.float32(0), NEG_INF)[:, None, :, :]
-        if self.hp.arch == "deepseek2":
+        if self.hp.is_mla:
             from ..models.deepseek import deepseek2_forward
 
             logits, (kv_k, kv_v) = deepseek2_forward(
