@@ -498,3 +498,26 @@ def test_mla_lite_matches_reference(tmp_path, arch):
     # auto-probe asserts instead of falling back, so force FA off
     ref = run_reference(path, ("-fa", "off")).split(b" [end of text]")[0].replace(b"\x00", b"")
     assert ours == ref
+
+
+@needs_cli
+@pytest.mark.parametrize("arch,kw", [
+    ("phimoe", dict(n_expert=4, n_head_kv=2)),
+    ("minimax-m2", dict(n_expert=4, n_head_kv=2)),
+    ("grovemoe", dict(n_expert=4, n_head_kv=2)),
+    ("bailingmoe2", dict(n_expert=4, n_head_kv=2, n_layer=4)),
+    ("afmoe", dict(n_expert=4, n_head_kv=2, n_layer=4)),
+    ("apertus", dict(n_head_kv=2)),
+])
+def test_arch_batch_j_matches_reference(tmp_path, arch, kw):
+    """phimoe: phi3 graph + biased RMS norms + softmax MoE; minimax-m2:
+    full-width qk norms + selection-biased MoE; grovemoe: shared-router
+    chunk adjustment experts (sigmoid selection, id division); bailingmoe2:
+    fused qkv + qk norms + scaled MoE + NextN skip; afmoe: dual norms,
+    gated attention output, NoPE/SWA pattern, dense lead; apertus:
+    per-layer xIELU FFN."""
+    path = str(tmp_path / f"tiny_{arch}.gguf")
+    make_tiny_llama_gguf(path, n_layer=kw.pop("n_layer", 2), arch=arch, seed=67, **kw)
+    ours = run_ours(path).replace(b"\x00", b"")
+    ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
+    assert ours == ref

@@ -100,6 +100,14 @@ class HParams:
     nextn_layers: int = 0  # trailing MTP layers excluded from the forward (glm4moe)
     n_ff_exp: int = 0
     n_ff_shexp: int = 0
+    n_expert_groups: int = 0  # DeepSeek-V3 group-limited routing
+    n_group_used: int = 0
+    moe_select_sigmoid: bool = False  # grovemoe: top-k over sigmoid(logits)
+    n_ff_chexp: int = 0  # grovemoe chunk (adjustment) expert width
+    expert_group_scale: float = 0.0  # grovemoe chunk-output multiplier
+    n_group_experts: int = 0  # grovemoe experts per group (chunk id divisor)
+    xielu_params: tuple = ()  # apertus: per-layer (alpha_n', alpha_p', beta,
+    # eps) with the softplus transforms pre-applied (ggml_xielu, ggml.c:2712)
 
     # SSM (mamba-family; %s.ssm.* keys, llama-arch.cpp:231-236)
     ssm_d_conv: int = 0
@@ -155,7 +163,8 @@ class HParams:
         with an unrolled Python loop instead of lax.scan (the tensor sets
         differ per layer, so a homogeneous stack is impossible)."""
         return (
-            self.arch in ("dots1", "glm4moe", "ernie4_5-moe", "openelm", "deci")
+            self.arch in ("dots1", "glm4moe", "ernie4_5-moe", "openelm", "deci",
+                          "bailingmoe2", "afmoe")
             or (self.arch == "llama4" and self.n_expert > 0 and self.n_moe_layer_step > 1)
         )
 
@@ -267,6 +276,8 @@ class HParams:
             n_expert=int(g("expert_count", 0) or 0),
             n_expert_used=int(g("expert_used_count", 0) or 0),
             n_expert_shared=int(g("expert_shared_count", 0) or 0),
+            n_expert_groups=int(g("expert_group_count", 0) or 0),
+            n_group_used=int(g("expert_group_used_count", 0) or 0),
             expert_weights_scale=float(g("expert_weights_scale", 0.0) or 0.0),
             expert_weights_norm=bool(g("expert_weights_norm", False)),
             expert_gating_func=int(g("expert_gating_func", 1) or 1),
@@ -430,6 +441,62 @@ class HParams:
                 if hp.n_layer != 4:
                     hp.no_rope_layer_step = 4
                     hp.no_rope_mod0 = True
+        if arch == "minimax-m2":
+            # full-width (pre-reshape) q/k RMS norms, MoE every layer with
+            # renormalized top-k (models/minimax-m2.cpp:39-46,86-95)
+            hp.qk_norm_full = True
+        if arch == "grovemoe":
+            # two MoE passes sharing one router: main experts, then chunk
+            # "adjustment" experts indexed by sel//n_group_experts, scaled
+            # and added (models/grovemoe.cpp:80-116); selection over
+            # sigmoid(logits), weights from softmax (llama-graph.cpp:952)
+            hp.moe_select_sigmoid = True
+            hp.n_ff_chexp = int(g("expert_chunk_feed_forward_length", 0) or 0)
+            hp.expert_group_scale = float(g("expert_group_scale", 0.05) or 0.05)
+            hp.n_group_experts = int(g("experts_per_group", 1) or 1)
+        if arch == "bailingmoe2":
+            # glm4moe-shaped: dense lead, trailing NextN layers skipped,
+            # per-head qk norms, gated MoE with APPLIED weights scale +
+            # shared expert (models/bailingmoe2.cpp)
+            hp.moe_norm_topk = hp.expert_weights_norm
+            hp.nextn_layers = int(g("nextn_predict_layers", 0) or 0)
+            hp.n_layer -= hp.nextn_layers
+        if arch == "afmoe":
+            # dual pre/post norms around both blocks, sigmoid-gated
+            # attention output (attn_gate), per-head qk norms, NoPE every
+            # 4th layer + SWA pattern 4, dense lead + sigmoid MoE
+            # (models/afmoe.cpp; llama-model.cpp LLM_ARCH_AFMOE)
+            hp.embd_scale = float(np.sqrt(n_embd)) if n_embd else 0.0
+            if hp.expert_gating_func == 1 and g("expert_gating_func") is None:
+                hp.expert_gating_func = 2  # sigmoid default
+            hp.moe_norm_topk = hp.expert_weights_norm
+            hp.no_rope_layer_step = 4  # hparams default, independent of SWA
+            if hp.n_swa > 0:
+                hp.swa_layers = tuple(il % 4 < 3 for il in range(hp.n_layer))
+                hp.rope_freq_base_swa = hp.rope_freq_base
+        if arch == "apertus":
+            # non-gated xIELU FFN with per-layer learnable coefficients;
+            # ggml_xielu pre-applies softplus to the alphas (ggml.c:2712-2726)
+            hp.ffn_gated = False
+            hp.act = "xielu"
+
+            def _sp(v):  # softplus
+                return float(np.log1p(np.exp(v)))
+
+            def _arr(key, default):
+                v = kv.get(key, default)  # xielu keys have no arch prefix
+                if isinstance(v, (list, tuple, np.ndarray)):
+                    return [float(x) for x in v]
+                return [float(v)] * hp.n_layer
+
+            a_n = _arr("xielu.alpha_n", 0.8)
+            a_p = _arr("xielu.alpha_p", 0.8)
+            beta = _arr("xielu.beta", 0.5)
+            eps = _arr("xielu.eps", -1e-6)
+            hp.xielu_params = tuple(
+                (b + _sp(an), _sp(ap), b, e)
+                for an, ap, b, e in zip(a_n, a_p, beta, eps)
+            )
         if arch == "bailingmoe":
             # head dim comes from rope.dimension_count, not n_embd/n_head
             # (models/bailingmoe.cpp:54-56 reshape with n_rot; tensor shapes

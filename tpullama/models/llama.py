@@ -153,7 +153,7 @@ def llama_forward(
     def norm_fn(h, wgt, bias=None):
         if hp.norm_type == "layer":
             return layer_norm(h, wgt, bias, hp.f_norm_eps)
-        return rms_norm(h, wgt, hp.f_norm_rms_eps)
+        return rms_norm(h, wgt, hp.f_norm_rms_eps, bias)
 
     def layer_step(carry, layer, hq=None, hkv=None):
         x, k_cache, v_cache = carry
@@ -296,6 +296,11 @@ def llama_forward(
                 alibi_slopes=alibi_slopes,
             )
         att = att.reshape(B, T, Hq_l * Dv)
+        if "attn_gate" in w:
+            # afmoe: attention output gated by sigmoid(gate(attn_norm_out))
+            # BEFORE the o-projection (models/afmoe.cpp:47,83-87)
+            g = _linear(h_attn, w["attn_gate"], lmeta.get("attn_gate"))
+            att = att * jax.nn.sigmoid(g.astype(jnp.float32)).astype(att.dtype)
         att_in = att
         att = _linear(att, w["attn_output"], lmeta.get("attn_output"))
         if "attn_output_bias" in w:
@@ -356,7 +361,32 @@ def llama_forward(
                 select_logits=hp.moe_select_logits,
                 weight_before_ffn=hp.moe_weight_before_ffn,
                 x_router=x_in if hp.moe_router_raw_input else None,
+                select_sigmoid=hp.moe_select_sigmoid,
+                n_expert_groups=hp.n_expert_groups,
+                n_group_used=hp.n_group_used,
             )
+            if "ffn_up_chexps" in w:
+                # grovemoe adjustment experts: second MoE over the first
+                # pass's OUTPUT, sharing the router (same logits from h),
+                # ids divided into chunks, scaled add
+                # (models/grovemoe.cpp:100-116)
+                n_chunk = hp.n_expert // max(hp.n_group_experts, 1)
+                chunk = moe_ffn(
+                    down,
+                    w["ffn_gate_inp"],
+                    w.get("ffn_gate_chexps"),
+                    w["ffn_up_chexps"],
+                    w["ffn_down_chexps"],
+                    n_expert_used=min(hp.n_expert_used, n_chunk),
+                    norm_w=hp.moe_norm_topk,
+                    w_scale=0.0,
+                    gating=hp.expert_gating_func,
+                    act=hp.moe_act,
+                    select_sigmoid=True,
+                    expert_div=hp.n_group_experts,
+                    x_router=h,
+                )
+                down = down + chunk * hp.expert_group_scale
             if "ffn_gate_shexp" in w:
                 # shared expert; qwen2moe gates it with its own sigmoid
                 # router (llm_build_qwen2moe:104-119)
@@ -399,6 +429,16 @@ def llama_forward(
             elif hp.act == "relu_sqr":
                 # LLM_FFN_RELU_SQR (nemotron/arcee): relu(x)^2
                 act = (jnp.maximum(up.astype(jnp.float32), 0) ** 2).astype(up.dtype)
+            elif hp.act == "xielu":
+                # apertus xIELU (ggml-cpu/unary-ops.cpp op_xielu): x>0 ->
+                # a_p*x^2 + b*x; else (expm1(min(x,eps)) - x)*a_n + b*x
+                a_n, a_p, b_, e_ = (w["_xielu"][i] for i in range(4))
+                uf = up.astype(jnp.float32)
+                act = jnp.where(
+                    uf > 0,
+                    a_p * uf * uf + b_ * uf,
+                    (jnp.expm1(jnp.minimum(uf, e_)) - uf) * a_n + b_ * uf,
+                ).astype(up.dtype)
             else:
                 act = jax.nn.silu(up.astype(jnp.float32)).astype(up.dtype)
             act_saved = act
@@ -527,8 +567,10 @@ def llama_forward(
         return logits.astype(jnp.float32), (kv_k, kv_v)
 
     layers = params["layers"]
-    if has_swa or hp.no_rope_layer_step:
+    if has_swa or hp.no_rope_layer_step or hp.xielu_params:
         layers = dict(layers)
+    if hp.xielu_params:
+        layers["_xielu"] = jnp.asarray(hp.xielu_params, jnp.float32)  # (L, 4)
     if has_swa:
         layers["_is_swa"] = jnp.asarray(hp.swa_layers)
     if hp.no_rope_layer_step:

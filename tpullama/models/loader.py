@@ -58,6 +58,11 @@ _LAYER_TENSORS = {
     "ffn_down.weight": "ffn_down",
     "ffn_gate_inp.weight": "ffn_gate_inp",
     "ffn_norm_exps.weight": "ffn_norm_exps",
+    "attn_gate.weight": "attn_gate",
+    # grovemoe chunk (adjustment) experts
+    "ffn_gate_chexps.weight": "ffn_gate_chexps",
+    "ffn_up_chexps.weight": "ffn_up_chexps",
+    "ffn_down_chexps.weight": "ffn_down_chexps",
     "ffn_gate_exps.weight": "ffn_gate_exps",
     "ffn_up_exps.weight": "ffn_up_exps",
     "ffn_down_exps.weight": "ffn_down_exps",

@@ -139,6 +139,38 @@ def make_tiny_llama_gguf(
         w.add_bool(f"{arch}.swin_norm", bool((extra_kv or {}).get("swin_norm", False)))
     if arch == "codeshell":
         w.add_f32(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    if arch == "phimoe":
+        pass  # rms eps + expert keys only; fused wqkv + biased RMS norms
+    if arch == "minimax-m2":
+        w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
+        w.add_u32(f"{arch}.expert_gating_func", 2)  # sigmoid (required key)
+    if arch == "grovemoe":
+        w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
+        w.add_u32(f"{arch}.expert_chunk_feed_forward_length", n_ff // 2)
+        w.add_f32(f"{arch}.expert_group_scale", 0.1)
+        w.add_u32(f"{arch}.experts_per_group", 2)
+    if arch == "bailingmoe2":
+        w.add_u32(f"{arch}.leading_dense_block_count", 1)
+        w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
+        w.add_u32(f"{arch}.expert_shared_feed_forward_length", n_ff)
+        w.add_u32(f"{arch}.expert_shared_count", 1)
+        w.add_f32(f"{arch}.expert_weights_scale", 2.5)
+        w.add_bool(f"{arch}.expert_weights_norm", True)
+        w.add_u32(f"{arch}.expert_gating_func", 2)
+        w.add_u32(f"{arch}.nextn_predict_layers", 1)
+    if arch == "afmoe":
+        w.add_u32(f"{arch}.leading_dense_block_count", 1)
+        w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
+        w.add_u32(f"{arch}.expert_shared_count", 1)
+        w.add_f32(f"{arch}.expert_weights_scale", 2.826)
+        w.add_bool(f"{arch}.expert_weights_norm", True)
+        w.add_u32(f"{arch}.attention.sliding_window", 32)
+    if arch == "apertus":
+        # per-layer xIELU coefficient arrays (global keys, no arch prefix)
+        w.add_array("xielu.alpha_n", np.linspace(0.5, 0.9, n_layer).astype(np.float32))
+        w.add_array("xielu.alpha_p", np.linspace(0.6, 1.0, n_layer).astype(np.float32))
+        w.add_array("xielu.beta", np.full(n_layer, 0.5, np.float32))
+        w.add_array("xielu.eps", np.full(n_layer, -1e-6, np.float32))
     if arch == "smallthinker":
         # writing sliding_window>0 turns on SWA(4096 hardcoded) + the
         # il%4==0 NoPE pattern (llama-model.cpp LLM_ARCH_SMALLTHINKER)
@@ -217,9 +249,12 @@ def make_tiny_llama_gguf(
                      (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
     if arch == "phi2":
         w.add_tensor("output.bias", (0.1 * rng.standard_normal(n_vocab)).astype(np.float32), GGMLType.F32)
+    if arch == "phimoe":
+        w.add_tensor("output_norm.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
+        w.add_tensor("output.bias", (0.1 * rng.standard_normal(n_vocab)).astype(np.float32), GGMLType.F32)
     # which layers carry the MoE tensor set (dense-lead / interleave archs)
     if n_expert:
-        if arch in ("dots1", "glm4moe", "ernie4_5-moe"):
+        if arch in ("dots1", "glm4moe", "ernie4_5-moe", "bailingmoe2", "afmoe"):
             moe_layers = {il for il in range(n_layer) if il >= 1}
         elif arch == "llama4":
             moe_layers = {il for il in range(n_layer) if (il + 1) % 2 == 0}
@@ -238,7 +273,8 @@ def make_tiny_llama_gguf(
             w.add_tensor(f"blk.{il}.ffn_norm.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch in ("phi3", "gpt2", "falcon", "phi2", "gptneox", "mpt", "bloom",
-                    "starcoder", "qwen", "chatglm", "dbrx", "jais", "codeshell"):
+                    "starcoder", "qwen", "chatglm", "dbrx", "jais", "codeshell",
+                    "phimoe", "bailingmoe2"):
             # fused [Q|K|V] rows (llama-model.cpp phi3/gpt2/falcon wqkv)
             w.add_tensor(f"blk.{il}.attn_qkv.weight",
                          mat(n_embd + 2 * kv_dim, n_embd), qtype)
@@ -293,6 +329,23 @@ def make_tiny_llama_gguf(
                          (0.1 * rng.standard_normal((n_head, head_dim))).astype(np.float32), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k_norm.bias",
                          (0.1 * rng.standard_normal((n_head_kv, head_dim))).astype(np.float32), GGMLType.F32)
+        if arch in ("grovemoe", "bailingmoe2", "afmoe", "apertus"):
+            w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(head_dim), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
+        if arch == "minimax-m2":
+            # full-width (pre-reshape) q/k norms
+            w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(kv_dim), GGMLType.F32)
+        if arch == "afmoe":
+            w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.post_ffw_norm.weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_gate.weight", mat(n_embd, n_embd), qtype)
+        if arch == "phimoe":
+            def bias(n):
+                return (0.1 * rng.standard_normal(n)).astype(np.float32)
+            w.add_tensor(f"blk.{il}.attn_norm.bias", bias(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_output.bias", bias(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.ffn_norm.bias", bias(n_embd), GGMLType.F32)
         if arch in ("hunyuan-dense", "hunyuan-moe", "dots1", "glm4moe", "exaone4"):
             w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(head_dim), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
@@ -350,7 +403,7 @@ def make_tiny_llama_gguf(
                          GGMLType.F32)
         if n_expert and il in moe_layers:
             w.add_tensor(f"blk.{il}.ffn_gate_inp.weight", mat(n_expert, n_embd), GGMLType.F32)
-            if arch in ("dots1", "glm4moe"):
+            if arch in ("dots1", "glm4moe", "minimax-m2", "bailingmoe2", "afmoe"):
                 # expert-selection bias (DeepSeek-V3 style exp_probs_b)
                 w.add_tensor(f"blk.{il}.exp_probs_b.bias",
                              (0.3 * rng.standard_normal(n_expert)).astype(np.float32),
@@ -374,7 +427,8 @@ def make_tiny_llama_gguf(
                 w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_embd, n_embd), qtype)
                 w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_embd), qtype)
             if arch in ("qwen2moe", "dots1", "glm4moe", "ernie4_5-moe",
-                        "hunyuan-moe", "bailingmoe", "llama4"):
+                        "hunyuan-moe", "bailingmoe", "llama4", "bailingmoe2",
+                        "afmoe"):
                 w.add_tensor(f"blk.{il}.ffn_gate_shexp.weight", mat(n_ff, n_embd), qtype)
                 w.add_tensor(f"blk.{il}.ffn_up_shexp.weight", mat(n_ff, n_embd), qtype)
                 w.add_tensor(f"blk.{il}.ffn_down_shexp.weight", mat(n_embd, n_ff), qtype)
@@ -383,6 +437,20 @@ def make_tiny_llama_gguf(
                 w.add_tensor(f"blk.{il}.ffn_gate.weight", mat(n_ff, n_embd), qtype)
                 w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
                 w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
+            if arch == "grovemoe":
+                n_chunk = n_expert // 2
+                gc = np.stack([mat(n_ff // 2, n_embd) for _ in range(n_chunk)])
+                uc = np.stack([mat(n_ff // 2, n_embd) for _ in range(n_chunk)])
+                dc = np.stack([mat(n_embd, n_ff // 2) for _ in range(n_chunk)])
+                w.add_tensor(f"blk.{il}.ffn_gate_chexps.weight", gc, qtype)
+                w.add_tensor(f"blk.{il}.ffn_up_chexps.weight", uc, qtype)
+                w.add_tensor(f"blk.{il}.ffn_down_chexps.weight", dc, qtype)
+            if arch == "bailingmoe2" and il == n_layer - 1:
+                w.add_tensor(f"blk.{il}.nextn.eh_proj.weight",
+                             mat(n_embd, 2 * n_embd), GGMLType.F32)
+                w.add_tensor(f"blk.{il}.nextn.enorm.weight", norm_w(n_embd), GGMLType.F32)
+                w.add_tensor(f"blk.{il}.nextn.hnorm.weight", norm_w(n_embd), GGMLType.F32)
+                w.add_tensor(f"blk.{il}.layer_output_norm.weight", norm_w(n_embd), GGMLType.F32)
             if arch == "glm4moe" and il == n_layer - 1:
                 # trailing NextN/MTP layer extras (loaded-but-skipped)
                 w.add_tensor(f"blk.{il}.nextn.eh_proj.weight",
@@ -399,7 +467,7 @@ def make_tiny_llama_gguf(
             # fused [gate|up] rows, SWIGLU split at runtime
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(2 * n_ff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)
-        elif arch in ("starcoder2", "falcon", "arcee"):
+        elif arch in ("starcoder2", "falcon", "arcee", "apertus"):
             # non-gated FFN (GELU; relu^2 for arcee)
             w.add_tensor(f"blk.{il}.ffn_up.weight", mat(n_ff, n_embd), qtype)
             w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_ff), qtype)

@@ -51,6 +51,14 @@ def moe_ffn(
     # sigmoid applied only to the selected weights (llama-graph.cpp:947-949)
     x_router=None,  # smallthinker: router logits from the raw layer input
     # (models/smallthinker.cpp:32), experts still run on x
+    select_sigmoid: bool = False,  # grovemoe: top-k over sigmoid(logits)
+    # while weights come from the softmax probs (llama-graph.cpp:952-955)
+    expert_div: int = 0,  # grovemoe adjustment experts: selected ids are
+    # divided by n_group_experts to pick the chunk expert; weights still
+    # gathered from the full-size probs at the divided ids (:986-992)
+    n_expert_groups: int = 0,  # DeepSeek-V3 group-limited routing: keep the
+    n_group_used: int = 0,  # top groups (scored by their top-2 sum), mask
+    # the rest to -inf before the expert top-k (llama-graph.cpp:958-983)
 ):
     B, T, D = x.shape
     E = gate_inp.shape[0]
@@ -72,9 +80,24 @@ def moe_ffn(
     selection = probs if exp_probs_b is None else probs + exp_probs_b.astype(jnp.float32)
     if select_logits:
         selection = logits
+    if select_sigmoid:
+        selection = jax.nn.sigmoid(logits)
+
+    if n_expert_groups and n_expert_groups > 1:
+        G = n_expert_groups
+        sg = selection.reshape(B, T, G, E // G)
+        group_scores = jax.lax.top_k(sg, 2)[0].sum(axis=-1)  # (B, T, G)
+        _, gsel = jax.lax.top_k(group_scores, n_group_used)  # (B, T, n_used)
+        keep = jnp.any(
+            jax.nn.one_hot(gsel, G, dtype=jnp.bool_), axis=-2
+        )  # (B, T, G)
+        sg = jnp.where(keep[..., None], sg, -jnp.inf)
+        selection = sg.reshape(B, T, E)
 
     # top-k selection by selection probs; weights from unbiased probs
     _, sel = jax.lax.top_k(selection, K)  # (B, T, K) int32
+    if expert_div:
+        sel = sel // expert_div  # chunk/adjustment expert ids
     weights = jnp.take_along_axis(probs, sel, axis=-1)  # (B, T, K)
 
     if gating == GATING_SOFTMAX_WEIGHT:

@@ -7,14 +7,18 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def rms_norm(x, weight=None, eps: float = 1e-5):
-    """RMSNorm over the last axis, fp32 accumulation like the reference."""
+def rms_norm(x, weight=None, eps: float = 1e-5, bias=None):
+    """RMSNorm over the last axis, fp32 accumulation like the reference.
+    `bias` is added after scaling (build_norm's LLM_NORM_RMS + mb path,
+    used by phimoe's biased RMS norms)."""
     dt = x.dtype
     xf = x.astype(jnp.float32)
     mean2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
     out = xf * (1.0 / jnp.sqrt(mean2 + eps))
     if weight is not None:
         out = out * weight.astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
     return out.astype(dt)
 
 
