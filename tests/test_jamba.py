@@ -135,3 +135,30 @@ def test_falcon_h1_matches_reference(tmp_path):
     m = load_model(path)
     assert m.hparams.is_hybrid
     _greedy_vs_reference(path, m)
+
+
+@needs_cli
+@pytest.mark.parametrize("arch", ["lfm2", "lfm2moe"])
+def test_lfm2_matches_reference(tmp_path, arch):
+    """lfm2: short-conv recurrent layers + roped qk-normed attention;
+    lfm2moe adds dense-lead + sigmoid MoE with selection bias."""
+    from tpullama.models.testing import make_tiny_lfm2_gguf
+
+    path = str(tmp_path / f"{arch}.gguf")
+    make_tiny_lfm2_gguf(path, arch=arch, seed=71)
+    m = load_model(path)
+    assert m.hparams.is_hybrid
+    _greedy_vs_reference(path, m)
+
+
+@needs_cli
+def test_nemotron_h_matches_reference(tmp_path):
+    """nemotron-h: norm→op→residual single-op blocks (mamba2 / attention /
+    relu^2 FFN-only), no rope."""
+    from tpullama.models.testing import make_tiny_nemotron_h_gguf
+
+    path = str(tmp_path / "nh.gguf")
+    make_tiny_nemotron_h_gguf(path, seed=72)
+    m = load_model(path)
+    assert m.hparams.is_hybrid and m.hparams.hybrid_mamba2
+    _greedy_vs_reference(path, m)

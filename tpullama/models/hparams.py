@@ -124,6 +124,7 @@ class HParams:
 
     # hybrid (jamba): per-layer kv head counts; 0 = recurrent layer
     n_head_kv_layers: tuple = ()
+    n_shortconv_l_cache: int = 0  # lfm2 short-conv kernel length
 
     # DeepSeek-V2/V3 (MLA)
     n_lora_q: int = 0
@@ -178,12 +179,13 @@ class HParams:
     def hybrid_mamba2(self) -> bool:
         """Hybrid archs whose recurrent layers are mamba-2 blocks
         (build_mamba2_layer) rather than jamba's mamba-1."""
-        return self.arch in ("granite-hybrid", "falcon-h1")
+        return self.arch in ("granite-hybrid", "falcon-h1", "nemotron_h")
 
     @property
     def is_hybrid(self) -> bool:
         """Mixed attention + recurrent layers (jamba/granite-hybrid)."""
-        return self.arch in ("jamba", "granite-hybrid", "falcon-h1") or (
+        return self.arch in ("jamba", "granite-hybrid", "falcon-h1", "lfm2",
+                             "lfm2moe", "nemotron_h") or (
             bool(self.n_head_kv_layers)
             and 0 in self.n_head_kv_layers
             and self.ssm_d_state > 0  # deci/openelm zero-kv layers aren't SSM
@@ -497,6 +499,14 @@ class HParams:
                 (b + _sp(an), _sp(ap), b, e)
                 for an, ap, b, e in zip(a_n, a_p, beta, eps)
             )
+        if arch == "jamba":
+            # jamba's MoE weights are NOT renormalized
+            # (models/jamba.cpp build_moe_ffn call: norm_w=false)
+            hp.moe_norm_topk = False
+        if arch in ("lfm2", "lfm2moe"):
+            # short-conv recurrent layers (head_count_kv 0) + roped GQA
+            # attention layers with per-head qk norms (models/lfm2.cpp)
+            hp.n_shortconv_l_cache = int(g("shortconv.l_cache", 3) or 3)
         if arch == "bailingmoe":
             # head dim comes from rope.dimension_count, not n_embd/n_head
             # (models/bailingmoe.cpp:54-56 reshape with n_rot; tensor shapes

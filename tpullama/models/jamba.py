@@ -29,6 +29,23 @@ from .llama import _linear
 from .mamba import _mamba2_layer, _mamba_layer
 
 
+def _shortconv_layer(h, lp, conv_state, hp: HParams, last_idx=None):
+    """lfm2 short-conv block (models/lfm2.cpp build_shortconv_block):
+    in_proj -> [b | c | x] thirds, causal depthwise conv over b*x with a
+    carried (l_cache-1)-column state, y = c * conv_out, out_proj. No
+    activation anywhere."""
+    from .mamba import _causal_conv
+
+    bcx = _linear(h, lp["shortconv_in"])
+    n = bcx.shape[-1] // 3
+    b, c, xx = bcx[..., :n], bcx[..., n : 2 * n], bcx[..., 2 * n :]
+    conv_out, conv_state = _causal_conv(
+        b * xx, conv_state, lp["shortconv_conv"], None, last_idx
+    )
+    y = c * conv_out
+    return _linear(y, lp["shortconv_out"]), conv_state
+
+
 def attn_layer_indices(hp: HParams):
     if hp.arch == "falcon-h1":
         # every falcon-h1 layer runs attention AND mamba in parallel
@@ -39,6 +56,14 @@ def attn_layer_indices(hp: HParams):
 def mamba_layer_indices(hp: HParams):
     if hp.arch == "falcon-h1":
         return list(range(hp.n_layer))
+    if hp.arch == "nemotron_h":
+        # recurrent iff kv==0 AND ff==0; kv==0 with ff>0 is an FFN-only
+        # layer (llama-model.cpp LLM_ARCH_NEMOTRON_H)
+        return [
+            il
+            for il, h in enumerate(hp.n_head_kv_layers)
+            if h == 0 and (not hp.n_ff_layers or hp.n_ff_layers[il] == 0)
+        ]
     return [il for il, h in enumerate(hp.n_head_kv_layers) if h == 0]
 
 
@@ -61,8 +86,11 @@ def jamba_forward(
     Hq = hp.n_head
     batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
     fh1 = hp.arch == "falcon-h1"
-    # rope: falcon-h1 always (NEOX); granite-hybrid behind rope_finetuned
-    use_rope = fh1 or (hp.arch == "granite-hybrid" and hp.rope_finetuned)
+    lfm2 = hp.arch in ("lfm2", "lfm2moe")
+    nemh = hp.arch == "nemotron_h"
+    # rope: falcon-h1/lfm2 always (NEOX); granite-hybrid behind
+    # rope_finetuned; jamba/nemotron-h never
+    use_rope = fh1 or lfm2 or (hp.arch == "granite-hybrid" and hp.rope_finetuned)
     if use_rope:
         from .llama import rope_params
         from ..ops.rope import apply_rope, rope_cache
@@ -91,6 +119,10 @@ def jamba_forward(
         q = q.reshape(B, T, Hq, Dk)
         k = k.reshape(B, T, n_kv, Dk)
         v = v.reshape(B, T, n_kv, Dv)
+        if "attn_q_norm" in lp:
+            # lfm2: per-head RMS qk norms pre-rope (models/lfm2.cpp:96-101)
+            q = rms_norm(q, lp["attn_q_norm"], hp.f_norm_rms_eps)
+            k = rms_norm(k, lp["attn_k_norm"], hp.f_norm_rms_eps)
         if use_rope:
             q = apply_rope(q, cos, sin, rp.mode, rp.n_dims)
             k = apply_rope(k, cos, sin, rp.mode, rp.n_dims)
@@ -118,6 +150,20 @@ def jamba_forward(
             new_ssm.append(ss)
             ri += 1
             out = out + ssm_out
+        elif hp.n_head_kv_layers[il] == 0 and lfm2:
+            out, cs = _shortconv_layer(h, lp, conv_state[ri], hp, last_idx)
+            new_conv.append(cs)
+            new_ssm.append(ssm_state[ri])
+            ri += 1
+        elif hp.n_head_kv_layers[il] == 0 and nemh and "ffn_up" in lp:
+            # nemotron-h FFN-only layer: norm -> relu^2 FFN -> residual
+            # (models/nemotron-h.cpp build_ffn_layer; no second norm)
+            up = _linear(h, lp["ffn_up"]).astype(jnp.float32)
+            if "ffn_up_bias" in lp:
+                up = up + lp["ffn_up_bias"]
+            out = _linear((jnp.maximum(up, 0) ** 2).astype(x.dtype), lp["ffn_down"])
+            if "ffn_down_bias" in lp:
+                out = out + lp["ffn_down_bias"]
         elif hp.n_head_kv_layers[il] == 0:
             out, cs, ss = mamba_layer(
                 h, lp, conv_state[ri], ssm_state[ri], hp, None, last_idx
@@ -133,6 +179,8 @@ def jamba_forward(
         if hp.f_residual_scale:
             out = out * hp.f_residual_scale
         x = x + out
+        if nemh:
+            continue  # nemotron-h layers are single-op blocks
 
         h = rms_norm(x, lp["ffn_norm"], hp.f_norm_rms_eps)
         if "ffn_gate_inp" in lp:
@@ -142,10 +190,9 @@ def jamba_forward(
                 h, lp["ffn_gate_inp"], lp.get("ffn_gate_exps"),
                 lp["ffn_up_exps"], lp["ffn_down_exps"],
                 n_expert_used=hp.n_expert_used,
-                # jamba: no renorm; granite-hybrid MoE: norm_w=true
-                # (models/granite-hybrid.cpp:158-166)
-                norm_w=hp.arch == "granite-hybrid",
-                w_scale=0.0, gating=1,
+                norm_w=hp.moe_norm_topk,
+                w_scale=0.0, gating=hp.expert_gating_func,
+                exp_probs_b=lp.get("exp_probs_b"),
             )
             if "ffn_gate_shexp" in lp:
                 # granite MoE shared expert
@@ -181,7 +228,14 @@ def init_hybrid_states(hp: HParams, n_seqs: int, n_ctx: int, dtype=jnp.float32):
     S = n_ctx + 1  # +1 scratch row for padded-token writes
     kv_k = jnp.zeros((n_attn, n_seqs, S, hp.n_head_kv, hp.n_embd_head_k), dtype)
     kv_v = jnp.zeros((n_attn, n_seqs, S, hp.n_head_kv, hp.n_embd_head_v), dtype)
-    # mamba2 convolves over x+B+C channels, mamba1 over d_inner only
+    # mamba2 convolves over x+B+C channels, mamba1 over d_inner only;
+    # lfm2's short-conv runs over n_embd with an (l_cache-1)-column state
+    if hp.arch in ("lfm2", "lfm2moe"):
+        conv = jnp.zeros(
+            (n_rec, n_seqs, hp.n_shortconv_l_cache - 1, hp.n_embd), dtype
+        )
+        ssm = jnp.zeros((n_rec, n_seqs, 0, 0), dtype)
+        return kv_k, kv_v, conv, ssm
     d_conv_ch = (
         hp.ssm_d_inner + 2 * hp.ssm_n_group * hp.ssm_d_state
         if hp.hybrid_mamba2

@@ -59,6 +59,10 @@ _LAYER_TENSORS = {
     "ffn_gate_inp.weight": "ffn_gate_inp",
     "ffn_norm_exps.weight": "ffn_norm_exps",
     "attn_gate.weight": "attn_gate",
+    # lfm2 short-conv block
+    "shortconv.in_proj.weight": "shortconv_in",
+    "shortconv.conv.weight": "shortconv_conv",
+    "shortconv.out_proj.weight": "shortconv_out",
     # grovemoe chunk (adjustment) experts
     "ffn_gate_chexps.weight": "ffn_gate_chexps",
     "ffn_up_chexps.weight": "ffn_up_chexps",
@@ -327,7 +331,13 @@ def load_model(
             if pname is not None:
                 layer_names.setdefault(il, {})[pname] = name
         elif name in _TOP_TENSORS:
-            top[_TOP_TENSORS[name]] = name
+            pname = _TOP_TENSORS[name]
+            if hp.arch in ("lfm2", "lfm2moe") and name == "token_embd_norm.weight":
+                # lfm2 stores its FINAL norm under token_embd_norm (the
+                # reference's own tables call the name out as wrong,
+                # llama-arch.cpp LLM_ARCH_LFM2 OUTPUT_NORM entry)
+                pname = "output_norm"
+            top[pname] = name
 
     n_layer = hp.n_layer or (max(layer_names) + 1 if layer_names else 0)
     total = len(reader.tensors)

@@ -55,7 +55,8 @@ def _causal_conv(x, conv_state, w, b, last_idx=None):
     y = jnp.zeros_like(x)
     for k in range(d_conv):
         y = y + xc[:, k : k + T, :] * w[:, k][None, None, :]
-    y = y + b[None, None, :]
+    if b is not None:
+        y = y + b[None, None, :]
     if last_idx is None:
         new_state = xc[:, T:, :]
     else:

@@ -1339,6 +1339,187 @@ def make_tiny_mla_lite_gguf(
     return path, n_vocab
 
 
+def make_tiny_lfm2_gguf(
+    path,
+    arch: str = "lfm2",  # "lfm2" | "lfm2moe"
+    n_embd: int = 64,
+    n_layer: int = 4,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    l_cache: int = 3,
+    n_ff: int = 128,
+    n_expert: int = 4,
+    seed: int = 0,
+):
+    """LFM2: short-conv recurrent layers (head_count_kv 0) + roped GQA
+    attention with per-head qk norms; final norm stored as
+    token_embd_norm. lfm2moe adds dense-lead + sigmoid MoE layers."""
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    kv_dim = head_dim * n_head_kv
+    kv_arr = [n_head_kv if il % 2 == 0 else 0 for il in range(n_layer)]
+
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", f"tiny-test-{arch}")
+    w.add_u32(f"{arch}.context_length", 1 << 17)
+    w.add_u32(f"{arch}.embedding_length", n_embd)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_u32(f"{arch}.feed_forward_length", n_ff)
+    w.add_u32(f"{arch}.attention.head_count", n_head)
+    w.add_array(f"{arch}.attention.head_count_kv", np.asarray(kv_arr, np.uint32))
+    w.add_u32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_f32(f"{arch}.rope.freq_base", 10000.0)
+    w.add_u32(f"{arch}.shortconv.l_cache", l_cache)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_u32(f"{arch}.vocab_size", n_vocab)
+    if arch == "lfm2moe":
+        w.add_u32(f"{arch}.leading_dense_block_count", 1)
+        w.add_u32(f"{arch}.expert_count", n_expert)
+        w.add_u32(f"{arch}.expert_used_count", 2)
+        w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
+        w.add_u32(f"{arch}.expert_gating_func", 2)  # sigmoid (required)
+    w.add_str("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.bos_token_id", 1)
+    w.add_u32("tokenizer.ggml.eos_token_id", 2)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 0)
+    w.add_bool("tokenizer.ggml.add_bos_token", True)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), GGMLType.F32)
+    # lfm2 stores the final norm under token_embd_norm (llama-arch.cpp
+    # LLM_ARCH_LFM2 OUTPUT_NORM entry, "note: wrong tensor name")
+    w.add_tensor("token_embd_norm.weight", norm_w(n_embd), GGMLType.F32)
+    if arch == "lfm2":
+        # lfm2moe's tensor table has no "output" entry — always tied
+        w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
+    moe_lead = 1 if arch == "lfm2moe" else n_layer
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        w.add_tensor(p + "attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if kv_arr[il] == 0:
+            w.add_tensor(p + "shortconv.in_proj.weight", mat(3 * n_embd, n_embd), GGMLType.F32)
+            w.add_tensor(p + "shortconv.conv.weight", mat(n_embd, l_cache, 0.3), GGMLType.F32)
+            w.add_tensor(p + "shortconv.out_proj.weight", mat(n_embd, n_embd), GGMLType.F32)
+        else:
+            w.add_tensor(p + "attn_q.weight", mat(n_embd, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_k.weight", mat(kv_dim, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_v.weight", mat(kv_dim, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_output.weight", mat(n_embd, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_q_norm.weight", norm_w(head_dim), GGMLType.F32)
+            w.add_tensor(p + "attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
+        w.add_tensor(p + "ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if il >= moe_lead:
+            w.add_tensor(p + "ffn_gate_inp.weight", mat(n_expert, n_embd), GGMLType.F32)
+            w.add_tensor(p + "exp_probs_b.bias",
+                         (0.3 * rng.standard_normal(n_expert)).astype(np.float32), GGMLType.F32)
+            ge = np.stack([mat(n_ff, n_embd) for _ in range(n_expert)])
+            ue = np.stack([mat(n_ff, n_embd) for _ in range(n_expert)])
+            de = np.stack([mat(n_embd, n_ff) for _ in range(n_expert)])
+            w.add_tensor(p + "ffn_gate_exps.weight", ge, GGMLType.F32)
+            w.add_tensor(p + "ffn_up_exps.weight", ue, GGMLType.F32)
+            w.add_tensor(p + "ffn_down_exps.weight", de, GGMLType.F32)
+        else:
+            w.add_tensor(p + "ffn_gate.weight", mat(n_ff, n_embd), GGMLType.F32)
+            w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+            w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+    w.write(path)
+    return path, n_vocab
+
+
+def make_tiny_nemotron_h_gguf(
+    path,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    d_state: int = 32,
+    d_conv: int = 4,
+    n_group: int = 2,
+    n_ff: int = 128,
+    seed: int = 0,
+):
+    """Nemotron-H: single-op blocks — mamba2 (kv==0 && ff==0), attention
+    (kv>0), or relu^2 FFN-only (kv==0 && ff>0) — each norm→op→residual
+    (models/nemotron-h.cpp). Rope NONE."""
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    d_inner = 2 * n_embd
+    head_dim = n_embd // n_head
+    n_ssm_head = d_inner // 16
+    kv_dim = head_dim * n_head_kv
+    # layer plan: mamba2, ffn, attention, ffn
+    kv_arr = [0, 0, n_head_kv, 0]
+    ff_arr = [0, n_ff, 0, n_ff]
+    n_layer = len(kv_arr)
+
+    rng = np.random.default_rng(seed)
+    arch = "nemotron_h"
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", "tiny-test-nemotron-h")
+    w.add_u32(f"{arch}.context_length", 1 << 17)
+    w.add_u32(f"{arch}.embedding_length", n_embd)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_array(f"{arch}.feed_forward_length", np.asarray(ff_arr, np.uint32))
+    w.add_u32(f"{arch}.attention.head_count", n_head)
+    w.add_array(f"{arch}.attention.head_count_kv", np.asarray(kv_arr, np.uint32))
+    w.add_u32(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_u32(f"{arch}.ssm.inner_size", d_inner)
+    w.add_u32(f"{arch}.ssm.state_size", d_state)
+    w.add_u32(f"{arch}.ssm.time_step_rank", n_ssm_head)
+    w.add_u32(f"{arch}.ssm.group_count", n_group)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_u32(f"{arch}.vocab_size", n_vocab)
+    w.add_str("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.bos_token_id", 1)
+    w.add_u32("tokenizer.ggml.eos_token_id", 2)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 0)
+    w.add_bool("tokenizer.ggml.add_bos_token", True)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        w.add_tensor(p + "attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if kv_arr[il] == 0 and ff_arr[il] == 0:
+            _hybrid_mamba2_tensors(w, p, rng, n_embd, d_inner, d_state, d_conv,
+                                   n_group, n_ssm_head, mat, norm_w)
+        elif kv_arr[il] > 0:
+            w.add_tensor(p + "attn_q.weight", mat(n_embd, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_k.weight", mat(kv_dim, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_v.weight", mat(kv_dim, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_output.weight", mat(n_embd, n_embd), GGMLType.F32)
+        else:
+            w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+            w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+    w.write(path)
+    return path, n_vocab
+
+
 def make_tiny_t5_gguf(
     path,
     n_embd: int = 64,
