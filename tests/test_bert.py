@@ -131,3 +131,60 @@ def test_server_rerank_endpoint(tmp_path):
     finally:
         httpd.shutdown()
         httpd.engine.stop()
+
+
+import os
+
+LLAMA_EMB = os.environ.get("TPULLAMA_REF_EMB", "/tmp/refbuild/bin/llama-embedding")
+needs_emb = pytest.mark.skipif(
+    not os.path.exists(LLAMA_EMB), reason="reference llama-embedding not built"
+)
+
+
+def _embeddings_vs_reference(path, pooling="mean"):
+    import json
+    import subprocess
+
+    out = subprocess.run(
+        [LLAMA_EMB, "-m", path, "-p", "hello world", "--pooling", pooling,
+         "--embd-output-format", "json"],
+        capture_output=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    ref = np.asarray(json.loads(out.stdout)["data"][0]["embedding"], np.float32)
+
+    from tpullama.runtime.encoder import EncoderContext
+
+    m = load_model(path)
+    assert m.hparams.is_encoder
+    ctx = EncoderContext(m)
+    toks = m.vocab.tokenize("hello world", add_special=True)
+    ours = ctx.embeddings(toks, pooling=pooling, normalize=True)
+    np.testing.assert_allclose(ours, ref, rtol=3e-3, atol=3e-3)
+
+
+@needs_emb
+@pytest.mark.parametrize("arch", [
+    "bert", "nomic-bert", "nomic-bert-moe", "jina-bert-v2", "jina-bert-v3",
+    "neo-bert",
+])
+def test_encoder_family_matches_reference(tmp_path, arch):
+    """Encoder variants vs reference llama-embedding: bert (learned pos),
+    nomic-bert (rope+SwiGLU fused qkv), nomic-bert-moe (gateless GELU MoE
+    every 2nd layer), jina-bert-v2 (bidirectional ALiBi + GEGLU),
+    jina-bert-v3 (rope+GELU), neo-bert (pre-RMS-norm, fused SwiGLU)."""
+    path = str(tmp_path / f"{arch}.gguf")
+    make_tiny_bert_gguf(path, arch=arch, seed=81, pooling=1, n_layer=3)
+    _embeddings_vs_reference(path)
+
+
+@needs_emb
+def test_gemma_embedding_matches_reference(tmp_path):
+    """gemma-embedding: gemma3 sandwich-norm blocks run bidirectionally
+    with SYMMETRIC sliding-window attention (pattern 6)."""
+    from tpullama.models.testing import make_tiny_llama_gguf
+
+    path = str(tmp_path / "gemb.gguf")
+    make_tiny_llama_gguf(path, n_layer=8, arch="gemma-embedding", seed=83,
+                         tied_output=True)
+    _embeddings_vs_reference(path)

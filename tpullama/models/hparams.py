@@ -97,6 +97,7 @@ class HParams:
     no_rope_mod0: bool = False  # NoPE at il % step == 0 (smallthinker) instead
     # of (il+1) % step == 0 (llama4/smollm3)
     n_moe_layer_step: int = 0  # every Nth layer is MoE past the dense lead (ernie4_5-moe)
+    moe_every_n_layers: int = 0  # nomic-bert-moe: MoE at il %% n == 1
     nextn_layers: int = 0  # trailing MTP layers excluded from the forward (glm4moe)
     n_ff_exp: int = 0
     n_ff_shexp: int = 0
@@ -144,8 +145,9 @@ class HParams:
     @property
     def is_encoder(self) -> bool:
         """Bidirectional encoder (no KV cache, embeddings output)."""
-        return self.arch in ("bert", "nomic-bert", "jina-bert-v2", "gemma-embedding",
-                             "t5encoder")
+        return self.arch in ("bert", "nomic-bert", "nomic-bert-moe",
+                             "jina-bert-v2", "jina-bert-v3", "neo-bert",
+                             "gemma-embedding", "t5encoder")
 
     @property
     def is_recurrent(self) -> bool:
@@ -165,7 +167,7 @@ class HParams:
         differ per layer, so a homogeneous stack is impossible)."""
         return (
             self.arch in ("dots1", "glm4moe", "ernie4_5-moe", "openelm", "deci",
-                          "bailingmoe2", "afmoe")
+                          "bailingmoe2", "afmoe", "nomic-bert-moe")
             or (self.arch == "llama4" and self.n_expert > 0 and self.n_moe_layer_step > 1)
         )
 
@@ -307,11 +309,21 @@ class HParams:
         )
 
         # per-arch specialization (llama_model::load_hparams analogs)
-        if arch == "bert":
-            hp.norm_type = "layer"
-            hp.causal_attn = False
+        if arch in ("bert", "nomic-bert", "nomic-bert-moe", "jina-bert-v2",
+                    "jina-bert-v3", "neo-bert"):
+            hp.causal_attn = bool(g("attention.causal", False))
             _POOL = {0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}
             hp.pooling_type = _POOL.get(int(g("pooling_type", 0) or 0), "none")
+            if arch != "neo-bert":  # neo-bert keeps RMS pre-norm blocks
+                hp.norm_type = "layer"
+        if arch == "jina-bert-v2":
+            hp.f_max_alibi_bias = 8.0  # bidirectional ALiBi
+        if arch == "nomic-bert-moe":
+            hp.moe_every_n_layers = int(g("moe_every_n_layers", 0) or 0)
+        if arch == "nomic-bert":
+            hp.act = "silu"  # SwiGLU FFN (bert.cpp:152-156)
+        if arch in ("jina-bert-v3", "nomic-bert-moe"):
+            hp.act = "gelu"
         if arch in ("phi3", "phimoe"):
             hp.ffn_fused_up = True
         if arch == "olmo":
@@ -654,6 +666,16 @@ class HParams:
                     hp.f_attention_scale = 1.0 / float(np.sqrt(n_embd / max(n_head, 1)))
                 else:
                     hp.f_attention_scale = 1.0 / float(np.sqrt(n_embd_head_k))
+        elif arch == "gemma-embedding":
+            # gemma3 blocks, bidirectional, SYMMETRIC SWA pattern 6
+            # (llama-model.cpp LLM_ARCH_GEMMA_EMBEDDING)
+            hp.causal_attn = False
+            hp.swa_type = "symmetric"
+            hp.swa_layers = tuple(il % 6 < 5 for il in range(hp.n_layer))
+            hp.rope_freq_base_swa = 10000.0
+            hp.f_attention_scale = 1.0 / float(np.sqrt(n_embd_head_k)) if n_embd_head_k else 0.0
+            _POOL = {0: "none", 1: "mean", 2: "cls", 3: "last", 4: "rank"}
+            hp.pooling_type = _POOL.get(int(g("pooling_type", 0) or 0), "none")
         elif arch == "gemma2":
             hp.swa_layers = tuple(il % 2 < 1 for il in range(hp.n_layer))
             hp.rope_freq_base_swa = hp.rope_freq_base
@@ -669,13 +691,13 @@ class HParams:
             "llama", "llama4", "deci", "baichuan", "starcoder", "internlm2",
             "minicpm", "xverse", "command-r", "cohere2", "olmo", "arctic",
             "deepseek", "deepseek2", "plm", "chatglm", "granite", "granite-moe",
-            "granite-hybrid",
+            "granite-hybrid", "neo-bert",
             "chameleon", "bailingmoe", "smollm3", "arcee", "ernie4_5",
             "ernie4_5-moe", "mistral3", "glm4",
         }
         NONE_ARCHES = {"gpt2", "gptj", "mpt", "bloom", "starcoder", "refact",
                        "bert", "jina-bert-v2", "t5", "jamba", "mamba", "mamba2",
-                       "jais"}
+                       "jais", "nemotron_h", "wavtokenizer-dec"}
         if arch in NONE_ARCHES:
             hp.rope_type = -1  # LLAMA_ROPE_TYPE_NONE
         else:

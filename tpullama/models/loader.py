@@ -189,6 +189,7 @@ _TOP_TENSORS = {
     "cls.output.weight": "cls_output",
     "cls.output.bias": "cls_output_bias",
     "output_norm.weight": "output_norm",
+    "enc.output_norm.weight": "output_norm_enc",
     "output_norm.bias": "output_norm_bias",
     "output.weight": "output",
     "output.bias": "output_bias",

@@ -203,10 +203,12 @@ def make_tiny_llama_gguf(
         w.add_f32(f"{arch}.residual_scale", 0.5)
         w.add_f32(f"{arch}.embedding_scale", 12.0)
         w.add_f32(f"{arch}.attention.scale", 0.0078125)
-    if arch in ("gemma3", "gemma2"):
+    if arch in ("gemma3", "gemma2", "gemma-embedding"):
         w.add_u32(f"{arch}.attention.sliding_window", 32)
         w.add_u32(f"{arch}.attention.key_length", head_dim)
         w.add_u32(f"{arch}.attention.value_length", head_dim)
+    if arch == "gemma-embedding":
+        w.add_u32(f"{arch}.pooling_type", 1)  # mean
     w.add_str("tokenizer.ggml.model", "llama")
     w.add_array("tokenizer.ggml.tokens", tokens)
     w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
@@ -310,7 +312,7 @@ def make_tiny_llama_gguf(
         # note: mpt's optional qk_ln tensors are NOT written — the
         # reference's own mpt graph asserts on the non-contiguous
         # reshape of the K view when they are present (ggml.c:3530)
-        if arch == "gemma3":
+        if arch in ("gemma3", "gemma-embedding"):
             w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(head_dim), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
             w.add_tensor(f"blk.{il}.post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
@@ -796,17 +798,22 @@ def make_tiny_mamba2_gguf(
 
 def make_tiny_bert_gguf(
     path,
+    arch: str = "bert",
     n_embd: int = 64,
     n_layer: int = 2,
     n_head: int = 4,
     n_ff: int = 128,
     n_ctx: int = 64,
+    n_expert: int = 4,
     rank_head: bool = False,
     pooling: int = 2,
     seed: int = 0,
 ):
-    """Write a random tiny BERT GGUF (WPM vocab, post-LN encoder;
-    llama-arch.cpp:586-604 tensor set; rank_head adds cls/cls.output)."""
+    """Write a random tiny BERT-family GGUF (WPM vocab, post-LN encoder;
+    llama-arch.cpp:586-604 tensor set; rank_head adds cls/cls.output).
+    Variants: nomic-bert (rope+SwiGLU, fused qkv), nomic-bert-moe
+    (gateless GELU MoE at il%2==1), jina-bert-v2 (ALiBi + GEGLU),
+    jina-bert-v3 (rope + GELU), neo-bert (pre-RMS-norm, fused SwiGLU)."""
     tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
     for b in range(97, 123):
         tokens.append(chr(b))
@@ -814,19 +821,31 @@ def make_tiny_bert_gguf(
         tokens.append("##" + chr(b))
     types = [3, 2, 3, 3, 3] + [1] * (len(tokens) - 5)
     n_vocab = len(tokens)
+    head_dim = n_embd // n_head
 
     rng = np.random.default_rng(seed)
     w = GGUFWriter()
-    w.add_str("general.architecture", "bert")
-    w.add_str("general.name", "tiny-test-bert")
-    w.add_u32("bert.context_length", n_ctx)
-    w.add_u32("bert.embedding_length", n_embd)
-    w.add_u32("bert.block_count", n_layer)
-    w.add_u32("bert.feed_forward_length", n_ff)
-    w.add_u32("bert.attention.head_count", n_head)
-    w.add_f32("bert.attention.layer_norm_epsilon", 1e-12)
-    w.add_u32("bert.vocab_size", n_vocab)
-    w.add_u32("bert.pooling_type", 4 if rank_head else pooling)
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", f"tiny-test-{arch}")
+    w.add_u32(f"{arch}.context_length", n_ctx)
+    w.add_u32(f"{arch}.embedding_length", n_embd)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_u32(f"{arch}.feed_forward_length", n_ff)
+    w.add_u32(f"{arch}.attention.head_count", n_head)
+    if arch == "neo-bert":
+        w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    else:
+        w.add_f32(f"{arch}.attention.layer_norm_epsilon", 1e-12)
+    w.add_u32(f"{arch}.vocab_size", n_vocab)
+    w.add_u32(f"{arch}.pooling_type", 4 if rank_head else pooling)
+    w.add_bool(f"{arch}.attention.causal", False)
+    if arch in ("nomic-bert", "nomic-bert-moe", "jina-bert-v3", "neo-bert"):
+        w.add_u32(f"{arch}.rope.dimension_count", head_dim)
+        w.add_f32(f"{arch}.rope.freq_base", 10000.0)
+    if arch == "nomic-bert-moe":
+        w.add_u32(f"{arch}.moe_every_n_layers", 2)
+        w.add_u32(f"{arch}.expert_count", n_expert)
+        w.add_u32(f"{arch}.expert_used_count", 2)
     w.add_str("tokenizer.ggml.model", "bert")
     w.add_array("tokenizer.ggml.tokens", tokens)
     w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
@@ -835,6 +854,11 @@ def make_tiny_bert_gguf(
     w.add_u32("tokenizer.ggml.seperator_token_id", 3)
     w.add_u32("tokenizer.ggml.unknown_token_id", 1)
     w.add_u32("tokenizer.ggml.padding_token_id", 0)
+    # the reference defaults these to HF-BERT ids (101/103) beyond our
+    # tiny vocab; pin them explicitly
+    w.add_u32("tokenizer.ggml.cls_token_id", 2)
+    w.add_u32("tokenizer.ggml.mask_token_id", 4)
+    w.add_u32("tokenizer.ggml.token_type_count", 2)
 
     def mat(n_out, n_in, scale=None):
         if scale is None:
@@ -848,26 +872,65 @@ def make_tiny_bert_gguf(
         return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
 
     w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.05), GGMLType.F32)
-    w.add_tensor("token_types.weight", mat(2, n_embd, 0.05), GGMLType.F32)
-    w.add_tensor("position_embd.weight", mat(n_ctx, n_embd, 0.05), GGMLType.F32)
-    w.add_tensor("token_embd_norm.weight", norm_w(n_embd), GGMLType.F32)
-    w.add_tensor("token_embd_norm.bias", vec(n_embd), GGMLType.F32)
+    if arch == "neo-bert":
+        w.add_tensor("enc.output_norm.weight", norm_w(n_embd), GGMLType.F32)
+        for il in range(n_layer):
+            p = f"blk.{il}."
+            w.add_tensor(p + "attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_qkv.weight", mat(3 * n_embd, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_output.weight", mat(n_embd, n_embd), GGMLType.F32)
+            w.add_tensor(p + "ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(p + "ffn_up.weight", mat(2 * n_ff, n_embd), GGMLType.F32)
+            w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+        w.write(path)
+        return path, n_vocab
+    if arch != "neo-bert":
+        w.add_tensor("token_types.weight", mat(2, n_embd, 0.05), GGMLType.F32)
+        w.add_tensor("token_embd_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor("token_embd_norm.bias", vec(n_embd), GGMLType.F32)
+    if arch == "bert":
+        w.add_tensor("position_embd.weight", mat(n_ctx, n_embd, 0.05), GGMLType.F32)
     for il in range(n_layer):
         p = f"blk.{il}."
-        w.add_tensor(p + "attn_q.weight", mat(n_embd, n_embd), GGMLType.F32)
-        w.add_tensor(p + "attn_q.bias", vec(n_embd), GGMLType.F32)
-        w.add_tensor(p + "attn_k.weight", mat(n_embd, n_embd), GGMLType.F32)
-        w.add_tensor(p + "attn_k.bias", vec(n_embd), GGMLType.F32)
-        w.add_tensor(p + "attn_v.weight", mat(n_embd, n_embd), GGMLType.F32)
-        w.add_tensor(p + "attn_v.bias", vec(n_embd), GGMLType.F32)
+        if arch in ("nomic-bert", "nomic-bert-moe", "jina-bert-v3"):
+            # jina-v3's tensor table only has the fused qkv entry
+            w.add_tensor(p + "attn_qkv.weight", mat(3 * n_embd, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_qkv.bias", vec(3 * n_embd), GGMLType.F32)
+        else:
+            w.add_tensor(p + "attn_q.weight", mat(n_embd, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_q.bias", vec(n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_k.weight", mat(n_embd, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_k.bias", vec(n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_v.weight", mat(n_embd, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_v.bias", vec(n_embd), GGMLType.F32)
         w.add_tensor(p + "attn_output.weight", mat(n_embd, n_embd), GGMLType.F32)
         w.add_tensor(p + "attn_output.bias", vec(n_embd), GGMLType.F32)
         w.add_tensor(p + "attn_output_norm.weight", norm_w(n_embd), GGMLType.F32)
         w.add_tensor(p + "attn_output_norm.bias", vec(n_embd), GGMLType.F32)
-        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
-        w.add_tensor(p + "ffn_up.bias", vec(n_ff), GGMLType.F32)
-        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
-        w.add_tensor(p + "ffn_down.bias", vec(n_embd), GGMLType.F32)
+        if arch == "nomic-bert-moe" and il % 2 == 1:
+            # gateless GELU MoE (bert.cpp:130-135)
+            w.add_tensor(p + "ffn_gate_inp.weight", mat(n_expert, n_embd), GGMLType.F32)
+            ue = np.stack([mat(n_ff, n_embd) for _ in range(n_expert)])
+            de = np.stack([mat(n_embd, n_ff) for _ in range(n_expert)])
+            w.add_tensor(p + "ffn_up_exps.weight", ue, GGMLType.F32)
+            w.add_tensor(p + "ffn_down_exps.weight", de, GGMLType.F32)
+        elif arch == "nomic-bert":
+            # SwiGLU, no biases (bert.cpp:152-156)
+            w.add_tensor(p + "ffn_gate.weight", mat(n_ff, n_embd), GGMLType.F32)
+            w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+            w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+        elif arch == "jina-bert-v2":
+            # fused GEGLU: ffn_up holds [gate | up] (bert.cpp:144-150);
+            # ffn_down.bias is required-but-unused (the FFN call passes
+            # NULL biases) — write zeros
+            w.add_tensor(p + "ffn_up.weight", mat(2 * n_ff, n_embd), GGMLType.F32)
+            w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+            w.add_tensor(p + "ffn_down.bias", np.zeros(n_embd, np.float32), GGMLType.F32)
+        else:
+            w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+            w.add_tensor(p + "ffn_up.bias", vec(n_ff), GGMLType.F32)
+            w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+            w.add_tensor(p + "ffn_down.bias", vec(n_embd), GGMLType.F32)
         w.add_tensor(p + "layer_output_norm.weight", norm_w(n_embd), GGMLType.F32)
         w.add_tensor(p + "layer_output_norm.bias", vec(n_embd), GGMLType.F32)
     if rank_head:
