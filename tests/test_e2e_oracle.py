@@ -521,3 +521,26 @@ def test_arch_batch_j_matches_reference(tmp_path, arch, kw):
     ours = run_ours(path).replace(b"\x00", b"")
     ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
     assert ours == ref
+
+
+@needs_cli
+def test_bitnet_matches_reference(tmp_path):
+    """bitnet b1.58: scalar projection scales, attn/ffn sub-norms (RMS
+    before the o/down projections), tied lm head."""
+    path = str(tmp_path / "tiny_bitnet.gguf")
+    make_tiny_llama_gguf(path, n_layer=2, arch="bitnet", seed=85, n_head_kv=2,
+                         tied_output=True)
+    ours = run_ours(path).replace(b"\x00", b"")
+    ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
+    assert ours == ref
+
+
+@needs_cli
+def test_qwen2vl_text_matches_reference(tmp_path):
+    """qwen2vl text path: M-RoPE with equal t/h/w positions reduces to
+    NEOX rope; otherwise qwen2 (biased qkv)."""
+    path = str(tmp_path / "tiny_qwen2vl.gguf")
+    make_tiny_llama_gguf(path, n_layer=2, arch="qwen2vl", seed=87, n_head_kv=2)
+    ours = run_ours(path).replace(b"\x00", b"")
+    ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
+    assert ours == ref

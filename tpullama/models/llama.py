@@ -182,6 +182,12 @@ def llama_forward(
                 q = q + w["attn_q_bias"]
                 k = k + w["attn_k_bias"]
                 v = v + w["attn_v_bias"]
+        if "attn_q_scale" in w:
+            # bitnet: per-projection scalar scales stored as 1-elem
+            # tensors, multiplied after each matmul (models/bitnet.cpp)
+            q = q * w["attn_q_scale"]
+            k = k * w["attn_k_scale"]
+            v = v * w["attn_v_scale"]
         if hp.f_clamp_kqv:
             # mpt/dbrx/olmo clamp the qkv projections (ggml_clamp)
             q = jnp.clip(q, -hp.f_clamp_kqv, hp.f_clamp_kqv)
@@ -301,8 +307,14 @@ def llama_forward(
             # BEFORE the o-projection (models/afmoe.cpp:47,83-87)
             g = _linear(h_attn, w["attn_gate"], lmeta.get("attn_gate"))
             att = att * jax.nn.sigmoid(g.astype(jnp.float32)).astype(att.dtype)
+        if "attn_sub_norm" in w:
+            # bitnet: RMS norm on the attention output BEFORE the
+            # o-projection (models/bitnet.cpp:88-92)
+            att = rms_norm(att, w["attn_sub_norm"], hp.f_norm_rms_eps)
         att_in = att
         att = _linear(att, w["attn_output"], lmeta.get("attn_output"))
+        if "attn_output_scale" in w:
+            att = att * w["attn_output_scale"]
         if "attn_output_bias" in w:
             att = att + w["attn_output_bias"]
         if "post_attn_norm" in w:
@@ -447,9 +459,13 @@ def llama_forward(
                 down = down + w["ffn_down_bias"]
         else:
             gate = _linear(h, w["ffn_gate"], lmeta.get("ffn_gate"))
+            if "ffn_gate_scale" in w:  # bitnet scalar scales
+                gate = gate * w["ffn_gate_scale"]
             if "ffn_gate_bias" in w:
                 gate = gate + w["ffn_gate_bias"]
             up = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
+            if "ffn_up_scale" in w:
+                up = up * w["ffn_up_scale"]
             if "ffn_up_bias" in w:
                 up = up + w["ffn_up_bias"]
             gf = gate.astype(jnp.float32)
@@ -457,8 +473,13 @@ def llama_forward(
                 act = jax.nn.gelu(gf, approximate=True).astype(gate.dtype) * up
             else:
                 act = jax.nn.silu(gf).astype(gate.dtype) * up
+            if "ffn_sub_norm" in w:
+                # bitnet: RMS norm between the GLU and the down-projection
+                act = rms_norm(act, w["ffn_sub_norm"], hp.f_norm_rms_eps)
             act_saved = act
             down = _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
+            if "ffn_down_scale" in w:
+                down = down * w["ffn_down_scale"]
             if "ffn_down_bias" in w:
                 down = down + w["ffn_down_bias"]
         if "post_ffn_norm" in w:

@@ -59,6 +59,16 @@ _LAYER_TENSORS = {
     "ffn_gate_inp.weight": "ffn_gate_inp",
     "ffn_norm_exps.weight": "ffn_norm_exps",
     "attn_gate.weight": "attn_gate",
+    # bitnet scalar projection scales + sub norms
+    "attn_q.scale": "attn_q_scale",
+    "attn_k.scale": "attn_k_scale",
+    "attn_v.scale": "attn_v_scale",
+    "attn_output.scale": "attn_output_scale",
+    "ffn_gate.scale": "ffn_gate_scale",
+    "ffn_up.scale": "ffn_up_scale",
+    "ffn_down.scale": "ffn_down_scale",
+    "attn_sub_norm.weight": "attn_sub_norm",
+    "ffn_sub_norm.weight": "ffn_sub_norm",
     # lfm2 short-conv block
     "shortconv.in_proj.weight": "shortconv_in",
     "shortconv.conv.weight": "shortconv_conv",

@@ -165,6 +165,14 @@ def make_tiny_llama_gguf(
         w.add_f32(f"{arch}.expert_weights_scale", 2.826)
         w.add_bool(f"{arch}.expert_weights_norm", True)
         w.add_u32(f"{arch}.attention.sliding_window", 32)
+    if arch == "bitnet":
+        pass  # rms eps only; scales/sub-norms are tensor-driven
+    if arch == "qwen2vl":
+        # M-RoPE dim sections (t/h/w/e); with text-only positions all
+        # components equal and the rotation reduces to NEOX rope
+        w.add_array(f"{arch}.rope.dimension_sections",
+                    np.asarray([head_dim // 4, head_dim // 8, head_dim // 8, 0],
+                               np.uint32))
     if arch == "apertus":
         # per-layer xIELU coefficient arrays (global keys, no arch prefix)
         w.add_array("xielu.alpha_n", np.linspace(0.5, 0.9, n_layer).astype(np.float32))
@@ -293,7 +301,7 @@ def make_tiny_llama_gguf(
                     "codeshell", "pangu-embedded"):
             w.add_tensor(f"blk.{il}.attn_output.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
-        if arch in ("qwen2", "glm4moe", "pangu-embedded"):
+        if arch in ("qwen2", "qwen2vl", "glm4moe", "pangu-embedded"):
             w.add_tensor(f"blk.{il}.attn_q.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k.bias", (0.1 * rng.standard_normal(kv_dim)).astype(np.float32), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_v.bias", (0.1 * rng.standard_normal(kv_dim)).astype(np.float32), GGMLType.F32)
@@ -331,6 +339,18 @@ def make_tiny_llama_gguf(
                          (0.1 * rng.standard_normal((n_head, head_dim))).astype(np.float32), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k_norm.bias",
                          (0.1 * rng.standard_normal((n_head_kv, head_dim))).astype(np.float32), GGMLType.F32)
+        if arch == "bitnet":
+            def sc():
+                return np.asarray([abs(rng.standard_normal()) + 0.5], np.float32)
+            w.add_tensor(f"blk.{il}.attn_sub_norm.weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.ffn_sub_norm.weight", norm_w(n_ff), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_q.scale", sc(), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_k.scale", sc(), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_v.scale", sc(), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.attn_output.scale", sc(), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.ffn_gate.scale", sc(), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.ffn_up.scale", sc(), GGMLType.F32)
+            w.add_tensor(f"blk.{il}.ffn_down.scale", sc(), GGMLType.F32)
         if arch in ("grovemoe", "bailingmoe2", "afmoe", "apertus"):
             w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(head_dim), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
