@@ -156,7 +156,7 @@ def _embeddings_vs_reference(path, pooling="mean"):
     from tpullama.runtime.encoder import EncoderContext
 
     m = load_model(path)
-    assert m.hparams.is_encoder
+    assert m.hparams.is_encoder or m.hparams.is_diffusion
     ctx = EncoderContext(m)
     toks = m.vocab.tokenize("hello world", add_special=True)
     ours = ctx.embeddings(toks, pooling=pooling, normalize=True)
@@ -187,4 +187,22 @@ def test_gemma_embedding_matches_reference(tmp_path):
     path = str(tmp_path / "gemb.gguf")
     make_tiny_llama_gguf(path, n_layer=8, arch="gemma-embedding", seed=83,
                          tied_output=True)
+    _embeddings_vs_reference(path)
+
+
+@needs_emb
+@pytest.mark.parametrize("arch,kw", [
+    ("llada", {}),
+    ("dream", {}),
+    ("llada-moe", dict(n_expert=4)),
+    ("rnd1", dict(n_expert=4)),
+])
+def test_diffusion_graph_matches_reference(tmp_path, arch, kw):
+    """Masked-diffusion LM graphs (bidirectional attention) verified via
+    llama-embedding mean-pooled hidden states — the full graph minus the
+    lm head; generation itself is sampling-only on top of these logits."""
+    from tpullama.models.testing import make_tiny_llama_gguf
+
+    path = str(tmp_path / f"{arch}.gguf")
+    make_tiny_llama_gguf(path, n_layer=2, arch=arch, seed=89, n_head_kv=2, **kw)
     _embeddings_vs_reference(path)

@@ -172,6 +172,12 @@ class HParams:
         )
 
     @property
+    def is_diffusion(self) -> bool:
+        """Masked-diffusion LMs (non-causal, generated by iterative
+        unmasking via the diffusion CLI; examples/diffusion)."""
+        return self.arch in ("llada", "llada-moe", "dream", "rnd1")
+
+    @property
     def is_mla(self) -> bool:
         """Latent-compressed (MLA) attention archs sharing the deepseek2
         forward (models/{deepseek2,plm,minicpm3}.cpp)."""
@@ -440,6 +446,13 @@ class HParams:
             hp.embd_scale = 12.0
             hp.f_residual_scale = 1.4 / float(np.sqrt(hp.n_layer)) if hp.n_layer else 0.0
             hp.final_logit_scale = 256.0 / n_embd if n_embd else 0.0
+        if arch in ("llada", "llada-moe", "dream", "rnd1"):
+            # masked-diffusion LMs: bidirectional attention
+            # (llama-model.cpp LLM_ARCH_LLADA et al: causal_attn = false)
+            hp.causal_attn = False
+        if arch == "llada-moe":
+            # softmax MoE without top-k renorm (models/llada-moe.cpp:85-94)
+            hp.moe_norm_topk = False
         if arch == "smallthinker":
             # router reads the RAW layer input; relu-gated experts; NoPE at
             # il %% 4 == 0 only when SWA present (models/smallthinker.cpp)
@@ -691,7 +704,7 @@ class HParams:
             "llama", "llama4", "deci", "baichuan", "starcoder", "internlm2",
             "minicpm", "xverse", "command-r", "cohere2", "olmo", "arctic",
             "deepseek", "deepseek2", "plm", "chatglm", "granite", "granite-moe",
-            "granite-hybrid", "neo-bert",
+            "granite-hybrid", "neo-bert", "llada",
             "chameleon", "bailingmoe", "smollm3", "arcee", "ernie4_5",
             "ernie4_5-moe", "mistral3", "glm4",
         }

@@ -167,6 +167,12 @@ def make_tiny_llama_gguf(
         w.add_u32(f"{arch}.attention.sliding_window", 32)
     if arch == "bitnet":
         pass  # rms eps only; scales/sub-norms are tensor-driven
+    if arch in ("llada", "llada-moe", "dream", "rnd1"):
+        # masked-diffusion LMs: <unk> doubles as the mask token in the
+        # tiny vocab (diffusion-cli requires llama_vocab_mask)
+        w.add_u32("tokenizer.ggml.mask_token_id", 0)
+    if arch in ("llada-moe", "rnd1"):
+        w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
     if arch == "qwen2vl":
         # M-RoPE dim sections (t/h/w/e); with text-only positions all
         # components equal and the rotation reduces to NEOX rope
@@ -301,7 +307,7 @@ def make_tiny_llama_gguf(
                     "codeshell", "pangu-embedded"):
             w.add_tensor(f"blk.{il}.attn_output.bias",
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
-        if arch in ("qwen2", "qwen2vl", "glm4moe", "pangu-embedded"):
+        if arch in ("qwen2", "qwen2vl", "glm4moe", "pangu-embedded", "dream"):
             w.add_tensor(f"blk.{il}.attn_q.bias", (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k.bias", (0.1 * rng.standard_normal(kv_dim)).astype(np.float32), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_v.bias", (0.1 * rng.standard_normal(kv_dim)).astype(np.float32), GGMLType.F32)
@@ -383,7 +389,7 @@ def make_tiny_llama_gguf(
             # full-width q/k RMS norms pre-reshape (llm_build_olmoe)
             w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(n_embd), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(kv_dim), GGMLType.F32)
-        if arch in ("qwen3", "qwen3moe"):
+        if arch in ("qwen3", "qwen3moe", "llada-moe", "rnd1"):
             # per-head q/k RMS norm, no qkv biases (llm_build_qwen3)
             w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(head_dim), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)

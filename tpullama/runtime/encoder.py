@@ -31,7 +31,7 @@ class EncoderContext:
 
             embd = t5_encode(params, self.hp, tokens, pad_mask,
                              causal=self.hp.causal_attn)
-        elif self.hp.arch == "gemma-embedding":
+        elif self.hp.arch == "gemma-embedding" or self.hp.is_diffusion:
             # gemma3 block structure run bidirectionally with a SYMMETRIC
             # sliding window on SWA layers (models/gemma-embedding.cpp;
             # llama_hparams::is_masked_swa LLAMA_SWA_TYPE_SYMMETRIC)
@@ -42,10 +42,14 @@ class EncoderContext:
             vis = (pad_mask > 0)[:, None, None, :]  # (B,1,1,T) bidirectional
             mask_full = jnp.where(vis, 0.0, -1e30).astype(jnp.float32)
             mask_full = jnp.broadcast_to(mask_full, (B, 1, T, T))
-            diff = positions[:, :, None] - positions[:, None, :]
-            half = hp.n_swa // 2
-            vis_swa = vis & (jnp.abs(diff)[:, None] <= half)
-            mask_swa = jnp.where(vis_swa, 0.0, -1e30).astype(jnp.float32)
+            if hp.swa_layers:
+                diff = positions[:, :, None] - positions[:, None, :]
+                half = hp.n_swa // 2
+                vis_swa = vis & (jnp.abs(diff)[:, None] <= half)
+                mask_swa = jnp.where(vis_swa, 0.0, -1e30).astype(jnp.float32)
+                mask = (mask_full, mask_swa)
+            else:
+                mask = mask_full
             kv_k = jnp.zeros(
                 (hp.n_layer, B, T, hp.n_head_kv, hp.n_embd_head_k), jnp.float32
             )
@@ -55,7 +59,7 @@ class EncoderContext:
             slots = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
             _, embd, _ = llama_forward(
                 params, hp, tokens, positions, kv_k, kv_v, slots,
-                (mask_full, mask_swa), quant_meta=self.model.quant_meta,
+                mask, quant_meta=self.model.quant_meta,
                 return_embd=True,
             )
         else:

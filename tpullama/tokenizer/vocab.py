@@ -171,6 +171,7 @@ class Vocab:
         unk_id: int = TOKEN_NULL,
         sep_id: int = TOKEN_NULL,
         pad_id: int = TOKEN_NULL,
+        mask_id: int = TOKEN_NULL,
         add_bos: bool = False,
         add_eos: bool = False,
         add_sep: bool = False,
@@ -192,6 +193,7 @@ class Vocab:
         self.unk_id = unk_id
         self.sep_id = sep_id
         self.pad_id = pad_id
+        self.mask_id = mask_id
         self.add_bos = add_bos
         self.add_eos = add_eos
         self.add_sep = add_sep
@@ -340,13 +342,15 @@ class Vocab:
         ovr("tokenizer.ggml.unknown_token_id", "unk_id")
         ovr("tokenizer.ggml.seperator_token_id", "sep_id")
         ovr("tokenizer.ggml.padding_token_id", "pad_id")
+        ovr("tokenizer.ggml.mask_token_id", "mask_id")
         ovr("tokenizer.ggml.add_bos_token", "add_bos")
         ovr("tokenizer.ggml.add_eos_token", "add_eos")
         ovr("tokenizer.ggml.add_sep_token", "add_sep")
         ovr("tokenizer.ggml.add_space_prefix", "add_space_prefix")
         ovr("tokenizer.ggml.remove_extra_whitespaces", "remove_extra_whitespaces")
 
-        for k in ("bos_id", "eos_id", "eot_id", "eom_id", "unk_id", "sep_id", "pad_id"):
+        for k in ("bos_id", "eos_id", "eot_id", "eom_id", "unk_id", "sep_id", "pad_id",
+                  "mask_id"):
             if k in defaults and defaults[k] is not None:
                 defaults[k] = int(defaults[k])
 
