@@ -162,3 +162,17 @@ def test_nemotron_h_matches_reference(tmp_path):
     m = load_model(path)
     assert m.hparams.is_hybrid and m.hparams.hybrid_mamba2
     _greedy_vs_reference(path, m)
+
+
+@needs_cli
+def test_plamo2_matches_reference(tmp_path):
+    """plamo2: per-head mamba scan with B/C/dt RMS norms interleaved with
+    fused-qkv attention (2-D per-head qk norms), post-mixer/post-ffn
+    norms, fused-SWIGLU FFN."""
+    from tpullama.models.testing import make_tiny_plamo2_gguf
+
+    path = str(tmp_path / "p2.gguf")
+    make_tiny_plamo2_gguf(path, seed=91)
+    m = load_model(path)
+    assert m.hparams.is_hybrid
+    _greedy_vs_reference(path, m)

@@ -46,6 +46,116 @@ def _shortconv_layer(h, lp, conv_state, hp: HParams, last_idx=None):
     return _linear(y, lp["shortconv_out"]), conv_state
 
 
+def _plamo2_forward(
+    params, hp, tokens, positions, kv_k, kv_v, cache_slots, attn_mask,
+    conv_state, ssm_state, quant_meta=None, last_idx=None,
+):
+    """PLaMo-2 hybrid (models/plamo2.cpp): blocks are norm -> mixer
+    (mamba2-style per-head scan | fused-qkv attention with per-head 2-D
+    qk norms) -> post-mixer norm -> residual -> ffn_norm -> fused SWIGLU
+    -> post-ffn norm -> residual."""
+    from .llama import rope_params
+    from .mamba import _causal_conv, _selective_scan
+    from ..ops.rope import apply_rope, rope_cache
+
+    B, T = tokens.shape
+    Dk, Dv = hp.n_embd_head_k, hp.n_embd_head_v
+    Hq = hp.n_head
+    d_inner = hp.ssm_d_inner
+    d_state = hp.ssm_d_state
+    n_heads = hp.ssm_dt_rank
+    head_dim = d_inner // n_heads
+    dt_dim = max(64, hp.n_embd // 16)
+    batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    rp = rope_params(hp)
+    cos, sin = rope_cache(rp, positions)
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+
+    x = jnp.take(params["tok_embd"], tokens, axis=0)
+    ai = ri = 0
+    new_conv, new_ssm, new_k, new_v = [], [], [], []
+    for il, lp in enumerate(params["layer_list"]):
+        h = rms_norm(x, lp["attn_norm"], hp.f_norm_rms_eps)
+        if hp.n_head_kv_layers[il] == 0:
+            # mamba mixer: in_proj -> per-head-interleaved [z | x]
+            zx = _linear(h, lp["ssm_in"]).reshape(B, T, n_heads, 2 * head_dim)
+            z = zx[..., :head_dim].reshape(B, T, d_inner)
+            xi = zx[..., head_dim:].reshape(B, T, d_inner)
+            xi, cs = _causal_conv(xi, conv_state[ri], lp["ssm_conv1d"], None,
+                                  last_idx)
+            xi = jax.nn.silu(xi.astype(jnp.float32)).astype(x.dtype)
+            new_conv.append(cs)
+            # bcdt projection splits [B | C | dt], each RMS-normed
+            bcdt = _linear(xi, lp["ssm_x"])
+            Bm = rms_norm(bcdt[..., :d_state], lp["ssm_b_norm"], hp.f_norm_rms_eps)
+            Cm = rms_norm(bcdt[..., d_state : 2 * d_state], lp["ssm_c_norm"],
+                          hp.f_norm_rms_eps)
+            dt = rms_norm(bcdt[..., 2 * d_state : 2 * d_state + dt_dim],
+                          lp["ssm_dt_norm"], hp.f_norm_rms_eps)
+            dt = (_linear(dt, lp["ssm_dt"]) + lp["ssm_dt_b"]).astype(jnp.float32)
+            dt_full = jnp.repeat(dt, head_dim, axis=-1)  # (B, T, d_inner)
+            A = lp["ssm_a"].astype(jnp.float32).reshape(n_heads)
+            A_full = jnp.broadcast_to(
+                jnp.repeat(A, head_dim)[:, None], (d_inner, d_state)
+            )
+            B_full = jnp.broadcast_to(
+                Bm.astype(jnp.float32)[:, :, None, :], (B, T, d_inner, d_state)
+            )
+            C_full = jnp.broadcast_to(
+                Cm.astype(jnp.float32)[:, :, None, :], (B, T, d_inner, d_state)
+            )
+            y, ss = _selective_scan(
+                ssm_state[ri], xi.astype(jnp.float32), dt_full, A_full,
+                B_full, C_full, last_idx,
+            )
+            new_ssm.append(ss)
+            ri += 1
+            D = jnp.repeat(lp["ssm_d"].astype(jnp.float32).reshape(n_heads),
+                           head_dim)
+            y = y + xi.astype(jnp.float32) * D[None, None, :]
+            y = jax.nn.silu(z.astype(jnp.float32)) * y
+            mix = _linear(y.astype(x.dtype), lp["ssm_out"])
+        else:
+            n_kv = hp.n_head_kv_layers[il]
+            qkv = _linear(h, lp["attn_qkv"])
+            n_q = Hq * Dk
+            q = qkv[..., :n_q].reshape(B, T, Hq, Dk)
+            k = qkv[..., n_q : n_q + n_kv * Dk].reshape(B, T, n_kv, Dk)
+            v = qkv[..., n_q + n_kv * Dk :].reshape(B, T, n_kv, Dv)
+            # per-head 2-D RMS qk norms (weights (H, Dk)) pre-rope
+            q = rms_norm(q, None, hp.f_norm_rms_eps) * lp["attn_q_norm"].astype(q.dtype)
+            k = rms_norm(k, None, hp.f_norm_rms_eps) * lp["attn_k_norm"].astype(k.dtype)
+            q = apply_rope(q, cos, sin, rp.mode, rp.n_dims)
+            k = apply_rope(k, cos, sin, rp.mode, rp.n_dims)
+            kc = kv_k[ai].at[batch_idx, cache_slots].set(k.astype(kv_k.dtype))
+            vc = kv_v[ai].at[batch_idx, cache_slots].set(v.astype(kv_v.dtype))
+            att = attention(q, kc, vc, mask=attn_mask, scale=1.0 / (Dv**0.5))
+            mix = _linear(att.reshape(B, T, Hq * Dv), lp["attn_output"])
+            new_k.append(kc)
+            new_v.append(vc)
+            ai += 1
+        mix = rms_norm(mix, lp["post_attn_norm"], hp.f_norm_rms_eps)
+        x = x + mix
+
+        h2 = rms_norm(x, lp["ffn_norm"], hp.f_norm_rms_eps)
+        up2 = _linear(h2, lp["ffn_up"])
+        n_ff = up2.shape[-1] // 2
+        gate, up = up2[..., :n_ff], up2[..., n_ff:]
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+        down = _linear(act, lp["ffn_down"])
+        down = rms_norm(down, lp["post_ffn_norm"], hp.f_norm_rms_eps)
+        x = x + down
+
+    x = rms_norm(x, params["output_norm"], hp.f_norm_rms_eps)
+    logits = _linear(x, params.get("output", params["tok_embd"]))
+    return logits.astype(jnp.float32), (
+        jnp.stack(new_k) if new_k else kv_k,
+        jnp.stack(new_v) if new_v else kv_v,
+        jnp.stack(new_conv) if new_conv else conv_state,
+        jnp.stack(new_ssm) if new_ssm else ssm_state,
+    )
+
+
 def attn_layer_indices(hp: HParams):
     if hp.arch == "falcon-h1":
         # every falcon-h1 layer runs attention AND mamba in parallel
@@ -81,6 +191,11 @@ def jamba_forward(
     quant_meta=None,
     last_idx=None,
 ):
+    if hp.arch == "plamo2":
+        return _plamo2_forward(
+            params, hp, tokens, positions, kv_k, kv_v, cache_slots,
+            attn_mask, conv_state, ssm_state, quant_meta, last_idx,
+        )
     B, T = tokens.shape
     Dk, Dv = hp.n_embd_head_k, hp.n_embd_head_v
     Hq = hp.n_head
@@ -230,6 +345,12 @@ def init_hybrid_states(hp: HParams, n_seqs: int, n_ctx: int, dtype=jnp.float32):
     kv_v = jnp.zeros((n_attn, n_seqs, S, hp.n_head_kv, hp.n_embd_head_v), dtype)
     # mamba2 convolves over x+B+C channels, mamba1 over d_inner only;
     # lfm2's short-conv runs over n_embd with an (l_cache-1)-column state
+    if hp.arch == "plamo2":
+        # conv runs over d_inner only (the reference over-allocates to
+        # d_inner + 2*G*d_state but uses just d_inner, models/plamo2.cpp)
+        conv = jnp.zeros((n_rec, n_seqs, hp.ssm_d_conv - 1, hp.ssm_d_inner), dtype)
+        ssm = jnp.zeros((n_rec, n_seqs, hp.ssm_d_inner, hp.ssm_d_state), dtype)
+        return kv_k, kv_v, conv, ssm
     if hp.arch in ("lfm2", "lfm2moe"):
         conv = jnp.zeros(
             (n_rec, n_seqs, hp.n_shortconv_l_cache - 1, hp.n_embd), dtype

@@ -97,7 +97,9 @@ _LAYER_TENSORS = {
     "ffn_gate_inp.bias": "ffn_gate_inp_b",
     "ffn_gate.bias": "ffn_gate_bias",
     "post_attention_norm.weight": "post_attn_norm",
+    "post_attention_norm": "post_attn_norm",  # plamo2: no ".weight" suffix
     "post_ffw_norm.weight": "post_ffn_norm",
+    "post_ffw_norm": "post_ffn_norm",
     "attn_sinks.weight": "attn_sinks",
     # per-expert biases (gpt-oss; ggml_add_id operands)
     "ffn_gate_exps.bias": "ffn_gate_exps_b",
@@ -167,6 +169,10 @@ _LAYER_TENSORS = {
     "ssm_dt_norm.weight": "ssm_dt_norm",
     "ssm_b_norm.weight": "ssm_b_norm",
     "ssm_c_norm.weight": "ssm_c_norm",
+    # plamo2 emits these without the ".weight" suffix
+    "ssm_dt_norm": "ssm_dt_norm",
+    "ssm_b_norm": "ssm_b_norm",
+    "ssm_c_norm": "ssm_c_norm",
 }
 
 # per-arch remaps of GGUF tensor suffixes onto forward-pass roles.

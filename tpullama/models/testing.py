@@ -1609,6 +1609,107 @@ def make_tiny_nemotron_h_gguf(
     return path, n_vocab
 
 
+def make_tiny_plamo2_gguf(
+    path,
+    n_embd: int = 64,
+    n_layer: int = 4,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    d_state: int = 32,
+    d_conv: int = 4,
+    n_ff: int = 128,
+    seed: int = 0,
+):
+    """PLaMo-2 hybrid: mamba layers (head_count_kv 0, per-head scan with
+    B/C/dt RMS norms, dt_dim = max(64, n_embd/16)) + fused-qkv attention
+    with 2-D per-head qk norms; all blocks post-mixer/post-ffn normed,
+    fused-SWIGLU FFN (llama-model.cpp LLM_ARCH_PLAMO2)."""
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    d_inner = 2 * n_embd
+    head_dim = n_embd // n_head
+    n_ssm_head = d_inner // 16
+    dt_dim = max(64, n_embd // 16)
+    kv_dim = head_dim * n_head_kv
+    kv_arr = [n_head_kv if il % 2 == 0 else 0 for il in range(n_layer)]
+
+    rng = np.random.default_rng(seed)
+    arch = "plamo2"
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", "tiny-test-plamo2")
+    w.add_u32(f"{arch}.context_length", 1 << 17)
+    w.add_u32(f"{arch}.embedding_length", n_embd)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_u32(f"{arch}.feed_forward_length", n_ff)
+    w.add_u32(f"{arch}.attention.head_count", n_head)
+    w.add_array(f"{arch}.attention.head_count_kv", np.asarray(kv_arr, np.uint32))
+    w.add_u32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_f32(f"{arch}.rope.freq_base", 10000.0)
+    w.add_u32(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_u32(f"{arch}.ssm.inner_size", d_inner)
+    w.add_u32(f"{arch}.ssm.state_size", d_state)
+    w.add_u32(f"{arch}.ssm.time_step_rank", n_ssm_head)
+    w.add_u32(f"{arch}.ssm.group_count", 0)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_u32(f"{arch}.vocab_size", n_vocab)
+    w.add_str("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.bos_token_id", 1)
+    w.add_u32("tokenizer.ggml.eos_token_id", 2)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 0)
+    w.add_bool("tokenizer.ggml.add_bos_token", True)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        w.add_tensor(p + "attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if kv_arr[il] == 0:
+            w.add_tensor(p + "ssm_in.weight", mat(2 * d_inner, n_embd), GGMLType.F32)
+            w.add_tensor(p + "ssm_conv1d.weight", mat(d_inner, d_conv, 0.3), GGMLType.F32)
+            w.add_tensor(p + "ssm_x.weight", mat(dt_dim + 2 * d_state, d_inner), GGMLType.F32)
+            w.add_tensor(p + "ssm_dt.weight", mat(n_ssm_head, dt_dim), GGMLType.F32)
+            w.add_tensor(p + "ssm_dt.bias",
+                         (-3.0 + rng.standard_normal(n_ssm_head)).astype(np.float32), GGMLType.F32)
+            w.add_tensor(p + "ssm_a",
+                         -np.exp(rng.uniform(0.0, 2.0, size=n_ssm_head)).astype(np.float32),
+                         GGMLType.F32)
+            w.add_tensor(p + "ssm_d",
+                         (1.0 + 0.1 * rng.standard_normal(n_ssm_head)).astype(np.float32),
+                         GGMLType.F32)
+            w.add_tensor(p + "ssm_out.weight", mat(n_embd, d_inner), GGMLType.F32)
+            w.add_tensor(p + "ssm_dt_norm", norm_w(dt_dim), GGMLType.F32)
+            w.add_tensor(p + "ssm_b_norm", norm_w(d_state), GGMLType.F32)
+            w.add_tensor(p + "ssm_c_norm", norm_w(d_state), GGMLType.F32)
+        else:
+            w.add_tensor(p + "attn_qkv.weight",
+                         mat(n_embd + 2 * kv_dim, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_q_norm.weight",
+                         norm_w(n_head * head_dim).reshape(n_head, head_dim), GGMLType.F32)
+            w.add_tensor(p + "attn_k_norm.weight",
+                         norm_w(n_head_kv * head_dim).reshape(n_head_kv, head_dim), GGMLType.F32)
+            w.add_tensor(p + "attn_output.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "post_attention_norm", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.weight", mat(2 * n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+        w.add_tensor(p + "post_ffw_norm", norm_w(n_embd), GGMLType.F32)
+    w.write(path)
+    return path, n_vocab
+
+
 def make_tiny_t5_gguf(
     path,
     n_embd: int = 64,
