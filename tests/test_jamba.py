@@ -176,3 +176,17 @@ def test_plamo2_matches_reference(tmp_path):
     m = load_model(path)
     assert m.hparams.is_hybrid
     _greedy_vs_reference(path, m)
+
+
+@needs_cli
+def test_qwen3next_matches_reference(tmp_path):
+    """qwen3next: gated-DeltaNet linear attention (recurrent form) +
+    gated full attention every 4th layer + MoE with sigmoid-gated shared
+    expert."""
+    from tpullama.models.testing import make_tiny_qwen3next_gguf
+
+    path = str(tmp_path / "q3n.gguf")
+    make_tiny_qwen3next_gguf(path, seed=93)
+    m = load_model(path)
+    assert m.hparams.is_hybrid
+    _greedy_vs_reference(path, m)

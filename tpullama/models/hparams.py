@@ -193,7 +193,7 @@ class HParams:
     def is_hybrid(self) -> bool:
         """Mixed attention + recurrent layers (jamba/granite-hybrid)."""
         return self.arch in ("jamba", "granite-hybrid", "falcon-h1", "lfm2",
-                             "lfm2moe", "nemotron_h", "plamo2") or (
+                             "lfm2moe", "nemotron_h", "plamo2", "qwen3next") or (
             bool(self.n_head_kv_layers)
             and 0 in self.n_head_kv_layers
             and self.ssm_d_state > 0  # deci/openelm zero-kv layers aren't SSM

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.attention import attention
 from ..ops.norms import rms_norm
@@ -156,16 +157,179 @@ def _plamo2_forward(
     )
 
 
+def _qwen3next_forward(
+    params, hp, tokens, positions, kv_k, kv_v, cache_slots, attn_mask,
+    conv_state, ssm_state, quant_meta=None, last_idx=None,
+):
+    """Qwen3-Next hybrid (models/qwen3next.cpp): gated-DeltaNet linear
+    attention on 3 of every 4 layers, gated full attention on the 4th;
+    post-attention norm feeds a softmax MoE with a sigmoid-gated shared
+    expert. The delta net is evaluated in its per-token recurrent form
+    (equivalent to the reference's chunked formulation):
+        S <- exp(g_t) * S
+        v_new = beta_t * (v_t - k_t @ S)
+        o_t   = q_t @ S + (q_t . k_t) * v_new
+        S    <- S + k_t (x) v_new
+    with q/k L2-normalized and q scaled 1/sqrt(head_v_dim)."""
+    from .llama import rope_params
+    from .mamba import _causal_conv
+    from ..ops.norms import l2_norm
+    from ..ops.rope import apply_rope, rope_cache
+
+    B, T = tokens.shape
+    Dk, Dv = hp.n_embd_head_k, hp.n_embd_head_v
+    Hq, Hkv = hp.n_head, hp.n_head_kv
+    S_k = hp.ssm_d_state  # linear-attn key head dim
+    H_k = hp.ssm_n_group  # linear-attn key heads
+    H_v = hp.ssm_dt_rank  # linear-attn value heads
+    h_v = hp.ssm_d_inner // H_v  # value head dim
+    R = H_v // H_k
+    eps = hp.f_norm_rms_eps
+    batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    rp = rope_params(hp)
+    cos, sin = rope_cache(rp, positions)
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+
+    x = jnp.take(params["tok_embd"], tokens, axis=0)
+    ai = ri = 0
+    new_conv, new_ssm, new_k, new_v = [], [], [], []
+    for il, lp in enumerate(params["layer_list"]):
+        h = rms_norm(x, lp["attn_norm"], eps)
+        if (il + 1) % 4 != 0:
+            # --- gated DeltaNet linear attention ---
+            qkvz = _linear(h, lp["ssm_in"]).reshape(B, T, H_k, 2 * S_k + 2 * h_v * R)
+            q = qkvz[..., :S_k].reshape(B, T, H_k * S_k)
+            k = qkvz[..., S_k : 2 * S_k].reshape(B, T, H_k * S_k)
+            v = qkvz[..., 2 * S_k : 2 * S_k + h_v * R].reshape(B, T, H_v * h_v)
+            z = qkvz[..., 2 * S_k + h_v * R :].reshape(B, T, H_v, h_v)
+            ba = _linear(h, lp["ssm_ba"]).reshape(B, T, H_k, 2 * R)
+            b = ba[..., :R].reshape(B, T, H_v)
+            a = ba[..., R:].reshape(B, T, H_v)
+            g = (
+                jax.nn.softplus(a.astype(jnp.float32) + lp["ssm_dt_b"].astype(jnp.float32))
+                * lp["ssm_a"].astype(jnp.float32)
+            )  # (B, T, H_v), negative log-decay
+            beta = jax.nn.sigmoid(b.astype(jnp.float32))
+            if last_idx is not None:
+                # padded tokens must not touch the carried state:
+                # beta=0 -> no write; g=0 -> exp(g)=1 -> no decay
+                keep = (jnp.arange(T) <= last_idx)[None, :, None]
+                beta = beta * keep
+                g = g * keep
+
+            mixed = jnp.concatenate([q, k, v], axis=-1)
+            mixed, cs = _causal_conv(mixed, conv_state[ri], lp["ssm_conv1d"],
+                                     None, last_idx)
+            mixed = jax.nn.silu(mixed.astype(jnp.float32)).astype(x.dtype)
+            new_conv.append(cs)
+            kd = H_k * S_k
+            q = mixed[..., :kd].reshape(B, T, H_k, S_k)
+            k = mixed[..., kd : 2 * kd].reshape(B, T, H_k, S_k)
+            v = mixed[..., 2 * kd :].reshape(B, T, H_v, h_v)
+            # repeat-interleave k-heads up to v-heads
+            q = jnp.repeat(q, R, axis=2)
+            k = jnp.repeat(k, R, axis=2)
+            q = l2_norm(q.astype(jnp.float32), eps)
+            k = l2_norm(k.astype(jnp.float32), eps)
+            q = q * (1.0 / np.sqrt(h_v))
+            v = v.astype(jnp.float32)
+
+            state0 = ssm_state[ri].reshape(B, H_v, S_k, h_v).astype(jnp.float32)
+
+            def step(S, qkvgb):
+                q_t, k_t, v_t, g_t, b_t = qkvgb  # (B,H,S),(B,H,S),(B,H,hv),(B,H),(B,H)
+                S = S * jnp.exp(g_t)[..., None, None]
+                pred = jnp.einsum("bhk,bhkv->bhv", k_t, S)
+                v_new = b_t[..., None] * (v_t - pred)
+                o = jnp.einsum("bhk,bhkv->bhv", q_t, S) + (
+                    jnp.sum(q_t * k_t, axis=-1)[..., None] * v_new
+                )
+                S = S + k_t[..., :, None] * v_new[..., None, :]
+                return S, o
+
+            xs = (
+                jnp.moveaxis(q, 1, 0), jnp.moveaxis(k, 1, 0),
+                jnp.moveaxis(v, 1, 0), jnp.moveaxis(g, 1, 0),
+                jnp.moveaxis(beta, 1, 0),
+            )
+            state_fin, o = jax.lax.scan(step, state0, xs)
+            o = jnp.moveaxis(o, 0, 1)  # (B, T, H_v, h_v)
+            new_ssm.append(state_fin.reshape(ssm_state[ri].shape).astype(ssm_state.dtype))
+            ri += 1
+            o = rms_norm(o, lp["ssm_norm"], eps)
+            o = o * jax.nn.silu(z.astype(jnp.float32)).astype(o.dtype)
+            mix = _linear(o.reshape(B, T, H_v * h_v).astype(x.dtype), lp["ssm_out"])
+        else:
+            # --- gated full attention ---
+            qg = _linear(h, lp["attn_q"]).reshape(B, T, Hq, 2 * Dk)
+            q, gate = qg[..., :Dk], qg[..., Dk:]
+            k = _linear(h, lp["attn_k"]).reshape(B, T, Hkv, Dk)
+            v = _linear(h, lp["attn_v"]).reshape(B, T, Hkv, Dv)
+            q = rms_norm(q, lp["attn_q_norm"], eps)
+            k = rms_norm(k, lp["attn_k_norm"], eps)
+            q = apply_rope(q, cos, sin, rp.mode, rp.n_dims)
+            k = apply_rope(k, cos, sin, rp.mode, rp.n_dims)
+            kc = kv_k[ai].at[batch_idx, cache_slots].set(k.astype(kv_k.dtype))
+            vc = kv_v[ai].at[batch_idx, cache_slots].set(v.astype(kv_v.dtype))
+            att = attention(q, kc, vc, mask=attn_mask, scale=1.0 / (Dk**0.5))
+            att = att.reshape(B, T, Hq * Dv)
+            gate = gate.reshape(B, T, Hq * Dk)
+            att = att * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(att.dtype)
+            mix = _linear(att, lp["attn_output"])
+            new_k.append(kc)
+            new_v.append(vc)
+            ai += 1
+        x = x + mix
+
+        h2 = rms_norm(x, lp["post_attn_norm"], eps)
+        if "ffn_gate_inp" in lp:
+            from ..ops.moe import moe_ffn
+
+            down = moe_ffn(
+                h2, lp["ffn_gate_inp"], lp.get("ffn_gate_exps"),
+                lp["ffn_up_exps"], lp["ffn_down_exps"],
+                n_expert_used=hp.n_expert_used, norm_w=True, gating=1,
+            )
+            if "ffn_gate_shexp" in lp:
+                gate = _linear(h2, lp["ffn_gate_shexp"])
+                up = _linear(h2, lp["ffn_up_shexp"])
+                act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+                shexp = _linear(act, lp["ffn_down_shexp"])
+                sg = _linear(h2, lp["ffn_gate_inp_shexp"]).astype(jnp.float32)
+                shexp = shexp * jax.nn.sigmoid(sg).astype(shexp.dtype)
+                down = down + shexp
+        else:
+            gate = _linear(h2, lp["ffn_gate"])
+            up = _linear(h2, lp["ffn_up"])
+            act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+            down = _linear(act, lp["ffn_down"])
+        x = x + down
+
+    x = rms_norm(x, params["output_norm"], eps)
+    logits = _linear(x, params.get("output", params["tok_embd"]))
+    return logits.astype(jnp.float32), (
+        jnp.stack(new_k) if new_k else kv_k,
+        jnp.stack(new_v) if new_v else kv_v,
+        jnp.stack(new_conv) if new_conv else conv_state,
+        jnp.stack(new_ssm) if new_ssm else ssm_state,
+    )
+
+
 def attn_layer_indices(hp: HParams):
     if hp.arch == "falcon-h1":
         # every falcon-h1 layer runs attention AND mamba in parallel
         return list(range(hp.n_layer))
+    if hp.arch == "qwen3next":
+        # full attention every 4th layer (llama-model.cpp QWEN3NEXT)
+        return [il for il in range(hp.n_layer) if (il + 1) % 4 == 0]
     return [il for il, h in enumerate(hp.n_head_kv_layers) if h > 0]
 
 
 def mamba_layer_indices(hp: HParams):
     if hp.arch == "falcon-h1":
         return list(range(hp.n_layer))
+    if hp.arch == "qwen3next":
+        return [il for il in range(hp.n_layer) if (il + 1) % 4 != 0]
     if hp.arch == "nemotron_h":
         # recurrent iff kv==0 AND ff==0; kv==0 with ff>0 is an FFN-only
         # layer (llama-model.cpp LLM_ARCH_NEMOTRON_H)
@@ -191,6 +355,11 @@ def jamba_forward(
     quant_meta=None,
     last_idx=None,
 ):
+    if hp.arch == "qwen3next":
+        return _qwen3next_forward(
+            params, hp, tokens, positions, kv_k, kv_v, cache_slots,
+            attn_mask, conv_state, ssm_state, quant_meta, last_idx,
+        )
     if hp.arch == "plamo2":
         return _plamo2_forward(
             params, hp, tokens, positions, kv_k, kv_v, cache_slots,
@@ -345,6 +514,13 @@ def init_hybrid_states(hp: HParams, n_seqs: int, n_ctx: int, dtype=jnp.float32):
     kv_v = jnp.zeros((n_attn, n_seqs, S, hp.n_head_kv, hp.n_embd_head_v), dtype)
     # mamba2 convolves over x+B+C channels, mamba1 over d_inner only;
     # lfm2's short-conv runs over n_embd with an (l_cache-1)-column state
+    if hp.arch == "qwen3next":
+        S_k, H_k, H_v = hp.ssm_d_state, hp.ssm_n_group, hp.ssm_dt_rank
+        h_v = hp.ssm_d_inner // H_v
+        conv_dim = 2 * S_k * H_k + hp.ssm_d_inner
+        conv = jnp.zeros((n_rec, n_seqs, hp.ssm_d_conv - 1, conv_dim), dtype)
+        ssm = jnp.zeros((n_rec, n_seqs, H_v * S_k, h_v), dtype)
+        return kv_k, kv_v, conv, ssm
     if hp.arch == "plamo2":
         # conv runs over d_inner only (the reference over-allocates to
         # d_inner + 2*G*d_state but uses just d_inner, models/plamo2.cpp)

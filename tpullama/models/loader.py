@@ -69,6 +69,8 @@ _LAYER_TENSORS = {
     "ffn_down.scale": "ffn_down_scale",
     "attn_sub_norm.weight": "attn_sub_norm",
     "ffn_sub_norm.weight": "ffn_sub_norm",
+    # qwen3next gated delta net
+    "ssm_ba.weight": "ssm_ba",
     # lfm2 short-conv block
     "shortconv.in_proj.weight": "shortconv_in",
     "shortconv.conv.weight": "shortconv_conv",

@@ -1710,6 +1710,118 @@ def make_tiny_plamo2_gguf(
     return path, n_vocab
 
 
+def make_tiny_qwen3next_gguf(
+    path,
+    n_embd: int = 64,
+    n_layer: int = 4,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    head_k_dim: int = 16,  # == head_v_dim (the delta net assumes equality)
+    n_k_heads: int = 2,
+    n_v_heads: int = 4,
+    d_conv: int = 4,
+    n_ff: int = 128,
+    n_expert: int = 4,
+    seed: int = 0,
+):
+    """Qwen3-Next: gated-DeltaNet linear attention on 3 of 4 layers, gated
+    full attention on the 4th; softmax MoE + sigmoid-gated shared expert
+    on every layer (llama-model.cpp LLM_ARCH_QWEN3NEXT)."""
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    head_dim = n_embd // n_head
+    kv_dim = head_dim * n_head_kv
+    head_v_dim = head_k_dim
+    d_inner = head_v_dim * n_v_heads
+    key_dim = head_k_dim * n_k_heads
+    value_dim = head_v_dim * n_v_heads
+    conv_dim = key_dim * 2 + value_dim
+    qkvz_dim = key_dim * 2 + value_dim * 2
+    ba_dim = n_v_heads * 2
+
+    rng = np.random.default_rng(seed)
+    arch = "qwen3next"
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", "tiny-test-qwen3next")
+    w.add_u32(f"{arch}.context_length", 1 << 17)
+    w.add_u32(f"{arch}.embedding_length", n_embd)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_u32(f"{arch}.feed_forward_length", n_ff)
+    w.add_u32(f"{arch}.attention.head_count", n_head)
+    w.add_u32(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_u32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_f32(f"{arch}.rope.freq_base", 10000.0)
+    w.add_u32(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_u32(f"{arch}.ssm.inner_size", d_inner)
+    w.add_u32(f"{arch}.ssm.state_size", head_k_dim)
+    w.add_u32(f"{arch}.ssm.time_step_rank", n_v_heads)
+    w.add_u32(f"{arch}.ssm.group_count", n_k_heads)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_u32(f"{arch}.expert_count", n_expert)
+    w.add_u32(f"{arch}.expert_used_count", 2)
+    w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
+    w.add_u32(f"{arch}.expert_shared_feed_forward_length", n_ff)
+    w.add_u32(f"{arch}.vocab_size", n_vocab)
+    w.add_str("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.bos_token_id", 1)
+    w.add_u32("tokenizer.ggml.eos_token_id", 2)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 0)
+    w.add_bool("tokenizer.ggml.add_bos_token", True)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("output.weight", mat(n_vocab, n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        w.add_tensor(p + "attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
+        if (il + 1) % 4 == 0:
+            # full attention: wq outputs [q | gate] per head
+            w.add_tensor(p + "attn_q.weight", mat(2 * n_head * head_dim, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_k.weight", mat(kv_dim, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_v.weight", mat(kv_dim, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_output.weight", mat(n_embd, n_head * head_dim), GGMLType.F32)
+            w.add_tensor(p + "attn_q_norm.weight", norm_w(head_dim), GGMLType.F32)
+            w.add_tensor(p + "attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
+        else:
+            w.add_tensor(p + "ssm_in.weight", mat(qkvz_dim, n_embd), GGMLType.F32)
+            w.add_tensor(p + "ssm_conv1d.weight", mat(conv_dim, d_conv, 0.3), GGMLType.F32)
+            w.add_tensor(p + "ssm_dt.bias",
+                         (0.5 * rng.standard_normal(n_v_heads)).astype(np.float32), GGMLType.F32)
+            w.add_tensor(p + "ssm_a",
+                         -np.exp(rng.uniform(-1.0, 1.0, size=n_v_heads)).astype(np.float32),
+                         GGMLType.F32)
+            w.add_tensor(p + "ssm_ba.weight", mat(ba_dim, n_embd), GGMLType.F32)
+            w.add_tensor(p + "ssm_norm.weight", norm_w(head_v_dim), GGMLType.F32)
+            w.add_tensor(p + "ssm_out.weight", mat(n_embd, value_dim), GGMLType.F32)
+        # every layer: MoE + sigmoid-gated shared expert
+        w.add_tensor(p + "ffn_gate_inp.weight", mat(n_expert, n_embd), GGMLType.F32)
+        ge = np.stack([mat(n_ff, n_embd) for _ in range(n_expert)])
+        ue = np.stack([mat(n_ff, n_embd) for _ in range(n_expert)])
+        de = np.stack([mat(n_embd, n_ff) for _ in range(n_expert)])
+        w.add_tensor(p + "ffn_gate_exps.weight", ge, GGMLType.F32)
+        w.add_tensor(p + "ffn_up_exps.weight", ue, GGMLType.F32)
+        w.add_tensor(p + "ffn_down_exps.weight", de, GGMLType.F32)
+        w.add_tensor(p + "ffn_gate_inp_shexp.weight", mat(1, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_gate_shexp.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up_shexp.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_down_shexp.weight", mat(n_embd, n_ff), GGMLType.F32)
+    w.write(path)
+    return path, n_vocab
+
+
 def make_tiny_t5_gguf(
     path,
     n_embd: int = 64,
