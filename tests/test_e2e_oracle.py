@@ -544,3 +544,99 @@ def test_qwen2vl_text_matches_reference(tmp_path):
     ours = run_ours(path).replace(b"\x00", b"")
     ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
     assert ours == ref
+
+
+@needs_cli
+@pytest.mark.parametrize("arch,kw", [
+    ("qwen3vl", dict(n_head_kv=2)),
+    ("qwen3vlmoe", dict(n_expert=4, n_head_kv=2)),
+])
+def test_qwen3vl_text_matches_reference(tmp_path, arch, kw):
+    """qwen3vl(-moe) text path: interleaved M-RoPE (IMROPE) — with text
+    positions p_t=p_h=p_w and p_e=0 the rotation is NEOX with identity on
+    the theta_e sectors; per-head qk norms (models/qwen3vl.cpp)."""
+    path = str(tmp_path / f"tiny_{arch}.gguf")
+    make_tiny_llama_gguf(path, n_layer=2, arch=arch, seed=91, **kw)
+    ours = run_ours(path).replace(b"\x00", b"")
+    ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
+    assert ours == ref
+
+
+@needs_cli
+def test_cogvlm_text_matches_reference(tmp_path):
+    """cogvlm text path: fused unbiased wqkv (n_head_kv == n_head), NEOX
+    rope, SwiGLU FFN; vision-expert tensors present but unused
+    (models/cogvlm.cpp:32-44).
+
+    Quirk: the reference's cogvlm builder never applies inp_out_ids
+    (models/cogvlm.cpp has no get_rows on the last layer, unlike every
+    other arch), so llama-cli samples the FIRST prompt position's logits
+    for the first generated token. We keep the correct last-position
+    behavior and mirror the quirk here by teacher-forcing the first token
+    from our own row-0 logits — this still checks row-0 logit parity AND
+    every subsequent decode step token-exactly."""
+    path = str(tmp_path / "tiny_cogvlm.gguf")
+    make_tiny_llama_gguf(path, n_layer=2, arch="cogvlm", seed=93, n_head_kv=4)
+
+    m = load_model(path)
+    ctx = Context(m, ContextParams(n_ctx=128))
+    toks = m.vocab.tokenize(PROMPT, add_special=True)
+    logits = ctx.decode(np.asarray(toks, np.int32), n_logits=len(toks))
+    out = [int(np.argmax(logits[0]))]  # the reference's row-0 sample
+    for _ in range(N_PREDICT - 1):
+        lg = ctx.decode(np.asarray([out[-1]], np.int32), n_logits=1)
+        out.append(int(np.argmax(lg[-1])))
+    ours = _pieces_bytes(m.vocab, out).replace(b"\x00", b"")
+    ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
+    assert ours == ref
+
+
+@needs_cli
+def test_gemma3n_matches_reference(tmp_path):
+    """gemma3n: AltUp multi-stream residuals + LAUREL + per-layer input
+    embeddings + activation sparsity + KV-cache sharing past layer 20
+    (SWA layers reuse layer 18, full layers 19) + SWA pattern 5 with
+    dual rope bases (models/gemma3n-iswa.cpp).
+
+    A random gemma3n is numerically chaotic (the magnitude-ratio stream
+    normalizations amplify rounding ~1e5x over 25 layers; the reference's
+    OWN -fa on/off outputs diverge after ~11 greedy tokens), so this
+    checks (a) exact agreement on an 8-token horizon — within the
+    reference's self-agreement horizon — and (b) teacher-forced argmax
+    agreement over 24 tokens with flips allowed only at noise-level
+    top-2 gaps."""
+    from tpullama.models.testing import make_tiny_gemma3n_gguf
+
+    path = str(tmp_path / "tiny_gemma3n.gguf")
+    make_tiny_gemma3n_gguf(path, seed=95)
+    ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
+    m = load_model(path)
+    ctx = Context(m, ContextParams(n_ctx=128))
+    toks = m.vocab.tokenize(PROMPT, add_special=True)
+    out = ctx.generate(list(toks), n_predict=N_PREDICT)
+    ours = _pieces_bytes(m.vocab, out).replace(b"\x00", b"")
+    assert ours[:8] == ref[:8], f"ours={ours!r} ref={ref!r}"
+
+    ref_toks = _bytes_to_byte_tokens(ref)
+    ctx2 = Context(m, ContextParams(n_ctx=128))
+    logits = ctx2.decode(np.asarray(toks), n_logits=1)[-1]
+    for step, rt in enumerate(ref_toks):
+        srt = np.sort(logits)
+        gap = float(srt[-1] - srt[-2])
+        assert int(np.argmax(logits)) == rt or gap < 0.05, (
+            f"step {step}: argmax {int(np.argmax(logits))} != ref {rt} "
+            f"with top-2 gap {gap:.4f} (beyond noise)"
+        )
+        logits = ctx2.decode(np.asarray([rt]), n_logits=1)[-1]
+
+
+@needs_cli
+def test_granitemoe_matches_reference(tmp_path):
+    """granitemoe: granite scale stack + softmax MoE with renormalized
+    top-k and an ungated shared expert (models/granite.cpp:170-196)."""
+    path = str(tmp_path / "tiny_granitemoe.gguf")
+    make_tiny_llama_gguf(path, n_layer=2, arch="granitemoe", seed=97,
+                         n_expert=4, n_head_kv=2)
+    ours = run_ours(path).replace(b"\x00", b"")
+    ref = run_reference(path).split(b" [end of text]")[0].replace(b"\x00", b"")
+    assert ours == ref

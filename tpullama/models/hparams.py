@@ -56,6 +56,9 @@ class HParams:
     qk_norm_weightless: bool = False  # llama4: weightless RMS qk norm
     # post-rope on rope layers only (models/llama-iswa.cpp:88-93)
     rope_freq_base_swa: float = 10000.0  # rope base for SWA layers (gemma3)
+    rope_sections: tuple = ()  # interleaved M-RoPE (t,h,w,e) dim sections
+    # (qwen3vl IMROPE; text positions reduce to NEOX + identity on the
+    # theta_e sectors — ggml_mrope_cache_init, ggml-cpu/ops.cpp:5601-5610)
     rope_swa_only: bool = False  # rope only on SWA layers; dense = NoPE (cohere2)
     f_max_alibi_bias: float = 0.0  # ALiBi slope ceiling (mpt/bloom)
     f_clamp_kqv: float = 0.0  # clamp qkv projections to ±value (mpt/dbrx/olmo)
@@ -141,6 +144,11 @@ class HParams:
     pooling_type: str = "none"  # %s.pooling_type (llama-arch.cpp:170)
     causal_attn: bool = True
     rope_finetuned: bool = False  # granite-hybrid: rope on/off switch
+
+    # gemma3n altup (reference hardcoded defaults, llama-hparams.h:169-172)
+    n_altup: int = 0
+    n_embd_altup: int = 0
+    n_layer_kv_from_start: int = 0  # 0 = every layer has its own KV
 
     @property
     def is_encoder(self) -> bool:
@@ -598,6 +606,13 @@ class HParams:
             # top-k weights NOT renormalized; shared expert has its own
             # sigmoid gate (llm_build_qwen2moe)
             hp.moe_norm_topk = False
+        if arch in ("qwen3vl", "qwen3vlmoe"):
+            # interleaved M-RoPE sections (LLAMA_ROPE_TYPE_IMROPE,
+            # llama-model.cpp QWEN3VL hparams); the text path keeps NEOX
+            # rotation with identity on theta_e sectors (rope.py)
+            secs = g("rope.dimension_sections")
+            if secs is not None:
+                hp.rope_sections = tuple(int(s) for s in secs)
         if arch in ("t5", "t5encoder"):
             hp.act = "relu"
             if not hp.dec_n_layer:
@@ -665,9 +680,23 @@ class HParams:
             # rope_finetuned doubles as the rope on/off switch, default on
             # (llama-model.cpp GRANITE_HYBRID hparams)
             hp.rope_finetuned = bool(g("rope.scaling.finetuned", True))
-        if arch in ("gemma", "gemma2", "gemma3", "gemma-embedding"):
+        if arch in ("gemma", "gemma2", "gemma3", "gemma-embedding", "gemma3n"):
             hp.embd_scale = float(np.sqrt(n_embd)) if n_embd else 0.0
             hp.act = "gelu"
+        if arch == "gemma3n":
+            # llama-model.cpp LLM_ARCH_GEMMA3N: SWA pattern 5, KV only on
+            # the first 20 layers (later ones share layer 18/19's cache),
+            # swa rope base 10k, attention scale 1.0; altup constants are
+            # the reference's hardcoded defaults (llama-hparams.h:169-172),
+            # final softcap the 30.0 default (llama-hparams.h:92, not read
+            # from GGUF for this arch)
+            hp.swa_layers = tuple(il % 5 < 4 for il in range(hp.n_layer))
+            hp.rope_freq_base_swa = 10000.0
+            hp.f_attention_scale = 1.0
+            hp.final_logit_softcap = 30.0
+            hp.n_layer_kv_from_start = 20
+            hp.n_altup = 4
+            hp.n_embd_altup = 256
         if arch == "gemma3":
             # SWA pattern 6: every 6th layer dense (llama-model.cpp:1261-1286)
             hp.swa_layers = tuple(il % 6 < 5 for il in range(hp.n_layer))
@@ -704,7 +733,7 @@ class HParams:
             "llama", "llama4", "deci", "baichuan", "starcoder", "internlm2",
             "minicpm", "xverse", "command-r", "cohere2", "olmo", "arctic",
             "deepseek", "deepseek2", "plm", "chatglm", "granite", "granite-moe",
-            "granite-hybrid", "neo-bert", "llada",
+            "granitemoe", "granite-hybrid", "neo-bert", "llada",
             "chameleon", "bailingmoe", "smollm3", "arcee", "ernie4_5",
             "ernie4_5-moe", "mistral3", "glm4",
         }

@@ -61,6 +61,7 @@ def rope_params(hp: HParams) -> RopeParams:
         beta_fast=hp.rope_beta_fast,
         beta_slow=hp.rope_beta_slow,
         n_ctx_orig=hp.n_ctx_orig_yarn or hp.n_ctx_train,
+        imrope_sections=hp.rope_sections,
     )
 
 

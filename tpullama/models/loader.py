@@ -175,6 +175,18 @@ _LAYER_TENSORS = {
     "ssm_dt_norm": "ssm_dt_norm",
     "ssm_b_norm": "ssm_b_norm",
     "ssm_c_norm": "ssm_c_norm",
+    # gemma3n altup / laurel / per-layer inputs (llama-arch.cpp:1187-1202)
+    "inp_gate.weight": "per_layer_inp_gate",
+    "proj.weight": "per_layer_proj",
+    "post_norm.weight": "per_layer_post_norm",
+    "altup_correct_coef.weight": "altup_correct_coef",
+    "altup_correct_scale.weight": "altup_correct_scale",
+    "altup_predict_coef.weight": "altup_predict_coef",
+    "altup_router.weight": "altup_router",
+    "altup_router_norm.weight": "altup_router_norm",
+    "laurel_l.weight": "laurel_l",
+    "laurel_r.weight": "laurel_r",
+    "laurel_post_norm.weight": "laurel_post_norm",
 }
 
 # per-arch remaps of GGUF tensor suffixes onto forward-pass roles.
@@ -212,6 +224,12 @@ _TOP_TENSORS = {
     "output.weight": "output",
     "output.bias": "output_bias",
     "rope_freqs.weight": "rope_freqs",
+    # gemma3n top-level altup / per-layer embedding tensors
+    "per_layer_token_embd.weight": "tok_embd_per_layer",
+    "per_layer_model_proj.weight": "per_layer_model_proj",
+    "per_layer_proj_norm.weight": "per_layer_proj_norm",
+    "altup_proj.weight": "altup_proj",
+    "altup_unembd_proj.weight": "altup_unembd_proj",
 }
 
 
@@ -420,7 +438,7 @@ def load_model(
         t5p = load_t5_params(reader, hp, fetch, dtype)
         params.update(t5p)
     elif n_layer and (hp.is_hybrid or hp.has_heterogeneous_layers or hp.is_mla
-                      or hp.arch in ("rwkv7", "arwkv7", "rwkv6qwen2")):
+                      or hp.arch in ("rwkv7", "arwkv7", "rwkv6qwen2", "gemma3n")):
         # hybrid archs (jamba): layers have heterogeneous tensor sets, so
         # keep a per-layer list (Python-loop forward) instead of stacking
         params["layer_list"] = [

@@ -179,6 +179,15 @@ def make_tiny_llama_gguf(
         w.add_array(f"{arch}.rope.dimension_sections",
                     np.asarray([head_dim // 4, head_dim // 8, head_dim // 8, 0],
                                np.uint32))
+    if arch in ("qwen3vl", "qwen3vlmoe"):
+        # interleaved M-RoPE (IMROPE): sections summing to head_dim/2 so
+        # the trailing sector lands on theta_e (identity for text)
+        w.add_array(f"{arch}.rope.dimension_sections",
+                    np.asarray([head_dim // 4, head_dim // 8, head_dim // 8, 0],
+                               np.uint32))
+        w.add_u32(f"{arch}.n_deepstack_layers", 0)
+        if arch == "qwen3vlmoe":
+            w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
     if arch == "apertus":
         # per-layer xIELU coefficient arrays (global keys, no arch prefix)
         w.add_array("xielu.alpha_n", np.linspace(0.5, 0.9, n_layer).astype(np.float32))
@@ -212,11 +221,13 @@ def make_tiny_llama_gguf(
     if arch == "mpt":
         w.add_f32(f"{arch}.attention.max_alibi_bias", 8.0)
         w.add_f32(f"{arch}.attention.clamp_kqv", 2.0)
-    if arch == "granite":
+    if arch in ("granite", "granitemoe"):
         w.add_f32(f"{arch}.logit_scale", 8.0)
         w.add_f32(f"{arch}.residual_scale", 0.5)
         w.add_f32(f"{arch}.embedding_scale", 12.0)
         w.add_f32(f"{arch}.attention.scale", 0.0078125)
+    if arch == "granitemoe":
+        w.add_u32(f"{arch}.expert_shared_feed_forward_length", n_ff)
     if arch in ("gemma3", "gemma2", "gemma-embedding"):
         w.add_u32(f"{arch}.attention.sliding_window", 32)
         w.add_u32(f"{arch}.attention.key_length", head_dim)
@@ -290,7 +301,7 @@ def make_tiny_llama_gguf(
                          (0.1 * rng.standard_normal(n_embd)).astype(np.float32), GGMLType.F32)
         if arch in ("phi3", "gpt2", "falcon", "phi2", "gptneox", "mpt", "bloom",
                     "starcoder", "qwen", "chatglm", "dbrx", "jais", "codeshell",
-                    "phimoe", "bailingmoe2"):
+                    "phimoe", "bailingmoe2", "cogvlm"):
             # fused [Q|K|V] rows (llama-model.cpp phi3/gpt2/falcon wqkv)
             w.add_tensor(f"blk.{il}.attn_qkv.weight",
                          mat(n_embd + 2 * kv_dim, n_embd), qtype)
@@ -389,10 +400,18 @@ def make_tiny_llama_gguf(
             # full-width q/k RMS norms pre-reshape (llm_build_olmoe)
             w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(n_embd), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(kv_dim), GGMLType.F32)
-        if arch in ("qwen3", "qwen3moe", "llada-moe", "rnd1"):
+        if arch in ("qwen3", "qwen3moe", "llada-moe", "rnd1", "qwen3vl", "qwen3vlmoe"):
             # per-head q/k RMS norm, no qkv biases (llm_build_qwen3)
             w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(head_dim), GGMLType.F32)
             w.add_tensor(f"blk.{il}.attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
+        if arch == "cogvlm":
+            # vision-expert tensor set (required by the loader; unused on
+            # the text path — models/cogvlm.cpp:38-44)
+            w.add_tensor(f"blk.{il}.vis_attn_qkv.weight", mat(3 * n_embd, n_embd), qtype)
+            w.add_tensor(f"blk.{il}.vis_attn_output.weight", mat(n_embd, n_embd), qtype)
+            w.add_tensor(f"blk.{il}.vis_gate.weight", mat(n_ff, n_embd), qtype)
+            w.add_tensor(f"blk.{il}.vis_up.weight", mat(n_ff, n_embd), qtype)
+            w.add_tensor(f"blk.{il}.vis_down.weight", mat(n_embd, n_ff), qtype)
         if arch == "olmo2":
             # full-width q/k norms + post norms; no attn_norm/ffn_norm
             w.add_tensor(f"blk.{il}.attn_q_norm.weight", norm_w(n_embd), GGMLType.F32)
@@ -456,7 +475,7 @@ def make_tiny_llama_gguf(
                 w.add_tensor(f"blk.{il}.ffn_down.weight", mat(n_embd, n_embd), qtype)
             if arch in ("qwen2moe", "dots1", "glm4moe", "ernie4_5-moe",
                         "hunyuan-moe", "bailingmoe", "llama4", "bailingmoe2",
-                        "afmoe"):
+                        "afmoe", "granitemoe"):
                 w.add_tensor(f"blk.{il}.ffn_gate_shexp.weight", mat(n_ff, n_embd), qtype)
                 w.add_tensor(f"blk.{il}.ffn_up_shexp.weight", mat(n_ff, n_embd), qtype)
                 w.add_tensor(f"blk.{il}.ffn_down_shexp.weight", mat(n_embd, n_ff), qtype)
@@ -2286,5 +2305,106 @@ def make_tiny_rwkv6qwen2_gguf(
         w.add_tensor(p + "ffn_gate.weight", mat(n_ff, n_embd), GGMLType.F32)
         w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
         w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+    w.write(path)
+    return path, n_vocab
+
+
+def make_tiny_gemma3n_gguf(
+    path,
+    n_embd: int = 32,
+    n_layer: int = 25,  # > 20 exercises the KV-sharing reuse layers
+    n_head: int = 2,
+    n_head_kv: int = 1,
+    n_ff: int = 64,
+    n_ctx: int = 256,
+    qtype: GGMLType = GGMLType.F32,
+    seed: int = 0,
+):
+    """Random tiny gemma3n GGUF. AltUp constants (n_altup=4,
+    n_embd_altup=256, laurel_rank=64) are the reference's hardcoded
+    defaults (llama-hparams.h:169-172) — not GGUF keys."""
+    tokens, scores, types = byte_vocab()
+    n_vocab = len(tokens)
+    rng = np.random.default_rng(seed)
+    head_dim = n_embd // n_head
+    n_altup, n_embd_altup, laurel_rank = 4, 256, 64
+    arch = "gemma3n"
+
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", "tiny-test-gemma3n")
+    w.add_u32(f"{arch}.context_length", n_ctx)
+    w.add_u32(f"{arch}.embedding_length", n_embd)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_u32(f"{arch}.feed_forward_length", n_ff)
+    w.add_u32(f"{arch}.attention.head_count", n_head)
+    w.add_u32(f"{arch}.attention.head_count_kv", n_head_kv)
+    w.add_u32(f"{arch}.attention.sliding_window", 32)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_f32(f"{arch}.rope.freq_base", 1000000.0)
+    w.add_u32(f"{arch}.vocab_size", n_vocab)
+    w.add_str("tokenizer.ggml.model", "llama")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_u32("tokenizer.ggml.bos_token_id", 1)
+    w.add_u32("tokenizer.ggml.eos_token_id", 2)
+    w.add_u32("tokenizer.ggml.unknown_token_id", 0)
+    w.add_bool("tokenizer.ggml.add_bos_token", True)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    kv_dim = head_dim * n_head_kv
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd, 0.02), qtype)
+    w.add_tensor("per_layer_token_embd.weight",
+                 mat(n_vocab, n_embd_altup * n_layer, 0.02), qtype)
+    w.add_tensor("altup_proj.weight",
+                 (rng.standard_normal((n_altup - 1, n_embd, n_embd)) / np.sqrt(n_embd)).astype(np.float32), qtype)
+    w.add_tensor("altup_unembd_proj.weight",
+                 (rng.standard_normal((n_altup - 1, n_embd, n_embd)) / np.sqrt(n_embd)).astype(np.float32), qtype)
+    w.add_tensor("per_layer_model_proj.weight",
+                 mat(n_embd_altup * n_layer, n_embd), qtype)
+    w.add_tensor("per_layer_proj_norm.weight", norm_w(n_embd_altup), GGMLType.F32)
+    w.add_tensor("output_norm.weight", norm_w(n_embd), GGMLType.F32)
+    # no output.weight: gemma3n's tensor-name table has no LLM_TENSOR_OUTPUT
+    # entry (llama-arch.cpp GEMMA3N block) — the lm head is always tied
+    for il in range(n_layer):
+        p = f"blk.{il}."
+        w.add_tensor(p + "attn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_q.weight", mat(n_head * head_dim, n_embd), qtype)
+        w.add_tensor(p + "attn_k.weight", mat(kv_dim, n_embd), qtype)
+        w.add_tensor(p + "attn_v.weight", mat(kv_dim, n_embd), qtype)
+        w.add_tensor(p + "attn_output.weight", mat(n_embd, n_head * head_dim), qtype)
+        w.add_tensor(p + "attn_q_norm.weight", norm_w(head_dim), GGMLType.F32)
+        w.add_tensor(p + "attn_k_norm.weight", norm_w(head_dim), GGMLType.F32)
+        w.add_tensor(p + "post_attention_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_gate.weight", mat(n_ff, n_embd), qtype)
+        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), qtype)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), qtype)
+        w.add_tensor(p + "post_ffw_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "inp_gate.weight", mat(n_embd_altup, n_embd), qtype)
+        w.add_tensor(p + "proj.weight", mat(n_embd, n_embd_altup), qtype)
+        w.add_tensor(p + "post_norm.weight", norm_w(n_embd), GGMLType.F32)
+        # small AltUp mixing coefs: the magnitude-ratio normalizations make
+        # a random tiny gemma3n chaotic (the reference's own -fa on/off
+        # outputs diverge after ~11 greedy tokens); 0.02-scale coefs keep
+        # the cross-implementation agreement horizon usable for testing
+        w.add_tensor(p + "altup_correct_coef.weight",
+                     (0.02 * rng.standard_normal((n_altup, n_altup))).astype(np.float32), GGMLType.F32)
+        w.add_tensor(p + "altup_correct_scale.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "altup_predict_coef.weight",
+                     (0.02 * rng.standard_normal((n_altup * n_altup, n_altup))).astype(np.float32), GGMLType.F32)
+        w.add_tensor(p + "altup_router.weight", mat(n_altup, n_embd), GGMLType.F32)
+        w.add_tensor(p + "altup_router_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "laurel_l.weight", mat(laurel_rank, n_embd), qtype)
+        w.add_tensor(p + "laurel_r.weight", mat(n_embd, laurel_rank), qtype)
+        w.add_tensor(p + "laurel_post_norm.weight", norm_w(n_embd), GGMLType.F32)
     w.write(path)
     return path, n_vocab

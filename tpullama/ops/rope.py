@@ -35,6 +35,12 @@ class RopeParams:
     beta_fast: float = 32.0
     beta_slow: float = 1.0
     n_ctx_orig: int = 0
+    # interleaved M-RoPE (qwen3vl, GGML_ROPE_TYPE_IMROPE): (t,h,w,e)
+    # sections. For TEXT positions p_t=p_h=p_w=pos and p_e=0
+    # (llm_graph_input_pos::set_input, src/llama-graph.cpp:44-56), so the
+    # rotation equals NEOX except theta_e sectors, which stay identity
+    # (theta_base_e = 0 in ggml_mrope_cache_init, ggml-cpu/ops.cpp:5601).
+    imrope_sections: tuple = ()
 
 
 def _yarn_corr_dim(n_dims: int, n_ctx_orig: int, n_rot: float, base: float) -> float:
@@ -71,6 +77,21 @@ def rope_cache(p: RopeParams, positions, freq_factors=None):
         mscale = mscale * (1.0 + 0.1 * math.log(1.0 / p.freq_scale))
     else:
         theta = theta_interp
+    if p.imrope_sections:
+        # zero theta on theta_e sectors (identity rotation for text):
+        # sector j%sum(sections) routes to t/h/w by sector%3 within each
+        # section's 3x budget, else e (ggml-cpu/ops.cpp:5601-5610)
+        s0, s1, s2 = p.imrope_sections[0], p.imrope_sections[1], p.imrope_sections[2]
+        sect_dims = sum(p.imrope_sections)
+        import numpy as _np
+
+        j = _np.arange(half) % max(sect_dims, 1)
+        is_e = ~(
+            ((j % 3 == 1) & (j < 3 * s1))
+            | ((j % 3 == 2) & (j < 3 * s2))
+            | ((j % 3 == 0) & (j < 3 * s0))
+        )
+        theta = jnp.where(jnp.asarray(is_e), 0.0, theta)
     return jnp.cos(theta) * mscale, jnp.sin(theta) * mscale
 
 

@@ -163,7 +163,14 @@ class Context:
         elif self.hp.n_swa:
             vis = vis & (kv_pos[:, None, :] > positions[:, :, None] - self.hp.n_swa)
             mask = jnp.where(vis, jnp.float32(0), NEG_INF)[:, None, :, :]
-        if self.hp.is_mla:
+        if self.hp.arch == "gemma3n":
+            from ..models.gemma3n import gemma3n_forward
+
+            logits, embd, (kv_k, kv_v) = gemma3n_forward(
+                params, self.hp, tokens, positions, kv_k, kv_v, slots, mask,
+                return_embd=True,
+            )
+        elif self.hp.is_mla:
             from ..models.deepseek import deepseek2_forward
 
             logits, (kv_k, kv_v) = deepseek2_forward(
