@@ -65,6 +65,8 @@ class HParams:
     use_qk_norm: bool = False
     # arch-level behavior flags (set per arch below)
     embd_scale: float = 0.0  # scale token embeddings (gemma: sqrt(n_embd))
+    embd_scale_tokens_only: bool = False  # gemma3: raw embd inputs (image
+    # embeddings via mtmd) are NOT scaled (models/gemma3-iswa.cpp:12-15)
     act: str = "silu"
     norm_type: str = "rms"  # "rms" (LLM_NORM_RMS) | "layer" (LLM_NORM)
     norm_nonparam: bool = False  # olmo: LayerNorm with no weight/bias tensors
@@ -699,6 +701,7 @@ class HParams:
             hp.n_embd_altup = 256
         if arch == "gemma3":
             # SWA pattern 6: every 6th layer dense (llama-model.cpp:1261-1286)
+            hp.embd_scale_tokens_only = True
             hp.swa_layers = tuple(il % 6 < 5 for il in range(hp.n_layer))
             hp.rope_freq_base_swa = 10000.0
             if hp.n_swa == 0:

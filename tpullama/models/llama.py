@@ -77,6 +77,9 @@ def llama_forward(
     quant_meta: dict | None = None,  # static; mirrors packed params
     return_embd: bool = False,  # also return the final-norm hidden states
     collect_imatrix: bool = False,  # also return per-layer activation sums
+    inputs_embd=None,  # (B, T, n_embd): raw embedding inputs instead of
+    # token ids (the llm_graph_input_embd !ubatch.token path,
+    # src/llama-graph.cpp:1174 — used for mtmd image embeddings)
 ):
     """One decode/prefill step. Returns (logits, (kv_k, kv_v)) with the new
     tokens' K/V scattered into the cache at cache_slots."""
@@ -84,10 +87,15 @@ def llama_forward(
     Hq, Hkv = hp.n_head, hp.n_head_kv
     Dk, Dv = hp.n_embd_head_k, hp.n_embd_head_v
 
-    x = jnp.take(params["tok_embd"], tokens, axis=0)  # (B,T,n_embd)
-    if hp.embd_scale:
-        # gemma scales raw token embeddings by sqrt(n_embd)
-        x = (x.astype(jnp.float32) * hp.embd_scale).astype(x.dtype)
+    if inputs_embd is not None:
+        x = jnp.asarray(inputs_embd)
+        if hp.embd_scale and not hp.embd_scale_tokens_only:
+            x = (x.astype(jnp.float32) * hp.embd_scale).astype(x.dtype)
+    else:
+        x = jnp.take(params["tok_embd"], tokens, axis=0)  # (B,T,n_embd)
+        if hp.embd_scale:
+            # gemma scales raw token embeddings by sqrt(n_embd)
+            x = (x.astype(jnp.float32) * hp.embd_scale).astype(x.dtype)
     if "position_embd" in params:
         # learned absolute positions (gpt2 family)
         x = x + jnp.take(params["position_embd"], positions, axis=0).astype(x.dtype)

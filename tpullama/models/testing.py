@@ -2408,3 +2408,160 @@ def make_tiny_gemma3n_gguf(
         w.add_tensor(p + "laurel_post_norm.weight", norm_w(n_embd), GGMLType.F32)
     w.write(path)
     return path, n_vocab
+
+
+def make_tiny_mmproj_gemma3_gguf(
+    path,
+    n_embd: int = 32,       # ViT width
+    n_layer: int = 2,
+    n_head: int = 2,
+    n_ff: int = 48,
+    image_size: int = 64,
+    patch_size: int = 8,
+    n_embd_text: int = 64,  # must equal the text model's n_embd
+    seed: int = 0,
+):
+    """Random tiny gemma3 (SigLIP) mmproj GGUF — keys/tensor names per
+    tools/mtmd/clip-impl.h:16-131; n_merge defaults to 4 (clip.cpp:2830)."""
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "clip")
+    w.add_str("general.name", "tiny-test-mmproj-gemma3")
+    w.add_bool("clip.has_vision_encoder", True)
+    w.add_str("clip.projector_type", "gemma3")
+    w.add_u32("clip.vision.image_size", image_size)
+    w.add_u32("clip.vision.patch_size", patch_size)
+    w.add_u32("clip.vision.embedding_length", n_embd)
+    w.add_u32("clip.vision.feed_forward_length", n_ff)
+    w.add_u32("clip.vision.block_count", n_layer)
+    w.add_u32("clip.vision.attention.head_count", n_head)
+    w.add_f32("clip.vision.attention.layer_norm_epsilon", 1e-6)
+    w.add_u32("clip.vision.projection_dim", n_embd_text)
+    w.add_array("clip.vision.image_mean", np.asarray([0.5, 0.5, 0.5], np.float32))
+    w.add_array("clip.vision.image_std", np.asarray([0.5, 0.5, 0.5], np.float32))
+    w.add_bool("clip.use_gelu", True)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def bias(n):
+        return (0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    n_patches = (image_size // patch_size) ** 2
+    w.add_tensor("v.patch_embd.weight",
+                 (rng.standard_normal((n_embd, 3, patch_size, patch_size))
+                  / np.sqrt(3 * patch_size * patch_size)).astype(np.float32),
+                 GGMLType.F32)
+    w.add_tensor("v.patch_embd.bias", bias(n_embd), GGMLType.F32)
+    w.add_tensor("v.position_embd.weight", mat(n_patches, n_embd, 0.02), GGMLType.F32)
+    w.add_tensor("v.post_ln.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("v.post_ln.bias", bias(n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"v.blk.{il}."
+        w.add_tensor(p + "attn_q.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_q.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_k.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_k.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_v.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_v.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_out.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_out.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ln1.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ln1.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ln2.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ln2.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.bias", bias(n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.bias", bias(n_embd), GGMLType.F32)
+    w.add_tensor("mm.soft_emb_norm.weight", norm_w(n_embd), GGMLType.F32)
+    # ggml ne {n_embd_text, n_embd_vit} -> numpy (n_embd_vit, n_embd_text)
+    w.add_tensor("mm.input_projection.weight", mat(n_embd, n_embd_text),
+                 GGMLType.F32)
+    w.write(path)
+    return path
+
+
+def make_tiny_mmproj_mlp_gguf(
+    path,
+    n_embd: int = 32,
+    n_layer: int = 3,  # llava uses the second-to-last layer's features
+    n_head: int = 2,
+    n_ff: int = 48,
+    image_size: int = 64,
+    patch_size: int = 8,
+    n_embd_text: int = 64,
+    seed: int = 0,
+):
+    """Random tiny llava (CLIP + 2-layer MLP projector) mmproj GGUF.
+    CLIP trunk: class embd + learned positions + pre-LN, quick-GELU FFN
+    (no use_gelu/use_silu keys)."""
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "clip")
+    w.add_str("general.name", "tiny-test-mmproj-mlp")
+    w.add_bool("clip.has_vision_encoder", True)
+    w.add_str("clip.projector_type", "mlp")
+    w.add_u32("clip.vision.image_size", image_size)
+    w.add_u32("clip.vision.patch_size", patch_size)
+    w.add_u32("clip.vision.embedding_length", n_embd)
+    w.add_u32("clip.vision.feed_forward_length", n_ff)
+    w.add_u32("clip.vision.block_count", n_layer)
+    w.add_u32("clip.vision.attention.head_count", n_head)
+    w.add_f32("clip.vision.attention.layer_norm_epsilon", 1e-5)
+    w.add_u32("clip.vision.projection_dim", n_embd_text)
+    w.add_array("clip.vision.image_mean",
+                np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32))
+    w.add_array("clip.vision.image_std",
+                np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32))
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def bias(n):
+        return (0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    n_patches = (image_size // patch_size) ** 2
+    w.add_tensor("v.patch_embd.weight",
+                 (rng.standard_normal((n_embd, 3, patch_size, patch_size))
+                  / np.sqrt(3 * patch_size * patch_size)).astype(np.float32),
+                 GGMLType.F32)
+    w.add_tensor("v.class_embd", bias(n_embd), GGMLType.F32)
+    w.add_tensor("v.position_embd.weight",
+                 mat(n_patches + 1, n_embd, 0.02), GGMLType.F32)
+    w.add_tensor("v.pre_ln.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("v.pre_ln.bias", bias(n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"v.blk.{il}."
+        w.add_tensor(p + "attn_q.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_q.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_k.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_k.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_v.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_v.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_out.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_out.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ln1.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ln1.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ln2.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ln2.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.bias", bias(n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.bias", bias(n_embd), GGMLType.F32)
+    w.add_tensor("mm.0.weight", mat(n_embd_text, n_embd), GGMLType.F32)
+    w.add_tensor("mm.0.bias", bias(n_embd_text), GGMLType.F32)
+    w.add_tensor("mm.2.weight", mat(n_embd_text, n_embd_text), GGMLType.F32)
+    w.add_tensor("mm.2.bias", bias(n_embd_text), GGMLType.F32)
+    w.write(path)
+    return path

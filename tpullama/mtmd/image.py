@@ -1,0 +1,122 @@
+"""Image loading + preprocessing (tools/mtmd/clip.cpp img_tool replica).
+
+Bit-faithful ports of the reference's resize kernels — including the
+uint8 truncation and edge behavior — so preprocessed pixels match
+byte-for-byte (normalize_image_u8_to_f32, clip.cpp:3638-3649;
+resize_bilinear :3815-3850; resize() wrapper w/ padding :3659-3735).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def load_image(path_or_bytes) -> np.ndarray:
+    """Load an image file to an RGB uint8 array (H, W, 3) — the
+    mtmd_helper_bitmap_init_from_file capability (stb_image analog)."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+
+        img = (
+            Image.open(BytesIO(path_or_bytes))
+            if isinstance(path_or_bytes, (bytes, bytearray))
+            else Image.open(path_or_bytes)
+        )
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("PIL not available for image decoding") from e
+
+
+def normalize(img_u8: np.ndarray, mean, std) -> np.ndarray:
+    """(u8/255 - mean) / std per channel (normalize_image_u8_to_f32)."""
+    x = img_u8.astype(np.float32) / 255.0
+    return (x - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+def resize_bilinear(src: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """img_tool::resize_bilinear (clip.cpp:3815-3850): ratios use
+    (size-1)/target, floor sampling, truncating uint8 cast."""
+    sh, sw = src.shape[:2]
+    x_ratio = np.float32(sw - 1) / np.float32(tw)
+    y_ratio = np.float32(sh - 1) / np.float32(th)
+    xs = np.arange(tw, dtype=np.float32) * x_ratio
+    ys = np.arange(th, dtype=np.float32) * y_ratio
+    x0 = xs.astype(np.int32)
+    y0 = ys.astype(np.int32)
+    xl = xs - x0
+    yl = ys - y0
+    # the reference indexes x0+1 / y0+1 without clamping; stay in-bounds
+    # identically by clamping only the *read* (same values when x0+1 < sw)
+    x1 = np.minimum(x0 + 1, sw - 1)
+    y1 = np.minimum(y0 + 1, sh - 1)
+    a = src[y0[:, None], x0[None, :]].astype(np.float32)
+    b = src[y0[:, None], x1[None, :]].astype(np.float32)
+    c = src[y1[:, None], x0[None, :]].astype(np.float32)
+    d = src[y1[:, None], x1[None, :]].astype(np.float32)
+    top = a + (b - a) * xl[None, :, None]
+    bot = c + (d - c) * xl[None, :, None]
+    out = top + (bot - top) * yl[:, None, None]
+    return out.astype(np.uint8)  # truncation, like static_cast<uint8_t>
+
+
+def resize_bicubic(src: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """img_tool::resize_bicubic (clip.cpp:3852-3915): Catmull-Rom-style
+    kernel a0..a3 over 4 rows/cols with edge clamping."""
+    sh, sw = src.shape[:2]
+    tx = sw / tw
+    ty = sh / th
+    out = np.zeros((th, tw, 3), np.uint8)
+
+    def getpx(y, x):
+        return src[np.clip(y, 0, sh - 1), np.clip(x, 0, sw - 1)].astype(np.float32)
+
+    for j in range(th):
+        y = int(ty * j)
+        dy = ty * j - y
+        for i in range(tw):
+            x = int(tx * i)
+            dx = tx * i - x
+            C = np.zeros((4, 3), np.float32)
+            for jj in range(4):
+                a0 = getpx(y - 1 + jj, x)
+                d0 = getpx(y - 1 + jj, x - 1) - a0
+                d2 = getpx(y - 1 + jj, x + 1) - a0
+                d3 = getpx(y - 1 + jj, x + 2) - a0
+                a1 = -1.0 / 3 * d0 + d2 - 1.0 / 6 * d3
+                a2 = 1.0 / 2 * d0 + 1.0 / 2 * d2
+                a3 = -1.0 / 6 * d0 - 1.0 / 2 * d2 + 1.0 / 6 * d3
+                C[jj] = a0 + a1 * dx + a2 * dx * dx + a3 * dx * dx * dx
+            d0 = C[0] - C[1]
+            d2 = C[2] - C[1]
+            d3 = C[3] - C[1]
+            a0 = C[1]
+            a1 = -1.0 / 3 * d0 + d2 - 1.0 / 6 * d3
+            a2 = 1.0 / 2 * d0 + 1.0 / 2 * d2
+            a3 = -1.0 / 6 * d0 - 1.0 / 2 * d2 + 1.0 / 6 * d3
+            cc = a0 + a1 * dy + a2 * dy * dy + a3 * dy * dy * dy
+            out[j, i] = np.clip(cc, 0, 255).astype(np.uint8)
+    return out
+
+
+def resize(src: np.ndarray, tw: int, th: int, algo: str = "bilinear",
+           add_padding: bool = True, pad_color=(0, 0, 0)) -> np.ndarray:
+    """img_tool::resize wrapper (clip.cpp:3659-3735): equal-size copy;
+    direct resize; or aspect-preserving resize + centered padding."""
+    sh, sw = src.shape[:2]
+    if (sw, sh) == (tw, th):
+        return src.copy()
+    fn = resize_bilinear if algo == "bilinear" else resize_bicubic
+    if not add_padding:
+        return fn(src, tw, th)
+    scale = min(tw / sw, th / sh)
+    nw = min(int(np.ceil(sw * scale)), tw)
+    nh = min(int(np.ceil(sh * scale)), th)
+    resized = fn(src, nw, nh)
+    out = np.empty((th, tw, 3), np.uint8)
+    out[:, :] = np.asarray(pad_color, np.uint8)
+    ox = (tw - nw) // 2
+    oy = (th - nh) // 2
+    out[oy : oy + nh, ox : ox + nw] = resized
+    return out

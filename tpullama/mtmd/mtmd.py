@@ -1,0 +1,131 @@
+"""mtmd: mixed text + media tokenization and evaluation.
+
+The analog of tools/mtmd/mtmd.cpp: split the prompt on the media marker
+("<__media__>"; the legacy "<__image__>" is rewritten, mtmd.cpp:432),
+wrap each image with the model's beg/end tokens (mtmd.cpp:271-320),
+preprocess + encode images with the CLIP model, and evaluate the chunk
+stream through the text Context — text chunks as tokens, image chunks
+via the embd input path (mtmd-helper.cpp decode loop).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .clip import ClipModel
+from .image import normalize, resize
+
+MEDIA_MARKER = "<__media__>"
+IMAGE_MARKER = "<__image__>"  # deprecated alias (mtmd.h:42)
+
+
+@dataclass
+class TextChunk:
+    tokens: list
+
+
+@dataclass
+class ImageChunk:
+    embd: np.ndarray  # (n_tokens, n_embd_text)
+
+
+# per-projector image delimiters (mtmd.cpp:271-320)
+_IMG_DELIMS = {
+    "gemma3": ("<start_of_image>", "<end_of_image>"),
+    "qwen2vl_merger": ("<|vision_start|>", "<|vision_end|>"),
+    "qwen2.5vl_merger": ("<|vision_start|>", "<|vision_end|>"),
+    "qwen3vl_merger": ("<|vision_start|>", "<|vision_end|>"),
+    "internvl": ("<img>", "</img>"),
+    "pixtral": ("", "[IMG_END]"),
+    "lightonocr": ("<|im_start|>", "<|im_end|>"),
+}
+
+
+class MtmdContext:
+    """mtmd_context + mtmd_tokenizer analog for single-image prompts."""
+
+    def __init__(self, clip: ClipModel, vocab):
+        self.clip = clip
+        self.vocab = vocab
+        self.img_beg, self.img_end = _IMG_DELIMS.get(
+            clip.hp.proj_type, ("", "")
+        )
+
+    # ------------------------------------------------------ preprocess
+    def preprocess(self, img_u8: np.ndarray) -> np.ndarray:
+        """clip_image_preprocess for fixed-resolution models
+        (clip.cpp:4314-4326: bilinear resize to image_size², normalize)."""
+        hp = self.clip.hp
+        proj = hp.proj_type
+        if proj in ("gemma3", "adapter", "internvl"):
+            resized = resize(img_u8, hp.image_size, hp.image_size, "bilinear")
+        elif proj in ("mlp", "mlp_norm", "ldp", "ldpv2"):
+            # llava-1.5 square path (no grid pinpoints): aspect-preserving
+            # bilinear resize into image_size² padded with the LLaVA
+            # background color rgb(122,116,104) (clip.cpp:4392-4420)
+            resized = resize(img_u8, hp.image_size, hp.image_size, "bilinear",
+                             add_padding=True, pad_color=(122, 116, 104))
+        else:
+            resized = resize(img_u8, hp.image_size, hp.image_size, "bilinear")
+        return normalize(resized, hp.image_mean, hp.image_std)
+
+    # ------------------------------------------------------ tokenize
+    def tokenize(self, text: str, images: list, add_special: bool = True):
+        """Split on the media marker; returns a list of chunks
+        (mtmd_tokenizer::tokenize, mtmd.cpp:436-496)."""
+        text = text.replace(IMAGE_MARKER, MEDIA_MARKER)
+        parts = text.split(MEDIA_MARKER)
+        if len(parts) - 1 != len(images):
+            raise ValueError(
+                f"number of images ({len(images)}) does not match number of "
+                f"markers ({len(parts) - 1})"
+            )
+        chunks = []
+
+        def add_text(toks):
+            if not toks:
+                return
+            if chunks and isinstance(chunks[-1], TextChunk):
+                chunks[-1].tokens.extend(toks)
+            else:
+                chunks.append(TextChunk(list(toks)))
+
+        for i, part in enumerate(parts):
+            if i > 0:
+                img = images[i - 1]
+                if self.img_beg:
+                    add_text(self.vocab.tokenize(self.img_beg, add_special=False,
+                                                 parse_special=True))
+                pre = self.preprocess(img)
+                embd = self.clip.encode(pre)
+                chunks.append(ImageChunk(embd))
+                if self.img_end:
+                    add_text(self.vocab.tokenize(self.img_end, add_special=False,
+                                                 parse_special=True))
+            if part:
+                add_text(self.vocab.tokenize(part, add_special=False,
+                                             parse_special=True))
+        if add_special and self.vocab.add_bos:
+            if chunks and isinstance(chunks[0], TextChunk):
+                chunks[0].tokens.insert(0, self.vocab.bos_id)
+            else:
+                chunks.insert(0, TextChunk([self.vocab.bos_id]))
+        return chunks
+
+    # ------------------------------------------------------ evaluate
+    def eval_chunks(self, ctx, chunks, seq_id: int = 0) -> np.ndarray:
+        """Decode all chunks through the text context; returns the last
+        position's logits (mtmd_helper_eval_chunks analog)."""
+        logits = None
+        for ch in chunks:
+            if isinstance(ch, TextChunk):
+                logits = ctx.decode(np.asarray(ch.tokens, np.int32),
+                                    n_logits=1, seq_id=seq_id)
+            else:
+                # gemma3 decodes image chunks with non-causal attention
+                # (mtmd_decode_use_non_causal, mtmd.cpp:849-854)
+                causal = self.clip.hp.proj_type != "gemma3"
+                logits = ctx.decode_embd(ch.embd, seq_id=seq_id, causal=causal)
+        return logits[-1] if logits is not None else None

@@ -129,18 +129,28 @@ class Context:
         self.n_past = np.zeros(B, np.int32)
         self.perf = PerfCounters()
         self._seq_fn = jax.jit(self._step_seq, static_argnames=("n_logits",))
+        self._seq_embd_fn = jax.jit(
+            self._step_seq_embd, static_argnames=("n_logits", "causal")
+        )
         self._all_fn = jax.jit(self._step_all)
         self._burst_fn = jax.jit(self._burst, static_argnames=("n_steps",))
 
     # ------------------------------------------------------------------
 
-    def _forward(self, params, kv_k, kv_v, kv_pos, tokens, positions, slots):
-        """Shared core: scatter K/V, build mask, run the model."""
+    def _forward(self, params, kv_k, kv_v, kv_pos, tokens, positions, slots,
+                 embd=None, causal: bool = True):
+        """Shared core: scatter K/V, build mask, run the model. With
+        `embd` (B, T, n_embd) the model takes raw embedding inputs (mtmd
+        image chunks) instead of token ids. causal=False drops the
+        position ordering check (llama_set_causal_attn; gemma3 image
+        chunks decode non-causally, mtmd.cpp:849-854)."""
         B, T = tokens.shape
         batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
         kv_pos = kv_pos.at[batch_idx, slots].set(positions)
         # visibility: cell occupied ∧ causal (SURVEY.md A.5 predicate)
-        vis = (kv_pos[:, None, :] >= 0) & (kv_pos[:, None, :] <= positions[:, :, None])
+        vis = kv_pos[:, None, :] >= 0
+        if causal:
+            vis = vis & (kv_pos[:, None, :] <= positions[:, :, None])
         if self.hp.f_max_alibi_bias > 0.0:
             # ALiBi models: visible slots carry -|p0 - p1| and the model
             # multiplies per-head slopes in (SURVEY.md A.5, mask :1301)
@@ -180,10 +190,12 @@ class Context:
             )
             embd = logits  # MLA path: no separate embd output yet
         else:
-            logits, embd, (kv_k, kv_v) = llama_forward(
+            logits, out_embd, (kv_k, kv_v) = llama_forward(
                 params, self.hp, tokens, positions, kv_k, kv_v, slots, mask,
                 quant_meta=self.model.quant_meta, return_embd=True,
+                inputs_embd=embd,
             )
+            return logits, out_embd, kv_k, kv_v, kv_pos
         return logits, embd, kv_k, kv_v, kv_pos
 
     def _step_seq(self, params, kv_k, kv_v, kv_pos, seq, tokens, positions, slots, n_logits: int):
@@ -203,6 +215,29 @@ class Context:
         kv_v = upd1(kv_v, vv)
         kv_pos = jax.lax.dynamic_update_slice_in_dim(kv_pos, pp, seq, axis=0)
         return logits[0, T - n_logits :, :], embd[0], kv_k, kv_v, kv_pos
+
+    def _step_seq_embd(self, params, kv_k, kv_v, kv_pos, seq, embd, positions,
+                       slots, n_logits: int, causal: bool = True):
+        """_step_seq with raw embedding inputs (mtmd image chunks)."""
+        slice1 = lambda t: jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, seq, 1, axis=1), t
+        )
+        kk = slice1(kv_k)
+        vv = slice1(kv_v)
+        pp = jax.lax.dynamic_slice_in_dim(kv_pos, seq, 1, axis=0)
+        T = embd.shape[1]
+        tokens = jnp.zeros((1, T), jnp.int32)
+        logits, oembd, kk, vv, pp = self._forward(
+            params, kk, vv, pp, tokens, positions, slots, embd=embd,
+            causal=causal,
+        )
+        upd1 = lambda full, part: jax.tree.map(
+            lambda a, b: jax.lax.dynamic_update_slice_in_dim(a, b, seq, axis=1), full, part
+        )
+        kv_k = upd1(kv_k, kk)
+        kv_v = upd1(kv_v, vv)
+        kv_pos = jax.lax.dynamic_update_slice_in_dim(kv_pos, pp, seq, axis=0)
+        return logits[0, T - n_logits :, :], oembd[0], kv_k, kv_v, kv_pos
 
     def _step_all(self, params, kv_k, kv_v, kv_pos, tokens, positions, slots):
         """One decode token for every sequence at once. tokens: (B, 1)."""
@@ -303,6 +338,47 @@ class Context:
         else:
             self.perf.t_decode_ms += dt
             self.perf.n_decode += 1
+        self.n_past[seq_id] = n_past + T
+        if pad:
+            out = out[:n_logits]
+        return out
+
+    def decode_embd(self, embd: np.ndarray, n_logits: int = 1, seq_id: int = 0,
+                    causal: bool = True) -> np.ndarray:
+        """Process raw embedding inputs for one sequence (the mtmd image
+        chunk path — llm_graph_input_embd, src/llama-graph.cpp:1174).
+        embd: (T, n_embd). Returns logits (n_logits, n_vocab)."""
+        if self.hp.arch == "gemma3n" or self.hp.is_mla:
+            raise NotImplementedError(
+                f"embd input not supported for arch {self.hp.arch!r}"
+            )
+        embd = np.asarray(embd, np.float32)
+        T = embd.shape[0]
+        n_past = int(self.n_past[seq_id])
+        if n_past + T > self.p.n_ctx:
+            raise ValueError(f"context overflow: {n_past}+{T} > n_ctx={self.p.n_ctx}")
+        Tb = _bucket(T) if T > 1 else 1
+        pad = Tb - T
+        S = self._S
+        x = np.pad(embd, ((0, pad), (0, 0)))[None]  # (1, Tb, n_embd)
+        rng = np.arange(n_past, n_past + T, dtype=np.int32).reshape(1, T)
+        pos = np.pad(rng, ((0, 0), (0, pad)), constant_values=-1)
+        free = np.nonzero(self._pos_host[seq_id, : S - 1] < 0)[0]
+        if len(free) < T:
+            raise ValueError(f"no free KV cells: need {T}, have {len(free)}")
+        srow = free[:T].astype(np.int32).reshape(1, T)
+        slots = np.pad(srow, ((0, 0), (0, pad)), constant_values=S - 1)
+        self._pos_host[seq_id, srow[0]] = rng[0]
+        t0 = time.perf_counter()
+        logits, oembd, self.kv_k, self.kv_v, self.kv_pos = self._seq_embd_fn(
+            self.model.params, self.kv_k, self.kv_v, self.kv_pos,
+            jnp.int32(seq_id), jnp.asarray(x, self.p.dtype), jnp.asarray(pos),
+            jnp.asarray(slots), n_logits=n_logits + pad, causal=causal,
+        )
+        self._last_embd = (oembd, T)
+        out = np.asarray(logits)
+        self.perf.t_prefill_ms += (time.perf_counter() - t0) * 1000
+        self.perf.n_prefill += T
         self.n_past[seq_id] = n_past + T
         if pad:
             out = out[:n_logits]
