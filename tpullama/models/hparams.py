@@ -56,7 +56,8 @@ class HParams:
     qk_norm_weightless: bool = False  # llama4: weightless RMS qk norm
     # post-rope on rope layers only (models/llama-iswa.cpp:88-93)
     rope_freq_base_swa: float = 10000.0  # rope base for SWA layers (gemma3)
-    rope_sections: tuple = ()  # interleaved M-RoPE (t,h,w,e) dim sections
+    rope_sections: tuple = ()  # M-RoPE (t,h,w,e) dim sections
+    rope_mrope_interleaved: bool = True  # IMROPE (qwen3vl) vs MROPE (qwen2vl)
     # (qwen3vl IMROPE; text positions reduce to NEOX + identity on the
     # theta_e sectors — ggml_mrope_cache_init, ggml-cpu/ops.cpp:5601-5610)
     rope_swa_only: bool = False  # rope only on SWA layers; dense = NoPE (cohere2)
@@ -608,13 +609,14 @@ class HParams:
             # top-k weights NOT renormalized; shared expert has its own
             # sigmoid gate (llm_build_qwen2moe)
             hp.moe_norm_topk = False
-        if arch in ("qwen3vl", "qwen3vlmoe"):
-            # interleaved M-RoPE sections (LLAMA_ROPE_TYPE_IMROPE,
-            # llama-model.cpp QWEN3VL hparams); the text path keeps NEOX
-            # rotation with identity on theta_e sectors (rope.py)
+        if arch in ("qwen3vl", "qwen3vlmoe", "qwen2vl"):
+            # M-RoPE sections (IMROPE for qwen3vl, MROPE for qwen2vl);
+            # the text path keeps NEOX rotation with identity on theta_e
+            # sectors (rope.py); image chunks carry true 4-D positions
             secs = g("rope.dimension_sections")
             if secs is not None:
                 hp.rope_sections = tuple(int(s) for s in secs)
+            hp.rope_mrope_interleaved = arch != "qwen2vl"
         if arch in ("t5", "t5encoder"):
             hp.act = "relu"
             if not hp.dec_n_layer:

@@ -62,6 +62,7 @@ def rope_params(hp: HParams) -> RopeParams:
         beta_slow=hp.rope_beta_slow,
         n_ctx_orig=hp.n_ctx_orig_yarn or hp.n_ctx_train,
         imrope_sections=hp.rope_sections,
+        mrope_interleaved=hp.rope_mrope_interleaved,
     )
 
 
@@ -80,6 +81,9 @@ def llama_forward(
     inputs_embd=None,  # (B, T, n_embd): raw embedding inputs instead of
     # token ids (the llm_graph_input_embd !ubatch.token path,
     # src/llama-graph.cpp:1174 — used for mtmd image embeddings)
+    positions4=None,  # (B, T, 4): true M-RoPE (t,h,w,e) positions for
+    # image chunks in mrope models (decode_embd_batch
+    # set_position_mrope_2d, tools/mtmd/mtmd-helper.cpp:154-166)
 ):
     """One decode/prefill step. Returns (logits, (kv_k, kv_v)) with the new
     tokens' K/V scattered into the cache at cache_slots."""
@@ -114,7 +118,13 @@ def llama_forward(
     rp = rope_params(hp)
     if use_rope:
         freq_factors = params.get("rope_freqs")  # (n_rot/2,) or None
-        cos, sin = rope_cache(rp, positions, freq_factors)  # (B,T,half)
+        if positions4 is not None and hp.rope_sections:
+            from ..ops.rope import mrope_cache
+
+            cos, sin = mrope_cache(rp, positions4, hp.rope_sections,
+                                   interleaved=hp.rope_mrope_interleaved)
+        else:
+            cos, sin = rope_cache(rp, positions, freq_factors)  # (B,T,half)
         cos = cos[:, :, None, :]
         sin = sin[:, :, None, :]
     else:

@@ -2565,3 +2565,96 @@ def make_tiny_mmproj_mlp_gguf(
     w.add_tensor("mm.2.bias", bias(n_embd_text), GGMLType.F32)
     w.write(path)
     return path
+
+
+def make_tiny_mmproj_qwen2vl_gguf(
+    path,
+    n_embd: int = 32,
+    n_layer: int = 2,
+    n_head: int = 2,
+    n_ff: int = 48,
+    image_size: int = 64,   # warmup hint only; qwen is dynamic-resolution
+    patch_size: int = 8,
+    n_embd_text: int = 64,
+    n_wa_pattern: int = 0,  # >0 selects the qwen2.5vl window-attn variant
+    force_25: bool = False,  # 2.5 weights (rms/silu) without window attn
+    seed: int = 0,
+):
+    """Random tiny qwen2vl/qwen2.5vl merger mmproj GGUF (clip.cpp
+    build_qwen2vl:717-905): dual patch conv, no class/pos embd (2-D vision
+    rope instead), 2.5 adds RMS norms + silu-gated FFN + window attention
+    (KEY_WIN_ATTN_PATTERN, clip.cpp:2834-2841)."""
+    rng = np.random.default_rng(seed)
+    is_25 = n_wa_pattern > 0 or force_25
+    w = GGUFWriter()
+    w.add_str("general.architecture", "clip")
+    w.add_str("general.name", "tiny-test-mmproj-qwen2vl")
+    w.add_bool("clip.has_vision_encoder", True)
+    w.add_str("clip.projector_type",
+              "qwen2.5vl_merger" if is_25 else "qwen2vl_merger")
+    w.add_u32("clip.vision.image_size", image_size)
+    w.add_u32("clip.vision.patch_size", patch_size)
+    w.add_u32("clip.vision.embedding_length", n_embd)
+    w.add_u32("clip.vision.feed_forward_length", n_ff)
+    w.add_u32("clip.vision.block_count", n_layer)
+    w.add_u32("clip.vision.attention.head_count", n_head)
+    w.add_f32("clip.vision.attention.layer_norm_epsilon", 1e-6)
+    w.add_u32("clip.vision.projection_dim", n_embd_text)
+    w.add_array("clip.vision.image_mean",
+                np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32))
+    w.add_array("clip.vision.image_std",
+                np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32))
+    if is_25:
+        if n_wa_pattern > 0:
+            w.add_u32("clip.vision.n_wa_pattern", n_wa_pattern)
+        w.add_bool("clip.use_silu", True)
+    else:
+        w.add_bool("clip.use_gelu", True)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def bias(n):
+        return (0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    conv_scale = 1.0 / np.sqrt(3 * patch_size * patch_size)
+    for name in ("v.patch_embd.weight", "v.patch_embd.weight.1"):
+        w.add_tensor(name,
+                     (rng.standard_normal((n_embd, 3, patch_size, patch_size))
+                      * conv_scale).astype(np.float32), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"v.blk.{il}."
+        w.add_tensor(p + "attn_q.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_q.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_k.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_k.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_v.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_v.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_out.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_out.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ln1.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ln2.weight", norm_w(n_embd), GGMLType.F32)
+        if not is_25:
+            w.add_tensor(p + "ln1.bias", bias(n_embd), GGMLType.F32)
+            w.add_tensor(p + "ln2.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.bias", bias(n_ff), GGMLType.F32)
+        if is_25:
+            w.add_tensor(p + "ffn_gate.weight", mat(n_ff, n_embd), GGMLType.F32)
+            w.add_tensor(p + "ffn_gate.bias", bias(n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.bias", bias(n_embd), GGMLType.F32)
+    w.add_tensor("v.post_ln.weight", norm_w(n_embd), GGMLType.F32)
+    if not is_25:
+        w.add_tensor("v.post_ln.bias", bias(n_embd), GGMLType.F32)
+    w.add_tensor("mm.0.weight", mat(n_embd_text, 4 * n_embd), GGMLType.F32)
+    w.add_tensor("mm.0.bias", bias(n_embd_text), GGMLType.F32)
+    w.add_tensor("mm.2.weight", mat(n_embd_text, n_embd_text), GGMLType.F32)
+    w.add_tensor("mm.2.bias", bias(n_embd_text), GGMLType.F32)
+    w.write(path)
+    return path

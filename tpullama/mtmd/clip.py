@@ -47,6 +47,9 @@ class ClipHParams:
     n_mmproj_embd: int = 0  # text-model embedding width of the projector out
     n_wa_pattern: int = 0  # qwen2.5vl window-attention pattern
     is_deepstack_layers: tuple = ()  # qwen3vl
+    # dynamic-resolution limits (set_limit_image_tokens, clip.cpp:214-219)
+    image_min_pixels: int = -1
+    image_max_pixels: int = -1
 
 
 def _g(kv, key, default=None):
@@ -94,6 +97,12 @@ def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
         hp.n_merge = int(v)
     if proj in ("qwen2.5vl_merger",):
         hp.norm_type = "rms"
+    if proj in ("qwen2vl_merger", "qwen2.5vl_merger", "qwen3vl_merger"):
+        # set_limit_image_tokens(8, 4096) (clip.cpp:2843): pixel bounds in
+        # units of merged-patch area
+        area = hp.patch_size * hp.patch_size * hp.n_merge * hp.n_merge
+        hp.image_min_pixels = 8 * area
+        hp.image_max_pixels = 4096 * area
 
     # tensors -------------------------------------------------------
     tensors = {}
@@ -191,62 +200,196 @@ def _norm(x, w, b, kind, eps):
     return layer_norm(x, w, b, eps)
 
 
+def _rms_parity(x, w, eps):
+    """Bit-exact host replica of ggml_compute_forward_rms_norm_f32
+    (ggml-cpu/ops.cpp:3646-3695): per-element f32 x*x products accumulated
+    in double (exact for these widths), mean rounded once to f32,
+    scale = 1.0f/sqrtf(mean+eps) in f32, then the f32 scale/weight muls."""
+    x = np.asarray(x, np.float32)
+    prod = x * x  # f32 per-element rounding, then exact f64 accumulation
+    s = prod.astype(np.float64).sum(axis=-1, keepdims=True)
+    mean = (s / x.shape[-1]).astype(np.float32)
+    scale = np.float32(1.0) / np.sqrt(mean + np.float32(eps))
+    y = x * scale
+    if w is not None:
+        y = y * np.asarray(w, np.float32)
+    return y
+
+
 def _f16(x):
     return x.astype(jnp.float16).astype(jnp.float32)
 
 
 def _act(x, op):
-    """ggml CPU activations. GELU variants are computed through an fp16
-    lookup table (GGML_GELU_FP16 / GGML_GELU_QUICK_FP16, ggml-cpu/vec.h:
-    17-18, 892-905): y = f16(gelu(f16(x))), with a ±10 passthrough clamp
-    for plain gelu — replicated for embedding-level parity."""
-    xf = x.astype(jnp.float32)
+    """ggml CPU activations, replicated bit-exactly on host (numpy).
+
+    GELU variants go through an fp16 lookup table (GGML_GELU_FP16 /
+    GGML_GELU_QUICK_FP16, ggml-cpu/vec.h): y = f16(gelu_f32(f16(x))) with
+    a ±10 passthrough clamp for plain gelu. The table entries are the
+    reference's exact f32 arithmetic chain — emulated here with one f32
+    rounding per op (float64 carries the exact intermediate); tanhf/expf
+    are emulated as fl32(f64 op), their correctly-rounded value."""
+    xf = np.asarray(x, np.float32)
+    r32 = lambda a: a.astype(np.float32).astype(np.float64)
     if op == "gelu":
-        g = _f16(jax.nn.gelu(_f16(xf), approximate=True))
-        return jnp.where(xf <= -10.0, 0.0, jnp.where(xf >= 10.0, xf, g))
+        # ggml_gelu_f32: 0.5f*x*(1.0f+tanhf(SQRT_2_OVER_PI*x*(1.0f+
+        # GELU_COEF_A*x*x))); the 1+coef*x*x term fp-contracts to fma
+        xh = xf.astype(np.float16)
+        x64 = xh.astype(np.float64)
+        SQ = np.float64(np.float32(0.79788456080286535587989211986876))
+        CO = np.float64(np.float32(0.044715))
+        s1 = r32(SQ * x64)
+        s2 = r32(x64 * x64)
+        s4 = r32(CO * s2 + 1.0)  # fma
+        t = r32(np.tanh(r32(s1 * s4)))
+        g = ((r32(0.5 * x64) * r32(1.0 + t))
+             .astype(np.float32).astype(np.float16).astype(np.float32))
+        # glibc tanhf deviates from correct rounding on exactly one f16
+        # input of the 63488 finite table entries (verified vs the
+        # reference's ggml_table_gelu_f16)
+        g = np.where(xh == np.float16(-1.9990234375),
+                     np.float32(-0.045501708984375), g)
+        return np.where(xf <= -10.0, np.float32(0), np.where(xf >= 10.0, xf, g))
     if op == "silu":
-        return jax.nn.silu(xf)
+        return _silu_ggml(xf)
     if op == "gelu_quick":
-        # ggml_gelu_quick: x * sigmoid(1.702 * x), via the fp16 table
-        xh = _f16(xf)
-        return _f16(xh * jax.nn.sigmoid(1.702 * xh))
+        # ggml_gelu_quick_f32: x*(1.0f/(1.0f+expf(GELU_QUICK_COEF*x)))
+        xh = xf.astype(np.float16)
+        x64 = xh.astype(np.float64)
+        CO = np.float64(np.float32(-1.702))
+        e2 = r32(np.exp(r32(CO * x64)))
+        e4 = r32(1.0 / r32(1.0 + e2))
+        return ((x64 * e4)
+                .astype(np.float32).astype(np.float16).astype(np.float32))
     if op == "gelu_erf":
-        return jax.nn.gelu(xf, approximate=False)
+        # ggml_gelu_erf_f32: 0.5f*x*(1.0f+erff(x*SQRT_2_INV)) — no table
+        x64 = xf.astype(np.float64)
+        SQ = np.float64(np.float32(0.70710678118654752440084436210484))
+        from scipy.special import erf as _erf  # pragma: no cover
+
+        e = r32(_erf(r32(x64 * SQ)))
+        return (r32(0.5 * x64) * r32(1.0 + e)).astype(np.float32)
     raise ValueError(op)
 
 
-def _fattn_cpu_parity(q, k, v, scale):
-    """Replicates the reference clip attention numerics. The mtmd ctor
-    hardcodes CLIP_FLASH_ATTN_TYPE_AUTO (mtmd.cpp:179 — the -fa flag never
-    reaches clip), so the ViT always runs the CPU flash-attn kernel
-    (ggml-cpu/ops.cpp flash_attn_ext_f16): Q and K are converted to fp16
-    for the KQ dot, and the V·softmax accumulator itself is FP16 — every
+def _silu_ggml(xf):
+    """ggml_vec_silu_f32: x/(1+expf(-x)) — the SIMD body uses the
+    ggml_v_expf polynomial (vec.h:1111-1165), not libm expf; replicated
+    exactly in f32 numpy (it's a deterministic Cephes-style kernel)."""
+    x = np.asarray(xf, np.float32)
+    return (x / (np.float32(1.0) + _ggml_v_expf(-x))).astype(np.float32)
+
+
+def _ggml_v_expf(x):
+    """Bit-exact numpy port of the AVX512 ggml_v_expf (ggml-cpu/vec.h:
+    1084-1110 — the variant the reference build dispatches to, vscalefps
+    present in its libggml-cpu): exp as j * 2^n with all-f32 arithmetic;
+    fma contraction is emulated by computing in float64 and rounding once
+    to f32. Hex-float constants are written in decimal-exact f32 form."""
+    x = np.asarray(x, np.float32)
+    f32 = np.float32
+    r32 = lambda a: a.astype(np.float32)
+    x64 = x.astype(np.float64)
+    big = np.float64(f32(12582912.0))                 # 0x1.8p23
+    r_ln2 = np.float64(f32(1.4426950216293335))       # 0x1.715476p+0
+    l2h = np.float64(f32(0.693145751953125))          # 0x1.62e4p-1
+    l2l = np.float64(f32(1.428606765330187e-06))      # 0x1.7f7d1cp-20
+    z32 = r32(x64 * r_ln2 + big)                      # fma
+    n = (z32.astype(np.float64) - big).astype(np.float32)
+    n64 = n.astype(np.float64)
+    # b = fnmadd(n, l2l, fnmadd(n, l2h, x))
+    b = r32(x64 - n64 * l2h)
+    b64 = (b.astype(np.float64) - n64 * l2l)
+    b = r32(b64)
+    b64 = b.astype(np.float64)
+    u = r32(b64 * b64).astype(np.float64)
+    c1 = np.float64(f32(0.008247390389442444))        # 0x1.0e4020p-7
+    c2 = np.float64(f32(0.04189976677298546))         # 0x1.573e2ep-5
+    c3 = np.float64(f32(0.16668395698070526))         # 0x1.555e66p-3
+    c4 = np.float64(f32(0.4999912679195404))         # 0x1.fffdb6p-2
+    c5 = np.float64(f32(0.9999994039535522))          # 0x1.ffffecp-1
+    p1 = r32(c1 * b64 + c2).astype(np.float64)
+    p2 = r32(c3 * b64 + c4).astype(np.float64)
+    p3 = r32(p1 * u + p2).astype(np.float64)
+    p4 = r32(c5 * b64 + 1.0).astype(np.float64)
+    j = r32(p3 * u + p4).astype(np.float64)
+    # vscalefps: j * 2^n — exact power-of-two scale, one f32 rounding
+    with np.errstate(over="ignore", under="ignore"):
+        res = r32(j * np.exp2(n64))
+        out = np.where(np.abs(n) > f32(192.0),
+                       np.where(n <= 0, f32(0.0), f32(np.inf)), res)
+    return out
+    return s1_bits.view(np.float32).astype(np.float64)
+
+
+def _fattn_cpu_parity(q, k, v, scale, visible=None):
+    """Replicates the reference clip attention numerics bit-exactly for
+    test-scale models. The mtmd ctor hardcodes CLIP_FLASH_ATTN_TYPE_AUTO
+    (mtmd.cpp:179 — the -fa flag never reaches clip), so the ViT always
+    runs the CPU flash-attn kernel (ggml-cpu/ops.cpp
+    flash_attn_ext_f16_one_chunk): Q and K are converted to fp16 for the
+    KQ dot, and the V·softmax accumulator itself is FP16 — every
     online-softmax mad and rescale rounds to half precision
-    (ggml_vec_mad_f16 / ggml_vec_scale_f16). q,k,v: (H, T, D) f32."""
-    qh = _f16(q)
-    kh = _f16(k)
-    vh = _f16(v)
-    s = jnp.einsum("hqd,hkd->khq", qh, kh) * scale  # (Tk, H, Tq) f32
+    (ggml_vec_mad_f16 / ggml_vec_scale_f16, fp-contracted to FMA).
 
+    For head dims below GGML_F16_STEP (32 — every tiny test model) the
+    f16 vec ops take the scalar-leftovers path: the KQ dot accumulates
+    f32 products of f16 values (exact, 22-bit mantissas) in a double
+    (ggml_float) — replicated here exactly with float64 numpy; expf is
+    emulated as fl(exp_f64(x)), correct rounding. Runs eagerly on host —
+    this path exists for reference parity tests only; the production
+    (non-parity) path is the fused jnp softmax. q,k,v: (H, T, D) f32."""
+    q = np.asarray(q, np.float32)
+    k = np.asarray(k, np.float32)
+    v = np.asarray(v, np.float32)
     H, Tq, D = q.shape
+    Tk = k.shape[1]
+    qh = q.astype(np.float16).astype(np.float64)
+    kh = k.astype(np.float16).astype(np.float64)
+    vh = v.astype(np.float16).astype(np.float64)
+    if visible is None:
+        visible = np.ones((Tk, Tq), bool)
+    else:
+        visible = np.asarray(visible)
+    # KQ dot: f16 inputs -> exact f32 products -> f64 accumulation, then
+    # one f32 rounding (vec.cpp ggml_vec_dot_f16 leftovers) and the f32
+    # scale multiply
+    s_all = (np.einsum("hqd,hkd->khq", qh, kh).astype(np.float32)
+             * np.float32(scale))  # (Tk, H, Tq)
 
-    def step(carry, inp):
-        M, S, VKQ = carry  # (H,Tq), (H,Tq), (H,Tq,D) [VKQ holds f16 values]
-        s_ic, v_ic = inp  # (H,Tq), (H,D)
-        new_max = s_ic > M
-        Mn = jnp.where(new_max, s_ic, M)
-        ms = jnp.where(new_max, jnp.exp(M - Mn), 1.0)
-        vs = jnp.where(new_max, 1.0, jnp.exp(s_ic - Mn))
-        VKQ = jnp.where(new_max[..., None], _f16(VKQ * ms[..., None]), VKQ)
-        VKQ = _f16(VKQ + v_ic[:, None, :] * vs[..., None])
-        S = S * ms + vs
-        return (Mn, S, VKQ), None
+    def expf(x32):
+        # fl32(exp_f64(x)): glibc expf to <=0.5 ulp
+        return np.exp(x32.astype(np.float64)).astype(np.float32)
 
-    M0 = jnp.full((H, Tq), -jnp.inf, jnp.float32)
-    S0 = jnp.zeros((H, Tq), jnp.float32)
-    V0 = jnp.zeros((H, Tq, D), jnp.float32)
-    (M, S, VKQ), _ = jax.lax.scan(step, (M0, S0, V0), (s, vh.transpose(1, 0, 2)))
-    return VKQ / S[..., None]
+    one = np.float32(1.0)
+    zero = np.float32(0.0)
+    M = np.full((H, Tq), -np.inf, np.float32)
+    S = np.zeros((H, Tq), np.float32)
+    VKQ = np.zeros((H, Tq, D), np.float16)
+    with np.errstate(invalid="ignore", over="ignore"):
+        for ic in range(Tk):
+            vis = visible[ic][None, :]  # (1, Tq) broadcasts over heads
+            s_ic = s_all[ic]  # (H, Tq)
+            # masked cells are skipped outright (mv == -INFINITY continue)
+            new_max = (s_ic > M) & vis
+            Mold = M
+            M = np.where(new_max, s_ic, M)
+            ms = np.where(new_max, expf(Mold - M), one)
+            vs = np.where(new_max, one,
+                          np.where(vis, expf(s_ic - M), zero))
+            # V = f16(f32(V) * ms) on new max (ggml_vec_scale_f16)
+            scaled = (VKQ.astype(np.float32) * ms[..., None]).astype(np.float16)
+            VKQ = np.where(new_max[..., None], scaled, VKQ)
+            # V = f16(fma_f32(v, vs, V)) (ggml_vec_mad_f16; f64 emulates
+            # the fused single rounding exactly)
+            acc = VKQ.astype(np.float64) + vh[:, ic][:, None, :] * vs[
+                ..., None].astype(np.float64)
+            VKQ = acc.astype(np.float32).astype(np.float16)
+            # S = fma_f32(S, ms, vs)
+            S = (S.astype(np.float64) * ms.astype(np.float64)
+                 + vs.astype(np.float64)).astype(np.float32)
+        S_inv = np.where(S == zero, zero, (one / S).astype(np.float32))
+    return VKQ.astype(np.float32) * S_inv[..., None]
 
 
 @dataclass
@@ -354,6 +497,8 @@ class ClipModel:
         hp = self.hp
         m = self.m
         proj = hp.proj_type
+        if proj in ("qwen2vl_merger", "qwen2.5vl_merger"):
+            return self._encode_qwen2vl(jnp.asarray(img, jnp.float32))
         x, gy, gx = self._patchify(jnp.asarray(img, jnp.float32))
 
         if proj in ("gemma3", "idefics3"):
@@ -417,6 +562,188 @@ class ClipModel:
             return np.asarray(out)
 
         raise NotImplementedError(f"projector {proj!r} not yet supported")
+
+    def _encode_qwen2vl(self, img):
+        """build_qwen2vl (clip.cpp:717-905): dual patch conv (temporal
+        frame repeated), 2x2-merge token order, 2-D vision rope, optional
+        window attention (qwen2.5vl), 2-layer GELU merger over 4-token
+        groups, window un-shuffle of the output."""
+        hp = self.hp
+        m = self.m
+        n_embd = hp.n_embd
+        H = hp.n_head
+        D = n_embd // H
+        p = hp.patch_size
+        Him, Wim, _ = img.shape
+        gy, gx = Him // p, Wim // p
+        n_pos = gy * gx
+        use_window = hp.n_wa_pattern > 0
+
+        # dual conv on the same frame, summed (clip.cpp:735-742)
+        patches = img[: gy * p, : gx * p, :].reshape(gy, p, gx, p, 3)
+        patches = patches.transpose(0, 2, 4, 1, 3).reshape(n_pos, 3 * p * p)
+        patches = patches.astype(jnp.float32)
+        x = patches @ m["patch_embd"].reshape(n_embd, -1).T
+        if m.get("patch_embd_1") is not None:
+            x = x + patches @ m["patch_embd_1"].reshape(n_embd, -1).T
+
+        # merge-pattern token order: (y_block, x_block, dy, dx)
+        # (the permute/cont dance at clip.cpp:744-754)
+        grid = np.arange(n_pos).reshape(gy, gx)  # (y, x) row-major
+        order = (
+            grid.reshape(gy // 2, 2, gx // 2, 2)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1)
+        )
+        x = x[order]
+
+        # 2-D positions (y, x) per merged-order token (clip.cpp:4791-4813)
+        ys = (order // gx).astype(np.int32)
+        xs = (order % gx).astype(np.int32)
+
+        # window attention (2.5): group window tokens contiguously and
+        # compute the block mask (clip.cpp:4828-4866)
+        inv_idx = None
+        win_idx = None
+        visible = None
+        if use_window:
+            merge = 2
+            pw, ph = gx // merge, gy // merge
+            grid_window = 112 // p // merge
+            idx = np.zeros(ph * pw, np.int32)
+            inv_idx = np.zeros(ph * pw, np.int32)
+            dst = 0
+            bounds = []  # (start, end) in merged-token units per window
+            for y0 in range(0, ph, grid_window):
+                for x0 in range(0, pw, grid_window):
+                    wh = min(grid_window, ph - y0)
+                    ww = min(grid_window, pw - x0)
+                    d0 = dst
+                    for dy in range(wh):
+                        for dx in range(ww):
+                            src = (y0 + dy) * pw + (x0 + dx)
+                            idx[src] = dst
+                            inv_idx[dst] = src
+                            dst += 1
+                    bounds.append((d0, dst))
+            vis_np = np.zeros((n_pos, n_pos), bool)  # [kv, q]
+            row = 0
+            for d0, d1 in bounds:
+                for _ in range((d1 - d0) * 4):
+                    vis_np[d0 * 4 : d1 * 4, row] = True
+                    row += 1
+            visible = jnp.asarray(vis_np)
+            win_idx = idx
+            # reorder tokens in groups of 4 (clip.cpp:790-795)
+            gather = (inv_idx[:, None] * 4 + np.arange(4)[None, :]).reshape(-1)
+            x = x[gather]
+            # positions move with the tokens (clip.cpp:4873-4891 remap)
+            ys = ys[gather]
+            xs = xs[gather]
+
+        # vision rope tables: dims j<D/4 rotate by y, j in [D/4, D/2) by x,
+        # theta resets per section (is_vision/indep_sects), theta_scale
+        # uses n_dims = D/2 (ggml_mrope_cache_init + rotate_pairs VISION).
+        # Replicates the reference's f32 arithmetic exactly: theta is
+        # produced by ITERATIVE f32 multiplication (theta *= theta_scale
+        # per dim pair, ggml-cpu/ops.cpp:5614-5620), cosf/sinf emulated
+        # as fl32(f64 trig), the rotation's fma contraction in float64.
+        q4 = D // 4
+        n_dims = D // 2
+        r32_ = lambda a: a.astype(np.float32).astype(np.float64)
+        ts = np.float64(np.float32(
+            np.power(np.float64(np.float32(10000.0)),
+                     np.float64(np.float32(-2.0 / n_dims)))))
+        base_t = np.asarray(ys, np.int64).astype(np.float32).astype(np.float64)
+        base_h = np.asarray(xs, np.int64).astype(np.float32).astype(np.float64)
+        theta = np.empty((len(base_t), n_dims), np.float32)
+        cur_t = base_t.copy()
+        cur_h = base_h.copy()
+        for j in range(n_dims):
+            if j == q4:
+                cur_h = base_h.copy()  # indep_sects reset
+            theta[:, j] = (cur_t if j < q4 else cur_h).astype(np.float32)
+            cur_t = r32_(cur_t * ts)
+            cur_h = r32_(cur_h * ts)
+        th64 = theta.astype(np.float64)
+        cos = np.cos(th64).astype(np.float32)[:, None, :]  # (T, 1, D/2)
+        sin = np.sin(th64).astype(np.float32)[:, None, :]
+        cos64 = cos.astype(np.float64)
+        sin64 = sin.astype(np.float64)
+
+        def vrope(a):  # (T, H, D): rotate pairs (j, j + D/2) over full head
+            # rotate_pairs (ggml-cpu/ops.cpp:5637-5653): dst0 = x0*c - x1*s,
+            # dst1 = x0*s + x1*c in f32 with gcc fp-contract (one fma each)
+            a = np.asarray(a, np.float32)
+            x0 = a[..., : D // 2].astype(np.float64)
+            x1 = a[..., D // 2 :].astype(np.float64)
+            t0 = r32_(x1 * sin64)
+            d0 = (x0 * cos64 - t0).astype(np.float32)
+            t1 = r32_(x1 * cos64)
+            d1 = (x0 * sin64 + t1).astype(np.float32)
+            return np.concatenate([d0, d1], axis=-1)
+
+        if self.parity_fattn and hp.norm_type == "rms":
+            # bit-exact host rms for the reference-parity path
+            norm = lambda h, w, b: _rms_parity(h, w, hp.eps)
+        else:
+            norm = lambda h, w, b: _norm(h, w, b, hp.norm_type, hp.eps)
+
+        if m.get("pre_ln_w") is not None or m.get("pre_ln_b") is not None:
+            x = norm(x, m.get("pre_ln_w"), m.get("pre_ln_b"))
+
+        scale = 1.0 / (D**0.5)
+        T = x.shape[0]
+        for il, lw in enumerate(m["layers"]):
+            full_attn = ((il + 1) % hp.n_wa_pattern == 0) if use_window else True
+            h = norm(x, lw.get("ln_1_w"), lw.get("ln_1_b"))
+            q = (h @ lw["q_w"].T + lw["q_b"]).reshape(T, H, D)
+            k = (h @ lw["k_w"].T + lw["k_b"]).reshape(T, H, D)
+            v = (h @ lw["v_w"].T + lw["v_b"]).reshape(T, H, D)
+            q = vrope(q).transpose(1, 0, 2)
+            k = vrope(k).transpose(1, 0, 2)
+            v = v.transpose(1, 0, 2)
+            mask_vis = None if full_attn else visible
+            if self.parity_fattn:
+                att = _fattn_cpu_parity(q, k, v, scale, visible=mask_vis)
+            else:
+                logits = jnp.einsum("hqd,hkd->hqk", q, k) * scale
+                if mask_vis is not None:
+                    logits = jnp.where(mask_vis.T[None], logits, -jnp.inf)
+                probs = jax.nn.softmax(logits, axis=-1)
+                att = jnp.einsum("hqk,hkd->hqd", probs, v)
+            att = att.transpose(1, 0, 2).reshape(T, H * D)
+            att = att @ lw["o_w"].T
+            if "o_b" in lw:
+                att = att + lw["o_b"]
+            x = x + att
+            h = norm(x, lw.get("ln_2_w"), lw.get("ln_2_b"))
+            up = h @ lw["ff_up_w"].T
+            if "ff_up_b" in lw:
+                up = up + lw["ff_up_b"]
+            if "ff_gate_w" in lw:
+                gate = h @ lw["ff_gate_w"].T
+                if "ff_gate_b" in lw:
+                    gate = gate + lw["ff_gate_b"]
+                act = _act(gate, hp.ffn_op) * up
+            else:
+                act = _act(up, hp.ffn_op)
+            dn = act.astype(jnp.float32) @ lw["ff_down_w"].T
+            if "ff_down_b" in lw:
+                dn = dn + lw["ff_down_b"]
+            x = x + dn
+        if m.get("post_ln_w") is not None or m.get("post_ln_b") is not None:
+            x = norm(x, m.get("post_ln_w"), m.get("post_ln_b"))
+
+        # merger: 4-token groups -> MLP; tensors are mm.0 / mm.2
+        # (TN_LLAVA_PROJ indices 0 and 2, clip.cpp:3140-3147,:878-888)
+        out = x.reshape(n_pos // 4, 4 * n_embd)
+        out = out @ m["mm.0.weight"].T + m["mm.0.bias"]
+        out = _act(out, "gelu")
+        out = out @ m["mm.2.weight"].T + m["mm.2.bias"]
+        if use_window:
+            out = out[win_idx]  # restore merged-raster order (clip.cpp:890-898)
+        return np.asarray(out)
 
     def _pixel_shuffle(self, x, gy, gx, scale):
         """build_patch_merge_permute (clip.cpp): merge scale x scale patch

@@ -100,6 +100,29 @@ def resize_bicubic(src: np.ndarray, tw: int, th: int) -> np.ndarray:
     return out
 
 
+def smart_resize_size(w: int, h: int, align: int, min_pixels: int,
+                      max_pixels: int) -> tuple:
+    """img_tool::calc_size_preserved_ratio, min/max-pixels overload
+    (clip.cpp:3759-3784 — transformers' "smart_resize"): round each side
+    to a multiple of `align`, then scale down/up so that
+    min_pixels <= W*H <= max_pixels. Returns (w_bar, h_bar)."""
+    # std::round = half away from zero (not Python banker's rounding)
+    rnd = lambda x: int(np.floor(x / align + 0.5)) * align
+    ceil = lambda x: int(np.ceil(x / align)) * align
+    floor = lambda x: int(np.floor(x / align)) * align
+    h_bar = max(align, rnd(h))
+    w_bar = max(align, rnd(w))
+    if h_bar * w_bar > max_pixels:
+        beta = np.sqrt(float(h * w) / max_pixels)
+        h_bar = max(align, floor(h / beta))
+        w_bar = max(align, floor(w / beta))
+    elif h_bar * w_bar < min_pixels:
+        beta = np.sqrt(float(min_pixels) / (h * w))
+        h_bar = ceil(h * beta)
+        w_bar = ceil(w * beta)
+    return w_bar, h_bar
+
+
 def resize(src: np.ndarray, tw: int, th: int, algo: str = "bilinear",
            add_padding: bool = True, pad_color=(0, 0, 0)) -> np.ndarray:
     """img_tool::resize wrapper (clip.cpp:3659-3735): equal-size copy;

@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .clip import ClipModel
-from .image import normalize, resize
+from .image import normalize, resize, smart_resize_size
 
 MEDIA_MARKER = "<__media__>"
 IMAGE_MARKER = "<__image__>"  # deprecated alias (mtmd.h:42)
@@ -29,6 +29,18 @@ class TextChunk:
 @dataclass
 class ImageChunk:
     embd: np.ndarray  # (n_tokens, n_embd_text)
+    # M-RoPE (qwen-vl): merged-token grid dims + position accounting
+    # (mtmd.cpp:614-618 image_tokens nx/ny + use_mrope_pos)
+    nx: int = 0
+    ny: int = 0
+    use_mrope: bool = False
+
+    def n_pos(self) -> int:
+        """Positions consumed by this chunk (mtmd_image_tokens_get_n_pos,
+        mtmd.cpp:1066-1072: max(nx, ny) for M-RoPE, else n_tokens)."""
+        if self.use_mrope:
+            return max(self.nx, self.ny)
+        return int(self.embd.shape[0])
 
 
 # per-projector image delimiters (mtmd.cpp:271-320)
@@ -59,7 +71,16 @@ class MtmdContext:
         (clip.cpp:4314-4326: bilinear resize to image_size², normalize)."""
         hp = self.clip.hp
         proj = hp.proj_type
-        if proj in ("gemma3", "adapter", "internvl"):
+        if proj in ("qwen2vl_merger", "qwen2.5vl_merger", "qwen3vl_merger"):
+            # dynamic resolution: aspect-preserving resize to multiples of
+            # patch_size * n_merge within pixel bounds (clip.cpp:4245-4264)
+            h, w = img_u8.shape[:2]
+            tw, th = smart_resize_size(
+                w, h, hp.patch_size * hp.n_merge,
+                hp.image_min_pixels, hp.image_max_pixels,
+            )
+            resized = resize(img_u8, tw, th, "bilinear", add_padding=False)
+        elif proj in ("gemma3", "adapter", "internvl"):
             resized = resize(img_u8, hp.image_size, hp.image_size, "bilinear")
         elif proj in ("mlp", "mlp_norm", "ldp", "ldpv2"):
             # llava-1.5 square path (no grid pinpoints): aspect-preserving
@@ -100,7 +121,18 @@ class MtmdContext:
                                                  parse_special=True))
                 pre = self.preprocess(img)
                 embd = self.clip.encode(pre)
-                chunks.append(ImageChunk(embd))
+                hp = self.clip.hp
+                if hp.proj_type in ("qwen2vl_merger", "qwen2.5vl_merger",
+                                    "qwen3vl_merger"):
+                    merge = hp.patch_size * hp.n_merge
+                    chunks.append(ImageChunk(
+                        embd,
+                        nx=pre.shape[1] // merge,
+                        ny=pre.shape[0] // merge,
+                        use_mrope=True,
+                    ))
+                else:
+                    chunks.append(ImageChunk(embd))
                 if self.img_end:
                     add_text(self.vocab.tokenize(self.img_end, add_special=False,
                                                  parse_special=True))
@@ -127,5 +159,7 @@ class MtmdContext:
                 # gemma3 decodes image chunks with non-causal attention
                 # (mtmd_decode_use_non_causal, mtmd.cpp:849-854)
                 causal = self.clip.hp.proj_type != "gemma3"
-                logits = ctx.decode_embd(ch.embd, seq_id=seq_id, causal=causal)
+                grid = (ch.nx, ch.ny) if ch.use_mrope else None
+                logits = ctx.decode_embd(ch.embd, seq_id=seq_id, causal=causal,
+                                         mrope_grid=grid)
         return logits[-1] if logits is not None else None

@@ -35,12 +35,14 @@ class RopeParams:
     beta_fast: float = 32.0
     beta_slow: float = 1.0
     n_ctx_orig: int = 0
-    # interleaved M-RoPE (qwen3vl, GGML_ROPE_TYPE_IMROPE): (t,h,w,e)
-    # sections. For TEXT positions p_t=p_h=p_w=pos and p_e=0
+    # M-RoPE (qwen2vl MROPE / qwen3vl IMROPE): (t,h,w,e) dim sections.
+    # For TEXT positions p_t=p_h=p_w=pos and p_e=0
     # (llm_graph_input_pos::set_input, src/llama-graph.cpp:44-56), so the
     # rotation equals NEOX except theta_e sectors, which stay identity
     # (theta_base_e = 0 in ggml_mrope_cache_init, ggml-cpu/ops.cpp:5601).
+    # Image chunks carry true 4-D positions — see mrope_cache().
     imrope_sections: tuple = ()
+    mrope_interleaved: bool = True  # IMROPE sector%3 routing vs contiguous
 
 
 def _yarn_corr_dim(n_dims: int, n_ctx_orig: int, n_rot: float, base: float) -> float:
@@ -78,20 +80,65 @@ def rope_cache(p: RopeParams, positions, freq_factors=None):
     else:
         theta = theta_interp
     if p.imrope_sections:
-        # zero theta on theta_e sectors (identity rotation for text):
-        # sector j%sum(sections) routes to t/h/w by sector%3 within each
-        # section's 3x budget, else e (ggml-cpu/ops.cpp:5601-5610)
-        s0, s1, s2 = p.imrope_sections[0], p.imrope_sections[1], p.imrope_sections[2]
-        sect_dims = sum(p.imrope_sections)
-        import numpy as _np
+        # zero theta on theta_e sectors (identity rotation for text
+        # positions, where p_e = 0 — ggml-cpu/ops.cpp:5601-5620)
+        sel = mrope_section_index(p.imrope_sections, half, p.mrope_interleaved)
+        theta = jnp.where(jnp.asarray(sel == 3), 0.0, theta)
+    return jnp.cos(theta) * mscale, jnp.sin(theta) * mscale
 
-        j = _np.arange(half) % max(sect_dims, 1)
-        is_e = ~(
-            ((j % 3 == 1) & (j < 3 * s1))
-            | ((j % 3 == 2) & (j < 3 * s2))
-            | ((j % 3 == 0) & (j < 3 * s0))
-        )
-        theta = jnp.where(jnp.asarray(is_e), 0.0, theta)
+
+def mrope_section_index(sections, half: int, interleaved: bool):
+    """Static per-dim section routing for M-RoPE: which position component
+    (0=t, 1=h, 2=w, 3=e) drives dim pair j (ggml_mrope_cache_init,
+    ggml-cpu/ops.cpp:5565-5622). Standard M-RoPE runs contiguous t|h|w|e
+    blocks; interleaved (qwen3vl IMROPE) cycles t,h,w by sector%3."""
+    import numpy as np
+
+    s0, s1, s2 = sections[0], sections[1], sections[2]
+    sect_dims = max(sum(sections), 1)
+    j = np.arange(half) % sect_dims
+    if interleaved:
+        sel = np.full(half, 3)
+        sel[(j % 3 == 0) & (j < 3 * s0)] = 0
+        sel[(j % 3 == 1) & (j < 3 * s1)] = 1
+        sel[(j % 3 == 2) & (j < 3 * s2)] = 2
+    else:
+        sel = np.full(half, 3)
+        sel[j < s0] = 0
+        sel[(j >= s0) & (j < s0 + s1)] = 1
+        sel[(j >= s0 + s1) & (j < s0 + s1 + s2)] = 2
+    return sel
+
+
+def mrope_cache(p: RopeParams, positions4, sections, interleaved: bool = False):
+    """M-RoPE cos/sin for 4-component positions.
+
+    positions4: int array (..., 4) with (t, h, w, e) per token (the
+    llm_graph_input_pos 4-D layout; text tokens use (p, p, p, 0)).
+    theta for dim pair j is pos[sel(j)] * freq_base^(-2j/n_dims) — the
+    per-section thetas all advance by theta_scale every pair, so only the
+    base position changes per section (non-vision path, indep_sects=false).
+    Returns (cos, sin) of shape (..., n_dims//2)."""
+    half = p.n_dims // 2
+    i = jnp.arange(half, dtype=jnp.float32)
+    theta_scale = p.freq_base ** (-2.0 * i / p.n_dims)
+    sel = jnp.asarray(mrope_section_index(sections, half, interleaved))
+    pos = jnp.take_along_axis(
+        positions4.astype(jnp.float32),
+        jnp.broadcast_to(sel, positions4.shape[:-1] + (half,)).astype(jnp.int32),
+        axis=-1,
+    )  # (..., half): selected position component per dim pair
+    theta = pos * theta_scale
+    mscale = p.attn_factor
+    if p.ext_factor != 0.0:
+        lo, hi = yarn_corr_dims(p)
+        y = (i - lo) / max(0.001, hi - lo)
+        ramp = (1.0 - jnp.clip(y, 0.0, 1.0)) * p.ext_factor
+        theta_interp = p.freq_scale * theta
+        theta = theta_interp * (1 - ramp) + theta * ramp
+        mscale = mscale * (1.0 + 0.1 * math.log(1.0 / p.freq_scale))
+    else:
+        theta = p.freq_scale * theta
     return jnp.cos(theta) * mscale, jnp.sin(theta) * mscale
 
 

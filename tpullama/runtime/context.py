@@ -138,7 +138,7 @@ class Context:
     # ------------------------------------------------------------------
 
     def _forward(self, params, kv_k, kv_v, kv_pos, tokens, positions, slots,
-                 embd=None, causal: bool = True):
+                 embd=None, causal: bool = True, positions4=None):
         """Shared core: scatter K/V, build mask, run the model. With
         `embd` (B, T, n_embd) the model takes raw embedding inputs (mtmd
         image chunks) instead of token ids. causal=False drops the
@@ -151,6 +151,20 @@ class Context:
         vis = kv_pos[:, None, :] >= 0
         if causal:
             vis = vis & (kv_pos[:, None, :] <= positions[:, :, None])
+        if causal and positions4 is not None:
+            # M-RoPE 2-D causal tie-break (llama_kv_cache::set_input_kq_mask,
+            # src/llama-kv-cache.cpp:1265-1272): image-chunk tokens share one
+            # scalar position, and same-position keys are masked unless their
+            # raster (y, x) — which equals batch order for image chunks — is
+            # at or before the query's. Cells outside this batch never tie
+            # (chunks advance n_past by max(nx, ny) before the next batch).
+            order = jnp.arange(T, dtype=jnp.int32)
+            sub_kv = jnp.zeros((B, kv_pos.shape[1]), jnp.int32)
+            sub_kv = sub_kv.at[batch_idx, slots].set(jnp.broadcast_to(order, (B, T)))
+            tie = (kv_pos[:, None, :] == positions[:, :, None]) & (
+                sub_kv[:, None, :] > order[None, :, None]
+            )
+            vis = vis & ~tie
         if self.hp.f_max_alibi_bias > 0.0:
             # ALiBi models: visible slots carry -|p0 - p1| and the model
             # multiplies per-head slopes in (SURVEY.md A.5, mask :1301)
@@ -193,7 +207,7 @@ class Context:
             logits, out_embd, (kv_k, kv_v) = llama_forward(
                 params, self.hp, tokens, positions, kv_k, kv_v, slots, mask,
                 quant_meta=self.model.quant_meta, return_embd=True,
-                inputs_embd=embd,
+                inputs_embd=embd, positions4=positions4,
             )
             return logits, out_embd, kv_k, kv_v, kv_pos
         return logits, embd, kv_k, kv_v, kv_pos
@@ -217,7 +231,8 @@ class Context:
         return logits[0, T - n_logits :, :], embd[0], kv_k, kv_v, kv_pos
 
     def _step_seq_embd(self, params, kv_k, kv_v, kv_pos, seq, embd, positions,
-                       slots, n_logits: int, causal: bool = True):
+                       slots, n_logits: int, causal: bool = True,
+                       positions4=None):
         """_step_seq with raw embedding inputs (mtmd image chunks)."""
         slice1 = lambda t: jax.tree.map(
             lambda a: jax.lax.dynamic_slice_in_dim(a, seq, 1, axis=1), t
@@ -229,7 +244,7 @@ class Context:
         tokens = jnp.zeros((1, T), jnp.int32)
         logits, oembd, kk, vv, pp = self._forward(
             params, kk, vv, pp, tokens, positions, slots, embd=embd,
-            causal=causal,
+            causal=causal, positions4=positions4,
         )
         upd1 = lambda full, part: jax.tree.map(
             lambda a, b: jax.lax.dynamic_update_slice_in_dim(a, b, seq, axis=1), full, part
@@ -344,10 +359,17 @@ class Context:
         return out
 
     def decode_embd(self, embd: np.ndarray, n_logits: int = 1, seq_id: int = 0,
-                    causal: bool = True) -> np.ndarray:
+                    causal: bool = True, mrope_grid: tuple | None = None) -> np.ndarray:
         """Process raw embedding inputs for one sequence (the mtmd image
         chunk path — llm_graph_input_embd, src/llama-graph.cpp:1174).
-        embd: (T, n_embd). Returns logits (n_logits, n_vocab)."""
+        embd: (T, n_embd). Returns logits (n_logits, n_vocab).
+
+        mrope_grid=(nx, ny): qwen-vl M-RoPE image chunks — every token
+        sits at scalar position n_past (the t component, which the KV
+        cells and causal mask use, like the reference's cells.pos_set of
+        ubatch.pos[i]) with per-token (t, t+y, t+x, 0) rope positions
+        (set_position_mrope_2d, mtmd-helper.cpp:154-166); the sequence
+        position advances by max(nx, ny) (mtmd.cpp:1066-1072)."""
         if self.hp.arch == "gemma3n" or self.hp.is_mla:
             raise NotImplementedError(
                 f"embd input not supported for arch {self.hp.arch!r}"
@@ -355,13 +377,29 @@ class Context:
         embd = np.asarray(embd, np.float32)
         T = embd.shape[0]
         n_past = int(self.n_past[seq_id])
-        if n_past + T > self.p.n_ctx:
-            raise ValueError(f"context overflow: {n_past}+{T} > n_ctx={self.p.n_ctx}")
+        n_pos_adv = T
+        if mrope_grid is not None:
+            nx, ny = mrope_grid
+            if nx * ny != T:
+                raise ValueError(f"mrope_grid {mrope_grid} != n_tokens {T}")
+            n_pos_adv = max(nx, ny)
+        if n_past + n_pos_adv > self.p.n_ctx:
+            raise ValueError(f"context overflow: {n_past}+{n_pos_adv} > n_ctx={self.p.n_ctx}")
         Tb = _bucket(T) if T > 1 else 1
         pad = Tb - T
         S = self._S
         x = np.pad(embd, ((0, pad), (0, 0)))[None]  # (1, Tb, n_embd)
-        rng = np.arange(n_past, n_past + T, dtype=np.int32).reshape(1, T)
+        pos4 = None
+        if mrope_grid is not None:
+            rng = np.full((1, T), n_past, np.int32)
+            ys, xs = np.divmod(np.arange(T, dtype=np.int32), nx)
+            p4 = np.stack(
+                [np.full(T, n_past, np.int32), n_past + ys, n_past + xs,
+                 np.zeros(T, np.int32)], axis=-1,
+            )
+            pos4 = jnp.asarray(np.pad(p4, ((0, pad), (0, 0)))[None])  # (1,Tb,4)
+        else:
+            rng = np.arange(n_past, n_past + T, dtype=np.int32).reshape(1, T)
         pos = np.pad(rng, ((0, 0), (0, pad)), constant_values=-1)
         free = np.nonzero(self._pos_host[seq_id, : S - 1] < 0)[0]
         if len(free) < T:
@@ -374,12 +412,13 @@ class Context:
             self.model.params, self.kv_k, self.kv_v, self.kv_pos,
             jnp.int32(seq_id), jnp.asarray(x, self.p.dtype), jnp.asarray(pos),
             jnp.asarray(slots), n_logits=n_logits + pad, causal=causal,
+            positions4=pos4,
         )
         self._last_embd = (oembd, T)
         out = np.asarray(logits)
         self.perf.t_prefill_ms += (time.perf_counter() - t0) * 1000
         self.perf.n_prefill += T
-        self.n_past[seq_id] = n_past + T
+        self.n_past[seq_id] = n_past + n_pos_adv
         if pad:
             out = out[:n_logits]
         return out
