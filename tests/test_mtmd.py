@@ -209,7 +209,7 @@ def test_llava_mlp_mtmd_matches_reference(tmp_path):
 
 
 def _run_mtmd_parity(tmp_path, arch, proj_kwargs, img_hw, seed_img=7,
-                     n_predict=16):
+                     n_predict=16, mmproj_maker=None, text_kwargs=None):
     """Shared qwen-vl vs llama-mtmd-cli token parity harness."""
     from tpullama.models.testing import make_tiny_mmproj_qwen2vl_gguf
 
@@ -217,8 +217,10 @@ def _run_mtmd_parity(tmp_path, arch, proj_kwargs, img_hw, seed_img=7,
     proj_path = str(tmp_path / "mmproj.gguf")
     img_path = str(tmp_path / "img.png")
     make_tiny_llama_gguf(text_path, n_embd=64, n_layer=2, seed=80, arch=arch,
-                         n_ctx=512, extra_kv={"tokenizer.chat_template": CHATML})
-    make_tiny_mmproj_qwen2vl_gguf(proj_path, seed=81, **proj_kwargs)
+                         n_ctx=512, extra_kv={"tokenizer.chat_template": CHATML},
+                         **(text_kwargs or {}))
+    (mmproj_maker or make_tiny_mmproj_qwen2vl_gguf)(
+        proj_path, seed=81, **proj_kwargs)
     rng = np.random.default_rng(seed_img)
     from PIL import Image
 
@@ -324,4 +326,33 @@ def test_qwen25vl_window_attn_matches_reference(tmp_path):
         tmp_path, "qwen2vl",
         dict(n_wa_pattern=2, n_layer=2),
         img_hw=(96, 128), seed_img=3,
+    )
+
+
+@needs_cli
+def test_qwen3vl_deepstack_matches_reference(tmp_path):
+    """qwen3vl merger: patch bias + learned pos embd, fused qkv, 2-D
+    vision rope, deepstack feature head concatenated on the feature dim,
+    text-side split of main/deepstack channels with per-layer adds
+    (models/qwen3vl.cpp:21-126) and IMROPE image positions — greedy
+    decode must match llama-mtmd-cli token-for-token."""
+    from tpullama.models.testing import make_tiny_mmproj_qwen3vl_gguf
+
+    _run_mtmd_parity(
+        tmp_path, "qwen3vl", dict(deepstack_layers=(0,)), img_hw=(64, 64),
+        mmproj_maker=make_tiny_mmproj_qwen3vl_gguf,
+        text_kwargs=dict(n_deepstack=1),
+    )
+
+
+@needs_cli
+def test_qwen3vlmoe_deepstack_matches_reference(tmp_path):
+    """qwen3vlmoe text path (MoE FFN) with the same deepstack injection
+    (models/qwen3vl-moe.cpp:123-126) — token parity vs llama-mtmd-cli."""
+    from tpullama.models.testing import make_tiny_mmproj_qwen3vl_gguf
+
+    _run_mtmd_parity(
+        tmp_path, "qwen3vlmoe", dict(deepstack_layers=(0,)), img_hw=(64, 64),
+        mmproj_maker=make_tiny_mmproj_qwen3vl_gguf,
+        text_kwargs=dict(n_deepstack=1, n_expert=4),
     )

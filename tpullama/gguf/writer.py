@@ -48,6 +48,7 @@ _NP_VTYPE = {
     np.dtype(np.uint64): GGUFValueType.UINT64,
     np.dtype(np.int64): GGUFValueType.INT64,
     np.dtype(np.float64): GGUFValueType.FLOAT64,
+    np.dtype(np.bool_): GGUFValueType.BOOL,
 }
 
 

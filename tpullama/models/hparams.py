@@ -58,6 +58,8 @@ class HParams:
     rope_freq_base_swa: float = 10000.0  # rope base for SWA layers (gemma3)
     rope_sections: tuple = ()  # M-RoPE (t,h,w,e) dim sections
     rope_mrope_interleaved: bool = True  # IMROPE (qwen3vl) vs MROPE (qwen2vl)
+    n_deepstack: int = 0  # qwen3vl: vision deepstack features added to the
+    # first n layers' outputs on embd batches (models/qwen3vl.cpp:19-125)
     # (qwen3vl IMROPE; text positions reduce to NEOX + identity on the
     # theta_e sectors — ggml_mrope_cache_init, ggml-cpu/ops.cpp:5601-5610)
     rope_swa_only: bool = False  # rope only on SWA layers; dense = NoPE (cohere2)
@@ -617,6 +619,9 @@ class HParams:
             if secs is not None:
                 hp.rope_sections = tuple(int(s) for s in secs)
             hp.rope_mrope_interleaved = arch != "qwen2vl"
+            v = g("n_deepstack_layers")
+            if v is not None:
+                hp.n_deepstack = int(v)
         if arch in ("t5", "t5encoder"):
             hp.act = "relu"
             if not hp.dec_n_layer:

@@ -91,8 +91,16 @@ def llama_forward(
     Hq, Hkv = hp.n_head, hp.n_head_kv
     Dk, Dv = hp.n_embd_head_k, hp.n_embd_head_v
 
+    deepstack = None  # (B, T, n_ds, n_embd) per-layer vision features
     if inputs_embd is not None:
         x = jnp.asarray(inputs_embd)
+        if hp.n_deepstack and x.shape[-1] == hp.n_embd * (1 + hp.n_deepstack):
+            # qwen3vl image batches: channels [main | ds_0 | ds_1 | ...]
+            # (models/qwen3vl.cpp:21-28); ds_i is added to layer i's output
+            deepstack = x[..., hp.n_embd :].reshape(
+                B, T, hp.n_deepstack, hp.n_embd
+            )
+            x = x[..., : hp.n_embd]
         if hp.embd_scale and not hp.embd_scale_tokens_only:
             x = (x.astype(jnp.float32) * hp.embd_scale).astype(x.dtype)
     else:
@@ -512,6 +520,10 @@ def llama_forward(
         if "_cvec" in w:
             # control-vector adapter (llama_adapter_cvec::apply_to)
             x = x + w["_cvec"]
+        if "_deepstack" in w:
+            # qwen3vl vision deepstack features added to the layer output
+            # (models/qwen3vl.cpp:123-126); zeros for layers >= n_deepstack
+            x = x + w["_deepstack"].astype(x.dtype)
         stats = None
         if collect_imatrix:
             # sum of squared activations per input column for each matmul
@@ -568,6 +580,8 @@ def llama_forward(
                     act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
                     x = x + _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
                     continue
+            if deepstack is not None and li < hp.n_deepstack:
+                w["_deepstack"] = deepstack[:, :, li]
             if has_swa:
                 w["_is_swa"] = jnp.asarray(bool(hp.swa_layers[li]))
             if hp.no_rope_layer_step:
@@ -607,8 +621,15 @@ def llama_forward(
         return logits.astype(jnp.float32), (kv_k, kv_v)
 
     layers = params["layers"]
-    if has_swa or hp.no_rope_layer_step or hp.xielu_params:
+    if has_swa or hp.no_rope_layer_step or hp.xielu_params or deepstack is not None:
         layers = dict(layers)
+    if deepstack is not None:
+        # per-layer scan input: ds feature for layers < n_deepstack, zeros
+        # beyond (the reference's `il < n_deepstack_layers` guard)
+        ds = jnp.zeros((hp.n_layer, B, T, hp.n_embd), deepstack.dtype)
+        layers["_deepstack"] = ds.at[: hp.n_deepstack].set(
+            jnp.moveaxis(deepstack, 2, 0)
+        )
     if hp.xielu_params:
         layers["_xielu"] = jnp.asarray(hp.xielu_params, jnp.float32)  # (L, 4)
     if has_swa:

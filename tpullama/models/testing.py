@@ -48,6 +48,7 @@ def make_tiny_llama_gguf(
     n_expert_used: int = 2,
     arch: str = "llama",
     extra_kv: dict | None = None,
+    n_deepstack: int = 0,  # qwen3vl: vision deepstack layer count
 ):
     """Write a random tiny llama GGUF; returns (path, n_vocab).
     n_expert > 0 makes it a Mixtral-style MoE (arch stays 'llama', as in
@@ -185,7 +186,7 @@ def make_tiny_llama_gguf(
         w.add_array(f"{arch}.rope.dimension_sections",
                     np.asarray([head_dim // 4, head_dim // 8, head_dim // 8, 0],
                                np.uint32))
-        w.add_u32(f"{arch}.n_deepstack_layers", 0)
+        w.add_u32(f"{arch}.n_deepstack_layers", n_deepstack)
         if arch == "qwen3vlmoe":
             w.add_u32(f"{arch}.expert_feed_forward_length", n_ff)
     if arch == "apertus":
@@ -2652,6 +2653,100 @@ def make_tiny_mmproj_qwen2vl_gguf(
     w.add_tensor("v.post_ln.weight", norm_w(n_embd), GGMLType.F32)
     if not is_25:
         w.add_tensor("v.post_ln.bias", bias(n_embd), GGMLType.F32)
+    w.add_tensor("mm.0.weight", mat(n_embd_text, 4 * n_embd), GGMLType.F32)
+    w.add_tensor("mm.0.bias", bias(n_embd_text), GGMLType.F32)
+    w.add_tensor("mm.2.weight", mat(n_embd_text, n_embd_text), GGMLType.F32)
+    w.add_tensor("mm.2.bias", bias(n_embd_text), GGMLType.F32)
+    w.write(path)
+    return path
+
+
+def make_tiny_mmproj_qwen3vl_gguf(
+    path,
+    n_embd: int = 32,
+    n_layer: int = 2,
+    n_head: int = 2,
+    n_ff: int = 48,
+    image_size: int = 64,  # trained pos-embd grid = image_size/patch_size
+    patch_size: int = 8,
+    n_embd_text: int = 64,
+    deepstack_layers: tuple = (0,),  # which blocks grow deepstack heads
+    seed: int = 0,
+):
+    """Random tiny qwen3vl merger mmproj GGUF (clip.cpp build_qwen3vl:
+    908-1100): dual patch conv + patch bias + learned pos embd, fused qkv,
+    LayerNorms with bias, 2-D vision rope, per-layer deepstack feature
+    heads (LN -> fc1 -> GELU -> fc2) concatenated after the main merger."""
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "clip")
+    w.add_str("general.name", "tiny-test-mmproj-qwen3vl")
+    w.add_bool("clip.has_vision_encoder", True)
+    w.add_str("clip.projector_type", "qwen3vl_merger")
+    w.add_u32("clip.vision.image_size", image_size)
+    w.add_u32("clip.vision.patch_size", patch_size)
+    w.add_u32("clip.vision.embedding_length", n_embd)
+    w.add_u32("clip.vision.feed_forward_length", n_ff)
+    w.add_u32("clip.vision.block_count", n_layer)
+    w.add_u32("clip.vision.attention.head_count", n_head)
+    w.add_f32("clip.vision.attention.layer_norm_epsilon", 1e-6)
+    w.add_u32("clip.vision.projection_dim", n_embd_text)
+    w.add_array("clip.vision.image_mean",
+                np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32))
+    w.add_array("clip.vision.image_std",
+                np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32))
+    w.add_bool("clip.use_gelu", True)
+    w.add_array("clip.vision.is_deepstack_layers",
+                np.asarray([il in deepstack_layers for il in range(n_layer)],
+                           bool))
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def bias(n):
+        return (0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    conv_scale = 1.0 / np.sqrt(3 * patch_size * patch_size)
+    for name in ("v.patch_embd.weight", "v.patch_embd.weight.1"):
+        w.add_tensor(name,
+                     (rng.standard_normal((n_embd, 3, patch_size, patch_size))
+                      * conv_scale).astype(np.float32), GGMLType.F32)
+    w.add_tensor("v.patch_embd.bias", bias(n_embd), GGMLType.F32)
+    n_side = image_size // patch_size
+    w.add_tensor("v.position_embd.weight",
+                 (0.02 * rng.standard_normal((n_side * n_side, n_embd)))
+                 .astype(np.float32), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"v.blk.{il}."
+        w.add_tensor(p + "attn_qkv.weight", mat(3 * n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_qkv.bias", bias(3 * n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_out.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_out.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ln1.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ln1.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ln2.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ln2.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.bias", bias(n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.bias", bias(n_embd), GGMLType.F32)
+        if il in deepstack_layers:
+            d = f"v.deepstack.{il}."
+            w.add_tensor(d + "norm.weight", norm_w(4 * n_embd), GGMLType.F32)
+            w.add_tensor(d + "norm.bias", bias(4 * n_embd), GGMLType.F32)
+            w.add_tensor(d + "fc1.weight", mat(4 * n_embd, 4 * n_embd),
+                         GGMLType.F32)
+            w.add_tensor(d + "fc1.bias", bias(4 * n_embd), GGMLType.F32)
+            w.add_tensor(d + "fc2.weight", mat(n_embd_text, 4 * n_embd),
+                         GGMLType.F32)
+            w.add_tensor(d + "fc2.bias", bias(n_embd_text), GGMLType.F32)
+    w.add_tensor("v.post_ln.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("v.post_ln.bias", bias(n_embd), GGMLType.F32)
     w.add_tensor("mm.0.weight", mat(n_embd_text, 4 * n_embd), GGMLType.F32)
     w.add_tensor("mm.0.bias", bias(n_embd_text), GGMLType.F32)
     w.add_tensor("mm.2.weight", mat(n_embd_text, n_embd_text), GGMLType.F32)

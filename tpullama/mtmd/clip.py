@@ -167,6 +167,19 @@ def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
                 lw["ff_down_b"] = ub
             else:
                 lw.pop("ff_down_b", None)
+        # qwen3vl deepstack merger heads live beside the block tensors
+        # (TN_DEEPSTACK_*, clip-impl.h:98-100; loaded clip.cpp:3003-3008)
+        for src, dst in (
+            (f"v.deepstack.{il}.norm.weight", "ds_norm_w"),
+            (f"v.deepstack.{il}.norm.bias", "ds_norm_b"),
+            (f"v.deepstack.{il}.fc1.weight", "ds_fc1_w"),
+            (f"v.deepstack.{il}.fc1.bias", "ds_fc1_b"),
+            (f"v.deepstack.{il}.fc2.weight", "ds_fc2_w"),
+            (f"v.deepstack.{il}.fc2.bias", "ds_fc2_b"),
+        ):
+            a = t(src, False)
+            if a is not None:
+                lw[dst] = a
         m["layers"].append(lw)
 
     # projector tensors (subset; per proj type, clip.cpp:3100-3230)
@@ -183,7 +196,10 @@ def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
         key = "mm.2.weight" if "mm.2.weight" in m else "mm.0.weight"
         hp.n_mmproj_embd = int(m[key].shape[0])
     elif proj in ("qwen2vl_merger", "qwen2.5vl_merger", "qwen3vl_merger"):
-        hp.n_mmproj_embd = int(m["mm.2.weight"].shape[0])
+        # qwen3vl: main path + per-deepstack-layer features concatenated
+        # along the feature dim (clip_n_mmproj_embd, clip.cpp:5048-5050)
+        n_ds = sum(1 for d in hp.is_deepstack_layers if d)
+        hp.n_mmproj_embd = int(m["mm.2.weight"].shape[0]) * (1 + n_ds)
     elif proj == "idefics3":
         hp.n_mmproj_embd = int(m["mm.model.fc.weight"].shape[0])
     elif proj == "internvl":
@@ -497,7 +513,7 @@ class ClipModel:
         hp = self.hp
         m = self.m
         proj = hp.proj_type
-        if proj in ("qwen2vl_merger", "qwen2.5vl_merger"):
+        if proj in ("qwen2vl_merger", "qwen2.5vl_merger", "qwen3vl_merger"):
             return self._encode_qwen2vl(jnp.asarray(img, jnp.float32))
         x, gy, gx = self._patchify(jnp.asarray(img, jnp.float32))
 
@@ -564,10 +580,12 @@ class ClipModel:
         raise NotImplementedError(f"projector {proj!r} not yet supported")
 
     def _encode_qwen2vl(self, img):
-        """build_qwen2vl (clip.cpp:717-905): dual patch conv (temporal
-        frame repeated), 2x2-merge token order, 2-D vision rope, optional
-        window attention (qwen2.5vl), 2-layer GELU merger over 4-token
-        groups, window un-shuffle of the output."""
+        """build_qwen2vl / build_qwen3vl (clip.cpp:717-905, 908-1100):
+        dual patch conv (temporal frame repeated), 2x2-merge token order,
+        2-D vision rope, optional window attention (qwen2.5vl), qwen3vl
+        patch bias + resizable learned position embeddings + fused qkv +
+        deepstack feature heads, 2-layer GELU merger over 4-token groups,
+        window un-shuffle of the output."""
         hp = self.hp
         m = self.m
         n_embd = hp.n_embd
@@ -578,6 +596,7 @@ class ClipModel:
         gy, gx = Him // p, Wim // p
         n_pos = gy * gx
         use_window = hp.n_wa_pattern > 0
+        is_q3 = hp.proj_type == "qwen3vl_merger"
 
         # dual conv on the same frame, summed (clip.cpp:735-742)
         patches = img[: gy * p, : gx * p, :].reshape(gy, p, gx, p, 3)
@@ -596,6 +615,24 @@ class ClipModel:
             .reshape(-1)
         )
         x = x[order]
+
+        if is_q3:
+            # patch bias (order-independent broadcast) + learned absolute
+            # position embedding, bilinearly resized to the image grid and
+            # permuted through the same merge order (clip.cpp:946-963,
+            # resize_position_embeddings:ANTIALIAS bilinear)
+            if m.get("patch_bias") is not None:
+                x = x + m["patch_bias"]
+            pe = m["pos_embd"]  # (n_per_side^2, n_embd) raster order
+            n_side = int(round(float(np.sqrt(pe.shape[0]))))
+            if (gy, gx) != (n_side, n_side):
+                pe2 = jax.image.resize(
+                    pe.reshape(n_side, n_side, n_embd), (gy, gx, n_embd),
+                    method="bilinear",
+                ).reshape(n_pos, n_embd)
+            else:
+                pe2 = pe
+            x = x + pe2[order]
 
         # 2-D positions (y, x) per merged-order token (clip.cpp:4791-4813)
         ys = (order // gx).astype(np.int32)
@@ -694,12 +731,19 @@ class ClipModel:
 
         scale = 1.0 / (D**0.5)
         T = x.shape[0]
+        ds_feats = []  # qwen3vl deepstack features (clip.cpp:1055-1070)
         for il, lw in enumerate(m["layers"]):
             full_attn = ((il + 1) % hp.n_wa_pattern == 0) if use_window else True
             h = norm(x, lw.get("ln_1_w"), lw.get("ln_1_b"))
-            q = (h @ lw["q_w"].T + lw["q_b"]).reshape(T, H, D)
-            k = (h @ lw["k_w"].T + lw["k_b"]).reshape(T, H, D)
-            v = (h @ lw["v_w"].T + lw["v_b"]).reshape(T, H, D)
+            if "qkv_w" in lw:
+                qkv = h @ lw["qkv_w"].T + lw["qkv_b"]  # rows [Q | K | V]
+                q = qkv[:, :n_embd].reshape(T, H, D)
+                k = qkv[:, n_embd : 2 * n_embd].reshape(T, H, D)
+                v = qkv[:, 2 * n_embd :].reshape(T, H, D)
+            else:
+                q = (h @ lw["q_w"].T + lw["q_b"]).reshape(T, H, D)
+                k = (h @ lw["k_w"].T + lw["k_b"]).reshape(T, H, D)
+                v = (h @ lw["v_w"].T + lw["v_b"]).reshape(T, H, D)
             q = vrope(q).transpose(1, 0, 2)
             k = vrope(k).transpose(1, 0, 2)
             v = v.transpose(1, 0, 2)
@@ -732,15 +776,33 @@ class ClipModel:
             if "ff_down_b" in lw:
                 dn = dn + lw["ff_down_b"]
             x = x + dn
+            if "ds_fc1_w" in lw:
+                # deepstack head: merge 4-token groups -> LN -> fc1 -> GELU
+                # -> fc2 (clip.cpp:1055-1070); stacked on the feature dim
+                feat = jnp.asarray(x).reshape(n_pos // 4, 4 * n_embd)
+                feat = norm(feat, lw.get("ds_norm_w"), lw.get("ds_norm_b"))
+                feat = feat @ lw["ds_fc1_w"].T
+                if "ds_fc1_b" in lw:
+                    feat = feat + lw["ds_fc1_b"]
+                feat = _act(feat, "gelu")
+                feat = feat @ lw["ds_fc2_w"].T
+                if "ds_fc2_b" in lw:
+                    feat = feat + lw["ds_fc2_b"]
+                ds_feats.append(np.asarray(feat, np.float32))
         if m.get("post_ln_w") is not None or m.get("post_ln_b") is not None:
             x = norm(x, m.get("post_ln_w"), m.get("post_ln_b"))
 
         # merger: 4-token groups -> MLP; tensors are mm.0 / mm.2
-        # (TN_LLAVA_PROJ indices 0 and 2, clip.cpp:3140-3147,:878-888)
+        # (TN_LLAVA_PROJ indices 0 and 2, clip.cpp:3140-3156,:878-888,
+        # :1085-1095)
         out = x.reshape(n_pos // 4, 4 * n_embd)
         out = out @ m["mm.0.weight"].T + m["mm.0.bias"]
         out = _act(out, "gelu")
         out = out @ m["mm.2.weight"].T + m["mm.2.bias"]
+        if ds_feats:
+            # main path + deepstack features along the feature dimension
+            # (clip.cpp:1093 ggml_concat dim 0)
+            out = np.concatenate([np.asarray(out, np.float32)] + ds_feats, -1)
         if use_window:
             out = out[win_idx]  # restore merged-raster order (clip.cpp:890-898)
         return np.asarray(out)
