@@ -356,3 +356,29 @@ def test_qwen3vlmoe_deepstack_matches_reference(tmp_path):
         mmproj_maker=make_tiny_mmproj_qwen3vl_gguf,
         text_kwargs=dict(n_deepstack=1, n_expert=4),
     )
+
+
+@needs_cli
+def test_pixtral_matches_reference(tmp_path):
+    """pixtral: RMS ViT with per-layer interleaved 2-D rope, GELU MLP
+    projector, [IMG_BREAK] embedding after each grid row — greedy parity
+    vs llama-mtmd-cli."""
+    from tpullama.models.testing import make_tiny_mmproj_pixtral_gguf
+
+    _run_mtmd_parity(
+        tmp_path, "llama", dict(), img_hw=(48, 64),
+        mmproj_maker=make_tiny_mmproj_pixtral_gguf,
+    )
+
+
+@needs_cli
+def test_pixtral_patch_merger_matches_reference(tmp_path):
+    """mistral-small-3.1 variant: input RMS norm + n_merge=2 unfold patch
+    merger before the projector (clip.cpp:643-663) — greedy parity vs
+    llama-mtmd-cli."""
+    from tpullama.models.testing import make_tiny_mmproj_pixtral_gguf
+
+    _run_mtmd_parity(
+        tmp_path, "llama", dict(spatial_merge=2), img_hw=(64, 96),
+        mmproj_maker=make_tiny_mmproj_pixtral_gguf,
+    )

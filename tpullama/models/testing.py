@@ -2753,3 +2753,84 @@ def make_tiny_mmproj_qwen3vl_gguf(
     w.add_tensor("mm.2.bias", bias(n_embd_text), GGMLType.F32)
     w.write(path)
     return path
+
+
+def make_tiny_mmproj_pixtral_gguf(
+    path,
+    n_embd: int = 32,
+    n_layer: int = 2,
+    n_head: int = 2,
+    n_ff: int = 48,
+    image_size: int = 256,  # dynamic-resolution cap, not a fixed size
+    patch_size: int = 8,
+    n_embd_text: int = 64,
+    spatial_merge: int = 0,  # >0 -> mistral-small-3.1 patch merger
+    seed: int = 0,
+):
+    """Random tiny pixtral mmproj GGUF (clip.cpp build_pixtral:619-705):
+    single patch conv, RMS norms, silu-gated FFN, per-layer 2-D rope,
+    GELU MLP projector, [IMG_BREAK] row separators; spatial_merge>0 adds
+    the mistral-small-3.1 input-norm + unfold patch merger."""
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "clip")
+    w.add_str("general.name", "tiny-test-mmproj-pixtral")
+    w.add_bool("clip.has_vision_encoder", True)
+    w.add_str("clip.projector_type", "pixtral")
+    w.add_u32("clip.vision.image_size", image_size)
+    w.add_u32("clip.vision.patch_size", patch_size)
+    w.add_u32("clip.vision.embedding_length", n_embd)
+    w.add_u32("clip.vision.feed_forward_length", n_ff)
+    w.add_u32("clip.vision.block_count", n_layer)
+    w.add_u32("clip.vision.attention.head_count", n_head)
+    w.add_f32("clip.vision.attention.layer_norm_epsilon", 1e-5)
+    w.add_u32("clip.vision.projection_dim", n_embd_text)
+    w.add_array("clip.vision.image_mean",
+                np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32))
+    w.add_array("clip.vision.image_std",
+                np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32))
+    w.add_bool("clip.use_silu", True)
+    if spatial_merge:
+        w.add_u32("clip.vision.spatial_merge_size", spatial_merge)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def bias(n):
+        return (0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    conv_scale = 1.0 / np.sqrt(3 * patch_size * patch_size)
+    w.add_tensor("v.patch_embd.weight",
+                 (rng.standard_normal((n_embd, 3, patch_size, patch_size))
+                  * conv_scale).astype(np.float32), GGMLType.F32)
+    w.add_tensor("v.pre_ln.weight", norm_w(n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"v.blk.{il}."
+        w.add_tensor(p + "attn_q.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_k.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_v.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_out.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ln1.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ln2.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_gate.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+    if spatial_merge:
+        w.add_tensor("mm.input_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor("mm.patch_merger.weight",
+                     mat(n_embd, n_embd * spatial_merge * spatial_merge),
+                     GGMLType.F32)
+    w.add_tensor("mm.1.weight", mat(n_embd_text, n_embd), GGMLType.F32)
+    w.add_tensor("mm.1.bias", bias(n_embd_text), GGMLType.F32)
+    w.add_tensor("mm.2.weight", mat(n_embd_text, n_embd_text), GGMLType.F32)
+    w.add_tensor("mm.2.bias", bias(n_embd_text), GGMLType.F32)
+    w.add_tensor("v.token_embd.img_break",
+                 (0.02 * rng.standard_normal((1, n_embd_text)))
+                 .astype(np.float32), GGMLType.F32)
+    w.write(path)
+    return path

@@ -50,6 +50,7 @@ class ClipHParams:
     # dynamic-resolution limits (set_limit_image_tokens, clip.cpp:214-219)
     image_min_pixels: int = -1
     image_max_pixels: int = -1
+    rope_theta: float = 0.0  # pixtral/kimivl 2-D rope base (clip.cpp:2813)
 
 
 def _g(kv, key, default=None):
@@ -95,14 +96,21 @@ def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
     v = _g(kv, "clip.vision.projector.scale_factor")
     if v is not None and int(v):
         hp.n_merge = int(v)
-    if proj in ("qwen2.5vl_merger",):
+    if proj in ("qwen2.5vl_merger", "pixtral"):
         hp.norm_type = "rms"
-    if proj in ("qwen2vl_merger", "qwen2.5vl_merger", "qwen3vl_merger"):
-        # set_limit_image_tokens(8, 4096) (clip.cpp:2843): pixel bounds in
-        # units of merged-patch area
+    if proj == "pixtral":
+        # original pixtral has no patch merging; mistral-small 3.1 sets
+        # spatial_merge_size=2 (clip.cpp:2808-2817)
+        hp.n_merge = int(_g(kv, "clip.vision.spatial_merge_size", 1) or 1)
+        hp.rope_theta = 10000.0
+    if proj in ("qwen2vl_merger", "qwen2.5vl_merger", "qwen3vl_merger",
+                "pixtral"):
+        # set_limit_image_tokens (clip.cpp:2816,2843): pixel bounds in
+        # units of merged-patch area (qwen: 8..4096 tokens, pixtral:
+        # 8..1024)
         area = hp.patch_size * hp.patch_size * hp.n_merge * hp.n_merge
         hp.image_min_pixels = 8 * area
-        hp.image_max_pixels = 4096 * area
+        hp.image_max_pixels = (1024 if proj == "pixtral" else 4096) * area
 
     # tensors -------------------------------------------------------
     tensors = {}
@@ -186,6 +194,7 @@ def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
     for name in tensors:
         if name.startswith("mm.") or name.startswith("resampler.") or name in (
             "model.image_newline",
+            "v.token_embd.img_break",  # pixtral (TN_TOK_IMG_BREAK)
         ):
             m[name] = jnp.asarray(tensors[name], dtype=jnp.float32)
 
@@ -204,6 +213,8 @@ def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
         hp.n_mmproj_embd = int(m["mm.model.fc.weight"].shape[0])
     elif proj == "internvl":
         hp.n_mmproj_embd = int(m["mm.model.mlp.3.weight"].shape[0])
+    elif proj == "pixtral":
+        hp.n_mmproj_embd = int(m["mm.2.weight"].shape[0])
 
     return ClipModel(hp, m)
 
@@ -214,6 +225,59 @@ def _norm(x, w, b, kind, eps):
     if kind == "rms":
         return rms_norm(x, w, eps, b)
     return layer_norm(x, w, b, eps)
+
+
+def _rope_2d(a, pos_a, pos_b, base, interleave, parity=True):
+    """build_rope_2d (clip.cpp:2383-2452): two NORMAL-mode ggml_rope_ext
+    calls over the head-dim halves. First half rotates ADJACENT pairs
+    (2j, 2j+1) by pos_a with even inv-freqs theta_j = p*base^(-4j/D);
+    second half by pos_b with odd inv-freqs (freq_scale = base^(-2/D) when
+    interleave_freq). Parity mode replicates ggml_rope_cache_init's
+    iterative f32 theta chain and fma-contracted rotation exactly.
+    a: (T, H, D)."""
+    a = np.asarray(a, np.float32)
+    T, H, D = a.shape
+    half = D // 2
+    n_dims = half  # per-half rope n_dims
+    r32_ = lambda v: v.astype(np.float32).astype(np.float64)
+    ts = np.float64(np.float32(
+        np.power(np.float64(np.float32(base)),
+                 np.float64(np.float32(-2.0 / n_dims)))))
+    fs_odd = np.float64(np.float32(
+        np.power(np.float64(np.float32(base)),
+                 np.float64(np.float32(-2.0) / np.float32(D))))) if interleave \
+        else np.float64(1.0)
+
+    def cache(pos, fs):
+        # ggml_rope_cache_init: theta iteratively *= ts in f32; per pair
+        # rope_yarn computes cos/sin of (fs * theta) (ext_factor 0)
+        th = np.empty((T, n_dims // 2), np.float32)
+        cur = np.asarray(pos, np.int64).astype(np.float32).astype(np.float64)
+        for j in range(n_dims // 2):
+            th[:, j] = (cur * fs).astype(np.float32)
+            cur = r32_(cur * ts)
+        th64 = th.astype(np.float64)
+        return (np.cos(th64).astype(np.float32)[:, None, :],
+                np.sin(th64).astype(np.float32)[:, None, :])
+
+    def rot(half_x, cos, sin):
+        # NORMAL-mode rotate_pairs: (2j, 2j+1) adjacent, fma contraction
+        x0 = half_x[..., 0::2].astype(np.float64)
+        x1 = half_x[..., 1::2].astype(np.float64)
+        c64 = cos.astype(np.float64)
+        s64 = sin.astype(np.float64)
+        d0 = (x0 * c64 - r32_(x1 * s64)).astype(np.float32)
+        d1 = (x0 * s64 + r32_(x1 * c64)).astype(np.float32)
+        out = np.empty_like(half_x)
+        out[..., 0::2] = d0
+        out[..., 1::2] = d1
+        return out
+
+    ca, sa = cache(pos_a, np.float64(1.0))
+    cb, sb = cache(pos_b, fs_odd)
+    return np.concatenate(
+        [rot(a[..., :half], ca, sa), rot(a[..., half:], cb, sb)], -1
+    )
 
 
 def _rms_parity(x, w, eps):
@@ -436,20 +500,26 @@ class ClipModel:
             out = out + self.m["patch_bias"]
         return out, gy, gx
 
-    def _vit(self, x, pos_embd=None, layers=None):
-        """build_vit (clip.cpp:2050-2178). x: (T, n_embd)."""
+    def _vit(self, x, pos_embd=None, layers=None, add_pos=None):
+        """build_vit (clip.cpp:2050-2178). x: (T, n_embd). add_pos is the
+        per-layer positional hook applied to Q/K after the optional q/k
+        norms (pixtral/kimivl 2-D rope)."""
         hp = self.hp
         m = self.m
         T = x.shape[0]
         H = hp.n_head
         D = hp.n_embd // H
+        if self.parity_fattn and hp.norm_type == "rms":
+            _nrm = lambda h, w, b: _rms_parity(h, w, hp.eps)
+        else:
+            _nrm = lambda h, w, b: _norm(h, w, b, hp.norm_type, hp.eps)
         if pos_embd is not None:
             x = x + pos_embd
         if m.get("pre_ln_w") is not None or m.get("pre_ln_b") is not None:
-            x = _norm(x, m.get("pre_ln_w"), m.get("pre_ln_b"), hp.norm_type, hp.eps)
+            x = _nrm(x, m.get("pre_ln_w"), m.get("pre_ln_b"))
         scale = 1.0 / (D**0.5)
         for lw in (m["layers"] if layers is None else layers):
-            h = _norm(x, lw.get("ln_1_w"), lw.get("ln_1_b"), hp.norm_type, hp.eps)
+            h = _nrm(x, lw.get("ln_1_w"), lw.get("ln_1_b"))
             if "qkv_w" in lw:
                 qkv = h @ lw["qkv_w"].T
                 if "qkv_b" in lw:
@@ -466,11 +536,16 @@ class ClipModel:
                 if "v_b" in lw:
                     v = v + lw["v_b"]
             if "q_norm" in lw:
-                q = _norm(q, lw["q_norm"], None, hp.norm_type, hp.eps)
+                q = _nrm(q, lw["q_norm"], None)
             if "k_norm" in lw:
-                k = _norm(k, lw["k_norm"], None, hp.norm_type, hp.eps)
-            q = q.reshape(T, H, D).transpose(1, 0, 2)
-            k = k.reshape(T, H, D).transpose(1, 0, 2)
+                k = _nrm(k, lw["k_norm"], None)
+            q = q.reshape(T, H, D)
+            k = k.reshape(T, H, D)
+            if add_pos is not None:
+                q = add_pos(q)
+                k = add_pos(k)
+            q = jnp.asarray(q).transpose(1, 0, 2)
+            k = jnp.asarray(k).transpose(1, 0, 2)
             v = v.reshape(T, H, D).transpose(1, 0, 2)
             if self.parity_fattn:
                 att = _fattn_cpu_parity(q, k, v, scale)
@@ -485,7 +560,7 @@ class ClipModel:
             if "ls_1_w" in lw:
                 att = att * lw["ls_1_w"]
             x = x + att
-            h = _norm(x, lw.get("ln_2_w"), lw.get("ln_2_b"), hp.norm_type, hp.eps)
+            h = _nrm(x, lw.get("ln_2_w"), lw.get("ln_2_b"))
             up = h @ lw["ff_up_w"].T
             if "ff_up_b" in lw:
                 up = up + lw["ff_up_b"]
@@ -503,7 +578,7 @@ class ClipModel:
                 dn = dn * lw["ls_2_w"]
             x = x + dn
         if m.get("post_ln_w") is not None or m.get("post_ln_b") is not None:
-            x = _norm(x, m.get("post_ln_w"), m.get("post_ln_b"), hp.norm_type, hp.eps)
+            x = _nrm(x, m.get("post_ln_w"), m.get("post_ln_b"))
         return x
 
     # ------------------------------------------------------- projectors
@@ -516,6 +591,53 @@ class ClipModel:
         if proj in ("qwen2vl_merger", "qwen2.5vl_merger", "qwen3vl_merger"):
             return self._encode_qwen2vl(jnp.asarray(img, jnp.float32))
         x, gy, gx = self._patchify(jnp.asarray(img, jnp.float32))
+
+        if proj == "pixtral":
+            # build_pixtral (clip.cpp:619-705): RMS ViT with per-layer 2-D
+            # rope (interleaved freqs), optional mistral-small-3.1 patch
+            # merger (RMS x input_norm -> unfold n_merge -> linear), GELU
+            # MLP projector, [IMG_BREAK] embedding after every grid row
+            # except the last
+            T = gy * gx
+            pos_h = np.arange(T, dtype=np.int32) // gx
+            pos_w = np.arange(T, dtype=np.int32) % gx
+            x = self._vit(x, add_pos=lambda a: _rope_2d(
+                a, pos_h, pos_w, hp.rope_theta, True))
+            p_y, p_x = gy, gx
+            if "mm.patch_merger.weight" in m:
+                mg = hp.n_merge
+                from ..ops.norms import rms_norm
+
+                xr = (_rms_parity(x, None, hp.eps) if self.parity_fattn
+                      else np.asarray(rms_norm(x, None, hp.eps)))
+                xr = xr * np.asarray(m["mm.input_norm.weight"], np.float32)
+                C = xr.shape[-1]
+                # torch unfold ≡ ggml_im2col: features are channel-major
+                # (IC, KH, KW) per n_merge x n_merge block (ops.cpp:6087)
+                feat = (xr.reshape(gy // mg, mg, gx // mg, mg, C)
+                        .transpose(0, 2, 4, 1, 3)
+                        .reshape((gy // mg) * (gx // mg), C * mg * mg))
+                x = feat @ np.asarray(m["mm.patch_merger.weight"], np.float32).T
+                p_y, p_x = gy // mg, gx // mg
+            out = np.asarray(x, np.float32) @ np.asarray(
+                m["mm.1.weight"], np.float32).T
+            if "mm.1.bias" in m:
+                out = out + np.asarray(m["mm.1.bias"], np.float32)
+            out = _act(out, "gelu")
+            out = out @ np.asarray(m["mm.2.weight"], np.float32).T
+            if "mm.2.bias" in m:
+                out = out + np.asarray(m["mm.2.bias"], np.float32)
+            brk = m.get("v.token_embd.img_break")
+            if brk is not None:
+                # one [IMG_BREAK] per row except the last (clip.cpp:681-700)
+                Ct = out.shape[-1]
+                rows = out.reshape(p_y, p_x, Ct)
+                tok = np.broadcast_to(
+                    np.asarray(brk, np.float32).reshape(1, 1, Ct),
+                    (p_y, 1, Ct))
+                out = np.concatenate([rows, tok], axis=1).reshape(-1, Ct)
+                out = out[: p_y * p_x + p_y - 1]
+            return np.asarray(out)
 
         if proj in ("gemma3", "idefics3"):
             # siglip trunk: learned pos embd, no class token (build_siglip)

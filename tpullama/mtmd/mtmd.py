@@ -71,9 +71,11 @@ class MtmdContext:
         (clip.cpp:4314-4326: bilinear resize to image_size², normalize)."""
         hp = self.clip.hp
         proj = hp.proj_type
-        if proj in ("qwen2vl_merger", "qwen2.5vl_merger", "qwen3vl_merger"):
+        if proj in ("qwen2vl_merger", "qwen2.5vl_merger", "qwen3vl_merger",
+                    "pixtral"):
             # dynamic resolution: aspect-preserving resize to multiples of
-            # patch_size * n_merge within pixel bounds (clip.cpp:4245-4264)
+            # patch_size * n_merge within pixel bounds (clip.cpp:4245-4264
+            # qwen, :4339-4356 pixtral)
             h, w = img_u8.shape[:2]
             tw, th = smart_resize_size(
                 w, h, hp.patch_size * hp.n_merge,
