@@ -382,3 +382,97 @@ def test_pixtral_patch_merger_matches_reference(tmp_path):
         tmp_path, "llama", dict(spatial_merge=2), img_hw=(64, 96),
         mmproj_maker=make_tiny_mmproj_pixtral_gguf,
     )
+
+
+def _run_audio_parity(tmp_path, proj, n_predict=12, seed_wav=5,
+                      proj_kwargs=None, n_ctx=1024):
+    """Audio parity harness: tiny whisper-encoder mmproj + wav vs
+    llama-mtmd-cli --audio."""
+    from tpullama.models.testing import make_tiny_mmproj_audio_gguf
+
+    text_path = str(tmp_path / "text.gguf")
+    proj_path = str(tmp_path / "mmproj.gguf")
+    wav_path = str(tmp_path / "a.wav")
+    make_tiny_llama_gguf(text_path, n_embd=64, n_layer=2, seed=80,
+                         n_ctx=n_ctx, extra_kv={"tokenizer.chat_template": CHATML})
+    make_tiny_mmproj_audio_gguf(proj_path, proj=proj, seed=81,
+                                **(proj_kwargs or {}))
+    # 0.4 s of deterministic band-limited noise at 16 kHz, PCM16
+    import wave
+
+    rng = np.random.default_rng(seed_wav)
+    t = np.arange(6400) / 16000.0
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)
+           + 0.2 * rng.standard_normal(len(t)))
+    pcm = np.clip(sig * 8000, -32768, 32767).astype("<i2")
+    with wave.open(wav_path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(pcm.tobytes())
+
+    out = subprocess.run(
+        [MTMD_CLI, "-m", text_path, "--mmproj", proj_path, "--audio", wav_path,
+         "-p", "transcribe", "-n", str(n_predict), "--temp", "0", "-fa", "off",
+         "-c", str(n_ctx)],
+        capture_output=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    ref = out.stdout.replace(b"\x00", b"").strip(b"\n")
+
+    from tpullama.mtmd import MEDIA_MARKER, MtmdContext, load_mmproj
+    from tpullama.mtmd.audio import load_wav
+    from tpullama.runtime import Context, ContextParams
+    from tpullama.server.http import apply_chat_template
+    from tpullama.tokenizer.vocab import TokenAttr
+
+    model = load_model(text_path)
+    clip = load_mmproj(proj_path)
+    mt = MtmdContext(clip, model.vocab)
+    ctx = Context(model, ContextParams(n_ctx=n_ctx))
+    prompt = apply_chat_template(
+        model, [{"role": "user", "content": "transcribe" + MEDIA_MARKER}],
+        add_generation_prompt=True,
+    )
+    chunks = mt.tokenize(prompt, [load_wav(wav_path)], add_special=True)
+    logits = mt.eval_chunks(ctx, chunks)
+    ours = bytearray()
+    for _ in range(n_predict):
+        t2 = int(np.argmax(logits))
+        if model.vocab.is_eog(t2):
+            break
+        data = model.vocab.id_to_token[t2]
+        if data.attr & TokenAttr.BYTE:
+            ours.append(int(data.text[3:5], 16))
+        elif data.attr & TokenAttr.UNKNOWN:
+            ours += data.text.encode()
+        else:
+            ours += model.vocab.token_to_piece(t2, special=False).encode()
+        logits = ctx.decode(np.asarray([t2], np.int32), n_logits=1)[-1]
+    ours = bytes(ours).replace(b"\x00", b"").strip(b"\n")
+    assert ours == ref, f"ours={ours!r} ref={ref!r}"
+
+
+@needs_cli
+def test_ultravox_audio_matches_reference(tmp_path):
+    """ultravox: whisper encoder (conv1d x2, LayerNorm ViT), stacked
+    frames, swapped-SwiGLU projector — token parity vs llama-mtmd-cli.
+    stack_factor=4: the reference aborts when 1500 conv frames are not
+    divisible by the stack factor (clip_n_output_tokens' int-div formula
+    vs the graph's padded reshape disagree, clip.cpp:4600-4607 vs
+    :1853-1864), so the real-ultravox value 8 is untestable against it."""
+    _run_audio_parity(tmp_path, "ultravox", proj_kwargs=dict(stack_factor=4))
+
+
+@needs_cli
+def test_qwen2a_audio_matches_reference(tmp_path):
+    """qwen2-audio: whisper encoder + token avg-pool + fc projector."""
+    _run_audio_parity(tmp_path, "qwen2a")
+
+
+@needs_cli
+def test_voxtral_audio_matches_reference(tmp_path):
+    """voxtral: avg-pool + stacked frames + GELU-erf MLP projector.
+    stack_factor=2 keeps 750 pooled frames divisible by the stack (same
+    reference int-div abort as the ultravox test otherwise)."""
+    _run_audio_parity(tmp_path, "voxtral", proj_kwargs=dict(stack_factor=2))

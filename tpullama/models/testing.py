@@ -2834,3 +2834,105 @@ def make_tiny_mmproj_pixtral_gguf(
                  .astype(np.float32), GGMLType.F32)
     w.write(path)
     return path
+
+
+def make_tiny_mmproj_audio_gguf(
+    path,
+    proj: str = "ultravox",  # ultravox | qwen2a | voxtral
+    n_embd: int = 32,
+    n_layer: int = 2,
+    n_head: int = 2,
+    n_ff: int = 48,
+    n_mel: int = 128,
+    n_embd_text: int = 64,
+    stack_factor: int = 8,
+    mlp_hidden: int = 64,
+    seed: int = 0,
+):
+    """Random tiny whisper-encoder audio mmproj GGUF (clip.cpp
+    build_whisper_enc:1760-1890): two conv1d blocks, LayerNorm ViT with
+    learned positions (k-proj biasless), and the ultravox (stacked frames
+    + swapped SwiGLU MLP) / qwen2a (fc) / voxtral (stack + GELU-erf MLP)
+    projector."""
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "clip")
+    w.add_str("general.name", f"tiny-test-mmproj-{proj}")
+    w.add_bool("clip.has_audio_encoder", True)
+    w.add_str("clip.projector_type", proj)
+    w.add_u32("clip.audio.embedding_length", n_embd)
+    w.add_u32("clip.audio.feed_forward_length", n_ff)
+    w.add_u32("clip.audio.block_count", n_layer)
+    w.add_u32("clip.audio.attention.head_count", n_head)
+    w.add_f32("clip.audio.attention.layer_norm_epsilon", 1e-5)
+    w.add_u32("clip.audio.projection_dim", n_embd_text)
+    w.add_u32("clip.audio.num_mel_bins", n_mel)
+    if proj in ("ultravox", "voxtral"):
+        w.add_u32("clip.audio.projector.stack_factor", stack_factor)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def bias(n):
+        return (0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    # conv kernels MUST be F16: ggml_conv_1d's im2col asserts an f16
+    # kernel (ops.cpp im2col_f16) — matches real whisper mmproj ggufs
+    w.add_tensor("a.conv1d.1.weight",
+                 (rng.standard_normal((n_embd, n_mel, 3)).astype(np.float32)
+                  / np.sqrt(3 * n_mel)), GGMLType.F16)
+    # conv biases are stored 2-D (1, n_embd) so ggml_add can repeat
+    # them along the frame dim (whisper.cpp convention)
+    w.add_tensor("a.conv1d.1.bias", bias(n_embd).reshape(n_embd, 1), GGMLType.F32)
+    w.add_tensor("a.conv1d.2.weight",
+                 (rng.standard_normal((n_embd, n_embd, 3)).astype(np.float32)
+                  / np.sqrt(3 * n_embd)), GGMLType.F16)
+    w.add_tensor("a.conv1d.2.bias", bias(n_embd).reshape(n_embd, 1), GGMLType.F32)
+    w.add_tensor("a.position_embd.weight",
+                 (0.02 * rng.standard_normal((1500, n_embd)))
+                 .astype(np.float32), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"a.blk.{il}."
+        w.add_tensor(p + "attn_q.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_q.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_k.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_v.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_v.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_out.weight", mat(n_embd, n_embd), GGMLType.F32)
+        w.add_tensor(p + "attn_out.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ln1.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ln1.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ln2.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ln2.bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.bias", bias(n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.bias", bias(n_embd), GGMLType.F32)
+    w.add_tensor("a.post_ln.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("a.post_ln.bias", bias(n_embd), GGMLType.F32)
+    if proj == "ultravox":
+        w.add_tensor("mm.a.norm_pre.weight", norm_w(n_embd * stack_factor),
+                     GGMLType.F32)
+        w.add_tensor("mm.a.mlp.1.weight",
+                     mat(mlp_hidden, n_embd * stack_factor), GGMLType.F32)
+        w.add_tensor("mm.a.norm_mid.weight", norm_w(mlp_hidden // 2),
+                     GGMLType.F32)
+        w.add_tensor("mm.a.mlp.2.weight", mat(n_embd_text, mlp_hidden // 2),
+                     GGMLType.F32)
+    elif proj == "qwen2a":
+        w.add_tensor("mm.a.fc.weight", mat(n_embd_text, n_embd), GGMLType.F32)
+        w.add_tensor("mm.a.fc.bias", bias(n_embd_text), GGMLType.F32)
+    elif proj == "voxtral":
+        w.add_tensor("mm.a.mlp.1.weight",
+                     mat(mlp_hidden, n_embd * stack_factor), GGMLType.F32)
+        w.add_tensor("mm.a.mlp.2.weight", mat(n_embd_text, mlp_hidden),
+                     GGMLType.F32)
+    else:
+        raise ValueError(proj)
+    w.write(path)
+    return path

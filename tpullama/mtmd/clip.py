@@ -51,6 +51,9 @@ class ClipHParams:
     image_min_pixels: int = -1
     image_max_pixels: int = -1
     rope_theta: float = 0.0  # pixtral/kimivl 2-D rope base (clip.cpp:2813)
+    # audio (whisper encoder) fields
+    n_mel_bins: int = 0  # KEY_A_NUM_MEL_BINS
+    proj_stack_factor: int = 0  # KEY_A_PROJ_STACK_FACTOR (ultravox/voxtral)
 
 
 def _g(kv, key, default=None):
@@ -62,8 +65,12 @@ def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
     """Load an mmproj GGUF (clip.cpp clip_model_loader analog)."""
     reader = GGUFReader(source)
     kv = reader.kv
-    if not bool(_g(kv, "clip.has_vision_encoder", False)):
-        raise ValueError("mmproj has no vision encoder (audio-only mmproj TBD)")
+    has_vision = bool(_g(kv, "clip.has_vision_encoder", False))
+    has_audio = bool(_g(kv, "clip.has_audio_encoder", False))
+    if not has_vision and not has_audio:
+        raise ValueError("mmproj has neither vision nor audio encoder")
+    if not has_vision:
+        return _load_mmproj_audio(reader)
     proj = str(_g(kv, "clip.projector_type", "mlp"))
 
     hp = ClipHParams(proj_type=proj)
@@ -216,6 +223,75 @@ def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
     elif proj == "pixtral":
         hp.n_mmproj_embd = int(m["mm.2.weight"].shape[0])
 
+    return ClipModel(hp, m)
+
+
+_AUDIO_PROJS = ("ultravox", "qwen2a", "voxtral")
+
+
+def _load_mmproj_audio(reader) -> "ClipModel":
+    """Audio-only mmproj: whisper encoder + ultravox/qwen2a/voxtral
+    projector (clip.cpp:2857-2870 hparams, :3195-3228 tensors)."""
+    kv = reader.kv
+    proj = str(_g(kv, "clip.audio.projector_type",
+                  _g(kv, "clip.projector_type", "")))
+    hp = ClipHParams(proj_type=proj)
+    hp.n_embd = int(_g(kv, "clip.audio.embedding_length", 0))
+    hp.n_ff = int(_g(kv, "clip.audio.feed_forward_length", 0))
+    hp.n_layer = int(_g(kv, "clip.audio.block_count", 0))
+    hp.n_head = int(_g(kv, "clip.audio.attention.head_count", 1))
+    hp.eps = float(_g(kv, "clip.audio.attention.layer_norm_epsilon", 1e-5))
+    hp.n_mel_bins = int(_g(kv, "clip.audio.num_mel_bins", 128))
+    hp.proj_stack_factor = int(_g(kv, "clip.audio.projector.stack_factor", 0)
+                               or 0)
+    # the reference forces GELU_ERF for all whisper-encoder models
+    # (clip.cpp:2868)
+    hp.ffn_op = "gelu_erf"
+
+    tensors = {}
+    for name in reader.tensors:
+        tensors[name] = reader.tensor_f32(name)
+
+    def t(name, required=True):
+        if name in tensors:
+            return jnp.asarray(tensors[name], dtype=jnp.float32)
+        if required:
+            raise KeyError(f"mmproj missing tensor {name}")
+        return None
+
+    m = {"layers": []}
+    m["conv1d_1_w"] = t("a.conv1d.1.weight")  # (n_embd, n_mel, k)
+    m["conv1d_1_b"] = t("a.conv1d.1.bias")
+    m["conv1d_2_w"] = t("a.conv1d.2.weight")
+    m["conv1d_2_b"] = t("a.conv1d.2.bias")
+    m["pos_embd"] = t("a.position_embd.weight")
+    m["post_ln_w"] = t("a.post_ln.weight", False)
+    m["post_ln_b"] = t("a.post_ln.bias", False)
+    for il in range(hp.n_layer):
+        p = f"a.blk.{il}."
+        lw = {}
+        for src, dst in (
+            ("attn_q.weight", "q_w"), ("attn_q.bias", "q_b"),
+            ("attn_k.weight", "k_w"), ("attn_k.bias", "k_b"),
+            ("attn_v.weight", "v_w"), ("attn_v.bias", "v_b"),
+            ("attn_out.weight", "o_w"), ("attn_out.bias", "o_b"),
+            ("ln1.weight", "ln_1_w"), ("ln1.bias", "ln_1_b"),
+            ("ln2.weight", "ln_2_w"), ("ln2.bias", "ln_2_b"),
+            ("ffn_up.weight", "ff_up_w"), ("ffn_up.bias", "ff_up_b"),
+            ("ffn_down.weight", "ff_down_w"), ("ffn_down.bias", "ff_down_b"),
+        ):
+            a = t(p + src, False)
+            if a is not None:
+                lw[dst] = a
+        m["layers"].append(lw)
+    for name in tensors:
+        if name.startswith("mm."):
+            m[name] = jnp.asarray(tensors[name], dtype=jnp.float32)
+
+    if proj == "qwen2a":
+        hp.n_mmproj_embd = int(m["mm.a.fc.weight"].shape[0])
+    else:  # ultravox / voxtral
+        hp.n_mmproj_embd = int(m["mm.a.mlp.2.weight"].shape[0])
     return ClipModel(hp, m)
 
 
@@ -500,10 +576,12 @@ class ClipModel:
             out = out + self.m["patch_bias"]
         return out, gy, gx
 
-    def _vit(self, x, pos_embd=None, layers=None, add_pos=None):
+    def _vit(self, x, pos_embd=None, layers=None, add_pos=None,
+             avgpool=False):
         """build_vit (clip.cpp:2050-2178). x: (T, n_embd). add_pos is the
         per-layer positional hook applied to Q/K after the optional q/k
-        norms (pixtral/kimivl 2-D rope)."""
+        norms (pixtral/kimivl 2-D rope); avgpool pools token pairs before
+        the post-LN (qwen2a/voxtral audio)."""
         hp = self.hp
         m = self.m
         T = x.shape[0]
@@ -577,9 +655,115 @@ class ClipModel:
             if "ls_2_w" in lw:
                 dn = dn * lw["ls_2_w"]
             x = x + dn
+        if avgpool:
+            # nn.AvgPool1d(2, stride=2) over tokens, before post-LN
+            # (build_vit, clip.cpp:2164-2172; qwen2a/voxtral)
+            T2 = (x.shape[0] // 2) * 2
+            x = jnp.asarray(x)[:T2].reshape(T2 // 2, 2, -1).mean(axis=1)
         if m.get("post_ln_w") is not None or m.get("post_ln_b") is not None:
             x = _nrm(x, m.get("post_ln_w"), m.get("post_ln_b"))
         return x
+
+    # ------------------------------------------------------- audio
+    def encode_audio(self, mel: np.ndarray) -> np.ndarray:
+        """Encode one mel chunk (n_mel, n_frames) -> (n_tokens,
+        n_mmproj_embd) — build_whisper_enc (clip.cpp:1760-1860): two
+        GELU-erf conv1d blocks (second stride 2), whisper ViT with
+        learned positions, optional token avg-pool / frame stacking, and
+        the ultravox / qwen2a / voxtral projector."""
+        hp = self.hp
+        m = self.m
+        proj = hp.proj_type
+        mel = np.asarray(mel, np.float32)
+
+        def conv1d(x, w, b, stride):
+            # x (C_in, T), w (C_out, C_in, K), half padding (conv_1d_ph).
+            # ggml_conv_1d = im2col(F16) + F16xF16 mul_mat (ggml.c:4385):
+            # both the kernel and the unfolded input are fp16 — replicate
+            # the half-precision rounding (f32 accumulation like vec_dot)
+            C_in, T = x.shape
+            C_out, _, K = w.shape
+            pad = K // 2
+            xp = np.zeros((C_in, T + 2 * pad), np.float32)
+            xp[:, pad : pad + T] = x
+            t_out = (T + 2 * pad - K) // stride + 1
+            cols = np.stack(
+                [xp[:, k : k + t_out * stride : stride] for k in range(K)],
+                axis=1,
+            )  # (C_in, K, t_out)
+            cols = cols.astype(np.float16).astype(np.float32)
+            w2 = np.asarray(w, np.float32).reshape(C_out, C_in * K)
+            out = w2 @ cols.reshape(C_in * K, t_out)
+            return out + np.asarray(b, np.float32).reshape(-1, 1)
+
+        x = conv1d(mel, m["conv1d_1_w"], m["conv1d_1_b"], 1)
+        x = np.asarray(_act(x, "gelu_erf"))
+        x = conv1d(x, m["conv1d_2_w"], m["conv1d_2_b"], 2)
+        x = np.asarray(_act(x, "gelu_erf"))
+        x = np.ascontiguousarray(x.T)  # (n_pos, n_embd)
+        n_pos = x.shape[0]
+        n_frames = mel.shape[1]
+
+        x = self._vit(
+            jnp.asarray(x), pos_embd=m["pos_embd"][:n_pos],
+            avgpool=proj in ("qwen2a", "voxtral"),
+        )
+        x = np.asarray(x, np.float32)
+
+        n_embd = hp.n_embd
+        sf = hp.proj_stack_factor
+        if proj in ("ultravox", "voxtral") and sf:
+            # StackAudioFrames: pad flat length to a multiple of
+            # n_embd*stack, reshape (clip.cpp:1853-1864)
+            flat = x.reshape(-1)
+            stride = n_embd * sf
+            padded_len = -(-len(flat) // stride) * stride
+            if padded_len != len(flat):
+                flat = np.pad(flat, (0, padded_len - len(flat)))
+            x = flat.reshape(-1, stride)
+
+        if self.parity_fattn:
+            rms = lambda h: _rms_parity(h, None, 1e-6)
+        else:
+            from ..ops.norms import rms_norm
+
+            rms = lambda h: np.asarray(rms_norm(h, None, 1e-6), np.float32)
+
+        if proj == "ultravox":
+            # UltravoxProjector (clip.cpp:1866-1885): pre-norm, ffn-in,
+            # SwiGLU with the gate in the SECOND half (swiglu_swapped),
+            # mid-norm, ffn-out
+            x = rms(x) * np.asarray(m["mm.a.norm_pre.weight"], np.float32)
+            h = x @ np.asarray(m["mm.a.mlp.1.weight"], np.float32).T
+            first, second = np.split(h, 2, axis=-1)
+            x = _silu_ggml(second) * first
+            x = rms(x) * np.asarray(m["mm.a.norm_mid.weight"], np.float32)
+            out = x @ np.asarray(m["mm.a.mlp.2.weight"], np.float32).T
+        elif proj == "qwen2a":
+            out = (x @ np.asarray(m["mm.a.fc.weight"], np.float32).T
+                   + np.asarray(m["mm.a.fc.bias"], np.float32))
+        elif proj == "voxtral":
+            h = x @ np.asarray(m["mm.a.mlp.1.weight"], np.float32).T
+            h = np.asarray(_act(h, "gelu_erf"))
+            out = h @ np.asarray(m["mm.a.mlp.2.weight"], np.float32).T
+        else:
+            raise NotImplementedError(f"audio projector {proj!r}")
+
+        return np.asarray(out[: self.n_audio_tokens(n_frames)])
+
+    def n_audio_tokens(self, n_frames: int) -> int:
+        """clip_n_output_tokens for audio (clip.cpp:4594-4613): stack
+        alignment, conv /2, then avg-pool /2 — integer-division order
+        matches the reference exactly."""
+        hp = self.hp
+        n = n_frames
+        if hp.proj_type in ("ultravox", "voxtral") and hp.proj_stack_factor:
+            sf = hp.proj_stack_factor
+            n = (-(-n // sf) * sf) // sf
+        n //= 2
+        if hp.proj_type in ("qwen2a", "voxtral"):
+            n //= 2
+        return n
 
     # ------------------------------------------------------- projectors
     def encode(self, img) -> np.ndarray:

@@ -43,6 +43,12 @@ class ImageChunk:
         return int(self.embd.shape[0])
 
 
+# per-projector audio delimiters (mtmd.cpp:330-340)
+_AUD_DELIMS = {
+    "qwen2a": ("<|audio_bos|>", "<|audio_eos|>"),
+    "ultravox": ("[BEGIN_AUDIO]", ""),
+}
+
 # per-projector image delimiters (mtmd.cpp:271-320)
 _IMG_DELIMS = {
     "gemma3": ("<start_of_image>", "<end_of_image>"),
@@ -62,6 +68,9 @@ class MtmdContext:
         self.clip = clip
         self.vocab = vocab
         self.img_beg, self.img_end = _IMG_DELIMS.get(
+            clip.hp.proj_type, ("", "")
+        )
+        self.aud_beg, self.aud_end = _AUD_DELIMS.get(
             clip.hp.proj_type, ("", "")
         )
 
@@ -118,6 +127,27 @@ class MtmdContext:
         for i, part in enumerate(parts):
             if i > 0:
                 img = images[i - 1]
+                if isinstance(img, np.ndarray) and img.ndim == 1:
+                    # audio samples (mtmd.cpp:655-705): mel chunks of 3000
+                    # frames, each encoded as its own embedding chunk
+                    from .audio import preprocess_audio
+
+                    if self.aud_beg:
+                        add_text(self.vocab.tokenize(
+                            self.aud_beg, add_special=False,
+                            parse_special=True))
+                    for mel in preprocess_audio(
+                            img, self.clip.hp.n_mel_bins or 128):
+                        embd = self.clip.encode_audio(mel)
+                        chunks.append(ImageChunk(embd))
+                    if self.aud_end:
+                        add_text(self.vocab.tokenize(
+                            self.aud_end, add_special=False,
+                            parse_special=True))
+                    if part:
+                        add_text(self.vocab.tokenize(part, add_special=False,
+                                                     parse_special=True))
+                    continue
                 if self.img_beg:
                     add_text(self.vocab.tokenize(self.img_beg, add_special=False,
                                                  parse_special=True))

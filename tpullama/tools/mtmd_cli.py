@@ -1,4 +1,4 @@
-"""llama-mtmd-cli analog: multimodal (image + text) generation.
+"""llama-mtmd-cli analog: multimodal (image/audio + text) generation.
 
 Mirrors tools/mtmd/mtmd-cli.cpp single-turn flow (:313-333): append the
 media marker when the prompt lacks one, chat-format the user message,
@@ -19,6 +19,7 @@ def main(argv=None) -> int:
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("--mmproj", required=True)
     ap.add_argument("--image", action="append", default=[])
+    ap.add_argument("--audio", action="append", default=[])
     ap.add_argument("-p", "--prompt", default="")
     ap.add_argument("-n", "--n-predict", type=int, default=64)
     ap.add_argument("--temp", type=float, default=0.0)
@@ -44,8 +45,9 @@ def main(argv=None) -> int:
     ctx = Context(model, ContextParams(n_ctx=args.ctx_size, dtype=dtype))
 
     prompt = args.prompt
+    n_media = len(args.image) + len(args.audio)
     if MEDIA_MARKER not in prompt and "<__image__>" not in prompt:
-        prompt += MEDIA_MARKER * len(args.image)
+        prompt += MEDIA_MARKER * n_media
     if not args.raw:
         from ..server.http import apply_chat_template
 
@@ -54,8 +56,12 @@ def main(argv=None) -> int:
             add_generation_prompt=True,
         )
 
-    images = [load_image(p) for p in args.image]
-    chunks = mt.tokenize(prompt, images, add_special=True)
+    media = [load_image(p) for p in args.image]
+    if args.audio:
+        from ..mtmd.audio import load_wav
+
+        media += [load_wav(p) for p in args.audio]
+    chunks = mt.tokenize(prompt, media, add_special=True)
     logits = mt.eval_chunks(ctx, chunks)
 
     sampler = None
