@@ -476,3 +476,68 @@ def test_voxtral_audio_matches_reference(tmp_path):
     stack_factor=2 keeps 750 pooled frames divisible by the stack (same
     reference int-div abort as the ultravox test otherwise)."""
     _run_audio_parity(tmp_path, "voxtral", proj_kwargs=dict(stack_factor=2))
+
+
+@needs_cli
+def test_minicpmv_resampler_matches_reference(tmp_path):
+    """minicpmv (2.6-style): llava-uhd slicing (overview + dynamic grid,
+    bicubic refined resize), 70x70 bucketed ViT positions, perceiver
+    resampler with sinusoidal 2-D positions, and the
+    <image>/<slice>/row-break chunk template — token parity vs
+    llama-mtmd-cli."""
+    from tpullama.models.testing import make_tiny_mmproj_minicpmv_gguf
+    from tpullama.tokenizer.vocab import TokenAttr
+
+    text_path = str(tmp_path / "text.gguf")
+    proj_path = str(tmp_path / "mmproj.gguf")
+    img_path = str(tmp_path / "img.png")
+    make_tiny_llama_gguf(
+        text_path, n_embd=128, n_layer=2, seed=82, n_ctx=512,
+        extra_kv={"tokenizer.chat_template": CHATML},
+        extra_special_tokens=("<image>", "</image>", "<slice>", "</slice>"),
+    )
+    make_tiny_mmproj_minicpmv_gguf(proj_path, seed=83)
+    rng = np.random.default_rng(9)
+    from PIL import Image
+
+    Image.fromarray(
+        rng.integers(0, 256, (80, 100, 3), np.uint8)).save(img_path)
+
+    out = subprocess.run(
+        [MTMD_CLI, "-m", text_path, "--mmproj", proj_path, "--image", img_path,
+         "-p", "describe", "-n", "16", "--temp", "0", "-fa", "off"],
+        capture_output=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    ref = out.stdout.replace(b"\x00", b"").strip(b"\n")
+
+    from tpullama.mtmd import MEDIA_MARKER, MtmdContext, load_mmproj
+    from tpullama.mtmd.image import load_image
+    from tpullama.runtime import Context, ContextParams
+    from tpullama.server.http import apply_chat_template
+
+    model = load_model(text_path)
+    clip = load_mmproj(proj_path)
+    mt = MtmdContext(clip, model.vocab)
+    ctx = Context(model, ContextParams(n_ctx=512))
+    prompt = apply_chat_template(
+        model, [{"role": "user", "content": "describe" + MEDIA_MARKER}],
+        add_generation_prompt=True,
+    )
+    chunks = mt.tokenize(prompt, [load_image(img_path)], add_special=True)
+    logits = mt.eval_chunks(ctx, chunks)
+    ours = bytearray()
+    for _ in range(16):
+        t = int(np.argmax(logits))
+        if model.vocab.is_eog(t):
+            break
+        data = model.vocab.id_to_token[t]
+        if data.attr & TokenAttr.BYTE:
+            ours.append(int(data.text[3:5], 16))
+        elif data.attr & TokenAttr.UNKNOWN:
+            ours += data.text.encode()
+        else:
+            ours += model.vocab.token_to_piece(t, special=False).encode()
+        logits = ctx.decode(np.asarray([t], np.int32), n_logits=1)[-1]
+    ours = bytes(ours).replace(b"\x00", b"").strip(b"\n")
+    assert ours == ref, f"ours={ours!r} ref={ref!r}"

@@ -13,8 +13,10 @@ import numpy as np
 from ..gguf import GGMLType, GGUFWriter
 
 
-def byte_vocab(n_extra: int = 0):
-    """A minimal SPM vocab: <unk>, <s>, </s>, 256 byte tokens, ▁."""
+def byte_vocab(n_extra: int = 0, extra_special: tuple = ()):
+    """A minimal SPM vocab: <unk>, <s>, </s>, 256 byte tokens, ▁.
+    extra_special adds CONTROL tokens (e.g. minicpmv's <image>/<slice>
+    markers looked up by piece text, mtmd.cpp lookup_token)."""
     tokens = ["<unk>", "<s>", "</s>"]
     types = [2, 3, 3]  # UNKNOWN, CONTROL, CONTROL
     scores = [-1e9, -1e9, -1e9]
@@ -29,6 +31,10 @@ def byte_vocab(n_extra: int = 0):
         tokens.append(f"tok{i}")
         types.append(1)
         scores.append(-float(i + 1))
+    for piece in extra_special:
+        tokens.append(piece)
+        types.append(3)  # CONTROL
+        scores.append(-1e9)
     return tokens, scores, types
 
 
@@ -49,13 +55,15 @@ def make_tiny_llama_gguf(
     arch: str = "llama",
     extra_kv: dict | None = None,
     n_deepstack: int = 0,  # qwen3vl: vision deepstack layer count
+    extra_special_tokens: tuple = (),  # extra CONTROL vocab pieces
 ):
     """Write a random tiny llama GGUF; returns (path, n_vocab).
     n_expert > 0 makes it a Mixtral-style MoE (arch stays 'llama', as in
     the reference)."""
     # chameleon's graph hard-codes image-token rows 4..8196 masked to
     # -FLT_MAX (models/chameleon.cpp:160-172): the vocab must span them
-    tokens, scores, types = byte_vocab(n_extra=8000 if arch == "chameleon" else 0)
+    tokens, scores, types = byte_vocab(n_extra=8000 if arch == "chameleon" else 0,
+                                       extra_special=extra_special_tokens)
     if n_vocab is None:
         n_vocab = len(tokens)
     assert n_vocab == len(tokens), "vocab is fixed by byte_vocab"
@@ -2934,5 +2942,98 @@ def make_tiny_mmproj_audio_gguf(
                      GGMLType.F32)
     else:
         raise ValueError(proj)
+    w.write(path)
+    return path
+
+
+def make_tiny_mmproj_minicpmv_gguf(
+    path,
+    n_embd: int = 32,
+    n_layer: int = 2,
+    n_head: int = 2,
+    n_ff: int = 48,
+    image_size: int = 64,   # slice size
+    patch_size: int = 8,
+    proj_dim: int = 128,    # resampler width; d_head is hardcoded 128
+    query_num: int = 16,
+    version: int = 3,       # 2.6-style slice template
+    seed: int = 0,
+):
+    """Random tiny minicpmv mmproj GGUF (clip.cpp build_minicpmv:
+    1105-1230): siglip ViT with 70x70 bucketed learned positions +
+    perceiver resampler (learned queries, kv projection, sinusoidal 2-D
+    positions, single cross-attention with d_head=128, LN + square
+    projection)."""
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "clip")
+    w.add_str("general.name", "tiny-test-mmproj-minicpmv")
+    w.add_bool("clip.has_vision_encoder", True)
+    w.add_str("clip.projector_type", "resampler")
+    w.add_i32("clip.minicpmv_version", version)
+    w.add_u32("clip.minicpmv_query_num", query_num)
+    w.add_u32("clip.vision.image_size", image_size)
+    w.add_u32("clip.vision.patch_size", patch_size)
+    w.add_u32("clip.vision.embedding_length", n_embd)
+    w.add_u32("clip.vision.feed_forward_length", n_ff)
+    w.add_u32("clip.vision.block_count", n_layer)
+    w.add_u32("clip.vision.attention.head_count", n_head)
+    w.add_f32("clip.vision.attention.layer_norm_epsilon", 1e-6)
+    w.add_u32("clip.vision.projection_dim", proj_dim)
+    w.add_array("clip.vision.image_mean",
+                np.asarray([0.5, 0.5, 0.5], np.float32))
+    w.add_array("clip.vision.image_std",
+                np.asarray([0.5, 0.5, 0.5], np.float32))
+    w.add_bool("clip.use_gelu", True)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def bias(n):
+        return (0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    conv_scale = 1.0 / np.sqrt(3 * patch_size * patch_size)
+    w.add_tensor("v.patch_embd.weight",
+                 (rng.standard_normal((n_embd, 3, patch_size, patch_size))
+                  * conv_scale).astype(np.float32), GGMLType.F32)
+    w.add_tensor("v.patch_embd.bias", bias(n_embd), GGMLType.F32)
+    w.add_tensor("v.position_embd.weight",
+                 (0.02 * rng.standard_normal((70 * 70, n_embd)))
+                 .astype(np.float32), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"v.blk.{il}."
+        for nm in ("attn_q", "attn_k", "attn_v", "attn_out"):
+            w.add_tensor(p + nm + ".weight", mat(n_embd, n_embd), GGMLType.F32)
+            w.add_tensor(p + nm + ".bias", bias(n_embd), GGMLType.F32)
+        for nm in ("ln1", "ln2"):
+            w.add_tensor(p + nm + ".weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(p + nm + ".bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.bias", bias(n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.bias", bias(n_embd), GGMLType.F32)
+    w.add_tensor("v.post_ln.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("v.post_ln.bias", bias(n_embd), GGMLType.F32)
+    # resampler
+    w.add_tensor("resampler.pos_embed_k",
+                 (0.02 * rng.standard_normal((70 * 70, proj_dim)))
+                 .astype(np.float32), GGMLType.F32)
+    w.add_tensor("resampler.query",
+                 (0.1 * rng.standard_normal((query_num, proj_dim)))
+                 .astype(np.float32), GGMLType.F32)
+    w.add_tensor("resampler.proj.weight", mat(proj_dim, proj_dim), GGMLType.F32)
+    w.add_tensor("resampler.kv.weight", mat(proj_dim, n_embd), GGMLType.F32)
+    for nm in ("q", "k", "v", "out"):
+        w.add_tensor(f"resampler.attn.{nm}.weight", mat(proj_dim, proj_dim),
+                     GGMLType.F32)
+        w.add_tensor(f"resampler.attn.{nm}.bias", bias(proj_dim), GGMLType.F32)
+    for nm in ("q", "kv", "post"):
+        w.add_tensor(f"resampler.ln_{nm}.weight", norm_w(proj_dim), GGMLType.F32)
+        w.add_tensor(f"resampler.ln_{nm}.bias", bias(proj_dim), GGMLType.F32)
     w.write(path)
     return path

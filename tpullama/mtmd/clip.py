@@ -54,6 +54,8 @@ class ClipHParams:
     # audio (whisper encoder) fields
     n_mel_bins: int = 0  # KEY_A_NUM_MEL_BINS
     proj_stack_factor: int = 0  # KEY_A_PROJ_STACK_FACTOR (ultravox/voxtral)
+    minicpmv_version: int = 0  # KEY_MINICPMV_VERSION (resampler projector)
+    minicpmv_query_num: int = 0  # resampler query count (clip.cpp:2684-2698)
 
 
 def _g(kv, key, default=None):
@@ -110,6 +112,13 @@ def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
         # spatial_merge_size=2 (clip.cpp:2808-2817)
         hp.n_merge = int(_g(kv, "clip.vision.spatial_merge_size", 1) or 1)
         hp.rope_theta = 10000.0
+    if proj == "resampler":
+        # minicpmv (clip.cpp:2684-2698): version + per-version query count
+        hp.minicpmv_version = int(_g(kv, "clip.minicpmv_version", 2) or 2)
+        qn = int(_g(kv, "clip.minicpmv_query_num", 0) or 0)
+        if qn == 0:
+            qn = 64 if hp.minicpmv_version in (3, 4, 5, 6) else 96
+        hp.minicpmv_query_num = qn
     if proj in ("qwen2vl_merger", "qwen2.5vl_merger", "qwen3vl_merger",
                 "pixtral"):
         # set_limit_image_tokens (clip.cpp:2816,2843): pixel bounds in
@@ -222,6 +231,10 @@ def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
         hp.n_mmproj_embd = int(m["mm.model.mlp.3.weight"].shape[0])
     elif proj == "pixtral":
         hp.n_mmproj_embd = int(m["mm.2.weight"].shape[0])
+    elif proj == "resampler":
+        # mm_model_proj->ne[0]: the resampler width (proj is square for
+        # all shipped minicpmv models, clip_n_mmproj_embd)
+        hp.n_mmproj_embd = int(m["resampler.proj.weight"].shape[-1])
 
     return ClipModel(hp, m)
 
@@ -775,6 +788,68 @@ class ClipModel:
         if proj in ("qwen2vl_merger", "qwen2.5vl_merger", "qwen3vl_merger"):
             return self._encode_qwen2vl(jnp.asarray(img, jnp.float32))
         x, gy, gx = self._patchify(jnp.asarray(img, jnp.float32))
+
+        if proj == "resampler":
+            # build_minicpmv (clip.cpp:1105-1230): dynamic-size siglip ViT
+            # with 70x70 bucketed learned positions, then a perceiver-style
+            # resampler: learned queries cross-attend over kv-projected
+            # features + 2-D sinusoidal positions, LN + square projection
+            T = gy * gx
+            # bucket coords (clip.cpp:4752-4766)
+            bh = np.floor(70.0 * np.arange(gy) / gy).astype(np.int64)
+            bw = np.floor(70.0 * np.arange(gx) / gx).astype(np.int64)
+            pos_ids = (bh[:, None] * 70 + bw[None, :]).reshape(-1)
+            x = self._vit(x, pos_embd=m["pos_embd"][pos_ids])
+            D = hp.n_mmproj_embd
+            ln = lambda h, w, b: _norm(h, w, b, "layer", hp.eps)
+            q = ln(m["resampler.query"], m["resampler.ln_q.weight"],
+                   m["resampler.ln_q.bias"])
+            v = jnp.asarray(x) @ m["resampler.kv.weight"].T
+            v = ln(v, m["resampler.ln_kv.weight"], m["resampler.ln_kv.bias"])
+            # sinusoidal 2-D positions (clip.cpp:1150-1180 + :4769-4789):
+            # omega_i = 1/10000^(i/(D/4)); k = v + [sin/cos(w), sin/cos(h)]
+            omega = (1.0 / np.power(
+                np.float32(10000.0),
+                np.arange(D // 4, dtype=np.float32) / np.float32(D // 4))
+            ).astype(np.float32)
+            rows = (np.arange(T) // gx).astype(np.float32)
+            cols = (np.arange(T) % gx).astype(np.float32)
+            th_x = cols[:, None] * omega[None, :]
+            th_y = rows[:, None] * omega[None, :]
+            pos_embed = np.concatenate(
+                [np.sin(th_x), np.cos(th_x), np.sin(th_y), np.cos(th_y)],
+                axis=-1).astype(np.float32)
+            k = np.asarray(v, np.float32) + pos_embed
+            d_head = 128  # hardcoded (clip.cpp:1186)
+            H = D // d_head
+            nq = hp.minicpmv_query_num
+            Q = (np.asarray(q, np.float32) @ np.asarray(
+                m["resampler.attn.q.weight"], np.float32).T
+                + np.asarray(m["resampler.attn.q.bias"], np.float32))
+            K = (k @ np.asarray(m["resampler.attn.k.weight"], np.float32).T
+                 + np.asarray(m["resampler.attn.k.bias"], np.float32))
+            V = (np.asarray(v, np.float32) @ np.asarray(
+                m["resampler.attn.v.weight"], np.float32).T
+                + np.asarray(m["resampler.attn.v.bias"], np.float32))
+            Qh = Q.reshape(nq, H, d_head).transpose(1, 0, 2)
+            Kh = K.reshape(T, H, d_head).transpose(1, 0, 2)
+            Vh = V.reshape(T, H, d_head).transpose(1, 0, 2)
+            scale = 1.0 / (d_head**0.5)
+            if self.parity_fattn:
+                att = _fattn_cpu_parity(Qh, Kh, Vh, scale)
+            else:
+                lg = jnp.einsum("hqd,hkd->hqk", Qh, Kh) * scale
+                att = jnp.einsum("hqk,hkd->hqd",
+                                 jax.nn.softmax(lg, axis=-1), Vh)
+            att = np.asarray(att).transpose(1, 0, 2).reshape(nq, D)
+            att = att @ np.asarray(m["resampler.attn.out.weight"],
+                                   np.float32).T
+            att = att + np.asarray(m["resampler.attn.out.bias"], np.float32)
+            out = ln(att, m["resampler.ln_post.weight"],
+                     m["resampler.ln_post.bias"])
+            out = np.asarray(out, np.float32) @ np.asarray(
+                m["resampler.proj.weight"], np.float32).T
+            return np.asarray(out)
 
         if proj == "pixtral":
             # build_pixtral (clip.cpp:619-705): RMS ViT with per-layer 2-D

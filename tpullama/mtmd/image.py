@@ -63,41 +63,41 @@ def resize_bilinear(src: np.ndarray, tw: int, th: int) -> np.ndarray:
 
 def resize_bicubic(src: np.ndarray, tw: int, th: int) -> np.ndarray:
     """img_tool::resize_bicubic (clip.cpp:3852-3915): Catmull-Rom-style
-    kernel a0..a3 over 4 rows/cols with edge clamping."""
+    kernel a0..a3 over 4 rows/cols with edge clamping (vectorized; the
+    reference's per-pixel float math replicated in f32/f64 mixed
+    precision as in the C expression types)."""
     sh, sw = src.shape[:2]
-    tx = sw / tw
-    ty = sh / th
-    out = np.zeros((th, tw, 3), np.uint8)
+    tx = np.float32(sw) / np.float32(tw)
+    ty = np.float32(sh) / np.float32(th)
+    jx = np.arange(tw, dtype=np.float32)
+    iy = np.arange(th, dtype=np.float32)
+    x = (tx * jx).astype(np.int64)
+    y = (ty * iy).astype(np.int64)
+    dx = ((tx * jx) - x.astype(np.float32)).astype(np.float64)[None, :, None]
+    dy = ((ty * iy) - y.astype(np.float32)).astype(np.float64)[:, None, None]
+    srcf = src.astype(np.float64)
 
-    def getpx(y, x):
-        return src[np.clip(y, 0, sh - 1), np.clip(x, 0, sw - 1)].astype(np.float32)
+    def px(yy, xx):  # (th,), (tw,) -> (th, tw, 3) with edge clamping
+        return srcf[np.clip(yy, 0, sh - 1)[:, None],
+                    np.clip(xx, 0, sw - 1)[None, :]]
 
-    for j in range(th):
-        y = int(ty * j)
-        dy = ty * j - y
-        for i in range(tw):
-            x = int(tx * i)
-            dx = tx * i - x
-            C = np.zeros((4, 3), np.float32)
-            for jj in range(4):
-                a0 = getpx(y - 1 + jj, x)
-                d0 = getpx(y - 1 + jj, x - 1) - a0
-                d2 = getpx(y - 1 + jj, x + 1) - a0
-                d3 = getpx(y - 1 + jj, x + 2) - a0
-                a1 = -1.0 / 3 * d0 + d2 - 1.0 / 6 * d3
-                a2 = 1.0 / 2 * d0 + 1.0 / 2 * d2
-                a3 = -1.0 / 6 * d0 - 1.0 / 2 * d2 + 1.0 / 6 * d3
-                C[jj] = a0 + a1 * dx + a2 * dx * dx + a3 * dx * dx * dx
-            d0 = C[0] - C[1]
-            d2 = C[2] - C[1]
-            d3 = C[3] - C[1]
-            a0 = C[1]
-            a1 = -1.0 / 3 * d0 + d2 - 1.0 / 6 * d3
-            a2 = 1.0 / 2 * d0 + 1.0 / 2 * d2
-            a3 = -1.0 / 6 * d0 - 1.0 / 2 * d2 + 1.0 / 6 * d3
-            cc = a0 + a1 * dy + a2 * dy * dy + a3 * dy * dy * dy
-            out[j, i] = np.clip(cc, 0, 255).astype(np.uint8)
-    return out
+    def cubic(d0, d2, d3, a0, t):
+        a1 = -d0 / 3.0 + d2 - d3 / 6.0
+        a2 = 0.5 * d0 + 0.5 * d2
+        a3 = -d0 / 6.0 - 0.5 * d2 + d3 / 6.0
+        return a0 + a1 * t + a2 * t * t + a3 * t * t * t
+
+    C = []
+    for jj in range(4):
+        a0 = px(y - 1 + jj, x)
+        d0 = px(y - 1 + jj, x - 1) - a0
+        d2 = px(y - 1 + jj, x + 1) - a0
+        d3 = px(y - 1 + jj, x + 2) - a0
+        C.append(cubic(d0, d2, d3, a0, dx))
+    cc = cubic(C[0] - C[1], C[2] - C[1], C[3] - C[1], C[1], dy)
+    # std::round (half away from zero), then clamp (clip.cpp:3906)
+    cc32 = cc.astype(np.float32)
+    return np.clip(np.floor(cc32 + np.float32(0.5)), 0, 255).astype(np.uint8)
 
 
 def smart_resize_size(w: int, h: int, align: int, min_pixels: int,

@@ -127,6 +127,14 @@ class MtmdContext:
         for i, part in enumerate(parts):
             if i > 0:
                 img = images[i - 1]
+                if self.clip.hp.proj_type == "resampler":
+                    # llava-uhd slicing + minicpmv 2.5/2.6 chunk template
+                    # (mtmd.cpp:548-607)
+                    self._add_minicpmv_chunks(chunks, add_text, img)
+                    if part:
+                        add_text(self.vocab.tokenize(part, add_special=False,
+                                                     parse_special=True))
+                    continue
                 if isinstance(img, np.ndarray) and img.ndim == 1:
                     # audio samples (mtmd.cpp:655-705): mel chunks of 3000
                     # frames, each encoded as its own embedding chunk
@@ -177,6 +185,55 @@ class MtmdContext:
             else:
                 chunks.insert(0, TextChunk([self.vocab.bos_id]))
         return chunks
+
+    def _lookup_token(self, text: str) -> int:
+        """mtmd.cpp lookup_token: exact piece-text match over the vocab."""
+        for i, data in enumerate(self.vocab.id_to_token):
+            if self.vocab.token_to_piece(i, special=True) == text:
+                return i
+        return -1
+
+    def _add_minicpmv_chunks(self, chunks, add_text, img_u8):
+        """Slice via llava-uhd and emit the minicpmv 2.5/2.6 template
+        (mtmd.cpp:227-252 token setup, :548-607 emission):
+          2.5: <image>ov</image><slice><image>s</image>...\\n...</slice>
+          2.6: <image>ov</image><slice>s</slice><slice>s</slice>\\n..."""
+        from .uhd import get_slice_instructions, slice_image
+
+        hp = self.clip.hp
+        inst = get_slice_instructions(img_u8.shape[1], img_u8.shape[0],
+                                      hp.image_size, hp.patch_size)
+        imgs = slice_image(img_u8, inst)
+        v26 = hp.minicpmv_version >= 3
+        tok = self._lookup_token
+        ov_start, ov_end = [tok("<image>")], [tok("</image>")]
+        if v26:
+            sli_start, sli_end = [tok("<slice>")], [tok("</slice>")]
+            slices_start, slices_end = [], []
+        else:
+            sli_start, sli_end = ov_start, ov_end
+            slices_start, slices_end = [tok("<slice>")], [tok("</slice>")]
+        row_end = [tok("\n")]
+
+        def enc(u8):
+            return ImageChunk(self.clip.encode(
+                normalize(u8, hp.image_mean, hp.image_std)))
+
+        add_text(ov_start)
+        chunks.append(enc(imgs[0]))
+        add_text(ov_end)
+        slices = imgs[1:]
+        if slices:
+            n_col, n_row = inst.grid_size
+            add_text(slices_start)
+            for y in range(n_row):
+                for x in range(n_col):
+                    add_text(sli_start)
+                    chunks.append(enc(slices[y * n_col + x]))
+                    add_text(sli_end)
+                if y != n_row - 1:
+                    add_text(row_end)
+            add_text(slices_end)
 
     # ------------------------------------------------------ evaluate
     def eval_chunks(self, ctx, chunks, seq_id: int = 0) -> np.ndarray:
