@@ -216,11 +216,13 @@ def _run_mtmd_parity(tmp_path, arch, proj_kwargs, img_hw, seed_img=7,
     text_path = str(tmp_path / "text.gguf")
     proj_path = str(tmp_path / "mmproj.gguf")
     img_path = str(tmp_path / "img.png")
-    make_tiny_llama_gguf(text_path, n_embd=64, n_layer=2, seed=80, arch=arch,
-                         n_ctx=512, extra_kv={"tokenizer.chat_template": CHATML},
-                         **(text_kwargs or {}))
-    (mmproj_maker or make_tiny_mmproj_qwen2vl_gguf)(
-        proj_path, seed=81, **proj_kwargs)
+    tkw = dict(n_embd=64, n_layer=2, seed=80, n_ctx=512,
+               extra_kv={"tokenizer.chat_template": CHATML})
+    tkw.update(text_kwargs or {})
+    make_tiny_llama_gguf(text_path, arch=arch, **tkw)
+    pkw = dict(seed=81)
+    pkw.update(proj_kwargs)
+    (mmproj_maker or make_tiny_mmproj_qwen2vl_gguf)(proj_path, **pkw)
     rng = np.random.default_rng(seed_img)
     from PIL import Image
 
@@ -230,7 +232,8 @@ def _run_mtmd_parity(tmp_path, arch, proj_kwargs, img_hw, seed_img=7,
 
     out = subprocess.run(
         [MTMD_CLI, "-m", text_path, "--mmproj", proj_path, "--image", img_path,
-         "-p", "describe", "-n", str(n_predict), "--temp", "0", "-fa", "off"],
+         "-p", "describe", "-n", str(n_predict), "--temp", "0", "-fa", "off",
+         "--no-warmup"],
         capture_output=True, timeout=600,
     )
     assert out.returncode == 0, out.stderr[-2000:]
@@ -541,3 +544,36 @@ def test_minicpmv_resampler_matches_reference(tmp_path):
         logits = ctx.decode(np.asarray([t], np.int32), n_logits=1)[-1]
     ours = bytes(ours).replace(b"\x00", b"").strip(b"\n")
     assert ours == ref, f"ours={ours!r} ref={ref!r}"
+
+
+@needs_cli
+def test_llama4_mtmd_matches_reference(tmp_path):
+    """llama4: pinpoint-candidate uhd slicing with tile separators
+    (overview LAST), CLS-last ViT with non-interleaved 2-D rope, pixel
+    shuffle + 2x GELU MLP + fc — token parity vs llama-mtmd-cli."""
+    from tpullama.models.testing import make_tiny_mmproj_llama4_gguf
+
+    _run_mtmd_parity(
+        tmp_path, "llama4", dict(), img_hw=(100, 150), n_predict=12,
+        mmproj_maker=make_tiny_mmproj_llama4_gguf,
+        text_kwargs=dict(n_expert=4, n_layer=4, extra_special_tokens=(
+            "<|image_start|>", "<|image_end|>", "<|image|>",
+            "<|tile_x_separator|>", "<|tile_y_separator|>")),
+    )
+
+
+@needs_cli
+def test_idefics3_uhd_matches_reference(tmp_path):
+    """idefics3/smolvlm tiling: longest-edge refine + image_size tiles
+    with <row_y_col_x> markers and trailing global image
+    (mtmd.cpp:279-284, clip.cpp:4265-4305), siglip trunk + pixel shuffle
+    + fc — token parity vs llama-mtmd-cli."""
+    from tpullama.models.testing import make_tiny_mmproj_idefics3_gguf
+
+    _run_mtmd_parity(
+        tmp_path, "llama", dict(longest_edge=128, seed=90), img_hw=(100, 150),
+        n_predict=10, seed_img=1,
+        mmproj_maker=make_tiny_mmproj_idefics3_gguf,
+        text_kwargs=dict(extra_special_tokens=(
+            "<fake_token_around_image>", "<global-img>", "\n\n")),
+    )

@@ -3037,3 +3037,162 @@ def make_tiny_mmproj_minicpmv_gguf(
         w.add_tensor(f"resampler.ln_{nm}.bias", bias(proj_dim), GGMLType.F32)
     w.write(path)
     return path
+
+
+def make_tiny_mmproj_llama4_gguf(
+    path,
+    n_embd: int = 32,
+    n_layer: int = 2,
+    n_head: int = 2,
+    n_ff: int = 48,
+    image_size: int = 64,
+    patch_size: int = 8,
+    n_merge: int = 2,
+    mlp_hidden: int = 64,
+    n_embd_text: int = 64,
+    seed: int = 0,
+):
+    """Random tiny llama4 mmproj GGUF (clip.cpp build_llama4:1288-1380):
+    unfold conv, CLS appended last, learned positions + per-layer 2-D
+    rope (non-interleaved), pixel shuffle, 2x GELU MLP + fc projection."""
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "clip")
+    w.add_str("general.name", "tiny-test-mmproj-llama4")
+    w.add_bool("clip.has_vision_encoder", True)
+    w.add_str("clip.projector_type", "llama4")
+    w.add_u32("clip.vision.image_size", image_size)
+    w.add_u32("clip.vision.patch_size", patch_size)
+    w.add_u32("clip.vision.embedding_length", n_embd)
+    w.add_u32("clip.vision.feed_forward_length", n_ff)
+    w.add_u32("clip.vision.block_count", n_layer)
+    w.add_u32("clip.vision.attention.head_count", n_head)
+    w.add_f32("clip.vision.attention.layer_norm_epsilon", 1e-5)
+    w.add_u32("clip.vision.projection_dim", n_embd_text)
+    w.add_u32("clip.vision.projector.scale_factor", n_merge)
+    w.add_array("clip.vision.image_mean", np.asarray([0.5, 0.5, 0.5], np.float32))
+    w.add_array("clip.vision.image_std", np.asarray([0.5, 0.5, 0.5], np.float32))
+    w.add_bool("clip.use_gelu", True)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def bias(n):
+        return (0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    n_patches = (image_size // patch_size) ** 2
+    conv_scale = 1.0 / np.sqrt(3 * patch_size * patch_size)
+    w.add_tensor("v.patch_embd.weight",
+                 (rng.standard_normal((n_embd, 3 * patch_size * patch_size))
+                  * conv_scale).astype(np.float32), GGMLType.F32)
+    w.add_tensor("v.class_embd",
+                 (0.1 * rng.standard_normal(n_embd)).astype(np.float32),
+                 GGMLType.F32)
+    w.add_tensor("v.position_embd.weight",
+                 (0.02 * rng.standard_normal((n_patches + 1, n_embd)))
+                 .astype(np.float32), GGMLType.F32)
+    w.add_tensor("v.pre_ln.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("v.pre_ln.bias", bias(n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"v.blk.{il}."
+        for nm in ("attn_q", "attn_k", "attn_v", "attn_out"):
+            w.add_tensor(p + nm + ".weight", mat(n_embd, n_embd), GGMLType.F32)
+            w.add_tensor(p + nm + ".bias", bias(n_embd), GGMLType.F32)
+        for nm in ("ln1", "ln2"):
+            w.add_tensor(p + nm + ".weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(p + nm + ".bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.bias", bias(n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.bias", bias(n_embd), GGMLType.F32)
+    w.add_tensor("v.post_ln.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("v.post_ln.bias", bias(n_embd), GGMLType.F32)
+    w.add_tensor("mm.model.mlp.1.weight",
+                 mat(mlp_hidden, n_embd * n_merge * n_merge), GGMLType.F32)
+    w.add_tensor("mm.model.mlp.2.weight", mat(mlp_hidden, mlp_hidden),
+                 GGMLType.F32)
+    w.add_tensor("mm.model.fc.weight", mat(n_embd_text, mlp_hidden),
+                 GGMLType.F32)
+    w.write(path)
+    return path
+
+
+def make_tiny_mmproj_idefics3_gguf(
+    path,
+    n_embd: int = 32,
+    n_layer: int = 2,
+    n_head: int = 2,
+    n_ff: int = 48,
+    image_size: int = 64,
+    patch_size: int = 8,
+    n_merge: int = 2,
+    n_embd_text: int = 64,
+    longest_edge: int = 0,  # >0 enables uhd tiling (smolvlm style)
+    seed: int = 0,
+):
+    """Random tiny idefics3/smolvlm mmproj GGUF (clip.cpp build_siglip +
+    build_patch_merge_permute + fc projection :586-591)."""
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "clip")
+    w.add_str("general.name", "tiny-test-mmproj-idefics3")
+    w.add_bool("clip.has_vision_encoder", True)
+    w.add_str("clip.projector_type", "idefics3")
+    w.add_u32("clip.vision.image_size", image_size)
+    w.add_u32("clip.vision.patch_size", patch_size)
+    w.add_u32("clip.vision.embedding_length", n_embd)
+    w.add_u32("clip.vision.feed_forward_length", n_ff)
+    w.add_u32("clip.vision.block_count", n_layer)
+    w.add_u32("clip.vision.attention.head_count", n_head)
+    w.add_f32("clip.vision.attention.layer_norm_epsilon", 1e-6)
+    w.add_u32("clip.vision.projection_dim", n_embd_text)
+    w.add_u32("clip.vision.projector.scale_factor", n_merge)
+    if longest_edge:
+        w.add_u32("clip.vision.preproc_image_size", longest_edge)
+    w.add_array("clip.vision.image_mean", np.asarray([0.5, 0.5, 0.5], np.float32))
+    w.add_array("clip.vision.image_std", np.asarray([0.5, 0.5, 0.5], np.float32))
+    w.add_bool("clip.use_gelu", True)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def bias(n):
+        return (0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    n_patches = (image_size // patch_size) ** 2
+    conv_scale = 1.0 / np.sqrt(3 * patch_size * patch_size)
+    w.add_tensor("v.patch_embd.weight",
+                 (rng.standard_normal((n_embd, 3, patch_size, patch_size))
+                  * conv_scale).astype(np.float32), GGMLType.F32)
+    w.add_tensor("v.patch_embd.bias", bias(n_embd), GGMLType.F32)
+    w.add_tensor("v.position_embd.weight",
+                 (0.02 * rng.standard_normal((n_patches, n_embd)))
+                 .astype(np.float32), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"v.blk.{il}."
+        for nm in ("attn_q", "attn_k", "attn_v", "attn_out"):
+            w.add_tensor(p + nm + ".weight", mat(n_embd, n_embd), GGMLType.F32)
+            w.add_tensor(p + nm + ".bias", bias(n_embd), GGMLType.F32)
+        for nm in ("ln1", "ln2"):
+            w.add_tensor(p + nm + ".weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(p + nm + ".bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.bias", bias(n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.bias", bias(n_embd), GGMLType.F32)
+    w.add_tensor("v.post_ln.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("v.post_ln.bias", bias(n_embd), GGMLType.F32)
+    w.add_tensor("mm.model.fc.weight",
+                 mat(n_embd_text, n_embd * n_merge * n_merge), GGMLType.F32)
+    w.write(path)
+    return path

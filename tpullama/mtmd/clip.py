@@ -55,6 +55,7 @@ class ClipHParams:
     n_mel_bins: int = 0  # KEY_A_NUM_MEL_BINS
     proj_stack_factor: int = 0  # KEY_A_PROJ_STACK_FACTOR (ultravox/voxtral)
     minicpmv_version: int = 0  # KEY_MINICPMV_VERSION (resampler projector)
+    image_longest_edge: int = 0  # idefics3 KEY_PREPROC_IMAGE_SIZE
     minicpmv_query_num: int = 0  # resampler query count (clip.cpp:2684-2698)
 
 
@@ -111,6 +112,11 @@ def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
         # original pixtral has no patch merging; mistral-small 3.1 sets
         # spatial_merge_size=2 (clip.cpp:2808-2817)
         hp.n_merge = int(_g(kv, "clip.vision.spatial_merge_size", 1) or 1)
+        hp.rope_theta = 10000.0
+    if proj == "idefics3":
+        hp.image_longest_edge = int(
+            _g(kv, "clip.vision.preproc_image_size", 0) or 0)
+    if proj == "llama4":
         hp.rope_theta = 10000.0
     if proj == "resampler":
         # minicpmv (clip.cpp:2684-2698): version + per-version query count
@@ -235,6 +241,8 @@ def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
         # mm_model_proj->ne[0]: the resampler width (proj is square for
         # all shipped minicpmv models, clip_n_mmproj_embd)
         hp.n_mmproj_embd = int(m["resampler.proj.weight"].shape[-1])
+    elif proj == "llama4":
+        hp.n_mmproj_embd = int(m["mm.model.fc.weight"].shape[0])
 
     return ClipModel(hp, m)
 
@@ -849,6 +857,40 @@ class ClipModel:
                      m["resampler.ln_post.bias"])
             out = np.asarray(out, np.float32) @ np.asarray(
                 m["resampler.proj.weight"], np.float32).T
+            return np.asarray(out)
+
+        if proj == "llama4":
+            # build_llama4 (clip.cpp:1288-1380): CLS appended last, learned
+            # positions + per-layer 2-D rope with pos_w on the first half
+            # and pos_h on the second (both even inv-freqs,
+            # interleave_freq=false; +1-based coords, CLS at 0), pixel
+            # shuffle, 2x GELU MLP, then the fc projection
+            T = gy * gx
+            x = jnp.concatenate([jnp.asarray(x), m["class_embd"][None, :]], 0)
+            pos_h = np.concatenate(
+                [(np.arange(T, dtype=np.int32) // gx) + 1, [0]])
+            pos_w = np.concatenate(
+                [(np.arange(T, dtype=np.int32) % gx) + 1, [0]])
+            x = self._vit(
+                x, pos_embd=m["pos_embd"][: T + 1],
+                add_pos=lambda a: _rope_2d(a, pos_w, pos_h, hp.rope_theta,
+                                           False))
+            x = np.asarray(x, np.float32)[:T]  # drop CLS (view at offset 0)
+            # llama4 pixel shuffle: features (dy, dx, c) like the shared
+            # shuffle but blocks emitted COLUMN-major — the reshape/permute
+            # chain at clip.cpp:1340-1362 flattens block index as
+            # yb + (Y/s)*xb, i.e. yb fastest
+            s = hp.n_merge
+            C = x.shape[-1]
+            grid = (x.reshape(gy // s, s, gx // s, s, C)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(gy // s, gx // s, s * s * C))
+            x = grid.transpose(1, 0, 2).reshape(-1, s * s * C)
+            x = np.asarray(_act(np.asarray(x, np.float32) @ np.asarray(
+                m["mm.model.mlp.1.weight"], np.float32).T, "gelu"))
+            x = np.asarray(_act(x @ np.asarray(
+                m["mm.model.mlp.2.weight"], np.float32).T, "gelu"))
+            out = x @ np.asarray(m["mm.model.fc.weight"], np.float32).T
             return np.asarray(out)
 
         if proj == "pixtral":

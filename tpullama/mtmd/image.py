@@ -81,20 +81,26 @@ def resize_bicubic(src: np.ndarray, tw: int, th: int) -> np.ndarray:
         return srcf[np.clip(yy, 0, sh - 1)[:, None],
                     np.clip(xx, 0, sw - 1)[None, :]]
 
+    r32 = lambda a: a.astype(np.float32).astype(np.float64)
+
     def cubic(d0, d2, d3, a0, t):
-        a1 = -d0 / 3.0 + d2 - d3 / 6.0
-        a2 = 0.5 * d0 + 0.5 * d2
-        a3 = -d0 / 6.0 - 0.5 * d2 + d3 / 6.0
-        return a0 + a1 * t + a2 * t * t + a3 * t * t * t
+        # a1/a2/a3: double expressions assigned to float (one rounding);
+        # the Horner-free polynomial is all-float ops (rounded per op)
+        a1 = r32(-d0 / 3.0 + d2 - d3 / 6.0)
+        a2 = r32(0.5 * d0 + 0.5 * d2)
+        a3 = r32(-d0 / 6.0 - 0.5 * d2 + d3 / 6.0)
+        acc = r32(a0 + r32(a1 * t))
+        acc = r32(acc + r32(r32(a2 * t) * t))
+        return r32(acc + r32(r32(r32(a3 * t) * t) * t))
 
     C = []
     for jj in range(4):
         a0 = px(y - 1 + jj, x)
-        d0 = px(y - 1 + jj, x - 1) - a0
-        d2 = px(y - 1 + jj, x + 1) - a0
-        d3 = px(y - 1 + jj, x + 2) - a0
+        d0 = r32(px(y - 1 + jj, x - 1) - a0)
+        d2 = r32(px(y - 1 + jj, x + 1) - a0)
+        d3 = r32(px(y - 1 + jj, x + 2) - a0)
         C.append(cubic(d0, d2, d3, a0, dx))
-    cc = cubic(C[0] - C[1], C[2] - C[1], C[3] - C[1], C[1], dy)
+    cc = cubic(r32(C[0] - C[1]), r32(C[2] - C[1]), r32(C[3] - C[1]), C[1], dy)
     # std::round (half away from zero), then clamp (clip.cpp:3906)
     cc32 = cc.astype(np.float32)
     return np.clip(np.floor(cc32 + np.float32(0.5)), 0, 255).astype(np.uint8)
@@ -121,6 +127,18 @@ def smart_resize_size(w: int, h: int, align: int, min_pixels: int,
         h_bar = ceil(h * beta)
         w_bar = ceil(w * beta)
     return w_bar, h_bar
+
+
+def smart_resize_longest(w: int, h: int, align: int, longest_edge: int) -> tuple:
+    """img_tool::calc_size_preserved_ratio, longest-edge overload
+    (clip.cpp:3737-3755): scale so the longer side fits longest_edge,
+    then ceil both sides to multiples of `align`. Returns (w, h)."""
+    scale = min(np.float32(longest_edge) / np.float32(w),
+                np.float32(longest_edge) / np.float32(h))
+    tw = float(np.float32(w) * scale)
+    th = float(np.float32(h) * scale)
+    ceil = lambda x: int(np.ceil(x / align)) * align
+    return ceil(tw), ceil(th)
 
 
 def resize(src: np.ndarray, tw: int, th: int, algo: str = "bilinear",

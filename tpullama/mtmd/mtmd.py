@@ -57,6 +57,7 @@ _IMG_DELIMS = {
     "qwen3vl_merger": ("<|vision_start|>", "<|vision_end|>"),
     "internvl": ("<img>", "</img>"),
     "pixtral": ("", "[IMG_END]"),
+    "llama4": ("<|image_start|>", "<|image_end|>"),
     "lightonocr": ("<|im_start|>", "<|im_end|>"),
 }
 
@@ -73,6 +74,16 @@ class MtmdContext:
         self.aud_beg, self.aud_end = _AUD_DELIMS.get(
             clip.hp.proj_type, ("", "")
         )
+        # llava-uhd slice templates (mtmd.cpp:227-296)
+        hp = clip.hp
+        self.slice_tmpl = None
+        if hp.proj_type == "resampler":
+            self.slice_tmpl = "minicpmv_2.6" if hp.minicpmv_version >= 3 \
+                else "minicpmv_2.5"
+        elif hp.proj_type == "llama4":
+            self.slice_tmpl = "llama4"
+        elif hp.proj_type == "idefics3" and hp.image_longest_edge:
+            self.slice_tmpl = "idefics3"
 
     # ------------------------------------------------------ preprocess
     def preprocess(self, img_u8: np.ndarray) -> np.ndarray:
@@ -127,10 +138,19 @@ class MtmdContext:
         for i, part in enumerate(parts):
             if i > 0:
                 img = images[i - 1]
-                if self.clip.hp.proj_type == "resampler":
-                    # llava-uhd slicing + minicpmv 2.5/2.6 chunk template
-                    # (mtmd.cpp:548-607)
-                    self._add_minicpmv_chunks(chunks, add_text, img)
+                if self.slice_tmpl is not None:
+                    # llava-uhd slicing + slice chunk template
+                    # (mtmd.cpp:548-607); img_beg/img_end wrap the whole
+                    # template (add_media, mtmd.cpp:527-650)
+                    if self.img_beg:
+                        add_text(self.vocab.tokenize(
+                            self.img_beg, add_special=False,
+                            parse_special=True))
+                    self._add_uhd_chunks(chunks, add_text, img)
+                    if self.img_end:
+                        add_text(self.vocab.tokenize(
+                            self.img_end, add_special=False,
+                            parse_special=True))
                     if part:
                         add_text(self.vocab.tokenize(part, add_special=False,
                                                      parse_special=True))
@@ -193,47 +213,107 @@ class MtmdContext:
                 return i
         return -1
 
-    def _add_minicpmv_chunks(self, chunks, add_text, img_u8):
-        """Slice via llava-uhd and emit the minicpmv 2.5/2.6 template
-        (mtmd.cpp:227-252 token setup, :548-607 emission):
-          2.5: <image>ov</image><slice><image>s</image>...\\n...</slice>
-          2.6: <image>ov</image><slice>s</slice><slice>s</slice>\\n..."""
-        from .uhd import get_slice_instructions, slice_image
+    def _add_uhd_chunks(self, chunks, add_text, img_u8):
+        """Slice via llava-uhd and emit the per-model chunk template
+        (mtmd.cpp:227-296 token setup, :548-607 emission):
+          minicpmv 2.5: <image>ov</image><slice><image>s</image>..\n..</slice>
+          minicpmv 2.6: <image>ov</image><slice>s</slice>..\n..
+          llama4:       tiles with <|tile_x/y_separator|>, overview LAST
+                        wrapped in <|image|>
+          idefics3:     <fake..><row_y_col_x>tile ..\n.. then
+                        \n\n<fake..><global-img>ov<fake..>"""
+        from .uhd import SliceInstructions, get_slice_instructions, slice_image
 
         hp = self.clip.hp
-        inst = get_slice_instructions(img_u8.shape[1], img_u8.shape[0],
-                                      hp.image_size, hp.patch_size)
-        imgs = slice_image(img_u8, inst)
-        v26 = hp.minicpmv_version >= 3
         tok = self._lookup_token
-        ov_start, ov_end = [tok("<image>")], [tok("</image>")]
-        if v26:
-            sli_start, sli_end = [tok("<slice>")], [tok("</slice>")]
-            slices_start, slices_end = [], []
-        else:
-            sli_start, sli_end = ov_start, ov_end
-            slices_start, slices_end = [tok("<slice>")], [tok("</slice>")]
-        row_end = [tok("\n")]
+        w, h = img_u8.shape[1], img_u8.shape[0]
+        tmpl = self.slice_tmpl
+        sli_start = sli_end = sli_mid = row_end = []
+        slices_start = slices_end = ov_start = ov_end = []
+        sli_start_fmt = None
+        row_end_trail = False
+        ov_first = True
+        if tmpl in ("minicpmv_2.5", "minicpmv_2.6"):
+            inst = get_slice_instructions(w, h, hp.image_size, hp.patch_size)
+            ov_start, ov_end = [tok("<image>")], [tok("</image>")]
+            if tmpl == "minicpmv_2.6":
+                sli_start, sli_end = [tok("<slice>")], [tok("</slice>")]
+            else:
+                sli_start, sli_end = ov_start, ov_end
+                slices_start, slices_end = [tok("<slice>")], [tok("</slice>")]
+            row_end = [tok("\n")]
+        elif tmpl == "llama4":
+            # resolution candidates: (x*size, y*size), 1..3 per side minus
+            # (1,1) (set_llava_uhd_res_candidates, clip.cpp:3513-3527)
+            cands = [(x * hp.image_size, y * hp.image_size)
+                     for x in range(1, 4) for y in range(1, 4)
+                     if (x, y) != (1, 1)]
+            inst = get_slice_instructions(w, h, hp.image_size, hp.patch_size,
+                                          pinpoints=cands)
+            ov_start = [tok("<|image|>")]
+            sli_mid = [tok("<|tile_x_separator|>")]
+            row_end = [tok("<|tile_y_separator|>")]
+            row_end_trail = True
+            ov_first = False
+        elif tmpl == "idefics3":
+            # fixed image_size tiling of the longest-edge-bounded refine
+            # (clip.cpp:4265-4305)
+            from .image import smart_resize_longest
+
+            rw, rh = smart_resize_longest(w, h, hp.image_size,
+                                          hp.image_longest_edge)
+            # padding_refined stays false: the refined image is a direct
+            # bicubic resize (slice_instructions default, clip.cpp:4280)
+            inst = SliceInstructions((hp.image_size, hp.image_size),
+                                     (rw, rh), (-(-rw // hp.image_size),
+                                                -(-rh // hp.image_size)))
+            for y in range(0, rh, hp.image_size):
+                for x in range(0, rw, hp.image_size):
+                    inst.slices.append((x, y, min(hp.image_size, rw - x),
+                                        min(hp.image_size, rh - y)))
+            ov_start = [tok("\n\n"), tok("<fake_token_around_image>"),
+                        tok("<global-img>")]
+            ov_end = [tok("<fake_token_around_image>")]
+            row_end = [tok("\n")]
+            sli_start_fmt = "<fake_token_around_image><row_%d_col_%d>"
+            ov_first = False
+        else:  # pragma: no cover
+            raise ValueError(tmpl)
+
+        imgs = slice_image(img_u8, inst)
 
         def enc(u8):
             return ImageChunk(self.clip.encode(
                 normalize(u8, hp.image_mean, hp.image_std)))
 
-        add_text(ov_start)
-        chunks.append(enc(imgs[0]))
-        add_text(ov_end)
+        ov_chunk = enc(imgs[0])
+        if ov_first:
+            add_text(ov_start)
+            chunks.append(ov_chunk)
+            add_text(ov_end)
         slices = imgs[1:]
         if slices:
             n_col, n_row = inst.grid_size
             add_text(slices_start)
             for y in range(n_row):
                 for x in range(n_col):
-                    add_text(sli_start)
+                    if sli_start:
+                        add_text(sli_start)
+                    elif sli_start_fmt:
+                        add_text(self.vocab.tokenize(
+                            sli_start_fmt % (y + 1, x + 1),
+                            add_special=False, parse_special=True))
                     chunks.append(enc(slices[y * n_col + x]))
                     add_text(sli_end)
-                if y != n_row - 1:
+                    if x != n_col - 1:
+                        add_text(sli_mid)
+                if y != n_row - 1 or row_end_trail:
                     add_text(row_end)
             add_text(slices_end)
+        if not ov_first:
+            add_text(ov_start)
+            chunks.append(ov_chunk)
+            add_text(ov_end)
 
     # ------------------------------------------------------ evaluate
     def eval_chunks(self, ctx, chunks, seq_id: int = 0) -> np.ndarray:
