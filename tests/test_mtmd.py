@@ -577,3 +577,25 @@ def test_idefics3_uhd_matches_reference(tmp_path):
         text_kwargs=dict(extra_special_tokens=(
             "<fake_token_around_image>", "<global-img>", "\n\n")),
     )
+
+
+@needs_cli
+@pytest.mark.parametrize("proj,hw", [
+    ("janus_pro", (64, 64)),
+    ("lfm2", (100, 150)),
+    ("kimivl", (100, 150)),
+    ("lightonocr", (64, 96)),
+    ("cogvlm", (64, 64)),
+])
+def test_misc_projectors_match_reference(tmp_path, proj, hw):
+    """Smaller projector families vs llama-mtmd-cli: janus_pro (siglip +
+    MLP, gray-pad preprocess), lfm2/kimivl (dynamic resolution +
+    CLIP_ALIGN-padded patch merge + norm-MLP; kimivl adds 2-D rope and
+    per-slice LN), lightonocr (pixtral variant without IMG_BREAK),
+    cogvlm (post-norm ViT + gated projector with boi/eoi rows)."""
+    from tpullama.models.testing import make_tiny_mmproj_misc_gguf
+
+    _run_mtmd_parity(
+        tmp_path, "llama", dict(proj=proj), img_hw=hw, n_predict=10,
+        mmproj_maker=make_tiny_mmproj_misc_gguf,
+    )

@@ -3196,3 +3196,147 @@ def make_tiny_mmproj_idefics3_gguf(
                  mat(n_embd_text, n_embd * n_merge * n_merge), GGMLType.F32)
     w.write(path)
     return path
+
+
+def make_tiny_mmproj_misc_gguf(
+    path,
+    proj: str,  # janus_pro | lfm2 | kimivl | lightonocr | cogvlm
+    n_embd: int = 32,
+    n_layer: int = 2,
+    n_head: int = 2,
+    n_ff: int = 48,
+    image_size: int = 64,
+    patch_size: int = 8,
+    n_merge: int = 2,
+    n_embd_text: int = 64,
+    seed: int = 0,
+):
+    """Random tiny mmproj GGUFs for the smaller projector families:
+    janus_pro (siglip + MLP), lfm2/kimivl (patch-merge + norm-MLP),
+    lightonocr (pixtral sans IMG_BREAK), cogvlm (post-norm ViT + gated
+    projector with boi/eoi rows)."""
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "clip")
+    w.add_str("general.name", f"tiny-test-mmproj-{proj}")
+    w.add_bool("clip.has_vision_encoder", True)
+    w.add_str("clip.projector_type", proj)
+    w.add_u32("clip.vision.image_size", image_size)
+    w.add_u32("clip.vision.patch_size", patch_size)
+    w.add_u32("clip.vision.embedding_length", n_embd)
+    w.add_u32("clip.vision.feed_forward_length", n_ff)
+    w.add_u32("clip.vision.block_count", n_layer)
+    w.add_u32("clip.vision.attention.head_count", n_head)
+    w.add_f32("clip.vision.attention.layer_norm_epsilon", 1e-6)
+    w.add_u32("clip.vision.projection_dim", n_embd_text)
+    w.add_array("clip.vision.image_mean", np.asarray([0.5, 0.5, 0.5], np.float32))
+    w.add_array("clip.vision.image_std", np.asarray([0.5, 0.5, 0.5], np.float32))
+    if proj in ("lfm2", "kimivl"):
+        w.add_u32("clip.vision.projector.scale_factor", n_merge)
+    if proj == "lightonocr":
+        w.add_u32("clip.vision.spatial_merge_size", n_merge)
+    if proj == "lightonocr":
+        w.add_bool("clip.use_silu", True)
+    else:
+        w.add_bool("clip.use_gelu", True)
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def bias(n):
+        return (0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    rms_vit = proj == "lightonocr"
+    has_cls = proj == "cogvlm"
+    has_pos = proj != "lightonocr"
+    fused_qkv = proj == "cogvlm"
+    n_patches = (image_size // patch_size) ** 2
+    conv_scale = 1.0 / np.sqrt(3 * patch_size * patch_size)
+    w.add_tensor("v.patch_embd.weight",
+                 (rng.standard_normal((n_embd, 3, patch_size, patch_size))
+                  * conv_scale).astype(np.float32), GGMLType.F32)
+    if proj in ("janus_pro", "lfm2", "kimivl", "cogvlm"):
+        w.add_tensor("v.patch_embd.bias", bias(n_embd), GGMLType.F32)
+    if has_cls:
+        w.add_tensor("v.class_embd",
+                     (0.1 * rng.standard_normal(n_embd)).astype(np.float32),
+                     GGMLType.F32)
+    if has_pos:
+        w.add_tensor("v.position_embd.weight",
+                     (0.02 * rng.standard_normal(
+                         (n_patches + (1 if has_cls else 0), n_embd)))
+                     .astype(np.float32), GGMLType.F32)
+    if rms_vit:
+        w.add_tensor("v.pre_ln.weight", norm_w(n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"v.blk.{il}."
+        if fused_qkv:
+            w.add_tensor(p + "attn_qkv.weight", mat(3 * n_embd, n_embd),
+                         GGMLType.F32)
+            w.add_tensor(p + "attn_qkv.bias", bias(3 * n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_out.weight", mat(n_embd, n_embd), GGMLType.F32)
+            w.add_tensor(p + "attn_out.bias", bias(n_embd), GGMLType.F32)
+        else:
+            for nm in ("attn_q", "attn_k", "attn_v", "attn_out"):
+                w.add_tensor(p + nm + ".weight", mat(n_embd, n_embd), GGMLType.F32)
+                if not rms_vit:
+                    w.add_tensor(p + nm + ".bias", bias(n_embd), GGMLType.F32)
+        for nm in ("ln1", "ln2"):
+            w.add_tensor(p + nm + ".weight", norm_w(n_embd), GGMLType.F32)
+            if not rms_vit:
+                w.add_tensor(p + nm + ".bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+        if not rms_vit:
+            w.add_tensor(p + "ffn_up.bias", bias(n_ff), GGMLType.F32)
+        if rms_vit:
+            w.add_tensor(p + "ffn_gate.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+        if not rms_vit:
+            w.add_tensor(p + "ffn_down.bias", bias(n_embd), GGMLType.F32)
+    if proj in ("janus_pro", "lfm2", "kimivl"):
+        w.add_tensor("v.post_ln.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor("v.post_ln.bias", bias(n_embd), GGMLType.F32)
+    # projector tensors
+    if proj == "janus_pro":
+        w.add_tensor("mm.0.weight", mat(n_embd_text, n_embd), GGMLType.F32)
+        w.add_tensor("mm.0.bias", bias(n_embd_text), GGMLType.F32)
+        w.add_tensor("mm.1.weight", mat(n_embd_text, n_embd_text), GGMLType.F32)
+        w.add_tensor("mm.1.bias", bias(n_embd_text), GGMLType.F32)
+    elif proj in ("lfm2", "kimivl"):
+        nin = n_embd * n_merge * n_merge
+        w.add_tensor("mm.input_norm.weight",
+                     norm_w(n_embd if proj == "kimivl" else nin), GGMLType.F32)
+        w.add_tensor("mm.input_norm.bias",
+                     bias(n_embd if proj == "kimivl" else nin), GGMLType.F32)
+        w.add_tensor("mm.1.weight", mat(n_embd_text, nin), GGMLType.F32)
+        w.add_tensor("mm.1.bias", bias(n_embd_text), GGMLType.F32)
+        w.add_tensor("mm.2.weight", mat(n_embd_text, n_embd_text), GGMLType.F32)
+        w.add_tensor("mm.2.bias", bias(n_embd_text), GGMLType.F32)
+    elif proj == "lightonocr":
+        nin = n_embd * n_merge * n_merge
+        w.add_tensor("mm.input_norm.weight", norm_w(n_embd), GGMLType.F32)
+        w.add_tensor("mm.patch_merger.weight", mat(n_embd, nin), GGMLType.F32)
+        w.add_tensor("mm.1.weight", mat(n_embd_text, n_embd), GGMLType.F32)
+        w.add_tensor("mm.1.bias", bias(n_embd_text), GGMLType.F32)
+        w.add_tensor("mm.2.weight", mat(n_embd_text, n_embd_text), GGMLType.F32)
+        w.add_tensor("mm.2.bias", bias(n_embd_text), GGMLType.F32)
+    elif proj == "cogvlm":
+        w.add_tensor("mm.model.fc.weight", mat(n_embd_text, n_embd), GGMLType.F32)
+        w.add_tensor("mm.post_fc_norm.weight", norm_w(n_embd_text), GGMLType.F32)
+        w.add_tensor("mm.post_fc_norm.bias", bias(n_embd_text), GGMLType.F32)
+        w.add_tensor("mm.up.weight", mat(2 * n_embd_text, n_embd_text), GGMLType.F32)
+        w.add_tensor("mm.gate.weight", mat(2 * n_embd_text, n_embd_text), GGMLType.F32)
+        w.add_tensor("mm.down.weight", mat(n_embd_text, 2 * n_embd_text), GGMLType.F32)
+        w.add_tensor("v.boi", (0.1 * rng.standard_normal((1, n_embd_text)))
+                     .astype(np.float32), GGMLType.F32)
+        w.add_tensor("v.eoi", (0.1 * rng.standard_normal((1, n_embd_text)))
+                     .astype(np.float32), GGMLType.F32)
+    else:
+        raise ValueError(proj)
+    w.write(path)
+    return path

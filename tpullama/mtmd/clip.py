@@ -106,12 +106,14 @@ def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
     v = _g(kv, "clip.vision.projector.scale_factor")
     if v is not None and int(v):
         hp.n_merge = int(v)
-    if proj in ("qwen2.5vl_merger", "pixtral"):
+    if proj in ("qwen2.5vl_merger", "pixtral", "lightonocr"):
         hp.norm_type = "rms"
-    if proj == "pixtral":
+    if proj in ("pixtral", "lightonocr"):
         # original pixtral has no patch merging; mistral-small 3.1 sets
         # spatial_merge_size=2 (clip.cpp:2808-2817)
         hp.n_merge = int(_g(kv, "clip.vision.spatial_merge_size", 1) or 1)
+        hp.rope_theta = 10000.0
+    if proj == "kimivl":
         hp.rope_theta = 10000.0
     if proj == "idefics3":
         hp.image_longest_edge = int(
@@ -126,13 +128,15 @@ def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
             qn = 64 if hp.minicpmv_version in (3, 4, 5, 6) else 96
         hp.minicpmv_query_num = qn
     if proj in ("qwen2vl_merger", "qwen2.5vl_merger", "qwen3vl_merger",
-                "pixtral"):
-        # set_limit_image_tokens (clip.cpp:2816,2843): pixel bounds in
-        # units of merged-patch area (qwen: 8..4096 tokens, pixtral:
-        # 8..1024)
+                "pixtral", "lightonocr", "lfm2", "kimivl"):
+        # set_limit_image_tokens (clip.cpp:2812-2843): pixel bounds in
+        # units of merged-patch area (qwen: 8..4096 tokens; pixtral/
+        # lightonocr/kimivl: 8..1024; lfm2: 64..1024)
         area = hp.patch_size * hp.patch_size * hp.n_merge * hp.n_merge
-        hp.image_min_pixels = 8 * area
-        hp.image_max_pixels = (1024 if proj == "pixtral" else 4096) * area
+        lo = 64 if proj == "lfm2" else 8
+        hi = 4096 if proj.startswith("qwen") else 1024
+        hp.image_min_pixels = lo * area
+        hp.image_max_pixels = hi * area
 
     # tensors -------------------------------------------------------
     tensors = {}
@@ -217,6 +221,7 @@ def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
         if name.startswith("mm.") or name.startswith("resampler.") or name in (
             "model.image_newline",
             "v.token_embd.img_break",  # pixtral (TN_TOK_IMG_BREAK)
+            "v.boi", "v.eoi",  # cogvlm boundary embeddings (TN_TOK_BOI/EOI)
         ):
             m[name] = jnp.asarray(tensors[name], dtype=jnp.float32)
 
@@ -235,8 +240,12 @@ def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
         hp.n_mmproj_embd = int(m["mm.model.fc.weight"].shape[0])
     elif proj == "internvl":
         hp.n_mmproj_embd = int(m["mm.model.mlp.3.weight"].shape[0])
-    elif proj == "pixtral":
+    elif proj in ("pixtral", "lightonocr", "lfm2", "kimivl"):
         hp.n_mmproj_embd = int(m["mm.2.weight"].shape[0])
+    elif proj == "cogvlm":
+        hp.n_mmproj_embd = int(m["mm.down.weight"].shape[0])
+    elif proj == "janus_pro":
+        hp.n_mmproj_embd = int(m["mm.1.weight"].shape[0])
     elif proj == "resampler":
         # mm_model_proj->ne[0]: the resampler width (proj is square for
         # all shipped minicpmv models, clip_n_mmproj_embd)
@@ -375,6 +384,23 @@ def _rope_2d(a, pos_a, pos_b, base, interleave, parity=True):
     return np.concatenate(
         [rot(a[..., :half], ca, sa), rot(a[..., half:], cb, sb)], -1
     )
+
+
+def _patch_merge_padded(x, gy, gx, s):
+    """build_patch_merge_permute (clip.cpp:2428-2460): zero-pad the grid
+    to multiples of s, merge s x s neighborhoods channel-major (dy, dx, c),
+    blocks row-major."""
+    C = x.shape[-1]
+    py = (-gy) % s
+    pxd = (-gx) % s
+    grid = x.reshape(gy, gx, C)
+    if py or pxd:
+        grid = np.pad(grid, ((0, py), (0, pxd), (0, 0)))
+        gy += py
+        gx += pxd
+    return (grid.reshape(gy // s, s, gx // s, s, C)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape((gy // s) * (gx // s), s * s * C))
 
 
 def _rms_parity(x, w, eps):
@@ -893,7 +919,121 @@ class ClipModel:
             out = x @ np.asarray(m["mm.model.fc.weight"], np.float32).T
             return np.asarray(out)
 
-        if proj == "pixtral":
+        if proj == "janus_pro":
+            # build_siglip + 2-layer MLP via build_ffn (clip.cpp:609-615)
+            x = self._vit(x, pos_embd=m["pos_embd"])
+            out = np.asarray(x, np.float32) @ np.asarray(
+                m["mm.0.weight"], np.float32).T
+            if "mm.0.bias" in m:
+                out = out + np.asarray(m["mm.0.bias"], np.float32)
+            out = np.asarray(_act(out, hp.ffn_op))
+            out = out @ np.asarray(m["mm.1.weight"], np.float32).T
+            if "mm.1.bias" in m:
+                out = out + np.asarray(m["mm.1.bias"], np.float32)
+            return np.asarray(out)
+
+        if proj in ("lfm2", "kimivl"):
+            # build_siglip (lfm2) / build_kimivl: resized learned positions,
+            # optional 2-D rope (kimivl), CLIP_ALIGN-padded patch merge,
+            # input LayerNorm, 2-layer GELU MLP (clip.cpp:548-607, 1383-1440)
+            n_side = int(round(float(np.sqrt(m["pos_embd"].shape[0]))))
+            if (gy, gx) != (n_side, n_side):
+                pe = jax.image.resize(
+                    m["pos_embd"].reshape(n_side, n_side, hp.n_embd),
+                    (gy, gx, hp.n_embd), method="bilinear",
+                ).reshape(gy * gx, hp.n_embd)
+            else:
+                pe = m["pos_embd"]
+            add_pos = None
+            if proj == "kimivl":
+                T = gy * gx
+                pos_h = np.arange(T, dtype=np.int32) // gx
+                pos_w = np.arange(T, dtype=np.int32) % gx
+                add_pos = lambda a: _rope_2d(a, pos_w, pos_h, hp.rope_theta,
+                                             False)
+            x = self._vit(x, pos_embd=pe, add_pos=add_pos)
+            s = hp.n_merge
+            x = _patch_merge_padded(np.asarray(x, np.float32), gy, gx, s)
+            if proj == "kimivl":
+                # LN over each n_embd-sized slice of the merged features
+                # (the ggml_view_2d trick, clip.cpp:1417-1427)
+                nb, F = x.shape
+                xs = x.reshape(nb * s * s, hp.n_embd)
+                xs = np.asarray(_norm(xs, m["mm.input_norm.weight"],
+                                      m["mm.input_norm.bias"], "layer", 1e-5))
+                x = xs.reshape(nb, F)
+            else:
+                x = np.asarray(_norm(x, m["mm.input_norm.weight"],
+                                     m["mm.input_norm.bias"], "layer", 1e-5))
+            x = x @ np.asarray(m["mm.1.weight"], np.float32).T + np.asarray(
+                m["mm.1.bias"], np.float32)
+            x = np.asarray(_act(x, "gelu"))
+            out = x @ np.asarray(m["mm.2.weight"], np.float32).T + np.asarray(
+                m["mm.2.bias"], np.float32)
+            return np.asarray(out)
+
+        if proj == "cogvlm":
+            # build_cogvlm (clip.cpp:1867-1980): CLS appended last, learned
+            # positions, POST-norm blocks with fused qkv, then proj -> LN ->
+            # GELU -> swiglu(gate, up) -> down, wrapped in boi/eoi rows
+            T = gy * gx
+            x = jnp.concatenate([jnp.asarray(x), m["class_embd"][None, :]], 0)
+            x = x + m["pos_embd"][: T + 1]
+            H = hp.n_head
+            D = hp.n_embd // H
+            scale = 1.0 / (D**0.5)
+            n_embd = hp.n_embd
+            Tc = T + 1
+            x = np.asarray(x, np.float32)
+            for lw in m["layers"]:
+                qkv = x @ np.asarray(lw["qkv_w"], np.float32).T + np.asarray(
+                    lw["qkv_b"], np.float32)
+                q = qkv[:, :n_embd].reshape(Tc, H, D).transpose(1, 0, 2)
+                k = qkv[:, n_embd : 2 * n_embd].reshape(Tc, H, D).transpose(1, 0, 2)
+                v = qkv[:, 2 * n_embd :].reshape(Tc, H, D).transpose(1, 0, 2)
+                if self.parity_fattn:
+                    att = _fattn_cpu_parity(q, k, v, scale)
+                else:
+                    lg = jnp.einsum("hqd,hkd->hqk", q, k) * scale
+                    att = jnp.einsum("hqk,hkd->hqd",
+                                     jax.nn.softmax(lg, axis=-1), v)
+                att = np.asarray(att).transpose(1, 0, 2).reshape(Tc, H * D)
+                att = att @ np.asarray(lw["o_w"], np.float32).T
+                if "o_b" in lw:
+                    att = att + np.asarray(lw["o_b"], np.float32)
+                att = np.asarray(_norm(att, lw["ln_1_w"], lw.get("ln_1_b"),
+                                       "layer", hp.eps))
+                x = x + att
+                h = x @ np.asarray(lw["ff_up_w"], np.float32).T
+                if "ff_up_b" in lw:
+                    h = h + np.asarray(lw["ff_up_b"], np.float32)
+                if "ff_gate_w" in lw:
+                    g = x @ np.asarray(lw["ff_gate_w"], np.float32).T
+                    if "ff_gate_b" in lw:
+                        g = g + np.asarray(lw["ff_gate_b"], np.float32)
+                    h = np.asarray(_act(g, hp.ffn_op)) * h
+                else:
+                    h = np.asarray(_act(h, hp.ffn_op))
+                h = h @ np.asarray(lw["ff_down_w"], np.float32).T
+                if "ff_down_b" in lw:
+                    h = h + np.asarray(lw["ff_down_b"], np.float32)
+                h = np.asarray(_norm(h, lw["ln_2_w"], lw.get("ln_2_b"),
+                                     "layer", hp.eps))
+                x = x + h
+            x = x[:T]  # drop CLS (last row; view at offset 0)
+            x = x @ np.asarray(m["mm.model.fc.weight"], np.float32).T
+            x = np.asarray(_norm(x, m["mm.post_fc_norm.weight"],
+                                 m["mm.post_fc_norm.bias"], "layer", 1e-5))
+            x = np.asarray(_act(x, "gelu"))
+            up = x @ np.asarray(m["mm.up.weight"], np.float32).T
+            gate = x @ np.asarray(m["mm.gate.weight"], np.float32).T
+            x = _silu_ggml(gate) * up
+            out = x @ np.asarray(m["mm.down.weight"], np.float32).T
+            boi = np.asarray(m["v.boi"], np.float32).reshape(1, -1)
+            eoi = np.asarray(m["v.eoi"], np.float32).reshape(1, -1)
+            return np.concatenate([boi, out, eoi], 0)
+
+        if proj in ("pixtral", "lightonocr"):
             # build_pixtral (clip.cpp:619-705): RMS ViT with per-layer 2-D
             # rope (interleaved freqs), optional mistral-small-3.1 patch
             # merger (RMS x input_norm -> unfold n_merge -> linear), GELU

@@ -58,6 +58,7 @@ _IMG_DELIMS = {
     "internvl": ("<img>", "</img>"),
     "pixtral": ("", "[IMG_END]"),
     "llama4": ("<|image_start|>", "<|image_end|>"),
+    "lfm2": ("<|image_start|>", "<|image_end|>"),
     "lightonocr": ("<|im_start|>", "<|im_end|>"),
 }
 
@@ -92,19 +93,26 @@ class MtmdContext:
         hp = self.clip.hp
         proj = hp.proj_type
         if proj in ("qwen2vl_merger", "qwen2.5vl_merger", "qwen3vl_merger",
-                    "pixtral"):
+                    "pixtral", "lightonocr", "lfm2", "kimivl"):
             # dynamic resolution: aspect-preserving resize to multiples of
             # patch_size * n_merge within pixel bounds (clip.cpp:4245-4264
-            # qwen, :4339-4356 pixtral)
+            # qwen, :4339-4356 pixtral, :4308-4325 lfm2/kimivl — kimivl
+            # pads with the llava background color)
             h, w = img_u8.shape[:2]
             tw, th = smart_resize_size(
                 w, h, hp.patch_size * hp.n_merge,
                 hp.image_min_pixels, hp.image_max_pixels,
             )
-            resized = resize(img_u8, tw, th, "bilinear", add_padding=False)
+            pad = proj == "kimivl"
+            resized = resize(img_u8, tw, th, "bilinear", add_padding=pad,
+                             pad_color=(122, 116, 104))
         elif proj in ("gemma3", "adapter", "internvl"):
             resized = resize(img_u8, hp.image_size, hp.image_size, "bilinear")
-        elif proj in ("mlp", "mlp_norm", "ldp", "ldpv2"):
+        elif proj == "janus_pro":
+            # pad to square with gray(127), bilinear (clip.cpp:4327-4337)
+            resized = resize(img_u8, hp.image_size, hp.image_size, "bilinear",
+                             add_padding=True, pad_color=(127, 127, 127))
+        elif proj in ("mlp", "mlp_norm", "ldp", "ldpv2", "cogvlm"):
             # llava-1.5 square path (no grid pinpoints): aspect-preserving
             # bilinear resize into image_size² padded with the LLaVA
             # background color rgb(122,116,104) (clip.cpp:4392-4420)
