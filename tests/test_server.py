@@ -313,3 +313,102 @@ def test_chat_completion_with_tools(server):
     })
     assert out["choices"][0]["finish_reason"] in ("stop", "length")
     assert "tool_calls" not in out["choices"][0]["message"]
+
+
+@pytest.fixture(scope="module")
+def mm_server(tmp_path_factory):
+    """Server with an mmproj loaded (gemma3-style SigLIP projector)."""
+    from tpullama.models.testing import make_tiny_mmproj_gemma3_gguf
+
+    d = tmp_path_factory.mktemp("mmsrv")
+    path = str(d / "m.gguf")
+    proj = str(d / "mmproj.gguf")
+    CHATML = (
+        "{% for message in messages %}{{'<|im_start|>' + message['role'] + '\n'"
+        " + message['content'] + '<|im_end|>' + '\n'}}{% endfor %}"
+        "{% if add_generation_prompt %}{{ '<|im_start|>assistant\n' }}{% endif %}"
+    )
+    make_tiny_llama_gguf(path, n_embd=64, n_layer=2, seed=70, arch="gemma3",
+                         n_ctx=512, extra_kv={"tokenizer.chat_template": CHATML})
+    make_tiny_mmproj_gemma3_gguf(proj, seed=71)
+    model = load_model(path)
+    port = _free_port()
+    httpd = serve(model, port=port, n_slots=2, n_ctx=256, block=False,
+                  mmproj=proj)
+    base = f"http://127.0.0.1:{port}"
+    for _ in range(100):
+        try:
+            urllib.request.urlopen(base + "/health", timeout=1)
+            break
+        except Exception:
+            time.sleep(0.1)
+    yield base, path, proj
+    httpd.shutdown()
+    httpd.engine.stop()
+
+
+def test_chat_multimodal_image(mm_server):
+    """OpenAI-style image_url content part: the server must tokenize the
+    media chunks through mtmd and produce the same greedy output as the
+    direct MtmdContext path (tools/server multimodal parity)."""
+    import base64 as b64mod
+    import io
+
+    base, model_path, proj_path = mm_server
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (64, 64, 3), np.uint8)
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    data_uri = "data:image/png;base64," + b64mod.b64encode(buf.getvalue()).decode()
+
+    body = {
+        "messages": [{"role": "user", "content": [
+            {"type": "text", "text": "describe"},
+            {"type": "image_url", "image_url": {"url": data_uri}},
+        ]}],
+        "max_tokens": 8,
+        "temperature": 0,
+    }
+    resp = _post(base, "/v1/chat/completions", body)
+    got = resp["choices"][0]["message"]["content"] or ""
+
+    # reference result computed directly through MtmdContext
+    from tpullama.mtmd import MEDIA_MARKER, MtmdContext, load_mmproj
+    from tpullama.runtime import Context, ContextParams
+    from tpullama.server.http import apply_chat_template
+
+    model = load_model(model_path)
+    mt = MtmdContext(load_mmproj(proj_path), model.vocab)
+    ctx = Context(model, ContextParams(n_ctx=256))
+    prompt = apply_chat_template(
+        model, [{"role": "user", "content": "describe" + MEDIA_MARKER}],
+        add_generation_prompt=True,
+    )
+    chunks = mt.tokenize(prompt, [img], add_special=True)
+    logits = mt.eval_chunks(ctx, chunks)
+    expect = ""
+    for _ in range(8):
+        t = int(np.argmax(logits))
+        if model.vocab.is_eog(t):
+            break
+        expect += model.vocab.token_to_piece(t, special=False)
+        logits = ctx.decode(np.asarray([t], np.int32), n_logits=1)[-1]
+    assert got == expect, f"got={got!r} expect={expect!r}"
+
+
+def test_chat_multimodal_requires_mmproj(server):
+    """Media content without --mmproj must return a clean error."""
+    body = {
+        "messages": [{"role": "user", "content": [
+            {"type": "text", "text": "x"},
+            {"type": "image_url", "image_url": {"url": "data:image/png;base64,aGk="}},
+        ]}],
+        "max_tokens": 4,
+    }
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/v1/chat/completions", body)
+    assert e.value.code == 500

@@ -39,6 +39,11 @@ class SlotState(Enum):
 class Task:
     prompt_tokens: list
     n_predict: int = 128
+    # multimodal: pre-tokenized chunk stream (TextChunk/ImageChunk from
+    # mtmd.tokenize). When set, prompt_tokens holds only the text tokens
+    # (for usage accounting) and prompt-cache reuse is disabled.
+    chunks: list | None = None
+    media_causal: bool = True  # gemma3 image chunks decode non-causally
     sampler: SamplerChain | None = None
     grammar: object = None
     embedding: bool = False  # embedding task: pooled hidden state, no gen
@@ -68,6 +73,8 @@ class Slot:
     state: SlotState = SlotState.IDLE
     task: Optional[Task] = None
     n_prompt_done: int = 0
+    chunk_idx: int = 0  # multimodal: next chunk to process
+    chunk_off: int = 0  # token offset within the current text chunk
     cache_tokens: list = field(default_factory=list)  # tokens in this seq's KV
     pending_text: str = ""  # holdback buffer for stop-string matching
     last_token: int = 0
@@ -168,6 +175,30 @@ class ServerEngine:
                 task = self.queue.get_nowait()
             except queue.Empty:
                 break
+            if task.chunks is not None:
+                # multimodal prompt: no prefix reuse (media chunks are not
+                # hashed); positions = text tokens + per-chunk n_pos
+                n_pos = sum(
+                    len(c.tokens) if hasattr(c, "tokens") else c.n_pos()
+                    for c in task.chunks
+                )
+                if n_pos >= self.ctx.p.n_ctx:
+                    task.error = (f"prompt too long ({n_pos} >= n_ctx "
+                                  f"{self.ctx.p.n_ctx})")
+                    self.metrics["n_errors"] += 1
+                    task.done.set()
+                    if task.stream_queue is not None:
+                        task.stream_queue.put(None)
+                    continue
+                self.ctx.reset(slot.id)
+                slot.task = task
+                slot.chunk_idx = 0
+                slot.chunk_off = 0
+                slot.cache_tokens = []
+                slot.pending_text = ""
+                slot.state = SlotState.PROMPT
+                worked = True
+                continue
             prompt = list(task.prompt_tokens)
             if len(prompt) >= self.ctx.p.n_ctx:
                 task.error = f"prompt too long ({len(prompt)} >= n_ctx {self.ctx.p.n_ctx})"
@@ -221,6 +252,9 @@ class ServerEngine:
             if slot.state != SlotState.PROMPT:
                 continue
             task = slot.task
+            if task.chunks is not None:
+                self._process_chunk_prompt(slot)
+                return True
             prompt = task.prompt_tokens
             start = slot.n_prompt_done
             chunk = prompt[start : start + self.n_ubatch]
@@ -237,6 +271,34 @@ class ServerEngine:
                 slot.state = SlotState.GENERATING
             return True
         return False
+
+    def _process_chunk_prompt(self, slot: Slot):
+        """Advance a multimodal prompt by one text ubatch or one media
+        chunk (mtmd_helper_eval_chunk_single analog inside update_slots)."""
+        task = slot.task
+        ch = task.chunks[slot.chunk_idx]
+        if hasattr(ch, "tokens"):  # TextChunk
+            toks = ch.tokens[slot.chunk_off : slot.chunk_off + self.n_ubatch]
+            logits = self.ctx.decode(
+                np.asarray(toks, np.int32), n_logits=1, seq_id=slot.id
+            )
+            slot.chunk_off += len(toks)
+            self.metrics["n_prompt_tokens_processed"] += len(toks)
+            if slot.chunk_off >= len(ch.tokens):
+                slot.chunk_idx += 1
+                slot.chunk_off = 0
+        else:  # ImageChunk (image or audio embedding chunk)
+            grid = (ch.nx, ch.ny) if getattr(ch, "use_mrope", False) else None
+            logits = self.ctx.decode_embd(
+                ch.embd, seq_id=slot.id, causal=task.media_causal,
+                mrope_grid=grid,
+            )
+            self.metrics["n_prompt_tokens_processed"] += int(ch.embd.shape[0])
+            slot.chunk_idx += 1
+        if slot.chunk_idx >= len(task.chunks):
+            tok = self._sample(slot, logits[-1])
+            if self._emit(slot, tok):
+                slot.state = SlotState.GENERATING
 
     def _decode_step(self) -> bool:
         gen = [s for s in self.slots if s.state == SlotState.GENERATING]

@@ -160,10 +160,64 @@ def _make_grammar(body: dict, vocab):
     return None
 
 
+def extract_media(messages: list):
+    """OpenAI-style multimodal chat content -> (messages with markers,
+    media list). Content arrays may hold {"type": "text"},
+    {"type": "image_url", "image_url": {"url": "data:...;base64,..."}}
+    and {"type": "input_audio", "input_audio": {"data": b64, "format":
+    "wav"}} parts (the reference server's oaicompat multimodal handling,
+    tools/server/utils.hpp oaicompat_chat_params_parse)."""
+    import base64
+
+    from ..mtmd import MEDIA_MARKER
+    from ..mtmd.image import load_image
+
+    media = []
+    out = []
+    for msg in messages:
+        content = msg.get("content")
+        if not isinstance(content, list):
+            out.append(msg)
+            continue
+        text = ""
+        for part in content:
+            ptype = part.get("type")
+            if ptype == "text":
+                text += part.get("text", "")
+            elif ptype == "image_url":
+                url = (part.get("image_url") or {}).get("url", "")
+                if url.startswith("data:"):
+                    b64 = url.split(",", 1)[1]
+                elif url.startswith("http"):
+                    raise ValueError(
+                        "remote image URLs are not fetched; use a base64 "
+                        "data URI")
+                else:
+                    b64 = url
+                media.append(load_image(base64.b64decode(b64)))
+                text += MEDIA_MARKER
+            elif ptype == "input_audio":
+                import io
+                import wave as _unused_wave  # noqa: F401  (documents format)
+
+                from ..mtmd.audio import load_wav
+
+                spec = part.get("input_audio") or {}
+                raw = base64.b64decode(spec.get("data", ""))
+                media.append(load_wav(io.BytesIO(raw)))
+                text += MEDIA_MARKER
+            else:
+                raise ValueError(f"unsupported content part type {ptype!r}")
+        out.append({**msg, "content": text})
+    return out, media
+
+
 class ServerState:
-    def __init__(self, engine: ServerEngine, model_name: str = "model"):
+    def __init__(self, engine: ServerEngine, model_name: str = "model",
+                 mtmd=None):
         self.engine = engine
         self.model_name = model_name
+        self.mtmd = mtmd  # MtmdContext when --mmproj is loaded
         self.t_start = time.time()
 
 
@@ -376,6 +430,29 @@ def make_handler(state: ServerState):
             engine.submit(task)
             return task, task.stream_queue
 
+        def _submit_media(self, prompt_text, media, body):
+            """Multimodal submit: tokenize into text/media chunks via the
+            mtmd context, encode media, queue a chunked task."""
+            stream = bool(body.get("stream", False))
+            mt = state.mtmd
+            chunks = mt.tokenize(prompt_text, media, add_special=True)
+            toks = [t for c in chunks if hasattr(c, "tokens") for t in c.tokens]
+            stop = body.get("stop") or []
+            if isinstance(stop, str):
+                stop = [stop]
+            task = Task(
+                prompt_tokens=toks,
+                chunks=chunks,
+                media_causal=mt.clip.hp.proj_type != "gemma3",
+                n_predict=int(body.get("n_predict", body.get("max_tokens", 128))),
+                sampler=_make_sampler(body, vocab, engine.model.hparams.n_vocab),
+                stop=stop,
+                stream_queue=queue.Queue() if stream else None,
+            )
+            task.grammar = _make_grammar(body, vocab)
+            engine.submit(task)
+            return task, task.stream_queue
+
         def _handle_rerank(self, body):
             """Jina-compatible rerank API (server.cpp handle_rerank)."""
             enc = getattr(engine, "encoder", None)
@@ -502,8 +579,19 @@ def make_handler(state: ServerState):
             if tools_body is not None and not isinstance(tools_body, list):
                 return self._error('"tools" must be an array of tool specs')
             tools = tools_to_template_ctx(tools_body)
+            try:
+                messages, media = extract_media(messages)
+            except ValueError as e:
+                return self._error(str(e))
+            if media and state.mtmd is None:
+                return self._error(
+                    "request contains media but no --mmproj is loaded",
+                    code=500, etype="server_error")
             prompt = apply_chat_template(engine.model, messages, tools=tools or None)
-            task, sq = self._submit(prompt, body)
+            if media:
+                task, sq = self._submit_media(prompt, media, body)
+            else:
+                task, sq = self._submit(prompt, body)
             rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
             created = int(time.time())
             if sq is None:
@@ -558,10 +646,16 @@ def make_handler(state: ServerState):
 
 
 def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
-          n_ctx: int = 1024, model_name: str = "model", block: bool = True):
+          n_ctx: int = 1024, model_name: str = "model", block: bool = True,
+          mmproj: str | None = None):
     engine = ServerEngine(model, n_slots=n_slots, n_ctx=n_ctx)
     engine.start()
-    state = ServerState(engine, model_name)
+    mtmd = None
+    if mmproj:
+        from ..mtmd import MtmdContext, load_mmproj
+
+        mtmd = MtmdContext(load_mmproj(mmproj), model.vocab)
+    state = ServerState(engine, model_name, mtmd=mtmd)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     httpd.engine = engine
     if block:
@@ -586,6 +680,9 @@ def main(argv=None):
     ap.add_argument("-np", "--parallel", type=int, default=4, help="number of slots")
     ap.add_argument("--device", default=None)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--mmproj", default=None,
+                    help="multimodal projector GGUF (enables image/audio "
+                         "chat content)")
     args = ap.parse_args(argv)
     if args.device:
         import jax
@@ -597,7 +694,7 @@ def main(argv=None):
     print(f"serving {args.model} on http://{args.host}:{args.port} "
           f"({args.parallel} slots x {args.ctx_size} ctx)")
     serve(model, args.host, args.port, n_slots=args.parallel, n_ctx=args.ctx_size,
-          model_name=args.model)
+          model_name=args.model, mmproj=args.mmproj)
 
 
 if __name__ == "__main__":
