@@ -27,11 +27,13 @@ def _free_port():
 
 @pytest.fixture(scope="module")
 def server(tmp_path_factory):
-    path = str(tmp_path_factory.mktemp("srv") / "m.gguf")
+    d = tmp_path_factory.mktemp("srv")
+    path = str(d / "m.gguf")
     make_tiny_llama_gguf(path, seed=23)
     model = load_model(path)
     port = _free_port()
-    httpd = serve(model, port=port, n_slots=2, n_ctx=128, block=False)
+    httpd = serve(model, port=port, n_slots=2, n_ctx=128, block=False,
+                  slot_save_path=str(d))
     # wait for ready
     base = f"http://127.0.0.1:{port}"
     for _ in range(100):
@@ -412,3 +414,222 @@ def test_chat_multimodal_requires_mmproj(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, "/v1/chat/completions", body)
     assert e.value.code == 500
+
+
+# ---------------------------------------------------------------- new
+# endpoints: anthropic messages, slot actions, lora-adapters, ollama
+
+
+def _stream_lines(base, path, body, timeout=120):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.read().decode()
+
+
+def test_anthropic_messages(server):
+    out = _post(server, "/v1/messages", {
+        "model": "m", "max_tokens": 8,
+        "system": "You are terse.",
+        "messages": [{"role": "user", "content": "Hello"}],
+        "temperature": 0,
+    })
+    assert out["type"] == "message" and out["role"] == "assistant"
+    assert out["content"] and out["content"][0]["type"] == "text"
+    assert out["stop_reason"] in ("end_turn", "max_tokens")
+    assert out["usage"]["input_tokens"] > 0
+    assert out["usage"]["output_tokens"] >= 1
+
+
+def test_anthropic_messages_content_blocks(server):
+    """system as blocks + user content as text blocks (converted path)."""
+    out = _post(server, "/v1/messages", {
+        "max_tokens": 4,
+        "system": [{"type": "text", "text": "be brief"}],
+        "messages": [
+            {"role": "user",
+             "content": [{"type": "text", "text": "hi"}]},
+        ],
+        "temperature": 0,
+    })
+    assert out["type"] == "message"
+
+
+def test_anthropic_messages_stream(server):
+    raw = _stream_lines(server, "/v1/messages", {
+        "max_tokens": 6,
+        "messages": [{"role": "user", "content": "Hello"}],
+        "stream": True, "temperature": 0,
+    })
+    events = [l.split(": ", 1)[1] for l in raw.splitlines()
+              if l.startswith("event: ")]
+    assert events[0] == "message_start"
+    assert "content_block_start" in events
+    assert "content_block_delta" in events
+    assert events[-1] == "message_stop"
+    # message_delta carries stop_reason + usage
+    datas = [json.loads(l.split("data: ", 1)[1]) for l in raw.splitlines()
+             if l.startswith("data: ")]
+    md = [d for d in datas if d.get("type") == "message_delta"]
+    assert md and md[0]["delta"]["stop_reason"] in ("end_turn", "max_tokens")
+    assert md[0]["usage"]["output_tokens"] >= 1
+
+
+def test_anthropic_count_tokens(server):
+    out = _post(server, "/v1/messages/count_tokens", {
+        "messages": [{"role": "user", "content": "Hello world"}],
+    })
+    assert out["input_tokens"] > 0
+
+
+def test_anthropic_matches_oai(server):
+    """Same prompt through /v1/messages and /v1/chat/completions must
+    generate the same text at temperature 0 (shared pipeline)."""
+    a = _post(server, "/v1/messages", {
+        "max_tokens": 8,
+        "messages": [{"role": "user", "content": "abc"}],
+        "temperature": 0,
+    })
+    b = _post(server, "/v1/chat/completions", {
+        "max_tokens": 8,
+        "messages": [{"role": "user", "content": "abc"}],
+        "temperature": 0,
+    })
+    text_a = a["content"][0]["text"] if a["content"] else ""
+    text_b = b["choices"][0]["message"]["content"] or ""
+    assert text_a == text_b
+
+
+def test_slot_save_restore_erase(server):
+    # generate in slot-sticky fashion: run one completion, then save slot 0
+    _post(server, "/v1/completions",
+          {"prompt": "Hello", "max_tokens": 4, "temperature": 0})
+    out = _post(server, "/slots/0?action=save", {"filename": "slot0.bin"})
+    assert out["id_slot"] == 0 and out["n_saved"] >= 1
+    assert out["filename"] == "slot0.bin"
+
+    erased = _post(server, "/slots/0?action=erase", {})
+    assert erased["n_erased"] >= 0
+
+    out2 = _post(server, "/slots/0?action=restore", {"filename": "slot0.bin"})
+    assert out2["id_slot"] == 0 and out2["n_restored"] == out["n_saved"]
+
+
+def test_slot_action_errors(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/slots/99?action=erase", {})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/slots/0?action=bogus", {})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/slots/0?action=save", {"filename": "../evil"})
+    assert e.value.code == 400
+
+
+def test_lora_adapters_listing(server):
+    with urllib.request.urlopen(server + "/lora-adapters") as r:
+        assert json.loads(r.read()) == []
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, "/lora-adapters", [{"id": 0, "scale": 1.0}])
+    assert e.value.code == 400
+
+
+def test_ollama_endpoints(server):
+    with urllib.request.urlopen(server + "/api/tags") as r:
+        tags = json.loads(r.read())
+    assert tags["models"][0]["details"]["format"] == "gguf"
+    show = _post(server, "/api/show", {})
+    assert "capabilities" in show and "completion" in show["capabilities"]
+    out = _post(server, "/api/chat", {
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 4, "temperature": 0,
+    })
+    assert out["object"] == "chat.completion"
+
+
+def test_streamed_tool_calls():
+    """StreamScanner: plain text passes through; hermes tool call is held
+    back and parsed at finish."""
+    from tpullama.server.chat import StreamScanner
+
+    s = StreamScanner()
+    out = s.feed("Sure, let me check. ")
+    assert out == "Sure, let me check. "
+    assert s.feed("<tool_call>") == ""
+    assert s.feed('{"name": "get_weather", "arguments": {"city": "Paris"}}') == ""
+    assert s.feed("</tool_call>") == ""
+    tail, calls = s.finish()
+    assert tail == ""
+    assert len(calls) == 1
+    assert calls[0]["function"]["name"] == "get_weather"
+    assert json.loads(calls[0]["function"]["arguments"]) == {"city": "Paris"}
+
+
+def test_streamed_tool_calls_partial_marker():
+    """A partial marker suffix is held back, then released when it turns
+    out not to be a call."""
+    from tpullama.server.chat import StreamScanner
+
+    s = StreamScanner()
+    assert s.feed("a <tool") == "a "
+    assert s.feed("box> b") == "<toolbox> b"
+    tail, calls = s.finish()
+    assert calls == [] and tail == ""
+
+
+def test_streamed_tool_calls_plain_json_held():
+    from tpullama.server.chat import StreamScanner
+
+    s = StreamScanner()
+    assert s.feed('answer: {"x"') == "answer: "
+    tail, calls = s.finish()
+    assert tail == '{"x"' and calls == []
+
+
+def test_lora_server_rescale(tmp_path):
+    """--lora adapters list + POST /lora-adapters rescale changes output,
+    scale back to initial restores it (llama_set_adapter_lora parity)."""
+    from tests.test_lora import make_lora
+
+    mp = str(tmp_path / "m.gguf")
+    lp = str(tmp_path / "l.gguf")
+    make_tiny_llama_gguf(mp, seed=33)
+    make_lora(lp, n_embd=64, layers=(0, 1), seed=5)
+    model = load_model(mp)
+    port = _free_port()
+    httpd = serve(model, port=port, n_slots=1, n_ctx=128, block=False,
+                  loras=[(lp, 1.0)])
+    base = f"http://127.0.0.1:{port}"
+    for _ in range(100):
+        try:
+            urllib.request.urlopen(base + "/health", timeout=1)
+            break
+        except Exception:
+            time.sleep(0.1)
+    try:
+        with urllib.request.urlopen(base + "/lora-adapters") as r:
+            lst = json.loads(r.read())
+        assert lst == [{"id": 0, "path": lp, "scale": 1.0}]
+        body = {"prompt": "Hello", "max_tokens": 6, "temperature": 0}
+        with_lora = _post(base, "/v1/completions", body)["choices"][0]["text"]
+        assert _post(base, "/lora-adapters",
+                     [{"id": 0, "scale": 0.0}])["success"]
+        without = _post(base, "/v1/completions", body)["choices"][0]["text"]
+        assert _post(base, "/lora-adapters",
+                     [{"id": 0, "scale": 1.0}])["success"]
+        again = _post(base, "/v1/completions", body)["choices"][0]["text"]
+        assert again == with_lora
+        # scale-0 output must equal the bare model's output
+        model2 = load_model(mp)
+        from tpullama.server.engine import ServerEngine as _SE
+        eng = _SE(model2, n_slots=1, n_ctx=128)
+        task = eng.complete("Hello", n_predict=6)
+        assert without == task.out_text
+    finally:
+        httpd.shutdown()
+        httpd.engine.stop()

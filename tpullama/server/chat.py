@@ -100,6 +100,60 @@ def parse_tool_calls(text: str, dialect: str = "auto"):
     return text, []
 
 
+class StreamScanner:
+    """Incremental content/tool-call splitter for streamed chat with
+    tools enabled (the reference's streaming diff machinery in
+    common/chat-parser.cpp, reduced to marker holdback).
+
+    feed(piece) returns the text that is safe to stream as content —
+    everything up to the first byte that might begin a tool call is
+    released; once a call marker is seen the rest is buffered.
+    finish() parses the held-back tail and returns (content_tail, calls).
+    """
+
+    # any of these starting means "a tool call may follow"
+    _MARKERS = ("<tool_call>", "[TOOL_CALLS]", "{")
+
+    def __init__(self, dialect: str = "auto"):
+        self.dialect = dialect
+        self.buf = ""          # held-back text (possible tool-call)
+        self.locked = False    # a full marker was seen: hold everything
+
+    def _safe_split(self, text: str) -> tuple[str, str]:
+        """(emit, hold): emit text certain not to be part of a call."""
+        # full marker present -> hold from there on, permanently
+        first = -1
+        for m in self._MARKERS:
+            i = text.find(m)
+            if i >= 0 and (first < 0 or i < first):
+                first = i
+        if first >= 0:
+            self.locked = True
+            return text[:first], text[first:]
+        # partial marker at the very end -> hold just the suffix
+        for n in range(min(len(text), 12), 0, -1):
+            suffix = text[-n:]
+            if any(m.startswith(suffix) for m in self._MARKERS):
+                return text[:-n], suffix
+        return text, ""
+
+    def feed(self, piece: str) -> str:
+        if self.locked:
+            self.buf += piece
+            return ""
+        emit, self.buf = self._safe_split(self.buf + piece)
+        return emit
+
+    def finish(self) -> tuple[str, list]:
+        """Parse the held-back tail. Returns (content_tail, calls)."""
+        if not self.buf:
+            return "", []
+        content, calls = parse_tool_calls(self.buf, self.dialect)
+        if calls:
+            return content, calls
+        return self.buf, []
+
+
 def tools_to_template_ctx(tools: list | None) -> list:
     """Normalize the OpenAI `tools` array for jinja chat templates (most
     templates iterate `tools` as [{type, function: {name, description,

@@ -57,6 +57,7 @@ class Task:
     out_tokens: list = field(default_factory=list)
     out_text: str = ""
     stop_reason: str = ""
+    stop_word: str = ""  # the matched stop string, if stop_reason=="stop"
     error: str = ""
     t_start: float = 0.0
     t_first_token: float = 0.0
@@ -103,6 +104,7 @@ class ServerEngine:
         self.n_ubatch = n_ubatch
         self.slots = [Slot(i) for i in range(n_slots)]
         self.queue: "queue.Queue[Task]" = queue.Queue()
+        self._control_queue: "queue.Queue[Callable[[], None]]" = queue.Queue()
         self._task_counter = 0
         self._lock = threading.Lock()
         self._stop_flag = False
@@ -141,6 +143,83 @@ class ServerEngine:
     def busy(self) -> bool:
         return any(s.state != SlotState.IDLE for s in self.slots) or not self.queue.empty()
 
+    # -------------------------------------------------- slot actions
+    # POST /slots/{id}?action=save|restore|erase (server-context.cpp
+    # :1542-1650). Executed on the engine loop thread via the control
+    # queue so they never race an in-flight decode step.
+
+    def control(self, fn: Callable[[], object], timeout: float = 600):
+        """Run fn() on the engine thread between iterations; return its
+        result (or raise its exception)."""
+        if self._thread is None:
+            return fn()  # synchronous mode (tests)
+        done = threading.Event()
+        box: dict = {}
+
+        def wrapper():
+            try:
+                box["result"] = fn()
+            except Exception as e:  # propagated to the caller
+                box["error"] = e
+            done.set()
+
+        self._control_queue.put(wrapper)
+        if not done.wait(timeout):
+            raise TimeoutError("engine control op timed out")
+        if "error" in box:
+            raise box["error"]
+        return box.get("result")
+
+    def _slot(self, slot_id: int) -> Slot:
+        if not 0 <= slot_id < len(self.slots):
+            raise IndexError(f"invalid slot id {slot_id}")
+        return self.slots[slot_id]
+
+    def slot_save(self, slot_id: int, path: str) -> dict:
+        from ..runtime.state import seq_save
+
+        def op():
+            slot = self._slot(slot_id)
+            t0 = time.perf_counter()
+            seq_save(self.ctx, slot_id, path, tokens=slot.cache_tokens)
+            return {
+                "id_slot": slot_id,
+                "n_saved": len(slot.cache_tokens),
+                "timings": {"save_ms": (time.perf_counter() - t0) * 1e3},
+            }
+
+        return self.control(op)
+
+    def slot_restore(self, slot_id: int, path: str) -> dict:
+        from ..runtime.state import seq_load
+
+        def op():
+            slot = self._slot(slot_id)
+            if slot.state != SlotState.IDLE:
+                raise RuntimeError("slot is busy; cannot restore")
+            t0 = time.perf_counter()
+            tokens = seq_load(self.ctx, slot_id, path)
+            slot.cache_tokens = list(tokens or [])
+            return {
+                "id_slot": slot_id,
+                "n_restored": len(slot.cache_tokens),
+                "timings": {"restore_ms": (time.perf_counter() - t0) * 1e3},
+            }
+
+        return self.control(op)
+
+    def slot_erase(self, slot_id: int) -> dict:
+        def op():
+            slot = self._slot(slot_id)
+            if slot.state != SlotState.IDLE:
+                raise RuntimeError("slot is busy; cannot erase")
+            n = len(slot.cache_tokens)
+            slot.cache_tokens = []
+            self.ctx.reset(slot_id)
+            return {"id_slot": slot_id, "n_erased": n}
+
+        return self.control(op)
+
     # ------------------------------------------------------------ loop
 
     def _loop(self):
@@ -161,7 +240,15 @@ class ServerEngine:
                 return True
             except queue.Empty:
                 return False
-        worked = self._assign_tasks()
+        worked = False
+        while True:
+            try:
+                ctl = self._control_queue.get_nowait()
+            except queue.Empty:
+                break
+            ctl()
+            worked = True
+        worked = self._assign_tasks() or worked
         worked = self._process_prompts() or worked
         worked = self._decode_step() or worked
         return worked
@@ -368,6 +455,7 @@ class ServerEngine:
                 task.out_text += slot.pending_text[:idx]
                 if task.stream_queue is not None and slot.pending_text[:idx]:
                     task.stream_queue.put(slot.pending_text[:idx])
+                task.stop_word = stop
                 self._finish(slot, "stop", flush=False)
                 return False
             # holdback longest suffix that is a prefix of a stop string

@@ -214,11 +214,37 @@ def extract_media(messages: list):
 
 class ServerState:
     def __init__(self, engine: ServerEngine, model_name: str = "model",
-                 mtmd=None):
+                 mtmd=None, slot_save_path: str | None = None,
+                 base_model=None, loras: list | None = None):
         self.engine = engine
         self.model_name = model_name
         self.mtmd = mtmd  # MtmdContext when --mmproj is loaded
         self.t_start = time.time()
+        # slot save/restore (requires --slot-save-path like the reference)
+        self.slot_save_path = slot_save_path
+        # runtime-rescalable LoRA adapters: base (unmerged) model +
+        # [{path, adapter, scale}]; POST /lora-adapters re-merges
+        self.base_model = base_model
+        self.loras = loras or []
+
+    def remerge_loras(self):
+        """Recompute model params = base + sum(scale_i * delta_i) and swap
+        them into the engine (llama_set_adapter_lora semantics)."""
+        from ..runtime.lora import apply_lora
+
+        model = self.base_model
+        for entry in self.loras:
+            if entry["scale"] != 0.0:
+                model = apply_lora(model, entry["adapter"], entry["scale"])
+
+        def swap():
+            self.engine.model = model
+            if self.engine.ctx is not None:
+                self.engine.ctx.model = model
+            if self.engine.encoder is not None:
+                self.engine.encoder.model = model
+
+        self.engine.control(swap)
 
 
 def make_handler(state: ServerState):
@@ -271,8 +297,21 @@ def make_handler(state: ServerState):
         # ---- GET ----
         def do_GET(self):
             path = self.path.split("?")[0]
-            if path == "/health":
+            if path in ("/health", "/v1/health"):
                 self._json({"status": "ok"})
+            elif path == "/lora-adapters":
+                self._json([
+                    {"id": i, "path": e["path"], "scale": e["scale"]}
+                    for i, e in enumerate(state.loras)
+                ])
+            elif path == "/api/tags":
+                # ollama tag listing (server.cpp:162)
+                self._json({"models": [{
+                    "name": state.model_name, "model": state.model_name,
+                    "modified_at": int(state.t_start), "size": 0,
+                    "details": {"format": "gguf", "family":
+                                engine.model.hparams.arch},
+                }]})
             elif path == "/v1/models" or path == "/models":
                 self._json({
                     "object": "list",
@@ -340,8 +379,35 @@ def make_handler(state: ServerState):
             try:
                 if path in ("/completion", "/completions", "/v1/completions"):
                     self._handle_completion(body, oai=path.startswith("/v1"))
-                elif path == "/v1/chat/completions":
+                elif path in ("/chat/completions", "/v1/chat/completions",
+                              "/api/chat"):
                     self._handle_chat(body)
+                elif path == "/v1/messages":
+                    self._handle_anthropic(body)
+                elif path == "/v1/messages/count_tokens":
+                    self._handle_anthropic_count(body)
+                elif path.startswith("/slots/"):
+                    self._handle_slot_action(path, body)
+                elif path == "/lora-adapters":
+                    self._handle_set_loras(body)
+                elif path == "/api/show":
+                    has_mtmd = state.mtmd is not None
+                    self._json({
+                        "template": engine.model.reader.kv.get(
+                            "tokenizer.chat_template", ""),
+                        "model_info": {
+                            "llama.context_length":
+                                (engine.ctx or engine.encoder).p.n_ctx,
+                        },
+                        "modelfile": "", "parameters": "",
+                        "details": {"parent_model": "", "format": "gguf",
+                                    "family": engine.model.hparams.arch,
+                                    "families": [engine.model.hparams.arch],
+                                    "parameter_size": "",
+                                    "quantization_level": ""},
+                        "capabilities": ["completion", "multimodal"]
+                        if has_mtmd else ["completion"],
+                    })
                 elif path == "/tokenize":
                     toks = vocab.tokenize(
                         body.get("content", ""),
@@ -521,6 +587,155 @@ def make_handler(state: ServerState):
                 "stop_type": task.stop_reason,
             })
 
+        def _handle_slot_action(self, path: str, body):
+            """POST /slots/{id}?action=save|restore|erase
+            (server-context.cpp:1542-1650; requires --slot-save-path)."""
+            from urllib.parse import parse_qs, urlparse
+            import os
+
+            if engine.ctx is None:
+                return self._error("slot actions need a decoder model", 501)
+            try:
+                slot_id = int(path.split("/")[2])
+            except (IndexError, ValueError):
+                return self._error("invalid slot id")
+            q = parse_qs(urlparse(self.path).query)
+            action = (q.get("action") or [""])[0]
+            if action in ("save", "restore"):
+                if not state.slot_save_path:
+                    return self._error(
+                        "This server does not support slots action. Start "
+                        "it with `--slot-save-path`", 501)
+                filename = body.get("filename", "")
+                if not filename or "/" in filename or ".." in filename:
+                    return self._error("invalid filename")
+                filepath = os.path.join(state.slot_save_path, filename)
+                try:
+                    if action == "save":
+                        out = engine.slot_save(slot_id, filepath)
+                    else:
+                        out = engine.slot_restore(slot_id, filepath)
+                except (IndexError, RuntimeError, FileNotFoundError,
+                        ValueError) as e:
+                    return self._error(str(e))
+                out["filename"] = filename
+                self._json(out)
+            elif action == "erase":
+                try:
+                    self._json(engine.slot_erase(slot_id))
+                except (IndexError, RuntimeError) as e:
+                    return self._error(str(e))
+            else:
+                self._error(f"invalid action {action!r}")
+
+        def _handle_set_loras(self, body):
+            """POST /lora-adapters: [{"id": i, "scale": s}, ...]
+            (server.cpp:184). Unlisted adapters get scale 0."""
+            if not isinstance(body, list):
+                return self._error("request must be an array of "
+                                   '{"id", "scale"}')
+            if state.base_model is None:
+                return self._error("no LoRA adapters loaded (--lora)", 400)
+            new_scales = {i: 0.0 for i in range(len(state.loras))}
+            for item in body:
+                i = int(item.get("id", -1))
+                if i not in new_scales:
+                    return self._error(f"invalid adapter id {i}")
+                new_scales[i] = float(item.get("scale", 0.0))
+            for i, s in new_scales.items():
+                state.loras[i]["scale"] = s
+            state.remerge_loras()
+            self._json({"success": True})
+
+        def _handle_anthropic(self, body):
+            """Anthropic Messages API (server.cpp:169,
+            server-context.cpp:3145)."""
+            from .anthropic import (anthropic_final, anthropic_stream_delta,
+                                    anthropic_stream_finish,
+                                    anthropic_stream_start,
+                                    convert_anthropic_to_oai)
+            from .chat import (StreamScanner, parse_tool_calls,
+                               tools_to_template_ctx)
+
+            try:
+                oai = convert_anthropic_to_oai(body)
+            except ValueError as e:
+                return self._error(str(e))
+            messages = oai.get("messages", [])
+            tools = tools_to_template_ctx(oai.get("tools"))
+            try:
+                messages, media = extract_media(messages)
+            except ValueError as e:
+                return self._error(str(e))
+            if media and state.mtmd is None:
+                return self._error(
+                    "request contains media but no --mmproj is loaded",
+                    code=500, etype="server_error")
+            prompt = apply_chat_template(engine.model, messages,
+                                         tools=tools or None)
+            if media:
+                task, sq = self._submit_media(prompt, media, oai)
+            else:
+                task, sq = self._submit(prompt, oai)
+            rid = f"msg_{uuid.uuid4().hex[:16]}"
+            if sq is None:
+                task.done.wait(600)
+                if task.error:
+                    return self._error(task.error)
+                content, tool_calls = (
+                    parse_tool_calls(task.out_text) if tools
+                    else (task.out_text, [])
+                )
+                self._json(anthropic_final(
+                    rid, state.model_name, content, tool_calls,
+                    task.stop_reason, task.stop_word,
+                    len(task.prompt_tokens), len(task.out_tokens)))
+                return
+            # streaming: Anthropic SSE event protocol
+            self._sse_start()
+            for ev in anthropic_stream_start(
+                    rid, state.model_name, len(task.prompt_tokens)):
+                self._raw_chunk(ev)
+            scanner = StreamScanner() if tools else None
+            while True:
+                piece = sq.get()
+                if piece is None:
+                    break
+                if scanner is not None:
+                    piece = scanner.feed(piece)
+                if piece:
+                    self._raw_chunk(anthropic_stream_delta(piece))
+            tool_calls = []
+            if scanner is not None:
+                tail, tool_calls = scanner.finish()
+                if tail and not tool_calls:
+                    self._raw_chunk(anthropic_stream_delta(tail))
+            for ev in anthropic_stream_finish(
+                    tool_calls, task.stop_reason, task.stop_word,
+                    len(task.out_tokens)):
+                self._raw_chunk(ev)
+            self.wfile.write(b"0\r\n\r\n")
+
+        def _handle_anthropic_count(self, body):
+            """POST /v1/messages/count_tokens
+            (server-context.cpp:3161)."""
+            from .anthropic import convert_anthropic_to_oai
+            from .chat import tools_to_template_ctx
+
+            try:
+                oai = convert_anthropic_to_oai(body)
+            except ValueError as e:
+                return self._error(str(e))
+            messages, _ = extract_media(oai.get("messages", []))
+            tools = tools_to_template_ctx(oai.get("tools"))
+            prompt = apply_chat_template(engine.model, messages,
+                                         tools=tools or None)
+            toks = vocab.tokenize(prompt, add_special=True)
+            self._json({"input_tokens": len(toks)})
+
+        def _raw_chunk(self, data: bytes):
+            self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+
         def _handle_completion(self, body, oai: bool):
             prompt = body.get("prompt", "")
             task, sq = self._submit(prompt, body)
@@ -621,25 +836,57 @@ def make_handler(state: ServerState):
                     },
                 })
                 return
+            from .chat import StreamScanner
+
             self._sse_start()
             first = True
+
+            def chunk(delta, finish=None):
+                nonlocal first
+                if first and "role" not in delta and finish is None:
+                    delta = {"role": "assistant", **delta}
+                    first = False
+                self._sse({
+                    "id": rid, "object": "chat.completion.chunk",
+                    "created": created,
+                    "choices": [{"index": 0, "delta": delta,
+                                 "finish_reason": finish}],
+                })
+
+            # with tools enabled, hold back potential tool-call text and
+            # emit structured tool_calls deltas instead (the reference's
+            # streaming diff logic, common/chat.cpp)
+            scanner = StreamScanner() if tools else None
             while True:
                 piece = sq.get()
                 if piece is None:
                     break
-                delta = {"content": piece}
-                if first:
-                    delta["role"] = "assistant"
-                    first = False
-                self._sse({
-                    "id": rid, "object": "chat.completion.chunk", "created": created,
-                    "choices": [{"index": 0, "delta": delta, "finish_reason": None}],
-                })
-            self._sse({
-                "id": rid, "object": "chat.completion.chunk", "created": created,
-                "choices": [{"index": 0, "delta": {},
-                             "finish_reason": task.stop_reason or "stop"}],
-            })
+                if scanner is not None:
+                    piece = scanner.feed(piece)
+                if piece:
+                    chunk({"content": piece})
+            finish = task.stop_reason or "stop"
+            if scanner is not None:
+                tail, tool_calls = scanner.finish()
+                if tail and not tool_calls:
+                    chunk({"content": tail})
+                for i, call in enumerate(tool_calls):
+                    chunk({"tool_calls": [{
+                        "index": i, "id": call["id"], "type": "function",
+                        "function": {
+                            "name": call["function"]["name"],
+                            "arguments": "",
+                        },
+                    }]})
+                    chunk({"tool_calls": [{
+                        "index": i,
+                        "function": {
+                            "arguments": call["function"]["arguments"],
+                        },
+                    }]})
+                if tool_calls:
+                    finish = "tool_calls"
+            chunk({}, finish=finish)
             self._sse_done()
 
     return Handler
@@ -647,7 +894,20 @@ def make_handler(state: ServerState):
 
 def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
           n_ctx: int = 1024, model_name: str = "model", block: bool = True,
-          mmproj: str | None = None):
+          mmproj: str | None = None, slot_save_path: str | None = None,
+          loras: list[tuple[str, float]] | None = None):
+    base_model = None
+    lora_entries = []
+    if loras:
+        from ..runtime.lora import LoraAdapter, apply_lora
+
+        base_model = model
+        for path, scale in loras:
+            adapter = LoraAdapter(path)
+            lora_entries.append(
+                {"path": path, "adapter": adapter, "scale": scale})
+            if scale != 0.0:
+                model = apply_lora(model, adapter, scale)
     engine = ServerEngine(model, n_slots=n_slots, n_ctx=n_ctx)
     engine.start()
     mtmd = None
@@ -655,7 +915,9 @@ def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
         from ..mtmd import MtmdContext, load_mmproj
 
         mtmd = MtmdContext(load_mmproj(mmproj), model.vocab)
-    state = ServerState(engine, model_name, mtmd=mtmd)
+    state = ServerState(engine, model_name, mtmd=mtmd,
+                        slot_save_path=slot_save_path,
+                        base_model=base_model, loras=lora_entries)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     httpd.engine = engine
     if block:
@@ -683,6 +945,14 @@ def main(argv=None):
     ap.add_argument("--mmproj", default=None,
                     help="multimodal projector GGUF (enables image/audio "
                          "chat content)")
+    ap.add_argument("--slot-save-path", default=None,
+                    help="directory for slot save/restore files (enables "
+                         "POST /slots/{id}?action=save|restore)")
+    ap.add_argument("--lora", action="append", default=[],
+                    help="LoRA adapter GGUF (repeatable)")
+    ap.add_argument("--lora-scaled", action="append", nargs=2, default=[],
+                    metavar=("PATH", "SCALE"),
+                    help="LoRA adapter GGUF with a custom scale (repeatable)")
     args = ap.parse_args(argv)
     if args.device:
         import jax
@@ -691,10 +961,13 @@ def main(argv=None):
     from ..models import load_model
 
     model = load_model(args.model)
+    loras = [(p, 1.0) for p in args.lora]
+    loras += [(p, float(s)) for p, s in args.lora_scaled]
     print(f"serving {args.model} on http://{args.host}:{args.port} "
           f"({args.parallel} slots x {args.ctx_size} ctx)")
     serve(model, args.host, args.port, n_slots=args.parallel, n_ctx=args.ctx_size,
-          model_name=args.model, mmproj=args.mmproj)
+          model_name=args.model, mmproj=args.mmproj,
+          slot_save_path=args.slot_save_path, loras=loras or None)
 
 
 if __name__ == "__main__":
