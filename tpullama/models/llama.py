@@ -78,6 +78,9 @@ def llama_forward(
     quant_meta: dict | None = None,  # static; mirrors packed params
     return_embd: bool = False,  # also return the final-norm hidden states
     collect_imatrix: bool = False,  # also return per-layer activation sums
+    collect_hidden: bool = False,  # also return every layer's output
+    # hidden state (L, B, T, n_embd) — the reference's cb_eval "l_out"
+    # observation hook used by tools/cvector-generator
     inputs_embd=None,  # (B, T, n_embd): raw embedding inputs instead of
     # token ids (the llm_graph_input_embd !ubatch.token path,
     # src/llama-graph.cpp:1174 — used for mtmd image embeddings)
@@ -538,6 +541,8 @@ def llama_forward(
             }
             if act_saved is not None:
                 stats["ffn_down_in"] = ss(act_saved)
+        elif collect_hidden:
+            stats = x.astype(jnp.float32)
         return (x, k_cache, v_cache), stats
 
     if "layer_list" in params:
@@ -597,10 +602,12 @@ def llama_forward(
             )
             kv_k = kv_set(kv_k, li, kc)
             kv_v = kv_set(kv_v, li, vc)
-            if collect_imatrix:
+            if collect_imatrix or collect_hidden:
                 imx.append(stats)
         if collect_imatrix:
             imatrix_stats = jax.tree.map(lambda *xs: jnp.stack(xs), *imx) if imx else {}
+        if collect_hidden:
+            hidden_stack = jnp.stack(imx)
         x = norm_fn(x, params.get("output_norm"), params.get("output_norm_bias"))
         out_w = params.get("output", params["tok_embd"])
         logits = _linear(x, out_w, (quant_meta or {}).get("output"))
@@ -616,6 +623,8 @@ def llama_forward(
             imatrix_stats = dict(imatrix_stats or {})
             imatrix_stats["output_in"] = jnp.sum(x.astype(jnp.float32) ** 2, axis=(0, 1))
             return logits.astype(jnp.float32), imatrix_stats, (kv_k, kv_v)
+        if collect_hidden:
+            return logits.astype(jnp.float32), hidden_stack, (kv_k, kv_v)
         if return_embd:
             return logits.astype(jnp.float32), x.astype(jnp.float32), (kv_k, kv_v)
         return logits.astype(jnp.float32), (kv_k, kv_v)
@@ -656,16 +665,19 @@ def llama_forward(
             for k, fields in packed_stacks.items():
                 w[k] = (fields, lidx)
         (x, k_new, v_new), stats = layer_step((x, k_cache, v_cache), w)
-        return x, ((k_new, v_new), stats) if collect_imatrix else (k_new, v_new)
+        if collect_imatrix or collect_hidden:
+            return x, ((k_new, v_new), stats)
+        return x, (k_new, v_new)
 
     import os
 
     layer_ids = jnp.arange(hp.n_layer, dtype=jnp.int32)
     unroll = int(os.environ.get("TPULLAMA_SCAN_UNROLL", 1))
-    if collect_imatrix:
+    if collect_imatrix or collect_hidden:
         x, ((kv_k, kv_v), imatrix_stats) = jax.lax.scan(
             scan_body, x, (layers, layer_ids, kv_k, kv_v), unroll=unroll
         )
+        hidden_stack = imatrix_stats  # (L, B, T, n_embd) when collect_hidden
     else:
         x, (kv_k, kv_v) = jax.lax.scan(
             scan_body, x, (layers, layer_ids, kv_k, kv_v), unroll=unroll
@@ -692,6 +704,8 @@ def llama_forward(
         imatrix_stats = dict(imatrix_stats or {})
         imatrix_stats["output_in"] = jnp.sum(x.astype(jnp.float32) ** 2, axis=(0, 1))
         return logits.astype(jnp.float32), imatrix_stats, (kv_k, kv_v)
+    if collect_hidden:
+        return logits.astype(jnp.float32), hidden_stack, (kv_k, kv_v)
     if return_embd:
         return logits.astype(jnp.float32), x.astype(jnp.float32), (kv_k, kv_v)
     return logits.astype(jnp.float32), (kv_k, kv_v)
