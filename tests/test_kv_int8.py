@@ -50,3 +50,27 @@ def test_int8_kv_multiseq(model):
     la = ctx.decode(np.asarray(toks), seq_id=0)
     lb = ctx.decode(np.asarray(toks), seq_id=1)
     np.testing.assert_allclose(la, lb, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_kv_context_shift(model):
+    """seq_add on an int8 KV cache: dequant -> re-rotate -> requant.
+    Generation after a shift must stay close to the f32-cache result of
+    the same shift (the context-shift capability, SURVEY.md A.10)."""
+    import jax.numpy as jnp
+
+    toks = model.vocab.tokenize("The quick brown fox", add_special=True)
+
+    def run(kv_dtype):
+        ctx = Context(model, ContextParams(n_ctx=96, kv_dtype=kv_dtype))
+        ctx.decode(np.asarray(toks, np.int32))
+        n_keep, n_discard = 1, 2
+        n_past = len(toks)
+        ctx.seq_rm(n_keep, n_keep + n_discard)
+        ctx.seq_add(n_keep + n_discard, n_past, -n_discard)
+        out = ctx.generate([toks[-1]], n_predict=8)
+        return out
+
+    f32 = run(None)
+    i8 = run(jnp.int8)
+    agree = sum(a == b for a, b in zip(f32, i8))
+    assert agree >= len(f32) - 2, (f32, i8)

@@ -17,7 +17,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import attention
+from ..ops.attention import attention, attention_auto
 from ..ops.norms import layer_norm, rms_norm
 from ..ops.rope import RopeParams, apply_rope, rope_cache
 from .hparams import HParams
@@ -321,7 +321,7 @@ def llama_forward(
                 v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
             k_cache = k_cache.at[batch_idx, cache_slots].set(k.astype(k_cache.dtype))
             v_cache = v_cache.at[batch_idx, cache_slots].set(v.astype(v_cache.dtype))
-            att = attention(
+            att = attention_auto(
                 q,
                 k_cache[:, :, :Hkv_l] if pad_kv else k_cache,
                 v_cache[:, :, :Hkv_l] if pad_kv else v_cache,

@@ -73,6 +73,57 @@ def attention(q, k, v, mask=None, scale: float | None = None, softcap: float = 0
     return out.transpose(0, 2, 1, 3).astype(q.dtype)
 
 
+def flash_eligible(q, k, v, mask, k_scale=None) -> bool:
+    """Whether the Pallas flash kernel covers this attention call (the
+    role of the reference's flash-attn AUTO probe graph,
+    src/llama-context.cpp:312-351). Fallbacks: int8 KV (scales not
+    in-kernel yet), MLA-style Dv != Dk, missing mask."""
+    import os
+
+    import jax
+
+    mode = os.environ.get("TPULLAMA_FLASH", "auto")
+    if mode == "0":
+        return False
+    if mask is None or k_scale is not None:
+        return False
+    if q.shape[-1] != v.shape[-1]:
+        return False
+    if q.shape[2] % k.shape[2] != 0:
+        return False
+    if mode == "1":
+        return True
+    # auto: flash wins for prefill-sized q blocks (measured on v5e:
+    # 3-4.5x over the XLA path at Tq>=2048 — the materialized
+    # (B,Hq,Tq,S) logits are the cost XLA can't fuse away); at decode
+    # (Tq=1) XLA is already at the KV-read roofline, so stay jnp
+    return jax.default_backend() == "tpu" and q.shape[1] >= 128
+
+
+def attention_auto(q, k, v, mask=None, scale=None, softcap: float = 0.0,
+                   sinks=None, k_scale=None, v_scale=None,
+                   alibi_slopes=None):
+    """attention() with automatic flash-kernel dispatch (build_attn_mha:
+    flash path vs KQ→soft_max→KQV fallback, llama-graph.cpp:1374,1434).
+    TPULLAMA_FLASH=0 forces the jnp path, =1 forces flash (interpreted
+    off-TPU), unset picks flash on TPU backends."""
+    if flash_eligible(q, k, v, mask, k_scale):
+        import jax
+
+        from .pallas.flash_attention import flash_attention
+
+        interpret = jax.default_backend() != "tpu"
+        if scale is None:
+            scale = 1.0 / (q.shape[-1] ** 0.5)
+        return flash_attention(
+            q, k, v, mask, scale, softcap=softcap, sinks=sinks,
+            alibi_slopes=alibi_slopes, interpret=interpret,
+        )
+    return attention(q, k, v, mask=mask, scale=scale, softcap=softcap,
+                     sinks=sinks, k_scale=k_scale, v_scale=v_scale,
+                     alibi_slopes=alibi_slopes)
+
+
 def make_causal_mask(q_pos, kv_pos, kv_valid=None, window: int = 0):
     """Additive mask with the reference's visibility predicate
     (llama_kv_cache::set_input_kq_mask, SURVEY.md A.5):

@@ -1,17 +1,28 @@
-"""Flash attention Pallas kernel (decode-oriented).
+"""Flash attention Pallas kernel (prefill + decode).
 
-Online-softmax attention over a positional KV cache with the reference's
-mask predicate computed in-kernel from cell positions
-(llama_kv_cache::set_input_kq_mask semantics, SURVEY.md A.5):
-visible iff kv_pos >= 0 ∧ kv_pos <= q_pos ∧ (no SWA or within window).
+Online-softmax attention over the KV cache, consuming the SAME additive
+mask tensor the jnp reference path uses (built once per ubatch by the
+Context from the reference's visibility predicate,
+llama_kv_cache::set_input_kq_mask semantics — SURVEY.md A.5). Driving
+the kernel off the mask instead of re-deriving visibility in-kernel
+means every mask variant (causal, SWA, chunked SWA, M-RoPE tie-break,
+ALiBi distances) works unchanged — the same design as the reference's
+ggml_flash_attn_ext(q,k,v,mask) (ggml.h:1906, build_attn_mha flash path
+llama-graph.cpp:1374).
 
-Layout: q is reshaped to (B, Hkv, G*Tq, D) — GQA groups flattened into
-rows so the MXU tile is (G*Tq, BS) and K/V stream once per kv head, not
-per q head. Grid (B, Hkv, S_chunks) with running max/sum/accumulator
-scratch carried across the S dimension (the flash recurrence).
+Layout: q is regrouped to (B, Hkv, G, Tq, D) — GQA groups flattened with
+a q-position tile into (G*BQ, D) row blocks so the MXU tile is
+(G*BQ, BS) and K/V stream once per kv head, not per q head. Grid
+(B, Hkv, Tq/BQ, S/BS) with running max/sum/accumulator scratch carried
+across the S dimension (the flash recurrence). Fully-masked (q-block,
+s-chunk) pairs skip the matmuls (the causal upper triangle — half the
+FLOPs of a square prefill).
 
-Reference analog: ggml-cuda fattn-vec / fattn-mma kernels; one kernel
-covers both shapes here because the MXU eats the (G*Tq, BS) tile.
+Extras matching build_attn_mha: logit softcap (tanh), attention sinks
+(per-head extra softmax logit, gpt-oss), ALiBi slopes (mask carries
+-|dpos|, kernel multiplies per-head slope).
+
+Reference analog: ggml-cuda fattn-mma-f16.cuh / fattn-vec.cuh.
 """
 
 from __future__ import annotations
@@ -26,10 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _fa_kernel(qpos_ref, q_ref, k_ref, v_ref, kpos_ref, o_ref,
-               m_ref, l_ref, acc_ref, *, scale, window, softcap, bs):
-    sc = pl.program_id(2)
-    n_sc = pl.num_programs(2)
+def _fa_kernel(q_ref, k_ref, v_ref, mask_ref, slope_ref, sink_ref,
+               o_ref, m_ref, l_ref, acc_ref,
+               *, scale, softcap, bq, bs, g, d, has_alibi, has_sinks):
+    sc = pl.program_id(3)
+    n_sc = pl.num_programs(3)
 
     @pl.when(sc == 0)
     def _():
@@ -37,89 +49,143 @@ def _fa_kernel(qpos_ref, q_ref, k_ref, v_ref, kpos_ref, o_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0]  # (R, D)
-    k = k_ref[0, 0]  # (BS, D)
-    v = v_ref[0, 0]
-    kpos = kpos_ref[...].reshape(1, bs)  # (1, BS)
-    qpos = qpos_ref[0]  # (R, 1)
+    mask = mask_ref[0, 0]  # (BQ, BS) additive fp32
+    # skip chunks where nothing is visible for this whole q block (the
+    # causal upper triangle + unwritten cache tail)
+    any_visible = jnp.max(mask) > NEG_INF / 2
 
-    s = jax.lax.dot_general(
-        q.astype(jnp.float32), k.astype(jnp.float32),
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) * scale  # (R, BS)
-    if softcap:
-        s = softcap * jnp.tanh(s / softcap)
-    vis = (kpos >= 0) & (kpos <= qpos)
-    if window > 0:
-        vis = vis & (kpos > qpos - window)
-    s = jnp.where(vis, s, NEG_INF)
+    @pl.when(any_visible)
+    def _():
+        q = q_ref[0, 0].reshape(g * bq, d)  # (G*BQ, D)
+        k = k_ref[0, 0]  # (BS, D)
+        v = v_ref[0, 0]
 
-    m_prev = m_ref[...]  # (R, 1)
-    m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_cur)
-    # guard fully-masked rows: exp(NEG_INF - NEG_INF) would be 1
-    p = jnp.where(s > NEG_INF / 2, jnp.exp(s - m_cur), 0.0)
-    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-        p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    m_ref[...] = m_cur
+        # bf16 inputs hit the MXU natively with fp32 accumulation (the
+        # CUDA fattn kernels likewise dot in fp16, accumulate fp32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (G*BQ, BS)
+        if softcap:
+            s = softcap * jnp.tanh(s / softcap)
+        # mask rows repeat per GQA group member; ALiBi multiplies the
+        # per-q-head slope into the mask values (-|dpos| in visible slots)
+        m_add = jnp.broadcast_to(mask[None], (g, bq, bs)).reshape(g * bq, bs)
+        if has_alibi:
+            slope_rows = jnp.broadcast_to(
+                slope_ref[0, 0].reshape(g, 1, 1), (g, bq, 1)
+            ).reshape(g * bq, 1)
+            # masked slots must stay -inf after the multiply
+            m_add = jnp.where(m_add > NEG_INF / 2, m_add * slope_rows,
+                              NEG_INF)
+        s = s + m_add
+
+        m_prev = m_ref[...]  # (G*BQ, 1)
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)
+        # guard fully-masked rows: exp(NEG_INF - NEG_INF) would be 1
+        p = jnp.where(s > NEG_INF / 2, jnp.exp(s - m_cur), 0.0)
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[...] = m_cur
 
     @pl.when(sc == n_sc - 1)
     def _():
-        o_ref[0, 0] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)).astype(o_ref.dtype)
+        m = m_ref[...]
+        l = l_ref[...]
+        acc = acc_ref[...]
+        if has_sinks:
+            # per-q-head sink logit participates in the softmax but emits
+            # no value (llama-graph.cpp:1374-1379 flash "sinks"; gpt-oss)
+            sink = jnp.broadcast_to(
+                sink_ref[0, 0].reshape(g, 1, 1), (g, bq, 1)
+            ).reshape(g * bq, 1)
+            m_f = jnp.maximum(m, sink)
+            corr = jnp.exp(m - m_f)
+            acc = acc * corr
+            l = l * corr + jnp.exp(sink - m_f)
+        o_ref[0, 0] = (
+            acc / jnp.maximum(l, 1e-30)
+        ).reshape(g, bq, d).astype(o_ref.dtype)
 
 
-def flash_attention(q, k, v, kv_pos, q_pos, scale: float, window: int = 0,
-                    softcap: float = 0.0, block_s: int = 512,
+def flash_attention(q, k, v, mask, scale: float, softcap: float = 0.0,
+                    sinks=None, alibi_slopes=None,
+                    block_q: int = 256, block_s: int = 512,
                     interpret: bool = False):
-    """q: (B, Tq, Hq, D); k, v: (B, S, Hkv, D); kv_pos: (B, S) int32;
-    q_pos: (B, Tq) int32. Returns (B, Tq, Hq, D) in q.dtype."""
+    """q: (B, Tq, Hq, D); k, v: (B, S, Hkv, D); mask: additive fp32
+    broadcastable to (B, 1, Tq, S) — 0 (or -|dpos| for ALiBi) where
+    visible, <= -1e30 where masked. Returns (B, Tq, Hq, D) in q.dtype."""
     B, Tq, Hq, D = q.shape
     S = k.shape[1]
     Hkv = k.shape[2]
     G = Hq // Hkv
-    R = G * Tq
-    bs = min(block_s, S)
+
+    bq = min(block_q, max(8, -(-Tq // 8) * 8))
+    pad_q = (bq - Tq % bq) % bq
+    bs = min(block_s, max(128, -(-S // 128) * 128))
     pad_s = (bs - S % bs) % bs
+
+    # (B, Tq, Hq, D) -> (B, Hkv, G, Tq, D)
+    qh = q.transpose(0, 2, 1, 3).reshape(B, Hkv, G, Tq, D)
     kt = k.transpose(0, 2, 1, 3)  # (B, Hkv, S, D)
     vt = v.transpose(0, 2, 1, 3)
-    kp = kv_pos
+    mask = jnp.broadcast_to(mask.astype(jnp.float32), (B, 1, Tq, S))
+    if pad_q:
+        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, 0), (0, pad_q), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, pad_q), (0, 0)),
+                       constant_values=NEG_INF)
     if pad_s:
         kt = jnp.pad(kt, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
-        kp = jnp.pad(kv_pos, ((0, 0), (0, pad_s)), constant_values=-1)
-    Sp = S + pad_s
-    # (B, Tq, Hq, D) -> (B, Hkv, G*Tq, D): head-major rows within a group
-    qh = q.transpose(0, 2, 1, 3).reshape(B, Hkv, R, D)
-    # per-row q position: row r = (g, t) -> q_pos[b, t]
-    qpos_rows = jnp.broadcast_to(q_pos[:, None, :], (B, G, Tq)).reshape(B, R, 1)
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, 0), (0, pad_s)),
+                       constant_values=NEG_INF)
+    Tqp, Sp = Tq + pad_q, S + pad_s
 
-    grid = (B, Hkv, Sp // bs)
+    has_alibi = alibi_slopes is not None
+    has_sinks = sinks is not None
+    # per-(kv-head, group) q-head scalars, shape (Hkv, 1, G) — the unit
+    # middle axis keeps the VMEM block 2-D-tileable
+    slopes = (alibi_slopes if has_alibi else jnp.zeros((Hq,))).astype(
+        jnp.float32).reshape(Hkv, 1, G)
+    sinkv = (sinks if has_sinks else jnp.zeros((Hq,))).astype(
+        jnp.float32).reshape(Hkv, 1, G)
+
+    grid = (B, Hkv, Tqp // bq, Sp // bs)
     out = pl.pallas_call(
-        functools.partial(_fa_kernel, scale=scale, window=window,
-                          softcap=softcap, bs=bs),
+        functools.partial(
+            _fa_kernel, scale=scale, softcap=softcap, bq=bq, bs=bs,
+            g=G, d=D, has_alibi=has_alibi, has_sinks=has_sinks,
+        ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, R, 1), lambda b, h, s: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, R, D), lambda b, h, s: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bs, D), lambda b, h, s: (b, h, s, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bs, D), lambda b, h, s: (b, h, s, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bs), lambda b, h, s: (b, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G, bq, D), lambda b, h, qb, sc: (b, h, 0, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bs, D), lambda b, h, qb, sc: (b, h, sc, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bs, D), lambda b, h, qb, sc: (b, h, sc, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, bs), lambda b, h, qb, sc: (b, 0, qb, sc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G), lambda b, h, qb, sc: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, G), lambda b, h, qb, sc: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, R, D), lambda b, h, s: (b, h, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, G, bq, D), lambda b, h, qb, sc: (b, h, 0, qb, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, R, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Tqp, D), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((R, 1), jnp.float32),
-            pltpu.VMEM((R, 1), jnp.float32),
-            pltpu.VMEM((R, D), jnp.float32),
+            pltpu.VMEM((G * bq, 1), jnp.float32),
+            pltpu.VMEM((G * bq, 1), jnp.float32),
+            pltpu.VMEM((G * bq, D), jnp.float32),
         ],
         interpret=interpret,
-    )(qpos_rows.astype(jnp.int32), qh, kt, vt, kp)
-    out = out.reshape(B, Hkv, G, Tq, D).reshape(B, Hq, Tq, D)
+    )(qh, kt, vt, mask, slopes, sinkv)
+    out = out[:, :, :, :Tq].reshape(B, Hq, Tq, D)
     return out.transpose(0, 2, 1, 3)

@@ -55,6 +55,27 @@ def _rotate(kv_k, seq, deltas, hp):
 
     rp = rope_params(hp)
     cos, sin = rope_cache(rp, deltas)  # (S, half)
+    if isinstance(kv_k, dict):
+        # int8 KV: dequant -> re-rotate -> requant (per-(token, head)
+        # symmetric scales recomputed, since rotation changes amax)
+        q = jax.lax.dynamic_slice_in_dim(kv_k["q"], seq, 1, axis=1)
+        s = jax.lax.dynamic_slice_in_dim(kv_k["s"], seq, 1, axis=1)
+        k = q.astype(jnp.float32) * s[..., None].astype(jnp.float32)
+        rotated = apply_rope(
+            k, cos[None, None, :, None, :], sin[None, None, :, None, :],
+            rp.mode, rp.n_dims,
+        ).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(rotated), axis=-1, keepdims=True)
+        ns = amax / 127.0
+        nq = jnp.clip(
+            jnp.round(rotated / jnp.maximum(ns, 1e-12)), -127, 127
+        ).astype(jnp.int8)
+        return {
+            "q": jax.lax.dynamic_update_slice_in_dim(kv_k["q"], nq, seq, axis=1),
+            "s": jax.lax.dynamic_update_slice_in_dim(
+                kv_k["s"], ns[..., 0].astype(kv_k["s"].dtype), seq, axis=1
+            ),
+        }
     k = jax.lax.dynamic_slice_in_dim(kv_k, seq, 1, axis=1)  # (L,1,S,H,D)
     rotated = apply_rope(k, cos[None, None, :, None, :], sin[None, None, :, None, :],
                          rp.mode, rp.n_dims).astype(kv_k.dtype)
@@ -497,11 +518,6 @@ class Context:
         applied eagerly: R(pos+d) = R(d)·R(pos) per rope frequency."""
         row = self.kv_pos[seq_id]
         rng = (row >= p0) & (row < p1)
-        if isinstance(self.kv_k, dict):
-            raise NotImplementedError(
-                "context shift with int8 KV cache lands next round "
-                "(requires dequant-rotate-requant)"
-            )
         self.kv_k = _shift_k_rows(
             self.kv_k, jnp.int32(seq_id), rng, jnp.int32(delta), self.hp
         )
