@@ -49,6 +49,9 @@ def _logits_match(gguf_path, hf_model, ids):
         jnp.arange(S)[None, None, None, :] <= pos[:, None, :, None], 0.0, -1e30
     ).astype(jnp.float32)
     mask = jnp.where(jnp.arange(S)[None, None, None, :] < T, mask, -1e30)
+    if hp.n_swa and hp.swa_layers:
+        # iswa models take (full, swa) masks; window >= seq here
+        mask = (mask, mask)
     logits, _ = llama_forward(m.params, hp, toks, pos, kv_k, kv_v, pos, mask)
     ours = np.asarray(logits[0])
     assert np.abs(ours - hf_logits).max() < 1e-5
@@ -141,3 +144,68 @@ def test_unsupported_arch_raises(tmp_path):
     json.dump({"architectures": ["FrobnicatorForCausalLM"]}, open(d / "config.json", "w"))
     with pytest.raises(NotImplementedError, match="Frobnicator"):
         convert(str(d), str(tmp_path / "x.gguf"))
+
+
+@pytest.mark.parametrize("family", ["gemma", "gemma2", "mixtral", "qwen2moe"])
+def test_convert_new_families(tmp_path, family):
+    torch.manual_seed(0)
+    if family == "gemma":
+        from transformers import GemmaConfig, GemmaForCausalLM
+
+        model = GemmaForCausalLM(GemmaConfig(**_common_cfg(dict(
+            head_dim=16, tie_word_embeddings=True)))).eval()
+    elif family == "gemma2":
+        from transformers import Gemma2Config, Gemma2ForCausalLM
+
+        model = Gemma2ForCausalLM(Gemma2Config(**_common_cfg(dict(
+            head_dim=16, tie_word_embeddings=True,
+            query_pre_attn_scalar=16,  # = head_dim (the non-27B rule)
+            sliding_window=256, attn_logit_softcapping=50.0,
+            final_logit_softcapping=30.0)))).eval()
+    elif family == "mixtral":
+        from transformers import MixtralConfig, MixtralForCausalLM
+
+        model = MixtralForCausalLM(MixtralConfig(**_common_cfg(dict(
+            num_local_experts=4, num_experts_per_tok=2)))).eval()
+    else:
+        from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+        model = Qwen2MoeForCausalLM(Qwen2MoeConfig(**_common_cfg(dict(
+            num_experts=4, num_experts_per_tok=2, moe_intermediate_size=96,
+            shared_expert_intermediate_size=128, norm_topk_prob=False,
+            decoder_sparse_step=1)))).eval()
+    d = tmp_path / family
+    model.save_pretrained(str(d))
+    _write_bpe_tokenizer(d)
+    out = str(tmp_path / f"{family}.gguf")
+    convert(str(d), out, outtype="f32", verbose=False)
+    _logits_match(out, model, [5, 99, 200, 7, 42])
+
+
+def test_convert_direct_to_quantized(tmp_path):
+    """--outtype Q4_K_M produces the reference's per-tensor mix (output
+    -> Q6_K, 1-D norms -> F32) and the file loads + runs."""
+    from tpullama.gguf import GGUFReader
+    from tpullama.gguf.constants import GGMLType
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    # K-quant super-blocks need 256-divisible rows
+    cfg = _common_cfg(dict(hidden_size=256, intermediate_size=512))
+    model = LlamaForCausalLM(LlamaConfig(**cfg)).eval()
+    d = tmp_path / "m"
+    model.save_pretrained(str(d))
+    _write_bpe_tokenizer(d)
+    out = str(tmp_path / "m.q4km.gguf")
+    convert(str(d), out, outtype="Q4_K_M", verbose=False)
+    r = GGUFReader(out)
+    # norms stay f32; attn_v upgrades (GQA 4/2 < 4 -> Q5_K); ffn_down
+    # first 1/8 of layers upgrades to Q6_K
+    assert r.tensors["blk.0.attn_norm.weight"].ggml_type == GGMLType.F32
+    assert r.tensors["output.weight"].ggml_type == GGMLType.Q6_K
+    assert r.tensors["blk.0.attn_v.weight"].ggml_type == GGMLType.Q5_K
+    assert r.tensors["blk.0.ffn_down.weight"].ggml_type == GGMLType.Q6_K
+    assert r.tensors["blk.1.ffn_down.weight"].ggml_type == GGMLType.Q4_K
+    assert r.tensors["blk.0.attn_q.weight"].ggml_type == GGMLType.Q4_K
+    m = load_model(out)
+    assert m.hparams.n_layer == 2

@@ -276,6 +276,35 @@ _NAME_MAP = [
     (r"^model\.layers\.(\d+)\.mlp\.up_proj\.weight$", "blk.{bid}.ffn_up.weight"),
     (r"^model\.layers\.(\d+)\.mlp\.down_proj\.weight$", "blk.{bid}.ffn_down.weight"),
     (r"^model\.layers\.(\d+)\.mlp\.gate_up_proj\.weight$", "blk.{bid}.ffn_up.weight"),
+    # MoE routers / shared experts (mixtral + qwen-moe families)
+    (r"^model\.layers\.(\d+)\.block_sparse_moe\.gate\.weight$", "blk.{bid}.ffn_gate_inp.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.gate\.weight$", "blk.{bid}.ffn_gate_inp.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.shared_expert\.gate_proj\.weight$", "blk.{bid}.ffn_gate_shexp.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.shared_expert\.up_proj\.weight$", "blk.{bid}.ffn_up_shexp.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.shared_expert\.down_proj\.weight$", "blk.{bid}.ffn_down_shexp.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.shared_expert_gate\.weight$", "blk.{bid}.ffn_gate_inp_shexp.weight"),
+]
+
+# gemma2/gemma3 re-map the pre/post norms (convert_hf_to_gguf.py
+# Gemma2Model: post_attention_layernorm is the POST-attention norm, the
+# FFN norm is pre_feedforward_layernorm)
+_GEMMA2_NORM_MAP = [
+    (r"^model\.layers\.(\d+)\.post_attention_layernorm\.weight$", "blk.{bid}.post_attention_norm.weight"),
+    (r"^model\.layers\.(\d+)\.pre_feedforward_layernorm\.weight$", "blk.{bid}.ffn_norm.weight"),
+    (r"^model\.layers\.(\d+)\.post_feedforward_layernorm\.weight$", "blk.{bid}.post_ffw_norm.weight"),
+]
+
+# expert tensors, gathered and stacked into 3-D (n_expert, n_out, n_in)
+# (the merge loop of convert_hf_to_gguf.py:2462-2491)
+_EXPERT_PATTERNS = [
+    # mixtral: w1=gate, w2=down, w3=up
+    (r"^model\.layers\.(\d+)\.block_sparse_moe\.experts\.(\d+)\.w1\.weight$", "ffn_gate_exps"),
+    (r"^model\.layers\.(\d+)\.block_sparse_moe\.experts\.(\d+)\.w2\.weight$", "ffn_down_exps"),
+    (r"^model\.layers\.(\d+)\.block_sparse_moe\.experts\.(\d+)\.w3\.weight$", "ffn_up_exps"),
+    # qwen2moe/qwen3moe per-expert projections
+    (r"^model\.layers\.(\d+)\.mlp\.experts\.(\d+)\.gate_proj\.weight$", "ffn_gate_exps"),
+    (r"^model\.layers\.(\d+)\.mlp\.experts\.(\d+)\.down_proj\.weight$", "ffn_down_exps"),
+    (r"^model\.layers\.(\d+)\.mlp\.experts\.(\d+)\.up_proj\.weight$", "ffn_up_exps"),
 ]
 
 _BERT_NAME_MAP = [
@@ -298,14 +327,22 @@ _BERT_NAME_MAP = [
 _ARCH_MAP = {
     "LlamaForCausalLM": "llama",
     "MistralForCausalLM": "llama",
+    "MixtralForCausalLM": "llama",  # MoE variant of the llama arch
     "Qwen2ForCausalLM": "qwen2",
     "Qwen3ForCausalLM": "qwen3",
+    "Qwen2MoeForCausalLM": "qwen2moe",
+    "Qwen3MoeForCausalLM": "qwen3moe",
+    "GemmaForCausalLM": "gemma",
+    "Gemma2ForCausalLM": "gemma2",
     "Phi3ForCausalLM": "phi3",
     "BertModel": "bert",
     "BertForSequenceClassification": "bert",
 }
 
-_PRE_BY_ARCH = {"qwen2": "qwen2", "qwen3": "qwen2", "llama": "llama-bpe"}
+_PRE_BY_ARCH = {
+    "qwen2": "qwen2", "qwen3": "qwen2", "qwen2moe": "qwen2",
+    "qwen3moe": "qwen2", "llama": "llama-bpe",
+}
 
 OUTTYPES = {
     "f32": GGMLType.F32,
@@ -323,7 +360,13 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
     if hf_arch not in _ARCH_MAP:
         raise NotImplementedError(f"architecture {hf_arch!r} not supported yet")
     arch = _ARCH_MAP[hf_arch]
-    qt = OUTTYPES[outtype]
+    # direct-to-quantized output: any quantize-tool ftype (Q4_K_M, ...)
+    # applies the per-tensor mix rules of llama_tensor_get_type
+    from .quantize import FTYPES, tensor_target_type
+
+    ftype_mix = outtype.upper() if outtype.upper() in FTYPES and \
+        outtype.lower() not in OUTTYPES else None
+    qt = FTYPES[ftype_mix] if ftype_mix else OUTTYPES[outtype]
 
     n_embd = int(config["hidden_size"])
     n_head = int(config["num_attention_heads"])
@@ -383,7 +426,9 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
             print(f"wrote {outfile} ({stats['tensors']} tensors)", file=sys.stderr)
         return stats
     w.add_u32("general.file_type", {GGMLType.F32: 0, GGMLType.F16: 1,
-                                    GGMLType.BF16: 32, GGMLType.Q8_0: 7}[qt])
+                                    GGMLType.BF16: 32, GGMLType.Q8_0: 7,
+                                    GGMLType.Q4_0: 2, GGMLType.Q4_K: 15,
+                                    GGMLType.Q5_K: 17, GGMLType.Q6_K: 18}[qt])
     w.add_u32(f"{arch}.context_length", int(config.get("max_position_embeddings", 2048)))
     w.add_u32(f"{arch}.embedding_length", n_embd)
     w.add_u32(f"{arch}.block_count", n_layer)
@@ -391,13 +436,37 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
     w.add_u32(f"{arch}.attention.head_count", n_head)
     w.add_u32(f"{arch}.attention.head_count_kv", n_head_kv)
     w.add_u32(f"{arch}.rope.dimension_count", head_dim)
-    if config.get("head_dim"):
+    if config.get("head_dim") or arch.startswith("gemma"):
         w.add_u32(f"{arch}.attention.key_length", head_dim)
         w.add_u32(f"{arch}.attention.value_length", head_dim)
     w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon",
               float(config.get("rms_norm_eps", 1e-5)))
     w.add_f32(f"{arch}.rope.freq_base", float(config.get("rope_theta", 10000.0)))
     w.add_u32(f"{arch}.vocab_size", int(config["vocab_size"]))
+    # MoE hyperparameters (Qwen2MoeModel/MixtralModel set_gguf_parameters)
+    n_expert = int(config.get("num_local_experts")
+                   or config.get("num_experts") or 0)
+    if n_expert:
+        w.add_u32(f"{arch}.expert_count", n_expert)
+        w.add_u32(f"{arch}.expert_used_count",
+                  int(config.get("num_experts_per_tok", 2)))
+        if config.get("moe_intermediate_size"):
+            w.add_u32(f"{arch}.expert_feed_forward_length",
+                      int(config["moe_intermediate_size"]))
+        if config.get("shared_expert_intermediate_size"):
+            w.add_u32(f"{arch}.expert_shared_feed_forward_length",
+                      int(config["shared_expert_intermediate_size"]))
+        if config.get("norm_topk_prob") is not None:
+            w.add_bool(f"{arch}.expert_weights_norm",
+                       bool(config["norm_topk_prob"]))
+    if arch == "gemma2":
+        # Gemma2Model.set_gguf_parameters: softcaps + sliding window
+        w.add_f32(f"{arch}.attn_logit_softcapping",
+                  float(config.get("attn_logit_softcapping", 50.0)))
+        w.add_f32(f"{arch}.final_logit_softcapping",
+                  float(config.get("final_logit_softcapping", 30.0)))
+        w.add_u32(f"{arch}.attention.sliding_window",
+                  int(config.get("sliding_window", 4096)))
     rs = config.get("rope_scaling") or {}
     rs_type = rs.get("rope_type", rs.get("type", ""))
     if rs_type in ("linear", "yarn"):
@@ -412,11 +481,55 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
 
     # llama (NORM rope) needs HF->gguf q/k row permutation; NEOX archs don't
     permute_qk = arch == "llama"
+    is_gemma = arch.startswith("gemma")
+    name_map = (_GEMMA2_NORM_MAP + _NAME_MAP) if arch == "gemma2" else _NAME_MAP
     stats = {"tensors": 0, "bytes": 0}
     seen_output = False
+    # per-layer expert buffers: experts[bid][gguf_base][expert_idx] = data
+    experts: dict[int, dict[str, dict[int, np.ndarray]]] = {}
+
+    def emit(gname, data):
+        nonlocal stats
+        # 1-D stays f32 (the reference's quantization rule)
+        if ftype_mix and data.ndim >= 2:
+            tt = tensor_target_type(gname, data.shape, ftype_mix, n_layer,
+                                    n_head, n_head_kv)
+        else:
+            tt = qt if data.ndim >= 2 else GGMLType.F32
+        if tt != GGMLType.F32 and data.shape[-1] % 32 != 0:
+            tt = GGMLType.F16 if data.shape[-1] % 2 == 0 else GGMLType.F32
+        if tt == GGMLType.F16:
+            w.add_tensor(gname, data.astype(np.float16), GGMLType.F16)
+        elif tt != GGMLType.F32:
+            w.add_tensor(gname, np.empty(data.shape), ggml_type=tt,
+                         raw=quantize(data, tt))
+        else:
+            w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
+        stats["tensors"] += 1
+        stats["bytes"] += data.nbytes
+        if verbose:
+            print(f"{'':18s} -> {gname:34s} {tt.name}", file=sys.stderr)
+
     for name, data in iter_hf_tensors(model_dir):
+        # expert tensors: gather, stack when the layer is complete
+        # (convert_hf_to_gguf.py:2462-2491 merge loop)
+        matched_expert = False
+        for pat, base in _EXPERT_PATTERNS:
+            m = re.match(pat, name)
+            if m:
+                bid, xid = int(m.group(1)), int(m.group(2))
+                experts.setdefault(bid, {}).setdefault(base, {})[xid] = data
+                bucket = experts[bid][base]
+                if n_expert and len(bucket) == n_expert:
+                    stacked = np.stack([bucket[i] for i in range(n_expert)])
+                    emit(f"blk.{bid}.{base}.weight", stacked)
+                    del experts[bid][base]
+                matched_expert = True
+                break
+        if matched_expert:
+            continue
         gname = None
-        for pat, repl in _NAME_MAP:
+        for pat, repl in name_map:
             m = re.match(pat, name)
             if m:
                 gname = repl.format(
@@ -428,25 +541,25 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
             if verbose:
                 print(f"skip {name}", file=sys.stderr)
             continue
+        if is_gemma:
+            if gname == "output.weight":
+                continue  # gemma always ties lm_head (GemmaModel skip)
+            if gname.endswith("norm.weight"):
+                # HF gemma norms apply (1 + w); GGUF stores w + 1
+                # (GemmaModel.modify_tensors)
+                data = data + 1.0
         if permute_qk and ".attn_q." in gname:
             data = permute_rope(data, n_head)
         elif permute_qk and ".attn_k." in gname:
             data = permute_rope(data, n_head_kv)
         if gname == "output.weight":
             seen_output = True
-        # 1-D stays f32 (the reference's quantization rule)
-        tt = qt if data.ndim >= 2 else GGMLType.F32
-        if tt != GGMLType.F32 and data.shape[-1] % 32 != 0:
-            tt = GGMLType.F32
-        raw = quantize(data, tt) if tt != GGMLType.F32 else None
-        if raw is not None:
-            w.add_tensor(gname, np.empty(data.shape), ggml_type=tt, raw=raw)
-        else:
-            w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
-        stats["tensors"] += 1
-        stats["bytes"] += data.nbytes
         if verbose:
-            print(f"{name:60s} -> {gname:30s} {tt.name}", file=sys.stderr)
+            print(f"{name:60s}", file=sys.stderr, end="")
+        emit(gname, data)
+    leftover = {b: list(d) for b, d in experts.items() if d}
+    if any(leftover.values()):
+        raise ValueError(f"incomplete expert tensor sets: {leftover}")
     if not seen_output and config.get("tie_word_embeddings"):
         pass  # loader falls back to tok_embd (TENSOR_DUPLICATED analog)
     w.write(outfile)
@@ -459,7 +572,15 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tpullama-convert-hf", description=__doc__)
     ap.add_argument("model_dir")
     ap.add_argument("--outfile", required=True)
-    ap.add_argument("--outtype", default="f16", choices=sorted(OUTTYPES))
+    from .quantize import FTYPES
+
+    ap.add_argument(
+        "--outtype", default="f16",
+        choices=sorted(OUTTYPES) + sorted(
+            f for f in FTYPES if f.lower() not in OUTTYPES
+        ),
+        help="plain dtype or a quantize-tool ftype mix (direct-to-"
+             "quantized conversion, e.g. Q4_K_M)")
     ap.add_argument("--pre", default=None, help="override tokenizer.ggml.pre")
     ap.add_argument("-q", "--quiet", action="store_true")
     a = ap.parse_args(argv)
