@@ -3340,3 +3340,94 @@ def make_tiny_mmproj_misc_gguf(
         raise ValueError(proj)
     w.write(path)
     return path
+
+
+def make_tiny_wavtokenizer_gguf(
+    path,
+    n_vocab: int = 64,
+    n_embd: int = 34,            # output dim (even: mag/phase halves)
+    n_embd_features: int = 16,
+    posnet_n_embd: int = 24,
+    convnext_n_embd: int = 24,
+    n_ff: int = 48,
+    n_convnext: int = 3,
+    n_groups: int = 4,
+    seed: int = 0,
+):
+    """Random tiny wavtokenizer-dec GGUF (the TTS vocoder arch,
+    src/llama-model.cpp:5590-5693 tensor layout)."""
+    rng = np.random.default_rng(seed)
+    arch = "wavtokenizer-dec"
+
+    def mat(*shape, scale=0.2):
+        return (scale * rng.standard_normal(shape)).astype(np.float32)
+
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", "tiny-wavtok")
+    w.add_u32(f"{arch}.context_length", 8192)
+    w.add_u32(f"{arch}.embedding_length", n_embd)
+    w.add_u32(f"{arch}.block_count", max(6, n_convnext))
+    w.add_u32(f"{arch}.feed_forward_length", n_ff)
+    w.add_u32(f"{arch}.features_length", n_embd_features)
+    w.add_u32(f"{arch}.attention.head_count", 1)
+    w.add_f32(f"{arch}.attention.layer_norm_epsilon", 1e-6)
+    w.add_f32(f"{arch}.attention.group_norm_epsilon", 1e-6)
+    w.add_u32(f"{arch}.attention.group_norm_groups", n_groups)
+    w.add_bool(f"{arch}.attention.causal", False)
+    w.add_u32(f"{arch}.posnet.embedding_length", posnet_n_embd)
+    w.add_u32(f"{arch}.posnet.block_count", 6)
+    w.add_u32(f"{arch}.convnext.embedding_length", convnext_n_embd)
+    w.add_u32(f"{arch}.convnext.block_count", n_convnext)
+    w.add_u32(f"{arch}.vocab_size", n_vocab)
+    w.add_str("tokenizer.ggml.model", "none")
+
+    P = posnet_n_embd
+    C = convnext_n_embd
+    def conv(name, *shape):
+        # ggml_conv_1d goes through im2col which requires F16 kernels
+        w.add_tensor(name, mat(*shape).astype(np.float16).astype(np.float32),
+                     GGMLType.F16)
+
+    w.add_tensor("token_embd.weight", mat(n_vocab, n_embd_features), GGMLType.F32)
+    conv("conv1d.weight", P, n_embd_features, 7)
+    w.add_tensor("conv1d.bias", mat(P, 1, scale=0.05), GGMLType.F32)
+    for i in range(6):
+        pre = f"posnet.{i}."
+        if i == 2:
+            w.add_tensor(pre + "attn_norm.weight", 1 + mat(P, 1, scale=0.05), GGMLType.F32)
+            w.add_tensor(pre + "attn_norm.bias", mat(P, 1, scale=0.05), GGMLType.F32)
+            for nm in ("attn_q", "attn_k", "attn_v", "attn_output"):
+                conv(pre + nm + ".weight", P, P, 1)
+                w.add_tensor(pre + nm + ".bias", mat(P, 1, scale=0.05), GGMLType.F32)
+        elif i == 5:
+            w.add_tensor(pre + "attn_norm.weight", 1 + mat(P, 1, scale=0.05), GGMLType.F32)
+            w.add_tensor(pre + "attn_norm.bias", mat(P, 1, scale=0.05), GGMLType.F32)
+        else:
+            w.add_tensor(pre + "norm1.weight", 1 + mat(P, 1, scale=0.05), GGMLType.F32)
+            w.add_tensor(pre + "norm1.bias", mat(P, 1, scale=0.05), GGMLType.F32)
+            conv(pre + "conv1.weight", P, P, 3)
+            w.add_tensor(pre + "conv1.bias", mat(P, 1, scale=0.05), GGMLType.F32)
+            w.add_tensor(pre + "norm2.weight", 1 + mat(P, 1, scale=0.05), GGMLType.F32)
+            w.add_tensor(pre + "norm2.bias", mat(P, 1, scale=0.05), GGMLType.F32)
+            conv(pre + "conv2.weight", P, P, 3)
+            w.add_tensor(pre + "conv2.bias", mat(P, 1, scale=0.05), GGMLType.F32)
+    w.add_tensor("token_embd_norm.weight", 1 + mat(P, scale=0.05), GGMLType.F32)
+    w.add_tensor("token_embd_norm.bias", mat(P, scale=0.05), GGMLType.F32)
+    for i in range(n_convnext):
+        pre = f"convnext.{i}."
+        conv(pre + "dw.weight", C, 1, 7)
+        w.add_tensor(pre + "dw.bias", mat(C, 1, scale=0.05), GGMLType.F32)
+        w.add_tensor(pre + "norm.weight", 1 + mat(C, scale=0.05), GGMLType.F32)
+        w.add_tensor(pre + "norm.bias", mat(C, scale=0.05), GGMLType.F32)
+        w.add_tensor(pre + "pw1.weight", mat(n_ff, C), GGMLType.F32)
+        w.add_tensor(pre + "pw1.bias", mat(n_ff, scale=0.05), GGMLType.F32)
+        w.add_tensor(pre + "pw2.weight", mat(C, n_ff), GGMLType.F32)
+        w.add_tensor(pre + "pw2.bias", mat(C, scale=0.05), GGMLType.F32)
+        w.add_tensor(pre + "gamma.weight", 1 + mat(C, scale=0.05), GGMLType.F32)
+    w.add_tensor("output_norm.weight", 1 + mat(C, scale=0.05), GGMLType.F32)
+    w.add_tensor("output_norm.bias", mat(C, scale=0.05), GGMLType.F32)
+    w.add_tensor("output.weight", mat(n_embd, C), GGMLType.F32)
+    w.add_tensor("output.bias", mat(n_embd, scale=0.05), GGMLType.F32)
+    w.write(path)
+    return path
