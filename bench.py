@@ -53,12 +53,16 @@ def build_params(hp, dtype, seed=0, quant=None):
             nbytes = K * bits // 8
             arr = rng.integers(0, 256, size=(*lead, N, nbytes), dtype=np.uint8)
             fields[fname] = jnp.asarray(arr.view(np.int8) if fname == "q8" else arr)
+        # bf16 scale/min planes, matching the loader's production default
+        # (packed_scale_dtype="bfloat16"; f16 is not a Mosaic/TPU type)
         fields["scale"] = jnp.asarray(
-            rng.standard_normal((*lead, N, K // group), dtype=np.float32) * scale * 0.1
+            rng.standard_normal((*lead, N, K // group), dtype=np.float32)
+            * scale * 0.1, dtype=jnp.bfloat16
         )
         if t not in (GGMLType.Q8_0, GGMLType.MXFP4):
             fields["minv"] = jnp.asarray(
-                rng.standard_normal((*lead, N, K // group), dtype=np.float32) * scale
+                rng.standard_normal((*lead, N, K // group), dtype=np.float32)
+                * scale, dtype=jnp.bfloat16
             )
         if meta_slot is not None:
             meta_slot[meta_key] = QuantMeta(t, group, N, K)

@@ -29,6 +29,13 @@ from ..gguf import GGMLType, GGUFReader
 from ..gguf.reader import Source
 from .hparams import HParams
 
+def _resolve_dtype(d) -> np.dtype:
+    """Accepts numpy dtypes plus the string "bfloat16" (ml_dtypes)."""
+    if isinstance(d, str) and d == "bfloat16":
+        return np.dtype(jnp.bfloat16)
+    return np.dtype(d)
+
+
 # canonical per-layer tensor suffixes -> param names (src/llama-arch.cpp:312+)
 _LAYER_TENSORS = {
     "attn_norm.weight": "attn_norm",
@@ -316,6 +323,7 @@ def load_model(
     progress_callback: Callable[[float], bool] = _progress_noop,
     load_vocab: bool = True,
     packed: bool = False,
+    packed_scale_dtype="bfloat16",
     fuse_projections: bool = False,
 ) -> LoadedModel:
     """Load a GGUF model (path / bytes / stream) into a JAX pytree.
@@ -417,6 +425,18 @@ def load_model(
             pq = PlanarQuant(info.ggml_type, (n_rows, info.shape[-1]), fields, group)
         else:
             pq = repack(reader.tensor_raw(tname), info.ggml_type, info.shape)
+        if packed_scale_dtype is not None and np.dtype(
+                _resolve_dtype(packed_scale_dtype)) != np.float32:
+            # bf16 scale/min planes halve their HBM traffic (~12% of the
+            # Q4_K stream); the fast qmm path rounds dequantized weights
+            # to bf16 anyway, so this costs no extra precision class.
+            # (f16 is not a Mosaic/TPU type; bf16 is.) Pass
+            # packed_scale_dtype=np.float32 for bit-exact planes.
+            sdt = _resolve_dtype(packed_scale_dtype)
+            pq.fields = {
+                k: (v.astype(sdt) if k in ("scale", "minv") else v)
+                for k, v in pq.fields.items()
+            }
         tick()
         return pq
 

@@ -175,11 +175,17 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
         else:
             fields = dict(zip(field_names, field_tiles))
         val = _unpack_stripes(fields, ggml_type)
-        scale = _repeat_lanes(fields["scale"][...], group)
+        # scale/minv planes may be stored f16 (halves their HBM traffic;
+        # the fast path rounds weights to bf16 anyway so f16 scales cost
+        # no extra precision) — compute in f32 either way
+        scale = _repeat_lanes(fields["scale"][...].astype(jnp.float32), group)
+        minv_tile = (
+            fields["minv"][...].astype(jnp.float32) if has_minv else None
+        )
         if exact:
             w = val * scale
             if has_minv:
-                w = w - _repeat_lanes(fields["minv"][...], group)
+                w = w - _repeat_lanes(minv_tile, group)
             out_ref[...] = jax.lax.dot_general(
                 x_ref[...], w, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -192,7 +198,7 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
             acc = jnp.sum(w * x_ref[0][None, :], axis=-1)[None, :]  # (1, tn)
             if has_minv:
                 acc = acc - jnp.sum(
-                    fields["minv"][...] * xgsum_ref[0][None, :], axis=-1
+                    minv_tile * xgsum_ref[0][None, :], axis=-1
                 )[None, :]
             out_ref[...] = acc
         else:
@@ -203,7 +209,7 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
             )
             if has_minv:
                 acc = acc - jax.lax.dot_general(
-                    xgsum_ref[...], fields["minv"][...], (((1,), (1,)), ((), ())),
+                    xgsum_ref[...], minv_tile, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
             out_ref[...] = acc

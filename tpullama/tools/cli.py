@@ -170,20 +170,23 @@ def main(argv=None) -> int:
             logits = ctx.decode(np.asarray([tok], np.int32), n_logits=1)[-1]
         sys.stdout.write("\n")
 
-    if args.interactive:
-        print("== interactive mode (empty line to exit) ==", file=sys.stderr)
-        if prompt:
+    from ..runtime.profiling import maybe_profile
+
+    with maybe_profile():  # TPULLAMA_PROFILE=<dir> writes a jax trace
+        if args.interactive:
+            print("== interactive mode (empty line to exit) ==", file=sys.stderr)
+            if prompt:
+                generate_round(prompt, args.n_predict)
+            while True:
+                try:
+                    line = input("> ")
+                except EOFError:
+                    break
+                if not line:
+                    break
+                generate_round(line, args.n_predict)
+        else:
             generate_round(prompt, args.n_predict)
-        while True:
-            try:
-                line = input("> ")
-            except EOFError:
-                break
-            if not line:
-                break
-            generate_round(line, args.n_predict)
-    else:
-        generate_round(prompt, args.n_predict)
 
     if args.verbose:
         p = ctx.perf
