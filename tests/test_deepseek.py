@@ -74,3 +74,41 @@ def test_greedy_matches_reference(tiny):
         else:
             b += m.vocab.token_to_piece(t, special=False).encode()
     assert bytes(b).replace(b"\0", b"") == ref.replace(b"\0", b"")
+
+
+def test_mla_absorbed_matches_decompressed(tmp_path):
+    """The absorbed MQA fast path (wk_b/wv_b + *_mla keys,
+    deepseek2.cpp:102-135) must produce the same logits as the
+    decompressed-MHA path built from the same wkv_b weights, and use a
+    per-token (not per-head) KV cache."""
+    from tpullama.models import load_model
+    from tpullama.models.testing import make_tiny_deepseek2_gguf
+    from tpullama.runtime import Context, ContextParams
+
+    plain_p = str(tmp_path / "plain.gguf")
+    abs_p = str(tmp_path / "absorbed.gguf")
+    make_tiny_deepseek2_gguf(plain_p, seed=13)
+    make_tiny_deepseek2_gguf(abs_p, seed=13, absorbed=True)
+
+    plain = load_model(plain_p)
+    absorbed = load_model(abs_p)
+    assert absorbed.hparams.mla_absorbed
+    assert not plain.hparams.mla_absorbed
+
+    toks = plain.vocab.tokenize("The quick brown fox", add_special=True)
+    ctx_p = Context(plain, ContextParams(n_ctx=64))
+    ctx_a = Context(absorbed, ContextParams(n_ctx=64))
+    # absorbed cache is MQA over the latent: one row per token
+    hp = absorbed.hparams
+    assert ctx_a.kv_k.shape[-2:] == (1, hp.n_rot + hp.n_lora_kv)
+    assert ctx_a.kv_v.shape[-2:] == (1, hp.n_lora_kv)
+    # vs per-head decompressed rows
+    assert ctx_p.kv_k.shape[-2] == hp.n_head
+
+    lp = ctx_p.decode(np.asarray(toks, np.int32), n_logits=2)
+    la = ctx_a.decode(np.asarray(toks, np.int32), n_logits=2)
+    np.testing.assert_allclose(la, lp, rtol=2e-4, atol=2e-4)
+
+    # decode continuation agrees too (exercises cached-latent attention)
+    assert ctx_a.generate([toks[-1]], n_predict=6) == \
+        ctx_p.generate([toks[-1]], n_predict=6)

@@ -40,9 +40,13 @@ def deepseek2_forward(
 ):
     B, T = tokens.shape
     H = hp.n_head
+    # absorbed-MLA GGUFs carry the true head sizes in the *_mla keys
+    # (deepseek2.cpp:12-14); plain key_length then refers to the MQA row
+    absorbed = hp.mla_absorbed
+    head_k = hp.n_embd_head_k_mla if absorbed else hp.n_embd_head_k
     qk_rope = hp.n_rot
-    qk_nope = hp.n_embd_head_k - qk_rope
-    Dv = hp.n_embd_head_v
+    qk_nope = head_k - qk_rope
+    Dv = hp.n_embd_head_v_mla if absorbed else hp.n_embd_head_v
     kv_rank = hp.n_lora_kv
     batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
 
@@ -51,7 +55,7 @@ def deepseek2_forward(
     mscale = rp.attn_factor * (
         1.0 + hp.rope_yarn_log_mul * np.log(1.0 / max(rp.freq_scale, 1e-9))
     )
-    kq_scale = mscale * mscale / np.sqrt(hp.n_embd_head_k)
+    kq_scale = mscale * mscale / np.sqrt(head_k)
     from dataclasses import replace as _replace
 
     rp = _replace(rp, attn_factor=1.0 / (1.0 + 0.1 * np.log(1.0 / max(rp.freq_scale, 1e-9))))
@@ -83,17 +87,41 @@ def deepseek2_forward(
         k_pe = apply_rope(k_pe, cos, sin, rp.mode, qk_rope)
         kv_cmpr = rms_norm(kv_cmpr, lp["attn_kv_a_norm"], hp.f_norm_rms_eps)
 
-        # decompress: wkv_b -> per-head [k_nope | v]
-        kv = _linear(kv_cmpr, lp["attn_kv_b"]).reshape(B, T, H, qk_nope + Dv)
-        k_nope, v = kv[..., :qk_nope], kv[..., qk_nope:]
+        if absorbed:
+            # absorption fast path (deepseek2.cpp:102-135): q_nope pulled
+            # through wk_b so attention runs as MQA over the compressed
+            # latent — the KV cache stores [k_pe | kv_cmpr] per token,
+            # not per-head decompressed K/V
+            # wk_b: (H, kv_rank, qk_nope) -> q_abs (B, T, H, kv_rank)
+            q_abs = jnp.einsum(
+                "bthd,hrd->bthr", q_nope.astype(jnp.float32),
+                lp["attn_k_b"].astype(jnp.float32),
+            ).astype(q_nope.dtype)
+            qh = jnp.concatenate([q_pe, q_abs], axis=-1)
+            kh = jnp.concatenate([k_pe, kv_cmpr[:, :, None, :]], axis=-1)
+            vh = kv_cmpr[:, :, None, :]
 
-        # rope part first (matches the cache layout used for shifting)
-        qh = jnp.concatenate([q_pe, q_nope], axis=-1)
-        kh = jnp.concatenate([jnp.broadcast_to(k_pe, (B, T, H, qk_rope)), k_nope], axis=-1)
+            kc = kv_k[li].at[batch_idx, cache_slots].set(kh.astype(kv_k.dtype))
+            vc = kv_v[li].at[batch_idx, cache_slots].set(vh.astype(kv_v.dtype))
+            att = attention(qh, kc, vc, mask=attn_mask, scale=float(kq_scale))
+            # decompress values per head: wv_b (H, Dv, kv_rank)
+            att = jnp.einsum(
+                "bthr,hdr->bthd", att.astype(jnp.float32),
+                lp["attn_v_b"].astype(jnp.float32),
+            ).astype(att.dtype)
+        else:
+            # decompress: wkv_b -> per-head [k_nope | v]
+            kv = _linear(kv_cmpr, lp["attn_kv_b"]).reshape(B, T, H, qk_nope + Dv)
+            k_nope, v = kv[..., :qk_nope], kv[..., qk_nope:]
 
-        kc = kv_k[li].at[batch_idx, cache_slots].set(kh.astype(kv_k.dtype))
-        vc = kv_v[li].at[batch_idx, cache_slots].set(v.astype(kv_v.dtype))
-        att = attention(qh, kc, vc, mask=attn_mask, scale=float(kq_scale))
+            # rope part first (matches the cache layout used for shifting)
+            qh = jnp.concatenate([q_pe, q_nope], axis=-1)
+            kh = jnp.concatenate(
+                [jnp.broadcast_to(k_pe, (B, T, H, qk_rope)), k_nope], axis=-1)
+
+            kc = kv_k[li].at[batch_idx, cache_slots].set(kh.astype(kv_k.dtype))
+            vc = kv_v[li].at[batch_idx, cache_slots].set(v.astype(kv_v.dtype))
+            att = attention(qh, kc, vc, mask=attn_mask, scale=float(kq_scale))
         att = _linear(att.reshape(B, T, H * Dv), lp["attn_output"])
         if hp.f_residual_scale:
             # minicpm3 residual scale 1.4/sqrt(n_layer) (minicpm3.cpp:144)

@@ -140,6 +140,10 @@ class HParams:
     n_lora_kv: int = 0
     n_layer_dense_lead: int = 0
     rope_yarn_log_mul: float = 0.0
+    # MLA head sizes (present on absorbed-MLA GGUFs that carry the split
+    # attn_k_b/attn_v_b tensors; llama-model.cpp:1617-1618)
+    n_embd_head_k_mla: int = 0
+    n_embd_head_v_mla: int = 0
 
     # T5 / encoder-decoder
     n_rel_attn_bkts: int = 0
@@ -195,6 +199,22 @@ class HParams:
         """Latent-compressed (MLA) attention archs sharing the deepseek2
         forward (models/{deepseek2,plm,minicpm3}.cpp)."""
         return self.arch in ("deepseek2", "plm", "minicpm3")
+
+    @property
+    def mla_absorbed(self) -> bool:
+        """Absorbed-MLA fast path: attention runs as MQA over the
+        compressed latent (KV cache = kv_lora_rank + rope per token,
+        not per-head decompressed K/V) — deepseek2.cpp:102-135. Requires
+        the MLA head-size keys + split wk_b/wv_b tensors."""
+        return self.is_mla and bool(self.n_embd_head_k_mla) and bool(
+            self.n_embd_head_v_mla)
+
+    @property
+    def kv_cache_dims(self) -> tuple[int, int, int]:
+        """(n_kv_heads, k_head_dim, v_head_dim) of the KV cache rows."""
+        if self.mla_absorbed:
+            return 1, self.n_rot + self.n_lora_kv, self.n_lora_kv
+        return self.n_head_kv, self.n_embd_head_k, self.n_embd_head_v
 
     @property
     def hybrid_mamba2(self) -> bool:
@@ -317,6 +337,8 @@ class HParams:
             n_ff_layers=n_ff_layers,
             n_lora_q=int(g("attention.q_lora_rank", 0) or 0),
             n_lora_kv=int(g("attention.kv_lora_rank", 0) or 0),
+            n_embd_head_k_mla=int(g("attention.key_length_mla", 0) or 0),
+            n_embd_head_v_mla=int(g("attention.value_length_mla", 0) or 0),
             n_layer_dense_lead=int(g("leading_dense_block_count", 0) or 0),
             rope_yarn_log_mul=float(g("rope.scaling.yarn_log_multiplier", 0.0) or 0.0),
             n_rel_attn_bkts=int(g("attention.relative_buckets_count", 0) or 0),

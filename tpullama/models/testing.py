@@ -1386,10 +1386,12 @@ def make_tiny_mla_lite_gguf(
     kv_rank: int = 32,
     n_ff: int = 128,
     seed: int = 0,
+    absorbed: bool = False,
 ):
     """plm: MLA with plain Q + non-gated relu^2 FFN, tied output; minicpm3:
     MLA with q-lora + gated silu FFN + MiniCPM scale stack, tied output
-    (llama-model.cpp LLM_ARCH_PLM / LLM_ARCH_MINICPM3)."""
+    (llama-model.cpp LLM_ARCH_PLM / LLM_ARCH_MINICPM3). absorbed=True
+    emits split wk_b/wv_b + *_mla keys (see make_tiny_deepseek2_gguf)."""
     tokens, scores, types = byte_vocab()
     n_vocab = len(tokens)
     qk_head = qk_rope + qk_nope
@@ -1404,8 +1406,14 @@ def make_tiny_mla_lite_gguf(
     w.add_u32(f"{arch}.feed_forward_length", n_ff)
     w.add_u32(f"{arch}.attention.head_count", n_head)
     w.add_u32(f"{arch}.attention.head_count_kv", n_head)
-    w.add_u32(f"{arch}.attention.key_length", qk_head)
-    w.add_u32(f"{arch}.attention.value_length", v_head)
+    if absorbed:
+        w.add_u32(f"{arch}.attention.key_length", kv_rank + qk_rope)
+        w.add_u32(f"{arch}.attention.value_length", kv_rank)
+        w.add_u32(f"{arch}.attention.key_length_mla", qk_head)
+        w.add_u32(f"{arch}.attention.value_length_mla", v_head)
+    else:
+        w.add_u32(f"{arch}.attention.key_length", qk_head)
+        w.add_u32(f"{arch}.attention.value_length", v_head)
     w.add_u32(f"{arch}.rope.dimension_count", qk_rope)
     w.add_f32(f"{arch}.rope.freq_base", 10000.0)
     w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
@@ -1444,8 +1452,15 @@ def make_tiny_mla_lite_gguf(
             w.add_tensor(p + "attn_q.weight", mat(n_head * qk_head, n_embd), GGMLType.F32)
         w.add_tensor(p + "attn_kv_a_mqa.weight", mat(kv_rank + qk_rope, n_embd), GGMLType.F32)
         w.add_tensor(p + "attn_kv_a_norm.weight", norm_w(kv_rank), GGMLType.F32)
-        w.add_tensor(p + "attn_kv_b.weight",
-                     mat(n_head * (qk_nope + v_head), kv_rank), GGMLType.F32)
+        kvb = mat(n_head * (qk_nope + v_head), kv_rank)
+        if absorbed:
+            kvb3 = kvb.reshape(n_head, qk_nope + v_head, kv_rank)
+            k_b = np.ascontiguousarray(kvb3[:, :qk_nope, :].transpose(0, 2, 1))
+            v_b = np.ascontiguousarray(kvb3[:, qk_nope:, :])
+            w.add_tensor(p + "attn_k_b.weight", k_b, GGMLType.F32)
+            w.add_tensor(p + "attn_v_b.weight", v_b, GGMLType.F32)
+        else:
+            w.add_tensor(p + "attn_kv_b.weight", kvb, GGMLType.F32)
         w.add_tensor(p + "attn_output.weight", mat(n_embd, n_head * v_head), GGMLType.F32)
         w.add_tensor(p + "ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
         if arch == "minicpm3":
@@ -1959,10 +1974,13 @@ def make_tiny_deepseek2_gguf(
     n_expert_used: int = 2,
     ff_exp: int = 64,
     seed: int = 0,
+    absorbed: bool = False,
 ):
     """Write a random tiny DeepSeek-V2 GGUF (MLA attention; layer 0 dense
     FFN, later layers MoE with one shared expert; llama-model.cpp
-    LLM_ARCH_DEEPSEEK2)."""
+    LLM_ARCH_DEEPSEEK2). absorbed=True emits the split wk_b/wv_b tensors
+    + *_mla head-size keys (the MQA absorption fast path) derived from
+    the same wkv_b values, so absorbed and plain files share weights."""
     tokens, scores, types = byte_vocab()
     n_vocab = len(tokens)
     qk_head = qk_rope + qk_nope
@@ -1977,8 +1995,16 @@ def make_tiny_deepseek2_gguf(
     w.add_u32("deepseek2.feed_forward_length", n_ff)
     w.add_u32("deepseek2.attention.head_count", n_head)
     w.add_u32("deepseek2.attention.head_count_kv", n_head)
-    w.add_u32("deepseek2.attention.key_length", qk_head)
-    w.add_u32("deepseek2.attention.value_length", v_head)
+    if absorbed:
+        # real absorbed-MLA converts store the MQA row size in key_length
+        # and the true head sizes in the *_mla keys
+        w.add_u32("deepseek2.attention.key_length", kv_rank + qk_rope)
+        w.add_u32("deepseek2.attention.value_length", kv_rank)
+        w.add_u32("deepseek2.attention.key_length_mla", qk_head)
+        w.add_u32("deepseek2.attention.value_length_mla", v_head)
+    else:
+        w.add_u32("deepseek2.attention.key_length", qk_head)
+        w.add_u32("deepseek2.attention.value_length", v_head)
     w.add_u32("deepseek2.rope.dimension_count", qk_rope)
     w.add_f32("deepseek2.rope.freq_base", 10000.0)
     w.add_f32("deepseek2.attention.layer_norm_rms_epsilon", 1e-6)
@@ -2019,8 +2045,15 @@ def make_tiny_deepseek2_gguf(
         w.add_tensor(p + "attn_q_b.weight", mat(n_head * qk_head, q_rank), GGMLType.F32)
         w.add_tensor(p + "attn_kv_a_mqa.weight", mat(kv_rank + qk_rope, n_embd), GGMLType.F32)
         w.add_tensor(p + "attn_kv_a_norm.weight", norm_w(kv_rank), GGMLType.F32)
-        w.add_tensor(p + "attn_kv_b.weight",
-                     mat(n_head * (qk_nope + v_head), kv_rank), GGMLType.F32)
+        kvb = mat(n_head * (qk_nope + v_head), kv_rank)
+        if absorbed:
+            kvb3 = kvb.reshape(n_head, qk_nope + v_head, kv_rank)
+            k_b = np.ascontiguousarray(kvb3[:, :qk_nope, :].transpose(0, 2, 1))
+            v_b = np.ascontiguousarray(kvb3[:, qk_nope:, :])
+            w.add_tensor(p + "attn_k_b.weight", k_b, GGMLType.F32)
+            w.add_tensor(p + "attn_v_b.weight", v_b, GGMLType.F32)
+        else:
+            w.add_tensor(p + "attn_kv_b.weight", kvb, GGMLType.F32)
         w.add_tensor(p + "attn_output.weight", mat(n_embd, n_head * v_head), GGMLType.F32)
         w.add_tensor(p + "ffn_norm.weight", norm_w(n_embd), GGMLType.F32)
         if il < 1:

@@ -130,19 +130,22 @@ class Context:
         S = self.p.n_ctx + 1  # +1 scratch row for padded-token writes
         self._S = S
         kv_dt = self.p.kv_dtype or self.p.dtype
+        # cache row dims; absorbed MLA stores the compressed latent as
+        # MQA rows (hp.kv_cache_dims), a ~n_head-fold KV saving
+        Hkv, Dk, Dv = hp.kv_cache_dims
         if kv_dt == jnp.int8:
             # quantized KV cache: int8 values + f32 per-(token, head) scales
             self.kv_k = {
-                "q": jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k), jnp.int8),
-                "s": jnp.zeros((hp.n_layer, B, S, hp.n_head_kv), jnp.float32),
+                "q": jnp.zeros((hp.n_layer, B, S, Hkv, Dk), jnp.int8),
+                "s": jnp.zeros((hp.n_layer, B, S, Hkv), jnp.float32),
             }
             self.kv_v = {
-                "q": jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_v), jnp.int8),
-                "s": jnp.zeros((hp.n_layer, B, S, hp.n_head_kv), jnp.float32),
+                "q": jnp.zeros((hp.n_layer, B, S, Hkv, Dv), jnp.int8),
+                "s": jnp.zeros((hp.n_layer, B, S, Hkv), jnp.float32),
             }
         else:
-            self.kv_k = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k), kv_dt)
-            self.kv_v = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_v), kv_dt)
+            self.kv_k = jnp.zeros((hp.n_layer, B, S, Hkv, Dk), kv_dt)
+            self.kv_v = jnp.zeros((hp.n_layer, B, S, Hkv, Dv), kv_dt)
         self.kv_pos = jnp.full((B, S), -1, jnp.int32)
         # host mirrors: per-cell positions (find_slot free-cell allocator,
         # llama-kv-cache.cpp:679 analog) and next logical position
