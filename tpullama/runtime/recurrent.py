@@ -109,6 +109,33 @@ class RecurrentContext:
             self.perf.n_decode += 1
         return out
 
+    def decode_batch(self, tokens: np.ndarray, active: np.ndarray) -> np.ndarray:
+        """One decode step for every active sequence lane at once (the
+        server's batched-decode program). tokens/active: (n_seqs,).
+        Inactive lanes keep their state. Returns (n_seqs, n_vocab)."""
+        if not hasattr(self, "_fn_all"):
+            def step_all(params, tokens, conv, ssm, active):
+                logits, (conv_u, ssm_u) = self._fwd(
+                    params, self.hp, tokens[:, None], conv, ssm,
+                    quant_meta=self.model.quant_meta, last_idx=jnp.int32(0),
+                )
+                def keep(new, old):
+                    m = active.reshape((1, -1) + (1,) * (old.ndim - 2))
+                    return jnp.where(m, new.astype(old.dtype), old)
+                return (logits[:, 0], keep(conv_u, conv), keep(ssm_u, ssm))
+
+            self._fn_all = jax.jit(step_all)
+        t0 = time.time()
+        logits, self.conv_state, self.ssm_state = self._fn_all(
+            self.model.params, jnp.asarray(tokens, jnp.int32),
+            self.conv_state, self.ssm_state, jnp.asarray(active),
+        )
+        n_act = int(np.sum(active))
+        self.n_past[active] += 1
+        self.perf.t_decode_ms += (time.time() - t0) * 1000
+        self.perf.n_decode += n_act
+        return np.asarray(logits)
+
     # ------------------------------------------------------- sequence ops
 
     def reset(self, seq_id: int | None = None):
@@ -122,7 +149,11 @@ class RecurrentContext:
 
     def seq_rm(self, p0: int, p1: int, seq_id: int = 0):
         """Recurrent cells are indivisible: only whole-sequence removal is
-        supported (llama_memory_recurrent::seq_rm rejects partial ranges)."""
+        supported (llama_memory_recurrent::seq_rm rejects partial ranges).
+        Removing a range entirely past the current state is a no-op (the
+        continuation case in the server's prompt-cache reuse)."""
+        if p0 >= int(self.n_past[seq_id]) and (p1 < 0 or p1 >= int(self.n_past[seq_id])):
+            return  # nothing stored in [p0, p1)
         if p0 > 0 or (0 <= p1 < int(self.n_past[seq_id])):
             raise ValueError(
                 "recurrent memory cannot remove a partial position range; "

@@ -99,8 +99,15 @@ class ServerEngine:
             self.encoder = EncoderContext(model, cp)
             self.ctx = None
         else:
-            self.ctx = Context(model, cp)
+            # recurrent/hybrid models get their state contexts (the
+            # create_memory dispatch, llama-model.cpp:7081)
+            from ..runtime.recurrent import make_context
+
+            self.ctx = make_context(model, cp)
             self.encoder = None
+        # recurrent cells are indivisible: no mid-prompt cache reuse and
+        # (for hybrid) no batched one-step program yet
+        self._partial_reuse = isinstance(self.ctx, Context)
         self.n_ubatch = n_ubatch
         self.slots = [Slot(i) for i in range(n_slots)]
         self.queue: "queue.Queue[Task]" = queue.Queue()
@@ -318,9 +325,14 @@ class ServerEngine:
                 common += 1
             # always recompute at least the last prompt token (to get logits)
             common = min(common, len(prompt) - 1)
+            if not self._partial_reuse and common != len(slot.cache_tokens):
+                # recurrent state can only continue from its exact end;
+                # anything else reprocesses the whole prompt
+                common = 0
             if common > 0:
-                self.ctx.seq_rm(common, -1, seq_id=slot.id)
-                self.ctx.n_past[slot.id] = common
+                if int(self.ctx.n_past[slot.id]) != common:
+                    self.ctx.seq_rm(common, -1, seq_id=slot.id)
+                    self.ctx.n_past[slot.id] = common
                 self.ctx.perf.n_reused += common
             else:
                 self.ctx.reset(slot.id)
@@ -404,10 +416,20 @@ class ServerEngine:
                 if int(self.ctx.n_past[s.id]) + 1 > self.ctx.p.n_ctx:
                     self._finish(s, "length")
             return True
-        logits = self.ctx.decode_batch(tokens, active)
-        for s in gen:
-            tok = self._sample(s, logits[s.id])
-            self._emit(s, tok)
+        if hasattr(self.ctx, "decode_batch"):
+            logits = self.ctx.decode_batch(tokens, active)
+            for s in gen:
+                tok = self._sample(s, logits[s.id])
+                self._emit(s, tok)
+        else:
+            # hybrid contexts: per-lane single-token steps
+            for s in gen:
+                row = self.ctx.decode(
+                    np.asarray([s.last_token], np.int32), n_logits=1,
+                    seq_id=s.id,
+                )[-1]
+                tok = self._sample(s, row)
+                self._emit(s, tok)
         return True
 
     # ------------------------------------------------------- helpers
