@@ -1,0 +1,353 @@
+"""IQ grid-codebook quantization encoders (quantize side of the IQ1/2/3
+formats; dequant lives in quants.py and is bit-exact vs the reference).
+
+Method (quantize_row_iq*_impl, ggml/src/ggml-quants.c:3030+, re-designed
+vectorized): per 8-element cell the sign pattern is extracted (7 free
+bits + an implied even-parity 8th — odd-parity cells flip their least
+important element, weighted by the imatrix importance w = qw *
+sqrt(sigma2 + x^2)), then the magnitude pattern is matched against the
+format's codebook. Where the reference walks a precomputed neighbour
+list around an off-grid point, we do the FULL weighted projection onto
+the codebook (argmin_g sum w (x - s*g)^2) for a sweep of candidate
+scales, then refit the group scale in closed form — a strictly wider
+search over the same reconstruction space, so round-trip error is at or
+below the reference's (asserted against the compiled oracle in tests).
+
+The projection uses the true reconstruction levels (the dequant grid's
+"stretched" magnitudes, e.g. {8, 25, 43}/8 for IQ2_XXS) rather than the
+idealized odd integers the reference searches with.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .constants import GGMLType
+
+_EPS = 1e-15
+_GROUP_MAX_EPS = 1e-15
+
+
+def _fp16_bytes(d: np.ndarray) -> np.ndarray:
+    return d.astype(np.float16).view(np.uint8).reshape(-1, 2)
+
+
+def _row_weights(rows: np.ndarray, qw):
+    """(x (nb,256), qw (nb,256) or None) from (R, n_per_row) input +
+    per-column imatrix weights."""
+    rows = np.ascontiguousarray(rows, np.float32)
+    n_per_row = rows.shape[-1]
+    rows2 = rows.reshape(-1, n_per_row)
+    x = rows2.reshape(-1, 256)
+    qwr = None
+    if qw is not None:
+        qwr = np.broadcast_to(
+            np.asarray(qw, np.float32).reshape(1, n_per_row), rows2.shape
+        ).reshape(-1, 256)
+    return x, qwr
+
+
+def _prepare(x: np.ndarray, qw: np.ndarray | None, cell: int = 8,
+             parity_fix: bool = True):
+    """Common per-superblock prep. x: (nb, 256) -> (w, xval, signs7)
+    with xval/w shaped (nb, 256) and signs7 (nb, 256//cell) holding the
+    7-bit sign masks (parity-fixed: odd cells flip their least-important
+    element inside xval, mirroring quantize_row_iq2_xxs_impl:3076-3096)."""
+    nb, K = x.shape
+    if qw is None:
+        qw = np.ones_like(x)
+    sigma2 = np.mean(x * x, axis=1, keepdims=True)
+    w = qw * np.sqrt(sigma2 + x * x)
+
+    cells = x.reshape(nb, K // cell, cell)
+    wc = w.reshape(nb, K // cell, cell)
+    neg = cells < 0
+    xval = np.abs(cells)
+    if parity_fix:
+        nflip = neg.sum(-1)
+        odd = (nflip % 2).astype(bool)
+        # importance of each element: w*x^2; flip the min where odd
+        imp = wc * cells * cells
+        imin = np.argmin(imp, axis=-1)
+        flip = np.zeros_like(neg)
+        np.put_along_axis(flip, imin[..., None], odd[..., None], axis=-1)
+        signs = neg ^ flip
+        # flipped elements carry NEGATIVE magnitude into the fit (the
+        # reference's xval[imin] = -xval[imin])
+        xval = np.where(flip, -xval, xval)
+    else:
+        signs = neg  # full 8-bit sign bytes (iq2_s / iq3_s)
+    bits = (1 << np.arange(cell, dtype=np.uint32))
+    s_mask = (signs.astype(np.uint32) * bits).sum(-1).astype(np.uint32)
+    if parity_fix:
+        s_mask &= 127
+    return w, xval.reshape(nb, K), s_mask.astype(np.uint8)
+
+
+def _fit_groups(xval, w, grid_q, group: int, cell: int,
+                n_cand: int = 13, span: float = 0.3):
+    """Weighted codebook fit. xval/w: (nb, K); grid_q: (G, cell) true
+    reconstruction levels. Groups of `group` elements share one scale.
+    Returns (scale (nb, ngrp), gidx (nb, ngrp, group//cell))."""
+    nb, K = xval.shape
+    ngrp = K // group
+    bpg = group // cell
+    xb = xval.reshape(nb, ngrp, bpg, cell)
+    wb = w.reshape(nb, ngrp, bpg, cell)
+
+    # candidate-independent projections:
+    #   A[g] = sum_i w x g      B[g] = sum_i w g^2
+    A = np.einsum("nkbi,gi->nkbg", wb * xb, grid_q, optimize=True)
+    B = np.einsum("nkbi,gi->nkbg", wb, grid_q * grid_q, optimize=True)
+
+    qmax = float(grid_q.max())
+    max32 = np.abs(xb).max(axis=(2, 3))  # (nb, ngrp)
+    s0 = max32 / qmax
+    live = max32 >= _GROUP_MAX_EPS
+
+    best_score = np.full((nb, ngrp), -1.0, np.float32)
+    best_scale = np.zeros((nb, ngrp), np.float32)
+    best_idx = np.zeros((nb, ngrp, bpg), np.int32)
+    for f in np.linspace(1.0 - span, 1.0 + span, n_cand):
+        s_c = (s0 * f)[:, :, None, None]  # (nb, ngrp, 1, 1)
+        # argmin_g  s^2 B - 2 s A
+        gid = np.argmin(s_c * s_c * B - 2.0 * s_c * A, axis=-1)  # (nb,ngrp,bpg)
+        sumqx = np.take_along_axis(A, gid[..., None], -1)[..., 0].sum(-1)
+        sumq2 = np.take_along_axis(B, gid[..., None], -1)[..., 0].sum(-1)
+        score = np.where(sumq2 > 0, sumqx * sumqx / np.maximum(sumq2, _EPS), -1.0)
+        upd = score > best_score
+        best_score = np.where(upd, score, best_score)
+        best_scale = np.where(
+            upd, sumqx / np.maximum(sumq2, _EPS), best_scale)
+        best_idx = np.where(upd[..., None], gid, best_idx)
+    best_scale = np.where(live, best_scale, 0.0)
+    return best_scale, best_idx
+
+
+def _store_scales(scale: np.ndarray, nmax: int, div: float = 8.0):
+    """scale s -> (d per superblock, per-group level l) with the IQ
+    convention s = d*(2l+1)/div (e.g. dequant db = d*(0.5+l)*0.25 for
+    the iq2 family -> div 8; iq3_xxs div 4; iq3_s/iq1_s div 1)."""
+    smax = scale.max(axis=1)
+    d = np.where(smax > 0, div * smax / (2 * nmax + 1), 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        l = np.rint((div * scale / d[:, None] - 1.0) * 0.5)
+    l = np.clip(np.nan_to_num(l, nan=0.0, posinf=0.0, neginf=0.0), 0, nmax)
+    # refine d against the rounded levels:
+    # d = div * sum(s * (2l+1)) / sum((2l+1)^2)
+    q = 2.0 * l + 1.0
+    num = (scale * q).sum(axis=1)
+    den = (q * q).sum(axis=1)
+    d = np.where(den > 0, div * num / den, d)
+    return d.astype(np.float32), l.astype(np.uint32)
+
+
+def quant_iq2_xxs(rows: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """block_iq2_xxs: fp16 d + per-32-group {4 grid bytes | 4x7-bit signs
+    + 4-bit scale} (ggml-common.h:347-352; layout per dequant_iq2_xxs)."""
+    from ._iq_grids import IQ2XXS_GRID
+
+    x, qwr = _row_weights(rows, qw)
+    nb = x.shape[0]
+    w, xval, signs7 = _prepare(x, qwr)  # signs7: (nb, 32)
+    # reconstruction is db*grid_byte with db = d*(2l+1)/8, so fitting in
+    # grid-byte space with s = d*(2l+1)/8 keeps units consistent
+    grid_q = IQ2XXS_GRID.view(np.uint8).reshape(256, 8).astype(np.float32)
+    scale, gidx = _fit_groups(xval, w, grid_q, group=32, cell=8)
+    # negative group scale: flip scale and all signs (iq2_xxs_impl:3164)
+    flip = scale < 0
+    scale = np.abs(scale)
+    s4 = signs7.reshape(nb, 8, 4)
+    s4 = np.where(flip[..., None], (~s4) & 127, s4)
+    d, l = _store_scales(scale, nmax=15)
+
+    aux0 = (gidx.astype(np.uint32) << (8 * np.arange(4, dtype=np.uint32))).sum(-1)
+    aux1 = (s4.astype(np.uint32) << (7 * np.arange(4, dtype=np.uint32))).sum(-1)
+    aux1 |= l.reshape(nb, 8) << 28
+
+    out = np.empty((nb, 66), np.uint8)
+    out[:, 0:2] = _fp16_bytes(d)
+    qs = np.empty((nb, 8, 2), np.uint32)
+    qs[:, :, 0] = aux0
+    qs[:, :, 1] = aux1
+    out[:, 2:66] = qs.view(np.uint8).reshape(nb, 64)
+    return out.reshape(-1)
+
+
+def quant_iq2_xs(rows: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """block_iq2_xs: fp16 d; u16 qs[32] = grid_idx(9b) | signs(7b)<<9;
+    u8 scales[8] (4-bit per 16 elements) — layout per dequant_iq2_xs."""
+    from ._iq_grids import IQ2XS_GRID
+
+    x, qwr = _row_weights(rows, qw)
+    nb = x.shape[0]
+    w, xval, signs7 = _prepare(x, qwr)
+    grid_q = IQ2XS_GRID.view(np.uint8).reshape(512, 8).astype(np.float32)
+    scale, gidx = _fit_groups(xval, w, grid_q, group=16, cell=8)  # (nb,16),(nb,16,2)
+    flip = scale < 0
+    scale = np.abs(scale)
+    s2 = signs7.reshape(nb, 16, 2)
+    s2 = np.where(flip[..., None], (~s2) & 127, s2)
+    d, l = _store_scales(scale, nmax=15)
+
+    qs = (gidx.astype(np.uint16) | (s2.astype(np.uint16) << 9)).reshape(nb, 32)
+    ln = l.reshape(nb, 8, 2)
+    sc = (ln[:, :, 0] | (ln[:, :, 1] << 4)).astype(np.uint8)
+    out = np.empty((nb, 74), np.uint8)
+    out[:, 0:2] = _fp16_bytes(d)
+    out[:, 2:66] = qs.astype("<u2").view(np.uint8).reshape(nb, 64)
+    out[:, 66:74] = sc
+    return out.reshape(-1)
+
+
+def quant_iq2_s(rows: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """block_iq2_s: fp16 d; u8 qs[32] grid-idx low bytes; u8 signs[32]
+    (full 8-bit, no parity constraint); u8 qh[8] (2 high idx bits per
+    8-cell, 4 cells per 32-group); u8 scales[8] (4-bit per 16)."""
+    from ._iq_grids import IQ2S_GRID
+
+    x, qwr = _row_weights(rows, qw)
+    nb = x.shape[0]
+    w, xval, signs8 = _prepare(x, qwr, parity_fix=False)
+    grid_q = IQ2S_GRID.view(np.uint8).reshape(1024, 8).astype(np.float32)
+    scale, gidx = _fit_groups(xval, w, grid_q, group=16, cell=8)
+    flip = scale < 0
+    scale = np.abs(scale)
+    s2 = signs8.reshape(nb, 16, 2)
+    s2 = np.where(flip[..., None], ~s2, s2)
+    d, l = _store_scales(scale, nmax=15)
+
+    g4 = gidx.reshape(nb, 8, 4).astype(np.uint16)  # per 32-group cells
+    qs = (g4 & 0xFF).astype(np.uint8).reshape(nb, 32)
+    qh = ((g4 >> 8) << (2 * np.arange(4, dtype=np.uint16))).sum(-1).astype(np.uint8)
+    ln = l.reshape(nb, 8, 2)
+    sc = (ln[:, :, 0] | (ln[:, :, 1] << 4)).astype(np.uint8)
+    out = np.empty((nb, 82), np.uint8)
+    out[:, 0:2] = _fp16_bytes(d)
+    out[:, 2:34] = qs
+    out[:, 34:66] = s2.reshape(nb, 32)
+    out[:, 66:74] = qh
+    out[:, 74:82] = sc
+    return out.reshape(-1)
+
+
+def quant_iq3_xxs(rows: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """block_iq3_xxs: fp16 d; u8 qs[64] (8 grid bytes per 32-group, grid
+    cells of 4); u32 aux[8] = signs(7b x 4) | scale<<28 — signs still
+    span 8 elements (two grid cells per sign byte)."""
+    from ._iq_grids import IQ3XXS_GRID
+
+    x, qwr = _row_weights(rows, qw)
+    nb = x.shape[0]
+    w, xval, signs7 = _prepare(x, qwr, cell=8)
+    grid_q = IQ3XXS_GRID.view(np.uint8).reshape(256, 4).astype(np.float32)
+    # db = d*(0.5+l)*0.5 -> s = d*(2l+1)/4
+    scale, gidx = _fit_groups(xval, w, grid_q, group=32, cell=4)  # (nb,8),(nb,8,8)
+    flip = scale < 0
+    scale = np.abs(scale)
+    s4 = signs7.reshape(nb, 8, 4)
+    s4 = np.where(flip[..., None], (~s4) & 127, s4)
+    d, l = _store_scales(scale, nmax=15, div=4.0)
+
+    aux = (s4.astype(np.uint32) << (7 * np.arange(4, dtype=np.uint32))).sum(-1)
+    aux |= l.reshape(nb, 8) << 28
+    out = np.empty((nb, 98), np.uint8)
+    out[:, 0:2] = _fp16_bytes(d)
+    out[:, 2:66] = gidx.astype(np.uint8).reshape(nb, 64)
+    out[:, 66:98] = aux.astype("<u4").view(np.uint8).reshape(nb, 32)
+    return out.reshape(-1)
+
+
+def quant_iq3_s(rows: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """block_iq3_s: fp16 d; u8 qs[64] (idx low bytes); u8 qh[8] (9th idx
+    bit per cell); u8 signs[32] (full 8-bit); u8 scales[4] (4-bit per
+    32-group); db = d*(1+2l)."""
+    from ._iq_grids import IQ3S_GRID
+
+    x, qwr = _row_weights(rows, qw)
+    nb = x.shape[0]
+    w, xval, signs8 = _prepare(x, qwr, cell=8, parity_fix=False)
+    grid_q = IQ3S_GRID.view(np.uint8).reshape(512, 4).astype(np.float32)
+    scale, gidx = _fit_groups(xval, w, grid_q, group=32, cell=4)  # (nb,8),(nb,8,8)
+    flip = scale < 0
+    scale = np.abs(scale)
+    s4 = signs8.reshape(nb, 8, 4)
+    s4 = np.where(flip[..., None], ~s4, s4)
+    # db = d*(1+2l): div = 1
+    d, l = _store_scales(scale, nmax=15, div=1.0)
+
+    g = gidx.astype(np.uint16)  # (nb, 8, 8)
+    qs = (g & 0xFF).astype(np.uint8).reshape(nb, 64)
+    # dequant: idx = qs | ((qh << (8 - e)) & 256) for cell e in 0..7
+    qh = (((g >> 8) & 1).astype(np.uint16)
+          << np.arange(8, dtype=np.uint16)).sum(-1).astype(np.uint8)
+    ln = l.reshape(nb, 4, 2)
+    sc = (ln[:, :, 0] | (ln[:, :, 1] << 4)).astype(np.uint8)
+    out = np.empty((nb, 110), np.uint8)
+    out[:, 0:2] = _fp16_bytes(d)
+    out[:, 2:66] = qs
+    out[:, 66:74] = qh
+    out[:, 74:106] = s4.reshape(nb, 32)
+    out[:, 106:110] = sc
+    return out.reshape(-1)
+
+
+def quant_iq1_s(rows: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """block_iq1_s: fp16 d; u8 qs[32] (idx low bytes); u16 qh[8] per
+    32-group = 3 high idx bits per cell | scale(3b)<<12 | delta-sign
+    bit 15. Reconstruction dl*(grid + delta), grid values in {-1,0,1},
+    delta = +-0.125 per 32-group (dequant_iq1_s / ggml-common IQ1S)."""
+    from ._iq_grids import IQ1S_GRID
+
+    x, qwr = _row_weights(rows, qw)
+    nb = x.shape[0]
+    if qwr is None:
+        qwr = np.ones_like(x)
+    sigma2 = np.mean(x * x, axis=1, keepdims=True)
+    w = qwr * np.sqrt(sigma2 + x * x)
+    grid = IQ1S_GRID.view(np.int8).reshape(2048, 8).astype(np.float32)
+
+    best_score = np.full((nb, 8), -1.0, np.float32)
+    best_scale = np.zeros((nb, 8), np.float32)
+    best_idx = np.zeros((nb, 8, 4), np.int32)
+    best_dm = np.zeros((nb, 8), bool)
+    xb = x.reshape(nb, 8, 4, 8)
+    wb = w.reshape(nb, 8, 4, 8)
+    max32 = np.abs(xb).max(axis=(2, 3))
+    live = max32 >= _GROUP_MAX_EPS
+    for minus in (False, True):
+        gq = grid + (-0.125 if minus else 0.125)
+        A = np.einsum("nkbi,gi->nkbg", wb * xb, gq, optimize=True)
+        B = np.einsum("nkbi,gi->nkbg", wb, gq * gq, optimize=True)
+        s0 = max32 / 1.125
+        for f in np.linspace(0.7, 1.3, 13):
+            for sign in (1.0, -1.0):
+                s_c = (s0 * f * sign)[:, :, None, None]
+                gid = np.argmin(s_c * s_c * B - 2.0 * s_c * A, axis=-1)
+                sumqx = np.take_along_axis(A, gid[..., None], -1)[..., 0].sum(-1)
+                sumq2 = np.take_along_axis(B, gid[..., None], -1)[..., 0].sum(-1)
+                # the stored scale dl = d*(2l+1) is non-negative: only
+                # positive refits are representable
+                s_fit = sumqx / np.maximum(sumq2, _EPS)
+                score = np.where(
+                    (sumq2 > 0) & (s_fit > 0),
+                    sumqx * sumqx / np.maximum(sumq2, _EPS), -1.0)
+                upd = score > best_score
+                best_score = np.where(upd, score, best_score)
+                best_scale = np.where(upd, s_fit, best_scale)
+                best_idx = np.where(upd[..., None], gid, best_idx)
+                best_dm = np.where(upd, minus, best_dm)
+    best_scale = np.where(live, best_scale, 0.0)
+
+    d, l = _store_scales(best_scale, nmax=7, div=1.0)
+    g = best_idx.astype(np.uint16)
+    qs = (g & 0xFF).astype(np.uint8).reshape(nb, 32)
+    qh = (((g >> 8) & 7).astype(np.uint16)
+          << (3 * np.arange(4, dtype=np.uint16))).sum(-1)
+    qh |= l.reshape(nb, 8).astype(np.uint16) << 12
+    qh |= np.where(best_dm, np.uint16(0x8000), np.uint16(0))
+    out = np.empty((nb, 50), np.uint8)
+    out[:, 0:2] = _fp16_bytes(d)
+    out[:, 2:34] = qs
+    out[:, 34:50] = qh.astype("<u2").view(np.uint8).reshape(nb, 16)
+    return out.reshape(-1)

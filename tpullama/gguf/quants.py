@@ -1267,6 +1267,17 @@ QUANT_FNS = {
 }
 
 
+# grid-codebook encoders (iq_encode.py; imatrix-weighted full projection)
+_IQ_ENCODERS = {
+    GGMLType.IQ2_XXS: "iq2_xxs",
+    GGMLType.IQ2_XS: "iq2_xs",
+    GGMLType.IQ2_S: "iq2_s",
+    GGMLType.IQ3_XXS: "iq3_xxs",
+    GGMLType.IQ3_S: "iq3_s",
+    GGMLType.IQ1_S: "iq1_s",
+}
+
+
 def quantize(x: np.ndarray, ggml_type: GGMLType, quant_weights: np.ndarray | None = None) -> np.ndarray:
     """Quantize a float32 array to raw block bytes (uint8).
 
@@ -1296,6 +1307,12 @@ def quantize(x: np.ndarray, ggml_type: GGMLType, quant_weights: np.ndarray | Non
             return quant_iq4_xs(rows, qw)
         # other types ignore the weights (matching the reference's
         # unweighted fallbacks)
+    if ggml_type in _IQ_ENCODERS:
+        from . import iq_encode
+
+        rows = np.ascontiguousarray(x, dtype=np.float32).reshape(-1, x.shape[-1])
+        fn = getattr(iq_encode, f"quant_{_IQ_ENCODERS[ggml_type]}")
+        return fn(rows, quant_weights)
     fn = QUANT_FNS.get(ggml_type)
     if fn is None:
         raise NotImplementedError(f"quantize: {ggml_type.name}")

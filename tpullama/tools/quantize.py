@@ -42,6 +42,14 @@ FTYPES = {
     "IQ4_XS": GGMLType.IQ4_XS,
     "TQ1_0": GGMLType.TQ1_0,
     "TQ2_0": GGMLType.TQ2_0,
+    "IQ2_XXS": GGMLType.IQ2_XXS,
+    "IQ2_XS": GGMLType.IQ2_XS,
+    "IQ2_S": GGMLType.IQ2_S,
+    "IQ2_M": GGMLType.IQ2_S,
+    "IQ3_XXS": GGMLType.IQ3_XXS,
+    "IQ3_S": GGMLType.IQ3_S,
+    "IQ3_M": GGMLType.IQ3_S,
+    "IQ1_S": GGMLType.IQ1_S,
 }
 
 
