@@ -24,6 +24,7 @@ ENCODERS = {
     GGMLType.IQ3_XXS: "iq3_xxs",
     GGMLType.IQ3_S: "iq3_s",
     GGMLType.IQ1_S: "iq1_s",
+    GGMLType.IQ1_M: "iq1_m",
 }
 
 

@@ -351,3 +351,77 @@ def quant_iq1_s(rows: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     out[:, 2:34] = qs
     out[:, 34:50] = qh.astype("<u2").view(np.uint8).reshape(nb, 16)
     return out.reshape(-1)
+
+
+def quant_iq1_m(rows: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """block_iq1_m: u8 qs[32] (idx low bytes); u8 qh[16] (per-cell 3 high
+    idx bits + delta-sign bit, two cells per byte); u16 scales[4] packing
+    16 x 3-bit per-16 scales + the fp16 d split across the top nibbles
+    (iq1m_scale_t). Reconstruction dl*(grid + delta) with a PER-CELL
+    delta sign (unlike iq1_s's per-group sign)."""
+    from ._iq_grids import IQ1S_GRID
+
+    x, qwr = _row_weights(rows, qw)
+    nb = x.shape[0]
+    if qwr is None:
+        qwr = np.ones_like(x)
+    sigma2 = np.mean(x * x, axis=1, keepdims=True)
+    w = qwr * np.sqrt(sigma2 + x * x)
+    grid = IQ1S_GRID.view(np.int8).reshape(2048, 8).astype(np.float32)
+    # joint (grid, delta) codebook: entries 0..2047 -> +0.125,
+    # 2048..4095 -> -0.125
+    gq = np.concatenate([grid + 0.125, grid - 0.125], axis=0)
+
+    # 16 scale groups of 16 elements (2 cells each)
+    xb = x.reshape(nb, 16, 2, 8)
+    wb = w.reshape(nb, 16, 2, 8)
+    A = np.einsum("nkbi,gi->nkbg", wb * xb, gq, optimize=True)
+    B = np.einsum("nkbi,gi->nkbg", wb, gq * gq, optimize=True)
+    max16 = np.abs(xb).max(axis=(2, 3))
+    live = max16 >= _GROUP_MAX_EPS
+    s0 = max16 / 1.125
+
+    best_score = np.full((nb, 16), -1.0, np.float32)
+    best_scale = np.zeros((nb, 16), np.float32)
+    best_idx = np.zeros((nb, 16, 2), np.int32)
+    for f in np.linspace(0.7, 1.3, 13):
+        for sign in (1.0, -1.0):
+            s_c = (s0 * f * sign)[:, :, None, None]
+            gid = np.argmin(s_c * s_c * B - 2.0 * s_c * A, axis=-1)
+            sumqx = np.take_along_axis(A, gid[..., None], -1)[..., 0].sum(-1)
+            sumq2 = np.take_along_axis(B, gid[..., None], -1)[..., 0].sum(-1)
+            s_fit = sumqx / np.maximum(sumq2, _EPS)
+            score = np.where((sumq2 > 0) & (s_fit > 0),
+                             sumqx * sumqx / np.maximum(sumq2, _EPS), -1.0)
+            upd = score > best_score
+            best_score = np.where(upd, score, best_score)
+            best_scale = np.where(upd, s_fit, best_scale)
+            best_idx = np.where(upd[..., None], gid, best_idx)
+    best_scale = np.where(live, best_scale, 0.0)
+
+    d, l = _store_scales(best_scale, nmax=7, div=1.0)
+    minus = best_idx >= 2048
+    g = (best_idx % 2048).astype(np.uint16)  # (nb, 16, 2)
+
+    qs = (g & 0xFF).astype(np.uint8).reshape(nb, 32)
+    hi = ((g >> 8) & 7).astype(np.uint8)
+    dbit = minus.astype(np.uint8)
+    # two cells per qh byte: bits 0-2 idx-hi c0, 3 delta c0,
+    #                        bits 4-6 idx-hi c1, 7 delta c1
+    qh = (hi[:, :, 0] | (dbit[:, :, 0] << 3)
+          | (hi[:, :, 1] << 4) | (dbit[:, :, 1] << 7))  # (nb, 16)
+
+    # scales u16[4]: sc[j] = l[4j] | l[4j+1]<<3 | l[4j+2]<<6 | l[4j+3]<<9
+    #                | (fp16-d nibble j)<<12
+    lv = l.reshape(nb, 4, 4).astype(np.uint16)
+    sc = (lv[:, :, 0] | (lv[:, :, 1] << 3) | (lv[:, :, 2] << 6)
+          | (lv[:, :, 3] << 9))
+    d16 = d.astype(np.float16).view(np.uint16)
+    nib = (d16[:, None] >> (4 * np.arange(4, dtype=np.uint16))) & 0xF
+    sc = sc | (nib << 12)
+
+    out = np.empty((nb, 56), np.uint8)
+    out[:, 0:32] = qs
+    out[:, 32:48] = qh
+    out[:, 48:56] = sc.astype("<u2").view(np.uint8).reshape(nb, 8)
+    return out.reshape(-1)

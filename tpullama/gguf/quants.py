@@ -1275,6 +1275,7 @@ _IQ_ENCODERS = {
     GGMLType.IQ3_XXS: "iq3_xxs",
     GGMLType.IQ3_S: "iq3_s",
     GGMLType.IQ1_S: "iq1_s",
+    GGMLType.IQ1_M: "iq1_m",
 }
 
 

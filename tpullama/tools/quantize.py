@@ -50,6 +50,7 @@ FTYPES = {
     "IQ3_S": GGMLType.IQ3_S,
     "IQ3_M": GGMLType.IQ3_S,
     "IQ1_S": GGMLType.IQ1_S,
+    "IQ1_M": GGMLType.IQ1_M,
 }
 
 
