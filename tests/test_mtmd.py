@@ -599,3 +599,16 @@ def test_misc_projectors_match_reference(tmp_path, proj, hw):
         tmp_path, "llama", dict(proj=proj), img_hw=hw, n_predict=10,
         mmproj_maker=make_tiny_mmproj_misc_gguf,
     )
+
+
+@needs_cli
+@pytest.mark.parametrize("version", [1, 2], ids=["ldp", "ldpv2"])
+def test_mobilevlm_ldp_matches_reference(tmp_path, version):
+    """MobileVLM LDP/LDPv2 projectors (clip.cpp:1628-1766): CLIP trunk +
+    MobileNet blocks (v1) / avg-pool + PEG conv (v2); 576 -> 144 tokens."""
+    from tpullama.models.testing import make_tiny_mmproj_ldp_gguf
+
+    _run_mtmd_parity(
+        tmp_path, "llama", dict(version=version), img_hw=(48, 48),
+        mmproj_maker=make_tiny_mmproj_ldp_gguf,
+    )

@@ -3464,3 +3464,105 @@ def make_tiny_wavtokenizer_gguf(
     w.add_tensor("output.bias", mat(n_embd, scale=0.05), GGMLType.F32)
     w.write(path)
     return path
+
+
+def make_tiny_mmproj_ldp_gguf(
+    path,
+    version: int = 1,
+    n_embd: int = 32,
+    n_layer: int = 3,
+    n_head: int = 2,
+    n_ff: int = 48,
+    image_size: int = 48,   # 24x24 patch grid: the reference projector
+    patch_size: int = 2,    # hardcodes n_patch=24 (clip.cpp:1630)
+    n_embd_text: int = 64,
+    seed: int = 0,
+):
+    """Random tiny MobileVLM mmproj GGUF: CLIP trunk (same as llava) +
+    LDP (v1: MobileNet blocks) or LDPv2 (avg-pool + PEG conv)."""
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "clip")
+    w.add_str("general.name", f"tiny-test-mmproj-ldp{'' if version == 1 else 'v2'}")
+    w.add_bool("clip.has_vision_encoder", True)
+    w.add_str("clip.projector_type", "ldp" if version == 1 else "ldpv2")
+    w.add_u32("clip.vision.image_size", image_size)
+    w.add_u32("clip.vision.patch_size", patch_size)
+    w.add_u32("clip.vision.embedding_length", n_embd)
+    w.add_u32("clip.vision.feed_forward_length", n_ff)
+    w.add_u32("clip.vision.block_count", n_layer)
+    w.add_u32("clip.vision.attention.head_count", n_head)
+    w.add_f32("clip.vision.attention.layer_norm_epsilon", 1e-5)
+    w.add_u32("clip.vision.projection_dim", n_embd_text)
+    w.add_array("clip.vision.image_mean",
+                np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32))
+    w.add_array("clip.vision.image_std",
+                np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32))
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def bias(n):
+        return (0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    n_patches = (image_size // patch_size) ** 2
+    w.add_tensor("v.patch_embd.weight",
+                 (rng.standard_normal((n_embd, 3, patch_size, patch_size))
+                  / np.sqrt(3 * patch_size * patch_size)).astype(np.float32),
+                 GGMLType.F32)
+    w.add_tensor("v.class_embd", bias(n_embd), GGMLType.F32)
+    w.add_tensor("v.position_embd.weight",
+                 mat(n_patches + 1, n_embd, 0.02), GGMLType.F32)
+    w.add_tensor("v.pre_ln.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("v.pre_ln.bias", bias(n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"v.blk.{il}."
+        for nm in ("attn_q", "attn_k", "attn_v", "attn_out"):
+            w.add_tensor(p + nm + ".weight", mat(n_embd, n_embd), GGMLType.F32)
+            w.add_tensor(p + nm + ".bias", bias(n_embd), GGMLType.F32)
+        for nm in ("ln1", "ln2"):
+            w.add_tensor(p + nm + ".weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(p + nm + ".bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.bias", bias(n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.bias", bias(n_embd), GGMLType.F32)
+    T = n_embd_text
+    if version == 1:
+        w.add_tensor("mm.model.mlp.1.weight", mat(T, n_embd), GGMLType.F32)
+        w.add_tensor("mm.model.mlp.1.bias", bias(T), GGMLType.F32)
+        w.add_tensor("mm.model.mlp.3.weight", mat(T, T), GGMLType.F32)
+        w.add_tensor("mm.model.mlp.3.bias", bias(T), GGMLType.F32)
+        mid = max(4, T // 4)
+        for blk in (1, 2):
+            p = f"mm.model.mb_block.{blk}.block."
+            # dw-conv kernels must be F16 (ggml conv_2d_dw im2col)
+            w.add_tensor(p + "0.0.weight",
+                         (rng.standard_normal((T, 1, 3, 3)) / 3.0
+                          ).astype(np.float16).astype(np.float32),
+                         GGMLType.F16)
+            w.add_tensor(p + "0.1.weight", norm_w(T), GGMLType.F32)
+            w.add_tensor(p + "0.1.bias", bias(T), GGMLType.F32)
+            w.add_tensor(p + "1.fc1.weight", mat(mid, T), GGMLType.F32)
+            w.add_tensor(p + "1.fc1.bias", bias(mid), GGMLType.F32)
+            w.add_tensor(p + "1.fc2.weight", mat(T, mid), GGMLType.F32)
+            w.add_tensor(p + "1.fc2.bias", bias(T), GGMLType.F32)
+            w.add_tensor(p + "2.0.weight", mat(T, T), GGMLType.F32)
+            w.add_tensor(p + "2.1.weight", norm_w(T), GGMLType.F32)
+            w.add_tensor(p + "2.1.bias", bias(T), GGMLType.F32)
+    else:
+        w.add_tensor("mm.model.mlp.0.weight", mat(T, n_embd), GGMLType.F32)
+        w.add_tensor("mm.model.mlp.0.bias", bias(T), GGMLType.F32)
+        w.add_tensor("mm.model.mlp.2.weight", mat(T, T), GGMLType.F32)
+        w.add_tensor("mm.model.mlp.2.bias", bias(T), GGMLType.F32)
+        w.add_tensor("mm.model.peg.0.weight",
+                     (rng.standard_normal((T, 1, 3, 3)) / 3.0
+                      ).astype(np.float16).astype(np.float32), GGMLType.F16)
+        w.add_tensor("mm.model.peg.0.bias", bias(T), GGMLType.F32)
+    w.write(path)
+    return path

@@ -242,6 +242,10 @@ def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
         hp.n_mmproj_embd = int(m["mm.model.mlp.3.weight"].shape[0])
     elif proj in ("pixtral", "lightonocr", "lfm2", "kimivl"):
         hp.n_mmproj_embd = int(m["mm.2.weight"].shape[0])
+    elif proj == "ldp":
+        hp.n_mmproj_embd = int(m["mm.model.mlp.3.weight"].shape[0])
+    elif proj == "ldpv2":
+        hp.n_mmproj_embd = int(m["mm.model.mlp.2.weight"].shape[0])
     elif proj == "cogvlm":
         hp.n_mmproj_embd = int(m["mm.down.weight"].shape[0])
     elif proj == "janus_pro":
@@ -331,6 +335,32 @@ def _norm(x, w, b, kind, eps):
     if kind == "rms":
         return rms_norm(x, w, eps, b)
     return layer_norm(x, w, b, eps)
+
+
+def _hardswish(x):
+    """ggml_hardswish: x * min(1, max(0, (x+3)/6))."""
+    return x * jnp.clip((x + 3.0) / 6.0, 0.0, 1.0)
+
+
+def _hardsigmoid(x):
+    """ggml_hardsigmoid: min(1, max(0, (x+3)/6))."""
+    return jnp.clip((x + 3.0) / 6.0, 0.0, 1.0)
+
+
+def _dw_conv2d(img, w, stride: int = 1):
+    """Depthwise 3x3 conv over a channels-last (H, W, C) token grid.
+    w: (C, 1, KH, KW) OIHW from the GGUF (ggml_conv_2d_dw, pad 1)."""
+    from jax import lax
+
+    C = img.shape[-1]
+    kern = jnp.transpose(w, (2, 3, 1, 0))  # HWIO (KH, KW, 1, C)
+    pad = (w.shape[-1] - 1) // 2
+    return lax.conv_general_dilated(
+        img[None], kern, window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+    )[0]
 
 
 def _rope_2d(a, pos_a, pos_b, base, interleave, parity=True):
@@ -1098,7 +1128,7 @@ class ClipModel:
                 out = out @ m["mm.model.fc.weight"].T
             return np.asarray(out)
 
-        if proj in ("mlp", "mlp_norm"):
+        if proj in ("mlp", "mlp_norm", "ldp", "ldpv2"):
             # CLIP trunk (build_llava, clip.cpp:1436-1630). Upstream quirk
             # replicated exactly: the class embedding is concatenated LAST
             # (ggml_concat(inp, class_embd, 1), :1467) yet the "patches"
@@ -1119,12 +1149,16 @@ class ClipModel:
                 out = _act(out, "gelu")  # ggml_gelu (fp16 table)
                 if "mm.2.weight" in m:
                     out = out @ m["mm.2.weight"].T + m["mm.2.bias"]
-            else:  # mlp_norm: linear+LN stack (build_llava MLP_NORM)
+            elif proj == "mlp_norm":  # linear+LN stack (build_llava MLP_NORM)
                 out = x @ m["mm.0.weight"].T + m["mm.0.bias"]
                 out = _norm(out, m["mm.1.weight"], m["mm.1.bias"], "layer", hp.eps)
                 out = _act(out, "gelu")
                 out = out @ m["mm.3.weight"].T + m["mm.3.bias"]
                 out = _norm(out, m["mm.4.weight"], m["mm.4.bias"], "layer", hp.eps)
+            elif proj == "ldp":
+                out = self._ldp(x, gy, gx)
+            else:  # ldpv2
+                out = self._ldpv2(x, gy, gx)
             return np.asarray(out)
 
         if proj == "internvl":
@@ -1380,12 +1414,64 @@ class ClipModel:
         return grid.reshape((gy // scale) * (gx // scale), scale * scale * n_embd)
 
     # ------------------------------------------------------- shape info
+    def _ldp(self, x, gy, gx):
+        """MobileVLM LDP projector (clip.cpp:1628-1736): 2-layer MLP to
+        the text width, then two MobileNet blocks over the (gy, gx) token
+        grid — depthwise 3x3 conv, channel LayerNorm, hardswish,
+        squeeze-excite (global-pool + fc/relu/fc/hardsigmoid channel
+        scale), pointwise conv + LayerNorm; block 1 has a residual,
+        block 2 downsamples 2x. 576 tokens -> 144."""
+        m, hp = self.m, self.hp
+        h = _act(x @ m["mm.model.mlp.1.weight"].T + m["mm.model.mlp.1.bias"],
+                 "gelu")
+        h = h @ m["mm.model.mlp.3.weight"].T + m["mm.model.mlp.3.bias"]
+        C = h.shape[-1]
+        img = h.reshape(gy, gx, C)
+
+        def mb_block(img, blk, stride):
+            pre = f"mm.model.mb_block.{blk}.block."
+            y = _dw_conv2d(img, m[pre + "0.0.weight"], stride=stride)
+            y = _norm(y, m[pre + "0.1.weight"], m[pre + "0.1.bias"],
+                      "layer", hp.eps)
+            hw = _hardswish(y)
+            se = hw.mean(axis=(0, 1))  # global average pool -> (C,)
+            se = jnp.maximum(
+                se @ m[pre + "1.fc1.weight"].T + m[pre + "1.fc1.bias"], 0.0)
+            se = _hardsigmoid(
+                se @ m[pre + "1.fc2.weight"].T + m[pre + "1.fc2.bias"])
+            y = hw * se
+            y = y @ m[pre + "2.0.weight"].T  # pointwise conv, no bias
+            y = _norm(y, m[pre + "2.1.weight"], m[pre + "2.1.bias"],
+                      "layer", hp.eps)
+            return y + img if stride == 1 else y
+
+        img = mb_block(img, 1, stride=1)
+        img = mb_block(img, 2, stride=2)
+        return img.reshape(-1, C)
+
+    def _ldpv2(self, x, gy, gx):
+        """MobileVLM-v2 LDPv2 projector (clip.cpp:1738-1766): 2-layer
+        MLP, 2x2 average pool over the token grid, then a positional
+        depthwise 3x3 conv (PEG) with residual."""
+        m = self.m
+        h = _act(x @ m["mm.model.mlp.0.weight"].T + m["mm.model.mlp.0.bias"],
+                 "gelu")
+        h = h @ m["mm.model.mlp.2.weight"].T + m["mm.model.mlp.2.bias"]
+        C = h.shape[-1]
+        img = h.reshape(gy, gx, C)
+        img = img.reshape(gy // 2, 2, gx // 2, 2, C).mean(axis=(1, 3))
+        y = _dw_conv2d(img, m["mm.model.peg.0.weight"], stride=1)
+        y = y + m["mm.model.peg.0.bias"]
+        y = y + img
+        return y.reshape(-1, C)
+
     def n_output_tokens(self, H: int, W: int) -> int:
         hp = self.hp
         p = hp.patch_size
         n = (H // p) * (W // p)
         if hp.proj_type in ("gemma3", "idefics3", "internvl"):
             n //= hp.n_merge * hp.n_merge
-        elif hp.proj_type in ("qwen2vl_merger", "qwen2.5vl_merger", "qwen3vl_merger"):
+        elif hp.proj_type in ("qwen2vl_merger", "qwen2.5vl_merger",
+                              "qwen3vl_merger", "ldp", "ldpv2"):
             n //= 4
         return n
