@@ -612,3 +612,15 @@ def test_mobilevlm_ldp_matches_reference(tmp_path, version):
         tmp_path, "llama", dict(version=version), img_hw=(48, 48),
         mmproj_maker=make_tiny_mmproj_ldp_gguf,
     )
+
+
+@needs_cli
+def test_glm_edge_matches_reference(tmp_path):
+    """glm-edge adapter projector (clip.cpp:1768-1795): full-depth CLIP
+    trunk, 2x2 stride-2 conv, GLU adapter, BOI/EOI embedding rows."""
+    from tpullama.models.testing import make_tiny_mmproj_glm_edge_gguf
+
+    _run_mtmd_parity(
+        tmp_path, "llama", {}, img_hw=(48, 48),
+        mmproj_maker=make_tiny_mmproj_glm_edge_gguf,
+    )

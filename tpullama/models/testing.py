@@ -3566,3 +3566,87 @@ def make_tiny_mmproj_ldp_gguf(
         w.add_tensor("mm.model.peg.0.bias", bias(T), GGMLType.F32)
     w.write(path)
     return path
+
+
+def make_tiny_mmproj_glm_edge_gguf(
+    path,
+    n_embd: int = 32,
+    n_layer: int = 2,
+    n_head: int = 2,
+    n_ff: int = 48,
+    image_size: int = 48,
+    patch_size: int = 4,    # 12x12 grid -> 6x6 conv grid + BOI/EOI
+    n_embd_text: int = 64,
+    n_adapter: int = 40,
+    seed: int = 0,
+):
+    """Random tiny glm-edge mmproj GGUF: CLIP trunk (full depth, CLS
+    appended last) + 2x2 stride-2 adapter conv + GLU + BOI/EOI rows
+    (clip.cpp:1768-1795, tensor names clip-impl.h:96-115)."""
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter()
+    w.add_str("general.architecture", "clip")
+    w.add_str("general.name", "tiny-test-mmproj-glm-edge")
+    w.add_bool("clip.has_vision_encoder", True)
+    w.add_str("clip.projector_type", "adapter")
+    w.add_u32("clip.vision.image_size", image_size)
+    w.add_u32("clip.vision.patch_size", patch_size)
+    w.add_u32("clip.vision.embedding_length", n_embd)
+    w.add_u32("clip.vision.feed_forward_length", n_ff)
+    w.add_u32("clip.vision.block_count", n_layer)
+    w.add_u32("clip.vision.attention.head_count", n_head)
+    w.add_f32("clip.vision.attention.layer_norm_epsilon", 1e-5)
+    w.add_u32("clip.vision.projection_dim", n_embd_text)
+    w.add_array("clip.vision.image_mean", np.asarray([0.5, 0.5, 0.5], np.float32))
+    w.add_array("clip.vision.image_std", np.asarray([0.5, 0.5, 0.5], np.float32))
+
+    def mat(n_out, n_in, scale=None):
+        if scale is None:
+            scale = 1.0 / np.sqrt(n_in)
+        return (rng.standard_normal((n_out, n_in)) * scale).astype(np.float32)
+
+    def bias(n):
+        return (0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    def norm_w(n):
+        return (1.0 + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    n_patches = (image_size // patch_size) ** 2
+    w.add_tensor("v.patch_embd.weight",
+                 (rng.standard_normal((n_embd, 3, patch_size, patch_size))
+                  / np.sqrt(3 * patch_size * patch_size)).astype(np.float32),
+                 GGMLType.F32)
+    # no class embedding: the adapter reshapes all trunk rows into the
+    # sqrt(n) grid (ggml_cont_3d would reject patches+CLS)
+    w.add_tensor("v.position_embd.weight",
+                 mat(n_patches, n_embd, 0.02), GGMLType.F32)
+    w.add_tensor("v.pre_ln.weight", norm_w(n_embd), GGMLType.F32)
+    w.add_tensor("v.pre_ln.bias", bias(n_embd), GGMLType.F32)
+    for il in range(n_layer):
+        p = f"v.blk.{il}."
+        for nm in ("attn_q", "attn_k", "attn_v", "attn_out"):
+            w.add_tensor(p + nm + ".weight", mat(n_embd, n_embd), GGMLType.F32)
+            w.add_tensor(p + nm + ".bias", bias(n_embd), GGMLType.F32)
+        for nm in ("ln1", "ln2"):
+            w.add_tensor(p + nm + ".weight", norm_w(n_embd), GGMLType.F32)
+            w.add_tensor(p + nm + ".bias", bias(n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.weight", mat(n_ff, n_embd), GGMLType.F32)
+        w.add_tensor(p + "ffn_up.bias", bias(n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.weight", mat(n_embd, n_ff), GGMLType.F32)
+        w.add_tensor(p + "ffn_down.bias", bias(n_embd), GGMLType.F32)
+    T, A = n_embd_text, n_adapter
+    # conv kernels must be F16 (ggml_conv_2d im2col)
+    w.add_tensor("adapter.conv.weight",
+                 (rng.standard_normal((A, n_embd, 2, 2)) / np.sqrt(4 * n_embd)
+                  ).astype(np.float16).astype(np.float32), GGMLType.F16)
+    w.add_tensor("adapter.conv.bias", bias(A), GGMLType.F32)
+    w.add_tensor("adapter.linear.linear.weight", mat(A, A), GGMLType.F32)
+    w.add_tensor("adapter.linear.norm1.weight", norm_w(A), GGMLType.F32)
+    w.add_tensor("adapter.linear.norm1.bias", bias(A), GGMLType.F32)
+    w.add_tensor("adapter.linear.dense_h_to_4h.weight", mat(2 * A, A), GGMLType.F32)
+    w.add_tensor("adapter.linear.gate.weight", mat(2 * A, A), GGMLType.F32)
+    w.add_tensor("adapter.linear.dense_4h_to_h.weight", mat(T, 2 * A), GGMLType.F32)
+    w.add_tensor("adapter.boi", bias(T), GGMLType.F32)
+    w.add_tensor("adapter.eoi", bias(T), GGMLType.F32)
+    w.write(path)
+    return path

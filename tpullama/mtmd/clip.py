@@ -218,7 +218,8 @@ def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
 
     # projector tensors (subset; per proj type, clip.cpp:3100-3230)
     for name in tensors:
-        if name.startswith("mm.") or name.startswith("resampler.") or name in (
+        if name.startswith("mm.") or name.startswith("resampler.") or \
+                name.startswith("adapter.") or name in (
             "model.image_newline",
             "v.token_embd.img_break",  # pixtral (TN_TOK_IMG_BREAK)
             "v.boi", "v.eoi",  # cogvlm boundary embeddings (TN_TOK_BOI/EOI)
@@ -246,6 +247,8 @@ def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
         hp.n_mmproj_embd = int(m["mm.model.mlp.3.weight"].shape[0])
     elif proj == "ldpv2":
         hp.n_mmproj_embd = int(m["mm.model.mlp.2.weight"].shape[0])
+    elif proj == "adapter":  # glm-edge
+        hp.n_mmproj_embd = int(m["adapter.linear.dense_4h_to_h.weight"].shape[0])
     elif proj == "cogvlm":
         hp.n_mmproj_embd = int(m["mm.down.weight"].shape[0])
     elif proj == "janus_pro":
@@ -1174,6 +1177,39 @@ class ClipModel:
             out = out @ m["mm.model.mlp.3.weight"].T + m["mm.model.mlp.3.bias"]
             return np.asarray(out)
 
+        if proj == "adapter":
+            # glm-edge (clip.cpp:1768-1795): full-depth trunk (not a
+            # llava projector: no patches row-select), 2x2 stride-2 conv
+            # over the token grid, GLU adapter, BOI/EOI embeddings
+            # concatenated around the image tokens
+            n_patches = x.shape[0]
+            if m.get("class_embd") is not None:
+                x = jnp.concatenate([x, m["class_embd"][None, :]], axis=0)
+            x = self._vit(x, pos_embd=m["pos_embd"][: x.shape[0]])
+            gridsz = int(np.sqrt(n_patches))
+            C = x.shape[-1]
+            img = x[: gridsz * gridsz].reshape(gridsz, gridsz, C)
+            kern = jnp.transpose(m["adapter.conv.weight"], (2, 3, 1, 0))
+            y = jax.lax.conv_general_dilated(
+                img[None], kern, window_strides=(2, 2), padding=[(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )[0]
+            y = y.reshape(-1, y.shape[-1]) + m["adapter.conv.bias"]
+            # GLU block (TN_GLM_ADAPTER_*): linear -> LN -> gelu ->
+            # silu(gate) * up -> down
+            y = y @ m["adapter.linear.linear.weight"].T
+            y = _norm(y, m["adapter.linear.norm1.weight"],
+                      m["adapter.linear.norm1.bias"], "layer", hp.eps)
+            y = _act(y, "gelu")
+            gate = y @ m["adapter.linear.gate.weight"].T
+            up = y @ m["adapter.linear.dense_h_to_4h.weight"].T
+            y = _act(gate, "silu") * up
+            y = y @ m["adapter.linear.dense_4h_to_h.weight"].T
+            boi = m["adapter.boi"].reshape(1, -1)
+            eoi = m["adapter.eoi"].reshape(1, -1)
+            out = jnp.concatenate([boi, y, eoi], axis=0)
+            return np.asarray(out)
+
         raise NotImplementedError(f"projector {proj!r} not yet supported")
 
     def _encode_qwen2vl(self, img):
@@ -1474,4 +1510,6 @@ class ClipModel:
         elif hp.proj_type in ("qwen2vl_merger", "qwen2.5vl_merger",
                               "qwen3vl_merger", "ldp", "ldpv2"):
             n //= 4
+        elif hp.proj_type == "adapter":  # glm-edge: conv/4 + BOI/EOI
+            n = n // 4 + 2
         return n
