@@ -85,7 +85,8 @@ def build_params(hp, dtype, seed=0, quant=None):
         },
     }
     if fused:
-        # fused [Q|K|V] and [gate|up] projections: 3 matvecs/layer instead
+        # fused [Q|K|V] and [gate|up] projections (loader fuse_projections=True
+        # analog): 3 matvecs/layer instead
         # of 7 — each dispatch carries ~10us fixed cost at decode shapes
         params["layers"]["attn_qkv"] = qmat((L, E + 2 * KV, E), s, lm, "attn_qkv")
         params["layers"]["ffn_up"] = qmat((L, 2 * F, E), s, lm, "ffn_up")
@@ -126,7 +127,7 @@ def main():
         rope_freq_base=10000.0,
         rope_type=0,
     )
-    if os.environ.get("BENCH_FUSED", "0") == "1":
+    if os.environ.get("BENCH_FUSED", "1") == "1":
         hp.ffn_fused_up = True
     S = int(os.environ.get("BENCH_CTX", 512))
     # 128 fused steps amortizes the ~20ms tunnel dispatch to <0.2ms/tok

@@ -624,3 +624,105 @@ def test_glm_edge_matches_reference(tmp_path):
         tmp_path, "llama", {}, img_hw=(48, 48),
         mmproj_maker=make_tiny_mmproj_glm_edge_gguf,
     )
+
+
+@needs_cli
+def test_qwen_omni_mixed_modality(tmp_path):
+    """qwen2.5-omni-style mmproj: ONE file carrying both the vision
+    (qwen2.5vl merger) and audio (qwen2a) encoders with per-modality
+    projector_type keys (clip.cpp:2642-2665). Image + audio in one
+    prompt, token-exact vs llama-mtmd-cli."""
+    import wave
+
+    from tpullama.gguf import GGUFReader, GGUFWriter
+    from tpullama.models.testing import (make_tiny_mmproj_audio_gguf,
+                                         make_tiny_mmproj_qwen2vl_gguf)
+
+    text_path = str(tmp_path / "text.gguf")
+    vis_path = str(tmp_path / "vis.gguf")
+    aud_path = str(tmp_path / "aud.gguf")
+    proj_path = str(tmp_path / "omni.gguf")
+    img_path = str(tmp_path / "img.png")
+    wav_path = str(tmp_path / "a.wav")
+
+    make_tiny_llama_gguf(text_path, arch="qwen2vl", n_embd=64, n_layer=2,
+                         seed=80, n_ctx=1024,  # a 30s-padded audio chunk is 750 tokens
+                         extra_kv={"tokenizer.chat_template": CHATML})
+    make_tiny_mmproj_qwen2vl_gguf(vis_path, seed=81)
+    make_tiny_mmproj_audio_gguf(aud_path, proj="qwen2a", seed=82)
+
+    # merge the two mmprojs into one mixed-modality file with
+    # per-modality projector_type keys
+    rv, ra = GGUFReader(vis_path), GGUFReader(aud_path)
+    w = GGUFWriter()
+    seen = set()
+    for r, modality in ((rv, "vision"), (ra, "audio")):
+        for k, v in r.kv.items():
+            if k == "clip.projector_type":
+                k = f"clip.{modality}.projector_type"
+            if k in seen:
+                continue
+            seen.add(k)
+            w.add_kv(k, v)
+        for name, info in r.tensors.items():
+            w.add_tensor(name, np.empty(info.shape), ggml_type=info.ggml_type,
+                         raw=r.tensor_raw(name))
+    w.write(proj_path)
+
+    rng = np.random.default_rng(9)
+    from PIL import Image
+
+    Image.fromarray(rng.integers(0, 256, (64, 64, 3), np.uint8)).save(img_path)
+    pcm = (np.sin(np.arange(8000) * 0.03) * 12000).astype(np.int16)
+    with wave.open(wav_path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(pcm.tobytes())
+
+    out = subprocess.run(
+        [MTMD_CLI, "-m", text_path, "--mmproj", proj_path,
+         "--image", img_path, "--audio", wav_path,
+         "-p", "describe", "-n", "12", "--temp", "0", "-fa", "off",
+         "--no-warmup"],
+        capture_output=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    ref = out.stdout.replace(b"\x00", b"").strip(b"\n")
+
+    from tpullama.mtmd import MEDIA_MARKER, MtmdContext, load_mmproj
+    from tpullama.mtmd.audio import load_wav
+    from tpullama.mtmd.image import load_image
+    from tpullama.runtime import Context, ContextParams
+    from tpullama.server.http import apply_chat_template
+    from tpullama.tokenizer.vocab import TokenAttr
+
+    model = load_model(text_path)
+    clip = load_mmproj(proj_path)
+    assert clip.hp.proj_type == "qwen2vl_merger"
+    assert clip.audio.hp.proj_type == "qwen2a"
+    mt = MtmdContext(clip, model.vocab)
+    ctx = Context(model, ContextParams(n_ctx=1024))
+    prompt = apply_chat_template(
+        model,
+        [{"role": "user", "content": "describe" + MEDIA_MARKER + MEDIA_MARKER}],
+        add_generation_prompt=True,
+    )
+    chunks = mt.tokenize(prompt, [load_image(img_path), load_wav(wav_path)],
+                         add_special=True)
+    logits = mt.eval_chunks(ctx, chunks)
+    ours = bytearray()
+    for _ in range(12):
+        t = int(np.argmax(logits))
+        if model.vocab.is_eog(t):
+            break
+        data = model.vocab.id_to_token[t]
+        if data.attr & TokenAttr.BYTE:
+            ours.append(int(data.text[3:5], 16))
+        elif data.attr & TokenAttr.UNKNOWN:
+            ours += data.text.encode()
+        else:
+            ours += model.vocab.token_to_piece(t, special=False).encode()
+        logits = ctx.decode(np.asarray([t], np.int32), n_logits=1)[-1]
+    ours = bytes(ours).replace(b"\x00", b"").strip(b"\n")
+    assert ours == ref, f"ours={ours!r} ref={ref!r}"

@@ -64,9 +64,22 @@ def _g(kv, key, default=None):
     return v
 
 
+class _OmitAudio:
+    """Reader view that hides the audio encoder flag (used to load the
+    vision half of a mixed-modality mmproj without recursing)."""
+
+    def __init__(self, reader):
+        self._r = reader
+        self.kv = dict(reader.kv)
+        self.kv["clip.has_audio_encoder"] = False
+
+    def __getattr__(self, name):
+        return getattr(self._r, name)
+
+
 def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
     """Load an mmproj GGUF (clip.cpp clip_model_loader analog)."""
-    reader = GGUFReader(source)
+    reader = source if isinstance(source, _OmitAudio) else GGUFReader(source)
     kv = reader.kv
     has_vision = bool(_g(kv, "clip.has_vision_encoder", False))
     has_audio = bool(_g(kv, "clip.has_audio_encoder", False))
@@ -74,7 +87,26 @@ def load_mmproj(source, dtype=jnp.float32) -> "ClipModel":
         raise ValueError("mmproj has neither vision nor audio encoder")
     if not has_vision:
         return _load_mmproj_audio(reader)
-    proj = str(_g(kv, "clip.projector_type", "mlp"))
+    if has_audio:
+        # mixed-modality mmproj (qwen2.5-omni): one file carries both
+        # encoders; the reference instantiates two clip contexts
+        # (mtmd.cpp:120-216) and requires matching projector widths
+        vision = load_mmproj(_OmitAudio(reader), dtype=dtype)
+        audio = _load_mmproj_audio(reader)
+        if vision.hp.n_mmproj_embd != audio.hp.n_mmproj_embd:
+            raise ValueError(
+                "mmproj vision/audio projector widths differ: "
+                f"{vision.hp.n_mmproj_embd} vs {audio.hp.n_mmproj_embd}")
+        vision.audio = audio
+        vision.hp.n_mel_bins = audio.hp.n_mel_bins
+        vision.hp.proj_stack_factor = audio.hp.proj_stack_factor
+        return vision
+    proj = str(_g(kv, "clip.vision.projector_type",
+                  _g(kv, "clip.projector_type", "mlp")))
+    if proj == "qwen2.5o":
+        # mixed-modality legacy key: vision half is qwen2.5vl
+        # (clip.cpp:2658-2663)
+        proj = "qwen2.5vl_merger"
 
     hp = ClipHParams(proj_type=proj)
     hp.n_embd = int(_g(kv, "clip.vision.embedding_length", 0))
@@ -272,6 +304,8 @@ def _load_mmproj_audio(reader) -> "ClipModel":
     kv = reader.kv
     proj = str(_g(kv, "clip.audio.projector_type",
                   _g(kv, "clip.projector_type", "")))
+    if proj == "qwen2.5o":
+        proj = "qwen2a"  # mixed-modality legacy key (clip.cpp:2658-2665)
     hp = ClipHParams(proj_type=proj)
     hp.n_embd = int(_g(kv, "clip.audio.embedding_length", 0))
     hp.n_ff = int(_g(kv, "clip.audio.feed_forward_length", 0))
@@ -636,6 +670,9 @@ class ClipModel:
     # _fattn_cpu_parity); disable for full-f32 attention (better quality,
     # the right default once embeddings feed a real serving path on TPU)
     parity_fattn: bool = True
+    # mixed-modality mmproj (qwen2.5-omni): the audio half, encode_audio
+    # delegates to it (the reference's second clip context, mtmd.cpp:121)
+    audio: "ClipModel | None" = None
 
     # ------------------------------------------------------------- core
     def _patchify(self, img):
@@ -751,6 +788,8 @@ class ClipModel:
         GELU-erf conv1d blocks (second stride 2), whisper ViT with
         learned positions, optional token avg-pool / frame stacking, and
         the ultravox / qwen2a / voxtral projector."""
+        if self.audio is not None:  # mixed-modality: audio half
+            return self.audio.encode_audio(mel)
         hp = self.hp
         m = self.m
         proj = hp.proj_type

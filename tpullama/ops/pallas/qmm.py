@@ -83,7 +83,7 @@ def _unpack_stripes(field_refs: dict, ggml_type: GGMLType):
 
 
 def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group: int,
-                     n_out: int, n_in: int, *, tile_n: int = 256, tile_t: int = 256,
+                     n_out: int, n_in: int, *, tile_n: int = 512, tile_t: int = 256,
                      interpret: bool = False, exact: bool | None = None,
                      layer=None) -> jnp.ndarray:
     """y = x @ W^T with W packed. x: (T, n_in). Returns (T, n_out) f32.
