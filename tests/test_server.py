@@ -708,3 +708,51 @@ def test_recurrent_server_parallel(mamba_server):
     for p in ("aaa", "bbb"):
         assert results[p]["choices"][0]["text"] == \
             serial[p]["choices"][0]["text"]
+
+
+def test_server_speculative_decoding(tmp_path):
+    """Per-slot speculative decoding (update_slots spec section,
+    server-context.cpp:2414-2520): with a draft model loaded, greedy
+    output must be IDENTICAL to the non-speculative server (exact-match
+    acceptance preserves the distribution), and the acceptance metrics
+    must show drafted tokens."""
+    mp = str(tmp_path / "m.gguf")
+    make_tiny_llama_gguf(mp, seed=23)
+
+    def run(draft):
+        model = load_model(mp)
+        port = _free_port()
+        from tpullama.runtime.speculative import SpeculativeParams
+
+        httpd = serve(model, port=port, n_slots=2, n_ctx=128, block=False,
+                      draft_model=load_model(mp) if draft else None,
+                      # random tiny logits are flat; disable the p_min gate
+                      spec_params=SpeculativeParams(n_draft=8, p_min=0.0))
+        base = f"http://127.0.0.1:{port}"
+        for _ in range(100):
+            try:
+                urllib.request.urlopen(base + "/health", timeout=1)
+                break
+            except Exception:
+                time.sleep(0.1)
+        try:
+            out = _post(base, "/v1/completions", {
+                "prompt": "Hello there", "max_tokens": 12, "temperature": 0,
+            })["choices"][0]["text"]
+            with urllib.request.urlopen(base + "/metrics") as r:
+                metrics = r.read().decode()
+        finally:
+            httpd.shutdown()
+            httpd.engine.stop()
+        return out, metrics
+
+    plain, _ = run(draft=False)
+    spec, metrics = run(draft=True)
+    assert spec == plain
+    # draft == target, so drafts exist and acceptance is near 1
+    drafted = [l for l in metrics.splitlines()
+               if l.startswith("llamacpp:draft_tokens_total ")]
+    assert drafted and int(drafted[0].split()[-1]) > 0
+    rate = [l for l in metrics.splitlines()
+            if l.startswith("llamacpp:draft_tokens_acceptance ")]
+    assert rate and float(rate[0].split()[-1]) > 0.5

@@ -79,11 +79,12 @@ class Slot:
     cache_tokens: list = field(default_factory=list)  # tokens in this seq's KV
     pending_text: str = ""  # holdback buffer for stop-string matching
     last_token: int = 0
+    spec: object = None  # per-slot draft context (Speculative)
 
 
 class ServerEngine:
     def __init__(self, model, n_slots: int = 4, n_ctx: int = 1024, n_ubatch: int = 256,
-                 dtype=None):
+                 dtype=None, draft_model=None, spec_params=None):
         import jax.numpy as jnp
 
         self.model = model
@@ -116,6 +117,15 @@ class ServerEngine:
         self._lock = threading.Lock()
         self._stop_flag = False
         self._thread: Optional[threading.Thread] = None
+        # per-slot speculative decoding (server-context.cpp:2414-2520)
+        self.draft_model = draft_model
+        self.spec_params = spec_params
+        if draft_model is not None and model.vocab is not None:
+            # vocab compatibility check (common_speculative_are_compatible)
+            dv = draft_model.vocab
+            if dv is None or dv.n_tokens != model.vocab.n_tokens:
+                raise ValueError(
+                    "draft model vocab is not compatible with the target")
         # metrics (server_metrics analog, server-context.cpp:416)
         self.metrics = {
             "n_prompt_tokens_processed": 0,
@@ -123,6 +133,8 @@ class ServerEngine:
             "n_requests": 0,
             "n_errors": 0,
             "deferred": 0,
+            "n_drafted": 0,
+            "n_draft_accepted": 0,
         }
 
     # ------------------------------------------------------------- API
@@ -416,6 +428,19 @@ class ServerEngine:
                 if int(self.ctx.n_past[s.id]) + 1 > self.ctx.p.n_ctx:
                     self._finish(s, "length")
             return True
+        if self.draft_model is not None:
+            # per-slot speculative decoding (update_slots spec section,
+            # server-context.cpp:2414-2520); grammar-constrained slots
+            # fall back to plain decode (chain/grammar interplay)
+            for s in gen:
+                if s.task is not None and s.task.grammar is None:
+                    self._spec_step(s)
+                else:
+                    row = self.ctx.decode(
+                        np.asarray([s.last_token], np.int32), n_logits=1,
+                        seq_id=s.id)[-1]
+                    self._emit(s, self._sample(s, row))
+            return True
         if hasattr(self.ctx, "decode_batch"):
             logits = self.ctx.decode_batch(tokens, active)
             for s in gen:
@@ -431,6 +456,41 @@ class ServerEngine:
                 tok = self._sample(s, row)
                 self._emit(s, tok)
         return True
+
+    def _spec_step(self, slot: Slot):
+        """One speculative iteration for a generating slot: draft with
+        the slot's draft context, verify [last + drafts] in one target
+        decode on this slot's lane, roll back the rejected KV tail."""
+        from ..runtime.speculative import (Speculative, SpeculativeParams,
+                                           sample_and_accept_n)
+
+        task = slot.task
+        if slot.spec is None:
+            slot.spec = Speculative(
+                self.draft_model,
+                self.spec_params or SpeculativeParams(),
+                n_ctx=self.ctx.p.n_ctx,
+            )
+        history = slot.cache_tokens[:-1]  # last_token not yet decoded
+        drafts = slot.spec.gen_draft(list(history), slot.last_token)
+        # budget: never run past the context
+        room = self.ctx.p.n_ctx - int(self.ctx.n_past[slot.id]) - 1
+        drafts = drafts[: max(0, room)]
+        self.metrics["n_drafted"] += len(drafts)
+        batch = [slot.last_token] + drafts
+        logits_rows = self.ctx.decode(
+            np.asarray(batch, np.int32), n_logits=len(batch), seq_id=slot.id)
+        accepted = sample_and_accept_n(task.sampler, logits_rows, drafts)
+        self.metrics["n_draft_accepted"] += len(accepted) - 1
+        if len(accepted) < len(batch):
+            n_keep = int(self.ctx.n_past[slot.id]) - (len(batch) - len(accepted))
+            self.ctx.seq_rm(n_keep, -1, seq_id=slot.id)
+            self.ctx.n_past[slot.id] = n_keep
+        for tok in accepted:
+            if not self._emit(slot, tok):
+                # rejected tail beyond the stop point stays rolled back by
+                # _finish/len checks; nothing further to decode
+                return
 
     # ------------------------------------------------------- helpers
 

@@ -360,6 +360,15 @@ def make_handler(state: ServerState):
                     "# TYPE llamacpp:predicted_tokens_seconds gauge",
                     f"llamacpp:predicted_tokens_seconds {p.decode_tps():.3f}",
                 ]
+                if engine.draft_model is not None:
+                    rate = (m["n_draft_accepted"] / m["n_drafted"]
+                            if m["n_drafted"] else 0.0)
+                    lines += [
+                        "# TYPE llamacpp:draft_tokens_total counter",
+                        f"llamacpp:draft_tokens_total {m['n_drafted']}",
+                        "# TYPE llamacpp:draft_tokens_acceptance gauge",
+                        f"llamacpp:draft_tokens_acceptance {rate:.4f}",
+                    ]
                 data = ("\n".join(lines) + "\n").encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain; version=0.0.4")
@@ -895,7 +904,8 @@ def make_handler(state: ServerState):
 def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
           n_ctx: int = 1024, model_name: str = "model", block: bool = True,
           mmproj: str | None = None, slot_save_path: str | None = None,
-          loras: list[tuple[str, float]] | None = None):
+          loras: list[tuple[str, float]] | None = None,
+          draft_model=None, spec_params=None):
     base_model = None
     lora_entries = []
     if loras:
@@ -908,7 +918,8 @@ def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
                 {"path": path, "adapter": adapter, "scale": scale})
             if scale != 0.0:
                 model = apply_lora(model, adapter, scale)
-    engine = ServerEngine(model, n_slots=n_slots, n_ctx=n_ctx)
+    engine = ServerEngine(model, n_slots=n_slots, n_ctx=n_ctx,
+                          draft_model=draft_model, spec_params=spec_params)
     engine.start()
     mtmd = None
     if mmproj:
@@ -953,6 +964,11 @@ def main(argv=None):
     ap.add_argument("--lora-scaled", action="append", nargs=2, default=[],
                     metavar=("PATH", "SCALE"),
                     help="LoRA adapter GGUF with a custom scale (repeatable)")
+    ap.add_argument("-md", "--model-draft", default=None,
+                    help="draft model GGUF (enables per-slot speculative "
+                         "decoding)")
+    ap.add_argument("--draft-max", type=int, default=16)
+    ap.add_argument("--draft-p-min", type=float, default=0.75)
     args = ap.parse_args(argv)
     if args.device:
         import jax
@@ -963,11 +979,19 @@ def main(argv=None):
     model = load_model(args.model)
     loras = [(p, 1.0) for p in args.lora]
     loras += [(p, float(s)) for p, s in args.lora_scaled]
+    draft_model = spec_params = None
+    if args.model_draft:
+        from ..runtime.speculative import SpeculativeParams
+
+        draft_model = load_model(args.model_draft)
+        spec_params = SpeculativeParams(n_draft=args.draft_max,
+                                        p_min=args.draft_p_min)
     print(f"serving {args.model} on http://{args.host}:{args.port} "
           f"({args.parallel} slots x {args.ctx_size} ctx)")
     serve(model, args.host, args.port, n_slots=args.parallel, n_ctx=args.ctx_size,
           model_name=args.model, mmproj=args.mmproj,
-          slot_save_path=args.slot_save_path, loras=loras or None)
+          slot_save_path=args.slot_save_path, loras=loras or None,
+          draft_model=draft_model, spec_params=spec_params)
 
 
 if __name__ == "__main__":
