@@ -182,6 +182,51 @@ def test_convert_new_families(tmp_path, family):
     _logits_match(out, model, [5, 99, 200, 7, 42])
 
 
+@pytest.mark.parametrize("family", ["mamba", "mamba2"])
+def test_convert_ssm_matches_transformers(tmp_path, family):
+    """Mamba/Mamba2 conversion: logits vs HF transformers' slow path
+    (A_log -> -exp, conv1d squeeze, mamba2 head-shaped A/D + grouped
+    ssm_norm)."""
+    import jax.numpy as jnp
+
+    from tpullama.models.mamba import init_states, mamba_forward
+
+    torch.manual_seed(0)
+    if family == "mamba":
+        from transformers import MambaConfig, MambaForCausalLM
+
+        model = MambaForCausalLM(MambaConfig(
+            vocab_size=304, hidden_size=64, num_hidden_layers=2,
+            state_size=16, conv_kernel=4)).eval()
+    else:
+        from transformers import Mamba2Config, Mamba2ForCausalLM
+
+        model = Mamba2ForCausalLM(Mamba2Config(
+            vocab_size=304, hidden_size=64, num_hidden_layers=2,
+            head_dim=16, num_heads=8, n_groups=1, state_size=32,
+            expand=2, conv_kernel=4)).eval()
+    d = tmp_path / family
+    model.save_pretrained(str(d))
+    _write_bpe_tokenizer(d)
+    out = str(tmp_path / f"{family}.gguf")
+    convert(str(d), out, outtype="f32", verbose=False)
+
+    ids = [5, 99, 200, 7, 42]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([ids])).logits[0].numpy()
+    m = load_model(out)
+    hp = m.hparams
+    assert hp.arch == family and hp.is_recurrent
+    assert hp.ssm_d_inner == 128
+    conv, ssm = init_states(hp, 1)
+    logits, _ = mamba_forward(
+        m.params, hp, jnp.asarray([ids], jnp.int32), conv, ssm
+    )
+    ours = np.asarray(logits[0])
+    assert np.abs(ours - hf_logits).max() < 1e-4
+    assert (ours.argmax(-1) == hf_logits.argmax(-1)).all()
+
+
 def test_convert_direct_to_quantized(tmp_path):
     """--outtype Q4_K_M produces the reference's per-tensor mix (output
     -> Q6_K, 1-D norms -> F32) and the file loads + runs."""

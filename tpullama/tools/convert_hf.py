@@ -337,7 +337,31 @@ _ARCH_MAP = {
     "Phi3ForCausalLM": "phi3",
     "BertModel": "bert",
     "BertForSequenceClassification": "bert",
+    # SSM families (convert_hf_to_gguf.py MambaModel:6380, Mamba2Model:6466)
+    "MambaForCausalLM": "mamba",
+    "FalconMambaForCausalLM": "mamba",  # + ssm.dt_b_c_rms
+    "Mamba2ForCausalLM": "mamba2",
 }
+
+# HF mamba names -> gguf (tensor_mapping.py SSM_* rows; both the
+# transformers "backbone.*" and bare "model.*" naming variants)
+_SSM_NAME_MAP = [
+    (r"^(?:backbone|model)\.embeddings?\.weight$", "token_embd.weight"),
+    (r"^(?:backbone|model)\.norm_f\.weight$", "output_norm.weight"),
+    (r"^lm_head\.weight$", "output.weight"),
+    (r"^(?:backbone|model)\.layers\.(\d+)\.norm\.weight$", "blk.{bid}.attn_norm.weight"),
+    (r"^(?:backbone|model)\.layers\.(\d+)\.mixer\.in_proj\.weight$", "blk.{bid}.ssm_in.weight"),
+    (r"^(?:backbone|model)\.layers\.(\d+)\.mixer\.conv1d\.(weight|bias)$", "blk.{bid}.ssm_conv1d.{suf}"),
+    (r"^(?:backbone|model)\.layers\.(\d+)\.mixer\.x_proj\.weight$", "blk.{bid}.ssm_x.weight"),
+    (r"^(?:backbone|model)\.layers\.(\d+)\.mixer\.dt_proj\.(weight|bias)$", "blk.{bid}.ssm_dt.{suf}"),
+    # mamba2 stores the dt bias as a bare parameter (Mamba2Model
+    # modify_tensors renames .dt_bias -> .dt_proj.bias)
+    (r"^(?:backbone|model)\.layers\.(\d+)\.mixer\.dt_bias$", "blk.{bid}.ssm_dt.bias"),
+    (r"^(?:backbone|model)\.layers\.(\d+)\.mixer\.A_log$", "blk.{bid}.ssm_a"),
+    (r"^(?:backbone|model)\.layers\.(\d+)\.mixer\.D$", "blk.{bid}.ssm_d"),
+    (r"^(?:backbone|model)\.layers\.(\d+)\.mixer\.norm\.weight$", "blk.{bid}.ssm_norm.weight"),
+    (r"^(?:backbone|model)\.layers\.(\d+)\.mixer\.out_proj\.weight$", "blk.{bid}.ssm_out.weight"),
+]
 
 _PRE_BY_ARCH = {
     "qwen2": "qwen2", "qwen3": "qwen2", "qwen2moe": "qwen2",
@@ -367,6 +391,10 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
     ftype_mix = outtype.upper() if outtype.upper() in FTYPES and \
         outtype.lower() not in OUTTYPES else None
     qt = FTYPES[ftype_mix] if ftype_mix else OUTTYPES[outtype]
+
+    if arch in ("mamba", "mamba2"):
+        return _convert_ssm(model_dir, outfile, arch, hf_arch, config, qt,
+                            pre, verbose)
 
     n_embd = int(config["hidden_size"])
     n_head = int(config["num_attention_heads"])
@@ -562,6 +590,128 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
         raise ValueError(f"incomplete expert tensor sets: {leftover}")
     if not seen_output and config.get("tie_word_embeddings"):
         pass  # loader falls back to tok_embd (TENSOR_DUPLICATED analog)
+    w.write(outfile)
+    if verbose:
+        print(f"wrote {outfile} ({stats['tensors']} tensors)", file=sys.stderr)
+    return stats
+
+
+def _convert_ssm(model_dir: str, outfile: str, arch: str, hf_arch: str,
+                 config: dict, qt, pre: str | None, verbose: bool) -> dict:
+    """Mamba / Mamba2 / FalconMamba HF -> GGUF (convert_hf_to_gguf.py
+    MambaModel:6380 set_gguf_parameters/modify_tensors, Mamba2Model:6466:
+    A_log -> -exp(A_log), conv1d squeeze, mamba2 per-head A/D unsqueeze +
+    grouped ssm_norm reshape, dt_bias -> ssm_dt.bias)."""
+    d_model = int(config.get("hidden_size") or config.get("d_model"))
+    d_conv = int(config.get("conv_kernel") or config.get("d_conv") or 4)
+    d_inner = int(config.get("mamba_d_ssm") or config.get("intermediate_size")
+                  or config.get("d_inner") or 2 * d_model)
+    n_layer = int(config.get("num_hidden_layers") or config.get("n_layer"))
+    eps = float(config.get("layer_norm_epsilon")
+                or config.get("rms_norm_eps") or 1e-5)
+    if arch == "mamba":
+        d_state = int(config.get("state_size") or config.get("d_state") or 16)
+        dt_rank = int(config.get("time_step_rank")
+                      if str(config.get("time_step_rank", "auto")).isdigit()
+                      else -(d_model // -16))
+        n_group = 0
+        head_dim = 0
+    else:
+        d_state = int(config.get("state_size") or 128)
+        head_dim = int(config.get("mamba_d_head") or config.get("head_dim") or 64)
+        dt_rank = d_inner // head_dim  # stored time_step_rank = n_head
+        n_group = int(config.get("n_groups") or 1)
+    # vocab rounded up to pad_vocab_size_multiple (checkpoints ship
+    # pre-padded embedding rows; MambaModel.set_vocab)
+    pad_mult = int(config.get("pad_vocab_size_multiple")
+                   or (8 if arch == "mamba" else 16))
+    n_vocab = -(int(config["vocab_size"]) // -pad_mult) * pad_mult
+    config = dict(config, vocab_size=n_vocab)
+
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", os.path.basename(os.path.abspath(model_dir)))
+    w.add_u32(f"{arch}.context_length", 1 << 20)  # unbounded-ctx convention
+    w.add_u32(f"{arch}.embedding_length", d_model)
+    w.add_u32(f"{arch}.feed_forward_length", 0)
+    w.add_u32(f"{arch}.attention.head_count", 0)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_u32(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_u32(f"{arch}.ssm.inner_size", d_inner)
+    w.add_u32(f"{arch}.ssm.state_size", d_state)
+    w.add_u32(f"{arch}.ssm.time_step_rank", dt_rank)
+    if arch == "mamba2":
+        w.add_u32(f"{arch}.ssm.group_count", n_group)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon", eps)
+    if hf_arch == "FalconMambaForCausalLM":
+        w.add_bool(f"{arch}.ssm.dt_b_c_rms", True)
+    w.add_u32(f"{arch}.vocab_size", n_vocab)
+    write_vocab(w, model_dir, arch, config, pre or "default")
+
+    stats = {"tensors": 0, "bytes": 0}
+    tok_embd = None
+    pending_output = None
+
+    def emit(gname, data):
+        # norms / 1-D / oddly-shaped tensors stay F32 (the reference
+        # converter's n_dims<=1 / *_norm.weight / SSM_CONV1D F32 forcing,
+        # convert_hf_to_gguf.py:539-570)
+        tt = qt
+        if (data.ndim <= 1 or gname.endswith("norm.weight")
+                or ".ssm_conv1d." in gname or ".ssm_a" in gname
+                or ".ssm_dt." in gname or not gname.endswith(".weight")):
+            tt = GGMLType.F32
+        if tt != GGMLType.F32 and data.shape[-1] % 32 != 0:
+            tt = GGMLType.F16 if data.shape[-1] % 2 == 0 else GGMLType.F32
+        if tt == GGMLType.F16:
+            w.add_tensor(gname, data.astype(np.float16), GGMLType.F16)
+        elif tt != GGMLType.F32:
+            w.add_tensor(gname, np.empty(data.shape), ggml_type=tt,
+                         raw=quantize(data, tt))
+        else:
+            w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
+        stats["tensors"] += 1
+        stats["bytes"] += data.nbytes
+        if verbose:
+            print(f"{'':18s} -> {gname:34s} {tt.name}", file=sys.stderr)
+
+    for name, data in iter_hf_tensors(model_dir):
+        gname = None
+        for pat, repl in _SSM_NAME_MAP:
+            m = re.match(pat, name)
+            if m:
+                g = m.groups()
+                gname = repl.format(
+                    bid=g[0] if g else "",
+                    suf=g[-1] if len(g) > 1 else "weight",
+                )
+                break
+        if gname is None:
+            if verbose:
+                print(f"skip {name}", file=sys.stderr)
+            continue
+        if gname.endswith(".ssm_a"):
+            data = -np.exp(data)  # A_log -> A
+        if ".ssm_conv1d.weight" in gname:
+            data = data.squeeze()  # (d_inner, 1, d_conv) -> (d_inner, d_conv)
+        if arch == "mamba2":
+            if gname.endswith((".ssm_a", ".ssm_d")) and data.ndim == 1:
+                data = data.reshape(-1, 1)  # per-head scalar, mamba-1 shape
+            elif gname.endswith(".ssm_norm.weight") and data.ndim == 1:
+                data = data.reshape(n_group, d_inner // n_group)
+        if gname == "token_embd.weight":
+            tok_embd = data
+        if gname == "output.weight":
+            pending_output = data  # defer: omitted when tied to tok_embd
+            continue
+        if verbose:
+            print(f"{name:60s}", file=sys.stderr, end="")
+        emit(gname, data)
+    if pending_output is not None and not (
+        tok_embd is not None and tok_embd.shape == pending_output.shape
+        and np.array_equal(tok_embd, pending_output)
+    ):
+        emit("output.weight", pending_output)
     w.write(outfile)
     if verbose:
         print(f"wrote {outfile} ({stats['tensors']} tensors)", file=sys.stderr)
