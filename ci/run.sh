@@ -4,6 +4,21 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# Build the reference oracle binaries (token-exact e2e comparison layer)
+# into a durable path if not already present. The reference's own
+# tiny-real-model CI pattern (ci/run.sh there) builds the same targets.
+REFSRC="${TPULLAMA_REF_SRC:-/root/reference}"
+REFBUILD="${TPULLAMA_REF_BUILD:-/root/refbuild}"
+if [ -d "$REFSRC" ] && [ ! -x "$REFBUILD/bin/llama-cli" ]; then
+  echo "=== building reference oracle ($REFBUILD) ==="
+  mkdir -p "$REFBUILD"
+  cmake -S "$REFSRC" -B "$REFBUILD" -G Ninja -DCMAKE_BUILD_TYPE=Release \
+    -DLLAMA_BUILD_TESTS=OFF -DLLAMA_CURL=OFF > "$REFBUILD/cmake.log" 2>&1
+  ninja -C "$REFBUILD" llama-cli llama-perplexity llama-tokenize \
+    llama-mtmd-cli llama-quantize llama-embedding > "$REFBUILD/build.log" 2>&1
+fi
+export TPULLAMA_REF_BUILD="$REFBUILD"
+
 echo "=== unit + integration tests (8-device CPU mesh) ==="
 python -m pytest tests/ -q
 

@@ -21,6 +21,29 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Resolve the reference oracle binaries (built by ci/run.sh into a durable
+# path) so the token-exact e2e layer runs in CI instead of skipping.
+# Env vars win; otherwise the first existing build dir is used.
+for _d in (
+    os.environ.get("TPULLAMA_REF_BUILD", ""),
+    "/root/refbuild",
+    "/tmp/refbuild",
+):
+    if _d and os.path.isdir(os.path.join(_d, "bin")):
+        os.environ.setdefault("TPULLAMA_REF_BUILD", _d)
+        for _var, _bin in (
+            ("TPULLAMA_REF_CLI", "llama-cli"),
+            ("TPULLAMA_REF_PPL", "llama-perplexity"),
+            ("TPULLAMA_REF_TOKENIZE", "llama-tokenize"),
+            ("TPULLAMA_REF_MTMD_CLI", "llama-mtmd-cli"),
+            ("TPULLAMA_REF_EMB", "llama-embedding"),
+            ("TPULLAMA_REF_QUANTIZE", "llama-quantize"),
+        ):
+            _p = os.path.join(_d, "bin", _bin)
+            if os.path.exists(_p):
+                os.environ.setdefault(_var, _p)
+        break
+
 import pytest  # noqa: E402
 
 

@@ -1,0 +1,132 @@
+"""Tensor-parallel forward (shard_map Megatron TP/EP) vs single-device.
+
+Runs on the virtual 8-device CPU mesh (conftest). Covers:
+  - dense bf16/f32 TP+DP
+  - packed-quantized (Q4_K) TP with the load-time K-chunked row-TP layout
+    (load_model(tp_shards=n)) — the BASELINE sharded-quantized capability
+  - MoE expert parallelism (experts sharded over tp, psum combine)
+
+Reference analog: split-buffer row TP + NCCL reduction
+(ggml/src/ggml-cuda/ggml-cuda.cu:773-941, src/llama-model.cpp:2361-2384).
+"""
+
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpullama.models import load_model
+from tpullama.models.testing import make_tiny_llama_gguf
+from tpullama.parallel import make_mesh
+from tpullama.parallel.tp import make_tp_forward, shard_model_params
+from tpullama.gguf.constants import GGMLType
+
+
+def _inputs(hp, B, T, S, dtype=jnp.float32):
+    kv_k = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k), dtype)
+    kv_v = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_v), dtype)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(3, 200, size=(B, T)), jnp.int32)
+    positions = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+    slots = positions
+    causal = np.where(
+        np.arange(S)[None, :] <= np.arange(T)[:, None], 0.0, -1e30
+    ).astype(np.float32)
+    causal[:, T:] = -1e30  # only the freshly written cells are occupied
+    mask = jnp.asarray(np.broadcast_to(causal, (B, 1, T, S)))
+    return tokens, positions, kv_k, kv_v, slots, mask
+
+
+def _single_device_logits(m, tokens, positions, kv_k, kv_v, slots, mask):
+    from tpullama.models.llama import llama_forward
+
+    logits, _ = jax.jit(
+        lambda p, t, po, kk, vv, sl, mk: llama_forward(
+            p, m.hparams, t, po, kk, vv, sl, mk, quant_meta=m.quant_meta
+        )
+    )(m.params, tokens, positions, kv_k, kv_v, slots, mask)
+    return np.asarray(logits)
+
+
+def _tp_logits(m, mesh, tokens, positions, kv_k, kv_v, slots, mask):
+    params = shard_model_params(m.params, mesh)
+    fwd = make_tp_forward(
+        mesh, m.hparams, m.quant_meta, params_tree=m.params, kv_tree=kv_k
+    )
+    logits, _ = jax.jit(fwd)(params, tokens, positions, kv_k, kv_v, slots, mask)
+    return np.asarray(logits)
+
+
+def test_tp_dense_matches_single():
+    path = tempfile.mktemp(suffix=".gguf")
+    make_tiny_llama_gguf(path, n_embd=64, n_layer=2, n_head=8, n_head_kv=4,
+                         n_ff=128)
+    m = load_model(path)
+    hp = m.hparams
+    B, T, S = 2, 4, 16
+    args = _inputs(hp, B, T, S)
+    ref = _single_device_logits(m, *args)
+    mesh = make_mesh(n_dp=2, n_tp=4)
+    got = _tp_logits(m, mesh, *args)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_packed_q4k_matches_single():
+    path = tempfile.mktemp(suffix=".gguf")
+    # K/tp must be a multiple of 256 for the packed row-TP layout
+    make_tiny_llama_gguf(path, n_embd=512, n_layer=2, n_head=4, n_head_kv=2,
+                         n_ff=512, qtype=GGMLType.Q4_K, tied_output=True)
+    m_single = load_model(path, packed=True)
+    m_tp = load_model(path, packed=True, tp_shards=2)
+    assert m_tp.quant_meta is not None
+    assert m_tp.quant_meta["layers"]["ffn_down"].k_shards == 2
+    hp = m_tp.hparams
+    B, T, S = 1, 4, 16
+    args = _inputs(hp, B, T, S)
+    ref = _single_device_logits(m_single, *args)
+    mesh = make_mesh(n_dp=1, n_tp=2)
+    got = _tp_logits(m_tp, mesh, *args)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_tp_packed_k_sharded_guard():
+    """A K-sharded packed model must refuse to run single-device."""
+    path = tempfile.mktemp(suffix=".gguf")
+    make_tiny_llama_gguf(path, n_embd=512, n_layer=2, n_head=4, n_head_kv=2,
+                         n_ff=512, qtype=GGMLType.Q4_K, tied_output=True)
+    m = load_model(path, packed=True, tp_shards=2)
+    hp = m.hparams
+    args = _inputs(hp, 1, 4, 16)
+    with pytest.raises(Exception, match="tp_shards|TP forward"):
+        _single_device_logits(m, *args)
+
+
+def test_ep_moe_matches_single():
+    path = tempfile.mktemp(suffix=".gguf")
+    make_tiny_llama_gguf(path, n_embd=64, n_layer=2, n_head=4, n_head_kv=2,
+                         n_ff=64, n_expert=4, n_expert_used=2)
+    m = load_model(path)
+    hp = m.hparams
+    B, T, S = 2, 4, 16
+    args = _inputs(hp, B, T, S)
+    ref = _single_device_logits(m, *args)
+    mesh = make_mesh(n_dp=2, n_tp=2)
+    got = _tp_logits(m, mesh, *args)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_packed_row_chunk_layout():
+    """repack(k_shards=N) fields equal per-chunk repacks; dequant matches."""
+    from tpullama.gguf.quants import quantize as q_quantize
+    from tpullama.ops.qweights import dequant_planar_np, repack
+
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((8, 1024), dtype=np.float32)
+    raw = q_quantize(w, GGMLType.Q4_K)
+    pq1 = repack(raw, GGMLType.Q4_K, (8, 1024))
+    pq2 = repack(raw, GGMLType.Q4_K, (8, 1024), k_shards=2)
+    np.testing.assert_allclose(
+        dequant_planar_np(pq2, k_shards=2), dequant_planar_np(pq1)
+    )

@@ -35,6 +35,12 @@ def _linear(x, w, meta=None):
     if isinstance(w, tuple):
         w, layer = w
     if isinstance(w, dict):
+        if meta is not None and meta.k_shards > 1:
+            raise RuntimeError(
+                "packed weight was loaded with tp_shards>1 (K-sharded planar "
+                "layout); it must run under the TP forward "
+                "(tpullama.parallel.tp), not a single-device matmul"
+            )
         from ..ops.pallas.qmm import quantized_matmul
 
         lead = x.shape[:-1]
@@ -87,6 +93,13 @@ def llama_forward(
     positions4=None,  # (B, T, 4): true M-RoPE (t,h,w,e) positions for
     # image chunks in mrope models (decode_embd_batch
     # set_position_mrope_2d, tools/mtmd/mtmd-helper.cpp:154-166)
+    tp_axis: str | None = None,  # mesh axis name when running inside a
+    # shard_map tensor-parallel region (tpullama.parallel.tp): params are
+    # per-device Megatron shards, hp carries LOCAL head counts, and this
+    # function inserts the psum after row-TP matmuls (attn_output,
+    # ffn_down, MoE combine) and the vocab all-gather on the logits —
+    # the collectives the reference's split-buffer backend issues by hand
+    # (ggml/src/ggml-cuda/ggml-cuda.cu:773-941)
 ):
     """One decode/prefill step. Returns (logits, (kv_k, kv_v)) with the new
     tokens' K/V scattered into the cache at cache_slots."""
@@ -179,6 +192,10 @@ def llama_forward(
     batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]  # (B,1) for scatter
 
     lmeta = (quant_meta or {}).get("layers", {})
+
+    def _tp_reduce(y):
+        """Sum row-TP partial results across the tensor-parallel axis."""
+        return jax.lax.psum(y, tp_axis) if tp_axis else y
 
     def norm_fn(h, wgt, bias=None):
         if hp.norm_type == "layer":
@@ -342,7 +359,7 @@ def llama_forward(
             # o-projection (models/bitnet.cpp:88-92)
             att = rms_norm(att, w["attn_sub_norm"], hp.f_norm_rms_eps)
         att_in = att
-        att = _linear(att, w["attn_output"], lmeta.get("attn_output"))
+        att = _tp_reduce(_linear(att, w["attn_output"], lmeta.get("attn_output")))
         if "attn_output_scale" in w:
             att = att * w["attn_output_scale"]
         if "attn_output_bias" in w:
@@ -406,6 +423,7 @@ def llama_forward(
                 select_sigmoid=hp.moe_select_sigmoid,
                 n_expert_groups=hp.n_expert_groups,
                 n_group_used=hp.n_group_used,
+                ep_axis=tp_axis,
             )
             if "ffn_up_chexps" in w:
                 # grovemoe adjustment experts: second MoE over the first
@@ -427,6 +445,7 @@ def llama_forward(
                     select_sigmoid=True,
                     expert_div=hp.n_group_experts,
                     x_router=h,
+                    ep_axis=tp_axis,
                 )
                 down = down + chunk * hp.expert_group_scale
             if "ffn_gate_shexp" in w:
@@ -451,6 +470,10 @@ def llama_forward(
                 if hp.moe_dense_scale != 1.0:
                     # grok: (moe_out + ffn_out) * sqrt(2)/2 (models/grok.cpp:118)
                     down = down * hp.moe_dense_scale
+            # one combine for the whole MoE block: EP expert partials,
+            # row-TP shexp partial, and the grok dense partial are all
+            # linear in the psum
+            down = _tp_reduce(down)
         elif hp.ffn_fused_up:
             # fused gate+up (phi3: LLM_FFN_SWIGLU on a 2*n_ff projection;
             # ggml_swiglu: first half activated, second half linear)
@@ -459,7 +482,7 @@ def llama_forward(
             gate, up = up2[..., :n_ff], up2[..., n_ff:]
             act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
             act_saved = act
-            down = _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
+            down = _tp_reduce(_linear(act, w["ffn_down"], lmeta.get("ffn_down")))
         elif not hp.ffn_gated:
             # plain up -> act -> down with biases (starcoder2/gpt2 family,
             # LLM_FFN_GELU + LLM_FFN_SEQ)
@@ -484,7 +507,7 @@ def llama_forward(
             else:
                 act = jax.nn.silu(up.astype(jnp.float32)).astype(up.dtype)
             act_saved = act
-            down = _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
+            down = _tp_reduce(_linear(act, w["ffn_down"], lmeta.get("ffn_down")))
             if "ffn_down_bias" in w:
                 down = down + w["ffn_down_bias"]
         else:
@@ -507,7 +530,7 @@ def llama_forward(
                 # bitnet: RMS norm between the GLU and the down-projection
                 act = rms_norm(act, w["ffn_sub_norm"], hp.f_norm_rms_eps)
             act_saved = act
-            down = _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
+            down = _tp_reduce(_linear(act, w["ffn_down"], lmeta.get("ffn_down")))
             if "ffn_down_scale" in w:
                 down = down * w["ffn_down_scale"]
             if "ffn_down_bias" in w:
@@ -686,6 +709,10 @@ def llama_forward(
     x = norm_fn(x, params.get("output_norm"), params.get("output_norm_bias"))
     out_w = params.get("output", params["tok_embd"])
     logits = _linear(x, out_w, (quant_meta or {}).get("output"))
+    if tp_axis and "output" in params:
+        # vocab-sharded lm_head: gather the full logits row (tiny vs the
+        # matmul; the reference gathers split rows the same way)
+        logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1, tiled=True)
     if "output_bias" in params:
         logits = logits + params["output_bias"]
     if hp.final_logit_scale:

@@ -243,12 +243,17 @@ _TOP_TENSORS = {
 @dataclass(frozen=True)
 class QuantMeta:
     """Static metadata for one packed weight (hashable: lives in jit
-    closures)."""
+    closures). k_shards > 1 marks a K-sharded (row-tensor-parallel)
+    planar layout: the field arrays' last axis is k_shards independent
+    chunks and MUST be consumed shard-wise under the TP forward
+    (tpullama.parallel.tp) — a single-device quantized_matmul over the
+    whole array would interleave elements wrongly."""
 
     ggml_type: GGMLType
     group: int
     n_out: int
     n_in: int
+    k_shards: int = 1
 
 
 @dataclass
@@ -325,6 +330,7 @@ def load_model(
     packed: bool = False,
     packed_scale_dtype="bfloat16",
     fuse_projections: bool = False,
+    tp_shards: int = 1,
 ) -> LoadedModel:
     """Load a GGUF model (path / bytes / stream) into a JAX pytree.
 
@@ -338,6 +344,13 @@ def load_model(
     larger MXU dispatches; each decode-shape dispatch carries ~10us of
     fixed cost on TPU, so 7 matvecs/layer -> 3 is a real win. The math
     is unchanged (row-wise identical dot products).
+
+    `tp_shards=N` (packed mode): row-tensor-parallel weights
+    (attn_output / ffn_down / ffn_down_shexp — the Megatron row-split
+    set) are repacked as N independent K-chunks so their planar field
+    arrays can be sharded on the contraction axis across N devices
+    (tpullama.parallel.tp). Matches the reference's split-buffer
+    tensor_split assignment (src/llama-model.cpp:2361-2384) at load time.
 
     `progress_callback(frac)` returning False cancels the load (the
     reference's llama_progress_callback cancel semantics, llama.h:298)."""
@@ -407,24 +420,51 @@ def load_model(
         tick()
         return arr
 
-    def packable(tname: str) -> bool:
+    # Megatron row-TP set: these shard the contraction (n_in) axis, so
+    # with tp_shards > 1 their planar layout must be built per K-chunk
+    _ROW_TP = {"attn_output", "ffn_down", "ffn_down_shexp"}
+
+    def packable(tname: str, k_shards: int = 1) -> bool:
         info = reader.tensors[tname]
         return (
             packed
             and len(info.shape) == 2
             and info.ggml_type in PACKED_TYPES
-            and info.shape[-1] % 256 == 0
+            and (info.shape[-1] // k_shards) % 256 == 0
+            and info.shape[-1] % k_shards == 0
         )
 
-    def fetch_packed(tname: str):
-        info = reader.tensors[tname]
-        n_rows = int(np.prod(info.shape[:-1]))
-        res = native_repack(reader.tensor_raw(tname), info.ggml_type, n_rows, info.shape[-1])
+    def _repack_one(raw, ggml_type, n_rows, n_cols):
+        res = native_repack(raw, ggml_type, n_rows, n_cols)
         if res is not None:
             fields, group = res
-            pq = PlanarQuant(info.ggml_type, (n_rows, info.shape[-1]), fields, group)
+            return PlanarQuant(ggml_type, (n_rows, n_cols), fields, group)
+        return repack(raw, ggml_type, (n_rows, n_cols))
+
+    def fetch_packed(tname: str, k_shards: int = 1):
+        info = reader.tensors[tname]
+        n_rows = int(np.prod(info.shape[:-1]))
+        K = info.shape[-1]
+        if k_shards > 1:
+            from ..ops.qweights import split_raw_k
+
+            chunks = split_raw_k(reader.tensor_raw(tname), info.ggml_type,
+                                 (n_rows, K), k_shards)
+            parts = [
+                _repack_one(c, info.ggml_type, n_rows, K // k_shards)
+                for c in chunks
+            ]
+            pq = PlanarQuant(
+                info.ggml_type,
+                (n_rows, K),
+                {
+                    name: np.concatenate([p.fields[name] for p in parts], axis=-1)
+                    for name in parts[0].fields
+                },
+                parts[0].group,
+            )
         else:
-            pq = repack(reader.tensor_raw(tname), info.ggml_type, info.shape)
+            pq = _repack_one(reader.tensor_raw(tname), info.ggml_type, n_rows, K)
         if packed_scale_dtype is not None and np.dtype(
                 _resolve_dtype(packed_scale_dtype)) != np.float32:
             # bf16 scale/min planes halve their HBM traffic (~12% of the
@@ -472,16 +512,19 @@ def load_model(
         for key in keys:
             tnames = [layer_names[il][key] for il in range(n_layer)]
             types = {reader.tensors[t].ggml_type for t in tnames}
+            k_sh = tp_shards if key in _ROW_TP else 1
             # packed stacking requires a uniform type across layers (mixed
             # per-layer types — e.g. Q4_K_M's Q6_K ffn_down head — fall
             # back to dense for that tensor)
-            if len(types) == 1 and packable(tnames[0]):
-                pqs = [fetch_packed(t) for t in tnames]
+            if len(types) == 1 and packable(tnames[0], k_sh):
+                pqs = [fetch_packed(t, k_sh) for t in tnames]
                 stacked[key] = {
                     fk: jnp.asarray(np.stack([pq.fields[fk] for pq in pqs]))
                     for fk in pqs[0].fields
                 }
-                layer_meta[key] = QuantMeta(pqs[0].ggml_type, pqs[0].group, *pqs[0].shape)
+                layer_meta[key] = QuantMeta(
+                    pqs[0].ggml_type, pqs[0].group, *pqs[0].shape, k_shards=k_sh
+                )
             else:
                 mats = [fetch(t) for t in tnames]
                 stacked[key] = jnp.asarray(np.stack(mats), dtype=dtype)

@@ -59,6 +59,12 @@ def moe_ffn(
     n_expert_groups: int = 0,  # DeepSeek-V3 group-limited routing: keep the
     n_group_used: int = 0,  # top groups (scored by their top-2 sum), mask
     # the rest to -inf before the expert top-k (llama-graph.cpp:958-983)
+    ep_axis: str | None = None,  # expert parallelism (inside shard_map):
+    # the expert weight arrays hold only this device's contiguous expert
+    # shard; routing runs on the replicated router over ALL experts, each
+    # device computes its local experts' contributions (non-local k-slots
+    # masked to zero) and the caller psums the partial outputs — the TP
+    # analog of the reference's per-device expert assignment
 ):
     B, T, D = x.shape
     E = gate_inp.shape[0]
@@ -108,10 +114,22 @@ def moe_ffn(
     if w_scale:
         weights = weights * w_scale
 
+    mine = None
+    if ep_axis is not None:
+        # EP: map global expert ids onto this device's local shard; slots
+        # routed to other devices' experts are masked to zero (their
+        # contribution arrives via the caller's psum)
+        e_local = up_exps.shape[0]
+        base = jax.lax.axis_index(ep_axis) * e_local
+        loc = sel - base
+        mine = (loc >= 0) & (loc < e_local)  # (B, T, K)
+        sel = jnp.clip(loc, 0, e_local - 1)
+        weights = jnp.where(mine, weights, 0.0)
+
     # gather the selected experts' weights and run the FFN per (token, k)
     # x: (B,T,D); gathered gate/up: (B,T,K,F,D); down: (B,T,K,D,F)
     def expert_apply(xt):
-        x_, sel_, w_ = xt  # (T,D), (T,K), (T,K)
+        x_, sel_, w_, mine_ = xt  # (T,D), (T,K), (T,K), (T,K) or None
         g_w = jnp.take(gate_exps, sel_, axis=0) if gate_exps is not None else None
         u_w = jnp.take(up_exps, sel_, axis=0)  # (T,K,F,D)
         d_w = jnp.take(down_exps, sel_, axis=0)  # (T,K,D,F)
@@ -144,7 +162,15 @@ def moe_ffn(
             out = out + jnp.take(down_exps_b, sel_, axis=0).astype(out.dtype)
         if not weight_before_ffn:
             out = out * w_[:, :, None]
+        if mine_ is not None:
+            # EP: zero non-local slots outright — with weight_before_ffn
+            # the per-expert biases would otherwise leak through the
+            # zeroed weights
+            out = jnp.where(mine_[:, :, None], out, 0.0)
         return out.sum(axis=1)  # (T, D)
 
-    out = jax.vmap(expert_apply)((xf, sel, weights))
+    if mine is None:
+        out = jax.vmap(lambda xt: expert_apply((*xt, None)))((xf, sel, weights))
+    else:
+        out = jax.vmap(expert_apply)((xf, sel, weights, mine))
     return out.astype(x.dtype)

@@ -93,10 +93,73 @@ def stripe_unpack_np(packed: np.ndarray, bits: int) -> np.ndarray:
     return np.concatenate([(packed >> (bits * j)) & mask for j in range(k)], axis=-1)
 
 
-def repack(raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, int]) -> PlanarQuant:
-    """GGUF raw block bytes -> planar packed form."""
+# (elements per block, bytes per block) for each packed type — the GGUF
+# on-disk block geometry (ggml-common.h QK* / sizeof(block_*))
+BLOCK_INFO = {
+    GGMLType.Q4_0: (32, 18),
+    GGMLType.Q4_1: (32, 20),
+    GGMLType.Q5_0: (32, 22),
+    GGMLType.Q5_1: (32, 24),
+    GGMLType.Q8_0: (32, 34),
+    GGMLType.MXFP4: (32, 17),
+    GGMLType.Q2_K: (256, 84),
+    GGMLType.Q3_K: (256, 110),
+    GGMLType.Q4_K: (256, 144),
+    GGMLType.Q5_K: (256, 176),
+    GGMLType.Q6_K: (256, 210),
+}
+
+
+def split_raw_k(raw, ggml_type: GGMLType, shape: tuple[int, int], k_shards: int):
+    """Split a tensor's raw block bytes into k_shards contiguous chunks of
+    the contraction (K) axis, each a standalone (N, K/k_shards) raw tensor.
+
+    This is the load-time primitive behind row-tensor-parallel packed
+    weights: each K-chunk is repacked independently so a contiguous shard
+    of the planar field arrays' last axis is itself a valid planar layout
+    (the per-device shard the TP kernel consumes under shard_map). The
+    reference's analog is the split-buffer row assignment in
+    ggml/src/ggml-cuda/ggml-cuda.cu:773-941 (it splits rows; we split K
+    because our matmuls keep GGUF's (n_out, n_in) row-major layout and
+    Megatron row-TP shards n_in)."""
+    N, K = int(np.prod(shape[:-1])), shape[-1]
+    be, bb = BLOCK_INFO[ggml_type]
+    bpr = K // be
+    if bpr % k_shards:
+        raise ValueError(
+            f"K={K} ({bpr} blocks of {be}) not divisible into {k_shards} shards"
+        )
+    chunk = bpr // k_shards
+    b = np.ascontiguousarray(raw).view(np.uint8).reshape(N, bpr, bb)
+    return [
+        np.ascontiguousarray(b[:, d * chunk : (d + 1) * chunk]).reshape(-1)
+        for d in range(k_shards)
+    ]
+
+
+def repack(raw: np.ndarray, ggml_type: GGMLType, shape: tuple[int, int],
+           k_shards: int = 1) -> PlanarQuant:
+    """GGUF raw block bytes -> planar packed form.
+
+    k_shards > 1 applies the planar layout independently to k_shards
+    contiguous K-chunks (see split_raw_k): shard d of the field arrays'
+    last axis equals repack() of the d-th K-chunk."""
     N, K = int(np.prod(shape[:-1])), shape[-1]
     t = ggml_type
+    if k_shards > 1:
+        parts = [
+            repack(c, t, (N, K // k_shards))
+            for c in split_raw_k(raw, t, (N, K), k_shards)
+        ]
+        return PlanarQuant(
+            t,
+            (N, K),
+            {
+                name: np.concatenate([p.fields[name] for p in parts], axis=-1)
+                for name in parts[0].fields
+            },
+            parts[0].group,
+        )
 
     if t == GGMLType.Q8_0:
         b = _blocks(raw, 34)
@@ -275,14 +338,28 @@ PACKED_TYPES = {
 }
 
 
-def dequant_planar_np(pq: PlanarQuant) -> np.ndarray:
+def dequant_planar_np(pq: PlanarQuant, k_shards: int = 1) -> np.ndarray:
     """Numpy reference dequantization of the planar form (must equal the
     block codec's dequantize()). Scales expand by *tile* repeat matching
     the stored group-transposed order, then the result is unpermuted back
-    to natural element order."""
+    to natural element order. k_shards matches the repack() that built
+    the fields (each K-chunk dequantized independently)."""
     f = pq.fields
     N, K = pq.shape
     g = pq.group
+    if k_shards > 1:
+        outs = []
+        for d in range(k_shards):
+            sub = {
+                name: a[..., d * (a.shape[-1] // k_shards) : (d + 1) * (a.shape[-1] // k_shards)]
+                for name, a in f.items()
+            }
+            outs.append(
+                dequant_planar_np(
+                    PlanarQuant(pq.ggml_type, (N, K // k_shards), sub, g)
+                )
+            )
+        return np.concatenate(outs, axis=-1)
 
     def tile_scale(plane):
         return np.tile(plane, (1, g))

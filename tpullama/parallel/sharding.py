@@ -11,6 +11,13 @@ collectives over ICI):
   output (lm_head)  shard n_out (vocab)                        -> logits sharded
   norms/biases on the sharded axis follow their tensor; everything else
   replicated. KV cache shards over kv heads; batch shards over dp.
+
+Packed-quantized weights (loader packed mode) are dicts of planar field
+arrays whose leading axes mirror the dense tensor ((L, n_out, X) with X
+the packed-K-derived axis), so each field takes the SAME PartitionSpec
+as the dense tensor would. Row-TP packed tensors additionally require
+the load-time K-chunked layout (load_model(tp_shards=n_tp)) so a
+contiguous shard of the X axis is a self-contained planar layout.
 """
 
 from __future__ import annotations
@@ -30,6 +37,16 @@ def make_mesh(n_dp: int = 1, n_tp: int | None = None, devices=None) -> Mesh:
     return Mesh(dev, ("dp", "tp"))
 
 
+# Megatron row-split set: these shard the contraction (n_in) axis and are
+# followed by a psum in the forward (llama.py _tp_reduce)
+ROW_TP_TENSORS = {"attn_output", "ffn_down", "ffn_down_shexp"}
+
+# column-split set: shard n_out (heads / ff / vocab)
+COL_TP_TENSORS = {
+    "attn_q", "attn_k", "attn_v", "ffn_gate", "ffn_up",
+    "attn_gate", "ffn_gate_shexp", "ffn_up_shexp", "output",
+}
+
 # per-layer stacked tensors: (L, ...) — leading layer axis never sharded
 _LAYER_SPECS = {
     "attn_norm": P(None, None),
@@ -37,6 +54,7 @@ _LAYER_SPECS = {
     "attn_k": P(None, "tp", None),
     "attn_v": P(None, "tp", None),
     "attn_output": P(None, None, "tp"),
+    "attn_gate": P(None, "tp", None),
     "attn_q_bias": P(None, "tp"),
     "attn_k_bias": P(None, "tp"),
     "attn_v_bias": P(None, "tp"),
@@ -47,40 +65,81 @@ _LAYER_SPECS = {
     "ffn_gate": P(None, "tp", None),
     "ffn_up": P(None, "tp", None),
     "ffn_down": P(None, None, "tp"),
+    "ffn_up_bias": P(None, "tp"),
+    "ffn_down_bias": P(None, None),  # added after the row-TP psum
     # MoE: experts stacked (L, n_expert, n_out, n_in) — expert parallelism
-    # shards the expert axis
+    # shards the expert axis; the router and its biases stay replicated
+    # (routing is computed over ALL experts on every device)
     "ffn_gate_inp": P(None, None, None),
+    "ffn_gate_inp_b": P(None, None),
+    "exp_probs_b": P(None, None),
     "ffn_gate_exps": P(None, "tp", None, None),
     "ffn_up_exps": P(None, "tp", None, None),
     "ffn_down_exps": P(None, "tp", None, None),
+    "ffn_gate_exps_b": P(None, "tp", None),
+    "ffn_up_exps_b": P(None, "tp", None),
+    "ffn_down_exps_b": P(None, "tp", None),
+    "ffn_gate_chexps": P(None, "tp", None, None),
+    "ffn_up_chexps": P(None, "tp", None, None),
+    "ffn_down_chexps": P(None, "tp", None, None),
+    "ffn_gate_inp_shexp": P(None, None, None),
     "ffn_gate_shexp": P(None, "tp", None),
     "ffn_up_shexp": P(None, "tp", None),
     "ffn_down_shexp": P(None, None, "tp"),
     "post_attn_norm": P(None, None),
     "post_ffn_norm": P(None, None),
-    "attn_sinks": P(None, None),
+    "attn_sinks": P(None, "tp"),  # one sink logit per (sharded) head
 }
 
 _TOP_SPECS = {
     "tok_embd": P(None, None),  # replicated (gather-heavy)
     "output_norm": P(None),
     "output": P("tp", None),  # vocab-sharded lm_head
+    "output_bias": P(None),  # added after the vocab all-gather
     "rope_freqs": P(None),
 }
 
 
-def param_shardings(params: dict, mesh: Mesh) -> dict:
-    """NamedSharding pytree matching a loader params dict."""
+def layer_spec(name: str) -> P:
+    return _LAYER_SPECS.get(name, P())
+
+
+def param_specs(params: dict) -> dict:
+    """PartitionSpec pytree matching a loader params dict (packed field
+    dicts expand to one identical spec per field — see module docstring)."""
+
+    def expand(v, spec):
+        if isinstance(v, dict):  # packed planar fields
+            return {fk: spec for fk in v}
+        return spec
+
     out: dict = {}
     for k, v in params.items():
         if k == "layers":
             out["layers"] = {
-                name: NamedSharding(mesh, _LAYER_SPECS.get(name, P()))
-                for name in v
+                name: expand(vv, _LAYER_SPECS.get(name, P()))
+                for name, vv in v.items()
             }
         else:
-            out[k] = NamedSharding(mesh, _TOP_SPECS.get(k, P()))
+            out[k] = expand(v, _TOP_SPECS.get(k, P()))
     return out
+
+
+def param_shardings(params: dict, mesh: Mesh) -> dict:
+    """NamedSharding pytree matching a loader params dict."""
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        param_specs(params),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def kv_cache_specs(kv) -> object:
+    """PartitionSpec tree for a KV cache array or int8 {'q','s'} dict:
+    (L, B, S, Hkv[, D]) — batch over dp, kv-heads over tp."""
+    def one(a):
+        return P(None, "dp", None, "tp", None) if a.ndim == 5 else P(None, "dp", None, "tp")
+    return jax.tree.map(one, kv)
 
 
 def kv_cache_shardings(mesh: Mesh):

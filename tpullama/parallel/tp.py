@@ -1,0 +1,151 @@
+"""Tensor-parallel forward: llama_forward under shard_map.
+
+The explicit-SPMD execution path for multi-chip inference: parameters are
+placed as Megatron shards (parallel.sharding specs), and the forward runs
+inside jax.shard_map where every device computes its local shard of each
+matmul; llama_forward's tp_axis hooks insert the psum after the row-TP
+matmuls and the vocab all-gather on the logits. This is the design the
+scaling-book recipe prescribes for ICI meshes, and the capability analog
+of the reference's split-buffer tensor parallelism + NCCL reductions
+(ggml/src/ggml-cuda/ggml-cuda.cu:773-941, src/llama-model.cpp:2361-2384).
+
+Quantized weights stay packed per device: column-TP tensors shard their
+planar field arrays on the n_out axis (rows of the packed planes are
+independent), row-TP tensors require the load-time K-chunked layout
+(load_model(..., packed=True, tp_shards=n_tp)) so each device's shard of
+the packed-K axis is a self-contained planar layout for the Pallas
+dequant-matmul kernel.
+
+Inside the shard_map region hp carries LOCAL head counts (n_head/tp,
+n_head_kv/tp) and quant_meta carries LOCAL n_out/n_in, so the entire
+single-chip forward — including the Pallas kernels — runs unchanged on
+per-device shards.
+"""
+
+from __future__ import annotations
+
+import copy
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from .sharding import (
+    COL_TP_TENSORS,
+    ROW_TP_TENSORS,
+    kv_cache_specs,
+    param_specs,
+)
+
+
+def localize_hparams(hp, n_tp: int):
+    """Per-device hparams for the shard_map region: head counts divide by
+    tp (column-TP shards heads); everything routing/rope/global stays."""
+    if n_tp == 1:
+        return hp
+    if hp.n_head % n_tp or hp.n_head_kv % n_tp:
+        raise ValueError(
+            f"n_head={hp.n_head} / n_head_kv={hp.n_head_kv} not divisible by tp={n_tp}"
+        )
+    if hp.f_max_alibi_bias > 0.0:
+        # ALiBi slopes depend on the GLOBAL head index; the local forward
+        # would compute wrong slopes (llama.py alibi schedule)
+        raise NotImplementedError("ALiBi models not supported under TP yet")
+    if hp.qk_norm_full:
+        raise NotImplementedError(
+            "full-width qk norms act on the unsharded projection; not supported under TP"
+        )
+    loc = copy.copy(hp)
+    loc.n_head = hp.n_head // n_tp
+    loc.n_head_kv = hp.n_head_kv // n_tp
+    return loc
+
+
+def localize_quant_meta(quant_meta, n_tp: int):
+    """Per-device QuantMeta: column-TP divides n_out, row-TP divides n_in
+    (k_shards collapses to 1 — each device's shard is standalone)."""
+    if not quant_meta or n_tp == 1:
+        return quant_meta
+    from ..models.loader import QuantMeta
+
+    def one(name, m):
+        if name in ROW_TP_TENSORS:
+            if m.k_shards != n_tp:
+                raise ValueError(
+                    f"{name}: packed row-TP needs load_model(tp_shards={n_tp}); "
+                    f"file was loaded with tp_shards={m.k_shards}"
+                )
+            return QuantMeta(m.ggml_type, m.group, m.n_out, m.n_in // n_tp)
+        if name in COL_TP_TENSORS:
+            if m.n_out % n_tp:
+                raise ValueError(f"{name}: n_out={m.n_out} not divisible by tp={n_tp}")
+            return QuantMeta(m.ggml_type, m.group, m.n_out // n_tp, m.n_in)
+        return m
+
+    out = {}
+    for k, v in quant_meta.items():
+        if k == "layers":
+            out["layers"] = {name: one(name, m) for name, m in v.items()}
+        else:
+            out[k] = one(k, v)
+    return out
+
+
+def _check_tp_supported(params: dict, hp, n_tp: int):
+    if "layer_list" in params:
+        raise NotImplementedError(
+            "heterogeneous layer stacks not supported under TP yet"
+        )
+    layers = params.get("layers", {})
+    if "attn_qkv" in layers:
+        raise NotImplementedError(
+            "fused QKV projections not supported under TP (load with "
+            "fuse_projections=False)"
+        )
+    if hp.ffn_fused_up:
+        raise NotImplementedError("fused gate+up not supported under TP")
+    if hp.n_expert and hp.n_expert % n_tp:
+        raise ValueError(f"n_expert={hp.n_expert} not divisible by tp={n_tp}")
+
+
+def make_tp_forward(mesh, hp, quant_meta=None, *, params_tree=None,
+                    kv_tree=None, swa_mask: bool = False):
+    """Build a llama_forward-signature function running under shard_map.
+
+    params_tree / kv_tree: example pytrees (structure only) used to build
+    the in_specs. Returns fn(params, tokens, positions, kv_k, kv_v,
+    slots, mask) -> (logits, (kv_k, kv_v)); jit it yourself (or let the
+    caller's jit close over it)."""
+    from ..models.llama import llama_forward
+
+    n_tp = mesh.shape["tp"]
+    _check_tp_supported(params_tree, hp, n_tp)
+    hp_local = localize_hparams(hp, n_tp)
+    qm_local = localize_quant_meta(quant_meta, n_tp)
+
+    p_specs = param_specs(params_tree)
+    kv_specs = kv_cache_specs(kv_tree)
+    tok_spec = P("dp", None)
+    mask_spec = (
+        (P("dp", None, None, None), P("dp", None, None, None))
+        if swa_mask
+        else P("dp", None, None, None)
+    )
+    in_specs = (p_specs, tok_spec, tok_spec, kv_specs, kv_specs, tok_spec, mask_spec)
+    out_specs = (P("dp", None, None), (kv_specs, kv_specs))
+
+    def fwd(params, tokens, positions, kv_k, kv_v, slots, mask):
+        return llama_forward(
+            params, hp_local, tokens, positions, kv_k, kv_v, slots, mask,
+            quant_meta=qm_local, tp_axis="tp",
+        )
+
+    return jax.shard_map(
+        fwd, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
+
+
+def shard_model_params(params: dict, mesh):
+    """Place a loaded params pytree onto the mesh with TP shardings."""
+    from .sharding import shard_params
+
+    return shard_params(params, mesh)
