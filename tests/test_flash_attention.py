@@ -158,3 +158,43 @@ def test_flash_model_path_matches_jnp(tmp_path, arch_kw, monkeypatch):
     ref = logits_with("0")
     got = logits_with("1")
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("B,Tq,Hq,Hkv,D,S", [
+    (1, 1, 8, 2, 64, 256),    # int8-KV decode
+    (1, 32, 8, 2, 64, 128),   # int8-KV prefill
+    (2, 4, 4, 4, 128, 256),   # int8-KV MHA
+])
+def test_flash_int8_kv_matches_reference(B, Tq, Hq, Hkv, D, S):
+    """Fused int8-KV flash: in-kernel dequant (K scale on logits, V scale
+    on probs) vs the jnp k_scale/v_scale reference path (the quantized-KV
+    capability of ggml/src/ggml-cuda/fattn-vec.cuh)."""
+    import jax.numpy as jnp
+
+    from tpullama.ops.pallas.flash_attention import flash_attention
+
+    q, k, v, kv_pos, q_pos = _inputs(B, Tq, Hq, Hkv, D, S)
+    rng = np.random.default_rng(7)
+
+    def quant(a):
+        af = np.asarray(a)
+        amax = np.abs(af).max(axis=-1, keepdims=True)
+        s = amax / 127.0
+        qv = np.clip(np.round(af / np.maximum(s, 1e-12)), -127, 127)
+        return jnp.asarray(qv.astype(np.int8)), jnp.asarray(
+            s[..., 0].astype(np.float32))
+
+    kq, ks = quant(k)
+    vq, vs = quant(v)
+    scale = 1.0 / np.sqrt(D)
+    mask = _mask(kv_pos, q_pos)
+    want = np.asarray(attention(q, kq, vq, mask=mask, scale=scale,
+                                k_scale=ks, v_scale=vs))
+    got = np.asarray(flash_attention(q, kq, vq, mask, scale,
+                                     k_scale=ks, v_scale=vs,
+                                     block_q=32, block_s=128, interpret=True))
+    # kernel dots in bf16 (int8 values exact; q rounded) — NMSE-style gate
+    err = np.abs(got - want).max()
+    ref = np.abs(want).max()
+    assert err / ref < 2e-2, (err, ref)
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)

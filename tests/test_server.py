@@ -756,3 +756,31 @@ def test_server_speculative_decoding(tmp_path):
     rate = [l for l in metrics.splitlines()
             if l.startswith("llamacpp:draft_tokens_acceptance ")]
     assert rate and float(rate[0].split()[-1]) > 0.5
+
+
+def test_packed_multi_prompt_prefill():
+    """decode_multi: concurrent prompts packed into one device step give
+    the same logits as per-sequence prefill (update_slots packing)."""
+    import tempfile
+
+    from tpullama.runtime.context import Context, ContextParams
+
+    path = tempfile.mktemp(suffix=".gguf")
+    make_tiny_llama_gguf(path)
+    m = load_model(path)
+    prompts = {0: [5, 6, 7, 8, 9], 1: [10, 11, 12], 2: [13, 14, 15, 16]}
+
+    ref = {}
+    ctx1 = Context(m, ContextParams(n_ctx=64, n_seqs=3))
+    for sid, p in prompts.items():
+        ref[sid] = ctx1.decode(np.asarray(p, np.int32), n_logits=1, seq_id=sid)[-1]
+
+    ctx2 = Context(m, ContextParams(n_ctx=64, n_seqs=3))
+    out = ctx2.decode_multi([(sid, p) for sid, p in prompts.items()])
+    for sid in prompts:
+        np.testing.assert_allclose(out[sid], ref[sid], rtol=2e-4, atol=2e-4)
+    # cache state must match too: one more decode step agrees
+    for sid in prompts:
+        a = ctx1.decode(np.asarray([3], np.int32), seq_id=sid)[-1]
+        b = ctx2.decode(np.asarray([3], np.int32), seq_id=sid)[-1]
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)

@@ -325,7 +325,7 @@ def llama_forward(
                 "q": v_cache["q"].at[batch_idx, cache_slots].set(vq8),
                 "s": v_cache["s"].at[batch_idx, cache_slots].set(vs),
             }
-            att = attention(
+            att = attention_auto(
                 q, k_cache["q"], v_cache["q"], mask=layer_mask, scale=kq_scale,
                 softcap=hp.attn_logit_softcap, sinks=w.get("attn_sinks"),
                 alibi_slopes=alibi_slopes,

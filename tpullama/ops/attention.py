@@ -76,8 +76,8 @@ def attention(q, k, v, mask=None, scale: float | None = None, softcap: float = 0
 def flash_eligible(q, k, v, mask, k_scale=None) -> bool:
     """Whether the Pallas flash kernel covers this attention call (the
     role of the reference's flash-attn AUTO probe graph,
-    src/llama-context.cpp:312-351). Fallbacks: int8 KV (scales not
-    in-kernel yet), MLA-style Dv != Dk, missing mask."""
+    src/llama-context.cpp:312-351). Fallbacks: MLA-style Dv != Dk,
+    missing mask."""
     import os
 
     import jax
@@ -85,7 +85,7 @@ def flash_eligible(q, k, v, mask, k_scale=None) -> bool:
     mode = os.environ.get("TPULLAMA_FLASH", "auto")
     if mode == "0":
         return False
-    if mask is None or k_scale is not None:
+    if mask is None:
         return False
     if q.shape[-1] != v.shape[-1]:
         return False
@@ -93,6 +93,10 @@ def flash_eligible(q, k, v, mask, k_scale=None) -> bool:
         return False
     if mode == "1":
         return True
+    if k_scale is not None:
+        # int8 KV: the jnp fallback materializes a dequantized f32 cache
+        # copy every step — the fused kernel wins at every shape
+        return jax.default_backend() == "tpu"
     # auto: flash wins for prefill-sized q blocks (measured on v5e:
     # 3-4.5x over the XLA path at Tq>=2048 — the materialized
     # (B,Hq,Tq,S) logits are the cost XLA can't fuse away); at decode
@@ -117,7 +121,8 @@ def attention_auto(q, k, v, mask=None, scale=None, softcap: float = 0.0,
             scale = 1.0 / (q.shape[-1] ** 0.5)
         return flash_attention(
             q, k, v, mask, scale, softcap=softcap, sinks=sinks,
-            alibi_slopes=alibi_slopes, interpret=interpret,
+            alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
+            interpret=interpret,
         )
     return attention(q, k, v, mask=mask, scale=scale, softcap=softcap,
                      sinks=sinks, k_scale=k_scale, v_scale=v_scale,

@@ -38,8 +38,19 @@ NEG_INF = -1e30
 
 
 def _fa_kernel(q_ref, k_ref, v_ref, mask_ref, slope_ref, sink_ref,
-               o_ref, m_ref, l_ref, acc_ref,
-               *, scale, softcap, bq, bs, g, d, has_alibi, has_sinks):
+               *rest,
+               scale, softcap, bq, bs, g, d, has_alibi, has_sinks,
+               has_kv_scale):
+    if has_kv_scale:
+        # int8 KV: per-(token, head) symmetric scales ride as extra inputs;
+        # K's scale factors out of the QK dot (one row-broadcast multiply
+        # on the logits), V's folds into the probabilities — the fused
+        # quantized-KV path of the reference's fattn-vec.cuh, without ever
+        # materializing a dequantized cache
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        ks_ref = vs_ref = None
+        o_ref, m_ref, l_ref, acc_ref = rest
     sc = pl.program_id(3)
     n_sc = pl.num_programs(3)
 
@@ -59,6 +70,11 @@ def _fa_kernel(q_ref, k_ref, v_ref, mask_ref, slope_ref, sink_ref,
         q = q_ref[0, 0].reshape(g * bq, d)  # (G*BQ, D)
         k = k_ref[0, 0]  # (BS, D)
         v = v_ref[0, 0]
+        if has_kv_scale:
+            # int8 -> bf16 is exact (|q| <= 127); the MXU dots in bf16
+            q = q.astype(jnp.bfloat16)
+            k = k.astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16)
 
         # bf16 inputs hit the MXU natively with fp32 accumulation (the
         # CUDA fattn kernels likewise dot in fp16, accumulate fp32)
@@ -66,6 +82,8 @@ def _fa_kernel(q_ref, k_ref, v_ref, mask_ref, slope_ref, sink_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (G*BQ, BS)
+        if has_kv_scale:
+            s = s * ks_ref[0, 0, 0].reshape(1, bs)
         if softcap:
             s = softcap * jnp.tanh(s / softcap)
         # mask rows repeat per GQA group member; ALiBi multiplies the
@@ -86,6 +104,9 @@ def _fa_kernel(q_ref, k_ref, v_ref, mask_ref, slope_ref, sink_ref,
         # guard fully-masked rows: exp(NEG_INF - NEG_INF) would be 1
         p = jnp.where(s > NEG_INF / 2, jnp.exp(s - m_cur), 0.0)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if has_kv_scale:
+            # V's dequant scale folds into the probabilities
+            p = p * vs_ref[0, 0, 0].reshape(1, bs)
         acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -114,15 +135,22 @@ def _fa_kernel(q_ref, k_ref, v_ref, mask_ref, slope_ref, sink_ref,
 
 def flash_attention(q, k, v, mask, scale: float, softcap: float = 0.0,
                     sinks=None, alibi_slopes=None,
+                    k_scale=None, v_scale=None,
                     block_q: int = 256, block_s: int = 512,
                     interpret: bool = False):
     """q: (B, Tq, Hq, D); k, v: (B, S, Hkv, D); mask: additive fp32
     broadcastable to (B, 1, Tq, S) — 0 (or -|dpos| for ALiBi) where
-    visible, <= -1e30 where masked. Returns (B, Tq, Hq, D) in q.dtype."""
+    visible, <= -1e30 where masked. Returns (B, Tq, Hq, D) in q.dtype.
+
+    k_scale/v_scale: per-(token, head) dequant scales (B, S, Hkv) for
+    int8 K/V — dequantization happens in-kernel (K's scale on the QK
+    logits, V's on the probabilities), matching the reference's
+    quantized-KV flash path (ggml/src/ggml-cuda/fattn-vec.cuh)."""
     B, Tq, Hq, D = q.shape
     S = k.shape[1]
     Hkv = k.shape[2]
     G = Hq // Hkv
+    has_kv_scale = k_scale is not None
 
     bq = min(block_q, max(8, -(-Tq // 8) * 8))
     pad_q = (bq - Tq % bq) % bq
@@ -144,6 +172,14 @@ def flash_attention(q, k, v, mask, scale: float, softcap: float = 0.0,
         mask = jnp.pad(mask, ((0, 0), (0, 0), (0, 0), (0, pad_s)),
                        constant_values=NEG_INF)
     Tqp, Sp = Tq + pad_q, S + pad_s
+    if has_kv_scale:
+        # (B, S, Hkv) -> (B, Hkv, 1, S): unit row dim keeps the VMEM
+        # block 2-D-tileable (Mosaic wants the last-2 dims tile-aligned)
+        kst = k_scale.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, :]
+        vst = v_scale.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, :]
+        if pad_s:
+            kst = jnp.pad(kst, ((0, 0), (0, 0), (0, 0), (0, pad_s)))
+            vst = jnp.pad(vst, ((0, 0), (0, 0), (0, 0), (0, pad_s)))
 
     has_alibi = alibi_slopes is not None
     has_sinks = sinks is not None
@@ -155,26 +191,34 @@ def flash_attention(q, k, v, mask, scale: float, softcap: float = 0.0,
         jnp.float32).reshape(Hkv, 1, G)
 
     grid = (B, Hkv, Tqp // bq, Sp // bs)
+    in_specs = [
+        pl.BlockSpec((1, 1, G, bq, D), lambda b, h, qb, sc: (b, h, 0, qb, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bs, D), lambda b, h, qb, sc: (b, h, sc, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bs, D), lambda b, h, qb, sc: (b, h, sc, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, bs), lambda b, h, qb, sc: (b, 0, qb, sc),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, G), lambda b, h, qb, sc: (h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, G), lambda b, h, qb, sc: (h, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qh, kt, vt, mask, slopes, sinkv]
+    if has_kv_scale:
+        sspec = pl.BlockSpec((1, 1, 1, bs), lambda b, h, qb, sc: (b, h, 0, sc),
+                             memory_space=pltpu.VMEM)
+        in_specs += [sspec, sspec]
+        operands += [kst, vst]
     out = pl.pallas_call(
         functools.partial(
             _fa_kernel, scale=scale, softcap=softcap, bq=bq, bs=bs,
             g=G, d=D, has_alibi=has_alibi, has_sinks=has_sinks,
+            has_kv_scale=has_kv_scale,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, G, bq, D), lambda b, h, qb, sc: (b, h, 0, qb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bs, D), lambda b, h, qb, sc: (b, h, sc, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bs, D), lambda b, h, qb, sc: (b, h, sc, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, bs), lambda b, h, qb, sc: (b, 0, qb, sc),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, G), lambda b, h, qb, sc: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, G), lambda b, h, qb, sc: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, G, bq, D), lambda b, h, qb, sc: (b, h, 0, qb, 0),
             memory_space=pltpu.VMEM,
@@ -186,6 +230,6 @@ def flash_attention(q, k, v, mask, scale: float, softcap: float = 0.0,
             pltpu.VMEM((G * bq, D), jnp.float32),
         ],
         interpret=interpret,
-    )(qh, kt, vt, mask, slopes, sinkv)
+    )(*operands)
     out = out[:, :, :, :Tq].reshape(B, Hq, Tq, D)
     return out.transpose(0, 2, 1, 3)

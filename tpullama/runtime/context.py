@@ -157,7 +157,11 @@ class Context:
             self._step_seq_embd, static_argnames=("n_logits", "causal")
         )
         self._all_fn = jax.jit(self._step_all)
+        self._multi_fn = jax.jit(self._step_multi)
         self._burst_fn = jax.jit(self._burst, static_argnames=("n_steps",))
+        self._burst_sampled_fn = jax.jit(
+            self._burst_sampled, static_argnames=("n_steps", "spec")
+        )
 
     # ------------------------------------------------------------------
 
@@ -285,6 +289,22 @@ class Context:
         )
         return logits[:, -1, :], kv_k, kv_v, kv_pos
 
+    def _step_multi(self, params, kv_k, kv_v, kv_pos, tokens, positions,
+                    slots, last_idx):
+        """Multi-sequence multi-token step: every sequence advances by its
+        own (padded) token chunk in ONE forward — the server's packed
+        update_slots batch (tools/server/server-context.cpp:1664), where
+        concurrent prompts share a device step instead of serializing.
+        last_idx: (B,) index of each row's final valid token; returns that
+        token's logits per row (garbage for inactive rows)."""
+        logits, _, kv_k, kv_v, kv_pos = self._forward(
+            params, kv_k, kv_v, kv_pos, tokens, positions, slots
+        )
+        out = jnp.take_along_axis(
+            logits, last_idx[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        return out, kv_k, kv_v, kv_pos
+
     def _burst(self, params, kv_k, kv_v, kv_pos, first_tok, n_past0, n_steps: int):
         """Fused greedy decode of n_steps tokens for sequence 0, entirely
         on-device (one dispatch instead of n_steps round-trips — the
@@ -305,7 +325,36 @@ class Context:
         )
         return toks, kv_k, kv_v, kv_pos
 
-    def decode_burst(self, first_token: int, n_steps: int) -> np.ndarray:
+    def _burst_sampled(self, params, kv_k, kv_v, kv_pos, first_tok, n_past0,
+                       rng_key, n_steps: int, spec=None):
+        """_burst with the common sampler chain fused on-device
+        (runtime/sampling.device_sample): temp/top-k/top-p/min-p/dist run
+        inside the scan, eliminating the per-token host round-trip the
+        host chain pays (the reference reads one pinned logits buffer;
+        we keep the whole loop on-device instead)."""
+        import jax.random as jrandom
+
+        from .sampling import device_sample
+
+        def step(carry, i):
+            tok, kk, vv, kp, npast = carry
+            slot = jnp.argmax(kp[0] < 0).astype(jnp.int32)
+            logits, _, kk, vv, kp = self._forward(
+                params, kk, vv, kp, tok[None, None], npast[None, None],
+                slot[None, None],
+            )
+            key = jrandom.fold_in(rng_key, i)
+            nxt = device_sample(logits[0, -1].astype(jnp.float32), key, spec)
+            return (nxt, kk, vv, kp, npast + 1), nxt
+
+        (tok, kv_k, kv_v, kv_pos, n_past), toks = jax.lax.scan(
+            step, (first_tok, kv_k, kv_v, kv_pos, n_past0),
+            jnp.arange(n_steps), length=n_steps,
+        )
+        return toks, kv_k, kv_v, kv_pos
+
+    def decode_burst(self, first_token: int, n_steps: int,
+                     sampler_spec=None, rng_key=None) -> np.ndarray:
         """Greedy-decode n_steps tokens after first_token (seq 0, B=1) in a
         single device dispatch. Returns the generated token ids; the cache
         advances by n_steps + 1 (first_token + generated[:-1])."""
@@ -318,10 +367,17 @@ class Context:
         if len(free) < n_steps + 1:
             raise ValueError("no free KV cells for burst")
         t0 = time.perf_counter()
-        toks, self.kv_k, self.kv_v, self.kv_pos = self._burst_fn(
-            self.model.params, self.kv_k, self.kv_v, self.kv_pos,
-            jnp.int32(first_token), jnp.int32(n_past), n_steps=n_steps,
-        )
+        if sampler_spec is not None and sampler_spec.temp > 0:
+            toks, self.kv_k, self.kv_v, self.kv_pos = self._burst_sampled_fn(
+                self.model.params, self.kv_k, self.kv_v, self.kv_pos,
+                jnp.int32(first_token), jnp.int32(n_past),
+                rng_key, n_steps=n_steps, spec=sampler_spec,
+            )
+        else:
+            toks, self.kv_k, self.kv_v, self.kv_pos = self._burst_fn(
+                self.model.params, self.kv_k, self.kv_v, self.kv_pos,
+                jnp.int32(first_token), jnp.int32(n_past), n_steps=n_steps,
+            )
         out = np.asarray(toks)
         self.perf.t_decode_ms += (time.perf_counter() - t0) * 1000
         self.perf.n_decode += n_steps
@@ -476,6 +532,54 @@ class Context:
         self.n_past[active] += 1
         return out
 
+    def decode_multi(self, chunks: list) -> dict:
+        """Process token chunks for SEVERAL sequences in one device step
+        (the packed update_slots batch). chunks: [(seq_id, tokens)];
+        chunk lengths may differ (bucketed + padded to one T).
+        Returns {seq_id: last-token logits (n_vocab,)}.
+        """
+        if not chunks:
+            return {}
+        B = self.p.n_seqs
+        S = self._S
+        Tb = _bucket(max(len(t) for _, t in chunks))
+        tokens = np.zeros((B, Tb), np.int32)
+        pos = np.full((B, Tb), -1, np.int32)
+        slots = np.full((B, Tb), S - 1, np.int32)
+        last_idx = np.zeros(B, np.int32)
+        n_new = 0
+        for seq_id, toks in chunks:
+            toks = np.asarray(toks, np.int32)
+            T = len(toks)
+            n_past = int(self.n_past[seq_id])
+            if n_past + T > self.p.n_ctx:
+                raise ValueError(
+                    f"context overflow on seq {seq_id}: {n_past}+{T} > "
+                    f"n_ctx={self.p.n_ctx}"
+                )
+            free = np.nonzero(self._pos_host[seq_id, : S - 1] < 0)[0]
+            if len(free) < T:
+                raise ValueError(f"no free KV cells on seq {seq_id}")
+            tokens[seq_id, :T] = toks
+            rng = np.arange(n_past, n_past + T, dtype=np.int32)
+            pos[seq_id, :T] = rng
+            slots[seq_id, :T] = free[:T]
+            self._pos_host[seq_id, free[:T]] = rng
+            last_idx[seq_id] = T - 1
+            self.n_past[seq_id] = n_past + T
+            n_new += T
+        t0 = time.perf_counter()
+        logits, self.kv_k, self.kv_v, self.kv_pos = self._multi_fn(
+            self.model.params, self.kv_k, self.kv_v, self.kv_pos,
+            jnp.asarray(tokens), jnp.asarray(pos), jnp.asarray(slots),
+            jnp.asarray(last_idx),
+        )
+        out = np.asarray(logits)
+        dt = (time.perf_counter() - t0) * 1000
+        self.perf.t_prefill_ms += dt
+        self.perf.n_prefill += n_new
+        return {seq_id: out[seq_id] for seq_id, _ in chunks}
+
     def embeddings(self, tokens, pooling: str = "mean", seq_id: int = 0,
                    normalize: bool = True) -> np.ndarray:
         """Embed a token sequence (llama_get_embeddings + pooling types
@@ -575,15 +679,34 @@ class Context:
         out: list[int] = []
         logits = self.decode(np.asarray(prompt_tokens, np.int32), n_logits=1)[-1]
         vocab = self.model.vocab
-        if sampler is None and burst > 1 and self.p.n_seqs == 1:
-            tok = int(np.argmax(logits))
+        spec = None
+        if sampler is not None and burst > 1:
+            from .sampling import as_device_spec
+
+            spec = as_device_spec(sampler)  # None -> host chain fallback
+        if (sampler is None or spec is not None) and burst > 1 and self.p.n_seqs == 1:
+            if spec is not None and spec.temp > 0:
+                import jax.random as jrandom
+
+                rng_key = jrandom.PRNGKey(spec.seed)
+                first = int(sampler.sample(logits))
+            else:
+                rng_key = None
+                first = int(np.argmax(logits))
+            tok = first
             out.append(tok)
+            n_chunk = 0
             while len(out) < n_predict and not (vocab is not None and vocab.is_eog(tok)):
                 n = min(burst, n_predict - len(out),
                         self.p.n_ctx - int(self.n_past[0]) - 1)
                 if n < 1:
                     break
-                chunk = self.decode_burst(tok, n).tolist()
+                key = (
+                    jrandom.fold_in(rng_key, n_chunk) if rng_key is not None else None
+                )
+                n_chunk += 1
+                chunk = self.decode_burst(tok, n, sampler_spec=spec,
+                                          rng_key=key).tolist()
                 eog_at = None
                 if vocab is not None:
                     for i, t in enumerate(chunk):

@@ -724,3 +724,88 @@ class SamplerChain:
     def reset(self):
         for s in self.samplers:
             s.reset()
+
+
+@dataclass(frozen=True)
+class DeviceSamplerSpec:
+    """Static description of a sampler chain that can run fused inside the
+    on-device decode scan (runtime/context.py sampled burst): the common
+    temp/top-k/top-p/min-p/dist chain. Hashable — lives in jit closures.
+
+    The RNG is a jax threefry stream (seeded from `seed`), not the
+    reference's mt19937 — same documented divergence as the host Dist
+    sampler (SURVEY A.7 note)."""
+
+    temp: float
+    top_k: int
+    top_p: float
+    min_p: float
+    seed: int
+
+
+def as_device_spec(chain: "SamplerChain") -> DeviceSamplerSpec | None:
+    """Map a SamplerChain onto a DeviceSamplerSpec when every member is
+    device-expressible (no-op members allowed); None -> host fallback.
+
+    Covered: Greedy (temp=0), TopK, TopP, MinP, Temp, Dist, no-op
+    Penalties / Typical(1) / LogitBias({}). Anything stateful
+    (penalties in effect, mirostat, dry, grammar) stays on host."""
+    temp, top_k, top_p, min_p, seed = 1.0, 0, 1.0, 0.0, DEFAULT_SEED
+    greedy = False
+    for s in chain.samplers:
+        if isinstance(s, Greedy):
+            greedy = True
+        elif isinstance(s, Penalties):
+            if s.repeat != 1.0 or s.freq != 0.0 or s.present != 0.0:
+                return None
+        elif isinstance(s, LogitBias):
+            if s.bias:
+                return None
+        elif isinstance(s, Typical):
+            if s.p < 1.0:
+                return None
+        elif isinstance(s, TopK):
+            top_k = s.k
+        elif isinstance(s, TopP):
+            top_p = s.p
+        elif isinstance(s, MinP):
+            min_p = s.p
+        elif isinstance(s, Temp):
+            temp = s.t
+        elif isinstance(s, Dist):
+            seed = s.seed
+        else:
+            return None
+    if greedy or temp <= 0:
+        return DeviceSamplerSpec(0.0, 0, 1.0, 0.0, seed)
+    return DeviceSamplerSpec(float(temp), int(top_k), float(top_p),
+                             float(min_p), int(seed))
+
+
+def device_sample(logits, key, spec: DeviceSamplerSpec):
+    """One fused sampling step on device. logits: (V,) f32; returns int32
+    token id. Implements the common_sampler std chain order
+    (common/sampling.cpp: top-k -> top-p -> min-p -> temp -> dist) with
+    the truncations computed on the softmax of the UNtempered logits,
+    exactly like the host chain."""
+    import jax
+    import jax.numpy as jnp
+
+    if spec.temp <= 0:
+        return jnp.argmax(logits).astype(jnp.int32)
+    V = logits.shape[-1]
+    k = spec.top_k if 0 < spec.top_k < V else min(V, 256 if V > 256 else V)
+    vals, idx = jax.lax.top_k(logits, k)  # sorted desc
+    probs = jax.nn.softmax(vals.astype(jnp.float32))
+    keep = jnp.ones((k,), bool)
+    if spec.top_p < 1.0:
+        # keep until cumulative prob first reaches top_p (inclusive),
+        # llama-sampling.cpp llama_sampler_top_p_apply
+        cum = jnp.cumsum(probs)
+        keep &= (cum - probs) < spec.top_p
+    if spec.min_p > 0.0:
+        keep &= probs >= spec.min_p * probs[0]
+    keep = keep.at[0].set(True)  # min_keep=1
+    logt = jnp.where(keep, vals / spec.temp, -jnp.inf)
+    choice = jax.random.categorical(key, logt)
+    return idx[choice].astype(jnp.int32)

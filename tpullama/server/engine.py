@@ -357,31 +357,51 @@ class ServerEngine:
         return worked
 
     def _process_prompts(self) -> bool:
-        # advance one slot's prompt by one chunk per iteration (keeps decode
-        # latency for generating slots bounded, like n_batch budgeting)
+        """Advance every prompt-processing slot by one n_ubatch chunk,
+        PACKED into a single device step (the update_slots batch packing,
+        tools/server/server-context.cpp:1664) — concurrent prompts share
+        the forward instead of serializing head-of-line. Multimodal
+        chunked prompts still advance one slot per iteration (media
+        chunks need their own embd path)."""
+        text_slots = []
         for slot in self.slots:
             if slot.state != SlotState.PROMPT:
                 continue
-            task = slot.task
-            if task.chunks is not None:
+            if slot.task.chunks is not None:
                 self._process_chunk_prompt(slot)
                 return True
-            prompt = task.prompt_tokens
-            start = slot.n_prompt_done
-            chunk = prompt[start : start + self.n_ubatch]
-            logits = self.ctx.decode(
+            text_slots.append(slot)
+        if not text_slots:
+            return False
+        batch = []
+        if len(text_slots) == 1 or not hasattr(self.ctx, "decode_multi"):
+            # single prompt (or recurrent context): per-seq prefill path
+            # keeps its bucketed-chunk compile cache
+            slot = text_slots[0]
+            prompt = slot.task.prompt_tokens
+            chunk = prompt[slot.n_prompt_done : slot.n_prompt_done + self.n_ubatch]
+            logits = {slot.id: self.ctx.decode(
                 np.asarray(chunk, np.int32), n_logits=1, seq_id=slot.id
-            )
-            slot.n_prompt_done += len(chunk)
-            slot.cache_tokens = list(prompt[: slot.n_prompt_done])
-            self.metrics["n_prompt_tokens_processed"] += len(chunk)
-            if slot.n_prompt_done >= len(prompt):
-                tok = self._sample(slot, logits[-1])
+            )[-1]}
+            batch = [(slot, len(chunk))]
+        else:
+            chunks = []
+            for slot in text_slots:
+                prompt = slot.task.prompt_tokens
+                chunk = prompt[slot.n_prompt_done : slot.n_prompt_done + self.n_ubatch]
+                chunks.append((slot.id, chunk))
+                batch.append((slot, len(chunk)))
+            logits = self.ctx.decode_multi(chunks)
+        for slot, n in batch:
+            slot.n_prompt_done += n
+            slot.cache_tokens = list(slot.task.prompt_tokens[: slot.n_prompt_done])
+            self.metrics["n_prompt_tokens_processed"] += n
+            if slot.n_prompt_done >= len(slot.task.prompt_tokens):
+                tok = self._sample(slot, logits[slot.id])
                 if not self._emit(slot, tok):
                     continue
                 slot.state = SlotState.GENERATING
-            return True
-        return False
+        return True
 
     def _process_chunk_prompt(self, slot: Slot):
         """Advance a multimodal prompt by one text ubatch or one media

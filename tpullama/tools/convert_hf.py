@@ -339,6 +339,7 @@ _ARCH_MAP = {
     "BertForSequenceClassification": "bert",
     # SSM families (convert_hf_to_gguf.py MambaModel:6380, Mamba2Model:6466)
     "MambaForCausalLM": "mamba",
+    "MambaLMHeadModel": "mamba",  # original non-HF state-spaces checkpoints
     "FalconMambaForCausalLM": "mamba",  # + ssm.dt_b_c_rms
     "Mamba2ForCausalLM": "mamba2",
 }
@@ -366,6 +367,10 @@ _SSM_NAME_MAP = [
 _PRE_BY_ARCH = {
     "qwen2": "qwen2", "qwen3": "qwen2", "qwen2moe": "qwen2",
     "qwen3moe": "qwen2", "llama": "llama-bpe",
+    # state-spaces mamba checkpoints use the GPT-NeoX BPE tokenizer; the
+    # reference's builtin gpt-neox fallback selects the "mpt" pre
+    # (convert_hf_to_gguf.py:1412 _set_vocab_builtin default_pre)
+    "mamba": "mpt", "mamba2": "mpt",
 }
 
 OUTTYPES = {
@@ -394,7 +399,7 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
 
     if arch in ("mamba", "mamba2"):
         return _convert_ssm(model_dir, outfile, arch, hf_arch, config, qt,
-                            pre, verbose)
+                            pre, verbose, ftype_mix=ftype_mix)
 
     n_embd = int(config["hidden_size"])
     n_head = int(config["num_attention_heads"])
@@ -597,7 +602,8 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
 
 
 def _convert_ssm(model_dir: str, outfile: str, arch: str, hf_arch: str,
-                 config: dict, qt, pre: str | None, verbose: bool) -> dict:
+                 config: dict, qt, pre: str | None, verbose: bool,
+                 ftype_mix: str | None = None) -> dict:
     """Mamba / Mamba2 / FalconMamba HF -> GGUF (convert_hf_to_gguf.py
     MambaModel:6380 set_gguf_parameters/modify_tensors, Mamba2Model:6466:
     A_log -> -exp(A_log), conv1d squeeze, mamba2 per-head A/D unsqueeze +
@@ -611,9 +617,11 @@ def _convert_ssm(model_dir: str, outfile: str, arch: str, hf_arch: str,
                 or config.get("rms_norm_eps") or 1e-5)
     if arch == "mamba":
         d_state = int(config.get("state_size") or config.get("d_state") or 16)
-        dt_rank = int(config.get("time_step_rank")
-                      if str(config.get("time_step_rank", "auto")).isdigit()
-                      else -(d_model // -16))
+        # find_hparam chain: HF "time_step_rank" / original "dt_rank" /
+        # ceil(d_model/16) fallback (MambaModel.set_gguf_parameters)
+        dt_rank_cfg = config.get("time_step_rank", config.get("dt_rank", "auto"))
+        dt_rank = int(dt_rank_cfg) if str(dt_rank_cfg).isdigit() \
+            else -(d_model // -16)
         n_group = 0
         head_dim = 0
     else:
@@ -646,7 +654,12 @@ def _convert_ssm(model_dir: str, outfile: str, arch: str, hf_arch: str,
     if hf_arch == "FalconMambaForCausalLM":
         w.add_bool(f"{arch}.ssm.dt_b_c_rms", True)
     w.add_u32(f"{arch}.vocab_size", n_vocab)
-    write_vocab(w, model_dir, arch, config, pre or "default")
+    w.add_u32("general.file_type", {GGMLType.F32: 0, GGMLType.F16: 1,
+                                    GGMLType.BF16: 32, GGMLType.Q8_0: 7,
+                                    GGMLType.Q4_0: 2, GGMLType.Q4_K: 15,
+                                    GGMLType.Q5_K: 17, GGMLType.Q6_K: 18}[qt])
+    write_vocab(w, model_dir, arch, config,
+                pre or _PRE_BY_ARCH.get(arch, "default"))
 
     stats = {"tensors": 0, "bytes": 0}
     tok_embd = None
@@ -656,7 +669,14 @@ def _convert_ssm(model_dir: str, outfile: str, arch: str, hf_arch: str,
         # norms / 1-D / oddly-shaped tensors stay F32 (the reference
         # converter's n_dims<=1 / *_norm.weight / SSM_CONV1D F32 forcing,
         # convert_hf_to_gguf.py:539-570)
-        tt = qt
+        if ftype_mix and data.ndim >= 2:
+            # route through the per-tensor mix rules like the main path
+            # (llama_tensor_get_type: output->Q6_K etc.)
+            from .quantize import tensor_target_type
+
+            tt = tensor_target_type(gname, data.shape, ftype_mix, n_layer)
+        else:
+            tt = qt
         if (data.ndim <= 1 or gname.endswith("norm.weight")
                 or ".ssm_conv1d." in gname or ".ssm_a" in gname
                 or ".ssm_dt." in gname or not gname.endswith(".weight")):
@@ -687,9 +707,11 @@ def _convert_ssm(model_dir: str, outfile: str, arch: str, hf_arch: str,
                 )
                 break
         if gname is None:
-            if verbose:
-                print(f"skip {name}", file=sys.stderr)
-            continue
+            # match the reference converter: an unmappable weight means a
+            # wrong/newer checkpoint layout — refusing beats silently
+            # writing a file that loads but computes garbage
+            # (convert_hf_to_gguf.py map_tensor_name "Can not map tensor")
+            raise ValueError(f"Can not map tensor {name!r}")
         if gname.endswith(".ssm_a"):
             data = -np.exp(data)  # A_log -> A
         if ".ssm_conv1d.weight" in gname:
