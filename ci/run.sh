@@ -8,7 +8,7 @@ cd "$(dirname "$0")/.."
 # into a durable path if not already present. The reference's own
 # tiny-real-model CI pattern (ci/run.sh there) builds the same targets.
 REFSRC="${TPULLAMA_REF_SRC:-/root/reference}"
-REFBUILD="${TPULLAMA_REF_BUILD:-/root/refbuild}"
+REFBUILD="${TPULLAMA_REF_BUILD:-$(pwd)/.refbuild}"
 if [ -d "$REFSRC" ] && [ ! -x "$REFBUILD/bin/llama-cli" ]; then
   echo "=== building reference oracle ($REFBUILD) ==="
   mkdir -p "$REFBUILD"

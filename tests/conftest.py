@@ -26,6 +26,7 @@ jax.config.update("jax_platforms", "cpu")
 # Env vars win; otherwise the first existing build dir is used.
 for _d in (
     os.environ.get("TPULLAMA_REF_BUILD", ""),
+    os.path.join(os.path.dirname(__file__), "..", ".refbuild"),
     "/root/refbuild",
     "/tmp/refbuild",
 ):

@@ -56,6 +56,21 @@ def _linear(x, w, meta=None):
     )
 
 
+def _kv_index(cache, li):
+    """Index layer li out of a (possibly dict-structured) stacked cache."""
+    return jax.tree.map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, li, axis=0, keepdims=False),
+        cache,
+    )
+
+
+def _kv_update(cache, li, new):
+    return jax.tree.map(
+        lambda a, b: jax.lax.dynamic_update_index_in_dim(a, b, li, axis=0),
+        cache, new,
+    )
+
+
 def rope_params(hp: HParams) -> RopeParams:
     return RopeParams(
         n_dims=hp.n_rot,
@@ -90,6 +105,11 @@ def llama_forward(
     inputs_embd=None,  # (B, T, n_embd): raw embedding inputs instead of
     # token ids (the llm_graph_input_embd !ubatch.token path,
     # src/llama-graph.cpp:1174 — used for mtmd image embeddings)
+    cache_slots_swa=None,  # (B, T) int32: ring slots (pos % S_swa) for the
+    # separate small SWA-layer cache when kv_k/kv_v are two-stack dicts
+    # {"full": ..., "swa": ...} — the iswa memory saving of
+    # src/llama-kv-cache-iswa.h:9-14 (SWA layers keep only a
+    # window-sized cache instead of full n_ctx lanes)
     positions4=None,  # (B, T, 4): true M-RoPE (t,h,w,e) positions for
     # image chunks in mrope models (decode_embd_batch
     # set_position_mrope_2d, tools/mtmd/mtmd-helper.cpp:154-166)
@@ -170,6 +190,14 @@ def llama_forward(
         mask_full, mask_swa = attn_mask
     else:
         mask_full = attn_mask if not isinstance(attn_mask, tuple) else attn_mask[0]
+    # two-stack iswa cache layout: {"full": (L_full,...), "swa": (L_swa,...)}
+    two_stack = isinstance(kv_k, dict) and "full" in kv_k
+    if two_stack:
+        _stack_idx, _cnt = [], {"full": 0, "swa": 0}
+        for _s in hp.swa_layers:
+            _key = "swa" if _s else "full"
+            _stack_idx.append(_cnt[_key])
+            _cnt[_key] += 1
 
     kq_scale = (
         hp.f_attention_scale if hp.f_attention_scale != 0.0 else 1.0 / (Dk**0.5)
@@ -258,11 +286,15 @@ def llama_forward(
         if "attn_q_norm" in w and not hp.qk_norm_full and not hp.qk_norm_after_rope:
             q = qk_norm(q, w["attn_q_norm"], w.get("attn_q_norm_bias"))
             k = qk_norm(k, w["attn_k_norm"], w.get("attn_k_norm_bias"))
+        two_stack = isinstance(k_cache, tuple)
         if has_swa:
             is_swa = w["_is_swa"]
             c = jnp.where(is_swa, cos_swa, cos)
             s = jnp.where(is_swa, sin_swa, sin)
-            layer_mask = jnp.where(is_swa, mask_swa, mask_full)
+            # two-stack masks differ in S — each branch picks its own below
+            layer_mask = (
+                mask_full if two_stack else jnp.where(is_swa, mask_swa, mask_full)
+            )
         else:
             c, s, layer_mask = cos, sin, mask_full
         if hp.no_rope_layer_step and use_rope:
@@ -306,48 +338,84 @@ def llama_forward(
 
         # scatter new K/V into the cache rows for this ubatch
         # (the ggml_set_rows indexed-write capability, llama-kv-cache.h:145)
-        if isinstance(k_cache, dict):
-            # int8 KV: symmetric per-(token, head) quantization
-            # (the type_k/type_v quantized-cache capability)
-            def q8(a):
-                amax = jnp.max(jnp.abs(a.astype(jnp.float32)), axis=-1, keepdims=True)
-                s = amax / 127.0
-                qv = jnp.round(a.astype(jnp.float32) / jnp.maximum(s, 1e-12))
-                return jnp.clip(qv, -127, 127).astype(jnp.int8), s[..., 0]
+        def attend(k_cache, v_cache, slots, layer_mask):
+            if isinstance(k_cache, dict):
+                # int8 KV: symmetric per-(token, head) quantization
+                # (the type_k/type_v quantized-cache capability)
+                def q8(a):
+                    amax = jnp.max(
+                        jnp.abs(a.astype(jnp.float32)), axis=-1, keepdims=True
+                    )
+                    s = amax / 127.0
+                    qv = jnp.round(a.astype(jnp.float32) / jnp.maximum(s, 1e-12))
+                    return jnp.clip(qv, -127, 127).astype(jnp.int8), s[..., 0]
 
-            kq8, ks = q8(k)
-            vq8, vs = q8(v)
-            k_cache = {
-                "q": k_cache["q"].at[batch_idx, cache_slots].set(kq8),
-                "s": k_cache["s"].at[batch_idx, cache_slots].set(ks),
-            }
-            v_cache = {
-                "q": v_cache["q"].at[batch_idx, cache_slots].set(vq8),
-                "s": v_cache["s"].at[batch_idx, cache_slots].set(vs),
-            }
-            att = attention_auto(
-                q, k_cache["q"], v_cache["q"], mask=layer_mask, scale=kq_scale,
-                softcap=hp.attn_logit_softcap, sinks=w.get("attn_sinks"),
-                alibi_slopes=alibi_slopes,
-                k_scale=k_cache["s"], v_scale=v_cache["s"],
+                kq8, ks = q8(k)
+                vq8, vs = q8(v)
+                k_cache = {
+                    "q": k_cache["q"].at[batch_idx, slots].set(kq8),
+                    "s": k_cache["s"].at[batch_idx, slots].set(ks),
+                }
+                v_cache = {
+                    "q": v_cache["q"].at[batch_idx, slots].set(vq8),
+                    "s": v_cache["s"].at[batch_idx, slots].set(vs),
+                }
+                att = attention_auto(
+                    q, k_cache["q"], v_cache["q"], mask=layer_mask, scale=kq_scale,
+                    softcap=hp.attn_logit_softcap, sinks=w.get("attn_sinks"),
+                    alibi_slopes=alibi_slopes,
+                    k_scale=k_cache["s"], v_scale=v_cache["s"],
+                )
+            else:
+                pad_kv = k_cache.shape[-2] - Hkv_l  # openelm: cache sized for
+                kk, vv = k, v
+                if pad_kv:  # max(n_head_kv); unused head lanes stay zero
+                    kk = jnp.pad(k, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
+                    vv = jnp.pad(v, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
+                k_cache = k_cache.at[batch_idx, slots].set(kk.astype(k_cache.dtype))
+                v_cache = v_cache.at[batch_idx, slots].set(vv.astype(v_cache.dtype))
+                att = attention_auto(
+                    q,
+                    k_cache[:, :, :Hkv_l] if pad_kv else k_cache,
+                    v_cache[:, :, :Hkv_l] if pad_kv else v_cache,
+                    mask=layer_mask,
+                    scale=kq_scale,
+                    softcap=hp.attn_logit_softcap,
+                    sinks=w.get("attn_sinks"),
+                    alibi_slopes=alibi_slopes,
+                )
+            return att, k_cache, v_cache
+
+        if two_stack:
+            # iswa two-stack cache (src/llama-kv-cache-iswa.h:9-14): dense
+            # layers attend the full-size stack, SWA layers a window-sized
+            # ring stack; each layer updates only its own stack's row
+            kf, ks_ = k_cache
+            vf, vs_ = v_cache
+            sidx = w["_stack_idx"]
+
+            def _full_branch(opr):
+                kf, vf, ks_, vs_ = opr
+                att, kc, vc = attend(
+                    _kv_index(kf, sidx), _kv_index(vf, sidx),
+                    cache_slots, mask_full,
+                )
+                return att, _kv_update(kf, sidx, kc), _kv_update(vf, sidx, vc), ks_, vs_
+
+            def _swa_branch(opr):
+                kf, vf, ks_, vs_ = opr
+                att, kc, vc = attend(
+                    _kv_index(ks_, sidx), _kv_index(vs_, sidx),
+                    cache_slots_swa, mask_swa,
+                )
+                return att, kf, vf, _kv_update(ks_, sidx, kc), _kv_update(vs_, sidx, vc)
+
+            att, kf, vf, ks_, vs_ = jax.lax.cond(
+                w["_is_swa"], _swa_branch, _full_branch, (kf, vf, ks_, vs_)
             )
+            k_cache, v_cache = (kf, ks_), (vf, vs_)
         else:
-            pad_kv = k_cache.shape[-2] - Hkv_l  # openelm: cache sized for
-            if pad_kv:  # max(n_head_kv); unused head lanes stay zero
-                k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
-                v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
-            k_cache = k_cache.at[batch_idx, cache_slots].set(k.astype(k_cache.dtype))
-            v_cache = v_cache.at[batch_idx, cache_slots].set(v.astype(v_cache.dtype))
-            att = attention_auto(
-                q,
-                k_cache[:, :, :Hkv_l] if pad_kv else k_cache,
-                v_cache[:, :, :Hkv_l] if pad_kv else v_cache,
-                mask=layer_mask,
-                scale=kq_scale,
-                softcap=hp.attn_logit_softcap,
-                sinks=w.get("attn_sinks"),
-                alibi_slopes=alibi_slopes,
-            )
+            att, k_cache, v_cache = attend(k_cache, v_cache, cache_slots, layer_mask)
         att = att.reshape(B, T, Hq_l * Dv)
         if "attn_gate" in w:
             # afmoe: attention output gated by sigmoid(gate(attn_norm_out))
@@ -618,13 +686,24 @@ def llama_forward(
                     if hp.no_rope_mod0
                     else (li + 1) % hp.no_rope_layer_step == 0
                 )
-            (x, kc, vc), stats = layer_step(
-                (x, kv_at(kv_k, li), kv_at(kv_v, li)), w,
+            hq_kw = dict(
                 hq=hp.n_head_layers[li] if hp.n_head_layers else None,
                 hkv=hp.n_head_kv_layers[li] if hp.n_head_kv_layers else None,
             )
-            kv_k = kv_set(kv_k, li, kc)
-            kv_v = kv_set(kv_v, li, vc)
+            if two_stack:
+                w["_stack_idx"] = jnp.asarray(_stack_idx[li], jnp.int32)
+                (x, kc, vc), stats = layer_step(
+                    (x, (kv_k["full"], kv_k["swa"]),
+                     (kv_v["full"], kv_v["swa"])), w, **hq_kw,
+                )
+                kv_k = {"full": kc[0], "swa": kc[1]}
+                kv_v = {"full": vc[0], "swa": vc[1]}
+            else:
+                (x, kc, vc), stats = layer_step(
+                    (x, kv_at(kv_k, li), kv_at(kv_v, li)), w, **hq_kw,
+                )
+                kv_k = kv_set(kv_k, li, kc)
+                kv_v = kv_set(kv_v, li, vc)
             if collect_imatrix or collect_hidden:
                 imx.append(stats)
         if collect_imatrix:
@@ -666,6 +745,9 @@ def llama_forward(
         layers["_xielu"] = jnp.asarray(hp.xielu_params, jnp.float32)  # (L, 4)
     if has_swa:
         layers["_is_swa"] = jnp.asarray(hp.swa_layers)
+    if two_stack:
+        layers = dict(layers)
+        layers["_stack_idx"] = jnp.asarray(_stack_idx, jnp.int32)
     if hp.no_rope_layer_step:
         layers["_is_nope"] = jnp.asarray(
             [
@@ -681,30 +763,54 @@ def llama_forward(
     if packed_stacks:
         layers = {k: v for k, v in layers.items() if not isinstance(v, dict)}
 
-    def scan_body(x, per_layer):
-        w, lidx, k_cache, v_cache = per_layer
-        if packed_stacks:
-            w = dict(w)
-            for k, fields in packed_stacks.items():
-                w[k] = (fields, lidx)
-        (x, k_new, v_new), stats = layer_step((x, k_cache, v_cache), w)
-        if collect_imatrix or collect_hidden:
-            return x, ((k_new, v_new), stats)
-        return x, (k_new, v_new)
-
     import os
 
     layer_ids = jnp.arange(hp.n_layer, dtype=jnp.int32)
     unroll = int(os.environ.get("TPULLAMA_SCAN_UNROLL", 1))
-    if collect_imatrix or collect_hidden:
-        x, ((kv_k, kv_v), imatrix_stats) = jax.lax.scan(
-            scan_body, x, (layers, layer_ids, kv_k, kv_v), unroll=unroll
+    if two_stack:
+        # kv stacks ride in the carry (scan xs require per-layer leading
+        # dims, which the compact full/swa stacks don't share)
+        def scan_body2(carry, per_layer):
+            x, kf, vf, ks_, vs_ = carry
+            w, lidx = per_layer
+            if packed_stacks:
+                w = dict(w)
+                for k, fields in packed_stacks.items():
+                    w[k] = (fields, lidx)
+            (x, (kf, ks_), (vf, vs_)), stats = layer_step(
+                (x, (kf, ks_), (vf, vs_)), w
+            )
+            return (x, kf, vf, ks_, vs_), stats
+
+        (x, kf, vf, ks_, vs_), imatrix_stats = jax.lax.scan(
+            scan_body2,
+            (x, kv_k["full"], kv_v["full"], kv_k["swa"], kv_v["swa"]),
+            (layers, layer_ids), unroll=unroll,
         )
-        hidden_stack = imatrix_stats  # (L, B, T, n_embd) when collect_hidden
+        kv_k = {"full": kf, "swa": ks_}
+        kv_v = {"full": vf, "swa": vs_}
+        hidden_stack = imatrix_stats
     else:
-        x, (kv_k, kv_v) = jax.lax.scan(
-            scan_body, x, (layers, layer_ids, kv_k, kv_v), unroll=unroll
-        )
+        def scan_body(x, per_layer):
+            w, lidx, k_cache, v_cache = per_layer
+            if packed_stacks:
+                w = dict(w)
+                for k, fields in packed_stacks.items():
+                    w[k] = (fields, lidx)
+            (x, k_new, v_new), stats = layer_step((x, k_cache, v_cache), w)
+            if collect_imatrix or collect_hidden:
+                return x, ((k_new, v_new), stats)
+            return x, (k_new, v_new)
+
+        if collect_imatrix or collect_hidden:
+            x, ((kv_k, kv_v), imatrix_stats) = jax.lax.scan(
+                scan_body, x, (layers, layer_ids, kv_k, kv_v), unroll=unroll
+            )
+            hidden_stack = imatrix_stats  # (L, B, T, n_embd) when collect_hidden
+        else:
+            x, (kv_k, kv_v) = jax.lax.scan(
+                scan_body, x, (layers, layer_ids, kv_k, kv_v), unroll=unroll
+            )
 
     x = norm_fn(x, params.get("output_norm"), params.get("output_norm_bias"))
     out_w = params.get("output", params["tok_embd"])

@@ -93,6 +93,10 @@ class ContextParams:
     n_seqs: int = 1
     dtype: object = jnp.float32
     kv_dtype: object = None  # default: same as dtype
+    swa_full: bool = False  # True: SWA layers get full n_ctx lanes (the
+    # reference's swa_full cparam, llama.h:360); False (default): SWA
+    # layers keep only a (n_swa + n_ubatch)-sized ring cache — the
+    # llama-kv-cache-iswa memory saving
 
 
 def _bucket(n: int, lo: int = 16) -> int:
@@ -133,20 +137,48 @@ class Context:
         # cache row dims; absorbed MLA stores the compressed latent as
         # MQA rows (hp.kv_cache_dims), a ~n_head-fold KV saving
         Hkv, Dk, Dv = hp.kv_cache_dims
-        if kv_dt == jnp.int8:
-            # quantized KV cache: int8 values + f32 per-(token, head) scales
-            self.kv_k = {
-                "q": jnp.zeros((hp.n_layer, B, S, Hkv, Dk), jnp.int8),
-                "s": jnp.zeros((hp.n_layer, B, S, Hkv), jnp.float32),
-            }
-            self.kv_v = {
-                "q": jnp.zeros((hp.n_layer, B, S, Hkv, Dv), jnp.int8),
-                "s": jnp.zeros((hp.n_layer, B, S, Hkv), jnp.float32),
+
+        def _alloc(n_layers, n_cells):
+            if kv_dt == jnp.int8:
+                # quantized KV: int8 values + f32 per-(token, head) scales
+                kk = {
+                    "q": jnp.zeros((n_layers, B, n_cells, Hkv, Dk), jnp.int8),
+                    "s": jnp.zeros((n_layers, B, n_cells, Hkv), jnp.float32),
+                }
+                vv = {
+                    "q": jnp.zeros((n_layers, B, n_cells, Hkv, Dv), jnp.int8),
+                    "s": jnp.zeros((n_layers, B, n_cells, Hkv), jnp.float32),
+                }
+                return kk, vv
+            return (
+                jnp.zeros((n_layers, B, n_cells, Hkv, Dk), kv_dt),
+                jnp.zeros((n_layers, B, n_cells, Hkv, Dv), kv_dt),
+            )
+
+        # iswa two-stack cache (src/llama-kv-cache-iswa.h:9-14): SWA layers
+        # get a window-sized ring (n_swa + n_ubatch cells, the reference's
+        # kv_size = hparams.n_swa + cparams.n_ubatch) instead of n_ctx lanes
+        n_swa_layers = sum(map(bool, hp.swa_layers)) if hp.swa_layers else 0
+        self._S_swa = 0
+        if (
+            n_swa_layers
+            and not self.p.swa_full
+            and hp.n_swa
+            and hp.arch != "gemma3n"  # dedicated forward, single-stack only
+            and hp.n_swa + min(self.p.n_ubatch, self.p.n_ctx) + 1 < S
+        ):
+            self._S_swa = hp.n_swa + min(self.p.n_ubatch, self.p.n_ctx) + 1
+            kf, vf = _alloc(hp.n_layer - n_swa_layers, S)
+            ks, vs = _alloc(n_swa_layers, self._S_swa)
+            self.kv_k = {"full": kf, "swa": ks}
+            self.kv_v = {"full": vf, "swa": vs}
+            self.kv_pos = {
+                "full": jnp.full((B, S), -1, jnp.int32),
+                "swa": jnp.full((B, self._S_swa), -1, jnp.int32),
             }
         else:
-            self.kv_k = jnp.zeros((hp.n_layer, B, S, Hkv, Dk), kv_dt)
-            self.kv_v = jnp.zeros((hp.n_layer, B, S, Hkv, Dv), kv_dt)
-        self.kv_pos = jnp.full((B, S), -1, jnp.int32)
+            self.kv_k, self.kv_v = _alloc(hp.n_layer, S)
+            self.kv_pos = jnp.full((B, S), -1, jnp.int32)
         # host mirrors: per-cell positions (find_slot free-cell allocator,
         # llama-kv-cache.cpp:679 analog) and next logical position
         self._pos_host = np.full((B, S), -1, np.int32)
@@ -174,6 +206,17 @@ class Context:
         chunks decode non-causally, mtmd.cpp:849-854)."""
         B, T = tokens.shape
         batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+        two_stack = isinstance(kv_pos, dict)
+        slots_swa = None
+        if two_stack:
+            # small-SWA mode: SWA layers use a (S_swa-1)-cell ring addressed
+            # by position (stale ring entries fall outside the window, so
+            # the mask below excludes them); the last row is the scratch
+            # cell for padded tokens (positions < 0)
+            Ss = self._S_swa
+            slots_swa = jnp.where(positions >= 0, positions % (Ss - 1), Ss - 1)
+            kps = kv_pos["swa"].at[batch_idx, slots_swa].set(positions)
+            kv_pos = kv_pos["full"]
         kv_pos = kv_pos.at[batch_idx, slots].set(positions)
         # visibility: cell occupied ∧ causal (SURVEY.md A.5 predicate)
         vis = kv_pos[:, None, :] >= 0
@@ -204,12 +247,19 @@ class Context:
             # iswa models: full mask for dense layers + windowed for SWA;
             # chunked (llama4): kv visible iff at/after the query's chunk
             # start (llama_hparams::is_masked_swa LLAMA_SWA_TYPE_CHUNKED)
+            if two_stack:  # window mask reads the ring stack's cells
+                kp_w = kps
+                vis_w = kp_w[:, None, :] >= 0
+                if causal:
+                    vis_w = vis_w & (kp_w[:, None, :] <= positions[:, :, None])
+            else:
+                kp_w, vis_w = kv_pos, vis
             if self.hp.swa_type == "chunked":
                 chunk_start = (positions[:, :, None] // self.hp.n_swa) * self.hp.n_swa
-                vis_swa = vis & (kv_pos[:, None, :] >= chunk_start)
+                vis_swa = vis_w & (kp_w[:, None, :] >= chunk_start)
             else:
-                vis_swa = vis & (
-                    kv_pos[:, None, :] > positions[:, :, None] - self.hp.n_swa
+                vis_swa = vis_w & (
+                    kp_w[:, None, :] > positions[:, :, None] - self.hp.n_swa
                 )
             mask = (mask, jnp.where(vis_swa, jnp.float32(0), NEG_INF)[:, None, :, :])
         elif self.hp.n_swa:
@@ -236,8 +286,13 @@ class Context:
                 params, self.hp, tokens, positions, kv_k, kv_v, slots, mask,
                 quant_meta=self.model.quant_meta, return_embd=True,
                 inputs_embd=embd, positions4=positions4,
+                cache_slots_swa=slots_swa,
             )
+            if two_stack:
+                kv_pos = {"full": kv_pos, "swa": kps}
             return logits, out_embd, kv_k, kv_v, kv_pos
+        if two_stack:
+            kv_pos = {"full": kv_pos, "swa": kps}
         return logits, embd, kv_k, kv_v, kv_pos
 
     def _step_seq(self, params, kv_k, kv_v, kv_pos, seq, tokens, positions, slots, n_logits: int):
@@ -247,7 +302,9 @@ class Context:
         )
         kk = slice1(kv_k)
         vv = slice1(kv_v)
-        pp = jax.lax.dynamic_slice_in_dim(kv_pos, seq, 1, axis=0)
+        pp = jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, seq, 1, axis=0), kv_pos
+        )
         T = tokens.shape[1]
         logits, embd, kk, vv, pp = self._forward(params, kk, vv, pp, tokens, positions, slots)
         upd1 = lambda full, part: jax.tree.map(
@@ -255,7 +312,10 @@ class Context:
         )
         kv_k = upd1(kv_k, kk)
         kv_v = upd1(kv_v, vv)
-        kv_pos = jax.lax.dynamic_update_slice_in_dim(kv_pos, pp, seq, axis=0)
+        kv_pos = jax.tree.map(
+            lambda a, b: jax.lax.dynamic_update_slice_in_dim(a, b, seq, axis=0),
+            kv_pos, pp,
+        )
         return logits[0, T - n_logits :, :], embd[0], kv_k, kv_v, kv_pos
 
     def _step_seq_embd(self, params, kv_k, kv_v, kv_pos, seq, embd, positions,
@@ -267,7 +327,9 @@ class Context:
         )
         kk = slice1(kv_k)
         vv = slice1(kv_v)
-        pp = jax.lax.dynamic_slice_in_dim(kv_pos, seq, 1, axis=0)
+        pp = jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, seq, 1, axis=0), kv_pos
+        )
         T = embd.shape[1]
         tokens = jnp.zeros((1, T), jnp.int32)
         logits, oembd, kk, vv, pp = self._forward(
@@ -279,7 +341,10 @@ class Context:
         )
         kv_k = upd1(kv_k, kk)
         kv_v = upd1(kv_v, vv)
-        kv_pos = jax.lax.dynamic_update_slice_in_dim(kv_pos, pp, seq, axis=0)
+        kv_pos = jax.tree.map(
+            lambda a, b: jax.lax.dynamic_update_slice_in_dim(a, b, seq, axis=0),
+            kv_pos, pp,
+        )
         return logits[0, T - n_logits :, :], oembd[0], kv_k, kv_v, kv_pos
 
     def _step_all(self, params, kv_k, kv_v, kv_pos, tokens, positions, slots):
@@ -312,7 +377,8 @@ class Context:
 
         def step(carry, _):
             tok, kk, vv, kp, npast = carry
-            slot = jnp.argmax(kp[0] < 0).astype(jnp.int32)  # first free cell
+            kpf = kp["full"] if isinstance(kp, dict) else kp
+            slot = jnp.argmax(kpf[0] < 0).astype(jnp.int32)  # first free cell
             toks = tok[None, None]
             pos = npast[None, None]
             slots = slot[None, None]
@@ -338,7 +404,8 @@ class Context:
 
         def step(carry, i):
             tok, kk, vv, kp, npast = carry
-            slot = jnp.argmax(kp[0] < 0).astype(jnp.int32)
+            kpf = kp["full"] if isinstance(kp, dict) else kp
+            slot = jnp.argmax(kpf[0] < 0).astype(jnp.int32)
             logits, _, kk, vv, kp = self._forward(
                 params, kk, vv, kp, tok[None, None], npast[None, None],
                 slot[None, None],
@@ -406,6 +473,20 @@ class Context:
                 f"context overflow: {n_past}+{T} > n_ctx={self.p.n_ctx} "
                 f"(use seq_rm / context shift)"
             )
+        if self._S_swa and T > self.p.n_ubatch:
+            # small-SWA ring holds n_swa + n_ubatch cells: a single forward
+            # may write at most n_ubatch new rows, so chunk the prompt the
+            # way llama_decode splits batches into ubatches
+            ub = self.p.n_ubatch
+            pieces = []
+            for st in range(0, T, ub):
+                chunk = tokens[0, st : st + ub]
+                end = st + len(chunk)
+                need = min(max(0, n_logits - (T - end)), len(chunk))
+                out = self.decode(chunk, n_logits=max(1, need), seq_id=seq_id)
+                if need:
+                    pieces.append(out[-need:])
+            return np.concatenate(pieces, axis=0)[-n_logits:]
         Tb = _bucket(T) if T > 1 else 1
         pad = Tb - T
         S = self._S
@@ -465,6 +546,12 @@ class Context:
             n_pos_adv = max(nx, ny)
         if n_past + n_pos_adv > self.p.n_ctx:
             raise ValueError(f"context overflow: {n_past}+{n_pos_adv} > n_ctx={self.p.n_ctx}")
+        if self._S_swa and T > self.p.n_ubatch:
+            raise ValueError(
+                f"embd chunk of {T} tokens exceeds n_ubatch={self.p.n_ubatch} "
+                "(small-SWA ring cache writes at most n_ubatch rows per step; "
+                "raise n_ubatch or use swa_full=True)"
+            )
         Tb = _bucket(T) if T > 1 else 1
         pad = Tb - T
         S = self._S
@@ -606,13 +693,21 @@ class Context:
 
     # ------------------------------------------------------- seq ops
 
+    def _kp(self, stack: str = "full"):
+        """kv_pos row array for a stack ('full' is the source of truth)."""
+        return self.kv_pos[stack] if isinstance(self.kv_pos, dict) else self.kv_pos
+
     def seq_rm(self, p0: int, p1: int, seq_id: int = 0):
         """Remove positions [p0, p1) from a sequence (llama_memory_seq_rm)."""
         if p1 < 0:
             p1 = 1 << 30
-        row = self.kv_pos[seq_id]
-        keep = ~((row >= p0) & (row < p1))
-        self.kv_pos = self.kv_pos.at[seq_id].set(jnp.where(keep, row, -1))
+
+        def rm(kp):
+            row = kp[seq_id]
+            keep = ~((row >= p0) & (row < p1))
+            return kp.at[seq_id].set(jnp.where(keep, row, -1))
+
+        self.kv_pos = jax.tree.map(rm, self.kv_pos)
         h = self._pos_host[seq_id]
         h[(h >= p0) & (h < p1)] = -1
         if p1 >= int(self.n_past[seq_id]):
@@ -623,12 +718,59 @@ class Context:
         re-rotating the cached K rows by the delta — the reference's lazy
         rope-shift graph (llama_kv_cache::update, llama-kv-cache.cpp:606)
         applied eagerly: R(pos+d) = R(d)·R(pos) per rope frequency."""
-        row = self.kv_pos[seq_id]
-        rng = (row >= p0) & (row < p1)
-        self.kv_k = _shift_k_rows(
-            self.kv_k, jnp.int32(seq_id), rng, jnp.int32(delta), self.hp
-        )
-        self.kv_pos = self.kv_pos.at[seq_id].set(jnp.where(rng, row + delta, row))
+        if isinstance(self.kv_pos, dict):
+            # full stack: plain rotate-in-place (slots don't move)
+            row = self.kv_pos["full"][seq_id]
+            rng = (row >= p0) & (row < p1)
+            self.kv_k["full"] = _shift_k_rows(
+                self.kv_k["full"], jnp.int32(seq_id), rng, jnp.int32(delta),
+                self.hp,
+            )
+            self.kv_pos["full"] = self.kv_pos["full"].at[seq_id].set(
+                jnp.where(rng, row + delta, row)
+            )
+            # swa ring stack: lanes are position-addressed (lane = pos %
+            # ring), so shifted cells must also MOVE to their new lane.
+            # Rotate K by delta, then permute K/V rows to the new-lane map
+            # (winner per lane = newest pos; losers are >= ring older and
+            # therefore outside any future window — same guarantee the
+            # ring addressing itself relies on).
+            R = self._S_swa
+            srow = np.asarray(self.kv_pos["swa"][seq_id])
+            srng = (srow >= p0) & (srow < p1)
+            self.kv_k["swa"] = _shift_k_rows(
+                self.kv_k["swa"], jnp.int32(seq_id), jnp.asarray(srng),
+                jnp.int32(delta), self.hp,
+            )
+            new_pos = np.where(srng, srow + delta, srow)
+            src = np.full(R, -1, np.int64)
+            posf = np.full(R, -1, np.int32)
+            for i in np.argsort(new_pos, kind="stable"):  # newest wins
+                if new_pos[i] >= 0:
+                    lane = int(new_pos[i]) % (R - 1)
+                    src[lane] = i
+                    posf[lane] = new_pos[i]
+            gather = jnp.asarray(np.maximum(src, 0), jnp.int32)
+
+            def permute(t):
+                def g(a):  # leaf (L, B, cells, ...): move cell rows
+                    moved = jnp.take(a[:, seq_id], gather, axis=1)
+                    return a.at[:, seq_id].set(moved)
+
+                return jax.tree.map(g, t)
+
+            self.kv_k["swa"] = permute(self.kv_k["swa"])
+            self.kv_v["swa"] = permute(self.kv_v["swa"])
+            self.kv_pos["swa"] = self.kv_pos["swa"].at[seq_id].set(
+                jnp.asarray(posf)
+            )
+        else:
+            row = self.kv_pos[seq_id]
+            rng = (row >= p0) & (row < p1)
+            self.kv_k = _shift_k_rows(
+                self.kv_k, jnp.int32(seq_id), rng, jnp.int32(delta), self.hp
+            )
+            self.kv_pos = self.kv_pos.at[seq_id].set(jnp.where(rng, row + delta, row))
         h = self._pos_host[seq_id]
         h[(h >= p0) & (h < p1)] += delta
         if p1 >= int(self.n_past[seq_id]) >= p0:
@@ -638,6 +780,14 @@ class Context:
         """Integer-divide positions in [p0, p1) by d (llama_memory_seq_div
         — the self-extend / grouped-attention primitive, SURVEY.md A.10).
         Cached K is re-rotated by (new_pos - old_pos) per cell."""
+        if isinstance(self.kv_pos, dict):
+            # position compression remaps ring slots (slot = pos % ring);
+            # the small SWA cache cannot express it — mirror the
+            # reference's unsupported-op surface (use swa_full instead)
+            raise RuntimeError(
+                "seq_div (self-extend) requires swa_full=True with an "
+                "iswa small cache"
+            )
         row = self.kv_pos[seq_id]
         rng = (row >= p0) & (row < p1)
         new_row = jnp.where(rng, row // d, row)
@@ -654,19 +804,47 @@ class Context:
         cp = lambda t: jax.tree.map(lambda a: a.at[:, dst].set(a[:, src]), t)
         self.kv_k = cp(self.kv_k)
         self.kv_v = cp(self.kv_v)
-        self.kv_pos = self.kv_pos.at[dst].set(self.kv_pos[src])
+        self.kv_pos = jax.tree.map(
+            lambda kp: kp.at[dst].set(kp[src]), self.kv_pos
+        )
         self._pos_host[dst] = self._pos_host[src]
         self.n_past[dst] = self.n_past[src]
 
     def reset(self, seq_id: int | None = None):
         if seq_id is None:
-            self.kv_pos = jnp.full_like(self.kv_pos, -1)
+            self.kv_pos = jax.tree.map(lambda kp: jnp.full_like(kp, -1), self.kv_pos)
             self._pos_host[:] = -1
             self.n_past[:] = 0
         else:
-            self.kv_pos = self.kv_pos.at[seq_id].set(-1)
+            self.kv_pos = jax.tree.map(
+                lambda kp: kp.at[seq_id].set(-1), self.kv_pos
+            )
             self._pos_host[seq_id] = -1
             self.n_past[seq_id] = 0
+
+    def memory_breakdown(self) -> dict:
+        """Per-component device-memory byte counts — the
+        llama_memory_breakdown_print analog (llama.h:1398)."""
+        import numpy as _np
+
+        def nbytes(t):
+            return sum(
+                int(_np.prod(a.shape)) * jnp.dtype(a.dtype).itemsize
+                for a in jax.tree.leaves(t)
+            )
+
+        out = {
+            "weights": nbytes(self.model.params),
+            "kv_cache": nbytes(self.kv_k) + nbytes(self.kv_v),
+        }
+        if isinstance(self.kv_k, dict) and "full" in self.kv_k:
+            out["kv_cache_full_layers"] = nbytes(self.kv_k["full"]) + nbytes(
+                self.kv_v["full"]
+            )
+            out["kv_cache_swa_layers"] = nbytes(self.kv_k["swa"]) + nbytes(
+                self.kv_v["swa"]
+            )
+        return out
 
     # ------------------------------------------------------- generate
 

@@ -26,8 +26,33 @@ MAGIC_SEQ = b"TPSQ"
 VERSION = 1
 
 
+def _leaves(tag: str, tree) -> dict:
+    """Flatten a (possibly nested-dict) cache tree to 'tag/path' -> array."""
+    out = {}
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            out.update(_leaves(f"{tag}/{k}", tree[k]))
+    else:
+        out[tag] = tree
+    return out
+
+
+def _rebuild(tag: str, template, arrays: dict, leaf):
+    """Rebuild a tree shaped like `template` from flattened arrays,
+    applying `leaf(old_leaf, saved_np_array)` at each leaf."""
+    if isinstance(template, dict):
+        return {
+            k: _rebuild(f"{tag}/{k}", template[k], arrays, leaf)
+            for k in template
+        }
+    return leaf(template, arrays[tag])
+
+
 def _fingerprint(ctx) -> dict:
     hp = ctx.hp
+    import jax
+
+    kv_leaf = jax.tree.leaves(ctx.kv_k)[0]
     return {
         "arch": hp.arch,
         "n_layer": hp.n_layer,
@@ -35,7 +60,7 @@ def _fingerprint(ctx) -> dict:
         "n_embd_head_k": hp.n_embd_head_k,
         "n_embd_head_v": hp.n_embd_head_v,
         "n_ctx": ctx.p.n_ctx,
-        "kv_dtype": str(np.dtype(ctx.kv_k.dtype)),
+        "kv_dtype": str(np.dtype(kv_leaf.dtype)),
     }
 
 
@@ -74,12 +99,15 @@ def _read(f, magic: bytes) -> tuple[dict, dict]:
 def state_save(ctx, dest, tokens: list[int] | None = None) -> None:
     """Save the whole context state (+ optional session token prefix)."""
     arrays = {
-        "kv_k": np.asarray(ctx.kv_k),
-        "kv_v": np.asarray(ctx.kv_v),
-        "kv_pos": np.asarray(ctx.kv_pos),
-        "pos_host": np.asarray(ctx._pos_host),
-        "n_past": np.asarray(ctx.n_past),
+        k: np.asarray(v)
+        for k, v in {
+            **_leaves("kv_k", ctx.kv_k),
+            **_leaves("kv_v", ctx.kv_v),
+            **_leaves("kv_pos", ctx.kv_pos),
+        }.items()
     }
+    arrays["pos_host"] = np.asarray(ctx._pos_host)
+    arrays["n_past"] = np.asarray(ctx.n_past)
     if tokens is not None:
         arrays["tokens"] = np.asarray(tokens, np.int32)
     header = {"fingerprint": _fingerprint(ctx)}
@@ -102,10 +130,12 @@ def state_load(ctx, src) -> list[int] | None:
     want = _fingerprint(ctx)
     if fp != want:
         raise ValueError(f"state file: model/context mismatch: {fp} != {want}")
-    ctx.kv_k = jnp.asarray(arrays["kv_k"])
-    ctx.kv_v = jnp.asarray(arrays["kv_v"])
-    ctx.kv_pos = jnp.asarray(arrays["kv_pos"])
-    ctx._pos_host[:] = arrays.get("pos_host", np.asarray(arrays["kv_pos"]))
+    full = lambda _old, a: jnp.asarray(a)
+    ctx.kv_k = _rebuild("kv_k", ctx.kv_k, arrays, full)
+    ctx.kv_v = _rebuild("kv_v", ctx.kv_v, arrays, full)
+    ctx.kv_pos = _rebuild("kv_pos", ctx.kv_pos, arrays, full)
+    kp_main = arrays.get("kv_pos", arrays.get("kv_pos/full"))
+    ctx._pos_host[:] = arrays.get("pos_host", np.asarray(kp_main))
     ctx.n_past[:] = arrays["n_past"]
     toks = arrays.get("tokens")
     return list(toks) if toks is not None else None
@@ -113,13 +143,23 @@ def state_load(ctx, src) -> list[int] | None:
 
 def seq_save(ctx, seq_id: int, dest, tokens: list[int] | None = None) -> None:
     """Save one sequence lane (server slot save, llama.h:791-852)."""
+    import jax
+
     arrays = {
-        "kv_k": np.asarray(ctx.kv_k[:, seq_id]),
-        "kv_v": np.asarray(ctx.kv_v[:, seq_id]),
-        "kv_pos": np.asarray(ctx.kv_pos[seq_id]),
-        "pos_host": np.asarray(ctx._pos_host[seq_id]),
-        "n_past": np.asarray([ctx.n_past[seq_id]]),
+        k: np.asarray(v[:, seq_id])
+        for k, v in {
+            **_leaves("kv_k", ctx.kv_k),
+            **_leaves("kv_v", ctx.kv_v),
+        }.items()
     }
+    arrays.update(
+        {
+            k: np.asarray(v[seq_id])
+            for k, v in _leaves("kv_pos", ctx.kv_pos).items()
+        }
+    )
+    arrays["pos_host"] = np.asarray(ctx._pos_host[seq_id])
+    arrays["n_past"] = np.asarray([ctx.n_past[seq_id]])
     if tokens is not None:
         arrays["tokens"] = np.asarray(tokens, np.int32)
     header = {"fingerprint": _fingerprint(ctx)}
@@ -141,10 +181,15 @@ def seq_load(ctx, seq_id: int, src) -> list[int] | None:
     want = _fingerprint(ctx)
     if fp != want:
         raise ValueError(f"state file: model/context mismatch: {fp} != {want}")
-    ctx.kv_k = ctx.kv_k.at[:, seq_id].set(jnp.asarray(arrays["kv_k"]))
-    ctx.kv_v = ctx.kv_v.at[:, seq_id].set(jnp.asarray(arrays["kv_v"]))
-    ctx.kv_pos = ctx.kv_pos.at[seq_id].set(jnp.asarray(arrays["kv_pos"]))
-    ctx._pos_host[seq_id] = arrays.get("pos_host", np.asarray(arrays["kv_pos"]))
+    lane = lambda old, a: old.at[:, seq_id].set(jnp.asarray(a))
+    ctx.kv_k = _rebuild("kv_k", ctx.kv_k, arrays, lane)
+    ctx.kv_v = _rebuild("kv_v", ctx.kv_v, arrays, lane)
+    ctx.kv_pos = _rebuild(
+        "kv_pos", ctx.kv_pos, arrays,
+        lambda old, a: old.at[seq_id].set(jnp.asarray(a)),
+    )
+    kp_main = arrays.get("kv_pos", arrays.get("kv_pos/full"))
+    ctx._pos_host[seq_id] = arrays.get("pos_host", np.asarray(kp_main))
     ctx.n_past[seq_id] = int(arrays["n_past"][0])
     toks = arrays.get("tokens")
     return list(toks) if toks is not None else None
