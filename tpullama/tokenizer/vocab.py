@@ -209,7 +209,7 @@ class Vocab:
         self._rwkv_trie = None
         self._rwkv_pieces = None
         self.bpe_ranks: dict[tuple[str, str], int] = {}
-        if merges:
+        if merges is not None and len(merges):
             for i, m in enumerate(merges):
                 pos = m.find(" ", 1)
                 if pos > 0:

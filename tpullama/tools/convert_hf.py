@@ -283,6 +283,10 @@ _NAME_MAP = [
     (r"^model\.layers\.(\d+)\.mlp\.shared_expert\.up_proj\.weight$", "blk.{bid}.ffn_up_shexp.weight"),
     (r"^model\.layers\.(\d+)\.mlp\.shared_expert\.down_proj\.weight$", "blk.{bid}.ffn_down_shexp.weight"),
     (r"^model\.layers\.(\d+)\.mlp\.shared_expert_gate\.weight$", "blk.{bid}.ffn_gate_inp_shexp.weight"),
+    # deepseek v1/v2 shared experts (plural HF module name)
+    (r"^model\.layers\.(\d+)\.mlp\.shared_experts\.gate_proj\.weight$", "blk.{bid}.ffn_gate_shexp.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.shared_experts\.up_proj\.weight$", "blk.{bid}.ffn_up_shexp.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.shared_experts\.down_proj\.weight$", "blk.{bid}.ffn_down_shexp.weight"),
 ]
 
 # gemma2/gemma3 re-map the pre/post norms (convert_hf_to_gguf.py
@@ -334,6 +338,7 @@ _ARCH_MAP = {
     "Qwen3MoeForCausalLM": "qwen3moe",
     "GemmaForCausalLM": "gemma",
     "Gemma2ForCausalLM": "gemma2",
+    "Gemma3ForCausalLM": "gemma3",
     "Phi3ForCausalLM": "phi3",
     "BertModel": "bert",
     "BertForSequenceClassification": "bert",
@@ -342,7 +347,51 @@ _ARCH_MAP = {
     "MambaLMHeadModel": "mamba",  # original non-HF state-spaces checkpoints
     "FalconMambaForCausalLM": "mamba",  # + ssm.dt_b_c_rms
     "Mamba2ForCausalLM": "mamba2",
+    # round-2 families (reference classes cited per spec below)
+    "OlmoForCausalLM": "olmo",
+    "OLMoForCausalLM": "olmo",
+    "Olmo2ForCausalLM": "olmo2",
+    "Olmo3ForCausalLM": "olmo2",
+    "OlmoeForCausalLM": "olmoe",
+    "SeedOssForCausalLM": "seed_oss",
+    "ArceeForCausalLM": "arcee",
+    "SmolLM3ForCausalLM": "smollm3",
+    "Glm4ForCausalLM": "glm4",
+    "CohereForCausalLM": "command-r",
+    "Cohere2ForCausalLM": "cohere2",
+    "NemotronForCausalLM": "nemotron",
+    "GraniteForCausalLM": "granite",
+    "GraniteMoeForCausalLM": "granitemoe",
+    "GraniteMoeSharedForCausalLM": "granitemoe",
+    "Ernie4_5ForCausalLM": "ernie4_5",
+    "Ernie4_5_ForCausalLM": "ernie4_5",
+    "Exaone4ForCausalLM": "exaone4",
+    "StableLmForCausalLM": "stablelm",
+    "Starcoder2ForCausalLM": "starcoder2",
+    "InternLM2ForCausalLM": "internlm2",
+    "MiniCPMForCausalLM": "minicpm",
+    "PhiForCausalLM": "phi2",
+    "GPT2LMHeadModel": "gpt2",
+    "GPTNeoXForCausalLM": "gptneox",
+    "BloomForCausalLM": "bloom",
+    "BloomModel": "bloom",
+    "FalconForCausalLM": "falcon",
+    "RWForCausalLM": "falcon",
+    "MptForCausalLM": "mpt",
+    "MPTForCausalLM": "mpt",
+    "BaichuanForCausalLM": "baichuan",
+    "DeepseekForCausalLM": "deepseek",
+    "DeepseekV2ForCausalLM": "deepseek2",
+    "DeepseekV3ForCausalLM": "deepseek2",
 }
+
+
+def _g(config: dict, *keys, default=None):
+    """find_hparam chain: first present non-None config key wins."""
+    for k in keys:
+        if config.get(k) is not None:
+            return config[k]
+    return default
 
 # HF mamba names -> gguf (tensor_mapping.py SSM_* rows; both the
 # transformers "backbone.*" and bare "model.*" naming variants)
@@ -363,6 +412,465 @@ _SSM_NAME_MAP = [
     (r"^(?:backbone|model)\.layers\.(\d+)\.mixer\.norm\.weight$", "blk.{bid}.ssm_norm.weight"),
     (r"^(?:backbone|model)\.layers\.(\d+)\.mixer\.out_proj\.weight$", "blk.{bid}.ssm_out.weight"),
 ]
+
+# post-norm sandwich archs (olmo2; glm4 uses its own HF names): the
+# post_attention / post_feedforward norms map to the gemma2-style gguf
+# names (constants.py ATTN_POST_NORM/FFN_POST_NORM rows)
+_OLMO2_NORM_MAP = [
+    (r"^model\.layers\.(\d+)\.post_attention_layernorm\.weight$", "blk.{bid}.post_attention_norm.weight"),
+    (r"^model\.layers\.(\d+)\.post_feedforward_layernorm\.weight$", "blk.{bid}.post_ffw_norm.weight"),
+]
+
+_GLM4_NORM_MAP = [
+    (r"^model\.layers\.(\d+)\.post_self_attn_layernorm\.weight$", "blk.{bid}.post_attention_norm.weight"),
+    (r"^model\.layers\.(\d+)\.post_mlp_layernorm\.weight$", "blk.{bid}.post_ffw_norm.weight"),
+]
+
+# LN archs with biases / alternate HF prefixes (tensor_mapping.py rows)
+_LN_BIAS_MAP = [
+    (r"^model\.layers\.(\d+)\.input_layernorm\.bias$", "blk.{bid}.attn_norm.bias"),
+    (r"^model\.layers\.(\d+)\.post_attention_layernorm\.bias$", "blk.{bid}.ffn_norm.bias"),
+    (r"^model\.norm\.bias$", "output_norm.bias"),
+    (r"^model\.final_layernorm\.(weight|bias)$", "output_norm.{suf}"),
+    (r"^lm_head\.bias$", "output.bias"),
+    (r"^model\.layers\.(\d+)\.self_attn\.dense\.(weight|bias)$", "blk.{bid}.attn_output.{suf}"),
+    (r"^model\.layers\.(\d+)\.self_attn\.o_proj\.bias$", "blk.{bid}.attn_output.bias"),
+    (r"^model\.layers\.(\d+)\.mlp\.fc1\.(weight|bias)$", "blk.{bid}.ffn_up.{suf}"),
+    (r"^model\.layers\.(\d+)\.mlp\.fc2\.(weight|bias)$", "blk.{bid}.ffn_down.{suf}"),
+    (r"^model\.layers\.(\d+)\.mlp\.c_fc\.(weight|bias)$", "blk.{bid}.ffn_up.{suf}"),
+    (r"^model\.layers\.(\d+)\.mlp\.c_proj\.(weight|bias)$", "blk.{bid}.ffn_down.{suf}"),
+    (r"^model\.layers\.(\d+)\.mlp\.up_proj\.bias$", "blk.{bid}.ffn_up.bias"),
+    (r"^model\.layers\.(\d+)\.mlp\.down_proj\.bias$", "blk.{bid}.ffn_down.bias"),
+]
+
+_GPT2_NAME_MAP = [
+    (r"^(?:transformer\.)?wte\.weight$", "token_embd.weight"),
+    (r"^(?:transformer\.)?wpe\.weight$", "position_embd.weight"),
+    (r"^(?:transformer\.)?ln_f\.(weight|bias)$", "output_norm.{suf}"),
+    (r"^lm_head\.weight$", "output.weight"),
+    (r"^(?:transformer\.)?h\.(\d+)\.ln_1\.(weight|bias)$", "blk.{bid}.attn_norm.{suf}"),
+    (r"^(?:transformer\.)?h\.(\d+)\.attn\.c_attn\.(weight|bias)$", "blk.{bid}.attn_qkv.{suf}"),
+    (r"^(?:transformer\.)?h\.(\d+)\.attn\.c_proj\.(weight|bias)$", "blk.{bid}.attn_output.{suf}"),
+    (r"^(?:transformer\.)?h\.(\d+)\.ln_2\.(weight|bias)$", "blk.{bid}.ffn_norm.{suf}"),
+    (r"^(?:transformer\.)?h\.(\d+)\.mlp\.c_fc\.(weight|bias)$", "blk.{bid}.ffn_up.{suf}"),
+    (r"^(?:transformer\.)?h\.(\d+)\.mlp\.c_proj\.(weight|bias)$", "blk.{bid}.ffn_down.{suf}"),
+]
+
+_GPTNEOX_NAME_MAP = [
+    (r"^gpt_neox\.embed_in\.weight$", "token_embd.weight"),
+    (r"^gpt_neox\.final_layer_norm\.(weight|bias)$", "output_norm.{suf}"),
+    (r"^embed_out\.weight$", "output.weight"),
+    (r"^gpt_neox\.layers\.(\d+)\.input_layernorm\.(weight|bias)$", "blk.{bid}.attn_norm.{suf}"),
+    (r"^gpt_neox\.layers\.(\d+)\.attention\.query_key_value\.(weight|bias)$", "blk.{bid}.attn_qkv.{suf}"),
+    (r"^gpt_neox\.layers\.(\d+)\.attention\.dense\.(weight|bias)$", "blk.{bid}.attn_output.{suf}"),
+    (r"^gpt_neox\.layers\.(\d+)\.post_attention_layernorm\.(weight|bias)$", "blk.{bid}.ffn_norm.{suf}"),
+    (r"^gpt_neox\.layers\.(\d+)\.mlp\.dense_h_to_4h\.(weight|bias)$", "blk.{bid}.ffn_up.{suf}"),
+    (r"^gpt_neox\.layers\.(\d+)\.mlp\.dense_4h_to_h\.(weight|bias)$", "blk.{bid}.ffn_down.{suf}"),
+]
+
+_BLOOM_NAME_MAP = [
+    (r"^(?:transformer\.)?word_embeddings\.weight$", "token_embd.weight"),
+    (r"^(?:transformer\.)?word_embeddings_layernorm\.(weight|bias)$", "token_embd_norm.{suf}"),
+    (r"^(?:transformer\.)?ln_f\.(weight|bias)$", "output_norm.{suf}"),
+    (r"^lm_head\.weight$", "output.weight"),
+    (r"^(?:transformer\.)?h\.(\d+)\.input_layernorm\.(weight|bias)$", "blk.{bid}.attn_norm.{suf}"),
+    (r"^(?:transformer\.)?h\.(\d+)\.self_attention\.query_key_value\.(weight|bias)$", "blk.{bid}.attn_qkv.{suf}"),
+    (r"^(?:transformer\.)?h\.(\d+)\.self_attention\.dense\.(weight|bias)$", "blk.{bid}.attn_output.{suf}"),
+    (r"^(?:transformer\.)?h\.(\d+)\.post_attention_layernorm\.(weight|bias)$", "blk.{bid}.ffn_norm.{suf}"),
+    (r"^(?:transformer\.)?h\.(\d+)\.mlp\.dense_h_to_4h\.(weight|bias)$", "blk.{bid}.ffn_up.{suf}"),
+    (r"^(?:transformer\.)?h\.(\d+)\.mlp\.dense_4h_to_h\.(weight|bias)$", "blk.{bid}.ffn_down.{suf}"),
+]
+
+_FALCON_NAME_MAP = [
+    (r"^(?:transformer\.)?word_embeddings\.weight$", "token_embd.weight"),
+    (r"^(?:transformer\.)?ln_f\.(weight|bias)$", "output_norm.{suf}"),
+    (r"^lm_head\.weight$", "output.weight"),
+    (r"^(?:transformer\.)?h\.(\d+)\.ln_attn\.(weight|bias)$", "blk.{bid}.attn_norm.{suf}"),
+    (r"^(?:transformer\.)?h\.(\d+)\.ln_mlp\.(weight|bias)$", "blk.{bid}.attn_norm_2.{suf}"),
+    (r"^(?:transformer\.)?h\.(\d+)\.input_layernorm\.(weight|bias)$", "blk.{bid}.attn_norm.{suf}"),
+    (r"^(?:transformer\.)?h\.(\d+)\.self_attention\.query_key_value\.weight$", "blk.{bid}.attn_qkv.weight"),
+    (r"^(?:transformer\.)?h\.(\d+)\.self_attention\.dense\.weight$", "blk.{bid}.attn_output.weight"),
+    (r"^(?:transformer\.)?h\.(\d+)\.mlp\.dense_h_to_4h\.weight$", "blk.{bid}.ffn_up.weight"),
+    (r"^(?:transformer\.)?h\.(\d+)\.mlp\.dense_4h_to_h\.weight$", "blk.{bid}.ffn_down.weight"),
+]
+
+_MPT_NAME_MAP = [
+    (r"^transformer\.wte\.weight$", "token_embd.weight"),
+    (r"^transformer\.norm_f\.weight$", "output_norm.weight"),
+    (r"^transformer\.blocks\.(\d+)\.norm_1\.weight$", "blk.{bid}.attn_norm.weight"),
+    (r"^transformer\.blocks\.(\d+)\.attn\.Wqkv\.(weight|bias)$", "blk.{bid}.attn_qkv.{suf}"),
+    (r"^transformer\.blocks\.(\d+)\.attn\.out_proj\.weight$", "blk.{bid}.attn_output.weight"),
+    (r"^transformer\.blocks\.(\d+)\.norm_2\.weight$", "blk.{bid}.ffn_norm.weight"),
+    (r"^transformer\.blocks\.(\d+)\.ffn\.up_proj\.weight$", "blk.{bid}.ffn_up.weight"),
+    (r"^transformer\.blocks\.(\d+)\.ffn\.down_proj\.weight$", "blk.{bid}.ffn_down.weight"),
+]
+
+_INTERNLM2_NAME_MAP = [
+    (r"^model\.tok_embeddings\.weight$", "token_embd.weight"),
+    (r"^model\.norm\.weight$", "output_norm.weight"),
+    (r"^output\.weight$", "output.weight"),
+    (r"^model\.layers\.(\d+)\.attention_norm\.weight$", "blk.{bid}.attn_norm.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.wo\.weight$", "blk.{bid}.attn_output.weight"),
+    (r"^model\.layers\.(\d+)\.ffn_norm\.weight$", "blk.{bid}.ffn_norm.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.w1\.weight$", "blk.{bid}.ffn_gate.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.w3\.weight$", "blk.{bid}.ffn_up.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.w2\.weight$", "blk.{bid}.ffn_down.weight"),
+]
+
+# deepseek2 MLA projections (DeepseekV2Model, convert_hf_to_gguf.py:7164)
+_DEEPSEEK2_NAME_MAP = [
+    (r"^model\.layers\.(\d+)\.self_attn\.q_a_proj\.weight$", "blk.{bid}.attn_q_a.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.q_b_proj\.weight$", "blk.{bid}.attn_q_b.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.kv_a_proj_with_mqa\.weight$", "blk.{bid}.attn_kv_a_mqa.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.kv_b_proj\.weight$", "blk.{bid}.attn_kv_b.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.q_a_layernorm\.weight$", "blk.{bid}.attn_q_a_norm.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.kv_a_layernorm\.weight$", "blk.{bid}.attn_kv_a_norm.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.gate\.e_score_correction_bias$", "blk.{bid}.exp_probs_b.bias"),
+]
+
+
+def _kv_olmo(w, arch, config):
+    if config.get("clip_qkv") is not None:
+        w.add_f32(f"{arch}.attention.clamp_kqv", float(config["clip_qkv"]))
+
+
+def _kv_swa_pattern(w, arch, config, default_keep=4):
+    """sliding_window + per-layer pattern (Olmo2Model/Exaone4Model)."""
+    if config.get("sliding_window") is None:
+        return
+    w.add_u32(f"{arch}.attention.sliding_window", int(config["sliding_window"]))
+    n_layer = int(_g(config, "num_hidden_layers", "n_layer"))
+    if "layer_types" in config:
+        pat = [t == "sliding_attention" for t in config["layer_types"]]
+    else:
+        pat = [(i + 1) % default_keep != 0 for i in range(n_layer)]
+    w.add_array(f"{arch}.attention.sliding_window_pattern", pat)
+
+
+def _rope_dim_partial(default_pct=0.5, keys=("partial_rotary_factor", "rope_pct", "rope_percent", "rotary_pct")):
+    def f(config):
+        n_head = _g(config, "num_attention_heads", "n_head", "n_heads")
+        head_dim = int(
+            _g(config, "head_dim")
+            or _g(config, "hidden_size", "n_embd", "d_model") // n_head
+        )
+        return int(head_dim * float(_g(config, *keys, default=default_pct)))
+
+    return f
+
+
+def _kv_cohere(w, arch, config):
+    w.add_f32(f"{arch}.logit_scale", float(config["logit_scale"]))
+
+
+def _kv_cohere2(w, arch, config):
+    _kv_cohere(w, arch, config)
+    w.add_u32(f"{arch}.attention.sliding_window", int(config["sliding_window"]))
+
+
+def _kv_granite(w, arch, config):
+    for hf_key, kv in (
+        ("attention_multiplier", "attention.scale"),
+        ("embedding_multiplier", "embedding_scale"),
+        ("residual_multiplier", "residual_scale"),
+        ("logits_scaling", "logit_scale"),
+    ):
+        if config.get(hf_key) is not None:
+            w.add_f32(f"{arch}.{kv}", float(config[hf_key]))
+
+
+def _kv_stablelm(w, arch, config):
+    w.add_bool(f"{arch}.use_parallel_residual",
+               bool(config.get("use_parallel_residual", True)))
+
+
+def _kv_parallel_residual(w, arch, config):
+    w.add_bool(f"{arch}.use_parallel_residual",
+               bool(config.get("use_parallel_residual", True)))
+
+
+def _kv_mpt(w, arch, config):
+    ac = config.get("attn_config") or {}
+    if ac.get("clip_qkv") is not None:
+        w.add_f32(f"{arch}.attention.clamp_kqv", float(ac["clip_qkv"]))
+    if ac.get("alibi", True):
+        w.add_f32(f"{arch}.attention.max_alibi_bias",
+                  float(ac.get("alibi_bias_max", 8.0)))
+    else:
+        w.add_f32(f"{arch}.attention.max_alibi_bias", 0.0)
+
+
+def _kv_minicpm(w, arch, config):
+    """MiniCPMModel scale params (embedding/residual/logit scales)."""
+    if config.get("scale_emb") is not None:
+        w.add_f32(f"{arch}.embedding_scale", float(config["scale_emb"]))
+    if config.get("scale_depth") is not None:
+        import math
+
+        w.add_f32(f"{arch}.residual_scale",
+                  float(config["scale_depth"])
+                  / math.sqrt(float(config["num_hidden_layers"])))
+    if config.get("dim_model_base"):
+        w.add_f32(f"{arch}.logit_scale",
+                  float(config["hidden_size"]) / float(config["dim_model_base"]))
+
+
+def _kv_gemma3(w, arch, config):
+    if config.get("sliding_window") is not None:
+        w.add_u32(f"{arch}.attention.sliding_window", int(config["sliding_window"]))
+
+
+def _kv_deepseek2(w, arch, config):
+    w.add_u32(f"{arch}.attention.q_lora_rank", int(config.get("q_lora_rank") or 0))
+    w.add_u32(f"{arch}.attention.kv_lora_rank", int(config["kv_lora_rank"]))
+    w.add_u32(f"{arch}.attention.key_length",
+              int(config["qk_nope_head_dim"]) + int(config["qk_rope_head_dim"]))
+    w.add_u32(f"{arch}.attention.value_length", int(config["v_head_dim"]))
+    w.add_u32(f"{arch}.leading_dense_block_count",
+              int(config.get("first_k_dense_replace", 0)))
+    if config.get("n_shared_experts"):
+        w.add_u32(f"{arch}.expert_shared_count", int(config["n_shared_experts"]))
+    if config.get("routed_scaling_factor") is not None:
+        w.add_f32(f"{arch}.expert_weights_scale",
+                  float(config["routed_scaling_factor"]))
+    if config.get("scoring_func") == "sigmoid":
+        w.add_u32(f"{arch}.expert_gating_func", 2)
+    if config.get("topk_group") is not None:
+        w.add_u32(f"{arch}.expert_group_used_count", int(config["topk_group"]))
+    if config.get("n_group") is not None:
+        w.add_u32(f"{arch}.expert_group_count", int(config["n_group"]))
+
+
+def _kv_deepseek1(w, arch, config):
+    """DeepseekModel (v1) MoE keys (convert_hf_to_gguf.py:7071)."""
+    w.add_u32(f"{arch}.leading_dense_block_count",
+              int(config.get("first_k_dense_replace", 0)))
+    if config.get("moe_intermediate_size"):
+        w.add_u32(f"{arch}.expert_feed_forward_length",
+                  int(config["moe_intermediate_size"]))
+    if config.get("n_shared_experts"):
+        w.add_u32(f"{arch}.expert_shared_count", int(config["n_shared_experts"]))
+    if config.get("moe_layer_freq") is not None:
+        w.add_u32(f"{arch}.expert_weights_scale", 1)
+
+
+def _tf_baichuan(name, data, config):
+    """BaichuanModel: split the fused W_pack qkv + llama q/k permute."""
+    m = re.match(r"^model\.layers\.(\d+)\.self_attn\.W_pack\.weight$", name)
+    if not m:
+        return [(name, data)]
+    bid = m.group(1)
+    n_head = config["num_attention_heads"]
+    n_embd = config["hidden_size"]
+    q, k, v = data[:n_embd], data[n_embd : 2 * n_embd], data[2 * n_embd :]
+    return [
+        (f"=blk.{bid}.attn_q.weight", permute_rope(q, n_head)),
+        (f"=blk.{bid}.attn_k.weight", permute_rope(k, n_head)),
+        (f"=blk.{bid}.attn_v.weight", v),
+    ]
+
+
+def _tf_ernie(name, data, config):
+    """Ernie4_5Model: split fused qkv_proj / up_gate_proj into HF-style
+    parts that re-enter the generic mapping."""
+    if "ernie." in name:
+        name = name.replace("ernie.", "model.")
+    n_head = config["num_attention_heads"]
+    n_kv = config.get("num_key_value_heads", n_head)
+    head_dim = _g(config, "head_dim") or config["hidden_size"] // n_head
+    if "qkv_proj" in name:
+        nq, nkv = n_head * head_dim, n_kv * head_dim
+        return [
+            (name.replace("qkv_proj", "q_proj"), data[:nq]),
+            (name.replace("qkv_proj", "k_proj"), data[nq : nq + nkv]),
+            (name.replace("qkv_proj", "v_proj"), data[nq + nkv :]),
+        ]
+    if "up_gate_proj" in name:
+        half = data.shape[0] // 2
+        return [
+            (name.replace("up_gate_proj", "gate_proj"), data[:half]),
+            (name.replace("up_gate_proj", "up_proj"), data[half:]),
+        ]
+    return [(name, data)]
+
+
+def _tf_granitemoe(name, data, config):
+    """GraniteMoeModel: JetMoe-style fused input_linear (3-D stacked
+    [gate|up]) splits; output_linear is the stacked down projection."""
+    m = re.match(r"^model\.layers\.(\d+)\.block_sparse_moe\.input_linear\.weight$", name)
+    if m:
+        ffn = config["intermediate_size"]
+        return [
+            (f"=blk.{m.group(1)}.ffn_gate_exps.weight", data[:, :ffn, :]),
+            (f"=blk.{m.group(1)}.ffn_up_exps.weight", data[:, ffn:, :]),
+        ]
+    m = re.match(r"^model\.layers\.(\d+)\.block_sparse_moe\.output_linear\.weight$", name)
+    if m:
+        return [(f"=blk.{m.group(1)}.ffn_down_exps.weight", data)]
+    m = re.match(r"^model\.layers\.(\d+)\.block_sparse_moe\.router\.layer\.weight$", name)
+    if m:
+        return [(f"=blk.{m.group(1)}.ffn_gate_inp.weight", data)]
+    m = re.match(r"^model\.layers\.(\d+)\.shared_mlp\.input_linear\.weight$", name)
+    if m:
+        ffn = config["shared_intermediate_size"]
+        sx = "_shexp" if config.get("num_local_experts") else ""
+        return [
+            (f"=blk.{m.group(1)}.ffn_gate{sx or '_shexp'}.weight", data[:ffn]),
+            (f"=blk.{m.group(1)}.ffn_up{sx or '_shexp'}.weight", data[ffn:]),
+        ]
+    m = re.match(r"^model\.layers\.(\d+)\.shared_mlp\.output_linear\.weight$", name)
+    if m:
+        return [(f"=blk.{m.group(1)}.ffn_down_shexp.weight", data)]
+    return [(name, data)]
+
+
+def _tf_neox_qkv(prefix):
+    """GPTNeoX/Bloom fused qkv is stored head-interleaved (q,k,v per
+    head); re-pack to [all-q | all-k | all-v] (GPTNeoXModel/BloomModel
+    modify_tensors)."""
+
+    def tf(name, data, config):
+        n_head = _g(config, "num_attention_heads", "n_head")
+        n_embd = _g(config, "hidden_size", "n_embed", "n_embd")
+        if re.search(prefix + r"query_key_value\.weight$", name):
+            qkv = data.reshape(n_head, 3, n_embd // n_head, n_embd)
+            data = np.concatenate(
+                [qkv[:, i].reshape(-1, n_embd) for i in range(3)], axis=0
+            )
+        elif re.search(prefix + r"query_key_value\.bias$", name):
+            qkv = data.reshape(n_head, 3, n_embd // n_head)
+            data = np.concatenate([qkv[:, i].reshape(-1) for i in range(3)])
+        return [(name, data)]
+
+    return tf
+
+
+def _tf_falcon_qkv(name, data, config):
+    """FalconModel: per-kv-group [q... k v] layout -> contiguous q|k|v."""
+    if "query_key_value" in name and name.endswith("weight"):
+        n_head = _g(config, "num_attention_heads", "n_head")
+        n_head_kv = _g(config, "num_kv_heads", "n_head_kv", default=1)
+        if not config.get("new_decoder_architecture") and not config.get("multi_query", True):
+            n_head_kv = n_head
+        head_dim = config["hidden_size"] // n_head
+        qkv = data.reshape(n_head_kv, n_head // n_head_kv + 2, head_dim, head_dim * n_head)
+        q = qkv[:, :-2].reshape(n_head * head_dim, -1)
+        k = qkv[:, [-2]].reshape(n_head_kv * head_dim, -1)
+        v = qkv[:, [-1]].reshape(n_head_kv * head_dim, -1)
+        data = np.concatenate([q, k, v], axis=0)
+    return [(name, data)]
+
+
+def _tf_gpt2(name, data, config):
+    """GPT2Model: Conv1D weights stored (in, out) -> transpose."""
+    if name.endswith((".attn.bias", ".attn.masked_bias")):
+        return []
+    if name.endswith((".c_attn.weight", ".c_proj.weight", ".c_fc.weight")):
+        data = data.T
+    return [(name, data)]
+
+
+def _tf_internlm2(name, data, config):
+    """InternLM2Model: fused wqkv stored as per-kv-group
+    [q*ratio | k | v] rows; split + permute (convert_hf_to_gguf.py:4984)."""
+    m = re.match(r"^model\.layers\.(\d+)\.attention\.wqkv\.weight$", name)
+    if not m:
+        return [(name, data)]
+    bid = m.group(1)
+    n_head = config["num_attention_heads"]
+    n_kv = config.get("num_key_value_heads", n_head)
+    n_embd = config["hidden_size"]
+    head_dim = n_embd // n_head
+    ratio = n_head // n_kv
+    qkv = data.reshape(n_kv, ratio + 2, head_dim, n_embd)
+    q = qkv[:, :ratio].reshape(-1, n_embd)
+    k = qkv[:, [ratio]].reshape(-1, n_embd)
+    v = qkv[:, [ratio + 1]].reshape(-1, n_embd)
+    return [
+        (f"=blk.{bid}.attn_q.weight", permute_rope(q, n_head)),
+        (f"=blk.{bid}.attn_k.weight", permute_rope(k, n_kv)),
+        (f"=blk.{bid}.attn_v.weight", v),
+    ]
+
+
+def _tf_deepseek2(name, data, config):
+    """DeepseekV2Model: also emit the split wk_b/wv_b tensors from
+    kv_b_proj for the MLA absorption fast path (the reference emits
+    attn_k_b/attn_v_b, convert_hf_to_gguf.py:7262-7281)."""
+    m = re.match(r"^model\.layers\.(\d+)\.self_attn\.kv_b_proj\.weight$", name)
+    if not m:
+        return [(name, data)]
+    bid = m.group(1)
+    n_head = config["num_attention_heads"]
+    qk_nope = int(config["qk_nope_head_dim"])
+    v_dim = int(config["v_head_dim"])
+    kv_lora = int(config["kv_lora_rank"])
+    kv_b = data.reshape(n_head, qk_nope + v_dim, kv_lora)
+    k_b = kv_b[:, :qk_nope]  # (H, qk_nope, kv_lora)
+    v_b = kv_b[:, qk_nope:]  # (H, v_dim, kv_lora)
+    # attn_k_b is stored transposed per head: (H, kv_lora, qk_nope)
+    k_b_t = np.ascontiguousarray(k_b.transpose(0, 2, 1))
+    return [
+        (name, data),
+        (f"=blk.{bid}.attn_k_b.weight", k_b_t.reshape(n_head * kv_lora, qk_nope)),
+        (f"=blk.{bid}.attn_v_b.weight", v_b.reshape(n_head * v_dim, kv_lora)),
+    ]
+
+
+# per-arch conversion spec; fields:
+#   permute_qk    — llama-style NORM-rope q/k row permutation
+#   norm_plus_one — store norm weights as (w + 1) (gemma3 norm_shift,
+#                   nemotron layernorm1p)
+#   names         — extra HF->gguf name-map rows, tried before _NAME_MAP
+#   kv            — fn(w, arch, config): extra metadata keys
+#   transform     — fn(name, data, config) -> [(name', data'), ...];
+#                   "=gguf.name" entries bypass the name map
+#   ln            — write attention.layer_norm_epsilon instead of rms
+_FAMILY_SPECS: dict = {
+    "olmo": dict(permute_qk=True, kv=_kv_olmo, ln=True),
+    "olmo2": dict(names=_OLMO2_NORM_MAP, kv=_kv_swa_pattern),
+    "olmoe": dict(),
+    "seed_oss": dict(),
+    "arcee": dict(permute_qk=True),
+    "smollm3": dict(permute_qk=True),
+    "glm4": dict(names=_GLM4_NORM_MAP, rope_dim=_rope_dim_partial(0.5)),
+    "command-r": dict(kv=_kv_cohere, ln=True),
+    "cohere2": dict(kv=_kv_cohere2, ln=True,
+                    rope_dim=_rope_dim_partial(1.0)),
+    "nemotron": dict(norm_plus_one=True, ln=True,
+                     rope_dim=_rope_dim_partial(0.5)),
+    "granite": dict(permute_qk=True, kv=_kv_granite),
+    "granitemoe": dict(permute_qk=True, kv=_kv_granite,
+                       transform=_tf_granitemoe),
+    "ernie4_5": dict(transform=_tf_ernie),  # interleaved rope natively (NORM, no permute)
+    "exaone4": dict(kv=_kv_swa_pattern, names=_OLMO2_NORM_MAP),
+    "stablelm": dict(kv=_kv_stablelm, ln=True,
+                     rope_dim=_rope_dim_partial(1.0)),
+    "starcoder2": dict(ln=True, names=_LN_BIAS_MAP),
+    "internlm2": dict(names=_INTERNLM2_NAME_MAP, transform=_tf_internlm2),
+    "minicpm": dict(permute_qk=True, kv=_kv_minicpm),
+    "phi2": dict(ln=True, names=_LN_BIAS_MAP,
+                 rope_dim=_rope_dim_partial(1.0)),
+    "gemma3": dict(kv=_kv_gemma3),
+    "gpt2": dict(names=_GPT2_NAME_MAP, transform=_tf_gpt2, ln=True,
+                 kv_aliases=True, no_rope=True),
+    "gptneox": dict(names=_GPTNEOX_NAME_MAP,
+                    transform=_tf_neox_qkv(r"attention\."), ln=True,
+                    kv_aliases=True, kv=_kv_parallel_residual,
+                    rope_dim=_rope_dim_partial(1.0)),
+    "bloom": dict(names=_BLOOM_NAME_MAP,
+                  transform=_tf_neox_qkv(r"self_attention\."), ln=True,
+                  kv_aliases=True, no_rope=True),
+    "falcon": dict(names=_FALCON_NAME_MAP, transform=_tf_falcon_qkv,
+                   ln=True, kv_aliases=True),
+    "mpt": dict(names=_MPT_NAME_MAP, ln=True, kv_aliases=True,
+                kv=_kv_mpt, no_rope=True),
+    "baichuan": dict(permute_qk=True, transform=_tf_baichuan),
+    "deepseek": dict(permute_qk=True, kv=_kv_deepseek1),
+    "deepseek2": dict(names=_DEEPSEEK2_NAME_MAP, kv=_kv_deepseek2,
+                      transform=_tf_deepseek2,
+                      rope_dim=lambda c: int(c["qk_rope_head_dim"])),
+}
 
 _PRE_BY_ARCH = {
     "qwen2": "qwen2", "qwen3": "qwen2", "qwen2moe": "qwen2",
@@ -400,6 +908,37 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
     if arch in ("mamba", "mamba2"):
         return _convert_ssm(model_dir, outfile, arch, hf_arch, config, qt,
                             pre, verbose, ftype_mix=ftype_mix)
+
+    spec = _FAMILY_SPECS.get(arch, {})
+    if spec.get("kv_aliases"):
+        # GPT-style configs name the core dims differently
+        config = dict(config)
+        for tgt, alts in (
+            ("hidden_size", ("n_embd", "d_model", "n_embed")),
+            ("num_attention_heads", ("n_head", "n_heads")),
+            ("num_hidden_layers", ("n_layer", "n_layers")),
+            ("max_position_embeddings",
+             ("n_positions", "n_ctx", "max_seq_len", "seq_length")),
+            ("intermediate_size", ("n_inner", "ffn_hidden_size")),
+            ("layer_norm_eps", ("layer_norm_epsilon", "norm_epsilon")),
+        ):
+            if config.get(tgt) is None:
+                v = _g(config, *alts)
+                if v is not None:
+                    config[tgt] = v
+        if config.get("intermediate_size") is None:
+            config["intermediate_size"] = 4 * int(config["hidden_size"])
+        if config.get("num_key_value_heads") is None:
+            nkv = _g(config, "num_kv_heads", "n_head_kv")
+            if nkv is None and arch == "mpt":
+                nkv = (config.get("attn_config") or {}).get("kv_n_heads")
+            if nkv is None and arch == "falcon":
+                if config.get("new_decoder_architecture"):
+                    nkv = _g(config, "num_kv_heads", default=1)
+                elif config.get("multi_query", True):
+                    nkv = 1
+            if nkv is not None:
+                config["num_key_value_heads"] = nkv
 
     n_embd = int(config["hidden_size"])
     n_head = int(config["num_attention_heads"])
@@ -468,17 +1007,28 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
     w.add_u32(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
     w.add_u32(f"{arch}.attention.head_count", n_head)
     w.add_u32(f"{arch}.attention.head_count_kv", n_head_kv)
-    w.add_u32(f"{arch}.rope.dimension_count", head_dim)
-    if config.get("head_dim") or arch.startswith("gemma"):
+    if not spec.get("no_rope"):
+        rope_dim = spec["rope_dim"](config) if "rope_dim" in spec else head_dim
+        w.add_u32(f"{arch}.rope.dimension_count", rope_dim)
+        w.add_f32(f"{arch}.rope.freq_base",
+                  float(config.get("rope_theta", 10000.0)))
+    if (config.get("head_dim") or arch.startswith("gemma")) and arch != "deepseek2":
         w.add_u32(f"{arch}.attention.key_length", head_dim)
         w.add_u32(f"{arch}.attention.value_length", head_dim)
-    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon",
-              float(config.get("rms_norm_eps", 1e-5)))
-    w.add_f32(f"{arch}.rope.freq_base", float(config.get("rope_theta", 10000.0)))
+    if spec.get("ln"):
+        w.add_f32(f"{arch}.attention.layer_norm_epsilon",
+                  float(_g(config, "layer_norm_eps", "layer_norm_epsilon",
+                           "norm_epsilon", "norm_eps", default=1e-5)))
+    else:
+        w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon",
+                  float(config.get("rms_norm_eps", 1e-5)))
     w.add_u32(f"{arch}.vocab_size", int(config["vocab_size"]))
+    if "kv" in spec:
+        spec["kv"](w, arch, config)
     # MoE hyperparameters (Qwen2MoeModel/MixtralModel set_gguf_parameters)
     n_expert = int(config.get("num_local_experts")
-                   or config.get("num_experts") or 0)
+                   or config.get("num_experts")
+                   or config.get("n_routed_experts") or 0)
     if n_expert:
         w.add_u32(f"{arch}.expert_count", n_expert)
         w.add_u32(f"{arch}.expert_used_count",
@@ -513,9 +1063,13 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
                 pre or _PRE_BY_ARCH.get(arch, "default"))
 
     # llama (NORM rope) needs HF->gguf q/k row permutation; NEOX archs don't
-    permute_qk = arch == "llama"
+    permute_qk = arch == "llama" or spec.get("permute_qk", False)
     is_gemma = arch.startswith("gemma")
-    name_map = (_GEMMA2_NORM_MAP + _NAME_MAP) if arch == "gemma2" else _NAME_MAP
+    name_map = list(spec.get("names", ())) + (
+        _GEMMA2_NORM_MAP if arch in ("gemma2", "gemma3") else []
+    ) + _NAME_MAP
+    norm_plus_one = spec.get("norm_plus_one", False)
+    transform = spec.get("transform")
     stats = {"tensors": 0, "bytes": 0}
     seen_output = False
     # per-layer expert buffers: experts[bid][gguf_base][expert_idx] = data
@@ -543,10 +1097,16 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
         if verbose:
             print(f"{'':18s} -> {gname:34s} {tt.name}", file=sys.stderr)
 
-    for name, data in iter_hf_tensors(model_dir):
+    def handle(name, data):
+        nonlocal seen_output
+        if name.startswith("="):
+            # transform-produced final gguf name (already permuted/split)
+            if name[1:] == "output.weight":
+                seen_output = True
+            emit(name[1:], data)
+            return
         # expert tensors: gather, stack when the layer is complete
         # (convert_hf_to_gguf.py:2462-2491 merge loop)
-        matched_expert = False
         for pat, base in _EXPERT_PATTERNS:
             m = re.match(pat, name)
             if m:
@@ -557,39 +1117,45 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
                     stacked = np.stack([bucket[i] for i in range(n_expert)])
                     emit(f"blk.{bid}.{base}.weight", stacked)
                     del experts[bid][base]
-                matched_expert = True
-                break
-        if matched_expert:
-            continue
+                return
         gname = None
         for pat, repl in name_map:
             m = re.match(pat, name)
             if m:
-                gname = repl.format(
-                    bid=m.group(1) if m.groups() else "",
-                    suf=m.groups()[-1] if len(m.groups()) > 1 else "weight",
-                )
+                g = m.groups()
+                bid = g[0] if g and g[0] and str(g[0]).isdigit() else ""
+                suf = g[-1] if g and g[-1] in ("weight", "bias") else "weight"
+                gname = repl.format(bid=bid, suf=suf)
                 break
         if gname is None:
             if verbose:
                 print(f"skip {name}", file=sys.stderr)
-            continue
+            return
         if is_gemma:
             if gname == "output.weight":
-                continue  # gemma always ties lm_head (GemmaModel skip)
+                return  # gemma always ties lm_head (GemmaModel skip)
             if gname.endswith("norm.weight"):
                 # HF gemma norms apply (1 + w); GGUF stores w + 1
                 # (GemmaModel.modify_tensors)
                 data = data + 1.0
-        if permute_qk and ".attn_q." in gname:
+        elif norm_plus_one and gname.endswith("norm.weight"):
+            # nemotron layernorm1p (NemotronModel.modify_tensors)
+            data = data + 1.0
+        if permute_qk and gname.endswith(".attn_q.weight"):
             data = permute_rope(data, n_head)
-        elif permute_qk and ".attn_k." in gname:
+        elif permute_qk and gname.endswith(".attn_k.weight"):
             data = permute_rope(data, n_head_kv)
         if gname == "output.weight":
             seen_output = True
         if verbose:
             print(f"{name:60s}", file=sys.stderr, end="")
         emit(gname, data)
+
+    for name, data in iter_hf_tensors(model_dir):
+        for out_name, out_data in (
+            transform(name, data, config) if transform else [(name, data)]
+        ):
+            handle(out_name, out_data)
     leftover = {b: list(d) for b, d in experts.items() if d}
     if any(leftover.values()):
         raise ValueError(f"incomplete expert tensor sets: {leftover}")
