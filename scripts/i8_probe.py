@@ -29,16 +29,20 @@ def make_kernel(variant, group, K):
     def kernel(x_ref, xg_ref, q4_ref, sc_ref, mn_ref, out_ref):
         tn = q4_ref.shape[0]
         qb = q4_ref[...]
-        if variant.startswith("i8"):
-            qi = pltpu.bitcast(qb, jnp.int8)
-            lo8 = qi & jnp.int8(0xF)
-            hi8 = (qi >> 4) & jnp.int8(0xF)
-            if variant == "i8":
-                lo = lo8.astype(jnp.bfloat16)
-                hi = hi8.astype(jnp.bfloat16)
-            else:
-                lo = lo8.astype(jnp.float32).astype(jnp.bfloat16)
-                hi = hi8.astype(jnp.float32).astype(jnp.bfloat16)
+        if variant == "u8i32":
+            lo8 = qb & jnp.uint8(0xF)
+            hi8 = qb >> 4
+            lo = lo8.astype(jnp.int32).astype(jnp.bfloat16)
+            hi = hi8.astype(jnp.int32).astype(jnp.bfloat16)
+        elif variant == "u8f32":
+            lo8 = qb & jnp.uint8(0xF)
+            hi8 = qb >> 4
+            lo = lo8.astype(jnp.float32).astype(jnp.bfloat16)
+            hi = hi8.astype(jnp.float32).astype(jnp.bfloat16)
+        elif variant == "i32bf":
+            qi = qb.astype(jnp.int32)
+            lo = (qi & 0xF).astype(jnp.bfloat16)
+            hi = (qi >> 4).astype(jnp.bfloat16)
         else:
             raise ValueError(variant)
         sh = pltpu.repeat(sc_ref[...].astype(jnp.bfloat16), group // 2, axis=1)
@@ -134,7 +138,7 @@ def main():
     )
     print(f"v0   : {t*1e6:7.1f} us  {nbytes/t/1e9:6.1f} GB/s", flush=True)
 
-    for variant in ("i8", "i8f32"):
+    for variant in ("u8i32", "u8f32", "i32bf"):
         try:
             yv = np.asarray(i8_qmm(variant, x, fields, N, K))
         except Exception as e:

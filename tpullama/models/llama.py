@@ -105,6 +105,8 @@ def llama_forward(
     inputs_embd=None,  # (B, T, n_embd): raw embedding inputs instead of
     # token ids (the llm_graph_input_embd !ubatch.token path,
     # src/llama-graph.cpp:1174 — used for mtmd image embeddings)
+    skip_output=False,  # return hidden states after the layer stack
+    # instead of logits (pipeline stages; final norm/head on last stage)
     cache_slots_swa=None,  # (B, T) int32: ring slots (pos % S_swa) for the
     # separate small SWA-layer cache when kv_k/kv_v are two-stack dicts
     # {"full": ..., "swa": ...} — the iswa memory saving of
@@ -811,6 +813,11 @@ def llama_forward(
             x, (kv_k, kv_v) = jax.lax.scan(
                 scan_body, x, (layers, layer_ids, kv_k, kv_v), unroll=unroll
             )
+
+    if skip_output:
+        # pipeline-parallel stage runner (parallel/pp.py): return the raw
+        # hidden states; final norm + lm_head run on the last stage only
+        return x, (kv_k, kv_v)
 
     x = norm_fn(x, params.get("output_norm"), params.get("output_norm_bias"))
     out_w = params.get("output", params["tok_embd"])

@@ -1,0 +1,164 @@
+"""Pipeline parallelism: layer-split stages with micro-batch overlap.
+
+The capability analog of the reference's LLAMA_SPLIT_MODE_LAYER +
+pipeline-parallel scheduler (llama.h:191-195 split modes; layer->device
+assignment src/llama-model.cpp:2361-2384; the n_copies=4 micro-batch
+overlap machinery ggml/src/ggml-backend.cpp:666,1653-1758) — redesigned
+for TPU as an explicit-SPMD shard_map pipeline:
+
+  - the stacked layer tensors (L, ...) shard their leading axis over the
+    "pp" mesh axis: each device holds L/n_pp contiguous layers AND those
+    layers' KV cache (memory scales down with the stage count — the
+    reason to pick layer-split over TP when a model doesn't fit)
+  - a GPipe-style loop runs n_micro + n_pp - 1 ticks; at tick t, stage s
+    processes micro-batch (t - s) of the input and hands its activations
+    to stage s+1 via lax.ppermute over ICI — stages compute different
+    micro-batches concurrently, the same overlap the reference gets from
+    event-chained split execution
+  - embedding is evaluated at stage 0, final norm + lm_head outside the
+    pipeline on the gathered last-stage activations
+
+Prefill pipelines sequence chunks (micro-batch = T chunk; causality
+holds because chunk t reaches every stage after chunk t-1 wrote that
+stage's KV rows). Decode (T=1) runs a single micro-batch: latency is
+sequential across stages, as in the reference's layer-split mode.
+"""
+
+from __future__ import annotations
+
+import copy
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.llama import llama_forward
+
+
+def make_pp_mesh(n_pp: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_pp > len(devices):
+        raise ValueError(f"pp={n_pp} needs {n_pp} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n_pp]), ("pp",))
+
+
+def pp_param_specs(params: dict) -> dict:
+    """Layer stacks shard axis 0 over "pp"; everything else replicated."""
+
+    def layer_spec(v):
+        if isinstance(v, dict):  # packed planar fields, leading L axis
+            return {k: P("pp") for k in v}
+        return P("pp")
+
+    out = {}
+    for k, v in params.items():
+        if k == "layers":
+            out[k] = {name: layer_spec(vv) for name, vv in v.items()}
+        else:
+            out[k] = {fk: P() for fk in v} if isinstance(v, dict) else P()
+    return out
+
+
+def pp_forward(params, hp, tokens, positions, kv_k, kv_v, cache_slots,
+               attn_mask, mesh: Mesh, n_micro: int = 1, quant_meta=None):
+    """Full forward under the pipeline mesh. tokens: (B, T) with T
+    divisible by n_micro; kv_k/kv_v: (L, B, S, Hkv, D) stacks (sharded or
+    to-be-sharded over "pp" on L). Returns (logits, (kv_k, kv_v))."""
+    n_pp = mesh.shape["pp"]
+    L = hp.n_layer
+    if L % n_pp:
+        raise ValueError(f"n_layer={L} not divisible by pp={n_pp}")
+    B, T = tokens.shape
+    if T % n_micro:
+        raise ValueError(f"T={T} not divisible by n_micro={n_micro}")
+    Tm = T // n_micro
+    S = kv_k.shape[2]
+
+    hp_local = copy.copy(hp)
+    hp_local.n_layer = L // n_pp
+
+    # micro-batch stacks (n_micro, B, Tm, ...)
+    def chunk(a, axis):
+        return jnp.moveaxis(
+            a.reshape(*a.shape[:axis], n_micro, Tm, *a.shape[axis + 1 :]), axis, 0
+        )
+
+    toks_mb = chunk(tokens, 1)
+    pos_mb = chunk(positions, 1)
+    slots_mb = chunk(cache_slots, 1)
+    mask_mb = chunk(attn_mask, 2)  # (B, 1, T, S) -> (n_micro, B, 1, Tm, S)
+
+    lp = params["layers"]
+    top = {k: v for k, v in params.items() if k != "layers"}
+
+    def stage(lp, kvk, kvv, toks_mb, pos_mb, slots_mb, mask_mb, tok_embd):
+        sid = jax.lax.axis_index("pp")
+        E = tok_embd.shape[-1]
+        out0 = jnp.zeros((n_micro, B, Tm, E), jnp.float32)
+        x_recv = jnp.zeros((B, Tm, E), jnp.float32)
+
+        def tick(t, carry):
+            x_recv, kvk, kvv, out = carry
+            mb = t - sid
+            valid = (mb >= 0) & (mb < n_micro)
+            mbc = jnp.clip(mb, 0, n_micro - 1)
+            pick = lambda a: jax.lax.dynamic_index_in_dim(
+                a, mbc, axis=0, keepdims=False
+            )
+            toks = pick(toks_mb)
+            x0 = jnp.take(tok_embd, toks, axis=0).astype(jnp.float32)
+            x_in = jnp.where(sid == 0, x0, x_recv)
+            slots = jnp.where(valid, pick(slots_mb), S - 1)  # scratch row
+            x_out, (kvk, kvv) = llama_forward(
+                {"layers": lp, "tok_embd": tok_embd}, hp_local,
+                jnp.zeros_like(toks), pick(pos_mb), kvk, kvv, slots,
+                pick(mask_mb), quant_meta=quant_meta,
+                inputs_embd=x_in, skip_output=True,
+            )
+            x_out = x_out.astype(jnp.float32)
+            out = jnp.where(
+                valid & (sid == n_pp - 1),
+                jax.lax.dynamic_update_index_in_dim(out, x_out, mbc, axis=0),
+                out,
+            )
+            x_next = jax.lax.ppermute(
+                x_out, "pp", [(i, i + 1) for i in range(n_pp - 1)]
+            )
+            return x_next, kvk, kvv, out
+
+        x_recv, kvk, kvv, out = jax.lax.fori_loop(
+            0, n_micro + n_pp - 1, tick, (x_recv, kvk, kvv, out0)
+        )
+        # replicate the last stage's outputs (zeros elsewhere -> psum)
+        out = jax.lax.psum(
+            jnp.where(sid == n_pp - 1, out, jnp.zeros_like(out)), "pp"
+        )
+        return out, kvk, kvv
+
+    lspecs = pp_param_specs({"layers": lp})["layers"]
+    kv_spec = P("pp")
+    out, kv_k, kv_v = jax.shard_map(
+        stage, mesh=mesh,
+        in_specs=(lspecs, kv_spec, kv_spec, P(), P(), P(), P(), P()),
+        out_specs=(P(), kv_spec, kv_spec),
+        check_vma=False,
+    )(lp, kv_k, kv_v, toks_mb, pos_mb, slots_mb, mask_mb, top["tok_embd"])
+
+    # (n_micro, B, Tm, E) -> (B, T, E)
+    x = jnp.moveaxis(out, 0, 1).reshape(B, T, -1)
+    from ..ops.norms import layer_norm, rms_norm
+
+    if hp.norm_type == "layer":
+        x = layer_norm(x, top.get("output_norm"), top.get("output_norm_bias"),
+                       hp.f_norm_eps)
+    else:
+        x = rms_norm(x, top.get("output_norm"), hp.f_norm_rms_eps)
+    out_w = top.get("output", top["tok_embd"])
+    from ..models.llama import _linear
+
+    logits = _linear(x, out_w, (quant_meta or {}).get("output"))
+    if "output_bias" in top:
+        logits = logits + top["output_bias"]
+    return logits.astype(jnp.float32), (kv_k, kv_v)
