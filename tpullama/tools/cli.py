@@ -16,38 +16,13 @@ import time
 
 
 def build_parser() -> argparse.ArgumentParser:
-    ap = argparse.ArgumentParser(prog="tpullama-cli", description=__doc__)
+    from .args import build_parser as common_parser
 
-    def env(name, default=None):
-        return os.environ.get(f"LLAMA_ARG_{name}", default)
-
-    ap.add_argument("-m", "--model", default=env("MODEL"), required=env("MODEL") is None)
-    ap.add_argument("-p", "--prompt", default="")
-    ap.add_argument("-f", "--file", help="read prompt from file")
-    ap.add_argument("-n", "--n-predict", type=int, default=int(env("N_PREDICT", -1)))
-    ap.add_argument("-c", "--ctx-size", type=int, default=int(env("CTX_SIZE", 4096)))
-    ap.add_argument("--temp", type=float, default=0.8)
-    ap.add_argument("--top-k", type=int, default=40)
-    ap.add_argument("--top-p", type=float, default=0.95)
-    ap.add_argument("--min-p", type=float, default=0.05)
-    ap.add_argument("--repeat-penalty", type=float, default=1.0)
-    ap.add_argument("--repeat-last-n", type=int, default=64)
-    ap.add_argument("-s", "--seed", type=int, default=-1)
+    ap = common_parser("cli", prog="tpullama-cli", description=__doc__)
     ap.add_argument("--no-display-prompt", action="store_true")
     ap.add_argument("-i", "--interactive", action="store_true")
-    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16", "float16"])
-    ap.add_argument("--device", default=None, help="jax platform override (e.g. cpu)")
-    ap.add_argument("-md", "--model-draft", default=env("MODEL_DRAFT"),
-                    help="draft model for speculative decoding")
-    ap.add_argument("--draft-max", type=int, default=16,
-                    help="max tokens drafted per speculative round")
-    ap.add_argument("--draft-p-min", type=float, default=0.75,
-                    help="draft token confidence threshold")
-    ap.add_argument("--control-vector", action="append", default=[],
-                    help="control vector gguf, optionally FILE:strength")
     ap.add_argument("--burst", type=int, default=16,
                     help="greedy decode chunk size for fused on-device steps")
-    ap.add_argument("--verbose", action="store_true")
     return ap
 
 
