@@ -86,3 +86,49 @@ def test_bad_adapter_rejected(model, tmp_path):
     w.write(p)
     with pytest.raises(ValueError, match="no lora"):
         LoraAdapter(p)
+
+
+def test_alora_invocation_parsing_and_gating(model, tmp_path):
+    """aLoRA: adapter.alora.invocation_tokens parsed; generation applies
+    the adapter only from the invocation sequence onward (server
+    semantics, server-context.cpp:984-1013)."""
+    from tpullama.runtime.lora import alora_invocation_start
+
+    rng = np.random.default_rng(2)
+    lp = str(tmp_path / "alora.gguf")
+    w = GGUFWriter()
+    w.add_str("adapter.type", "lora")
+    w.add_f32("adapter.lora.alpha", 8.0)
+    w.add_str("general.architecture", "llama")
+    w.add_kv("adapter.alora.invocation_tokens", np.asarray([7, 8, 9], np.uint32))
+    a = (rng.standard_normal((4, 64)) * 0.05).astype(np.float32)
+    b = (rng.standard_normal((64, 4)) * 0.05).astype(np.float32)
+    w.add_tensor("blk.0.attn_q.weight.lora_a", a, GGMLType.F32)
+    w.add_tensor("blk.0.attn_q.weight.lora_b", b, GGMLType.F32)
+    w.write(lp)
+
+    ad = LoraAdapter(lp)
+    assert ad.alora_invocation_tokens == [7, 8, 9]
+
+    prompt = [5, 6, 7, 8, 9, 10, 11]
+    start = alora_invocation_start(prompt, ad.alora_invocation_tokens)
+    assert start == 2
+    assert alora_invocation_start([5, 6], ad.alora_invocation_tokens) == -1
+    # repeated: last occurrence wins
+    assert alora_invocation_start(
+        [7, 8, 9, 1, 7, 8, 9, 2], ad.alora_invocation_tokens) == 4
+
+    # split-prefill gating: prefix on base weights, suffix + generation on
+    # the merged adapter — must differ from both all-base and all-merged
+    merged = apply_lora(model, ad, scale=1.0)
+    ctx = Context(model, ContextParams(n_ctx=64))
+    ctx.decode(np.asarray(prompt[:start], np.int32))
+    ctx.model = merged  # adapter activates at the invocation start
+    l_gated = ctx.decode(np.asarray(prompt[start:], np.int32))[-1]
+
+    l_base = Context(model, ContextParams(n_ctx=64)).decode(
+        np.asarray(prompt, np.int32))[-1]
+    l_merged = Context(merged, ContextParams(n_ctx=64)).decode(
+        np.asarray(prompt, np.int32))[-1]
+    assert np.abs(l_gated - l_base).max() > 1e-6
+    assert np.abs(l_gated - l_merged).max() > 1e-6

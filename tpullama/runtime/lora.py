@@ -28,6 +28,14 @@ class LoraAdapter:
         if r.kv.get("adapter.type", "lora") != "lora":
             raise ValueError(f"not a lora adapter: {r.kv.get('adapter.type')!r}")
         self.alpha = float(r.kv.get("adapter.lora.alpha", 16.0))
+        # aLoRA: the adapter only activates for tokens at/after the last
+        # occurrence of this invocation sequence in the prompt
+        # (adapter.alora.invocation_tokens, llama-adapter.cpp:220-238,
+        # llama.h:620-621)
+        inv = r.kv.get("adapter.alora.invocation_tokens")
+        self.alora_invocation_tokens: list[int] = (
+            [int(t) for t in inv] if inv is not None else []
+        )
         self.pairs: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         names = set(r.tensors)
         for name in sorted(names):
@@ -112,3 +120,27 @@ def export_merged(model, adapter: LoraAdapter, dest, scale: float = 1.0):
             data = data + deltas[name.removesuffix(".weight")].reshape(info.shape)
         w.add_tensor(name, data, GGMLType.F32)
     w.write(dest)
+
+
+def alora_invocation_start(tokens, invocation_tokens) -> int:
+    """Index of the LAST occurrence of the aLoRA invocation sequence in
+    `tokens`, or -1 if absent. Mirrors the server's backwards scan
+    (tools/server/server-context.cpp:984-1005): tokens from this index
+    onward run with the adapter enabled; earlier tokens (and the whole
+    request, when absent) run with the adapter disabled."""
+    inv = list(invocation_tokens)
+    if not inv:
+        return 0  # plain lora: active everywhere
+    toks = list(tokens)
+    match_idx = len(inv) - 1
+    for i in range(len(toks) - 1, -1, -1):
+        if toks[i] == inv[match_idx]:
+            if match_idx == 0:
+                return i
+            match_idx -= 1
+        else:
+            # reset; current token may still be the sequence tail
+            match_idx = len(inv) - 1
+            if toks[i] == inv[match_idx]:
+                match_idx -= 1
+    return -1
