@@ -105,6 +105,7 @@ def llama_forward(
     inputs_embd=None,  # (B, T, n_embd): raw embedding inputs instead of
     # token ids (the llm_graph_input_embd !ubatch.token path,
     # src/llama-graph.cpp:1174 — used for mtmd image embeddings)
+    remat=False,  # gradient-checkpoint each layer (training)
     skip_output=False,  # return hidden states after the layer stack
     # instead of logits (pipeline stages; final norm/head on last stage)
     cache_slots_swa=None,  # (B, T) int32: ring slots (pos % S_swa) for the
@@ -769,6 +770,11 @@ def llama_forward(
 
     layer_ids = jnp.arange(hp.n_layer, dtype=jnp.int32)
     unroll = int(os.environ.get("TPULLAMA_SCAN_UNROLL", 1))
+    if remat:
+        # gradient checkpointing: recompute each layer's activations in
+        # the backward pass instead of storing them (training-memory ∝
+        # n_layer saving; jax.checkpoint on the scan body)
+        layer_step = jax.checkpoint(layer_step)
     if two_stack:
         # kv stacks ride in the carry (scan xs require per-layer leading
         # dims, which the compact full/swa stacks don't share)

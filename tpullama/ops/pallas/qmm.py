@@ -106,12 +106,14 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
     if exact is None:
         exact = interpret or os.environ.get("TPULLAMA_QMM_EXACT", "0") == "1"
     tile_n = int(os.environ.get("TPULLAMA_QMM_TILE_N", tile_n))
-    vpu = (
-        T == 1 and not exact and os.environ.get("TPULLAMA_QMM_VPU", "0") == "1"
-    )
-    # fast-path unpack strategy for 4-bit planes: "split" (two half-width
-    # dots, no lane concat) | "fp" (float-trick nibble extract) | "v0"
-    unpack_mode = os.environ.get("TPULLAMA_QMM_UNPACK", "split")
+    # (a VPU-matvec decode path was measured at 308-482 GB/s vs this
+    # kernel's ~540 on v5e — the MXU dot with in-kernel dequant wins, so
+    # no VPU branch exists; see scripts/mxu_probe.py)
+    # fast-path unpack strategy for 4-bit planes: "v0" (concat + one MXU
+    # dot — fastest measured on v5e; the VPU unpack serializes with the
+    # MXU either way, and one dot beats two) | "split" (two half-width
+    # dots, no lane concat — ~8% slower on v5e, kept for A/B testing)
+    unpack_mode = os.environ.get("TPULLAMA_QMM_UNPACK", "v0")
     stacked = layer is not None
     tn = min(tile_n, N)
     while N % tn:
@@ -180,7 +182,6 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
         use_split = (
             unpack_mode != "v0"
             and not exact
-            and not vpu
             and set(field_names) <= {"q4", "scale", "minv"}
         )
         minv_tile = (
@@ -201,16 +202,6 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-        elif vpu:
-            # decode (T=1) path: the MXU is weight-load bound at batch 1,
-            # so do the matvec on the VPU: w*x broadcast + lane reduction
-            w = val * scale
-            acc = jnp.sum(w * x_ref[0][None, :], axis=-1)[None, :]  # (1, tn)
-            if has_minv:
-                acc = acc - jnp.sum(
-                    minv_tile * xgsum_ref[0][None, :], axis=-1
-                )[None, :]
-            out_ref[...] = acc
         elif use_split:
             # split-half unpack (nibble planes stay half-width, two MXU
             # dots instead of concat + one): the lane concat is the single
