@@ -102,9 +102,6 @@ def build_params(hp, dtype, seed=0, quant=None):
 
 
 def main():
-    # full layer-scan unroll: each lax.scan iteration carries ~0.3 ms of
-    # loop overhead on this backend; unrolling buys ~10% decode throughput
-    os.environ.setdefault("TPULLAMA_SCAN_UNROLL", "22")
     import jax
     import jax.numpy as jnp
 
@@ -112,21 +109,45 @@ def main():
     from tpullama.models.llama import llama_forward
 
     dtype = jnp.bfloat16
-    hp = HParams(
-        arch="llama",
-        n_vocab=32000,
-        n_ctx_train=2048,
-        n_embd=2048,
-        n_layer=22,
-        n_ff=5632,
-        n_head=32,
-        n_head_kv=4,
-        n_embd_head_k=64,
-        n_embd_head_v=64,
-        n_rot=64,
-        rope_freq_base=10000.0,
-        rope_type=0,
-    )
+    # BENCH_MODEL: tinyllama (1.1B, default) | llama8b (Llama-3-8B shape,
+    # the BASELINE.md headline config — synthetic weights, real shapes)
+    model_name = os.environ.get("BENCH_MODEL", "tinyllama")
+    if model_name == "llama8b":
+        hp = HParams(
+            arch="llama",
+            n_vocab=128256,
+            n_ctx_train=8192,
+            n_embd=4096,
+            n_layer=32,
+            n_ff=14336,
+            n_head=32,
+            n_head_kv=8,
+            n_embd_head_k=128,
+            n_embd_head_v=128,
+            n_rot=128,
+            rope_freq_base=500000.0,
+            rope_type=0,
+        )
+        # full layer-scan unroll: each lax.scan iteration carries ~0.3 ms
+        # of loop overhead on this backend; unrolling buys ~10% decode tps
+        os.environ.setdefault("TPULLAMA_SCAN_UNROLL", "32")
+    else:
+        hp = HParams(
+            arch="llama",
+            n_vocab=32000,
+            n_ctx_train=2048,
+            n_embd=2048,
+            n_layer=22,
+            n_ff=5632,
+            n_head=32,
+            n_head_kv=4,
+            n_embd_head_k=64,
+            n_embd_head_v=64,
+            n_rot=64,
+            rope_freq_base=10000.0,
+            rope_type=0,
+        )
+        os.environ.setdefault("TPULLAMA_SCAN_UNROLL", "22")
     if os.environ.get("BENCH_FUSED", "1") == "1":
         hp.ffn_fused_up = True
     S = int(os.environ.get("BENCH_CTX", 512))
@@ -201,7 +222,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"tinyllama-1.1b-{quant.lower() if quant else 'bf16'} single-chip greedy decode",
+                "metric": f"{model_name}-{quant.lower() if quant else 'bf16'} single-chip greedy decode",
                 "value": round(tps, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(tps / roofline, 4),
