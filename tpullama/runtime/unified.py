@@ -1,0 +1,175 @@
+"""Unified KV cell pool: one cache shared by all sequences.
+
+The capability analog of the reference's unified cache
+(src/llama-kv-cache.cpp:679 find_slot over one cell pool;
+llama-kv-cells.h seq BITSETS per cell): instead of n_seqs × n_ctx fixed
+lanes, every sequence allocates from one pool of `n_cells` rows, so
+skewed loads (one long chat + many short ones) fit in the sum of their
+actual lengths — and `seq_cp` is O(1) metadata (set the destination
+sequence's bit on the shared cells), giving zero-copy shared prompt
+prefixes across slots.
+
+Cell ownership is an int32 bitmask (one bit per sequence, n_seqs <= 32);
+visibility of cell c to a query of sequence s:
+    (seq_mask[c] >> s) & 1  ∧  kv_pos[c] >= 0  ∧  kv_pos[c] <= q_pos
+— the SURVEY.md A.5 predicate with the bitset membership test.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import llama_forward
+
+NEG_INF = jnp.float32(-1e30)
+
+
+class UnifiedContext:
+    """Multi-sequence context over one shared cell pool.
+
+    n_cells is the TOTAL pool size (the reference's n_ctx when
+    kv_unified=true); per-sequence lengths are bounded only by the pool.
+    """
+
+    def __init__(self, model, n_cells: int = 512, n_seqs: int = 8,
+                 dtype=jnp.float32):
+        if n_seqs > 32:
+            raise ValueError("unified pool supports up to 32 sequences")
+        self.model = model
+        self.hp = model.hparams
+        hp = self.hp
+        if hp.swa_layers and any(hp.swa_layers):
+            raise NotImplementedError(
+                "unified pool + iswa small cache not combined yet"
+            )
+        self.n_seqs = n_seqs
+        S = n_cells + 1  # scratch row for padded tokens
+        self._S = S
+        Hkv, Dk, Dv = hp.kv_cache_dims
+        self.kv_k = jnp.zeros((hp.n_layer, 1, S, Hkv, Dk), dtype)
+        self.kv_v = jnp.zeros((hp.n_layer, 1, S, Hkv, Dv), dtype)
+        self.kv_pos = jnp.full((1, S), -1, jnp.int32)
+        self.seq_mask = jnp.zeros((1, S), jnp.int32)  # bit s = seq s member
+        # host mirrors for the free-cell allocator
+        self._mask_host = np.zeros(S, np.int64)
+        self._pos_host = np.full(S, -1, np.int32)
+        self.n_past = np.zeros(n_seqs, np.int32)
+        self._fn = jax.jit(self._step, static_argnames=("n_logits",))
+
+    # ------------------------------------------------------------------
+
+    def _step(self, params, kv_k, kv_v, kv_pos, seq_mask, tokens, positions,
+              slots, seq_ids, n_logits: int):
+        """tokens/positions/slots/seq_ids: (1, T). New cells become owned
+        by exactly their writer's bit."""
+        kv_pos = kv_pos.at[0, slots[0]].set(positions[0])
+        seq_mask = seq_mask.at[0, slots[0]].set(
+            jnp.where(positions[0] >= 0, 1 << seq_ids[0], 0)
+        )
+        member = (seq_mask[0][None, None, :] >> seq_ids[0][None, :, None]) & 1
+        vis = (
+            (member == 1)
+            & (kv_pos[0][None, None, :] >= 0)
+            & (kv_pos[0][None, None, :] <= positions[0][None, :, None])
+        )
+        mask = jnp.where(vis, jnp.float32(0), NEG_INF)[:, None, :, :]
+        logits, _, (kv_k, kv_v) = llama_forward(
+            params, self.hp, tokens, positions, kv_k, kv_v, slots, mask,
+            quant_meta=self.model.quant_meta, return_embd=True,
+        )
+        T = tokens.shape[1]
+        return logits[0, T - n_logits :], kv_k, kv_v, kv_pos, seq_mask
+
+    # ------------------------------------------------------------------
+
+    def _alloc(self, n: int) -> np.ndarray:
+        free = np.nonzero((self._mask_host[: self._S - 1] == 0))[0]
+        if len(free) < n:
+            raise ValueError(
+                f"unified pool exhausted: need {n} cells, have {len(free)} "
+                f"(of {self._S - 1})"
+            )
+        return free[:n]
+
+    def decode(self, tokens, seq_id: int = 0, n_logits: int = 1):
+        """Process tokens for one sequence; returns (n_logits, n_vocab)."""
+        tokens = np.asarray(tokens, np.int32).reshape(-1)
+        T = len(tokens)
+        n_past = int(self.n_past[seq_id])
+        cells = self._alloc(T)
+        pos = np.arange(n_past, n_past + T, dtype=np.int32)
+        Tb = 1 if T == 1 else max(16, 1 << (T - 1).bit_length())
+        pad = Tb - T
+        toks = np.pad(tokens, (0, pad))[None]
+        posp = np.pad(pos, (0, pad), constant_values=-1)[None]
+        slots = np.pad(cells, (0, pad), constant_values=self._S - 1)[None]
+        seqs = np.full((1, Tb), seq_id, np.int32)
+        out, self.kv_k, self.kv_v, self.kv_pos, self.seq_mask = self._fn(
+            self.model.params, self.kv_k, self.kv_v, self.kv_pos,
+            self.seq_mask, jnp.asarray(toks), jnp.asarray(posp),
+            jnp.asarray(slots), jnp.asarray(seqs), n_logits=n_logits + pad,
+        )
+        self._mask_host[cells] = 1 << seq_id
+        self._pos_host[cells] = pos
+        self.n_past[seq_id] = n_past + T
+        out = np.asarray(out)
+        return out[:n_logits] if pad else out
+
+    def decode_batch(self, token_by_seq: dict[int, int]):
+        """One decode token for several sequences in ONE forward (the
+        unified update_slots batch). Returns {seq_id: logits row}."""
+        items = sorted(token_by_seq.items())
+        T = len(items)
+        cells = self._alloc(T)
+        toks = np.asarray([t for _, t in items], np.int32)
+        seqs = np.asarray([s for s, _ in items], np.int32)
+        pos = np.asarray([self.n_past[s] for s, _ in items], np.int32)
+        Tb = max(T, 1)
+        out, self.kv_k, self.kv_v, self.kv_pos, self.seq_mask = self._fn(
+            self.model.params, self.kv_k, self.kv_v, self.kv_pos,
+            self.seq_mask, jnp.asarray(toks[None]), jnp.asarray(pos[None]),
+            jnp.asarray(cells[None]), jnp.asarray(seqs[None]), n_logits=Tb,
+        )
+        self._mask_host[cells] = 1 << seqs
+        self._pos_host[cells] = pos
+        for s, _ in items:
+            self.n_past[s] += 1
+        out = np.asarray(out)
+        return {s: out[i] for i, (s, _) in enumerate(items)}
+
+    # ------------------------------------------------------- seq ops
+
+    def seq_cp(self, src: int, dst: int):
+        """O(1) zero-copy: dst joins every cell src owns (the bitset
+        seq_cp of llama-kv-cells.h) — shared prompt prefixes cost no
+        extra pool cells."""
+        sel = (self._mask_host & (1 << src)) != 0
+        self._mask_host[sel] |= 1 << dst
+        self.seq_mask = jnp.asarray(self._mask_host[None].astype(np.int32))
+        self.n_past[dst] = self.n_past[src]
+
+    def seq_rm(self, p0: int, p1: int, seq_id: int = 0):
+        if p1 < 0:
+            p1 = 1 << 30
+        sel = (
+            ((self._mask_host & (1 << seq_id)) != 0)
+            & (self._pos_host >= p0)
+            & (self._pos_host < p1)
+        )
+        self._mask_host[sel] &= ~(1 << seq_id)
+        self._pos_host[self._mask_host == 0] = -1
+        self.seq_mask = jnp.asarray(self._mask_host[None].astype(np.int32))
+        self.kv_pos = jnp.asarray(self._pos_host[None])
+        if p1 >= int(self.n_past[seq_id]):
+            self.n_past[seq_id] = min(int(self.n_past[seq_id]), p0)
+
+    def rollback_to(self, position: int, seq_id: int = 0):
+        self.seq_rm(position, -1, seq_id=seq_id)
+        self.n_past[seq_id] = min(int(self.n_past[seq_id]), position)
+
+    def used_cells(self) -> int:
+        return int((self._mask_host[: self._S - 1] != 0).sum())
