@@ -187,7 +187,8 @@ def main():
             return (nxt, kv_k, kv_v), nxt
 
         (tok, kv_k, kv_v), toks = jax.lax.scan(
-            step, (first_token, kv_k, kv_v), jnp.arange(n_steps)
+            step, (first_token, kv_k, kv_v), jnp.arange(n_steps),
+            unroll=int(os.environ.get("BENCH_STEP_UNROLL", 1)),
         )
         return toks, kv_k, kv_v
 
