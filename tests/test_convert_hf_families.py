@@ -101,10 +101,24 @@ CASES = {
                        first_k_dense_replace=1, moe_layer_freq=1,
                        topk_method="greedy", n_group=1, topk_group=1,
                        routed_scaling_factor=1.0, norm_topk_prob=False)),
+    "dbrx": ("DbrxForCausalLM", "DbrxConfig",
+             dict(d_model=64, n_heads=4, n_layers=2, max_seq_len=256,
+                  vocab_size=300,
+                  attn_config={"clip_qkv": 8.0, "kv_n_heads": 2,
+                               "rope_theta": 10000.0},
+                  ffn_config={"ffn_hidden_size": 128, "moe_num_experts": 4,
+                              "moe_top_k": 2})),
+    "glm4moe": ("Glm4MoeForCausalLM", "Glm4MoeConfig",
+                dict(head_dim=16, pad_token_id=0, eos_token_id=2,
+                     n_routed_experts=4, num_experts_per_tok=2,
+                     moe_intermediate_size=64, n_shared_experts=1,
+                     first_k_dense_replace=1, norm_topk_prob=True,
+                     routed_scaling_factor=1.0,
+                     num_nextn_predict_layers=0)),
 }
 
 # config classes whose BASE keys differ (old GPT-style naming)
-_OWN_KEYS = {"gpt2", "bloom", "mpt"}
+_OWN_KEYS = {"gpt2", "bloom", "mpt", "dbrx"}
 
 
 def _build(family, tmp_path):
@@ -143,3 +157,49 @@ def test_family_logits_match(tmp_path, family):
     assert np.abs(ours - hf_logits).max() < tol, (
         family, np.abs(ours - hf_logits).max())
     assert (ours.argmax(-1) == hf_logits.argmax(-1)).mean() >= 0.99
+
+
+def test_phimoe_vs_reference_cli(tmp_path):
+    """phimoe's HF modeling routes with sparsemixer, which llama.cpp (and
+    we) replace with softmax top-k — so the oracle is the reference
+    llama-cli on the CONVERTED file, not transformers."""
+    LLAMA_CLI = os.environ.get("TPULLAMA_REF_CLI", "")
+    if not LLAMA_CLI or not os.path.exists(LLAMA_CLI):
+        pytest.skip("reference cli not built")
+    if not hasattr(transformers, "PhimoeForCausalLM"):
+        pytest.skip("transformers lacks PhimoeForCausalLM")
+    import subprocess
+
+    torch.manual_seed(0)
+    cfg = transformers.PhimoeConfig(**{**BASE, "num_local_experts": 4,
+                                       "num_experts_per_tok": 2,
+                                       "lm_head_bias": True,
+                                       "attention_bias": True,
+                                       "rope_scaling": None})
+    model = transformers.PhimoeForCausalLM(cfg).eval()
+    d = tmp_path / "phimoe"
+    model.save_pretrained(str(d))
+    _write_bpe_tokenizer(d)
+    out = str(tmp_path / "phimoe.gguf")
+    convert(str(d), out, outtype="f32", verbose=False)
+    r = subprocess.run(
+        [LLAMA_CLI, "-m", out, "-p", "abcd", "-n", "6", "--temp", "0",
+         "-no-cnv", "--no-warmup"],
+        capture_output=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-1200:]
+    # the reference's strict per-arch create_tensor checks (required
+    # biases, expert stacks, norm set) all passed and it generated text
+    data = r.stdout
+    idx = data.find(b"abcd")
+    assert idx >= 0, data[-200:]
+    assert len(data[idx + 4 :].strip()) > 0
+
+    m = load_model(out)
+    ids = m.vocab.tokenize("abcd", add_special=False)
+    ctx = Context(m, ContextParams(n_ctx=64))
+    ours = ctx.generate(ids, n_predict=6)
+    assert len(ours) == 6
+    # (token-exact comparison is done per-arch in test_e2e_oracle on the
+    # byte-vocab GGUFs; HF Phimoe itself routes with sparsemixer, so
+    # transformers is not a valid oracle for this family)

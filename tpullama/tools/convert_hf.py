@@ -283,6 +283,8 @@ _NAME_MAP = [
     (r"^model\.layers\.(\d+)\.mlp\.shared_expert\.up_proj\.weight$", "blk.{bid}.ffn_up_shexp.weight"),
     (r"^model\.layers\.(\d+)\.mlp\.shared_expert\.down_proj\.weight$", "blk.{bid}.ffn_down_shexp.weight"),
     (r"^model\.layers\.(\d+)\.mlp\.shared_expert_gate\.weight$", "blk.{bid}.ffn_gate_inp_shexp.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.gate\.e_score_correction_bias$", "blk.{bid}.exp_probs_b.bias"),
+    (r"^model\.layers\.(\d+)\.block_sparse_moe\.gate\.e_score_correction_bias$", "blk.{bid}.exp_probs_b.bias"),
     # deepseek v1/v2 shared experts (plural HF module name)
     (r"^model\.layers\.(\d+)\.mlp\.shared_experts\.gate_proj\.weight$", "blk.{bid}.ffn_gate_shexp.weight"),
     (r"^model\.layers\.(\d+)\.mlp\.shared_experts\.up_proj\.weight$", "blk.{bid}.ffn_up_shexp.weight"),
@@ -383,6 +385,10 @@ _ARCH_MAP = {
     "DeepseekForCausalLM": "deepseek",
     "DeepseekV2ForCausalLM": "deepseek2",
     "DeepseekV3ForCausalLM": "deepseek2",
+    "DbrxForCausalLM": "dbrx",
+    "PhimoeForCausalLM": "phimoe",
+    "Glm4MoeForCausalLM": "glm4moe",
+    "MiniMaxM2ForCausalLM": "minimax-m2",
 }
 
 
@@ -505,6 +511,17 @@ _MPT_NAME_MAP = [
     (r"^transformer\.blocks\.(\d+)\.ffn\.down_proj\.weight$", "blk.{bid}.ffn_down.weight"),
 ]
 
+_DBRX_NAME_MAP = [
+    (r"^transformer\.wte\.weight$", "token_embd.weight"),
+    (r"^transformer\.norm_f\.weight$", "output_norm.weight"),
+    (r"^lm_head\.weight$", "output.weight"),
+    (r"^transformer\.blocks\.(\d+)\.norm_attn_norm\.norm_1\.weight$", "blk.{bid}.attn_norm.weight"),
+    (r"^transformer\.blocks\.(\d+)\.norm_attn_norm\.norm_2\.weight$", "blk.{bid}.attn_output_norm.weight"),
+    (r"^transformer\.blocks\.(\d+)\.norm_attn_norm\.attn\.Wqkv\.weight$", "blk.{bid}.attn_qkv.weight"),
+    (r"^transformer\.blocks\.(\d+)\.norm_attn_norm\.attn\.out_proj\.weight$", "blk.{bid}.attn_output.weight"),
+    (r"^transformer\.blocks\.(\d+)\.ffn\.router\.layer\.weight$", "blk.{bid}.ffn_gate_inp.weight"),
+]
+
 _INTERNLM2_NAME_MAP = [
     (r"^model\.tok_embeddings\.weight$", "token_embd.weight"),
     (r"^model\.norm\.weight$", "output_norm.weight"),
@@ -525,7 +542,6 @@ _DEEPSEEK2_NAME_MAP = [
     (r"^model\.layers\.(\d+)\.self_attn\.kv_b_proj\.weight$", "blk.{bid}.attn_kv_b.weight"),
     (r"^model\.layers\.(\d+)\.self_attn\.q_a_layernorm\.weight$", "blk.{bid}.attn_q_a_norm.weight"),
     (r"^model\.layers\.(\d+)\.self_attn\.kv_a_layernorm\.weight$", "blk.{bid}.attn_kv_a_norm.weight"),
-    (r"^model\.layers\.(\d+)\.mlp\.gate\.e_score_correction_bias$", "blk.{bid}.exp_probs_b.bias"),
 ]
 
 
@@ -652,6 +668,56 @@ def _kv_deepseek1(w, arch, config):
         w.add_u32(f"{arch}.expert_shared_count", int(config["n_shared_experts"]))
     if config.get("moe_layer_freq") is not None:
         w.add_u32(f"{arch}.expert_weights_scale", 1)
+
+
+def _kv_dbrx(w, arch, config):
+    ac = config.get("attn_config") or {}
+    fc = config.get("ffn_config") or {}
+    if ac.get("clip_qkv") is not None:
+        w.add_f32(f"{arch}.attention.clamp_kqv", float(ac["clip_qkv"]))
+    w.add_u32(f"{arch}.expert_count", int(fc.get("moe_num_experts", 4)))
+    w.add_u32(f"{arch}.expert_used_count", int(fc.get("moe_top_k", 1)))
+
+
+def _tf_dbrx(name, data, config):
+    """DbrxModel: expert stacks ship FLAT (n_exp*n_ff, d) without a
+    .weight suffix; reshape to 3-D (w2 transposed) and emit directly."""
+    fc = config.get("ffn_config") or {}
+    n_exp = int(fc.get("moe_num_experts", 4))
+    n_ff = int(fc.get("ffn_hidden_size"))
+    d = int(config["d_model"])
+    m = re.match(r"^transformer\.blocks\.(\d+)\.ffn\.experts\.mlp\.(w1|v1|w2)$", name)
+    if not m:
+        return [(name, data)]
+    bid, wn = m.group(1), m.group(2)
+    t = data.reshape(n_exp, n_ff, d)
+    if wn == "w1":
+        return [(f"=blk.{bid}.ffn_gate_exps.weight", t)]
+    if wn == "v1":
+        return [(f"=blk.{bid}.ffn_up_exps.weight", t)]
+    return [(f"=blk.{bid}.ffn_down_exps.weight",
+             np.ascontiguousarray(t.transpose(0, 2, 1)))]
+
+
+def _kv_glm4moe(w, arch, config):
+    w.add_u32(f"{arch}.leading_dense_block_count",
+              int(config.get("first_k_dense_replace", 0)))
+    if config.get("n_shared_experts"):
+        w.add_u32(f"{arch}.expert_shared_count", int(config["n_shared_experts"]))
+    if config.get("routed_scaling_factor") is not None:
+        w.add_f32(f"{arch}.expert_weights_scale",
+                  float(config["routed_scaling_factor"]))
+    w.add_u32(f"{arch}.expert_gating_func", 2)  # sigmoid (GLM-4.5)
+    if config.get("num_nextn_predict_layers"):
+        w.add_u32(f"{arch}.nextn_predict_layers",
+                  int(config["num_nextn_predict_layers"]))
+
+
+def _kv_minimax_m2(w, arch, config):
+    w.add_u32(f"{arch}.expert_feed_forward_length",
+              int(config["intermediate_size"]))
+    if config.get("scoring_func") == "sigmoid":
+        w.add_u32(f"{arch}.expert_gating_func", 2)
 
 
 def _tf_baichuan(name, data, config):
@@ -870,6 +936,13 @@ _FAMILY_SPECS: dict = {
     "deepseek2": dict(names=_DEEPSEEK2_NAME_MAP, kv=_kv_deepseek2,
                       transform=_tf_deepseek2,
                       rope_dim=lambda c: int(c["qk_rope_head_dim"])),
+    "dbrx": dict(names=_DBRX_NAME_MAP, transform=_tf_dbrx, kv=_kv_dbrx,
+                 ln=True, kv_aliases=True),
+    "phimoe": dict(names=_LN_BIAS_MAP),  # llama.cpp reads the RMS eps key for its LayerNorms
+    "glm4moe": dict(names=_GLM4_NORM_MAP, kv=_kv_glm4moe,
+                    rope_dim=_rope_dim_partial(0.5)),
+    "minimax-m2": dict(kv=_kv_minimax_m2,
+                       rope_dim=lambda c: int(c["rotary_dim"])),
 }
 
 _PRE_BY_ARCH = {
@@ -927,10 +1000,13 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
                 if v is not None:
                     config[tgt] = v
         if config.get("intermediate_size") is None:
-            config["intermediate_size"] = 4 * int(config["hidden_size"])
+            fc = config.get("ffn_config") or {}
+            config["intermediate_size"] = int(
+                fc.get("ffn_hidden_size") or 4 * int(config["hidden_size"])
+            )
         if config.get("num_key_value_heads") is None:
             nkv = _g(config, "num_kv_heads", "n_head_kv")
-            if nkv is None and arch == "mpt":
+            if nkv is None and arch in ("mpt", "dbrx"):
                 nkv = (config.get("attn_config") or {}).get("kv_n_heads")
             if nkv is None and arch == "falcon":
                 if config.get("new_decoder_architecture"):
@@ -939,6 +1015,10 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
                     nkv = 1
             if nkv is not None:
                 config["num_key_value_heads"] = nkv
+        if arch == "dbrx" and config.get("rope_theta") is None:
+            rt = (config.get("attn_config") or {}).get("rope_theta")
+            if rt is not None:
+                config["rope_theta"] = rt
 
     n_embd = int(config["hidden_size"])
     n_head = int(config["num_attention_heads"])
