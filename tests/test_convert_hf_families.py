@@ -115,6 +115,12 @@ CASES = {
                      first_k_dense_replace=1, norm_topk_prob=True,
                      routed_scaling_factor=1.0,
                      num_nextn_predict_layers=0)),
+    "gpt-oss": ("GptOssForCausalLM", "GptOssConfig",
+                dict(head_dim=16, num_local_experts=4,
+                     num_experts_per_tok=2, sliding_window=64,
+                     rope_scaling={"rope_type": "yarn", "factor": 2.0,
+                                   "original_max_position_embeddings": 128,
+                                   "beta_fast": 32.0, "beta_slow": 1.0})),
 }
 
 # config classes whose BASE keys differ (old GPT-style naming)

@@ -389,6 +389,7 @@ _ARCH_MAP = {
     "PhimoeForCausalLM": "phimoe",
     "Glm4MoeForCausalLM": "glm4moe",
     "MiniMaxM2ForCausalLM": "minimax-m2",
+    "GptOssForCausalLM": "gpt-oss",
 }
 
 
@@ -713,6 +714,46 @@ def _kv_glm4moe(w, arch, config):
                   int(config["num_nextn_predict_layers"]))
 
 
+def _kv_gptoss(w, arch, config):
+    if config.get("sliding_window") is not None:
+        w.add_u32(f"{arch}.attention.sliding_window", int(config["sliding_window"]))
+    w.add_u32(f"{arch}.expert_feed_forward_length",
+              int(config["intermediate_size"]))
+
+
+def _tf_gptoss(name, data, config):
+    """GptOssModel bf16 path: attention sinks, experts stored pre-stacked
+    (n_exp, d, 2*ff) with INTERLEAVED gate/up columns, transposed vs ggml
+    (convert_hf_to_gguf.py:9449+ modify_tensors)."""
+    m = re.match(r"^model\.layers\.(\d+)\.self_attn\.sinks$", name)
+    if m:
+        return [(f"=blk.{m.group(1)}.attn_sinks.weight", data)]
+    m = re.match(r"^model\.layers\.(\d+)\.mlp\.router\.(weight|bias)$", name)
+    if m:
+        return [(f"=blk.{m.group(1)}.ffn_gate_inp.{m.group(2)}", data)]
+    m = re.match(r"^model\.layers\.(\d+)\.mlp\.experts\.gate_up_proj_bias$", name)
+    if m:
+        return [
+            (f"=blk.{m.group(1)}.ffn_gate_exps.bias", data[..., ::2]),
+            (f"=blk.{m.group(1)}.ffn_up_exps.bias", data[..., 1::2]),
+        ]
+    m = re.match(r"^model\.layers\.(\d+)\.mlp\.experts\.down_proj_bias$", name)
+    if m:
+        return [(f"=blk.{m.group(1)}.ffn_down_exps.bias", data)]
+    m = re.match(r"^model\.layers\.(\d+)\.mlp\.experts\.gate_up_proj$", name)
+    if m:
+        t = np.ascontiguousarray(np.swapaxes(data, -1, -2))  # (E, 2ff, d)
+        return [
+            (f"=blk.{m.group(1)}.ffn_gate_exps.weight", t[:, ::2]),
+            (f"=blk.{m.group(1)}.ffn_up_exps.weight", t[:, 1::2]),
+        ]
+    m = re.match(r"^model\.layers\.(\d+)\.mlp\.experts\.down_proj$", name)
+    if m:
+        return [(f"=blk.{m.group(1)}.ffn_down_exps.weight",
+                 np.ascontiguousarray(np.swapaxes(data, -1, -2)))]
+    return [(name, data)]
+
+
 def _kv_minimax_m2(w, arch, config):
     w.add_u32(f"{arch}.expert_feed_forward_length",
               int(config["intermediate_size"]))
@@ -943,6 +984,8 @@ _FAMILY_SPECS: dict = {
                     rope_dim=_rope_dim_partial(0.5)),
     "minimax-m2": dict(kv=_kv_minimax_m2,
                        rope_dim=lambda c: int(c["rotary_dim"])),
+    "gpt-oss": dict(kv=_kv_gptoss, transform=_tf_gptoss,
+                    names=_LN_BIAS_MAP),
 }
 
 _PRE_BY_ARCH = {
