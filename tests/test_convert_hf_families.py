@@ -209,3 +209,41 @@ def test_phimoe_vs_reference_cli(tmp_path):
     # (token-exact comparison is done per-arch in test_e2e_oracle on the
     # byte-vocab GGUFs; HF Phimoe itself routes with sparsemixer, so
     # transformers is not a valid oracle for this family)
+
+
+def test_jamba_logits_match(tmp_path):
+    """Jamba hybrid (mamba + attention + periodic MoE): converted file
+    runs through the hybrid context and matches transformers."""
+    if not hasattr(transformers, "JambaForCausalLM"):
+        pytest.skip("transformers lacks JambaForCausalLM")
+    torch.manual_seed(0)
+    cfg = transformers.JambaConfig(
+        vocab_size=300, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        attn_layer_offset=1, attn_layer_period=2, expert_layer_offset=1,
+        expert_layer_period=2, num_experts=4, num_experts_per_tok=2,
+        mamba_d_state=16, mamba_d_conv=4, mamba_expand=2,
+        use_mamba_kernels=False, max_position_embeddings=256,
+        tie_word_embeddings=False,
+    )
+    model = transformers.JambaForCausalLM(cfg).eval()
+    d = tmp_path / "jamba"
+    model.save_pretrained(str(d))
+    _write_bpe_tokenizer(d)
+    out = str(tmp_path / "jamba.gguf")
+    convert(str(d), out, outtype="f32", verbose=False)
+    ids = [5, 99, 200, 7, 42]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([ids])).logits[0].numpy()
+    import jax.numpy as jnp
+
+    from tpullama.runtime.recurrent import make_context
+
+    m = load_model(out)
+    ctx = make_context(m, ContextParams(n_ctx=32, dtype=jnp.float32))
+    # the hybrid context yields last-token logits; teacher-force stepwise
+    ours = [np.asarray(ctx.decode(np.asarray(ids[: 1])))[-1]]
+    for t in ids[1:]:
+        ours.append(np.asarray(ctx.decode(np.asarray([t])))[-1])
+    ours = np.stack(ours)
+    assert np.abs(ours - hf_logits).max() < 3e-4, np.abs(ours - hf_logits).max()

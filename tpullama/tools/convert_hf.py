@@ -390,6 +390,7 @@ _ARCH_MAP = {
     "Glm4MoeForCausalLM": "glm4moe",
     "MiniMaxM2ForCausalLM": "minimax-m2",
     "GptOssForCausalLM": "gpt-oss",
+    "JambaForCausalLM": "jamba",
 }
 
 
@@ -1024,6 +1025,8 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
     if arch in ("mamba", "mamba2"):
         return _convert_ssm(model_dir, outfile, arch, hf_arch, config, qt,
                             pre, verbose, ftype_mix=ftype_mix)
+    if arch == "jamba":
+        return _convert_jamba(model_dir, outfile, config, qt, pre, verbose)
 
     spec = _FAMILY_SPECS.get(arch, {})
     if spec.get("kv_aliases"):
@@ -1451,3 +1454,134 @@ def main(argv=None) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+# jamba mamba-block tensor names (tensor_mapping.py jamba rows)
+_JAMBA_SSM_MAP = [
+    (r"^model\.layers\.(\d+)\.mamba\.in_proj\.weight$", "blk.{bid}.ssm_in.weight"),
+    (r"^model\.layers\.(\d+)\.mamba\.conv1d\.(weight|bias)$", "blk.{bid}.ssm_conv1d.{suf}"),
+    (r"^model\.layers\.(\d+)\.mamba\.x_proj\.weight$", "blk.{bid}.ssm_x.weight"),
+    (r"^model\.layers\.(\d+)\.mamba\.dt_proj\.(weight|bias)$", "blk.{bid}.ssm_dt.{suf}"),
+    (r"^model\.layers\.(\d+)\.mamba\.dt_layernorm\.weight$", "blk.{bid}.ssm_dt_norm.weight"),
+    (r"^model\.layers\.(\d+)\.mamba\.b_layernorm\.weight$", "blk.{bid}.ssm_b_norm.weight"),
+    (r"^model\.layers\.(\d+)\.mamba\.c_layernorm\.weight$", "blk.{bid}.ssm_c_norm.weight"),
+    (r"^model\.layers\.(\d+)\.mamba\.A_log$", "blk.{bid}.ssm_a"),
+    (r"^model\.layers\.(\d+)\.mamba\.D$", "blk.{bid}.ssm_d"),
+    (r"^model\.layers\.(\d+)\.mamba\.out_proj\.weight$", "blk.{bid}.ssm_out.weight"),
+    (r"^model\.layers\.(\d+)\.input_layernorm\.weight$", "blk.{bid}.attn_norm.weight"),
+    (r"^model\.layers\.(\d+)\.pre_ff_layernorm\.weight$", "blk.{bid}.ffn_norm.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.router\.weight$", "blk.{bid}.ffn_gate_inp.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.gate_proj\.weight$", "blk.{bid}.ffn_gate.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.up_proj\.weight$", "blk.{bid}.ffn_up.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.down_proj\.weight$", "blk.{bid}.ffn_down.weight"),
+]
+
+
+def _convert_jamba(model_dir, outfile, config, qt, pre, verbose):
+    """JambaForCausalLM -> GGUF (convert_hf_to_gguf.py JambaModel):
+    hybrid mamba/attention layers (per-layer kv-head ARRAY key), MoE on
+    a period/offset schedule, mamba A_log -> -exp, conv1d squeeze."""
+    arch = "jamba"
+    d_model = int(config["hidden_size"])
+    n_layer = int(config["num_hidden_layers"])
+    d_conv = int(config.get("mamba_d_conv", 4))
+    d_inner = int(config.get("mamba_expand", 2)) * d_model
+    d_state = int(config.get("mamba_d_state", 16))
+    dt_rank = int(config.get("mamba_dt_rank") or -(d_model // -16))
+    n_kv = int(config["num_key_value_heads"])
+    a_off, a_per = int(config["attn_layer_offset"]), int(config["attn_layer_period"])
+    kv_arr = [
+        n_kv if il >= a_off and (il - a_off) % a_per == 0 else 0
+        for il in range(n_layer)
+    ]
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", os.path.basename(os.path.abspath(model_dir)))
+    w.add_u32(f"{arch}.context_length",
+              int(config.get("max_position_embeddings", 4096)))
+    w.add_u32(f"{arch}.embedding_length", d_model)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_u32(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add_u32(f"{arch}.attention.head_count", int(config["num_attention_heads"]))
+    w.add_array(f"{arch}.attention.head_count_kv",
+                np.asarray(kv_arr, np.uint32))
+    w.add_u32(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_u32(f"{arch}.ssm.inner_size", d_inner)
+    w.add_u32(f"{arch}.ssm.state_size", d_state)
+    w.add_u32(f"{arch}.ssm.time_step_rank", dt_rank)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon",
+              float(config.get("rms_norm_eps", 1e-6)))
+    w.add_u32(f"{arch}.vocab_size", int(config["vocab_size"]))
+    n_expert = int(config.get("num_experts", 0) or 0)
+    if n_expert > 1:
+        w.add_u32(f"{arch}.expert_count", n_expert)
+        w.add_u32(f"{arch}.expert_used_count",
+                  int(config.get("num_experts_per_tok", 2)))
+    write_vocab(w, model_dir, arch, config, pre or "default")
+
+    e_off = int(config.get("expert_layer_offset", 0))
+    e_per = int(config.get("expert_layer_period", 1))
+    experts: dict[int, dict[str, dict[int, np.ndarray]]] = {}
+    stats = {"tensors": 0}
+
+    def emit(gname, data):
+        tt = qt if data.ndim >= 2 and data.shape[-1] % 32 == 0 else GGMLType.F32
+        if tt == GGMLType.F16:
+            w.add_tensor(gname, data.astype(np.float16), GGMLType.F16)
+        elif tt != GGMLType.F32:
+            w.add_tensor(gname, np.empty(data.shape), ggml_type=tt,
+                         raw=quantize(data, tt))
+        else:
+            w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
+        stats["tensors"] += 1
+
+    top = [
+        (r"^model\.embed_tokens\.weight$", "token_embd.weight"),
+        (r"^model\.final_layernorm\.weight$", "output_norm.weight"),
+        (r"^lm_head\.weight$", "output.weight"),
+    ]
+    attn = [
+        (r"^model\.layers\.(\d+)\.self_attn\.q_proj\.weight$", "blk.{bid}.attn_q.weight"),
+        (r"^model\.layers\.(\d+)\.self_attn\.k_proj\.weight$", "blk.{bid}.attn_k.weight"),
+        (r"^model\.layers\.(\d+)\.self_attn\.v_proj\.weight$", "blk.{bid}.attn_v.weight"),
+        (r"^model\.layers\.(\d+)\.self_attn\.o_proj\.weight$", "blk.{bid}.attn_output.weight"),
+    ]
+    for name, data in iter_hf_tensors(model_dir):
+        m = re.match(r"^model\.layers\.(\d+)\.feed_forward\.experts\.(\d+)\.(gate|up|down)_proj\.weight$", name)
+        if m:
+            bid, xid, which = int(m.group(1)), int(m.group(2)), m.group(3)
+            is_moe = n_expert > 1 and bid >= e_off and (bid - e_off) % e_per == 0
+            if not is_moe:  # mini-jamba: experts.0 is the plain FFN
+                emit(f"blk.{bid}.ffn_{which}.weight", data)
+                continue
+            experts.setdefault(bid, {}).setdefault(which, {})[xid] = data
+            bucket = experts[bid][which]
+            if len(bucket) == n_expert:
+                emit(f"blk.{bid}.ffn_{which}_exps.weight",
+                     np.stack([bucket[i] for i in range(n_expert)]))
+                del experts[bid][which]
+            continue
+        gname = None
+        for pat, repl in _JAMBA_SSM_MAP + top + attn:
+            mm = re.match(pat, name)
+            if mm:
+                g = mm.groups()
+                bid = g[0] if g and g[0] and str(g[0]).isdigit() else ""
+                suf = g[-1] if g and g[-1] in ("weight", "bias") else "weight"
+                gname = repl.format(bid=bid, suf=suf)
+                break
+        if gname is None:
+            if verbose:
+                print(f"skip {name}", file=sys.stderr)
+            continue
+        if gname.endswith("ssm_a"):
+            data = -np.exp(data.astype(np.float32))
+        if gname.endswith("ssm_conv1d.weight") and data.ndim == 3:
+            data = data.squeeze(1)
+        emit(gname, data)
+    if any(v for b in experts.values() for v in b.values()):
+        raise ValueError("incomplete jamba expert sets")
+    w.write(outfile)
+    if verbose:
+        print(f"wrote {outfile} ({stats['tensors']} tensors)", file=sys.stderr)
+    return stats
