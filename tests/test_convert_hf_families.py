@@ -247,3 +247,38 @@ def test_jamba_logits_match(tmp_path):
         ours.append(np.asarray(ctx.decode(np.asarray([t])))[-1])
     ours = np.stack(ours)
     assert np.abs(ours - hf_logits).max() < 3e-4, np.abs(ours - hf_logits).max()
+
+
+def test_lfm2_logits_match(tmp_path):
+    """LFM2 hybrid (shortconv + attention): converted file runs through
+    the hybrid context and matches transformers stepwise."""
+    if not hasattr(transformers, "Lfm2ForCausalLM"):
+        pytest.skip("transformers lacks Lfm2ForCausalLM")
+    torch.manual_seed(0)
+    cfg = transformers.Lfm2Config(
+        vocab_size=300, hidden_size=64, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2,
+        layer_types=["conv", "full_attention", "conv", "full_attention"],
+        conv_L_cache=3, block_ff_dim=128, block_auto_adjust_ff_dim=False,
+        block_multiple_of=16, norm_eps=1e-5, max_position_embeddings=256,
+    )
+    model = transformers.Lfm2ForCausalLM(cfg).eval()
+    d = tmp_path / "lfm2"
+    model.save_pretrained(str(d))
+    _write_bpe_tokenizer(d)
+    out = str(tmp_path / "lfm2.gguf")
+    convert(str(d), out, outtype="f32", verbose=False)
+    ids = [5, 99, 200, 7, 42]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([ids])).logits[0].numpy()
+    import jax.numpy as jnp
+
+    from tpullama.runtime.recurrent import make_context
+
+    m = load_model(out)
+    ctx = make_context(m, ContextParams(n_ctx=32, dtype=jnp.float32))
+    ours = [np.asarray(ctx.decode(np.asarray(ids[:1])))[-1]]
+    for t in ids[1:]:
+        ours.append(np.asarray(ctx.decode(np.asarray([t])))[-1])
+    ours = np.stack(ours)
+    assert np.abs(ours - hf_logits).max() < 3e-4, np.abs(ours - hf_logits).max()

@@ -391,6 +391,7 @@ _ARCH_MAP = {
     "MiniMaxM2ForCausalLM": "minimax-m2",
     "GptOssForCausalLM": "gpt-oss",
     "JambaForCausalLM": "jamba",
+    "Lfm2ForCausalLM": "lfm2",
 }
 
 
@@ -1027,6 +1028,8 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
                             pre, verbose, ftype_mix=ftype_mix)
     if arch == "jamba":
         return _convert_jamba(model_dir, outfile, config, qt, pre, verbose)
+    if arch == "lfm2":
+        return _convert_lfm2(model_dir, outfile, config, qt, pre, verbose)
 
     spec = _FAMILY_SPECS.get(arch, {})
     if spec.get("kv_aliases"):
@@ -1581,6 +1584,95 @@ def _convert_jamba(model_dir, outfile, config, qt, pre, verbose):
         emit(gname, data)
     if any(v for b in experts.values() for v in b.values()):
         raise ValueError("incomplete jamba expert sets")
+    w.write(outfile)
+    if verbose:
+        print(f"wrote {outfile} ({stats['tensors']} tensors)", file=sys.stderr)
+    return stats
+
+
+_LFM2_MAP = [
+    (r"^model\.embed_tokens\.weight$", "token_embd.weight"),
+    (r"^model\.embedding_norm\.weight$", "token_embd_norm.weight"),
+    (r"^lm_head\.weight$", "output.weight"),
+    (r"^model\.layers\.(\d+)\.operator_norm\.weight$", "blk.{bid}.attn_norm.weight"),
+    (r"^model\.layers\.(\d+)\.ffn_norm\.weight$", "blk.{bid}.ffn_norm.weight"),
+    (r"^model\.layers\.(\d+)\.conv\.in_proj\.weight$", "blk.{bid}.shortconv.in_proj.weight"),
+    (r"^model\.layers\.(\d+)\.conv\.conv\.weight$", "blk.{bid}.shortconv.conv.weight"),
+    (r"^model\.layers\.(\d+)\.conv\.out_proj\.weight$", "blk.{bid}.shortconv.out_proj.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.q_proj\.weight$", "blk.{bid}.attn_q.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.k_proj\.weight$", "blk.{bid}.attn_k.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.v_proj\.weight$", "blk.{bid}.attn_v.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.out_proj\.weight$", "blk.{bid}.attn_output.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.q_layernorm\.weight$", "blk.{bid}.attn_q_norm.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.k_layernorm\.weight$", "blk.{bid}.attn_k_norm.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.w1\.weight$", "blk.{bid}.ffn_gate.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.w3\.weight$", "blk.{bid}.ffn_up.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.w2\.weight$", "blk.{bid}.ffn_down.weight"),
+]
+
+
+def _convert_lfm2(model_dir, outfile, config, qt, pre, verbose):
+    """Lfm2ForCausalLM -> GGUF (convert_hf_to_gguf.py LFM2Model): hybrid
+    shortconv/attention layers (per-layer kv-head ARRAY), conv squeeze,
+    block_ff_dim auto-adjust."""
+    arch = "lfm2"
+    d_model = int(config["hidden_size"])
+    n_layer = int(config["num_hidden_layers"])
+    n_head = int(config["num_attention_heads"])
+    n_kv = int(config["num_key_value_heads"])
+    layer_types = config.get("layer_types") or ["full_attention"] * n_layer
+    kv_arr = [n_kv if t == "full_attention" else 0 for t in layer_types]
+    ff_dim = int(config["block_ff_dim"])
+    if config.get("block_auto_adjust_ff_dim"):
+        ff_dim = int(2 * ff_dim / 3)
+        if config.get("block_ffn_dim_multiplier") is not None:
+            ff_dim = int(config["block_ffn_dim_multiplier"] * ff_dim)
+        mult = int(config.get("block_multiple_of", 256))
+        ff_dim = mult * ((ff_dim + mult - 1) // mult)
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", os.path.basename(os.path.abspath(model_dir)))
+    w.add_u32(f"{arch}.context_length",
+              int(config.get("max_position_embeddings", 4096)))
+    w.add_u32(f"{arch}.embedding_length", d_model)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_u32(f"{arch}.feed_forward_length", ff_dim)
+    w.add_u32(f"{arch}.attention.head_count", n_head)
+    w.add_array(f"{arch}.attention.head_count_kv",
+                np.asarray(kv_arr, np.uint32))
+    w.add_u32(f"{arch}.rope.dimension_count", d_model // n_head)
+    w.add_f32(f"{arch}.rope.freq_base",
+              float(config.get("rope_theta", 1000000.0)))
+    w.add_u32(f"{arch}.shortconv.l_cache", int(config["conv_L_cache"]))
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon",
+              float(config.get("norm_eps", 1e-5)))
+    w.add_u32(f"{arch}.vocab_size", int(config["vocab_size"]))
+    write_vocab(w, model_dir, arch, config, pre or "default")
+
+    stats = {"tensors": 0}
+    for name, data in iter_hf_tensors(model_dir):
+        gname = None
+        for pat, repl in _LFM2_MAP:
+            m = re.match(pat, name)
+            if m:
+                g = m.groups()
+                gname = repl.format(bid=g[0] if g else "")
+                break
+        if gname is None:
+            if verbose:
+                print(f"skip {name}", file=sys.stderr)
+            continue
+        if gname.endswith("shortconv.conv.weight") and data.ndim == 3:
+            data = data.squeeze(1)
+        tt = qt if data.ndim >= 2 and data.shape[-1] % 32 == 0 else GGMLType.F32
+        if tt == GGMLType.F16:
+            w.add_tensor(gname, data.astype(np.float16), GGMLType.F16)
+        elif tt != GGMLType.F32:
+            w.add_tensor(gname, np.empty(data.shape), ggml_type=tt,
+                         raw=quantize(data, tt))
+        else:
+            w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
+        stats["tensors"] += 1
     w.write(outfile)
     if verbose:
         print(f"wrote {outfile} ({stats['tensors']} tensors)", file=sys.stderr)
