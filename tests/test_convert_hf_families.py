@@ -282,3 +282,42 @@ def test_lfm2_logits_match(tmp_path):
         ours.append(np.asarray(ctx.decode(np.asarray([t])))[-1])
     ours = np.stack(ours)
     assert np.abs(ours - hf_logits).max() < 3e-4, np.abs(ours - hf_logits).max()
+
+
+def test_bamba_granite_hybrid_logits_match(tmp_path):
+    """Bamba (mamba2 + attention hybrid -> granite-hybrid arch)."""
+    if not hasattr(transformers, "BambaForCausalLM"):
+        pytest.skip("transformers lacks BambaForCausalLM")
+    torch.manual_seed(0)
+    cfg = transformers.BambaConfig(
+        vocab_size=300, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        attn_layer_indices=[1, 3], mamba_n_heads=8, mamba_d_head=16,
+        mamba_d_state=16, mamba_d_conv=4, mamba_expand=2, mamba_n_groups=1,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    model = transformers.BambaForCausalLM(cfg).eval()
+    d = tmp_path / "bamba"
+    model.save_pretrained(str(d))
+    _write_bpe_tokenizer(d)
+    out = str(tmp_path / "bamba.gguf")
+    convert(str(d), out, outtype="f32", verbose=False)
+    ids = [5, 99, 200, 7, 42]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([ids])).logits[0].numpy()
+    import jax.numpy as jnp
+
+    from tpullama.runtime.recurrent import make_context
+
+    m = load_model(out)
+    ctx = make_context(m, ContextParams(n_ctx=32, dtype=jnp.float32))
+    ours = [np.asarray(ctx.decode(np.asarray(ids[:1])))[-1]]
+    for t in ids[1:]:
+        ours.append(np.asarray(ctx.decode(np.asarray([t])))[-1])
+    ours = np.stack(ours)
+    # mamba2 recurrences: HF's chunked segsum scan vs our sequential
+    # associative scan accumulate ~1e-3 fp32 drift over steps (our runtime
+    # is token-exact vs llama-cli in test_granite_hybrid instead)
+    assert np.abs(ours - hf_logits).max() < 2e-2, np.abs(ours - hf_logits).max()
+    assert (ours.argmax(-1) == hf_logits.argmax(-1)).all()
+

@@ -392,6 +392,8 @@ _ARCH_MAP = {
     "GptOssForCausalLM": "gpt-oss",
     "JambaForCausalLM": "jamba",
     "Lfm2ForCausalLM": "lfm2",
+    "BambaForCausalLM": "granite-hybrid",
+    "GraniteMoeHybridForCausalLM": "granite-hybrid",
 }
 
 
@@ -1030,6 +1032,9 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
         return _convert_jamba(model_dir, outfile, config, qt, pre, verbose)
     if arch == "lfm2":
         return _convert_lfm2(model_dir, outfile, config, qt, pre, verbose)
+    if arch == "granite-hybrid":
+        return _convert_granite_hybrid(model_dir, outfile, config, qt, pre,
+                                       verbose)
 
     spec = _FAMILY_SPECS.get(arch, {})
     if spec.get("kv_aliases"):
@@ -1663,6 +1668,119 @@ def _convert_lfm2(model_dir, outfile, config, qt, pre, verbose):
                 print(f"skip {name}", file=sys.stderr)
             continue
         if gname.endswith("shortconv.conv.weight") and data.ndim == 3:
+            data = data.squeeze(1)
+        tt = qt if data.ndim >= 2 and data.shape[-1] % 32 == 0 else GGMLType.F32
+        if tt == GGMLType.F16:
+            w.add_tensor(gname, data.astype(np.float16), GGMLType.F16)
+        elif tt != GGMLType.F32:
+            w.add_tensor(gname, np.empty(data.shape), ggml_type=tt,
+                         raw=quantize(data, tt))
+        else:
+            w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
+        stats["tensors"] += 1
+    w.write(outfile)
+    if verbose:
+        print(f"wrote {outfile} ({stats['tensors']} tensors)", file=sys.stderr)
+    return stats
+
+
+_GRANITE_HYBRID_MAP = [
+    (r"^model\.embed_tokens\.weight$", "token_embd.weight"),
+    (r"^model\.final_layernorm\.weight$", "output_norm.weight"),
+    (r"^model\.norm\.weight$", "output_norm.weight"),
+    (r"^lm_head\.weight$", "output.weight"),
+    (r"^model\.layers\.(\d+)\.input_layernorm\.weight$", "blk.{bid}.attn_norm.weight"),
+    (r"^model\.layers\.(\d+)\.pre_ff_layernorm\.weight$", "blk.{bid}.ffn_norm.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.q_proj\.weight$", "blk.{bid}.attn_q.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.k_proj\.weight$", "blk.{bid}.attn_k.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.v_proj\.weight$", "blk.{bid}.attn_v.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.o_proj\.weight$", "blk.{bid}.attn_output.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.gate_proj\.weight$", "blk.{bid}.ffn_gate.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.up_proj\.weight$", "blk.{bid}.ffn_up.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.down_proj\.weight$", "blk.{bid}.ffn_down.weight"),
+    (r"^model\.layers\.(\d+)\.mamba\.in_proj\.weight$", "blk.{bid}.ssm_in.weight"),
+    (r"^model\.layers\.(\d+)\.mamba\.conv1d\.(weight|bias)$", "blk.{bid}.ssm_conv1d.{suf}"),
+    (r"^model\.layers\.(\d+)\.mamba\.dt_bias$", "blk.{bid}.ssm_dt.bias"),
+    (r"^model\.layers\.(\d+)\.mamba\.A_log$", "blk.{bid}.ssm_a"),
+    (r"^model\.layers\.(\d+)\.mamba\.D$", "blk.{bid}.ssm_d"),
+    (r"^model\.layers\.(\d+)\.mamba\.norm\.weight$", "blk.{bid}.ssm_norm.weight"),
+    (r"^model\.layers\.(\d+)\.mamba\.out_proj\.weight$", "blk.{bid}.ssm_out.weight"),
+]
+
+
+def _convert_granite_hybrid(model_dir, outfile, config, qt, pre, verbose):
+    """Bamba / GraniteMoeHybrid -> GGUF (GraniteHybridModel,
+    convert_hf_to_gguf.py:8428): mamba2 + attention hybrid with per-layer
+    kv-head array; mamba2 per-head A/D unsqueeze, grouped ssm_norm
+    reshape, conv squeeze; optional granite scale multipliers."""
+    arch = "granite-hybrid"
+    d_model = int(config["hidden_size"])
+    n_layer = int(config["num_hidden_layers"])
+    n_head = int(config["num_attention_heads"])
+    n_kv = int(config.get("num_key_value_heads", n_head))
+    d_state = int(config.get("mamba_d_state", 128))
+    d_conv = int(config.get("mamba_d_conv", 4))
+    d_inner = int(config.get("mamba_expand", 2)) * d_model
+    n_group = int(config.get("mamba_n_groups", 1))
+    n_ssm_head = int(config.get("mamba_n_heads", d_inner // 64))
+    attn_idx = set(config.get("attn_layer_indices") or [])
+    if not attn_idx and config.get("layer_types"):
+        attn_idx = {i for i, t in enumerate(config["layer_types"])
+                    if t == "attention"}
+    kv_arr = [n_kv if il in attn_idx else 0 for il in range(n_layer)]
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", os.path.basename(os.path.abspath(model_dir)))
+    w.add_u32(f"{arch}.context_length",
+              int(config.get("max_position_embeddings", 4096)))
+    w.add_u32(f"{arch}.embedding_length", d_model)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_u32(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add_u32(f"{arch}.attention.head_count", n_head)
+    w.add_array(f"{arch}.attention.head_count_kv",
+                np.asarray(kv_arr, np.uint32))
+    head_dim = int(config.get("attn_head_dim") or d_model // n_head)
+    w.add_u32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_f32(f"{arch}.rope.freq_base",
+              float(config.get("rope_theta", 10000.0)))
+    w.add_u32(f"{arch}.ssm.conv_kernel", d_conv)
+    w.add_u32(f"{arch}.ssm.inner_size", d_inner)
+    w.add_u32(f"{arch}.ssm.state_size", d_state)
+    w.add_u32(f"{arch}.ssm.time_step_rank", n_ssm_head)
+    w.add_u32(f"{arch}.ssm.group_count", n_group)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon",
+              float(config.get("rms_norm_eps", 1e-5)))
+    w.add_u32(f"{arch}.vocab_size", int(config["vocab_size"]))
+    for hf_key, kv in (("attention_multiplier", "attention.scale"),
+                       ("embedding_multiplier", "embedding_scale"),
+                       ("residual_multiplier", "residual_scale"),
+                       ("logits_scaling", "logit_scale")):
+        if config.get(hf_key) is not None:
+            w.add_f32(f"{arch}.{kv}", float(config[hf_key]))
+    write_vocab(w, model_dir, arch, config, pre or "default")
+
+    stats = {"tensors": 0}
+    for name, data in iter_hf_tensors(model_dir):
+        gname = None
+        for pat, repl in _GRANITE_HYBRID_MAP:
+            m = re.match(pat, name)
+            if m:
+                g = m.groups()
+                bid = g[0] if g and str(g[0]).isdigit() else ""
+                suf = g[-1] if g and g[-1] in ("weight", "bias") else "weight"
+                gname = repl.format(bid=bid, suf=suf)
+                break
+        if gname is None:
+            if verbose:
+                print(f"skip {name}", file=sys.stderr)
+            continue
+        if gname.endswith("ssm_a"):
+            data = -np.exp(data.astype(np.float32)).reshape(-1, 1)
+        elif gname.endswith("ssm_d"):
+            data = data.astype(np.float32).reshape(-1, 1)
+        elif gname.endswith("ssm_norm.weight"):
+            data = data.reshape(n_group, d_inner // n_group)
+        elif gname.endswith("ssm_conv1d.weight") and data.ndim == 3:
             data = data.squeeze(1)
         tt = qt if data.ndim >= 2 and data.shape[-1] % 32 == 0 else GGMLType.F32
         if tt == GGMLType.F16:
