@@ -321,3 +321,43 @@ def test_bamba_granite_hybrid_logits_match(tmp_path):
     assert np.abs(ours - hf_logits).max() < 2e-2, np.abs(ours - hf_logits).max()
     assert (ours.argmax(-1) == hf_logits.argmax(-1)).all()
 
+
+
+def test_qwen3next_logits_match(tmp_path):
+    """Qwen3Next (gated-deltanet linear attention + gated full attention
+    + MoE with shared expert)."""
+    if not hasattr(transformers, "Qwen3NextForCausalLM"):
+        pytest.skip("transformers lacks Qwen3NextForCausalLM")
+    torch.manual_seed(0)
+    cfg = transformers.Qwen3NextConfig(
+        vocab_size=300, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, linear_num_value_heads=4, linear_num_key_heads=2,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        linear_conv_kernel_dim=4, full_attention_interval=4,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=64,
+        shared_expert_intermediate_size=64, decoder_sparse_step=1,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        partial_rotary_factor=0.25,
+    )
+    model = transformers.Qwen3NextForCausalLM(cfg).eval()
+    d = tmp_path / "qwen3next"
+    model.save_pretrained(str(d))
+    _write_bpe_tokenizer(d)
+    out = str(tmp_path / "qwen3next.gguf")
+    convert(str(d), out, outtype="f32", verbose=False)
+    ids = [5, 99, 200, 7, 42]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([ids])).logits[0].numpy()
+    import jax.numpy as jnp
+
+    from tpullama.runtime.recurrent import make_context
+
+    m = load_model(out)
+    ctx = make_context(m, ContextParams(n_ctx=32, dtype=jnp.float32))
+    ours = [np.asarray(ctx.decode(np.asarray(ids[:1])))[-1]]
+    for t in ids[1:]:
+        ours.append(np.asarray(ctx.decode(np.asarray([t])))[-1])
+    ours = np.stack(ours)
+    assert np.abs(ours - hf_logits).max() < 2e-2, np.abs(ours - hf_logits).max()
+    assert (ours.argmax(-1) == hf_logits.argmax(-1)).all()

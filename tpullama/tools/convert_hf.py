@@ -394,6 +394,7 @@ _ARCH_MAP = {
     "Lfm2ForCausalLM": "lfm2",
     "BambaForCausalLM": "granite-hybrid",
     "GraniteMoeHybridForCausalLM": "granite-hybrid",
+    "Qwen3NextForCausalLM": "qwen3next",
 }
 
 
@@ -758,6 +759,46 @@ def _tf_gptoss(name, data, config):
     return [(name, data)]
 
 
+def _kv_qwen3next(w, arch, config):
+    w.add_u32(f"{arch}.ssm.conv_kernel", int(config["linear_conv_kernel_dim"]))
+    w.add_u32(f"{arch}.ssm.state_size", int(config["linear_key_head_dim"]))
+    w.add_u32(f"{arch}.ssm.group_count", int(config["linear_num_key_heads"]))
+    w.add_u32(f"{arch}.ssm.time_step_rank", int(config["linear_num_value_heads"]))
+    w.add_u32(f"{arch}.ssm.inner_size",
+              int(config["linear_value_head_dim"]) * int(config["linear_num_value_heads"]))
+
+
+def _tf_qwen3next(name, data, config):
+    """Qwen3NextModel: linear-attention (gated deltanet) tensors ->
+    ssm_* names, -exp(A_log), conv squeeze, zero-centered norms (+1)."""
+    if name.startswith("mtp"):
+        return []  # MTP layers skipped (as the reference does)
+    m = re.match(r"^model\.layers\.(\d+)\.linear_attn\.(.+)$", name)
+    if m:
+        bid, rest = m.group(1), m.group(2)
+        ren = {
+            "in_proj_qkvz.weight": "ssm_in.weight",
+            "in_proj_ba.weight": "ssm_ba.weight",
+            "conv1d.weight": "ssm_conv1d.weight",
+            "conv1d.bias": "ssm_conv1d.bias",
+            "dt_bias": "ssm_dt.bias",
+            "A_log": "ssm_a",
+            "norm.weight": "ssm_norm.weight",
+            "out_proj.weight": "ssm_out.weight",
+        }
+        if rest not in ren:
+            return []
+        gname = f"=blk.{bid}.{ren[rest]}"
+        if rest == "A_log":
+            data = -np.exp(data.astype(np.float32))
+        elif rest == "conv1d.weight" and data.ndim == 3:
+            data = data.squeeze(1)
+        return [(gname, data)]
+    if name.endswith("norm.weight"):
+        data = data + 1.0  # zero-centered RMS norms
+    return [(name, data)]
+
+
 def _kv_minimax_m2(w, arch, config):
     w.add_u32(f"{arch}.expert_feed_forward_length",
               int(config["intermediate_size"]))
@@ -990,6 +1031,9 @@ _FAMILY_SPECS: dict = {
                        rope_dim=lambda c: int(c["rotary_dim"])),
     "gpt-oss": dict(kv=_kv_gptoss, transform=_tf_gptoss,
                     names=_LN_BIAS_MAP),
+    "qwen3next": dict(kv=_kv_qwen3next, transform=_tf_qwen3next,
+                      names=_OLMO2_NORM_MAP,
+                      rope_dim=_rope_dim_partial(0.25)),
 }
 
 _PRE_BY_ARCH = {
