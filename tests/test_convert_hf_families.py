@@ -115,6 +115,18 @@ CASES = {
                      first_k_dense_replace=1, norm_topk_prob=True,
                      routed_scaling_factor=1.0,
                      num_nextn_predict_layers=0)),
+    "dots1": ("Dots1ForCausalLM", "Dots1Config",
+              dict(n_routed_experts=4, num_experts_per_tok=2,
+                   moe_intermediate_size=64, n_shared_experts=1,
+                   first_k_dense_replace=1, routed_scaling_factor=1.0,
+                   norm_topk_prob=True, scoring_func="noaux_tc",
+                   n_group=1, topk_group=1, head_dim=16,
+                   pad_token_id=0)),
+    "hunyuan-dense": ("HunYuanDenseV1ForCausalLM", "HunYuanDenseV1Config",
+                      dict(head_dim=16, pad_token_id=0,
+                           attention_bias=False, use_qk_norm=True)),
+    "olmo3": ("Olmo3ForCausalLM", "Olmo3Config",
+              dict(sliding_window=64)),
     "gpt-oss": ("GptOssForCausalLM", "GptOssConfig",
                 dict(head_dim=16, num_local_experts=4,
                      num_experts_per_tok=2, sliding_window=64,

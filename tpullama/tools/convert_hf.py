@@ -270,6 +270,8 @@ _NAME_MAP = [
     (r"^model\.layers\.(\d+)\.self_attn\.o_proj\.weight$", "blk.{bid}.attn_output.weight"),
     (r"^model\.layers\.(\d+)\.self_attn\.q_norm\.weight$", "blk.{bid}.attn_q_norm.weight"),
     (r"^model\.layers\.(\d+)\.self_attn\.k_norm\.weight$", "blk.{bid}.attn_k_norm.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.query_layernorm\.weight$", "blk.{bid}.attn_q_norm.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.key_layernorm\.weight$", "blk.{bid}.attn_k_norm.weight"),
     (r"^model\.layers\.(\d+)\.self_attn\.qkv_proj\.weight$", "blk.{bid}.attn_qkv.weight"),
     (r"^model\.layers\.(\d+)\.post_attention_layernorm\.weight$", "blk.{bid}.ffn_norm.weight"),
     (r"^model\.layers\.(\d+)\.mlp\.gate_proj\.weight$", "blk.{bid}.ffn_gate.weight"),
@@ -395,6 +397,8 @@ _ARCH_MAP = {
     "BambaForCausalLM": "granite-hybrid",
     "GraniteMoeHybridForCausalLM": "granite-hybrid",
     "Qwen3NextForCausalLM": "qwen3next",
+    "Dots1ForCausalLM": "dots1",
+    "HunYuanDenseV1ForCausalLM": "hunyuan-dense",
 }
 
 
@@ -759,6 +763,23 @@ def _tf_gptoss(name, data, config):
     return [(name, data)]
 
 
+def _kv_dots1(w, arch, config):
+    w.add_u32(f"{arch}.leading_dense_block_count",
+              int(config.get("first_k_dense_replace", 0)))
+    if config.get("n_shared_experts"):
+        w.add_u32(f"{arch}.expert_shared_count", int(config["n_shared_experts"]))
+    if config.get("routed_scaling_factor") is not None:
+        w.add_f32(f"{arch}.expert_weights_scale",
+                  float(config["routed_scaling_factor"]))
+    if config.get("scoring_func") in ("sigmoid", "noaux_tc"):
+        # noaux_tc = deepseek-v3 style sigmoid scores + selection bias
+        w.add_u32(f"{arch}.expert_gating_func", 2)
+    if config.get("n_group") is not None:
+        w.add_u32(f"{arch}.expert_group_count", int(config["n_group"]))
+    if config.get("topk_group") is not None:
+        w.add_u32(f"{arch}.expert_group_used_count", int(config["topk_group"]))
+
+
 def _kv_qwen3next(w, arch, config):
     w.add_u32(f"{arch}.ssm.conv_kernel", int(config["linear_conv_kernel_dim"]))
     w.add_u32(f"{arch}.ssm.state_size", int(config["linear_key_head_dim"]))
@@ -1034,6 +1055,8 @@ _FAMILY_SPECS: dict = {
     "qwen3next": dict(kv=_kv_qwen3next, transform=_tf_qwen3next,
                       names=_OLMO2_NORM_MAP,
                       rope_dim=_rope_dim_partial(0.25)),
+    "dots1": dict(kv=_kv_dots1),
+    "hunyuan-dense": dict(),
 }
 
 _PRE_BY_ARCH = {
