@@ -784,3 +784,43 @@ def test_packed_multi_prompt_prefill():
         a = ctx1.decode(np.asarray([3], np.int32), seq_id=sid)[-1]
         b = ctx2.decode(np.asarray([3], np.int32), seq_id=sid)[-1]
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_engine_prefill_interleaves_slots(tmp_path_factory):
+    """update_slots-style packing: with several queued prompts, the engine
+    must advance MULTIPLE slots' prompt chunks in one ctx.decode_multi
+    call instead of serializing one slot to completion (the
+    head-of-line-blocking fix; server-context.cpp:1664)."""
+    import jax.numpy as jnp
+
+    from tpullama.models import load_model
+    from tpullama.models.testing import make_tiny_llama_gguf
+    from tpullama.server.engine import ServerEngine, Task
+
+    d = tmp_path_factory.mktemp("hol")
+    path = str(d / "m.gguf")
+    make_tiny_llama_gguf(path, seed=31)
+    m = load_model(path)
+    eng = ServerEngine(m, n_slots=4, n_ctx=256, n_ubatch=16, dtype=jnp.float32)
+    calls = []
+    orig = eng.ctx.decode_multi
+
+    def spy(chunks):
+        calls.append(sorted(sid for sid, _ in chunks))
+        return orig(chunks)
+
+    eng.ctx.decode_multi = spy
+    prompt = list(range(3, 3 + 48))  # 3 ubatch chunks each
+    tasks = [
+        eng.submit(Task(prompt_tokens=list(prompt), n_predict=2))
+        for _ in range(4)
+    ]
+    import threading
+
+    t = threading.Thread(target=lambda: [eng.step() for _ in range(200)])
+    t.start()
+    for task in tasks:
+        assert task.done.wait(timeout=180)
+    t.join()
+    multi = [c for c in calls if len(c) >= 2]
+    assert multi, f"no packed multi-slot prefill steps seen: {calls}"
