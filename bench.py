@@ -1,11 +1,17 @@
-"""Benchmark: single-chip decode throughput on a TinyLlama-1.1B-shaped
-llama model (bf16 weights), measured with the decode loop fused on-device
-(lax.scan over steps — no host round-trips).
+"""Benchmark: single-chip Q4_K greedy-decode throughput on the
+BASELINE.md headline config — a Llama-3-8B-shaped model (synthetic
+packed weights, real shapes) — with the decode loop fused on-device
+(lax.scan over steps, argmax feedback, no host round-trips).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
-vs_baseline = fraction of the chip's HBM-bandwidth roofline
-(BASELINE.md target: >= 0.85 at 8B Q4_K; this round: dense bf16 1.1B).
+vs_baseline = fraction of the chip's HBM-bandwidth roofline over the
+actual packed parameter + KV bytes (BASELINE.md target: >= 0.85 at
+8B Q4_K; measured 0.849 on v5e).
+
+BENCH_MODEL=tinyllama selects the 1.1B shape (0.51 of roofline there —
+the fixed VPU-dequant cost is proportionally larger on small matmuls;
+see docs/ROADMAP.md and scripts/*_probe.py for the kernel analysis).
 """
 
 from __future__ import annotations
@@ -102,6 +108,12 @@ def build_params(hp, dtype, seed=0, quant=None):
 
 
 def main():
+    # persistent compile cache: cold compiles through the axon tunnel take
+    # many minutes; the repo-local cache makes driver re-runs fast
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
     import jax
     import jax.numpy as jnp
 
@@ -111,7 +123,7 @@ def main():
     dtype = jnp.bfloat16
     # BENCH_MODEL: tinyllama (1.1B, default) | llama8b (Llama-3-8B shape,
     # the BASELINE.md headline config — synthetic weights, real shapes)
-    model_name = os.environ.get("BENCH_MODEL", "tinyllama")
+    model_name = os.environ.get("BENCH_MODEL", "llama8b")
     if model_name == "llama8b":
         hp = HParams(
             arch="llama",
