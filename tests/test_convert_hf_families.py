@@ -373,3 +373,58 @@ def test_qwen3next_logits_match(tmp_path):
     ours = np.stack(ours)
     assert np.abs(ours - hf_logits).max() < 2e-2, np.abs(ours - hf_logits).max()
     assert (ours.argmax(-1) == hf_logits.argmax(-1)).all()
+
+
+def _write_tiny_spm(path, n_pieces=296):
+    """Hand-encoded sentencepiece ModelProto with byte-ish pieces."""
+    import struct
+
+    def varint(x):
+        out = b""
+        while True:
+            b7 = x & 0x7F
+            x >>= 7
+            out += bytes([b7 | (0x80 if x else 0)])
+            if not x:
+                return out
+
+    def piece(text, score, ptype):
+        body = b"\x0a" + varint(len(text.encode())) + text.encode()
+        body += b"\x15" + struct.pack("<f", score)
+        body += b"\x18" + varint(ptype)
+        return b"\x0a" + varint(len(body)) + body
+
+    blob = piece("<unk>", 0.0, 2) + piece("<s>", 0.0, 3) + piece("</s>", 0.0, 3)
+    for i in range(n_pieces - 3):
+        blob += piece(f"▁w{i}", -float(i), 1)
+    open(path, "wb").write(blob)
+
+
+def test_xlmroberta_embeddings_match(tmp_path):
+    """XLMRoberta -> bert arch: fairseq vocab layout, position-embedding
+    offset chop; encoder hidden states match transformers."""
+    if not hasattr(transformers, "XLMRobertaModel"):
+        pytest.skip("transformers lacks XLMRobertaModel")
+    torch.manual_seed(0)
+    cfg = transformers.XLMRobertaConfig(
+        vocab_size=300, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=130, pad_token_id=1, type_vocab_size=1,
+    )
+    model = transformers.XLMRobertaModel(cfg).eval()
+    d = tmp_path / "xlmr"
+    model.save_pretrained(str(d))
+    _write_tiny_spm(str(d / "sentencepiece.bpe.model"))
+    out = str(tmp_path / "xlmr.gguf")
+    convert(str(d), out, outtype="f32", verbose=False)
+    ids = [0, 5, 99, 200, 2]
+    with torch.no_grad():
+        hf = model(torch.tensor([ids])).last_hidden_state[0].numpy()
+    import jax.numpy as jnp
+
+    from tpullama.runtime.encoder import EncoderContext
+
+    m = load_model(out)
+    enc = EncoderContext(m, ContextParams(n_ctx=32, dtype=jnp.float32))
+    ours = np.asarray(enc.embeddings(ids, pooling="none"))[: len(ids)]
+    assert np.abs(ours - hf).max() < 3e-4, np.abs(ours - hf).max()

@@ -116,6 +116,33 @@ def write_vocab(w: GGUFWriter, model_dir: str, arch: str, config: dict, pre: str
         tcfg = json.load(open(tcfg_path))
 
     if arch == "bert":
+        xlm_spm = os.path.join(model_dir, "sentencepiece.bpe.model")
+        if os.path.exists(xlm_spm):
+            # XLMRoberta (convert_hf_to_gguf.py _xlmroberta_set_vocab):
+            # fairseq layout <s> <pad> </s> <unk> + spm pieces[3:] + <mask>,
+            # served by the UGM tokenizer
+            pieces = parse_spm_model(xlm_spm)
+            tokens = ["<s>", "<pad>", "</s>", "<unk>"] + [p[0] for p in pieces[3:]]
+            scores = [0.0, 0.0, 0.0, 0.0] + [p[1] for p in pieces[3:]]
+            types = [3, 3, 3, 2] + [_SPM_TYPE.get(p[2], 1) for p in pieces[3:]]
+            n_vocab = int(config.get("vocab_size", 0))
+            if len(tokens) < n_vocab:
+                tokens.append("<mask>")
+                scores.append(0.0)
+                types.append(4)
+            _pad_vocab(tokens, types, scores, n_vocab)
+            w.add_str("tokenizer.ggml.model", "t5")
+            w.add_str("tokenizer.ggml.pre", "default")
+            w.add_array("tokenizer.ggml.tokens", tokens)
+            w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+            w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+            w.add_u32("tokenizer.ggml.bos_token_id", 0)
+            w.add_u32("tokenizer.ggml.eos_token_id", 2)
+            w.add_u32("tokenizer.ggml.unknown_token_id", 3)
+            w.add_u32("tokenizer.ggml.padding_token_id", 1)
+            w.add_bool("tokenizer.ggml.add_bos_token", True)
+            w.add_bool("tokenizer.ggml.add_eos_token", True)
+            return
         # WordPiece vocab: tokenizer.json (model type WordPiece) or vocab.txt
         tokens = None
         if os.path.exists(tok_json):
@@ -316,19 +343,19 @@ _EXPERT_PATTERNS = [
 ]
 
 _BERT_NAME_MAP = [
-    (r"^(?:bert\.)?embeddings\.word_embeddings\.weight$", "token_embd.weight"),
-    (r"^(?:bert\.)?embeddings\.token_type_embeddings\.weight$", "token_types.weight"),
-    (r"^(?:bert\.)?embeddings\.position_embeddings\.weight$", "position_embd.weight"),
-    (r"^(?:bert\.)?embeddings\.LayerNorm\.(weight|bias)$", "token_embd_norm.{suf}"),
-    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.attention\.self\.query\.(weight|bias)$", "blk.{bid}.attn_q.{suf}"),
-    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.attention\.self\.key\.(weight|bias)$", "blk.{bid}.attn_k.{suf}"),
-    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.attention\.self\.value\.(weight|bias)$", "blk.{bid}.attn_v.{suf}"),
-    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.attention\.output\.dense\.(weight|bias)$", "blk.{bid}.attn_output.{suf}"),
-    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.attention\.output\.LayerNorm\.(weight|bias)$", "blk.{bid}.attn_output_norm.{suf}"),
-    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.intermediate\.dense\.(weight|bias)$", "blk.{bid}.ffn_up.{suf}"),
-    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.output\.dense\.(weight|bias)$", "blk.{bid}.ffn_down.{suf}"),
-    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.output\.LayerNorm\.(weight|bias)$", "blk.{bid}.layer_output_norm.{suf}"),
-    (r"^(?:bert\.)?pooler\.dense\.(weight|bias)$", "cls.{suf}"),
+    (r"^(?:bert\.|roberta\.)?embeddings\.word_embeddings\.weight$", "token_embd.weight"),
+    (r"^(?:bert\.|roberta\.)?embeddings\.token_type_embeddings\.weight$", "token_types.weight"),
+    (r"^(?:bert\.|roberta\.)?embeddings\.position_embeddings\.weight$", "position_embd.weight"),
+    (r"^(?:bert\.|roberta\.)?embeddings\.LayerNorm\.(weight|bias)$", "token_embd_norm.{suf}"),
+    (r"^(?:bert\.|roberta\.)?encoder\.layer\.(\d+)\.attention\.self\.query\.(weight|bias)$", "blk.{bid}.attn_q.{suf}"),
+    (r"^(?:bert\.|roberta\.)?encoder\.layer\.(\d+)\.attention\.self\.key\.(weight|bias)$", "blk.{bid}.attn_k.{suf}"),
+    (r"^(?:bert\.|roberta\.)?encoder\.layer\.(\d+)\.attention\.self\.value\.(weight|bias)$", "blk.{bid}.attn_v.{suf}"),
+    (r"^(?:bert\.|roberta\.)?encoder\.layer\.(\d+)\.attention\.output\.dense\.(weight|bias)$", "blk.{bid}.attn_output.{suf}"),
+    (r"^(?:bert\.|roberta\.)?encoder\.layer\.(\d+)\.attention\.output\.LayerNorm\.(weight|bias)$", "blk.{bid}.attn_output_norm.{suf}"),
+    (r"^(?:bert\.|roberta\.)?encoder\.layer\.(\d+)\.intermediate\.dense\.(weight|bias)$", "blk.{bid}.ffn_up.{suf}"),
+    (r"^(?:bert\.|roberta\.)?encoder\.layer\.(\d+)\.output\.dense\.(weight|bias)$", "blk.{bid}.ffn_down.{suf}"),
+    (r"^(?:bert\.|roberta\.)?encoder\.layer\.(\d+)\.output\.LayerNorm\.(weight|bias)$", "blk.{bid}.layer_output_norm.{suf}"),
+    (r"^(?:bert\.|roberta\.)?pooler\.dense\.(weight|bias)$", "cls.{suf}"),
     (r"^classifier\.(weight|bias)$", "cls.output.{suf}"),
 ]
 
@@ -346,6 +373,8 @@ _ARCH_MAP = {
     "Phi3ForCausalLM": "phi3",
     "BertModel": "bert",
     "BertForSequenceClassification": "bert",
+    "XLMRobertaModel": "bert",
+    "XLMRobertaForSequenceClassification": "bert",
     # SSM families (convert_hf_to_gguf.py MambaModel:6380, Mamba2Model:6466)
     "MambaForCausalLM": "mamba",
     "MambaLMHeadModel": "mamba",  # original non-HF state-spaces checkpoints
@@ -1185,6 +1214,11 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
                 if verbose:
                     print(f"skip {name}", file=sys.stderr)
                 continue
+            if gname == "position_embd.weight" and config.get("pad_token_id") is not None \
+                    and hf_arch.startswith("XLMRoberta"):
+                # roberta position ids start at pad_token_id + 1
+                # (XLMRobertaModel.modify_tensors position_offset chop)
+                data = data[int(config["pad_token_id"]) + 1 :]
             tt = qt_b if data.ndim >= 2 and data.shape[-1] % 32 == 0 else GGMLType.F32
             if tt != GGMLType.F32:
                 w.add_tensor(gname, np.empty(data.shape), ggml_type=tt,
