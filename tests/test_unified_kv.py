@@ -33,7 +33,7 @@ def test_pool_matches_per_seq_context(model):
         refs[s] = c
     # interleaved decode_batch step matches per-seq decode
     step = {s: 7 + s for s in prompts}
-    outs = u.decode_batch(step)
+    outs = u.decode_step(step)
     for s, c in refs.items():
         lr = c.decode(np.asarray([step[s]]))
         np.testing.assert_allclose(outs[s], lr[-1], rtol=2e-5, atol=2e-5)
@@ -102,3 +102,27 @@ def test_rollback(model):
     ref.decode(prompt)
     r = ref.decode(tail)
     np.testing.assert_allclose(l, r, rtol=2e-5, atol=2e-5)
+
+
+def test_server_engine_on_unified_pool(model):
+    """ServerEngine(kv_unified=True): concurrent requests served from the
+    shared cell pool produce the same completions as per-seq lanes."""
+    import jax.numpy as jnp
+
+    from tpullama.server.engine import ServerEngine, Task
+
+    def run(kv_unified):
+        eng = ServerEngine(model, n_slots=4, n_ctx=256, n_ubatch=16,
+                           dtype=jnp.float32, kv_unified=kv_unified)
+        prompts = [list(range(3, 3 + 20 + 5 * i)) for i in range(3)]
+        tasks = [eng.submit(Task(prompt_tokens=list(p), n_predict=4))
+                 for p in prompts]
+        for _ in range(400):
+            if all(t.done.is_set() for t in tasks):
+                break
+            eng.step()
+        assert all(t.done.is_set() for t in tasks)
+        assert all(not t.error for t in tasks), [t.error for t in tasks]
+        return [list(t.out_tokens) for t in tasks]
+
+    assert run(True) == run(False)

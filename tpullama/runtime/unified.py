@@ -33,6 +33,9 @@ class UnifiedContext:
 
     n_cells is the TOTAL pool size (the reference's n_ctx when
     kv_unified=true); per-sequence lengths are bounded only by the pool.
+    Exposes the slice of the Context API the server engine drives
+    (decode / decode_multi / decode_batch / seq_rm / reset / perf), so
+    ServerEngine(kv_unified=True) serves slots from the shared pool.
     """
 
     def __init__(self, model, n_cells: int = 512, n_seqs: int = 8,
@@ -58,6 +61,10 @@ class UnifiedContext:
         self._mask_host = np.zeros(S, np.int64)
         self._pos_host = np.full(S, -1, np.int32)
         self.n_past = np.zeros(n_seqs, np.int32)
+        from .context import ContextParams, PerfCounters
+
+        self.p = ContextParams(n_ctx=n_cells, n_seqs=n_seqs, dtype=dtype)
+        self.perf = PerfCounters()
         self._fn = jax.jit(self._step, static_argnames=("n_logits",))
 
     # ------------------------------------------------------------------
@@ -119,7 +126,7 @@ class UnifiedContext:
         out = np.asarray(out)
         return out[:n_logits] if pad else out
 
-    def decode_batch(self, token_by_seq: dict[int, int]):
+    def decode_step(self, token_by_seq: dict[int, int]):
         """One decode token for several sequences in ONE forward (the
         unified update_slots batch). Returns {seq_id: logits row}."""
         items = sorted(token_by_seq.items())
@@ -173,3 +180,59 @@ class UnifiedContext:
 
     def used_cells(self) -> int:
         return int((self._mask_host[: self._S - 1] != 0).sum())
+
+    # ---------------------------------------------- server-engine API
+
+    def decode_multi(self, chunks):
+        """Packed prompt chunks for several sequences in ONE forward over
+        the shared pool (the unified update_slots batch). chunks:
+        [(seq_id, tokens)]; returns {seq_id: last-token logits row}."""
+        toks, seqs, pos, last_at = [], [], [], {}
+        for sid, chunk in chunks:
+            start = int(self.n_past[sid])
+            toks.extend(int(t) for t in chunk)
+            seqs.extend([sid] * len(chunk))
+            pos.extend(range(start, start + len(chunk)))
+            last_at[sid] = len(toks) - 1
+        T = len(toks)
+        cells = self._alloc(T)
+        t0 = time.perf_counter()
+        out, self.kv_k, self.kv_v, self.kv_pos, self.seq_mask = self._fn(
+            self.model.params, self.kv_k, self.kv_v, self.kv_pos,
+            self.seq_mask,
+            jnp.asarray(np.asarray(toks, np.int32)[None]),
+            jnp.asarray(np.asarray(pos, np.int32)[None]),
+            jnp.asarray(cells[None]),
+            jnp.asarray(np.asarray(seqs, np.int32)[None]),
+            n_logits=T,
+        )
+        self._mask_host[cells] = 1 << np.asarray(seqs, np.int64)
+        self._pos_host[cells] = pos
+        for sid, chunk in chunks:
+            self.n_past[sid] += len(chunk)
+        self.perf.t_prefill_ms += (time.perf_counter() - t0) * 1000
+        self.perf.n_prefill += T
+        out = np.asarray(out)
+        return {sid: out[i] for sid, i in last_at.items()}
+
+    def decode_batch(self, tokens, active):
+        """Engine-array form: tokens (n_seqs,), active (n_seqs,) bool.
+        Returns (n_seqs, n_vocab) with rows for active sequences."""
+        d = {int(s): int(tokens[s]) for s in np.nonzero(active)[0]}
+        rows = self.decode_step(d)
+        n_vocab = next(iter(rows.values())).shape[-1]
+        out = np.zeros((len(tokens), n_vocab), np.float32)
+        for s, r in rows.items():
+            out[s] = r
+        return out
+
+    def reset(self, seq_id: int | None = None):
+        if seq_id is None:
+            self._mask_host[:] = 0
+            self._pos_host[:] = -1
+            self.seq_mask = jnp.zeros_like(self.seq_mask)
+            self.kv_pos = jnp.full_like(self.kv_pos, -1)
+            self.n_past[:] = 0
+        else:
+            self.seq_rm(0, -1, seq_id=seq_id)
+            self.n_past[seq_id] = 0

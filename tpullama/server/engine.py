@@ -84,7 +84,8 @@ class Slot:
 
 class ServerEngine:
     def __init__(self, model, n_slots: int = 4, n_ctx: int = 1024, n_ubatch: int = 256,
-                 dtype=None, draft_model=None, spec_params=None):
+                 dtype=None, draft_model=None, spec_params=None,
+                 kv_unified: bool = False):
         import jax.numpy as jnp
 
         self.model = model
@@ -93,7 +94,18 @@ class ServerEngine:
             n_ctx=n_ctx, n_seqs=n_slots, n_ubatch=n_ubatch,
             dtype=dtype or jnp.float32,
         )
-        if model.hparams.is_encoder:
+        if kv_unified and not model.hparams.is_encoder:
+            # one shared cell pool across all slots (the reference's
+            # kv_unified=true): n_ctx is the TOTAL pool; skewed slot
+            # loads fit the sum of their lengths
+            from ..runtime.unified import UnifiedContext
+
+            self.ctx = UnifiedContext(
+                model, n_cells=n_ctx, n_seqs=n_slots,
+                dtype=dtype or jnp.float32,
+            )
+            self.encoder = None
+        elif model.hparams.is_encoder:
             # encoder-only model: embeddings/rerank served directly
             from ..runtime.encoder import EncoderContext
 
@@ -108,7 +120,9 @@ class ServerEngine:
             self.encoder = None
         # recurrent cells are indivisible: no mid-prompt cache reuse and
         # (for hybrid) no batched one-step program yet
-        self._partial_reuse = isinstance(self.ctx, Context)
+        from ..runtime.unified import UnifiedContext as _U
+
+        self._partial_reuse = isinstance(self.ctx, (Context, _U))
         self.n_ubatch = n_ubatch
         self.slots = [Slot(i) for i in range(n_slots)]
         self.queue: "queue.Queue[Task]" = queue.Queue()
