@@ -13,6 +13,7 @@ Chat templating: the GGUF's tokenizer.chat_template rendered with jinja2
 from __future__ import annotations
 
 import json
+import os
 import queue
 import threading
 import time
@@ -905,7 +906,7 @@ def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
           n_ctx: int = 1024, model_name: str = "model", block: bool = True,
           mmproj: str | None = None, slot_save_path: str | None = None,
           loras: list[tuple[str, float]] | None = None,
-          draft_model=None, spec_params=None):
+          draft_model=None, spec_params=None, kv_unified: bool = False):
     base_model = None
     lora_entries = []
     if loras:
@@ -919,7 +920,8 @@ def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
             if scale != 0.0:
                 model = apply_lora(model, adapter, scale)
     engine = ServerEngine(model, n_slots=n_slots, n_ctx=n_ctx,
-                          draft_model=draft_model, spec_params=spec_params)
+                          draft_model=draft_model, spec_params=spec_params,
+                          kv_unified=kv_unified)
     engine.start()
     mtmd = None
     if mmproj:
@@ -969,6 +971,10 @@ def main(argv=None):
                          "decoding)")
     ap.add_argument("--draft-max", type=int, default=16)
     ap.add_argument("--draft-p-min", type=float, default=0.75)
+    ap.add_argument("--kv-unified", action="store_true",
+                    default=os.environ.get("LLAMA_ARG_KV_UNIFIED", "") not in ("", "0"),
+                    help="one shared KV cell pool across slots (n_ctx = total; "
+                         "the reference's kv_unified)")
     args = ap.parse_args(argv)
     if args.device:
         import jax
@@ -991,7 +997,8 @@ def main(argv=None):
     serve(model, args.host, args.port, n_slots=args.parallel, n_ctx=args.ctx_size,
           model_name=args.model, mmproj=args.mmproj,
           slot_save_path=args.slot_save_path, loras=loras or None,
-          draft_model=draft_model, spec_params=spec_params)
+          draft_model=draft_model, spec_params=spec_params,
+          kv_unified=args.kv_unified)
 
 
 if __name__ == "__main__":
