@@ -428,3 +428,31 @@ def test_xlmroberta_embeddings_match(tmp_path):
     enc = EncoderContext(m, ContextParams(n_ctx=32, dtype=jnp.float32))
     ours = np.asarray(enc.embeddings(ids, pooling="none"))[: len(ids)]
     assert np.abs(ours - hf).max() < 3e-4, np.abs(ours - hf).max()
+
+
+def test_apertus_logits_match(tmp_path):
+    """Apertus (xIELU activation, QK norms, post-norm-free llama body):
+    per-layer act_fn scalars become the prefixless xielu.* KV arrays."""
+    if not hasattr(transformers, "ApertusForCausalLM"):
+        pytest.skip("transformers lacks ApertusForCausalLM")
+    torch.manual_seed(0)
+    cfg = transformers.ApertusConfig(
+        vocab_size=300, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=9000, tie_word_embeddings=False,
+    )
+    model = transformers.ApertusForCausalLM(cfg).eval()
+    d = tmp_path / "apertus"
+    model.save_pretrained(str(d))
+    _write_bpe_tokenizer(d)
+    out = str(tmp_path / "apertus.gguf")
+    convert(str(d), out, outtype="f32", verbose=False)
+    ids = [5, 99, 200, 7, 42]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([ids])).logits[0].numpy()
+    import jax.numpy as jnp
+
+    m = load_model(out)
+    ctx = Context(m, ContextParams(n_ctx=32, dtype=jnp.float32))
+    ours = np.asarray(ctx.decode(np.asarray(ids), n_logits=len(ids)))
+    assert np.abs(ours - hf_logits).max() < 3e-4, np.abs(ours - hf_logits).max()

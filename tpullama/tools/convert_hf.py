@@ -428,6 +428,7 @@ _ARCH_MAP = {
     "Qwen3NextForCausalLM": "qwen3next",
     "Dots1ForCausalLM": "dots1",
     "HunYuanDenseV1ForCausalLM": "hunyuan-dense",
+    "ApertusForCausalLM": "apertus",
 }
 
 
@@ -792,6 +793,42 @@ def _tf_gptoss(name, data, config):
     return [(name, data)]
 
 
+class _ApertusTransform:
+    """ApertusModel: per-layer scalar xIELU activation parameters are
+    collected off the tensor stream and written as the prefixless
+    xielu.* KV arrays (convert_hf_to_gguf.py:8453+); raw values — the
+    loader applies the softplus transforms (ggml_xielu semantics)."""
+
+    _KEYS = ("alpha_n", "alpha_p", "beta", "eps")
+
+    def __init__(self):
+        self.acc = {k: {} for k in self._KEYS}
+
+    def __call__(self, name, data, config):
+        m = re.match(r"^model\.layers\.(\d+)\.mlp\.act_fn\.(\w+)$", name)
+        if m and m.group(2) in self._KEYS:
+            self.acc[m.group(2)][int(m.group(1))] = float(np.asarray(data).reshape(()))
+            return []
+        return [(name, data)]
+
+    def finish(self, w, arch, config):
+        n_layer = int(config["num_hidden_layers"])
+        defaults = {"beta": 0.5, "eps": -1e-6}
+        for k in self._KEYS:
+            vals = self.acc[k]
+            if not vals and k in defaults:
+                vals = {i: defaults[k] for i in range(n_layer)}
+            if vals:
+                w.add_array(f"xielu.{k}",
+                            np.asarray([vals[i] for i in sorted(vals)], np.float32))
+
+
+_APERTUS_NORM_MAP = [
+    (r"^model\.layers\.(\d+)\.attention_layernorm\.weight$", "blk.{bid}.attn_norm.weight"),
+    (r"^model\.layers\.(\d+)\.feedforward_layernorm\.weight$", "blk.{bid}.ffn_norm.weight"),
+]
+
+
 def _kv_dots1(w, arch, config):
     w.add_u32(f"{arch}.leading_dense_block_count",
               int(config.get("first_k_dense_replace", 0)))
@@ -1086,6 +1123,8 @@ _FAMILY_SPECS: dict = {
                       rope_dim=_rope_dim_partial(0.25)),
     "dots1": dict(kv=_kv_dots1),
     "hunyuan-dense": dict(),
+    "apertus": dict(names=_APERTUS_NORM_MAP,
+                    transform_factory=_ApertusTransform),
 }
 
 _PRE_BY_ARCH = {
@@ -1304,7 +1343,10 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
         _GEMMA2_NORM_MAP if arch in ("gemma2", "gemma3") else []
     ) + _NAME_MAP
     norm_plus_one = spec.get("norm_plus_one", False)
-    transform = spec.get("transform")
+    transform = (
+        spec["transform_factory"]() if "transform_factory" in spec
+        else spec.get("transform")
+    )
     stats = {"tensors": 0, "bytes": 0}
     seen_output = False
     # per-layer expert buffers: experts[bid][gguf_base][expert_idx] = data
@@ -1391,6 +1433,8 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
             transform(name, data, config) if transform else [(name, data)]
         ):
             handle(out_name, out_data)
+    if hasattr(transform, "finish"):
+        transform.finish(w, arch, config)
     leftover = {b: list(d) for b, d in experts.items() if d}
     if any(leftover.values()):
         raise ValueError(f"incomplete expert tensor sets: {leftover}")
