@@ -1,0 +1,135 @@
+"""HF vision tower -> mmproj GGUF conversion: the converted file's clip
+encoder must reproduce transformers' get_image_features (tower +
+projector) on the same pixel values."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from tpullama.mtmd import load_mmproj  # noqa: E402
+from tpullama.tools.convert_mmproj import convert_mmproj  # noqa: E402
+
+
+def test_gemma3_mmproj_matches_transformers(tmp_path):
+    torch.manual_seed(0)
+    vision = dict(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                  num_attention_heads=4, image_size=64, patch_size=8,
+                  num_channels=3, layer_norm_eps=1e-6)
+    text = dict(vocab_size=300, hidden_size=48, intermediate_size=96,
+                num_hidden_layers=1, num_attention_heads=4,
+                num_key_value_heads=2, head_dim=12,
+                max_position_embeddings=256)
+    cfg = transformers.Gemma3Config(
+        vision_config=vision, text_config=text, mm_tokens_per_image=16,
+        image_token_index=299, boi_token_index=297, eoi_token_index=298,
+    )
+    model = transformers.Gemma3ForConditionalGeneration(cfg).eval()
+    d = tmp_path / "g3"
+    model.save_pretrained(str(d))
+    out = str(tmp_path / "mmproj.gguf")
+    convert_mmproj(str(d), out, outtype="f32", verbose=False)
+
+    clip = load_mmproj(out)
+    clip.parity_fattn = False  # full-f32 attention for the HF comparison
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((64, 64, 3)).astype(np.float32) * 0.4
+    ours = np.asarray(clip.encode(img))  # (n_tokens, n_embd_text)
+
+    with torch.no_grad():
+        pix = torch.tensor(img.transpose(2, 0, 1)[None])
+        hf = model.get_image_features(pix)[0].numpy()
+    assert ours.shape == hf.shape, (ours.shape, hf.shape)
+    assert np.abs(ours - hf).max() < 2e-3, np.abs(ours - hf).max()
+
+
+def test_llava_mmproj_matches_reference_cli(tmp_path):
+    """Llava (CLIP tower + MLP projector): the reference llama-mtmd-cli
+    is the oracle — upstream's build_llava replicates a CLS-last +
+    patches-row-selection quirk that diverges from HF's own semantics,
+    so both runtimes consume the CONVERTED file and must agree
+    token-for-token."""
+    import os
+    import subprocess
+
+    MTMD_CLI = os.environ.get("TPULLAMA_REF_MTMD_CLI", "")
+    if not MTMD_CLI or not os.path.exists(MTMD_CLI):
+        pytest.skip("reference llama-mtmd-cli not built")
+    torch.manual_seed(0)
+    vision = dict(hidden_size=64, intermediate_size=128, num_hidden_layers=3,
+                  num_attention_heads=4, image_size=64, patch_size=8,
+                  num_channels=3, layer_norm_eps=1e-5, projection_dim=48,
+                  hidden_act="quick_gelu")
+    text = dict(vocab_size=300, hidden_size=48, intermediate_size=96,
+                num_hidden_layers=1, num_attention_heads=4,
+                num_key_value_heads=2, max_position_embeddings=256)
+    cfg = transformers.LlavaConfig(
+        vision_config=vision, text_config=text, image_token_index=299,
+        vision_feature_layer=-2, vision_feature_select_strategy="default",
+    )
+    model = transformers.LlavaForConditionalGeneration(cfg).eval()
+    d = tmp_path / "lv"
+    model.save_pretrained(str(d))
+    proj_path = str(tmp_path / "mmproj.gguf")
+    convert_mmproj(str(d), proj_path, outtype="f32", verbose=False)
+
+    from tpullama.models import load_model
+    from tpullama.models.testing import make_tiny_llama_gguf
+
+    CHATML = ("{% for message in messages %}{{'<|im_start|>' + "
+              "message['role'] + '\n' + message['content'] + '<|im_end|>' + "
+              "'\n'}}{% endfor %}{% if add_generation_prompt %}"
+              "{{ '<|im_start|>assistant\n' }}{% endif %}")
+    text_path = str(tmp_path / "text.gguf")
+    make_tiny_llama_gguf(text_path, n_embd=48, n_head=4, n_head_kv=2,
+                         n_layer=2, seed=75, n_ctx=512,
+                         extra_kv={"tokenizer.chat_template": CHATML})
+    img_path = str(tmp_path / "img.png")
+    rng = np.random.default_rng(6)
+    from PIL import Image
+
+    Image.fromarray(rng.integers(0, 256, (64, 64, 3), np.uint8)).save(img_path)
+
+    out = subprocess.run(
+        [MTMD_CLI, "-m", text_path, "--mmproj", proj_path, "--image",
+         img_path, "-p", "describe", "-n", "12", "--temp", "0"],
+        capture_output=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    ref = out.stdout.replace(b"\x00", b"").strip(b"\n")
+
+    from tpullama.mtmd import MEDIA_MARKER, MtmdContext
+    from tpullama.mtmd.image import load_image
+    from tpullama.runtime import Context, ContextParams
+    from tpullama.server.http import apply_chat_template
+    from tpullama.tokenizer.vocab import TokenAttr
+
+    tm = load_model(text_path)
+    clip = load_mmproj(proj_path)
+    assert clip.hp.proj_type == "mlp" and clip.hp.ffn_op == "gelu_quick"
+    mt = MtmdContext(clip, tm.vocab)
+    ctx = Context(tm, ContextParams(n_ctx=512))
+    prompt = apply_chat_template(
+        tm, [{"role": "user", "content": "describe" + MEDIA_MARKER}],
+        add_generation_prompt=True,
+    )
+    chunks = mt.tokenize(prompt, [load_image(img_path)], add_special=True)
+    logits = mt.eval_chunks(ctx, chunks)
+    ours = bytearray()
+    for _ in range(12):
+        t = int(np.argmax(logits))
+        if tm.vocab.is_eog(t):
+            break
+        data = tm.vocab.id_to_token[t]
+        if data.attr & TokenAttr.BYTE:
+            ours.append(int(data.text[3:5], 16))
+        elif data.attr & TokenAttr.UNKNOWN:
+            ours += data.text.encode()
+        else:
+            ours += tm.vocab.token_to_piece(t, special=False).encode()
+        logits = ctx.decode(np.asarray([t], np.int32), n_logits=1)[-1]
+    ours = bytes(ours).replace(b"\x00", b"").strip(b"\n")
+    assert ours == ref, f"ours={ours!r} ref={ref!r}"

@@ -1599,8 +1599,18 @@ def main(argv=None) -> int:
         help="plain dtype or a quantize-tool ftype mix (direct-to-"
              "quantized conversion, e.g. Q4_K_M)")
     ap.add_argument("--pre", default=None, help="override tokenizer.ggml.pre")
+    ap.add_argument("--mmproj", action="store_true",
+                    help="export the vision tower + multimodal projector "
+                         "as a clip mmproj GGUF instead of the text model")
     ap.add_argument("-q", "--quiet", action="store_true")
     a = ap.parse_args(argv)
+    if a.mmproj:
+        from .convert_mmproj import convert_mmproj
+
+        convert_mmproj(a.model_dir, a.outfile,
+                       "f32" if a.outtype == "f32" else "f16",
+                       verbose=not a.quiet)
+        return 0
     convert(a.model_dir, a.outfile, a.outtype, a.pre, verbose=not a.quiet)
     return 0
 
