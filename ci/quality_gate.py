@@ -148,7 +148,10 @@ def main():
                 print(f"GATE FAIL: {name} dppl ours {row['dppl_ours']} vs "
                       f"ref {row['dppl_ref']}")
     results["pass"] = ok
-    out = os.path.join(os.path.dirname(__file__), "..", "QUALITY_r2.json")
+    out = os.path.join(
+        os.path.dirname(__file__), "..",
+        "QUALITY_fast.json" if fast else "QUALITY_r2.json",
+    )
     json.dump(results, open(out, "w"), indent=1)
     print("wrote", out, "pass:", ok)
     return 0 if ok else 1

@@ -33,6 +33,9 @@ out = jax.jit(fn)(*args)
 print("entry + dryrun OK", out[0].shape)
 EOF
 
+echo "=== quality gate (fast) ==="
+python ci/quality_gate.py --fast
+
 echo "=== cli smoke ==="
 python - <<'EOF'
 import jax
