@@ -132,3 +132,38 @@ def test_alora_invocation_parsing_and_gating(model, tmp_path):
         np.asarray(prompt, np.int32))[-1]
     assert np.abs(l_gated - l_base).max() > 1e-6
     assert np.abs(l_gated - l_merged).max() > 1e-6
+
+
+def test_convert_peft_lora(model, tmp_path):
+    """HF PEFT adapter dir -> GGUF adapter (convert_lora_to_gguf.py
+    analog): the converted adapter loads and its merge shifts logits by
+    exactly (alpha/rank) * B @ A on the mapped tensor."""
+    from safetensors.numpy import save_file
+
+    from tpullama.tools.convert_lora import convert_lora
+
+    rng = np.random.default_rng(8)
+    d = tmp_path / "peft"
+    d.mkdir()
+    a = (rng.standard_normal((4, 64)) * 0.05).astype(np.float32)
+    b = (rng.standard_normal((64, 4)) * 0.05).astype(np.float32)
+    save_file(
+        {
+            "base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight": a,
+            "base_model.model.model.layers.0.self_attn.q_proj.lora_B.weight": b,
+        },
+        str(d / "adapter_model.safetensors"),
+    )
+    (d / "adapter_config.json").write_text(
+        '{"lora_alpha": 8, "r": 4, "peft_type": "LORA"}'
+    )
+    out = str(tmp_path / "adapter.gguf")
+    convert_lora(str(d), out, arch="llama", verbose=False)
+    ad = LoraAdapter(out)
+    assert ad.alpha == 8.0 and ad.rank == 4
+    merged = apply_lora(model, ad, scale=1.0)
+    want = np.asarray(model.params["layers"]["attn_q"][0]) + (b @ a) * 2.0
+    np.testing.assert_allclose(
+        np.asarray(merged.params["layers"]["attn_q"][0]), want,
+        rtol=1e-6, atol=1e-6,
+    )
