@@ -133,3 +133,47 @@ def test_llava_mmproj_matches_reference_cli(tmp_path):
         logits = ctx.decode(np.asarray([t], np.int32), n_logits=1)[-1]
     ours = bytes(ours).replace(b"\x00", b"").strip(b"\n")
     assert ours == ref, f"ours={ours!r} ref={ref!r}"
+
+
+def test_qwen2vl_mmproj_matches_transformers(tmp_path):
+    """Qwen2-VL merger: Conv3D patch split, fused qkv split, 2-D vision
+    rope; compare vs transformers' visual tower on the same patches."""
+    if not hasattr(transformers, "Qwen2VLForConditionalGeneration"):
+        pytest.skip("transformers lacks Qwen2VL")
+    torch.manual_seed(0)
+    cfg = transformers.Qwen2VLConfig(
+        vocab_size=300, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        vision_config=dict(depth=2, embed_dim=32, num_heads=2,
+                           in_channels=3, mlp_ratio=1.5, patch_size=8,
+                           spatial_merge_size=2, temporal_patch_size=2,
+                           hidden_size=64),
+    )
+    model = transformers.Qwen2VLForConditionalGeneration(cfg).eval()
+    d = tmp_path / "q2vl"
+    model.save_pretrained(str(d))
+    out = str(tmp_path / "mmproj.gguf")
+    convert_mmproj(str(d), out, outtype="f32", verbose=False)
+
+    clip = load_mmproj(out)
+    clip.parity_fattn = False
+    rng = np.random.default_rng(0)
+    H = W = 32  # 4x4 patches
+    img = rng.standard_normal((H, W, 3)).astype(np.float32) * 0.4
+    ours = np.asarray(clip.encode(img))
+
+    # HF expects flattened patches with temporal duplication
+    p, t = 8, 2
+    gy, gx, ms = H // p, W // p, 2
+    x = img.transpose(2, 0, 1)  # (3, H, W)
+    x = np.stack([x, x])  # temporal duplicate (t, 3, H, W)
+    # window order: (gy/ms, gx/ms, ms, ms) blocks
+    x = x.reshape(t, 3, gy // ms, ms, p, gx // ms, ms, p)
+    x = x.transpose(2, 5, 3, 6, 1, 0, 4, 7)  # (gy/ms, gx/ms, ms, ms, 3, t, p, p)
+    flat = x.reshape(gy * gx, 3 * t * p * p)
+    with torch.no_grad():
+        visual = model.model.visual if hasattr(model.model, "visual") else model.visual
+        hf = visual(torch.tensor(flat),
+                    grid_thw=torch.tensor([[1, gy, gx]])).numpy()
+    assert ours.shape == hf.shape, (ours.shape, hf.shape)
+    assert np.abs(ours - hf).max() < 2e-3, np.abs(ours - hf).max()
