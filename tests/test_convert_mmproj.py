@@ -177,3 +177,98 @@ def test_qwen2vl_mmproj_matches_transformers(tmp_path):
                     grid_thw=torch.tensor([[1, gy, gx]])).numpy()
     assert ours.shape == hf.shape, (ours.shape, hf.shape)
     assert np.abs(ours - hf).max() < 2e-3, np.abs(ours - hf).max()
+
+
+def test_idefics3_mmproj_matches_reference_cli(tmp_path):
+    """Idefics3/SmolVLM (SigLIP tower + pixel shuffle + fc): oracle is
+    the reference llama-mtmd-cli on the CONVERTED file — HF computes
+    fractional-bucketized position ids that the reference (and we)
+    replace with linear ids at native resolution."""
+    import os
+    import subprocess
+
+    MTMD_CLI = os.environ.get("TPULLAMA_REF_MTMD_CLI", "")
+    if not MTMD_CLI or not os.path.exists(MTMD_CLI):
+        pytest.skip("reference llama-mtmd-cli not built")
+    if not hasattr(transformers, "Idefics3ForConditionalGeneration"):
+        pytest.skip("transformers lacks Idefics3")
+    torch.manual_seed(0)
+    vision = dict(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                  num_attention_heads=4, image_size=64, patch_size=8,
+                  num_channels=3, layer_norm_eps=1e-6)
+    text = dict(vocab_size=300, hidden_size=48, intermediate_size=96,
+                num_hidden_layers=1, num_attention_heads=4,
+                num_key_value_heads=2, max_position_embeddings=256)
+    cfg = transformers.Idefics3Config(
+        vision_config=vision, text_config=text, scale_factor=2,
+        image_token_id=299,
+    )
+    model = transformers.Idefics3ForConditionalGeneration(cfg).eval()
+    d = tmp_path / "i3"
+    model.save_pretrained(str(d))
+    proj_path = str(tmp_path / "mmproj.gguf")
+    convert_mmproj(str(d), proj_path, outtype="f32", verbose=False)
+
+    from tpullama.models import load_model
+    from tpullama.models.testing import make_tiny_llama_gguf
+
+    CHATML = ("{% for message in messages %}{{'<|im_start|>' + "
+              "message['role'] + '\n' + message['content'] + '<|im_end|>' + "
+              "'\n'}}{% endfor %}{% if add_generation_prompt %}"
+              "{{ '<|im_start|>assistant\n' }}{% endif %}")
+    text_path = str(tmp_path / "text.gguf")
+    make_tiny_llama_gguf(text_path, n_embd=48, n_head=4, n_head_kv=2,
+                         n_layer=2, seed=76, n_ctx=512,
+                         extra_special_tokens=("<fake_token_around_image>",
+                                               "<global-img>", "\n\n"),
+                         extra_kv={"tokenizer.chat_template": CHATML})
+    img_path = str(tmp_path / "img.png")
+    rng = np.random.default_rng(6)
+    from PIL import Image
+
+    Image.fromarray(rng.integers(0, 256, (64, 64, 3), np.uint8)).save(img_path)
+
+    out = subprocess.run(
+        [MTMD_CLI, "-m", text_path, "--mmproj", proj_path, "--image",
+         img_path, "-p", "describe", "-n", "12", "--temp", "0"],
+        capture_output=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    data = out.stdout
+    idx = data.find(b"describe")
+    if idx >= 0:
+        data = data[idx + len(b"describe"):]
+    ref = data.replace(b"\x00", b"").strip(b"\n")
+
+    from tpullama.mtmd import MEDIA_MARKER, MtmdContext
+    from tpullama.mtmd.image import load_image
+    from tpullama.runtime import Context, ContextParams
+    from tpullama.server.http import apply_chat_template
+    from tpullama.tokenizer.vocab import TokenAttr
+
+    tm = load_model(text_path)
+    clip = load_mmproj(proj_path)
+    assert clip.hp.proj_type == "idefics3"
+    mt = MtmdContext(clip, tm.vocab)
+    ctx = Context(tm, ContextParams(n_ctx=512))
+    prompt = apply_chat_template(
+        tm, [{"role": "user", "content": "describe" + MEDIA_MARKER}],
+        add_generation_prompt=True,
+    )
+    chunks = mt.tokenize(prompt, [load_image(img_path)], add_special=True)
+    logits = mt.eval_chunks(ctx, chunks)
+    ours = bytearray()
+    for _ in range(12):
+        t = int(np.argmax(logits))
+        if tm.vocab.is_eog(t):
+            break
+        dt = tm.vocab.id_to_token[t]
+        if dt.attr & TokenAttr.BYTE:
+            ours.append(int(dt.text[3:5], 16))
+        elif dt.attr & TokenAttr.UNKNOWN:
+            ours += dt.text.encode()
+        else:
+            ours += tm.vocab.token_to_piece(t, special=False).encode()
+        logits = ctx.decode(np.asarray([t], np.int32), n_logits=1)[-1]
+    ours = bytes(ours).replace(b"\x00", b"").strip(b"\n")
+    assert ours == ref, f"ours={ours!r} ref={ref!r}"

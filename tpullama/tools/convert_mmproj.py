@@ -51,6 +51,9 @@ def convert_mmproj(model_dir: str, outfile: str, outtype: str = "f16",
         proj = "qwen2.5vl_merger"
     elif hf_arch.startswith("Qwen2VL") or mtype == "qwen2_vl":
         proj = "qwen2vl_merger"
+    elif hf_arch.startswith(("Idefics3", "SmolVLM")) or mtype in (
+            "idefics3", "smolvlm"):
+        proj = "idefics3"
     else:
         raise NotImplementedError(
             f"mmproj: unsupported architecture {hf_arch or mtype!r}")
@@ -87,6 +90,20 @@ def convert_mmproj(model_dir: str, outfile: str, outtype: str = "f16",
         factor = (int(vc["image_size"]) // int(vc["patch_size"])) // n_side
         if factor > 0 and factor != 4:
             w.add_u32("clip.vision.projector.scale_factor", factor)
+    elif proj == "idefics3":
+        # SigLIP tower + pixel shuffle + fc (SmolVLMModel)
+        w.add_array("clip.vision.image_mean", np.asarray([0.5] * 3, np.float32))
+        w.add_array("clip.vision.image_std", np.asarray([0.5] * 3, np.float32))
+        w.add_bool("clip.use_gelu", True)
+        w.add_u32("clip.vision.projector.scale_factor",
+                  int(config.get("scale_factor", 2)))
+        pp = os.path.join(model_dir, "preprocessor_config.json")
+        longest = int(vc["image_size"])
+        if os.path.exists(pp):
+            longest = int(
+                json.load(open(pp)).get("size", {}).get("longest_edge", longest)
+            )
+        w.add_u32("clip.vision.preproc_image_size", longest)
     else:
         # CLIP normalization (openai defaults)
         w.add_array("clip.vision.image_mean",
@@ -111,7 +128,9 @@ def convert_mmproj(model_dir: str, outfile: str, outtype: str = "f16",
         if not (name.startswith(("vision_tower.", "vision_model.",
                                  "multi_modal_projector.",
                                  "multimodal_projector.", "model.vision_tower.",
-                                 "model.multi_modal_projector."))):
+                                 "model.vision_model.",
+                                 "model.multi_modal_projector.",
+                                 "model.connector.", "connector."))):
             continue
         name = re.sub(r"^model\.", "", name)
         name = name.replace("_weight", ".weight")
@@ -156,6 +175,8 @@ def convert_mmproj(model_dir: str, outfile: str, outtype: str = "f16",
             emit("mm.0." + name.rsplit(".", 1)[1], data)
         elif "projector.linear_2" in name:
             emit("mm.2." + name.rsplit(".", 1)[1], data)
+        elif "modality_projection.proj" in name:
+            emit("mm.model.fc." + name.rsplit(".", 1)[1], data)
         elif verbose:
             print(f"skip {name}", file=sys.stderr)
     w.write(outfile)
