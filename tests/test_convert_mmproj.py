@@ -272,3 +272,49 @@ def test_idefics3_mmproj_matches_reference_cli(tmp_path):
         logits = ctx.decode(np.asarray([t], np.int32), n_logits=1)[-1]
     ours = bytes(ours).replace(b"\x00", b"").strip(b"\n")
     assert ours == ref, f"ours={ours!r} ref={ref!r}"
+
+
+def test_qwen25vl_mmproj_matches_transformers(tmp_path):
+    """Qwen2.5-VL merger: RMS norms, silu-gated FFN, window-attention
+    pattern key."""
+    if not hasattr(transformers, "Qwen2_5_VLForConditionalGeneration"):
+        pytest.skip("transformers lacks Qwen2.5-VL")
+    torch.manual_seed(0)
+    cfg = transformers.Qwen2_5_VLConfig(
+        vocab_size=300, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        vision_config=dict(depth=4, hidden_size=32, out_hidden_size=64,
+                           intermediate_size=48, num_heads=2,
+                           in_channels=3, patch_size=8,
+                           spatial_merge_size=2, temporal_patch_size=2,
+                           window_size=16, fullatt_block_indexes=[1, 3]),
+    )
+    model = transformers.Qwen2_5_VLForConditionalGeneration(cfg).eval()
+    d = tmp_path / "q25vl"
+    model.save_pretrained(str(d))
+    out = str(tmp_path / "mmproj.gguf")
+    convert_mmproj(str(d), out, outtype="f32", verbose=False)
+
+    clip = load_mmproj(out)
+    assert clip.hp.proj_type == "qwen2.5vl_merger"
+    clip.parity_fattn = False
+    rng = np.random.default_rng(0)
+    H = W = 32
+    img = rng.standard_normal((H, W, 3)).astype(np.float32) * 0.4
+    ours = np.asarray(clip.encode(img))
+
+    p, t, ms = 8, 2, 2
+    gy, gx = H // p, W // p
+    x = img.transpose(2, 0, 1)
+    x = np.stack([x, x])
+    x = x.reshape(t, 3, gy // ms, ms, p, gx // ms, ms, p)
+    x = x.transpose(2, 5, 3, 6, 1, 0, 4, 7)
+    flat = x.reshape(gy * gx, 3 * t * p * p)
+    with torch.no_grad():
+        visual = model.model.visual if hasattr(model.model, "visual") else model.visual
+        hf = visual(torch.tensor(flat),
+                    grid_thw=torch.tensor([[1, gy, gx]])).numpy()
+    assert ours.shape == hf.shape, (ours.shape, hf.shape)
+    # small drift from gelu-tanh-vs-erf and fp32 window-attn ordering;
+    # token parity vs llama-mtmd-cli is covered in test_mtmd
+    assert np.abs(ours - hf).max() < 8e-3, np.abs(ours - hf).max()
