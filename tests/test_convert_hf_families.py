@@ -115,6 +115,9 @@ CASES = {
                      first_k_dense_replace=1, norm_topk_prob=True,
                      routed_scaling_factor=1.0,
                      num_nextn_predict_layers=0)),
+    "chatglm": ("GlmForCausalLM", "GlmConfig",
+                dict(head_dim=16, partial_rotary_factor=0.5,
+                     attention_bias=True, pad_token_id=0, eos_token_id=2)),
     "dots1": ("Dots1ForCausalLM", "Dots1Config",
               dict(n_routed_experts=4, num_experts_per_tok=2,
                    moe_intermediate_size=64, n_shared_experts=1,

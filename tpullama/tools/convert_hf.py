@@ -429,6 +429,9 @@ _ARCH_MAP = {
     "Dots1ForCausalLM": "dots1",
     "HunYuanDenseV1ForCausalLM": "hunyuan-dense",
     "ApertusForCausalLM": "apertus",
+    "GlmForCausalLM": "chatglm",
+    "ChatGLMModel": "chatglm",
+    "ChatGLMForConditionalGeneration": "chatglm",
 }
 
 
@@ -1123,6 +1126,9 @@ _FAMILY_SPECS: dict = {
                       rope_dim=_rope_dim_partial(0.25)),
     "dots1": dict(kv=_kv_dots1),
     "hunyuan-dense": dict(),
+    # GlmForCausalLM (glm-4-hf / glm-edge): interleaved (NORM) rope with
+    # no permute, partial rotary 0.5 (ChatGLMModel, convert_hf:8003)
+    "chatglm": dict(rope_dim=_rope_dim_partial(0.5)),
     "apertus": dict(names=_APERTUS_NORM_MAP,
                     transform_factory=_ApertusTransform),
 }
