@@ -459,3 +459,38 @@ def test_apertus_logits_match(tmp_path):
     ctx = Context(m, ContextParams(n_ctx=32, dtype=jnp.float32))
     ours = np.asarray(ctx.decode(np.asarray(ids), n_logits=len(ids)))
     assert np.abs(ours - hf_logits).max() < 3e-4, np.abs(ours - hf_logits).max()
+
+
+def test_chameleon_logits_match(tmp_path):
+    """Chameleon: q/k permute + per-head qk-norm reverse-interleave;
+    rows 4..8196 are the image-token logits both llama.cpp and we mask
+    to -FLT_MAX (models/chameleon.cpp:160-172), so only the text rows
+    are compared against transformers."""
+    if not hasattr(transformers, "ChameleonForConditionalGeneration"):
+        pytest.skip("transformers lacks Chameleon")
+    torch.manual_seed(0)
+    cfg = transformers.ChameleonConfig(
+        vocab_size=8500, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256, model_parallel_size=1,
+        swin_norm=False, vq_config=dict(embed_dim=8, num_embeddings=16),
+        vocabulary_map={"<image>": 1},
+    )
+    model = transformers.ChameleonForConditionalGeneration(cfg).eval()
+    d = tmp_path / "cham"
+    model.save_pretrained(str(d))
+    _write_bpe_tokenizer(d)
+    out = str(tmp_path / "cham.gguf")
+    convert(str(d), out, outtype="f32", verbose=False)
+    ids = [5, 99, 200, 7, 42]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([ids])).logits[0].numpy()
+    import jax.numpy as jnp
+
+    m = load_model(out)
+    ctx = Context(m, ContextParams(n_ctx=32, dtype=jnp.float32))
+    ours = np.asarray(ctx.decode(np.asarray(ids), n_logits=len(ids)))
+    keep = np.r_[0:4, 8196:8500]
+    diff = np.abs(ours[:, keep] - hf_logits[:, keep]).max()
+    assert diff < 3e-4, diff
+    assert (ours[:, 4:8196] < -1e30).all()  # image rows masked

@@ -430,6 +430,8 @@ _ARCH_MAP = {
     "HunYuanDenseV1ForCausalLM": "hunyuan-dense",
     "ApertusForCausalLM": "apertus",
     "GlmForCausalLM": "chatglm",
+    "ChameleonForConditionalGeneration": "chameleon",
+    "ChameleonForCausalLM": "chameleon",
     "ChatGLMModel": "chatglm",
     "ChatGLMForConditionalGeneration": "chatglm",
 }
@@ -896,6 +898,38 @@ def _kv_minimax_m2(w, arch, config):
         w.add_u32(f"{arch}.expert_gating_func", 2)
 
 
+def _tf_chameleon(name, data, config):
+    """ChameleonModel: llama q/k permute (incl. biases) + the qk-norm
+    reverse-interleave (head 0's norm broadcast per head,
+    convert_hf_to_gguf.py ChameleonModel._reverse_hf_permute)."""
+    n_head = config["num_attention_heads"]
+    n_kv = config.get("num_key_value_heads", n_head)
+    hidden = config["hidden_size"]
+
+    hd = hidden // n_head  # chameleon is MHA: head_dim shared by q/k
+
+    def rev(d, heads):
+        row = d.reshape(-1, hd)[0]
+        row = row.reshape(2, hd // 2).T.reshape(-1)
+        return np.repeat(row[None, :], heads, axis=0)
+
+    if name.endswith(("q_proj.weight", "q_proj.bias")):
+        data = permute_rope(data, n_head)
+    elif name.endswith(("k_proj.weight", "k_proj.bias")):
+        data = permute_rope(data, n_kv)
+    elif name.endswith(("q_norm.weight", "q_norm.bias")):
+        data = rev(data, n_head)
+    elif name.endswith(("k_norm.weight", "k_norm.bias")):
+        data = rev(data, n_kv)
+    elif name.startswith("model.vqmodel") or name.startswith("vqmodel"):
+        return []  # image tokenizer not converted (as the reference)
+    return [(name, data)]
+
+
+def _kv_chameleon(w, arch, config):
+    w.add_bool(f"{arch}.swin_norm", bool(config.get("swin_norm", False)))
+
+
 def _tf_baichuan(name, data, config):
     """BaichuanModel: split the fused W_pack qkv + llama q/k permute."""
     m = re.match(r"^model\.layers\.(\d+)\.self_attn\.W_pack\.weight$", name)
@@ -1129,6 +1163,7 @@ _FAMILY_SPECS: dict = {
     # GlmForCausalLM (glm-4-hf / glm-edge): interleaved (NORM) rope with
     # no permute, partial rotary 0.5 (ChatGLMModel, convert_hf:8003)
     "chatglm": dict(rope_dim=_rope_dim_partial(0.5)),
+    "chameleon": dict(transform=_tf_chameleon, kv=_kv_chameleon),
     "apertus": dict(names=_APERTUS_NORM_MAP,
                     transform_factory=_ApertusTransform),
 }
