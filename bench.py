@@ -24,16 +24,22 @@ import time
 import numpy as np
 
 
-def build_params(hp, dtype, seed=0, quant=None):
+def build_params(hp, dtype, seed=0, quant=None, abstract=False):
     """quant: GGMLType name (e.g. "Q4_K") -> big matmul weights become
     synthetic planar-packed fields (random bits + small scales — same
-    perf profile as real quantized weights, no slow CPU quantize)."""
+    perf profile as real quantized weights, no slow CPU quantize).
+
+    abstract=True: return jax.ShapeDtypeStruct leaves instead of arrays
+    (for AOT .lower().compile() sweeps — no host RNG / device transfer)."""
+    import jax
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
     qmeta: dict = {"layers": {}}
 
     def mat(shape, scale):
+        if abstract:
+            return jax.ShapeDtypeStruct(shape, dtype)
         return jnp.asarray(
             rng.standard_normal(shape, dtype=np.float32) * scale, dtype=dtype
         )
@@ -55,21 +61,35 @@ def build_params(hp, dtype, seed=0, quant=None):
             "MXFP4": [("q4_lut", 4)], "Q2_K": [("q2", 2)],
             "Q3_K": [("q2", 2), ("q1", 1)],
         }[quant]
+        import jax
+
         for fname, bits in bitmap:
             nbytes = K * bits // 8
-            arr = rng.integers(0, 256, size=(*lead, N, nbytes), dtype=np.uint8)
-            fields[fname] = jnp.asarray(arr.view(np.int8) if fname == "q8" else arr)
+            fdt = np.int8 if fname == "q8" else np.uint8
+            if abstract:
+                fields[fname] = jax.ShapeDtypeStruct((*lead, N, nbytes), fdt)
+            else:
+                arr = rng.integers(0, 256, size=(*lead, N, nbytes), dtype=np.uint8)
+                fields[fname] = jnp.asarray(arr.view(np.int8) if fname == "q8" else arr)
         # bf16 scale/min planes, matching the loader's production default
         # (packed_scale_dtype="bfloat16"; f16 is not a Mosaic/TPU type)
-        fields["scale"] = jnp.asarray(
-            rng.standard_normal((*lead, N, K // group), dtype=np.float32)
-            * scale * 0.1, dtype=jnp.bfloat16
-        )
-        if t not in (GGMLType.Q8_0, GGMLType.MXFP4):
-            fields["minv"] = jnp.asarray(
+        if abstract:
+            fields["scale"] = jax.ShapeDtypeStruct((*lead, N, K // group), jnp.bfloat16)
+        else:
+            fields["scale"] = jnp.asarray(
                 rng.standard_normal((*lead, N, K // group), dtype=np.float32)
-                * scale, dtype=jnp.bfloat16
+                * scale * 0.1, dtype=jnp.bfloat16
             )
+        if t not in (GGMLType.Q8_0, GGMLType.MXFP4):
+            if abstract:
+                fields["minv"] = jax.ShapeDtypeStruct(
+                    (*lead, N, K // group), jnp.bfloat16
+                )
+            else:
+                fields["minv"] = jnp.asarray(
+                    rng.standard_normal((*lead, N, K // group), dtype=np.float32)
+                    * scale, dtype=jnp.bfloat16
+                )
         if meta_slot is not None:
             meta_slot[meta_key] = QuantMeta(t, group, N, K)
         return fields

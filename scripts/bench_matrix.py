@@ -1,0 +1,264 @@
+"""Full BASELINE-matrix benchmark on the real TPU chip.
+
+Covers the reference's scoreboard dimensions (BASELINE.md, from
+/root/reference/benches/dgx-spark/dgx-spark.md): prompt processing
+(pp2048), single-stream decode at KV depths {0, 4096, 32768}
+(tg32 @ dN), and batched decode aggregate at B={8, 32} — all on the
+Llama-3-8B Q4_K headline config with synthetic packed weights (real
+shapes, real quantized kernel path).
+
+Two modes:
+  --aot       AOT compile sweep: lower+compile every cell's program from
+              ShapeDtypeStructs only (no 5.3 GiB weight gen/transfer),
+              recording compile seconds per cell. Populates the
+              persistent compile cache, so the real run afterwards hits
+              warm compiles.
+  (default)   Real measurements: build weights once, run each cell,
+              append one JSON line per cell to --out (crash-safe).
+
+Cells (comma list via --cells): pp2048, tg@0, tg@4096, tg@32768,
+batch8, batch32, and compile-sweep pseudo-cells unroll1/unroll8/unroll32.
+
+Timing per the tunnel recipe: fused lax.scan step loops, np.asarray to
+fence, best-of-N.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HBM_GBPS = float(os.environ.get("BENCH_HBM_GBPS", 819))  # v5e
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197))  # v5e bf16
+
+
+def make_hp():
+    from tpullama.models.hparams import HParams
+
+    if os.environ.get("BENCH_SMOKE"):  # tiny shape for CPU smoke tests
+        return HParams(
+            arch="llama", n_vocab=256, n_ctx_train=2048, n_embd=64,
+            n_layer=2, n_ff=128, n_head=2, n_head_kv=2, n_embd_head_k=32,
+            n_embd_head_v=32, n_rot=32, rope_freq_base=10000.0, rope_type=0,
+        )
+    return HParams(
+        arch="llama", n_vocab=128256, n_ctx_train=8192, n_embd=4096,
+        n_layer=32, n_ff=14336, n_head=32, n_head_kv=8, n_embd_head_k=128,
+        n_embd_head_v=128, n_rot=128, rope_freq_base=500000.0, rope_type=0,
+    )
+
+
+def param_bytes(params):
+    import jax
+
+    return sum(
+        int(np.prod(x.shape)) * np.dtype(x.dtype).itemsize
+        for x in jax.tree.leaves(params)
+    )
+
+
+def make_decode_fn(hp, quant_meta, B, S, unroll):
+    """Fused multi-step greedy decode, B sequences stepping together.
+    All sequences share a uniform depth (n_past0); argmax feedback."""
+    import jax
+    import jax.numpy as jnp
+
+    os.environ["TPULLAMA_SCAN_UNROLL"] = str(unroll)
+    from tpullama.models.llama import llama_forward
+
+    def decode_loop(params, kv_k, kv_v, first_tokens, n_past0, n_steps):
+        def step(carry, i):
+            toks, kk, vv = carry
+            pos = jnp.broadcast_to((n_past0 + i)[None, None], (B, 1))
+            slots = pos
+            kv_pos = jnp.arange(S)
+            vis = kv_pos <= (n_past0 + i)
+            mask = jnp.where(vis, 0.0, -1e30).astype(jnp.float32)[None, None, None, :]
+            mask = jnp.broadcast_to(mask, (B, 1, 1, S))
+            logits, (kk, vv) = llama_forward(
+                params, hp, toks, pos, kk, vv, slots, mask,
+                quant_meta=quant_meta,
+            )
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+            return (nxt, kk, vv), nxt[:, 0]
+
+        (toks, kv_k, kv_v), out = jax.lax.scan(
+            step, (first_tokens, kv_k, kv_v), jnp.arange(n_steps)
+        )
+        return out, kv_k, kv_v
+
+    return jax.jit(decode_loop, static_argnames=("n_steps",))
+
+
+def make_prefill_fn(hp, quant_meta, T, unroll):
+    import jax
+    import jax.numpy as jnp
+
+    os.environ["TPULLAMA_SCAN_UNROLL"] = str(unroll)
+    from tpullama.models.llama import llama_forward
+
+    S = T
+
+    def prefill(params, kv_k, kv_v, tokens):
+        pos = jnp.arange(T, dtype=jnp.int32)[None]
+        slots = pos
+        kv_pos = jnp.arange(S)
+        vis = kv_pos[None, :] <= pos[0][:, None]
+        mask = jnp.where(vis, 0.0, -1e30).astype(jnp.float32)[None, None]
+        logits, (kv_k, kv_v) = llama_forward(
+            params, hp, tokens, pos, kv_k, kv_v, slots, mask,
+            quant_meta=quant_meta,
+        )
+        return logits[:, -1], kv_k, kv_v
+
+    return jax.jit(prefill), S
+
+
+def kv_struct(hp, B, S, abstract, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    shp_k = (hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k)
+    shp_v = (hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_v)
+    if abstract:
+        return jax.ShapeDtypeStruct(shp_k, dtype), jax.ShapeDtypeStruct(shp_v, dtype)
+    return jnp.zeros(shp_k, dtype), jnp.zeros(shp_v, dtype)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--aot", action="store_true")
+    ap.add_argument("--cells", default="pp2048,tg@0,tg@4096,tg@32768,batch8,batch32")
+    ap.add_argument("--out", default="/tmp/bench_matrix.jsonl")
+    ap.add_argument("--quant", default="Q4_K")
+    ap.add_argument("--unroll", type=int, default=int(os.environ.get("BENCH_UNROLL", 8)))
+    ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_params
+
+    hp = make_hp()
+    dtype = jnp.bfloat16
+    quant = None if args.quant.lower() in ("", "none", "bf16") else args.quant
+
+    t0 = time.time()
+    params, quant_meta = build_params(hp, dtype, quant=quant, abstract=args.aot)
+    if not args.aot:
+        params = jax.device_put(params)
+        jax.block_until_ready(jax.tree.leaves(params)[0])
+    build_s = time.time() - t0
+    n_pb = param_bytes(params)
+    print(f"[matrix] params built in {build_s:.1f}s ({n_pb/2**30:.2f} GiB)", flush=True)
+
+    outf = open(args.out, "a")
+
+    def emit(rec):
+        rec["device"] = str(jax.devices()[0])
+        outf.write(json.dumps(rec) + "\n")
+        outf.flush()
+        print("[cell]", json.dumps(rec), flush=True)
+
+    def run_decode_cell(name, B, depth, unroll, n_steps):
+        S = depth + n_steps + 8
+        fn = make_decode_fn(hp, quant_meta, B, S, unroll)
+        kv_k, kv_v = kv_struct(hp, B, S, args.aot, dtype)
+        first = (
+            jax.ShapeDtypeStruct((B, 1), jnp.int32)
+            if args.aot
+            else jnp.ones((B, 1), jnp.int32)
+        )
+        npast = jax.ShapeDtypeStruct((), jnp.int32) if args.aot else jnp.int32(depth)
+        t0 = time.time()
+        if args.aot:
+            fn.lower(params, kv_k, kv_v, first, npast, n_steps=n_steps).compile()
+            emit({"cell": name, "mode": "aot", "compile_s": round(time.time() - t0, 1),
+                  "B": B, "depth": depth, "unroll": unroll})
+            return
+        toks, kk, vv = fn(params, kv_k, kv_v, first, npast, n_steps=n_steps)
+        np.asarray(toks)
+        compile_s = time.time() - t0
+        best = float("inf")
+        for it in range(args.iters):
+            t0 = time.time()
+            toks, _, _ = fn(params, kv_k, kv_v, first + it, npast, n_steps=n_steps)
+            np.asarray(toks)
+            best = min(best, time.time() - t0)
+        tps = B * n_steps / best
+        kv_b = int(np.prod(kk.shape)) * kk.dtype.itemsize * 2 // B
+        roof = HBM_GBPS * 1e9 / (n_pb / B + kv_b)  # aggregate tok/s
+        emit({"cell": name, "B": B, "depth": depth, "unroll": unroll,
+              "steps": n_steps, "tps_aggregate": round(tps, 2),
+              "tps_per_seq": round(tps / B, 2),
+              "roofline_tps": round(roof * B, 1),
+              "vs_roofline": round(tps / (roof * B), 4),
+              "compile_s": round(compile_s, 1)})
+
+    def run_prefill_cell(name, T, unroll):
+        fn, S = make_prefill_fn(hp, quant_meta, T, unroll)
+        kv_k, kv_v = kv_struct(hp, 1, S, args.aot, dtype)
+        toks = (
+            jax.ShapeDtypeStruct((1, T), jnp.int32)
+            if args.aot
+            else jnp.ones((1, T), jnp.int32)
+        )
+        t0 = time.time()
+        if args.aot:
+            fn.lower(params, kv_k, kv_v, toks).compile()
+            emit({"cell": name, "mode": "aot", "compile_s": round(time.time() - t0, 1),
+                  "T": T, "unroll": unroll})
+            return
+        logits, kk, vv = fn(params, kv_k, kv_v, toks)
+        np.asarray(logits)
+        compile_s = time.time() - t0
+        best = float("inf")
+        for _ in range(args.iters):
+            t0 = time.time()
+            logits, _, _ = fn(params, kv_k, kv_v, toks)
+            np.asarray(logits)
+            best = min(best, time.time() - t0)
+        tps = T / best
+        # dense-equivalent FLOPs: 2 * n_params_effective * T (attention
+        # extra ~ O(T^2 d) added separately)
+        n_eff = 8.03e9
+        flops = 2 * n_eff * T + 4 * T * T * hp.n_embd * hp.n_layer // 2
+        mfu = flops / best / (PEAK_TFLOPS * 1e12)
+        emit({"cell": name, "T": T, "unroll": unroll, "tps": round(tps, 1),
+              "ms": round(best * 1e3, 1), "mfu": round(mfu, 4),
+              "compile_s": round(compile_s, 1)})
+
+    for cell in args.cells.split(","):
+        cell = cell.strip()
+        if not cell:
+            continue
+        try:
+            if cell == "pp2048":
+                run_prefill_cell(cell, 2048, 1)
+            elif cell.startswith("tg@"):
+                run_decode_cell(cell, 1, int(cell[3:]), args.unroll, args.steps)
+            elif cell.startswith("batch"):
+                run_decode_cell(cell, int(cell[5:]), 512, args.unroll, args.steps)
+            elif cell.startswith("unroll"):
+                run_decode_cell(cell, 1, 0, int(cell[6:]), args.steps)
+            else:
+                print(f"[matrix] unknown cell {cell!r}", flush=True)
+        except Exception as e:  # keep going; record the failure
+            emit({"cell": cell, "error": f"{type(e).__name__}: {e}"})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Packed-quantized MoE experts (gathered dequant-matmul path) vs the
+dense expert oracle — the ggml_mul_mat_id parity check
+(ggml/src/ggml-cuda/mmq.cu mul_mat_id; tests/test-backend-ops.cpp
+MUL_MAT_ID cases)."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from tpullama.gguf import GGMLType, dequantize, quantize
+from tpullama.models.loader import QuantMeta
+from tpullama.ops.moe import moe_ffn
+from tpullama.ops.qweights import repack
+
+
+def build_packed_experts(E, F, D, qtype, seed):
+    rng = np.random.default_rng(seed)
+    dense, fields_list = [], []
+    for e in range(E):
+        w = (rng.standard_normal((F, D)) * 0.1).astype(np.float32)
+        raw = quantize(w, qtype)
+        dense.append(dequantize(raw, qtype, (F, D)))
+        fields_list.append(repack(raw, qtype, (F, D)))
+    group = fields_list[0].group
+    stacked = {
+        k: jnp.asarray(np.stack([pq.fields[k] for pq in fields_list]).reshape(
+            E * F, -1))
+        for k in fields_list[0].fields
+    }
+    meta = QuantMeta(qtype, group, E * F, D)
+    return jnp.asarray(np.stack(dense)), stacked, meta
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q8_0, GGMLType.Q4_K, GGMLType.MXFP4],
+                         ids=lambda t: t.name)
+@pytest.mark.parametrize("T", [1, 40])  # decode (slot-per-tile) + dispatch path
+def test_moe_packed_matches_dense(qtype, T):
+    E, K, D, F, B = 4, 2, 256, 512, 1
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.standard_normal((B, T, D)) * 0.3).astype(np.float32))
+    gate_inp = jnp.asarray(rng.standard_normal((E, D)).astype(np.float32) * 0.05)
+    g_dense, g_packed, g_meta = build_packed_experts(E, F, D, qtype, 1)
+    u_dense, u_packed, u_meta = build_packed_experts(E, F, D, qtype, 2)
+    d_dense, d_packed, d_meta = build_packed_experts(E, D, F, qtype, 3)
+
+    want = np.asarray(moe_ffn(
+        x, gate_inp, g_dense, u_dense, d_dense, n_expert_used=K,
+    ))
+    got = np.asarray(moe_ffn(
+        x, gate_inp, g_packed, u_packed, d_packed, n_expert_used=K,
+        quant_meta_exps={"gate": g_meta, "up": u_meta, "down": d_meta},
+    ))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_moe_packed_no_gate_with_bias():
+    """gpt-oss shape: no separate gate tensor isn't its layout — but the
+    per-expert biases (ggml_add_id) and swiglu_oai go through the packed
+    path; check biases against the dense path."""
+    E, K, D, F, B, T = 4, 2, 256, 512, 1, 3
+    qtype = GGMLType.MXFP4
+    rng = np.random.default_rng(7)
+    x = jnp.asarray((rng.standard_normal((B, T, D)) * 0.3).astype(np.float32))
+    gate_inp = jnp.asarray(rng.standard_normal((E, D)).astype(np.float32) * 0.05)
+    g_dense, g_packed, g_meta = build_packed_experts(E, F, D, qtype, 1)
+    u_dense, u_packed, u_meta = build_packed_experts(E, F, D, qtype, 2)
+    d_dense, d_packed, d_meta = build_packed_experts(E, D, F, qtype, 3)
+    gb = jnp.asarray(rng.standard_normal((E, F)).astype(np.float32) * 0.02)
+    ub = jnp.asarray(rng.standard_normal((E, F)).astype(np.float32) * 0.02)
+    db = jnp.asarray(rng.standard_normal((E, D)).astype(np.float32) * 0.02)
+    kw = dict(n_expert_used=K, act="swiglu_oai", gate_exps_b=gb, up_exps_b=ub,
+              down_exps_b=db)
+    want = np.asarray(moe_ffn(x, gate_inp, g_dense, u_dense, d_dense, **kw))
+    got = np.asarray(moe_ffn(
+        x, gate_inp, g_packed, u_packed, d_packed,
+        quant_meta_exps={"gate": g_meta, "up": u_meta, "down": d_meta}, **kw,
+    ))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_moe_dispatch_roundtrip():
+    from tpullama.ops.moe import moe_dispatch
+
+    rng = np.random.default_rng(5)
+    S, E, tt = 70, 6, 8
+    sel = jnp.asarray(rng.integers(0, E, S).astype(np.int32))
+    perm, tile_expert, row_of_slot, P = moe_dispatch(sel, E, tt)
+    perm, tile_expert, row_of_slot = map(np.asarray, (perm, tile_expert, row_of_slot))
+    assert P % tt == 0 and len(perm) == P
+    for s in range(S):
+        r = row_of_slot[s]
+        assert perm[r] == s  # round trip
+        assert tile_expert[r // tt] == sel[s]  # tile's expert matches

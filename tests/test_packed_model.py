@@ -67,3 +67,35 @@ def test_packed_memory_smaller(tmp_path):
     packed_bytes = sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in q.values())
     dense_bytes = 2 * 256 * 256 * 4
     assert packed_bytes < dense_bytes / 3  # ~6.5 bits vs 32 bits per weight
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_K, GGMLType.Q8_0],
+                         ids=lambda t: t.name)
+def test_packed_moe_matches_dense(tmp_path, qtype):
+    """MoE expert tensors stay packed (gathered dequant-matmul /
+    mul_mat_id analog): logits must match the dense-dequantized load on
+    both the prefill dispatch path (T·K >= dispatch threshold) and the
+    decode slot-per-tile path."""
+    path = str(tmp_path / "moe.gguf")
+    make_tiny_llama_gguf(path, n_embd=256, n_ff=256, n_layer=2,
+                         n_expert=4, n_expert_used=2, qtype=qtype, seed=33)
+    dense = load_model(path)
+    packed = load_model(path, packed=True, packed_scale_dtype=np.float32)
+    lm = packed.quant_meta["layers"]
+    assert isinstance(packed.params["layers"]["ffn_up_exps"], dict), (
+        "expert tensors should load packed"
+    )
+    assert "ffn_up_exps" in lm
+    toks = dense.vocab.tokenize(
+        "Once upon a time there was a small model that routed tokens "
+        "to experts and it worked fine", add_special=True)
+    assert len(toks) >= 16  # prefill buckets to >=16 → 32+ slots
+    ctx_d = Context(dense, ContextParams(n_ctx=96))
+    ctx_p = Context(packed, ContextParams(n_ctx=96))
+    ld = ctx_d.decode(np.asarray(toks), n_logits=1)[-1]
+    lp = ctx_p.decode(np.asarray(toks), n_logits=1)[-1]
+    np.testing.assert_allclose(lp, ld, rtol=1e-4, atol=1e-3)
+    # decode step (T=1 → slot-per-tile gathered path)
+    ld1 = ctx_d.decode(np.asarray([5]), n_logits=1)[-1]
+    lp1 = ctx_p.decode(np.asarray([5]), n_logits=1)[-1]
+    np.testing.assert_allclose(lp1, ld1, rtol=1e-4, atol=1e-3)

@@ -109,3 +109,37 @@ def test_qmm_fast_path_nmse(qtype):
     )
     nmse = float(np.sum((got - want) ** 2) / np.maximum(np.sum(want**2), 1e-12))
     assert nmse < 5e-4, nmse
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.MXFP4],
+                         ids=lambda t: t.name)
+@pytest.mark.parametrize("tile_t", [1, 4])
+def test_qmm_gathered_matches_dense(qtype, tile_t):
+    """Gathered (mul_mat_id-analog) kernel: y[s] = x[s] @ W[sel[s]]^T with
+    expert-stacked packed planes, vs the per-slot dense oracle."""
+    import jax.numpy as jnp
+
+    from tpullama.ops.pallas.qmm import quantized_matmul_gathered
+
+    n_out, n_in, E, n_tiles = 8, 512, 5, 6
+    raws, refs = zip(*[make_weight(n_out, n_in, qtype, seed=10 + e) for e in range(E)])
+    pqs = [repack(r, qtype, (n_out, n_in)) for r in raws]
+    fields = {
+        k: jnp.asarray(np.stack([pq.fields[k] for pq in pqs]))
+        for k in pqs[0].fields
+    }
+    rng = np.random.default_rng(4)
+    Trows = n_tiles * tile_t
+    x = rng.standard_normal((Trows, n_in)).astype(np.float32)
+    sel = rng.integers(0, E, size=n_tiles).astype(np.int32)
+    want = np.stack(
+        [x[i] @ refs[sel[i // tile_t]].reshape(n_out, n_in).T for i in range(Trows)]
+    )
+    got = np.asarray(
+        quantized_matmul_gathered(
+            jnp.asarray(x), fields, jnp.asarray(sel), qtype, pqs[0].group,
+            n_out, n_in, tile_n=8, tile_t=tile_t, interpret=True,
+        )
+    )
+    atol = 1e-4 + 1e-6 * float(np.abs(want).max())
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=atol)

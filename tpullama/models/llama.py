@@ -495,6 +495,12 @@ def llama_forward(
                 n_expert_groups=hp.n_expert_groups,
                 n_group_used=hp.n_group_used,
                 ep_axis=tp_axis,
+                quant_meta_exps=(
+                    {"gate": lmeta.get("ffn_gate_exps"),
+                     "up": lmeta["ffn_up_exps"],
+                     "down": lmeta["ffn_down_exps"]}
+                    if "ffn_up_exps" in lmeta else None
+                ),
             )
             if "ffn_up_chexps" in w:
                 # grovemoe adjustment experts: second MoE over the first
@@ -517,6 +523,12 @@ def llama_forward(
                     expert_div=hp.n_group_experts,
                     x_router=h,
                     ep_axis=tp_axis,
+                    quant_meta_exps=(
+                        {"gate": lmeta.get("ffn_gate_chexps"),
+                         "up": lmeta["ffn_up_chexps"],
+                         "down": lmeta["ffn_down_chexps"]}
+                        if "ffn_up_chexps" in lmeta else None
+                    ),
                 )
                 down = down + chunk * hp.expert_group_scale
             if "ffn_gate_shexp" in w:

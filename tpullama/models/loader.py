@@ -424,11 +424,11 @@ def load_model(
     # with tp_shards > 1 their planar layout must be built per K-chunk
     _ROW_TP = {"attn_output", "ffn_down", "ffn_down_shexp"}
 
-    def packable(tname: str, k_shards: int = 1) -> bool:
+    def packable(tname: str, k_shards: int = 1, allow_3d: bool = False) -> bool:
         info = reader.tensors[tname]
         return (
             packed
-            and len(info.shape) == 2
+            and (len(info.shape) == 2 or (allow_3d and len(info.shape) == 3))
             and info.ggml_type in PACKED_TYPES
             and (info.shape[-1] // k_shards) % 256 == 0
             and info.shape[-1] % k_shards == 0
@@ -509,14 +509,42 @@ def load_model(
         keys = sorted(layer_names.get(0, {}))
         stacked: dict = {}
         layer_meta: dict = {}
+
+        def _trio_packable(prefix: str) -> bool:
+            """MoE expert tensors pack only as a consistent group (the
+            forward's packed-expert branch expects gate/up/down to agree):
+            every present member of the trio must be layer-uniform and
+            packable."""
+            members = [
+                k for k in (f"ffn_gate_{prefix}", f"ffn_up_{prefix}",
+                            f"ffn_down_{prefix}") if k in keys
+            ]
+            if f"ffn_up_{prefix}" not in keys:
+                return False
+            for k in members:
+                tn = [layer_names[il][k] for il in range(n_layer)]
+                if len({reader.tensors[t].ggml_type for t in tn}) != 1:
+                    return False
+                if not packable(tn[0], allow_3d=True):
+                    return False
+            return True
+
+        exps_ok = _trio_packable("exps")
+        chexps_ok = _trio_packable("chexps")
         for key in keys:
             tnames = [layer_names[il][key] for il in range(n_layer)]
             types = {reader.tensors[t].ggml_type for t in tnames}
             k_sh = tp_shards if key in _ROW_TP else 1
+            is_exps = key.endswith("_exps") or key.endswith("_chexps")
+            exps_group_ok = chexps_ok if key.endswith("_chexps") else exps_ok
             # packed stacking requires a uniform type across layers (mixed
             # per-layer types — e.g. Q4_K_M's Q6_K ffn_down head — fall
             # back to dense for that tensor)
-            if len(types) == 1 and packable(tnames[0], k_sh):
+            if (
+                len(types) == 1
+                and packable(tnames[0], k_sh, allow_3d=is_exps)
+                and (not is_exps or exps_group_ok)
+            ):
                 pqs = [fetch_packed(t, k_sh) for t in tnames]
                 stacked[key] = {
                     fk: jnp.asarray(np.stack([pq.fields[fk] for pq in pqs]))

@@ -29,6 +29,132 @@ GATING_SOFTMAX_WEIGHT = 3
 _F16_MIN_NORMAL = 6.103515625e-5
 
 
+def moe_dispatch(sel_flat, n_expert: int, tile_t: int):
+    """Sort (token, k) slots by expert and pad each expert's group to a
+    multiple of tile_t — the in-jit, capacity-free MoE dispatch for the
+    tile-grouped gathered dequant-matmul (no token dropping: P is the
+    static worst case S + E·(tile_t−1)).
+
+    Returns (perm, tile_expert, row_of_slot, n_rows_padded):
+      perm: (P,) source slot id per padded row (== S for pad rows; gather
+            from an x array with a zero row appended),
+      tile_expert: (P // tile_t,) expert id per tile,
+      row_of_slot: (S,) padded row of each original slot (un-permute)."""
+    S = int(sel_flat.shape[0])
+    E, tt = n_expert, tile_t
+    P = -(-(S + E * (tt - 1)) // tt) * tt
+    counts = jnp.zeros(E, jnp.int32).at[sel_flat].add(1)
+    padded = -(-counts // tt) * tt
+    group_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)[:-1]]
+    )
+    order = jnp.argsort(sel_flat)  # stable
+    sorted_sel = jnp.take(sel_flat, order)
+    cstart = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+    rank = jnp.arange(S, dtype=jnp.int32) - jnp.take(cstart, sorted_sel)
+    rows_sorted = jnp.take(group_start, sorted_sel) + rank
+    perm = jnp.full(P, S, jnp.int32).at[rows_sorted].set(order.astype(jnp.int32))
+    row_of_slot = jnp.zeros(S, jnp.int32).at[order].set(rows_sorted)
+    ends = jnp.cumsum(padded)
+    tile_expert = jnp.searchsorted(
+        ends, jnp.arange(P // tt, dtype=jnp.int32) * tt, side="right"
+    )
+    return perm, jnp.clip(tile_expert, 0, E - 1).astype(jnp.int32), row_of_slot, P
+
+
+def _apply_moe_act(act: str, gate, up):
+    if gate is None:
+        if act == "silu":
+            return jax.nn.silu(up)
+        if act == "gelu":
+            return jax.nn.gelu(up, approximate=True)
+        if act == "relu":
+            return jnp.maximum(up, 0)
+        raise ValueError(act)
+    if act == "silu":
+        return swiglu(gate, up)
+    if act == "gelu":
+        return geglu(gate, up)
+    if act == "relu":
+        return reglu(gate, up)
+    if act == "swiglu_oai":
+        return swiglu_oai(gate, up)
+    raise ValueError(act)
+
+
+def _ffn_packed(xf, sel, weights, gate_exps, up_exps, down_exps, metas, E, *,
+                act, weight_before_ffn, up_b=None, gate_b=None, down_b=None):
+    """Expert FFN over PACKED planar-quant expert stacks via the gathered
+    dequant-matmul kernel (ops.pallas.qmm.quantized_matmul_gathered — the
+    ggml_mul_mat_id analog). Decode (few slots): each (token, k) slot is
+    its own tile, so HBM traffic is exactly the selected experts' packed
+    bytes. Prefill: slots are grouped per expert (moe_dispatch) into
+    tile_t-row tiles — near-minimal FLOPs with bounded weight re-reads."""
+    import os
+
+    from .pallas.qmm import quantized_matmul_gathered
+
+    B, T, D = xf.shape
+    K = sel.shape[-1]
+    S = B * T * K
+    interpret = jax.default_backend() == "cpu"
+
+    sel_flat = sel.reshape(S)
+    w_flat = weights.reshape(S).astype(jnp.float32)
+    x_slots = jnp.broadcast_to(xf[:, :, None, :], (B, T, K, D)).reshape(S, D)
+    if weight_before_ffn:
+        x_slots = x_slots * w_flat[:, None]
+
+    row_of_slot = None
+    if S >= int(os.environ.get("TPULLAMA_MOE_DISPATCH_MIN", 64)):
+        tile_t = int(os.environ.get("TPULLAMA_MOE_TILE_T", 8))
+        perm, expert_of_tile, row_of_slot, _ = moe_dispatch(sel_flat, E, tile_t)
+        x_rows = jnp.concatenate([x_slots, jnp.zeros((1, D), x_slots.dtype)])[perm]
+    else:
+        tile_t = 1
+        expert_of_tile = sel_flat
+        x_rows = x_slots
+    row_expert = jnp.repeat(expert_of_tile, tile_t)
+
+    def gmm(x_in, w, name):
+        lidx = None
+        if isinstance(w, tuple):
+            w, lidx = w
+        m = metas[name]
+        n_rows = m.n_out // E  # per-expert output rows (F or D)
+
+        def rs(a):  # flatten (L, E·rows, kcols) → (L·E, rows, kcols)
+            if a.ndim == 3:
+                return a.reshape(a.shape[0] * E, n_rows, a.shape[-1])
+            return a.reshape(E, n_rows, a.shape[-1])
+
+        fields = {k: rs(v) for k, v in w.items()}
+        idx = expert_of_tile if lidx is None else lidx * E + expert_of_tile
+        return quantized_matmul_gathered(
+            x_in, fields, idx, m.ggml_type, m.group, n_rows, m.n_in,
+            tile_t=tile_t, interpret=interpret,
+        )
+
+    up = gmm(x_rows, up_exps, "up")
+    if up_b is not None:
+        up = up + jnp.take(up_b, row_expert, axis=0).astype(up.dtype)
+    gate = None
+    if gate_exps is not None:
+        gate = gmm(x_rows, gate_exps, "gate")
+        if gate_b is not None:
+            gate = gate + jnp.take(gate_b, row_expert, axis=0).astype(gate.dtype)
+    h = _apply_moe_act(act, gate, up)
+    down = gmm(h, down_exps, "down")
+    if down_b is not None:
+        down = down + jnp.take(down_b, row_expert, axis=0).astype(down.dtype)
+    if row_of_slot is not None:
+        down = jnp.take(down, row_of_slot, axis=0)
+    down = down.reshape(B, T, K, D)
+    if not weight_before_ffn:
+        down = down * w_flat.reshape(B, T, K)[..., None]
+    return down.sum(axis=2)
+
+
 def moe_ffn(
     x,  # (B, T, D)
     gate_inp,  # (E, D) router
@@ -65,6 +191,13 @@ def moe_ffn(
     # device computes its local experts' contributions (non-local k-slots
     # masked to zero) and the caller psums the partial outputs — the TP
     # analog of the reference's per-device expert assignment
+    quant_meta_exps: dict | None = None,  # {"ffn_up_exps": QuantMeta, ...}
+    # when the expert weights are PACKED planar-quant stacks (loader
+    # packed mode): gate/up/down_exps are then dicts of plane arrays
+    # (E·F, kcols) — or (fields, layer_idx) tuples for layer-stacked
+    # (L, E·F, kcols) planes — and the FFN runs through the gathered
+    # dequant-matmul kernel (ggml_mul_mat_id analog) so only the
+    # SELECTED experts' packed bytes stream from HBM
 ):
     B, T, D = x.shape
     E = gate_inp.shape[0]
@@ -113,6 +246,23 @@ def moe_ffn(
         weights = weights / s
     if w_scale:
         weights = weights * w_scale
+
+    if quant_meta_exps is not None and isinstance(up_exps, (dict, tuple)):
+        # packed planar-quant expert stacks → gathered dequant-matmul path
+        if ep_axis is not None:
+            raise NotImplementedError(
+                "expert parallelism over packed expert weights is not wired "
+                "yet (load experts dense for EP, or shard another axis)"
+            )
+        out = _ffn_packed(
+            xf, sel, weights, gate_exps, up_exps, down_exps, quant_meta_exps,
+            # the weight stacks' expert count: expert_div (grovemoe chunk
+            # experts) shrinks it relative to the router's E
+            E // expert_div if expert_div else E,
+            act=act, weight_before_ffn=weight_before_ffn,
+            up_b=up_exps_b, gate_b=gate_exps_b, down_b=down_exps_b,
+        )
+        return out.astype(x.dtype)
 
     mine = None
     if ep_axis is not None:

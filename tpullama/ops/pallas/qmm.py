@@ -253,8 +253,131 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
     out_spec = pl.BlockSpec((tt, tn), xmap_out, memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((Tp, N), jnp.float32)
     operands = (x, *extra_inputs, *[pq_fields[n] for n in field_names])
-    if stacked:
-        out = pl.pallas_call(
+    out = _call_qmm_kernel(
+        kernel, grid, in_specs, out_spec, out_shape, operands,
+        scalar=jnp.asarray(layer, jnp.int32).reshape(1) if stacked else None,
+        interpret=interpret,
+    )
+    return out[:T] if pad_t else out
+
+
+def quantized_matmul_gathered(
+    x: jnp.ndarray, pq_fields: dict, sel: jnp.ndarray, ggml_type: GGMLType,
+    group: int, n_out: int, n_in: int, *, tile_n: int = 512,
+    tile_t: int = 1, interpret: bool = False, exact: bool | None = None,
+) -> jnp.ndarray:
+    """Gathered dequant × matmul: y[s] = x[s·tt : (s+1)·tt] @ W[sel[s]]^T
+    — the ggml_mul_mat_id analog (ggml/src/ggml-cuda/mmq.cu mul_mat_id
+    path), redesigned as a tile-grouped ragged matmul for MoE experts
+    that stay PACKED in HBM.
+
+    x: (n_rows, n_in) activation rows, grouped so each consecutive
+    tile_t-row tile shares ONE expert; sel: (n_rows // tile_t,) int32
+    index per tile into the leading axis of pq_fields' leaves
+    (M, n_out, kcols) — for layer-stacked expert planes reshaped to
+    (L·E, n_out, kcols) the caller passes layer·E + expert. Returns
+    (n_rows, n_out) f32.
+
+    tile_t=1 is the decode path (each (token, k) slot is its own tile, no
+    sorting needed: only the selected experts' packed bytes stream from
+    HBM — the bandwidth-optimal MoE decode). For prefill, sort slots by
+    expert and pad groups to tile_t (see ops.moe.moe_dispatch) so each
+    tile streams its expert's weights once — minimal FLOPs, and the
+    re-read factor is n_tiles/E instead of n_slots/E.
+    """
+    Trows, K = x.shape
+    assert K == n_in, (x.shape, n_in)
+    N = n_out
+    tt = tile_t
+    assert Trows % tt == 0, (Trows, tt)
+    n_tiles = Trows // tt
+    assert sel.shape == (n_tiles,), (sel.shape, n_tiles)
+    if exact is None:
+        exact = interpret or os.environ.get("TPULLAMA_QMM_EXACT", "0") == "1"
+    tn = min(tile_n, N)
+    while N % tn:
+        tn //= 2
+    field_names = [n for n in pq_fields]
+    has_minv = "minv" in pq_fields
+    grid = (n_tiles, N // tn)
+
+    x = x.astype(jnp.float32)
+    xg = x.reshape(Trows, K // group, group)
+    xgsum = jnp.sum(xg, axis=2) if (not exact and has_minv) else None
+    x = xg.swapaxes(1, 2).reshape(Trows, K)
+
+    bits = {"q4": 4, "q4_lut": 4, "q2": 2, "q1": 1, "q8": 8}
+
+    in_specs = [
+        pl.BlockSpec((tt, K), lambda t, n, s: (t, 0), memory_space=pltpu.VMEM)
+    ]
+    extra_inputs = []
+    if xgsum is not None:
+        in_specs.append(
+            pl.BlockSpec((tt, K // group), lambda t, n, s: (t, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        extra_inputs.append(xgsum)
+    for name in field_names:
+        kcols = K * bits[name] // 8 if name in bits else K // group
+        in_specs.append(
+            pl.BlockSpec(
+                (1, tn, kcols),
+                lambda t, n, s: (s[t], n, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+
+    def kernel(*refs):
+        _s_ref, x_ref, *refs = refs
+        if xgsum is not None:
+            xgsum_ref, *refs = refs
+        *field_tiles, out_ref = refs
+        fields = {k: r.at[0] for k, r in zip(field_names, field_tiles)}
+        minv_tile = fields["minv"][...].astype(jnp.float32) if has_minv else None
+        val = _unpack_stripes(fields, ggml_type)
+        scale = _repeat_lanes(fields["scale"][...].astype(jnp.float32), group)
+        if exact:
+            w = val * scale
+            if has_minv:
+                w = w - _repeat_lanes(minv_tile, group)
+            out_ref[...] = jax.lax.dot_general(
+                x_ref[...], w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            w = (val * scale).astype(jnp.bfloat16)
+            acc = jax.lax.dot_general(
+                x_ref[...].astype(jnp.bfloat16), w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if has_minv:
+                acc = acc - jax.lax.dot_general(
+                    xgsum_ref[...], minv_tile, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            out_ref[...] = acc
+
+    out_spec = pl.BlockSpec((tt, tn), lambda t, n, s: (t, n),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((Trows, N), jnp.float32)
+    operands = (x, *extra_inputs, *[pq_fields[n] for n in field_names])
+    return _call_qmm_kernel(
+        kernel, grid, in_specs, out_spec, out_shape, operands,
+        scalar=jnp.asarray(sel, jnp.int32), interpret=interpret,
+    )
+
+
+def _call_qmm_kernel(kernel, grid, in_specs, out_spec, out_shape, operands,
+                     *, scalar=None, interpret=False):
+    # raise the scoped-VMEM limit above Mosaic's 16 MiB default: the
+    # in-kernel dequant intermediates scale with tn*K (e.g. ffn_down at
+    # K=14336 needs ~38 MiB at prefill tiles) and v5e/v6 have 128 MiB of
+    # physical VMEM — the conservative default OOMs large-K tiles
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    if scalar is not None:
+        return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -264,14 +387,14 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
             ),
             out_shape=out_shape,
             interpret=interpret,
-        )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
-    else:
-        out = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(*operands)
-    return out[:T] if pad_t else out
+            compiler_params=cparams,
+        )(scalar, *operands)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=cparams,
+    )(*operands)
