@@ -44,14 +44,15 @@ def build_params(hp, dtype, seed=0, quant=None, abstract=False):
             rng.standard_normal(shape, dtype=np.float32) * scale, dtype=dtype
         )
 
-    def qmat(shape, scale, meta_slot=None, meta_key=None):
+    def qmat(shape, scale, meta_slot=None, meta_key=None, qt=None):
         """Packed synthetic weight for the qmm path (leading dims stack)."""
-        if quant is None:
+        qt = qt or quant
+        if qt is None:
             return mat(shape, scale)
         from tpullama.gguf.constants import GGMLType
         from tpullama.models.loader import QuantMeta
 
-        t = GGMLType[quant]
+        t = GGMLType[qt]
         *lead, N, K = shape
         group = 16 if t in (GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q6_K) else 32
         fields = {}
@@ -60,7 +61,7 @@ def build_params(hp, dtype, seed=0, quant=None, abstract=False):
             "Q6_K": [("q4", 4), ("q2", 2)], "Q8_0": [("q8", 8)],
             "MXFP4": [("q4_lut", 4)], "Q2_K": [("q2", 2)],
             "Q3_K": [("q2", 2), ("q1", 1)],
-        }[quant]
+        }[qt]
         import jax
 
         for fname, bits in bitmap:
@@ -110,20 +111,49 @@ def build_params(hp, dtype, seed=0, quant=None, abstract=False):
             "ffn_down": qmat((L, E, F), 1.0 / np.sqrt(F), lm, "ffn_down"),
         },
     }
+    QKV = hp.n_head * hp.n_embd_head_k
     if fused:
         # fused [Q|K|V] and [gate|up] projections (loader fuse_projections=True
         # analog): 3 matvecs/layer instead
         # of 7 — each dispatch carries ~10us fixed cost at decode shapes
-        params["layers"]["attn_qkv"] = qmat((L, E + 2 * KV, E), s, lm, "attn_qkv")
-        params["layers"]["ffn_up"] = qmat((L, 2 * F, E), s, lm, "ffn_up")
+        params["layers"]["attn_qkv"] = qmat((L, QKV + 2 * KV, E), s, lm, "attn_qkv")
+        if not hp.n_expert:
+            params["layers"]["ffn_up"] = qmat((L, 2 * F, E), s, lm, "ffn_up")
     else:
         params["layers"].update({
-            "attn_q": qmat((L, E, E), s, lm, "attn_q"),
+            "attn_q": qmat((L, QKV, E), s, lm, "attn_q"),
             "attn_k": qmat((L, KV, E), s, lm, "attn_k"),
             "attn_v": qmat((L, KV, E), s, lm, "attn_v"),
-            "ffn_gate": qmat((L, F, E), s, lm, "ffn_gate"),
-            "ffn_up": qmat((L, F, E), s, lm, "ffn_up"),
         })
+        if not hp.n_expert:
+            params["layers"].update({
+                "ffn_gate": qmat((L, F, E), s, lm, "ffn_gate"),
+                "ffn_up": qmat((L, F, E), s, lm, "ffn_up"),
+            })
+    if hp.n_head * hp.n_embd_head_v != E:
+        # o-projection contracts over n_head*Dv, not n_embd (gpt-oss)
+        params["layers"]["attn_output"] = qmat(
+            (L, E, hp.n_head * hp.n_embd_head_v), s, lm, "attn_output"
+        )
+    if hp.n_expert:
+        # MoE: packed expert stacks (gathered dequant-matmul path);
+        # quant_exps (env BENCH_QUANT_EXPS, default MXFP4 — the gpt-oss
+        # layout) can differ from the dense-tensor quant
+        nE = hp.n_expert
+        qe = os.environ.get("BENCH_QUANT_EXPS", "MXFP4")
+        del params["layers"]["ffn_down"]
+        lm.pop("ffn_down", None)
+        params["layers"]["ffn_gate_inp"] = mat((L, nE, E), s)
+        params["layers"]["ffn_gate_exps"] = qmat(
+            (L, nE * F, E), s, lm, "ffn_gate_exps", qt=qe)
+        params["layers"]["ffn_up_exps"] = qmat(
+            (L, nE * F, E), s, lm, "ffn_up_exps", qt=qe)
+        params["layers"]["ffn_down_exps"] = qmat(
+            (L, nE * E, F), 1.0 / np.sqrt(F), lm, "ffn_down_exps", qt=qe)
+        if os.environ.get("BENCH_MOE_BIAS", "1") == "1":  # gpt-oss add_id biases
+            params["layers"]["ffn_gate_exps_b"] = mat((L, nE, F), 0.02)
+            params["layers"]["ffn_up_exps_b"] = mat((L, nE, F), 0.02)
+            params["layers"]["ffn_down_exps_b"] = mat((L, nE, E), 0.02)
     return (params, qmeta if quant else None)
 
 

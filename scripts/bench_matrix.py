@@ -39,14 +39,27 @@ HBM_GBPS = float(os.environ.get("BENCH_HBM_GBPS", 819))  # v5e
 PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197))  # v5e bf16
 
 
-def make_hp():
+def make_hp(model: str = "llama8b"):
     from tpullama.models.hparams import HParams
 
-    if os.environ.get("BENCH_SMOKE"):  # tiny shape for CPU smoke tests
+    if os.environ.get("BENCH_SMOKE"):  # tiny shapes for CPU smoke tests
+        moe = dict(n_expert=4, n_expert_used=2) if model == "gptoss20b" else {}
         return HParams(
             arch="llama", n_vocab=256, n_ctx_train=2048, n_embd=64,
             n_layer=2, n_ff=128, n_head=2, n_head_kv=2, n_embd_head_k=32,
             n_embd_head_v=32, n_rot=32, rope_freq_base=10000.0, rope_type=0,
+            **moe,
+        )
+    if model == "gptoss20b":
+        # gpt-oss-20B shape (BASELINE.md MoE rows): 24 layers, d=2880,
+        # 32 experts top-4, expert F=2880, 64 q heads / 8 kv heads @64.
+        # Benches full attention (no SWA interleave) — pessimistic at
+        # depth vs the reference's half-SWA-128 layers.
+        return HParams(
+            arch="llama", n_vocab=201088, n_ctx_train=131072, n_embd=2880,
+            n_layer=24, n_ff=2880, n_head=64, n_head_kv=8, n_embd_head_k=64,
+            n_embd_head_v=64, n_rot=64, rope_freq_base=150000.0, rope_type=2,
+            n_expert=32, n_expert_used=4, moe_act="swiglu_oai",
         )
     return HParams(
         arch="llama", n_vocab=128256, n_ctx_train=8192, n_embd=4096,
@@ -64,7 +77,7 @@ def param_bytes(params):
     )
 
 
-def make_decode_fn(hp, quant_meta, B, S, unroll):
+def make_decode_fn(hp, quant_meta, B, S, unroll, donate=False):
     """Fused multi-step greedy decode, B sequences stepping together.
     All sequences share a uniform depth (n_past0); argmax feedback."""
     import jax
@@ -94,7 +107,8 @@ def make_decode_fn(hp, quant_meta, B, S, unroll):
         )
         return out, kv_k, kv_v
 
-    return jax.jit(decode_loop, static_argnames=("n_steps",))
+    return jax.jit(decode_loop, static_argnames=("n_steps",),
+                   donate_argnums=(1, 2) if donate else ())
 
 
 def make_prefill_fn(hp, quant_meta, T, unroll):
@@ -137,6 +151,8 @@ def main():
     ap.add_argument("--aot", action="store_true")
     ap.add_argument("--cells", default="pp2048,tg@0,tg@4096,tg@32768,batch8,batch32")
     ap.add_argument("--out", default="/tmp/bench_matrix.jsonl")
+    ap.add_argument("--model", default="llama8b",
+                    choices=["llama8b", "gptoss20b"])
     ap.add_argument("--quant", default="Q4_K")
     ap.add_argument("--unroll", type=int, default=int(os.environ.get("BENCH_UNROLL", 8)))
     ap.add_argument("--steps", type=int, default=128)
@@ -152,7 +168,7 @@ def main():
 
     from bench import build_params
 
-    hp = make_hp()
+    hp = make_hp(args.model)
     dtype = jnp.bfloat16
     quant = None if args.quant.lower() in ("", "none", "bf16") else args.quant
 
@@ -163,19 +179,38 @@ def main():
         jax.block_until_ready(jax.tree.leaves(params)[0])
     build_s = time.time() - t0
     n_pb = param_bytes(params)
-    print(f"[matrix] params built in {build_s:.1f}s ({n_pb/2**30:.2f} GiB)", flush=True)
+    # decode-streamed bytes: the embedding table is gather-only (one row
+    # per token), and MoE experts stream only the selected K of E
+    pb_embd = param_bytes(params["tok_embd"])
+    pb_exps = param_bytes(
+        {k: v for k, v in params["layers"].items() if "_exps" in k}
+    )
+    n_pb_streamed = n_pb - pb_embd - pb_exps
+    if hp.n_expert:
+        n_pb_streamed += pb_exps * hp.n_expert_used // hp.n_expert
+    print(f"[matrix] params built in {build_s:.1f}s ({n_pb/2**30:.2f} GiB, "
+          f"{n_pb_streamed/2**30:.2f} GiB streamed/token)", flush=True)
 
     outf = open(args.out, "a")
 
     def emit(rec):
+        rec["model"] = args.model
+        rec["quant"] = args.quant
         rec["device"] = str(jax.devices()[0])
         outf.write(json.dumps(rec) + "\n")
         outf.flush()
         print("[cell]", json.dumps(rec), flush=True)
 
     def run_decode_cell(name, B, depth, unroll, n_steps):
-        S = depth + n_steps + 8
-        fn = make_decode_fn(hp, quant_meta, B, S, unroll)
+        S = depth + max(256, -(-n_steps // 128) * 128)  # 128-multiple: the
+        # flash-decode kernel tiles the cache in 128-row chunks
+        kv_bytes_seq = (
+            hp.n_layer * S * hp.n_head_kv * (hp.n_embd_head_k + hp.n_embd_head_v)
+            * np.dtype(dtype).itemsize
+        )
+        # donate the KV carry (otherwise XLA holds input + output copies —
+        # 2× the 4.4 GiB cache at depth 32768 OOMs the chip)
+        fn = make_decode_fn(hp, quant_meta, B, S, unroll, donate=True)
         kv_k, kv_v = kv_struct(hp, B, S, args.aot, dtype)
         first = (
             jax.ShapeDtypeStruct((B, 1), jnp.int32)
@@ -189,18 +224,19 @@ def main():
             emit({"cell": name, "mode": "aot", "compile_s": round(time.time() - t0, 1),
                   "B": B, "depth": depth, "unroll": unroll})
             return
-        toks, kk, vv = fn(params, kv_k, kv_v, first, npast, n_steps=n_steps)
+        toks, kv_k, kv_v = fn(params, kv_k, kv_v, first, npast, n_steps=n_steps)
         np.asarray(toks)
         compile_s = time.time() - t0
         best = float("inf")
         for it in range(args.iters):
             t0 = time.time()
-            toks, _, _ = fn(params, kv_k, kv_v, first + it, npast, n_steps=n_steps)
+            toks, kv_k, kv_v = fn(params, kv_k, kv_v, first + it, npast,
+                                  n_steps=n_steps)
             np.asarray(toks)
             best = min(best, time.time() - t0)
+        del kv_k, kv_v
         tps = B * n_steps / best
-        kv_b = int(np.prod(kk.shape)) * kk.dtype.itemsize * 2 // B
-        roof = HBM_GBPS * 1e9 / (n_pb / B + kv_b)  # aggregate tok/s
+        roof = HBM_GBPS * 1e9 / (n_pb_streamed / B + kv_bytes_seq)
         emit({"cell": name, "B": B, "depth": depth, "unroll": unroll,
               "steps": n_steps, "tps_aggregate": round(tps, 2),
               "tps_per_seq": round(tps / B, 2),
@@ -232,9 +268,9 @@ def main():
             np.asarray(logits)
             best = min(best, time.time() - t0)
         tps = T / best
-        # dense-equivalent FLOPs: 2 * n_params_effective * T (attention
+        # dense-equivalent FLOPs: 2 * n_params_active * T (attention
         # extra ~ O(T^2 d) added separately)
-        n_eff = 8.03e9
+        n_eff = {"llama8b": 8.03e9, "gptoss20b": 3.6e9}[args.model]
         flops = 2 * n_eff * T + 4 * T * T * hp.n_embd * hp.n_layer // 2
         mfu = flops / best / (PEAK_TFLOPS * 1e12)
         emit({"cell": name, "T": T, "unroll": unroll, "tps": round(tps, 1),

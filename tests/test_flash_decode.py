@@ -1,0 +1,107 @@
+"""Flash-decode kernel (native-layout KV, ops/pallas/flash_decode.py)
+vs the jnp reference attention — the decode analog of the
+flash-attention oracle tests."""
+
+import numpy as np
+import pytest
+
+from tpullama.ops.attention import attention
+
+
+def _mask(kv_pos, q_pos, window=0):
+    import jax.numpy as jnp
+
+    vis = (kv_pos[:, None, :] >= 0) & (kv_pos[:, None, :] <= q_pos[:, :, None])
+    if window > 0:
+        vis = vis & (kv_pos[:, None, :] > q_pos[:, :, None] - window)
+    return jnp.where(vis, 0.0, -1e30)[:, None, :, :].astype(jnp.float32)
+
+
+def _inputs(B, Tq, Hq, Hkv, D, S, seed=0, n_empty=16):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, Tq, Hq, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)).astype(np.float32))
+    n_filled = S - n_empty
+    kv_pos = np.full((B, S), -1, np.int32)
+    kv_pos[:, :n_filled] = np.arange(n_filled)
+    q_pos = np.tile(np.arange(n_filled - Tq, n_filled, dtype=np.int32), (B, 1))
+    return q, k, v, jnp.asarray(kv_pos), jnp.asarray(q_pos)
+
+
+@pytest.mark.parametrize("B,Tq,Hq,Hkv,D,S,window,softcap", [
+    (1, 1, 8, 2, 64, 128, 0, 0.0),      # decode GQA
+    (1, 1, 4, 4, 128, 512, 0, 0.0),     # MHA decode
+    (2, 1, 8, 2, 64, 256, 0, 0.0),      # batched decode
+    (1, 2, 8, 2, 64, 128, 0, 0.0),      # tiny speculative chunk
+    (1, 1, 8, 2, 64, 128, 32, 0.0),     # sliding window
+    (1, 1, 8, 2, 64, 128, 0, 50.0),     # softcap
+    (4, 1, 16, 4, 64, 384, 0, 0.0),     # B=4, non-pow2 S tiles (384=3*128)
+])
+def test_flash_decode_matches_reference(B, Tq, Hq, Hkv, D, S, window, softcap):
+    from tpullama.ops.pallas.flash_decode import flash_decode
+
+    q, k, v, kv_pos, q_pos = _inputs(B, Tq, Hq, Hkv, D, S)
+    mask = _mask(kv_pos, q_pos, window)
+    scale = 1.0 / np.sqrt(D)
+    want = np.asarray(attention(q, k, v, mask, scale, softcap=softcap))
+    got = np.asarray(flash_decode(q, k, v, mask, scale, softcap=softcap,
+                                  interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_flash_decode_sinks_and_alibi():
+    import jax.numpy as jnp
+
+    from tpullama.ops.pallas.flash_decode import flash_decode
+
+    B, Tq, Hq, Hkv, D, S = 1, 1, 8, 2, 64, 128
+    q, k, v, kv_pos, q_pos = _inputs(B, Tq, Hq, Hkv, D, S, seed=3)
+    scale = 1.0 / np.sqrt(D)
+    rng = np.random.default_rng(4)
+    sinks = jnp.asarray(rng.standard_normal(Hq).astype(np.float32))
+    mask = _mask(kv_pos, q_pos)
+    want = np.asarray(attention(q, k, v, mask, scale, sinks=sinks))
+    got = np.asarray(flash_decode(q, k, v, mask, scale, sinks=sinks,
+                                  interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+    # ALiBi: mask carries -|dpos|, kernel multiplies per-head slopes
+    slopes = jnp.asarray((0.5 ** np.arange(1, Hq + 1)).astype(np.float32))
+    vis = (kv_pos[:, None, :] >= 0) & (kv_pos[:, None, :] <= q_pos[:, :, None])
+    dist = jnp.abs(kv_pos[:, None, :] - q_pos[:, :, None]).astype(jnp.float32)
+    amask = jnp.where(vis, -dist, -1e30)[:, None, :, :]
+    want = np.asarray(attention(q, k, v, amask, scale, alibi_slopes=slopes))
+    got = np.asarray(flash_decode(q, k, v, amask, scale, alibi_slopes=slopes,
+                                  interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_flash_decode_int8_kv():
+    import jax.numpy as jnp
+
+    from tpullama.ops.pallas.flash_decode import flash_decode
+
+    B, Tq, Hq, Hkv, D, S = 1, 1, 8, 2, 64, 256
+    q, kf, vf, kv_pos, q_pos = _inputs(B, Tq, Hq, Hkv, D, S, seed=5)
+    # quantize K/V per (token, head) symmetric int8
+    def quant(x):
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        s = amax / 127.0
+        qv = jnp.clip(jnp.round(x / jnp.maximum(s, 1e-12)), -127, 127)
+        return qv.astype(jnp.int8), s[..., 0].astype(jnp.float32)
+
+    kq, ks = quant(kf)
+    vq, vs = quant(vf)
+    mask = _mask(kv_pos, q_pos)
+    scale = 1.0 / np.sqrt(D)
+    want = np.asarray(attention(
+        q, kq.astype(jnp.float32), vq.astype(jnp.float32), mask, scale,
+        k_scale=ks, v_scale=vs,
+    ))
+    got = np.asarray(flash_decode(
+        q, kq, vq, mask, scale, k_scale=ks, v_scale=vs, interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)

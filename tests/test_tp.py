@@ -130,3 +130,89 @@ def test_tp_packed_row_chunk_layout():
     np.testing.assert_allclose(
         dequant_planar_np(pq2, k_shards=2), dequant_planar_np(pq1)
     )
+
+
+def _mla_logits_single(m, tokens, positions, kv_k, kv_v, slots, mask):
+    from tpullama.models.deepseek import deepseek2_forward
+
+    logits, _ = jax.jit(
+        lambda p, t, po, kk, vv, sl, mk: deepseek2_forward(
+            p, m.hparams, t, po, kk, vv, sl, mk, quant_meta=m.quant_meta
+        )
+    )(m.params, tokens, positions, kv_k, kv_v, slots, mask)
+    return np.asarray(logits)
+
+
+@pytest.mark.parametrize("absorbed", [False, True], ids=["plain", "absorbed"])
+def test_tp_mla_deepseek2_matches_single(absorbed):
+    """MLA TP (deepseek2): q up-projections sharded by head; absorbed
+    mode attends over the REPLICATED compressed latent cache — the model
+    class round-2 TP refused (parallel/tp.py heterogeneous guard)."""
+    from tpullama.models.testing import make_tiny_deepseek2_gguf
+
+    path = tempfile.mktemp(suffix=".gguf")
+    make_tiny_deepseek2_gguf(path, seed=17, absorbed=absorbed)
+    m = load_model(path)
+    hp = m.hparams
+    B, T = 1, 4
+    S = 16
+    Hkv, Dk, Dv = hp.kv_cache_dims
+    kv_k = jnp.zeros((hp.n_layer, B, S, Hkv, Dk), jnp.float32)
+    kv_v = jnp.zeros((hp.n_layer, B, S, Hkv, Dv), jnp.float32)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(3, 200, size=(B, T)), jnp.int32)
+    positions = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+    slots = positions
+    causal = np.where(
+        np.arange(S)[None, :] <= np.arange(T)[:, None], 0.0, -1e30
+    ).astype(np.float32)
+    causal[:, T:] = -1e30
+    mask = jnp.asarray(np.broadcast_to(causal, (B, 1, T, S)))
+    ref = _mla_logits_single(m, tokens, positions, kv_k, kv_v, slots, mask)
+    mesh = make_mesh(n_dp=1, n_tp=2)
+    got = _tp_logits(m, mesh, tokens, positions, kv_k, kv_v, slots, mask)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_heterogeneous_glm4moe_matches_single():
+    """Heterogeneous layer stack (dense lead + MoE layers, layer_list)
+    under TP — glm4moe-shaped."""
+    path = tempfile.mktemp(suffix=".gguf")
+    make_tiny_llama_gguf(path, arch="glm4moe", n_embd=64, n_layer=3,
+                         n_head=4, n_head_kv=2, n_ff=64, n_expert=4,
+                         n_expert_used=2)
+    m = load_model(path)
+    assert "layer_list" in m.params  # heterogeneous stack
+    hp = m.hparams
+    B, T, S = 1, 4, 16
+    args = _inputs(hp, B, T, S)
+    ref = _single_device_logits(m, *args)
+    mesh = make_mesh(n_dp=1, n_tp=2)
+    got = _tp_logits(m, mesh, *args)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_fused_qkv_unfuse_matches_single():
+    """Load-time fused [Q|K|V] + [gate|up]: unfuse_params splits them back
+    into shardable tensors; TP logits must match the fused single-device
+    forward."""
+    from tpullama.parallel.tp import unfuse_params
+
+    path = tempfile.mktemp(suffix=".gguf")
+    make_tiny_llama_gguf(path, n_embd=64, n_layer=2, n_head=8, n_head_kv=4,
+                         n_ff=128)
+    m = load_model(path, fuse_projections=True)
+    assert "attn_qkv" in m.params["layers"]
+    hp = m.hparams
+    B, T, S = 1, 4, 16
+    args = _inputs(hp, B, T, S)
+    ref = _single_device_logits(m, *args)  # fused single-device
+    params2, hp2 = unfuse_params(m.params, hp)
+    assert "attn_q" in params2["layers"] and not hp2.ffn_fused_up
+    mesh = make_mesh(n_dp=1, n_tp=4)
+    from tpullama.parallel.tp import make_tp_forward as _mk
+
+    sharded = shard_model_params(params2, mesh)
+    fwd = _mk(mesh, hp2, m.quant_meta, params_tree=params2, kv_tree=args[2])
+    logits, _ = jax.jit(fwd)(sharded, *args[:2], *args[2:])
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-4, atol=2e-4)

@@ -37,9 +37,16 @@ def deepseek2_forward(
     cache_slots,
     attn_mask,
     quant_meta=None,
+    tp_axis=None,  # mesh axis name under shard_map: q heads are
+    # column-sharded, the MQA latent cache is replicated, and the row-TP
+    # matmuls (attn_output, ffn_down, shexp) psum over this axis —
+    # hp then carries LOCAL head counts (parallel/tp.py localize_hparams)
 ):
     B, T = tokens.shape
     H = hp.n_head
+
+    def _tp_reduce(y):
+        return jax.lax.psum(y, tp_axis) if tp_axis else y
     # absorbed-MLA GGUFs carry the true head sizes in the *_mla keys
     # (deepseek2.cpp:12-14); plain key_length then refers to the MQA row
     absorbed = hp.mla_absorbed
@@ -122,7 +129,7 @@ def deepseek2_forward(
             kc = kv_k[li].at[batch_idx, cache_slots].set(kh.astype(kv_k.dtype))
             vc = kv_v[li].at[batch_idx, cache_slots].set(v.astype(kv_v.dtype))
             att = attention(qh, kc, vc, mask=attn_mask, scale=float(kq_scale))
-        att = _linear(att.reshape(B, T, H * Dv), lp["attn_output"])
+        att = _tp_reduce(_linear(att.reshape(B, T, H * Dv), lp["attn_output"]))
         if hp.f_residual_scale:
             # minicpm3 residual scale 1.4/sqrt(n_layer) (minicpm3.cpp:144)
             att = att * hp.f_residual_scale
@@ -143,23 +150,28 @@ def deepseek2_forward(
                 gating=hp.expert_gating_func,
                 exp_probs_b=lp.get("exp_probs_b"),
                 weight_before_ffn=False,
+                n_expert_groups=hp.n_expert_groups,
+                n_group_used=hp.n_group_used,
+                ep_axis=tp_axis,
             )
             if "ffn_gate_shexp" in lp:
                 gate = _linear(h, lp["ffn_gate_shexp"])
                 up = _linear(h, lp["ffn_up_shexp"])
                 act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
                 down = down + _linear(act, lp["ffn_down_shexp"])
+            # one combine for EP expert partials + the row-TP shexp partial
+            down = _tp_reduce(down)
         elif "ffn_gate" in lp:
             gate = _linear(h, lp["ffn_gate"])
             up = _linear(h, lp["ffn_up"])
             act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
-            down = _linear(act, lp["ffn_down"])
+            down = _tp_reduce(_linear(act, lp["ffn_down"]))
         else:
             # plm: non-gated relu^2 FFN (models/plm.cpp:140-142)
             up = _linear(h, lp["ffn_up"]).astype(jnp.float32)
-            down = _linear(
+            down = _tp_reduce(_linear(
                 (jnp.maximum(up, 0) ** 2).astype(x.dtype), lp["ffn_down"]
-            )
+            ))
         if hp.f_residual_scale:
             down = down * hp.f_residual_scale
         x = x + down
@@ -169,4 +181,8 @@ def deepseek2_forward(
         # minicpm3 lm-head scale 256/n_embd (minicpm3.cpp:187-190)
         x = (x.astype(jnp.float32) * hp.final_logit_scale).astype(x.dtype)
     logits = _linear(x, params.get("output", params["tok_embd"]))
+    if tp_axis and "output" in params:
+        # vocab-sharded lm_head: gather the full logits row
+        logits = jax.lax.all_gather(logits, tp_axis, axis=logits.ndim - 1,
+                                    tiled=True)
     return logits.astype(jnp.float32), (jnp.stack(new_k), jnp.stack(new_v))

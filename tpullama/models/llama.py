@@ -728,6 +728,11 @@ def llama_forward(
         x = norm_fn(x, params.get("output_norm"), params.get("output_norm_bias"))
         out_w = params.get("output", params["tok_embd"])
         logits = _linear(x, out_w, (quant_meta or {}).get("output"))
+        if tp_axis and "output" in params:
+            # vocab-sharded lm_head (same gather as the stacked path below)
+            logits = jax.lax.all_gather(
+                logits, tp_axis, axis=logits.ndim - 1, tiled=True
+            )
         if "output_bias" in params:
             logits = logits + params["output_bias"]
         if hp.final_logit_scale:

@@ -104,13 +104,52 @@ def flash_eligible(q, k, v, mask, k_scale=None) -> bool:
     return jax.default_backend() == "tpu" and q.shape[1] >= 128
 
 
+def flash_decode_eligible(q, k, v, mask) -> bool:
+    """Decode-path (small Tq) dispatch to the native-layout flash-decode
+    kernel (ops/pallas/flash_decode.py). The jnp path transposes +
+    upcasts the whole KV cache every step — measured 0.53 of the HBM
+    roofline at 8B depth 4096; the decode kernel streams the cache in
+    place."""
+    import os
+
+    import jax
+
+    mode = os.environ.get("TPULLAMA_FLASH", "auto")
+    if mode == "0" or os.environ.get("TPULLAMA_FLASH_DECODE", "1") == "0":
+        return False
+    if mask is None or q.shape[-1] != v.shape[-1]:
+        return False
+    if q.shape[2] % k.shape[2] != 0:
+        return False
+    if q.shape[1] > 4 or k.shape[1] % 128 != 0:
+        return False
+    # whole q-head block must fit VMEM rows comfortably
+    if q.shape[2] * q.shape[1] > 512:
+        return False
+    return jax.default_backend() == "tpu" or mode == "1"
+
+
 def attention_auto(q, k, v, mask=None, scale=None, softcap: float = 0.0,
                    sinks=None, k_scale=None, v_scale=None,
                    alibi_slopes=None):
     """attention() with automatic flash-kernel dispatch (build_attn_mha:
     flash path vs KQ→soft_max→KQV fallback, llama-graph.cpp:1374,1434).
     TPULLAMA_FLASH=0 forces the jnp path, =1 forces flash (interpreted
-    off-TPU), unset picks flash on TPU backends."""
+    off-TPU), unset picks flash on TPU backends. Decode (Tq<=4) takes the
+    native-layout flash-decode kernel; prefill the blocked flash kernel."""
+    if flash_decode_eligible(q, k, v, mask):
+        import jax
+
+        from .pallas.flash_decode import flash_decode
+
+        interpret = jax.default_backend() != "tpu"
+        if scale is None:
+            scale = 1.0 / (q.shape[-1] ** 0.5)
+        return flash_decode(
+            q, k, v, mask, scale, softcap=softcap, sinks=sinks,
+            alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
+            interpret=interpret,
+        )
     if flash_eligible(q, k, v, mask, k_scale):
         import jax
 

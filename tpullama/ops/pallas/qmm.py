@@ -308,16 +308,21 @@ def quantized_matmul_gathered(
 
     bits = {"q4": 4, "q4_lut": 4, "q2": 2, "q1": 1, "q8": 8}
 
+    # x/xgsum/out ride with a unit middle axis so the per-tile block's
+    # last-2 dims equal the array dims (Mosaic's (8, 128)-divisibility
+    # rule exempts full-dimension blocks — tile_t can then be 1)
+    x = x[:, None, :]
     in_specs = [
-        pl.BlockSpec((tt, K), lambda t, n, s: (t, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((tt, 1, K), lambda t, n, s: (t, 0, 0),
+                     memory_space=pltpu.VMEM)
     ]
     extra_inputs = []
     if xgsum is not None:
         in_specs.append(
-            pl.BlockSpec((tt, K // group), lambda t, n, s: (t, 0),
+            pl.BlockSpec((tt, 1, K // group), lambda t, n, s: (t, 0, 0),
                          memory_space=pltpu.VMEM)
         )
-        extra_inputs.append(xgsum)
+        extra_inputs.append(xgsum[:, None, :])
     for name in field_names:
         kcols = K * bits[name] // 8 if name in bits else K // group
         in_specs.append(
@@ -337,36 +342,38 @@ def quantized_matmul_gathered(
         minv_tile = fields["minv"][...].astype(jnp.float32) if has_minv else None
         val = _unpack_stripes(fields, ggml_type)
         scale = _repeat_lanes(fields["scale"][...].astype(jnp.float32), group)
+        xr = x_ref[...].reshape(tt, K)
         if exact:
             w = val * scale
             if has_minv:
                 w = w - _repeat_lanes(minv_tile, group)
             out_ref[...] = jax.lax.dot_general(
-                x_ref[...], w, (((1,), (1,)), ((), ())),
+                xr, w, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-            )
+            ).reshape(tt, 1, tn)
         else:
             w = (val * scale).astype(jnp.bfloat16)
             acc = jax.lax.dot_general(
-                x_ref[...].astype(jnp.bfloat16), w, (((1,), (1,)), ((), ())),
+                xr.astype(jnp.bfloat16), w, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             if has_minv:
                 acc = acc - jax.lax.dot_general(
-                    xgsum_ref[...], minv_tile, (((1,), (1,)), ((), ())),
+                    xgsum_ref[...].reshape(tt, K // group), minv_tile,
+                    (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-            out_ref[...] = acc
+            out_ref[...] = acc.reshape(tt, 1, tn)
 
-    out_spec = pl.BlockSpec((tt, tn), lambda t, n, s: (t, n),
+    out_spec = pl.BlockSpec((tt, 1, tn), lambda t, n, s: (t, 0, n),
                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((Trows, N), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((Trows, 1, N), jnp.float32)
     operands = (x, *extra_inputs, *[pq_fields[n] for n in field_names])
     return _call_qmm_kernel(
         kernel, grid, in_specs, out_spec, out_shape, operands,
         scalar=jnp.asarray(sel, jnp.int32), interpret=interpret,
-    )
+    )[:, 0, :]
 
 
 def _call_qmm_kernel(kernel, grid, in_specs, out_spec, out_shape, operands,

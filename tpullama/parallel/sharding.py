@@ -89,6 +89,18 @@ _LAYER_SPECS = {
     "post_attn_norm": P(None, None),
     "post_ffn_norm": P(None, None),
     "attn_sinks": P(None, "tp"),  # one sink logit per (sharded) head
+    # deepseek2 MLA (src/models/deepseek2.cpp): the low-rank down
+    # projections + latent norms are tiny and replicated; the per-head
+    # up-projections shard on the head axis; the MQA latent KV cache is
+    # replicated (kv_cache_specs special-cases Hkv == 1)
+    "attn_q_a": P(None, None, None),
+    "attn_q_a_norm": P(None, None),
+    "attn_q_b": P(None, "tp", None),
+    "attn_kv_a_mqa": P(None, None, None),
+    "attn_kv_a_norm": P(None, None),
+    "attn_kv_b": P(None, "tp", None),
+    "attn_k_b": P(None, "tp", None, None),  # (H, kv_rank, qk_nope)
+    "attn_v_b": P(None, "tp", None, None),  # (H, Dv, kv_rank)
 }
 
 _TOP_SPECS = {
@@ -102,6 +114,14 @@ _TOP_SPECS = {
 
 def layer_spec(name: str) -> P:
     return _LAYER_SPECS.get(name, P())
+
+
+def layer_spec_unstacked(name: str) -> P:
+    """Spec for a per-layer (layer_list) tensor: the stacked spec minus
+    its leading layer axis (heterogeneous stacks — deepseek2, glm4moe,
+    dots1 — keep per-layer dicts instead of (L, ...) stacks)."""
+    spec = tuple(_LAYER_SPECS.get(name, P()))
+    return P(*spec[1:]) if spec else P()
 
 
 def param_specs(params: dict) -> dict:
@@ -120,6 +140,12 @@ def param_specs(params: dict) -> dict:
                 name: expand(vv, _LAYER_SPECS.get(name, P()))
                 for name, vv in v.items()
             }
+        elif k == "layer_list":
+            out["layer_list"] = [
+                {name: expand(vv, layer_spec_unstacked(name))
+                 for name, vv in layer.items()}
+                for layer in v
+            ]
         else:
             out[k] = expand(v, _TOP_SPECS.get(k, P()))
     return out
@@ -136,9 +162,14 @@ def param_shardings(params: dict, mesh: Mesh) -> dict:
 
 def kv_cache_specs(kv) -> object:
     """PartitionSpec tree for a KV cache array or int8 {'q','s'} dict:
-    (L, B, S, Hkv[, D]) — batch over dp, kv-heads over tp."""
+    (L, B, S, Hkv[, D]) — batch over dp, kv-heads over tp. An MQA/MLA
+    cache (Hkv == 1: the deepseek2 compressed latent) is replicated
+    across tp — it is tiny and every sharded q head attends to it."""
     def one(a):
-        return P(None, "dp", None, "tp", None) if a.ndim == 5 else P(None, "dp", None, "tp")
+        hkv_spec = None if a.shape[3] == 1 else "tp"
+        if a.ndim == 5:
+            return P(None, "dp", None, hkv_spec, None)
+        return P(None, "dp", None, hkv_spec)
     return jax.tree.map(one, kv)
 
 

@@ -91,20 +91,62 @@ def localize_quant_meta(quant_meta, n_tp: int):
 
 
 def _check_tp_supported(params: dict, hp, n_tp: int):
-    if "layer_list" in params:
-        raise NotImplementedError(
-            "heterogeneous layer stacks not supported under TP yet"
-        )
     layers = params.get("layers", {})
     if "attn_qkv" in layers:
         raise NotImplementedError(
-            "fused QKV projections not supported under TP (load with "
+            "fused QKV projections not supported under TP — call "
+            "parallel.tp.unfuse_params(params, hp) first (or load with "
             "fuse_projections=False)"
         )
     if hp.ffn_fused_up:
-        raise NotImplementedError("fused gate+up not supported under TP")
+        raise NotImplementedError(
+            "fused gate+up not supported under TP — call "
+            "parallel.tp.unfuse_params(params, hp) first"
+        )
     if hp.n_expert and hp.n_expert % n_tp:
         raise ValueError(f"n_expert={hp.n_expert} not divisible by tp={n_tp}")
+    for layer in params.get("layer_list", []):
+        for name, v in layer.items():
+            if isinstance(v, dict):
+                raise NotImplementedError(
+                    f"packed weights in heterogeneous layer stacks ({name}) "
+                    "not supported under TP yet (load dense)"
+                )
+
+
+def unfuse_params(params: dict, hp):
+    """Split load-time fused projections back into shardable tensors:
+    attn_qkv -> attn_q/k/v and fused ffn_up -> ffn_gate/ffn_up. The
+    fused layouts interleave [Q|K|V] / [gate|up] along n_out, which a
+    plain head-sharded PartitionSpec would split across the wrong
+    boundaries. Returns (params, hp) copies; dense weights only (the
+    loader never fuses packed tensors)."""
+    layers = params.get("layers", {})
+    if "attn_qkv" not in layers and not hp.ffn_fused_up:
+        return params, hp
+    layers = dict(layers)
+    hp = copy.copy(hp)
+    if "attn_qkv" in layers:
+        qkv = layers.pop("attn_qkv")
+        nq = hp.n_head * hp.n_embd_head_k
+        nkv = hp.n_head_kv * hp.n_embd_head_k
+        layers["attn_q"] = qkv[:, :nq]
+        layers["attn_k"] = qkv[:, nq : nq + nkv]
+        layers["attn_v"] = qkv[:, nq + nkv :]
+        if "attn_qkv_bias" in layers:
+            b = layers.pop("attn_qkv_bias")
+            layers["attn_q_bias"] = b[:, :nq]
+            layers["attn_k_bias"] = b[:, nq : nq + nkv]
+            layers["attn_v_bias"] = b[:, nq + nkv :]
+    if hp.ffn_fused_up and "ffn_up" in layers and "ffn_gate" not in layers:
+        up2 = layers["ffn_up"]
+        n_ff = up2.shape[1] // 2
+        layers["ffn_gate"] = up2[:, :n_ff]
+        layers["ffn_up"] = up2[:, n_ff:]
+        hp.ffn_fused_up = False
+    params = dict(params)
+    params["layers"] = layers
+    return params, hp
 
 
 def make_tp_forward(mesh, hp, quant_meta=None, *, params_tree=None,
@@ -114,7 +156,9 @@ def make_tp_forward(mesh, hp, quant_meta=None, *, params_tree=None,
     params_tree / kv_tree: example pytrees (structure only) used to build
     the in_specs. Returns fn(params, tokens, positions, kv_k, kv_v,
     slots, mask) -> (logits, (kv_k, kv_v)); jit it yourself (or let the
-    caller's jit close over it)."""
+    caller's jit close over it). MLA archs (deepseek2) run the
+    deepseek2_forward with head-sharded q up-projections over the
+    replicated latent cache."""
     from ..models.llama import llama_forward
 
     n_tp = mesh.shape["tp"]
@@ -133,11 +177,20 @@ def make_tp_forward(mesh, hp, quant_meta=None, *, params_tree=None,
     in_specs = (p_specs, tok_spec, tok_spec, kv_specs, kv_specs, tok_spec, mask_spec)
     out_specs = (P("dp", None, None), (kv_specs, kv_specs))
 
-    def fwd(params, tokens, positions, kv_k, kv_v, slots, mask):
-        return llama_forward(
-            params, hp_local, tokens, positions, kv_k, kv_v, slots, mask,
-            quant_meta=qm_local, tp_axis="tp",
-        )
+    if hp.is_mla:
+        from ..models.deepseek import deepseek2_forward
+
+        def fwd(params, tokens, positions, kv_k, kv_v, slots, mask):
+            return deepseek2_forward(
+                params, hp_local, tokens, positions, kv_k, kv_v, slots, mask,
+                quant_meta=qm_local, tp_axis="tp",
+            )
+    else:
+        def fwd(params, tokens, positions, kv_k, kv_v, slots, mask):
+            return llama_forward(
+                params, hp_local, tokens, positions, kv_k, kv_v, slots, mask,
+                quant_meta=qm_local, tp_axis="tp",
+            )
 
     return jax.shard_map(
         fwd, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
