@@ -207,6 +207,7 @@ class Vocab:
         self.precompiled_charsmap: bytes | None = None
         self._ugm = None
         self._rwkv_trie = None
+        self._plamo2 = None
         self._rwkv_pieces = None
         self.bpe_ranks: dict[tuple[str, str], int] = {}
         if merges is not None and len(merges):
@@ -312,6 +313,14 @@ class Vocab:
         elif model == "rwkv":
             vtype = VocabType.RWKV
             defaults = dict(
+                add_bos=False, add_eos=False, add_space_prefix=False,
+                clean_spaces=False,
+            )
+        elif model == "plamo2":
+            # Aho–Corasick + DP segmentation (llama-vocab.cpp:1810-1819)
+            vtype = VocabType.PLAMO2
+            defaults = dict(
+                bos_id=1, eos_id=2, unk_id=0, pad_id=3,
                 add_bos=False, add_eos=False, add_space_prefix=False,
                 clean_spaces=False,
             )
@@ -548,6 +557,22 @@ class Vocab:
                     self._wpm_tokenize(frag.text, output)
             if add_special:
                 output.append(self.sep_id)
+        elif self.type == VocabType.PLAMO2:
+            # llama-vocab.cpp:2975-2995: optional BOS/EOS around the
+            # suffix-automaton DP segmentation
+            if add_special and self.add_bos:
+                output.append(self.bos_id)
+            if self._plamo2 is None:
+                from .plamo2 import Plamo2Tokenizer
+
+                self._plamo2 = Plamo2Tokenizer(self)
+            for frag in fragments:
+                if frag.token != TOKEN_NULL:
+                    output.append(frag.token)
+                else:
+                    output.extend(self._plamo2.encode(frag.text))
+            if add_special and self.add_eos:
+                output.append(self.eos_id)
         else:
             raise NotImplementedError(f"tokenize: vocab type {self.type}")
         return output
@@ -806,6 +831,14 @@ class Vocab:
                 piece = byte_decode(data.text).decode("utf-8", errors="replace")
             else:
                 piece = ""
+        elif self.type == VocabType.PLAMO2:
+            # byte tokens emit the raw byte; everything else is literal
+            # text (llama-vocab.cpp:3080-3097)
+            t = data.text
+            if data.attr & TokenAttr.BYTE and t.startswith("<0x"):
+                piece = chr(int(t[3:5], 16))
+            else:
+                piece = t
         else:
             piece = data.text
         for _ in range(lstrip):
@@ -824,11 +857,27 @@ class Vocab:
             toks = toks[1:]
         if remove_special and self.add_eos and toks and toks[-1] == self.eos_id:
             toks = toks[:-1]
-        pieces = []
+        # reassemble at BYTE level: byte-fallback tokens each carry one
+        # raw UTF-8 byte (chr(b) at the piece level), and a multi-byte
+        # character split across byte tokens only recombines correctly
+        # when concatenated as bytes (the C path works on char buffers)
+        buf = bytearray()
         for t in toks:
-            pieces.append(self.token_to_piece(t, special=unparse_special, lstrip=1 if remove_space else 0))
+            piece = self.token_to_piece(
+                t, special=unparse_special, lstrip=1 if remove_space else 0
+            )
             remove_space = False
-        text = "".join(pieces)
+            data = self.id_to_token[t] if 0 <= t < self.n_tokens else None
+            if (
+                data is not None
+                and data.attr & TokenAttr.BYTE
+                and data.text.startswith("<0x")
+                and len(piece) == 1
+            ):
+                buf.append(ord(piece))
+            else:
+                buf.extend(piece.encode("utf-8"))
+        text = buf.decode("utf-8", errors="replace")
         if self.clean_spaces:
             # pass 1: drop space before ?!.,
             out = []
