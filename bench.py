@@ -228,8 +228,8 @@ def main():
         int(np.prod(x.shape)) * x.dtype.itemsize for x in jax.tree.leaves(params)
     )
 
-    kv_k = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k), dtype)
-    kv_v = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_v), dtype)
+    kv_k = jnp.zeros((hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_k), dtype)
+    kv_v = jnp.zeros((hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_v), dtype)
 
     def decode_loop(params, kv_k, kv_v, first_token, n_past0, n_steps):
         """Fused greedy decode: scan n_steps, feeding argmax back."""

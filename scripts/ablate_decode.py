@@ -69,8 +69,8 @@ def main():
         for a in jax.tree.leaves(params)
     )
     S, B = 512, 1
-    kv_k = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k), dtype)
-    kv_v = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_v), dtype)
+    kv_k = jnp.zeros((hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_k), dtype)
+    kv_v = jnp.zeros((hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_v), dtype)
     lm = quant_meta["layers"]
     E, F, KV, V = hp.n_embd, hp.n_ff, hp.n_head_kv * 64, hp.n_vocab
 

@@ -139,8 +139,8 @@ def kv_struct(hp, B, S, abstract, dtype):
     import jax
     import jax.numpy as jnp
 
-    shp_k = (hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k)
-    shp_v = (hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_v)
+    shp_k = (hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_k)
+    shp_v = (hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_v)
     if abstract:
         return jax.ShapeDtypeStruct(shp_k, dtype), jax.ShapeDtypeStruct(shp_v, dtype)
     return jnp.zeros(shp_k, dtype), jnp.zeros(shp_v, dtype)

@@ -64,7 +64,7 @@ positions = np.tile(np.arange(T, dtype=np.int32), (B, 1))
 causal = np.where(np.arange(S)[None, :] <= np.arange(T)[:, None], 0.0, -1e30)
 causal[:, T:] = -1e30
 mask = np.broadcast_to(causal, (B, 1, T, S)).astype(np.float32).copy()
-kv = np.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k), np.float32)
+kv = np.zeros((hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_k), np.float32)
 
 repl2 = NamedSharding(mesh, P())
 kv_sh = NamedSharding(mesh, P(None, "dp", None, "tp", None))

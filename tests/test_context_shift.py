@@ -47,11 +47,11 @@ def test_shift_rotates_layer0_k_exactly(model):
         rs = np.nonzero(pos_s == p)[0][0]
         rf = np.nonzero(pos_f == p)[0][0]
         np.testing.assert_allclose(
-            np.asarray(ctx.kv_k[0, 0, rs]), np.asarray(ctx2.kv_k[0, 0, rf]),
+            np.asarray(ctx.kv_k[0, 0, :, rs]), np.asarray(ctx2.kv_k[0, 0, :, rf]),
             rtol=1e-5, atol=1e-5,
         )
         np.testing.assert_array_equal(
-            np.asarray(ctx.kv_v[0, 0, rs]), np.asarray(ctx2.kv_v[0, 0, rf])
+            np.asarray(ctx.kv_v[0, 0, :, rs]), np.asarray(ctx2.kv_v[0, 0, :, rf])
         )
 
 

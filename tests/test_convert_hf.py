@@ -41,8 +41,8 @@ def _logits_match(gguf_path, hf_model, ids):
     m = load_model(gguf_path)
     hp = m.hparams
     B, T, S = 1, len(ids), 8
-    kv_k = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k), jnp.float32)
-    kv_v = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_v), jnp.float32)
+    kv_k = jnp.zeros((hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_k), jnp.float32)
+    kv_v = jnp.zeros((hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_v), jnp.float32)
     toks = jnp.asarray([ids], jnp.int32)
     pos = jnp.arange(T, dtype=jnp.int32)[None]
     mask = jnp.where(

@@ -100,10 +100,11 @@ def test_mla_absorbed_matches_decompressed(tmp_path):
     ctx_a = Context(absorbed, ContextParams(n_ctx=64))
     # absorbed cache is MQA over the latent: one row per token
     hp = absorbed.hparams
-    assert ctx_a.kv_k.shape[-2:] == (1, hp.n_rot + hp.n_lora_kv)
-    assert ctx_a.kv_v.shape[-2:] == (1, hp.n_lora_kv)
+    assert ctx_a.kv_k.shape[2] == 1  # head-major MQA latent
+    assert ctx_a.kv_k.shape[-1] == hp.n_rot + hp.n_lora_kv
+    assert ctx_a.kv_v.shape[-1] == hp.n_lora_kv
     # vs per-head decompressed rows
-    assert ctx_p.kv_k.shape[-2] == hp.n_head
+    assert ctx_p.kv_k.shape[2] == hp.n_head
 
     lp = ctx_p.decode(np.asarray(toks, np.int32), n_logits=2)
     la = ctx_a.decode(np.asarray(toks, np.int32), n_logits=2)

@@ -75,7 +75,7 @@ def test_two_process_tp_matches_single():
     causal = np.where(np.arange(S)[None, :] <= np.arange(T)[:, None], 0.0, -1e30)
     causal[:, T:] = -1e30
     mask = jnp.asarray(np.broadcast_to(causal, (B, 1, T, S)).astype(np.float32))
-    kv = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k), jnp.float32)
+    kv = jnp.zeros((hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_k), jnp.float32)
     logits, _ = jax.jit(
         lambda p, *a: llama_forward(p, hp, *a)
     )(m.params, tokens, positions, kv, kv, positions, mask)

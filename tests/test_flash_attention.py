@@ -23,8 +23,9 @@ def _inputs(B, Tq, Hq, Hkv, D, S, seed=0, n_empty=16):
 
     rng = np.random.default_rng(seed)
     q = jnp.asarray(rng.standard_normal((B, Tq, Hq, D)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)).astype(np.float32))
+    # head-major cache layout (B, Hkv, S, D)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, Hkv, S, D)).astype(np.float32))
     n_filled = S - n_empty
     kv_pos = np.full((B, S), -1, np.int32)
     kv_pos[:, :n_filled] = np.arange(n_filled)

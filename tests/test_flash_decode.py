@@ -22,8 +22,9 @@ def _inputs(B, Tq, Hq, Hkv, D, S, seed=0, n_empty=16):
 
     rng = np.random.default_rng(seed)
     q = jnp.asarray(rng.standard_normal((B, Tq, Hq, D)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((B, S, Hkv, D)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((B, S, Hkv, D)).astype(np.float32))
+    # head-major cache layout (B, Hkv, S, D)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, Hkv, S, D)).astype(np.float32))
     n_filled = S - n_empty
     kv_pos = np.full((B, S), -1, np.int32)
     kv_pos[:, :n_filled] = np.arange(n_filled)
@@ -105,3 +106,29 @@ def test_flash_decode_int8_kv():
         q, kq, vq, mask, scale, k_scale=ks, v_scale=vs, interpret=True,
     ))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_flash_decode_stacked_layer_index():
+    """layer= scalar-prefetch indexing into an (L, B, Hkv, S, D) stack
+    must equal slicing the layer first."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpullama.ops.pallas.flash_decode import flash_decode
+
+    B, Tq, Hq, Hkv, D, S, L = 1, 1, 8, 2, 64, 128, 3
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.standard_normal((B, Tq, Hq, D)).astype(np.float32))
+    kk = jnp.asarray(rng.standard_normal((L, B, Hkv, S, D)).astype(np.float32))
+    vv = jnp.asarray(rng.standard_normal((L, B, Hkv, S, D)).astype(np.float32))
+    kv_pos = np.full((B, S), -1, np.int32)
+    kv_pos[:, :100] = np.arange(100)
+    q_pos = np.full((B, Tq), 99, np.int32)
+    mask = _mask(jnp.asarray(kv_pos), jnp.asarray(q_pos))
+    scale = 1.0 / np.sqrt(D)
+    for li in range(L):
+        want = np.asarray(flash_decode(q, kk[li], vv[li], mask, scale,
+                                       interpret=True))
+        got = np.asarray(flash_decode(q, kk, vv, mask, scale,
+                                      layer=jnp.int32(li), interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

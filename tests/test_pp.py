@@ -48,8 +48,8 @@ def test_pp_prefill_and_decode_match(tiny_model):
     kv_pos = jnp.where(jnp.arange(S) < T, jnp.arange(S), -1)
     mask = _mask(pos, kv_pos)
 
-    kv_k = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k), jnp.float32)
-    kv_v = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_v), jnp.float32)
+    kv_k = jnp.zeros((hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_k), jnp.float32)
+    kv_v = jnp.zeros((hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_v), jnp.float32)
 
     ref_logits, (ref_kk, ref_vv) = llama_forward(
         m.params, hp, toks, pos, kv_k, kv_v, slots, mask
@@ -65,8 +65,8 @@ def test_pp_prefill_and_decode_match(tiny_model):
                                rtol=2e-5, atol=2e-5)
     # rows 0..T-1 must match; the last row is the scratch cell that
     # pipeline-bubble ticks write garbage into (Context convention)
-    np.testing.assert_allclose(np.asarray(kk[:, :, :T]),
-                               np.asarray(ref_kk[:, :, :T]),
+    np.testing.assert_allclose(np.asarray(kk[:, :, :, :T]),
+                               np.asarray(ref_kk[:, :, :, :T]),
                                rtol=2e-5, atol=2e-5)
 
     # one decode token on top of the pipelined prefill cache

@@ -84,8 +84,8 @@ def test_collect_hidden_shape(model_path):
     T, S = 5, 6
     toks = jnp.asarray(np.arange(T, dtype=np.int32)[None])
     pos = jnp.asarray(np.arange(T, dtype=np.int32)[None])
-    kv_k = jnp.zeros((hp.n_layer, 1, S, hp.n_head_kv, hp.n_embd_head_k), jnp.float32)
-    kv_v = jnp.zeros((hp.n_layer, 1, S, hp.n_head_kv, hp.n_embd_head_v), jnp.float32)
+    kv_k = jnp.zeros((hp.n_layer, 1, hp.n_head_kv, S, hp.n_embd_head_k), jnp.float32)
+    kv_v = jnp.zeros((hp.n_layer, 1, hp.n_head_kv, S, hp.n_embd_head_v), jnp.float32)
     i = np.arange(T)
     cols = np.arange(S)
     vis = (cols[None, :] <= i[:, None]) & (cols[None, :] < T)

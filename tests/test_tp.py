@@ -25,8 +25,8 @@ from tpullama.gguf.constants import GGMLType
 
 
 def _inputs(hp, B, T, S, dtype=jnp.float32):
-    kv_k = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k), dtype)
-    kv_v = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_v), dtype)
+    kv_k = jnp.zeros((hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_k), dtype)
+    kv_v = jnp.zeros((hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_v), dtype)
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(3, 200, size=(B, T)), jnp.int32)
     positions = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
@@ -157,8 +157,8 @@ def test_tp_mla_deepseek2_matches_single(absorbed):
     B, T = 1, 4
     S = 16
     Hkv, Dk, Dv = hp.kv_cache_dims
-    kv_k = jnp.zeros((hp.n_layer, B, S, Hkv, Dk), jnp.float32)
-    kv_v = jnp.zeros((hp.n_layer, B, S, Hkv, Dv), jnp.float32)
+    kv_k = jnp.zeros((hp.n_layer, B, Hkv, S, Dk), jnp.float32)
+    kv_v = jnp.zeros((hp.n_layer, B, Hkv, S, Dv), jnp.float32)
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(3, 200, size=(B, T)), jnp.int32)
     positions = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))

@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import attention
+from ..ops.attention import attention_tokmajor
 from ..ops.norms import layer_norm
 from .hparams import HParams
 from .llama import _linear
@@ -107,7 +107,7 @@ def bert_forward(
         if use_rope:
             q = apply_rope(q, cos, sin, rp.mode, rp.n_dims)
             k = apply_rope(k, cos, sin, rp.mode, rp.n_dims)
-        att = attention(q, k, v, mask=mask, scale=1.0 / (Dk**0.5),
+        att = attention_tokmajor(q, k, v, mask=mask, scale=1.0 / (Dk**0.5),
                         alibi_slopes=alibi_slopes)
         att = att.reshape(B, T, Hq * Dv)
         att = _linear(att, w["attn_output"], lmeta.get("attn_output"))

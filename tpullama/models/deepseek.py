@@ -24,7 +24,7 @@ from ..ops.attention import attention
 from ..ops.norms import rms_norm
 from ..ops.rope import RopeParams, apply_rope, rope_cache
 from .hparams import HParams
-from .llama import _linear, rope_params
+from .llama import _linear, rope_params, scatter_rows
 
 
 def deepseek2_forward(
@@ -32,8 +32,8 @@ def deepseek2_forward(
     hp: HParams,
     tokens,
     positions,
-    kv_k,  # (L, B, S, H, Dk)  Dk = qk_rope + qk_nope
-    kv_v,  # (L, B, S, H, Dv)
+    kv_k,  # (L, B, H, S, Dk) head-major; Dk = qk_rope + qk_nope
+    kv_v,  # (L, B, H, S, Dv)
     cache_slots,
     attn_mask,
     quant_meta=None,
@@ -108,8 +108,8 @@ def deepseek2_forward(
             kh = jnp.concatenate([k_pe, kv_cmpr[:, :, None, :]], axis=-1)
             vh = kv_cmpr[:, :, None, :]
 
-            kc = kv_k[li].at[batch_idx, cache_slots].set(kh.astype(kv_k.dtype))
-            vc = kv_v[li].at[batch_idx, cache_slots].set(vh.astype(kv_v.dtype))
+            kc = scatter_rows(kv_k[li], cache_slots, kh)
+            vc = scatter_rows(kv_v[li], cache_slots, vh)
             att = attention(qh, kc, vc, mask=attn_mask, scale=float(kq_scale))
             # decompress values per head: wv_b (H, Dv, kv_rank)
             att = jnp.einsum(
@@ -126,8 +126,8 @@ def deepseek2_forward(
             kh = jnp.concatenate(
                 [jnp.broadcast_to(k_pe, (B, T, H, qk_rope)), k_nope], axis=-1)
 
-            kc = kv_k[li].at[batch_idx, cache_slots].set(kh.astype(kv_k.dtype))
-            vc = kv_v[li].at[batch_idx, cache_slots].set(v.astype(kv_v.dtype))
+            kc = scatter_rows(kv_k[li], cache_slots, kh)
+            vc = scatter_rows(kv_v[li], cache_slots, v)
             att = attention(qh, kc, vc, mask=attn_mask, scale=float(kq_scale))
         att = _tp_reduce(_linear(att.reshape(B, T, H * Dv), lp["attn_output"]))
         if hp.f_residual_scale:

@@ -51,7 +51,7 @@ def gemma3n_forward(
     hp: HParams,
     tokens,  # (B, T) int32
     positions,  # (B, T) int32
-    kv_k,  # (L, B, S, Hkv, Dk)
+    kv_k,  # (L, B, Hkv, S, Dk)
     kv_v,
     cache_slots,  # (B, T)
     masks,  # (mask_full, mask_swa) additive fp32 (B,1,T,S)
@@ -129,8 +129,9 @@ def gemma3n_forward(
             v = (cur.astype(jnp.float32) @ w["attn_v"].T.astype(jnp.float32))
             v = v.reshape(B, T, Hkv, Dv)
             v = rms_norm(v, None, eps)  # weightless V norm (:84)
-            kv_k = kv_k.at[il, batch_idx, cache_slots].set(k.astype(kv_k.dtype))
-            kv_v = kv_v.at[il, batch_idx, cache_slots].set(v.astype(kv_v.dtype))
+            from .llama import scatter_rows
+            kv_k = kv_k.at[il].set(scatter_rows(kv_k[il], cache_slots, k))
+            kv_v = kv_v.at[il].set(scatter_rows(kv_v[il], cache_slots, v))
             il_kv = il
         else:
             # KV sharing: SWA layers reuse layer kv_from-2, full layers

@@ -12,7 +12,7 @@ attention layers' slots, mamba layers into compact recurrent state
 stacks.
 
 State layout:
-  kv_k/kv_v:  (n_attn_layers, B, S, Hkv, D)
+  kv_k/kv_v:  (n_attn_layers, B, Hkv, S, D) head-major
   conv_state: (n_mamba_layers, B, d_conv-1, d_inner)
   ssm_state:  (n_mamba_layers, B, d_inner, d_state)
 """
@@ -26,7 +26,7 @@ import numpy as np
 from ..ops.attention import attention
 from ..ops.norms import rms_norm
 from .hparams import HParams
-from .llama import _linear
+from .llama import scatter_rows, _linear
 from .mamba import _mamba2_layer, _mamba_layer
 
 
@@ -128,8 +128,8 @@ def _plamo2_forward(
             k = rms_norm(k, None, hp.f_norm_rms_eps) * lp["attn_k_norm"].astype(k.dtype)
             q = apply_rope(q, cos, sin, rp.mode, rp.n_dims)
             k = apply_rope(k, cos, sin, rp.mode, rp.n_dims)
-            kc = kv_k[ai].at[batch_idx, cache_slots].set(k.astype(kv_k.dtype))
-            vc = kv_v[ai].at[batch_idx, cache_slots].set(v.astype(kv_v.dtype))
+            kc = scatter_rows(kv_k[ai], cache_slots, k)
+            vc = scatter_rows(kv_v[ai], cache_slots, v)
             att = attention(q, kc, vc, mask=attn_mask, scale=1.0 / (Dv**0.5))
             mix = _linear(att.reshape(B, T, Hq * Dv), lp["attn_output"])
             new_k.append(kc)
@@ -269,8 +269,8 @@ def _qwen3next_forward(
             k = rms_norm(k, lp["attn_k_norm"], eps)
             q = apply_rope(q, cos, sin, rp.mode, rp.n_dims)
             k = apply_rope(k, cos, sin, rp.mode, rp.n_dims)
-            kc = kv_k[ai].at[batch_idx, cache_slots].set(k.astype(kv_k.dtype))
-            vc = kv_v[ai].at[batch_idx, cache_slots].set(v.astype(kv_v.dtype))
+            kc = scatter_rows(kv_k[ai], cache_slots, k)
+            vc = scatter_rows(kv_v[ai], cache_slots, v)
             att = attention(q, kc, vc, mask=attn_mask, scale=1.0 / (Dk**0.5))
             att = att.reshape(B, T, Hq * Dv)
             gate = gate.reshape(B, T, Hq * Dk)
@@ -410,8 +410,8 @@ def jamba_forward(
         if use_rope:
             q = apply_rope(q, cos, sin, rp.mode, rp.n_dims)
             k = apply_rope(k, cos, sin, rp.mode, rp.n_dims)
-        kc = kv_k[ai].at[batch_idx, cache_slots].set(k.astype(kv_k.dtype))
-        vc = kv_v[ai].at[batch_idx, cache_slots].set(v.astype(kv_v.dtype))
+        kc = scatter_rows(kv_k[ai], cache_slots, k)
+        vc = scatter_rows(kv_v[ai], cache_slots, v)
         att = attention(q, kc, vc, mask=attn_mask, scale=kq_scale)
         out = _linear(att.reshape(B, T, Hq * Dv), lp["attn_output"])
         if "attn_output_bias" in lp:
@@ -510,8 +510,8 @@ def init_hybrid_states(hp: HParams, n_seqs: int, n_ctx: int, dtype=jnp.float32):
     n_attn = len(attn_layer_indices(hp))
     n_rec = len(mamba_layer_indices(hp))
     S = n_ctx + 1  # +1 scratch row for padded-token writes
-    kv_k = jnp.zeros((n_attn, n_seqs, S, hp.n_head_kv, hp.n_embd_head_k), dtype)
-    kv_v = jnp.zeros((n_attn, n_seqs, S, hp.n_head_kv, hp.n_embd_head_v), dtype)
+    kv_k = jnp.zeros((n_attn, n_seqs, hp.n_head_kv, S, hp.n_embd_head_k), dtype)
+    kv_v = jnp.zeros((n_attn, n_seqs, hp.n_head_kv, S, hp.n_embd_head_v), dtype)
     # mamba2 convolves over x+B+C channels, mamba1 over d_inner only;
     # lfm2's short-conv runs over n_embd with an (l_cache-1)-column state
     if hp.arch == "qwen3next":

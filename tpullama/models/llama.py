@@ -56,6 +56,21 @@ def _linear(x, w, meta=None):
     )
 
 
+def scatter_rows(cache, slots, vals):
+    """Scatter per-token rows into a HEAD-MAJOR cache.
+    cache: (B, H, S, D) or (B, H, S) scale plane; vals: (B, T, H[, D]);
+    slots: (B, T) cell indices. The cache is head-major so attention (the
+    multi-gigabyte reader) streams it without any relayout; the writer
+    pays this tiny (B, T, H) transpose instead."""
+    B, H = cache.shape[0], cache.shape[1]
+    b_ix = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+    h_ix = jnp.arange(H, dtype=jnp.int32)[None, :, None]
+    s_ix = slots[:, None, :]
+    return cache.at[b_ix, h_ix, s_ix].set(
+        vals.swapaxes(1, 2).astype(cache.dtype)
+    )
+
+
 def _kv_index(cache, li):
     """Index layer li out of a (possibly dict-structured) stacked cache."""
     return jax.tree.map(
@@ -92,8 +107,8 @@ def llama_forward(
     hp: HParams,
     tokens,  # (B, T) int32
     positions,  # (B, T) int32
-    kv_k,  # (L, B, S, Hkv, Dk) or None (no-cache prefill over full seq)
-    kv_v,  # (L, B, S, Hkv, Dv)
+    kv_k,  # (L, B, Hkv, S, Dk) head-major, or None (no-cache prefill)
+    kv_v,  # (L, B, Hkv, S, Dv)
     cache_slots,  # (B, T) int32: cache row for each new token
     attn_mask,  # (B, 1, T, S_eff) additive fp32
     quant_meta: dict | None = None,  # static; mirrors packed params
@@ -339,7 +354,86 @@ def llama_forward(
                 w["_is_nope"], q * tscale[..., None, None].astype(q.dtype), q
             )
 
-        # scatter new K/V into the cache rows for this ubatch
+        def attend_stacked(k_stack, v_stack, lidx, slots, layer_mask):
+            """Cache update + attention on the FULL layer stack with a
+            traced layer index. Decode (T == 1): an in-place
+            dynamic_update_slice row write + the layer-indexed
+            flash-decode kernel — no per-layer cache slice ever
+            materializes (measured ~0.7 ms/layer of XLA slice/scatter
+            copies at 8B depth 32768 otherwise). Other shapes: slice,
+            run the sliced attend, write the slice back."""
+            import os as _os
+
+            int8 = isinstance(k_stack, dict)
+            lead = (k_stack["q"] if int8 else k_stack).shape
+            fd_ok = (
+                T == 1
+                and _os.environ.get("TPULLAMA_FLASH", "auto") != "0"
+                and _os.environ.get("TPULLAMA_FLASH_DECODE", "1") != "0"
+                and lead[2] == Hkv_l  # no openelm head padding
+                and lead[3] % 128 == 0
+                and Dk == Dv
+                and Hq_l % Hkv_l == 0
+                and Hq_l * T <= 512
+                and (jax.default_backend() == "tpu"
+                     or _os.environ.get("TPULLAMA_FLASH") == "1")
+            )
+            if not fd_ok:
+                kc = _kv_index(k_stack, lidx)
+                vc = _kv_index(v_stack, lidx)
+                att, kc, vc = attend(kc, vc, slots, layer_mask)
+                return (att, _kv_update(k_stack, lidx, kc),
+                        _kv_update(v_stack, lidx, vc))
+
+            from ..ops.pallas.flash_decode import flash_decode
+
+            def dus(stack, vals):
+                # vals: (B, 1, H[, D]) -> row write per batch lane
+                for b in range(B):
+                    v0 = vals[b].swapaxes(0, 1)[None, None]
+                    start = (lidx, b, 0, slots[b, 0]) + (
+                        (0,) if vals.ndim == 4 else ()
+                    )
+                    stack = jax.lax.dynamic_update_slice(
+                        stack, v0.astype(stack.dtype), start
+                    )
+                return stack
+
+            if int8:
+                def q8(a):
+                    amax = jnp.max(
+                        jnp.abs(a.astype(jnp.float32)), axis=-1, keepdims=True
+                    )
+                    s = amax / 127.0
+                    qv = jnp.round(a.astype(jnp.float32) / jnp.maximum(s, 1e-12))
+                    return jnp.clip(qv, -127, 127).astype(jnp.int8), s[..., 0]
+
+                kq8, ksc = q8(k)
+                vq8, vsc = q8(v)
+                k_stack = {"q": dus(k_stack["q"], kq8),
+                           "s": dus(k_stack["s"], ksc)}
+                v_stack = {"q": dus(v_stack["q"], vq8),
+                           "s": dus(v_stack["s"], vsc)}
+                att = flash_decode(
+                    q, k_stack["q"], v_stack["q"], layer_mask,
+                    kq_scale, softcap=hp.attn_logit_softcap,
+                    sinks=w.get("attn_sinks"), alibi_slopes=alibi_slopes,
+                    k_scale=k_stack["s"], v_scale=v_stack["s"],
+                    layer=lidx,
+                    interpret=jax.default_backend() == "cpu",
+                )
+            else:
+                k_stack = dus(k_stack, k)
+                v_stack = dus(v_stack, v)
+                att = flash_decode(
+                    q, k_stack, v_stack, layer_mask, kq_scale,
+                    softcap=hp.attn_logit_softcap, sinks=w.get("attn_sinks"),
+                    alibi_slopes=alibi_slopes, layer=lidx,
+                    interpret=jax.default_backend() == "cpu",
+                )
+            return att, k_stack, v_stack
+
+        # scatter new K/V into the head-major cache rows for this ubatch
         # (the ggml_set_rows indexed-write capability, llama-kv-cache.h:145)
         def attend(k_cache, v_cache, slots, layer_mask):
             if isinstance(k_cache, dict):
@@ -356,12 +450,12 @@ def llama_forward(
                 kq8, ks = q8(k)
                 vq8, vs = q8(v)
                 k_cache = {
-                    "q": k_cache["q"].at[batch_idx, slots].set(kq8),
-                    "s": k_cache["s"].at[batch_idx, slots].set(ks),
+                    "q": scatter_rows(k_cache["q"], slots, kq8),
+                    "s": scatter_rows(k_cache["s"], slots, ks),
                 }
                 v_cache = {
-                    "q": v_cache["q"].at[batch_idx, slots].set(vq8),
-                    "s": v_cache["s"].at[batch_idx, slots].set(vs),
+                    "q": scatter_rows(v_cache["q"], slots, vq8),
+                    "s": scatter_rows(v_cache["s"], slots, vs),
                 }
                 att = attention_auto(
                     q, k_cache["q"], v_cache["q"], mask=layer_mask, scale=kq_scale,
@@ -370,17 +464,17 @@ def llama_forward(
                     k_scale=k_cache["s"], v_scale=v_cache["s"],
                 )
             else:
-                pad_kv = k_cache.shape[-2] - Hkv_l  # openelm: cache sized for
+                pad_kv = k_cache.shape[1] - Hkv_l  # openelm: cache sized for
                 kk, vv = k, v
                 if pad_kv:  # max(n_head_kv); unused head lanes stay zero
                     kk = jnp.pad(k, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
                     vv = jnp.pad(v, ((0, 0), (0, 0), (0, pad_kv), (0, 0)))
-                k_cache = k_cache.at[batch_idx, slots].set(kk.astype(k_cache.dtype))
-                v_cache = v_cache.at[batch_idx, slots].set(vv.astype(v_cache.dtype))
+                k_cache = scatter_rows(k_cache, slots, kk)
+                v_cache = scatter_rows(v_cache, slots, vv)
                 att = attention_auto(
                     q,
-                    k_cache[:, :, :Hkv_l] if pad_kv else k_cache,
-                    v_cache[:, :, :Hkv_l] if pad_kv else v_cache,
+                    k_cache[:, :Hkv_l] if pad_kv else k_cache,
+                    v_cache[:, :Hkv_l] if pad_kv else v_cache,
                     mask=layer_mask,
                     scale=kq_scale,
                     softcap=hp.attn_logit_softcap,
@@ -417,6 +511,11 @@ def llama_forward(
                 w["_is_swa"], _swa_branch, _full_branch, (kf, vf, ks_, vs_)
             )
             k_cache, v_cache = (kf, ks_), (vf, vs_)
+        elif "_lidx" in w:
+            # stacked-scan path: caches ride the carry as full stacks
+            att, k_cache, v_cache = attend_stacked(
+                k_cache, v_cache, w["_lidx"], cache_slots, layer_mask
+            )
         else:
             att, k_cache, v_cache = attend(k_cache, v_cache, cache_slots, layer_mask)
         att = att.reshape(B, T, Hq_l * Dv)
@@ -816,26 +915,25 @@ def llama_forward(
         kv_v = {"full": vf, "swa": vs_}
         hidden_stack = imatrix_stats
     else:
-        def scan_body(x, per_layer):
-            w, lidx, k_cache, v_cache = per_layer
+        # the cache stacks ride in the scan CARRY (in-place row writes +
+        # the layer-indexed flash-decode kernel at T == 1); xs-sliced
+        # caches cost a full slice copy + re-stack per layer
+        def scan_body(carry, per_layer):
+            x, kv_k, kv_v = carry
+            w, lidx = per_layer
+            w = dict(w)
+            w["_lidx"] = lidx
             if packed_stacks:
-                w = dict(w)
                 for k, fields in packed_stacks.items():
                     w[k] = (fields, lidx)
-            (x, k_new, v_new), stats = layer_step((x, k_cache, v_cache), w)
-            if collect_imatrix or collect_hidden:
-                return x, ((k_new, v_new), stats)
-            return x, (k_new, v_new)
+            (x, kv_k, kv_v), stats = layer_step((x, kv_k, kv_v), w)
+            return (x, kv_k, kv_v), stats
 
-        if collect_imatrix or collect_hidden:
-            x, ((kv_k, kv_v), imatrix_stats) = jax.lax.scan(
-                scan_body, x, (layers, layer_ids, kv_k, kv_v), unroll=unroll
-            )
-            hidden_stack = imatrix_stats  # (L, B, T, n_embd) when collect_hidden
-        else:
-            x, (kv_k, kv_v) = jax.lax.scan(
-                scan_body, x, (layers, layer_ids, kv_k, kv_v), unroll=unroll
-            )
+        (x, kv_k, kv_v), imatrix_stats = jax.lax.scan(
+            scan_body, (x, kv_k, kv_v), (layers, layer_ids), unroll=unroll
+        )
+        if collect_hidden:
+            hidden_stack = imatrix_stats  # (L, B, T, n_embd)
 
     if skip_output:
         # pipeline-parallel stage runner (parallel/pp.py): return the raw

@@ -18,10 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import attention
+from ..ops.attention import attention, attention_tokmajor
 from ..ops.norms import rms_norm
 from .hparams import HParams
-from .llama import _linear
+from .llama import _linear, scatter_rows
 
 MAX_DISTANCE = 128  # llama-graph.cpp:2023
 
@@ -93,7 +93,7 @@ def t5_encode(params, hp: HParams, tokens, pad_mask, causal: bool = False):
         lb = bias if "attn_rel_b" not in lp else _pos_bias(
             lp["attn_rel_b"], pos, pos, hp.n_rel_attn_bkts, True
         )
-        att = attention(q, k, v, mask=mask + lb, scale=1.0)
+        att = attention_tokmajor(q, k, v, mask=mask + lb, scale=1.0)
         x = x + _linear(att.reshape(B, T, Hq * Dv), lp["attn_output"])
         h = rms_norm(x, lp["ffn_norm"], hp.f_norm_rms_eps)
         x = x + _ffn(h, lp, "")
@@ -102,13 +102,13 @@ def t5_encode(params, hp: HParams, tokens, pad_mask, causal: bool = False):
 
 def t5_cross_kv(params, hp: HParams, enc_embd):
     """Precompute per-layer cross-attention K/V from the encoder output.
-    Returns (ck, cv): (L_dec, B, T_enc, Hkv, D)."""
+    Returns (ck, cv): (L_dec, B, Hkv, T_enc, D) — head-major."""
     B, Te = enc_embd.shape[:2]
     Hkv = hp.n_head_kv
     cks, cvs = [], []
     for lp in params["dec_layers"]:
-        cks.append(_linear(enc_embd, lp["cross_attn_k"]).reshape(B, Te, Hkv, hp.n_embd_head_k))
-        cvs.append(_linear(enc_embd, lp["cross_attn_v"]).reshape(B, Te, Hkv, hp.n_embd_head_v))
+        cks.append(_linear(enc_embd, lp["cross_attn_k"]).reshape(B, Te, Hkv, hp.n_embd_head_k).swapaxes(1, 2))
+        cvs.append(_linear(enc_embd, lp["cross_attn_v"]).reshape(B, Te, Hkv, hp.n_embd_head_v).swapaxes(1, 2))
     return jnp.stack(cks), jnp.stack(cvs)
 
 
@@ -117,7 +117,7 @@ def t5_decode(
     hp: HParams,
     tokens,  # (B, T)
     positions,  # (B, T)
-    kv_k,  # (L_dec, B, S, Hkv, Dk)
+    kv_k,  # (L_dec, B, Hkv, S, Dk)
     kv_v,
     cache_slots,  # (B, T)
     self_mask,  # (B, 1, T, S) additive (causal+valid)
@@ -126,7 +126,7 @@ def t5_decode(
     enc_mask,  # (B, Te) 1=real encoder token
 ):
     B, T = tokens.shape
-    S = kv_k.shape[2]
+    S = kv_k.shape[3]  # head-major cache (L, B, Hkv, S, Dk)
     Hq, Hkv = hp.n_head, hp.n_head_kv
     Dk, Dv = hp.n_embd_head_k, hp.n_embd_head_v
     batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
@@ -143,8 +143,8 @@ def t5_decode(
         q = _linear(h, lp["attn_q"]).reshape(B, T, Hq, Dk)
         k = _linear(h, lp["attn_k"]).reshape(B, T, Hkv, Dk)
         v = _linear(h, lp["attn_v"]).reshape(B, T, Hkv, Dv)
-        kc = kv_k[li].at[batch_idx, cache_slots].set(k.astype(kv_k.dtype))
-        vc = kv_v[li].at[batch_idx, cache_slots].set(v.astype(kv_v.dtype))
+        kc = scatter_rows(kv_k[li], cache_slots, k)
+        vc = scatter_rows(kv_v[li], cache_slots, v)
         lb = bias0 if "attn_rel_b" not in lp else _pos_bias(
             lp["attn_rel_b"], kv_pos, positions[0], hp.n_rel_attn_bkts, False
         )

@@ -14,17 +14,19 @@ import jax.numpy as jnp
 
 def attention(q, k, v, mask=None, scale: float | None = None, softcap: float = 0.0,
               sinks=None, k_scale=None, v_scale=None, alibi_slopes=None):
-    """q: (B, Tq, Hq, D); k, v: (B, Tk, Hkv, D); mask: broadcastable to
+    """q: (B, Tq, Hq, D); k, v: (B, Hkv, Tk, D) — HEAD-MAJOR, the
+    canonical KV-cache layout (attention is the cache's hot reader; this
+    layout makes every path transpose-free). mask: broadcastable to
     (B, Hq, Tq, Tk), additive fp32 (0 visible, -inf masked).
-    k_scale/v_scale: optional per-(token, head) dequant scales (B, Tk, Hkv)
-    for int8 KV caches — K's scale factors out of the QK dot, V's folds
-    into the probabilities, so no dequantized cache is materialized.
-    alibi_slopes: optional (Hq,) ALiBi slopes; the mask then carries
-    -|p_q - p_k| in visible slots and is multiplied per head
-    (ggml_soft_max_ext max_bias semantics; mask values per SURVEY.md A.5).
+    k_scale/v_scale: optional per-(head, token) dequant scales
+    (B, Hkv, Tk) for int8 KV caches — K's scale factors out of the QK
+    dot, V's folds into the probabilities, so no dequantized cache is
+    materialized. alibi_slopes: optional (Hq,) ALiBi slopes; the mask
+    then carries -|p_q - p_k| in visible slots and is multiplied per
+    head (ggml_soft_max_ext max_bias semantics; SURVEY.md A.5).
     Returns (B, Tq, Hq, Dv) (Dv may differ from D, e.g. deepseek2 MLA)."""
     B, Tq, Hq, D = q.shape
-    _, Tk, Hkv, _ = k.shape
+    _, Hkv, Tk, _ = k.shape
     if scale is None:
         scale = 1.0 / (D**0.5)
     group = Hq // Hkv
@@ -32,11 +34,11 @@ def attention(q, k, v, mask=None, scale: float | None = None, softcap: float = 0
     # materializing repeated K/V (the GQA bandwidth saving that matters at
     # decode when the KV cache read dominates)
     qf = q.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(B, Hkv, group, Tq, D)
-    kf = k.astype(jnp.float32).transpose(0, 2, 1, 3)  # B,Hkv,Tk,D
-    vf = v.astype(jnp.float32).transpose(0, 2, 1, 3)
+    kf = k.astype(jnp.float32)  # (B, Hkv, Tk, D) — already attention-shaped
+    vf = v.astype(jnp.float32)
     logits = jnp.einsum("bhgqd,bhkd->bhgqk", qf, kf) * scale
     if k_scale is not None:
-        ks = k_scale.astype(jnp.float32).transpose(0, 2, 1)  # B,Hkv,Tk
+        ks = k_scale.astype(jnp.float32)  # (B, Hkv, Tk)
         logits = logits * ks[:, :, None, None, :]
     logits = logits.reshape(B, Hq, Tq, Tk)
     if softcap:
@@ -66,11 +68,22 @@ def attention(q, k, v, mask=None, scale: float | None = None, softcap: float = 0
         probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
     probs_g = probs.reshape(B, Hkv, group, Tq, Tk)
     if v_scale is not None:
-        vs = v_scale.astype(jnp.float32).transpose(0, 2, 1)  # B,Hkv,Tk
+        vs = v_scale.astype(jnp.float32)  # (B, Hkv, Tk)
         probs_g = probs_g * vs[:, :, None, None, :]
     Dv = vf.shape[-1]  # may differ from the q/k head dim (deepseek2 MLA)
     out = jnp.einsum("bhgqk,bhkd->bhgqd", probs_g, vf).reshape(B, Hq, Tq, Dv)
     return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
+def attention_tokmajor(q, k, v, mask=None, scale=None, softcap: float = 0.0,
+                       sinks=None, alibi_slopes=None):
+    """attention() over token-major (B, T, Hkv, D) K/V — for encoder-style
+    paths (bert, t5 encoder) that attend over freshly projected K/V
+    rather than the head-major cache."""
+    return attention(
+        q, k.swapaxes(1, 2), v.swapaxes(1, 2), mask=mask, scale=scale,
+        softcap=softcap, sinks=sinks, alibi_slopes=alibi_slopes,
+    )
 
 
 def flash_eligible(q, k, v, mask, k_scale=None) -> bool:
@@ -89,7 +102,7 @@ def flash_eligible(q, k, v, mask, k_scale=None) -> bool:
         return False
     if q.shape[-1] != v.shape[-1]:
         return False
-    if q.shape[2] % k.shape[2] != 0:
+    if q.shape[2] % k.shape[1] != 0:  # k is head-major (B, Hkv, Tk, D)
         return False
     if mode == "1":
         return True
@@ -119,9 +132,9 @@ def flash_decode_eligible(q, k, v, mask) -> bool:
         return False
     if mask is None or q.shape[-1] != v.shape[-1]:
         return False
-    if q.shape[2] % k.shape[2] != 0:
+    if q.shape[2] % k.shape[1] != 0:  # k is head-major (B, Hkv, Tk, D)
         return False
-    if q.shape[1] > 4 or k.shape[1] % 128 != 0:
+    if q.shape[1] > 4 or k.shape[2] % 128 != 0:
         return False
     # whole q-head block must fit VMEM rows comfortably
     if q.shape[2] * q.shape[1] > 512:

@@ -138,17 +138,17 @@ def flash_attention(q, k, v, mask, scale: float, softcap: float = 0.0,
                     k_scale=None, v_scale=None,
                     block_q: int = 256, block_s: int = 512,
                     interpret: bool = False):
-    """q: (B, Tq, Hq, D); k, v: (B, S, Hkv, D); mask: additive fp32
+    """q: (B, Tq, Hq, D); k, v: (B, Hkv, S, D) head-major; mask: additive fp32
     broadcastable to (B, 1, Tq, S) — 0 (or -|dpos| for ALiBi) where
     visible, <= -1e30 where masked. Returns (B, Tq, Hq, D) in q.dtype.
 
-    k_scale/v_scale: per-(token, head) dequant scales (B, S, Hkv) for
+    k_scale/v_scale: per-(head, token) dequant scales (B, Hkv, S) for
     int8 K/V — dequantization happens in-kernel (K's scale on the QK
     logits, V's on the probabilities), matching the reference's
     quantized-KV flash path (ggml/src/ggml-cuda/fattn-vec.cuh)."""
     B, Tq, Hq, D = q.shape
-    S = k.shape[1]
-    Hkv = k.shape[2]
+    Hkv = k.shape[1]  # head-major cache (B, Hkv, S, D)
+    S = k.shape[2]
     G = Hq // Hkv
     has_kv_scale = k_scale is not None
 
@@ -157,10 +157,10 @@ def flash_attention(q, k, v, mask, scale: float, softcap: float = 0.0,
     bs = min(block_s, max(128, -(-S // 128) * 128))
     pad_s = (bs - S % bs) % bs
 
-    # (B, Tq, Hq, D) -> (B, Hkv, G, Tq, D)
+    # (B, Tq, Hq, D) -> (B, Hkv, G, Tq, D); K/V arrive head-major already
     qh = q.transpose(0, 2, 1, 3).reshape(B, Hkv, G, Tq, D)
-    kt = k.transpose(0, 2, 1, 3)  # (B, Hkv, S, D)
-    vt = v.transpose(0, 2, 1, 3)
+    kt = k
+    vt = v
     mask = jnp.broadcast_to(mask.astype(jnp.float32), (B, 1, Tq, S))
     if pad_q:
         qh = jnp.pad(qh, ((0, 0), (0, 0), (0, 0), (0, pad_q), (0, 0)))
@@ -173,10 +173,10 @@ def flash_attention(q, k, v, mask, scale: float, softcap: float = 0.0,
                        constant_values=NEG_INF)
     Tqp, Sp = Tq + pad_q, S + pad_s
     if has_kv_scale:
-        # (B, S, Hkv) -> (B, Hkv, 1, S): unit row dim keeps the VMEM
+        # (B, Hkv, S) -> (B, Hkv, 1, S): unit row dim keeps the VMEM
         # block 2-D-tileable (Mosaic wants the last-2 dims tile-aligned)
-        kst = k_scale.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, :]
-        vst = v_scale.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, :]
+        kst = k_scale.astype(jnp.float32)[:, :, None, :]
+        vst = v_scale.astype(jnp.float32)[:, :, None, :]
         if pad_s:
             kst = jnp.pad(kst, ((0, 0), (0, 0), (0, 0), (0, pad_s)))
             vst = jnp.pad(vst, ((0, 0), (0, 0), (0, 0), (0, pad_s)))

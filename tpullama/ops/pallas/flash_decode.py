@@ -1,24 +1,23 @@
-"""Flash-decode Pallas kernel: single-token (small-Tq) attention that
-reads the KV cache in its NATIVE (B, S, Hkv, D) layout.
+"""Flash-decode Pallas kernel over the HEAD-MAJOR (B, Hkv, S, D) cache.
 
-Why a separate kernel: at decode the KV-cache read IS the cost. Both the
-jnp path and the prefill flash kernel first transpose the cache to
-(B, Hkv, S, D) (and the jnp path also upcasts to f32) — a full cache
-copy per token per layer, which caps depth-32768 decode at ~0.1 of the
-HBM roofline (measured, scripts/bench_matrix.py r3).
+Why a separate kernel: at decode the KV-cache read IS the cost. With the
+old token-major (B, S, Hkv, D) cache every fast path needed a physical
+relayout (transpose or lane-merge retile) of the whole cache per layer
+per token — measured ~0.1 of the HBM roofline at 8B depth 32768
+(scripts/bench_matrix.py r3), because the retile runs at VPU-shuffle
+speed (~13 GB/s), not DMA speed. The cache layout is therefore
+head-major everywhere (the writer scatters a few rows; the reader
+streams gigabytes — lay the data out for the reader), and this kernel
+consumes it directly:
 
-Design: grid (B, Hkv, S/BS) with S innermost carrying the flash
-(m, l, acc) recurrence. Each grid step DMAs one head's (BS, D) K and V
-tiles as blocks of the (B, S, Hkv·D) view — strided at D-lane
-granularity, offset h·D via the index map — so the kernel body is
-exactly two MXU dots per step ((G·Tq, D)·(D, BS) then probs·V) with no
-lane slicing or in-register shuffles. (A first variant that DMA'd dense
-(BS, Hkv·D) tiles and lane-sliced per head measured SLOWER than the XLA
-path — the per-head slices of a 1024-lane tile are register shuffles.)
+  grid (B, Hkv, S/BS), S innermost carrying the flash (m, l, acc)
+  recurrence; per-head (1, 1, BS, D) K/V blocks are contiguous HBM
+  streams; the kernel body is exactly two MXU dots per step
+  ((G·Tq, D)·(D, BS), then probs·V).
 
 Mask is the same additive (B, 1, Tq, S) tensor every other attention
 path consumes (SURVEY.md A.5). Supports softcap, attention sinks
-(gpt-oss), ALiBi slopes, and int8 KV with per-(token, head) scales
+(gpt-oss), ALiBi slopes, and int8 KV with per-(head, token) scales
 fused in-kernel.
 
 Reference analog: ggml-cuda fattn-vec.cuh (the decode matvec flash
@@ -38,9 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _fd_kernel(q_ref, k_ref, v_ref, mask_ref, slope_ref, sink_ref, *rest,
-               scale, softcap, bs, g, d, tq, has_alibi, has_sinks,
-               has_kv_scale):
+def _fd_kernel(*refs, scale, softcap, bs, g, d, tq, has_alibi, has_sinks,
+               has_kv_scale, stacked=False):
+    if stacked:
+        _s_ref, *refs = refs
+    q_ref, k_ref, v_ref, mask_ref, slope_ref, sink_ref, *rest = refs
     if has_kv_scale:
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
@@ -61,15 +62,19 @@ def _fd_kernel(q_ref, k_ref, v_ref, mask_ref, slope_ref, sink_ref, *rest,
 
     @pl.when(any_visible)
     def _():
-        q = q_ref[0, 0].reshape(rows, d).astype(jnp.bfloat16)
-        kh = k_ref[0].astype(jnp.bfloat16)  # (BS, D), this head's tile
-        vh = v_ref[0].astype(jnp.bfloat16)
+        q = q_ref[0, 0].astype(jnp.bfloat16)  # (G*Tq, D)
+        # stacked blocks carry a leading layer axis; index it away with a
+        # direct load (a .at[0] memref view trips Mosaic's slice-tiling
+        # alignment for D < 128)
+        kh = (k_ref[0, 0, 0] if stacked else k_ref[0, 0]).astype(jnp.bfloat16)
+        vh = (v_ref[0, 0, 0] if stacked else v_ref[0, 0]).astype(jnp.bfloat16)
         s = jax.lax.dot_general(
             q, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (G*Tq, BS)
         if has_kv_scale:
-            s = s * ks_ref[0, 0].reshape(1, bs)
+            ksv = ks_ref[0, 0, 0, 0] if stacked else ks_ref[0, 0, 0]
+            s = s * ksv.reshape(1, bs)
         if softcap:
             s = softcap * jnp.tanh(s / softcap)
         m_add = jnp.broadcast_to(mask[None], (g, tq, bs)).reshape(rows, bs)
@@ -86,7 +91,8 @@ def _fd_kernel(q_ref, k_ref, v_ref, mask_ref, slope_ref, sink_ref, *rest,
         p = jnp.where(s > NEG_INF / 2, jnp.exp(s - m_cur), 0.0)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
         if has_kv_scale:
-            p = p * vs_ref[0, 0].reshape(1, bs)
+            vsv = vs_ref[0, 0, 0, 0] if stacked else vs_ref[0, 0, 0]
+            p = p * vsv.reshape(1, bs)
         acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
             p.astype(jnp.bfloat16), vh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -111,12 +117,22 @@ def _fd_kernel(q_ref, k_ref, v_ref, mask_ref, slope_ref, sink_ref, *rest,
 
 def flash_decode(q, k, v, mask, scale: float, softcap: float = 0.0,
                  sinks=None, alibi_slopes=None, k_scale=None, v_scale=None,
-                 block_s: int = 512, interpret: bool = False):
-    """q: (B, Tq, Hq, D) with small Tq (decode); k, v: (B, S, Hkv, D) —
-    consumed in native layout, no transpose. mask: additive fp32
-    broadcastable to (B, 1, Tq, S). Returns (B, Tq, Hq, D) in q.dtype."""
+                 block_s: int = 1024, interpret: bool = False, layer=None):
+    """q: (B, Tq, Hq, D) with small Tq (decode); k, v: (B, Hkv, S, D)
+    head-major cache — consumed in place, no transpose/retile.
+    k_scale/v_scale: (B, Hkv, S) int8-KV scales. mask: additive fp32
+    broadcastable to (B, 1, Tq, S). Returns (B, Tq, Hq, D) in q.dtype.
+
+    layer: traced int32 layer index when k/v (and the scales) carry a
+    leading layer-stack axis (L, B, Hkv, S, D). The kernel indexes the
+    layer via scalar prefetch — a lax.scan over layers passes the whole
+    stacked cache without materializing per-layer slices (measured
+    ~0.7 ms/layer of XLA slice-copy at depth 32768 otherwise; same trick
+    as the qmm `layer` arg)."""
     B, Tq, Hq, D = q.shape
-    S, Hkv = k.shape[1], k.shape[2]
+    stacked = layer is not None
+    koff = 1 if stacked else 0
+    Hkv, S = k.shape[koff + 1], k.shape[koff + 2]
     G = Hq // Hkv
     bs = min(block_s, S)
     while S % bs:
@@ -125,69 +141,97 @@ def flash_decode(q, k, v, mask, scale: float, softcap: float = 0.0,
     has_alibi = alibi_slopes is not None
     has_sinks = sinks is not None
 
-    # (B, Tq, Hq, D) -> (B, Hkv, G*Tq, D): kv-head-major q row blocks
-    qh = q.transpose(0, 2, 1, 3).reshape(B, Hkv, G * Tq, D)
-    kf = k.reshape(B, S, Hkv * D)  # free view: trailing dims contiguous
-    vf = v.reshape(B, S, Hkv * D)
+    # (B, Tq, Hq, D) -> (B, Hkv, G*Tq, D): per-kv-head q row blocks (tiny)
+    qh = q.transpose(0, 2, 1, 3).reshape(B, Hkv, G, Tq, D).reshape(
+        B, Hkv, G * Tq, D
+    )
     mask = jnp.broadcast_to(mask.astype(jnp.float32), (B, 1, Tq, S))
 
-    # (Hkv, 1, G): the unit middle axis keeps per-head blocks full-dim
     slopes = (alibi_slopes if has_alibi else jnp.zeros((Hq,))).astype(
         jnp.float32).reshape(Hkv, 1, G)
     sinkv = (sinks if has_sinks else jnp.zeros((Hq,))).astype(
         jnp.float32).reshape(Hkv, 1, G)
 
     grid = (B, Hkv, S // bs)
+    if stacked:
+        kv_spec = pl.BlockSpec((1, 1, 1, bs, D),
+                               lambda b, h, sc, s: (s[0], b, h, sc, 0),
+                               memory_space=pltpu.VMEM)
+        idx = lambda f: (lambda b, h, sc, s: f(b, h, sc))
+    else:
+        kv_spec = pl.BlockSpec((1, 1, bs, D), lambda b, h, sc: (b, h, sc, 0),
+                               memory_space=pltpu.VMEM)
+        idx = lambda f: f
     in_specs = [
-        pl.BlockSpec((1, 1, G * Tq, D), lambda b, h, sc: (b, h, 0, 0),
+        pl.BlockSpec((1, 1, G * Tq, D), idx(lambda b, h, sc: (b, h, 0, 0)),
                      memory_space=pltpu.VMEM),
-        # one head's (BS, D) tile: lane offset h*D via the index map —
-        # the DMA walks S rows with a D-lane window (256B runs at bf16)
-        pl.BlockSpec((1, bs, D), lambda b, h, sc: (b, sc, h),
+        kv_spec,
+        kv_spec,
+        pl.BlockSpec((1, 1, Tq, bs), idx(lambda b, h, sc: (b, 0, 0, sc)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bs, D), lambda b, h, sc: (b, sc, h),
+        pl.BlockSpec((1, 1, G), idx(lambda b, h, sc: (h, 0, 0)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Tq, bs), lambda b, h, sc: (b, 0, 0, sc),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, G), lambda b, h, sc: (h, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, G), lambda b, h, sc: (h, 0, 0),
+        pl.BlockSpec((1, 1, G), idx(lambda b, h, sc: (h, 0, 0)),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [qh, kf, vf, mask, slopes, sinkv]
+    operands = [qh, k, v, mask, slopes, sinkv]
     if has_kv_scale:
-        # (B, S, Hkv) -> (B, Hkv, 1, S): per-head scale rows (small copy)
-        kst = k_scale.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, :]
-        vst = v_scale.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, :]
-        sspec = pl.BlockSpec((1, 1, 1, bs), lambda b, h, sc: (b, h, 0, sc),
-                             memory_space=pltpu.VMEM)
+        # (..., Hkv, S) -> (..., Hkv, 1, S) so per-head blocks are full-dim
+        kst = k_scale.astype(jnp.float32)[..., None, :]
+        vst = v_scale.astype(jnp.float32)[..., None, :]
+        if stacked:
+            sspec = pl.BlockSpec(
+                (1, 1, 1, 1, bs), lambda b, h, sc, s: (s[0], b, h, 0, sc),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            sspec = pl.BlockSpec((1, 1, 1, bs),
+                                 lambda b, h, sc: (b, h, 0, sc),
+                                 memory_space=pltpu.VMEM)
         in_specs += [sspec, sspec]
         operands += [kst, vst]
 
-    out = pl.pallas_call(
-        functools.partial(
-            _fd_kernel, scale=scale, softcap=softcap, bs=bs, g=G, d=D,
-            tq=Tq, has_alibi=has_alibi, has_sinks=has_sinks,
-            has_kv_scale=has_kv_scale,
-        ),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, 1, G * Tq, D), lambda b, h, sc: (b, h, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G * Tq, D), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((G * Tq, 1), jnp.float32),
-            pltpu.VMEM((G * Tq, 1), jnp.float32),
-            pltpu.VMEM((G * Tq, D), jnp.float32),
-        ],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-        ),
-    )(*operands)
+    kern = functools.partial(
+        _fd_kernel, scale=scale, softcap=softcap, bs=bs, g=G, d=D,
+        tq=Tq, has_alibi=has_alibi, has_sinks=has_sinks,
+        has_kv_scale=has_kv_scale, stacked=stacked,
+    )
+    out_spec = pl.BlockSpec(
+        (1, 1, G * Tq, D), idx(lambda b, h, sc: (b, h, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((B, Hkv, G * Tq, D), q.dtype)
+    scratch = [
+        pltpu.VMEM((G * Tq, 1), jnp.float32),
+        pltpu.VMEM((G * Tq, 1), jnp.float32),
+        pltpu.VMEM((G * Tq, D), jnp.float32),
+    ]
+    cparams = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024,
+        dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+    )
+    if stacked:
+        out = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+                out_specs=out_spec, scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=cparams,
+        )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
+    else:
+        out = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+            compiler_params=cparams,
+        )(*operands)
     # rows are (Hkv, G, Tq) -> (B, Tq, Hq, D)
     out = out.reshape(B, Hkv, G, Tq, D).transpose(0, 3, 1, 2, 4)
     return out.reshape(B, Tq, Hq, D)

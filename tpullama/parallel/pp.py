@@ -64,7 +64,7 @@ def pp_param_specs(params: dict) -> dict:
 def pp_forward(params, hp, tokens, positions, kv_k, kv_v, cache_slots,
                attn_mask, mesh: Mesh, n_micro: int = 1, quant_meta=None):
     """Full forward under the pipeline mesh. tokens: (B, T) with T
-    divisible by n_micro; kv_k/kv_v: (L, B, S, Hkv, D) stacks (sharded or
+    divisible by n_micro; kv_k/kv_v: (L, B, Hkv, S, D) stacks (sharded or
     to-be-sharded over "pp" on L). Returns (logits, (kv_k, kv_v))."""
     n_pp = mesh.shape["pp"]
     L = hp.n_layer
@@ -74,7 +74,7 @@ def pp_forward(params, hp, tokens, positions, kv_k, kv_v, cache_slots,
     if T % n_micro:
         raise ValueError(f"T={T} not divisible by n_micro={n_micro}")
     Tm = T // n_micro
-    S = kv_k.shape[2]
+    S = kv_k.shape[3]
 
     hp_local = copy.copy(hp)
     hp_local.n_layer = L // n_pp

@@ -161,21 +161,22 @@ def param_shardings(params: dict, mesh: Mesh) -> dict:
 
 
 def kv_cache_specs(kv) -> object:
-    """PartitionSpec tree for a KV cache array or int8 {'q','s'} dict:
-    (L, B, S, Hkv[, D]) — batch over dp, kv-heads over tp. An MQA/MLA
-    cache (Hkv == 1: the deepseek2 compressed latent) is replicated
-    across tp — it is tiny and every sharded q head attends to it."""
+    """PartitionSpec tree for a HEAD-MAJOR KV cache array or int8
+    {'q','s'} dict: (L, B, Hkv, S[, D]) — batch over dp, kv-heads over
+    tp. An MQA/MLA cache (Hkv == 1: the deepseek2 compressed latent) is
+    replicated across tp — it is tiny and every sharded q head attends
+    to it."""
     def one(a):
-        hkv_spec = None if a.shape[3] == 1 else "tp"
+        hkv_spec = None if a.shape[2] == 1 else "tp"
         if a.ndim == 5:
-            return P(None, "dp", None, hkv_spec, None)
-        return P(None, "dp", None, hkv_spec)
+            return P(None, "dp", hkv_spec, None, None)
+        return P(None, "dp", hkv_spec, None)
     return jax.tree.map(one, kv)
 
 
 def kv_cache_shardings(mesh: Mesh):
-    """KV cache (L, B, S, Hkv, D): batch over dp, kv-heads over tp."""
-    return NamedSharding(mesh, P(None, "dp", None, "tp", None))
+    """KV cache (L, B, Hkv, S, D): batch over dp, kv-heads over tp."""
+    return NamedSharding(mesh, P(None, "dp", "tp", None, None))
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:

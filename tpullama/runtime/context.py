@@ -39,7 +39,7 @@ NEG_INF = jnp.float32(-1e30)  # avoids NaN rows for fully-masked (padded) querie
 
 def _shift_k_rows(kv_k, seq, mask_cells, delta, hp):
     """Rotate cached K of one sequence by a uniform position delta
-    (cells selected by mask_cells). kv_k: (L, B, S, Hkv, Dk).
+    (cells selected by mask_cells). kv_k: (L, B, Hkv, S, Dk).
     Runs op-by-op (shift is infrequent — context shift / self-extend)."""
     deltas = jnp.where(mask_cells, delta, 0)  # (S,)
     return _rotate(kv_k, seq, deltas, hp)
@@ -55,16 +55,15 @@ def _rotate(kv_k, seq, deltas, hp):
 
     rp = rope_params(hp)
     cos, sin = rope_cache(rp, deltas)  # (S, half)
+    cb = cos[None, None, None, :, :]  # head-major cache: (L,1,H,S,half)
+    sb = sin[None, None, None, :, :]
     if isinstance(kv_k, dict):
-        # int8 KV: dequant -> re-rotate -> requant (per-(token, head)
+        # int8 KV: dequant -> re-rotate -> requant (per-(head, token)
         # symmetric scales recomputed, since rotation changes amax)
         q = jax.lax.dynamic_slice_in_dim(kv_k["q"], seq, 1, axis=1)
         s = jax.lax.dynamic_slice_in_dim(kv_k["s"], seq, 1, axis=1)
         k = q.astype(jnp.float32) * s[..., None].astype(jnp.float32)
-        rotated = apply_rope(
-            k, cos[None, None, :, None, :], sin[None, None, :, None, :],
-            rp.mode, rp.n_dims,
-        ).astype(jnp.float32)
+        rotated = apply_rope(k, cb, sb, rp.mode, rp.n_dims).astype(jnp.float32)
         amax = jnp.max(jnp.abs(rotated), axis=-1, keepdims=True)
         ns = amax / 127.0
         nq = jnp.clip(
@@ -76,9 +75,8 @@ def _rotate(kv_k, seq, deltas, hp):
                 kv_k["s"], ns[..., 0].astype(kv_k["s"].dtype), seq, axis=1
             ),
         }
-    k = jax.lax.dynamic_slice_in_dim(kv_k, seq, 1, axis=1)  # (L,1,S,H,D)
-    rotated = apply_rope(k, cos[None, None, :, None, :], sin[None, None, :, None, :],
-                         rp.mode, rp.n_dims).astype(kv_k.dtype)
+    k = jax.lax.dynamic_slice_in_dim(kv_k, seq, 1, axis=1)  # (L,1,H,S,D)
+    rotated = apply_rope(k, cb, sb, rp.mode, rp.n_dims).astype(kv_k.dtype)
     return jax.lax.dynamic_update_slice_in_dim(kv_k, rotated, seq, axis=1)
 
 
@@ -131,7 +129,10 @@ class Context:
         self.p = params or ContextParams()
         hp = self.hp
         B = self.p.n_seqs
-        S = self.p.n_ctx + 1  # +1 scratch row for padded-token writes
+        # +1 scratch row for padded-token writes, rounded up to a
+        # 128-multiple: the flash-decode kernel tiles the cache in
+        # 128-row chunks (extra cells stay kv_pos = -1 → masked)
+        S = -(-(self.p.n_ctx + 1) // 128) * 128
         self._S = S
         kv_dt = self.p.kv_dtype or self.p.dtype
         # cache row dims; absorbed MLA stores the compressed latent as
@@ -139,20 +140,24 @@ class Context:
         Hkv, Dk, Dv = hp.kv_cache_dims
 
         def _alloc(n_layers, n_cells):
+            # HEAD-MAJOR cache (L, B, Hkv, S, D): attention streams the
+            # cache contiguously per head with zero relayout (the layout
+            # serves the multi-GB reader; the scatter writer transposes
+            # its few rows — models/llama.py scatter_rows)
             if kv_dt == jnp.int8:
-                # quantized KV: int8 values + f32 per-(token, head) scales
+                # quantized KV: int8 values + f32 per-(head, token) scales
                 kk = {
-                    "q": jnp.zeros((n_layers, B, n_cells, Hkv, Dk), jnp.int8),
-                    "s": jnp.zeros((n_layers, B, n_cells, Hkv), jnp.float32),
+                    "q": jnp.zeros((n_layers, B, Hkv, n_cells, Dk), jnp.int8),
+                    "s": jnp.zeros((n_layers, B, Hkv, n_cells), jnp.float32),
                 }
                 vv = {
-                    "q": jnp.zeros((n_layers, B, n_cells, Hkv, Dv), jnp.int8),
-                    "s": jnp.zeros((n_layers, B, n_cells, Hkv), jnp.float32),
+                    "q": jnp.zeros((n_layers, B, Hkv, n_cells, Dv), jnp.int8),
+                    "s": jnp.zeros((n_layers, B, Hkv, n_cells), jnp.float32),
                 }
                 return kk, vv
             return (
-                jnp.zeros((n_layers, B, n_cells, Hkv, Dk), kv_dt),
-                jnp.zeros((n_layers, B, n_cells, Hkv, Dv), kv_dt),
+                jnp.zeros((n_layers, B, Hkv, n_cells, Dk), kv_dt),
+                jnp.zeros((n_layers, B, Hkv, n_cells, Dv), kv_dt),
             )
 
         # iswa two-stack cache (src/llama-kv-cache-iswa.h:9-14): SWA layers
@@ -162,6 +167,7 @@ class Context:
         self._S_swa = 0
         if (
             n_swa_layers
+            and n_swa_layers < hp.n_layer  # two stacks need both kinds
             and not self.p.swa_full
             and hp.n_swa
             and hp.arch != "gemma3n"  # dedicated forward, single-stack only
@@ -184,15 +190,22 @@ class Context:
         self._pos_host = np.full((B, S), -1, np.int32)
         self.n_past = np.zeros(B, np.int32)
         self.perf = PerfCounters()
-        self._seq_fn = jax.jit(self._step_seq, static_argnames=("n_logits",))
+        # donate the cache args (positions 1, 2): every step rebinds the
+        # returned cache, and without donation the scan-carry init copies
+        # the whole multi-GB cache each call
+        self._seq_fn = jax.jit(self._step_seq, static_argnames=("n_logits",),
+                               donate_argnums=(1, 2))
         self._seq_embd_fn = jax.jit(
-            self._step_seq_embd, static_argnames=("n_logits", "causal")
+            self._step_seq_embd, static_argnames=("n_logits", "causal"),
+            donate_argnums=(1, 2),
         )
-        self._all_fn = jax.jit(self._step_all)
-        self._multi_fn = jax.jit(self._step_multi)
-        self._burst_fn = jax.jit(self._burst, static_argnames=("n_steps",))
+        self._all_fn = jax.jit(self._step_all, donate_argnums=(1, 2))
+        self._multi_fn = jax.jit(self._step_multi, donate_argnums=(1, 2))
+        self._burst_fn = jax.jit(self._burst, static_argnames=("n_steps",),
+                                 donate_argnums=(1, 2))
         self._burst_sampled_fn = jax.jit(
-            self._burst_sampled, static_argnames=("n_steps", "spec")
+            self._burst_sampled, static_argnames=("n_steps", "spec"),
+            donate_argnums=(1, 2),
         )
 
     # ------------------------------------------------------------------
@@ -753,8 +766,8 @@ class Context:
             gather = jnp.asarray(np.maximum(src, 0), jnp.int32)
 
             def permute(t):
-                def g(a):  # leaf (L, B, cells, ...): move cell rows
-                    moved = jnp.take(a[:, seq_id], gather, axis=1)
+                def g(a):  # leaf (L, B, H, cells[, D]): move cell rows
+                    moved = jnp.take(a[:, seq_id], gather, axis=2)
                     return a.at[:, seq_id].set(moved)
 
                 return jax.tree.map(g, t)

@@ -86,9 +86,9 @@ class DiffusionGenerator:
         B, T = tokens.shape
         pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
         mask = jnp.zeros((B, 1, T, T), jnp.float32)  # fully bidirectional
-        kv_k = jnp.zeros((hp.n_layer, B, T, hp.n_head_kv, hp.n_embd_head_k),
+        kv_k = jnp.zeros((hp.n_layer, B, hp.n_head_kv, T, hp.n_embd_head_k),
                          jnp.float32)
-        kv_v = jnp.zeros((hp.n_layer, B, T, hp.n_head_kv, hp.n_embd_head_v),
+        kv_v = jnp.zeros((hp.n_layer, B, hp.n_head_kv, T, hp.n_embd_head_v),
                          jnp.float32)
         slots = pos
         logits, _ = llama_forward(

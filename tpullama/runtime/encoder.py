@@ -51,10 +51,10 @@ class EncoderContext:
             else:
                 mask = mask_full
             kv_k = jnp.zeros(
-                (hp.n_layer, B, T, hp.n_head_kv, hp.n_embd_head_k), jnp.float32
+                (hp.n_layer, B, hp.n_head_kv, T, hp.n_embd_head_k), jnp.float32
             )
             kv_v = jnp.zeros(
-                (hp.n_layer, B, T, hp.n_head_kv, hp.n_embd_head_v), jnp.float32
+                (hp.n_layer, B, hp.n_head_kv, T, hp.n_embd_head_v), jnp.float32
             )
             slots = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
             _, embd, _ = llama_forward(

@@ -36,7 +36,7 @@ class HybridContext:
 
     def _step(self, params, tokens, n_past, last_idx, seq, kv_k, kv_v, conv, ssm):
         B1, T = tokens.shape
-        S = kv_k.shape[2] - 1
+        S = kv_k.shape[3] - 1
         pos = n_past + jnp.arange(T, dtype=jnp.int32)[None, :]
         idx = jnp.arange(T, dtype=jnp.int32)[None, :]
         # padded tokens write to the scratch row S

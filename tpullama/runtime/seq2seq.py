@@ -23,8 +23,8 @@ class Seq2SeqContext:
         S = self.p.n_ctx + 1
         hp = self.hp
         L = len(model.params["dec_layers"])
-        self.kv_k = jnp.zeros((L, 1, S, hp.n_head_kv, hp.n_embd_head_k), jnp.float32)
-        self.kv_v = jnp.zeros((L, 1, S, hp.n_head_kv, hp.n_embd_head_v), jnp.float32)
+        self.kv_k = jnp.zeros((L, 1, hp.n_head_kv, S, hp.n_embd_head_k), jnp.float32)
+        self.kv_v = jnp.zeros((L, 1, hp.n_head_kv, S, hp.n_embd_head_v), jnp.float32)
         self.cross_k = self.cross_v = None
         self.enc_mask = None
         self.n_past = np.zeros(1, np.int32)
@@ -39,7 +39,7 @@ class Seq2SeqContext:
 
     def _decode(self, params, tokens, n_past, last_idx, kv_k, kv_v, ck, cv, enc_mask):
         B1, T = tokens.shape
-        S = kv_k.shape[2] - 1
+        S = kv_k.shape[3] - 1
         pos = n_past + jnp.arange(T, dtype=jnp.int32)[None, :]
         idx = jnp.arange(T, dtype=jnp.int32)[None, :]
         slots = jnp.where(idx <= last_idx, pos, S)
@@ -49,7 +49,7 @@ class Seq2SeqContext:
         )
         mask = jnp.where(vis, 0.0, -1e30).astype(jnp.float32)
         logits, (kv_k2, kv_v2) = t5_decode(
-            params, self.hp, tokens, pos, kv_k[:, :, : S + 1], kv_v[:, :, : S + 1],
+            params, self.hp, tokens, pos, kv_k[:, :, :, : S + 1], kv_v[:, :, :, : S + 1],
             slots, mask, ck, cv, enc_mask,
         )
         sel = jax.lax.dynamic_slice_in_dim(logits[0], last_idx, 1, axis=0)[0]

@@ -113,8 +113,8 @@ class Trainer:
         S = T + 1
         inputs = batch[:, :T]
         targets = batch[:, 1 : T + 1]
-        kv_k = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k), jnp.float32)
-        kv_v = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_v), jnp.float32)
+        kv_k = jnp.zeros((hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_k), jnp.float32)
+        kv_v = jnp.zeros((hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_v), jnp.float32)
         pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
         mask = _causal_mask(T, S)
         logits, _ = llama_forward(params, hp, inputs, pos, kv_k, kv_v, pos, mask,
@@ -238,8 +238,8 @@ class LoraTrainer:
         S = T + 1
         inputs = batch[:, :T]
         targets = batch[:, 1 : T + 1]
-        kv_k = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_k), jnp.float32)
-        kv_v = jnp.zeros((hp.n_layer, B, S, hp.n_head_kv, hp.n_embd_head_v), jnp.float32)
+        kv_k = jnp.zeros((hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_k), jnp.float32)
+        kv_v = jnp.zeros((hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_v), jnp.float32)
         pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
         mask = _causal_mask(T, S)
         logits, _ = llama_forward(params, hp, inputs, pos, kv_k, kv_v, pos, mask,

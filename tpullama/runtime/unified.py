@@ -53,8 +53,8 @@ class UnifiedContext:
         S = n_cells + 1  # scratch row for padded tokens
         self._S = S
         Hkv, Dk, Dv = hp.kv_cache_dims
-        self.kv_k = jnp.zeros((hp.n_layer, 1, S, Hkv, Dk), dtype)
-        self.kv_v = jnp.zeros((hp.n_layer, 1, S, Hkv, Dv), dtype)
+        self.kv_k = jnp.zeros((hp.n_layer, 1, Hkv, S, Dk), dtype)
+        self.kv_v = jnp.zeros((hp.n_layer, 1, Hkv, S, Dv), dtype)
         self.kv_pos = jnp.full((1, S), -1, jnp.int32)
         self.seq_mask = jnp.zeros((1, S), jnp.int32)  # bit s = seq s member
         # host mirrors for the free-cell allocator

@@ -52,9 +52,9 @@ def collect_layer_diffs(model, positive: list[str], negative: list[str],
                 return hidden
 
             fns[T] = run
-        kv_k = jnp.zeros((hp.n_layer, 1, S, hp.n_head_kv, hp.n_embd_head_k),
+        kv_k = jnp.zeros((hp.n_layer, 1, hp.n_head_kv, S, hp.n_embd_head_k),
                          jnp.float32)
-        kv_v = jnp.zeros((hp.n_layer, 1, S, hp.n_head_kv, hp.n_embd_head_v),
+        kv_v = jnp.zeros((hp.n_layer, 1, hp.n_head_kv, S, hp.n_embd_head_v),
                          jnp.float32)
         toks = jnp.asarray(np.asarray(tokens, np.int32)[None, :])
         pos = jnp.asarray(np.arange(T, dtype=np.int32)[None, :])

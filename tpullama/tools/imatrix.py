@@ -50,8 +50,8 @@ def collect_imatrix(model, text: str, n_ctx: int = 512, verbose: bool = True) ->
         T = len(chunk)
         if T < 2:
             continue
-        kv_k = jnp.zeros((hp.n_layer, 1, S, hp.n_head_kv, hp.n_embd_head_k), jnp.float32)
-        kv_v = jnp.zeros((hp.n_layer, 1, S, hp.n_head_kv, hp.n_embd_head_v), jnp.float32)
+        kv_k = jnp.zeros((hp.n_layer, 1, hp.n_head_kv, S, hp.n_embd_head_k), jnp.float32)
+        kv_v = jnp.zeros((hp.n_layer, 1, hp.n_head_kv, S, hp.n_embd_head_v), jnp.float32)
         toks = jnp.asarray(np.asarray(chunk, np.int32)[None, :])
         pos = jnp.asarray(np.arange(T, dtype=np.int32)[None, :])
         slots = pos

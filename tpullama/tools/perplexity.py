@@ -173,6 +173,15 @@ def main(argv=None) -> int:
     ap.add_argument("--kl-divergence-base", default=None,
                     help="save (with --save-all-logits) or compare f16 log-probs")
     ap.add_argument("--save-all-logits", action="store_true")
+    ap.add_argument("--hellaswag", action="store_true",
+                    help="HellaSwag acc_norm over 6-line tasks (-f data)")
+    ap.add_argument("--hellaswag-tasks", type=int, default=400)
+    ap.add_argument("--winogrande", action="store_true",
+                    help="Winogrande accuracy over CSV tasks (-f data)")
+    ap.add_argument("--winogrande-tasks", type=int, default=0)
+    ap.add_argument("--multiple-choice", action="store_true",
+                    help="ARC/MMLU/TruthfulQA binary task file (-f data)")
+    ap.add_argument("--multiple-choice-tasks", type=int, default=0)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--device", default=None)
     args = ap.parse_args(argv)
@@ -188,8 +197,32 @@ def main(argv=None) -> int:
         args.dtype
     ]
     model = load_model(args.model, dtype=dtype)
+    if args.multiple_choice:
+        from .evals import multiple_choice_score
+
+        with open(args.file, "rb") as f:
+            blob = f.read()
+        acc, done = multiple_choice_score(
+            model, blob, args.multiple_choice_tasks, args.ctx_size
+        )
+        print(f"Final result: {acc:.4f} +/- nan")
+        return 0
     with open(args.file, encoding="utf-8") as f:
         text = f.read()
+    if args.hellaswag:
+        from .evals import hellaswag_score
+
+        acc, done = hellaswag_score(model, text, args.hellaswag_tasks,
+                                    args.ctx_size)
+        print(f"Final HellaSwag score({done} tasks): {acc:.4f}")
+        return 0
+    if args.winogrande:
+        from .evals import winogrande_score
+
+        acc, done = winogrande_score(model, text, args.winogrande_tasks,
+                                     args.ctx_size)
+        print(f"Final Winogrande score({done} tasks): {acc:.4f}")
+        return 0
     if args.kl_divergence_base and args.save_all_logits:
         n = save_kl_base(model, text, args.kl_divergence_base, args.ctx_size, args.batch_size)
         print(f"saved {n} log-prob rows to {args.kl_divergence_base}")
