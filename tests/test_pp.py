@@ -96,3 +96,24 @@ def test_pp_rejects_bad_shapes(tiny_model):
                    jnp.zeros((1, 4), jnp.int32), kv, kv,
                    jnp.zeros((1, 4), jnp.int32),
                    jnp.zeros((1, 1, 4, 8), jnp.float32), mesh)
+
+
+def test_context_pp_mode_matches_plain(tiny_model):
+    """--parallel pp as a Context serving mode (the reference
+    auto-enables pipelining in llama_context, src/llama-context.cpp:
+    260-290): prefill + generate through the pipelined engine must
+    match the single-device Context."""
+    from tpullama.runtime import Context, ContextParams
+
+    m = tiny_model
+    toks = list(range(3, 19))
+    plain = Context(m, ContextParams(n_ctx=96))
+    ref = plain.generate(toks, n_predict=8)
+    pp = Context(m, ContextParams(n_ctx=96, parallel="pp", n_pp=4,
+                                  n_micro=2))
+    got = pp.generate(toks, n_predict=8)
+    assert got == ref
+    # batched decode path too
+    l_ref = plain.decode(np.asarray([5], np.int32), n_logits=1)
+    l_pp = pp.decode(np.asarray([5], np.int32), n_logits=1)
+    np.testing.assert_allclose(l_pp, l_ref, rtol=2e-4, atol=2e-4)

@@ -52,3 +52,33 @@ def test_ring_rejects_bad_split():
     with pytest.raises(ValueError, match="divisible"):
         ring_attention(q, q, q, jnp.zeros((1, 8), jnp.int32),
                        jnp.zeros((1, 8), jnp.int32), mesh, 1.0)
+
+
+def test_context_prefill_ring_matches_plain():
+    """Ring-attention prefill THROUGH the Context (engine-level, not the
+    bare op): logits + subsequent greedy generation must match a plain
+    prefill."""
+    import tempfile
+
+    import numpy as np
+
+    from tpullama.models import load_model
+    from tpullama.models.testing import make_tiny_llama_gguf
+    from tpullama.runtime import Context, ContextParams
+
+    path = tempfile.mktemp(suffix=".gguf")
+    make_tiny_llama_gguf(path, n_embd=64, n_layer=2, n_head=4, n_head_kv=2,
+                         n_ff=128, seed=41)
+    m = load_model(path)
+    toks = np.arange(3, 35, dtype=np.int32)  # 32 tokens = 8 sp x 4
+
+    plain = Context(m, ContextParams(n_ctx=96))
+    l_ref = plain.decode(toks, n_logits=1)[-1]
+    ring = Context(m, ContextParams(n_ctx=96))
+    l_ring = ring.prefill_ring(toks, n_sp=8)[-1]
+    np.testing.assert_allclose(l_ring, l_ref, rtol=2e-4, atol=2e-4)
+
+    # generation continues off the ring-written cache
+    ref_gen = plain.generate(np.asarray([5], np.int32), n_predict=6)
+    got_gen = ring.generate(np.asarray([5], np.int32), n_predict=6)
+    assert got_gen == ref_gen

@@ -824,3 +824,31 @@ def test_engine_prefill_interleaves_slots(tmp_path_factory):
     t.join()
     multi = [c for c in calls if len(c) >= 2]
     assert multi, f"no packed multi-slot prefill steps seen: {calls}"
+
+
+def test_split_mode_layer_serves_tokens(tmp_path):
+    """--split-mode layer (--parallel pp serving): completions through
+    the layer-split pipeline must match the plain server's greedy
+    output (the reference auto-pipelines in LLAMA_SPLIT_MODE_LAYER,
+    src/llama-context.cpp:260-290)."""
+    path = str(tmp_path / "m.gguf")
+    make_tiny_llama_gguf(path, seed=29, n_layer=8)
+    model = load_model(path)
+    outs = {}
+    for mode in ("none", "layer"):
+        port = _free_port()
+        httpd = serve(model, port=port, n_slots=1, n_ctx=128, block=False,
+                      split_mode=mode)
+        base = f"http://127.0.0.1:{port}"
+        for _ in range(100):
+            try:
+                urllib.request.urlopen(base + "/health", timeout=1)
+                break
+            except Exception:
+                time.sleep(0.1)
+        out = _post(base, "/v1/completions", {
+            "prompt": "Once upon a time", "max_tokens": 8, "temperature": 0,
+        })
+        outs[mode] = out["choices"][0]["text"]
+        httpd.shutdown()
+    assert outs["layer"] == outs["none"]

@@ -138,6 +138,11 @@ def llama_forward(
     # ffn_down, MoE combine) and the vocab all-gather on the logits —
     # the collectives the reference's split-buffer backend issues by hand
     # (ggml/src/ggml-cuda/ggml-cuda.cu:773-941)
+    sp_axis: str | None = None,  # mesh axis name for sequence-parallel
+    # ring-attention prefill (parallel/ring_attention.py): tokens /
+    # positions / cache-S arrive T-sharded, weights replicated; attention
+    # runs the KV ring over this axis instead of reading the cache
+    # (Context.prefill_ring drives this — fresh causal prefill only)
 ):
     """One decode/prefill step. Returns (logits, (kv_k, kv_v)) with the new
     tokens' K/V scattered into the cache at cache_slots."""
@@ -436,6 +441,17 @@ def llama_forward(
         # scatter new K/V into the head-major cache rows for this ubatch
         # (the ggml_set_rows indexed-write capability, llama-kv-cache.h:145)
         def attend(k_cache, v_cache, slots, layer_mask):
+            if sp_axis is not None and not isinstance(k_cache, dict):
+                # sequence-parallel ring prefill: write this device's
+                # chunk rows locally, attend via the KV ring over the
+                # GLOBAL sequence (causality from global positions)
+                from ..parallel.ring_attention import _ring_body
+
+                k_cache = scatter_rows(k_cache, slots, k)
+                v_cache = scatter_rows(v_cache, slots, v)
+                att = _ring_body(q, k, v, positions, positions,
+                                 kq_scale, sp_axis)
+                return att.astype(q.dtype), k_cache, v_cache
             if isinstance(k_cache, dict):
                 # int8 KV: symmetric per-(token, head) quantization
                 # (the type_k/type_v quantized-cache capability)

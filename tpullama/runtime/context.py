@@ -95,6 +95,12 @@ class ContextParams:
     # reference's swa_full cparam, llama.h:360); False (default): SWA
     # layers keep only a (n_swa + n_ubatch)-sized ring cache — the
     # llama-kv-cache-iswa memory saving
+    parallel: str | None = None  # "pp": serve through the layer-split
+    # pipeline (parallel/pp.py) over an n_pp-device mesh — the engine
+    # analog of the reference's LLAMA_SPLIT_MODE_LAYER auto-pipelining
+    # (src/llama-context.cpp:260-290)
+    n_pp: int = 0  # pipeline stages (0 = all devices)
+    n_micro: int = 4  # micro-batches per prefill ubatch (GPipe overlap)
 
 
 def _bucket(n: int, lo: int = 16) -> int:
@@ -185,6 +191,39 @@ class Context:
         else:
             self.kv_k, self.kv_v = _alloc(hp.n_layer, S)
             self.kv_pos = jnp.full((B, S), -1, jnp.int32)
+        self._pp_mesh = None
+        if self.p.parallel == "pp":
+            # layer-split pipeline serving mode: layer stacks + their KV
+            # shard the leading L axis over the "pp" mesh
+            from ..parallel.pp import make_pp_mesh, pp_param_specs
+
+            if "layer_list" in model.params or hp.is_mla or hp.arch == "gemma3n":
+                raise NotImplementedError(
+                    f"--parallel pp not supported for arch {hp.arch!r} "
+                    "(heterogeneous layer stack)"
+                )
+            if self._S_swa or (hp.n_swa and hp.swa_layers):
+                raise NotImplementedError(
+                    "--parallel pp does not support iswa mask pairs yet"
+                )
+            n_pp = self.p.n_pp or len(jax.devices())
+            if hp.n_layer % n_pp:
+                raise ValueError(
+                    f"n_layer={hp.n_layer} not divisible by pp={n_pp}"
+                )
+            self._pp_mesh = make_pp_mesh(n_pp)
+            # place weights + cache on the mesh (leading-L sharding)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            specs = pp_param_specs(model.params)
+            model.params = jax.tree.map(
+                lambda a, s: jax.device_put(a, NamedSharding(self._pp_mesh, s)),
+                model.params, specs,
+                is_leaf=lambda x: isinstance(x, P),
+            )
+            kv_sh = NamedSharding(self._pp_mesh, P("pp"))
+            self.kv_k = jax.tree.map(lambda a: jax.device_put(a, kv_sh), self.kv_k)
+            self.kv_v = jax.tree.map(lambda a: jax.device_put(a, kv_sh), self.kv_v)
         # host mirrors: per-cell positions (find_slot free-cell allocator,
         # llama-kv-cache.cpp:679 analog) and next logical position
         self._pos_host = np.full((B, S), -1, np.int32)
@@ -278,6 +317,19 @@ class Context:
         elif self.hp.n_swa:
             vis = vis & (kv_pos[:, None, :] > positions[:, :, None] - self.hp.n_swa)
             mask = jnp.where(vis, jnp.float32(0), NEG_INF)[:, None, :, :]
+        if self._pp_mesh is not None:
+            from ..parallel.pp import pp_forward
+
+            n_micro = self.p.n_micro if T > 1 else 1
+            while T % n_micro:
+                n_micro //= 2
+            logits, (kv_k, kv_v) = pp_forward(
+                self.model.params, self.hp, tokens, positions, kv_k, kv_v,
+                slots, mask, self._pp_mesh, n_micro=n_micro,
+                quant_meta=self.model.quant_meta,
+            )
+            # no separate embedding output on the pipeline path
+            return logits, logits, kv_k, kv_v, kv_pos
         if self.hp.arch == "gemma3n":
             from ..models.gemma3n import gemma3n_forward
 
@@ -530,6 +582,81 @@ class Context:
         self.n_past[seq_id] = n_past + T
         if pad:
             out = out[:n_logits]
+        return out
+
+    def prefill_ring(self, tokens: np.ndarray, n_sp: int | None = None,
+                     seq_id: int = 0) -> np.ndarray:
+        """Sequence-parallel prefill via ring attention (the long-context
+        path: per-device attention memory is O(T / n_sp); KV chunks
+        rotate over the ICI ring — parallel/ring_attention.py). Runs on a
+        FRESH sequence (n_past == 0), plain causal archs only; the
+        computed K/V rows are written back into this context's cache so
+        generation continues normally. Returns the last token's logits
+        (1, n_vocab).
+
+        A capability the reference lacks (SURVEY.md §5 stretch goal) —
+        its long context is SWA/cache tricks only."""
+        from ..parallel.ring_attention import make_sp_mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        hp = self.hp
+        if int(self.n_past[seq_id]) != 0:
+            raise ValueError("prefill_ring requires a fresh sequence")
+        if (hp.n_swa or hp.f_max_alibi_bias > 0.0 or hp.attn_logit_softcap
+                or hp.is_mla or hp.arch == "gemma3n"
+                or "layer_list" in self.model.params):
+            raise NotImplementedError(
+                f"prefill_ring: unsupported arch features for {hp.arch!r}"
+            )
+        tokens = np.asarray(tokens, np.int32)
+        T = len(tokens)
+        n_sp = n_sp or len(jax.devices())
+        if T % n_sp or T + 1 > self.p.n_ctx:
+            raise ValueError(f"T={T} must divide sp={n_sp} and fit n_ctx")
+        mesh = make_sp_mesh(n_sp)
+        Hkv, Dk, Dv = hp.kv_cache_dims
+        L = hp.n_layer
+
+        def body(params, toks, pos):
+            from ..models.llama import llama_forward
+
+            Tl = toks.shape[1]
+            kk = jnp.zeros((L, 1, Hkv, Tl, Dk), self.p.dtype)
+            vv = jnp.zeros((L, 1, Hkv, Tl, Dv), self.p.dtype)
+            slots = jnp.broadcast_to(jnp.arange(Tl, dtype=jnp.int32), (1, Tl))
+            mask = jnp.zeros((1, 1, Tl, Tl), jnp.float32)  # unused under sp
+            logits, (kk, vv) = llama_forward(
+                params, hp, toks, pos, kk, vv, slots, mask,
+                quant_meta=self.model.quant_meta, sp_axis="sp",
+            )
+            return logits, kk, vv
+
+        sp = lambda *axes: P(*axes)
+        fn = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), sp(None, "sp"), sp(None, "sp")),
+            out_specs=(sp(None, "sp", None),
+                       sp(None, None, None, "sp", None),
+                       sp(None, None, None, "sp", None)),
+            check_vma=False,
+        ))
+        pos = np.arange(T, dtype=np.int32)[None]
+        t0 = time.perf_counter()
+        logits, kk, vv = fn(self.model.params, jnp.asarray(tokens[None]),
+                            jnp.asarray(pos))
+        # bulk-write the computed rows into this context's cache lane
+        upd = lambda c, new: jax.lax.dynamic_update_slice(
+            c, new.astype(c.dtype), (0, seq_id, 0, 0, 0)
+        )
+        self.kv_k = upd(self.kv_k, kk)
+        self.kv_v = upd(self.kv_v, vv)
+        kp = self._kp()
+        self.kv_pos = kp.at[seq_id, :T].set(jnp.arange(T, dtype=jnp.int32))
+        out = np.asarray(logits[:, -1, :])
+        self.perf.t_prefill_ms += (time.perf_counter() - t0) * 1000
+        self.perf.n_prefill += T
+        self._pos_host[seq_id, :T] = pos[0]
+        self.n_past[seq_id] = T
         return out
 
     def decode_embd(self, embd: np.ndarray, n_logits: int = 1, seq_id: int = 0,

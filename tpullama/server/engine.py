@@ -85,7 +85,7 @@ class Slot:
 class ServerEngine:
     def __init__(self, model, n_slots: int = 4, n_ctx: int = 1024, n_ubatch: int = 256,
                  dtype=None, draft_model=None, spec_params=None,
-                 kv_unified: bool = False):
+                 kv_unified: bool = False, split_mode: str = "none"):
         import jax.numpy as jnp
 
         self.model = model
@@ -93,6 +93,9 @@ class ServerEngine:
         cp = ContextParams(
             n_ctx=n_ctx, n_seqs=n_slots, n_ubatch=n_ubatch,
             dtype=dtype or jnp.float32,
+            # --split-mode layer: layer-split pipeline over all devices
+            # (the reference's LLAMA_SPLIT_MODE_LAYER)
+            parallel="pp" if split_mode == "layer" else None,
         )
         if kv_unified and not model.hparams.is_encoder:
             # one shared cell pool across all slots (the reference's

@@ -906,7 +906,8 @@ def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
           n_ctx: int = 1024, model_name: str = "model", block: bool = True,
           mmproj: str | None = None, slot_save_path: str | None = None,
           loras: list[tuple[str, float]] | None = None,
-          draft_model=None, spec_params=None, kv_unified: bool = False):
+          draft_model=None, spec_params=None, kv_unified: bool = False,
+          split_mode: str = "none"):
     base_model = None
     lora_entries = []
     if loras:
@@ -921,7 +922,7 @@ def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
                 model = apply_lora(model, adapter, scale)
     engine = ServerEngine(model, n_slots=n_slots, n_ctx=n_ctx,
                           draft_model=draft_model, spec_params=spec_params,
-                          kv_unified=kv_unified)
+                          kv_unified=kv_unified, split_mode=split_mode)
     engine.start()
     mtmd = None
     if mmproj:
@@ -971,6 +972,12 @@ def main(argv=None):
                          "decoding)")
     ap.add_argument("--draft-max", type=int, default=16)
     ap.add_argument("--draft-p-min", type=float, default=0.75)
+    ap.add_argument("-sm", "--split-mode", default=os.environ.get(
+                        "LLAMA_ARG_SPLIT_MODE", "none"),
+                    choices=["none", "layer"],
+                    help="multi-device split: 'layer' = layer-split "
+                         "pipeline over all devices (the reference's "
+                         "LLAMA_SPLIT_MODE_LAYER)")
     ap.add_argument("--kv-unified", action="store_true",
                     default=os.environ.get("LLAMA_ARG_KV_UNIFIED", "") not in ("", "0"),
                     help="one shared KV cell pool across slots (n_ctx = total; "
@@ -998,7 +1005,7 @@ def main(argv=None):
           model_name=args.model, mmproj=args.mmproj,
           slot_save_path=args.slot_save_path, loras=loras or None,
           draft_model=draft_model, spec_params=spec_params,
-          kv_unified=args.kv_unified)
+          kv_unified=args.kv_unified, split_mode=args.split_mode)
 
 
 if __name__ == "__main__":
