@@ -126,3 +126,44 @@ def test_server_engine_on_unified_pool(model):
         return [list(t.out_tokens) for t in tasks]
 
     assert run(True) == run(False)
+
+
+def test_unified_many_sequences(model):
+    """>32 sequences on the multi-word bitset (toward LLAMA_MAX_SEQ=256,
+    src/llama-cparams.h:7): per-seq decode isolation must hold across
+    word boundaries (seq 31 vs 32 vs 95)."""
+    ctx = UnifiedContext(model, n_cells=384, n_seqs=96)
+    toks = model.vocab.tokenize("Once upon a time", add_special=True)
+    outs = {}
+    for sid in (0, 31, 32, 64, 95):
+        outs[sid] = ctx.decode(np.asarray(toks, np.int32), seq_id=sid)[-1]
+    for sid in (31, 32, 64, 95):
+        np.testing.assert_allclose(outs[sid], outs[0], rtol=1e-4, atol=1e-4)
+    # per-seq removal only touches that word's bit
+    used = ctx.used_cells()
+    ctx.seq_rm(0, -1, seq_id=32)
+    assert ctx.used_cells() == used - len(toks)
+    np.testing.assert_allclose(
+        ctx.decode(np.asarray([toks[0]], np.int32), seq_id=95)[-1].shape,
+        outs[0].shape,
+    )
+
+
+def test_unified_swa_composes():
+    """--kv-unified + a SWA model (gemma3-style swa_layers): the pool
+    serves SWA archs through the windowed mask pair; logits must match
+    the plain per-lane Context."""
+    import tempfile
+
+    path = tempfile.mktemp(suffix=".gguf")
+    make_tiny_llama_gguf(path, arch="gemma3", n_embd=64, n_layer=4,
+                         n_head=4, n_head_kv=2, n_ff=128, seed=51)
+    model = load_model(path)
+    hp = model.hparams
+    assert hp.n_swa and hp.swa_layers, "fixture should be SWA"
+    toks = model.vocab.tokenize("Once upon a time there was", add_special=True)
+    ref = Context(model, ContextParams(n_ctx=96, swa_full=True)).decode(
+        np.asarray(toks, np.int32), n_logits=1)[-1]
+    uni = UnifiedContext(model, n_cells=96, n_seqs=2)
+    got = uni.decode(np.asarray(toks, np.int32), seq_id=1)[-1]
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

@@ -106,6 +106,15 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
     if exact is None:
         exact = interpret or os.environ.get("TPULLAMA_QMM_EXACT", "0") == "1"
     tile_n = int(os.environ.get("TPULLAMA_QMM_TILE_N", tile_n))
+    pad_n = (128 - N % 128) % 128  # Mosaic 128-lane out tiling (e.g. the
+    # gpt-oss 2880-row tensors); zero row padding is loop-invariant with
+    # the weights, so XLA hoists it out of the decode scan
+    if pad_n:
+        pq_fields = {
+            k: jnp.pad(v, [(0, 0)] * (v.ndim - 2) + [(0, pad_n), (0, 0)])
+            for k, v in pq_fields.items()
+        }
+        N = N + pad_n
     # (a VPU-matvec decode path was measured at 308-482 GB/s vs this
     # kernel's ~540 on v5e — the MXU dot with in-kernel dequant wins, so
     # no VPU branch exists; see scripts/mxu_probe.py)
@@ -258,7 +267,7 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
         scalar=jnp.asarray(layer, jnp.int32).reshape(1) if stacked else None,
         interpret=interpret,
     )
-    return out[:T] if pad_t else out
+    return out[:T, :n_out] if (pad_t or pad_n) else out
 
 
 def quantized_matmul_gathered(
@@ -294,6 +303,14 @@ def quantized_matmul_gathered(
     assert sel.shape == (n_tiles,), (sel.shape, n_tiles)
     if exact is None:
         exact = interpret or os.environ.get("TPULLAMA_QMM_EXACT", "0") == "1"
+    pad_n = (128 - N % 128) % 128  # Mosaic 128-lane out tiling; padded
+    # per-expert rows are zeros and get sliced off the output
+    if pad_n:
+        pq_fields = {
+            k: jnp.pad(v, [(0, 0)] * (v.ndim - 2) + [(0, pad_n), (0, 0)])
+            for k, v in pq_fields.items()
+        }
+        N = N + pad_n
     tn = min(tile_n, N)
     while N % tn:
         tn //= 2
@@ -373,7 +390,7 @@ def quantized_matmul_gathered(
     return _call_qmm_kernel(
         kernel, grid, in_specs, out_spec, out_shape, operands,
         scalar=jnp.asarray(sel, jnp.int32), interpret=interpret,
-    )[:, 0, :]
+    )[:, 0, :n_out]
 
 
 def _call_qmm_kernel(kernel, grid, in_specs, out_spec, out_shape, operands,

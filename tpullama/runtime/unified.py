@@ -9,10 +9,18 @@ actual lengths — and `seq_cp` is O(1) metadata (set the destination
 sequence's bit on the shared cells), giving zero-copy shared prompt
 prefixes across slots.
 
-Cell ownership is an int32 bitmask (one bit per sequence, n_seqs <= 32);
+Cell ownership is a multi-word bitmask (W = ceil(n_seqs/32) int32 words
+per cell — up to LLAMA_MAX_SEQ=256 sequences, src/llama-cparams.h:7);
 visibility of cell c to a query of sequence s:
-    (seq_mask[c] >> s) & 1  ∧  kv_pos[c] >= 0  ∧  kv_pos[c] <= q_pos
+    (seq_mask[c, s//32] >> (s%32)) & 1  ∧  kv_pos[c] >= 0
+    ∧  kv_pos[c] <= q_pos
 — the SURVEY.md A.5 predicate with the bitset membership test.
+
+SWA models (gemma3-style swa_layers) compose with the pool: SWA layers
+read the same shared cells through a windowed mask pair (the iswa ring
+cache's memory saving does not apply here — full layers keep the cells
+live; the reference's unified+iswa runs two unified caches the same
+way).
 """
 
 from __future__ import annotations
@@ -40,25 +48,27 @@ class UnifiedContext:
 
     def __init__(self, model, n_cells: int = 512, n_seqs: int = 8,
                  dtype=jnp.float32):
-        if n_seqs > 32:
-            raise ValueError("unified pool supports up to 32 sequences")
+        if n_seqs > 256:
+            raise ValueError(
+                "unified pool supports up to 256 sequences (LLAMA_MAX_SEQ)"
+            )
         self.model = model
         self.hp = model.hparams
         hp = self.hp
-        if hp.swa_layers and any(hp.swa_layers):
-            raise NotImplementedError(
-                "unified pool + iswa small cache not combined yet"
-            )
         self.n_seqs = n_seqs
-        S = n_cells + 1  # scratch row for padded tokens
+        self._W = -(-n_seqs // 32)  # bitset words per cell
+        # scratch row for padded tokens; 128-rounded (flash-decode tiles)
+        # — the allocator still hands out only n_cells (the pool budget)
+        S = -(-(n_cells + 1) // 128) * 128
         self._S = S
+        self._n_cells = n_cells
         Hkv, Dk, Dv = hp.kv_cache_dims
         self.kv_k = jnp.zeros((hp.n_layer, 1, Hkv, S, Dk), dtype)
         self.kv_v = jnp.zeros((hp.n_layer, 1, Hkv, S, Dv), dtype)
         self.kv_pos = jnp.full((1, S), -1, jnp.int32)
-        self.seq_mask = jnp.zeros((1, S), jnp.int32)  # bit s = seq s member
+        self.seq_mask = jnp.zeros((1, S, self._W), jnp.int32)
         # host mirrors for the free-cell allocator
-        self._mask_host = np.zeros(S, np.int64)
+        self._mask_host = np.zeros((S, self._W), np.uint32)
         self._pos_host = np.full(S, -1, np.int32)
         self.n_past = np.zeros(n_seqs, np.int32)
         from .context import ContextParams, PerfCounters
@@ -72,18 +82,37 @@ class UnifiedContext:
     def _step(self, params, kv_k, kv_v, kv_pos, seq_mask, tokens, positions,
               slots, seq_ids, n_logits: int):
         """tokens/positions/slots/seq_ids: (1, T). New cells become owned
-        by exactly their writer's bit."""
+        by exactly their writer's bit (one word of the W-word bitset)."""
+        W = self._W
+        word = seq_ids[0] // 32
+        bit = seq_ids[0] % 32
         kv_pos = kv_pos.at[0, slots[0]].set(positions[0])
-        seq_mask = seq_mask.at[0, slots[0]].set(
-            jnp.where(positions[0] >= 0, 1 << seq_ids[0], 0)
-        )
-        member = (seq_mask[0][None, None, :] >> seq_ids[0][None, :, None]) & 1
-        vis = (
-            (member == 1)
-            & (kv_pos[0][None, None, :] >= 0)
-            & (kv_pos[0][None, None, :] <= positions[0][None, :, None])
-        )
-        mask = jnp.where(vis, jnp.float32(0), NEG_INF)[:, None, :, :]
+        onehot = jnp.where(
+            (jnp.arange(W, dtype=jnp.int32)[None, :] == word[:, None])
+            & (positions[0] >= 0)[:, None],
+            (1 << bit)[:, None], 0,
+        )  # (T, W)
+        seq_mask = seq_mask.at[0, slots[0]].set(onehot)
+        # membership: each query token reads its own bitset word per cell
+        sm_t = jnp.take(seq_mask[0], word, axis=1)  # (S, T)
+        member = (sm_t.T >> bit[:, None]) & 1  # (T, S)
+        occupied = kv_pos[0][None, :] >= 0
+        causal = kv_pos[0][None, :] <= positions[0][:, None]
+        vis = (member == 1) & occupied & causal
+        mask = jnp.where(vis, jnp.float32(0), NEG_INF)[None, None, :, :]
+        hp = self.hp
+        if hp.n_swa and hp.swa_layers:
+            # SWA layers share the pool cells through a windowed mask
+            # (chunked for llama4 — llama_hparams::is_masked_swa)
+            if hp.swa_type == "chunked":
+                chunk_start = (positions[0][:, None] // hp.n_swa) * hp.n_swa
+                vis_swa = vis & (kv_pos[0][None, :] >= chunk_start)
+            else:
+                vis_swa = vis & (
+                    kv_pos[0][None, :] > positions[0][:, None] - hp.n_swa
+                )
+            mask = (mask,
+                    jnp.where(vis_swa, jnp.float32(0), NEG_INF)[None, None])
         logits, _, (kv_k, kv_v) = llama_forward(
             params, self.hp, tokens, positions, kv_k, kv_v, slots, mask,
             quant_meta=self.model.quant_meta, return_embd=True,
@@ -93,8 +122,18 @@ class UnifiedContext:
 
     # ------------------------------------------------------------------
 
+    def _set_owner(self, cells, seq_ids):
+        """Cells become owned by exactly seq_ids' bit."""
+        seq_ids = np.asarray(seq_ids)
+        self._mask_host[cells] = 0
+        self._mask_host[cells, seq_ids // 32] = np.uint32(1) << (
+            seq_ids % 32
+        ).astype(np.uint32)
+
     def _alloc(self, n: int) -> np.ndarray:
-        free = np.nonzero((self._mask_host[: self._S - 1] == 0))[0]
+        free = np.nonzero(
+            (self._mask_host[: self._n_cells] == 0).all(axis=1)
+        )[0]
         if len(free) < n:
             raise ValueError(
                 f"unified pool exhausted: need {n} cells, have {len(free)} "
@@ -120,7 +159,7 @@ class UnifiedContext:
             self.seq_mask, jnp.asarray(toks), jnp.asarray(posp),
             jnp.asarray(slots), jnp.asarray(seqs), n_logits=n_logits + pad,
         )
-        self._mask_host[cells] = 1 << seq_id
+        self._set_owner(cells, seq_id)
         self._pos_host[cells] = pos
         self.n_past[seq_id] = n_past + T
         out = np.asarray(out)
@@ -141,7 +180,7 @@ class UnifiedContext:
             self.seq_mask, jnp.asarray(toks[None]), jnp.asarray(pos[None]),
             jnp.asarray(cells[None]), jnp.asarray(seqs[None]), n_logits=Tb,
         )
-        self._mask_host[cells] = 1 << seqs
+        self._set_owner(cells, seqs)
         self._pos_host[cells] = pos
         for s, _ in items:
             self.n_past[s] += 1
@@ -154,22 +193,26 @@ class UnifiedContext:
         """O(1) zero-copy: dst joins every cell src owns (the bitset
         seq_cp of llama-kv-cells.h) — shared prompt prefixes cost no
         extra pool cells."""
-        sel = (self._mask_host & (1 << src)) != 0
-        self._mask_host[sel] |= 1 << dst
-        self.seq_mask = jnp.asarray(self._mask_host[None].astype(np.int32))
+        sel = (self._mask_host[:, src // 32]
+               & (np.uint32(1) << np.uint32(src % 32))) != 0
+        self._mask_host[sel, dst // 32] |= np.uint32(1) << np.uint32(dst % 32)
+        self.seq_mask = jnp.asarray(
+            self._mask_host[None].view(np.int32)
+        )
         self.n_past[dst] = self.n_past[src]
 
     def seq_rm(self, p0: int, p1: int, seq_id: int = 0):
         if p1 < 0:
             p1 = 1 << 30
+        w, b = seq_id // 32, np.uint32(1) << np.uint32(seq_id % 32)
         sel = (
-            ((self._mask_host & (1 << seq_id)) != 0)
+            ((self._mask_host[:, w] & b) != 0)
             & (self._pos_host >= p0)
             & (self._pos_host < p1)
         )
-        self._mask_host[sel] &= ~(1 << seq_id)
-        self._pos_host[self._mask_host == 0] = -1
-        self.seq_mask = jnp.asarray(self._mask_host[None].astype(np.int32))
+        self._mask_host[sel, w] &= ~b
+        self._pos_host[(self._mask_host == 0).all(axis=1)] = -1
+        self.seq_mask = jnp.asarray(self._mask_host[None].view(np.int32))
         self.kv_pos = jnp.asarray(self._pos_host[None])
         if p1 >= int(self.n_past[seq_id]):
             self.n_past[seq_id] = min(int(self.n_past[seq_id]), p0)
@@ -179,7 +222,7 @@ class UnifiedContext:
         self.n_past[seq_id] = min(int(self.n_past[seq_id]), position)
 
     def used_cells(self) -> int:
-        return int((self._mask_host[: self._S - 1] != 0).sum())
+        return int((self._mask_host[: self._n_cells] != 0).any(axis=1).sum())
 
     # ---------------------------------------------- server-engine API
 
@@ -206,7 +249,7 @@ class UnifiedContext:
             jnp.asarray(np.asarray(seqs, np.int32)[None]),
             n_logits=T,
         )
-        self._mask_host[cells] = 1 << np.asarray(seqs, np.int64)
+        self._set_owner(cells, np.asarray(seqs, np.int64))
         self._pos_host[cells] = pos
         for sid, chunk in chunks:
             self.n_past[sid] += len(chunk)
