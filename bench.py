@@ -100,8 +100,14 @@ def build_params(hp, dtype, seed=0, quant=None, abstract=False):
     s = 1.0 / np.sqrt(E)
     fused = hp.ffn_fused_up
     lm = qmeta["layers"]
+    # BENCH_EMBD_Q8=1: keep the embedding table Q8_0-packed in HBM
+    # (gather+dequant rows in-forward) — 20B-class MoE needs the 1.1 GiB
+    embd_q8 = os.environ.get("BENCH_EMBD_Q8", "0") == "1" and quant
     params = {
-        "tok_embd": mat((hp.n_vocab, E), 0.02),
+        "tok_embd": (
+            qmat((hp.n_vocab, E), 0.02, qmeta, "tok_embd", qt="Q8_0")
+            if embd_q8 else mat((hp.n_vocab, E), 0.02)
+        ),
         "output_norm": jnp.ones((E,), dtype),
         "output": qmat((hp.n_vocab, E), s, qmeta, "output"),
         "layers": {
@@ -144,12 +150,28 @@ def build_params(hp, dtype, seed=0, quant=None, abstract=False):
         del params["layers"]["ffn_down"]
         lm.pop("ffn_down", None)
         params["layers"]["ffn_gate_inp"] = mat((L, nE, E), s)
+        # per-expert rows 128-padded at BUILD time (the gathered kernel's
+        # Mosaic out tiling — avoids a transient padded copy of the
+        # multi-GB expert stacks in HBM); metas keep the TRUE rows
+        Fp = -(-F // 128) * 128
+        Ep = -(-E // 128) * 128
+        # flat (L·E, rows, kcols) expert stacks (ops/moe.py rs(): a
+        # per-call dim-merge reshape costs multi-GB XLA relayout copies)
         params["layers"]["ffn_gate_exps"] = qmat(
-            (L, nE * F, E), s, lm, "ffn_gate_exps", qt=qe)
+            (L * nE, Fp, E), s, lm, "ffn_gate_exps", qt=qe)
         params["layers"]["ffn_up_exps"] = qmat(
-            (L, nE * F, E), s, lm, "ffn_up_exps", qt=qe)
+            (L * nE, Fp, E), s, lm, "ffn_up_exps", qt=qe)
         params["layers"]["ffn_down_exps"] = qmat(
-            (L, nE * E, F), 1.0 / np.sqrt(F), lm, "ffn_down_exps", qt=qe)
+            (L * nE, Ep, F), 1.0 / np.sqrt(F), lm, "ffn_down_exps", qt=qe)
+        if quant is not None or qe:
+            from tpullama.models.loader import QuantMeta
+
+            for key, true_n, k_in in (
+                ("ffn_gate_exps", nE * F, E), ("ffn_up_exps", nE * F, E),
+                ("ffn_down_exps", nE * E, F),
+            ):
+                m0 = lm[key]
+                lm[key] = QuantMeta(m0.ggml_type, m0.group, true_n, k_in)
         if os.environ.get("BENCH_MOE_BIAS", "1") == "1":  # gpt-oss add_id biases
             params["layers"]["ffn_gate_exps_b"] = mat((L, nE, F), 0.02)
             params["layers"]["ffn_up_exps_b"] = mat((L, nE, F), 0.02)

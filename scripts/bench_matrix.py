@@ -175,7 +175,20 @@ def main():
     t0 = time.time()
     params, quant_meta = build_params(hp, dtype, quant=quant, abstract=args.aot)
     if not args.aot:
-        params = jax.device_put(params)
+        # pin row-major layouts: XLA otherwise picks compact entry
+        # layouts for big padded-tile u8 stacks and then materializes
+        # per-use relayout copies (3x the expert stacks at gpt-oss size)
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        dev = jax.devices()[0]
+
+        def rm(a):
+            fmt = Format(Layout(tuple(range(a.ndim - 1, -1, -1))),
+                         SingleDeviceSharding(dev))
+            return jax.device_put(a, fmt)
+
+        params = jax.tree.map(rm, params)
         jax.block_until_ready(jax.tree.leaves(params)[0])
     build_s = time.time() - t0
     n_pb = param_bytes(params)

@@ -1,0 +1,29 @@
+"""Run the reference convert_hf_to_gguf.py with test shims:
+- sentencepiece shim (this directory on sys.path)
+- unknown synthetic-BPE pre-tokenizer hashes fall back to "default"
+  (the reference hard-raises on unknown checksums; our test tokenizers
+  are synthetic so no hash can match)
+"""
+
+import importlib.util
+import sys
+
+spec = importlib.util.spec_from_file_location(
+    "convert_hf_to_gguf", "/root/reference/convert_hf_to_gguf.py")
+mod = importlib.util.module_from_spec(spec)
+sys.modules["convert_hf_to_gguf"] = mod
+spec.loader.exec_module(mod)
+
+_orig = mod.TextModel.get_vocab_base_pre
+
+
+def _patched(self, tokenizer):
+    try:
+        return _orig(self, tokenizer)
+    except NotImplementedError:
+        return "default"
+
+
+mod.TextModel.get_vocab_base_pre = _patched
+sys.argv = ["convert_hf_to_gguf.py", *sys.argv[1:]]
+mod.main()

@@ -33,7 +33,9 @@ def _write_bpe_tokenizer(d):
     tok = Tokenizer(models.BPE(vocab=vocab, merges=[]))
     tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
     tok.save(str(d) + "/tokenizer.json")
-    json.dump({"add_bos_token": False}, open(str(d) + "/tokenizer_config.json", "w"))
+    json.dump({"add_bos_token": False,
+           "tokenizer_class": "PreTrainedTokenizerFast"},
+          open(str(d) + "/tokenizer_config.json", "w"))
 
 
 BASE = dict(

@@ -1,0 +1,400 @@
+"""Converter parity vs the REFERENCE convert_hf_to_gguf.py: build a
+synthetic HF checkpoint (raw safetensors — no transformers class
+needed), convert it with BOTH converters, and compare the GGUFs
+tensor-by-tensor and KV-by-KV. The strongest possible conversion
+oracle, and it covers families transformers itself doesn't ship."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tpullama.gguf import GGUFReader
+from tpullama.tools.convert_hf import convert
+
+REF_CONVERT = "/root/reference/convert_hf_to_gguf.py"
+REF_ENV = {**os.environ, "PYTHONPATH": "/root/reference/gguf-py"}
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_CONVERT), reason="reference converter absent"
+)
+
+
+def _write_bpe_tokenizer(d):
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_convert_hf_families import _write_bpe_tokenizer as w
+
+    w(d)
+
+
+def save_ckpt(d, config, tensors, vocab="bpe"):
+    import torch
+    from safetensors.torch import save_file
+
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(config, f)
+    save_file({k: torch.tensor(np.ascontiguousarray(v))
+               for k, v in tensors.items()},
+              os.path.join(d, "model.safetensors"))
+    from pathlib import Path
+
+    if vocab == "bpe":
+        _write_bpe_tokenizer(Path(d))
+    elif vocab == "spm":
+        write_spm_model(os.path.join(d, "tokenizer.model"),
+                        spm_pieces(config.get("vocab_size", 261)))
+
+
+def ref_convert(d, out):
+    shim = os.path.join(os.path.dirname(__file__), "_spshim")
+    env = dict(REF_ENV)
+    env["PYTHONPATH"] = f"/root/reference/gguf-py:{shim}"
+    runner = os.path.join(shim, "run_ref_convert.py")
+    r = subprocess.run(
+        [sys.executable, runner, d, "--outfile", out, "--outtype", "f32"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    if r.returncode != 0:
+        raise AssertionError("reference converter failed:\n" + r.stderr[-2500:])
+    return out
+
+
+def _varint(n):
+    out = b""
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out += bytes([b | (0x80 if n else 0)])
+        if not n:
+            return out
+
+
+def write_spm_model(path, pieces):
+    """Minimal sentencepiece ModelProto writer: repeated SentencePiece
+    (field 1) with {1: piece, 2: score, 3: type}."""
+    import struct
+
+    blob = b""
+    for piece, score, ptype in pieces:
+        pb = piece.encode("utf-8")
+        sub = (b"\x0a" + _varint(len(pb)) + pb
+               + b"\x15" + struct.pack("<f", score)
+               + b"\x18" + _varint(ptype))
+        blob += b"\x0a" + _varint(len(sub)) + sub
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def spm_pieces(n_vocab=261):
+    pieces = [("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3)]
+    for b in range(256):
+        pieces.append((f"<0x{b:02X}>", 0.0, 6))
+    i = 0
+    while len(pieces) < n_vocab:
+        pieces.append((f"▁tok{i}", -float(i), 1))
+        i += 1
+    return pieces[:n_vocab]
+
+
+SKIP_KV_PREFIXES = ("general.",)
+# keys whose values are formatting/metadata choices, not model semantics
+SKIP_KV = {"tokenizer.ggml.padding_token_id", "tokenizer.chat_template"}
+
+
+def compare_ggufs(ref_path, our_path, rtol=1e-5, atol=1e-6):
+    ref = GGUFReader(ref_path)
+    ours = GGUFReader(our_path)
+    problems = []
+    for k, v in ref.kv.items():
+        if k.startswith(SKIP_KV_PREFIXES) or k in SKIP_KV:
+            continue
+        ov = ours.kv.get(k, "<MISSING>")
+        same = False
+        try:
+            if isinstance(v, (list, np.ndarray)):
+                same = np.array_equal(np.asarray(v), np.asarray(ov))
+            elif isinstance(v, float) or isinstance(ov, float):
+                same = abs(float(v) - float(ov)) <= 1e-6 * max(1, abs(float(v)))
+            else:
+                same = v == ov
+        except Exception:
+            same = False
+        if not same:
+            problems.append(f"KV {k}: ref={v!r} ours={ov!r}")
+    rn = set(ref.tensors)
+    on = set(ours.tensors)
+    for name in sorted(rn - on):
+        problems.append(f"tensor only in ref: {name}")
+    for name in sorted(on - rn):
+        problems.append(f"tensor only in ours: {name}")
+    for name in sorted(rn & on):
+        a = ref.tensor_f32(name) if hasattr(ref, 'tensor_f32') else ref.tensor_dequant(name)
+        b = ours.tensor_f32(name) if hasattr(ours, 'tensor_f32') else ours.tensor_dequant(name)
+        if a.shape != b.shape:
+            problems.append(f"{name}: shape ref={a.shape} ours={b.shape}")
+        elif not np.allclose(np.asarray(a, np.float64),
+                             np.asarray(b, np.float64), rtol=rtol, atol=atol):
+            md = float(np.abs(np.asarray(a, np.float64)
+                              - np.asarray(b, np.float64)).max())
+            problems.append(f"{name}: value maxdiff {md}")
+    assert not problems, "\n".join(problems[:40])
+
+
+def rnd(rng, *shape, scale=0.05):
+    return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+
+def llama_like_tensors(rng, L=2, V=261, E=64, H=4, KV=2, HD=16, F=128,
+                       prefix="model.", bias=False, ln=False,
+                       tied=False, qk_norm=False):
+    t = {f"{prefix}embed_tokens.weight": rnd(rng, V, E),
+         f"{prefix}norm.weight": 1.0 + rnd(rng, E)}
+    if not tied:
+        t["lm_head.weight"] = rnd(rng, V, E)
+    for i in range(L):
+        p = f"{prefix}layers.{i}."
+        t[p + "input_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "post_attention_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "self_attn.q_proj.weight"] = rnd(rng, H * HD, E)
+        t[p + "self_attn.k_proj.weight"] = rnd(rng, KV * HD, E)
+        t[p + "self_attn.v_proj.weight"] = rnd(rng, KV * HD, E)
+        t[p + "self_attn.o_proj.weight"] = rnd(rng, E, H * HD)
+        t[p + "mlp.gate_proj.weight"] = rnd(rng, F, E)
+        t[p + "mlp.up_proj.weight"] = rnd(rng, F, E)
+        t[p + "mlp.down_proj.weight"] = rnd(rng, E, F)
+        if ln:
+            t[p + "input_layernorm.bias"] = rnd(rng, E)
+            t[p + "post_attention_layernorm.bias"] = rnd(rng, E)
+        if bias:
+            for nm, n in (("q_proj", H * HD), ("k_proj", KV * HD),
+                          ("v_proj", KV * HD), ("o_proj", E)):
+                t[p + f"self_attn.{nm}.bias"] = rnd(rng, n)
+        if qk_norm:
+            t[p + "self_attn.q_norm.weight"] = 1.0 + rnd(rng, HD)
+            t[p + "self_attn.k_norm.weight"] = 1.0 + rnd(rng, HD)
+    if ln:
+        t[f"{prefix}norm.bias"] = rnd(rng, E)
+    return t
+
+
+BASE_CFG = dict(
+    vocab_size=261, hidden_size=64, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+    max_position_embeddings=256, rms_norm_eps=1e-5, rope_theta=10000.0,
+    head_dim=16, bos_token_id=1, eos_token_id=2,
+)
+
+
+def run_case(tmp_path, name, config, tensors, vocab="bpe"):
+    d = str(tmp_path / name)
+    save_ckpt(d, config, tensors, vocab=vocab)
+    ref_out = str(tmp_path / f"{name}_ref.gguf")
+    our_out = str(tmp_path / f"{name}_ours.gguf")
+    ref_convert(d, ref_out)
+    convert(d, our_out, outtype="f32", verbose=False)
+    compare_ggufs(ref_out, our_out)
+
+
+def test_parity_llama(tmp_path):
+    rng = np.random.default_rng(0)
+    cfg = dict(BASE_CFG, architectures=["LlamaForCausalLM"],
+               model_type="llama", tie_word_embeddings=False)
+    run_case(tmp_path, "llama", cfg, llama_like_tensors(rng), vocab="spm")
+
+
+def test_parity_xverse(tmp_path):
+    rng = np.random.default_rng(1)
+    cfg = dict(BASE_CFG, architectures=["XverseForCausalLM"],
+               model_type="xverse", max_sequence_length=512,
+               vocab_size=258)  # xverse's vocab walk indexes every id
+    cfg.pop("head_dim")
+    run_case(tmp_path, "xverse", cfg, llama_like_tensors(rng, V=258))
+
+
+def test_parity_orion(tmp_path):
+    rng = np.random.default_rng(2)
+    cfg = dict(BASE_CFG, architectures=["OrionForCausalLM"],
+               model_type="orion")
+    cfg.pop("head_dim")
+    run_case(tmp_path, "orion", cfg, llama_like_tensors(rng, ln=True),
+             vocab="spm")
+
+
+def test_parity_internlm3(tmp_path):
+    rng = np.random.default_rng(3)
+    cfg = dict(BASE_CFG, architectures=["InternLM3ForCausalLM"],
+               model_type="internlm3")
+    run_case(tmp_path, "internlm3", cfg, llama_like_tensors(rng),
+             vocab="spm")
+
+
+def test_parity_exaone(tmp_path):
+    rng = np.random.default_rng(4)
+    cfg = dict(vocab_size=261, hidden_size=64, num_layers=2,
+               num_hidden_layers=2, num_attention_heads=4,
+               num_key_value_heads=2, intermediate_size=128,
+               max_position_embeddings=256, layer_norm_epsilon=1e-5,
+               rope_theta=10000.0, activation_function="silu",
+               architectures=["ExaoneForCausalLM"], model_type="exaone",
+               bos_token_id=1, eos_token_id=2)
+    t = {"transformer.wte.weight": rnd(rng, 261, 64),
+         "transformer.ln_f.weight": 1.0 + rnd(rng, 64),
+         "lm_head.weight": rnd(rng, 261, 64)}
+    for i in range(2):
+        p = f"transformer.h.{i}."
+        t[p + "ln_1.weight"] = 1.0 + rnd(rng, 64)
+        t[p + "ln_2.weight"] = 1.0 + rnd(rng, 64)
+        t[p + "attn.attention.q_proj.weight"] = rnd(rng, 64, 64)
+        t[p + "attn.attention.k_proj.weight"] = rnd(rng, 32, 64)
+        t[p + "attn.attention.v_proj.weight"] = rnd(rng, 32, 64)
+        t[p + "attn.attention.out_proj.weight"] = rnd(rng, 64, 64)
+        t[p + "mlp.c_fc_0.weight"] = rnd(rng, 128, 64)
+        t[p + "mlp.c_fc_1.weight"] = rnd(rng, 128, 64)
+        t[p + "mlp.c_proj.weight"] = rnd(rng, 64, 128)
+    run_case(tmp_path, "exaone", cfg, t)
+
+
+def test_parity_pangu(tmp_path):
+    rng = np.random.default_rng(5)
+    cfg = dict(BASE_CFG, architectures=["PanguEmbeddedForCausalLM"],
+               model_type="pangu_embedded")
+    cfg.pop("head_dim")
+    run_case(tmp_path, "pangu", cfg, llama_like_tensors(rng, bias=True),
+             vocab="spm")
+
+
+def test_parity_plm(tmp_path):
+    rng = np.random.default_rng(6)
+    kv_rank, qk_nope, qk_rope, v_hd, H = 32, 16, 8, 16, 4
+    cfg = dict(vocab_size=261, hidden_size=64, num_hidden_layers=2,
+               num_attention_heads=H, num_key_value_heads=H,
+               intermediate_size=128, max_position_embeddings=256,
+               rms_norm_eps=1e-5, rope_theta=10000.0,
+               kv_lora_rank=kv_rank, qk_nope_head_dim=qk_nope,
+               qk_rope_head_dim=qk_rope, v_head_dim=v_hd,
+               architectures=["PLMForCausalLM"], model_type="plm",
+               bos_token_id=1, eos_token_id=2)
+    t = {"model.embed_tokens.weight": rnd(rng, 261, 64),
+         "model.norm.weight": 1.0 + rnd(rng, 64),
+         "lm_head.weight": rnd(rng, 261, 64)}
+    for i in range(2):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1.0 + rnd(rng, 64)
+        t[p + "post_attention_layernorm.weight"] = 1.0 + rnd(rng, 64)
+        t[p + "self_attn.q_proj.weight"] = rnd(rng, H * (qk_nope + qk_rope), 64)
+        t[p + "self_attn.kv_a_proj_with_mqa.weight"] = rnd(rng, kv_rank + qk_rope, 64)
+        t[p + "self_attn.kv_a_layernorm.weight"] = 1.0 + rnd(rng, kv_rank)
+        t[p + "self_attn.kv_b_proj.weight"] = rnd(rng, H * (qk_nope + v_hd), kv_rank)
+        t[p + "self_attn.o_proj.weight"] = rnd(rng, 64, H * v_hd)
+        t[p + "mlp.up_proj.weight"] = rnd(rng, 128, 64)
+        t[p + "mlp.down_proj.weight"] = rnd(rng, 64, 128)
+    run_case(tmp_path, "plm", cfg, t)
+
+
+def test_parity_baichuan_wpack(tmp_path):
+    rng = np.random.default_rng(7)
+    cfg = dict(BASE_CFG, architectures=["BaiChuanForCausalLM"],
+               model_type="baichuan", max_sequence_length=512,
+               num_key_value_heads=4)
+    cfg.pop("head_dim")
+    t = llama_like_tensors(rng, KV=4)
+    for i in range(2):
+        p = f"model.layers.{i}.self_attn."
+        q = t.pop(p + "q_proj.weight")
+        k = t.pop(p + "k_proj.weight")
+        v = t.pop(p + "v_proj.weight")
+        t[p + "W_pack.weight"] = np.concatenate([q, k, v], axis=0)
+    run_case(tmp_path, "baichuan", cfg, t, vocab="spm")
+
+
+def test_parity_starcoder(tmp_path):
+    rng = np.random.default_rng(8)
+    E, H, L, V = 64, 4, 2, 261
+    hd = E // H
+    cfg = dict(vocab_size=V, n_embd=E, n_layer=L, n_head=H,
+               n_positions=256, layer_norm_epsilon=1e-5, multi_query=True,
+               architectures=["GPTBigCodeForCausalLM"],
+               model_type="gpt_bigcode", bos_token_id=1, eos_token_id=2)
+    t = {"transformer.wte.weight": rnd(rng, V, E),
+         "transformer.wpe.weight": rnd(rng, 256, E),
+         "transformer.ln_f.weight": 1.0 + rnd(rng, E),
+         "transformer.ln_f.bias": rnd(rng, E),
+         "lm_head.weight": rnd(rng, V, E)}
+    for i in range(L):
+        p = f"transformer.h.{i}."
+        t[p + "ln_1.weight"] = 1.0 + rnd(rng, E)
+        t[p + "ln_1.bias"] = rnd(rng, E)
+        t[p + "ln_2.weight"] = 1.0 + rnd(rng, E)
+        t[p + "ln_2.bias"] = rnd(rng, E)
+        t[p + "attn.c_attn.weight"] = rnd(rng, E + 2 * hd, E)
+        t[p + "attn.c_attn.bias"] = rnd(rng, E + 2 * hd)
+        t[p + "attn.c_proj.weight"] = rnd(rng, E, E)
+        t[p + "attn.c_proj.bias"] = rnd(rng, E)
+        t[p + "mlp.c_fc.weight"] = rnd(rng, 4 * E, E)
+        t[p + "mlp.c_fc.bias"] = rnd(rng, 4 * E)
+        t[p + "mlp.c_proj.weight"] = rnd(rng, E, 4 * E)
+        t[p + "mlp.c_proj.bias"] = rnd(rng, E)
+    run_case(tmp_path, "starcoder", cfg, t)
+
+
+def test_parity_refact(tmp_path):
+    rng = np.random.default_rng(9)
+    E, H, L, V = 64, 4, 2, 261
+    hd = E // H
+    ff = 256 * ((int(2 * (4 * E) / 3) + 255) // 256)
+    cfg = dict(vocab_size=V, n_embd=E, n_layer=L, n_head=H,
+               n_positions=256, layer_norm_epsilon=1e-5,
+               architectures=["GPTRefactForCausalLM"], model_type="gpt_refact",
+               bos_token_id=1, eos_token_id=2)
+    t = {"transformer.wte.weight": rnd(rng, V, E),
+         "transformer.ln_f.weight": 1.0 + rnd(rng, E),
+         "lm_head.weight": rnd(rng, V, E)}
+    for i in range(L):
+        p = f"transformer.h.{i}."
+        t[p + "ln_1.weight"] = 1.0 + rnd(rng, E)
+        t[p + "ln_2.weight"] = 1.0 + rnd(rng, E)
+        t[p + "attn.q.weight"] = rnd(rng, E, E)
+        t[p + "attn.kv.weight"] = rnd(rng, 2 * hd, E)
+        t[p + "attn.c_proj.weight"] = rnd(rng, E, E)
+        t[p + "mlp.gate_up_proj.weight"] = rnd(rng, 2 * ff, E)
+        t[p + "mlp.c_proj.weight"] = rnd(rng, E, ff)
+    run_case(tmp_path, "refact", cfg, t)
+
+
+def test_parity_jais(tmp_path):
+    rng = np.random.default_rng(10)
+    E, H, L, V = 64, 4, 2, 261
+    cfg = dict(vocab_size=V, n_embd=E, n_layer=L, n_head=H,
+               n_positions=256, n_inner=128, layer_norm_epsilon=1e-5,
+               activation_function="swiglu", position_embedding_type="alibi",
+               mup_embeddings_scale=2.0, mup_output_alpha=0.5,
+               mup_width_scale=0.25,
+               architectures=["JAISLMHeadModel"], model_type="jais",
+               bos_token_id=1, eos_token_id=2)
+    t = {"transformer.wte.weight": rnd(rng, V, E),
+         "transformer.ln_f.weight": 1.0 + rnd(rng, E),
+         "transformer.ln_f.bias": rnd(rng, E),
+         "lm_head.weight": rnd(rng, V, E)}
+    for i in range(L):
+        p = f"transformer.h.{i}."
+        t[p + "ln_1.weight"] = 1.0 + rnd(rng, E)
+        t[p + "ln_1.bias"] = rnd(rng, E)
+        t[p + "ln_2.weight"] = 1.0 + rnd(rng, E)
+        t[p + "ln_2.bias"] = rnd(rng, E)
+        # jais uses Conv1D layout (in, out) — stored transposed
+        t[p + "attn.c_attn.weight"] = rnd(rng, E, 3 * E)
+        t[p + "attn.c_attn.bias"] = rnd(rng, 3 * E)
+        t[p + "attn.c_proj.weight"] = rnd(rng, E, E)
+        t[p + "attn.c_proj.bias"] = rnd(rng, E)
+        t[p + "mlp.c_fc.weight"] = rnd(rng, E, 128)
+        t[p + "mlp.c_fc.bias"] = rnd(rng, 128)
+        t[p + "mlp.c_fc2.weight"] = rnd(rng, E, 128)
+        t[p + "mlp.c_fc2.bias"] = rnd(rng, 128)
+        t[p + "mlp.c_proj.weight"] = rnd(rng, 128, E)
+        t[p + "mlp.c_proj.bias"] = rnd(rng, E)
+    run_case(tmp_path, "jais", cfg, t)

@@ -163,7 +163,23 @@ def llama_forward(
         if hp.embd_scale and not hp.embd_scale_tokens_only:
             x = (x.astype(jnp.float32) * hp.embd_scale).astype(x.dtype)
     else:
-        x = jnp.take(params["tok_embd"], tokens, axis=0)  # (B,T,n_embd)
+        te = params["tok_embd"]
+        if isinstance(te, dict):
+            # packed (Q8_0) embedding table: gather the needed rows'
+            # packed bytes, dequantize only those (undoing the planar
+            # group-transposed column order) — keeps the multi-GB table
+            # quantized in HBM like the reference's quantized token_embd
+            m = (quant_meta or {})["tok_embd"]
+            g, K = m.group, m.n_in
+            q = jnp.take(te["q8"], tokens, axis=0).astype(jnp.float32)
+            s = jnp.take(te["scale"], tokens, axis=0).astype(jnp.float32)
+            val = q.reshape(*q.shape[:-1], g, K // g).swapaxes(-1, -2)
+            dt = (params["output_norm"].dtype
+                  if "output_norm" in params else jnp.bfloat16)
+            x = (val.reshape(*q.shape[:-1], K)
+                 * jnp.repeat(s, g, axis=-1)).astype(dt)
+        else:
+            x = jnp.take(te, tokens, axis=0)  # (B,T,n_embd)
         if hp.embd_scale:
             # gemma scales raw token embeddings by sqrt(n_embd)
             x = (x.astype(jnp.float32) * hp.embd_scale).astype(x.dtype)

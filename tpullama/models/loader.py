@@ -546,10 +546,35 @@ def load_model(
                 and (not is_exps or exps_group_ok)
             ):
                 pqs = [fetch_packed(t, k_sh) for t in tnames]
-                stacked[key] = {
-                    fk: jnp.asarray(np.stack([pq.fields[fk] for pq in pqs]))
-                    for fk in pqs[0].fields
-                }
+                if is_exps:
+                    # expert planes store FLAT (L·E, rows128, kcols):
+                    # per-expert rows zero-padded to the gathered
+                    # kernel's 128-lane out tile, flattened at LOAD time
+                    # (a per-call dim-merge reshape costs multi-GB XLA
+                    # relayout copies). QuantMeta keeps the TRUE rows.
+                    info = reader.tensors[tnames[0]]
+                    nE, rows = int(info.shape[0]), int(np.prod(info.shape[1:-1]))
+                    rows_p = -(-rows // 128) * 128
+
+                    def flat(fk):
+                        arrs = []
+                        for pq in pqs:
+                            a = pq.fields[fk].reshape(
+                                nE, rows, pq.fields[fk].shape[-1]
+                            )
+                            if rows_p != rows:
+                                a = np.pad(
+                                    a, ((0, 0), (0, rows_p - rows), (0, 0))
+                                )
+                            arrs.append(a)
+                        return jnp.asarray(np.concatenate(arrs, axis=0))
+
+                    stacked[key] = {fk: flat(fk) for fk in pqs[0].fields}
+                else:
+                    stacked[key] = {
+                        fk: jnp.asarray(np.stack([pq.fields[fk] for pq in pqs]))
+                        for fk in pqs[0].fields
+                    }
                 layer_meta[key] = QuantMeta(
                     pqs[0].ggml_type, pqs[0].group, *pqs[0].shape, k_shards=k_sh
                 )

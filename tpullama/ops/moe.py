@@ -123,10 +123,17 @@ def _ffn_packed(xf, sel, weights, gate_exps, up_exps, down_exps, metas, E, *,
         m = metas[name]
         n_rows = m.n_out // E  # per-expert output rows (F or D)
 
-        def rs(a):  # flatten (L, E·rows, kcols) → (L·E, rows, kcols)
+        def rs(a):
+            # layer-stacked expert planes arrive FLAT (L·E, rows, kcols)
+            # — reshaped once at load/build time; a per-call dim-merging
+            # reshape makes XLA materialize relayout copies of the whole
+            # multi-GB stack (measured 12.7 GB of HLO temps at gpt-oss
+            # size). Unstacked (single-layer) planes are 2-D (E·rows, k).
+            # Stored rows may exceed n_rows (128-padded expert rows — the
+            # gathered kernel slices the output back).
             if a.ndim == 3:
-                return a.reshape(a.shape[0] * E, n_rows, a.shape[-1])
-            return a.reshape(E, n_rows, a.shape[-1])
+                return a
+            return a.reshape(E, a.shape[-2] // E, a.shape[-1])
 
         fields = {k: rs(v) for k, v in w.items()}
         idx = expert_of_tile if lidx is None else lidx * E + expert_of_tile

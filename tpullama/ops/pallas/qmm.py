@@ -106,10 +106,19 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
     if exact is None:
         exact = interpret or os.environ.get("TPULLAMA_QMM_EXACT", "0") == "1"
     tile_n = int(os.environ.get("TPULLAMA_QMM_TILE_N", tile_n))
-    pad_n = (128 - N % 128) % 128  # Mosaic 128-lane out tiling (e.g. the
-    # gpt-oss 2880-row tensors); zero row padding is loop-invariant with
-    # the weights, so XLA hoists it out of the decode scan
-    if pad_n:
+    # Mosaic 128-lane out tiling (e.g. the gpt-oss 2880-row tensors):
+    # prefer PRE-PADDED planes (loader/build-time zero rows — detected by
+    # stored rows > n_out, no copy); otherwise pad here (the copy is
+    # loop-invariant with the weights, so XLA hoists it — but it briefly
+    # doubles that tensor's HBM)
+    rows_store = next(iter(pq_fields.values())).shape[-2]
+    pad_n = (128 - N % 128) % 128
+    if rows_store != N:
+        assert rows_store >= N + pad_n and rows_store % 128 == 0, (
+            rows_store, N)
+        pad_n = rows_store - N
+        N = rows_store
+    elif pad_n:
         pq_fields = {
             k: jnp.pad(v, [(0, 0)] * (v.ndim - 2) + [(0, pad_n), (0, 0)])
             for k, v in pq_fields.items()
@@ -303,9 +312,16 @@ def quantized_matmul_gathered(
     assert sel.shape == (n_tiles,), (sel.shape, n_tiles)
     if exact is None:
         exact = interpret or os.environ.get("TPULLAMA_QMM_EXACT", "0") == "1"
-    pad_n = (128 - N % 128) % 128  # Mosaic 128-lane out tiling; padded
-    # per-expert rows are zeros and get sliced off the output
-    if pad_n:
+    # Mosaic 128-lane out tiling: prefer PRE-PADDED per-expert rows
+    # (stored rows > n_out — no copy); else pad here (hoisted, but
+    # briefly doubles the expert stack's HBM)
+    rows_store = next(iter(pq_fields.values())).shape[-2]
+    pad_n = (128 - N % 128) % 128
+    if rows_store != N:
+        assert rows_store >= N + pad_n and rows_store % 128 == 0, (
+            rows_store, N)
+        N = rows_store
+    elif pad_n:
         pq_fields = {
             k: jnp.pad(v, [(0, 0)] * (v.ndim - 2) + [(0, pad_n), (0, 0)])
             for k, v in pq_fields.items()

@@ -115,6 +115,40 @@ def write_vocab(w: GGUFWriter, model_dir: str, arch: str, config: dict, pre: str
     if os.path.exists(tcfg_path):
         tcfg = json.load(open(tcfg_path))
 
+    if arch == "xverse":
+        # XverseModel.set_vocab: BPE tokenizer.json tokens re-served as a
+        # "llama" (SPM-type) vocab — token list + types only, no merges
+        tj = json.load(open(tok_json))
+        vocab_map = dict(tj.get("model", {}).get("vocab", {}))
+        added = {t["content"]: t for t in tj.get("added_tokens", [])}
+        for t in added.values():
+            vocab_map.setdefault(t["content"], t["id"])
+        rev = {i: t for t, i in vocab_map.items()}
+        n_vocab = int(config.get("vocab_size", len(rev)))
+        tokens, types = [], []
+        for tid in range(n_vocab):
+            text = rev[tid]
+            if text == "\x00":
+                types.append(6)
+                text = f"<{text}>"
+            elif re.fullmatch(r"<0x[0-9A-Fa-f]{2}>", text):
+                types.append(6)
+            elif text in added:
+                types.append(3 if added[text].get("special") else 4)
+            else:
+                types.append(1)
+            tokens.append(text)
+        w.add_str("tokenizer.ggml.model", "llama")
+        w.add_str("tokenizer.ggml.pre", "default")
+        w.add_array("tokenizer.ggml.tokens", tokens)
+        w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+        if config.get("bos_token_id") is not None:
+            w.add_u32("tokenizer.ggml.bos_token_id", int(config["bos_token_id"]))
+        if config.get("eos_token_id") is not None:
+            w.add_u32("tokenizer.ggml.eos_token_id", int(config["eos_token_id"]))
+        if "add_bos_token" in tcfg:
+            w.add_bool("tokenizer.ggml.add_bos_token", bool(tcfg["add_bos_token"]))
+        return
     if arch == "bert":
         xlm_spm = os.path.join(model_dir, "sentencepiece.bpe.model")
         if os.path.exists(xlm_spm):
@@ -434,6 +468,34 @@ _ARCH_MAP = {
     "ChameleonForCausalLM": "chameleon",
     "ChatGLMModel": "chatglm",
     "ChatGLMForConditionalGeneration": "chatglm",
+    # round-3 tranche (reference classes cited per spec below)
+    "XverseForCausalLM": "xverse",
+    "OrionForCausalLM": "orion",
+    "InternLM3ForCausalLM": "llama",  # InternLM3Model -> LLAMA (:5162)
+    "ExaoneForCausalLM": "exaone",
+    "PanguEmbeddedForCausalLM": "pangu-embedded",
+    "PLMForCausalLM": "plm",
+    "SmallThinkerForCausalLM": "smallthinker",
+    "BaiChuanForCausalLM": "baichuan",
+    "Qwen2Model": "qwen2",
+    "StableLMEpochForCausalLM": "stablelm",
+    "LlavaStableLMEpochForCausalLM": "stablelm",
+    "BertForMaskedLM": "bert",
+    "RobertaModel": "bert",
+    "RobertaForSequenceClassification": "bert",
+    "CamembertModel": "bert",
+    "DistilBertModel": "bert",
+    "DistilBertForMaskedLM": "bert",
+    "DistilBertForSequenceClassification": "bert",
+    "GPTBigCodeForCausalLM": "starcoder",
+    "GPTRefactForCausalLM": "refact",
+    "JAISLMHeadModel": "jais",
+    "QWenLMHeadModel": "qwen",
+    "OpenELMForCausalLM": "openelm",
+    "BitnetForCausalLM": "bitnet",
+    "GrokForCausalLM": "grok",
+    "Grok1ForCausalLM": "grok",
+    "PlamoForCausalLM": "plamo",
 }
 
 
@@ -1102,6 +1164,155 @@ def _tf_deepseek2(name, data, config):
 #   transform     — fn(name, data, config) -> [(name', data'), ...];
 #                   "=gguf.name" entries bypass the name map
 #   ln            — write attention.layer_norm_epsilon instead of rms
+def _cfg_ctx_chain(config):
+    """Meta-pth families (baichuan/xverse/orion): context from the
+    max_sequence_length > max_position_embeddings > model_max_length
+    chain (convert_hf_to_gguf.py BaichuanModel/XverseModel/OrionModel)."""
+    for k in ("max_sequence_length", "max_position_embeddings",
+              "model_max_length"):
+        if config.get(k):
+            config["max_position_embeddings"] = config[k]
+            break
+    return config
+
+
+def _kv_tdl(w, arch, config):
+    w.add_str(f"{arch}.tensor_data_layout", "Meta AI original pth")
+
+
+def _cfg_orion(config):
+    # Orion's config key says rms but the model applies LayerNorm
+    # (OrionModel.set_gguf_parameters note)
+    config = _cfg_ctx_chain(config)
+    config["layer_norm_eps"] = config.get("rms_norm_eps", 1e-5)
+    return config
+
+
+def _cfg_exaone(config):
+    # EXAONE-3.5: RMS eps arrives as layer_norm_epsilon (ExaoneModel)
+    config["rms_norm_eps"] = config.get("layer_norm_epsilon", 1e-5)
+    if config.get("intermediate_size") is None:
+        config["intermediate_size"] = 4 * int(config["hidden_size"])
+    return config
+
+
+_EXAONE_NAME_MAP = [
+    (r"^transformer\.wte\.weight$", "token_embd.weight"),
+    (r"^transformer\.ln_f\.weight$", "output_norm.weight"),
+    (r"^lm_head\.weight$", "output.weight"),
+    (r"^transformer\.h\.(\d+)\.ln_1\.(weight)$", "blk.{bid}.attn_norm.{suf}"),
+    (r"^transformer\.h\.(\d+)\.ln_2\.(weight)$", "blk.{bid}.ffn_norm.{suf}"),
+    (r"^transformer\.h\.(\d+)\.attn\.attention\.q_proj\.(weight)$",
+     "blk.{bid}.attn_q.{suf}"),
+    (r"^transformer\.h\.(\d+)\.attn\.attention\.k_proj\.(weight)$",
+     "blk.{bid}.attn_k.{suf}"),
+    (r"^transformer\.h\.(\d+)\.attn\.attention\.v_proj\.(weight)$",
+     "blk.{bid}.attn_v.{suf}"),
+    (r"^transformer\.h\.(\d+)\.attn\.attention\.out_proj\.(weight)$",
+     "blk.{bid}.attn_output.{suf}"),
+    (r"^transformer\.h\.(\d+)\.mlp\.c_fc_0\.(weight)$", "blk.{bid}.ffn_gate.{suf}"),
+    (r"^transformer\.h\.(\d+)\.mlp\.c_fc_1\.(weight)$", "blk.{bid}.ffn_up.{suf}"),
+    (r"^transformer\.h\.(\d+)\.mlp\.c_proj\.(weight)$", "blk.{bid}.ffn_down.{suf}"),
+]
+
+
+def _kv_pangu(w, arch, config):
+    # PanguEmbeddedModel: key/value length written when head_dim absent
+    if config.get("head_dim") is None:
+        hd = int(config["hidden_size"]) // int(config["num_attention_heads"])
+        w.add_u32(f"{arch}.attention.key_length", hd)
+        w.add_u32(f"{arch}.attention.value_length", hd)
+
+
+def _kv_plm(w, arch, config):
+    # PLMModel: MLA-lite dims (kv_lora_rank + split qk head dims)
+    w.add_u32(f"{arch}.attention.kv_lora_rank", int(config["kv_lora_rank"]))
+    w.add_u32(f"{arch}.attention.key_length",
+              int(config["qk_nope_head_dim"]) + int(config["qk_rope_head_dim"]))
+    w.add_u32(f"{arch}.attention.value_length", int(config["v_head_dim"]))
+
+
+def _cfg_starcoder(config):
+    # GPTBigCode is MQA (StarCoderModel writes head_count_kv = 1)
+    config["num_key_value_heads"] = 1
+    return config
+
+
+def _cfg_refact(config):
+    # RefactModel: SwiGLU ff dim from the llama 2/3 rule, MQA, RMS eps
+    # from layer_norm_epsilon
+    E = int(config["n_embd"])
+    hidden = int(2 * (4 * E) / 3)
+    config["intermediate_size"] = 256 * ((hidden + 255) // 256)
+    config["rms_norm_eps"] = config.get("layer_norm_epsilon", 1e-5)
+    config["num_key_value_heads"] = 1
+    return config
+
+
+def _tf_refact(name, data, config):
+    """RefactModel.modify_tensors: split fused kv + gate_up."""
+    E = int(config["n_embd"])
+    hd = E // int(config["n_head"])
+    m = re.match(r"^transformer\.h\.(\d+)\.attn\.kv\.weight$", name)
+    if m:
+        return [(f"=blk.{m.group(1)}.attn_k.weight", data[:hd]),
+                (f"=blk.{m.group(1)}.attn_v.weight", data[hd:])]
+    m = re.match(r"^transformer\.h\.(\d+)\.attn\.q\.weight$", name)
+    if m:
+        return [(f"=blk.{m.group(1)}.attn_q.weight", data)]
+    m = re.match(r"^transformer\.h\.(\d+)\.mlp\.gate_up_proj\.weight$", name)
+    if m:
+        ff = int(config["intermediate_size"])
+        return [(f"=blk.{m.group(1)}.ffn_gate.weight", data[:ff]),
+                (f"=blk.{m.group(1)}.ffn_up.weight", data[ff:])]
+    return [(name, data)]
+
+
+_REFACT_EXTRA_MAP = [
+    (r"^transformer\.h\.(\d+)\.attn\.c_proj\.(weight)$",
+     "blk.{bid}.attn_output.{suf}"),
+    (r"^transformer\.h\.(\d+)\.mlp\.c_proj\.(weight)$",
+     "blk.{bid}.ffn_down.{suf}"),
+]
+
+
+def _cfg_jais(config):
+    config["layer_norm_eps"] = config.get("layer_norm_epsilon", 1e-5)
+    return config
+
+
+def _kv_jais(w, arch, config):
+    # relative_pe.slopes (when present) recomputes this; base jais = 8.0
+    w.add_f32(f"{arch}.attention.max_alibi_bias", 8.0)
+
+
+def _tf_jais(name, data, config):
+    """JaisModel.modify_tensors: Conv1D transposes + muP scales; the
+    alibi slope probe tensor and causal-mask buffer are dropped."""
+    if name.endswith(".attn.bias") or name.endswith("relative_pe.slopes"):
+        return []
+    if name.endswith((".c_attn.weight", ".c_proj.weight", ".c_fc.weight",
+                      ".c_fc2.weight")):
+        data = data.T
+    emb_scale = (config.get("mup_embeddings_scale")
+                 or config.get("embeddings_scale") or 1.0)
+    if "mup_output_alpha" in config:
+        width = config["mup_output_alpha"] * config.get("mup_width_scale", 1.0)
+    else:
+        width = config.get("width_scale", 1.0)
+    if name in ("transformer.wte.weight", "wte.weight"):
+        return [(name, data * emb_scale)]
+    if name == "lm_head.weight":
+        return [(name, data * width)]
+    return [(name, data)]
+
+
+_JAIS_NAME_MAP = [
+    (r"^(?:transformer\.)?h\.(\d+)\.mlp\.c_fc2\.(weight|bias)$",
+     "blk.{bid}.ffn_gate.{suf}"),
+]
+
+
 _FAMILY_SPECS: dict = {
     "olmo": dict(permute_qk=True, kv=_kv_olmo, ln=True),
     "olmo2": dict(names=_OLMO2_NORM_MAP, kv=_kv_swa_pattern),
@@ -1123,6 +1334,14 @@ _FAMILY_SPECS: dict = {
     "stablelm": dict(kv=_kv_stablelm, ln=True,
                      rope_dim=_rope_dim_partial(1.0)),
     "starcoder2": dict(ln=True, names=_LN_BIAS_MAP),
+    "starcoder": dict(names=_GPT2_NAME_MAP, ln=True,
+                      kv_aliases=True, no_rope=True, cfg=_cfg_starcoder),
+    "refact": dict(names=_REFACT_EXTRA_MAP + _GPT2_NAME_MAP,
+                   transform=_tf_refact, kv_aliases=True, no_rope=True,
+                   cfg=_cfg_refact),
+    "jais": dict(names=_JAIS_NAME_MAP + _GPT2_NAME_MAP, transform=_tf_jais,
+                 ln=True, kv_aliases=True, no_rope=True, cfg=_cfg_jais,
+                 kv=_kv_jais),
     "internlm2": dict(names=_INTERNLM2_NAME_MAP, transform=_tf_internlm2),
     "minicpm": dict(permute_qk=True, kv=_kv_minicpm),
     "phi2": dict(ln=True, names=_LN_BIAS_MAP,
@@ -1141,7 +1360,16 @@ _FAMILY_SPECS: dict = {
                    ln=True, kv_aliases=True),
     "mpt": dict(names=_MPT_NAME_MAP, ln=True, kv_aliases=True,
                 kv=_kv_mpt, no_rope=True),
-    "baichuan": dict(permute_qk=True, transform=_tf_baichuan),
+    "baichuan": dict(permute_qk=True, transform=_tf_baichuan,
+                     cfg=_cfg_ctx_chain, kv=_kv_tdl),
+    "xverse": dict(permute_qk=True, cfg=_cfg_ctx_chain, kv=_kv_tdl),
+    "orion": dict(ln=True, cfg=_cfg_orion, kv=_kv_tdl,
+                  names=_LN_BIAS_MAP),
+    "exaone": dict(names=_EXAONE_NAME_MAP, cfg=_cfg_exaone,
+                   rope_dim=_rope_dim_partial(1.0)),
+    "pangu-embedded": dict(kv=_kv_pangu, names=_LN_BIAS_MAP),
+    "plm": dict(names=_DEEPSEEK2_NAME_MAP, kv=_kv_plm,
+                rope_dim=lambda c: int(c["qk_rope_head_dim"])),
     "deepseek": dict(permute_qk=True, kv=_kv_deepseek1),
     "deepseek2": dict(names=_DEEPSEEK2_NAME_MAP, kv=_kv_deepseek2,
                       transform=_tf_deepseek2,
@@ -1213,6 +1441,9 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
                                        verbose)
 
     spec = _FAMILY_SPECS.get(arch, {})
+    if "cfg" in spec:
+        # per-family config normalization (ctx-length chains, eps aliases)
+        config = spec["cfg"](dict(config))
     if spec.get("kv_aliases"):
         # GPT-style configs name the core dims differently
         config = dict(config)
@@ -1295,7 +1526,7 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
                     print(f"skip {name}", file=sys.stderr)
                 continue
             if gname == "position_embd.weight" and config.get("pad_token_id") is not None \
-                    and hf_arch.startswith("XLMRoberta"):
+                    and hf_arch.startswith(("XLMRoberta", "Roberta", "Camembert")):
                 # roberta position ids start at pad_token_id + 1
                 # (XLMRobertaModel.modify_tensors position_offset chop)
                 data = data[int(config["pad_token_id"]) + 1 :]
