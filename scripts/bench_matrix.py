@@ -105,10 +105,12 @@ def make_decode_fn(hp, quant_meta, B, S, unroll, donate=False):
         (toks, kv_k, kv_v), out = jax.lax.scan(
             step, (first_tokens, kv_k, kv_v), jnp.arange(n_steps)
         )
-        return out, kv_k, kv_v
+        # params returned unchanged: with donation they alias in place,
+        # which also keeps XLA's compress-remat pass off the weights
+        return out, kv_k, kv_v, params
 
     return jax.jit(decode_loop, static_argnames=("n_steps",),
-                   donate_argnums=(1, 2) if donate else ())
+                   donate_argnums=(0, 1, 2) if donate else ())
 
 
 def make_prefill_fn(hp, quant_meta, T, unroll):
@@ -237,14 +239,17 @@ def main():
             emit({"cell": name, "mode": "aot", "compile_s": round(time.time() - t0, 1),
                   "B": B, "depth": depth, "unroll": unroll})
             return
-        toks, kv_k, kv_v = fn(params, kv_k, kv_v, first, npast, n_steps=n_steps)
+        nonlocal_params = params
+        toks, kv_k, kv_v, nonlocal_params = fn(
+            nonlocal_params, kv_k, kv_v, first, npast, n_steps=n_steps)
         np.asarray(toks)
         compile_s = time.time() - t0
         best = float("inf")
         for it in range(args.iters):
             t0 = time.time()
-            toks, kv_k, kv_v = fn(params, kv_k, kv_v, first + it, npast,
-                                  n_steps=n_steps)
+            toks, kv_k, kv_v, nonlocal_params = fn(
+                nonlocal_params, kv_k, kv_v, first + it, npast,
+                n_steps=n_steps)
             np.asarray(toks)
             best = min(best, time.time() - t0)
         del kv_k, kv_v

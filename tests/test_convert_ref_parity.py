@@ -398,3 +398,51 @@ def test_parity_jais(tmp_path):
         t[p + "mlp.c_proj.weight"] = rnd(rng, 128, E)
         t[p + "mlp.c_proj.bias"] = rnd(rng, E)
     run_case(tmp_path, "jais", cfg, t)
+
+
+def test_parity_bitnet(tmp_path):
+    rng = np.random.default_rng(11)
+    cfg = dict(BASE_CFG, architectures=["BitnetForCausalLM"],
+               model_type="bitnet")
+    cfg.pop("head_dim")
+    t = llama_like_tensors(rng, tied=True)
+    for i in range(2):
+        p = f"model.layers.{i}."
+        t[p + "self_attn.inner_attn_ln.weight"] = 1.0 + rnd(rng, 64)
+        t[p + "mlp.ffn_layernorm.weight"] = 1.0 + rnd(rng, 128)
+    run_case(tmp_path, "bitnet", cfg, t, vocab="spm")
+
+
+def test_parity_grok(tmp_path):
+    rng = np.random.default_rng(12)
+    E, H, L, V, F = 64, 4, 2, 261, 128
+    cfg = dict(vocab_size=V, hidden_size=E, num_hidden_layers=L,
+               num_attention_heads=H, num_key_value_heads=2,
+               intermediate_size=F, max_position_embeddings=256,
+               rms_norm_eps=1e-5, rope_theta=10000.0,
+               num_local_experts=4, num_experts_per_tok=2,
+               embedding_multiplier_scale=78.38, output_multiplier_scale=0.5,
+               attn_output_multiplier=0.08838,
+               architectures=["GrokForCausalLM"], model_type="grok-1",
+               bos_token_id=1, eos_token_id=2)
+    hd = E // H
+    t = {"model.embed_tokens.weight": rnd(rng, V, E),
+         "model.norm.weight": 1.0 + rnd(rng, E),
+         "lm_head.weight": rnd(rng, V, E)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "pre_attn_norm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "post_attn_norm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "pre_moe_norm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "post_moe_norm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "self_attn.q_proj.weight"] = rnd(rng, H * hd, E)
+        t[p + "self_attn.k_proj.weight"] = rnd(rng, 2 * hd, E)
+        t[p + "self_attn.v_proj.weight"] = rnd(rng, 2 * hd, E)
+        t[p + "self_attn.o_proj.weight"] = rnd(rng, E, H * hd)
+        t[p + "block_sparse_moe.gate.weight"] = rnd(rng, 4, E)
+        for x in range(4):
+            q = f"{p}block_sparse_moe.experts.{x}."
+            t[q + "w1.weight"] = rnd(rng, F, E)
+            t[q + "w2.weight"] = rnd(rng, E, F)
+            t[q + "w3.weight"] = rnd(rng, F, E)
+    run_case(tmp_path, "grok", cfg, t, vocab="spm")

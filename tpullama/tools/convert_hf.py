@@ -1276,6 +1276,66 @@ _REFACT_EXTRA_MAP = [
 ]
 
 
+def _tf_bitnet(name, data, config):
+    """BitnetModel.weight_quant: 1.58-bit round-to-{-1,0,1} with a
+    per-tensor abs-mean scale on the seven linear weights."""
+    if re.search(r"\.(q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|"
+                 r"down_proj)\.weight$", name):
+        scale = max(float(np.abs(data).mean()), 1e-5)
+        data = (np.round(data / scale).clip(-1, 1) * scale).astype(data.dtype)
+    return [(name, data)]
+
+
+def _kv_bitnet(w, arch, config):
+    w.add_str(f"{arch}.rope.scaling.type", "linear")
+    w.add_f32(f"{arch}.rope.scaling.factor", 1.0)
+
+
+_BITNET_NAME_MAP = [
+    (r"^model\.layers\.(\d+)\.self_attn\.inner_attn_ln\.(weight)$",
+     "blk.{bid}.attn_sub_norm.{suf}"),
+    (r"^model\.layers\.(\d+)\.mlp\.ffn_layernorm\.(weight)$",
+     "blk.{bid}.ffn_sub_norm.{suf}"),
+]
+
+
+_GROK_NAME_MAP = [
+    (r"^model\.layers\.(\d+)\.pre_attn_norm\.(weight)$",
+     "blk.{bid}.attn_norm.{suf}"),
+    (r"^model\.layers\.(\d+)\.post_attn_norm\.(weight)$",
+     "blk.{bid}.attn_output_norm.{suf}"),
+    (r"^model\.layers\.(\d+)\.pre_moe_norm\.(weight)$",
+     "blk.{bid}.ffn_norm.{suf}"),
+    (r"^model\.layers\.(\d+)\.post_moe_norm\.(weight)$",
+     "blk.{bid}.post_ffw_norm.{suf}"),
+]
+
+
+def _kv_grok(w, arch, config):
+    """GrokModel.set_gguf_parameters: softcaps + muP-style scales."""
+    w.add_f32(f"{arch}.attn_logit_softcapping",
+              float(config.get("attn_logit_softcapping", 30.0)))
+    w.add_f32(f"{arch}.router_logit_softcapping",
+              float(config.get("router_logit_softcapping", 30.0)))
+    if config.get("final_logit_softcapping"):
+        w.add_f32(f"{arch}.final_logit_softcapping",
+                  float(config["final_logit_softcapping"]))
+    if config.get("moe_intermediate_size") is not None:
+        w.add_u32(f"{arch}.expert_feed_forward_length",
+                  int(config["moe_intermediate_size"]))
+    if config.get("attn_temperature_len"):
+        w.add_u32(f"{arch}.attention.temperature_length",
+                  int(config["attn_temperature_len"]))
+    hd = config.get("head_dim") or (
+        int(config["hidden_size"]) // int(config["num_attention_heads"]))
+    w.add_f32(f"{arch}.attention.output_scale",
+              float(config.get("attn_output_multiplier", hd ** -0.5)))
+    w.add_f32(f"{arch}.embedding_scale",
+              float(config["embedding_multiplier_scale"]))
+    w.add_f32(f"{arch}.logit_scale",
+              float(config["output_multiplier_scale"]))
+
+
 def _cfg_jais(config):
     config["layer_norm_eps"] = config.get("layer_norm_epsilon", 1e-5)
     return config
@@ -1342,6 +1402,9 @@ _FAMILY_SPECS: dict = {
     "jais": dict(names=_JAIS_NAME_MAP + _GPT2_NAME_MAP, transform=_tf_jais,
                  ln=True, kv_aliases=True, no_rope=True, cfg=_cfg_jais,
                  kv=_kv_jais),
+    "bitnet": dict(names=_BITNET_NAME_MAP, transform=_tf_bitnet,
+                   kv=_kv_bitnet),
+    "grok": dict(names=_GROK_NAME_MAP, kv=_kv_grok),
     "internlm2": dict(names=_INTERNLM2_NAME_MAP, transform=_tf_internlm2),
     "minicpm": dict(permute_qk=True, kv=_kv_minicpm),
     "phi2": dict(ln=True, names=_LN_BIAS_MAP,
