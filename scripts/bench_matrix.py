@@ -54,10 +54,13 @@ def make_hp(model: str = "llama8b"):
         # gpt-oss-20B shape (BASELINE.md MoE rows): 24 layers, d=2880,
         # 32 experts top-4, expert F=2880, 64 q heads / 8 kv heads @64.
         # Benches full attention (no SWA interleave) — pessimistic at
-        # depth vs the reference's half-SWA-128 layers.
+        # depth vs the reference's half-SWA-128 layers. BENCH_MOE_LAYERS
+        # trims the stack when XLA's compress-remat pass pushes the
+        # full 12 GB model over the 16 GB single chip.
         return HParams(
             arch="llama", n_vocab=201088, n_ctx_train=131072, n_embd=2880,
-            n_layer=24, n_ff=2880, n_head=64, n_head_kv=8, n_embd_head_k=64,
+            n_layer=int(os.environ.get("BENCH_MOE_LAYERS", 24)),
+            n_ff=2880, n_head=64, n_head_kv=8, n_embd_head_k=64,
             n_embd_head_v=64, n_rot=64, rope_freq_base=150000.0, rope_type=2,
             n_expert=32, n_expert_used=4, moe_act="swiglu_oai",
         )
@@ -177,21 +180,23 @@ def main():
     t0 = time.time()
     params, quant_meta = build_params(hp, dtype, quant=quant, abstract=args.aot)
     if not args.aot:
-        # pin row-major layouts: XLA otherwise picks compact entry
-        # layouts for big padded-tile u8 stacks and then materializes
-        # per-use relayout copies (3x the expert stacks at gpt-oss size)
-        from jax.experimental.layout import Format, Layout
-        from jax.sharding import SingleDeviceSharding
+        if os.environ.get("BENCH_PIN_LAYOUT", "0") == "1":
+            # pin row-major layouts (an experiment against XLA's
+            # compress-remat copies; measured neutral-to-worse)
+            from jax.experimental.layout import Format, Layout
+            from jax.sharding import SingleDeviceSharding
 
-        dev = jax.devices()[0]
+            dev = jax.devices()[0]
 
-        def rm(a):
-            fmt = Format(Layout(tuple(range(a.ndim - 1, -1, -1))),
-                         SingleDeviceSharding(dev))
-            return jax.device_put(a, fmt)
+            def rm(a):
+                fmt = Format(Layout(tuple(range(a.ndim - 1, -1, -1))),
+                             SingleDeviceSharding(dev))
+                return jax.device_put(a, fmt)
 
-        params = jax.tree.map(rm, params)
-        jax.block_until_ready(jax.tree.leaves(params)[0])
+            params = jax.tree.map(rm, params)
+        else:
+            params = jax.device_put(params)
+        jax.block_until_ready(jax.tree.leaves(params))
     build_s = time.time() - t0
     n_pb = param_bytes(params)
     # decode-streamed bytes: the embedding table is gather-only (one row

@@ -43,3 +43,37 @@ class SentencePieceProcessor:
 
     def IsByte(self, i):
         return self._t(i) == _BYTE
+
+
+class _TrainerSpec:
+    def __init__(self, data=b""):
+        from _sp_pb2_helper import scalar_field
+
+        self.model_type = scalar_field(data, 3, 1)  # UNIGRAM default
+
+
+class _NormalizerSpec:
+    def __init__(self, data=b""):
+        from _sp_pb2_helper import scalar_field
+
+        self.precompiled_charsmap = scalar_field(data, 2, b"") or b""
+        self.add_dummy_prefix = bool(scalar_field(data, 3, 1))
+        self.remove_extra_whitespaces = bool(scalar_field(data, 4, 1))
+
+
+class _ModelProto:
+    def ParseFromString(self, blob):
+        from _sp_pb2_helper import submessages
+
+        ts = submessages(blob, 2)
+        ns = submessages(blob, 4)
+        self.trainer_spec = _TrainerSpec(ts[0] if ts else b"")
+        self.normalizer_spec = _NormalizerSpec(ns[0] if ns else b"")
+
+
+class _Pb2Module:
+    ModelProto = _ModelProto
+
+
+sentencepiece_model_pb2 = _Pb2Module()
+sys.modules["sentencepiece.sentencepiece_model_pb2"] = sentencepiece_model_pb2

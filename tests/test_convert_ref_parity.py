@@ -446,3 +446,50 @@ def test_parity_grok(tmp_path):
             t[q + "w2.weight"] = rnd(rng, E, F)
             t[q + "w3.weight"] = rnd(rng, F, E)
     run_case(tmp_path, "grok", cfg, t, vocab="spm")
+
+
+def test_parity_t5(tmp_path):
+    rng = np.random.default_rng(13)
+    D, H, DKV, FF, L, V = 64, 4, 16, 128, 2, 261
+    cfg = dict(vocab_size=V, d_model=D, d_kv=DKV, d_ff=FF, num_layers=L,
+               num_decoder_layers=L, num_heads=H,
+               relative_attention_num_buckets=8,
+               layer_norm_epsilon=1e-6, decoder_start_token_id=0,
+               eos_token_id=2, pad_token_id=0, is_gated_act=False,
+               feed_forward_proj="relu",
+               architectures=["T5ForConditionalGeneration"], model_type="t5")
+    t = {"shared.weight": rnd(rng, V, D),
+         "encoder.final_layer_norm.weight": 1.0 + rnd(rng, D),
+         "decoder.final_layer_norm.weight": 1.0 + rnd(rng, D),
+         "lm_head.weight": rnd(rng, V, D)}
+    for i in range(L):
+        e = f"encoder.block.{i}."
+        t[e + "layer.0.layer_norm.weight"] = 1.0 + rnd(rng, D)
+        t[e + "layer.0.SelfAttention.q.weight"] = rnd(rng, H * DKV, D)
+        t[e + "layer.0.SelfAttention.k.weight"] = rnd(rng, H * DKV, D)
+        t[e + "layer.0.SelfAttention.v.weight"] = rnd(rng, H * DKV, D)
+        t[e + "layer.0.SelfAttention.o.weight"] = rnd(rng, D, H * DKV)
+        if i == 0:
+            t[e + "layer.0.SelfAttention.relative_attention_bias.weight"] = \
+                rnd(rng, 8, H)
+        t[e + "layer.1.layer_norm.weight"] = 1.0 + rnd(rng, D)
+        t[e + "layer.1.DenseReluDense.wi.weight"] = rnd(rng, FF, D)
+        t[e + "layer.1.DenseReluDense.wo.weight"] = rnd(rng, D, FF)
+        d = f"decoder.block.{i}."
+        t[d + "layer.0.layer_norm.weight"] = 1.0 + rnd(rng, D)
+        t[d + "layer.0.SelfAttention.q.weight"] = rnd(rng, H * DKV, D)
+        t[d + "layer.0.SelfAttention.k.weight"] = rnd(rng, H * DKV, D)
+        t[d + "layer.0.SelfAttention.v.weight"] = rnd(rng, H * DKV, D)
+        t[d + "layer.0.SelfAttention.o.weight"] = rnd(rng, D, H * DKV)
+        if i == 0:
+            t[d + "layer.0.SelfAttention.relative_attention_bias.weight"] = \
+                rnd(rng, 8, H)
+        t[d + "layer.1.layer_norm.weight"] = 1.0 + rnd(rng, D)
+        t[d + "layer.1.EncDecAttention.q.weight"] = rnd(rng, H * DKV, D)
+        t[d + "layer.1.EncDecAttention.k.weight"] = rnd(rng, H * DKV, D)
+        t[d + "layer.1.EncDecAttention.v.weight"] = rnd(rng, H * DKV, D)
+        t[d + "layer.1.EncDecAttention.o.weight"] = rnd(rng, D, H * DKV)
+        t[d + "layer.2.layer_norm.weight"] = 1.0 + rnd(rng, D)
+        t[d + "layer.2.DenseReluDense.wi.weight"] = rnd(rng, FF, D)
+        t[d + "layer.2.DenseReluDense.wo.weight"] = rnd(rng, D, FF)
+    run_case(tmp_path, "t5", cfg, t, vocab="spm")

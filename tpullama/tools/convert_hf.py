@@ -490,12 +490,15 @@ _ARCH_MAP = {
     "GPTBigCodeForCausalLM": "starcoder",
     "GPTRefactForCausalLM": "refact",
     "JAISLMHeadModel": "jais",
-    "QWenLMHeadModel": "qwen",
-    "OpenELMForCausalLM": "openelm",
     "BitnetForCausalLM": "bitnet",
     "GrokForCausalLM": "grok",
     "Grok1ForCausalLM": "grok",
-    "PlamoForCausalLM": "plamo",
+    "T5ForConditionalGeneration": "t5",
+    "T5WithLMHeadModel": "t5",
+    "MT5ForConditionalGeneration": "t5",
+    "UMT5ForConditionalGeneration": "t5",
+    "UMT5Model": "t5",
+    "T5EncoderModel": "t5encoder",
 }
 
 
@@ -1476,6 +1479,212 @@ OUTTYPES = {
 }
 
 
+def parse_spm_normalizer(path: str):
+    """ModelProto normalizer_spec (field 4): precompiled_charsmap (2),
+    add_dummy_prefix (3, default true), remove_extra_whitespaces
+    (4, default true)."""
+    data = open(path, "rb").read()
+    i, n = 0, len(data)
+    add_prefix, remove_ws, charsmap = True, True, b""
+    while i < n:
+        tag, i = _read_varint(data, i)
+        field, wire = tag >> 3, tag & 7
+        if field == 4 and wire == 2:
+            ln, i = _read_varint(data, i)
+            sub = data[i : i + ln]
+            i += ln
+            j = 0
+            while j < len(sub):
+                t2, j = _read_varint(sub, j)
+                f2, w2 = t2 >> 3, t2 & 7
+                if w2 == 0:
+                    v, j = _read_varint(sub, j)
+                    if f2 == 3:
+                        add_prefix = bool(v)
+                    elif f2 == 4:
+                        remove_ws = bool(v)
+                elif w2 == 2:
+                    ln2, j = _read_varint(sub, j)
+                    if f2 == 2:
+                        charsmap = sub[j : j + ln2]
+                    j += ln2
+                elif w2 == 5:
+                    j += 4
+                elif w2 == 1:
+                    j += 8
+        elif wire == 2:
+            ln, i = _read_varint(data, i)
+            i += ln
+        elif wire == 0:
+            _, i = _read_varint(data, i)
+        elif wire == 5:
+            i += 4
+        elif wire == 1:
+            i += 8
+    return add_prefix, remove_ws, charsmap
+
+
+_T5_HF_MAP = [
+    (r"^(?:encoder)\.block\.(\d+)\.layer\.0\.layer_norm\.weight$",
+     "enc.blk.{bid}.attn_norm.weight"),
+    (r"^(?:encoder)\.block\.(\d+)\.layer\.0\.SelfAttention\.q\.weight$",
+     "enc.blk.{bid}.attn_q.weight"),
+    (r"^(?:encoder)\.block\.(\d+)\.layer\.0\.SelfAttention\.k\.weight$",
+     "enc.blk.{bid}.attn_k.weight"),
+    (r"^(?:encoder)\.block\.(\d+)\.layer\.0\.SelfAttention\.v\.weight$",
+     "enc.blk.{bid}.attn_v.weight"),
+    (r"^(?:encoder)\.block\.(\d+)\.layer\.0\.SelfAttention\.o\.weight$",
+     "enc.blk.{bid}.attn_o.weight"),
+    (r"^(?:encoder)\.block\.(\d+)\.layer\.0\.SelfAttention\.relative_attention_bias\.weight$",
+     "enc.blk.{bid}.attn_rel_b.weight"),
+    (r"^(?:encoder)\.block\.(\d+)\.layer\.1\.layer_norm\.weight$",
+     "enc.blk.{bid}.ffn_norm.weight"),
+    (r"^(?:encoder)\.block\.(\d+)\.layer\.1\.DenseReluDense\.wi_0\.weight$",
+     "enc.blk.{bid}.ffn_gate.weight"),
+    (r"^(?:encoder)\.block\.(\d+)\.layer\.1\.DenseReluDense\.wi(?:_1)?\.weight$",
+     "enc.blk.{bid}.ffn_up.weight"),
+    (r"^(?:encoder)\.block\.(\d+)\.layer\.1\.DenseReluDense\.wo\.weight$",
+     "enc.blk.{bid}.ffn_down.weight"),
+    (r"^decoder\.block\.(\d+)\.layer\.0\.layer_norm\.weight$",
+     "dec.blk.{bid}.attn_norm.weight"),
+    (r"^decoder\.block\.(\d+)\.layer\.0\.SelfAttention\.q\.weight$",
+     "dec.blk.{bid}.attn_q.weight"),
+    (r"^decoder\.block\.(\d+)\.layer\.0\.SelfAttention\.k\.weight$",
+     "dec.blk.{bid}.attn_k.weight"),
+    (r"^decoder\.block\.(\d+)\.layer\.0\.SelfAttention\.v\.weight$",
+     "dec.blk.{bid}.attn_v.weight"),
+    (r"^decoder\.block\.(\d+)\.layer\.0\.SelfAttention\.o\.weight$",
+     "dec.blk.{bid}.attn_o.weight"),
+    (r"^decoder\.block\.(\d+)\.layer\.0\.SelfAttention\.relative_attention_bias\.weight$",
+     "dec.blk.{bid}.attn_rel_b.weight"),
+    (r"^decoder\.block\.(\d+)\.layer\.1\.layer_norm\.weight$",
+     "dec.blk.{bid}.cross_attn_norm.weight"),
+    (r"^decoder\.block\.(\d+)\.layer\.1\.EncDecAttention\.q\.weight$",
+     "dec.blk.{bid}.cross_attn_q.weight"),
+    (r"^decoder\.block\.(\d+)\.layer\.1\.EncDecAttention\.k\.weight$",
+     "dec.blk.{bid}.cross_attn_k.weight"),
+    (r"^decoder\.block\.(\d+)\.layer\.1\.EncDecAttention\.v\.weight$",
+     "dec.blk.{bid}.cross_attn_v.weight"),
+    (r"^decoder\.block\.(\d+)\.layer\.1\.EncDecAttention\.o\.weight$",
+     "dec.blk.{bid}.cross_attn_o.weight"),
+    (r"^decoder\.block\.(\d+)\.layer\.2\.layer_norm\.weight$",
+     "dec.blk.{bid}.ffn_norm.weight"),
+    (r"^decoder\.block\.(\d+)\.layer\.2\.DenseReluDense\.wi_0\.weight$",
+     "dec.blk.{bid}.ffn_gate.weight"),
+    (r"^decoder\.block\.(\d+)\.layer\.2\.DenseReluDense\.wi(?:_1)?\.weight$",
+     "dec.blk.{bid}.ffn_up.weight"),
+    (r"^decoder\.block\.(\d+)\.layer\.2\.DenseReluDense\.wo\.weight$",
+     "dec.blk.{bid}.ffn_down.weight"),
+    (r"^encoder\.final_layer_norm\.weight$", "enc.output_norm.weight"),
+    (r"^decoder\.final_layer_norm\.weight$", "dec.output_norm.weight"),
+    (r"^lm_head\.weight$", "output.weight"),
+]
+
+
+def _convert_t5(model_dir, outfile, arch, config, qt, verbose):
+    """T5/MT5/UMT5 encoder-decoder conversion (convert_hf_to_gguf.py
+    T5Model): shared/enc/dec embeddings dedup to one token_embd; UGM
+    vocab from the spm proto incl. normalizer flags + [PAD] padding."""
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", os.path.basename(os.path.abspath(model_dir)))
+    n_ctx = int(config.get("n_positions") or 512)
+    w.add_u32(f"{arch}.context_length", n_ctx)
+    w.add_u32(f"{arch}.embedding_length", int(config["d_model"]))
+    w.add_u32(f"{arch}.feed_forward_length", int(config["d_ff"]))
+    w.add_u32(f"{arch}.block_count", int(config["num_layers"]))
+    if config.get("num_decoder_layers") is not None and arch == "t5":
+        w.add_u32(f"{arch}.decoder_block_count",
+                  int(config["num_decoder_layers"]))
+    w.add_u32(f"{arch}.attention.head_count", int(config["num_heads"]))
+    w.add_u32(f"{arch}.attention.key_length", int(config["d_kv"]))
+    w.add_u32(f"{arch}.attention.value_length", int(config["d_kv"]))
+    w.add_f32(f"{arch}.attention.layer_norm_epsilon",
+              float(config.get("layer_norm_epsilon", 1e-6)))
+    w.add_u32(f"{arch}.attention.relative_buckets_count",
+              int(config.get("relative_attention_num_buckets", 32)))
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon",
+              float(config.get("layer_norm_epsilon", 1e-6)))
+    if config.get("decoder_start_token_id") is not None:
+        w.add_u32(f"{arch}.decoder_start_token_id",
+                  int(config["decoder_start_token_id"]))
+    w.add_u32("general.file_type",
+              {GGMLType.F32: 0, GGMLType.F16: 1, GGMLType.BF16: 32,
+               GGMLType.Q8_0: 7}.get(qt, 0))
+
+    spm = os.path.join(model_dir, "tokenizer.model")
+    if not os.path.exists(spm):
+        spm = os.path.join(model_dir, "spiece.model")
+    pieces = parse_spm_model(spm)
+    add_prefix, remove_ws, charsmap = parse_spm_normalizer(spm)
+    n_vocab = int(config.get("vocab_size", len(pieces)))
+    tokens = [f"[PAD{i}]" for i in range(n_vocab)]
+    scores = [-10000.0] * n_vocab
+    types = [5] * n_vocab  # UNUSED
+    for tid, (piece, score, ptype) in enumerate(pieces[:n_vocab]):
+        tokens[tid] = piece
+        scores[tid] = score
+        types[tid] = _SPM_TYPE.get(ptype, 1)
+    added = os.path.join(model_dir, "added_tokens.json")
+    if os.path.exists(added):
+        for tok, tid in json.load(open(added)).items():
+            if tid < n_vocab:
+                tokens[tid] = tok
+                scores[tid] = -1000.0
+                types[tid] = 4
+    w.add_str("tokenizer.ggml.model", "t5")
+    w.add_str("tokenizer.ggml.pre", "default")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_bool("tokenizer.ggml.add_space_prefix", bool(add_prefix))
+    w.add_bool("tokenizer.ggml.remove_extra_whitespaces", bool(remove_ws))
+    if charsmap:
+        w.add_array("tokenizer.ggml.precompiled_charsmap",
+                    np.frombuffer(charsmap, np.uint8))
+    for key, name in (("eos_token_id", "eos"), ("unknown_token_id", "unk"),
+                      ("pad_token_id", "pad")):
+        pass  # special ids below from config
+    if config.get("eos_token_id") is not None:
+        w.add_u32("tokenizer.ggml.eos_token_id", int(config["eos_token_id"]))
+    if config.get("pad_token_id") is not None:
+        w.add_u32("tokenizer.ggml.padding_token_id", int(config["pad_token_id"]))
+    w.add_bool("tokenizer.ggml.add_bos_token", False)
+    w.add_bool("tokenizer.ggml.add_eos_token", True)
+
+    stats = {"tensors": 0, "bytes": 0}
+    shared_done = False
+    for name, data in iter_hf_tensors(model_dir):
+        if name in ("shared.weight", "encoder.embed_tokens.weight",
+                    "decoder.embed_tokens.weight"):
+            if shared_done:
+                continue
+            shared_done = True
+            gname = "token_embd.weight"
+        else:
+            gname = None
+            for pat, repl in _T5_HF_MAP:
+                m = re.match(pat, name)
+                if m:
+                    gname = repl.format(bid=m.group(1) if m.groups() else "")
+                    break
+            if gname is None:
+                if verbose:
+                    print(f"skip {name}", file=sys.stderr)
+                continue
+        tt = qt if data.ndim >= 2 and data.shape[-1] % 32 == 0 else GGMLType.F32
+        if tt != GGMLType.F32:
+            w.add_tensor(gname, np.empty(data.shape), ggml_type=tt,
+                         raw=quantize(data, tt))
+        else:
+            w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
+        stats["tensors"] += 1
+    w.write(outfile)
+    if verbose:
+        print(f"wrote {outfile} ({stats['tensors']} tensors)", file=sys.stderr)
+    return stats
+
+
 def convert(model_dir: str, outfile: str, outtype: str = "f16",
             pre: str | None = None, verbose: bool = True) -> dict:
     config = json.load(open(os.path.join(model_dir, "config.json")))
@@ -1502,6 +1711,8 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
     if arch == "granite-hybrid":
         return _convert_granite_hybrid(model_dir, outfile, config, qt, pre,
                                        verbose)
+    if arch in ("t5", "t5encoder"):
+        return _convert_t5(model_dir, outfile, arch, config, qt, verbose)
 
     spec = _FAMILY_SPECS.get(arch, {})
     if "cfg" in spec:
