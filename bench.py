@@ -304,6 +304,22 @@ def main():
     kv_bytes = int(np.prod(kv_k.shape)) * kv_k.dtype.itemsize * 2
     roofline = hbm_bw / (n_param_bytes + kv_bytes)
 
+    detail = {
+        "compile_s": round(compile_s, 1),
+        "steps": N_STEPS,
+        "ctx": S,
+        "param_GiB": round(n_param_bytes / 2**30, 2),
+        "roofline_tps": round(roofline, 1),
+        "device": str(jax.devices()[0]),
+    }
+    # full BASELINE matrix (pp2048 / tg@depth / batched / MoE), measured
+    # by scripts/bench_matrix.py and consolidated per round
+    matrix_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench", "matrix_r3_final.json",
+    )
+    if os.path.exists(matrix_path):
+        detail["matrix"] = json.load(open(matrix_path))
     print(
         json.dumps(
             {
@@ -311,14 +327,7 @@ def main():
                 "value": round(tps, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(tps / roofline, 4),
-                "detail": {
-                    "compile_s": round(compile_s, 1),
-                    "steps": N_STEPS,
-                    "ctx": S,
-                    "param_GiB": round(n_param_bytes / 2**30, 2),
-                    "roofline_tps": round(roofline, 1),
-                    "device": str(jax.devices()[0]),
-                },
+                "detail": detail,
             }
         )
     )
