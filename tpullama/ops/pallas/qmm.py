@@ -312,15 +312,10 @@ def quantized_matmul_gathered(
     assert sel.shape == (n_tiles,), (sel.shape, n_tiles)
     if exact is None:
         exact = interpret or os.environ.get("TPULLAMA_QMM_EXACT", "0") == "1"
-    # decode slots are latency-bound on grid steps: take the whole N in
-    # one tile when the weight tile fits VMEM comfortably (e.g. gpt-oss
-    # F=2944 would otherwise shrink to tn=128 -> 23x the grid steps)
-    bits_total = sum(
-        {"q4": 4, "q4_lut": 4, "q2": 2, "q1": 1, "q8": 8}.get(k, 0)
-        for k in pq_fields
-    )
-    est = N * (K * bits_total // 8 + 4 * (K // group)) * 2 + tt * K * 4
-    if est < 24 * 1024 * 1024:
+    # TPULLAMA_GMM_FULL_N=1: whole-N tiles (fewer grid steps; measured
+    # slightly SLOWER than tn=128 at gpt-oss decode — less DMA/compute
+    # overlap — kept for A/B)
+    if os.environ.get("TPULLAMA_GMM_FULL_N", "0") == "1":
         tile_n = max(tile_n, N + (128 - N % 128) % 128)
     # Mosaic 128-lane out tiling: prefer PRE-PADDED per-expert rows
     # (stored rows > n_out — no copy); else pad here (hoisted, but
