@@ -31,10 +31,24 @@ CHATML_FALLBACK = (
 
 
 def apply_chat_template(model, messages: list, add_generation_prompt: bool = True,
-                        tools: list | None = None) -> str:
+                        tools: list | None = None,
+                        template_override: str | None = None) -> str:
+    """Render the chat prompt. Resolution order mirrors the reference
+    server: an explicit --chat-template NAME uses the builtin dialect
+    (src/llama-chat.cpp registry); otherwise the GGUF's embedded jinja
+    template is rendered; if that is absent or fails, the builtin
+    dialect detected from the template text (or chatml) is used."""
+    from .templates import apply_builtin_template, detect_template
+
+    if template_override:
+        return apply_builtin_template(template_override, messages,
+                                      add_generation_prompt)
+
     import jinja2
 
-    template = model.reader.kv.get("tokenizer.chat_template") or CHATML_FALLBACK
+    template = model.reader.kv.get("tokenizer.chat_template") or ""
+    if not template:
+        return apply_builtin_template("chatml", messages, add_generation_prompt)
     env = jinja2.Environment(loader=jinja2.BaseLoader())
     try:
         tpl = env.from_string(template)
@@ -45,8 +59,8 @@ def apply_chat_template(model, messages: list, add_generation_prompt: bool = Tru
             bos_token="", eos_token="",
         )
     except jinja2.TemplateError:
-        tpl = env.from_string(CHATML_FALLBACK)
-        return tpl.render(messages=messages, add_generation_prompt=add_generation_prompt)
+        return apply_builtin_template(detect_template(template) or "chatml",
+                                      messages, add_generation_prompt)
 
 
 def format_infill(
@@ -216,9 +230,12 @@ def extract_media(messages: list):
 class ServerState:
     def __init__(self, engine: ServerEngine, model_name: str = "model",
                  mtmd=None, slot_save_path: str | None = None,
-                 base_model=None, loras: list | None = None):
+                 base_model=None, loras: list | None = None,
+                 chat_template: str | None = None):
         self.engine = engine
         self.model_name = model_name
+        # --chat-template NAME: force a builtin dialect (templates.py)
+        self.chat_template = chat_template
         self.mtmd = mtmd  # MtmdContext when --mmproj is loaded
         self.t_start = time.time()
         # slot save/restore (requires --slot-save-path like the reference)
@@ -251,6 +268,7 @@ class ServerState:
 def make_handler(state: ServerState):
     engine = state.engine
     vocab = engine.vocab
+    tmpl_override = state.chat_template
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -428,7 +446,8 @@ def make_handler(state: ServerState):
                 elif path == "/detokenize":
                     self._json({"content": vocab.detokenize(body.get("tokens", []))})
                 elif path == "/apply-template":
-                    text = apply_chat_template(engine.model, body.get("messages", []))
+                    text = apply_chat_template(engine.model, body.get("messages", []),
+                                               template_override=tmpl_override)
                     self._json({"prompt": text})
                 elif path in ("/embedding", "/embeddings", "/v1/embeddings"):
                     self._handle_embeddings(body)
@@ -682,7 +701,8 @@ def make_handler(state: ServerState):
                     "request contains media but no --mmproj is loaded",
                     code=500, etype="server_error")
             prompt = apply_chat_template(engine.model, messages,
-                                         tools=tools or None)
+                                         tools=tools or None,
+                                         template_override=tmpl_override)
             if media:
                 task, sq = self._submit_media(prompt, media, oai)
             else:
@@ -739,7 +759,8 @@ def make_handler(state: ServerState):
             messages, _ = extract_media(oai.get("messages", []))
             tools = tools_to_template_ctx(oai.get("tools"))
             prompt = apply_chat_template(engine.model, messages,
-                                         tools=tools or None)
+                                         tools=tools or None,
+                                         template_override=tmpl_override)
             toks = vocab.tokenize(prompt, add_special=True)
             self._json({"input_tokens": len(toks)})
 
@@ -812,7 +833,8 @@ def make_handler(state: ServerState):
                 return self._error(
                     "request contains media but no --mmproj is loaded",
                     code=500, etype="server_error")
-            prompt = apply_chat_template(engine.model, messages, tools=tools or None)
+            prompt = apply_chat_template(engine.model, messages, tools=tools or None,
+                                         template_override=tmpl_override)
             if media:
                 task, sq = self._submit_media(prompt, media, body)
             else:
@@ -907,7 +929,7 @@ def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
           mmproj: str | None = None, slot_save_path: str | None = None,
           loras: list[tuple[str, float]] | None = None,
           draft_model=None, spec_params=None, kv_unified: bool = False,
-          split_mode: str = "none"):
+          split_mode: str = "none", chat_template: str | None = None):
     base_model = None
     lora_entries = []
     if loras:
@@ -931,7 +953,8 @@ def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
         mtmd = MtmdContext(load_mmproj(mmproj), model.vocab)
     state = ServerState(engine, model_name, mtmd=mtmd,
                         slot_save_path=slot_save_path,
-                        base_model=base_model, loras=lora_entries)
+                        base_model=base_model, loras=lora_entries,
+                        chat_template=chat_template)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     httpd.engine = engine
     if block:
@@ -978,6 +1001,10 @@ def main(argv=None):
                     help="multi-device split: 'layer' = layer-split "
                          "pipeline over all devices (the reference's "
                          "LLAMA_SPLIT_MODE_LAYER)")
+    ap.add_argument("--chat-template", default=os.environ.get(
+        "LLAMA_ARG_CHAT_TEMPLATE") or None,
+        help="force a builtin chat-template dialect by name "
+             "(src/llama-chat.cpp registry; see server.templates)")
     ap.add_argument("--kv-unified", action="store_true",
                     default=os.environ.get("LLAMA_ARG_KV_UNIFIED", "") not in ("", "0"),
                     help="one shared KV cell pool across slots (n_ctx = total; "
@@ -1005,7 +1032,8 @@ def main(argv=None):
           model_name=args.model, mmproj=args.mmproj,
           slot_save_path=args.slot_save_path, loras=loras or None,
           draft_model=draft_model, spec_params=spec_params,
-          kv_unified=args.kv_unified, split_mode=args.split_mode)
+          kv_unified=args.kv_unified, split_mode=args.split_mode,
+          chat_template=args.chat_template)
 
 
 if __name__ == "__main__":
