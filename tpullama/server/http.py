@@ -270,6 +270,18 @@ def make_handler(state: ServerState):
     vocab = engine.vocab
     tmpl_override = state.chat_template
 
+    def tool_dialect(body: dict) -> str:
+        """Tool-call format for this model: explicit chat_format in
+        the request, else detected from the embedded jinja template
+        (the format-selection role of common_chat_templates_apply)."""
+        from .chat import detect_tool_dialect
+
+        fmt = body.get("chat_format")
+        if fmt:
+            return str(fmt)
+        tmpl = engine.model.reader.kv.get("tokenizer.chat_template") or ""
+        return detect_tool_dialect(tmpl) if tmpl else "auto"
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -712,10 +724,12 @@ def make_handler(state: ServerState):
                 task.done.wait(600)
                 if task.error:
                     return self._error(task.error)
-                content, tool_calls = (
-                    parse_tool_calls(task.out_text) if tools
-                    else (task.out_text, [])
-                )
+                if tools:
+                    from .chat import parse_assistant_message
+                    content, _reasoning, tool_calls = parse_assistant_message(
+                        task.out_text, tool_dialect(oai))
+                else:
+                    content, tool_calls = task.out_text, []
                 self._json(anthropic_final(
                     rid, state.model_name, content, tool_calls,
                     task.stop_reason, task.stop_word,
@@ -726,7 +740,7 @@ def make_handler(state: ServerState):
             for ev in anthropic_stream_start(
                     rid, state.model_name, len(task.prompt_tokens)):
                 self._raw_chunk(ev)
-            scanner = StreamScanner() if tools else None
+            scanner = StreamScanner(tool_dialect(oai)) if tools else None
             while True:
                 piece = sq.get()
                 if piece is None:
@@ -845,10 +859,16 @@ def make_handler(state: ServerState):
                 task.done.wait(600)
                 if task.error:
                     return self._error(task.error)
-                content, tool_calls = (
-                    parse_tool_calls(task.out_text) if tools else (task.out_text, [])
-                )
+                reasoning = ""
+                if tools:
+                    from .chat import parse_assistant_message
+                    content, reasoning, tool_calls = parse_assistant_message(
+                        task.out_text, tool_dialect(body))
+                else:
+                    content, tool_calls = task.out_text, []
                 message = {"role": "assistant", "content": content or None}
+                if reasoning:
+                    message["reasoning_content"] = reasoning
                 finish = task.stop_reason or "stop"
                 if tool_calls:
                     message["tool_calls"] = tool_calls
@@ -888,7 +908,7 @@ def make_handler(state: ServerState):
             # with tools enabled, hold back potential tool-call text and
             # emit structured tool_calls deltas instead (the reference's
             # streaming diff logic, common/chat.cpp)
-            scanner = StreamScanner() if tools else None
+            scanner = StreamScanner(tool_dialect(body)) if tools else None
             while True:
                 piece = sq.get()
                 if piece is None:
