@@ -493,3 +493,199 @@ def test_parity_t5(tmp_path):
         t[d + "layer.2.DenseReluDense.wi.weight"] = rnd(rng, FF, D)
         t[d + "layer.2.DenseReluDense.wo.weight"] = rnd(rng, D, FF)
     run_case(tmp_path, "t5", cfg, t, vocab="spm")
+
+
+# --- round-3b tranche: MoE + diffusion families -------------------------
+
+def moe_layer_tensors(rng, p, E=64, F=64, n_exp=4, module="mlp",
+                      shared=False, chunk=False):
+    """Per-expert gate/up/down + router for one MoE layer."""
+    t = {f"model.layers.{p}.{module}.gate.weight": rnd(rng, n_exp, E)}
+    for x in range(n_exp):
+        q = f"model.layers.{p}.{module}.experts.{x}."
+        t[q + "gate_proj.weight"] = rnd(rng, F, E)
+        t[q + "up_proj.weight"] = rnd(rng, F, E)
+        t[q + "down_proj.weight"] = rnd(rng, E, F)
+    if shared:
+        q = f"model.layers.{p}.{module}.shared_experts."
+        t[q + "gate_proj.weight"] = rnd(rng, F, E)
+        t[q + "up_proj.weight"] = rnd(rng, F, E)
+        t[q + "down_proj.weight"] = rnd(rng, E, F)
+    if chunk:
+        for x in range(n_exp // 2):
+            q = f"model.layers.{p}.{module}.chunk_experts.{x}."
+            t[q + "gate_proj.weight"] = rnd(rng, F, E)
+            t[q + "up_proj.weight"] = rnd(rng, F, E)
+            t[q + "down_proj.weight"] = rnd(rng, E, F)
+    return t
+
+
+def test_parity_ernie45_moe(tmp_path):
+    rng = np.random.default_rng(30)
+    cfg = dict(BASE_CFG, architectures=["Ernie4_5_MoeForCausalLM"],
+               model_type="ernie4_5_moe", moe_num_experts=4, moe_k=2,
+               moe_layer_interval=1, moe_layer_start_index=1,
+               moe_intermediate_size=64, moe_num_shared_experts=1,
+               tie_word_embeddings=False)
+    t = llama_like_tensors(rng)
+    # layer 1 becomes MoE: drop its dense mlp, add router + experts
+    for nm in ("gate_proj", "up_proj", "down_proj"):
+        del t[f"model.layers.1.mlp.{nm}.weight"]
+    t.update(moe_layer_tensors(rng, 1, shared=True))
+    t["model.layers.1.mlp.moe_statics.e_score_correction_bias"] = \
+        rnd(rng, 1, 4)
+    run_case(tmp_path, "ernie45moe", cfg, t, vocab="spm")
+
+
+def test_parity_bailingmoe(tmp_path):
+    rng = np.random.default_rng(31)
+    E, H, KV, HD = 64, 4, 2, 16
+    cfg = dict(BASE_CFG, architectures=["BailingMoeForCausalLM"],
+               model_type="bailing_moe", num_experts=4,
+               num_experts_per_tok=2, moe_intermediate_size=64,
+               num_shared_experts=1, first_k_dense_replace=0,
+               norm_topk_prob=True, norm_head=True,
+               tie_word_embeddings=False)
+    t = {"model.word_embeddings.weight": rnd(rng, 261, E),
+         "model.norm.weight": 1.0 + rnd(rng, E),
+         "lm_head.weight": rnd(rng, 261, E)}
+    for i in range(2):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "post_attention_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "attention.query_key_value.weight"] = \
+            rnd(rng, (H + 2 * KV) * HD, E)
+        t[p + "attention.dense.weight"] = rnd(rng, E, H * HD)
+        t.update(moe_layer_tensors(rng, i, shared=True))
+    run_case(tmp_path, "bailingmoe", cfg, t)
+
+
+def test_parity_grovemoe(tmp_path):
+    rng = np.random.default_rng(32)
+    cfg = dict(BASE_CFG, architectures=["GroveMoeForCausalLM"],
+               model_type="grove_moe", num_experts=4,
+               num_experts_per_tok=2, moe_intermediate_size=64,
+               tie_word_embeddings=False)
+    t = llama_like_tensors(rng, qk_norm=True)
+    for i in range(2):
+        for nm in ("gate_proj", "up_proj", "down_proj"):
+            del t[f"model.layers.{i}.mlp.{nm}.weight"]
+        t.update(moe_layer_tensors(rng, i, chunk=True))
+    run_case(tmp_path, "grovemoe", cfg, t)
+
+
+def test_parity_afmoe(tmp_path):
+    rng = np.random.default_rng(33)
+    E, H, KV, HD, F = 64, 4, 2, 16, 64
+    cfg = dict(BASE_CFG, architectures=["AfmoeForCausalLM"],
+               model_type="afmoe", num_experts=4, num_experts_per_tok=2,
+               moe_intermediate_size=64, num_shared_experts=1,
+               num_dense_layers=1, route_norm=True, route_scale=2.5,
+               sliding_window=128, tie_word_embeddings=False)
+    t = {"model.embed_tokens.weight": rnd(rng, 261, E),
+         "model.norm.weight": 1.0 + rnd(rng, E),
+         "lm_head.weight": rnd(rng, 261, E)}
+    for i in range(2):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "post_attention_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "pre_mlp_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "post_mlp_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "self_attn.q_proj.weight"] = rnd(rng, H * HD, E)
+        t[p + "self_attn.k_proj.weight"] = rnd(rng, KV * HD, E)
+        t[p + "self_attn.v_proj.weight"] = rnd(rng, KV * HD, E)
+        t[p + "self_attn.o_proj.weight"] = rnd(rng, E, H * HD)
+        t[p + "self_attn.gate_proj.weight"] = rnd(rng, H * HD, E)
+        t[p + "self_attn.q_norm.weight"] = 1.0 + rnd(rng, HD)
+        t[p + "self_attn.k_norm.weight"] = 1.0 + rnd(rng, HD)
+        if i == 0:  # leading dense layer
+            t[p + "mlp.gate_proj.weight"] = rnd(rng, F, E)
+            t[p + "mlp.up_proj.weight"] = rnd(rng, F, E)
+            t[p + "mlp.down_proj.weight"] = rnd(rng, E, F)
+        else:
+            t[p + "mlp.router.gate.weight"] = rnd(rng, 4, E)
+            t[p + "mlp.expert_bias"] = rnd(rng, 4)
+            for x in range(4):
+                q = f"{p}mlp.experts.{x}."
+                t[q + "gate_proj.weight"] = rnd(rng, F, E)
+                t[q + "up_proj.weight"] = rnd(rng, F, E)
+                t[q + "down_proj.weight"] = rnd(rng, E, F)
+            q = f"{p}mlp.shared_experts."
+            t[q + "gate_proj.weight"] = rnd(rng, F, E)
+            t[q + "up_proj.weight"] = rnd(rng, F, E)
+            t[q + "down_proj.weight"] = rnd(rng, E, F)
+    run_case(tmp_path, "afmoe", cfg, t)
+
+
+def test_parity_dream(tmp_path):
+    rng = np.random.default_rng(34)
+    cfg = dict(BASE_CFG, architectures=["DreamModel"],
+               model_type="dream", mask_token_id=259,
+               tie_word_embeddings=False)
+    run_case(tmp_path, "dream", cfg, llama_like_tensors(rng, bias=True))
+
+
+def test_parity_llada(tmp_path):
+    rng = np.random.default_rng(35)
+    E, H, KV, HD, F = 64, 4, 2, 16, 128
+    cfg = dict(architectures=["LLaDAModelLM"], model_type="llada",
+               vocab_size=261, d_model=E, n_layers=2, n_heads=H,
+               n_kv_heads=KV, mlp_hidden_size=F,
+               max_sequence_length=256, rms_norm_eps=1e-5,
+               rope_theta=10000.0, bos_token_id=1, eos_token_id=2)
+    t = {"model.transformer.wte.weight": rnd(rng, 261, E),
+         "model.transformer.ln_f.weight": 1.0 + rnd(rng, E),
+         "model.transformer.ff_out.weight": rnd(rng, 261, E)}
+    for i in range(2):
+        p = f"model.transformer.blocks.{i}."
+        t[p + "attn_norm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "ff_norm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "q_proj.weight"] = rnd(rng, H * HD, E)
+        t[p + "k_proj.weight"] = rnd(rng, KV * HD, E)
+        t[p + "v_proj.weight"] = rnd(rng, KV * HD, E)
+        t[p + "attn_out.weight"] = rnd(rng, E, H * HD)
+        t[p + "ff_proj.weight"] = rnd(rng, F, E)
+        t[p + "up_proj.weight"] = rnd(rng, F, E)
+        t[p + "ff_out.weight"] = rnd(rng, E, F)
+    run_case(tmp_path, "llada", cfg, t)
+
+
+def test_parity_llada_moe(tmp_path):
+    rng = np.random.default_rng(36)
+    cfg = dict(BASE_CFG, architectures=["LLaDAMoEModel"],
+               model_type="llada_moe", num_experts=4,
+               num_experts_per_tok=2, expert_intermediate_size=64,
+               tie_word_embeddings=False)
+    t = llama_like_tensors(rng, qk_norm=True)
+    for i in range(2):
+        for nm in ("gate_proj", "up_proj", "down_proj"):
+            del t[f"model.layers.{i}.mlp.{nm}.weight"]
+        t.update(moe_layer_tensors(rng, i))
+    run_case(tmp_path, "lladamoe", cfg, t)
+
+
+def test_parity_openelm(tmp_path):
+    rng = np.random.default_rng(37)
+    E, HD = 64, 16
+    n_q, n_kv = [4, 4], [2, 2]
+    mult, div = [1.0, 2.0], 32
+    cfg = dict(architectures=["OpenELMForCausalLM"], model_type="openelm",
+               vocab_size=261, model_dim=E, num_transformer_layers=2,
+               num_query_heads=n_q, num_kv_heads=n_kv, head_dim=HD,
+               ffn_multipliers=mult, ffn_dim_divisor=div,
+               max_context_length=256, rope_freq_constant=10000,
+               bos_token_id=1, eos_token_id=2)
+    ffn = [64, 128]  # make_divisible(m * E, 32)
+    t = {"transformer.token_embeddings.weight": rnd(rng, 261, E),
+         "transformer.norm.weight": 1.0 + rnd(rng, E)}
+    for i in range(2):
+        p = f"transformer.layers.{i}."
+        t[p + "attn_norm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "ffn_norm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "attn.qkv_proj.weight"] = rnd(rng, (n_q[i] + 2 * n_kv[i]) * HD, E)
+        t[p + "attn.out_proj.weight"] = rnd(rng, E, n_q[i] * HD)
+        t[p + "attn.q_norm.weight"] = 1.0 + rnd(rng, HD)
+        t[p + "attn.k_norm.weight"] = 1.0 + rnd(rng, HD)
+        t[p + "ffn.proj_1.weight"] = rnd(rng, 2 * ffn[i], E)
+        t[p + "ffn.proj_2.weight"] = rnd(rng, E, ffn[i])
+    run_case(tmp_path, "openelm", cfg, t, vocab="spm")

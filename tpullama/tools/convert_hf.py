@@ -107,7 +107,8 @@ def _pad_vocab(tokens, types, scores, n_vocab):
             scores.append(-1000.0)
 
 
-def write_vocab(w: GGUFWriter, model_dir: str, arch: str, config: dict, pre: str):
+def write_vocab(w: GGUFWriter, model_dir: str, arch: str, config: dict, pre: str,
+                add_bos_override: bool | None = None):
     spm = os.path.join(model_dir, "tokenizer.model")
     tok_json = os.path.join(model_dir, "tokenizer.json")
     tcfg = {}
@@ -257,7 +258,9 @@ def write_vocab(w: GGUFWriter, model_dir: str, arch: str, config: dict, pre: str
             "tokenizer.ggml.token_type", np.asarray(types, np.int32)
         )
         w.add_array("tokenizer.ggml.merges", merges)
-        w.add_bool("tokenizer.ggml.add_bos_token", bool(tcfg.get("add_bos_token", False)))
+        w.add_bool("tokenizer.ggml.add_bos_token",
+                   bool(tcfg.get("add_bos_token", False))
+                   if add_bos_override is None else add_bos_override)
         w.add_bool("tokenizer.ggml.add_eos_token", bool(tcfg.get("add_eos_token", False)))
     else:
         raise FileNotFoundError("no tokenizer.model or tokenizer.json found")
@@ -328,7 +331,7 @@ _NAME_MAP = [
     (r"^model\.layers\.(\d+)\.self_attn\.q_proj\.(weight|bias)$", "blk.{bid}.attn_q.{suf}"),
     (r"^model\.layers\.(\d+)\.self_attn\.k_proj\.(weight|bias)$", "blk.{bid}.attn_k.{suf}"),
     (r"^model\.layers\.(\d+)\.self_attn\.v_proj\.(weight|bias)$", "blk.{bid}.attn_v.{suf}"),
-    (r"^model\.layers\.(\d+)\.self_attn\.o_proj\.weight$", "blk.{bid}.attn_output.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.o_proj\.(weight|bias)$", "blk.{bid}.attn_output.{suf}"),
     (r"^model\.layers\.(\d+)\.self_attn\.q_norm\.weight$", "blk.{bid}.attn_q_norm.weight"),
     (r"^model\.layers\.(\d+)\.self_attn\.k_norm\.weight$", "blk.{bid}.attn_k_norm.weight"),
     (r"^model\.layers\.(\d+)\.self_attn\.query_layernorm\.weight$", "blk.{bid}.attn_q_norm.weight"),
@@ -374,6 +377,11 @@ _EXPERT_PATTERNS = [
     (r"^model\.layers\.(\d+)\.mlp\.experts\.(\d+)\.gate_proj\.weight$", "ffn_gate_exps"),
     (r"^model\.layers\.(\d+)\.mlp\.experts\.(\d+)\.down_proj\.weight$", "ffn_down_exps"),
     (r"^model\.layers\.(\d+)\.mlp\.experts\.(\d+)\.up_proj\.weight$", "ffn_up_exps"),
+    # grovemoe adjugate chunk experts (num_experts // 2 of them;
+    # GroveMoeModel.modify_tensors chunk_experts branch)
+    (r"^model\.layers\.(\d+)\.mlp\.chunk_experts\.(\d+)\.gate_proj\.weight$", "ffn_gate_chexps"),
+    (r"^model\.layers\.(\d+)\.mlp\.chunk_experts\.(\d+)\.down_proj\.weight$", "ffn_down_chexps"),
+    (r"^model\.layers\.(\d+)\.mlp\.chunk_experts\.(\d+)\.up_proj\.weight$", "ffn_up_chexps"),
 ]
 
 _BERT_NAME_MAP = [
@@ -469,6 +477,15 @@ _ARCH_MAP = {
     "ChatGLMModel": "chatglm",
     "ChatGLMForConditionalGeneration": "chatglm",
     # round-3 tranche (reference classes cited per spec below)
+    "Ernie4_5_MoeForCausalLM": "ernie4_5-moe",
+    "OpenELMForCausalLM": "openelm",
+    "BailingMoeForCausalLM": "bailingmoe",
+    "GroveMoeForCausalLM": "grovemoe",
+    "AfmoeForCausalLM": "afmoe",
+    "DreamModel": "dream",
+    "LLaDAModelLM": "llada",
+    "LLaDAMoEModel": "llada-moe",
+    "LLaDAMoEModelLM": "llada-moe",
     "XverseForCausalLM": "xverse",
     "OrionForCausalLM": "orion",
     "InternLM3ForCausalLM": "llama",  # InternLM3Model -> LLAMA (:5162)
@@ -1376,7 +1393,200 @@ _JAIS_NAME_MAP = [
 ]
 
 
+
+# --- round-3b tranche: MoE + diffusion families -------------------------
+
+# Ernie4_5MoeModel (convert_hf_to_gguf.py:3648): moe_* config keys,
+# interleave/leading-dense counts, shared-expert ffn = inter // n_kv
+def _cfg_ernie_moe(c):
+    c["num_experts"] = c.get("moe_num_experts")
+    if c.get("moe_k") is not None:
+        c["num_experts_per_tok"] = c["moe_k"]
+    return c
+
+
+def _kv_ernie_moe(w, arch, config):
+    w.add_u32(f"{arch}.interleave_moe_layer_step",
+              int(config.get("moe_layer_interval", 1)))
+    w.add_u32(f"{arch}.leading_dense_block_count",
+              int(config.get("moe_layer_start_index", 0)))
+    ns = config.get("moe_num_shared_experts")
+    if ns is not None:
+        w.add_u32(f"{arch}.expert_shared_count", int(ns))
+        if int(ns) > 0 and config.get("intermediate_size") \
+                and config.get("num_key_value_heads"):
+            w.add_u32(f"{arch}.expert_shared_feed_forward_length",
+                      int(config["intermediate_size"])
+                      // int(config["num_key_value_heads"]))
+
+
+_ERNIE_MOE_EXTRA_MAP = [
+    (r"^model\.layers\.(\d+)\.mlp\.moe_statics\.e_score_correction_bias$",
+     "blk.{bid}.exp_probs_b.bias"),
+]
+
+# BailingMoeModel (convert_hf_to_gguf.py:8615): fused query_key_value
+# split with llama q/k permute, norm_head-normalized lm_head, explicit
+# rope scaling "none" + expert_weights_scale 1.0
+_BAILING_NAME_MAP = [
+    (r"^model\.word_embeddings\.weight$", "token_embd.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.dense\.weight$",
+     "blk.{bid}.attn_output.weight"),
+]
+
+
+def _tf_bailingmoe(name, data, config):
+    m = re.match(r"^model\.layers\.(\d+)\.attention\.query_key_value\.weight$",
+                 name)
+    if m:
+        bid = m.group(1)
+        n_head = int(config["num_attention_heads"])
+        n_kv = int(config.get("num_key_value_heads", n_head))
+        hd = int(config.get("head_dim")
+                 or config["hidden_size"] // n_head)
+        q, k, v = np.split(data, [n_head * hd, n_head * hd + n_kv * hd])
+        return [
+            (f"=blk.{bid}.attn_q.weight", permute_rope(q, n_head)),
+            (f"=blk.{bid}.attn_k.weight", permute_rope(k, n_kv)),
+            (f"=blk.{bid}.attn_v.weight", v),
+        ]
+    if name == "lm_head.weight" and config.get("norm_head"):
+        data = data / (np.linalg.norm(data, axis=0, keepdims=True) + 1e-7)
+        return [("=output.weight", data)]
+    return [(name, data)]
+
+
+def _kv_bailingmoe(w, arch, config):
+    rs = config.get("rope_scaling") or {}
+    if rs.get("rope_type", rs.get("type")) != "yarn" or "factor" not in rs:
+        w.add_str(f"{arch}.rope.scaling.type", "none")
+    w.add_u32(f"{arch}.leading_dense_block_count",
+              int(config.get("first_k_dense_replace", 0)))
+    w.add_f32(f"{arch}.expert_weights_scale", 1.0)
+    if config.get("num_shared_experts") is not None:
+        w.add_u32(f"{arch}.expert_shared_count",
+                  int(config["num_shared_experts"]))
+
+
+# GroveMoeModel (convert_hf_to_gguf.py:8810): adjugate chunk experts
+# (num_experts // 2) + hardcoded chunk-ffn/group constants
+def _kv_grovemoe(w, arch, config):
+    w.add_u32(f"{arch}.expert_chunk_feed_forward_length",
+              int(config.get("head_dim") or 128))
+    w.add_u32(f"{arch}.experts_per_group", 2)
+    w.add_f32(f"{arch}.expert_group_scale", 0.05)
+
+
+# AfmoeModel (convert_hf_to_gguf.py:2552): attention gate, dual ffn
+# norms, router gate + expert bias, route norm/scale
+_AFMOE_NAME_MAP = [
+    (r"^model\.layers\.(\d+)\.self_attn\.gate_proj\.weight$",
+     "blk.{bid}.attn_gate.weight"),
+    (r"^model\.layers\.(\d+)\.post_attention_layernorm\.weight$",
+     "blk.{bid}.post_attention_norm.weight"),
+    (r"^model\.layers\.(\d+)\.pre_mlp_layernorm\.weight$",
+     "blk.{bid}.ffn_norm.weight"),
+    (r"^model\.layers\.(\d+)\.post_mlp_layernorm\.weight$",
+     "blk.{bid}.post_ffw_norm.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.router\.gate\.weight$",
+     "blk.{bid}.ffn_gate_inp.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.expert_bias$",
+     "blk.{bid}.exp_probs_b.bias"),
+]
+
+
+def _kv_afmoe(w, arch, config):
+    if config.get("num_shared_experts") is not None:
+        w.add_u32(f"{arch}.expert_shared_count",
+                  int(config["num_shared_experts"]))
+    if config.get("num_dense_layers") is not None:
+        w.add_u32(f"{arch}.leading_dense_block_count",
+                  int(config["num_dense_layers"]))
+    if config.get("route_norm") is not None:
+        w.add_bool(f"{arch}.expert_weights_norm", bool(config["route_norm"]))
+    if config.get("route_scale") is not None:
+        w.add_f32(f"{arch}.expert_weights_scale",
+                  float(config["route_scale"]))
+    if config.get("sliding_window") is not None:
+        w.add_u32(f"{arch}.attention.sliding_window",
+                  int(config["sliding_window"]))
+
+
+# DreamModel (convert_hf_to_gguf.py:3430): qwen2-shaped diffusion LM,
+# non-causal attention + mask token
+def _kv_dream(w, arch, config):
+    w.add_bool(f"{arch}.attention.causal", False)
+    if config.get("mask_token_id") is not None:
+        w.add_u32("tokenizer.ggml.mask_token_id",
+                  int(config["mask_token_id"]))
+
+
+# LLaDAModel (convert_hf_to_gguf.py:3500): olmo-style transformer.blocks
+# names, undone q/k permute, non-causal + unshifted diffusion logits
+_LLADA_NAME_MAP = [
+    (r"^model\.transformer\.wte\.weight$", "token_embd.weight"),
+    (r"^model\.transformer\.ln_f\.weight$", "output_norm.weight"),
+    (r"^model\.transformer\.blocks\.(\d+)\.attn_norm\.weight$",
+     "blk.{bid}.attn_norm.weight"),
+    (r"^model\.transformer\.blocks\.(\d+)\.q_proj\.(weight|bias)$",
+     "blk.{bid}.attn_q.{suf}"),
+    (r"^model\.transformer\.blocks\.(\d+)\.k_proj\.(weight|bias)$",
+     "blk.{bid}.attn_k.{suf}"),
+    (r"^model\.transformer\.blocks\.(\d+)\.v_proj\.(weight|bias)$",
+     "blk.{bid}.attn_v.{suf}"),
+    (r"^model\.transformer\.blocks\.(\d+)\.attn_out\.weight$",
+     "blk.{bid}.attn_output.weight"),
+    (r"^model\.transformer\.blocks\.(\d+)\.ff_norm\.weight$",
+     "blk.{bid}.ffn_norm.weight"),
+    (r"^model\.transformer\.blocks\.(\d+)\.up_proj\.weight$",
+     "blk.{bid}.ffn_up.weight"),
+    (r"^model\.transformer\.blocks\.(\d+)\.ff_proj\.weight$",
+     "blk.{bid}.ffn_gate.weight"),
+    (r"^model\.transformer\.blocks\.(\d+)\.ff_out\.weight$",
+     "blk.{bid}.ffn_down.weight"),
+    (r"^model\.transformer\.ff_out\.weight$", "output.weight"),
+]
+
+
+def _cfg_llada(c):
+    for tgt, src in (("hidden_size", "d_model"),
+                     ("num_attention_heads", "n_heads"),
+                     ("num_hidden_layers", "n_layers"),
+                     ("num_key_value_heads", "n_kv_heads"),
+                     ("intermediate_size", "mlp_hidden_size"),
+                     ("max_position_embeddings", "max_sequence_length")):
+        if c.get(tgt) is None and c.get(src) is not None:
+            c[tgt] = c[src]
+    c.setdefault("max_position_embeddings", 4096)
+    c.setdefault("intermediate_size", 12288)
+    return c
+
+
+def _kv_llada(w, arch, config):
+    w.add_bool(f"{arch}.attention.causal", False)
+    w.add_bool("diffusion.shift_logits", False)
+
+
+def _kv_llada_moe(w, arch, config):
+    if config.get("expert_intermediate_size") is not None:
+        w.add_u32(f"{arch}.expert_feed_forward_length",
+                  int(config["expert_intermediate_size"]))
+    w.add_u32("tokenizer.ggml.mask_token_id", 156895)
+    w.add_bool(f"{arch}.attention.causal", False)
+    w.add_bool("diffusion.shift_logits", False)
+
+
 _FAMILY_SPECS: dict = {
+    "ernie4_5-moe": dict(cfg=_cfg_ernie_moe, kv=_kv_ernie_moe,
+                         names=_ERNIE_MOE_EXTRA_MAP),
+    "bailingmoe": dict(names=_BAILING_NAME_MAP, transform=_tf_bailingmoe,
+                       kv=_kv_bailingmoe),
+    "grovemoe": dict(kv=_kv_grovemoe),
+    "afmoe": dict(names=_AFMOE_NAME_MAP, kv=_kv_afmoe),  # modify_tensors bypasses the llama permute
+    "dream": dict(kv=_kv_dream),
+    "llada": dict(names=_LLADA_NAME_MAP, permute_qk=True, cfg=_cfg_llada,
+                  kv=_kv_llada, add_bos=True),  # LLaDAModel.set_vocab
+    "llada-moe": dict(kv=_kv_llada_moe),
     "olmo": dict(permute_qk=True, kv=_kv_olmo, ln=True),
     "olmo2": dict(names=_OLMO2_NORM_MAP, kv=_kv_swa_pattern),
     "olmoe": dict(),
@@ -1711,6 +1921,8 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
     if arch == "granite-hybrid":
         return _convert_granite_hybrid(model_dir, outfile, config, qt, pre,
                                        verbose)
+    if arch == "openelm":
+        return _convert_openelm(model_dir, outfile, config, qt, verbose)
     if arch in ("t5", "t5encoder"):
         return _convert_t5(model_dir, outfile, arch, config, qt, verbose)
 
@@ -1880,7 +2092,8 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
                       int(rs.get("original_max_position_embeddings", 0)))
 
     write_vocab(w, model_dir, arch, config,
-                pre or _PRE_BY_ARCH.get(arch, "default"))
+                pre or _PRE_BY_ARCH.get(arch, "default"),
+                add_bos_override=spec.get("add_bos"))
 
     # llama (NORM rope) needs HF->gguf q/k row permutation; NEOX archs don't
     permute_qk = arch == "llama" or spec.get("permute_qk", False)
@@ -1936,8 +2149,9 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
                 bid, xid = int(m.group(1)), int(m.group(2))
                 experts.setdefault(bid, {}).setdefault(base, {})[xid] = data
                 bucket = experts[bid][base]
-                if n_expert and len(bucket) == n_expert:
-                    stacked = np.stack([bucket[i] for i in range(n_expert)])
+                n_need = n_expert // 2 if base.endswith("chexps") else n_expert
+                if n_need and len(bucket) == n_need:
+                    stacked = np.stack([bucket[i] for i in range(n_need)])
                     emit(f"blk.{bid}.{base}.weight", stacked)
                     del experts[bid][base]
                 return
@@ -2050,7 +2264,8 @@ def _convert_ssm(model_dir: str, outfile: str, arch: str, hf_arch: str,
                                     GGMLType.Q4_0: 2, GGMLType.Q4_K: 15,
                                     GGMLType.Q5_K: 17, GGMLType.Q6_K: 18}[qt])
     write_vocab(w, model_dir, arch, config,
-                pre or _PRE_BY_ARCH.get(arch, "default"))
+                pre or _PRE_BY_ARCH.get(arch, "default"),
+                add_bos_override=spec.get("add_bos"))
 
     stats = {"tensors": 0, "bytes": 0}
     tok_embd = None
@@ -2253,7 +2468,7 @@ def _convert_jamba(model_dir, outfile, config, qt, pre, verbose):
         (r"^model\.layers\.(\d+)\.self_attn\.q_proj\.weight$", "blk.{bid}.attn_q.weight"),
         (r"^model\.layers\.(\d+)\.self_attn\.k_proj\.weight$", "blk.{bid}.attn_k.weight"),
         (r"^model\.layers\.(\d+)\.self_attn\.v_proj\.weight$", "blk.{bid}.attn_v.weight"),
-        (r"^model\.layers\.(\d+)\.self_attn\.o_proj\.weight$", "blk.{bid}.attn_output.weight"),
+        (r"^model\.layers\.(\d+)\.self_attn\.o_proj\.(weight|bias)$", "blk.{bid}.attn_output.{suf}"),
     ]
     for name, data in iter_hf_tensors(model_dir):
         m = re.match(r"^model\.layers\.(\d+)\.feed_forward\.experts\.(\d+)\.(gate|up|down)_proj\.weight$", name)
@@ -2395,7 +2610,7 @@ _GRANITE_HYBRID_MAP = [
     (r"^model\.layers\.(\d+)\.self_attn\.q_proj\.weight$", "blk.{bid}.attn_q.weight"),
     (r"^model\.layers\.(\d+)\.self_attn\.k_proj\.weight$", "blk.{bid}.attn_k.weight"),
     (r"^model\.layers\.(\d+)\.self_attn\.v_proj\.weight$", "blk.{bid}.attn_v.weight"),
-    (r"^model\.layers\.(\d+)\.self_attn\.o_proj\.weight$", "blk.{bid}.attn_output.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.o_proj\.(weight|bias)$", "blk.{bid}.attn_output.{suf}"),
     (r"^model\.layers\.(\d+)\.feed_forward\.gate_proj\.weight$", "blk.{bid}.ffn_gate.weight"),
     (r"^model\.layers\.(\d+)\.feed_forward\.up_proj\.weight$", "blk.{bid}.ffn_up.weight"),
     (r"^model\.layers\.(\d+)\.feed_forward\.down_proj\.weight$", "blk.{bid}.ffn_down.weight"),
@@ -2407,6 +2622,104 @@ _GRANITE_HYBRID_MAP = [
     (r"^model\.layers\.(\d+)\.mamba\.norm\.weight$", "blk.{bid}.ssm_norm.weight"),
     (r"^model\.layers\.(\d+)\.mamba\.out_proj\.weight$", "blk.{bid}.ssm_out.weight"),
 ]
+
+
+
+def _convert_openelm(model_dir: str, outfile: str, config: dict, qt,
+                     verbose: bool) -> dict:
+    """OpenELM -> GGUF (convert_hf_to_gguf.py OpenELMModel:6845):
+    per-layer head-count / ffn-length ARRAYS, fused qkv, proj_1 split
+    into gate+up at the per-layer ffn dim, llama-spm vocab."""
+    arch = "openelm"
+
+    def make_divisible(v, divisor):
+        new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+        if new_v < 0.9 * v:
+            new_v += divisor
+        return new_v
+
+    n_embd = int(config["model_dim"])
+    n_layer = int(config["num_transformer_layers"])
+    head_dim = int(config["head_dim"])
+    n_q = [int(x) for x in config["num_query_heads"]]
+    n_kv = [int(x) for x in config["num_kv_heads"]]
+    ffn_dims = [make_divisible(m * n_embd, int(config["ffn_dim_divisor"]))
+                for m in config["ffn_multipliers"]]
+
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", os.path.basename(os.path.abspath(model_dir)))
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_u32(f"{arch}.context_length", int(config["max_context_length"]))
+    w.add_u32(f"{arch}.embedding_length", n_embd)
+    w.add_array(f"{arch}.feed_forward_length",
+                np.asarray(ffn_dims, np.uint32))
+    w.add_array(f"{arch}.attention.head_count", np.asarray(n_q, np.uint32))
+    w.add_array(f"{arch}.attention.head_count_kv",
+                np.asarray(n_kv, np.uint32))
+    w.add_f32(f"{arch}.rope.freq_base",
+              float(config.get("rope_freq_constant", 10000.0)))
+    # modeling_openelm.py hardcodes 1e-6
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_u32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_u32(f"{arch}.attention.key_length", head_dim)
+    w.add_u32(f"{arch}.attention.value_length", head_dim)
+    write_vocab(w, model_dir, arch, config, "default")
+
+    name_map = [
+        (r"^transformer\.token_embeddings\.weight$", "token_embd.weight"),
+        (r"^transformer\.norm\.weight$", "output_norm.weight"),
+        (r"^transformer\.layers\.(\d+)\.attn_norm\.weight$",
+         "blk.{bid}.attn_norm.weight"),
+        (r"^transformer\.layers\.(\d+)\.attn\.qkv_proj\.weight$",
+         "blk.{bid}.attn_qkv.weight"),
+        (r"^transformer\.layers\.(\d+)\.attn\.out_proj\.weight$",
+         "blk.{bid}.attn_output.weight"),
+        (r"^transformer\.layers\.(\d+)\.attn\.q_norm\.weight$",
+         "blk.{bid}.attn_q_norm.weight"),
+        (r"^transformer\.layers\.(\d+)\.attn\.k_norm\.weight$",
+         "blk.{bid}.attn_k_norm.weight"),
+        (r"^transformer\.layers\.(\d+)\.ffn_norm\.weight$",
+         "blk.{bid}.ffn_norm.weight"),
+        (r"^transformer\.layers\.(\d+)\.ffn\.proj_2\.weight$",
+         "blk.{bid}.ffn_down.weight"),
+    ]
+    stats = {"tensors": 0}
+
+    def emit(gname, data):
+        tt = qt if data.ndim >= 2 and data.shape[-1] % 32 == 0 else GGMLType.F32
+        if tt == GGMLType.F16:
+            w.add_tensor(gname, data.astype(np.float16), GGMLType.F16)
+        elif tt != GGMLType.F32:
+            w.add_tensor(gname, np.empty(data.shape), ggml_type=tt,
+                         raw=quantize(data, tt))
+        else:
+            w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
+        stats["tensors"] += 1
+
+    for name, data in iter_hf_tensors(model_dir):
+        m = re.match(r"^transformer\.layers\.(\d+)\.ffn\.proj_1\.weight$",
+                     name)
+        if m:
+            bid = int(m.group(1))
+            ff = ffn_dims[bid]
+            emit(f"blk.{bid}.ffn_gate.weight", data[:ff])
+            emit(f"blk.{bid}.ffn_up.weight", data[ff:])
+            continue
+        gname = None
+        for pat, repl in name_map:
+            mm = re.match(pat, name)
+            if mm:
+                g = mm.groups()
+                gname = repl.format(bid=g[0] if g else "")
+                break
+        if gname is None:
+            if verbose:
+                print(f"skip {name}", file=sys.stderr)
+            continue
+        emit(gname, data)
+    w.write(outfile)
+    return stats
 
 
 def _convert_granite_hybrid(model_dir, outfile, config, qt, pre, verbose):
