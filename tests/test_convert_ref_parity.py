@@ -48,6 +48,8 @@ def save_ckpt(d, config, tensors, vocab="bpe"):
     elif vocab == "spm":
         write_spm_model(os.path.join(d, "tokenizer.model"),
                         spm_pieces(config.get("vocab_size", 261)))
+    elif vocab == "none":
+        pass
 
 
 def ref_convert(d, out):
@@ -195,8 +197,11 @@ def run_case(tmp_path, name, config, tensors, vocab="bpe"):
     save_ckpt(d, config, tensors, vocab=vocab)
     ref_out = str(tmp_path / f"{name}_ref.gguf")
     our_out = str(tmp_path / f"{name}_ours.gguf")
-    ref_convert(d, ref_out)
+    # ours first: the reference's in-place modify_tensors ops (e.g.
+    # plamo2's `data_torch += 1.0`) write through its mmap'd
+    # safetensors and would corrupt the checkpoint for the second run
     convert(d, our_out, outtype="f32", verbose=False)
+    ref_convert(d, ref_out)
     compare_ggufs(ref_out, our_out)
 
 
@@ -689,3 +694,291 @@ def test_parity_openelm(tmp_path):
         t[p + "ffn.proj_1.weight"] = rnd(rng, 2 * ffn[i], E)
         t[p + "ffn.proj_2.weight"] = rnd(rng, E, ffn[i])
     run_case(tmp_path, "openelm", cfg, t, vocab="spm")
+
+
+def test_parity_nemotron_h(tmp_path):
+    rng = np.random.default_rng(38)
+    E, H, KV, HD = 64, 4, 2, 16
+    d_state, n_group, n_sh, hd_ssm = 32, 1, 2, 64
+    d_inner = n_sh * hd_ssm
+    cfg = dict(architectures=["NemotronHForCausalLM"],
+               model_type="nemotron_h", vocab_size=261, hidden_size=E,
+               num_hidden_layers=3, num_attention_heads=H,
+               num_key_value_heads=KV, intermediate_size=128,
+               attention_head_dim=HD, hybrid_override_pattern="M*-",
+               mamba_num_heads=n_sh, mamba_head_dim=hd_ssm,
+               ssm_state_size=d_state, conv_kernel=4, n_groups=n_group,
+               max_position_embeddings=4096, rms_norm_eps=1e-5,
+               bos_token_id=1, eos_token_id=2, hidden_act="silu",
+               tie_word_embeddings=False)
+    conv_dim = d_inner + 2 * n_group * d_state
+    t = {"backbone.embeddings.weight": rnd(rng, 264, E),
+         "backbone.norm_f.weight": 1.0 + rnd(rng, E),
+         "lm_head.weight": rnd(rng, 264, E)}
+    for i in range(3):
+        t[f"backbone.layers.{i}.norm.weight"] = 1.0 + rnd(rng, E)
+    # layer 0: mamba2 mixer
+    p = "backbone.layers.0.mixer."
+    t[p + "in_proj.weight"] = rnd(rng, 2 * d_inner + 2 * n_group * d_state
+                                  + n_sh, E)
+    t[p + "conv1d.weight"] = rnd(rng, conv_dim, 1, 4)
+    t[p + "conv1d.bias"] = rnd(rng, conv_dim)
+    t[p + "dt_bias"] = rnd(rng, n_sh)
+    t[p + "A_log"] = rnd(rng, n_sh)
+    t[p + "D"] = rnd(rng, n_sh)
+    t[p + "norm.weight"] = 1.0 + rnd(rng, d_inner)
+    t[p + "out_proj.weight"] = rnd(rng, E, d_inner)
+    # layer 1: attention
+    p = "backbone.layers.1.mixer."
+    t[p + "q_proj.weight"] = rnd(rng, H * HD, E)
+    t[p + "k_proj.weight"] = rnd(rng, KV * HD, E)
+    t[p + "v_proj.weight"] = rnd(rng, KV * HD, E)
+    t[p + "o_proj.weight"] = rnd(rng, E, H * HD)
+    # layer 2: relu2 MLP (up/down only)
+    p = "backbone.layers.2.mixer."
+    t[p + "up_proj.weight"] = rnd(rng, 128, E)
+    t[p + "down_proj.weight"] = rnd(rng, E, 128)
+    run_case(tmp_path, "nemotronh", cfg, t)
+
+
+def test_parity_falcon_h1(tmp_path):
+    rng = np.random.default_rng(39)
+    E, H, KV, HD = 64, 4, 2, 16
+    d_inner, d_state, n_group, d_head = 128, 32, 1, 32
+    cfg = dict(architectures=["FalconH1ForCausalLM"],
+               model_type="falcon_h1", vocab_size=261, hidden_size=E,
+               num_hidden_layers=2, num_attention_heads=H,
+               num_key_value_heads=KV, head_dim=HD, intermediate_size=128,
+               mamba_d_ssm=d_inner, mamba_d_state=d_state,
+               mamba_n_groups=n_group, mamba_d_head=d_head,
+               mamba_d_conv=4, max_position_embeddings=512,
+               rms_norm_eps=1e-5, rope_theta=10000.0,
+               attention_in_multiplier=1.5, attention_out_multiplier=0.5,
+               ssm_in_multiplier=1.25, ssm_out_multiplier=0.75,
+               mlp_multipliers=[1.1, 0.9],
+               ssm_multipliers=[1.0, 1.2, 0.8, 1.3, 0.7],
+               key_multiplier=2.0, embedding_multiplier=3.0,
+               lm_head_multiplier=0.25, hidden_act="silu",
+               bos_token_id=1, eos_token_id=2, tie_word_embeddings=False)
+    n_sh = d_inner // d_head
+    conv_dim = d_inner + 2 * n_group * d_state
+    t = {"model.embed_tokens.weight": rnd(rng, 261, E),
+         "model.final_layernorm.weight": 1.0 + rnd(rng, E),
+         "lm_head.weight": rnd(rng, 261, E)}
+    for i in range(2):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "pre_ff_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "self_attn.q_proj.weight"] = rnd(rng, H * HD, E)
+        t[p + "self_attn.k_proj.weight"] = rnd(rng, KV * HD, E)
+        t[p + "self_attn.v_proj.weight"] = rnd(rng, KV * HD, E)
+        t[p + "self_attn.o_proj.weight"] = rnd(rng, E, H * HD)
+        t[p + "mlp.gate_proj.weight"] = rnd(rng, 128, E)
+        t[p + "mlp.up_proj.weight"] = rnd(rng, 128, E)
+        t[p + "mlp.down_proj.weight"] = rnd(rng, E, 128)
+        q = p + "mamba."
+        t[q + "in_proj.weight"] = rnd(rng, 2 * d_inner
+                                      + 2 * n_group * d_state + n_sh, E)
+        t[q + "conv1d.weight"] = rnd(rng, conv_dim, 1, 4)
+        t[q + "conv1d.bias"] = rnd(rng, conv_dim)
+        t[q + "dt_bias"] = rnd(rng, n_sh)
+        t[q + "A_log"] = rnd(rng, n_sh)
+        t[q + "D"] = rnd(rng, n_sh)
+        t[q + "norm.weight"] = 1.0 + rnd(rng, d_inner)
+        t[q + "out_proj.weight"] = rnd(rng, E, d_inner)
+    run_case(tmp_path, "falconh1", cfg, t)
+
+
+def test_parity_plamo2(tmp_path):
+    rng = np.random.default_rng(40)
+    E, H, KV, HD = 64, 4, 2, 16
+    n_mh, d_state = 4, 32
+    d_inner = n_mh * HD  # mamba inner = mamba_num_heads * hidden_size_per_head
+    dt_rank = 8
+    cfg = dict(architectures=["Plamo2ForCausalLM"], model_type="plamo2",
+               vocab_size=300, hidden_size=E, num_hidden_layers=2,
+               num_attention_heads=H, num_key_value_heads=KV,
+               hidden_size_per_head=HD, intermediate_size=128,
+               mamba_num_heads=n_mh, mamba_d_state=d_state,
+               mamba_d_conv=4, mamba_step=2, mamba_enabled=True,
+               max_position_embeddings=2048, rms_norm_eps=1e-6,
+               rope_theta=10000.0, bos_token_id=1, eos_token_id=2)
+    t = {"model.embed_tokens.weight": rnd(rng, 300, E),
+         "model.norm.weight": rnd(rng, E),
+         "lm_head.weight": rnd(rng, 300, E)}
+    for i in range(2):
+        p = f"model.layers.layers.{i}."
+        t[p + "pre_mixer_norm.weight"] = rnd(rng, E)
+        t[p + "post_mixer_norm.weight"] = rnd(rng, E)
+        t[p + "pre_mlp_norm.weight"] = rnd(rng, E)
+        t[p + "post_mlp_norm.weight"] = rnd(rng, E)
+        t[p + "mlp.gate_up_proj.weight"] = rnd(rng, 2 * 128, E)
+        t[p + "mlp.down_proj.weight"] = rnd(rng, E, 128)
+    # layer 0: mamba mixer (i % 2 != 1)
+    p = "model.layers.layers.0.mixer."
+    t[p + "in_proj.weight"] = rnd(rng, 2 * d_inner, E)
+    t[p + "conv1d.weight"] = rnd(rng, d_inner, 1, 4)
+    t[p + "bcdt_proj.weight"] = rnd(rng, 2 * d_state + dt_rank, d_inner)
+    t[p + "dt_proj.weight"] = rnd(rng, n_mh, dt_rank)
+    t[p + "dt_bias"] = rnd(rng, n_mh)
+    t[p + "dt_norm_weight"] = 1.0 + rnd(rng, dt_rank)
+    t[p + "A_log"] = rnd(rng, n_mh)
+    t[p + "B_norm_weight"] = 1.0 + rnd(rng, d_state)
+    t[p + "C_norm_weight"] = 1.0 + rnd(rng, d_state)
+    t[p + "D"] = rnd(rng, n_mh)
+    t[p + "out_proj.weight"] = rnd(rng, E, d_inner)
+    # layer 1: attention mixer
+    p = "model.layers.layers.1.mixer."
+    t[p + "qkv_proj.weight"] = rnd(rng, (H + 2 * KV) * HD, E)
+    t[p + "o_proj.weight"] = rnd(rng, E, H * HD)
+    t[p + "q_weight"] = 1.0 + rnd(rng, HD)
+    t[p + "k_weight"] = 1.0 + rnd(rng, HD)
+    d = str(tmp_path / "plamo2")
+    save_ckpt(d, cfg, t, vocab="none")
+    # plamo2 custom tokenizer.jsonl
+    with open(os.path.join(d, "tokenizer.jsonl"), "w") as f:
+        rows = [["<|plamo:unk|>", 0.0, "UNKNOWN"],
+                ["<|plamo:bos|>", 0.0, "CONTROL"],
+                ["<|plamo:eos|>", 0.0, "CONTROL"],
+                ["<|plamo:pad|>", 0.0, "CONTROL"],
+                ["<|plamo:op|>", 0.0, "CONTROL"]]
+        for b in range(256):
+            rows.append([f"<0x{b:02X}>", 0.0, "BYTE"])
+        for i in range(36):
+            rows.append([f"tok{i}", -float(i), "NORMAL"])
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    with open(os.path.join(d, "tokenizer_config.json"), "w") as f:
+        json.dump({"bos_token": "<|plamo:bos|>", "eos_token": "<|plamo:eos|>",
+                   "pad_token": "<|plamo:pad|>", "unk_token": "<|plamo:unk|>",
+                   "tokenizer_class": "PreTrainedTokenizerFast"}, f)
+    ref_out = str(tmp_path / "plamo2_ref.gguf")
+    our_out = str(tmp_path / "plamo2_ours.gguf")
+    convert(d, our_out, outtype="f32", verbose=False)
+    ref_convert(d, ref_out)
+    compare_ggufs(ref_out, our_out)
+
+
+def test_parity_rwkv6(tmp_path):
+    rng = np.random.default_rng(41)
+    E, HS = 64, 16  # hidden, wkv head size
+    tm_dim, td_dim = 32, 64  # lora dims for hidden != 4096
+    L, inter = 2, 224  # (64*3.5)//32*32
+    cfg = dict(architectures=["Rwkv6ForCausalLM"], model_type="rwkv6",
+               vocab_size=300, hidden_size=E, num_hidden_layers=L,
+               head_size=HS, layer_norm_epsilon=1e-5, rescale_every=2,
+               intermediate_size=None, bos_token_id=0, eos_token_id=0)
+    t = {"rwkv.embeddings.weight": rnd(rng, 300, E),
+         "rwkv.blocks.0.pre_ln.weight": 1.0 + rnd(rng, E),
+         "rwkv.blocks.0.pre_ln.bias": rnd(rng, E),
+         "rwkv.ln_out.weight": 1.0 + rnd(rng, E),
+         "rwkv.ln_out.bias": rnd(rng, E),
+         "head.weight": rnd(rng, 300, E)}
+    for i in range(L):
+        p = f"rwkv.blocks.{i}."
+        for ln in ("ln1", "ln2"):
+            t[p + f"{ln}.weight"] = 1.0 + rnd(rng, E)
+            t[p + f"{ln}.bias"] = rnd(rng, E)
+        a = p + "attention."
+        t[a + "time_maa_x"] = rnd(rng, 1, 1, E)
+        for c in "wkvrg":
+            t[a + f"time_maa_{c}"] = rnd(rng, 1, 1, E)
+        t[a + "time_maa_w1"] = rnd(rng, E, tm_dim * 5)
+        t[a + "time_maa_w2"] = rnd(rng, 5, tm_dim, E)
+        t[a + "time_decay"] = rnd(rng, 1, 1, E)
+        t[a + "time_decay_w1"] = rnd(rng, E, td_dim)
+        t[a + "time_decay_w2"] = rnd(rng, td_dim, E)
+        t[a + "time_faaaa"] = rnd(rng, E // HS, HS)
+        for nm in ("key", "value", "receptance", "gate", "output"):
+            t[a + f"{nm}.weight"] = rnd(rng, E, E)
+        t[a + "ln_x.weight"] = 1.0 + rnd(rng, E)
+        t[a + "ln_x.bias"] = rnd(rng, E)
+        f = p + "feed_forward."
+        t[f + "time_maa_k"] = rnd(rng, 1, 1, E)
+        t[f + "time_maa_r"] = rnd(rng, 1, 1, E)
+        t[f + "key.weight"] = rnd(rng, inter, E)
+        t[f + "receptance.weight"] = rnd(rng, E, E)
+        t[f + "value.weight"] = rnd(rng, E, inter)
+    d = str(tmp_path / "rwkv6")
+    save_ckpt(d, cfg, t, vocab="none")
+    # rwkv world vocab: "<id> <repr> <len>" lines
+    with open(os.path.join(d, "rwkv_vocab_v20230424.txt"), "w") as f:
+        i = 1
+        for b in range(193):
+            f.write(f"{i} {bytes([b])!r} 1\n")
+            i += 1
+        for k in range(100):
+            tok = f"tok{k}"
+            f.write(f"{i} {tok!r} {len(tok)}\n")
+            i += 1
+    ref_out = str(tmp_path / "rwkv6_ref.gguf")
+    our_out = str(tmp_path / "rwkv6_ours.gguf")
+    convert(d, our_out, outtype="f32", verbose=False)
+    ref_convert(d, ref_out)
+    compare_ggufs(ref_out, our_out)
+
+
+def test_parity_rwkv7(tmp_path):
+    rng = np.random.default_rng(42)
+    E, HS, L, inter = 64, 16, 2, 256
+    rd, ra, rv, rg = 32, 32, 32, 32
+    cfg = dict(architectures=["Rwkv7ForCausalLM"], model_type="rwkv7",
+               vocab_size=300, hidden_size=E, num_hidden_layers=L,
+               head_size=HS, layer_norm_epsilon=1e-5,
+               intermediate_size=inter, lora_rank_decay=rd,
+               lora_rank_iclr=ra, lora_rank_value_residual_mix=rv,
+               lora_rank_gate=rg, wkv_has_gate=True,
+               bos_token_id=0, eos_token_id=0)
+    t = {"model.embeddings.weight": rnd(rng, 300, E),
+         "model.pre_ln.weight": 1.0 + rnd(rng, E),
+         "model.pre_ln.bias": rnd(rng, E),
+         "model.ln_out.weight": 1.0 + rnd(rng, E),
+         "model.ln_out.bias": rnd(rng, E),
+         "head.weight": rnd(rng, 300, E)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        for ln in ("ln1", "ln2"):
+            t[p + f"{ln}.weight"] = 1.0 + rnd(rng, E)
+            t[p + f"{ln}.bias"] = rnd(rng, E)
+        a = p + "attention."
+        for c in "rwkvag":
+            t[a + f"x_{c}"] = rnd(rng, 1, 1, E)
+        t[a + "w0"] = rnd(rng, 1, 1, E)
+        t[a + "w1"] = rnd(rng, E, rd)
+        t[a + "w2"] = rnd(rng, rd, E)
+        t[a + "a0"] = rnd(rng, 1, 1, E)
+        t[a + "a1"] = rnd(rng, E, ra)
+        t[a + "a2"] = rnd(rng, ra, E)
+        if i > 0:
+            t[a + "v0"] = rnd(rng, 1, 1, E)
+            t[a + "v1"] = rnd(rng, E, rv)
+            t[a + "v2"] = rnd(rng, rv, E)
+        t[a + "g1"] = rnd(rng, E, rg)
+        t[a + "g2"] = rnd(rng, rg, E)
+        t[a + "k_k"] = rnd(rng, 1, 1, E)
+        t[a + "k_a"] = rnd(rng, 1, 1, E)
+        t[a + "r_k"] = rnd(rng, E // HS, HS)
+        for nm in ("key", "value", "receptance", "output"):
+            t[a + f"{nm}.weight"] = rnd(rng, E, E)
+        t[a + "ln_x.weight"] = 1.0 + rnd(rng, E)
+        t[a + "ln_x.bias"] = rnd(rng, E)
+        f = p + "feed_forward."
+        t[f + "x_k"] = rnd(rng, 1, 1, E)
+        t[f + "key.weight"] = rnd(rng, inter, E)
+        t[f + "value.weight"] = rnd(rng, E, inter)
+    d = str(tmp_path / "rwkv7")
+    save_ckpt(d, cfg, t, vocab="none")
+    with open(os.path.join(d, "rwkv_vocab_v20230424.txt"), "w") as f:
+        i = 1
+        for b in range(193):
+            f.write(f"{i} {bytes([b])!r} 1\n")
+            i += 1
+        for k in range(100):
+            tok = f"tok{k}"
+            f.write(f"{i} {tok!r} {len(tok)}\n")
+            i += 1
+    ref_out = str(tmp_path / "rwkv7_ref.gguf")
+    our_out = str(tmp_path / "rwkv7_ours.gguf")
+    convert(d, our_out, outtype="f32", verbose=False)
+    ref_convert(d, ref_out)
+    compare_ggufs(ref_out, our_out)

@@ -479,6 +479,13 @@ _ARCH_MAP = {
     # round-3 tranche (reference classes cited per spec below)
     "Ernie4_5_MoeForCausalLM": "ernie4_5-moe",
     "OpenELMForCausalLM": "openelm",
+    "NemotronHForCausalLM": "nemotron_h",
+    "FalconH1ForCausalLM": "falcon-h1",
+    "Plamo2ForCausalLM": "plamo2",
+    "Rwkv6ForCausalLM": "rwkv6",
+    "Rwkv7ForCausalLM": "rwkv7",
+    "RWKV7ForCausalLM": "rwkv7",
+    "PLaMo2ForCausalLM": "plamo2",
     "BailingMoeForCausalLM": "bailingmoe",
     "GroveMoeForCausalLM": "grovemoe",
     "AfmoeForCausalLM": "afmoe",
@@ -1923,6 +1930,18 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
                                        verbose)
     if arch == "openelm":
         return _convert_openelm(model_dir, outfile, config, qt, verbose)
+    if arch == "nemotron_h":
+        return _convert_nemotron_h(model_dir, outfile, config, qt, pre,
+                                   verbose)
+    if arch == "falcon-h1":
+        return _convert_falcon_h1(model_dir, outfile, config, qt, pre,
+                                  verbose)
+    if arch == "plamo2":
+        return _convert_plamo2(model_dir, outfile, config, qt, verbose)
+    if arch == "rwkv6":
+        return _convert_rwkv6(model_dir, outfile, config, qt, verbose)
+    if arch == "rwkv7":
+        return _convert_rwkv7(model_dir, outfile, config, qt, verbose)
     if arch in ("t5", "t5encoder"):
         return _convert_t5(model_dir, outfile, arch, config, qt, verbose)
 
@@ -2623,6 +2642,733 @@ _GRANITE_HYBRID_MAP = [
     (r"^model\.layers\.(\d+)\.mamba\.out_proj\.weight$", "blk.{bid}.ssm_out.weight"),
 ]
 
+
+
+
+_NEMOTRON_H_MAP = [
+    (r"^backbone\.embeddings\.weight$", "token_embd.weight"),
+    (r"^backbone\.norm_f\.weight$", "output_norm.weight"),
+    (r"^lm_head\.weight$", "output.weight"),
+    (r"^backbone\.layers\.(\d+)\.norm\.weight$", "blk.{bid}.attn_norm.weight"),
+    (r"^backbone\.layers\.(\d+)\.mixer\.q_proj\.weight$", "blk.{bid}.attn_q.weight"),
+    (r"^backbone\.layers\.(\d+)\.mixer\.k_proj\.weight$", "blk.{bid}.attn_k.weight"),
+    (r"^backbone\.layers\.(\d+)\.mixer\.v_proj\.weight$", "blk.{bid}.attn_v.weight"),
+    (r"^backbone\.layers\.(\d+)\.mixer\.o_proj\.weight$", "blk.{bid}.attn_output.weight"),
+    (r"^backbone\.layers\.(\d+)\.mixer\.up_proj\.weight$", "blk.{bid}.ffn_up.weight"),
+    (r"^backbone\.layers\.(\d+)\.mixer\.down_proj\.weight$", "blk.{bid}.ffn_down.weight"),
+    (r"^backbone\.layers\.(\d+)\.mixer\.in_proj\.weight$", "blk.{bid}.ssm_in.weight"),
+    (r"^backbone\.layers\.(\d+)\.mixer\.conv1d\.(weight|bias)$", "blk.{bid}.ssm_conv1d.{suf}"),
+    (r"^backbone\.layers\.(\d+)\.mixer\.dt_bias$", "blk.{bid}.ssm_dt.bias"),
+    (r"^backbone\.layers\.(\d+)\.mixer\.A_log$", "blk.{bid}.ssm_a"),
+    (r"^backbone\.layers\.(\d+)\.mixer\.D$", "blk.{bid}.ssm_d"),
+    (r"^backbone\.layers\.(\d+)\.mixer\.norm\.weight$", "blk.{bid}.ssm_norm.weight"),
+    (r"^backbone\.layers\.(\d+)\.mixer\.out_proj\.weight$", "blk.{bid}.ssm_out.weight"),
+]
+
+
+def _convert_nemotron_h(model_dir, outfile, config, qt, pre, verbose):
+    """NemotronH -> GGUF (convert_hf_to_gguf.py NemotronHModel:8566):
+    hybrid_override_pattern M/*/- decides mamba2 / attention / relu2-MLP
+    layers; per-layer ffn + kv-head arrays; ssm inner size =
+    mamba_num_heads * mamba_head_dim; vocab padded to a multiple of 8."""
+    arch = "nemotron_h"
+    d_model = int(config["hidden_size"])
+    n_layer = int(config["num_hidden_layers"])
+    n_head = int(config["num_attention_heads"])
+    n_kv = int(config.get("num_key_value_heads", n_head))
+    head_dim = int(config.get("head_dim")
+                   or config.get("attention_head_dim")
+                   or d_model // n_head)
+    pattern = config["hybrid_override_pattern"]
+    attn_idx = {i for i, v in enumerate(pattern) if v == "*"}
+    mlp_idx = {i for i, v in enumerate(pattern) if v == "-"}
+    d_head_ssm = int(config.get("mamba_head_dim", 64))
+    n_ssm_head = int(config.get("mamba_num_heads",
+                                config.get("num_heads", 0)))
+    d_inner = n_ssm_head * d_head_ssm
+    n_ff = int(config["intermediate_size"])
+    pad = int(config.get("pad_vocab_size_multiple", 8) or 8)
+    n_vocab = -(int(config["vocab_size"]) // -pad) * pad
+
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", os.path.basename(os.path.abspath(model_dir)))
+    w.add_u32(f"{arch}.block_count", n_layer)
+    # SSM models: "arbitrary value; for those who use the default"
+    w.add_u32(f"{arch}.context_length", 2 ** 20)
+    w.add_u32(f"{arch}.embedding_length", d_model)
+    w.add_array(f"{arch}.feed_forward_length",
+                np.asarray([n_ff if i in mlp_idx else 0
+                            for i in range(n_layer)], np.uint32))
+    w.add_u32(f"{arch}.attention.head_count", n_head)
+    w.add_array(f"{arch}.attention.head_count_kv",
+                np.asarray([n_kv if i in attn_idx else 0
+                            for i in range(n_layer)], np.uint32))
+    if config.get("rope_theta") is not None:
+        w.add_f32(f"{arch}.rope.freq_base", float(config["rope_theta"]))
+    w.add_u32(f"{arch}.rope.dimension_count", head_dim)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon",
+              float(config.get("rms_norm_eps", 1e-5)))
+    w.add_u32(f"{arch}.attention.key_length", head_dim)
+    w.add_u32(f"{arch}.attention.value_length", head_dim)
+    w.add_u32(f"{arch}.ssm.conv_kernel",
+              int(config.get("conv_kernel", 4)))
+    w.add_u32(f"{arch}.ssm.state_size",
+              int(config.get("ssm_state_size", 128)))
+    w.add_u32(f"{arch}.ssm.group_count", int(config.get("n_groups", 1)))
+    w.add_u32(f"{arch}.ssm.inner_size", d_inner)
+    w.add_u32(f"{arch}.ssm.time_step_rank", n_ssm_head)
+    w.add_bool(f"{arch}.rope.scaling.finetuned", False)
+    # vocab_size KV keeps the config value; the token LIST pads to a
+    # multiple of pad_vocab_size_multiple (Mamba2Model.set_vocab)
+    w.add_u32(f"{arch}.vocab_size", int(config["vocab_size"]))
+    cfg_pad = dict(config, vocab_size=n_vocab)
+    write_vocab(w, model_dir, arch, cfg_pad, pre or "default",
+                add_bos_override=True)
+
+    n_group = int(config.get("n_groups", 1))
+    stats = {"tensors": 0}
+    for name, data in iter_hf_tensors(model_dir):
+        gname = None
+        for pat, repl in _NEMOTRON_H_MAP:
+            m = re.match(pat, name)
+            if m:
+                g = m.groups()
+                bid = g[0] if g and str(g[0]).isdigit() else ""
+                suf = g[-1] if g and g[-1] in ("weight", "bias") else "weight"
+                gname = repl.format(bid=bid, suf=suf)
+                break
+        if gname is None:
+            if verbose:
+                print(f"skip {name}", file=sys.stderr)
+            continue
+        if gname.endswith("ssm_a"):
+            data = -np.exp(data.astype(np.float32)).reshape(-1, 1)
+        elif gname.endswith("ssm_d"):
+            data = data.astype(np.float32).reshape(-1, 1)
+        elif gname.endswith("ssm_norm.weight"):
+            data = data.reshape(n_group, d_inner // n_group)
+        elif gname.endswith("ssm_conv1d.weight") and data.ndim == 3:
+            data = data.squeeze(1)
+        elif gname.endswith(".attn_q.weight"):
+            data = permute_rope(data, n_head)
+        elif gname.endswith(".attn_k.weight"):
+            data = permute_rope(data, n_kv)
+        tt = qt if data.ndim >= 2 and data.shape[-1] % 32 == 0 else GGMLType.F32
+        if tt == GGMLType.F16:
+            w.add_tensor(gname, data.astype(np.float16), GGMLType.F16)
+        elif tt != GGMLType.F32:
+            w.add_tensor(gname, np.empty(data.shape), ggml_type=tt,
+                         raw=quantize(data, tt))
+        else:
+            w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
+        stats["tensors"] += 1
+    w.write(outfile)
+    if verbose:
+        print(f"wrote {outfile} ({stats['tensors']} tensors)", file=sys.stderr)
+    return stats
+
+
+
+def _convert_falcon_h1(model_dir, outfile, config, qt, pre, verbose):
+    """FalconH1 -> GGUF (convert_hf_to_gguf.py FalconH1Model:9039):
+    parallel attention+mamba2 in EVERY layer; the config's family of
+    multipliers (attention in/out, ssm in/out, mlp, key, embedding,
+    lm_head, and the 5-way zxbcdt split of in_proj) are folded into the
+    weights at conversion."""
+    arch = "falcon-h1"
+    d_model = int(config["hidden_size"])
+    n_layer = int(config["num_hidden_layers"])
+    n_head = int(config["num_attention_heads"])
+    n_kv = int(config.get("num_key_value_heads", n_head))
+    head_dim = int(config.get("head_dim") or d_model // n_head)
+    d_inner = int(config["mamba_d_ssm"])
+    d_state = int(config["mamba_d_state"])
+    n_group = int(config.get("mamba_n_groups", 1))
+    d_head_ssm = int(config["mamba_d_head"])
+
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", os.path.basename(os.path.abspath(model_dir)))
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_u32(f"{arch}.context_length",
+              int(config.get("max_position_embeddings", 0)))
+    w.add_u32(f"{arch}.embedding_length", d_model)
+    w.add_u32(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add_u32(f"{arch}.attention.head_count", n_head)
+    w.add_u32(f"{arch}.attention.head_count_kv", n_kv)
+    w.add_u32(f"{arch}.attention.key_length", head_dim)
+    w.add_u32(f"{arch}.attention.value_length", head_dim)
+    w.add_u32(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add_u32(f"{arch}.ssm.conv_kernel", int(config.get("mamba_d_conv", 4)))
+    w.add_u32(f"{arch}.ssm.inner_size", d_inner)
+    w.add_u32(f"{arch}.ssm.state_size", d_state)
+    w.add_u32(f"{arch}.ssm.time_step_rank", d_inner // d_head_ssm)
+    w.add_u32(f"{arch}.ssm.group_count", n_group)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon",
+              float(config.get("rms_norm_eps", 1e-5)))
+    w.add_f32(f"{arch}.rope.freq_base", float(config["rope_theta"]))
+    write_vocab(w, model_dir, arch, config, pre or "default")
+
+    mlp_m = config.get("mlp_multipliers") or [1.0, 1.0]
+    ssm_m = config.get("ssm_multipliers") or [1.0] * 5
+    attn_in = float(config.get("attention_in_multiplier", 1.0))
+    attn_out = float(config.get("attention_out_multiplier", 1.0))
+    key_m = float(config.get("key_multiplier", 1.0))
+    ssm_in = float(config.get("ssm_in_multiplier", 1.0))
+    ssm_out = float(config.get("ssm_out_multiplier", 1.0))
+    gts = n_group * d_state
+
+    name_map = [
+        # FFN_PRE_NORM's map entry includes ".weight", so the reference
+        # emits the bare name "blk.N.ffn_norm" for falcon-h1
+        (r"^model\.layers\.(\d+)\.pre_ff_layernorm\.weight$",
+         "blk.{bid}.ffn_norm"),
+    ] + _GRANITE_HYBRID_MAP + [
+        (r"^model\.layers\.(\d+)\.mlp\.gate_proj\.weight$",
+         "blk.{bid}.ffn_gate.weight"),
+        (r"^model\.layers\.(\d+)\.mlp\.up_proj\.weight$",
+         "blk.{bid}.ffn_up.weight"),
+        (r"^model\.layers\.(\d+)\.mlp\.down_proj\.weight$",
+         "blk.{bid}.ffn_down.weight"),
+    ]
+    stats = {"tensors": 0}
+    for name, data in iter_hf_tensors(model_dir):
+        gname = None
+        for pat, repl in name_map:
+            m = re.match(pat, name)
+            if m:
+                g = m.groups()
+                bid = g[0] if g and str(g[0]).isdigit() else ""
+                suf = g[-1] if g and g[-1] in ("weight", "bias") else "weight"
+                gname = repl.format(bid=bid, suf=suf)
+                break
+        if gname is None:
+            if verbose:
+                print(f"skip {name}", file=sys.stderr)
+            continue
+        # multiplier folding (FalconH1Model.modify_tensors elif chain)
+        if "down_proj" in name:
+            data = data * float(mlp_m[1])
+        elif "gate_proj" in name:
+            data = data * float(mlp_m[0])
+        elif "k_proj" in name:
+            data = data * key_m * attn_in
+        elif "q_proj" in name or "v_proj" in name:
+            data = data * attn_in
+        elif "o_proj" in name:
+            data = data * attn_out
+        elif "out_proj" in name:
+            data = data * ssm_out
+        elif "in_proj" in name:
+            data = data * ssm_in
+            data = np.array(data)
+            data[:d_inner] *= float(ssm_m[0])
+            data[d_inner : 2 * d_inner] *= float(ssm_m[1])
+            data[2 * d_inner : 2 * d_inner + gts] *= float(ssm_m[2])
+            data[2 * d_inner + gts : 2 * d_inner + 2 * gts] *= float(ssm_m[3])
+            data[2 * d_inner + 2 * gts :] *= float(ssm_m[4])
+        elif "lm_head" in name:
+            data = data * float(config.get("lm_head_multiplier", 1.0))
+        elif "embed_tokens" in name:
+            data = data * float(config.get("embedding_multiplier", 1.0))
+        if gname.endswith("ssm_a"):
+            data = -np.exp(data.astype(np.float32)).reshape(-1, 1)
+        elif gname.endswith("ssm_d"):
+            data = data.astype(np.float32).reshape(-1, 1)
+        elif gname.endswith("ssm_norm.weight"):
+            data = data.reshape(n_group, d_inner // n_group)
+        elif gname.endswith("ssm_conv1d.weight") and data.ndim == 3:
+            data = data.squeeze(1)
+        tt = qt if data.ndim >= 2 and data.shape[-1] % 32 == 0 else GGMLType.F32
+        if tt == GGMLType.F16:
+            w.add_tensor(gname, data.astype(np.float16), GGMLType.F16)
+        elif tt != GGMLType.F32:
+            w.add_tensor(gname, np.empty(data.shape), ggml_type=tt,
+                         raw=quantize(data, tt))
+        else:
+            w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
+        stats["tensors"] += 1
+    w.write(outfile)
+    if verbose:
+        print(f"wrote {outfile} ({stats['tensors']} tensors)", file=sys.stderr)
+    return stats
+
+
+
+
+_RWKV6_MAP = [
+    (r"^rwkv\.embeddings\.weight$", "token_embd.weight"),
+    (r"^rwkv\.blocks\.0\.pre_ln\.(weight|bias)$", "token_embd_norm.{suf}"),
+    (r"^rwkv\.ln_out\.(weight|bias)$", "output_norm.{suf}"),
+    (r"^head\.weight$", "output.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.ln1\.(weight|bias)$", "blk.{bid}.attn_norm.{suf}"),
+    (r"^rwkv\.blocks\.(\d+)\.ln2\.(weight|bias)$", "blk.{bid}.attn_norm_2.{suf}"),
+    (r"^rwkv\.blocks\.(\d+)\.attention\.time_maa_w1$", "blk.{bid}.time_mix_w1.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.attention\.time_maa_w2$", "blk.{bid}.time_mix_w2.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.attention\.time_maa_x$", "blk.{bid}.time_mix_lerp_x.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.attention\.time_maa_k$", "blk.{bid}.time_mix_lerp_k.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.attention\.time_maa_v$", "blk.{bid}.time_mix_lerp_v.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.attention\.time_maa_r$", "blk.{bid}.time_mix_lerp_r.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.attention\.time_maa_g$", "blk.{bid}.time_mix_lerp_g.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.attention\.time_maa_w$", "blk.{bid}.time_mix_lerp_w.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.attention\.time_faaaa$", "blk.{bid}.time_mix_first.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.attention\.time_decay_w1$", "blk.{bid}.time_mix_decay_w1.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.attention\.time_decay_w2$", "blk.{bid}.time_mix_decay_w2.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.attention\.time_decay$", "blk.{bid}.time_mix_decay.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.attention\.key\.weight$", "blk.{bid}.time_mix_key.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.attention\.value\.weight$", "blk.{bid}.time_mix_value.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.attention\.receptance\.weight$", "blk.{bid}.time_mix_receptance.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.attention\.gate\.weight$", "blk.{bid}.time_mix_gate.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.attention\.ln_x\.(weight|bias)$", "blk.{bid}.time_mix_ln.{suf}"),
+    (r"^rwkv\.blocks\.(\d+)\.attention\.output\.weight$", "blk.{bid}.time_mix_output.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.feed_forward\.time_maa_k$", "blk.{bid}.channel_mix_lerp_k.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.feed_forward\.time_maa_r$", "blk.{bid}.channel_mix_lerp_r.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.feed_forward\.key\.weight$", "blk.{bid}.channel_mix_key.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.feed_forward\.receptance\.weight$", "blk.{bid}.channel_mix_receptance.weight"),
+    (r"^rwkv\.blocks\.(\d+)\.feed_forward\.value\.weight$", "blk.{bid}.channel_mix_value.weight"),
+]
+
+
+def _write_rwkv_world_vocab(w, model_dir, config):
+    """rwkv_vocab_v20230424.txt -> gguf "rwkv" vocab
+    (_set_vocab_rwkv_world, convert_hf_to_gguf.py:1362)."""
+    import ast
+
+    path = os.path.join(model_dir, "rwkv_vocab_v20230424.txt")
+    vocab_size = int(config.get("vocab_size", 65536))
+    tokens = ["<s>"]
+    types = [3]  # CONTROL
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.split(" ")
+            token = ast.literal_eval(" ".join(parts[1:-1]))
+            if isinstance(token, str):
+                token = token.encode("utf-8")
+            tokens.append(repr(token)[2:-1])  # b'\xff' -> \xff (escaped text)
+            types.append(1)
+    for i in range(len(tokens), vocab_size):
+        tokens.append(f"[PAD{i}]")
+        types.append(5)
+    w.add_str("tokenizer.ggml.model", "rwkv")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    # reference hack: \n\n (id 261) as EOT, <s> as bos/eos
+    w.add_u32("tokenizer.ggml.bos_token_id", 0)
+    w.add_u32("tokenizer.ggml.eos_token_id", 0)
+    w.add_u32("tokenizer.ggml.eot_token_id", 261)
+
+
+def _convert_rwkv6(model_dir, outfile, config, qt, verbose):
+    """RWKV6 -> GGUF (convert_hf_to_gguf.py Rwkv6Model:6095): time-mix
+    lora transposes, fused 5-way lerp stack, rescale_every halving of
+    output/value projections, rwkv-world text vocab."""
+    arch = "rwkv6"
+    hidden = int(config["hidden_size"])
+    n_layer = int(config["num_hidden_layers"])
+    rescale = int(config.get("rescale_every", 6))
+    inter = config.get("intermediate_size")
+    inter = int(inter) if inter else int((hidden * 3.5) // 32 * 32)
+
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", os.path.basename(os.path.abspath(model_dir)))
+    w.add_u32(f"{arch}.context_length", 1048576)  # RWKV isn't ctx limited
+    w.add_u32(f"{arch}.embedding_length", hidden)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_f32(f"{arch}.attention.layer_norm_epsilon",
+              float(config.get("layer_norm_epsilon", 1e-5)))
+    w.add_u32(f"{arch}.rescale_every_n_layers", rescale)
+    w.add_u32(f"{arch}.wkv.head_size", int(config["head_size"]))
+    w.add_u32(f"{arch}.time_mix_extra_dim", 64 if hidden == 4096 else 32)
+    w.add_u32(f"{arch}.time_decay_extra_dim", 128 if hidden == 4096 else 64)
+    w.add_u32(f"{arch}.feed_forward_length", inter)
+    w.add_u32(f"{arch}.attention.head_count", 0)  # required, unused
+    _write_rwkv_world_vocab(w, model_dir, config)
+
+    lerp: dict[int, dict[str, np.ndarray]] = {}
+    stats = {"tensors": 0}
+
+    def emit(gname, data):
+        tt = qt if data.ndim >= 2 and data.shape[-1] % 32 == 0 else GGMLType.F32
+        if tt == GGMLType.F16:
+            w.add_tensor(gname, data.astype(np.float16), GGMLType.F16)
+        elif tt != GGMLType.F32:
+            w.add_tensor(gname, np.empty(data.shape), ggml_type=tt,
+                         raw=quantize(data, tt))
+        else:
+            w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
+        stats["tensors"] += 1
+
+    for name, data in iter_hf_tensors(model_dir):
+        gname = None
+        bid = None
+        for pat, repl in _RWKV6_MAP:
+            m = re.match(pat, name)
+            if m:
+                g = m.groups()
+                bid = int(g[0]) if g and str(g[0]).isdigit() else None
+                suf = g[-1] if g and g[-1] in ("weight", "bias") else "weight"
+                gname = repl.format(bid="" if bid is None else bid, suf=suf)
+                break
+        if gname is None:
+            if verbose:
+                print(f"skip {name}", file=sys.stderr)
+            continue
+        if gname.endswith(("time_mix_w1.weight", "time_mix_decay_w1.weight",
+                           "time_mix_decay_w2.weight")):
+            data = data.T
+        elif gname.endswith("time_mix_w2.weight"):
+            data = data.transpose(0, 2, 1)
+        if gname.endswith("time_mix_decay.weight") or "lerp" in gname:
+            data = data.squeeze()
+        if rescale > 0 and bid is not None and gname.endswith(
+                ("time_mix_output.weight", "channel_mix_value.weight")):
+            data = data / (2 ** (bid // rescale))
+        # fuse the 5 per-channel lerp vectors into one (5,1,1,C) stack
+        if bid is not None and "time_mix_lerp" in gname \
+                and "time_mix_lerp_x" not in gname:
+            lerp.setdefault(bid, {})[gname] = data
+            keys = [f"blk.{bid}.time_mix_lerp_{i}.weight" for i in "wkvrg"]
+            if all(k in lerp[bid] for k in keys):
+                stacked = np.stack([lerp[bid][k][None] for k in keys])[:, None]
+                emit(f"blk.{bid}.time_mix_lerp_fused.weight", stacked)
+            continue
+        emit(gname, data)
+    w.write(outfile)
+    if verbose:
+        print(f"wrote {outfile} ({stats['tensors']} tensors)", file=sys.stderr)
+    return stats
+
+
+
+_RWKV7_MAP = [
+    (r"^model\.embeddings\.weight$", "token_embd.weight"),
+    (r"^model\.(?:pre_ln|layers\.0\.pre_norm)\.(weight|bias)$", "token_embd_norm.{suf}"),
+    (r"^model\.ln_out\.(weight|bias)$", "output_norm.{suf}"),
+    (r"^(?:head|lm_head)\.weight$", "output.weight"),
+    (r"^model\.layers\.(\d+)\.ln1\.(weight|bias)$", "blk.{bid}.attn_norm.{suf}"),
+    (r"^model\.layers\.(\d+)\.ln2\.(weight|bias)$", "blk.{bid}.attn_norm_2.{suf}"),
+    (r"^model\.layers\.(\d+)\.attention\.w0$", "blk.{bid}.time_mix_w0.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.w1$", "blk.{bid}.time_mix_w1.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.w2$", "blk.{bid}.time_mix_w2.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.a0$", "blk.{bid}.time_mix_a0.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.a1$", "blk.{bid}.time_mix_a1.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.a2$", "blk.{bid}.time_mix_a2.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.v0$", "blk.{bid}.time_mix_v0.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.v1$", "blk.{bid}.time_mix_v1.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.v2$", "blk.{bid}.time_mix_v2.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.g1$", "blk.{bid}.time_mix_g1.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.g2$", "blk.{bid}.time_mix_g2.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.k_k$", "blk.{bid}.time_mix_k_k.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.k_a$", "blk.{bid}.time_mix_k_a.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.r_k$", "blk.{bid}.time_mix_r_k.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.(?:key|k_proj)\.weight$", "blk.{bid}.time_mix_key.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.(?:value|v_proj)\.weight$", "blk.{bid}.time_mix_value.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.(?:receptance|r_proj)\.weight$", "blk.{bid}.time_mix_receptance.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.ln_x\.(weight|bias)$", "blk.{bid}.time_mix_ln.{suf}"),
+    (r"^model\.layers\.(\d+)\.attention\.(?:output|o_proj)\.weight$", "blk.{bid}.time_mix_output.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.x_k$", "blk.{bid}.channel_mix_lerp_k.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.key\.weight$", "blk.{bid}.channel_mix_key.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.value\.weight$", "blk.{bid}.channel_mix_value.weight"),
+]
+
+
+def _convert_rwkv7(model_dir, outfile, config, qt, verbose):
+    """RWKV7 -> GGUF (convert_hf_to_gguf.py Rwkv7Model:6220): four
+    decay/iclr/v-mix/gate loras (transposed), fused 6-way x_ lerp
+    stack, layer-0 dummy-v replacement by the a-lora, rwkv-world
+    vocab."""
+    arch = "rwkv7"
+    hidden = int(config["hidden_size"])
+    n_layer = int(config["num_hidden_layers"])
+    head_size = int(config.get("head_size") or config["head_dim"])
+    ln_eps = float(config.get("layer_norm_epsilon")
+                   or config.get("norm_eps", 1e-5))
+    inter = config.get("intermediate_size")
+    inter = int(inter) if inter else hidden * 4
+
+    def lora_rank(exp, mult):
+        return max(1, round(hidden ** exp * mult / 32)) * 32
+
+    r_decay = int(config.get("lora_rank_decay")
+                  or config.get("decay_low_rank_dim")
+                  or lora_rank(0.5, 1.8))
+    r_iclr = int(config.get("lora_rank_iclr")
+                 or config.get("a_low_rank_dim") or lora_rank(0.5, 1.8))
+    r_vmix = int(config.get("lora_rank_value_residual_mix")
+                 or config.get("v_low_rank_dim") or lora_rank(0.5, 1.3))
+    r_gate = int(config.get("lora_rank_gate")
+                 or config.get("gate_low_rank_dim") or lora_rank(0.8, 0.6))
+    wkv_has_gate = bool(config.get("wkv_has_gate", True))
+    lerp_list = list("rwkva" + ("g" if wkv_has_gate else ""))
+
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", os.path.basename(os.path.abspath(model_dir)))
+    w.add_u32(f"{arch}.context_length", 1048576)
+    w.add_u32(f"{arch}.embedding_length", hidden)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_f32(f"{arch}.attention.layer_norm_epsilon", ln_eps)
+    w.add_u32(f"{arch}.wkv.head_size", head_size)
+    w.add_u32(f"{arch}.attention.decay_lora_rank", r_decay)
+    w.add_u32(f"{arch}.attention.iclr_lora_rank", r_iclr)
+    w.add_u32(f"{arch}.attention.value_residual_mix_lora_rank", r_vmix)
+    w.add_u32(f"{arch}.attention.gate_lora_rank", r_gate)
+    w.add_u32(f"{arch}.feed_forward_length", inter)
+    w.add_u32(f"{arch}.attention.head_count", 0)  # required, unused
+    _write_rwkv_world_vocab(w, model_dir, config)
+
+    lerp: dict[int, dict[str, np.ndarray]] = {}
+    stats = {"tensors": 0}
+
+    def emit(gname, data):
+        tt = qt if data.ndim >= 2 and data.shape[-1] % 32 == 0 else GGMLType.F32
+        if tt == GGMLType.F16:
+            w.add_tensor(gname, data.astype(np.float16), GGMLType.F16)
+        elif tt != GGMLType.F32:
+            w.add_tensor(gname, np.empty(data.shape), ggml_type=tt,
+                         raw=quantize(data, tt))
+        else:
+            w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
+        stats["tensors"] += 1
+
+    for name, data in iter_hf_tensors(model_dir):
+        m = re.match(r"^model\.layers\.(\d+)\.attention\.x_(\w+)$", name)
+        if m:
+            bid, which = int(m.group(1)), m.group(2)
+            if which == "x":  # already concatenated
+                emit(f"blk.{bid}.time_mix_lerp_fused.weight",
+                     data.reshape(len(lerp_list), 1, 1, -1))
+            else:
+                lerp.setdefault(bid, {})[which] = data
+                if all(i in lerp[bid] for i in lerp_list):
+                    emit(f"blk.{bid}.time_mix_lerp_fused.weight",
+                         np.stack([lerp[bid][i] for i in lerp_list]))
+            continue
+        gname = None
+        bid = None
+        for pat, repl in _RWKV7_MAP:
+            mm = re.match(pat, name)
+            if mm:
+                g = mm.groups()
+                bid = int(g[0]) if g and str(g[0]).isdigit() else None
+                suf = g[-1] if g and g[-1] in ("weight", "bias") else "weight"
+                gname = repl.format(bid="" if bid is None else bid, suf=suf)
+                break
+        if gname is None:
+            if verbose:
+                print(f"skip {name}", file=sys.stderr)
+            continue
+        if bid == 0 and any(f"time_mix_v{i}." in gname for i in "012"):
+            continue  # dummy v0/v1/v2 on the first layer are unused
+        data = np.squeeze(data)
+        if any(gname.endswith(t) for t in (
+                "time_mix_w1.weight", "time_mix_w2.weight",
+                "time_mix_a1.weight", "time_mix_a2.weight",
+                "time_mix_v1.weight", "time_mix_v2.weight",
+                "time_mix_g1.weight", "time_mix_g2.weight")):
+            data = data.T
+        if "r_k" in gname:
+            data = data.flatten()
+        if bid == 0 and "time_mix_a" in gname:
+            # first layer: the a-lora doubles as the (dummy) v-lora
+            emit(gname.replace("time_mix_a", "time_mix_v"), data)
+        emit(gname, data)
+    w.write(outfile)
+    if verbose:
+        print(f"wrote {outfile} ({stats['tensors']} tensors)", file=sys.stderr)
+    return stats
+
+
+def _convert_plamo2(model_dir, outfile, config, qt, verbose):
+    """PLaMo2 -> GGUF (convert_hf_to_gguf.py Plamo2Model:4793): mamba +
+    attention hybrid (mamba_step pattern), nested model.layers.layers
+    names, +1-style norm offsets with per-site constants, and the
+    custom tokenizer.jsonl "plamo2" vocab."""
+    arch = "plamo2"
+    n_layer = int(config["num_hidden_layers"])
+    hd = int(config.get("hidden_size_per_head", 128))
+    mamba_step = int(config.get("mamba_step", 2))
+    mamba_enabled = bool(config.get("mamba_enabled", True))
+    n_heads, n_kv = [], []
+    if mamba_enabled:
+        for i in range(n_layer):
+            if n_layer <= (mamba_step // 2):
+                is_mamba = i != n_layer - 1
+            else:
+                is_mamba = (i % mamba_step) != (mamba_step // 2)
+            if is_mamba:
+                n_heads.append(0)
+                n_kv.append(0)
+            else:
+                n_heads.append(int(config.get("num_attention_heads", 32)))
+                n_kv.append(int(config.get("num_key_value_heads", 4)))
+
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", os.path.basename(os.path.abspath(model_dir)))
+    w.add_u32(f"{arch}.vocab_size", int(config["vocab_size"]))
+    if n_heads:
+        w.add_array(f"{arch}.attention.head_count_kv",
+                    np.asarray(n_kv, np.uint32))
+        w.add_array(f"{arch}.attention.head_count",
+                    np.asarray(n_heads, np.uint32))
+    w.add_u32(f"{arch}.context_length",
+              int(config.get("max_position_embeddings", 2048)))
+    w.add_u32(f"{arch}.embedding_length",
+              int(config.get("hidden_size", 4096)))
+    w.add_u32(f"{arch}.attention.key_length", hd)
+    w.add_u32(f"{arch}.attention.value_length", hd)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon",
+              float(config.get("rms_norm_eps", 1e-6)))
+    w.add_f32(f"{arch}.rope.freq_base",
+              float(config.get("rope_theta", 10000)))
+    w.add_u32(f"{arch}.ssm.state_size", int(config.get("mamba_d_state", 64)))
+    w.add_u32(f"{arch}.ssm.conv_kernel", int(config.get("mamba_d_conv", 4)))
+    w.add_u32(f"{arch}.ssm.time_step_rank",
+              int(config.get("mamba_num_heads", 64)))
+    w.add_u32(f"{arch}.ssm.inner_size",
+              int(config.get("mamba_num_heads", 64)) * hd)
+    w.add_u32(f"{arch}.ssm.group_count", 0)
+    w.add_u32(f"{arch}.feed_forward_length",
+              int(config.get("intermediate_size", 13312)))
+    _write_plamo2_vocab(w, model_dir, config)
+
+    name_map = [
+        (r"^model\.embed_tokens\.weight$", "token_embd.weight"),
+        (r"^model\.norm\.weight$", "output_norm.weight"),
+        (r"^lm_head\.weight$", "output.weight"),
+        (r"^model\.layers\.layers\.(\d+)\.pre_mixer_norm\.weight$",
+         "blk.{bid}.attn_norm.weight"),
+        # map entries that include ".weight" emit the bare gguf name
+        (r"^model\.layers\.layers\.(\d+)\.post_mixer_norm\.weight$",
+         "blk.{bid}.post_attention_norm"),
+        (r"^model\.layers\.layers\.(\d+)\.pre_mlp_norm\.weight$",
+         "blk.{bid}.ffn_norm.weight"),
+        (r"^model\.layers\.layers\.(\d+)\.post_mlp_norm\.weight$",
+         "blk.{bid}.post_ffw_norm"),
+        (r"^model\.layers\.layers\.(\d+)\.mixer\.qkv_proj\.weight$",
+         "blk.{bid}.attn_qkv.weight"),
+        (r"^model\.layers\.layers\.(\d+)\.mixer\.o_proj\.weight$",
+         "blk.{bid}.attn_output.weight"),
+        (r"^model\.layers\.layers\.(\d+)\.mixer\.q_weight$",
+         "blk.{bid}.attn_q_norm.weight"),
+        (r"^model\.layers\.layers\.(\d+)\.mixer\.k_weight$",
+         "blk.{bid}.attn_k_norm.weight"),
+        (r"^model\.layers\.layers\.(\d+)\.mlp\.gate_up_proj\.weight$",
+         "blk.{bid}.ffn_up.weight"),
+        (r"^model\.layers\.layers\.(\d+)\.mlp\.down_proj\.weight$",
+         "blk.{bid}.ffn_down.weight"),
+        (r"^model\.layers\.layers\.(\d+)\.mixer\.in_proj\.weight$",
+         "blk.{bid}.ssm_in.weight"),
+        (r"^model\.layers\.layers\.(\d+)\.mixer\.conv1d\.weight$",
+         "blk.{bid}.ssm_conv1d.weight"),
+        (r"^model\.layers\.layers\.(\d+)\.mixer\.bcdt_proj\.weight$",
+         "blk.{bid}.ssm_x.weight"),
+        (r"^model\.layers\.layers\.(\d+)\.mixer\.dt_proj\.weight$",
+         "blk.{bid}.ssm_dt.weight"),
+        (r"^model\.layers\.layers\.(\d+)\.mixer\.dt_bias$",
+         "blk.{bid}.ssm_dt.bias"),
+        (r"^model\.layers\.layers\.(\d+)\.mixer\.dt_norm_weight$",
+         "blk.{bid}.ssm_dt_norm"),
+        (r"^model\.layers\.layers\.(\d+)\.mixer\.A_log$",
+         "blk.{bid}.ssm_a"),
+        (r"^model\.layers\.layers\.(\d+)\.mixer\.B_norm_weight$",
+         "blk.{bid}.ssm_b_norm"),
+        (r"^model\.layers\.layers\.(\d+)\.mixer\.C_norm_weight$",
+         "blk.{bid}.ssm_c_norm"),
+        (r"^model\.layers\.layers\.(\d+)\.mixer\.D$",
+         "blk.{bid}.ssm_d"),
+        (r"^model\.layers\.layers\.(\d+)\.mixer\.out_proj\.weight$",
+         "blk.{bid}.ssm_out.weight"),
+    ]
+    stats = {"tensors": 0}
+    for name, data in iter_hf_tensors(model_dir):
+        gname = None
+        for pat, repl in name_map:
+            m = re.match(pat, name)
+            if m:
+                g = m.groups()
+                gname = repl.format(bid=g[0] if g else "")
+                break
+        if gname is None:
+            if verbose:
+                print(f"skip {name}", file=sys.stderr)
+            continue
+        # Plamo2Model.modify_tensors value adjustments
+        if gname.endswith("ssm_a"):
+            data = -np.exp(data.astype(np.float32))
+        elif gname.endswith("ssm_conv1d.weight") and data.ndim == 3:
+            data = data.squeeze(1)
+        elif gname.endswith("attn_norm.weight") \
+                or gname.endswith("ffn_norm.weight") \
+                or gname == "output_norm.weight":
+            data = data + 1.0
+        elif gname.endswith("post_attention_norm"):
+            data = data + 1.0 / 5
+        elif gname.endswith("post_ffw_norm"):
+            data = data + 1.0 / (5 ** 1.5)
+        tt = qt if data.ndim >= 2 and data.shape[-1] % 32 == 0 else GGMLType.F32
+        if tt == GGMLType.F16:
+            w.add_tensor(gname, data.astype(np.float16), GGMLType.F16)
+        elif tt != GGMLType.F32:
+            w.add_tensor(gname, np.empty(data.shape), ggml_type=tt,
+                         raw=quantize(data, tt))
+        else:
+            w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
+        stats["tensors"] += 1
+    w.write(outfile)
+    if verbose:
+        print(f"wrote {outfile} ({stats['tensors']} tensors)", file=sys.stderr)
+    return stats
+
+
+def _write_plamo2_vocab(w, model_dir, config):
+    """tokenizer.jsonl -> gguf "plamo2" vocab (Plamo2Model.set_vocab)."""
+    tok_path = os.path.join(model_dir, "tokenizer.jsonl")
+    if not os.path.exists(tok_path):
+        raise FileNotFoundError(f"PLaMo 2 tokenizer not found: {tok_path}")
+    tcfg_path = os.path.join(model_dir, "tokenizer_config.json")
+    tcfg = json.load(open(tcfg_path)) if os.path.exists(tcfg_path) else {}
+    tokens, scores, types = [], [], []
+    _T = {"UNKNOWN": 2, "CONTROL": 3, "BYTE": 6}
+    with open(tok_path, encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            row = json.loads(line)
+            tok = row[0]
+            tokens.append(tok)
+            scores.append(float(row[1]))
+            tstr = row[2] if len(row) > 2 else "NORMAL"
+            if tstr in _T:
+                types.append(_T[tstr])
+            elif tok.startswith("<|plamo:") and tok.endswith("|>"):
+                types.append(3)
+            else:
+                types.append(1)
+    n_vocab = int(config["vocab_size"])
+    i = 0
+    while len(tokens) < n_vocab:
+        i += 1
+        tokens.append(f"[PAD{i}]")
+        scores.append(-1000.0)
+        types.append(5)
+    w.add_str("tokenizer.ggml.model", "plamo2")
+    w.add_str("tokenizer.ggml.pre", "default")
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    for key, cfg_key in (("bos", "bos_token"), ("eos", "eos_token"),
+                         ("padding", "pad_token"), ("seperator", "sep_token"),
+                         ("unknown", "unk_token")):
+        tok = tcfg.get(cfg_key)
+        if tok is not None and tok in tokens:
+            w.add_u32(f"tokenizer.ggml.{key}_token_id", tokens.index(tok))
+    w.add_u32("tokenizer.ggml.eot_token_id", 4)  # <|plamo:op|>
+    w.add_bool("tokenizer.ggml.add_space_prefix", False)
 
 
 def _convert_openelm(model_dir: str, outfile: str, config: dict, qt,
