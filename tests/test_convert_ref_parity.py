@@ -982,3 +982,39 @@ def test_parity_rwkv7(tmp_path):
     convert(d, our_out, outtype="f32", verbose=False)
     ref_convert(d, ref_out)
     compare_ggufs(ref_out, our_out)
+
+
+def test_parity_bailingmoe2(tmp_path):
+    rng = np.random.default_rng(43)
+    E, H, KV, HD = 64, 4, 2, 16
+    cfg = dict(BASE_CFG, architectures=["BailingMoeV2ForCausalLM"],
+               model_type="bailing_moe_v2", num_experts=4,
+               num_experts_per_tok=2, moe_intermediate_size=64,
+               num_shared_experts=1, first_k_dense_replace=0,
+               norm_topk_prob=True, routed_scaling_factor=2.5,
+               partial_rotary_factor=0.5, num_nextn_predict_layers=1,
+               tie_word_embeddings=False)
+    t = {"model.word_embeddings.weight": rnd(rng, 261, E),
+         "model.norm.weight": 1.0 + rnd(rng, E),
+         "lm_head.weight": rnd(rng, 261, E)}
+    for i in range(3):  # 2 normal + 1 nextn layer
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "post_attention_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "attention.query_key_value.weight"] = \
+            rnd(rng, (H + 2 * KV) * HD, E)
+        t[p + "attention.dense.weight"] = rnd(rng, E, H * HD)
+        t[p + "attention.query_layernorm.weight"] = 1.0 + rnd(rng, HD)
+        t[p + "attention.key_layernorm.weight"] = 1.0 + rnd(rng, HD)
+        t.update(moe_layer_tensors(rng, i, shared=True))
+        t[p + "mlp.gate.expert_bias"] = rnd(rng, 4)
+    # nextn (MTP) extras on the appended layer
+    p = "model.layers.2."
+    t[p + "eh_proj.weight"] = rnd(rng, E, 2 * E)
+    t[p + "embed_tokens.weight"] = rnd(rng, 261, E)
+    t[p + "enorm.weight"] = 1.0 + rnd(rng, E)
+    t[p + "hnorm.weight"] = 1.0 + rnd(rng, E)
+    t[p + "shared_head.head.weight"] = rnd(rng, 261, E)
+    t[p + "shared_head.norm.weight"] = 1.0 + rnd(rng, E)
+    t[p + "final_layernorm.weight"] = 1.0 + rnd(rng, E)
+    run_case(tmp_path, "bailingmoe2", cfg, t)

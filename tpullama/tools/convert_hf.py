@@ -487,6 +487,7 @@ _ARCH_MAP = {
     "RWKV7ForCausalLM": "rwkv7",
     "PLaMo2ForCausalLM": "plamo2",
     "BailingMoeForCausalLM": "bailingmoe",
+    "BailingMoeV2ForCausalLM": "bailingmoe2",
     "GroveMoeForCausalLM": "grovemoe",
     "AfmoeForCausalLM": "afmoe",
     "DreamModel": "dream",
@@ -1583,11 +1584,76 @@ def _kv_llada_moe(w, arch, config):
     w.add_bool("diffusion.shift_logits", False)
 
 
+
+# BailingMoeV2Model (convert_hf_to_gguf.py:8722): fused qkv kept as
+# attn_qkv, partial-rotary rope dim, nextn (MTP) layers appended to the
+# block count, sigmoid-scored router with expert bias
+_BAILING2_NAME_MAP = [
+    (r"^model\.word_embeddings\.weight$", "token_embd.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.dense\.weight$",
+     "blk.{bid}.attn_output.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.query_key_value\.weight$",
+     "blk.{bid}.attn_qkv.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.query_layernorm\.weight$",
+     "blk.{bid}.attn_q_norm.weight"),
+    (r"^model\.layers\.(\d+)\.attention\.key_layernorm\.weight$",
+     "blk.{bid}.attn_k_norm.weight"),
+    (r"^model\.layers\.(\d+)\.final_layernorm\.weight$",
+     "blk.{bid}.layer_output_norm.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.gate\.expert_bias$",
+     "blk.{bid}.exp_probs_b.bias"),
+    (r"^model\.layers\.(\d+)\.eh_proj\.weight$",
+     "blk.{bid}.nextn.eh_proj.weight"),
+    (r"^model\.layers\.(\d+)\.embed_tokens\.weight$",
+     "blk.{bid}.nextn.embed_tokens.weight"),
+    (r"^model\.layers\.(\d+)\.enorm\.weight$",
+     "blk.{bid}.nextn.enorm.weight"),
+    (r"^model\.layers\.(\d+)\.hnorm\.weight$",
+     "blk.{bid}.nextn.hnorm.weight"),
+    (r"^model\.layers\.(\d+)\.shared_head\.head\.weight$",
+     "blk.{bid}.nextn.shared_head_head.weight"),
+    (r"^model\.layers\.(\d+)\.shared_head\.norm\.weight$",
+     "blk.{bid}.nextn.shared_head_norm.weight"),
+]
+
+
+def _kv_bailingmoe2(w, arch, config):
+    rs = config.get("rope_scaling") or {}
+    if rs.get("rope_type", rs.get("type")) != "yarn" or "factor" not in rs:
+        w.add_str(f"{arch}.rope.scaling.type", "none")
+    w.add_u32(f"{arch}.leading_dense_block_count",
+              int(config.get("first_k_dense_replace", 0)))
+    w.add_u32(f"{arch}.expert_shared_feed_forward_length",
+              int(config.get("moe_shared_expert_intermediate_size")
+                  or int(config["moe_intermediate_size"])
+                  * int(config["num_shared_experts"])))
+    w.add_f32(f"{arch}.expert_weights_scale",
+              float(config.get("routed_scaling_factor", 1.0)))
+    if config.get("num_shared_experts") is not None:
+        w.add_u32(f"{arch}.expert_shared_count",
+                  int(config["num_shared_experts"]))
+    if config.get("num_nextn_predict_layers") is not None:
+        w.add_u32(f"{arch}.nextn_predict_layers",
+                  int(config["num_nextn_predict_layers"]))
+
+
+def _cfg_bailingmoe2(c):
+    hd = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+    c["_rope_dim"] = int(hd * c.get("partial_rotary_factor", 0.5))
+    # nextn (MTP) layers extend the block count (BailingMoeV2Model.__init__)
+    c["num_hidden_layers"] = int(c["num_hidden_layers"]) \
+        + int(c.get("num_nextn_predict_layers") or 0)
+    return c
+
+
 _FAMILY_SPECS: dict = {
     "ernie4_5-moe": dict(cfg=_cfg_ernie_moe, kv=_kv_ernie_moe,
                          names=_ERNIE_MOE_EXTRA_MAP),
     "bailingmoe": dict(names=_BAILING_NAME_MAP, transform=_tf_bailingmoe,
                        kv=_kv_bailingmoe),
+    "bailingmoe2": dict(names=_BAILING2_NAME_MAP, kv=_kv_bailingmoe2,
+                        cfg=_cfg_bailingmoe2,
+                        rope_dim=lambda c: c["_rope_dim"]),
     "grovemoe": dict(kv=_kv_grovemoe),
     "afmoe": dict(names=_AFMOE_NAME_MAP, kv=_kv_afmoe),  # modify_tensors bypasses the llama permute
     "dream": dict(kv=_kv_dream),
