@@ -1018,3 +1018,87 @@ def test_parity_bailingmoe2(tmp_path):
     t[p + "shared_head.norm.weight"] = 1.0 + rnd(rng, E)
     t[p + "final_layernorm.weight"] = 1.0 + rnd(rng, E)
     run_case(tmp_path, "bailingmoe2", cfg, t)
+
+
+def test_parity_rwkv6qwen2(tmp_path):
+    rng = np.random.default_rng(44)
+    E, H, KV = 64, 4, 2
+    tm, td = 32, 64
+    cfg = dict(architectures=["RWKV6Qwen2ForCausalLM"],
+               model_type="rwkv6qwen2", vocab_size=261, hidden_size=E,
+               num_hidden_layers=2, num_attention_heads=H,
+               num_key_value_heads=KV, intermediate_size=128,
+               rms_norm_eps=1e-5, bos_token_id=1, eos_token_id=2,
+               tie_word_embeddings=False)
+    t = {"model.embed_tokens.weight": rnd(rng, 261, E),
+         "model.norm.weight": 1.0 + rnd(rng, E),
+         "lm_head.weight": rnd(rng, 261, E)}
+    for i in range(2):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "post_attention_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "mlp.gate_proj.weight"] = rnd(rng, 128, E)
+        t[p + "mlp.up_proj.weight"] = rnd(rng, 128, E)
+        t[p + "mlp.down_proj.weight"] = rnd(rng, E, 128)
+        a = p + "self_attn."
+        t[a + "time_maa_x"] = rnd(rng, 1, 1, E)
+        for c in "wkvrg":
+            t[a + f"time_maa_{c}"] = rnd(rng, 1, 1, E)
+        t[a + "time_maa_w1"] = rnd(rng, E, tm * 5)
+        t[a + "time_maa_w2"] = rnd(rng, 5, tm, E)
+        t[a + "time_decay"] = rnd(rng, 1, 1, E)
+        t[a + "time_decay_w1"] = rnd(rng, E, td)
+        t[a + "time_decay_w2"] = rnd(rng, td, E)
+        t[a + "k_proj.weight"] = rnd(rng, KV * 16, E)
+        t[a + "k_proj.bias"] = rnd(rng, KV * 16)
+        t[a + "v_proj.weight"] = rnd(rng, KV * 16, E)
+        t[a + "v_proj.bias"] = rnd(rng, KV * 16)
+        t[a + "q_proj.weight"] = rnd(rng, E, E)
+        t[a + "q_proj.bias"] = rnd(rng, E)
+        t[a + "gate.weight"] = rnd(rng, E, E)
+        t[a + "o_proj.weight"] = rnd(rng, E, E)
+    run_case(tmp_path, "rwkv6qwen2", cfg, t)
+
+
+def test_parity_arwkv7(tmp_path):
+    rng = np.random.default_rng(45)
+    E, HS, L, inter = 64, 16, 2, 128
+    rd, ra, rv, rg = 64, 64, 32, 128
+    cfg = dict(architectures=["RwkvHybridForCausalLM"],
+               model_type="rwkv_hybrid", vocab_size=261, hidden_size=E,
+               num_hidden_layers=L, head_size=HS, rms_norm_eps=1e-5,
+               intermediate_size=inter, wkv_has_gate=True, wkv_version=7,
+               bos_token_id=1, eos_token_id=2, tie_word_embeddings=False)
+    t = {"model.embed_tokens.weight": rnd(rng, 261, E),
+         "model.norm.weight": 1.0 + rnd(rng, E),
+         "lm_head.weight": rnd(rng, 261, E)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "post_attention_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "mlp.gate_proj.weight"] = rnd(rng, inter, E)
+        t[p + "mlp.up_proj.weight"] = rnd(rng, inter, E)
+        t[p + "mlp.down_proj.weight"] = rnd(rng, E, inter)
+        a = p + "self_attn.time_mixer."
+        for c in "rwkvag":
+            t[a + f"x_{c}"] = rnd(rng, 1, 1, E)
+        t[a + "w0"] = rnd(rng, 1, 1, E)
+        t[a + "w1"] = rnd(rng, E, rd)
+        t[a + "w2"] = rnd(rng, rd, E)
+        t[a + "a0"] = rnd(rng, 1, 1, E)
+        t[a + "a1"] = rnd(rng, E, ra)
+        t[a + "a2"] = rnd(rng, ra, E)
+        if i > 0:
+            t[a + "v0"] = rnd(rng, 1, 1, E)
+            t[a + "v1"] = rnd(rng, E, rv)
+            t[a + "v2"] = rnd(rng, rv, E)
+        t[a + "g1"] = rnd(rng, E, rg)
+        t[a + "g2"] = rnd(rng, rg, E)
+        t[a + "k_k"] = rnd(rng, 1, 1, E)
+        t[a + "k_a"] = rnd(rng, 1, 1, E)
+        t[a + "r_k"] = rnd(rng, E // HS, HS)
+        for nm in ("key", "value", "receptance", "output"):
+            t[a + f"{nm}.weight"] = rnd(rng, E, E)
+        t[a + "ln_x.weight"] = 1.0 + rnd(rng, E)
+        t[a + "ln_x.bias"] = rnd(rng, E)
+    run_case(tmp_path, "arwkv7", cfg, t)

@@ -485,6 +485,8 @@ _ARCH_MAP = {
     "Rwkv6ForCausalLM": "rwkv6",
     "Rwkv7ForCausalLM": "rwkv7",
     "RWKV7ForCausalLM": "rwkv7",
+    "RWKV6Qwen2ForCausalLM": "rwkv6qwen2",
+    "RwkvHybridForCausalLM": "arwkv7",
     "PLaMo2ForCausalLM": "plamo2",
     "BailingMoeForCausalLM": "bailingmoe",
     "BailingMoeV2ForCausalLM": "bailingmoe2",
@@ -2008,6 +2010,11 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
         return _convert_rwkv6(model_dir, outfile, config, qt, verbose)
     if arch == "rwkv7":
         return _convert_rwkv7(model_dir, outfile, config, qt, verbose)
+    if arch == "rwkv6qwen2":
+        return _convert_rwkv6qwen2(model_dir, outfile, config, qt, pre,
+                                   verbose)
+    if arch == "arwkv7":
+        return _convert_arwkv7(model_dir, outfile, config, qt, pre, verbose)
     if arch in ("t5", "t5encoder"):
         return _convert_t5(model_dir, outfile, arch, config, qt, verbose)
 
@@ -2349,8 +2356,7 @@ def _convert_ssm(model_dir: str, outfile: str, arch: str, hf_arch: str,
                                     GGMLType.Q4_0: 2, GGMLType.Q4_K: 15,
                                     GGMLType.Q5_K: 17, GGMLType.Q6_K: 18}[qt])
     write_vocab(w, model_dir, arch, config,
-                pre or _PRE_BY_ARCH.get(arch, "default"),
-                add_bos_override=spec.get("add_bos"))
+                pre or _PRE_BY_ARCH.get(arch, "default"))
 
     stats = {"tensors": 0, "bytes": 0}
     tok_embd = None
@@ -3244,6 +3250,234 @@ def _convert_rwkv7(model_dir, outfile, config, qt, verbose):
     w.write(outfile)
     if verbose:
         print(f"wrote {outfile} ({stats['tensors']} tensors)", file=sys.stderr)
+    return stats
+
+
+
+_RWKV6QWEN2_MAP = [
+    (r"^model\.embed_tokens\.weight$", "token_embd.weight"),
+    (r"^model\.norm\.weight$", "output_norm.weight"),
+    (r"^lm_head\.weight$", "output.weight"),
+    (r"^model\.layers\.(\d+)\.input_layernorm\.weight$", "blk.{bid}.attn_norm.weight"),
+    (r"^model\.layers\.(\d+)\.post_attention_layernorm\.weight$", "blk.{bid}.ffn_norm.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.gate_proj\.weight$", "blk.{bid}.ffn_gate.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.up_proj\.weight$", "blk.{bid}.ffn_up.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.down_proj\.weight$", "blk.{bid}.ffn_down.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.time_maa_w1$", "blk.{bid}.time_mix_w1.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.time_maa_w2$", "blk.{bid}.time_mix_w2.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.time_maa_x$", "blk.{bid}.time_mix_lerp_x.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.time_maa_k$", "blk.{bid}.time_mix_lerp_k.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.time_maa_v$", "blk.{bid}.time_mix_lerp_v.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.time_maa_r$", "blk.{bid}.time_mix_lerp_r.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.time_maa_g$", "blk.{bid}.time_mix_lerp_g.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.time_maa_w$", "blk.{bid}.time_mix_lerp_w.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.time_decay_w1$", "blk.{bid}.time_mix_decay_w1.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.time_decay_w2$", "blk.{bid}.time_mix_decay_w2.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.time_decay$", "blk.{bid}.time_mix_decay.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.k_proj\.(weight|bias)$", "blk.{bid}.time_mix_key.{suf}"),
+    (r"^model\.layers\.(\d+)\.self_attn\.v_proj\.(weight|bias)$", "blk.{bid}.time_mix_value.{suf}"),
+    (r"^model\.layers\.(\d+)\.self_attn\.q_proj\.(weight|bias)$", "blk.{bid}.time_mix_receptance.{suf}"),
+    (r"^model\.layers\.(\d+)\.self_attn\.gate\.weight$", "blk.{bid}.time_mix_gate.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.o_proj\.weight$", "blk.{bid}.time_mix_output.weight"),
+]
+
+
+def _convert_rwkv6qwen2(model_dir, outfile, config, qt, pre, verbose):
+    """RWKV6Qwen2 -> GGUF (convert_hf_to_gguf.py RWKV6Qwen2Model:6167):
+    rwkv6 time mixer inside a qwen2 block; w1/w2 loras are stored rkvwg
+    and permuted back to rwkv's wkvrg order; gpt2 vocab."""
+    arch = "rwkv6qwen2"
+    hidden = int(config["hidden_size"])
+    n_layer = int(config["num_hidden_layers"])
+    n_head = int(config["num_attention_heads"])
+    head_size = hidden // n_head
+    tm_dim = int(config.get("lora_rank_tokenshift")
+                 or (64 if hidden >= 4096 else 32))
+    td_dim = int(config.get("lora_rank_decay")
+                 or (128 if hidden >= 4096 else 64))
+
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", os.path.basename(os.path.abspath(model_dir)))
+    w.add_u32(f"{arch}.context_length", 1048576)
+    w.add_u32(f"{arch}.embedding_length", hidden)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_u32(f"{arch}.wkv.head_size", head_size)
+    w.add_u32(f"{arch}.time_mix_extra_dim", tm_dim)
+    w.add_u32(f"{arch}.time_decay_extra_dim", td_dim)
+    w.add_u32(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon",
+              float(config["rms_norm_eps"]))
+    w.add_u32(f"{arch}.token_shift_count", 1)
+    w.add_u32(f"{arch}.attention.head_count_kv",
+              int(config["num_key_value_heads"]))
+    w.add_u32(f"{arch}.attention.head_count", 0)  # required, unused
+    write_vocab(w, model_dir, arch, config, pre or "default")
+
+    lerp: dict[int, dict[str, np.ndarray]] = {}
+    stats = {"tensors": 0}
+
+    def emit(gname, data):
+        tt = qt if data.ndim >= 2 and data.shape[-1] % 32 == 0 else GGMLType.F32
+        if tt == GGMLType.F16:
+            w.add_tensor(gname, data.astype(np.float16), GGMLType.F16)
+        elif tt != GGMLType.F32:
+            w.add_tensor(gname, np.empty(data.shape), ggml_type=tt,
+                         raw=quantize(data, tt))
+        else:
+            w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
+        stats["tensors"] += 1
+
+    def rkvwg_to_wkvrg(data):
+        d = data.reshape(5, -1, data.shape[-1])
+        return np.stack([d[3], d[1], d[2], d[0], d[4]]).reshape(
+            -1, data.shape[-1])
+
+    for name, data in iter_hf_tensors(model_dir):
+        gname = None
+        bid = None
+        for pat, repl in _RWKV6QWEN2_MAP:
+            m = re.match(pat, name)
+            if m:
+                g = m.groups()
+                bid = int(g[0]) if g and str(g[0]).isdigit() else None
+                suf = g[-1] if g and g[-1] in ("weight", "bias") else "weight"
+                gname = repl.format(bid="" if bid is None else bid, suf=suf)
+                break
+        if gname is None:
+            if verbose:
+                print(f"skip {name}", file=sys.stderr)
+            continue
+        if gname.endswith(("time_mix_w1.weight", "time_mix_decay_w1.weight",
+                           "time_mix_decay_w2.weight")):
+            data = data.T
+        elif gname.endswith("time_mix_w2.weight"):
+            data = data.transpose(0, 2, 1)
+        if gname.endswith("time_mix_decay.weight") or "lerp" in gname:
+            data = data.squeeze()
+        if gname.endswith("time_mix_w1.weight"):
+            data = rkvwg_to_wkvrg(data)
+        elif gname.endswith("time_mix_w2.weight"):
+            d2 = data.reshape(-1, data.shape[-1])
+            d2 = rkvwg_to_wkvrg(d2)
+            data = d2.reshape(5, -1, d2.shape[-1])
+        if bid is not None and "time_mix_lerp" in gname \
+                and "time_mix_lerp_x" not in gname:
+            lerp.setdefault(bid, {})[gname] = data
+            keys = [f"blk.{bid}.time_mix_lerp_{i}.weight" for i in "wkvrg"]
+            if all(k in lerp[bid] for k in keys):
+                stacked = np.stack([lerp[bid][k][None] for k in keys])[:, None]
+                emit(f"blk.{bid}.time_mix_lerp_fused.weight", stacked)
+            continue
+        emit(gname, data)
+    w.write(outfile)
+    return stats
+
+
+def _convert_arwkv7(model_dir, outfile, config, qt, pre, verbose):
+    """ARwkv7 -> GGUF (convert_hf_to_gguf.py ARwkv7Model:6338): rwkv7
+    time mixer grafted onto a qwen-style block (rms norm, gpt2/spm
+    vocab, fixed lora ranks, token_shift_count 1)."""
+    arch = "arwkv7"
+    hidden = int(config["hidden_size"])
+    n_layer = int(config["num_hidden_layers"])
+    wkv_has_gate = bool(config.get("wkv_has_gate", True))
+    lerp_list = list("rwkva" + ("g" if wkv_has_gate else ""))
+
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", os.path.basename(os.path.abspath(model_dir)))
+    w.add_u32(f"{arch}.context_length", 1048576)
+    w.add_u32(f"{arch}.embedding_length", hidden)
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon",
+              float(config["rms_norm_eps"]))
+    w.add_u32(f"{arch}.wkv.head_size", int(config["head_size"]))
+    w.add_u32(f"{arch}.attention.decay_lora_rank", 64)
+    w.add_u32(f"{arch}.attention.iclr_lora_rank", 64)
+    w.add_u32(f"{arch}.attention.value_residual_mix_lora_rank", 32)
+    w.add_u32(f"{arch}.attention.gate_lora_rank",
+              128 if wkv_has_gate else 0)
+    w.add_u32(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    w.add_u32(f"{arch}.token_shift_count", 1)
+    w.add_u32(f"{arch}.attention.head_count", 0)  # required, unused
+    write_vocab(w, model_dir, arch, config, pre or "default")
+
+    extra_map = [
+        (r"^model\.layers\.(\d+)\.input_layernorm\.weight$",
+         "blk.{bid}.attn_norm.weight"),
+        (r"^model\.layers\.(\d+)\.post_attention_layernorm\.weight$",
+         "blk.{bid}.ffn_norm.weight"),
+        (r"^model\.layers\.(\d+)\.mlp\.gate_proj\.weight$",
+         "blk.{bid}.ffn_gate.weight"),
+        (r"^model\.layers\.(\d+)\.mlp\.up_proj\.weight$",
+         "blk.{bid}.ffn_up.weight"),
+        (r"^model\.layers\.(\d+)\.mlp\.down_proj\.weight$",
+         "blk.{bid}.ffn_down.weight"),
+        (r"^model\.embed_tokens\.weight$", "token_embd.weight"),
+        (r"^model\.norm\.weight$", "output_norm.weight"),
+    ]
+    lerp: dict[int, dict[str, np.ndarray]] = {}
+    stats = {"tensors": 0}
+
+    def emit(gname, data):
+        tt = qt if data.ndim >= 2 and data.shape[-1] % 32 == 0 else GGMLType.F32
+        if tt == GGMLType.F16:
+            w.add_tensor(gname, data.astype(np.float16), GGMLType.F16)
+        elif tt != GGMLType.F32:
+            w.add_tensor(gname, np.empty(data.shape), ggml_type=tt,
+                         raw=quantize(data, tt))
+        else:
+            w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
+        stats["tensors"] += 1
+
+    for name, data in iter_hf_tensors(model_dir):
+        # the reference unifies names before mapping
+        # (Rwkv7Model.modify_tensors): self_attn -> attention, drop
+        # time_mixer., ffn -> feed_forward
+        uname = name.replace("self_attn.time_mixer.", "attention.")
+        uname = uname.replace("self_attn.", "attention.")
+        m = re.match(r"^model\.layers\.(\d+)\.attention\.x_(\w+)$", uname)
+        if m:
+            bid, which = int(m.group(1)), m.group(2)
+            if which == "x":
+                emit(f"blk.{bid}.time_mix_lerp_fused.weight",
+                     data.reshape(len(lerp_list), 1, 1, -1))
+            else:
+                lerp.setdefault(bid, {})[which] = data
+                if all(i in lerp[bid] for i in lerp_list):
+                    emit(f"blk.{bid}.time_mix_lerp_fused.weight",
+                         np.stack([lerp[bid][i] for i in lerp_list]))
+            continue
+        gname = None
+        bid = None
+        for pat, repl in extra_map + _RWKV7_MAP:
+            mm = re.match(pat, uname)
+            if mm:
+                g = mm.groups()
+                bid = int(g[0]) if g and str(g[0]).isdigit() else None
+                suf = g[-1] if g and g[-1] in ("weight", "bias") else "weight"
+                gname = repl.format(bid="" if bid is None else bid, suf=suf)
+                break
+        if gname is None:
+            if verbose:
+                print(f"skip {name}", file=sys.stderr)
+            continue
+        if bid == 0 and any(f"time_mix_v{i}." in gname for i in "012"):
+            continue
+        data = np.squeeze(data)
+        if any(gname.endswith(t) for t in (
+                "time_mix_w1.weight", "time_mix_w2.weight",
+                "time_mix_a1.weight", "time_mix_a2.weight",
+                "time_mix_v1.weight", "time_mix_v2.weight",
+                "time_mix_g1.weight", "time_mix_g2.weight")):
+            data = data.T
+        if "r_k" in gname:
+            data = data.flatten()
+        if bid == 0 and "time_mix_a" in gname:
+            emit(gname.replace("time_mix_a", "time_mix_v"), data)
+        emit(gname, data)
+    w.write(outfile)
     return stats
 
 
