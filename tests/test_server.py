@@ -852,3 +852,46 @@ def test_split_mode_layer_serves_tokens(tmp_path):
         outs[mode] = out["choices"][0]["text"]
         httpd.shutdown()
     assert outs["layer"] == outs["none"]
+
+
+def test_split_mode_row_serves_tokens(tmp_path):
+    """--split-mode row (tensor-parallel serving): completions through
+    the Megatron-sharded Context must match the plain server's greedy
+    output (the reference's LLAMA_SPLIT_MODE_ROW split-buffer path,
+    include/llama.h:191-195, ggml-cuda.cu:773-941)."""
+    path = str(tmp_path / "m.gguf")
+    make_tiny_llama_gguf(path, seed=29, n_layer=2, n_head=8, n_head_kv=4)
+    outs = {}
+    for mode in ("none", "row"):
+        model = load_model(path)  # tp mode shards params in place
+        port = _free_port()
+        httpd = serve(model, port=port, n_slots=2, n_ctx=128, block=False,
+                      split_mode=mode, n_shards=4)
+        base = f"http://127.0.0.1:{port}"
+        for _ in range(100):
+            try:
+                urllib.request.urlopen(base + "/health", timeout=1)
+                break
+            except Exception:
+                time.sleep(0.1)
+        out = _post(base, "/v1/completions", {
+            "prompt": "Once upon a time", "max_tokens": 8, "temperature": 0,
+        })
+        outs[mode] = out["choices"][0]["text"]
+        httpd.shutdown()
+    assert outs["row"] == outs["none"]
+
+
+def test_split_mode_unknown_raises(tmp_path):
+    """Unknown/unsupported split modes must raise, not silently serve
+    single-device."""
+    from tpullama.server.engine import ServerEngine
+
+    path = str(tmp_path / "m.gguf")
+    make_tiny_llama_gguf(path, seed=29)
+    model = load_model(path)
+    with pytest.raises(ValueError):
+        ServerEngine(model, n_slots=1, n_ctx=64, split_mode="bogus")
+    with pytest.raises(NotImplementedError):
+        ServerEngine(model, n_slots=1, n_ctx=64, split_mode="row",
+                     kv_unified=True)

@@ -216,3 +216,102 @@ def test_tp_fused_qkv_unfuse_matches_single():
     fwd = _mk(mesh, hp2, m.quant_meta, params_tree=params2, kv_tree=args[2])
     logits, _ = jax.jit(fwd)(sharded, *args[:2], *args[2:])
     np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------- serving
+
+
+def test_tp_context_serving_matches_single():
+    """Context(parallel='tp') — the --split-mode row SERVING mode: prefill
+    + decode through the normal Context API over a tp mesh; logits must
+    match a plain single-device Context (the reference serves row-split
+    via llama_context transparently, include/llama.h:191-195)."""
+    from tpullama.runtime import Context, ContextParams
+
+    path = tempfile.mktemp(suffix=".gguf")
+    make_tiny_llama_gguf(path, n_embd=64, n_layer=2, n_head=8, n_head_kv=4,
+                         n_ff=128)
+    m_ref = load_model(path)
+    m_tp = load_model(path)
+    prompt = np.asarray([3, 14, 15, 92, 65], np.int32)
+    ctx_ref = Context(m_ref, ContextParams(n_ctx=64))
+    ref = ctx_ref.generate(prompt, n_predict=8)
+    ctx = Context(m_tp, ContextParams(n_ctx=64, parallel="tp", n_tp=4))
+    got_logits = ctx.decode(prompt, n_logits=2)
+    ref_logits = Context(load_model(path), ContextParams(n_ctx=64)).decode(
+        prompt, n_logits=2
+    )
+    np.testing.assert_allclose(got_logits, ref_logits, rtol=2e-4, atol=2e-4)
+    ctx.reset()
+    got = ctx.generate(prompt, n_predict=8)
+    assert got == ref
+
+
+def test_tp_context_serving_packed_q4k():
+    """Quantized serving under TP: load_model(packed=True, tp_shards=n)
+    gives the K-chunked row-TP planar layout; Context(parallel='tp')
+    serves it with per-shard Pallas dequant-matmul."""
+    from tpullama.runtime import Context, ContextParams
+
+    path = tempfile.mktemp(suffix=".gguf")
+    make_tiny_llama_gguf(path, n_embd=512, n_layer=2, n_head=4, n_head_kv=2,
+                         n_ff=512, qtype=GGMLType.Q4_K, tied_output=True)
+    m_ref = load_model(path, packed=True)
+    ref = Context(m_ref, ContextParams(n_ctx=64)).generate(
+        np.asarray([3, 14, 15], np.int32), n_predict=6
+    )
+    m_tp = load_model(path, packed=True, tp_shards=2)
+    ctx = Context(m_tp, ContextParams(n_ctx=64, parallel="tp", n_tp=2))
+    got = ctx.generate(np.asarray([3, 14, 15], np.int32), n_predict=6)
+    assert got == ref
+
+
+def test_tp_context_serving_fused_autounfuse():
+    """Fused-projection models are auto-unfused on entry to the TP
+    serving mode (no user-visible error)."""
+    from tpullama.runtime import Context, ContextParams
+
+    path = tempfile.mktemp(suffix=".gguf")
+    make_tiny_llama_gguf(path, n_embd=64, n_layer=2, n_head=8, n_head_kv=4,
+                         n_ff=128)
+    ref = Context(load_model(path), ContextParams(n_ctx=64)).generate(
+        np.asarray([5, 9, 2], np.int32), n_predict=6
+    )
+    m = load_model(path, fuse_projections=True)
+    assert "attn_qkv" in m.params["layers"]
+    ctx = Context(m, ContextParams(n_ctx=64, parallel="tp", n_tp=4))
+    got = ctx.generate(np.asarray([5, 9, 2], np.int32), n_predict=6)
+    assert got == ref
+
+
+def test_tp_context_serving_mla():
+    """MLA (deepseek2 absorbed) under the TP serving mode: head-sharded
+    q up-projections over the replicated latent cache."""
+    from tpullama.models.testing import make_tiny_deepseek2_gguf
+    from tpullama.runtime import Context, ContextParams
+
+    path = tempfile.mktemp(suffix=".gguf")
+    make_tiny_deepseek2_gguf(path, seed=7, absorbed=True)
+    prompt = np.asarray([3, 14, 15, 9], np.int32)
+    ref = Context(load_model(path), ContextParams(n_ctx=64)).generate(
+        prompt, n_predict=6
+    )
+    ctx = Context(load_model(path), ContextParams(n_ctx=64, parallel="tp",
+                                                  n_tp=2))
+    got = ctx.generate(prompt, n_predict=6)
+    assert got == ref
+
+
+def test_tp_context_serving_rejects_alibi():
+    """A multi-device flag must never silently serve single-device:
+    unsupported archs raise at Context construction."""
+    from tpullama.runtime import Context, ContextParams
+
+    path = tempfile.mktemp(suffix=".gguf")
+    make_tiny_llama_gguf(path, n_embd=64, n_layer=2, n_head=8, n_head_kv=8,
+                         n_ff=128, arch="mpt")  # ALiBi arch
+    m = load_model(path)
+    if m.hparams.f_max_alibi_bias <= 0:
+        pytest.skip("fixture arch is not ALiBi")
+    with pytest.raises(NotImplementedError):
+        Context(m, ContextParams(n_ctx=64, parallel="tp", n_tp=4))

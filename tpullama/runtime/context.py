@@ -98,9 +98,13 @@ class ContextParams:
     parallel: str | None = None  # "pp": serve through the layer-split
     # pipeline (parallel/pp.py) over an n_pp-device mesh — the engine
     # analog of the reference's LLAMA_SPLIT_MODE_LAYER auto-pipelining
-    # (src/llama-context.cpp:260-290)
+    # (src/llama-context.cpp:260-290). "tp": Megatron tensor-parallel
+    # serving over an n_tp-device mesh (parallel/tp.py shardings; the
+    # reference's LLAMA_SPLIT_MODE_ROW split-buffer path,
+    # include/llama.h:191-195, ggml-cuda.cu:773-941)
     n_pp: int = 0  # pipeline stages (0 = all devices)
     n_micro: int = 4  # micro-batches per prefill ubatch (GPipe overlap)
+    n_tp: int = 0  # tensor-parallel shards (0 = all devices)
 
 
 def _bucket(n: int, lo: int = 16) -> int:
@@ -192,6 +196,49 @@ class Context:
             self.kv_k, self.kv_v = _alloc(hp.n_layer, S)
             self.kv_pos = jnp.full((B, S), -1, jnp.int32)
         self._pp_mesh = None
+        self._tp_mesh = None
+        if self.p.parallel in ("tp", "row"):
+            # Megatron tensor-parallel serving mode: params take the
+            # parallel.sharding specs, the KV cache shards its kv-head
+            # axis, and _forward runs the model under shard_map with
+            # tp_axis psum/all-gather hooks — the serving-mode analog of
+            # the reference's LLAMA_SPLIT_MODE_ROW (llama.h:191-195)
+            from ..parallel.sharding import kv_cache_specs, make_mesh, shard_params
+            from ..parallel.tp import (
+                _check_tp_supported,
+                localize_hparams,
+                localize_quant_meta,
+                unfuse_params,
+            )
+
+            if hp.arch == "gemma3n":
+                raise NotImplementedError(
+                    "--split-mode row not supported for gemma3n "
+                    "(dedicated forward has no tensor-parallel hooks)"
+                )
+            n_tp = self.p.n_tp or len(jax.devices())
+            if not hp.is_mla:
+                # load-time fused QKV / [gate|up] interleave n_out across
+                # head boundaries; split them back so the Megatron
+                # column specs shard on head boundaries
+                model.params, hp = unfuse_params(model.params, hp)
+                model.hparams = hp
+                self.hp = hp
+            _check_tp_supported(model.params, hp, n_tp)
+            # raises loudly on ALiBi / non-divisible heads — never serve
+            # single-device silently under a multi-device flag
+            self._tp_hp = localize_hparams(hp, n_tp)
+            self._tp_qm = localize_quant_meta(model.quant_meta, n_tp)
+            self._tp_mesh = make_mesh(n_dp=1, n_tp=n_tp)
+            model.params = shard_params(model.params, self._tp_mesh)
+            from jax.sharding import NamedSharding
+
+            put = lambda t: jax.tree.map(
+                lambda a, s: jax.device_put(a, NamedSharding(self._tp_mesh, s)),
+                t, kv_cache_specs(t),
+            )
+            self.kv_k = put(self.kv_k)
+            self.kv_v = put(self.kv_v)
         if self.p.parallel == "pp":
             # layer-split pipeline serving mode: layer stacks + their KV
             # shard the leading L axis over the "pp" mesh
@@ -330,6 +377,14 @@ class Context:
             )
             # no separate embedding output on the pipeline path
             return logits, logits, kv_k, kv_v, kv_pos
+        if self._tp_mesh is not None:
+            logits, out_embd, kv_k, kv_v = self._tp_forward(
+                params, kv_k, kv_v, tokens, positions, slots, mask,
+                embd=embd, positions4=positions4, slots_swa=slots_swa,
+            )
+            if two_stack:
+                kv_pos = {"full": kv_pos, "swa": kps}
+            return logits, out_embd, kv_k, kv_v, kv_pos
         if self.hp.arch == "gemma3n":
             from ..models.gemma3n import gemma3n_forward
 
@@ -359,6 +414,66 @@ class Context:
         if two_stack:
             kv_pos = {"full": kv_pos, "swa": kps}
         return logits, embd, kv_k, kv_v, kv_pos
+
+    def _tp_forward(self, params, kv_k, kv_v, tokens, positions, slots, mask,
+                    embd=None, positions4=None, slots_swa=None):
+        """Run the model under the tensor-parallel shard_map: params are
+        Megatron shards, the KV cache is kv-head-sharded, hp/quant_meta
+        carry LOCAL shapes, and llama_forward's tp_axis hooks insert the
+        psum after row-TP matmuls + the vocab all-gather (parallel/tp.py;
+        the serving analog of ggml-cuda.cu:773-941 split buffers)."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.sharding import kv_cache_specs, param_specs
+
+        hp_l, qm_l = self._tp_hp, self._tp_qm
+        bt = P("dp", None)
+        args = [params, tokens, positions, kv_k, kv_v, slots, mask]
+        specs = [
+            param_specs(params), bt, bt, kv_cache_specs(kv_k),
+            kv_cache_specs(kv_v), bt,
+            jax.tree.map(lambda _: P("dp", None, None, None), mask),
+        ]
+        # optional inputs tag on in declaration order; the shard-mapped fn
+        # rebinds them by name (None args can't cross shard_map in_specs)
+        names = []
+        for name, val, spec in (
+            ("inputs_embd", embd, P("dp", None, None)),
+            ("positions4", positions4, P("dp", None, None)),
+            ("cache_slots_swa", slots_swa, bt),
+        ):
+            if val is not None:
+                names.append(name)
+                args.append(val)
+                specs.append(spec)
+        is_mla = self.hp.is_mla
+
+        def fwd(params, tokens, positions, kv_k, kv_v, slots, mask, *rest):
+            kw = dict(zip(names, rest))
+            if is_mla:
+                from ..models.deepseek import deepseek2_forward
+
+                logits, (kk, vv) = deepseek2_forward(
+                    params, hp_l, tokens, positions, kv_k, kv_v, slots,
+                    mask[0] if isinstance(mask, tuple) else mask,
+                    quant_meta=qm_l, tp_axis="tp",
+                )
+                return logits, logits, (kk, vv)
+            logits, out_embd, (kk, vv) = llama_forward(
+                params, hp_l, tokens, positions, kv_k, kv_v, slots, mask,
+                quant_meta=qm_l, return_embd=True, tp_axis="tp", **kw,
+            )
+            return logits, out_embd, (kk, vv)
+
+        out_specs = (
+            P("dp", None, None), P("dp", None, None),
+            (kv_cache_specs(kv_k), kv_cache_specs(kv_v)),
+        )
+        logits, out_embd, (kv_k, kv_v) = jax.shard_map(
+            fwd, mesh=self._tp_mesh, in_specs=tuple(specs),
+            out_specs=out_specs, check_vma=False,
+        )(*args)
+        return logits, out_embd, kv_k, kv_v
 
     def _step_seq(self, params, kv_k, kv_v, kv_pos, seq, tokens, positions, slots, n_logits: int):
         """Prefill/decode for ONE sequence: dynamic-slice its cache lane."""

@@ -190,6 +190,21 @@ def make_context(model: LoadedModel, params: ContextParams | None = None):
     models the KV-cache Context (llama_context init dispatch analog)."""
     from .context import Context
 
+    if (
+        params is not None
+        and params.parallel
+        and (
+            model.hparams.is_encoder_decoder
+            or model.hparams.is_hybrid
+            or model.hparams.is_recurrent
+            or model.hparams.is_encoder
+        )
+    ):
+        raise NotImplementedError(
+            f"--split-mode for arch {model.hparams.arch!r} "
+            "(recurrent/hybrid/encoder contexts have no multi-device "
+            "serving mode yet)"
+        )
     if model.hparams.is_encoder_decoder:
         from .seq2seq import Seq2SeqContext
 

@@ -85,18 +85,34 @@ class Slot:
 class ServerEngine:
     def __init__(self, model, n_slots: int = 4, n_ctx: int = 1024, n_ubatch: int = 256,
                  dtype=None, draft_model=None, spec_params=None,
-                 kv_unified: bool = False, split_mode: str = "none"):
+                 kv_unified: bool = False, split_mode: str = "none",
+                 n_shards: int = 0):
         import jax.numpy as jnp
 
         self.model = model
         self.vocab = model.vocab
+        # --split-mode layer: layer-split pipeline; --split-mode row:
+        # Megatron tensor parallelism (the reference's
+        # LLAMA_SPLIT_MODE_LAYER / LLAMA_SPLIT_MODE_ROW, llama.h:191-195).
+        # Unknown values raise — a multi-device flag must never silently
+        # serve single-device.
+        try:
+            parallel = {"none": None, "layer": "pp", "row": "tp"}[split_mode]
+        except KeyError:
+            raise ValueError(
+                f"unknown --split-mode {split_mode!r} (none|layer|row)"
+            ) from None
         cp = ContextParams(
             n_ctx=n_ctx, n_seqs=n_slots, n_ubatch=n_ubatch,
             dtype=dtype or jnp.float32,
-            # --split-mode layer: layer-split pipeline over all devices
-            # (the reference's LLAMA_SPLIT_MODE_LAYER)
-            parallel="pp" if split_mode == "layer" else None,
+            parallel=parallel, n_tp=n_shards, n_pp=n_shards,
         )
+        if kv_unified and parallel is not None:
+            raise NotImplementedError(
+                "--kv-unified cannot be combined with --split-mode "
+                f"{split_mode!r} yet (the unified pool context has no "
+                "multi-device sharding)"
+            )
         if kv_unified and not model.hparams.is_encoder:
             # one shared cell pool across all slots (the reference's
             # kv_unified=true): n_ctx is the TOTAL pool; skewed slot

@@ -949,7 +949,8 @@ def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
           mmproj: str | None = None, slot_save_path: str | None = None,
           loras: list[tuple[str, float]] | None = None,
           draft_model=None, spec_params=None, kv_unified: bool = False,
-          split_mode: str = "none", chat_template: str | None = None):
+          split_mode: str = "none", n_shards: int = 0,
+          chat_template: str | None = None):
     base_model = None
     lora_entries = []
     if loras:
@@ -964,7 +965,8 @@ def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
                 model = apply_lora(model, adapter, scale)
     engine = ServerEngine(model, n_slots=n_slots, n_ctx=n_ctx,
                           draft_model=draft_model, spec_params=spec_params,
-                          kv_unified=kv_unified, split_mode=split_mode)
+                          kv_unified=kv_unified, split_mode=split_mode,
+                          n_shards=n_shards)
     engine.start()
     mtmd = None
     if mmproj:
@@ -1017,10 +1019,14 @@ def main(argv=None):
     ap.add_argument("--draft-p-min", type=float, default=0.75)
     ap.add_argument("-sm", "--split-mode", default=os.environ.get(
                         "LLAMA_ARG_SPLIT_MODE", "none"),
-                    choices=["none", "layer"],
+                    choices=["none", "layer", "row"],
                     help="multi-device split: 'layer' = layer-split "
-                         "pipeline over all devices (the reference's "
-                         "LLAMA_SPLIT_MODE_LAYER)")
+                         "pipeline, 'row' = Megatron tensor parallelism "
+                         "(the reference's LLAMA_SPLIT_MODE_LAYER/ROW; "
+                         "shard count via -tp, default all devices)")
+    ap.add_argument("-tp", "--tensor-split-shards", type=int, default=0,
+                    dest="n_shards",
+                    help="device count for --split-mode (0 = all)")
     ap.add_argument("--chat-template", default=os.environ.get(
         "LLAMA_ARG_CHAT_TEMPLATE") or None,
         help="force a builtin chat-template dialect by name "
@@ -1053,7 +1059,7 @@ def main(argv=None):
           slot_save_path=args.slot_save_path, loras=loras or None,
           draft_model=draft_model, spec_params=spec_params,
           kv_unified=args.kv_unified, split_mode=args.split_mode,
-          chat_template=args.chat_template)
+          n_shards=args.n_shards, chat_template=args.chat_template)
 
 
 if __name__ == "__main__":

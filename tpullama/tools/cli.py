@@ -44,14 +44,24 @@ def main(argv=None) -> int:
     ]
 
     t0 = time.time()
-    model = load_model(args.model, dtype=dtype)
+    # --split-mode row with packed-quantized weights needs the load-time
+    # K-chunked row-TP layout (parallel/tp.py module docstring)
+    load_kw = {}
+    if args.split_mode == "row" and args.tp > 1:
+        load_kw["tp_shards"] = args.tp
+    model = load_model(args.model, dtype=dtype, **load_kw)
     if args.verbose:
         print(f"[load] {args.model} in {time.time()-t0:.1f}s "
               f"arch={model.arch} n_layer={model.hparams.n_layer}", file=sys.stderr)
 
     from ..runtime import make_context
 
-    ctx = make_context(model, ContextParams(n_ctx=args.ctx_size, dtype=dtype))
+    parallel = {"none": None, "layer": "pp", "row": "tp"}[args.split_mode]
+    ctx = make_context(model, ContextParams(
+        n_ctx=args.ctx_size, dtype=dtype, parallel=parallel,
+        n_tp=args.tp if args.tp > 1 else 0,
+        n_pp=args.tp if args.tp > 1 else 0,
+    ))
     vocab = model.vocab
 
     prompt = args.prompt
