@@ -132,3 +132,65 @@ def test_flash_decode_stacked_layer_index():
         got = np.asarray(flash_decode(q, kk, vv, mask, scale,
                                       layer=jnp.int32(li), interpret=True))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_flash_decode_batch_major_matches_per_seq():
+    """batch_major=True (the B>1 decode grid: one step per kv head with
+    batched MXU dots) must match the per-sequence grid bit-for-bit in
+    math — incl. stacked layer index, sinks, int8-KV scales, softcap."""
+    import jax.numpy as jnp
+
+    from tpullama.ops.pallas.flash_decode import flash_decode
+
+    B, Tq, Hq, Hkv, D, S, L = 8, 1, 8, 2, 64, 256, 3
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.standard_normal((B, Tq, Hq, D)).astype(np.float32))
+    kk = jnp.asarray(rng.standard_normal((L, B, Hkv, S, D)).astype(np.float32))
+    vv = jnp.asarray(rng.standard_normal((L, B, Hkv, S, D)).astype(np.float32))
+    kv_pos = np.full((B, S), -1, np.int32)
+    for b in range(B):  # ragged depths across the batch
+        kv_pos[b, : 64 + 16 * b] = np.arange(64 + 16 * b)
+    q_pos = np.asarray([[63 + 16 * b] for b in range(B)], np.int32)
+    mask = _mask(jnp.asarray(kv_pos), jnp.asarray(q_pos))
+    scale = 1.0 / np.sqrt(D)
+    sinks = jnp.asarray(rng.standard_normal(Hq).astype(np.float32))
+    for li in range(L):
+        want = np.asarray(flash_decode(
+            q, kk, vv, mask, scale, softcap=30.0, sinks=sinks,
+            layer=jnp.int32(li), interpret=True, batch_major=False,
+        ))
+        got = np.asarray(flash_decode(
+            q, kk, vv, mask, scale, softcap=30.0, sinks=sinks,
+            layer=jnp.int32(li), interpret=True, batch_major=True,
+        ))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_flash_decode_batch_major_kv_scale():
+    import jax.numpy as jnp
+
+    from tpullama.ops.pallas.flash_decode import flash_decode
+
+    B, Tq, Hq, Hkv, D, S = 4, 1, 8, 2, 64, 256
+    rng = np.random.default_rng(13)
+    q = jnp.asarray(rng.standard_normal((B, Tq, Hq, D)).astype(np.float32))
+    kf = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
+    vf = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
+    ks = np.abs(kf).max(-1) / 127.0 + 1e-8
+    vs = np.abs(vf).max(-1) / 127.0 + 1e-8
+    kq = jnp.asarray(np.round(kf / ks[..., None]).astype(np.int8))
+    vq = jnp.asarray(np.round(vf / vs[..., None]).astype(np.int8))
+    kv_pos = np.full((B, S), -1, np.int32)
+    kv_pos[:, :200] = np.arange(200)
+    q_pos = np.full((B, Tq), 199, np.int32)
+    mask = _mask(jnp.asarray(kv_pos), jnp.asarray(q_pos))
+    scale = 1.0 / np.sqrt(D)
+    want = np.asarray(flash_decode(
+        q, kq, vq, mask, scale, k_scale=jnp.asarray(ks),
+        v_scale=jnp.asarray(vs), interpret=True, batch_major=False,
+    ))
+    got = np.asarray(flash_decode(
+        q, kq, vq, mask, scale, k_scale=jnp.asarray(ks),
+        v_scale=jnp.asarray(vs), interpret=True, batch_major=True,
+    ))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

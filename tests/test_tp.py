@@ -315,3 +315,53 @@ def test_tp_context_serving_rejects_alibi():
         pytest.skip("fixture arch is not ALiBi")
     with pytest.raises(NotImplementedError):
         Context(m, ContextParams(n_ctx=64, parallel="tp", n_tp=4))
+
+
+def test_ep_packed_q4k_matches_single():
+    """Expert parallelism over PACKED quantized expert stacks: the
+    (L, E, rows, kcols) planes shard their expert axis over tp; routing
+    stays global and non-local slots mask to zero before the psum
+    (ggml_mul_mat_id on split buffers, ggml/include/ggml.h:493).
+    Serving-mode Context(parallel='tp') logits must match single-device
+    packed."""
+    from tpullama.runtime import Context, ContextParams
+
+    path = tempfile.mktemp(suffix=".gguf")
+    make_tiny_llama_gguf(path, n_embd=512, n_layer=2, n_head=4, n_head_kv=2,
+                         n_ff=512, n_expert=4, n_expert_used=2,
+                         qtype=GGMLType.Q4_K, tied_output=True)
+    prompt = np.asarray([3, 14, 15, 92], np.int32)
+    m_ref = load_model(path, packed=True)
+    ref_ctx = Context(m_ref, ContextParams(n_ctx=64))
+    ref_logits = ref_ctx.decode(prompt, n_logits=2)
+    m_tp = load_model(path, packed=True, tp_shards=2)
+    ctx = Context(m_tp, ContextParams(n_ctx=64, parallel="tp", n_tp=2))
+    got_logits = ctx.decode(prompt, n_logits=2)
+    np.testing.assert_allclose(got_logits, ref_logits, rtol=2e-3, atol=2e-3)
+    ref_ctx.reset()
+    ctx.reset()
+    assert ctx.generate(prompt, n_predict=6) == ref_ctx.generate(
+        prompt, n_predict=6)
+
+
+def test_ep_packed_gptoss_mxfp4_matches_single():
+    """gpt-oss-shaped packed EP: MXFP4 expert stacks + swiglu_oai + per-
+    expert biases + attention sinks. The per-expert bias must NOT leak
+    through masked non-local slots (mine-masking in ops/moe._ffn_packed).
+    This is the TP=2 configuration that serves the full 24-layer model
+    the single 16 GB chip cannot hold (docs/ROADMAP.md)."""
+    from tpullama.runtime import Context, ContextParams
+
+    path = tempfile.mktemp(suffix=".gguf")
+    make_tiny_llama_gguf(path, arch="gpt-oss", n_embd=512, n_layer=2,
+                         n_head=4, n_head_kv=2, n_ff=512, n_expert=4,
+                         n_expert_used=2, qtype=GGMLType.MXFP4,
+                         tied_output=True)
+    prompt = np.asarray([3, 14, 15, 92], np.int32)
+    m_ref = load_model(path, packed=True)
+    ref_ctx = Context(m_ref, ContextParams(n_ctx=64))
+    ref_logits = ref_ctx.decode(prompt, n_logits=2)
+    m_tp = load_model(path, packed=True, tp_shards=2)
+    ctx = Context(m_tp, ContextParams(n_ctx=64, parallel="tp", n_tp=2))
+    got_logits = ctx.decode(prompt, n_logits=2)
+    np.testing.assert_allclose(got_logits, ref_logits, rtol=2e-3, atol=2e-3)

@@ -83,7 +83,8 @@ def _apply_moe_act(act: str, gate, up):
 
 
 def _ffn_packed(xf, sel, weights, gate_exps, up_exps, down_exps, metas, E, *,
-                act, weight_before_ffn, up_b=None, gate_b=None, down_b=None):
+                act, weight_before_ffn, up_b=None, gate_b=None, down_b=None,
+                mine=None):
     """Expert FFN over PACKED planar-quant expert stacks via the gathered
     dequant-matmul kernel (ops.pallas.qmm.quantized_matmul_gathered — the
     ggml_mul_mat_id analog). Decode (few slots): each (token, k) slot is
@@ -131,8 +132,8 @@ def _ffn_packed(xf, sel, weights, gate_exps, up_exps, down_exps, metas, E, *,
             # size). Unstacked (single-layer) planes are 2-D (E·rows, k).
             # Stored rows may exceed n_rows (128-padded expert rows — the
             # gathered kernel slices the output back).
-            if a.ndim == 3:
-                return a
+            if a.ndim >= 3:  # 3-D flat (L·E, rows, k) or 4-D EP-sharded
+                return a  # (L, E_local, rows, k) — kernel indexes both
             return a.reshape(E, a.shape[-2] // E, a.shape[-1])
 
         fields = {k: rs(v) for k, v in w.items()}
@@ -159,6 +160,11 @@ def _ffn_packed(xf, sel, weights, gate_exps, up_exps, down_exps, metas, E, *,
     down = down.reshape(B, T, K, D)
     if not weight_before_ffn:
         down = down * w_flat.reshape(B, T, K)[..., None]
+    if mine is not None:
+        # EP: zero non-local slots outright — per-expert biases (and
+        # weight_before_ffn inputs) would otherwise leak through the
+        # zeroed routing weights
+        down = jnp.where(mine[..., None], down, 0.0)
     return down.sum(axis=2)
 
 
@@ -256,18 +262,39 @@ def moe_ffn(
 
     if quant_meta_exps is not None and isinstance(up_exps, (dict, tuple)):
         # packed planar-quant expert stacks → gathered dequant-matmul path
+        E_stack = E // expert_div if expert_div else E
+        mine_p = None
         if ep_axis is not None:
-            raise NotImplementedError(
-                "expert parallelism over packed expert weights is not wired "
-                "yet (load experts dense for EP, or shard another axis)"
-            )
+            # packed EP: per-device shards hold a contiguous E_local slice
+            # of the expert axis ((L, E_local, rows, kcols) 4-D planes —
+            # parallel/tp.py ep_reshape_packed_experts); routing stays
+            # global, non-local (token, k) slots clamp to local expert 0
+            # with their output masked to zero, and the caller's psum
+            # combines — the split-buffer ggml_mul_mat_id analog
+            # (ggml/include/ggml.h:493)
+            n_ep = jax.lax.axis_size(ep_axis)
+            e_local = E_stack // n_ep
+            base = jax.lax.axis_index(ep_axis) * e_local
+            loc = sel - base
+            mine_p = (loc >= 0) & (loc < e_local)  # (B, T, K)
+            sel = jnp.clip(loc, 0, e_local - 1)
+            weights = jnp.where(mine_p, weights, 0.0)
+            E_stack = e_local
+            from ..models.loader import QuantMeta
+
+            quant_meta_exps = {
+                k: QuantMeta(m.ggml_type, m.group, m.n_out // n_ep, m.n_in)
+                for k, m in quant_meta_exps.items()
+                if m is not None
+            }
         out = _ffn_packed(
             xf, sel, weights, gate_exps, up_exps, down_exps, quant_meta_exps,
             # the weight stacks' expert count: expert_div (grovemoe chunk
             # experts) shrinks it relative to the router's E
-            E // expert_div if expert_div else E,
+            E_stack,
             act=act, weight_before_ffn=weight_before_ffn,
             up_b=up_exps_b, gate_b=gate_exps_b, down_b=down_exps_b,
+            mine=mine_p,
         )
         return out.astype(x.dtype)
 

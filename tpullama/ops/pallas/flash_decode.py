@@ -115,9 +115,201 @@ def _fd_kernel(*refs, scale, softcap, bs, g, d, tq, has_alibi, has_sinks,
         o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _fdb_kernel(*refs, scale, softcap, bs, g, tq, b, has_alibi, has_sinks,
+                has_kv_scale, stacked=False):
+    """Batch-major body: one grid step covers ALL B sequences of one kv
+    head (batched MXU dots over B) — B× fewer grid steps than the
+    per-sequence grid, which dominates batched decode (B=32: 8192 grid
+    steps/token at ~1.3 us each ≈ 11 ms of pure grid latency)."""
+    if stacked:
+        _s_ref, *refs = refs
+    q_ref, k_ref, v_ref, mask_ref, slope_ref, sink_ref, *rest = refs
+    if has_kv_scale:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        ks_ref = vs_ref = None
+        o_ref, m_ref, l_ref, acc_ref = rest
+    sc = pl.program_id(1)
+    n_sc = pl.num_programs(1)
+    rows = g * tq
+
+    @pl.when(sc == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    mask = mask_ref[:, 0]  # (B, Tq, BS) additive fp32
+    any_visible = jnp.max(mask) > NEG_INF / 2
+
+    @pl.when(any_visible)
+    def _():
+        q = q_ref[:, 0].astype(jnp.bfloat16)  # (B, G*Tq, D)
+        kh = (k_ref[0, :, 0] if stacked else k_ref[:, 0]).astype(jnp.bfloat16)
+        vh = (v_ref[0, :, 0] if stacked else v_ref[:, 0]).astype(jnp.bfloat16)
+        # batched dot: batch dims at position 0 on both operands (the
+        # only Mosaic-supported batching), contraction over D
+        s = jax.lax.dot_general(
+            q, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (B, G*Tq, BS)
+        if has_kv_scale:
+            ksv = ks_ref[0, :, 0] if stacked else ks_ref[:, 0]  # (B, 1, BS)
+            s = s * ksv.reshape(b, 1, bs)
+        if softcap:
+            s = softcap * jnp.tanh(s / softcap)
+        m_add = jnp.broadcast_to(mask[:, None], (b, g, tq, bs)).reshape(
+            b, rows, bs)
+        if has_alibi:
+            slope_rows = jnp.broadcast_to(
+                slope_ref[0].reshape(1, g, 1, 1), (b, g, tq, 1)
+            ).reshape(b, rows, 1)
+            m_add = jnp.where(m_add > NEG_INF / 2, m_add * slope_rows, NEG_INF)
+        s = s + m_add
+
+        m_prev = m_ref[...]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.where(s > NEG_INF / 2, jnp.exp(s - m_cur), 0.0)
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=2, keepdims=True)
+        if has_kv_scale:
+            vsv = vs_ref[0, :, 0] if stacked else vs_ref[:, 0]
+            p = p * vsv.reshape(b, 1, bs)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[...] = m_cur
+
+    @pl.when(sc == n_sc - 1)
+    def _():
+        m = m_ref[...]
+        l = l_ref[...]
+        acc = acc_ref[...]
+        if has_sinks:
+            sink = jnp.broadcast_to(
+                sink_ref[0].reshape(1, g, 1, 1), (b, g, tq, 1)
+            ).reshape(b, rows, 1)
+            m_f = jnp.maximum(m, sink)
+            corr = jnp.exp(m - m_f)
+            acc = acc * corr
+            l = l * corr + jnp.exp(sink - m_f)
+        o_ref[:, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_decode_batched(q, k, v, mask, scale, softcap, sinks, alibi_slopes,
+                          k_scale, v_scale, block_s, interpret, layer):
+    """Batch-major grid (Hkv, S/bs): per step, (B, 1, bs, D) K/V blocks
+    for every sequence at once. Used for B > 1 decode (decode_batch)."""
+    B, Tq, Hq, D = q.shape
+    stacked = layer is not None
+    koff = 1 if stacked else 0
+    Hkv, S = k.shape[koff + 1], k.shape[koff + 2]
+    G = Hq // Hkv
+    # cap the per-step K/V block footprint: B*bs*D f32 x2 (K+V) x2
+    # (double-buffer) under ~32 MiB of VMEM
+    bs_cap = max(128, (2 * 1024 * 1024) // (B * D) // 128 * 128)
+    bs = min(block_s, S, bs_cap)
+    while S % bs:
+        bs //= 2
+    has_kv_scale = k_scale is not None
+    has_alibi = alibi_slopes is not None
+    has_sinks = sinks is not None
+
+    qh = q.transpose(0, 2, 1, 3).reshape(B, Hkv, G * Tq, D)
+    mask = jnp.broadcast_to(mask.astype(jnp.float32), (B, 1, Tq, S))
+    slopes = (alibi_slopes if has_alibi else jnp.zeros((Hq,))).astype(
+        jnp.float32).reshape(Hkv, 1, G)
+    sinkv = (sinks if has_sinks else jnp.zeros((Hq,))).astype(
+        jnp.float32).reshape(Hkv, 1, G)
+
+    grid = (Hkv, S // bs)
+    if stacked:
+        kv_spec = pl.BlockSpec((1, B, 1, bs, D),
+                               lambda h, sc, s: (s[0], 0, h, sc, 0),
+                               memory_space=pltpu.VMEM)
+        idx = lambda f: (lambda h, sc, s: f(h, sc))
+    else:
+        kv_spec = pl.BlockSpec((B, 1, bs, D), lambda h, sc: (0, h, sc, 0),
+                               memory_space=pltpu.VMEM)
+        idx = lambda f: f
+    in_specs = [
+        pl.BlockSpec((B, 1, G * Tq, D), idx(lambda h, sc: (0, h, 0, 0)),
+                     memory_space=pltpu.VMEM),
+        kv_spec,
+        kv_spec,
+        pl.BlockSpec((B, 1, Tq, bs), idx(lambda h, sc: (0, 0, 0, sc)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, G), idx(lambda h, sc: (h, 0, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, G), idx(lambda h, sc: (h, 0, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qh, k, v, mask, slopes, sinkv]
+    if has_kv_scale:
+        kst = k_scale.astype(jnp.float32)[..., None, :]
+        vst = v_scale.astype(jnp.float32)[..., None, :]
+        if stacked:
+            sspec = pl.BlockSpec(
+                (1, B, 1, 1, bs), lambda h, sc, s: (s[0], 0, h, 0, sc),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            sspec = pl.BlockSpec((B, 1, 1, bs),
+                                 lambda h, sc: (0, h, 0, sc),
+                                 memory_space=pltpu.VMEM)
+        in_specs += [sspec, sspec]
+        operands += [kst, vst]
+
+    kern = functools.partial(
+        _fdb_kernel, scale=scale, softcap=softcap, bs=bs, g=G, tq=Tq, b=B,
+        has_alibi=has_alibi, has_sinks=has_sinks,
+        has_kv_scale=has_kv_scale, stacked=stacked,
+    )
+    out_spec = pl.BlockSpec(
+        (B, 1, G * Tq, D), idx(lambda h, sc: (0, h, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((B, Hkv, G * Tq, D), q.dtype)
+    scratch = [
+        pltpu.VMEM((B, G * Tq, 1), jnp.float32),
+        pltpu.VMEM((B, G * Tq, 1), jnp.float32),
+        pltpu.VMEM((B, G * Tq, D), jnp.float32),
+    ]
+    cparams = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024,
+        dimension_semantics=("arbitrary", "arbitrary"),
+    )
+    if stacked:
+        out = pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+                out_specs=out_spec, scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=cparams,
+        )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
+    else:
+        out = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+            compiler_params=cparams,
+        )(*operands)
+    out = out.reshape(B, Hkv, G, Tq, D).transpose(0, 3, 1, 2, 4)
+    return out.reshape(B, Tq, Hq, D)
+
+
 def flash_decode(q, k, v, mask, scale: float, softcap: float = 0.0,
                  sinks=None, alibi_slopes=None, k_scale=None, v_scale=None,
-                 block_s: int = 1024, interpret: bool = False, layer=None):
+                 block_s: int = 1024, interpret: bool = False, layer=None,
+                 batch_major: bool | None = None):
     """q: (B, Tq, Hq, D) with small Tq (decode); k, v: (B, Hkv, S, D)
     head-major cache — consumed in place, no transpose/retile.
     k_scale/v_scale: (B, Hkv, S) int8-KV scales. mask: additive fp32
@@ -130,6 +322,13 @@ def flash_decode(q, k, v, mask, scale: float, softcap: float = 0.0,
     ~0.7 ms/layer of XLA slice-copy at depth 32768 otherwise; same trick
     as the qmm `layer` arg)."""
     B, Tq, Hq, D = q.shape
+    if batch_major is None:
+        batch_major = B > 1
+    if batch_major and B > 1:
+        return _flash_decode_batched(
+            q, k, v, mask, scale, softcap, sinks, alibi_slopes,
+            k_scale, v_scale, block_s, interpret, layer,
+        )
     stacked = layer is not None
     koff = 1 if stacked else 0
     Hkv, S = k.shape[koff + 1], k.shape[koff + 2]

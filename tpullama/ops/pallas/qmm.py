@@ -293,7 +293,11 @@ def quantized_matmul_gathered(
     tile_t-row tile shares ONE expert; sel: (n_rows // tile_t,) int32
     index per tile into the leading axis of pq_fields' leaves
     (M, n_out, kcols) — for layer-stacked expert planes reshaped to
-    (L·E, n_out, kcols) the caller passes layer·E + expert. Returns
+    (L·E, n_out, kcols) the caller passes layer·E + expert. 4-D leaves
+    (L, E, n_out, kcols) — the expert-parallel sharded layout, where E
+    is this device's local expert count — are indexed as
+    (sel // E, sel % E) without any reshape (a dim-merging reshape of
+    the multi-GB stack would materialize relayout copies). Returns
     (n_rows, n_out) f32.
 
     tile_t=1 is the decode path (each (token, k) slot is its own tile, no
@@ -361,22 +365,36 @@ def quantized_matmul_gathered(
                          memory_space=pltpu.VMEM)
         )
         extra_inputs.append(xgsum[:, None, :])
+    four_d = next(iter(pq_fields.values())).ndim == 4
+    E_loc = next(iter(pq_fields.values())).shape[1] if four_d else 0
     for name in field_names:
         kcols = K * bits[name] // 8 if name in bits else K // group
-        in_specs.append(
-            pl.BlockSpec(
-                (1, tn, kcols),
-                lambda t, n, s: (s[t], n, 0),
-                memory_space=pltpu.VMEM,
+        if four_d:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, tn, kcols),
+                    lambda t, n, s: (s[t] // E_loc, s[t] % E_loc, n, 0),
+                    memory_space=pltpu.VMEM,
+                )
             )
-        )
+        else:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, tn, kcols),
+                    lambda t, n, s: (s[t], n, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
 
     def kernel(*refs):
         _s_ref, x_ref, *refs = refs
         if xgsum is not None:
             xgsum_ref, *refs = refs
         *field_tiles, out_ref = refs
-        fields = {k: r.at[0] for k, r in zip(field_names, field_tiles)}
+        fields = {
+            k: (r.at[0, 0] if four_d else r.at[0])
+            for k, r in zip(field_names, field_tiles)
+        }
         minv_tile = fields["minv"][...].astype(jnp.float32) if has_minv else None
         val = _unpack_stripes(fields, ggml_type)
         scale = _repeat_lanes(fields["scale"][...].astype(jnp.float32), group)

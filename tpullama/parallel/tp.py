@@ -114,6 +114,44 @@ def _check_tp_supported(params: dict, hp, n_tp: int):
                 )
 
 
+_PACKED_EXP_TENSORS = (
+    "ffn_gate_exps", "ffn_up_exps", "ffn_down_exps",
+    "ffn_gate_chexps", "ffn_up_chexps", "ffn_down_chexps",
+)
+
+
+def ep_reshape_packed_experts(params: dict, hp):
+    """Reshape flat packed expert planes (L·E, rows, kcols) to
+    (L, E, rows, kcols) so the expert axis can shard over tp — a
+    leading-dim split, layout-preserving (no data movement). The gathered
+    dequant-matmul kernel indexes 4-D leaves as (sel // E, sel % E)
+    directly (ops/pallas/qmm.py), so no reshape ever happens inside the
+    sharded forward. Returns a new params dict (leaves shared)."""
+    if not getattr(hp, "n_expert", 0):
+        return params
+    layers = params.get("layers")
+    if not layers:
+        return params
+    L = hp.n_layer
+    new_layers = dict(layers)
+    changed = False
+    for name in _PACKED_EXP_TENSORS:
+        v = layers.get(name)
+        if isinstance(v, dict):
+            leaf = next(iter(v.values()))
+            if leaf.ndim == 3 and leaf.shape[0] % L == 0:
+                E = leaf.shape[0] // L
+                new_layers[name] = {
+                    k: a.reshape(L, E, *a.shape[1:]) for k, a in v.items()
+                }
+                changed = True
+    if not changed:
+        return params
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
+
+
 def unfuse_params(params: dict, hp):
     """Split load-time fused projections back into shardable tensors:
     attn_qkv -> attn_q/k/v and fused ffn_up -> ffn_gate/ffn_up. The

@@ -206,6 +206,7 @@ class Context:
             from ..parallel.sharding import kv_cache_specs, make_mesh, shard_params
             from ..parallel.tp import (
                 _check_tp_supported,
+                ep_reshape_packed_experts,
                 localize_hparams,
                 localize_quant_meta,
                 unfuse_params,
@@ -224,6 +225,9 @@ class Context:
                 model.params, hp = unfuse_params(model.params, hp)
                 model.hparams = hp
                 self.hp = hp
+            # packed MoE expert stacks shard their expert axis (EP):
+            # flat (L·E, rows, k) planes become (L, E, rows, k)
+            model.params = ep_reshape_packed_experts(model.params, hp)
             _check_tp_supported(model.params, hp, n_tp)
             # raises loudly on ALiBi / non-divisible heads — never serve
             # single-device silently under a multi-device flag
