@@ -113,3 +113,28 @@ def test_mla_absorbed_matches_decompressed(tmp_path):
     # decode continuation agrees too (exercises cached-latent attention)
     assert ctx_a.generate([toks[-1]], n_predict=6) == \
         ctx_p.generate([toks[-1]], n_predict=6)
+
+
+def test_deepseek2_embd_input_matches_tokens():
+    """decode_embd on an MLA arch (previously raised): feeding tok_embd
+    rows as raw embeddings must reproduce the token decode exactly
+    (llm_graph_input_embd parity for deepseek2 — enables mtmd on MLA)."""
+    import tempfile
+
+    import numpy as np
+
+    from tpullama.models import load_model
+    from tpullama.models.testing import make_tiny_deepseek2_gguf
+    from tpullama.runtime import Context, ContextParams
+
+    path = tempfile.mktemp(suffix=".gguf")
+    make_tiny_deepseek2_gguf(path, seed=7, absorbed=True)
+    m = load_model(path)
+    toks = np.asarray([3, 14, 15, 9], np.int32)
+    ctx_t = Context(m, ContextParams(n_ctx=64))
+    want = ctx_t.decode(toks, n_logits=2)
+    m2 = load_model(path)
+    ctx_e = Context(m2, ContextParams(n_ctx=64))
+    rows = np.asarray(m2.params["tok_embd"])[toks]
+    got = ctx_e.decode_embd(rows, n_logits=2)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

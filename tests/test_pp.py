@@ -117,3 +117,32 @@ def test_context_pp_mode_matches_plain(tiny_model):
     l_ref = plain.decode(np.asarray([5], np.int32), n_logits=1)
     l_pp = pp.decode(np.asarray([5], np.int32), n_logits=1)
     np.testing.assert_allclose(l_pp, l_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_pp_serving_swa_mask_pair_gemma3_class():
+    """Pipeline serving for SWA models (gemma3-class iswa mask pairs):
+    per-layer _is_swa flags shard over the pp axis with the layer stacks,
+    each stage selecting mask/rope per local layer. Greedy output must
+    match the single-device context (which may use the two-stack small
+    cache — same math, different memory layout)."""
+    import tempfile
+
+    import numpy as np
+
+    from tpullama.models import load_model
+    from tpullama.models.testing import make_tiny_llama_gguf
+    from tpullama.runtime import Context, ContextParams
+
+    path = tempfile.mktemp(suffix=".gguf")
+    # gemma3-shaped: swa pattern with dual rope bases
+    make_tiny_llama_gguf(path, arch="gemma3", n_embd=64, n_layer=8,
+                         n_head=4, n_head_kv=2, n_ff=128, seed=11)
+    m = load_model(path)
+    hp = m.hparams
+    assert hp.n_swa and hp.swa_layers and any(hp.swa_layers)
+    prompt = np.asarray([3, 14, 15, 92, 65], np.int32)
+    ref = Context(m, ContextParams(n_ctx=64)).generate(prompt, n_predict=8)
+    m2 = load_model(path)
+    ctx = Context(m2, ContextParams(n_ctx=64, parallel="pp", n_pp=4))
+    got = ctx.generate(prompt, n_predict=8)
+    assert got == ref

@@ -41,6 +41,8 @@ def deepseek2_forward(
     # column-sharded, the MQA latent cache is replicated, and the row-TP
     # matmuls (attn_output, ffn_down, shexp) psum over this axis —
     # hp then carries LOCAL head counts (parallel/tp.py localize_hparams)
+    inputs_embd=None,  # (B, T, n_embd): raw embedding inputs instead of
+    # token ids (mtmd image chunks)
 ):
     B, T = tokens.shape
     H = hp.n_head
@@ -70,10 +72,17 @@ def deepseek2_forward(
     cos = cos[:, :, None, :]
     sin = sin[:, :, None, :]
 
-    x = jnp.take(params["tok_embd"], tokens, axis=0)
-    if hp.embd_scale:
-        # minicpm3 scales input embeddings by 12 (models/minicpm3.cpp:5,20)
-        x = (x.astype(jnp.float32) * hp.embd_scale).astype(x.dtype)
+    if inputs_embd is not None:
+        # raw embedding inputs (mtmd image chunks — the
+        # llm_graph_input_embd !ubatch.token path, src/llama-graph.cpp:1174)
+        x = jnp.asarray(inputs_embd)
+        if hp.embd_scale and not hp.embd_scale_tokens_only:
+            x = (x.astype(jnp.float32) * hp.embd_scale).astype(x.dtype)
+    else:
+        x = jnp.take(params["tok_embd"], tokens, axis=0)
+        if hp.embd_scale:
+            # minicpm3 scales input embeddings by 12 (models/minicpm3.cpp:5,20)
+            x = (x.astype(jnp.float32) * hp.embd_scale).astype(x.dtype)
     new_k, new_v = [], []
     for li, lp in enumerate(params["layer_list"]):
         h = rms_norm(x, lp["attn_norm"], hp.f_norm_rms_eps)

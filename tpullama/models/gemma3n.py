@@ -57,6 +57,13 @@ def gemma3n_forward(
     masks,  # (mask_full, mask_swa) additive fp32 (B,1,T,S)
     quant_meta=None,
     return_embd: bool = False,
+    inputs_embd=None,  # (B, T, n_embd): raw embedding inputs (mtmd vision/
+    # audio chunks). The per-layer inputs then use ONLY the projection of
+    # the input embedding, unscaled — the HF Gemma3nModel behavior
+    # (modeling_gemma3n.py project_per_layer_inputs: per_layer_inputs is
+    # None -> return per_layer_projection); the reference C++ graph
+    # aborts here ("TODO: support embd input", src/models/gemma3n-iswa.cpp:262)
+    # — a capability it lacks.
 ):
     B, T = tokens.shape
     Hq, Hkv = hp.n_head, hp.n_head_kv
@@ -68,19 +75,28 @@ def gemma3n_forward(
     eps = hp.f_norm_rms_eps
     mask_full, mask_swa = masks if isinstance(masks, tuple) else (masks, masks)
 
-    x = jnp.take(params["tok_embd"], tokens, axis=0).astype(jnp.float32)
-    x = x * hp.embd_scale  # sqrt(n_embd), token inputs only
-
-    # per-layer input embeddings: rows of tok_embd_per_layer reshaped to
-    # (T, n_layer, n_embd_altup) * sqrt(n_embd_altup), plus the projection
-    # of the scaled token embedding (project_per_layer_inputs)
     n_layer = hp.n_layer
-    ipl = jnp.take(params["tok_embd_per_layer"], tokens, axis=0).astype(jnp.float32)
-    ipl = ipl.reshape(B, T, n_layer, n_embd_altup) * (n_embd_altup**0.5)
-    plp = x @ params["per_layer_model_proj"].T.astype(jnp.float32)
-    plp = plp.reshape(B, T, n_layer, n_embd_altup) * (1.0 / (n_embd**0.5))
-    plp = rms_norm(plp, params["per_layer_proj_norm"], eps)
-    inp_per_layer = (ipl + plp) * (1.0 / (2.0**0.5))  # (B,T,L,n_embd_altup)
+    if inputs_embd is not None:
+        x = jnp.asarray(inputs_embd).astype(jnp.float32)
+        # per-layer inputs from the projection only (HF: per_layer_inputs
+        # is None for raw embeds — no tok_embd_per_layer rows, no 1/sqrt2)
+        plp = x @ params["per_layer_model_proj"].T.astype(jnp.float32)
+        plp = plp.reshape(B, T, n_layer, n_embd_altup) * (1.0 / (n_embd**0.5))
+        inp_per_layer = rms_norm(plp, params["per_layer_proj_norm"], eps)
+    else:
+        x = jnp.take(params["tok_embd"], tokens, axis=0).astype(jnp.float32)
+        x = x * hp.embd_scale  # sqrt(n_embd), token inputs only
+
+        # per-layer input embeddings: rows of tok_embd_per_layer reshaped
+        # to (T, n_layer, n_embd_altup) * sqrt(n_embd_altup), plus the
+        # projection of the scaled token embedding
+        # (project_per_layer_inputs)
+        ipl = jnp.take(params["tok_embd_per_layer"], tokens, axis=0).astype(jnp.float32)
+        ipl = ipl.reshape(B, T, n_layer, n_embd_altup) * (n_embd_altup**0.5)
+        plp = x @ params["per_layer_model_proj"].T.astype(jnp.float32)
+        plp = plp.reshape(B, T, n_layer, n_embd_altup) * (1.0 / (n_embd**0.5))
+        plp = rms_norm(plp, params["per_layer_proj_norm"], eps)
+        inp_per_layer = (ipl + plp) * (1.0 / (2.0**0.5))  # (B,T,L,altup)
 
     # expand the single stream to n_altup streams with magnitude matching
     target_mag = _magnitude(x)

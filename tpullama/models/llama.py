@@ -894,7 +894,9 @@ def llama_forward(
         )
     if hp.xielu_params:
         layers["_xielu"] = jnp.asarray(hp.xielu_params, jnp.float32)  # (L, 4)
-    if has_swa:
+    if has_swa and "_is_swa" not in layers:
+        # pipeline stages inject a pp-sharded _is_swa slice themselves
+        # (parallel/pp.py) — only build from hp when absent
         layers["_is_swa"] = jnp.asarray(hp.swa_layers)
     if two_stack:
         layers = dict(layers)

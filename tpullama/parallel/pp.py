@@ -88,12 +88,21 @@ def pp_forward(params, hp, tokens, positions, kv_k, kv_v, cache_slots,
     toks_mb = chunk(tokens, 1)
     pos_mb = chunk(positions, 1)
     slots_mb = chunk(cache_slots, 1)
-    mask_mb = chunk(attn_mask, 2)  # (B, 1, T, S) -> (n_micro, B, 1, Tm, S)
+    # (B, 1, T, S) -> (n_micro, B, 1, Tm, S); SWA models pass a
+    # (mask_full, mask_swa) pair — chunk each leaf
+    mask_mb = jax.tree.map(lambda a: chunk(a, 2), attn_mask)
 
     lp = params["layers"]
+    if hp.swa_layers and any(hp.swa_layers):
+        # per-layer SWA flags ride the pp-sharded layer stacks so each
+        # stage's scan selects mask/rope per LOCAL layer (llama_forward
+        # builds _is_swa from hp only when absent)
+        lp = dict(lp)
+        lp["_is_swa"] = jnp.asarray(hp.swa_layers)
     top = {k: v for k, v in params.items() if k != "layers"}
 
-    def stage(lp, kvk, kvv, toks_mb, pos_mb, slots_mb, mask_mb, tok_embd):
+    def stage(lp, kvk, kvv, toks_mb, pos_mb, slots_mb, mask_mb, tok_embd,
+              pos_embd):
         sid = jax.lax.axis_index("pp")
         E = tok_embd.shape[-1]
         out0 = jnp.zeros((n_micro, B, Tm, E), jnp.float32)
@@ -109,12 +118,20 @@ def pp_forward(params, hp, tokens, positions, kv_k, kv_v, cache_slots,
             )
             toks = pick(toks_mb)
             x0 = jnp.take(tok_embd, toks, axis=0).astype(jnp.float32)
+            if hp.embd_scale:
+                # gemma-family sqrt(n_embd) token-embedding scale — the
+                # stage feeds inputs_embd, so the token path's embedding
+                # prep must be replicated here
+                x0 = x0 * hp.embd_scale
+            if pos_embd is not None:  # learned absolute positions (gpt2)
+                x0 = x0 + jnp.take(pos_embd, pick(pos_mb), axis=0).astype(
+                    x0.dtype)
             x_in = jnp.where(sid == 0, x0, x_recv)
             slots = jnp.where(valid, pick(slots_mb), S - 1)  # scratch row
             x_out, (kvk, kvv) = llama_forward(
                 {"layers": lp, "tok_embd": tok_embd}, hp_local,
                 jnp.zeros_like(toks), pick(pos_mb), kvk, kvv, slots,
-                pick(mask_mb), quant_meta=quant_meta,
+                jax.tree.map(pick, mask_mb), quant_meta=quant_meta,
                 inputs_embd=x_in, skip_output=True,
             )
             x_out = x_out.astype(jnp.float32)
@@ -139,12 +156,21 @@ def pp_forward(params, hp, tokens, positions, kv_k, kv_v, cache_slots,
 
     lspecs = pp_param_specs({"layers": lp})["layers"]
     kv_spec = P("pp")
+    mask_specs = jax.tree.map(lambda _: P(), mask_mb)
+    if "token_embd_norm" in top:
+        raise NotImplementedError(
+            "pipeline serving for embedding-LayerNorm models (bloom "
+            "token_embd_norm) is not wired"
+        )
+    pos_embd = top.get("position_embd")
     out, kv_k, kv_v = jax.shard_map(
         stage, mesh=mesh,
-        in_specs=(lspecs, kv_spec, kv_spec, P(), P(), P(), P(), P()),
+        in_specs=(lspecs, kv_spec, kv_spec, P(), P(), P(), mask_specs, P(),
+                  jax.tree.map(lambda _: P(), pos_embd)),
         out_specs=(P(), kv_spec, kv_spec),
         check_vma=False,
-    )(lp, kv_k, kv_v, toks_mb, pos_mb, slots_mb, mask_mb, top["tok_embd"])
+    )(lp, kv_k, kv_v, toks_mb, pos_mb, slots_mb, mask_mb, top["tok_embd"],
+      pos_embd)
 
     # (n_micro, B, Tm, E) -> (B, T, E)
     x = jnp.moveaxis(out, 0, 1).reshape(B, T, -1)

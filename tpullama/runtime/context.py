@@ -182,6 +182,11 @@ class Context:
             and hp.n_swa
             and hp.arch != "gemma3n"  # dedicated forward, single-stack only
             and hp.n_swa + min(self.p.n_ubatch, self.p.n_ctx) + 1 < S
+            # pipeline serving shards one uniform (L, ...) stack per kind;
+            # the two-stack iswa layout would need aligned per-stage layer
+            # counts in BOTH stacks — pp trades the iswa memory saving for
+            # full-lane SWA caches instead
+            and self.p.parallel != "pp"
         ):
             self._S_swa = hp.n_swa + min(self.p.n_ubatch, self.p.n_ctx) + 1
             kf, vf = _alloc(hp.n_layer - n_swa_layers, S)
@@ -252,10 +257,6 @@ class Context:
                 raise NotImplementedError(
                     f"--parallel pp not supported for arch {hp.arch!r} "
                     "(heterogeneous layer stack)"
-                )
-            if self._S_swa or (hp.n_swa and hp.swa_layers):
-                raise NotImplementedError(
-                    "--parallel pp does not support iswa mask pairs yet"
                 )
             n_pp = self.p.n_pp or len(jax.devices())
             if hp.n_layer % n_pp:
@@ -394,7 +395,7 @@ class Context:
 
             logits, embd, (kv_k, kv_v) = gemma3n_forward(
                 params, self.hp, tokens, positions, kv_k, kv_v, slots, mask,
-                return_embd=True,
+                return_embd=True, inputs_embd=embd,
             )
         elif self.hp.is_mla:
             from ..models.deepseek import deepseek2_forward
@@ -402,7 +403,7 @@ class Context:
             logits, (kv_k, kv_v) = deepseek2_forward(
                 params, self.hp, tokens, positions, kv_k, kv_v, slots,
                 mask if not isinstance(mask, tuple) else mask[0],
-                quant_meta=self.model.quant_meta,
+                quant_meta=self.model.quant_meta, inputs_embd=embd,
             )
             embd = logits  # MLA path: no separate embd output yet
         else:
@@ -461,6 +462,7 @@ class Context:
                     params, hp_l, tokens, positions, kv_k, kv_v, slots,
                     mask[0] if isinstance(mask, tuple) else mask,
                     quant_meta=qm_l, tp_axis="tp",
+                    inputs_embd=kw.get("inputs_embd"),
                 )
                 return logits, logits, (kk, vv)
             logits, out_embd, (kk, vv) = llama_forward(
@@ -790,9 +792,9 @@ class Context:
         ubatch.pos[i]) with per-token (t, t+y, t+x, 0) rope positions
         (set_position_mrope_2d, mtmd-helper.cpp:154-166); the sequence
         position advances by max(nx, ny) (mtmd.cpp:1066-1072)."""
-        if self.hp.arch == "gemma3n" or self.hp.is_mla:
+        if mrope_grid is not None and (self.hp.arch == "gemma3n" or self.hp.is_mla):
             raise NotImplementedError(
-                f"embd input not supported for arch {self.hp.arch!r}"
+                f"M-RoPE embd input not supported for arch {self.hp.arch!r}"
             )
         embd = np.asarray(embd, np.float32)
         T = embd.shape[0]
@@ -814,7 +816,11 @@ class Context:
         Tb = _bucket(T) if T > 1 else 1
         pad = Tb - T
         S = self._S
-        x = np.pad(embd, ((0, pad), (0, 0)))[None]  # (1, Tb, n_embd)
+        # pad rows with ones, not zeros: their outputs/KV are masked and
+        # discarded, but a zero row NaNs magnitude-normalizing archs
+        # (gemma3n altup) and the NaN would poison masked-but-multiplied
+        # attention reads
+        x = np.pad(embd, ((0, pad), (0, 0)), constant_values=1.0)[None]
         pos4 = None
         if mrope_grid is not None:
             rng = np.full((1, T), n_past, np.int32)
