@@ -244,16 +244,16 @@ def main():
             emit({"cell": name, "mode": "aot", "compile_s": round(time.time() - t0, 1),
                   "B": B, "depth": depth, "unroll": unroll})
             return
-        nonlocal_params = params
-        toks, kv_k, kv_v, nonlocal_params = fn(
-            nonlocal_params, kv_k, kv_v, first, npast, n_steps=n_steps)
+        nonlocal params
+        toks, kv_k, kv_v, params = fn(
+            params, kv_k, kv_v, first, npast, n_steps=n_steps)
         np.asarray(toks)
         compile_s = time.time() - t0
         best = float("inf")
         for it in range(args.iters):
             t0 = time.time()
-            toks, kv_k, kv_v, nonlocal_params = fn(
-                nonlocal_params, kv_k, kv_v, first + it, npast,
+            toks, kv_k, kv_v, params = fn(
+                params, kv_k, kv_v, first + it, npast,
                 n_steps=n_steps)
             np.asarray(toks)
             best = min(best, time.time() - t0)

@@ -1102,3 +1102,125 @@ def test_parity_arwkv7(tmp_path):
         t[a + "ln_x.weight"] = 1.0 + rnd(rng, E)
         t[a + "ln_x.bias"] = rnd(rng, E)
     run_case(tmp_path, "arwkv7", cfg, t)
+
+
+def test_parity_llama31_rope_freqs(tmp_path):
+    """llama3-type rope scaling: the generated rope_freqs.weight factor
+    tensor must match LlamaModel.generate_extra_tensors (convert_hf:2497)."""
+    rng = np.random.default_rng(41)
+    cfg = dict(BASE_CFG, architectures=["LlamaForCausalLM"],
+               model_type="llama", tie_word_embeddings=False,
+               rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                             "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                             "original_max_position_embeddings": 128},
+               original_max_position_embeddings=128)
+    run_case(tmp_path, "llama31", cfg, llama_like_tensors(rng), vocab="spm")
+
+
+def test_parity_llava_text(tmp_path):
+    """LlavaForConditionalGeneration: text part converts as llama with
+    the language_model. prefix stripped and vision tensors skipped."""
+    rng = np.random.default_rng(42)
+    t = llama_like_tensors(rng, prefix="language_model.model.")
+    t["language_model.lm_head.weight"] = t.pop("lm_head.weight")
+    t["vision_tower.something.weight"] = rnd(rng, 8, 8)
+    t["multi_modal_projector.linear_1.weight"] = rnd(rng, 8, 8)
+    text_cfg = dict(BASE_CFG)
+    cfg = dict(architectures=["LlavaForConditionalGeneration"],
+               model_type="llava", text_config=text_cfg,
+               vision_config={"hidden_size": 8},
+               **{k: v for k, v in BASE_CFG.items()})
+    run_case(tmp_path, "llava", cfg, t, vocab="spm")
+
+
+def test_parity_llama4(tmp_path):
+    """Llama4ForCausalLM: pre-stacked fused-gate_up experts split +
+    transposed, interleave_moe_layer_step, NO q/k permute
+    (Llama4Model, convert_hf:2742-2790)."""
+    rng = np.random.default_rng(43)
+    L, V, E, H, KV, HD, F, FM, NE = 2, 261, 64, 4, 2, 16, 128, 96, 4
+    t = {"model.embed_tokens.weight": rnd(rng, V, E),
+         "model.norm.weight": 1.0 + rnd(rng, E),
+         "lm_head.weight": rnd(rng, V, E)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "post_attention_layernorm.weight"] = 1.0 + rnd(rng, E)
+        for nm, n in (("q_proj", H * HD), ("k_proj", KV * HD),
+                      ("v_proj", KV * HD)):
+            t[p + f"self_attn.{nm}.weight"] = rnd(rng, n, E)
+        t[p + "self_attn.o_proj.weight"] = rnd(rng, E, H * HD)
+        t[p + "feed_forward.router.weight"] = rnd(rng, NE, E)
+        t[p + "feed_forward.experts.gate_up_proj"] = rnd(rng, NE, E, 2 * FM)
+        t[p + "feed_forward.experts.down_proj"] = rnd(rng, NE, FM, E)
+        t[p + "feed_forward.shared_expert.gate_proj.weight"] = rnd(rng, FM, E)
+        t[p + "feed_forward.shared_expert.up_proj.weight"] = rnd(rng, FM, E)
+        t[p + "feed_forward.shared_expert.down_proj.weight"] = rnd(rng, E, FM)
+    text_cfg = dict(BASE_CFG, model_type="llama4_text",
+                    intermediate_size_mlp=128, intermediate_size=FM,
+                    num_local_experts=NE, num_experts_per_tok=1,
+                    interleave_moe_layer_step=1, tie_word_embeddings=False,
+                    attention_chunk_size=512, no_rope_layers=[1] * L,
+                    use_qk_norm=False)
+    cfg = dict(architectures=["Llama4ForCausalLM"], model_type="llama4",
+               text_config=text_cfg, vocab_size=261)
+    run_case(tmp_path, "llama4", cfg, t)
+
+
+def _deci_tensors(rng, kv_heads, ffn_dims, H=4, HD=16, E=64, V=261):
+    t = {"model.embed_tokens.weight": rnd(rng, V, E),
+         "model.norm.weight": 1.0 + rnd(rng, E),
+         "lm_head.weight": rnd(rng, V, E)}
+    for i, (kv, ff) in enumerate(zip(kv_heads, ffn_dims)):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "post_attention_layernorm.weight"] = 1.0 + rnd(rng, E)
+        if kv:
+            t[p + "self_attn.q_proj.weight"] = rnd(rng, H * HD, E)
+            t[p + "self_attn.k_proj.weight"] = rnd(rng, kv * HD, E)
+            t[p + "self_attn.v_proj.weight"] = rnd(rng, kv * HD, E)
+            t[p + "self_attn.o_proj.weight"] = rnd(rng, E, H * HD)
+        if ff:
+            t[p + "mlp.gate_proj.weight"] = rnd(rng, ff, E)
+            t[p + "mlp.up_proj.weight"] = rnd(rng, ff, E)
+            t[p + "mlp.down_proj.weight"] = rnd(rng, E, ff)
+    return t
+
+
+def test_parity_deci_block_configs(tmp_path):
+    """DeciLM (Nemotron-51B form): per-layer head/kv/ffn arrays from
+    block_configs; per-layer permute (DeciModel, convert_hf:2855-2998)."""
+    rng = np.random.default_rng(44)
+    E = 64
+    # ffn_mult chosen so _ffn_mult_to_intermediate_size -> 256
+    bc = [
+        {"attention": {"n_heads_in_group": 2, "replace_with_linear": False},
+         "ffn": {"ffn_mult": 6.0}},
+        {"attention": {"n_heads_in_group": 4, "replace_with_linear": False},
+         "ffn": {"ffn_mult": 6.0}},
+    ]
+    kv_heads = [2, 1]
+    ffn = 256
+    # vocab_size == 128256 selects the gpt2-BPE vocab path (DeciModel
+    # .set_vocab); smaller sizes need the LlamaHfVocab tokenizer.json
+    t = _deci_tensors(rng, kv_heads, [ffn, ffn], E=E, V=128256)
+    cfg = dict(BASE_CFG, architectures=["DeciLMForCausalLM"],
+               model_type="nemotron-nas", block_configs=bc,
+               tie_word_embeddings=False, vocab_size=128256)
+    cfg.pop("num_key_value_heads")
+    cfg.pop("head_dim")
+    cfg.pop("intermediate_size")
+    run_case(tmp_path, "deci_bc", cfg, t)
+
+
+def test_parity_deci_7b(tmp_path):
+    """DeciLM-7B form: num_key_value_heads_per_layer array."""
+    rng = np.random.default_rng(45)
+    kv_heads = [2, 1]
+    t = _deci_tensors(rng, kv_heads, [128, 128], V=128256)
+    cfg = dict(BASE_CFG, architectures=["DeciLMForCausalLM"],
+               model_type="deci", num_key_value_heads_per_layer=kv_heads,
+               tie_word_embeddings=False, vocab_size=128256)
+    cfg.pop("num_key_value_heads")
+    cfg.pop("head_dim")
+    run_case(tmp_path, "deci7b", cfg, t, vocab="bpe")

@@ -405,6 +405,22 @@ _ARCH_MAP = {
     "LlamaForCausalLM": "llama",
     "MistralForCausalLM": "llama",
     "MixtralForCausalLM": "llama",  # MoE variant of the llama arch
+    # LlamaModel registry aliases (convert_hf_to_gguf.py:2278-2287):
+    # multimodal *ForConditionalGeneration classes convert their text
+    # part here (vision/audio towers skipped by _mm_strip; the towers
+    # export separately via convert_mmproj)
+    "LLaMAForCausalLM": "llama",
+    "LlamaModel": "llama",
+    "VLlama3ForCausalLM": "llama",  # SmolVLM/SmolLM text
+    "LlavaForConditionalGeneration": "llama",
+    "VoxtralForConditionalGeneration": "llama",
+    "Mistral3ForConditionalGeneration": "llama",  # Mistral3Model(:2815)
+    "Llama4ForCausalLM": "llama4",
+    "Llama4ForConditionalGeneration": "llama4",
+    "DeciLMForCausalLM": "deci",
+    "PhiMoEForCausalLM": "phimoe",
+    "Gemma3TextModel": "gemma3",
+    "modeling_grove_moe.GroveMoeForCausalLM": "grovemoe",
     "Qwen2ForCausalLM": "qwen2",
     "Qwen3ForCausalLM": "qwen3",
     "Qwen2MoeForCausalLM": "qwen2moe",
@@ -1648,7 +1664,123 @@ def _cfg_bailingmoe2(c):
     return c
 
 
+# multimodal text-part handling (TextModel.modify_tensors vision skip +
+# prefix strips, convert_hf_to_gguf.py:2425-2453): *ForConditionalGeneration
+# checkpoints carry vision/audio towers that the text GGUF drops, and
+# nest the text model under language_model. / model.text_model.
+_MM_SKIP_SUBSTR = ("vision_tower", "vision_model", "audio_tower",
+                   "model.connector", "multi_modal_projector")
+_MM_SKIP_PREFIX = ("vision_encoder.", "vision_language_adapter.",
+                   "patch_merger.", "pre_mm_projector_norm", "visual.",
+                   "audio_encoder.", "whisper_encoder.", "thinker.audio",
+                   "mm_whisper_embeddings.")
+
+
+def _mm_strip(name: str, hf_arch: str) -> str | None:
+    if any(s in name for s in _MM_SKIP_SUBSTR) or name.startswith(_MM_SKIP_PREFIX):
+        return None
+    if hf_arch == "LlamaModel" and not name.startswith("model."):
+        return "model." + name
+    if name.startswith("model.text_model."):
+        return name.replace("text_model.", "", 1)  # SmolVLM
+    if "language_model." in name:
+        return name.replace("language_model.", "", 1)
+    return name
+
+
+def _extra_rope_freqs(config):
+    """llama3-type rope scaling: the precomputed per-frequency factors
+    tensor (LlamaModel.generate_extra_tensors, convert_hf:2497-2525)."""
+    rs = config.get("rope_scaling") or {}
+    if str(rs.get("rope_type", rs.get("type", ""))).lower() != "llama3":
+        return []
+    base = float(config.get("rope_theta", 10000.0))
+    dim = int(config.get("head_dim")
+              or config["hidden_size"] // config["num_attention_heads"])
+    freqs = 1.0 / (base ** (np.arange(0, dim, 2, dtype=np.float32) / dim))
+    factor = float(rs.get("factor", 8.0))
+    lo_f = float(rs.get("low_freq_factor", 1.0))
+    hi_f = float(rs.get("high_freq_factor", 4.0))
+    old_ctx = float(config.get("original_max_position_embeddings", 8192))
+    lo_wl, hi_wl = old_ctx / lo_f, old_ctx / hi_f
+    out = []
+    for f in freqs:
+        wl = 2 * np.pi / f
+        if wl < hi_wl:
+            out.append(1.0)
+        elif wl > lo_wl:
+            out.append(factor)
+        else:
+            smooth = (old_ctx / wl - lo_f) / (hi_f - lo_f)
+            out.append(1.0 / ((1.0 - smooth) / factor + smooth))
+    return [("rope_freqs.weight", np.asarray(out, np.float32))]
+
+
+def _cfg_llama4(c):
+    # Llama4Model.__init__: "intermediate_size" is the MLP dim; the MoE
+    # expert dim arrives as the plain key (convert_hf:2749-2753)
+    c["intermediate_size_moe"] = c["intermediate_size"]
+    c["intermediate_size"] = c["intermediate_size_mlp"]
+    return c
+
+
+def _kv_llama4(w, arch, config):
+    w.add_u32(f"{arch}.interleave_moe_layer_step",
+              int(config["interleave_moe_layer_step"]))
+    w.add_u32(f"{arch}.expert_feed_forward_length",
+              int(config["intermediate_size_moe"]))
+    if config.get("sliding_window") is not None:
+        w.add_u32(f"{arch}.attention.sliding_window",
+                  int(config["sliding_window"]))
+    lt = config.get("layer_types")
+    if lt and all(t == "full_attention" for t in lt):
+        # MobileLLM: all-dense attention disables swa (convert_hf:2764-2766)
+        w.add_u32(f"{arch}.attention.sliding_window", 0)
+
+
+def _tf_llama4(name, data, config):
+    """Llama4Model.modify_tensors: experts arrive PRE-STACKED with fused
+    [gate|up] on the last axis; split + transpose to gguf row-major
+    (convert_hf:2768-2790)."""
+    m = re.match(r"^model\.layers\.(\d+)\.feed_forward\.experts\.gate_up_proj$",
+                 name)
+    if m:
+        half = data.shape[-1] // 2
+        dt = np.swapaxes(data, -1, -2)
+        return [(f"=blk.{m.group(1)}.ffn_gate_exps.weight",
+                 np.ascontiguousarray(dt[..., :half, :])),
+                (f"=blk.{m.group(1)}.ffn_up_exps.weight",
+                 np.ascontiguousarray(dt[..., half:, :]))]
+    m = re.match(r"^model\.layers\.(\d+)\.feed_forward\.experts\.down_proj$",
+                 name)
+    if m:
+        return [(f"=blk.{m.group(1)}.ffn_down_exps.weight",
+                 np.ascontiguousarray(np.swapaxes(data, -1, -2)))]
+    return [(name, data)]
+
+
+_LLAMA4_NAME_MAP = [
+    (r"^model\.layers\.(\d+)\.feed_forward\.router\.weight$",
+     "blk.{bid}.ffn_gate_inp.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.shared_expert\.gate_proj\.weight$",
+     "blk.{bid}.ffn_gate_shexp.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.shared_expert\.up_proj\.weight$",
+     "blk.{bid}.ffn_up_shexp.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.shared_expert\.down_proj\.weight$",
+     "blk.{bid}.ffn_down_shexp.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.gate_proj\.weight$",
+     "blk.{bid}.ffn_gate.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.up_proj\.weight$",
+     "blk.{bid}.ffn_up.weight"),
+    (r"^model\.layers\.(\d+)\.feed_forward\.down_proj\.weight$",
+     "blk.{bid}.ffn_down.weight"),
+]
+
+
 _FAMILY_SPECS: dict = {
+    "llama": dict(extra=_extra_rope_freqs),
+    "llama4": dict(cfg=_cfg_llama4, kv=_kv_llama4, transform=_tf_llama4,
+                   names=_LLAMA4_NAME_MAP, extra=_extra_rope_freqs),
     "ernie4_5-moe": dict(cfg=_cfg_ernie_moe, kv=_kv_ernie_moe,
                          names=_ERNIE_MOE_EXTRA_MAP),
     "bailingmoe": dict(names=_BAILING_NAME_MAP, transform=_tf_bailingmoe,
@@ -1973,6 +2105,14 @@ def _convert_t5(model_dir, outfile, arch, config, qt, verbose):
 def convert(model_dir: str, outfile: str, outtype: str = "f16",
             pre: str | None = None, verbose: bool = True) -> dict:
     config = json.load(open(os.path.join(model_dir, "config.json")))
+    if "llm_config" in config:  # InternVL rename (ModelBase.load_hparams)
+        config["text_config"] = config["llm_config"]
+    if "thinker_config" in config:  # Qwen2.5-Omni
+        config["text_config"] = config["thinker_config"]["text_config"]
+    if "text_config" in config:
+        # composite multimodal configs: text params move to root
+        # (TextModel.__init__, convert_hf_to_gguf.py:739-741)
+        config = {**config, **config["text_config"]}
     archs = config.get("architectures", [])
     hf_arch = archs[0] if archs else ""
     if hf_arch not in _ARCH_MAP:
@@ -2017,6 +2157,8 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
         return _convert_arwkv7(model_dir, outfile, config, qt, pre, verbose)
     if arch in ("t5", "t5encoder"):
         return _convert_t5(model_dir, outfile, arch, config, qt, verbose)
+    if arch == "deci":
+        return _convert_deci(model_dir, outfile, config, qt, pre, verbose)
 
     spec = _FAMILY_SPECS.get(arch, {})
     if "cfg" in spec:
@@ -2281,12 +2423,17 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
         emit(gname, data)
 
     for name, data in iter_hf_tensors(model_dir):
+        name = _mm_strip(name, hf_arch)
+        if name is None:
+            continue  # vision/audio tower tensor (exported by convert_mmproj)
         for out_name, out_data in (
             transform(name, data, config) if transform else [(name, data)]
         ):
             handle(out_name, out_data)
     if hasattr(transform, "finish"):
         transform.finish(w, arch, config)
+    for gname, data in (spec["extra"](config) if "extra" in spec else ()):
+        emit(gname, data)  # generated tensors (llama3 rope_freqs)
     leftover = {b: list(d) for b, d in experts.items() if d}
     if any(leftover.values()):
         raise ValueError(f"incomplete expert tensor sets: {leftover}")
@@ -3669,6 +3816,126 @@ def _write_plamo2_vocab(w, model_dir, config):
             w.add_u32(f"tokenizer.ggml.{key}_token_id", tokens.index(tok))
     w.add_u32("tokenizer.ggml.eot_token_id", 4)  # <|plamo:op|>
     w.add_bool("tokenizer.ggml.add_space_prefix", False)
+
+
+def _convert_deci(model_dir: str, outfile: str, config: dict, qt, pre,
+                  verbose: bool) -> dict:
+    """DeciLM / Llama-3_1-Nemotron -> GGUF (convert_hf_to_gguf.py
+    DeciModel:2855): variable-GQA — per-layer head-count / kv-head /
+    ffn-length ARRAYS from block_configs (Nemotron-51B) or
+    num_key_value_heads_per_layer (DeciLM-7B); q/k permute uses each
+    layer's own head counts."""
+    arch = "deci"
+    n_embd = int(config["hidden_size"])
+    n_head = int(config["num_attention_heads"])
+    n_layer = int(config["num_hidden_layers"])
+
+    def ffn_mult_to_size(mult):
+        n = int(2 * mult * n_embd / 3)
+        return n if n % 256 == 0 else n + 256 - (n % 256)
+
+    heads = [n_head] * n_layer
+    if "block_configs" in config:
+        bc = config["block_configs"]
+        kv_heads, heads, ffn_dims = [], [], []
+        for blk in bc:
+            g = blk["attention"]["n_heads_in_group"]
+            if g is None:
+                kv_heads.append(0)
+                heads.append(
+                    n_head if blk["attention"].get("replace_with_linear")
+                    else 0)
+            else:
+                kv_heads.append(n_head // int(g))
+                heads.append(n_head)
+            fm = blk["ffn"]["ffn_mult"]
+            ffn_dims.append(0 if fm is None else ffn_mult_to_size(float(fm)))
+    else:
+        kv_heads = [int(x) for x in
+                    config.get("num_key_value_heads_per_layer",
+                               [config.get("num_key_value_heads", n_head)]
+                               * n_layer)]
+        ffn_dims = None
+
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", os.path.basename(os.path.abspath(model_dir)))
+    w.add_u32(f"{arch}.block_count", n_layer)
+    w.add_u32(f"{arch}.context_length",
+              int(config.get("max_position_embeddings", 2048)))
+    w.add_u32(f"{arch}.embedding_length", n_embd)
+    w.add_array(f"{arch}.attention.head_count_kv",
+                np.asarray(kv_heads, np.uint32))
+    w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon",
+              float(config.get("rms_norm_eps", 1e-5)))
+    w.add_u32(f"{arch}.vocab_size", int(config["vocab_size"]))
+    head_dim = int(config.get("head_dim") or n_embd // n_head)
+    if "block_configs" in config:
+        if config.get("rope_theta") is not None:
+            w.add_f32(f"{arch}.rope.freq_base", float(config["rope_theta"]))
+        w.add_array(f"{arch}.attention.head_count",
+                    np.asarray(heads, np.uint32))
+        w.add_array(f"{arch}.feed_forward_length",
+                    np.asarray(ffn_dims, np.uint32))
+        w.add_u32(f"{arch}.attention.key_length", n_embd // n_head)
+        w.add_u32(f"{arch}.attention.value_length", n_embd // n_head)
+    else:
+        w.add_u32(f"{arch}.feed_forward_length",
+                  int(config["intermediate_size"]))
+        w.add_u32(f"{arch}.attention.head_count", n_head)
+        w.add_f32(f"{arch}.rope.freq_base",
+                  float(config.get("rope_theta", 10000.0)))
+        if config.get("head_dim"):
+            w.add_u32(f"{arch}.attention.key_length", head_dim)
+            w.add_u32(f"{arch}.attention.value_length", head_dim)
+    w.add_u32(f"{arch}.rope.dimension_count", head_dim)
+    rs = config.get("rope_scaling") or {}
+    if rs.get("rope_type", rs.get("type")) == "linear" and "factor" in rs:
+        w.add_str(f"{arch}.rope.scaling.type", "linear")
+        w.add_f32(f"{arch}.rope.scaling.factor", float(rs["factor"]))
+    write_vocab(w, model_dir, arch, config, pre or "default")
+
+    stats = {"tensors": 0}
+
+    def emit(gname, data):
+        tt = qt if data.ndim >= 2 and data.shape[-1] % 32 == 0 else GGMLType.F32
+        if tt == GGMLType.F16:
+            w.add_tensor(gname, data.astype(np.float16), GGMLType.F16)
+        elif tt != GGMLType.F32:
+            w.add_tensor(gname, np.empty(data.shape), ggml_type=tt,
+                         raw=quantize(data, tt))
+        else:
+            w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
+        stats["tensors"] += 1
+
+    for name, data in iter_hf_tensors(model_dir):
+        gname = None
+        for pat, repl in _NAME_MAP:
+            m = re.match(pat, name)
+            if m:
+                g = m.groups()
+                bid = g[0] if g and g[0] and str(g[0]).isdigit() else ""
+                suf = g[-1] if g and g[-1] in ("weight", "bias") else "weight"
+                gname = repl.format(bid=bid, suf=suf)
+                break
+        if gname is None:
+            if verbose:
+                print(f"skip {name}", file=sys.stderr)
+            continue
+        bid = int(re.match(r"blk\.(\d+)\.", gname).group(1)) \
+            if gname.startswith("blk.") else None
+        # DeciModel.modify_tensors: per-layer head counts drive the permute
+        lh = heads[bid] if bid is not None else n_head
+        lkv = kv_heads[bid] if bid is not None else n_head
+        if gname.endswith((".attn_q.weight", ".attn_q.bias")) and lh:
+            data = permute_rope(data, lh)
+        elif gname.endswith((".attn_k.weight", ".attn_k.bias")) and lkv:
+            data = permute_rope(data, lkv)
+        emit(gname, data)
+    for gname, data in _extra_rope_freqs(config):
+        emit(gname, data)
+    w.write(outfile)
+    return stats
 
 
 def _convert_openelm(model_dir: str, outfile: str, config: dict, qt,
