@@ -222,6 +222,7 @@ def main():
         print("[cell]", json.dumps(rec), flush=True)
 
     def run_decode_cell(name, B, depth, unroll, n_steps):
+        nonlocal params  # donated per call; rebind to the alive alias
         S = depth + max(256, -(-n_steps // 128) * 128)  # 128-multiple: the
         # flash-decode kernel tiles the cache in 128-row chunks
         kv_bytes_seq = (
@@ -244,7 +245,6 @@ def main():
             emit({"cell": name, "mode": "aot", "compile_s": round(time.time() - t0, 1),
                   "B": B, "depth": depth, "unroll": unroll})
             return
-        nonlocal params
         toks, kv_k, kv_v, params = fn(
             params, kv_k, kv_v, first, npast, n_steps=n_steps)
         np.asarray(toks)

@@ -1224,3 +1224,210 @@ def test_parity_deci_7b(tmp_path):
     cfg.pop("num_key_value_heads")
     cfg.pop("head_dim")
     run_case(tmp_path, "deci7b", cfg, t, vocab="bpe")
+
+
+def test_parity_phi3_longrope(tmp_path):
+    """Phi3: fused qkv/gate_up + longrope factor tensors + attn_factor +
+    sliding window (Phi3MiniModel, convert_hf:4513-4687)."""
+    rng = np.random.default_rng(46)
+    L, V, E, H, KV, HD, F = 2, 261, 64, 4, 2, 16, 128
+    t = {"model.embed_tokens.weight": rnd(rng, V, E),
+         "model.norm.weight": 1.0 + rnd(rng, E),
+         "lm_head.weight": rnd(rng, V, E)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "post_attention_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "self_attn.qkv_proj.weight"] = rnd(rng, (H + 2 * KV) * HD, E)
+        t[p + "self_attn.o_proj.weight"] = rnd(rng, E, H * HD)
+        t[p + "mlp.gate_up_proj.weight"] = rnd(rng, 2 * F, E)
+        t[p + "mlp.down_proj.weight"] = rnd(rng, E, F)
+    cfg = dict(BASE_CFG, architectures=["Phi3ForCausalLM"],
+               model_type="phi3", tie_word_embeddings=False,
+               original_max_position_embeddings=128,
+               max_position_embeddings=1024, sliding_window=256,
+               rope_scaling={"type": "longrope",
+                             "long_factor": [1.5] * (HD // 2),
+                             "short_factor": [1.0] * (HD // 2)})
+    cfg.pop("head_dim")
+    run_case(tmp_path, "phi3lr", cfg, t, vocab="spm")
+
+
+def test_parity_minicpm3(tmp_path):
+    """MiniCPM3: MLA-lite (q/kv lora ranks, qk nope+rope key length,
+    longrope factor tensors, NO freq_base — MiniCPM3Model convert_hf:3302)."""
+    rng = np.random.default_rng(47)
+    L, V, E, H, F = 2, 261, 64, 4, 128
+    qk_nope, qk_rope, vdim = 16, 8, 16
+    q_rank, kv_rank = 32, 16
+    hd = qk_nope + qk_rope
+    t = {"model.embed_tokens.weight": rnd(rng, V, E),
+         "model.norm.weight": 1.0 + rnd(rng, E),
+         "lm_head.weight": rnd(rng, V, E)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "post_attention_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "self_attn.q_a_proj.weight"] = rnd(rng, q_rank, E)
+        t[p + "self_attn.q_a_layernorm.weight"] = 1.0 + rnd(rng, q_rank)
+        t[p + "self_attn.q_b_proj.weight"] = rnd(rng, H * hd, q_rank)
+        t[p + "self_attn.kv_a_proj_with_mqa.weight"] = rnd(
+            rng, kv_rank + qk_rope, E)
+        t[p + "self_attn.kv_a_layernorm.weight"] = 1.0 + rnd(rng, kv_rank)
+        t[p + "self_attn.kv_b_proj.weight"] = rnd(rng, H * (qk_nope + vdim),
+                                                  kv_rank)
+        t[p + "self_attn.o_proj.weight"] = rnd(rng, E, H * vdim)
+        t[p + "mlp.gate_proj.weight"] = rnd(rng, F, E)
+        t[p + "mlp.up_proj.weight"] = rnd(rng, F, E)
+        t[p + "mlp.down_proj.weight"] = rnd(rng, E, F)
+    cfg = dict(BASE_CFG, architectures=["MiniCPM3ForCausalLM"],
+               model_type="minicpm3", tie_word_embeddings=False,
+               q_lora_rank=q_rank, kv_lora_rank=kv_rank,
+               qk_nope_head_dim=qk_nope, qk_rope_head_dim=qk_rope,
+               v_head_dim=vdim,
+               rope_scaling={"type": "longrope",
+                             "long_factor": [1.5] * (qk_rope // 2),
+                             "short_factor": [1.0] * (qk_rope // 2)})
+    cfg.pop("head_dim")
+    run_case(tmp_path, "minicpm3", cfg, t, vocab="spm")
+
+
+def test_parity_arctic(tmp_path):
+    """Arctic: parallel dense residual_mlp + MoE branch
+    (residual_layernorm->ffn_norm, post_attention_layernorm->
+    ffn_norm_exps), spm vocab with added_tokens_decoder overrides
+    (ArcticModel, convert_hf:6920)."""
+    rng = np.random.default_rng(48)
+    L, V, E, H, KV, HD, F, NE = 2, 261, 64, 4, 2, 16, 128, 4
+    t = {"model.embed_tokens.weight": rnd(rng, V, E),
+         "model.norm.weight": 1.0 + rnd(rng, E),
+         "lm_head.weight": rnd(rng, V, E)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "post_attention_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "residual_layernorm.weight"] = 1.0 + rnd(rng, E)
+        for nm, n in (("q_proj", H * HD), ("k_proj", KV * HD),
+                      ("v_proj", KV * HD)):
+            t[p + f"self_attn.{nm}.weight"] = rnd(rng, n, E)
+        t[p + "self_attn.o_proj.weight"] = rnd(rng, E, H * HD)
+        t[p + "residual_mlp.w1.weight"] = rnd(rng, F, E)
+        t[p + "residual_mlp.w3.weight"] = rnd(rng, F, E)
+        t[p + "residual_mlp.w2.weight"] = rnd(rng, E, F)
+        t[p + "block_sparse_moe.gate.weight"] = rnd(rng, NE, E)
+        for x in range(NE):
+            t[p + f"block_sparse_moe.experts.{x}.w1.weight"] = rnd(rng, F, E)
+            t[p + f"block_sparse_moe.experts.{x}.w2.weight"] = rnd(rng, E, F)
+            t[p + f"block_sparse_moe.experts.{x}.w3.weight"] = rnd(rng, F, E)
+    cfg = dict(BASE_CFG, architectures=["ArcticForCausalLM"],
+               model_type="arctic", tie_word_embeddings=False,
+               num_local_experts=NE, num_experts_per_tok=2)
+    d = str(tmp_path / "arctic")
+    save_ckpt(d, cfg, t, vocab="spm")
+    json.dump({"add_bos_token": True, "unk_token": "<unk>",
+               "added_tokens_decoder": {
+                   "259": {"content": "<|im_start|>", "special": True},
+                   "260": {"content": "casual", "special": False}}},
+              open(os.path.join(d, "tokenizer_config.json"), "w"))
+    ref_out = str(tmp_path / "arctic_ref.gguf")
+    our_out = str(tmp_path / "arctic_ours.gguf")
+    convert(d, our_out, outtype="f32", verbose=False)
+    ref_convert(d, ref_out)
+    compare_ggufs(ref_out, our_out)
+
+
+def test_parity_codeshell(tmp_path):
+    """CodeShell: gpt2-style keys, kv from num_query_groups, ff=4*n_embd,
+    linear rope scaling 1.0 (CodeShellModel, convert_hf:4965)."""
+    rng = np.random.default_rng(49)
+    L, V, E, H, KV, HD = 2, 261, 64, 4, 2, 16
+    t = {"transformer.wte.weight": rnd(rng, V, E),
+         "transformer.ln_f.weight": 1.0 + rnd(rng, E),
+         "transformer.ln_f.bias": rnd(rng, E),
+         "lm_head.weight": rnd(rng, V, E)}
+    for i in range(L):
+        p = f"transformer.h.{i}."
+        t[p + "ln_1.weight"] = 1.0 + rnd(rng, E)
+        t[p + "ln_1.bias"] = rnd(rng, E)
+        t[p + "ln_2.weight"] = 1.0 + rnd(rng, E)
+        t[p + "ln_2.bias"] = rnd(rng, E)
+        t[p + "attn.c_attn.weight"] = rnd(rng, (H + 2 * KV) * HD, E)
+        t[p + "attn.c_attn.bias"] = rnd(rng, (H + 2 * KV) * HD)
+        t[p + "attn.c_proj.weight"] = rnd(rng, E, H * HD)
+        t[p + "attn.c_proj.bias"] = rnd(rng, E)
+        t[p + "mlp.c_fc.weight"] = rnd(rng, 4 * E, E)
+        t[p + "mlp.c_fc.bias"] = rnd(rng, 4 * E)
+        t[p + "mlp.c_proj.weight"] = rnd(rng, E, 4 * E)
+        t[p + "mlp.c_proj.bias"] = rnd(rng, E)
+    cfg = dict(architectures=["CodeShellForCausalLM"], model_type="codeshell",
+               vocab_size=V, n_embd=E, n_layer=L, n_head=H,
+               num_query_groups=KV, n_positions=256,
+               layer_norm_epsilon=1e-5, bos_token_id=1, eos_token_id=2)
+    run_case(tmp_path, "codeshell", cfg, t, vocab="bpe")
+
+
+def test_parity_rnd1(tmp_path):
+    """RND1: qwen2moe-shaped diffusion LM — bidirectional attention flag +
+    mask token (RND1Model, convert_hf:4262)."""
+    rng = np.random.default_rng(50)
+    L, V, E, H, KV, HD, F, NE = 2, 261, 64, 4, 2, 16, 64, 4
+    t = llama_like_tensors(rng, L=L, V=V, E=E, H=H, KV=KV, HD=HD, F=F)
+    for i in range(L):
+        p = f"model.layers.{i}."
+        for nm in ("gate_proj", "up_proj", "down_proj"):
+            t.pop(p + f"mlp.{nm}.weight")
+        t[p + "mlp.gate.weight"] = rnd(rng, NE, E)
+        for x in range(NE):
+            t[p + f"mlp.experts.{x}.gate_proj.weight"] = rnd(rng, F, E)
+            t[p + f"mlp.experts.{x}.up_proj.weight"] = rnd(rng, F, E)
+            t[p + f"mlp.experts.{x}.down_proj.weight"] = rnd(rng, E, F)
+    cfg = dict(BASE_CFG, architectures=["RND1"], model_type="rnd1",
+               tie_word_embeddings=False, num_experts=NE,
+               num_experts_per_tok=2, moe_intermediate_size=F,
+               norm_topk_prob=True, mask_token_id=5)
+    run_case(tmp_path, "rnd1", cfg, t, vocab="bpe")
+
+
+def test_parity_lfm2moe(tmp_path):
+    """Lfm2Moe: hybrid shortconv/attention + sigmoid MoE with w1/w2/w3
+    expert merging + expert selection bias (LFM2MoeModel, convert_hf:9633)."""
+    rng = np.random.default_rng(51)
+    L, V, E, H, KV, HD, F, FM, NE = 4, 261, 64, 4, 2, 16, 128, 64, 4
+    lt = ["conv", "full_attention", "conv", "full_attention"]
+    t = {"model.embed_tokens.weight": rnd(rng, V, E),
+         "model.embedding_norm.weight": 1.0 + rnd(rng, E)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "operator_norm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "ffn_norm.weight"] = 1.0 + rnd(rng, E)
+        if lt[i] == "conv":
+            t[p + "conv.in_proj.weight"] = rnd(rng, 3 * E, E)
+            t[p + "conv.conv.weight"] = rnd(rng, E, 1, 3)
+            t[p + "conv.out_proj.weight"] = rnd(rng, E, E)
+        else:
+            t[p + "self_attn.q_proj.weight"] = rnd(rng, H * HD, E)
+            t[p + "self_attn.k_proj.weight"] = rnd(rng, KV * HD, E)
+            t[p + "self_attn.v_proj.weight"] = rnd(rng, KV * HD, E)
+            t[p + "self_attn.out_proj.weight"] = rnd(rng, E, H * HD)
+            t[p + "self_attn.q_layernorm.weight"] = 1.0 + rnd(rng, HD)
+            t[p + "self_attn.k_layernorm.weight"] = 1.0 + rnd(rng, HD)
+        if i == 0:  # leading dense layer
+            t[p + "feed_forward.w1.weight"] = rnd(rng, F, E)
+            t[p + "feed_forward.w3.weight"] = rnd(rng, F, E)
+            t[p + "feed_forward.w2.weight"] = rnd(rng, E, F)
+        else:
+            t[p + "feed_forward.gate.weight"] = rnd(rng, NE, E)
+            t[p + "feed_forward.expert_bias"] = rnd(rng, NE)
+            for x in range(NE):
+                t[p + f"feed_forward.experts.{x}.w1.weight"] = rnd(rng, FM, E)
+                t[p + f"feed_forward.experts.{x}.w2.weight"] = rnd(rng, E, FM)
+                t[p + f"feed_forward.experts.{x}.w3.weight"] = rnd(rng, FM, E)
+    cfg = dict(architectures=["Lfm2MoeForCausalLM"], model_type="lfm2_moe",
+               vocab_size=V, hidden_size=E, num_hidden_layers=L,
+               num_attention_heads=H, num_key_value_heads=KV,
+               intermediate_size=F, moe_intermediate_size=FM,
+               num_experts=NE, num_experts_per_tok=2, num_dense_layers=1,
+               norm_topk_prob=True, conv_L_cache=3, layer_types=lt,
+               max_position_embeddings=256, norm_eps=1e-5,
+               rope_theta=1000000.0, bos_token_id=1, eos_token_id=2)
+    run_case(tmp_path, "lfm2moe", cfg, t, vocab="bpe")

@@ -116,6 +116,42 @@ def write_vocab(w: GGUFWriter, model_dir: str, arch: str, config: dict, pre: str
     if os.path.exists(tcfg_path):
         tcfg = json.load(open(tcfg_path))
 
+    if arch == "arctic":
+        # ArcticModel.set_vocab (convert_hf:6920-7005): spm pieces with
+        # added_tokens_decoder OVERRIDES (snowflake redefines ids 31998/9
+        # as bos/eos in tokenizer_config rather than adding tokens)
+        pieces = parse_spm_model(spm)
+        n_vocab = int(config.get("vocab_size", len(pieces)))
+        tokens = [f"[PAD{i}]" for i in range(n_vocab)]
+        scores = [-10000.0] * n_vocab
+        types = [5] * n_vocab  # UNUSED
+        for i, (piece, score, ptype) in enumerate(pieces[:n_vocab]):
+            tokens[i] = piece
+            scores[i] = score
+            types[i] = _SPM_TYPE.get(ptype, 1)
+        for tid_s, tj in (tcfg.get("added_tokens_decoder") or {}).items():
+            tid = int(tid_s)
+            if tid >= n_vocab:
+                continue
+            tokens[tid] = tj["content"]
+            if tj.get("special"):
+                types[tid] = 2 if tj["content"] == tcfg.get("unk_token") else 3
+                scores[tid] = 0.0
+            else:
+                types[tid] = 4
+                scores[tid] = -10000.0
+        w.add_str("tokenizer.ggml.model", "llama")
+        w.add_str("tokenizer.ggml.pre", "default")
+        w.add_array("tokenizer.ggml.tokens", tokens)
+        w.add_array("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+        w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+        if config.get("bos_token_id") is not None:
+            w.add_u32("tokenizer.ggml.bos_token_id", int(config["bos_token_id"]))
+        if config.get("eos_token_id") is not None:
+            w.add_u32("tokenizer.ggml.eos_token_id", int(config["eos_token_id"]))
+        if "add_bos_token" in tcfg:
+            w.add_bool("tokenizer.ggml.add_bos_token", bool(tcfg["add_bos_token"]))
+        return
     if arch == "xverse":
         # XverseModel.set_vocab: BPE tokenizer.json tokens re-served as a
         # "llama" (SPM-type) vocab — token list + types only, no merges
@@ -481,6 +517,13 @@ _ARCH_MAP = {
     "GptOssForCausalLM": "gpt-oss",
     "JambaForCausalLM": "jamba",
     "Lfm2ForCausalLM": "lfm2",
+    "LFM2ForCausalLM": "lfm2",
+    "Lfm2MoeForCausalLM": "lfm2moe",
+    "MiniCPM3ForCausalLM": "minicpm3",
+    "ArcticForCausalLM": "arctic",
+    "CodeShellForCausalLM": "codeshell",
+    "RND1": "rnd1",
+    "Qwen2AudioForConditionalGeneration": "qwen2",  # text part (Qwen2Model)
     "BambaForCausalLM": "granite-hybrid",
     "GraniteMoeHybridForCausalLM": "granite-hybrid",
     "Qwen3NextForCausalLM": "qwen3next",
@@ -1777,8 +1820,108 @@ _LLAMA4_NAME_MAP = [
 ]
 
 
+def _extra_longrope(attn_factor: bool):
+    """phi3/minicpm3 longrope: rope_factors_long/short tensors (+ the
+    derived attn_factor KV for phi3 — Phi3MiniModel.generate_extra_tensors
+    convert_hf:4647-4687; MiniCPM3Model:3324 omits the factor)."""
+
+    def gen(config, w=None, arch=None):
+        rs = config.get("rope_scaling") or {}
+        if not rs:
+            return []
+        lf = rs.get("long_factor")
+        sf = rs.get("short_factor")
+        if lf is None or sf is None:
+            raise KeyError("rope_scaling.long_factor/short_factor required")
+        return [("rope_factors_long.weight", np.asarray(lf, np.float32)),
+                ("rope_factors_short.weight", np.asarray(sf, np.float32))]
+
+    return gen
+
+
+def _kv_phi3(w, arch, config):
+    import math
+
+    orig_ctx = int(config.get("original_max_position_embeddings")
+                   or config["max_position_embeddings"])
+    w.add_u32(f"{arch}.rope.scaling.original_context_length", orig_ctx)
+    # zero distinguishes Phi-4 (Phi3MiniModel.set_gguf_parameters)
+    w.add_u32(f"{arch}.attention.sliding_window",
+              int(config.get("sliding_window") or 0))
+    rs = config.get("rope_scaling") or {}
+    if rs:
+        scale = config["max_position_embeddings"] / orig_ctx
+        typ = str(rs.get("rope_type", rs.get("type", ""))).lower()
+        if typ in ("su", "longrope"):
+            af = (math.sqrt(1 + math.log(scale)
+                            / math.log(config["original_max_position_embeddings"]))
+                  if scale > 1.0 else 1.0)
+        elif typ == "yarn":
+            af = 0.1 * math.log(scale) + 1.0 if scale > 1.0 else 1.0
+        else:
+            raise NotImplementedError(f"phi3 rope scaling {typ!r}")
+        w.add_f32(f"{arch}.rope.scaling.attn_factor", af)
+
+
+def _kv_minicpm3(w, arch, config):
+    if config.get("q_lora_rank"):
+        w.add_u32(f"{arch}.attention.q_lora_rank", int(config["q_lora_rank"]))
+    w.add_u32(f"{arch}.attention.kv_lora_rank", int(config["kv_lora_rank"]))
+    w.add_u32(f"{arch}.attention.key_length",
+              int(config["qk_nope_head_dim"]) + int(config["qk_rope_head_dim"]))
+
+
+_ARCTIC_NAME_MAP = [
+    # arch_block_mappings_cfg[ARCTIC] (tensor_mapping.py:1599-1608): the
+    # dense residual MLP is the "ffn" path, the MoE branch norms with
+    # post_attention_layernorm -> ffn_norm_exps
+    (r"^model\.layers\.(\d+)\.residual_layernorm\.weight$",
+     "blk.{bid}.ffn_norm.weight"),
+    (r"^model\.layers\.(\d+)\.post_attention_layernorm\.weight$",
+     "blk.{bid}.ffn_norm_exps.weight"),
+    (r"^model\.layers\.(\d+)\.residual_mlp\.w1\.weight$",
+     "blk.{bid}.ffn_gate.weight"),
+    (r"^model\.layers\.(\d+)\.residual_mlp\.w3\.weight$",
+     "blk.{bid}.ffn_up.weight"),
+    (r"^model\.layers\.(\d+)\.residual_mlp\.w2\.weight$",
+     "blk.{bid}.ffn_down.weight"),
+]
+
+
+def _cfg_codeshell(config):
+    # CodeShellModel.set_gguf_parameters (convert_hf:4965): ff = 4*n_embd,
+    # kv heads from num_query_groups
+    config["intermediate_size"] = 4 * int(config["n_embd"])
+    config["num_key_value_heads"] = int(config["num_query_groups"])
+    return config
+
+
+def _kv_codeshell(w, arch, config):
+    w.add_str(f"{arch}.rope.scaling.type", "linear")
+    w.add_f32(f"{arch}.rope.scaling.factor", 1.0)
+
+
+def _kv_rnd1(w, arch, config):
+    # RND1: bidirectional (diffusion) attention (RND1Model convert_hf:4262)
+    w.add_bool(f"{arch}.attention.causal", False)
+    if config.get("mask_token_id") is not None:
+        w.add_u32("tokenizer.ggml.mask_token_id",
+                  int(config["mask_token_id"]))
+
+
 _FAMILY_SPECS: dict = {
     "llama": dict(extra=_extra_rope_freqs),
+    "phi3": dict(kv=_kv_phi3, extra=_extra_longrope(attn_factor=True),
+                 rope_dim=_rope_dim_partial(1.0)),
+    "minicpm3": dict(names=_DEEPSEEK2_NAME_MAP, kv=_kv_minicpm3,
+                     no_freq_base=True,
+                     rope_dim=lambda c: int(c["qk_rope_head_dim"]),
+                     extra=_extra_longrope(attn_factor=False)),
+    "arctic": dict(names=_ARCTIC_NAME_MAP, permute_qk=True),
+    "codeshell": dict(ln=True, kv_aliases=True, cfg=_cfg_codeshell,
+                      kv=_kv_codeshell, names=_GPT2_NAME_MAP,
+                      no_rope_dim=True),
+    "rnd1": dict(kv=_kv_rnd1),
     "llama4": dict(cfg=_cfg_llama4, kv=_kv_llama4, transform=_tf_llama4,
                    names=_LLAMA4_NAME_MAP, extra=_extra_rope_freqs),
     "ernie4_5-moe": dict(cfg=_cfg_ernie_moe, kv=_kv_ernie_moe,
@@ -2131,8 +2274,9 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
                             pre, verbose, ftype_mix=ftype_mix)
     if arch == "jamba":
         return _convert_jamba(model_dir, outfile, config, qt, pre, verbose)
-    if arch == "lfm2":
-        return _convert_lfm2(model_dir, outfile, config, qt, pre, verbose)
+    if arch in ("lfm2", "lfm2moe"):
+        return _convert_lfm2(model_dir, outfile, config, qt, pre, verbose,
+                             arch=arch)
     if arch == "granite-hybrid":
         return _convert_granite_hybrid(model_dir, outfile, config, qt, pre,
                                        verbose)
@@ -2275,9 +2419,11 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
     w.add_u32(f"{arch}.attention.head_count_kv", n_head_kv)
     if not spec.get("no_rope"):
         rope_dim = spec["rope_dim"](config) if "rope_dim" in spec else head_dim
-        w.add_u32(f"{arch}.rope.dimension_count", rope_dim)
-        w.add_f32(f"{arch}.rope.freq_base",
-                  float(config.get("rope_theta", 10000.0)))
+        if not spec.get("no_rope_dim"):
+            w.add_u32(f"{arch}.rope.dimension_count", rope_dim)
+        if not spec.get("no_freq_base"):
+            w.add_f32(f"{arch}.rope.freq_base",
+                      float(config.get("rope_theta", 10000.0)))
     if (config.get("head_dim") or arch.startswith("gemma")) and arch != "deepseek2":
         w.add_u32(f"{arch}.attention.key_length", head_dim)
         w.add_u32(f"{arch}.attention.value_length", head_dim)
@@ -2770,24 +2916,30 @@ _LFM2_MAP = [
 ]
 
 
-def _convert_lfm2(model_dir, outfile, config, qt, pre, verbose):
+def _convert_lfm2(model_dir, outfile, config, qt, pre, verbose,
+                  arch="lfm2"):
     """Lfm2ForCausalLM -> GGUF (convert_hf_to_gguf.py LFM2Model): hybrid
     shortconv/attention layers (per-layer kv-head ARRAY), conv squeeze,
-    block_ff_dim auto-adjust."""
-    arch = "lfm2"
+    block_ff_dim auto-adjust. arch='lfm2moe' (LFM2MoeModel:9633): the
+    dense FFN becomes sigmoid-gated MoE with w1/w2/w3 expert merging,
+    leading dense layers, and an expert selection bias."""
     d_model = int(config["hidden_size"])
     n_layer = int(config["num_hidden_layers"])
     n_head = int(config["num_attention_heads"])
     n_kv = int(config["num_key_value_heads"])
     layer_types = config.get("layer_types") or ["full_attention"] * n_layer
     kv_arr = [n_kv if t == "full_attention" else 0 for t in layer_types]
-    ff_dim = int(config["block_ff_dim"])
-    if config.get("block_auto_adjust_ff_dim"):
-        ff_dim = int(2 * ff_dim / 3)
-        if config.get("block_ffn_dim_multiplier") is not None:
-            ff_dim = int(config["block_ffn_dim_multiplier"] * ff_dim)
-        mult = int(config.get("block_multiple_of", 256))
-        ff_dim = mult * ((ff_dim + mult - 1) // mult)
+    is_moe = arch == "lfm2moe"
+    if is_moe:
+        ff_dim = int(config["intermediate_size"])
+    else:
+        ff_dim = int(config["block_ff_dim"])
+        if config.get("block_auto_adjust_ff_dim"):
+            ff_dim = int(2 * ff_dim / 3)
+            if config.get("block_ffn_dim_multiplier") is not None:
+                ff_dim = int(config["block_ffn_dim_multiplier"] * ff_dim)
+            mult = int(config.get("block_multiple_of", 256))
+            ff_dim = mult * ((ff_dim + mult - 1) // mult)
     w = GGUFWriter()
     w.add_str("general.architecture", arch)
     w.add_str("general.name", os.path.basename(os.path.abspath(model_dir)))
@@ -2805,13 +2957,64 @@ def _convert_lfm2(model_dir, outfile, config, qt, pre, verbose):
     w.add_u32(f"{arch}.shortconv.l_cache", int(config["conv_L_cache"]))
     w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon",
               float(config.get("norm_eps", 1e-5)))
+    if is_moe:
+        w.add_u32(f"{arch}.expert_count", int(config["num_experts"]))
+        w.add_u32(f"{arch}.expert_used_count",
+                  int(config["num_experts_per_tok"]))
+        w.add_u32(f"{arch}.expert_feed_forward_length",
+                  int(config["moe_intermediate_size"]))
+        w.add_u32(f"{arch}.leading_dense_block_count",
+                  int(config["num_dense_layers"]))
+        w.add_u32(f"{arch}.expert_gating_func", 2)  # sigmoid
+        if config.get("norm_topk_prob") is not None:
+            w.add_bool(f"{arch}.expert_weights_norm",
+                       bool(config["norm_topk_prob"]))
     w.add_u32(f"{arch}.vocab_size", int(config["vocab_size"]))
     write_vocab(w, model_dir, arch, config, pre or "default")
 
     stats = {"tensors": 0}
+    n_expert = int(config.get("num_experts") or 0)
+    experts = {}
+    moe_map = [
+        (r"^model\.layers\.(\d+)\.feed_forward\.gate\.weight$",
+         "blk.{bid}.ffn_gate_inp.weight"),
+        (r"^model\.layers\.(\d+)\.feed_forward\.expert_bias$",
+         "blk.{bid}.exp_probs_b.bias"),
+    ] if is_moe else []
+
+    def emit_raw(gname, data):
+        tt = qt if data.ndim >= 2 and data.shape[-1] % 32 == 0 else GGMLType.F32
+        if tt == GGMLType.F16:
+            w.add_tensor(gname, data.astype(np.float16), GGMLType.F16)
+        elif tt != GGMLType.F32:
+            w.add_tensor(gname, np.empty(data.shape), ggml_type=tt,
+                         raw=quantize(data, tt))
+        else:
+            w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
+        stats["tensors"] += 1
+
     for name, data in iter_hf_tensors(model_dir):
+        if is_moe:
+            m = re.match(
+                r"^model\.layers\.(\d+)\.feed_forward\.experts\.(\d+)\."
+                r"(w[123])\.weight$", name)
+            if m:
+                bid = int(m.group(1))
+                experts.setdefault(bid, {})[name] = data
+                if len(experts[bid]) == n_expert * 3:
+                    for wn, base in (("w1", "ffn_gate_exps"),
+                                     ("w2", "ffn_down_exps"),
+                                     ("w3", "ffn_up_exps")):
+                        stk = np.stack([
+                            experts[bid][
+                                f"model.layers.{bid}.feed_forward."
+                                f"experts.{x}.{wn}.weight"]
+                            for x in range(n_expert)])
+                        emit_raw(f"blk.{bid}.{base}.weight", stk)
+                    del experts[bid]
+                continue
         gname = None
-        for pat, repl in _LFM2_MAP:
+        for pat, repl in moe_map + _LFM2_MAP:
             m = re.match(pat, name)
             if m:
                 g = m.groups()
