@@ -1431,3 +1431,320 @@ def test_parity_lfm2moe(tmp_path):
                max_position_embeddings=256, norm_eps=1e-5,
                rope_theta=1000000.0, bos_token_id=1, eos_token_id=2)
     run_case(tmp_path, "lfm2moe", cfg, t, vocab="bpe")
+
+
+_QWEN_TOK_STUB = '''
+import base64
+import os
+
+from transformers import PreTrainedTokenizer
+
+
+class QWenTokenizer(PreTrainedTokenizer):
+    vocab_files_names = {"vocab_file": "qwen.tiktoken"}
+
+    def __init__(self, vocab_file=None, **kwargs):
+        self.mergeable_ranks = {}
+        for line in open(vocab_file, "rb").read().splitlines():
+            if line:
+                b, r = line.split()
+                self.mergeable_ranks[base64.b64decode(b)] = int(r)
+        specials = (["<|endoftext|>", "<|im_start|>", "<|im_end|>"]
+                    + [f"<|extra_{i}|>" for i in range(205)])
+        self.special_tokens = {
+            s: len(self.mergeable_ranks) + i for i, s in enumerate(specials)
+        }
+        super().__init__(**kwargs)
+
+    @property
+    def vocab_size(self):
+        return len(self.mergeable_ranks) + len(self.special_tokens)
+
+    def get_vocab(self):
+        return {**{t.decode("latin-1"): r
+                   for t, r in self.mergeable_ranks.items()},
+                **self.special_tokens}
+
+    def encode(self, *a, **k):
+        return [0]
+
+    def _tokenize(self, text):
+        return []
+
+    def _convert_token_to_id(self, token):
+        return 0
+
+    def _convert_id_to_token(self, index):
+        return ""
+'''
+
+
+def _write_tiktoken_ckpt(d, extra_merged=()):
+    """qwen.tiktoken with all single bytes + a few merged tokens, plus a
+    minimal trust_remote_code tokenizer stub for the REFERENCE converter
+    (the real tokenization_qwen.py needs the tiktoken package)."""
+    import base64
+
+    lines = []
+    for b in range(256):
+        lines.append(base64.b64encode(bytes([b])) + b" " + str(b).encode())
+    for i, tok in enumerate(extra_merged):
+        lines.append(base64.b64encode(tok) + b" " + str(256 + i).encode())
+    with open(os.path.join(d, "qwen.tiktoken"), "wb") as f:
+        f.write(b"\n".join(lines) + b"\n")
+    with open(os.path.join(d, "tokenization_qwen.py"), "w") as f:
+        f.write(_QWEN_TOK_STUB)
+    json.dump({"tokenizer_class": "QWenTokenizer",
+               "auto_map": {"AutoTokenizer":
+                            ["tokenization_qwen.QWenTokenizer", None]}},
+              open(os.path.join(d, "tokenizer_config.json"), "w"))
+
+
+def test_parity_qwen_v1(tmp_path):
+    """QWen v1 (QWenLMHeadModel, convert_hf:3355): tiktoken-rank vocab
+    with re-derived BPE merges, fused c_attn, mlp.w1->up / w2->gate,
+    no kv-head / vocab-size keys."""
+    rng = np.random.default_rng(52)
+    L, E, H, HD = 2, 64, 4, 16
+    V = 256 + 2 + 208  # bytes + merged + qwen specials
+    t = {"transformer.wte.weight": rnd(rng, V, E),
+         "transformer.ln_f.weight": 1.0 + rnd(rng, E),
+         "lm_head.weight": rnd(rng, V, E)}
+    for i in range(L):
+        p = f"transformer.h.{i}."
+        t[p + "ln_1.weight"] = 1.0 + rnd(rng, E)
+        t[p + "ln_2.weight"] = 1.0 + rnd(rng, E)
+        t[p + "attn.c_attn.weight"] = rnd(rng, 3 * H * HD, E)
+        t[p + "attn.c_attn.bias"] = rnd(rng, 3 * H * HD)
+        t[p + "attn.c_proj.weight"] = rnd(rng, E, H * HD)
+        t[p + "mlp.w1.weight"] = rnd(rng, 128, E)
+        t[p + "mlp.w2.weight"] = rnd(rng, 128, E)
+        t[p + "mlp.c_proj.weight"] = rnd(rng, E, 128)
+    cfg = dict(architectures=["QWenLMHeadModel"], model_type="qwen",
+               vocab_size=V, hidden_size=E, num_hidden_layers=L,
+               num_attention_heads=H, intermediate_size=256,
+               max_position_embeddings=256, rotary_emb_base=10000.0,
+               layer_norm_epsilon=1e-6, bos_token_id=None,
+               eos_token_id=256)
+    d = str(tmp_path / "qwen1")
+    save_ckpt(d, cfg, t, vocab="none")
+    _write_tiktoken_ckpt(d, extra_merged=(b"ab", b"abc"))
+    ref_out = str(tmp_path / "qwen1_ref.gguf")
+    our_out = str(tmp_path / "qwen1_ours.gguf")
+    convert(d, our_out, outtype="f32", verbose=False)
+    ref_convert(d, ref_out)
+    compare_ggufs(ref_out, our_out)
+
+
+def test_parity_hunyuan_moe(tmp_path):
+    """HunYuanMoE (convert_hf:9146): tiktoken vocab (lenient merges),
+    shared-expert MLP + qk layernorms, per-layer-uniform expert arrays,
+    hardcoded <|bos|> 127959, NTK dynamic rope baked into freq_base."""
+    rng = np.random.default_rng(53)
+    L, E, H, KV, HD, F, FM, NE = 2, 64, 4, 2, 16, 128, 64, 4
+    V = 256 + 2 + 208
+    t = {"model.embed_tokens.weight": rnd(rng, V, E),
+         "model.norm.weight": 1.0 + rnd(rng, E),
+         "lm_head.weight": rnd(rng, V, E)}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "post_attention_layernorm.weight"] = 1.0 + rnd(rng, E)
+        for nm, n in (("q_proj", H * HD), ("k_proj", KV * HD),
+                      ("v_proj", KV * HD)):
+            t[p + f"self_attn.{nm}.weight"] = rnd(rng, n, E)
+        t[p + "self_attn.o_proj.weight"] = rnd(rng, E, H * HD)
+        t[p + "self_attn.query_layernorm.weight"] = 1.0 + rnd(rng, HD)
+        t[p + "self_attn.key_layernorm.weight"] = 1.0 + rnd(rng, HD)
+        t[p + "mlp.gate.wg.weight"] = rnd(rng, NE, E)
+        t[p + "mlp.shared_mlp.gate_proj.weight"] = rnd(rng, F, E)
+        t[p + "mlp.shared_mlp.up_proj.weight"] = rnd(rng, F, E)
+        t[p + "mlp.shared_mlp.down_proj.weight"] = rnd(rng, E, F)
+        for x in range(NE):
+            t[p + f"mlp.experts.{x}.gate_proj.weight"] = rnd(rng, FM, E)
+            t[p + f"mlp.experts.{x}.up_proj.weight"] = rnd(rng, FM, E)
+            t[p + f"mlp.experts.{x}.down_proj.weight"] = rnd(rng, E, FM)
+    cfg = dict(architectures=["HunYuanMoEV1ForCausalLM"],
+               model_type="hunyuan", vocab_size=V, hidden_size=E,
+               num_hidden_layers=L, num_attention_heads=H,
+               num_key_value_heads=KV, head_dim=HD, intermediate_size=F,
+               moe_intermediate_size=[FM, FM], moe_topk=[2, 2],
+               num_shared_expert=[1, 1], num_experts=NE,
+               max_position_embeddings=256, rms_norm_eps=1e-5,
+               rope_theta=10000.0, bos_token_id=1, eos_token_id=2,
+               tie_word_embeddings=False)
+    d = str(tmp_path / "hymoe")
+    save_ckpt(d, cfg, t, vocab="none")
+    _write_tiktoken_ckpt(d, extra_merged=(b"ab", b"abc"))
+    ref_out = str(tmp_path / "hymoe_ref.gguf")
+    our_out = str(tmp_path / "hymoe_ours.gguf")
+    convert(d, our_out, outtype="f32", verbose=False)
+    ref_convert(d, ref_out)
+    compare_ggufs(ref_out, our_out)
+
+
+def _wp_vocab(d, as_json=False):
+    toks = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+            + [f"tok{i}" for i in range(20)] + [f"##s{i}" for i in range(5)])
+    if as_json:  # WordPiece tokenizer.json (nomic checkpoints)
+        tj = {"version": "1.0",
+              "normalizer": {"type": "BertNormalizer", "clean_text": True,
+                             "handle_chinese_chars": True,
+                             "strip_accents": None, "lowercase": True},
+              "pre_tokenizer": {"type": "BertPreTokenizer"},
+              "model": {"type": "WordPiece",
+                        "vocab": {t: i for i, t in enumerate(toks)},
+                        "unk_token": "[UNK]",
+                        "continuing_subword_prefix": "##",
+                        "max_input_chars_per_word": 100},
+              "added_tokens": [
+                  {"id": i, "content": t, "special": True,
+                   "single_word": False, "lstrip": False, "rstrip": False,
+                   "normalized": False}
+                  for i, t in enumerate(toks[:5])]}
+        json.dump(tj, open(os.path.join(d, "tokenizer.json"), "w"))
+        # the slow BertTokenizer (AutoTokenizer fallback) reads vocab.txt
+        open(os.path.join(d, "vocab.txt"), "w").write("\n".join(toks) + "\n")
+    else:
+        open(os.path.join(d, "vocab.txt"), "w").write("\n".join(toks) + "\n")
+    json.dump({"tokenizer_class": "BertTokenizer"},
+              open(os.path.join(d, "tokenizer_config.json"), "w"))
+    return len(toks)
+
+
+def _bert_case(tmp_path, name, cfg, tensors, vocab_json=False):
+    d = str(tmp_path / name)
+    save_ckpt(d, cfg, tensors, vocab="none")
+    _wp_vocab(d, as_json=vocab_json)
+    ref_out = str(tmp_path / f"{name}_ref.gguf")
+    our_out = str(tmp_path / f"{name}_ours.gguf")
+    convert(d, our_out, outtype="f32", verbose=False)
+    ref_convert(d, ref_out)
+    compare_ggufs(ref_out, our_out)
+
+
+def test_parity_bert_wordpiece(tmp_path):
+    """Plain bert: phantom-space vocab, causal=false, token_type_count
+    (BertModel, convert_hf:5224)."""
+    rng = np.random.default_rng(54)
+    L, V, E, H, F = 2, 30, 32, 4, 64
+    t = {"embeddings.word_embeddings.weight": rnd(rng, V, E),
+         "embeddings.token_type_embeddings.weight": rnd(rng, 2, E),
+         "embeddings.position_embeddings.weight": rnd(rng, 64, E),
+         "embeddings.LayerNorm.weight": 1.0 + rnd(rng, E),
+         "embeddings.LayerNorm.bias": rnd(rng, E)}
+    for i in range(L):
+        p = f"encoder.layer.{i}."
+        for nm in ("query", "key", "value"):
+            t[p + f"attention.self.{nm}.weight"] = rnd(rng, E, E)
+            t[p + f"attention.self.{nm}.bias"] = rnd(rng, E)
+        t[p + "attention.output.dense.weight"] = rnd(rng, E, E)
+        t[p + "attention.output.dense.bias"] = rnd(rng, E)
+        t[p + "attention.output.LayerNorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "attention.output.LayerNorm.bias"] = rnd(rng, E)
+        t[p + "intermediate.dense.weight"] = rnd(rng, F, E)
+        t[p + "intermediate.dense.bias"] = rnd(rng, F)
+        t[p + "output.dense.weight"] = rnd(rng, E, F)
+        t[p + "output.dense.bias"] = rnd(rng, E)
+        t[p + "output.LayerNorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "output.LayerNorm.bias"] = rnd(rng, E)
+    cfg = dict(architectures=["BertModel"], model_type="bert", vocab_size=V,
+               hidden_size=E, num_hidden_layers=L, num_attention_heads=H,
+               intermediate_size=F, max_position_embeddings=64,
+               layer_norm_eps=1e-12, type_vocab_size=2, hidden_act="gelu")
+    _bert_case(tmp_path, "bertwp", cfg, t)
+
+
+def test_parity_nomic_bert_moe(tmp_path):
+    """nomic-bert-moe (NomicBertModel, convert_hf:5506): fused Wqkv,
+    rope, gelu MoE every 2nd layer with flat w1/w2 expert reshape."""
+    rng = np.random.default_rng(55)
+    L, V, E, H, F, NE = 2, 30, 32, 4, 64, 4
+    t = {"embeddings.word_embeddings.weight": rnd(rng, V, E),
+         "embeddings.token_type_embeddings.weight": rnd(rng, 2, E),
+         "emb_ln.weight": 1.0 + rnd(rng, E),
+         "emb_ln.bias": rnd(rng, E)}
+    for i in range(L):
+        p = f"encoder.layers.{i}."
+        t[p + "attn.Wqkv.weight"] = rnd(rng, 3 * E, E)
+        t[p + "attn.Wqkv.bias"] = rnd(rng, 3 * E)
+        t[p + "attn.out_proj.weight"] = rnd(rng, E, E)
+        t[p + "attn.out_proj.bias"] = rnd(rng, E)
+        t[p + "norm1.weight"] = 1.0 + rnd(rng, E)
+        t[p + "norm1.bias"] = rnd(rng, E)
+        t[p + "norm2.weight"] = 1.0 + rnd(rng, E)
+        t[p + "norm2.bias"] = rnd(rng, E)
+        if i % 2 == 1:  # moe layer
+            t[p + "mlp.router.layer.weight"] = rnd(rng, NE, E)
+            t[p + "mlp.experts.mlp.w1"] = rnd(rng, NE * F, E)
+            t[p + "mlp.experts.mlp.w2"] = rnd(rng, NE * F, E)
+            t[p + "mlp.experts.bias"] = rnd(rng, NE)
+        else:
+            # gelu MLP on dense layers of the moe variant (no gate half)
+            t[p + "mlp.fc11.weight"] = rnd(rng, F, E)
+            t[p + "mlp.fc2.weight"] = rnd(rng, E, F)
+    cfg = dict(architectures=["NomicBertModel"], model_type="nomic_bert",
+               vocab_size=V, n_embd=E, n_layer=L, n_head=H, n_inner=F,
+               n_positions=8192, max_trained_positions=2048,
+               rotary_emb_base=1000.0, layer_norm_epsilon=1e-12,
+               type_vocab_size=2, moe_every_n_layers=2, num_experts=NE,
+               moe_top_k=2, activation_function="gelu", causal=False,
+               qkv_proj_bias=True, mlp_fc1_bias=True, mlp_fc2_bias=True,
+               prenorm=False, rotary_emb_fraction=1.0,
+               rotary_emb_interleaved=False, rotary_emb_scale_base=None)
+    _bert_case(tmp_path, "nomicmoe", cfg, t, vocab_json=True)
+
+
+def test_parity_neo_bert(tmp_path):
+    """neo-bert (NeoBert, convert_hf:5588): pre-RMS blocks, fused qkv +
+    w12, 2/3 ffn length, enc.output_norm, CLS pooling."""
+    rng = np.random.default_rng(56)
+    L, V, E, H, F = 2, 30, 32, 4, 96
+    t = {"model.encoder.weight": rnd(rng, V, E),
+         "model.layer_norm.weight": 1.0 + rnd(rng, E),
+         "decoder.weight": rnd(rng, V, E)}
+    for i in range(L):
+        p = f"model.transformer_encoder.{i}."
+        t[p + "attention_norm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "qkv.weight"] = rnd(rng, 3 * E, E)
+        t[p + "wo.weight"] = rnd(rng, E, E)
+        t[p + "ffn_norm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "ffn.w12.weight"] = rnd(rng, 2 * (2 * F // 3), E)
+        t[p + "ffn.w3.weight"] = rnd(rng, E, 2 * F // 3)
+    cfg = dict(architectures=["NeoBERT"], model_type="neobert",
+               vocab_size=V, hidden_size=E, num_hidden_layers=L,
+               num_attention_heads=H, intermediate_size=F,
+               max_position_embeddings=64, norm_eps=1e-6)
+    _bert_case(tmp_path, "neobert", cfg, t)
+
+
+def test_parity_jina_bert_v2(tmp_path):
+    """jina-bert-v2 (JinaBertV2Model, convert_hf:6827): GEGLU
+    gated_layers + mlp.layernorm over the bert-style encoder."""
+    rng = np.random.default_rng(57)
+    L, V, E, H, F = 2, 30, 32, 4, 64
+    t = {"embeddings.word_embeddings.weight": rnd(rng, V, E),
+         "embeddings.token_type_embeddings.weight": rnd(rng, 2, E),
+         "embeddings.LayerNorm.weight": 1.0 + rnd(rng, E),
+         "embeddings.LayerNorm.bias": rnd(rng, E)}
+    for i in range(L):
+        p = f"encoder.layer.{i}."
+        for nm in ("query", "key", "value"):
+            t[p + f"attention.self.{nm}.weight"] = rnd(rng, E, E)
+            t[p + f"attention.self.{nm}.bias"] = rnd(rng, E)
+        t[p + "attention.output.dense.weight"] = rnd(rng, E, E)
+        t[p + "attention.output.dense.bias"] = rnd(rng, E)
+        t[p + "attention.output.LayerNorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "attention.output.LayerNorm.bias"] = rnd(rng, E)
+        t[p + "mlp.gated_layers.weight"] = rnd(rng, 2 * F, E)
+        t[p + "mlp.wo.weight"] = rnd(rng, E, F)
+        t[p + "mlp.wo.bias"] = rnd(rng, E)
+        t[p + "mlp.layernorm.weight"] = 1.0 + rnd(rng, E)
+        t[p + "mlp.layernorm.bias"] = rnd(rng, E)
+    cfg = dict(architectures=["JinaBertForMaskedLM"], model_type="bert",
+               vocab_size=V, hidden_size=E, num_hidden_layers=L,
+               num_attention_heads=H, intermediate_size=F,
+               max_position_embeddings=64, layer_norm_eps=1e-12,
+               type_vocab_size=2, hidden_act="gelu",
+               position_embedding_type="alibi")
+    _bert_case(tmp_path, "jinav2", cfg, t)

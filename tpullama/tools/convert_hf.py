@@ -107,8 +107,119 @@ def _pad_vocab(tokens, types, scores, n_vocab):
             scores.append(-1000.0)
 
 
+def _gpt2_byte_encoder():
+    """bytes_to_unicode (tokenization_gpt2.py): printable byte aliases."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+def _tiktoken_remerge(ranks: dict, token: bytes, max_rank: int):
+    """QwenModel.bpe (convert_hf:3361-3377): re-run BPE on a token's
+    bytes stopping at its own rank — yields the merge pair."""
+    parts = [bytes([b]) for b in token]
+    while True:
+        min_idx = min_rank = None
+        for i, pair in enumerate(zip(parts[:-1], parts[1:])):
+            rank = ranks.get(pair[0] + pair[1])
+            if rank is not None and (min_rank is None or rank < min_rank):
+                min_idx, min_rank = i, rank
+        if min_rank is None or (max_rank is not None and min_rank >= max_rank):
+            break
+        parts = (parts[:min_idx] + [parts[min_idx] + parts[min_idx + 1]]
+                 + parts[min_idx + 2:])
+    return parts
+
+
+# QWen v1 hardcoded special tokens (tokenization_qwen.py): appended after
+# the mergeable ranks in id order
+_QWEN_SPECIALS = ["<|endoftext|>", "<|im_start|>", "<|im_end|>"] + [
+    f"<|extra_{i}|>" for i in range(205)
+]
+
+
+def _write_tiktoken_vocab(w, model_dir, arch, config, pre,
+                          strict_merges: bool):
+    """tiktoken-rank vocab (_set_vocab_qwen, convert_hf:1184-1235): read
+    the *.tiktoken base64-rank file, re-derive the BPE merges, append
+    special tokens (added_tokens_decoder when present, else the QWen v1
+    hardcoded list). strict_merges: qwen asserts every multi-byte token
+    re-merges into exactly 2 parts; hunyuan skips the exceptions."""
+    import base64
+    import glob as _glob
+
+    path = sorted(_glob.glob(os.path.join(model_dir, "*.tiktoken")))[0]
+    ranks: dict[bytes, int] = {}
+    for line in open(path, "rb").read().splitlines():
+        if not line:
+            continue
+        b64, rank = line.split()
+        ranks[base64.b64decode(b64)] = int(rank)
+    b2u = _gpt2_byte_encoder()
+    enc = lambda bs: "".join(b2u[b] for b in bs)
+    merges = []
+    vocab = {}
+    for token, rank in ranks.items():
+        vocab[enc(token)] = rank
+        if len(token) == 1:
+            continue
+        merged = _tiktoken_remerge(ranks, token, rank)
+        if strict_merges:
+            assert len(merged) == 2, (token, merged)
+        if len(merged) == 2:
+            merges.append(" ".join(map(enc, merged)))
+    tcfg_path = os.path.join(model_dir, "tokenizer_config.json")
+    tcfg = json.load(open(tcfg_path)) if os.path.exists(tcfg_path) else {}
+    specials = {}
+    if tcfg.get("added_tokens_decoder"):
+        for tid, tj in tcfg["added_tokens_decoder"].items():
+            specials[tj["content"]] = int(tid)
+    else:
+        for i, s in enumerate(_QWEN_SPECIALS):
+            specials[s] = len(ranks) + i
+    n_vocab = int(config["vocab_size"])
+    rev = {i: t for t, i in {**vocab, **specials}.items()}
+    tokens, types = [], []
+    for i in range(n_vocab):
+        if i not in rev:
+            tokens.append(f"[PAD{i}]")
+            types.append(5)  # UNUSED
+        else:
+            tokens.append(rev[i])
+            types.append(3 if rev[i] in specials else 1)  # CONTROL/NORMAL
+    w.add_str("tokenizer.ggml.model", "gpt2")
+    w.add_str("tokenizer.ggml.pre", pre)
+    w.add_array("tokenizer.ggml.tokens", tokens)
+    w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
+    w.add_array("tokenizer.ggml.merges", merges)
+    bos, eos = config.get("bos_token_id"), config.get("eos_token_id")
+    if strict_merges:  # qwen: endoftext backstops bos/eos/unk (:1231-1235)
+        eot = specials.get("<|endoftext|>")
+        if bos is None and eos is None and eot is not None:
+            bos = eos = eot
+        if eot is not None:
+            w.add_u32("tokenizer.ggml.unknown_token_id", int(eot))
+    if bos is not None:
+        w.add_u32("tokenizer.ggml.bos_token_id", int(bos))
+    if eos is not None:
+        w.add_u32("tokenizer.ggml.eos_token_id", int(eos))
+
+
 def write_vocab(w: GGUFWriter, model_dir: str, arch: str, config: dict, pre: str,
                 add_bos_override: bool | None = None):
+    import glob as _glob
+
+    if _glob.glob(os.path.join(model_dir, "*.tiktoken")):
+        return _write_tiktoken_vocab(w, model_dir, arch, config, pre,
+                                     strict_merges=arch == "qwen")
     spm = os.path.join(model_dir, "tokenizer.model")
     tok_json = os.path.join(model_dir, "tokenizer.json")
     tcfg = {}
@@ -232,7 +343,20 @@ def write_vocab(w: GGUFWriter, model_dir: str, arch: str, config: dict, pre: str
         if tokens is None:
             raise FileNotFoundError("bert: no WordPiece tokenizer.json or vocab.txt")
         _pad_vocab(tokens, types, None, int(config.get("vocab_size", 0)))
+
+        # phantom-space vocab (BertModel.set_vocab, convert_hf:5254-5262):
+        # word-initial pieces get the SPM marker, continuation "##" strips
+        def phantom(tok):
+            if tok.startswith("[") and tok.endswith("]"):
+                return tok
+            if tok.startswith("##"):
+                return tok[2:]
+            return "\u2581" + tok
+        tokens = list(map(phantom, tokens))
         w.add_str("tokenizer.ggml.model", "bert")
+        w.add_str("tokenizer.ggml.pre", pre)
+        w.add_u32("tokenizer.ggml.token_type_count",
+                  int(config.get("type_vocab_size", 1)))
         w.add_array("tokenizer.ggml.tokens", tokens)
         w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
         tok_ids = {t: i for i, t in enumerate(tokens)}
@@ -437,6 +561,76 @@ _BERT_NAME_MAP = [
     (r"^classifier\.(weight|bias)$", "cls.output.{suf}"),
 ]
 
+# nomic-bert(-moe): flash-attn style fused Wqkv + fc11/fc12 SwiGLU halves
+# (NomicBertModel, convert_hf:5506; tensor_mapping nomic rows)
+_NOMIC_BERT_NAME_MAP = [
+    (r"^embeddings\.word_embeddings\.weight$", "token_embd.weight"),
+    (r"^embeddings\.token_type_embeddings\.weight$", "token_types.weight"),
+    (r"^emb_ln\.(weight|bias)$", "token_embd_norm.{suf}"),
+    (r"^encoder\.layers\.(\d+)\.attn\.Wqkv\.(weight|bias)$",
+     "blk.{bid}.attn_qkv.{suf}"),
+    (r"^encoder\.layers\.(\d+)\.attn\.out_proj\.(weight|bias)$",
+     "blk.{bid}.attn_output.{suf}"),
+    (r"^encoder\.layers\.(\d+)\.norm1\.(weight|bias)$",
+     "blk.{bid}.attn_output_norm.{suf}"),
+    (r"^encoder\.layers\.(\d+)\.norm2\.(weight|bias)$",
+     "blk.{bid}.layer_output_norm.{suf}"),
+    (r"^encoder\.layers\.(\d+)\.mlp\.fc11\.(weight|bias)$",
+     "blk.{bid}.ffn_up.{suf}"),
+    (r"^encoder\.layers\.(\d+)\.mlp\.fc12\.(weight|bias)$",
+     "blk.{bid}.ffn_gate.{suf}"),
+    (r"^encoder\.layers\.(\d+)\.mlp\.fc2\.(weight|bias)$",
+     "blk.{bid}.ffn_down.{suf}"),
+    (r"^encoder\.layers\.(\d+)\.mlp\.router\.layer\.weight$",
+     "blk.{bid}.ffn_gate_inp.weight"),
+]
+
+# neo-bert (NeoBert, convert_hf:5588; pre-RMS-norm, fused qkv + w12)
+_NEO_BERT_NAME_MAP = [
+    (r"^encoder\.weight$", "token_embd.weight"),
+    (r"^layer_norm\.(weight|bias)$", "enc.output_norm.{suf}"),
+    (r"^transformer_encoder\.(\d+)\.attention_norm\.weight$",
+     "blk.{bid}.attn_norm.weight"),
+    (r"^transformer_encoder\.(\d+)\.qkv\.(weight|bias)$",
+     "blk.{bid}.attn_qkv.{suf}"),
+    (r"^transformer_encoder\.(\d+)\.wo\.(weight|bias)$",
+     "blk.{bid}.attn_output.{suf}"),
+    (r"^transformer_encoder\.(\d+)\.ffn_norm\.weight$",
+     "blk.{bid}.ffn_norm.weight"),
+    (r"^transformer_encoder\.(\d+)\.ffn\.w12\.(weight|bias)$",
+     "blk.{bid}.ffn_up.{suf}"),
+    (r"^transformer_encoder\.(\d+)\.ffn\.w3\.(weight|bias)$",
+     "blk.{bid}.ffn_down.{suf}"),
+    (r"^dense\.(weight|bias)$", "cls.{suf}"),
+]
+
+# jina-bert-v2 extras over the plain bert rows (GEGLU gated_layers,
+# per-layer q/k norms, mlp.layernorm — JinaBertV2Model, convert_hf:6827)
+_JINA_BERT_NAME_MAP = [
+    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.mlp\.gated_layers\.weight$",
+     "blk.{bid}.ffn_up.weight"),
+    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.mlp\.gated_layers_w\.weight$",
+     "blk.{bid}.ffn_gate.weight"),
+    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.mlp\.gated_layers_v\.weight$",
+     "blk.{bid}.ffn_up.weight"),
+    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.mlp\.up_gated_layer\.weight$",
+     "blk.{bid}.ffn_up.weight"),
+    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.mlp\.wo\.(weight|bias)$",
+     "blk.{bid}.ffn_down.{suf}"),
+    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.mlp\.down_layer\.(weight|bias)$",
+     "blk.{bid}.ffn_down.{suf}"),
+    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.mlp\.layernorm\.(weight|bias)$",
+     "blk.{bid}.layer_output_norm.{suf}"),
+    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.attention\.self\.layer_norm_q\.(weight|bias)$",
+     "blk.{bid}.attn_q_norm.{suf}"),
+    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.attention\.self\.layer_norm_k\.(weight|bias)$",
+     "blk.{bid}.attn_k_norm.{suf}"),
+    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.layer_norm_1\.(weight|bias)$",
+     "blk.{bid}.attn_output_norm.{suf}"),
+    (r"^(?:bert\.)?encoder\.layer\.(\d+)\.layer_norm_2\.(weight|bias)$",
+     "blk.{bid}.layer_output_norm.{suf}"),
+]
+
 _ARCH_MAP = {
     "LlamaForCausalLM": "llama",
     "MistralForCausalLM": "llama",
@@ -467,6 +661,12 @@ _ARCH_MAP = {
     "Phi3ForCausalLM": "phi3",
     "BertModel": "bert",
     "BertForSequenceClassification": "bert",
+    "NomicBertModel": "nomic-bert",  # -> nomic-bert-moe when moe_every_n
+    "NeoBERT": "neo-bert",
+    "NeoBERTLMHead": "neo-bert",
+    "NeoBERTForSequenceClassification": "neo-bert",
+    "JinaBertModel": "jina-bert-v2",
+    "JinaBertForMaskedLM": "jina-bert-v2",
     "XLMRobertaModel": "bert",
     "XLMRobertaForSequenceClassification": "bert",
     # SSM families (convert_hf_to_gguf.py MambaModel:6380, Mamba2Model:6466)
@@ -522,6 +722,8 @@ _ARCH_MAP = {
     "MiniCPM3ForCausalLM": "minicpm3",
     "ArcticForCausalLM": "arctic",
     "CodeShellForCausalLM": "codeshell",
+    "QWenLMHeadModel": "qwen",
+    "HunYuanMoEV1ForCausalLM": "hunyuan-moe",
     "RND1": "rnd1",
     "Qwen2AudioForConditionalGeneration": "qwen2",  # text part (Qwen2Model)
     "BambaForCausalLM": "granite-hybrid",
@@ -1901,6 +2103,93 @@ def _kv_codeshell(w, arch, config):
     w.add_f32(f"{arch}.rope.scaling.factor", 1.0)
 
 
+_QWEN1_NAME_MAP = [
+    # QWen v1 (QwenModel, convert_hf:3355; tensor_mapping qwen rows):
+    # gpt2-style transformer.h with mlp.w1 -> ffn_up, mlp.w2 -> ffn_gate
+    (r"^transformer\.wte\.weight$", "token_embd.weight"),
+    (r"^transformer\.ln_f\.weight$", "output_norm.weight"),
+    (r"^lm_head\.weight$", "output.weight"),
+    (r"^transformer\.h\.(\d+)\.ln_1\.weight$", "blk.{bid}.attn_norm.weight"),
+    (r"^transformer\.h\.(\d+)\.ln_2\.weight$", "blk.{bid}.ffn_norm.weight"),
+    (r"^transformer\.h\.(\d+)\.attn\.c_attn\.(weight|bias)$",
+     "blk.{bid}.attn_qkv.{suf}"),
+    (r"^transformer\.h\.(\d+)\.attn\.c_proj\.weight$",
+     "blk.{bid}.attn_output.weight"),
+    (r"^transformer\.h\.(\d+)\.mlp\.w1\.weight$", "blk.{bid}.ffn_up.weight"),
+    (r"^transformer\.h\.(\d+)\.mlp\.w2\.weight$", "blk.{bid}.ffn_gate.weight"),
+    (r"^transformer\.h\.(\d+)\.mlp\.c_proj\.weight$",
+     "blk.{bid}.ffn_down.weight"),
+]
+
+
+def _cfg_qwen1(config):
+    config["rope_theta"] = config.get("rotary_emb_base", 10000.0)
+    config["rms_norm_eps"] = config.get("layer_norm_epsilon", 1e-6)
+    return config
+
+
+_HUNYUAN_NAME_MAP = [
+    (r"^model\.layers\.(\d+)\.mlp\.gate\.wg\.weight$",
+     "blk.{bid}.ffn_gate_inp.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.shared_mlp\.gate_proj\.weight$",
+     "blk.{bid}.ffn_gate_shexp.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.shared_mlp\.up_proj\.weight$",
+     "blk.{bid}.ffn_up_shexp.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.shared_mlp\.down_proj\.weight$",
+     "blk.{bid}.ffn_down_shexp.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.query_layernorm\.weight$",
+     "blk.{bid}.attn_q_norm.weight"),
+    (r"^model\.layers\.(\d+)\.self_attn\.key_layernorm\.weight$",
+     "blk.{bid}.attn_k_norm.weight"),
+]
+
+
+def _cfg_hunyuan_moe(config):
+    # HunYuanMoEModel (convert_hf:9146): per-layer arrays must be uniform
+    config["moe_intermediate_size_0"] = int(config["moe_intermediate_size"][0])
+    assert all(int(n) == config["moe_intermediate_size_0"]
+               for n in config["moe_intermediate_size"])
+    # the generic MoE KV block would misread the list-valued hunyuan keys
+    config["_num_experts"] = int(config.pop("num_experts"))
+    config.pop("moe_intermediate_size")
+    config["bos_token_id"] = 127959  # <|bos|> (hardcoded BOS fix)
+    rs = config.get("rope_scaling") or {}
+    if rs.get("type") == "dynamic":
+        # NTK-aware alpha scaling baked into freq_base
+        alpha = rs.get("alpha", 1000)
+        base = config.get("rope_theta", 10000.0)
+        dim = config["hidden_size"] // config["num_attention_heads"]
+        config["rope_theta"] = base * (alpha ** (dim / (dim - 2)))
+        config["max_position_embeddings"] = 256 * 1024
+        config["rope_scaling"] = None
+        config["_hy_dynamic"] = True
+    return config
+
+
+def _kv_hunyuan_moe(w, arch, config):
+    w.add_u32(f"{arch}.expert_count", config["_num_experts"])
+    w.add_u32(f"{arch}.expert_shared_feed_forward_length",
+              int(config["intermediate_size"]))
+    w.add_u32(f"{arch}.expert_feed_forward_length",
+              config["moe_intermediate_size_0"])
+    topk = config["moe_topk"]
+    assert all(int(t) == int(topk[0]) for t in topk)
+    w.add_u32(f"{arch}.expert_used_count", int(topk[0]))
+    shared = config["num_shared_expert"]
+    assert all(int(n) == int(shared[0]) for n in shared)
+    w.add_u32(f"{arch}.expert_shared_count", int(shared[0]))
+    if config.get("_hy_dynamic"):
+        w.add_str(f"{arch}.rope.scaling.type", "none")
+        w.add_f32(f"{arch}.rope.scaling.factor", 1.0)
+        w.add_u32(f"{arch}.rope.scaling.original_context_length", 256 * 1024)
+
+
+def _tf_hunyuan_moe(name, data, config):
+    if name == "lm_head.weight" and config.get("tie_word_embeddings"):
+        return []  # reference skips the tied head (convert_hf:9248)
+    return [(name, data)]
+
+
 def _kv_rnd1(w, arch, config):
     # RND1: bidirectional (diffusion) attention (RND1Model convert_hf:4262)
     w.add_bool(f"{arch}.attention.causal", False)
@@ -1922,6 +2211,10 @@ _FAMILY_SPECS: dict = {
                       kv=_kv_codeshell, names=_GPT2_NAME_MAP,
                       no_rope_dim=True),
     "rnd1": dict(kv=_kv_rnd1),
+    "qwen": dict(names=_QWEN1_NAME_MAP, cfg=_cfg_qwen1, no_kv_heads=True,
+                 no_vocab_size=True),
+    "hunyuan-moe": dict(names=_HUNYUAN_NAME_MAP, cfg=_cfg_hunyuan_moe,
+                        kv=_kv_hunyuan_moe, transform=_tf_hunyuan_moe),
     "llama4": dict(cfg=_cfg_llama4, kv=_kv_llama4, transform=_tf_llama4,
                    names=_LLAMA4_NAME_MAP, extra=_extra_rope_freqs),
     "ernie4_5-moe": dict(cfg=_cfg_ernie_moe, kv=_kv_ernie_moe,
@@ -2345,6 +2638,14 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
             if rt is not None:
                 config["rope_theta"] = rt
 
+    if arch.startswith("nomic-bert"):
+        # GPT2-style key names (NomicBertModel configs)
+        config = dict(config)
+        for tgt, src in (("hidden_size", "n_embd"),
+                         ("num_attention_heads", "n_head"),
+                         ("num_hidden_layers", "n_layer"),
+                         ("intermediate_size", "n_inner")):
+            config.setdefault(tgt, config.get(src))
     n_embd = int(config["hidden_size"])
     n_head = int(config["num_attention_heads"])
     n_head_kv = int(config.get("num_key_value_heads", n_head))
@@ -2355,28 +2656,105 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
     w.add_str("general.architecture", arch)
     w.add_str("general.name", os.path.basename(os.path.abspath(model_dir)))
 
-    if arch == "bert":
-        w.add_u32("bert.context_length", int(config.get("max_position_embeddings", 512)))
-        w.add_u32("bert.embedding_length", n_embd)
-        w.add_u32("bert.block_count", n_layer)
-        w.add_u32("bert.feed_forward_length", int(config["intermediate_size"]))
-        w.add_u32("bert.attention.head_count", n_head)
-        w.add_f32("bert.attention.layer_norm_epsilon",
-                  float(config.get("layer_norm_eps", 1e-12)))
-        w.add_u32("bert.vocab_size", int(config["vocab_size"]))
+    if arch in ("bert", "nomic-bert", "nomic-bert-moe", "neo-bert",
+                "jina-bert-v2"):
+        if arch == "nomic-bert" and config.get("moe_every_n_layers"):
+            arch = "nomic-bert-moe"  # NomicBertModel.__init__ arch switch
+        if arch in ("nomic-bert", "nomic-bert-moe"):
+            # trained-context rules (NomicBertModel.__init__:5523-5530)
+            npos = int(config["n_positions"])
+            mtp = int(config.get("max_trained_positions", 2048))
+            if npos == 8192 and mtp == 2048:
+                config["max_position_embeddings"] = 2048
+            elif npos == 2048 and mtp == 2048:
+                config["max_position_embeddings"] = 512
+            else:
+                raise ValueError(f"nomic-bert n_positions={npos} mtp={mtp}")
+            config.setdefault("hidden_size", config.get("n_embd"))
+            config.setdefault("num_attention_heads", config.get("n_head"))
+            config.setdefault("num_hidden_layers", config.get("n_layer"))
+            config.setdefault("intermediate_size", config.get("n_inner"))
+            n_embd = int(config["hidden_size"])
+            n_head = int(config["num_attention_heads"])
+            n_layer = int(config["num_hidden_layers"])
+        ff = int(config["intermediate_size"])
+        if arch == "neo-bert":
+            # NeoBert.set_gguf_parameters: 2/3 of intermediate
+            ff = int(2 * ff / 3)
+        w.add_u32(f"{arch}.context_length",
+                  int(config.get("max_position_embeddings", 512)))
+        w.add_u32(f"{arch}.embedding_length", n_embd)
+        w.add_u32(f"{arch}.block_count", n_layer)
+        w.add_u32(f"{arch}.feed_forward_length", ff)
+        w.add_u32(f"{arch}.attention.head_count", n_head)
+        if arch == "neo-bert":
+            w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon",
+                      float(config.get("norm_eps", 1e-6)))
+            w.add_f32(f"{arch}.rope.freq_base", 10000.0)
+            w.add_str(f"{arch}.rope.scaling.type", "none")
+        else:
+            w.add_f32(f"{arch}.attention.layer_norm_epsilon",
+                      float(_g(config, "layer_norm_eps",
+                               "layer_norm_epsilon", default=1e-12)))
+        if arch in ("nomic-bert", "nomic-bert-moe"):
+            w.add_f32(f"{arch}.rope.freq_base",
+                      float(config["rotary_emb_base"]))
+            if arch == "nomic-bert-moe":
+                w.add_u32(f"{arch}.moe_every_n_layers",
+                          int(config["moe_every_n_layers"]))
+                w.add_u32(f"{arch}.expert_count", int(config["num_experts"]))
+                w.add_u32(f"{arch}.expert_used_count",
+                          int(config["moe_top_k"]))
+        w.add_u32(f"{arch}.vocab_size", int(config["vocab_size"]))
+        w.add_bool(f"{arch}.attention.causal", False)
         pool_cfg = os.path.join(model_dir, "1_Pooling", "config.json")
         pooling = 2  # CLS default
         if os.path.exists(pool_cfg):
             pc = json.load(open(pool_cfg))
             if pc.get("pooling_mode_mean_tokens"):
                 pooling = 1
-        w.add_u32("bert.pooling_type", pooling)
-        write_vocab(w, model_dir, arch, config, pre or "default")
+        w.add_u32(f"{arch}.pooling_type", pooling)
+        write_vocab(w, model_dir, "bert", config, pre or "default")
         qt_b = qt
         stats = {"tensors": 0, "bytes": 0}
+        n_expert_b = int(config.get("num_experts") or 0)
+        name_map = {
+            "nomic-bert": _NOMIC_BERT_NAME_MAP,
+            "nomic-bert-moe": _NOMIC_BERT_NAME_MAP,
+            "neo-bert": _NEO_BERT_NAME_MAP,
+            "jina-bert-v2": _JINA_BERT_NAME_MAP + _BERT_NAME_MAP,
+        }.get(arch, _BERT_NAME_MAP)
         for name, data in iter_hf_tensors(model_dir):
+            if arch == "neo-bert":
+                # NeoBert.modify_tensors: decoder head dropped, model. strip
+                if name.startswith("decoder."):
+                    continue
+                if name.startswith("model."):
+                    name = name[6:]
+            if arch == "nomic-bert-moe":
+                if "mlp.experts.bias" in name:
+                    continue  # NomicBertModel.modify_tensors skip
+                m = re.match(r"^encoder\.layers\.(\d+)\.mlp\.experts\.mlp\."
+                             r"(w1|w2)$", name)
+                if m:
+                    # (E*F, D) flat -> (E, F, D); w2 transposes to (E, D, F)
+                    data = data.reshape(n_expert_b, -1, n_embd)
+                    if m.group(2) == "w2":
+                        data = np.swapaxes(data, 1, 2)
+                    gname = (f"blk.{m.group(1)}."
+                             + ("ffn_up_exps" if m.group(2) == "w1"
+                                else "ffn_down_exps") + ".weight")
+                    tt = qt_b if data.shape[-1] % 32 == 0 else GGMLType.F32
+                    if tt != GGMLType.F32:
+                        w.add_tensor(gname, np.empty(data.shape),
+                                     ggml_type=tt, raw=quantize(data, tt))
+                    else:
+                        w.add_tensor(gname, np.ascontiguousarray(data).astype(np.float32),
+                                     GGMLType.F32)
+                    stats["tensors"] += 1
+                    continue
             gname = None
-            for pat, repl in _BERT_NAME_MAP:
+            for pat, repl in name_map:
                 m = re.match(pat, name)
                 if m:
                     g = m.groups()
@@ -2416,7 +2794,8 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
     w.add_u32(f"{arch}.block_count", n_layer)
     w.add_u32(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
     w.add_u32(f"{arch}.attention.head_count", n_head)
-    w.add_u32(f"{arch}.attention.head_count_kv", n_head_kv)
+    if not spec.get("no_kv_heads"):
+        w.add_u32(f"{arch}.attention.head_count_kv", n_head_kv)
     if not spec.get("no_rope"):
         rope_dim = spec["rope_dim"](config) if "rope_dim" in spec else head_dim
         if not spec.get("no_rope_dim"):
@@ -2434,14 +2813,16 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
     else:
         w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon",
                   float(config.get("rms_norm_eps", 1e-5)))
-    w.add_u32(f"{arch}.vocab_size", int(config["vocab_size"]))
+    if not spec.get("no_vocab_size"):
+        w.add_u32(f"{arch}.vocab_size", int(config["vocab_size"]))
     if "kv" in spec:
         spec["kv"](w, arch, config)
     # MoE hyperparameters (Qwen2MoeModel/MixtralModel set_gguf_parameters)
     n_expert = int(config.get("num_local_experts")
                    or config.get("num_experts")
-                   or config.get("n_routed_experts") or 0)
-    if n_expert:
+                   or config.get("n_routed_experts")
+                   or config.get("_num_experts") or 0)
+    if n_expert and "_num_experts" not in config:
         w.add_u32(f"{arch}.expert_count", n_expert)
         w.add_u32(f"{arch}.expert_used_count",
                   int(config.get("num_experts_per_tok", 2)))
