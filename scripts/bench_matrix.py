@@ -36,6 +36,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HBM_GBPS = float(os.environ.get("BENCH_HBM_GBPS", 819))  # v5e
+
+# the axon AOT compile helper drops Mosaic's vmem_limit_bytes kernel param
+# (JIT honors it); raising the scoped-vmem limit through the per-compile
+# proto-backed flag keeps the large-K qmm tiles AOT-compilable with the
+# SAME tile config the JIT path serves (fixes the r3 pp2048 AOT OOM)
+_AOT_OPTS = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
 PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197))  # v5e bf16
 
 
@@ -241,7 +247,8 @@ def main():
         npast = jax.ShapeDtypeStruct((), jnp.int32) if args.aot else jnp.int32(depth)
         t0 = time.time()
         if args.aot:
-            fn.lower(params, kv_k, kv_v, first, npast, n_steps=n_steps).compile()
+            fn.lower(params, kv_k, kv_v, first, npast,
+                     n_steps=n_steps).compile(compiler_options=_AOT_OPTS)
             emit({"cell": name, "mode": "aot", "compile_s": round(time.time() - t0, 1),
                   "B": B, "depth": depth, "unroll": unroll})
             return
@@ -277,7 +284,7 @@ def main():
         )
         t0 = time.time()
         if args.aot:
-            fn.lower(params, kv_k, kv_v, toks).compile()
+            fn.lower(params, kv_k, kv_v, toks).compile(compiler_options=_AOT_OPTS)
             emit({"cell": name, "mode": "aot", "compile_s": round(time.time() - t0, 1),
                   "T": T, "unroll": unroll})
             return

@@ -111,6 +111,45 @@ def test_qmm_fast_path_nmse(qtype):
     assert nmse < 5e-4, nmse
 
 
+@pytest.mark.parametrize("nk", [2, 4])
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_K, GGMLType.Q4_0, GGMLType.Q8_0,
+                                   GGMLType.MXFP4], ids=lambda t: t.name)
+def test_qmm_ktiled_matches_untiled(qtype, nk):
+    """K-chunked fast path (grid k-axis with accumulating output revisit)
+    must match the untiled fast path: identical per-element products, f32
+    accumulation either way."""
+    import jax.numpy as jnp
+
+    from tpullama.ops.pallas.qmm import _kchunks_valid, quantized_matmul
+
+    n_out, n_in, T = 16, 1024, 4
+    raw, ref_w = make_weight(n_out, n_in, qtype)
+    pq = repack(raw, qtype, (n_out, n_in))
+    assert _kchunks_valid(nk, n_in, pq.group, list(pq.fields)), (qtype, nk)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((T, n_in)).astype(np.float32)
+    fields = {k: jnp.asarray(v) for k, v in pq.fields.items()}
+    base = np.asarray(quantized_matmul(
+        jnp.asarray(x), fields, qtype, pq.group, n_out, n_in,
+        tile_n=16, interpret=True, exact=False, tile_k_chunks=1,
+    ))
+    got = np.asarray(quantized_matmul(
+        jnp.asarray(x), fields, qtype, pq.group, n_out, n_in,
+        tile_n=16, interpret=True, exact=False, tile_k_chunks=nk,
+    ))
+    np.testing.assert_allclose(got, base, rtol=1e-5,
+                               atol=1e-4 + 1e-6 * float(np.abs(base).max()))
+    # and layer-stacked (scalar-prefetch layer index) k-tiling
+    stacked = {k: jnp.stack([v, v]) for k, v in fields.items()}
+    got_l = np.asarray(quantized_matmul(
+        jnp.asarray(x), stacked, qtype, pq.group, n_out, n_in,
+        tile_n=16, interpret=True, exact=False, tile_k_chunks=nk,
+        layer=jnp.int32(1),
+    ))
+    np.testing.assert_allclose(got_l, base, rtol=1e-5,
+                               atol=1e-4 + 1e-6 * float(np.abs(base).max()))
+
+
 @pytest.mark.parametrize("qtype", [GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.MXFP4],
                          ids=lambda t: t.name)
 @pytest.mark.parametrize("tile_t", [1, 4])

@@ -82,10 +82,57 @@ def _unpack_stripes(field_refs: dict, ggml_type: GGMLType):
     return val.astype(jnp.float32)
 
 
+# Per-shape production tile table: (n_out_padded, n_in) -> (tile_n, n_kchunks).
+# From the round-4 end-to-end sweep (scripts/qmm_sweep_e2e.py, B=1 decode on
+# the real v5e): K-chunking (nk>1) measured consistently SLOWER at decode
+# shapes — the split two-dot form + accumulating output revisit costs more
+# than the finer DMA buys — so production rows keep nk=1 and only tile_n
+# moves. Anything absent falls back to (tile_n=512, nk=1). Env
+# TPULLAMA_QMM_TILES="N,K=tn:nk;..." overrides rows; TPULLAMA_QMM_TILE_N /
+# _TILE_K override globally.
+_DEFAULT_TILES: dict = {
+    (28672, 4096): (2048, 1),   # llama-8B fused [gate|up]
+    (4096, 14336): (256, 1),    # llama-8B ffn_down
+    (128256, 4096): (256, 1),   # llama-8B lm_head
+}
+
+
+def _tile_cfg(N: int, K: int, tile_n: int):
+    env = os.environ.get("TPULLAMA_QMM_TILES", "")
+    if env:
+        for row in env.split(";"):
+            row = row.strip()
+            if not row:
+                continue
+            shp, _, cfg = row.partition("=")
+            n_s, _, k_s = shp.partition(",")
+            if int(n_s) == N and int(k_s) == K:
+                tn_s, _, nk_s = cfg.partition(":")
+                return int(tn_s), int(nk_s)
+    if (N, K) in _DEFAULT_TILES:
+        return _DEFAULT_TILES[(N, K)]
+    return tile_n, 0  # nk=0: auto (vmem-fit rule)
+
+
+def _kchunks_valid(nk: int, K: int, group: int, field_names) -> bool:
+    """nk k-chunks are realizable iff every field's packed columns split
+    evenly and each chunk covers whole tile-repeats of the scale plane."""
+    if nk <= 1:
+        return False
+    if not (set(field_names) <= {"q4", "q4_lut", "q8", "scale", "minv"}):
+        return False  # multi-stripe-width types (Q5/Q6/Q3/Q2_K) stay untiled
+    stripes = 1 if "q8" in field_names else 2
+    ce = K // stripes  # elements per stripe
+    if ce % nk:
+        return False
+    ce //= nk
+    return ce % (K // group) == 0 and ce % 128 == 0
+
+
 def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group: int,
                      n_out: int, n_in: int, *, tile_n: int = 512, tile_t: int = 256,
                      interpret: bool = False, exact: bool | None = None,
-                     layer=None) -> jnp.ndarray:
+                     layer=None, tile_k_chunks: int | None = None) -> jnp.ndarray:
     """y = x @ W^T with W packed. x: (T, n_in). Returns (T, n_out) f32.
 
     Grid tiles T (activations) and N (output rows); each program streams a
@@ -133,16 +180,42 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
     # dots, no lane concat — ~8% slower on v5e, kept for A/B testing)
     unpack_mode = os.environ.get("TPULLAMA_QMM_UNPACK", "v0")
     stacked = layer is not None
+    field_names = [n for n in pq_fields]
+    has_minv = "minv" in pq_fields
+    # per-shape tile table (sweep-tuned) -> env -> auto. K-chunking
+    # (nk > 1) tiles the contraction dim with an accumulating grid axis:
+    # finer HBM->VMEM DMA granularity for overlap, and it caps the
+    # in-kernel f32 dequant intermediates — the axon AOT compile helper
+    # drops Mosaic's vmem_limit_bytes param, so kernels must fit the
+    # 16 MiB scoped default to be AOT-compilable (BENCH aot sweep).
+    tbl_tn, tbl_nk = _tile_cfg(N, K, tile_n)
+    if "TPULLAMA_QMM_TILE_N" not in os.environ:
+        tile_n = tbl_tn
+    if tile_k_chunks is not None:
+        nk = tile_k_chunks
+    elif "TPULLAMA_QMM_TILE_K" in os.environ:
+        nk = int(os.environ["TPULLAMA_QMM_TILE_K"])
+    else:
+        nk = tbl_nk
     tn = min(tile_n, N)
     while N % tn:
         tn //= 2
     tt = min(tile_t, T)
+    if nk == 0 and not exact and os.environ.get("TPULLAMA_QMM_VMEM_FIT"):
+        # fit the in-kernel f32 dequant intermediates under Mosaic's
+        # 16 MiB scoped-vmem default — only needed when compiling through
+        # a path that drops the vmem_limit_bytes compiler param (see
+        # bench_matrix --aot; the first-choice fix is forwarding
+        # --xla_tpu_scoped_vmem_limit_kib, this is the fallback)
+        cand = 1
+        while tn * (K // cand) * 8 > 12 * 2**20 and cand < 16:
+            cand *= 2
+        if cand > 1 and _kchunks_valid(cand, K, group, field_names):
+            nk = cand
     pad_t = (tt - T % tt) % tt
     if pad_t:
         x = jnp.pad(x, ((0, pad_t), (0, 0)))
     Tp = T + pad_t
-    field_names = [n for n in pq_fields]
-    has_minv = "minv" in pq_fields
     grid = (Tp // tt, N // tn)
 
     x = x.astype(jnp.float32)
@@ -155,6 +228,13 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
     else:
         xgsum = None
     x = xg.swapaxes(1, 2).reshape(Tp, K)
+
+    if nk > 1 and not exact and _kchunks_valid(nk, K, group, field_names):
+        out = _qmm_ktiled(
+            x, xgsum, pq_fields, field_names, ggml_type, group,
+            Tp, N, K, tn, tt, nk, layer, interpret,
+        )
+        return out[:T, :n_out] if (pad_t or pad_n) else out
 
     bits = {"q4": 4, "q4_lut": 4, "q2": 2, "q1": 1, "q8": 8}
 
@@ -277,6 +357,133 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
         interpret=interpret,
     )
     return out[:T, :n_out] if (pad_t or pad_n) else out
+
+
+def _qmm_ktiled(x, xgsum, pq_fields, field_names, ggml_type, group,
+                Tp, N, K, tn, tt, nk, layer, interpret):
+    """K-chunked fast-path kernel (grid = (T, N, K-chunks), accumulating
+    output revisit on the innermost axis).
+
+    Only single-stripe-width types qualify (q4/q4_lut/q8 planes): the
+    global-stripe packing maps a chunk of packed columns to one
+    contiguous element range PER STRIPE, so the activations reshape to
+    (T, stripes, K/stripes) and each chunk dots its per-stripe slices —
+    the split two-dot form. The scale/minv planes are NOT chunkable
+    (stored element p takes scale column p mod K/group — every chunk
+    tile-repeats the whole plane), but they are group-th sized, so each
+    (n, k) step just re-reads the full (tn, K/group) plane from VMEM.
+    The hoisted asymmetric-min term runs once, folded into the k==0
+    output initialization.
+    """
+    stacked = layer is not None
+    stripes = 1 if "q8" in field_names else 2
+    ce = K // stripes // nk  # elements per stripe per chunk
+    has_minv = "minv" in field_names
+    bits = {"q4": 4, "q4_lut": 4, "q8": 8}
+    x3 = x.reshape(Tp, stripes, K // stripes)
+    grid = (Tp // tt, N // tn, nk)
+
+    in_specs = [
+        pl.BlockSpec((tt, stripes, ce), lambda t, n, k, *s: (t, 0, k),
+                     memory_space=pltpu.VMEM)
+    ]
+    operands = [x3]
+    if xgsum is not None:
+        in_specs.append(
+            pl.BlockSpec((tt, K // group), lambda t, n, k, *s: (t, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(xgsum)
+    for name in field_names:
+        if name in bits:
+            blk = (tn, K * bits[name] // 8 // nk)
+            imap = (
+                (lambda t, n, k, s: (s[0], n, k)) if stacked
+                else (lambda t, n, k: (n, k))
+            )
+        else:  # scale / minv: full plane per n-tile
+            blk = (tn, K // group)
+            imap = (
+                (lambda t, n, k, s: (s[0], n, 0)) if stacked
+                else (lambda t, n, k: (n, 0))
+            )
+        if stacked:
+            blk = (1,) + blk
+        in_specs.append(pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM))
+        operands.append(pq_fields[name])
+
+    def kernel(*refs):
+        if stacked:
+            _s_ref, *refs = refs
+        x_ref, *refs = refs
+        if xgsum is not None:
+            xg_ref, *refs = refs
+        *field_tiles, out_ref = refs
+        fields = {
+            k: (r.at[0] if stacked else r)
+            for k, r in zip(field_names, field_tiles)
+        }
+        kidx = pl.program_id(2)
+        scale = fields["scale"][...].astype(jnp.float32)  # (tn, K/group)
+        sh = _repeat_lanes(scale, ce // (K // group))  # (tn, ce)
+        if stripes == 1:
+            w = (fields["q8"][...].astype(jnp.float32) * sh).astype(jnp.bfloat16)
+            acc = jax.lax.dot_general(
+                x_ref[...].reshape(tt, ce).astype(jnp.bfloat16), w,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            if "q4" in fields:
+                q = fields["q4"][...].astype(jnp.int32)
+                lo = (q & 0xF).astype(jnp.float32)
+                hi = (q >> 4).astype(jnp.float32)
+            else:
+                q = fields["q4_lut"][...].astype(jnp.int32)
+
+                def mag(idx):
+                    m = (
+                        (jnp.uint32(_MXFP4_LUT) >> ((idx & 7).astype(jnp.uint32) * 4))
+                        & 0xF
+                    ).astype(jnp.int32)
+                    return jnp.where((idx >> 3) != 0, -m, m).astype(jnp.float32)
+
+                lo, hi = mag(q & 0xF), mag(q >> 4)
+            xr = x_ref[...]
+            acc = jax.lax.dot_general(
+                xr[:, 0].astype(jnp.bfloat16), (lo * sh).astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + jax.lax.dot_general(
+                xr[:, 1].astype(jnp.bfloat16), (hi * sh).astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(kidx == 0)
+        def _init():
+            first = acc
+            if has_minv:
+                first = first - jax.lax.dot_general(
+                    xg_ref[...], fields["minv"][...].astype(jnp.float32),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            out_ref[...] = first
+
+        @pl.when(kidx > 0)
+        def _accum():
+            out_ref[...] = out_ref[...] + acc
+
+    out_spec = pl.BlockSpec((tt, tn), lambda t, n, k, *s: (t, n),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((Tp, N), jnp.float32)
+    return _call_qmm_kernel(
+        kernel, grid, in_specs, out_spec, out_shape, tuple(operands),
+        scalar=jnp.asarray(layer, jnp.int32).reshape(1) if stacked else None,
+        interpret=interpret,
+    )
 
 
 def quantized_matmul_gathered(

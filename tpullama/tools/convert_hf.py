@@ -391,6 +391,9 @@ def write_vocab(w: GGUFWriter, model_dir: str, arch: str, config: dict, pre: str
         w.add_array("tokenizer.ggml.token_type", np.asarray(types, np.int32))
         w.add_bool("tokenizer.ggml.add_bos_token", bool(tcfg.get("add_bos_token", True)))
         w.add_bool("tokenizer.ggml.add_eos_token", bool(tcfg.get("add_eos_token", False)))
+        if arch.startswith("gemma"):
+            # GemmaModel/Gemma3Model.set_vocab: spm without space prefix
+            w.add_bool("tokenizer.ggml.add_space_prefix", False)
     elif os.path.exists(tok_json):
         tj = json.load(open(tok_json))
         model = tj.get("model", {})
@@ -422,6 +425,14 @@ def write_vocab(w: GGUFWriter, model_dir: str, arch: str, config: dict, pre: str
                    bool(tcfg.get("add_bos_token", False))
                    if add_bos_override is None else add_bos_override)
         w.add_bool("tokenizer.ggml.add_eos_token", bool(tcfg.get("add_eos_token", False)))
+        if arch == "glm4" and "<|endoftext|>" in tokens:
+            # Glm4Model.set_vocab(:7851): special ids resolved from the
+            # added vocab, not config
+            eot = tokens.index("<|endoftext|>")
+            w.add_u32("tokenizer.ggml.unknown_token_id", eot)
+            if "<|user|>" in tokens:
+                w.add_u32("tokenizer.ggml.eot_token_id",
+                          tokens.index("<|user|>"))
     else:
         raise FileNotFoundError("no tokenizer.model or tokenizer.json found")
 
@@ -726,6 +737,21 @@ _ARCH_MAP = {
     "HunYuanMoEV1ForCausalLM": "hunyuan-moe",
     "RND1": "rnd1",
     "Qwen2AudioForConditionalGeneration": "qwen2",  # text part (Qwen2Model)
+    # multimodal text parts (reference text-model registrations cited)
+    "Qwen2VLModel": "qwen2vl",                      # Qwen2VLModel(:3740)
+    "Qwen2VLForConditionalGeneration": "qwen2vl",
+    "Qwen2_5_VLForConditionalGeneration": "qwen2vl",
+    "Qwen2_5OmniModel": "qwen2vl",                  # thinker.* text part
+    "Qwen3VLForConditionalGeneration": "qwen3vl",   # Qwen3VLTextModel(:4390)
+    "Qwen3VLMoeForConditionalGeneration": "qwen3vlmoe",
+    "Gemma3ForConditionalGeneration": "gemma3",     # Gemma3Model(:5810)
+    "Glm4vForConditionalGeneration": "glm4",        # Glm4Model(:7837)
+    "JanusForConditionalGeneration": "llama",       # JanusProModel(:10041)
+    "Idefics3ForConditionalGeneration": "llama",    # text == VLlama3
+    "SmolVLMForConditionalGeneration": "llama",
+    "CogVLMForCausalLM": "cogvlm",                  # CogVLMModel(:10027)
+    "PlamoForCausalLM": "plamo",                    # PlamoModel(:4746)
+    "WavTokenizerDec": "wavtokenizer-dec",          # WavTokenizerDecModel(:3980)
     "BambaForCausalLM": "granite-hybrid",
     "GraniteMoeHybridForCausalLM": "granite-hybrid",
     "Qwen3NextForCausalLM": "qwen3next",
@@ -1918,12 +1944,19 @@ _MM_SKIP_SUBSTR = ("vision_tower", "vision_model", "audio_tower",
 _MM_SKIP_PREFIX = ("vision_encoder.", "vision_language_adapter.",
                    "patch_merger.", "pre_mm_projector_norm", "visual.",
                    "audio_encoder.", "whisper_encoder.", "thinker.audio",
-                   "mm_whisper_embeddings.")
+                   "mm_whisper_embeddings.", "model.visual.",
+                   "talker.", "token2wav.",
+                   "model.aligner.", "model.vqmodel.",
+                   "model.generation_embeddings.",
+                   "model.generation_aligner.", "model.generation_head.",
+                   "model.vision.")
 
 
 def _mm_strip(name: str, hf_arch: str) -> str | None:
     if any(s in name for s in _MM_SKIP_SUBSTR) or name.startswith(_MM_SKIP_PREFIX):
         return None
+    if name.startswith("thinker."):  # qwen2.5-omni text part
+        name = name[len("thinker."):]
     if hf_arch == "LlamaModel" and not name.startswith("model."):
         return "model." + name
     if name.startswith("model.text_model."):
@@ -2198,6 +2231,95 @@ def _kv_rnd1(w, arch, config):
                   int(config["mask_token_id"]))
 
 
+
+def _kv_mrope(w, arch, config):
+    """M-RoPE dimension sections (Qwen2VLModel.set_gguf_parameters:3743;
+    [time, height, width] padded to 4)."""
+    rs = config.get("rope_scaling") or config.get("rope_parameters") or {}
+    sec = list(rs.get("mrope_section") or [])
+    if sec:
+        sec = (sec + [0] * 4)[:4]
+        w.add_array(f"{arch}.rope.dimension_sections",
+                    np.asarray(sec, np.int32))
+
+
+def _kv_qwen3vl(w, arch, config):
+    """Qwen3VLTextModel.set_gguf_parameters(:4394): MRoPE sections + the
+    deepstack layer count from the sibling vision config."""
+    _kv_mrope(w, arch, config)
+    n_ds = len((config.get("vision_config") or {})
+               .get("deepstack_visual_indexes", []))
+    w.add_u32(f"{arch}.n_deepstack_layers", n_ds)
+
+
+# CogVLM text (CogVLMModel:10027): dual language/vision expert streams per
+# layer (llama-arch.cpp LLM_ARCH_COGVLM tensor table)
+_COGVLM_NAME_MAP = [
+    (r"^model\.layers\.(\d+)\.self_attn\.language_expert_query_key_value\.(weight|bias)$",
+     "blk.{bid}.attn_qkv.{suf}"),
+    (r"^model\.layers\.(\d+)\.self_attn\.language_expert_dense\.(weight|bias)$",
+     "blk.{bid}.attn_output.{suf}"),
+    (r"^model\.layers\.(\d+)\.self_attn\.vision_expert_query_key_value\.(weight|bias)$",
+     "blk.{bid}.vis_attn_qkv.{suf}"),
+    (r"^model\.layers\.(\d+)\.self_attn\.vision_expert_dense\.(weight|bias)$",
+     "blk.{bid}.vis_attn_output.{suf}"),
+    (r"^model\.layers\.(\d+)\.mlp\.language_mlp\.up_proj\.weight$",
+     "blk.{bid}.ffn_up.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.language_mlp\.gate_proj\.weight$",
+     "blk.{bid}.ffn_gate.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.language_mlp\.down_proj\.weight$",
+     "blk.{bid}.ffn_down.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.vision_mlp\.up_proj\.weight$",
+     "blk.{bid}.vis_up.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.vision_mlp\.gate_proj\.weight$",
+     "blk.{bid}.vis_gate.weight"),
+    (r"^model\.layers\.(\d+)\.mlp\.vision_mlp\.down_proj\.weight$",
+     "blk.{bid}.vis_down.weight"),
+]
+
+# PLaMo v1 (PlamoModel:4746): parallel attn+ffn under one norm, nested
+# model.layers.layers.* naming
+_PLAMO_NAME_MAP = [
+    (r"^model\.embed_tokens\.weight$", "token_embd.weight"),
+    (r"^model\.norm\.weight$", "output_norm.weight"),
+    (r"^lm_head\.weight$", "output.weight"),
+    (r"^model\.layers\.layers\.(\d+)\.norm\.weight$", "blk.{bid}.attn_norm.weight"),
+    (r"^model\.layers\.layers\.(\d+)\.self_attn\.q_proj\.weight$", "blk.{bid}.attn_q.weight"),
+    (r"^model\.layers\.layers\.(\d+)\.self_attn\.k_proj\.weight$", "blk.{bid}.attn_k.weight"),
+    (r"^model\.layers\.layers\.(\d+)\.self_attn\.v_proj\.weight$", "blk.{bid}.attn_v.weight"),
+    (r"^model\.layers\.layers\.(\d+)\.self_attn\.o_proj\.weight$", "blk.{bid}.attn_output.weight"),
+    (r"^model\.layers\.layers\.(\d+)\.mlp\.up_proj\.weight$", "blk.{bid}.ffn_up.weight"),
+    (r"^model\.layers\.layers\.(\d+)\.mlp\.gate_proj\.weight$", "blk.{bid}.ffn_gate.weight"),
+    (r"^model\.layers\.layers\.(\d+)\.mlp\.down_proj\.weight$", "blk.{bid}.ffn_down.weight"),
+]
+
+
+def _cfg_plamo(c):
+    # PlamoModel.set_gguf_parameters: ctx hardcoded 4096; the config's
+    # num_key_value_heads is wrong upstream -> 5
+    c["max_position_embeddings"] = 4096
+    c["num_key_value_heads"] = 5
+    return c
+
+
+def _tf_plamo(name, data, config):
+    """PlamoModel.shuffle_attn_*_weight generalized off the 5120 constants:
+    GQA broadcast layout regroups q rows / o columns by kv-head."""
+    E = int(config["hidden_size"])
+    H = int(config["num_attention_heads"])
+    KVH = 5
+    D = E // H
+    if re.search(r"self_attn\.q_proj\.weight$", name):
+        data = (data.reshape(H // KVH, KVH, D, E).transpose(1, 0, 2, 3)
+                .reshape(E, E))
+    elif re.search(r"self_attn\.o_proj\.weight$", name):
+        data = (data.reshape(E, H // KVH, KVH, D).transpose(0, 2, 1, 3)
+                .reshape(E, E))
+    elif name.endswith("rotary_emb.inv_freq"):
+        return []
+    return [(name, data)]
+
+
 _FAMILY_SPECS: dict = {
     "llama": dict(extra=_extra_rope_freqs),
     "phi3": dict(kv=_kv_phi3, extra=_extra_longrope(attn_factor=True),
@@ -2311,13 +2433,21 @@ _FAMILY_SPECS: dict = {
     # no permute, partial rotary 0.5 (ChatGLMModel, convert_hf:8003)
     "chatglm": dict(rope_dim=_rope_dim_partial(0.5)),
     "chameleon": dict(transform=_tf_chameleon, kv=_kv_chameleon),
+    # multimodal text parts + round-4 tail
+    "qwen2vl": dict(kv=_kv_mrope),
+    "qwen3vl": dict(kv=_kv_qwen3vl),
+    "qwen3vlmoe": dict(kv=_kv_qwen3vl),
+    "cogvlm": dict(names=_COGVLM_NAME_MAP),
+    "plamo": dict(names=_PLAMO_NAME_MAP, cfg=_cfg_plamo,
+                  transform=_tf_plamo),
     "apertus": dict(names=_APERTUS_NORM_MAP,
                     transform_factory=_ApertusTransform),
 }
 
 _PRE_BY_ARCH = {
     "qwen2": "qwen2", "qwen3": "qwen2", "qwen2moe": "qwen2",
-    "qwen3moe": "qwen2", "llama": "llama-bpe",
+    "qwen3moe": "qwen2", "qwen2vl": "qwen2", "qwen3vl": "qwen2",
+    "qwen3vlmoe": "qwen2", "llama": "llama-bpe",
     # state-spaces mamba checkpoints use the GPT-NeoX BPE tokenizer; the
     # reference's builtin gpt-neox fallback selects the "mpt" pre
     # (convert_hf_to_gguf.py:1412 _set_vocab_builtin default_pre)
