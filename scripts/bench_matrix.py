@@ -266,12 +266,17 @@ def main():
             best = min(best, time.time() - t0)
         del kv_k, kv_v
         tps = B * n_steps / best
-        roof = HBM_GBPS * 1e9 / (n_pb_streamed / B + kv_bytes_seq)
+        # aggregate roofline: one step streams the weights ONCE plus B
+        # sequences' KV, so agg floor = B / ((W + B*kv)/BW) which equals
+        # BW / (W/B + kv) directly — r3 multiplied this by B again,
+        # overstating the batch roofline 8/32x (BENCH_r03 batch cells'
+        # vs_roofline of 0.0155 was an accounting artifact, not physics)
+        roof_agg = HBM_GBPS * 1e9 / (n_pb_streamed / B + kv_bytes_seq)
         emit({"cell": name, "B": B, "depth": depth, "unroll": unroll,
               "steps": n_steps, "tps_aggregate": round(tps, 2),
               "tps_per_seq": round(tps / B, 2),
-              "roofline_tps": round(roof * B, 1),
-              "vs_roofline": round(tps / (roof * B), 4),
+              "roofline_tps": round(roof_agg, 1),
+              "vs_roofline": round(tps / roof_agg, 4),
               "compile_s": round(compile_s, 1)})
 
     def run_prefill_cell(name, T, unroll):

@@ -1916,3 +1916,141 @@ def test_parity_cogvlm(tmp_path):
             t[p + f"mlp.{ml}.down_proj.weight"] = rnd(rng, E, F)
     t["model.vision.patch_embedding.proj.weight"] = rnd(rng, 48, 3, 8, 8)
     run_case(tmp_path, "cogvlm", cfg, t)
+
+
+def test_parity_wavtokenizer(tmp_path):
+    rng = np.random.default_rng(46)
+    C, FEAT, NFF, SPEC, V = 24, 16, 32, 34, 64
+    cfg = dict(
+        architectures=["WavTokenizerDec"], model_type="wavtokenizer-dec",
+        hidden_size=SPEC, n_embd_features=FEAT, n_ff=NFF, vocab_size=V,
+        n_head=1, layer_norm_epsilon=1e-6, group_norm_epsilon=1e-6,
+        group_norm_groups=8, max_position_embeddings=8192, n_layer=12,
+        posnet={"n_embd": C, "n_layer": 6},
+        convnext={"n_embd": C, "n_layer": 2},
+    )
+    t = {"backbone.embedding.weight": rnd(rng, V, FEAT),
+         "backbone.embed.weight": rnd(rng, C, FEAT, 7),
+         "backbone.embed.bias": rnd(rng, C, 1),
+         "backbone.norm.weight": 1.0 + rnd(rng, C),
+         "backbone.norm.bias": rnd(rng, C),
+         "backbone.final_layer_norm.weight": 1.0 + rnd(rng, C),
+         "backbone.final_layer_norm.bias": rnd(rng, C),
+         "head.out.weight": rnd(rng, SPEC, C),
+         "head.out.bias": rnd(rng, SPEC)}
+    for i in (0, 1, 3, 4):
+        p = f"backbone.posnet.{i}."
+        t[p + "norm1.weight"] = 1.0 + rnd(rng, C, 1)
+        t[p + "norm1.bias"] = rnd(rng, C, 1)
+        t[p + "conv1.weight"] = rnd(rng, C, C, 3)
+        t[p + "conv1.bias"] = rnd(rng, C, 1)
+        t[p + "norm2.weight"] = 1.0 + rnd(rng, C, 1)
+        t[p + "norm2.bias"] = rnd(rng, C, 1)
+        t[p + "conv2.weight"] = rnd(rng, C, C, 3)
+        t[p + "conv2.bias"] = rnd(rng, C, 1)
+    for i in (2, 5):
+        p = f"backbone.posnet.{i}."
+        t[p + "norm.weight"] = 1.0 + rnd(rng, C, 1)
+        t[p + "norm.bias"] = rnd(rng, C, 1)
+    for nm in ("q", "k", "v", "proj_out"):
+        t[f"backbone.posnet.2.{nm}.weight"] = rnd(rng, C, C, 1)
+        t[f"backbone.posnet.2.{nm}.bias"] = rnd(rng, C, 1)
+    for i in range(2):
+        p = f"backbone.convnext.{i}."
+        t[p + "dwconv.weight"] = rnd(rng, C, 1, 7)
+        t[p + "dwconv.bias"] = rnd(rng, C, 1)
+        t[p + "norm.weight"] = 1.0 + rnd(rng, C)
+        t[p + "norm.bias"] = rnd(rng, C)
+        t[p + "pwconv1.weight"] = rnd(rng, NFF, C)
+        t[p + "pwconv1.bias"] = rnd(rng, NFF)
+        t[p + "pwconv2.weight"] = rnd(rng, C, NFF)
+        t[p + "pwconv2.bias"] = rnd(rng, C)
+        t[p + "gamma.weight"] = rnd(rng, C)
+    run_case(tmp_path, "wavtok", cfg, t, vocab="none")
+
+
+def test_parity_plamo_v1(tmp_path):
+    # the reference's shuffle_attn_*_weight hardcodes the real 5120 dims
+    # (PlamoModel:4765) — a parity case must use them; one layer keeps
+    # the checkpoint ~400 MB
+    rng = np.random.default_rng(47)
+    E, H, F, V = 5120, 40, 256, 270
+    cfg = dict(
+        architectures=["PlamoForCausalLM"], model_type="plamo",
+        vocab_size=V, hidden_size=E, num_hidden_layers=1,
+        num_attention_heads=H, num_key_value_heads=H,
+        intermediate_size=F, max_position_embeddings=4096,
+        rms_norm_eps=1e-6, bos_token_id=1, eos_token_id=2,
+    )
+    t = {"model.embed_tokens.weight": rnd(rng, V, E),
+         "model.norm.weight": 1.0 + rnd(rng, E),
+         "lm_head.weight": rnd(rng, V, E)}
+    p = "model.layers.layers.0."
+    t[p + "norm.weight"] = 1.0 + rnd(rng, E)
+    t[p + "self_attn.q_proj.weight"] = rnd(rng, E, E)
+    t[p + "self_attn.k_proj.weight"] = rnd(rng, E // 8, E)
+    t[p + "self_attn.v_proj.weight"] = rnd(rng, E // 8, E)
+    t[p + "self_attn.o_proj.weight"] = rnd(rng, E, E)
+    t[p + "self_attn.rotary_emb.inv_freq"] = rnd(rng, 64)
+    t[p + "mlp.gate_proj.weight"] = rnd(rng, F, E)
+    t[p + "mlp.up_proj.weight"] = rnd(rng, F, E)
+    t[p + "mlp.down_proj.weight"] = rnd(rng, E, F)
+    run_case(tmp_path, "plamo1", cfg, t, vocab="spm")
+
+
+def test_parity_gemma3n(tmp_path):
+    rng = np.random.default_rng(48)
+    E, F, HD, PLI, V = 64, 128, 16, 32, 261
+    text = dict(vocab_size=V, vocab_size_per_layer_input=V,
+                hidden_size=E, num_hidden_layers=2,
+                num_attention_heads=4, num_key_value_heads=2,
+                intermediate_size=[F, F], head_dim=HD,
+                max_position_embeddings=256, rms_norm_eps=1e-6,
+                rope_theta=1000000.0, rope_local_base_freq=10000.0,
+                query_pre_attn_scalar=256, sliding_window=64,
+                altup_active_idx=0, altup_num_inputs=4,
+                hidden_size_per_layer_input=PLI, num_kv_shared_layers=1,
+                activation_sparsity_pattern=[0.95, 0.0],
+                layer_types=["sliding_attention", "full_attention"],
+                bos_token_id=1, eos_token_id=2)
+    cfg = dict(architectures=["Gemma3nForConditionalGeneration"],
+               model_type="gemma3n", text_config=text,
+               vision_config={"hidden_size": 48},
+               audio_config={"hidden_size": 48})
+    pre = "model.language_model."
+    t = {pre + "embed_tokens.weight": rnd(rng, V, E),
+         pre + "embed_tokens_per_layer.weight": rnd(rng, V, 2 * PLI),
+         pre + "per_layer_model_projection.weight": rnd(rng, 2 * PLI, E),
+         pre + "per_layer_projection_norm.weight": 1.0 + rnd(rng, PLI),
+         pre + "norm.weight": 1.0 + rnd(rng, E)}
+    for i in range(3):
+        t[pre + f"altup_projections.{i}.weight"] = rnd(rng, E, E)
+        t[pre + f"altup_unembed_projections.{i}.weight"] = rnd(rng, E, E)
+    for i in range(2):
+        p = f"{pre}layers.{i}."
+        for nm, shp in (("self_attn.q_proj", (4 * HD, E)),
+                        ("self_attn.k_proj", (2 * HD, E)),
+                        ("self_attn.v_proj", (2 * HD, E)),
+                        ("self_attn.o_proj", (E, 4 * HD)),
+                        ("mlp.gate_proj", (F, E)),
+                        ("mlp.up_proj", (F, E)),
+                        ("mlp.down_proj", (E, F))):
+            t[p + nm + ".weight"] = rnd(rng, *shp)
+        for nm, d in (("input_layernorm", E),
+                      ("post_attention_layernorm", E),
+                      ("pre_feedforward_layernorm", E),
+                      ("post_feedforward_layernorm", E),
+                      ("self_attn.q_norm", HD), ("self_attn.k_norm", HD),
+                      ("altup.router_norm", E),
+                      ("laurel.post_laurel_norm", E),
+                      ("post_per_layer_input_norm", E)):
+            t[p + nm + ".weight"] = 1.0 + rnd(rng, d)
+        t[p + "per_layer_input_gate.weight"] = rnd(rng, PLI, E)
+        t[p + "per_layer_projection.weight"] = rnd(rng, E, PLI)
+        t[p + "altup.correction_coefs.weight"] = rnd(rng, 4, 4)
+        t[p + "altup.prediction_coefs.weight"] = rnd(rng, 16, 4)
+        t[p + "altup.correct_output_scale"] = rnd(rng, E)
+        t[p + "altup.modality_router.weight"] = rnd(rng, 4, E)
+        t[p + "laurel.linear_left.weight"] = rnd(rng, 8, E)
+        t[p + "laurel.linear_right.weight"] = rnd(rng, E, 8)
+    run_case(tmp_path, "gemma3n", cfg, t, vocab="spm")

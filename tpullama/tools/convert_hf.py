@@ -745,6 +745,7 @@ _ARCH_MAP = {
     "Qwen3VLForConditionalGeneration": "qwen3vl",   # Qwen3VLTextModel(:4390)
     "Qwen3VLMoeForConditionalGeneration": "qwen3vlmoe",
     "Gemma3ForConditionalGeneration": "gemma3",     # Gemma3Model(:5810)
+    "Gemma3nForConditionalGeneration": "gemma3n",   # Gemma3NModel(:5994)
     "Glm4vForConditionalGeneration": "glm4",        # Glm4Model(:7837)
     "JanusForConditionalGeneration": "llama",       # JanusProModel(:10041)
     "Idefics3ForConditionalGeneration": "llama",    # text == VLlama3
@@ -813,6 +814,14 @@ _ARCH_MAP = {
     "UMT5ForConditionalGeneration": "t5",
     "UMT5Model": "t5",
     "T5EncoderModel": "t5encoder",
+}
+
+
+# encoder-only registrations: the reference converts these exclusively
+# through --mmproj (UltravoxModel raises the analogous error, :9016)
+_MMPROJ_ONLY = {
+    "UltravoxModel", "InternVisionModel", "KimiVLForConditionalGeneration",
+    "Lfm2VlForConditionalGeneration", "LightOnOCRForConditionalGeneration",
 }
 
 
@@ -1175,6 +1184,84 @@ def _tf_gptoss(name, data, config):
         return [(f"=blk.{m.group(1)}.ffn_down_exps.weight",
                  np.ascontiguousarray(np.swapaxes(data, -1, -2)))]
     return [(name, data)]
+
+
+# Gemma3n (Gemma3NModel:5994): gemma3 base + altup streams, laurel
+# blocks, and per-layer input projections (MODEL_ARCH.GEMMA3N rows of
+# gguf-py constants/tensor_mapping)
+_GEMMA3N_NAME_MAP = [
+    (r"^model\.embed_tokens_per_layer\.weight$", "per_layer_token_embd.weight"),
+    (r"^model\.per_layer_model_projection\.weight$", "per_layer_model_proj.weight"),
+    (r"^model\.per_layer_projection_norm\.weight$", "per_layer_proj_norm.weight"),
+    (r"^model\.altup_projections\.weight$", "altup_proj.weight"),
+    (r"^model\.altup_unembed_projections\.weight$", "altup_unembd_proj.weight"),
+    (r"^model\.layers\.(\d+)\.per_layer_input_gate\.weight$", "blk.{bid}.inp_gate.weight"),
+    (r"^model\.layers\.(\d+)\.per_layer_projection\.weight$", "blk.{bid}.proj.weight"),
+    (r"^model\.layers\.(\d+)\.post_per_layer_input_norm\.weight$", "blk.{bid}.post_norm.weight"),
+    (r"^model\.layers\.(\d+)\.altup\.correction_coefs\.weight$", "blk.{bid}.altup_correct_coef.weight"),
+    (r"^model\.layers\.(\d+)\.altup\.correct_output_scale\.weight$", "blk.{bid}.altup_correct_scale.weight"),
+    (r"^model\.layers\.(\d+)\.altup\.prediction_coefs\.weight$", "blk.{bid}.altup_predict_coef.weight"),
+    (r"^model\.layers\.(\d+)\.altup\.modality_router\.weight$", "blk.{bid}.altup_router.weight"),
+    (r"^model\.layers\.(\d+)\.altup\.router_norm\.weight$", "blk.{bid}.altup_router_norm.weight"),
+    (r"^model\.layers\.(\d+)\.laurel\.linear_left\.weight$", "blk.{bid}.laurel_l.weight"),
+    (r"^model\.layers\.(\d+)\.laurel\.linear_right\.weight$", "blk.{bid}.laurel_r.weight"),
+    (r"^model\.layers\.(\d+)\.laurel\.post_laurel_norm\.weight$", "blk.{bid}.laurel_post_norm.weight"),
+    (r"^model\.layers\.(\d+)\.pre_feedforward_layernorm\.weight$", "blk.{bid}.ffn_norm.weight"),
+    (r"^model\.layers\.(\d+)\.post_feedforward_layernorm\.weight$", "blk.{bid}.post_ffw_norm.weight"),
+    (r"^model\.layers\.(\d+)\.post_attention_layernorm\.weight$", "blk.{bid}.post_attention_norm.weight"),
+]
+
+
+def _kv_gemma3n(w, arch, config):
+    """Gemma3NModel.set_gguf_parameters(:6019): altup geometry, shared-KV
+    tail, per-layer activation-sparsity std multipliers, and the
+    per-layer sliding-window pattern."""
+    _kv_gemma3(w, arch, config)
+    w.add_u32(f"{arch}.altup.active_idx", int(config["altup_active_idx"]))
+    w.add_u32(f"{arch}.altup.num_inputs", int(config["altup_num_inputs"]))
+    w.add_u32(f"{arch}.embedding_length_per_layer_input",
+              int(config["hidden_size_per_layer_input"]))
+    w.add_u32(f"{arch}.attention.shared_kv_layers",
+              int(config["num_kv_shared_layers"]))
+    from statistics import NormalDist
+
+    def icdf(p):  # torch.distributions.Normal.icdf semantics at the edges
+        if p <= 0.0:
+            return -np.inf
+        if p >= 1.0:
+            return np.inf
+        return NormalDist().inv_cdf(p)
+
+    w.add_array(f"{arch}.activation_sparsity_scale",
+                np.asarray([icdf(float(x))
+                            for x in config["activation_sparsity_pattern"]],
+                           np.float32))
+    w.add_array(f"{arch}.attention.sliding_window_pattern",
+                [t == "sliding_attention" for t in config["layer_types"]])
+
+
+class _Gemma3nTransform:
+    """Gemma3NModel.modify_tensors: the 3 altup (un)embed projections
+    stack into one (3, E, E) tensor; bare *_scale params get a .weight
+    suffix."""
+
+    def __init__(self):
+        self.acc = {"model.altup_projections": {},
+                    "model.altup_unembed_projections": {}}
+
+    def __call__(self, name, data, config):
+        if name.endswith("_scale"):
+            name = name + ".weight"
+        m = re.match(
+            r"^(model\.altup(?:_unembed)?_projections)\.(\d)\.weight$", name)
+        if m:
+            key, idx = m.group(1), int(m.group(2))
+            self.acc[key][idx] = data
+            if len(self.acc[key]) == 3:
+                stacked = np.stack([self.acc[key][i] for i in range(3)])
+                return [(key + ".weight", stacked)]
+            return []
+        return [(name, data)]
 
 
 class _ApertusTransform:
@@ -2442,6 +2529,8 @@ _FAMILY_SPECS: dict = {
                   transform=_tf_plamo),
     "apertus": dict(names=_APERTUS_NORM_MAP,
                     transform_factory=_ApertusTransform),
+    "gemma3n": dict(names=_GEMMA3N_NAME_MAP, kv=_kv_gemma3n,
+                    transform_factory=_Gemma3nTransform),
 }
 
 _PRE_BY_ARCH = {
@@ -2681,6 +2770,13 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
         config = {**config, **config["text_config"]}
     archs = config.get("architectures", [])
     hf_arch = archs[0] if archs else ""
+    if hf_arch in _MMPROJ_ONLY:
+        # mirror UltravoxModel(:9016)-style guidance: these classes have
+        # no text decoder of their own (or the reference only registers
+        # their encoder) — only --mmproj conversion applies
+        raise NotImplementedError(
+            f"{hf_arch} has no standalone text-model conversion; use "
+            f"tpullama-convert-mmproj to export its vision/audio encoder")
     if hf_arch not in _ARCH_MAP:
         raise NotImplementedError(f"architecture {hf_arch!r} not supported yet")
     arch = _ARCH_MAP[hf_arch]
@@ -2726,6 +2822,8 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
         return _convert_t5(model_dir, outfile, arch, config, qt, verbose)
     if arch == "deci":
         return _convert_deci(model_dir, outfile, config, qt, pre, verbose)
+    if arch == "wavtokenizer-dec":
+        return _convert_wavtokenizer(model_dir, outfile, config, qt, verbose)
 
     spec = _FAMILY_SPECS.get(arch, {})
     if "cfg" in spec:
@@ -2807,7 +2905,8 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
             n_embd = int(config["hidden_size"])
             n_head = int(config["num_attention_heads"])
             n_layer = int(config["num_hidden_layers"])
-        ff = int(config["intermediate_size"])
+        ff = config["intermediate_size"]
+        ff = ff if isinstance(ff, list) else int(ff)
         if arch == "neo-bert":
             # NeoBert.set_gguf_parameters: 2/3 of intermediate
             ff = int(2 * ff / 3)
@@ -2815,7 +2914,11 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
                   int(config.get("max_position_embeddings", 512)))
         w.add_u32(f"{arch}.embedding_length", n_embd)
         w.add_u32(f"{arch}.block_count", n_layer)
-        w.add_u32(f"{arch}.feed_forward_length", ff)
+        if isinstance(ff, list):  # per-layer ffn widths (gemma3n)
+            w.add_array(f"{arch}.feed_forward_length",
+                        np.asarray(ff, np.int32))
+        else:
+            w.add_u32(f"{arch}.feed_forward_length", ff)
         w.add_u32(f"{arch}.attention.head_count", n_head)
         if arch == "neo-bert":
             w.add_f32(f"{arch}.attention.layer_norm_rms_epsilon",
@@ -2922,7 +3025,13 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
     w.add_u32(f"{arch}.context_length", int(config.get("max_position_embeddings", 2048)))
     w.add_u32(f"{arch}.embedding_length", n_embd)
     w.add_u32(f"{arch}.block_count", n_layer)
-    w.add_u32(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    if isinstance(config["intermediate_size"], list):
+        # per-layer ffn widths (gemma3n matformer slices)
+        w.add_array(f"{arch}.feed_forward_length",
+                    np.asarray(config["intermediate_size"], np.int32))
+    else:
+        w.add_u32(f"{arch}.feed_forward_length",
+                  int(config["intermediate_size"]))
     w.add_u32(f"{arch}.attention.head_count", n_head)
     if not spec.get("no_kv_heads"):
         w.add_u32(f"{arch}.attention.head_count_kv", n_head_kv)
@@ -2988,7 +3097,9 @@ def convert(model_dir: str, outfile: str, outtype: str = "f16",
 
     # llama (NORM rope) needs HF->gguf q/k row permutation; NEOX archs don't
     permute_qk = arch == "llama" or spec.get("permute_qk", False)
-    is_gemma = arch.startswith("gemma")
+    # gemma norms store (w + 1); gemma3n is the exception (Gemma3NModel
+    # norm_shift = 0.0 — its RMSNorm applies w directly)
+    is_gemma = arch.startswith("gemma") and arch != "gemma3n"
     name_map = list(spec.get("names", ())) + (
         _GEMMA2_NORM_MAP if arch in ("gemma2", "gemma3") else []
     ) + _NAME_MAP
@@ -4532,6 +4643,95 @@ def _write_plamo2_vocab(w, model_dir, config):
     w.add_bool("tokenizer.ggml.add_space_prefix", False)
 
 
+_WAVTOK_NAME_MAP = [
+    (r"^backbone\.embedding\.weight$", "token_embd.weight"),
+    (r"^backbone\.embed\.(weight|bias)$", "conv1d.{suf}"),
+    (r"^backbone\.norm\.(weight|bias)$", "token_embd_norm.{suf}"),
+    (r"^backbone\.final_layer_norm\.(weight|bias)$", "output_norm.{suf}"),
+    (r"^head\.out\.(weight|bias)$", "output.{suf}"),
+    (r"^backbone\.posnet\.(\d+)\.norm1\.(weight|bias)$", "posnet.{bid}.norm1.{suf}"),
+    (r"^backbone\.posnet\.(\d+)\.norm2\.(weight|bias)$", "posnet.{bid}.norm2.{suf}"),
+    # the bare per-block .norm (group norms of the attn and final blocks)
+    # lands on POSNET_ATTN_NORM — the last matching row in gguf-py's
+    # tensor_mapping wins for the shared HF name
+    (r"^backbone\.posnet\.(\d+)\.norm\.(weight|bias)$", "posnet.{bid}.attn_norm.{suf}"),
+    (r"^backbone\.posnet\.(\d+)\.conv1\.(weight|bias)$", "posnet.{bid}.conv1.{suf}"),
+    (r"^backbone\.posnet\.(\d+)\.conv2\.(weight|bias)$", "posnet.{bid}.conv2.{suf}"),
+    (r"^backbone\.posnet\.(\d+)\.q\.(weight|bias)$", "posnet.{bid}.attn_q.{suf}"),
+    (r"^backbone\.posnet\.(\d+)\.k\.(weight|bias)$", "posnet.{bid}.attn_k.{suf}"),
+    (r"^backbone\.posnet\.(\d+)\.v\.(weight|bias)$", "posnet.{bid}.attn_v.{suf}"),
+    (r"^backbone\.posnet\.(\d+)\.proj_out\.(weight|bias)$", "posnet.{bid}.attn_output.{suf}"),
+    (r"^backbone\.convnext\.(\d+)\.dwconv\.(weight|bias)$", "convnext.{bid}.dw.{suf}"),
+    (r"^backbone\.convnext\.(\d+)\.norm\.(weight|bias)$", "convnext.{bid}.norm.{suf}"),
+    (r"^backbone\.convnext\.(\d+)\.pwconv1\.(weight|bias)$", "convnext.{bid}.pw1.{suf}"),
+    (r"^backbone\.convnext\.(\d+)\.pwconv2\.(weight|bias)$", "convnext.{bid}.pw2.{suf}"),
+    (r"^backbone\.convnext\.(\d+)\.gamma\.weight$", "convnext.{bid}.gamma.weight"),
+]
+
+
+def _convert_wavtokenizer(model_dir: str, outfile: str, config: dict, qt,
+                          verbose: bool) -> dict:
+    """WavTokenizerDec (TTS vocoder) -> GGUF (convert_hf_to_gguf.py
+    WavTokenizerDecModel:3980): codes-to-speech decoder with posnet +
+    convnext stacks; the HF checkpoint is the tools/tts/convert_pt_to_hf
+    layout (codebook stored as backbone.embedding.weight)."""
+    arch = "wavtokenizer-dec"
+    w = GGUFWriter()
+    w.add_str("general.architecture", arch)
+    w.add_str("general.name", os.path.basename(os.path.abspath(model_dir)))
+    w.add_u32(f"{arch}.context_length",
+              int(config.get("max_position_embeddings", 8192)))
+    w.add_u32(f"{arch}.embedding_length", int(config["hidden_size"]))
+    w.add_u32(f"{arch}.block_count", int(config["n_layer"]))
+    w.add_u32(f"{arch}.attention.head_count", int(config.get("n_head", 1)))
+    w.add_f32(f"{arch}.attention.layer_norm_epsilon",
+              float(config.get("layer_norm_epsilon", 1e-6)))
+    w.add_u32(f"{arch}.vocab_size", int(config["vocab_size"]))
+    w.add_u32(f"{arch}.features_length", int(config["n_embd_features"]))
+    w.add_u32(f"{arch}.feed_forward_length", int(config["n_ff"]))
+    w.add_f32(f"{arch}.attention.group_norm_epsilon",
+              float(config["group_norm_epsilon"]))
+    w.add_u32(f"{arch}.attention.group_norm_groups",
+              int(config["group_norm_groups"]))
+    w.add_u32(f"{arch}.posnet.embedding_length",
+              int(config["posnet"]["n_embd"]))
+    w.add_u32(f"{arch}.posnet.block_count", int(config["posnet"]["n_layer"]))
+    w.add_u32(f"{arch}.convnext.embedding_length",
+              int(config["convnext"]["n_embd"]))
+    w.add_u32(f"{arch}.convnext.block_count",
+              int(config["convnext"]["n_layer"]))
+    w.add_bool(f"{arch}.attention.causal", False)
+    w.add_str("tokenizer.ggml.model", "none")
+
+    stats = {"tensors": 0}
+    for name, data in iter_hf_tensors(model_dir):
+        gname = None
+        for pat, repl in _WAVTOK_NAME_MAP:
+            m = re.match(pat, name)
+            if m:
+                g = m.groups()
+                bid = g[0] if g and str(g[0]).isdigit() else ""
+                suf = g[-1] if g and g[-1] in ("weight", "bias") else "weight"
+                gname = repl.format(bid=bid, suf=suf)
+                break
+        if gname is None:
+            if verbose:
+                print(f"skip {name}", file=sys.stderr)
+            continue
+        tt = qt if data.ndim == 2 and data.shape[-1] % 32 == 0 else GGMLType.F32
+        if tt != GGMLType.F32 and tt != GGMLType.F16:
+            tt = GGMLType.F32
+        if tt == GGMLType.F16:
+            w.add_tensor(gname, data.astype(np.float16), GGMLType.F16)
+        else:
+            w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
+        stats["tensors"] += 1
+    w.write(outfile)
+    if verbose:
+        print(f"wrote {outfile} ({stats['tensors']} tensors)", file=sys.stderr)
+    return stats
+
+
 def _convert_deci(model_dir: str, outfile: str, config: dict, qt, pre,
                   verbose: bool) -> dict:
     """DeciLM / Llama-3_1-Nemotron -> GGUF (convert_hf_to_gguf.py
@@ -4776,7 +4976,13 @@ def _convert_granite_hybrid(model_dir, outfile, config, qt, pre, verbose):
               int(config.get("max_position_embeddings", 4096)))
     w.add_u32(f"{arch}.embedding_length", d_model)
     w.add_u32(f"{arch}.block_count", n_layer)
-    w.add_u32(f"{arch}.feed_forward_length", int(config["intermediate_size"]))
+    if isinstance(config["intermediate_size"], list):
+        # per-layer ffn widths (gemma3n matformer slices)
+        w.add_array(f"{arch}.feed_forward_length",
+                    np.asarray(config["intermediate_size"], np.int32))
+    else:
+        w.add_u32(f"{arch}.feed_forward_length",
+                  int(config["intermediate_size"]))
     w.add_u32(f"{arch}.attention.head_count", n_head)
     w.add_array(f"{arch}.attention.head_count_kv",
                 np.asarray(kv_arr, np.uint32))
