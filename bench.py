@@ -44,8 +44,12 @@ def build_params(hp, dtype, seed=0, quant=None, abstract=False):
             rng.standard_normal(shape, dtype=np.float32) * scale, dtype=dtype
         )
 
-    def qmat(shape, scale, meta_slot=None, meta_key=None, qt=None):
-        """Packed synthetic weight for the qmm path (leading dims stack)."""
+    def qmat(shape, scale, meta_slot=None, meta_key=None, qt=None,
+             transpose=False):
+        """Packed synthetic weight for the qmm path (leading dims stack).
+        transpose=True stores planes_t layout (..., kcols, rows) with
+        16-sublane-padded scale/minv rows — the copy-free parameter
+        layout for the gathered expert kernel (ops.pallas.qmm)."""
         qt = qt or quant
         if qt is None:
             return mat(shape, scale)
@@ -64,35 +68,39 @@ def build_params(hp, dtype, seed=0, quant=None, abstract=False):
         }[qt]
         import jax
 
+        def plane(kcols):
+            return ((*lead, kcols, N) if transpose else (*lead, N, kcols))
+
+        gpad = K // group + ((-(K // group)) % 16 if transpose else 0)
         for fname, bits in bitmap:
             nbytes = K * bits // 8
             fdt = np.int8 if fname == "q8" else np.uint8
             if abstract:
-                fields[fname] = jax.ShapeDtypeStruct((*lead, N, nbytes), fdt)
+                fields[fname] = jax.ShapeDtypeStruct(plane(nbytes), fdt)
             else:
-                arr = rng.integers(0, 256, size=(*lead, N, nbytes), dtype=np.uint8)
+                arr = rng.integers(0, 256, size=plane(nbytes), dtype=np.uint8)
                 fields[fname] = jnp.asarray(arr.view(np.int8) if fname == "q8" else arr)
         # bf16 scale/min planes, matching the loader's production default
         # (packed_scale_dtype="bfloat16"; f16 is not a Mosaic/TPU type)
+        sshape = (*lead, gpad, N) if transpose else (*lead, N, K // group)
         if abstract:
-            fields["scale"] = jax.ShapeDtypeStruct((*lead, N, K // group), jnp.bfloat16)
+            fields["scale"] = jax.ShapeDtypeStruct(sshape, jnp.bfloat16)
         else:
             fields["scale"] = jnp.asarray(
-                rng.standard_normal((*lead, N, K // group), dtype=np.float32)
+                rng.standard_normal(sshape, dtype=np.float32)
                 * scale * 0.1, dtype=jnp.bfloat16
             )
         if t not in (GGMLType.Q8_0, GGMLType.MXFP4):
             if abstract:
-                fields["minv"] = jax.ShapeDtypeStruct(
-                    (*lead, N, K // group), jnp.bfloat16
-                )
+                fields["minv"] = jax.ShapeDtypeStruct(sshape, jnp.bfloat16)
             else:
                 fields["minv"] = jnp.asarray(
-                    rng.standard_normal((*lead, N, K // group), dtype=np.float32)
+                    rng.standard_normal(sshape, dtype=np.float32)
                     * scale, dtype=jnp.bfloat16
                 )
         if meta_slot is not None:
-            meta_slot[meta_key] = QuantMeta(t, group, N, K)
+            meta_slot[meta_key] = QuantMeta(t, group, N, K,
+                                            planes_t=transpose)
         return fields
 
     L, E, F = hp.n_layer, hp.n_embd, hp.n_ff
@@ -157,12 +165,14 @@ def build_params(hp, dtype, seed=0, quant=None, abstract=False):
         Ep = -(-E // 128) * 128
         # flat (L·E, rows, kcols) expert stacks (ops/moe.py rs(): a
         # per-call dim-merge reshape costs multi-GB XLA relayout copies)
+        tr = os.environ.get("BENCH_MOE_T", "1") == "1"
         params["layers"]["ffn_gate_exps"] = qmat(
-            (L * nE, Fp, E), s, lm, "ffn_gate_exps", qt=qe)
+            (L * nE, Fp, E), s, lm, "ffn_gate_exps", qt=qe, transpose=tr)
         params["layers"]["ffn_up_exps"] = qmat(
-            (L * nE, Fp, E), s, lm, "ffn_up_exps", qt=qe)
+            (L * nE, Fp, E), s, lm, "ffn_up_exps", qt=qe, transpose=tr)
         params["layers"]["ffn_down_exps"] = qmat(
-            (L * nE, Ep, F), 1.0 / np.sqrt(F), lm, "ffn_down_exps", qt=qe)
+            (L * nE, Ep, F), 1.0 / np.sqrt(F), lm, "ffn_down_exps", qt=qe,
+            transpose=tr)
         if quant is not None or qe:
             from tpullama.models.loader import QuantMeta
 
@@ -171,7 +181,8 @@ def build_params(hp, dtype, seed=0, quant=None, abstract=False):
                 ("ffn_down_exps", nE * E, F),
             ):
                 m0 = lm[key]
-                lm[key] = QuantMeta(m0.ggml_type, m0.group, true_n, k_in)
+                lm[key] = QuantMeta(m0.ggml_type, m0.group, true_n, k_in,
+                                    planes_t=m0.planes_t)
         if os.environ.get("BENCH_MOE_BIAS", "1") == "1":  # gpt-oss add_id biases
             params["layers"]["ffn_gate_exps_b"] = mat((L, nE, F), 0.02)
             params["layers"]["ffn_up_exps_b"] = mat((L, nE, F), 0.02)

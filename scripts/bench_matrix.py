@@ -86,7 +86,30 @@ def param_bytes(params):
     )
 
 
-def make_decode_fn(hp, quant_meta, B, S, unroll, donate=False):
+def row_major_formats(tree):
+    """Entry-layout pytree pinning every param leaf to row-major.
+
+    XLA's auto layout assignment picks {0,1,2}-style transposed layouts
+    for the multi-GB u8 expert stacks (it optimizes for the gather
+    pattern), then must copy them back to the {2,1,0} layout the Pallas
+    custom call constrains — 3x 3.2 GiB HLO temps that OOM the 24-layer
+    gpt-oss. device_put formats do NOT constrain the compiled entry
+    layout; only in_shardings formats do."""
+    import jax
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    dev = jax.devices()[0]
+
+    def fmt(a):
+        return Format(Layout(tuple(range(a.ndim - 1, -1, -1))),
+                      SingleDeviceSharding(dev))
+
+    return jax.tree.map(fmt, tree)
+
+
+def make_decode_fn(hp, quant_meta, B, S, unroll, donate=False,
+                   param_formats=None):
     """Fused multi-step greedy decode, B sequences stepping together.
     All sequences share a uniform depth (n_past0); argmax feedback."""
     import jax
@@ -118,7 +141,14 @@ def make_decode_fn(hp, quant_meta, B, S, unroll, donate=False):
         # which also keeps XLA's compress-remat pass off the weights
         return out, kv_k, kv_v, params
 
-    return jax.jit(decode_loop, static_argnames=("n_steps",),
+    if param_formats is not None:
+        # pjit + in_shardings forbids kwargs: expose a positional-only
+        # variant (n_steps still static)
+        return jax.jit(decode_loop, static_argnums=(5,),
+                       donate_argnums=(0, 1, 2) if donate else (),
+                       in_shardings=(param_formats, None, None, None, None))
+    return jax.jit(decode_loop, static_argnums=(5,),
+                   static_argnames=("n_steps",),
                    donate_argnums=(0, 1, 2) if donate else ())
 
 
@@ -237,7 +267,11 @@ def main():
         )
         # donate the KV carry (otherwise XLA holds input + output copies —
         # 2× the 4.4 GiB cache at depth 32768 OOMs the chip)
-        fn = make_decode_fn(hp, quant_meta, B, S, unroll, donate=True)
+        fmts = (row_major_formats(params)
+                if os.environ.get("BENCH_PIN_LAYOUT") == "2" and not args.aot
+                else None)
+        fn = make_decode_fn(hp, quant_meta, B, S, unroll, donate=True,
+                            param_formats=fmts)
         kv_k, kv_v = kv_struct(hp, B, S, args.aot, dtype)
         first = (
             jax.ShapeDtypeStruct((B, 1), jnp.int32)
@@ -248,20 +282,19 @@ def main():
         t0 = time.time()
         if args.aot:
             fn.lower(params, kv_k, kv_v, first, npast,
-                     n_steps=n_steps).compile(compiler_options=_AOT_OPTS)
+                     n_steps).compile(compiler_options=_AOT_OPTS)
             emit({"cell": name, "mode": "aot", "compile_s": round(time.time() - t0, 1),
                   "B": B, "depth": depth, "unroll": unroll})
             return
         toks, kv_k, kv_v, params = fn(
-            params, kv_k, kv_v, first, npast, n_steps=n_steps)
+            params, kv_k, kv_v, first, npast, n_steps)
         np.asarray(toks)
         compile_s = time.time() - t0
         best = float("inf")
         for it in range(args.iters):
             t0 = time.time()
             toks, kv_k, kv_v, params = fn(
-                params, kv_k, kv_v, first + it, npast,
-                n_steps=n_steps)
+                params, kv_k, kv_v, first + it, npast, n_steps)
             np.asarray(toks)
             best = min(best, time.time() - t0)
         del kv_k, kv_v

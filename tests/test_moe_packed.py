@@ -92,3 +92,69 @@ def test_moe_dispatch_roundtrip():
         r = row_of_slot[s]
         assert perm[r] == s  # round trip
         assert tile_expert[r // tt] == sel[s]  # tile's expert matches
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_K, GGMLType.MXFP4],
+                         ids=lambda t: t.name)
+def test_moe_packed_planes_t_matches_dense(qtype):
+    """Transposed (kcols, rows) expert planes — the copy-free parameter
+    layout for XLA (ops.pallas.qmm planes_t) — through moe_ffn."""
+    from tpullama.ops.qweights import transpose_planes
+
+    E, K, D, F, B, T = 4, 2, 256, 512, 1, 5
+    rng = np.random.default_rng(9)
+    x = jnp.asarray((rng.standard_normal((B, T, D)) * 0.3).astype(np.float32))
+    gate_inp = jnp.asarray(rng.standard_normal((E, D)).astype(np.float32) * 0.05)
+
+    def build_t(F_, D_, seed):
+        dense, fl = [], []
+        for e in range(E):
+            w = (rng.standard_normal((F_, D_)) * 0.1).astype(np.float32)
+            raw = quantize(w, qtype)
+            dense.append(dequantize(raw, qtype, (F_, D_)))
+            fl.append(repack(raw, qtype, (F_, D_)))
+        st = {k: np.stack([pq.fields[k] for pq in fl]) for k in fl[0].fields}
+        st = {k: jnp.asarray(v) for k, v in transpose_planes(st).items()}
+        meta = QuantMeta(qtype, fl[0].group, E * F_, D_, planes_t=True)
+        return jnp.asarray(np.stack(dense)), st, meta
+
+    g_dense, g_p, g_m = build_t(F, D, 1)
+    u_dense, u_p, u_m = build_t(F, D, 2)
+    d_dense, d_p, d_m = build_t(D, F, 3)
+    want = np.asarray(moe_ffn(
+        x, gate_inp, g_dense, u_dense, d_dense, n_expert_used=K,
+    ))
+    got = np.asarray(moe_ffn(
+        x, gate_inp, g_p, u_p, d_p, n_expert_used=K,
+        quant_meta_exps={"gate": g_m, "up": u_m, "down": d_m},
+    ))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_loader_planes_t_model_matches():
+    """A packed MoE model force-loaded with transposed expert planes
+    (TPULLAMA_MOE_PLANES_T=1) must produce the same logits as the
+    default row-major load."""
+    import os
+    import tempfile
+
+    from tpullama.models import load_model
+    from tpullama.models.testing import make_tiny_llama_gguf
+    from tpullama.runtime import Context, ContextParams
+
+    path = tempfile.mktemp(suffix=".gguf")
+    make_tiny_llama_gguf(path, n_embd=256, n_layer=2, n_head=4, n_head_kv=2,
+                         n_ff=256, n_expert=4, n_expert_used=2, seed=21,
+                         qtype=GGMLType.Q4_K)
+    prompt = np.asarray([3, 9, 27, 81], np.int32)
+    ref = Context(load_model(path, packed=True),
+                  ContextParams(n_ctx=32)).decode(prompt, n_logits=1)
+    os.environ["TPULLAMA_MOE_PLANES_T"] = "1"
+    try:
+        m = load_model(path, packed=True)
+        km = m.quant_meta["layers"]["ffn_up_exps"]
+        assert km.planes_t, km
+        got = Context(m, ContextParams(n_ctx=32)).decode(prompt, n_logits=1)
+    finally:
+        del os.environ["TPULLAMA_MOE_PLANES_T"]
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

@@ -182,3 +182,41 @@ def test_qmm_gathered_matches_dense(qtype, tile_t):
     )
     atol = 1e-4 + 1e-6 * float(np.abs(want).max())
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=atol)
+
+
+@pytest.mark.parametrize("tile_t", [1, 4])
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.MXFP4],
+                         ids=lambda t: t.name)
+def test_qmm_gathered_transposed_matches_dense(qtype, tile_t):
+    """planes_t gathered kernel (transposed (kcols, rows) expert planes —
+    the copy-free parameter layout) vs the per-slot dense oracle."""
+    import jax.numpy as jnp
+
+    from tpullama.ops.pallas.qmm import quantized_matmul_gathered
+    from tpullama.ops.qweights import transpose_planes
+
+    n_out, n_in, E, n_tiles = 128, 512, 5, 6  # rows must be 128-padded
+    raws, refs = zip(*[make_weight(n_out, n_in, qtype, seed=30 + e)
+                       for e in range(E)])
+    pqs = [repack(r, qtype, (n_out, n_in)) for r in raws]
+    stacked = {k: np.stack([pq.fields[k] for pq in pqs])
+               for k in pqs[0].fields}
+    fields_t = {k: jnp.asarray(v)
+                for k, v in transpose_planes(stacked).items()}
+    rng = np.random.default_rng(5)
+    Trows = n_tiles * tile_t
+    x = rng.standard_normal((Trows, n_in)).astype(np.float32)
+    sel = rng.integers(0, E, size=n_tiles).astype(np.int32)
+    want = np.stack(
+        [x[i] @ refs[sel[i // tile_t]].reshape(n_out, n_in).T
+         for i in range(Trows)]
+    )
+    got = np.asarray(
+        quantized_matmul_gathered(
+            jnp.asarray(x), fields_t, jnp.asarray(sel), qtype, pqs[0].group,
+            n_out, n_in, tile_n=128, tile_t=tile_t, interpret=True,
+            planes_t=True,
+        )
+    )
+    atol = 1e-4 + 1e-6 * float(np.abs(want).max())
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=atol)

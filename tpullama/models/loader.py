@@ -17,6 +17,7 @@ Two weight modes:
 from __future__ import annotations
 
 import concurrent.futures as _fut
+import os
 import re
 from dataclasses import dataclass
 from typing import Callable, Optional
@@ -254,6 +255,9 @@ class QuantMeta:
     n_out: int
     n_in: int
     k_shards: int = 1
+    # transposed planes (..., kcols, rows) for gathered expert stacks —
+    # see ops.pallas.qmm.quantized_matmul_gathered planes_t
+    planes_t: bool = False
 
 
 @dataclass
@@ -567,16 +571,45 @@ def load_model(
                                     a, ((0, 0), (0, rows_p - rows), (0, 0))
                                 )
                             arrs.append(a)
-                        return jnp.asarray(np.concatenate(arrs, axis=0))
+                        return np.concatenate(arrs, axis=0)
 
-                    stacked[key] = {fk: flat(fk) for fk in pqs[0].fields}
+                    fields_np = {fk: flat(fk) for fk in pqs[0].fields}
+                    # transposed (kcols, rows) planes when the row-major
+                    # form would tile-pad the lane dim (kcols or group
+                    # count not a 128 multiple): XLA otherwise COPIES
+                    # every stack to the dense layout the Pallas call
+                    # needs — 9.7 GiB of HLO temps at gpt-oss-20B size
+                    # (ops.pallas.qmm planes_t). Env override
+                    # TPULLAMA_MOE_PLANES_T=0/1.
+                    _tr_env = os.environ.get("TPULLAMA_MOE_PLANES_T", "auto")
+                    if _tr_env == "auto":
+                        planes_t = any(
+                            v.shape[-1] % 128 for v in fields_np.values()
+                        )
+                    else:
+                        planes_t = _tr_env == "1"
+                    planes_t = planes_t and all(
+                        v.shape[-1] % (32 if v.dtype.itemsize == 1 else 16)
+                        == 0
+                        for fk, v in fields_np.items()
+                        if fk not in ("scale", "minv")
+                    )
+                    if planes_t:
+                        from ..ops.qweights import transpose_planes
+
+                        fields_np = transpose_planes(fields_np)
+                    stacked[key] = {
+                        fk: jnp.asarray(v) for fk, v in fields_np.items()
+                    }
                 else:
+                    planes_t = False
                     stacked[key] = {
                         fk: jnp.asarray(np.stack([pq.fields[fk] for pq in pqs]))
                         for fk in pqs[0].fields
                     }
                 layer_meta[key] = QuantMeta(
-                    pqs[0].ggml_type, pqs[0].group, *pqs[0].shape, k_shards=k_sh
+                    pqs[0].ggml_type, pqs[0].group, *pqs[0].shape,
+                    k_shards=k_sh, planes_t=is_exps and planes_t,
                 )
             else:
                 mats = [fetch(t) for t in tnames]

@@ -141,6 +141,7 @@ def _ffn_packed(xf, sel, weights, gate_exps, up_exps, down_exps, metas, E, *,
         return quantized_matmul_gathered(
             x_in, fields, idx, m.ggml_type, m.group, n_rows, m.n_in,
             tile_t=tile_t, interpret=interpret,
+            planes_t=getattr(m, "planes_t", False),
         )
 
     up = gmm(x_rows, up_exps, "up")

@@ -490,6 +490,7 @@ def quantized_matmul_gathered(
     x: jnp.ndarray, pq_fields: dict, sel: jnp.ndarray, ggml_type: GGMLType,
     group: int, n_out: int, n_in: int, *, tile_n: int = 512,
     tile_t: int = 1, interpret: bool = False, exact: bool | None = None,
+    planes_t: bool = False,
 ) -> jnp.ndarray:
     """Gathered dequant × matmul: y[s] = x[s·tt : (s+1)·tt] @ W[sel[s]]^T
     — the ggml_mul_mat_id analog (ggml/src/ggml-cuda/mmq.cu mul_mat_id
@@ -513,6 +514,17 @@ def quantized_matmul_gathered(
     expert and pad groups to tile_t (see ops.moe.moe_dispatch) so each
     tile streams its expert's weights once — minimal FLOPs, and the
     re-read factor is n_tiles/E instead of n_slots/E.
+
+    planes_t: fields are stored TRANSPOSED — (..., kcols, rows) with the
+    scale/minv planes sublane-padded (..., ceil(groups/16)*16, rows).
+    Rationale: with the row-major (rows, kcols) layout, the gpt-oss
+    expert shapes put a non-128-multiple on the lane dim (kcols=1440,
+    groups=90), so XLA's tiled parameter layout pads them and must COPY
+    every multi-GB stack to the dense layout the Pallas call constrains
+    — 9.7 GiB of HLO temps that OOM the 24-layer model on one chip.
+    Transposed, every dim is tile-aligned (rows are 128-padded at
+    build), the parameter layout is copy-free, and the dot contracts
+    (1, 0) — the natural MXU orientation.
     """
     Trows, K = x.shape
     assert K == n_in, (x.shape, n_in)
@@ -523,6 +535,9 @@ def quantized_matmul_gathered(
     assert sel.shape == (n_tiles,), (sel.shape, n_tiles)
     if exact is None:
         exact = interpret or os.environ.get("TPULLAMA_QMM_EXACT", "0") == "1"
+    if planes_t:
+        return _qmm_gathered_t(x, pq_fields, sel, ggml_type, group, N, K,
+                               tile_n, tt, n_tiles, exact, interpret)
     # TPULLAMA_GMM_FULL_N=1: whole-N tiles (fewer grid steps; measured
     # slightly SLOWER than tn=128 at gpt-oss decode — less DMA/compute
     # overlap — kept for A/B)
@@ -637,6 +652,132 @@ def quantized_matmul_gathered(
         kernel, grid, in_specs, out_spec, out_shape, operands,
         scalar=jnp.asarray(sel, jnp.int32), interpret=interpret,
     )[:, 0, :n_out]
+
+
+def _qmm_gathered_t(x, pq_fields, sel, ggml_type, group, N, K, tile_n, tt,
+                    n_tiles, exact, interpret):
+    """Transposed-plane gathered kernel (see quantized_matmul_gathered
+    planes_t). Fields: (..., kcols, rows_padded); scale/minv sublane-
+    padded to 16. Dots contract (1, 0) against the w^T tiles; the stripe
+    unpack concatenates along SUBLANES (stored element p of the lo
+    stripe is row p of the tile), and the per-group scales tile-repeat
+    along sublanes."""
+    lead = next(iter(pq_fields.values()))
+    rows_store = lead.shape[-1]
+    assert rows_store % 128 == 0, rows_store
+    Np = rows_store
+    tile_n = int(os.environ.get("TPULLAMA_GMM_TILE_N", tile_n))
+    if os.environ.get("TPULLAMA_GMM_FULL_N", "0") == "1":
+        tile_n = Np
+    tn = min(tile_n, Np)
+    while Np % tn:
+        tn //= 2
+    field_names = [n for n in pq_fields]
+    has_minv = "minv" in pq_fields
+    bits = {"q4": 4, "q4_lut": 4, "q8": 8}
+    gcols = K // group  # true group count; stored plane is 16-padded
+    Trows = x.shape[0]
+    grid = (n_tiles, Np // tn)
+
+    x = x.astype(jnp.float32)
+    xg = x.reshape(Trows, gcols, group)
+    # the min term is always hoisted here (y -= xgsum @ minv^T), exact
+    # mode included — equal in f32 up to summation order
+    xgsum = jnp.sum(xg, axis=2) if has_minv else None
+    x = xg.swapaxes(1, 2).reshape(Trows, K)
+
+    x = x[:, None, :]
+    in_specs = [
+        pl.BlockSpec((tt, 1, K), lambda t, n, s: (t, 0, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    operands = [x]
+    if xgsum is not None:
+        in_specs.append(
+            pl.BlockSpec((tt, 1, gcols), lambda t, n, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(xgsum[:, None, :])
+    four_d = lead.ndim == 4
+    E_loc = lead.shape[1] if four_d else 0
+    for name in field_names:
+        if name in bits:
+            kc = K * bits[name] // 8
+        else:
+            kc = pq_fields[name].shape[-2]  # 16-padded group rows
+        if four_d:
+            in_specs.append(pl.BlockSpec(
+                (1, 1, kc, tn),
+                lambda t, n, s: (s[t] // E_loc, s[t] % E_loc, 0, n),
+                memory_space=pltpu.VMEM,
+            ))
+        else:
+            in_specs.append(pl.BlockSpec(
+                (1, kc, tn), lambda t, n, s: (s[t], 0, n),
+                memory_space=pltpu.VMEM,
+            ))
+        operands.append(pq_fields[name])
+
+    def _sub_repeat(a, reps):
+        return pltpu.repeat(a, reps, axis=a.ndim - 2)
+
+    def kernel(*refs):
+        _s_ref, x_ref, *refs = refs
+        if xgsum is not None:
+            xg_ref, *refs = refs
+        *field_tiles, out_ref = refs
+        fields = {
+            k: (r.at[0, 0] if four_d else r.at[0])
+            for k, r in zip(field_names, field_tiles)
+        }
+        wdt = jnp.float32 if exact else jnp.bfloat16
+        prec = jax.lax.Precision.HIGHEST if exact else None
+
+        def tdot(a, b):
+            return jax.lax.dot_general(
+                a.astype(wdt), b.astype(wdt), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+
+        scale_t = fields["scale"][:gcols, :].astype(jnp.float32)  # (g, tn)
+        xr = x_ref[...].reshape(tt, K)
+        if ggml_type == GGMLType.Q8_0:
+            sh = _sub_repeat(scale_t, group)  # (K, tn)
+            acc = tdot(xr, fields["q8"][...].astype(jnp.float32) * sh)
+        else:
+            qname = "q4" if "q4" in fields else "q4_lut"
+            q = fields[qname][...].astype(jnp.int32)  # (K/2, tn)
+            if qname == "q4":
+                lo = (q & 0xF).astype(jnp.float32)
+                hi = (q >> 4).astype(jnp.float32)
+            else:
+                def mag(idx):
+                    m = (
+                        (jnp.uint32(_MXFP4_LUT)
+                         >> ((idx & 7).astype(jnp.uint32) * 4)) & 0xF
+                    ).astype(jnp.int32)
+                    return jnp.where((idx >> 3) != 0, -m, m).astype(jnp.float32)
+
+                lo, hi = mag(q & 0xF), mag(q >> 4)
+            sh = _sub_repeat(scale_t, group // 2)  # (K/2, tn)
+            acc = tdot(xr[:, : K // 2], lo * sh)
+            acc = acc + tdot(xr[:, K // 2 :], hi * sh)
+        if has_minv:
+            minv_t = fields["minv"][:gcols, :].astype(jnp.float32)
+            acc = acc - jax.lax.dot_general(
+                xg_ref[...].reshape(tt, gcols), minv_t,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[...] = acc.reshape(tt, 1, tn)
+
+    out_spec = pl.BlockSpec((tt, 1, tn), lambda t, n, s: (t, 0, n),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((Trows, 1, Np), jnp.float32)
+    return _call_qmm_kernel(
+        kernel, grid, in_specs, out_spec, out_shape, tuple(operands),
+        scalar=jnp.asarray(sel, jnp.int32), interpret=interpret,
+    )[:, 0, :N]
 
 
 def _call_qmm_kernel(kernel, grid, in_specs, out_spec, out_shape, operands,

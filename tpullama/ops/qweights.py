@@ -384,3 +384,22 @@ def dequant_planar_np(pq: PlanarQuant, k_shards: int = 1) -> np.ndarray:
     if "minv" in f:
         out = out - tile_scale(f["minv"])
     return group_unpermute(out, g)
+
+
+def transpose_planes(fields: dict, sublane_pad: int = 16) -> dict:
+    """Planar fields (..., rows, kcols) -> transposed (..., kcols, rows)
+    for the planes_t gathered kernel (ops.pallas.qmm): puts the
+    128-padded rows on the lane dim so XLA's tiled parameter layout
+    needs no padding (and therefore no multi-GB relayout copies — see
+    quantized_matmul_gathered docstring). scale/minv group rows are
+    sublane-padded; the kernel slices them back."""
+    out = {}
+    for k, v in fields.items():
+        a = np.swapaxes(np.asarray(v), -1, -2)
+        if k in ("scale", "minv"):
+            pad = (-a.shape[-2]) % sublane_pad
+            if pad:
+                width = [(0, 0)] * (a.ndim - 2) + [(0, pad), (0, 0)]
+                a = np.pad(a, width)
+        out[k] = np.ascontiguousarray(a)
+    return out
