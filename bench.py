@@ -327,7 +327,7 @@ def main():
     # by scripts/bench_matrix.py and consolidated per round
     matrix_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        ".bench", "matrix_r3_final.json",
+        ".bench", "matrix_r4_final.json",
     )
     if os.path.exists(matrix_path):
         detail["matrix"] = json.load(open(matrix_path))

@@ -284,7 +284,8 @@ def moe_ffn(
             from ..models.loader import QuantMeta
 
             quant_meta_exps = {
-                k: QuantMeta(m.ggml_type, m.group, m.n_out // n_ep, m.n_in)
+                k: QuantMeta(m.ggml_type, m.group, m.n_out // n_ep, m.n_in,
+                             planes_t=getattr(m, "planes_t", False))
                 for k, m in quant_meta_exps.items()
                 if m is not None
             }

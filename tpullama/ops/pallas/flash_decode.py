@@ -206,9 +206,13 @@ def _flash_decode_batched(q, k, v, mask, scale, softcap, sinks, alibi_slopes,
     koff = 1 if stacked else 0
     Hkv, S = k.shape[koff + 1], k.shape[koff + 2]
     G = Hq // Hkv
-    # cap the per-step K/V block footprint: B*bs*D f32 x2 (K+V) x2
-    # (double-buffer) under ~32 MiB of VMEM
-    bs_cap = max(128, (2 * 1024 * 1024) // (B * D) // 128 * 128)
+    # cap the per-step K/V block footprint: B*bs*D bf16 x2 (K+V) x2
+    # (double-buffer) under ~4x this many MiB of VMEM (env-tunable:
+    # bigger blocks = fewer grid steps per layer at batch)
+    import os as _os
+
+    cap_mb = int(_os.environ.get("TPULLAMA_FDB_CAP_MB", 2))
+    bs_cap = max(128, (cap_mb * 1024 * 1024) // (B * D) // 128 * 128)
     bs = min(block_s, S, bs_cap)
     while S % bs:
         bs //= 2

@@ -188,7 +188,9 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
     # in-kernel f32 dequant intermediates — the axon AOT compile helper
     # drops Mosaic's vmem_limit_bytes param, so kernels must fit the
     # 16 MiB scoped default to be AOT-compilable (BENCH aot sweep).
-    tbl_tn, tbl_nk = _tile_cfg(N, K, tile_n)
+    # the table rows are DECODE-tuned (T<=32); prefill keeps the generic
+    # tile (pp2048 measured 8% slower under the decode rows)
+    tbl_tn, tbl_nk = (_tile_cfg(N, K, tile_n) if T <= 32 else (tile_n, 0))
     if "TPULLAMA_QMM_TILE_N" not in os.environ:
         tile_n = tbl_tn
     if tile_k_chunks is not None:

@@ -74,11 +74,13 @@ def localize_quant_meta(quant_meta, n_tp: int):
                     f"{name}: packed row-TP needs load_model(tp_shards={n_tp}); "
                     f"file was loaded with tp_shards={m.k_shards}"
                 )
-            return QuantMeta(m.ggml_type, m.group, m.n_out, m.n_in // n_tp)
+            return QuantMeta(m.ggml_type, m.group, m.n_out, m.n_in // n_tp,
+                             planes_t=m.planes_t)
         if name in COL_TP_TENSORS:
             if m.n_out % n_tp:
                 raise ValueError(f"{name}: n_out={m.n_out} not divisible by tp={n_tp}")
-            return QuantMeta(m.ggml_type, m.group, m.n_out // n_tp, m.n_in)
+            return QuantMeta(m.ggml_type, m.group, m.n_out // n_tp, m.n_in,
+                             planes_t=m.planes_t)
         return m
 
     out = {}
