@@ -57,6 +57,6 @@ def test_env_names_match_reference():
         return
     import re
 
-    ref = set(re.findall(r'"(LLAMA_ARG_[A-Z0-9_]+)"', open(ref_path).read()))
+    ref = set(re.findall(r'"(LLAMA_[A-Z0-9_]+)"', open(ref_path).read()))
     unknown = ours - ref - extra_ok
     assert not unknown, unknown

@@ -231,7 +231,10 @@ class ServerState:
     def __init__(self, engine: ServerEngine, model_name: str = "model",
                  mtmd=None, slot_save_path: str | None = None,
                  base_model=None, loras: list | None = None,
-                 chat_template: str | None = None):
+                 chat_template: str | None = None,
+                 api_key: str | None = None, api_prefix: str = "",
+                 no_slots_ep: bool = False, props_rw: bool = False,
+                 chat_template_kwargs: dict | None = None):
         self.engine = engine
         self.model_name = model_name
         # --chat-template NAME: force a builtin dialect (templates.py)
@@ -244,6 +247,13 @@ class ServerState:
         # [{path, adapter, scale}]; POST /lora-adapters re-merges
         self.base_model = base_model
         self.loras = loras or []
+        # --api-key(-file): bearer auth; /health and /v1/models stay open
+        # (server.cpp middleware_server_state + API-key check)
+        self.api_key = api_key or None
+        self.api_prefix = api_prefix.rstrip("/")
+        self.no_slots_ep = no_slots_ep  # --no-slots
+        self.props_rw = props_rw  # --props enables POST /props
+        self.chat_template_kwargs = chat_template_kwargs or {}
 
     def remerge_loras(self):
         """Recompute model params = base + sum(scale_i * delta_i) and swap
@@ -325,9 +335,30 @@ def make_handler(state: ServerState):
             self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
             self.wfile.write(b"0\r\n\r\n")
 
+        def _route(self):
+            """Strip --api-prefix and enforce --api-key (public paths
+            exempt, matching the reference middleware)."""
+            path = self.path.split("?")[0]
+            if state.api_prefix and path.startswith(state.api_prefix):
+                path = path[len(state.api_prefix):] or "/"
+            if state.api_key and path not in ("/health", "/v1/health",
+                                              "/v1/models", "/models"):
+                auth = self.headers.get("Authorization", "")
+                if auth != f"Bearer {state.api_key}":
+                    self._error("invalid API key", 401,
+                                "authentication_error")
+                    return None
+            if state.no_slots_ep and path == "/slots":
+                self._error("slots endpoint disabled by --no-slots", 501,
+                            "not_supported_error")
+                return None
+            return path
+
         # ---- GET ----
         def do_GET(self):
-            path = self.path.split("?")[0]
+            path = self._route()
+            if path is None:
+                return
             if path in ("/health", "/v1/health"):
                 self._json({"status": "ok"})
             elif path == "/lora-adapters":
@@ -411,7 +442,9 @@ def make_handler(state: ServerState):
 
         # ---- POST ----
         def do_POST(self):
-            path = self.path.split("?")[0]
+            path = self._route()
+            if path is None:
+                return
             try:
                 body = self._body()
             except ValueError as e:
@@ -426,6 +459,17 @@ def make_handler(state: ServerState):
                     self._handle_anthropic(body)
                 elif path == "/v1/messages/count_tokens":
                     self._handle_anthropic_count(body)
+                elif path == "/props":
+                    # POST /props (gated on --props like the reference's
+                    # LLAMA_ARG_ENDPOINT_PROPS)
+                    if not state.props_rw:
+                        self._error(
+                            "POST /props disabled (start with --props)",
+                            501, "not_supported_error")
+                    else:
+                        state.chat_template_kwargs.update(
+                            dict(body.get("chat_template_kwargs") or {}))
+                        self._json({"success": True})
                 elif path.startswith("/slots/"):
                     self._handle_slot_action(path, body)
                 elif path == "/lora-adapters":
@@ -950,7 +994,11 @@ def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
           loras: list[tuple[str, float]] | None = None,
           draft_model=None, spec_params=None, kv_unified: bool = False,
           split_mode: str = "none", n_shards: int = 0,
-          chat_template: str | None = None):
+          chat_template: str | None = None,
+          api_key: str | None = None, api_prefix: str = "",
+          no_slots_ep: bool = False, props_rw: bool = False,
+          timeout: int = 0, ssl_cert: str = "", ssl_key: str = "",
+          chat_template_kwargs: dict | None = None):
     base_model = None
     lora_entries = []
     if loras:
@@ -976,8 +1024,19 @@ def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
     state = ServerState(engine, model_name, mtmd=mtmd,
                         slot_save_path=slot_save_path,
                         base_model=base_model, loras=lora_entries,
-                        chat_template=chat_template)
+                        chat_template=chat_template,
+                        api_key=api_key, api_prefix=api_prefix,
+                        no_slots_ep=no_slots_ep, props_rw=props_rw,
+                        chat_template_kwargs=chat_template_kwargs)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    if ssl_cert and ssl_key:
+        import ssl as _ssl
+
+        sctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+        sctx.load_cert_chain(ssl_cert, ssl_key)
+        httpd.socket = sctx.wrap_socket(httpd.socket, server_side=True)
+    if timeout:
+        httpd.timeout = timeout
     httpd.engine = engine
     if block:
         try:
@@ -991,60 +1050,35 @@ def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
 
 
 def main(argv=None):
-    import argparse
+    from ..tools.args import build_parser as common_parser
 
-    ap = argparse.ArgumentParser(prog="tpullama-server")
-    ap.add_argument("-m", "--model", required=True)
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=8080)
-    ap.add_argument("-c", "--ctx-size", type=int, default=2048)
-    ap.add_argument("-np", "--parallel", type=int, default=4, help="number of slots")
-    ap.add_argument("--device", default=None)
-    ap.add_argument("--dtype", default="float32")
-    ap.add_argument("--mmproj", default=None,
-                    help="multimodal projector GGUF (enables image/audio "
-                         "chat content)")
-    ap.add_argument("--slot-save-path", default=None,
-                    help="directory for slot save/restore files (enables "
-                         "POST /slots/{id}?action=save|restore)")
-    ap.add_argument("--lora", action="append", default=[],
-                    help="LoRA adapter GGUF (repeatable)")
+    ap = common_parser("server", prog="tpullama-server",
+                       model_required=False)
+    ap.set_defaults(parallel=4)  # registry -np/--parallel (slot count)
     ap.add_argument("--lora-scaled", action="append", nargs=2, default=[],
                     metavar=("PATH", "SCALE"),
                     help="LoRA adapter GGUF with a custom scale (repeatable)")
-    ap.add_argument("-md", "--model-draft", default=None,
-                    help="draft model GGUF (enables per-slot speculative "
-                         "decoding)")
-    ap.add_argument("--draft-max", type=int, default=16)
-    ap.add_argument("--draft-p-min", type=float, default=0.75)
-    ap.add_argument("-sm", "--split-mode", default=os.environ.get(
-                        "LLAMA_ARG_SPLIT_MODE", "none"),
-                    choices=["none", "layer", "row"],
-                    help="multi-device split: 'layer' = layer-split "
-                         "pipeline, 'row' = Megatron tensor parallelism "
-                         "(the reference's LLAMA_SPLIT_MODE_LAYER/ROW; "
-                         "shard count via -tp, default all devices)")
-    ap.add_argument("-tp", "--tensor-split-shards", type=int, default=0,
-                    dest="n_shards",
-                    help="device count for --split-mode (0 = all)")
-    ap.add_argument("--chat-template", default=os.environ.get(
-        "LLAMA_ARG_CHAT_TEMPLATE") or None,
-        help="force a builtin chat-template dialect by name "
-             "(src/llama-chat.cpp registry; see server.templates)")
-    ap.add_argument("--kv-unified", action="store_true",
-                    default=os.environ.get("LLAMA_ARG_KV_UNIFIED", "") not in ("", "0"),
-                    help="one shared KV cell pool across slots (n_ctx = total; "
-                         "the reference's kv_unified)")
+    ap.add_argument("--kv-unified", "-kvu", action="store_true",
+                    default=os.environ.get("LLAMA_ARG_KV_UNIFIED", "")
+                    not in ("", "0"),
+                    help="one shared KV cell pool across slots (n_ctx = "
+                         "total; the reference's kv_unified)")
     args = ap.parse_args(argv)
+    if not args.model:
+        ap.error("the following arguments are required: -m/--model")
     if args.device:
         import jax
 
         jax.config.update("jax_platforms", args.device)
     from ..models import load_model
+    from ..tools.args import apply_model_arg_overrides
 
     model = load_model(args.model)
-    loras = [(p, 1.0) for p in args.lora]
-    loras += [(p, float(s)) for p, s in args.lora_scaled]
+    apply_model_arg_overrides(model, args)
+    loras = [(p.split(":")[0], 1.0) if ":" not in p
+             else (p.split(":")[0], float(p.split(":")[1]))
+             for p in args.lora]
+    loras += [(p, float(sc)) for p, sc in args.lora_scaled]
     draft_model = spec_params = None
     if args.model_draft:
         from ..runtime.speculative import SpeculativeParams
@@ -1052,14 +1086,30 @@ def main(argv=None):
         draft_model = load_model(args.model_draft)
         spec_params = SpeculativeParams(n_draft=args.draft_max,
                                         p_min=args.draft_p_min)
-    print(f"serving {args.model} on http://{args.host}:{args.port} "
+    api_key = args.api_key or None
+    if args.api_key_file:
+        api_key = open(args.api_key_file).read().strip()
+    ctk = {}
+    if args.chat_template_kwargs:
+        ctk = json.loads(args.chat_template_kwargs)
+    chat_template = args.chat_template or None
+    if not chat_template and args.chat_template_file:
+        chat_template = open(args.chat_template_file).read()
+    scheme = "https" if (args.ssl_cert_file and args.ssl_key_file) else "http"
+    print(f"serving {args.model} on {scheme}://{args.host}:{args.port} "
           f"({args.parallel} slots x {args.ctx_size} ctx)")
-    serve(model, args.host, args.port, n_slots=args.parallel, n_ctx=args.ctx_size,
-          model_name=args.model, mmproj=args.mmproj,
-          slot_save_path=args.slot_save_path, loras=loras or None,
+    serve(model, args.host, args.port, n_slots=args.parallel,
+          n_ctx=args.ctx_size,
+          model_name=args.alias or args.model, mmproj=args.mmproj,
+          slot_save_path=args.slot_save_path or None, loras=loras or None,
           draft_model=draft_model, spec_params=spec_params,
           kv_unified=args.kv_unified, split_mode=args.split_mode,
-          n_shards=args.n_shards, chat_template=args.chat_template)
+          n_shards=args.tp if args.tp > 1 else 0,
+          chat_template=chat_template,
+          api_key=api_key, api_prefix=args.api_prefix,
+          no_slots_ep=args.no_slots, props_rw=args.props,
+          timeout=args.timeout, ssl_cert=args.ssl_cert_file,
+          ssl_key=args.ssl_key_file, chat_template_kwargs=ctk)
 
 
 if __name__ == "__main__":

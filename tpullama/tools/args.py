@@ -30,10 +30,26 @@ class Flag:
     action: str | None = None  # "store_true" for bool switches
     choices: tuple | None = None
     required: bool = False
+    # flags the reference exposes whose mechanism dissolves on this
+    # backend (threads/offload/NUMA/...) parse for compatibility and
+    # warn with the reason when explicitly set
+    noop: str | None = None
 
 
 def _b(v: str) -> bool:
     return str(v).lower() not in ("", "0", "false", "off", "no")
+
+
+def _warn_action(base, reason, flagname):
+    class _Warn(base):
+        def __call__(self, parser, ns, values, option_string=None):
+            import sys
+
+            print(f"warning: {flagname} has no effect on this backend "
+                  f"({reason})", file=sys.stderr)
+            super().__call__(parser, ns, values, option_string)
+
+    return _Warn
 
 
 ALL = "cli server perplexity bench embedding mtmd tokenize imatrix".split()
@@ -165,12 +181,239 @@ FLAGS = [
          help="jax platform override (e.g. cpu)"),
     Flag(("-tp", "--tensor-split-shards"), dest="tp", type=int, default=1,
          help="tensor-parallel shard count (SPLIT_MODE_ROW analog)"),
-    Flag(("--split-mode",), default="none", choices=("none", "layer", "row"),
+    Flag(("-sm", "--split-mode"), default="none",
+         choices=("none", "layer", "row"),
          env="LLAMA_ARG_SPLIT_MODE",
          help="multi-device split mode: row = tensor parallel, "
               "layer = pipeline stages"),
     Flag(("--no-perf",), action="store_true", env="LLAMA_ARG_NO_PERF"),
     Flag(("--verbose", "-v"), action="store_true"),
+    # ---------------- round-4 arg audit tranche (common/arg.cpp parity;
+    # every reference flag is classified in docs/ARGS_AUDIT.md) ----------
+    # sampling tail
+    Flag(("--dynatemp-range",), type=float, default=0.0, scopes=GEN,
+         help="dynamic temperature range (0 = disabled)"),
+    Flag(("--dynatemp-exp",), dest="dynatemp_exponent", type=float,
+         default=1.0, scopes=GEN),
+    Flag(("--dry-penalty-last-n",), type=int, default=-1, scopes=GEN),
+    Flag(("--dry-sequence-breaker",), dest="dry_sequence_breakers",
+         action="append", scopes=GEN,
+         help="DRY breaker string (repeatable; 'none' clears defaults)"),
+    Flag(("-l", "--logit-bias"), dest="logit_bias", action="append",
+         scopes=GEN, help="TOKEN_ID(+/-)BIAS, e.g. 1234+3 or 432-inf"),
+    Flag(("-jf", "--json-schema-file"), default="", scopes=GEN),
+    Flag(("--samplers",), default="", scopes=GEN,
+         help="semicolon list restricting + ordering the chain "
+              "(penalties;dry;top_n_sigma;top_k;typ_p;top_p;min_p;xtc;"
+              "temperature)"),
+    Flag(("--sampling-seq", "--sampler-seq"), dest="sampling_seq", default="",
+         scopes=GEN, help="single-char sampler order (edskypmxt)"),
+    # prompt / conversation (cli)
+    Flag(("-sys", "--system-prompt"), dest="system_prompt", default="",
+         scopes=("cli",)),
+    Flag(("-sysf", "--system-prompt-file"), dest="system_prompt_file",
+         default="", scopes=("cli",)),
+    Flag(("-e", "--escape"), action="store_true", scopes=("cli", "perplexity",
+         "mtmd"), help="process prompt escape sequences (\n, \t, ...)"),
+    Flag(("--no-escape",), action="store_true", scopes=("cli",)),
+    Flag(("--in-prefix",), default="", scopes=("cli",),
+         help="string prepended to user inputs"),
+    Flag(("--in-suffix",), default="", scopes=("cli",),
+         help="string appended after user inputs"),
+    Flag(("--in-prefix-bos",), action="store_true", scopes=("cli",)),
+    Flag(("-sp", "--special"), dest="special", action="store_true",
+         scopes=("cli", "mtmd"), help="render special tokens in output"),
+    Flag(("-cnv", "--conversation"), dest="conversation",
+         action="store_true", scopes=("cli",)),
+    Flag(("-no-cnv", "--no-conversation"), dest="no_conversation",
+         action="store_true", scopes=("cli",)),
+    Flag(("-st", "--single-turn"), dest="single_turn", action="store_true",
+         scopes=("cli",)),
+    Flag(("-if", "--interactive-first"), dest="interactive_first",
+         action="store_true", scopes=("cli",)),
+    Flag(("-mli", "--multiline-input"), dest="multiline_input",
+         action="store_true", scopes=("cli",)),
+    Flag(("--verbose-prompt",), action="store_true", scopes=("cli", "mtmd")),
+    Flag(("-ptc", "--print-token-count"), dest="print_token_count", type=int,
+         default=-1, scopes=("cli",)),
+    Flag(("--no-warmup",), action="store_true",
+         scopes=("cli", "server", "embedding", "mtmd"),
+         help="skip the warmup decode after load"),
+    Flag(("-r", "--reverse-prompt"), dest="reverse_prompt", action="append",
+         scopes=("cli",)),
+    Flag(("--prompt-cache",), default="", scopes=("cli",),
+         help="session state file: restored if present, saved after run"),
+    Flag(("--prompt-cache-all",), action="store_true", scopes=("cli",)),
+    Flag(("--prompt-cache-ro",), action="store_true", scopes=("cli",)),
+    # rope / yarn load-time overrides
+    Flag(("--rope-scale",), type=float, default=0.0, scopes=ALL,
+         env="LLAMA_ARG_ROPE_SCALE",
+         help="rope context scaling factor"),
+    Flag(("--yarn-ext-factor",), type=float, default=-1.0, scopes=ALL,
+         env="LLAMA_ARG_YARN_EXT_FACTOR"),
+    Flag(("--yarn-attn-factor",), type=float, default=1.0, scopes=ALL,
+         env="LLAMA_ARG_YARN_ATTN_FACTOR"),
+    Flag(("--yarn-beta-slow",), type=float, default=1.0, scopes=ALL,
+         env="LLAMA_ARG_YARN_BETA_SLOW"),
+    Flag(("--yarn-beta-fast",), type=float, default=32.0, scopes=ALL,
+         env="LLAMA_ARG_YARN_BETA_FAST"),
+    Flag(("--override-kv",), dest="override_kv", action="append", scopes=ALL,
+         help="override model metadata KEY=TYPE:VALUE (int/float/bool/str)"),
+    # perplexity / evals
+    Flag(("--kl-divergence",), action="store_true", scopes=("perplexity",)),
+    Flag(("--ppl-stride",), type=int, default=0, scopes=("perplexity",)),
+    Flag(("--ppl-output-type",), type=int, default=0, scopes=("perplexity",)),
+    Flag(("--chunks",), type=int, default=-1,
+         scopes=("perplexity", "imatrix"), help="max chunks to process"),
+    # embedding tool
+    Flag(("--embd-normalize",), type=int, default=2, scopes=("embedding",),
+         help="-1=none 0=max-abs-int16 1=taxicab 2=euclidean >2=p-norm"),
+    Flag(("--embd-output-format",), default="", scopes=("embedding",),
+         choices=("", "array", "json", "json+"),),
+    Flag(("--embd-separator",), default="\n", scopes=("embedding",)),
+    Flag(("--cls-separator",), default="\t", scopes=("embedding",)),
+    # imatrix tool
+    Flag(("-o", "--output", "--output-file"), dest="output_file", default="",
+         scopes=("imatrix", "perplexity", "embedding")),
+    Flag(("-ofreq", "--output-frequency"), dest="output_frequency", type=int,
+         default=10, scopes=("imatrix",)),
+    Flag(("--save-frequency",), type=int, default=0, scopes=("imatrix",)),
+    Flag(("--process-output",), action="store_true", scopes=("imatrix",)),
+    Flag(("--no-ppl",), action="store_true", scopes=("imatrix",)),
+    Flag(("--chunk", "--from-chunk"), dest="from_chunk", type=int, default=0,
+         scopes=("imatrix",)),
+    Flag(("--show-statistics",), action="store_true", scopes=("imatrix",)),
+    Flag(("--parse-special",), action="store_true",
+         scopes=("imatrix", "perplexity")),
+    # batched-bench dims
+    Flag(("-npp",), dest="npp", default="", scopes=("bench",),
+         help="prompt lengths (comma list)"),
+    Flag(("-ntg",), dest="ntg", default="", scopes=("bench",),
+         help="gen lengths (comma list)"),
+    Flag(("-npl",), dest="npl", default="", scopes=("bench",),
+         help="parallel seq counts (comma list)"),
+    Flag(("-pps",), action="store_true", scopes=("bench",),
+         help="prompt is shared across parallel sequences"),
+    # server tail
+    Flag(("--path",), dest="static_path", default="", scopes=SRV,
+         env="LLAMA_ARG_STATIC_PATH", help="static files dir for the webui"),
+    Flag(("--api-prefix",), default="", scopes=SRV,
+         env="LLAMA_ARG_API_PREFIX"),
+    Flag(("--api-key-file",), default="", scopes=SRV),
+    Flag(("-to", "--timeout"), dest="timeout", type=int, default=600,
+         scopes=SRV, env="LLAMA_ARG_TIMEOUT"),
+    Flag(("--threads-http",), type=int, default=-1, scopes=SRV,
+         env="LLAMA_ARG_THREADS_HTTP",
+         noop="the server uses a thread-per-connection model"),
+    Flag(("--props",), action="store_true", scopes=SRV,
+         env="LLAMA_ARG_ENDPOINT_PROPS",
+         help="enable POST /props settings changes"),
+    Flag(("--slots",), action="store_true", scopes=SRV,
+         env="LLAMA_ARG_ENDPOINT_SLOTS"),
+    Flag(("--no-slots",), action="store_true", scopes=SRV,
+         env="LLAMA_ARG_NO_ENDPOINT_SLOTS"),
+    Flag(("--no-jinja",), action="store_true", scopes=SRV),
+    Flag(("--reasoning-format",), default="auto", scopes=SRV,
+         choices=("auto", "none", "deepseek", "deepseek-legacy"),
+         env="LLAMA_ARG_THINK"),
+    Flag(("--reasoning-budget",), type=int, default=-1, scopes=SRV,
+         env="LLAMA_ARG_THINK_BUDGET"),
+    Flag(("--no-prefill-assistant",), action="store_true", scopes=SRV,
+         env="LLAMA_ARG_NO_PREFILL_ASSISTANT"),
+    Flag(("-sps", "--slot-prompt-similarity"), dest="slot_prompt_similarity",
+         type=float, default=0.1, scopes=SRV),
+    Flag(("--chat-template-kwargs",), default="", scopes=SRV,
+         env="LLAMA_CHAT_TEMPLATE_KWARGS",
+         help="JSON dict of extra chat-template variables"),
+    Flag(("--media-path",), default="", scopes=SRV,
+         help="directory for local media references in /v1 requests"),
+    Flag(("--no-models-autoload",), action="store_true", scopes=SRV,
+         env="LLAMA_ARG_NO_MODELS_AUTOLOAD"),
+    Flag(("--ssl-key-file",), default="", scopes=SRV,
+         env="LLAMA_ARG_SSL_KEY_FILE"),
+    Flag(("--ssl-cert-file",), default="", scopes=SRV,
+         env="LLAMA_ARG_SSL_CERT_FILE"),
+    # logging
+    Flag(("--log-disable",), action="store_true"),
+    Flag(("--log-file",), default=""),
+    Flag(("--log-colors",), default="auto", choices=("auto", "on", "off"),
+         env="LLAMA_LOG_COLORS"),
+    Flag(("--log-prefix",), action="store_true", env="LLAMA_LOG_PREFIX"),
+    Flag(("--log-timestamps",), action="store_true",
+         env="LLAMA_LOG_TIMESTAMPS"),
+    Flag(("-lv", "--verbosity", "--log-verbosity"), dest="log_verbosity",
+         type=int, default=0, env="LLAMA_LOG_VERBOSITY"),
+    Flag(("--offline",), action="store_true", env="LLAMA_OFFLINE",
+         noop="this environment performs no network fetches"),
+    # draft-model tail
+    Flag(("-cd", "--ctx-size-draft"), dest="ctx_size_draft", type=int,
+         default=0, scopes=GEN, env="LLAMA_ARG_CTX_SIZE_DRAFT"),
+    Flag(("--draft-p-split",), type=float, default=0.1, scopes=GEN,
+         env="LLAMA_ARG_DRAFT_P_SPLIT"),
+    Flag(("--spec-replace",), action="append", scopes=GEN,
+         help="TARGET:DRAFT template-token translation pair"),
+    Flag(("-ctkd", "--cache-type-k-draft"), dest="cache_type_k_draft",
+         default="", scopes=GEN, env="LLAMA_ARG_CACHE_TYPE_K_DRAFT"),
+    Flag(("-ctvd", "--cache-type-v-draft"), dest="cache_type_v_draft",
+         default="", scopes=GEN, env="LLAMA_ARG_CACHE_TYPE_V_DRAFT"),
+    # tts
+    Flag(("-mv", "--model-vocoder"), dest="model_vocoder", default="",
+         scopes=("cli",)),
+    Flag(("--tts-speaker-file",), default="", scopes=("cli",)),
+    Flag(("--tts-use-guide-tokens",), action="store_true", scopes=("cli",)),
+    # cvector
+    Flag(("--positive-file",), default="", scopes=("cli",)),
+    Flag(("--negative-file",), default="", scopes=("cli",)),
+    Flag(("--pca-batch",), type=int, default=100, scopes=("cli",)),
+    Flag(("--pca-iter",), type=int, default=1000, scopes=("cli",)),
+    Flag(("--method",), default="pca", choices=("pca", "mean"),
+         scopes=("cli",)),
+    # host-runtime flags that dissolve on this backend (XLA owns
+    # threading/placement; no CPU<->accelerator offload split exists)
+    Flag(("-t", "--threads"), dest="threads", type=int, default=-1,
+         env="LLAMA_ARG_THREADS",
+         noop="XLA owns host threading"),
+    Flag(("-tb", "--threads-batch"), dest="threads_batch", type=int,
+         default=-1, noop="XLA owns host threading"),
+    Flag(("--cpu-strict",), type=int, default=0,
+         noop="XLA owns host threading"),
+    Flag(("--prio",), type=int, default=0, noop="XLA owns host threading"),
+    Flag(("--poll",), type=int, default=50, noop="XLA owns host threading"),
+    Flag(("-fa", "--flash-attn"), dest="flash_attn", default="auto",
+         scopes=ALL, env="LLAMA_ARG_FLASH_ATTN",
+         noop="the Pallas flash kernels are always on"),
+    Flag(("-ngl", "--gpu-layers", "--n-gpu-layers"), dest="n_gpu_layers",
+         type=int, default=-1, env="LLAMA_ARG_N_GPU_LAYERS",
+         noop="no host/accelerator layer split: all layers run on TPU"),
+    Flag(("-ts", "--tensor-split"), dest="tensor_split", default="",
+         noop="use --split-mode/-tp (mesh sharding) instead"),
+    Flag(("-mg", "--main-gpu"), dest="main_gpu", type=int, default=0,
+         noop="single-process device selection is JAX_PLATFORMS/--device"),
+    Flag(("--mlock",), action="store_true", env="LLAMA_ARG_MLOCK",
+         noop="weights live in device HBM, not pageable host memory"),
+    Flag(("--no-mmap",), action="store_true", env="LLAMA_ARG_NO_MMAP",
+         noop="the loader always streams through mmap into HBM"),
+    Flag(("--numa",), default="", noop="XLA owns host memory placement"),
+    Flag(("-nkvo", "--no-kv-offload"), dest="no_kv_offload",
+         action="store_true", env="LLAMA_ARG_NO_KV_OFFLOAD",
+         noop="the KV cache is always HBM-resident"),
+    Flag(("-nr", "--no-repack"), dest="no_repack", action="store_true",
+         noop="planar repack is required by the TPU kernels"),
+    Flag(("--no-op-offload",), action="store_true",
+         noop="no host/accelerator op split exists"),
+    Flag(("--override-tensor", "-ot"), dest="override_tensor",
+         action="append",
+         noop="no per-tensor buffer placement: one HBM space"),
+    Flag(("--cpu-moe", "-cmoe"), dest="cpu_moe", action="store_true",
+         env="LLAMA_ARG_CPU_MOE",
+         noop="no host/accelerator expert split; use EP sharding"),
+    Flag(("--n-cpu-moe", "-ncmoe"), dest="n_cpu_moe", type=int, default=0,
+         env="LLAMA_ARG_N_CPU_MOE",
+         noop="no host/accelerator expert split; use EP sharding"),
+    Flag(("--rpc",), default="", noop="multi-host uses jax.distributed, "
+         "not the RPC backend"),
+    Flag(("--list-devices",), action="store_true",
+         help="print available accelerator devices and exit"),
 ]
 
 
@@ -187,13 +430,18 @@ def build_parser(scope: str, prog: str, description: str = "",
         if fl.action == "append":
             kw.update(action="append", default=[])
         elif fl.action == "store_true":
-            kw.update(action="store_true",
+            act = "store_true" if fl.noop is None else _warn_action(
+                argparse._StoreTrueAction, fl.noop, fl.flags[-1])
+            kw.update(action=act,
                       default=_b(envval) if envval is not None else False)
         else:
             default = envval if envval is not None else fl.default
             if default is not None and fl.type is not str:
                 default = fl.type(default)
             kw.update(type=fl.type, default=default)
+            if fl.noop is not None:
+                kw["action"] = _warn_action(argparse._StoreAction, fl.noop,
+                                            fl.flags[-1])
             if fl.choices:
                 kw["choices"] = list(fl.choices)
         if kw["dest"] is None:
@@ -212,3 +460,162 @@ def kv_dtype_from_arg(name: str):
 
     return {"f16": jnp.float16, "bf16": jnp.bfloat16, "f32": jnp.float32,
             "q8_0": jnp.int8}[name]
+
+
+# sampler-name registry for --samplers / --sampling-seq (the reference's
+# common_sampler_type_from_str / _from_chr tables, common/sampling.cpp)
+_SAMPLER_NAMES = ("penalties", "dry", "top_n_sigma", "top_k", "typ_p",
+                  "top_p", "min_p", "xtc", "temperature")
+_SAMPLER_CHARS = {"e": "penalties", "d": "dry", "s": "top_n_sigma",
+                  "k": "top_k", "y": "typ_p", "p": "top_p", "m": "min_p",
+                  "x": "xtc", "t": "temperature"}
+
+
+def parse_logit_bias(items):
+    """TOKEN_ID(+|-)BIAS entries (common/arg.cpp --logit-bias), incl.
+    the -inf ban form."""
+    out = {}
+    for it in items or ():
+        it = it.replace(":", "+") if ":" in it and "+" not in it else it
+        import re as _re
+
+        m = _re.match(r"^(\d+)\s*([+-])\s*(inf|[0-9.]+)$", it.strip())
+        if not m:
+            raise ValueError(f"invalid logit bias {it!r}")
+        tok = int(m.group(1))
+        val = float("inf") if m.group(3) == "inf" else float(m.group(3))
+        out[tok] = -val if m.group(2) == "-" else val
+    return out
+
+
+def sampler_order_from_args(args):
+    """Resolve --samplers / --sampling-seq to an ordered name list (None =
+    default chain)."""
+    seq = getattr(args, "sampling_seq", "") or ""
+    if seq:
+        return [_SAMPLER_CHARS[c] for c in seq if c in _SAMPLER_CHARS]
+    names = getattr(args, "samplers", "") or ""
+    if names:
+        return [n for n in names.replace(",", ";").split(";")
+                if n in _SAMPLER_NAMES]
+    return None
+
+
+def sampler_from_args(args, vocab=None, n_vocab: int = 0):
+    """Full SamplerChain from the registered sampling flags (the
+    common_params_sampling -> common_sampler_init path)."""
+    from ..runtime.sampling import SamplerChain
+
+    if args.temp <= 0 and not getattr(args, "mirostat", 0):
+        return None  # greedy
+    breakers = getattr(args, "dry_sequence_breakers", None)
+    if breakers == ["none"]:
+        breakers = []
+    schema = getattr(args, "json_schema", "") or ""
+    jf = getattr(args, "json_schema_file", "") or ""
+    if jf:
+        schema = open(jf, encoding="utf-8").read()
+    chain = SamplerChain.from_params(
+        vocab=vocab,
+        seed=args.seed if args.seed >= 0 else 0xFFFFFFFF,
+        temp=args.temp,
+        dynatemp_range=getattr(args, "dynatemp_range", 0.0),
+        dynatemp_exponent=getattr(args, "dynatemp_exponent", 1.0),
+        top_k=args.top_k, top_p=args.top_p, min_p=args.min_p,
+        typical_p=getattr(args, "typical_p", 1.0),
+        xtc_probability=getattr(args, "xtc_probability", 0.0),
+        xtc_threshold=getattr(args, "xtc_threshold", 0.1),
+        top_n_sigma=getattr(args, "top_n_sigma", -1.0),
+        penalty_last_n=args.repeat_last_n,
+        penalty_repeat=args.repeat_penalty,
+        penalty_freq=getattr(args, "frequency_penalty", 0.0),
+        penalty_present=getattr(args, "presence_penalty", 0.0),
+        dry_multiplier=getattr(args, "dry_multiplier", 0.0),
+        dry_base=getattr(args, "dry_base", 1.75),
+        dry_allowed_length=getattr(args, "dry_allowed_length", 2),
+        dry_penalty_last_n=getattr(args, "dry_penalty_last_n", -1),
+        dry_sequence_breakers=breakers,
+        mirostat=getattr(args, "mirostat", 0),
+        mirostat_tau=getattr(args, "mirostat_tau", 5.0),
+        mirostat_eta=getattr(args, "mirostat_eta", 0.1),
+        logit_bias=parse_logit_bias(getattr(args, "logit_bias", None)),
+        n_vocab=n_vocab,
+    )
+    order = sampler_order_from_args(args)
+    if order is not None:
+        keep = set(order)
+        alias = {"penalties": ("penalties", "logit_bias"), "dry": ("dry",),
+                 "top_n_sigma": ("top_n_sigma",), "top_k": ("top_k",),
+                 "typ_p": ("typical",), "top_p": ("top_p",),
+                 "min_p": ("min_p",), "xtc": ("xtc",),
+                 "temperature": ("temp", "temp_ext")}
+        allowed = {n for k in keep for n in alias.get(k, (k,))}
+        allowed |= {"dist", "mirostat", "logit_bias", "grammar", "infill"}
+        chain.samplers = [sm for sm in chain.samplers
+                          if getattr(sm, "name", "") in allowed]
+    return chain
+
+
+def parse_override_kv(items):
+    """--override-kv KEY=TYPE:VALUE (llama_model_kv_override analog)."""
+    out = {}
+    for it in items or ():
+        key, _, tv = it.partition("=")
+        typ, _, val = tv.partition(":")
+        if typ == "int":
+            out[key] = int(val)
+        elif typ == "float":
+            out[key] = float(val)
+        elif typ == "bool":
+            out[key] = _b(val)
+        elif typ == "str":
+            out[key] = val
+        else:
+            raise ValueError(f"--override-kv type must be int/float/bool/str: {it!r}")
+    return out
+
+
+def apply_model_arg_overrides(model, args):
+    """Load-time hparam overrides: rope/yarn flags + --override-kv
+    (llama_context_params rope fields + kv_overrides)."""
+    hp = model.hparams
+    rs = getattr(args, "rope_scaling", "") or ""
+    if rs:
+        hp.rope_scaling = rs
+    if getattr(args, "rope_scale", 0.0):
+        hp.rope_scaling = hp.rope_scaling if hp.rope_scaling != "none" else "linear"
+        hp.rope_freq_scale = 1.0 / args.rope_scale
+    if getattr(args, "rope_freq_base", 0.0):
+        hp.rope_freq_base = args.rope_freq_base
+    if getattr(args, "rope_freq_scale", 0.0):
+        hp.rope_freq_scale = args.rope_freq_scale
+    if getattr(args, "yarn_orig_ctx", 0):
+        hp.n_ctx_orig_yarn = args.yarn_orig_ctx
+    if getattr(args, "yarn_ext_factor", -1.0) >= 0:
+        hp.rope_yarn_ext_factor = args.yarn_ext_factor
+    if getattr(args, "yarn_attn_factor", 1.0) != 1.0:
+        hp.rope_attn_factor = args.yarn_attn_factor
+    if getattr(args, "yarn_beta_slow", 1.0) != 1.0:
+        hp.rope_beta_slow = args.yarn_beta_slow
+    if getattr(args, "yarn_beta_fast", 32.0) != 32.0:
+        hp.rope_beta_fast = args.yarn_beta_fast
+    for key, val in parse_override_kv(
+            getattr(args, "override_kv", None)).items():
+        # map gguf key tails onto hparam fields where known; unknown keys
+        # attach verbatim for arch code that reads hp.extra
+        tail = key.rsplit(".", 1)[-1]
+        field_map = {
+            "rope_freq_base": "rope_freq_base",
+            "freq_base": "rope_freq_base",
+            "sliding_window": "n_swa",
+            "expert_used_count": "n_expert_used",
+        }
+        if tail in field_map:
+            setattr(hp, field_map[tail], val)
+        elif hasattr(hp, tail):
+            setattr(hp, tail, val)
+        else:
+            if not hasattr(hp, "extra") or hp.extra is None:
+                hp.extra = {}
+            hp.extra[key] = val
+    return model

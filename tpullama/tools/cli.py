@@ -26,7 +26,19 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _unescape(t: str) -> str:
+    r"""string_process_escapes (common/common.cpp): \n \t \' \" \\ \xNN."""
+    return t.encode("utf-8").decode("unicode_escape").encode(
+        "latin-1").decode("utf-8")
+
+
 def main(argv=None) -> int:
+    if "--list-devices" in (argv if argv is not None else sys.argv[1:]):
+        import jax
+
+        for i, d in enumerate(jax.devices()):
+            print(f"{i}: {d}")
+        return 0
     args = build_parser().parse_args(argv)
     if args.device:
         import jax
@@ -50,6 +62,9 @@ def main(argv=None) -> int:
     if args.split_mode == "row" and args.tp > 1:
         load_kw["tp_shards"] = args.tp
     model = load_model(args.model, dtype=dtype, **load_kw)
+    from .args import apply_model_arg_overrides
+
+    apply_model_arg_overrides(model, args)
     if args.verbose:
         print(f"[load] {args.model} in {time.time()-t0:.1f}s "
               f"arch={model.arch} n_layer={model.hparams.n_layer}", file=sys.stderr)
@@ -68,19 +83,22 @@ def main(argv=None) -> int:
     if args.file:
         with open(args.file, encoding="utf-8") as f:
             prompt = f.read()
+    system_prompt = args.system_prompt
+    if args.system_prompt_file:
+        with open(args.system_prompt_file, encoding="utf-8") as f:
+            system_prompt = f.read()
+    if args.escape and not args.no_escape:
+        prompt = _unescape(prompt)
+        system_prompt = _unescape(system_prompt)
+        args.in_prefix = _unescape(args.in_prefix)
+        args.in_suffix = _unescape(args.in_suffix)
+    if system_prompt:
+        prompt = system_prompt + ("\n" + prompt if prompt else "")
 
-    if args.temp <= 0:
-        sampler = None  # greedy
-    else:
-        sampler = SamplerChain.std(
-            seed=args.seed if args.seed >= 0 else 0xFFFFFFFF,
-            temp=args.temp,
-            top_k=args.top_k,
-            top_p=args.top_p,
-            min_p=args.min_p,
-            penalty_last_n=args.repeat_last_n,
-            penalty_repeat=args.repeat_penalty,
-        )
+    from .args import sampler_from_args
+
+    sampler = sampler_from_args(args, vocab=model.vocab,
+                                n_vocab=model.hparams.n_vocab)
 
     for cv in args.control_vector:
         from ..runtime.cvec import apply_control_vector
@@ -112,8 +130,19 @@ def main(argv=None) -> int:
         if args.verbose:
             print(f"[draft] {args.model_draft} arch={draft.arch}", file=sys.stderr)
 
-    def generate_round(text: str, n_predict: int):
+    render_special = bool(getattr(args, "special", False))
+    rev_prompts = list(getattr(args, "reverse_prompt", None) or [])
+
+    def generate_round(text: str, n_predict: int, wrap: bool = False):
+        if wrap:  # interactive user turns get the in-prefix/suffix wrap
+            if args.in_prefix_bos:
+                text = vocab.token_to_piece(vocab.bos_id, special=True) + text
+            text = args.in_prefix + text + args.in_suffix
         toks = vocab.tokenize(text, add_special=int(ctx.n_past[0]) == 0)
+        if args.verbose_prompt:
+            for t in toks:
+                print(f"{t:6d} -> {vocab.token_to_piece(t, special=True)!r}",
+                      file=sys.stderr)
         if not args.no_display_prompt:
             sys.stdout.write(text)
             sys.stdout.flush()
@@ -143,35 +172,70 @@ def main(argv=None) -> int:
             sys.stdout.flush()
             return
         logits = ctx.decode(np.asarray(toks, np.int32), n_logits=1)[-1]
+        tail = ""
         for _ in range(n):
             if sampler is None:
                 tok = int(np.argmax(logits))
             else:
                 tok = sampler.sample(logits)
-            if vocab.is_eog(tok):
+            if vocab.is_eog(tok) and not args.ignore_eos:
                 break
-            sys.stdout.write(vocab.token_to_piece(tok, special=False))
+            piece = vocab.token_to_piece(tok, special=render_special)
+            sys.stdout.write(piece)
             sys.stdout.flush()
+            if rev_prompts:
+                tail = (tail + piece)[-64:]
+                if any(r in tail for r in rev_prompts):
+                    break
             logits = ctx.decode(np.asarray([tok], np.int32), n_logits=1)[-1]
         sys.stdout.write("\n")
 
     from ..runtime.profiling import maybe_profile
 
+    interactive = (args.interactive or args.interactive_first
+                   or (args.conversation and not args.no_conversation))
+    if args.interactive_first and not prompt:
+        prompt = ""
+    restored = False
+    if args.prompt_cache and os.path.exists(args.prompt_cache):
+        from ..runtime.state import state_load
+
+        try:
+            state_load(ctx, args.prompt_cache)
+            restored = True
+            if args.verbose:
+                print(f"[cache] restored {args.prompt_cache}", file=sys.stderr)
+        except Exception as e:
+            print(f"warning: prompt cache restore failed: {e}",
+                  file=sys.stderr)
+
     with maybe_profile():  # TPULLAMA_PROFILE=<dir> writes a jax trace
-        if args.interactive:
+        if interactive:
             print("== interactive mode (empty line to exit) ==", file=sys.stderr)
-            if prompt:
+            if prompt and not args.interactive_first:
                 generate_round(prompt, args.n_predict)
             while True:
                 try:
                     line = input("> ")
+                    if args.multiline_input:
+                        while line.endswith("\\"):
+                            line = line[:-1] + "\n" + input("  ")
                 except EOFError:
                     break
                 if not line:
                     break
-                generate_round(line, args.n_predict)
+                generate_round(line, args.n_predict, wrap=True)
+                if args.single_turn:
+                    break
         else:
             generate_round(prompt, args.n_predict)
+
+    if args.prompt_cache and not args.prompt_cache_ro and not restored:
+        from ..runtime.state import state_save
+
+        state_save(ctx, args.prompt_cache)
+        if args.verbose:
+            print(f"[cache] saved {args.prompt_cache}", file=sys.stderr)
 
     if args.verbose:
         p = ctx.perf
