@@ -1,0 +1,130 @@
+"""Round-5 regression tests: greedy sampling keeps modifiers, --lora
+path parsing, planes_t field gating, persistent compile cache."""
+
+import numpy as np
+import pytest
+
+
+def _args(argv):
+    from tpullama.tools.args import build_parser
+
+    ap = build_parser("cli", prog="t")
+    return ap.parse_args(["-m", "x.gguf"] + argv)
+
+
+def test_greedy_pure_argmax_fast_path():
+    from tpullama.tools.args import sampler_from_args
+
+    assert sampler_from_args(_args(["--temp", "0"])) is None
+
+
+def test_greedy_keeps_logit_bias():
+    """--temp 0 --logit-bias must still bias before argmax (the
+    reference's common_sampler applies bias/penalties in the greedy
+    chain too; common/sampling.cpp chain order)."""
+    from tpullama.tools.args import sampler_from_args
+
+    chain = sampler_from_args(_args(["--temp", "0", "-l", "7+100"]))
+    assert chain is not None
+    logits = np.zeros(16, np.float32)
+    logits[3] = 5.0  # would win without bias
+    assert chain.sample(logits) == 7
+
+
+def test_greedy_keeps_penalties():
+    from tpullama.tools.args import sampler_from_args
+
+    chain = sampler_from_args(
+        _args(["--temp", "0", "--repeat-penalty", "1.5"]))
+    assert chain is not None
+    names = [getattr(s, "name", "") for s in chain.samplers]
+    assert "penalties" in names and names[-1] == "greedy"
+
+
+def test_greedy_keeps_grammar():
+    from tpullama.tools.args import sampler_from_args
+
+    class TD:
+        def __init__(self, t):
+            self.text = t
+            self.attr = 0
+
+    class V:
+        n_tokens = 4
+        id_to_token = [TD(t) for t in "abcd"]
+
+        def token_to_piece(self, i, special=False):
+            return "abcd"[i]
+
+        def is_eog(self, i):
+            return False
+
+    chain = sampler_from_args(
+        _args(["--temp", "0", "--grammar", 'root ::= "b"']), vocab=V())
+    assert chain is not None
+    logits = np.zeros(4, np.float32)
+    logits[0] = 9.0  # "a" wins unconstrained; grammar only allows "b"
+    assert chain.sample(logits) == 1
+
+
+def test_lora_path_with_colon(tmp_path):
+    """--lora values keep windows-style / colon paths intact; a trailing
+    ':<float>' still parses as a scale."""
+    import tpullama.server.http as http_mod
+
+    # reproduce the parsing helper's behavior via main()'s local rules:
+    # emulate by calling the same logic
+    def pair(p):
+        head, _, tail = p.rpartition(":")
+        if head:
+            try:
+                return head, float(tail)
+            except ValueError:
+                pass
+        return p, 1.0
+
+    assert pair("/a/b.gguf") == ("/a/b.gguf", 1.0)
+    assert pair("/a/b.gguf:0.5") == ("/a/b.gguf", 0.5)
+    assert pair("C:/adapters/x.gguf") == ("C:/adapters/x.gguf", 1.0)
+    assert pair("C:/adapters/x.gguf:2") == ("C:/adapters/x.gguf", 2.0)
+    assert http_mod is not None
+
+
+def test_planes_t_gated_on_field_set():
+    """Q5/Q6/Q2K/Q3K field sets must be refused by the transposed
+    gathered kernel (their q1/q2 stripes have no planes_t unpack)."""
+    import jax.numpy as jnp
+
+    from tpullama.gguf.constants import GGMLType
+    from tpullama.ops.pallas.qmm import quantized_matmul_gathered
+
+    E, N, K = 2, 128, 64
+    fields = {
+        "q4": jnp.zeros((E, K // 2, N), jnp.uint8),
+        "q1": jnp.zeros((E, K // 8, N), jnp.uint8),
+        "scale": jnp.zeros((E, 16, N), jnp.bfloat16),
+        "minv": jnp.zeros((E, 16, N), jnp.bfloat16),
+    }
+    x = jnp.zeros((2, K), jnp.float32)
+    sel = jnp.zeros((2,), jnp.int32)
+    with pytest.raises(AssertionError, match="planes_t"):
+        quantized_matmul_gathered(
+            x, fields, sel, GGMLType.Q5_0, 32, N, K, planes_t=True,
+            interpret=True)
+
+
+def test_compile_cache_enabled(tmp_path, monkeypatch):
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    monkeypatch.setenv("TPULLAMA_CACHE_DIR", str(tmp_path / "c"))
+    import tpullama.runtime.compile_cache as cc
+
+    cc._done = False
+    path = cc.enable_compilation_cache()
+    assert path == str(tmp_path / "c")
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == path
+
+    monkeypatch.setenv("TPULLAMA_CACHE_DIR", "off")
+    cc._done = False
+    assert cc.enable_compilation_cache() is None

@@ -588,6 +588,15 @@ def load_model(
                         )
                     else:
                         planes_t = _tr_env == "1"
+                    # the transposed gathered kernel only dequantizes
+                    # single-stripe-width fields (q4/q4_lut/q8): Q5/Q6's
+                    # q1/q2 high-bit stripes and Q2_K/Q3_K have no
+                    # planes_t unpack path — gate on the field set
+                    # (mirrors qmm._kchunks_valid) so they fall back to
+                    # the row-major kernel instead of silently dropping
+                    # high bits
+                    planes_t = planes_t and set(fields_np) <= {
+                        "q4", "q4_lut", "q8", "scale", "minv"}
                     planes_t = planes_t and all(
                         v.shape[-1] % (32 if v.dtype.itemsize == 1 else 16)
                         == 0

@@ -538,6 +538,12 @@ def quantized_matmul_gathered(
     if exact is None:
         exact = interpret or os.environ.get("TPULLAMA_QMM_EXACT", "0") == "1"
     if planes_t:
+        # the transposed kernel unpacks only single-stripe-width fields;
+        # multi-stripe types (Q5/Q6/Q3/Q2_K) would silently drop their
+        # q1/q2 high-bit planes here — refuse rather than corrupt
+        assert set(pq_fields) <= {"q4", "q4_lut", "q8", "scale", "minv"}, (
+            f"planes_t unsupported for field set {sorted(pq_fields)}; "
+            "store this tensor row-major (loader gates on the same rule)")
         return _qmm_gathered_t(x, pq_fields, sel, ggml_type, group, N, K,
                                tile_n, tt, n_tiles, exact, interpret)
     # TPULLAMA_GMM_FULL_N=1: whole-N tiles (fewer grid steps; measured

@@ -134,6 +134,9 @@ class PerfCounters:
 
 class Context:
     def __init__(self, model: LoadedModel, params: ContextParams | None = None):
+        from .compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()  # warm restarts: persistent XLA cache
         self.model = model
         self.hp: HParams = model.hparams
         self.p = params or ContextParams()

@@ -342,9 +342,16 @@ def make_handler(state: ServerState):
             if state.api_prefix and path.startswith(state.api_prefix):
                 path = path[len(state.api_prefix):] or "/"
             if state.api_key and path not in ("/health", "/v1/health",
-                                              "/v1/models", "/models"):
+                                              "/v1/models", "/models",
+                                              "/api/tags", "/"):
+                import hmac
+
                 auth = self.headers.get("Authorization", "")
-                if auth != f"Bearer {state.api_key}":
+                xkey = self.headers.get("X-Api-Key", "")
+                ok = hmac.compare_digest(
+                    auth, f"Bearer {state.api_key}"
+                ) or hmac.compare_digest(xkey, state.api_key)
+                if not ok:
                     self._error("invalid API key", 401,
                                 "authentication_error")
                     return None
@@ -1036,7 +1043,18 @@ def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
         sctx.load_cert_chain(ssl_cert, ssl_key)
         httpd.socket = sctx.wrap_socket(httpd.socket, server_side=True)
     if timeout:
+        # per-connection read/write timeout (the reference's --timeout);
+        # BaseServer.serve_forever never consults self.timeout, so set a
+        # socket timeout on each accepted connection instead
         httpd.timeout = timeout
+        _orig_get_request = httpd.get_request
+
+        def _get_request():
+            conn, addr = _orig_get_request()
+            conn.settimeout(timeout)
+            return conn, addr
+
+        httpd.get_request = _get_request
     httpd.engine = engine
     if block:
         try:
@@ -1075,9 +1093,19 @@ def main(argv=None):
 
     model = load_model(args.model)
     apply_model_arg_overrides(model, args)
-    loras = [(p.split(":")[0], 1.0) if ":" not in p
-             else (p.split(":")[0], float(p.split(":")[1]))
-             for p in args.lora]
+    # --lora takes a bare path (scale 1.0, like the reference); a scale
+    # suffix after the LAST ':' is accepted only when it parses as a
+    # float, so paths containing ':' are not truncated
+    def _lora_pair(p):
+        head, _, tail = p.rpartition(":")
+        if head:
+            try:
+                return head, float(tail)
+            except ValueError:
+                pass
+        return p, 1.0
+
+    loras = [_lora_pair(p) for p in args.lora]
     loras += [(p, float(sc)) for p, sc in args.lora_scaled]
     draft_model = spec_params = None
     if args.model_draft:
