@@ -70,11 +70,17 @@ def make_hp(model: str = "llama8b"):
             n_embd_head_v=64, n_rot=64, rope_freq_base=150000.0, rope_type=2,
             n_expert=32, n_expert_used=4, moe_act="swiglu_oai",
         )
-    return HParams(
+    hp = HParams(
         arch="llama", n_vocab=128256, n_ctx_train=8192, n_embd=4096,
         n_layer=32, n_ff=14336, n_head=32, n_head_kv=8, n_embd_head_k=128,
         n_embd_head_v=128, n_rot=128, rope_freq_base=500000.0, rope_type=0,
     )
+    if os.environ.get("BENCH_FUSED", "1") == "1":
+        # fused [Q|K|V] / [gate|up] projections — the loader's production
+        # fuse_projections path and bench.py's headline config; 3 qmm
+        # launches per layer instead of 7
+        hp.ffn_fused_up = True
+    return hp
 
 
 def param_bytes(params):
@@ -176,15 +182,46 @@ def make_prefill_fn(hp, quant_meta, T, unroll):
     return jax.jit(prefill), S
 
 
-def kv_struct(hp, B, S, abstract, dtype):
+def kv_struct(hp, B, S, abstract, dtype, kv_mode="bf16"):
+    """kv_mode: bf16 | q8 (int8 + per-row scales) | bf16t / q8t (D-major
+    transposed cache — the un-padded layout for D < 128 heads)."""
     import jax
     import jax.numpy as jnp
 
-    shp_k = (hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_k)
-    shp_v = (hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_v)
-    if abstract:
-        return jax.ShapeDtypeStruct(shp_k, dtype), jax.ShapeDtypeStruct(shp_v, dtype)
-    return jnp.zeros(shp_k, dtype), jnp.zeros(shp_v, dtype)
+    L, H, Dk, Dv = hp.n_layer, hp.n_head_kv, hp.n_embd_head_k, hp.n_embd_head_v
+    t = kv_mode.endswith("t")
+    qdt = jnp.int8 if kv_mode.startswith("q8") else dtype
+
+    def mk(shape, dt):
+        return jax.ShapeDtypeStruct(shape, dt) if abstract else jnp.zeros(shape, dt)
+
+    def one(D):
+        arr = mk((L, B, H, D, S) if t else (L, B, H, S, D), qdt)
+        leaf = {"qT": arr} if t else arr
+        if kv_mode.startswith("q8"):
+            if not t:
+                leaf = {"q": arr}
+            leaf["s"] = mk((L, B, H, S), jnp.float32)
+        return leaf
+
+    return one(Dk), one(Dv)
+
+
+def kv_streamed_bytes(hp, S, dtype, kv_mode="bf16"):
+    """Honest per-sequence KV bytes READ per decode step: row-major
+    (…, S, D) tiles pad the lane dim to 128, and the padding is part of
+    the HBM tiles actually streamed."""
+    import numpy as np
+
+    L, H = hp.n_layer, hp.n_head_kv
+    isz = 1 if kv_mode.startswith("q8") else np.dtype(dtype).itemsize
+    tot = 0
+    for D in (hp.n_embd_head_k, hp.n_embd_head_v):
+        D_eff = D if kv_mode.endswith("t") else -(-D // 128) * 128
+        tot += L * H * S * D_eff * isz
+    if kv_mode.startswith("q8"):
+        tot += 2 * L * H * S * 4  # f32 scale planes
+    return tot
 
 
 def main():
@@ -198,6 +235,10 @@ def main():
     ap.add_argument("--unroll", type=int, default=int(os.environ.get("BENCH_UNROLL", 8)))
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--kv", default=os.environ.get("BENCH_KV", "bf16"),
+                    choices=["bf16", "q8", "bf16t", "q8t"],
+                    help="KV cache layout: int8 (q8*) and/or D-major "
+                         "transposed (*t; the un-padded D<128 layout)")
     args = ap.parse_args()
 
     os.environ.setdefault(
@@ -257,14 +298,12 @@ def main():
         outf.flush()
         print("[cell]", json.dumps(rec), flush=True)
 
-    def run_decode_cell(name, B, depth, unroll, n_steps):
+    def run_decode_cell(name, B, depth, unroll, n_steps, kv_mode=None):
         nonlocal params  # donated per call; rebind to the alive alias
+        kv_mode = kv_mode or args.kv
         S = depth + max(256, -(-n_steps // 128) * 128)  # 128-multiple: the
         # flash-decode kernel tiles the cache in 128-row chunks
-        kv_bytes_seq = (
-            hp.n_layer * S * hp.n_head_kv * (hp.n_embd_head_k + hp.n_embd_head_v)
-            * np.dtype(dtype).itemsize
-        )
+        kv_bytes_seq = kv_streamed_bytes(hp, S, dtype, kv_mode)
         # donate the KV carry (otherwise XLA holds input + output copies —
         # 2× the 4.4 GiB cache at depth 32768 OOMs the chip)
         fmts = (row_major_formats(params)
@@ -272,7 +311,7 @@ def main():
                 else None)
         fn = make_decode_fn(hp, quant_meta, B, S, unroll, donate=True,
                             param_formats=fmts)
-        kv_k, kv_v = kv_struct(hp, B, S, args.aot, dtype)
+        kv_k, kv_v = kv_struct(hp, B, S, args.aot, dtype, kv_mode)
         first = (
             jax.ShapeDtypeStruct((B, 1), jnp.int32)
             if args.aot
@@ -306,7 +345,8 @@ def main():
         # vs_roofline of 0.0155 was an accounting artifact, not physics)
         roof_agg = HBM_GBPS * 1e9 / (n_pb_streamed / B + kv_bytes_seq)
         emit({"cell": name, "B": B, "depth": depth, "unroll": unroll,
-              "steps": n_steps, "tps_aggregate": round(tps, 2),
+              "steps": n_steps, "kv": kv_mode,
+              "tps_aggregate": round(tps, 2),
               "tps_per_seq": round(tps / B, 2),
               "roofline_tps": round(roof_agg, 1),
               "vs_roofline": round(tps / roof_agg, 4),
@@ -350,14 +390,19 @@ def main():
         if not cell:
             continue
         try:
-            if cell == "pp2048":
+            # per-cell KV-mode suffix: "tg@32768:q8", "batch32:bf16t"
+            base, _, kv_sfx = cell.partition(":")
+            kv_mode = kv_sfx or None
+            if base == "pp2048":
                 run_prefill_cell(cell, 2048, 1)
-            elif cell.startswith("tg@"):
-                run_decode_cell(cell, 1, int(cell[3:]), args.unroll, args.steps)
-            elif cell.startswith("batch"):
-                run_decode_cell(cell, int(cell[5:]), 512, args.unroll, args.steps)
-            elif cell.startswith("unroll"):
-                run_decode_cell(cell, 1, 0, int(cell[6:]), args.steps)
+            elif base.startswith("tg@"):
+                run_decode_cell(cell, 1, int(base[3:]), args.unroll,
+                                args.steps, kv_mode)
+            elif base.startswith("batch"):
+                run_decode_cell(cell, int(base[5:]), 512, args.unroll,
+                                args.steps, kv_mode)
+            elif base.startswith("unroll"):
+                run_decode_cell(cell, 1, 0, int(base[6:]), args.steps)
             else:
                 print(f"[matrix] unknown cell {cell!r}", flush=True)
         except Exception as e:  # keep going; record the failure

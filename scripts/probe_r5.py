@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 CP = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-def timeit(fn, *args, iters=3, scan_len=16):
+def timeit(fn, *args, iters=4, scan_len=256):
     """Time fn(*args) repeated scan_len times inside one jit.
 
     The FIRST arg must be a float array; each iteration perturbs it with
@@ -49,25 +49,36 @@ def timeit(fn, *args, iters=3, scan_len=16):
     (XLA hoists loop-invariant bodies entirely — an earlier version of
     this harness measured only the ~1.5 ms dispatch floor)."""
 
-    def loop(x0, *rest):
-        def body(c, _):
-            r = fn(c, *rest)
-            bump = (r.astype(jnp.float32).ravel()[0] * 1e-30).astype(c.dtype)
-            return c + bump, ()
+    def make(length):
+        def loop(x0, *rest):
+            def body(c, _):
+                r = fn(c, *rest)
+                bump = (r.astype(jnp.float32).ravel()[0] * 1e-30).astype(c.dtype)
+                return c + bump, ()
 
-        c, _ = jax.lax.scan(body, x0, None, length=scan_len)
-        return jnp.float32(c.ravel()[0])
+            c, _ = jax.lax.scan(body, x0, None, length=length)
+            return jnp.float32(c.ravel()[0])
 
-    jl = jax.jit(loop)
+        return jax.jit(loop)
+
+    # slope method: the tunneled dispatch costs ~30 ms per CALL, so a
+    # single timed call cannot resolve sub-ms kernels. Time L and 5L
+    # iterations and take the slope — the fixed per-call cost cancels.
+    L = scan_len
+    jl1, jl5 = make(L), make(5 * L)
     t0 = time.perf_counter()
-    np.asarray(jl(*args))
+    np.asarray(jl1(*args))
+    np.asarray(jl5(*args))
     compile_s = time.perf_counter() - t0
-    best = float("inf")
+    b1 = b5 = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        np.asarray(jl(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best / scan_len, compile_s
+        np.asarray(jl1(*args))
+        b1 = min(b1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(jl5(*args))
+        b5 = min(b5, time.perf_counter() - t0)
+    return max(b5 - b1, 1e-9) / (4 * L), compile_s
 
 
 def emit(name, secs, bytes_moved=None, extra=""):
@@ -170,18 +181,94 @@ def _unpack_kernel(mode, group=32):
             a = jnp.concatenate([lo, hi], axis=-1)
             out_ref[...] = jnp.sum(a.astype(jnp.int32), axis=1, keepdims=True
                                    ).astype(jnp.float32) + scbump
+        elif mode == "mxfp4_lut_shift":  # no multiply, xor-sign, no f32
+            LUT = 0xC8643210
+            qi = q.astype(jnp.int32)
+            idx = jnp.concatenate([qi & 0xF, qi >> 4], axis=-1)
+            amt = (idx << 2) & 0x1C
+            mag = ((jnp.uint32(LUT) >> amt.astype(jnp.uint32)) & 0xF
+                   ).astype(jnp.int32)
+            s = -(idx >> 3)
+            w = ((mag ^ s) - s).astype(jnp.bfloat16)
+            sh = pltpu.repeat(sc_ref[...].astype(jnp.bfloat16), group, axis=1)
+            out_ref[...] = jnp.sum(w * sh, axis=1, keepdims=True
+                                   ).astype(jnp.float32)
+        elif mode == "q4_i16":  # ladder in int16 lanes (2 elem/lane?)
+            qi = q.astype(jnp.int16)
+            lo = (qi & jnp.int16(0xF)).astype(jnp.bfloat16)
+            hi = ((qi >> 4) & jnp.int16(0xF)).astype(jnp.bfloat16)
+            w = jnp.concatenate([lo, hi], axis=-1)
+            sh = pltpu.repeat(sc_ref[...].astype(jnp.bfloat16), group, axis=1)
+            out_ref[...] = jnp.sum(w * sh, axis=1, keepdims=True
+                                   ).astype(jnp.float32)
+        elif mode == "q4_bf16_noscale":  # group-partial path's ladder:
+            # nibble -> bf16, NO scale multiply (applied on (G,tn) partials)
+            qi = q.astype(jnp.int32)
+            lo = (qi & 0xF).astype(jnp.bfloat16)
+            hi = (qi >> 4).astype(jnp.bfloat16)
+            w = jnp.concatenate([lo, hi], axis=-1)
+            out_ref[...] = jnp.sum(w, axis=1, keepdims=True
+                                   ).astype(jnp.float32) + scbump
         else:
             raise ValueError(mode)
 
     return kernel
 
 
+def _ar_kernel(group=32):
+    """MXFP4 A/r split-plane unpack: A nibble plane holds (v>>1)+8
+    (v in [-12,12] -> A in [2,14]), r bit plane holds v&1; v = 2A+r-16.
+    Storage 5 bits/weight; no LUT, no variable shift."""
+
+    def kernel(sc_ref, a_ref, r_ref, out_ref):
+        qa = a_ref[...].astype(jnp.int32)
+        alo = qa & 0xF
+        ahi = qa >> 4
+        a = jnp.concatenate([alo, ahi], axis=-1)  # (tn, K)
+        qr = r_ref[...].astype(jnp.int32)
+        rbits = jnp.concatenate(
+            [(qr >> j) & 1 for j in range(8)], axis=-1)  # (tn, K)
+        v = ((a << 1) + rbits - 16).astype(jnp.bfloat16)
+        sh = pltpu.repeat(sc_ref[...].astype(jnp.bfloat16), group, axis=1)
+        out_ref[...] = jnp.sum(v * sh, axis=1, keepdims=True
+                               ).astype(jnp.float32)
+
+    return kernel
+
+
+def probe_ar():
+    N, K = 2048, 4096
+    a = jnp.asarray(np.random.randint(0, 256, (N, K // 2)), jnp.uint8)
+    r = jnp.asarray(np.random.randint(0, 256, (N, K // 8)), jnp.uint8)
+    sc = jnp.asarray(np.random.randn(N, K // 32) * 0.1, jnp.bfloat16)
+    tn = 256
+    f = lambda sc, a, r: pl.pallas_call(
+        _ar_kernel(),
+        grid=(N // tn,),
+        in_specs=[
+            pl.BlockSpec((tn, K // 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, K // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, K // 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, 1), jnp.float32),
+        compiler_params=CP,
+    )(sc, a, r)
+    try:
+        s, _ = timeit(f, sc, a, r)
+        emit("unpack mxfp4_Ar_split", s, N * (K * 5 // 8),
+             extra=f"({N * K / s / 1e9:.1f} Gelem/s)")
+    except Exception as e:
+        import traceback
+        traceback.print_exc()
+
+
 def probe_unpack():
     N, K = 2048, 4096
     q = jnp.asarray(np.random.randint(0, 256, (N, K // 2)), jnp.uint8)
     sc = jnp.asarray(np.random.randn(N, K // 32) * 0.1, jnp.bfloat16)
-    for mode in ("v0_bf16", "q4_to_i8", "q4_to_i8_noconcat", "mxfp4_lut",
-                 "mxfp4_lut_i8"):
+    for mode in ("v0_bf16", "q4_to_i8", "mxfp4_lut",
+                 "mxfp4_lut_shift", "q4_i16", "q4_bf16_noscale"):
         kern = _unpack_kernel(mode)
         tn = 256
         f = lambda sc, q: pl.pallas_call(
@@ -337,6 +424,7 @@ def probe_moe_tiles():
 
 
 PROBES = {
+    "ar": probe_ar,
     "mscale": probe_mscale,
     "i8dot": probe_i8dot,
     "unpack": probe_unpack,

@@ -194,3 +194,66 @@ def test_flash_decode_batch_major_kv_scale():
         v_scale=jnp.asarray(vs), interpret=True, batch_major=True,
     ))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("B,Hq,Hkv,D,S,stacked", [
+    (1, 8, 2, 64, 128, False),
+    (2, 8, 2, 64, 256, False),
+    (4, 16, 4, 64, 384, True),   # batch-major + layer-stacked
+    (1, 8, 2, 64, 256, True),
+])
+def test_flash_decode_kv_t_matches_row_major(B, Hq, Hkv, D, S, stacked):
+    """D-major (…, D, S) cache blocks must reproduce the row-major path
+    (the un-padded layout for D < 128 heads; gpt-oss batch32 fix)."""
+    import jax.numpy as jnp
+
+    from tpullama.ops.pallas.flash_decode import flash_decode
+
+    q, k, v, kv_pos, q_pos = _inputs(B, 1, Hq, Hkv, D, S)
+    mask = _mask(kv_pos, q_pos)
+    scale = 1.0 / np.sqrt(D)
+    if stacked:
+        L = 3
+        rng = np.random.default_rng(1)
+        ks = jnp.asarray(rng.standard_normal((L, B, Hkv, S, D)).astype(np.float32))
+        vs = jnp.asarray(rng.standard_normal((L, B, Hkv, S, D)).astype(np.float32))
+        li = jnp.int32(1)
+        want = np.asarray(flash_decode(q, ks, vs, mask, scale, layer=li,
+                                       interpret=True))
+        got = np.asarray(flash_decode(
+            q, ks.swapaxes(-1, -2), vs.swapaxes(-1, -2), mask, scale,
+            layer=li, kv_t=True, interpret=True))
+    else:
+        want = np.asarray(flash_decode(q, k, v, mask, scale, interpret=True))
+        got = np.asarray(flash_decode(
+            q, k.swapaxes(-1, -2), v.swapaxes(-1, -2), mask, scale,
+            kv_t=True, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_flash_decode_kv_t_int8_scales():
+    import jax.numpy as jnp
+
+    from tpullama.ops.pallas.flash_decode import flash_decode
+
+    B, Hq, Hkv, D, S = 2, 8, 2, 64, 256
+    q, k, v, kv_pos, q_pos = _inputs(B, 1, Hq, Hkv, D, S)
+    mask = _mask(kv_pos, q_pos)
+    scale = 1.0 / np.sqrt(D)
+
+    def q8(a):
+        amax = np.abs(np.asarray(a)).max(axis=-1, keepdims=True)
+        s = amax / 127.0
+        return (np.round(a / s).clip(-127, 127).astype(np.int8),
+                s[..., 0].astype(np.float32))
+
+    kq, ks = q8(np.asarray(k))
+    vq, vs = q8(np.asarray(v))
+    want = np.asarray(flash_decode(
+        q, jnp.asarray(kq), jnp.asarray(vq), mask, scale,
+        k_scale=jnp.asarray(ks), v_scale=jnp.asarray(vs), interpret=True))
+    got = np.asarray(flash_decode(
+        q, jnp.asarray(kq).swapaxes(-1, -2), jnp.asarray(vq).swapaxes(-1, -2),
+        mask, scale, k_scale=jnp.asarray(ks), v_scale=jnp.asarray(vs),
+        kv_t=True, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)

@@ -385,14 +385,19 @@ def llama_forward(
             run the sliced attend, write the slice back."""
             import os as _os
 
-            int8 = isinstance(k_stack, dict)
-            lead = (k_stack["q"] if int8 else k_stack).shape
+            kvt = isinstance(k_stack, dict) and "qT" in k_stack
+            int8 = isinstance(k_stack, dict) and "s" in k_stack
+            lead = (
+                k_stack["qT"] if kvt else
+                (k_stack["q"] if int8 else k_stack)
+            ).shape
+            S_len = lead[4] if kvt else lead[3]
             fd_ok = (
                 T == 1
                 and _os.environ.get("TPULLAMA_FLASH", "auto") != "0"
                 and _os.environ.get("TPULLAMA_FLASH_DECODE", "1") != "0"
                 and lead[2] == Hkv_l  # no openelm head padding
-                and lead[3] % 128 == 0
+                and S_len % 128 == 0
                 and Dk == Dv
                 and Hq_l % Hkv_l == 0
                 and Hq_l * T <= 512
@@ -400,6 +405,27 @@ def llama_forward(
                      or _os.environ.get("TPULLAMA_FLASH") == "1")
             )
             if not fd_ok:
+                if kvt:
+                    # correctness fallback (CPU / odd shapes): round-trip
+                    # the D-major layer slice through row-major attend
+                    def to_rm(st):
+                        return st["qT"].swapaxes(-1, -2) if "s" not in st \
+                            else {"q": st["qT"].swapaxes(-1, -2), "s": st["s"]}
+
+                    kc = _kv_index(to_rm(k_stack), lidx)
+                    vc = _kv_index(to_rm(v_stack), lidx)
+                    att, kc, vc = attend(kc, vc, slots, layer_mask)
+
+                    def back(st, upd):
+                        if "s" not in st:
+                            return {"qT": _kv_update(
+                                st["qT"], lidx, upd.swapaxes(-1, -2))}
+                        return {"qT": _kv_update(
+                                    st["qT"], lidx,
+                                    upd["q"].swapaxes(-1, -2)),
+                                "s": _kv_update(st["s"], lidx, upd["s"])}
+
+                    return att, back(k_stack, kc), back(v_stack, vc)
                 kc = _kv_index(k_stack, lidx)
                 vc = _kv_index(v_stack, lidx)
                 att, kc, vc = attend(kc, vc, slots, layer_mask)
@@ -419,6 +445,56 @@ def llama_forward(
                         stack, v0.astype(stack.dtype), start
                     )
                 return stack
+
+            def dus_t(stack, vals):
+                # D-major stack (L, B, H, D, S): vals (B, 1, H, D) write
+                # one lane column per batch row
+                for b in range(B):
+                    v0 = vals[b][0][None, None, :, :, None]  # (1,1,H,D,1)
+                    stack = jax.lax.dynamic_update_slice(
+                        stack, v0.astype(stack.dtype),
+                        (lidx, b, 0, 0, slots[b, 0]),
+                    )
+                return stack
+
+            if kvt:
+                if int8:
+                    def q8(a):
+                        amax = jnp.max(
+                            jnp.abs(a.astype(jnp.float32)), axis=-1,
+                            keepdims=True)
+                        s = amax / 127.0
+                        qv = jnp.round(
+                            a.astype(jnp.float32) / jnp.maximum(s, 1e-12))
+                        return (jnp.clip(qv, -127, 127).astype(jnp.int8),
+                                s[..., 0])
+
+                    kq8, ksc = q8(k)
+                    vq8, vsc = q8(v)
+                    k_stack = {"qT": dus_t(k_stack["qT"], kq8),
+                               "s": dus(k_stack["s"], ksc)}
+                    v_stack = {"qT": dus_t(v_stack["qT"], vq8),
+                               "s": dus(v_stack["s"], vsc)}
+                    att = flash_decode(
+                        q, k_stack["qT"], v_stack["qT"], layer_mask,
+                        kq_scale, softcap=hp.attn_logit_softcap,
+                        sinks=w.get("attn_sinks"),
+                        alibi_slopes=alibi_slopes,
+                        k_scale=k_stack["s"], v_scale=v_stack["s"],
+                        layer=lidx, kv_t=True,
+                        interpret=jax.default_backend() == "cpu",
+                    )
+                else:
+                    k_stack = {"qT": dus_t(k_stack["qT"], k)}
+                    v_stack = {"qT": dus_t(v_stack["qT"], v)}
+                    att = flash_decode(
+                        q, k_stack["qT"], v_stack["qT"], layer_mask,
+                        kq_scale, softcap=hp.attn_logit_softcap,
+                        sinks=w.get("attn_sinks"),
+                        alibi_slopes=alibi_slopes, layer=lidx, kv_t=True,
+                        interpret=jax.default_backend() == "cpu",
+                    )
+                return att, k_stack, v_stack
 
             if int8:
                 def q8(a):

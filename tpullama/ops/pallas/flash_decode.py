@@ -38,7 +38,7 @@ NEG_INF = -1e30
 
 
 def _fd_kernel(*refs, scale, softcap, bs, g, d, tq, has_alibi, has_sinks,
-               has_kv_scale, stacked=False):
+               has_kv_scale, stacked=False, kv_t=False):
     if stacked:
         _s_ref, *refs = refs
     q_ref, k_ref, v_ref, mask_ref, slope_ref, sink_ref, *rest = refs
@@ -68,8 +68,11 @@ def _fd_kernel(*refs, scale, softcap, bs, g, d, tq, has_alibi, has_sinks,
         # alignment for D < 128)
         kh = (k_ref[0, 0, 0] if stacked else k_ref[0, 0]).astype(jnp.bfloat16)
         vh = (v_ref[0, 0, 0] if stacked else v_ref[0, 0]).astype(jnp.bfloat16)
+        # kv_t: D-major (D, BS) cache blocks — the un-padded layout for
+        # D < 128 heads (row-major (BS, D) tiles pad the lane dim to 128,
+        # doubling both HBM residency and read traffic at e.g. D=64)
         s = jax.lax.dot_general(
-            q, kh, (((1,), (1,)), ((), ())),
+            q, kh, (((1,), (0 if kv_t else 1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (G*Tq, BS)
         if has_kv_scale:
@@ -94,7 +97,7 @@ def _fd_kernel(*refs, scale, softcap, bs, g, d, tq, has_alibi, has_sinks,
             vsv = vs_ref[0, 0, 0, 0] if stacked else vs_ref[0, 0, 0]
             p = p * vsv.reshape(1, bs)
         acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p.astype(jnp.bfloat16), vh, (((1,), (0,)), ((), ())),
+            p.astype(jnp.bfloat16), vh, (((1,), (1 if kv_t else 0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_ref[...] = m_cur
@@ -116,7 +119,7 @@ def _fd_kernel(*refs, scale, softcap, bs, g, d, tq, has_alibi, has_sinks,
 
 
 def _fdb_kernel(*refs, scale, softcap, bs, g, tq, b, has_alibi, has_sinks,
-                has_kv_scale, stacked=False):
+                has_kv_scale, stacked=False, kv_t=False):
     """Batch-major body: one grid step covers ALL B sequences of one kv
     head (batched MXU dots over B) — B× fewer grid steps than the
     per-sequence grid, which dominates batched decode (B=32: 8192 grid
@@ -150,7 +153,7 @@ def _fdb_kernel(*refs, scale, softcap, bs, g, tq, b, has_alibi, has_sinks,
         # batched dot: batch dims at position 0 on both operands (the
         # only Mosaic-supported batching), contraction over D
         s = jax.lax.dot_general(
-            q, kh, (((2,), (2,)), ((0,), (0,))),
+            q, kh, (((2,), (1 if kv_t else 2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale  # (B, G*Tq, BS)
         if has_kv_scale:
@@ -176,7 +179,7 @@ def _fdb_kernel(*refs, scale, softcap, bs, g, tq, b, has_alibi, has_sinks,
             vsv = vs_ref[0, :, 0] if stacked else vs_ref[:, 0]
             p = p * vsv.reshape(b, 1, bs)
         acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p.astype(jnp.bfloat16), vh, (((2,), (1,)), ((0,), (0,))),
+            p.astype(jnp.bfloat16), vh, (((2,), (2 if kv_t else 1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         m_ref[...] = m_cur
@@ -198,13 +201,15 @@ def _fdb_kernel(*refs, scale, softcap, bs, g, tq, b, has_alibi, has_sinks,
 
 
 def _flash_decode_batched(q, k, v, mask, scale, softcap, sinks, alibi_slopes,
-                          k_scale, v_scale, block_s, interpret, layer):
+                          k_scale, v_scale, block_s, interpret, layer,
+                          kv_t=False):
     """Batch-major grid (Hkv, S/bs): per step, (B, 1, bs, D) K/V blocks
     for every sequence at once. Used for B > 1 decode (decode_batch)."""
     B, Tq, Hq, D = q.shape
     stacked = layer is not None
     koff = 1 if stacked else 0
-    Hkv, S = k.shape[koff + 1], k.shape[koff + 2]
+    Hkv = k.shape[koff + 1]
+    S = k.shape[koff + 3] if kv_t else k.shape[koff + 2]
     G = Hq // Hkv
     # cap the per-step K/V block footprint: B*bs*D bf16 x2 (K+V) x2
     # (double-buffer) under ~4x this many MiB of VMEM (env-tunable:
@@ -229,13 +234,22 @@ def _flash_decode_batched(q, k, v, mask, scale, softcap, sinks, alibi_slopes,
 
     grid = (Hkv, S // bs)
     if stacked:
-        kv_spec = pl.BlockSpec((1, B, 1, bs, D),
-                               lambda h, sc, s: (s[0], 0, h, sc, 0),
-                               memory_space=pltpu.VMEM)
+        if kv_t:
+            kv_spec = pl.BlockSpec((1, B, 1, D, bs),
+                                   lambda h, sc, s: (s[0], 0, h, 0, sc),
+                                   memory_space=pltpu.VMEM)
+        else:
+            kv_spec = pl.BlockSpec((1, B, 1, bs, D),
+                                   lambda h, sc, s: (s[0], 0, h, sc, 0),
+                                   memory_space=pltpu.VMEM)
         idx = lambda f: (lambda h, sc, s: f(h, sc))
     else:
-        kv_spec = pl.BlockSpec((B, 1, bs, D), lambda h, sc: (0, h, sc, 0),
-                               memory_space=pltpu.VMEM)
+        if kv_t:
+            kv_spec = pl.BlockSpec((B, 1, D, bs), lambda h, sc: (0, h, 0, sc),
+                                   memory_space=pltpu.VMEM)
+        else:
+            kv_spec = pl.BlockSpec((B, 1, bs, D), lambda h, sc: (0, h, sc, 0),
+                                   memory_space=pltpu.VMEM)
         idx = lambda f: f
     in_specs = [
         pl.BlockSpec((B, 1, G * Tq, D), idx(lambda h, sc: (0, h, 0, 0)),
@@ -268,7 +282,7 @@ def _flash_decode_batched(q, k, v, mask, scale, softcap, sinks, alibi_slopes,
     kern = functools.partial(
         _fdb_kernel, scale=scale, softcap=softcap, bs=bs, g=G, tq=Tq, b=B,
         has_alibi=has_alibi, has_sinks=has_sinks,
-        has_kv_scale=has_kv_scale, stacked=stacked,
+        has_kv_scale=has_kv_scale, stacked=stacked, kv_t=kv_t,
     )
     out_spec = pl.BlockSpec(
         (B, 1, G * Tq, D), idx(lambda h, sc: (0, h, 0, 0)),
@@ -313,11 +327,16 @@ def _flash_decode_batched(q, k, v, mask, scale, softcap, sinks, alibi_slopes,
 def flash_decode(q, k, v, mask, scale: float, softcap: float = 0.0,
                  sinks=None, alibi_slopes=None, k_scale=None, v_scale=None,
                  block_s: int = 1024, interpret: bool = False, layer=None,
-                 batch_major: bool | None = None):
+                 batch_major: bool | None = None, kv_t: bool = False):
     """q: (B, Tq, Hq, D) with small Tq (decode); k, v: (B, Hkv, S, D)
     head-major cache — consumed in place, no transpose/retile.
     k_scale/v_scale: (B, Hkv, S) int8-KV scales. mask: additive fp32
     broadcastable to (B, 1, Tq, S). Returns (B, Tq, Hq, D) in q.dtype.
+
+    kv_t: k/v are stored D-MAJOR — (B, Hkv, D, S) — the un-padded HBM
+    layout for D < 128 heads (a row-major (S, 64) bf16 tile pads its
+    lane dim to 128: 2x the cache bytes both resident and READ; gpt-oss
+    batch32 OOMs single-chip in that layout). Scales stay (B, Hkv, S).
 
     layer: traced int32 layer index when k/v (and the scales) carry a
     leading layer-stack axis (L, B, Hkv, S, D). The kernel indexes the
@@ -331,11 +350,12 @@ def flash_decode(q, k, v, mask, scale: float, softcap: float = 0.0,
     if batch_major and B > 1:
         return _flash_decode_batched(
             q, k, v, mask, scale, softcap, sinks, alibi_slopes,
-            k_scale, v_scale, block_s, interpret, layer,
+            k_scale, v_scale, block_s, interpret, layer, kv_t=kv_t,
         )
     stacked = layer is not None
     koff = 1 if stacked else 0
-    Hkv, S = k.shape[koff + 1], k.shape[koff + 2]
+    Hkv = k.shape[koff + 1]
+    S = k.shape[koff + 3] if kv_t else k.shape[koff + 2]
     G = Hq // Hkv
     bs = min(block_s, S)
     while S % bs:
@@ -357,13 +377,24 @@ def flash_decode(q, k, v, mask, scale: float, softcap: float = 0.0,
 
     grid = (B, Hkv, S // bs)
     if stacked:
-        kv_spec = pl.BlockSpec((1, 1, 1, bs, D),
-                               lambda b, h, sc, s: (s[0], b, h, sc, 0),
-                               memory_space=pltpu.VMEM)
+        if kv_t:
+            kv_spec = pl.BlockSpec((1, 1, 1, D, bs),
+                                   lambda b, h, sc, s: (s[0], b, h, 0, sc),
+                                   memory_space=pltpu.VMEM)
+        else:
+            kv_spec = pl.BlockSpec((1, 1, 1, bs, D),
+                                   lambda b, h, sc, s: (s[0], b, h, sc, 0),
+                                   memory_space=pltpu.VMEM)
         idx = lambda f: (lambda b, h, sc, s: f(b, h, sc))
     else:
-        kv_spec = pl.BlockSpec((1, 1, bs, D), lambda b, h, sc: (b, h, sc, 0),
-                               memory_space=pltpu.VMEM)
+        if kv_t:
+            kv_spec = pl.BlockSpec((1, 1, D, bs),
+                                   lambda b, h, sc: (b, h, 0, sc),
+                                   memory_space=pltpu.VMEM)
+        else:
+            kv_spec = pl.BlockSpec((1, 1, bs, D),
+                                   lambda b, h, sc: (b, h, sc, 0),
+                                   memory_space=pltpu.VMEM)
         idx = lambda f: f
     in_specs = [
         pl.BlockSpec((1, 1, G * Tq, D), idx(lambda b, h, sc: (b, h, 0, 0)),
@@ -397,7 +428,7 @@ def flash_decode(q, k, v, mask, scale: float, softcap: float = 0.0,
     kern = functools.partial(
         _fd_kernel, scale=scale, softcap=softcap, bs=bs, g=G, d=D,
         tq=Tq, has_alibi=has_alibi, has_sinks=has_sinks,
-        has_kv_scale=has_kv_scale, stacked=stacked,
+        has_kv_scale=has_kv_scale, stacked=stacked, kv_t=kv_t,
     )
     out_spec = pl.BlockSpec(
         (1, 1, G * Tq, D), idx(lambda b, h, sc: (b, h, 0, 0)),
