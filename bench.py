@@ -166,20 +166,30 @@ def build_params(hp, dtype, seed=0, quant=None, abstract=False):
         # flat (L·E, rows, kcols) expert stacks (ops/moe.py rs(): a
         # per-call dim-merge reshape costs multi-GB XLA relayout copies)
         tr = os.environ.get("BENCH_MOE_T", "1") == "1"
-        params["layers"]["ffn_gate_exps"] = qmat(
-            (L * nE, Fp, E), s, lm, "ffn_gate_exps", qt=qe, transpose=tr)
-        params["layers"]["ffn_up_exps"] = qmat(
-            (L * nE, Fp, E), s, lm, "ffn_up_exps", qt=qe, transpose=tr)
+        moe_fused = os.environ.get("BENCH_MOE_FUSED", "1") == "1"
+        if moe_fused:
+            # fused [gate | up] expert stack (per-expert rows
+            # [gate Fp | up Fp], each half 128-padded): ONE gathered
+            # kernel launch per layer instead of two (ops/moe.py)
+            params["layers"]["ffn_gateup_exps"] = qmat(
+                (L * nE, 2 * Fp, E), s, lm, "ffn_gateup_exps", qt=qe,
+                transpose=tr)
+        else:
+            params["layers"]["ffn_gate_exps"] = qmat(
+                (L * nE, Fp, E), s, lm, "ffn_gate_exps", qt=qe, transpose=tr)
+            params["layers"]["ffn_up_exps"] = qmat(
+                (L * nE, Fp, E), s, lm, "ffn_up_exps", qt=qe, transpose=tr)
         params["layers"]["ffn_down_exps"] = qmat(
             (L * nE, Ep, F), 1.0 / np.sqrt(F), lm, "ffn_down_exps", qt=qe,
             transpose=tr)
         if quant is not None or qe:
             from tpullama.models.loader import QuantMeta
 
-            for key, true_n, k_in in (
-                ("ffn_gate_exps", nE * F, E), ("ffn_up_exps", nE * F, E),
-                ("ffn_down_exps", nE * E, F),
-            ):
+            fused_keys = (
+                [("ffn_gateup_exps", nE * 2 * Fp, E)] if moe_fused
+                else [("ffn_gate_exps", nE * F, E), ("ffn_up_exps", nE * F, E)]
+            )
+            for key, true_n, k_in in fused_keys + [("ffn_down_exps", nE * E, F)]:
                 m0 = lm[key]
                 lm[key] = QuantMeta(m0.ggml_type, m0.group, true_n, k_in,
                                     planes_t=m0.planes_t)

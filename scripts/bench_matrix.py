@@ -63,13 +63,17 @@ def make_hp(model: str = "llama8b"):
         # depth vs the reference's half-SWA-128 layers. BENCH_MOE_LAYERS
         # trims the stack when XLA's compress-remat pass pushes the
         # full 12 GB model over the 16 GB single chip.
-        return HParams(
+        hp = HParams(
             arch="llama", n_vocab=201088, n_ctx_train=131072, n_embd=2880,
             n_layer=int(os.environ.get("BENCH_MOE_LAYERS", 24)),
             n_ff=2880, n_head=64, n_head_kv=8, n_embd_head_k=64,
             n_embd_head_v=64, n_rot=64, rope_freq_base=150000.0, rope_type=2,
             n_expert=32, n_expert_used=4, moe_act="swiglu_oai",
         )
+        if os.environ.get("BENCH_FUSED", "1") == "1":
+            hp.ffn_fused_up = True  # fused [Q|K|V] (experts fuse via
+            # BENCH_MOE_FUSED -> ffn_gateup_exps)
+        return hp
     hp = HParams(
         arch="llama", n_vocab=128256, n_ctx_train=8192, n_embd=4096,
         n_layer=32, n_ff=14336, n_head=32, n_head_kv=8, n_embd_head_k=128,

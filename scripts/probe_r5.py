@@ -432,6 +432,48 @@ PROBES = {
     "moe_tiles": probe_moe_tiles,
 }
 
+
+
+# ---------------------------------------------------------------- probe 6
+def probe_v1():
+    """A/B the v0 (f32 ladder) vs v1 (all-bf16) dequant in the production
+    kernels at decode shapes."""
+    from tpullama.gguf.constants import GGMLType
+    from tpullama.ops.pallas import qmm as qmm_mod
+
+    rng = np.random.default_rng(0)
+    # dense gate_up + ffn_down shapes (llama-8B)
+    for name, N, K in (("gateup", 28672, 4096), ("down", 4096, 14336)):
+        q4 = jnp.asarray(rng.integers(0, 256, (N, K // 2)), jnp.uint8)
+        sc = jnp.asarray(rng.standard_normal((N, K // 32)) * 0.01, jnp.bfloat16)
+        mn = jnp.asarray(rng.standard_normal((N, K // 32)) * 0.01, jnp.bfloat16)
+        x = jnp.asarray(rng.standard_normal((1, K)), jnp.float32)
+        nbytes = N * K // 2 + N * (K // 32) * 4
+        for mode in ("v0", "v1"):
+            os.environ["TPULLAMA_QMM_UNPACK"] = mode
+            f = functools.partial(
+                qmm_mod.quantized_matmul, ggml_type=GGMLType.Q4_K, group=32,
+                n_out=N, n_in=K)
+            s, _ = timeit(lambda x: f(x, {"q4": q4, "scale": sc, "minv": mn}), x)
+            emit(f"dense {name} Q4_K {mode}", s, nbytes)
+    os.environ.pop("TPULLAMA_QMM_UNPACK", None)
+    # gathered transposed MXFP4 (gpt-oss expert shape); v1 is in-kernel
+    # default now — A/B by monkeypatching exactness of the dtype choice
+    from tpullama.ops.pallas.qmm import quantized_matmul_gathered
+
+    E, K, slots, rows_p = 32, 2880, 4, 2944
+    qf = jnp.asarray(rng.integers(0, 256, (E, K // 2, rows_p)), jnp.uint8)
+    scf = jnp.asarray(rng.standard_normal((E, 96, rows_p)) * 0.01, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((slots, K)), jnp.float32)
+    sel = jnp.asarray([3, 11, 19, 27], jnp.int32)
+    f = functools.partial(
+        quantized_matmul_gathered, ggml_type=GGMLType.MXFP4, group=32,
+        n_out=rows_p, n_in=K, planes_t=True)
+    s, _ = timeit(lambda x: f(x, {"q4_lut": qf, "scale": scf}, sel), x)
+    emit("moe_t MXFP4 v1", s, slots * (K // 2 * 2880 + 96 * 2880 * 2))
+
+PROBES["v1"] = probe_v1  # defined after the dict literal
+
 if __name__ == "__main__":
     names = sys.argv[1:] or list(PROBES)
     print(f"device: {jax.devices()}", flush=True)

@@ -152,9 +152,47 @@ def test_loader_planes_t_model_matches():
     os.environ["TPULLAMA_MOE_PLANES_T"] = "1"
     try:
         m = load_model(path, packed=True)
-        km = m.quant_meta["layers"]["ffn_up_exps"]
+        lm = m.quant_meta["layers"]
+        km = lm.get("ffn_gateup_exps", lm.get("ffn_up_exps"))
         assert km.planes_t, km
         got = Context(m, ContextParams(n_ctx=32)).decode(prompt, n_logits=1)
     finally:
         del os.environ["TPULLAMA_MOE_PLANES_T"]
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("T", [1, 40])
+def test_moe_packed_fused_gateup_matches_split(T):
+    """Fused [gate|up] expert stack (one gathered launch) must equal the
+    two-launch split path. Per-expert fused rows are
+    [gate rows_p | up rows_p] with each half independently 128-padded."""
+    E, K, D, F, B = 4, 2, 256, 320, 1  # F=320: non-128-multiple halves
+    qtype = GGMLType.Q4_0
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.standard_normal((B, T, D)) * 0.3).astype(np.float32))
+    gate_inp = jnp.asarray(rng.standard_normal((E, D)).astype(np.float32) * 0.05)
+    g_dense, g_packed, g_meta = build_packed_experts(E, F, D, qtype, 1)
+    u_dense, u_packed, u_meta = build_packed_experts(E, F, D, qtype, 2)
+    d_dense, d_packed, d_meta = build_packed_experts(E, D, F, qtype, 3)
+
+    want = np.asarray(moe_ffn(
+        x, gate_inp, g_packed, u_packed, d_packed, n_expert_used=K,
+        quant_meta_exps={"gate": g_meta, "up": u_meta, "down": d_meta},
+    ))
+
+    # build the fused stack: per expert [gate rows_p | up rows_p]
+    Fp = -(-F // 128) * 128
+    fused = {}
+    for k in g_packed:
+        g = np.asarray(g_packed[k]).reshape(E, F, -1)
+        u = np.asarray(u_packed[k]).reshape(E, F, -1)
+        pad = ((0, 0), (0, Fp - F), (0, 0))
+        both = np.concatenate([np.pad(g, pad), np.pad(u, pad)], axis=1)
+        fused[k] = jnp.asarray(both.reshape(E * 2 * Fp, -1))
+    gu_meta = QuantMeta(qtype, g_meta.group, E * 2 * Fp, D)
+
+    got = np.asarray(moe_ffn(
+        x, gate_inp, None, fused, d_packed, n_expert_used=K,
+        quant_meta_exps={"gateup": gu_meta, "down": d_meta},
+    ))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

@@ -82,10 +82,12 @@ def test_packed_moe_matches_dense(tmp_path, qtype):
     dense = load_model(path)
     packed = load_model(path, packed=True, packed_scale_dtype=np.float32)
     lm = packed.quant_meta["layers"]
-    assert isinstance(packed.params["layers"]["ffn_up_exps"], dict), (
+    # the loader fuses [gate|up] expert stacks into one gathered launch
+    up_key = ("ffn_gateup_exps" if "ffn_gateup_exps" in lm else "ffn_up_exps")
+    assert isinstance(packed.params["layers"][up_key], dict), (
         "expert tensors should load packed"
     )
-    assert "ffn_up_exps" in lm
+    assert up_key in lm
     toks = dense.vocab.tokenize(
         "Once upon a time there was a small model that routed tokens "
         "to experts and it worked fine", add_special=True)

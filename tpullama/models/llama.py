@@ -682,8 +682,8 @@ def llama_forward(
             down = moe_ffn(
                 moe_h,
                 w["ffn_gate_inp"],
-                w.get("ffn_gate_exps"),
-                w["ffn_up_exps"],
+                None if "ffn_gateup_exps" in w else w.get("ffn_gate_exps"),
+                w.get("ffn_gateup_exps", w.get("ffn_up_exps")),
                 w["ffn_down_exps"],
                 n_expert_used=hp.n_expert_used,
                 norm_w=hp.moe_norm_topk,
@@ -703,6 +703,9 @@ def llama_forward(
                 n_group_used=hp.n_group_used,
                 ep_axis=tp_axis,
                 quant_meta_exps=(
+                    {"gateup": lmeta["ffn_gateup_exps"],
+                     "down": lmeta["ffn_down_exps"]}
+                    if "ffn_gateup_exps" in lmeta else
                     {"gate": lmeta.get("ffn_gate_exps"),
                      "up": lmeta["ffn_up_exps"],
                      "down": lmeta["ffn_down_exps"]}

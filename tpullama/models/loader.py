@@ -649,6 +649,44 @@ def load_model(
                 )
                 hp.ffn_fused_up = True
         if (
+            os.environ.get("TPULLAMA_MOE_FUSE", "1") == "1"
+            and isinstance(stacked.get("ffn_gate_exps"), dict)
+            and isinstance(stacked.get("ffn_up_exps"), dict)
+            and layer_meta["ffn_gate_exps"].k_shards == 1
+            and (layer_meta["ffn_gate_exps"].ggml_type,
+                 layer_meta["ffn_gate_exps"].group,
+                 layer_meta["ffn_gate_exps"].n_in,
+                 layer_meta["ffn_gate_exps"].planes_t)
+            == (layer_meta["ffn_up_exps"].ggml_type,
+                layer_meta["ffn_up_exps"].group,
+                layer_meta["ffn_up_exps"].n_in,
+                layer_meta["ffn_up_exps"].planes_t)
+        ):
+            # fuse [gate | up] packed expert stacks: one gathered kernel
+            # launch per layer instead of two (ops/moe.py "gateup" path).
+            # Flat stacks are (L*E, rows_p, kcols) (or transposed
+            # (L*E, kcols, rows_p)); concatenating along the rows axis
+            # yields per-expert [gate rows_p | up rows_p]. Per-expert
+            # biases stay separate (moe.py slices the halves before the
+            # bias add).
+            mg = layer_meta["ffn_gate_exps"]
+            g_f = stacked.pop("ffn_gate_exps")
+            u_f = stacked.pop("ffn_up_exps")
+            rows_axis = -1 if mg.planes_t else -2
+            # the scale/minv planes put rows on the same axis as the quant
+            # planes in both layouts
+            stacked["ffn_gateup_exps"] = {
+                k: jnp.concatenate([g_f[k], u_f[k]], axis=rows_axis)
+                for k in g_f
+            }
+            rows_p = g_f[next(iter(g_f))].shape[rows_axis]
+            n_exp = hp.n_expert
+            layer_meta["ffn_gateup_exps"] = QuantMeta(
+                mg.ggml_type, mg.group, n_exp * 2 * rows_p, mg.n_in,
+                k_shards=mg.k_shards, planes_t=mg.planes_t,
+            )
+            del layer_meta["ffn_gate_exps"], layer_meta["ffn_up_exps"]
+        if (
             hp.arch.startswith("rwkv")
             and "time_mix_lerp_fused" not in stacked
             and "time_mix_lerp_w" in stacked

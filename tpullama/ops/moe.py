@@ -144,6 +144,35 @@ def _ffn_packed(xf, sel, weights, gate_exps, up_exps, down_exps, metas, E, *,
             planes_t=getattr(m, "planes_t", False),
         )
 
+    if "gateup" in metas:
+        # fused [gate | up] expert stack: ONE gathered kernel launch
+        # instead of two — halves the per-layer MoE dispatches and their
+        # grid/DMA ramp-up (each launch re-pays VPU/DMA pipeline fill).
+        # Per-expert rows are [gate rows_p | up rows_p] with each half
+        # independently 128-padded; metas["gateup"].n_out covers BOTH
+        # padded halves so the kernel returns them un-sliced.
+        gu = gmm(x_rows, up_exps, "gateup")
+        F = metas["down"].n_in  # true per-expert F (down contracts it)
+        half = metas["gateup"].n_out // E // 2  # padded half rows
+        gate = gu[:, :F]
+        up = gu[:, half:half + F]
+        if up_b is not None:
+            up = up + jnp.take(up_b, row_expert, axis=0).astype(up.dtype)
+        if gate_b is not None:
+            gate = gate + jnp.take(gate_b, row_expert, axis=0).astype(gate.dtype)
+        h = _apply_moe_act(act, gate, up)
+        down = gmm(h, down_exps, "down")
+        if down_b is not None:
+            down = down + jnp.take(down_b, row_expert, axis=0).astype(down.dtype)
+        if row_of_slot is not None:
+            down = jnp.take(down, row_of_slot, axis=0)
+        down = down.reshape(B, T, K, D)
+        if not weight_before_ffn:
+            down = down * w_flat.reshape(B, T, K)[..., None]
+        if mine is not None:
+            down = jnp.where(mine[..., None], down, 0.0)
+        return down.sum(axis=2)
+
     up = gmm(x_rows, up_exps, "up")
     if up_b is not None:
         up = up + jnp.take(up_b, row_expert, axis=0).astype(up.dtype)

@@ -52,13 +52,15 @@ def _repeat_lanes(a, reps: int):
     return pltpu.repeat(a, reps, axis=a.ndim - 1)
 
 
-def _unpack_stripes(field_refs: dict, ggml_type: GGMLType):
-    """Unpack the quant field tiles into f32 values (before scaling).
+def _unpack_stripes(field_refs: dict, ggml_type: GGMLType, dtype=jnp.float32):
+    """Unpack the quant field tiles into float values (before scaling).
     Global-stripe packing makes the concat output land in natural element
-    order. Returns (TN, TK) f32."""
+    order. Returns (TN, TK) in `dtype` (bf16 in the fast path: integer
+    4/8-bit values convert exactly and the cast is one VPU op cheaper
+    than the i32 -> f32 -> bf16 ladder)."""
     t = ggml_type
     if t == GGMLType.Q8_0:
-        return field_refs["q8"][...].astype(jnp.float32)
+        return field_refs["q8"][...].astype(dtype)
     val = None
     if "q4" in field_refs:
         q = field_refs["q4"][...].astype(jnp.int32)
@@ -78,8 +80,8 @@ def _unpack_stripes(field_refs: dict, ggml_type: GGMLType):
         mag = (
             (jnp.uint32(_MXFP4_LUT) >> ((idx & 7).astype(jnp.uint32) * 4)) & 0xF
         ).astype(jnp.int32)
-        return jnp.where((idx >> 3) != 0, -mag, mag).astype(jnp.float32)
-    return val.astype(jnp.float32)
+        return jnp.where((idx >> 3) != 0, -mag, mag).astype(dtype)
+    return val.astype(dtype)
 
 
 # Per-shape production tile table: (n_out_padded, n_in) -> (tile_n, n_kchunks).
@@ -174,11 +176,11 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
     # (a VPU-matvec decode path was measured at 308-482 GB/s vs this
     # kernel's ~540 on v5e — the MXU dot with in-kernel dequant wins, so
     # no VPU branch exists; see scripts/mxu_probe.py)
-    # fast-path unpack strategy for 4-bit planes: "v0" (concat + one MXU
-    # dot — fastest measured on v5e; the VPU unpack serializes with the
-    # MXU either way, and one dot beats two) | "split" (two half-width
-    # dots, no lane concat — ~8% slower on v5e, kept for A/B testing)
-    unpack_mode = os.environ.get("TPULLAMA_QMM_UNPACK", "v0")
+    # fast-path unpack strategy for 4-bit planes: "v1" (concat + one MXU
+    # dot, all-bf16 dequant — one fewer VPU op/element than v0's f32
+    # ladder) | "v0" (f32 ladder) | "split"/"fp" (two half-width dots,
+    # no lane concat — ~8% slower on v5e, kept for A/B testing)
+    unpack_mode = os.environ.get("TPULLAMA_QMM_UNPACK", "v1")
     stacked = layer is not None
     field_names = [n for n in pq_fields]
     has_minv = "minv" in pq_fields
@@ -280,19 +282,27 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
         else:
             fields = dict(zip(field_names, field_tiles))
         use_split = (
-            unpack_mode != "v0"
+            unpack_mode in ("split", "fp")
             and not exact
             and set(field_names) <= {"q4", "scale", "minv"}
         )
         minv_tile = (
             fields["minv"][...].astype(jnp.float32) if has_minv else None
         )
+        # v1 (default): dequant entirely in bf16 — i32 nibbles cast
+        # straight to bf16 and the scale multiply runs in bf16 (both
+        # exact for 4/8-bit integer values; the product rounds to bf16
+        # exactly where v0 rounded after an f32 multiply). One fewer VPU
+        # op per element than the f32 ladder — decode is VPU-dequant-
+        # bound, so this is throughput. TPULLAMA_QMM_UNPACK=v0 restores
+        # the f32 ladder.
+        wdt = jnp.float32 if (exact or unpack_mode == "v0") else jnp.bfloat16
         if not use_split:
-            val = _unpack_stripes(fields, ggml_type)
+            val = _unpack_stripes(fields, ggml_type, wdt)
             # scale/minv planes may be stored f16 (halves their HBM
             # traffic; the fast path rounds weights to bf16 anyway so f16
-            # scales cost no extra precision) — compute in f32 either way
-            scale = _repeat_lanes(fields["scale"][...].astype(jnp.float32), group)
+            # scales cost no extra precision)
+            scale = _repeat_lanes(fields["scale"][...].astype(wdt), group)
         if exact:
             w = val * scale
             if has_minv:
@@ -426,10 +436,10 @@ def _qmm_ktiled(x, xgsum, pq_fields, field_names, ggml_type, group,
             for k, r in zip(field_names, field_tiles)
         }
         kidx = pl.program_id(2)
-        scale = fields["scale"][...].astype(jnp.float32)  # (tn, K/group)
+        scale = fields["scale"][...].astype(jnp.bfloat16)  # (tn, K/group)
         sh = _repeat_lanes(scale, ce // (K // group))  # (tn, ce)
         if stripes == 1:
-            w = (fields["q8"][...].astype(jnp.float32) * sh).astype(jnp.bfloat16)
+            w = fields["q8"][...].astype(jnp.bfloat16) * sh
             acc = jax.lax.dot_general(
                 x_ref[...].reshape(tt, ce).astype(jnp.bfloat16), w,
                 (((1,), (1,)), ((), ())),
@@ -438,8 +448,8 @@ def _qmm_ktiled(x, xgsum, pq_fields, field_names, ggml_type, group,
         else:
             if "q4" in fields:
                 q = fields["q4"][...].astype(jnp.int32)
-                lo = (q & 0xF).astype(jnp.float32)
-                hi = (q >> 4).astype(jnp.float32)
+                lo = (q & 0xF).astype(jnp.bfloat16)
+                hi = (q >> 4).astype(jnp.bfloat16)
             else:
                 q = fields["q4_lut"][...].astype(jnp.int32)
 
@@ -448,17 +458,17 @@ def _qmm_ktiled(x, xgsum, pq_fields, field_names, ggml_type, group,
                         (jnp.uint32(_MXFP4_LUT) >> ((idx & 7).astype(jnp.uint32) * 4))
                         & 0xF
                     ).astype(jnp.int32)
-                    return jnp.where((idx >> 3) != 0, -m, m).astype(jnp.float32)
+                    return jnp.where((idx >> 3) != 0, -m, m).astype(jnp.bfloat16)
 
                 lo, hi = mag(q & 0xF), mag(q >> 4)
             xr = x_ref[...]
             acc = jax.lax.dot_general(
-                xr[:, 0].astype(jnp.bfloat16), (lo * sh).astype(jnp.bfloat16),
+                xr[:, 0].astype(jnp.bfloat16), lo * sh,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             acc = acc + jax.lax.dot_general(
-                xr[:, 1].astype(jnp.bfloat16), (hi * sh).astype(jnp.bfloat16),
+                xr[:, 1].astype(jnp.bfloat16), hi * sh,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -626,8 +636,9 @@ def quantized_matmul_gathered(
             for k, r in zip(field_names, field_tiles)
         }
         minv_tile = fields["minv"][...].astype(jnp.float32) if has_minv else None
-        val = _unpack_stripes(fields, ggml_type)
-        scale = _repeat_lanes(fields["scale"][...].astype(jnp.float32), group)
+        wdt = jnp.float32 if exact else jnp.bfloat16
+        val = _unpack_stripes(fields, ggml_type, wdt)
+        scale = _repeat_lanes(fields["scale"][...].astype(wdt), group)
         xr = x_ref[...].reshape(tt, K)
         if exact:
             w = val * scale
@@ -747,24 +758,24 @@ def _qmm_gathered_t(x, pq_fields, sel, ggml_type, group, N, K, tile_n, tt,
                 preferred_element_type=jnp.float32, precision=prec,
             )
 
-        scale_t = fields["scale"][:gcols, :].astype(jnp.float32)  # (g, tn)
+        scale_t = fields["scale"][:gcols, :].astype(wdt)  # (g, tn)
         xr = x_ref[...].reshape(tt, K)
         if ggml_type == GGMLType.Q8_0:
             sh = _sub_repeat(scale_t, group)  # (K, tn)
-            acc = tdot(xr, fields["q8"][...].astype(jnp.float32) * sh)
+            acc = tdot(xr, fields["q8"][...].astype(wdt) * sh)
         else:
             qname = "q4" if "q4" in fields else "q4_lut"
             q = fields[qname][...].astype(jnp.int32)  # (K/2, tn)
             if qname == "q4":
-                lo = (q & 0xF).astype(jnp.float32)
-                hi = (q >> 4).astype(jnp.float32)
+                lo = (q & 0xF).astype(wdt)
+                hi = (q >> 4).astype(wdt)
             else:
                 def mag(idx):
                     m = (
                         (jnp.uint32(_MXFP4_LUT)
                          >> ((idx & 7).astype(jnp.uint32) * 4)) & 0xF
                     ).astype(jnp.int32)
-                    return jnp.where((idx >> 3) != 0, -m, m).astype(jnp.float32)
+                    return jnp.where((idx >> 3) != 0, -m, m).astype(wdt)
 
                 lo, hi = mag(q & 0xF), mag(q >> 4)
             sh = _sub_repeat(scale_t, group // 2)  # (K/2, tn)

@@ -75,6 +75,7 @@ _LAYER_SPECS = {
     "exp_probs_b": P(None, None),
     "ffn_gate_exps": P(None, "tp", None, None),
     "ffn_up_exps": P(None, "tp", None, None),
+    "ffn_gateup_exps": P(None, "tp", None, None),
     "ffn_down_exps": P(None, "tp", None, None),
     "ffn_gate_exps_b": P(None, "tp", None),
     "ffn_up_exps_b": P(None, "tp", None),

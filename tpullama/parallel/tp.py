@@ -117,7 +117,7 @@ def _check_tp_supported(params: dict, hp, n_tp: int):
 
 
 _PACKED_EXP_TENSORS = (
-    "ffn_gate_exps", "ffn_up_exps", "ffn_down_exps",
+    "ffn_gate_exps", "ffn_up_exps", "ffn_gateup_exps", "ffn_down_exps",
     "ffn_gate_chexps", "ffn_up_chexps", "ffn_down_chexps",
 )
 
