@@ -356,6 +356,74 @@ def main():
               "vs_roofline": round(tps / roof_agg, 4),
               "compile_s": round(compile_s, 1)})
 
+    def run_engine_cell(name, B, pp, tg):
+        """Serving-path batched bench: drives the continuous-batching
+        ServerEngine end-to-end (chunked prefill + mixed decode +
+        sampling) instead of the raw scan loop — the
+        tools/batched-bench parity cell (reference publishes PP512/TG
+        grids through its server-equivalent path, dgx-spark.md:30-45)."""
+        if args.aot:
+            return
+        import statistics
+
+        from tpullama.models.loader import LoadedModel
+        from tpullama.server.engine import ServerEngine, Task
+
+        class _V:  # synthetic model: token-id-only vocab stub
+            n_tokens = hp.n_vocab
+
+            def is_eog(self, t):
+                return False
+
+            def token_to_piece(self, t, special=False):
+                return ""
+
+            def tokenize(self, s, add_special=True):
+                return [1]
+
+        model = LoadedModel(hparams=hp, params=params, reader=None,
+                            vocab=_V(), quant_meta=quant_meta)
+        os.environ["TPULLAMA_SCAN_UNROLL"] = str(args.unroll)
+        engine = ServerEngine(model, n_slots=B, n_ctx=pp + tg + 136,
+                              dtype=jnp.bfloat16)
+        rng = np.random.default_rng(0)
+        agg = []
+
+        def run_round(seed_off):
+            tasks = []
+            t0 = time.time()
+            for i in range(B):
+                toks = rng.integers(
+                    3, min(40000, hp.n_vocab), pp).astype(np.int32).tolist()
+                tasks.append(engine.submit(Task(prompt_tokens=toks,
+                                                n_predict=tg)))
+            while not all(t.done.is_set() for t in tasks):
+                engine.step()
+            dt = time.time() - t0
+            n_gen = sum(len(t.out_tokens) for t in tasks)
+            for s in engine.slots:  # fresh KV per round
+                engine.slot_erase(s.id)
+            return dt, n_gen, statistics.mean(t.ttft_ms for t in tasks)
+
+        dt, n_gen, _ = run_round(0)  # warm (compiles)
+        compile_s = dt
+        best = (float("inf"), 0, 0)
+        for it in range(args.iters):
+            r = run_round(it + 1)
+            if r[0] < best[0]:
+                best = r
+        dt, n_gen, ttft = best
+        # decode-phase throughput estimate: total time minus the prompt
+        # phase at the measured prefill rate is noisy; report end-to-end
+        # aggregate (prompt+gen tokens over wall) AND gen-only rate over
+        # the post-prefill window approximated by subtracting ttft
+        gen_window = max(dt - ttft / 1e3, 1e-9)
+        emit({"cell": name, "B": B, "pp": pp, "tg": tg,
+              "e2e_tps_aggregate": round((B * pp + n_gen) / dt, 2),
+              "gen_tps_aggregate": round(n_gen / gen_window, 2),
+              "ttft_ms": round(ttft, 1),
+              "compile_s": round(compile_s, 1)})
+
     def run_prefill_cell(name, T, unroll):
         fn, S = make_prefill_fn(hp, quant_meta, T, unroll)
         kv_k, kv_v = kv_struct(hp, 1, S, args.aot, dtype)
@@ -405,6 +473,8 @@ def main():
             elif base.startswith("batch"):
                 run_decode_cell(cell, int(base[5:]), 512, args.unroll,
                                 args.steps, kv_mode)
+            elif base.startswith("engine"):
+                run_engine_cell(cell, int(base[6:]), 512, 64)
             elif base.startswith("unroll"):
                 run_decode_cell(cell, 1, 0, int(base[6:]), args.steps)
             else:

@@ -128,3 +128,38 @@ def test_compile_cache_enabled(tmp_path, monkeypatch):
     monkeypatch.setenv("TPULLAMA_CACHE_DIR", "off")
     cc._done = False
     assert cc.enable_compilation_cache() is None
+
+
+def test_server_make_sampler_greedy_keeps_bias():
+    from tpullama.server.http import _make_sampler
+
+    assert _make_sampler({"temperature": 0}) is None
+    ch = _make_sampler({"temperature": 0, "logit_bias": {"7": 100.0}},
+                       n_vocab=16)
+    assert ch is not None
+    logits = np.zeros(16, np.float32)
+    logits[3] = 5.0
+    assert ch.sample(logits) == 7
+
+
+def test_webui_served(tmp_path):
+    import threading
+
+    from tpullama.models import load_model
+    from tpullama.models.testing import make_tiny_llama_gguf
+    from tpullama.server.http import serve
+
+    p = str(tmp_path / "t.gguf")
+    make_tiny_llama_gguf(p)
+    httpd = serve(load_model(p), host="127.0.0.1", port=0, block=False,
+                  n_slots=1, n_ctx=128)
+    try:
+        import urllib.request
+
+        port = httpd.server_address[1]
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=30).read().decode()
+        assert "<title>tpullama</title>" in html
+        assert "v1/chat/completions" in html  # the core loop is wired
+    finally:
+        httpd.shutdown()

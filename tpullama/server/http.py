@@ -120,13 +120,25 @@ def _make_sampler(body: dict, vocab=None, n_vocab: int = 0) -> SamplerChain | No
     """Full llama-server sampling-parameter surface
     (tools/server README "completion" params)."""
     temp = float(body.get("temperature", 0.8))
-    if temp <= 0:
-        return None
     lb = body.get("logit_bias") or None
     if isinstance(lb, list):  # OpenAI style [[tok, bias], ...]
         lb = {int(t): float(b) for t, b in lb}
     elif isinstance(lb, dict):
         lb = {int(t): float(b) for t, b in lb.items()}
+    if temp <= 0:
+        # greedy selection still honors logit bias / penalties / dry
+        # (common_sampler keeps the chain; only the selector is argmax);
+        # bare argmax fast path when no modifier is active
+        modifiers = (
+            lb
+            or float(body.get("repeat_penalty", 1.0)) != 1.0
+            or float(body.get("frequency_penalty", 0.0)) != 0.0
+            or float(body.get("presence_penalty", 0.0)) != 0.0
+            or float(body.get("dry_multiplier", 0.0)) > 0
+            or int(body.get("mirostat", 0))
+        )
+        if not modifiers:
+            return None
     return SamplerChain.from_params(
         vocab=vocab,
         seed=int(body.get("seed", 0xFFFFFFFF)),
@@ -234,7 +246,8 @@ class ServerState:
                  chat_template: str | None = None,
                  api_key: str | None = None, api_prefix: str = "",
                  no_slots_ep: bool = False, props_rw: bool = False,
-                 chat_template_kwargs: dict | None = None):
+                 chat_template_kwargs: dict | None = None,
+                 no_webui: bool = False):
         self.engine = engine
         self.model_name = model_name
         # --chat-template NAME: force a builtin dialect (templates.py)
@@ -252,6 +265,7 @@ class ServerState:
         self.api_key = api_key or None
         self.api_prefix = api_prefix.rstrip("/")
         self.no_slots_ep = no_slots_ep  # --no-slots
+        self.no_webui = no_webui  # --no-webui: disable the / chat UI
         self.props_rw = props_rw  # --props enables POST /props
         self.chat_template_kwargs = chat_template_kwargs or {}
 
@@ -366,7 +380,22 @@ def make_handler(state: ServerState):
             path = self._route()
             if path is None:
                 return
-            if path in ("/health", "/v1/health"):
+            if path == "/" or path == "/index.html":
+                # built-in chat web UI (the reference serves its webui
+                # SPA from the root route; --no-webui disables)
+                if state.no_webui:
+                    self._error("webui disabled by --no-webui", 404,
+                                "not_found_error")
+                    return
+                from .webui import INDEX_HTML
+
+                body = INDEX_HTML.encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif path in ("/health", "/v1/health"):
                 self._json({"status": "ok"})
             elif path == "/lora-adapters":
                 self._json([
@@ -1005,7 +1034,8 @@ def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
           api_key: str | None = None, api_prefix: str = "",
           no_slots_ep: bool = False, props_rw: bool = False,
           timeout: int = 0, ssl_cert: str = "", ssl_key: str = "",
-          chat_template_kwargs: dict | None = None):
+          chat_template_kwargs: dict | None = None,
+          no_webui: bool = False):
     base_model = None
     lora_entries = []
     if loras:
@@ -1034,6 +1064,7 @@ def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
                         chat_template=chat_template,
                         api_key=api_key, api_prefix=api_prefix,
                         no_slots_ep=no_slots_ep, props_rw=props_rw,
+                        no_webui=no_webui,
                         chat_template_kwargs=chat_template_kwargs)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     if ssl_cert and ssl_key:
@@ -1136,6 +1167,7 @@ def main(argv=None):
           chat_template=chat_template,
           api_key=api_key, api_prefix=args.api_prefix,
           no_slots_ep=args.no_slots, props_rw=args.props,
+          no_webui=getattr(args, "no_webui", False),
           timeout=args.timeout, ssl_cert=args.ssl_cert_file,
           ssl_key=args.ssl_key_file, chat_template_kwargs=ctk)
 
