@@ -51,7 +51,8 @@ def test_env_names_match_reference():
     ours = {f.env for f in FLAGS if f.env}
     extra_ok = {"LLAMA_ARG_UBATCH", "LLAMA_ARG_SWA_FULL",
                 "LLAMA_ARG_YARN_ORIG_CTX", "LLAMA_API_KEY",
-                "LLAMA_ARG_SPLIT_MODE"}
+                "LLAMA_ARG_SPLIT_MODE",
+                "HF_TOKEN"}  # the reference's own env for --hf-token
     ref_path = "/root/reference/common/arg.cpp"
     if not os.path.exists(ref_path):
         return

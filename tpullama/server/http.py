@@ -1113,6 +1113,10 @@ def main(argv=None):
                     help="one shared KV cell pool across slots (n_ctx = "
                          "total; the reference's kv_unified)")
     args = ap.parse_args(argv)
+    if not args.model and getattr(args, "hf_repo", ""):
+        from ..models.download import model_path_from_args
+
+        args.model = model_path_from_args(args)
     if not args.model:
         ap.error("the following arguments are required: -m/--model")
     if args.device:

@@ -13,6 +13,7 @@ parser also accepts tool-local extras added on top.
 from __future__ import annotations
 
 import argparse
+import sys
 import os
 from dataclasses import dataclass, field
 
@@ -59,6 +60,16 @@ GEN = ("cli", "server", "mtmd")
 FLAGS = [
     # model / load
     Flag(("-m", "--model"), env="LLAMA_ARG_MODEL", help="model GGUF path"),
+    Flag(("-hf", "-hfr", "--hf-repo"), dest="hf_repo", default="",
+         env="LLAMA_ARG_HF_REPO",
+         help="<user>/<model>[:quant] resolved against the local model "
+              "cache (env LLAMA_CACHE; offline-only in this build)"),
+    Flag(("-hff", "--hf-file"), dest="hf_file", default="",
+         env="LLAMA_ARG_HF_FILE"),
+    Flag(("-hfd", "-hfrd", "--hf-repo-draft"), dest="hf_repo_draft",
+         default="", scopes=GEN, env="LLAMA_ARG_HFD_REPO"),
+    Flag(("-hft", "--hf-token"), dest="hf_token", default="",
+         env="HF_TOKEN", noop="cache-only resolution needs no auth token"),
     Flag(("-md", "--model-draft"), env="LLAMA_ARG_MODEL_DRAFT",
          scopes=GEN, help="draft model for speculative decoding"),
     Flag(("--mmproj",), env="LLAMA_ARG_MMPROJ", scopes=("cli", "server", "mtmd"),
@@ -448,10 +459,16 @@ def build_parser(scope: str, prog: str, description: str = "",
             del kw["dest"]
         ap.add_argument(*fl.flags, **kw)
     if model_required and scope != "server":
-        # match the reference: -m is required unless the env mirror set it
-        for a in ap._actions:
-            if a.dest == "model" and a.default is None:
-                a.required = True
+        # match the reference: -m is required unless the env mirror set
+        # it — or unless -hf provides a resolvable spec (arg.cpp:220
+        # pre-fills the model path from hf_repo), checked post-parse by
+        # models.download.model_path_from_args
+        argv_probe = sys.argv[1:]
+        if not any(a.startswith(("-hf", "--hf-repo")) for a in argv_probe) \
+                and not os.environ.get("LLAMA_ARG_HF_REPO"):
+            for a in ap._actions:
+                if a.dest == "model" and a.default is None:
+                    a.required = True
     return ap
 
 

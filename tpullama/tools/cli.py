@@ -61,6 +61,9 @@ def main(argv=None) -> int:
     load_kw = {}
     if args.split_mode == "row" and args.tp > 1:
         load_kw["tp_shards"] = args.tp
+    from ..models.download import model_path_from_args
+
+    args.model = model_path_from_args(args)
     model = load_model(args.model, dtype=dtype, **load_kw)
     from .args import apply_model_arg_overrides
 
