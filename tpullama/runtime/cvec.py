@@ -48,11 +48,19 @@ def load_control_vector(source, n_layer: int, n_embd: int,
     return out
 
 
-def apply_control_vector(model, source, strength: float = 1.0):
+def apply_control_vector(model, source, strength: float = 1.0,
+                         layer_range=None):
     """Attach (or accumulate) a control vector onto a loaded model.
+    layer_range: (start, end) 1-based inclusive layer window (the
+    reference's --control-vector-layer-range; layers outside get zero).
     Returns the model (params updated in place)."""
     hp = model.hparams
     cv = load_control_vector(source, hp.n_layer, hp.n_embd, strength)
+    if layer_range:
+        lo, hi = int(layer_range[0]), int(layer_range[1])
+        mask = np.zeros((hp.n_layer, 1), np.float32)
+        mask[max(lo - 1, 0):hi] = 1.0
+        cv = cv * mask
     layers = dict(model.params["layers"])
     prev = layers.get("_cvec")
     cvj = jnp.asarray(cv, dtype=model.params["tok_embd"].dtype)

@@ -296,3 +296,48 @@ class LoraTrainer:
                 w.add_tensor(f"blk.{il}.{t}.weight.lora_b", b[il], GGMLType.F32)
         w.write(dest)
         return dest
+
+
+def save_finetuned(model, dest: str):
+    """llama_model_save_to_file analog: re-emit the source GGUF with the
+    trained dense weights written back (updated tensors stored F32, the
+    rest copied verbatim from the reader). Requires a dense
+    (packed=False) load with the reader still attached."""
+    from ..gguf import GGMLType, GGUFWriter
+    from ..models.loader import _LAYER_TENSORS
+
+    r = model.reader
+    if r is None:
+        raise ValueError("model has no reader attached (in-memory build?)")
+    layers = model.params.get("layers", {})
+    suffix_of_key = {}
+    for sfx, key in _LAYER_TENSORS.items():
+        suffix_of_key.setdefault(key, sfx)
+    top_map = {"token_embd.weight": "tok_embd", "output.weight": "output",
+               "output_norm.weight": "output_norm"}
+
+    w = GGUFWriter(alignment=r.alignment)
+    for k, v in r.kv.items():
+        w.add_kv(k, v)
+    for name in r.tensors:
+        new = None
+        if name.startswith("blk."):
+            _, idx, rest = name.split(".", 2)
+            key = _LAYER_TENSORS.get(rest)
+            arr = layers.get(key) if key else None
+            if arr is not None and not isinstance(arr, dict):
+                new = np.asarray(arr[int(idx)], np.float32)
+        elif name in top_map:
+            arr = model.params.get(top_map[name])
+            if arr is not None and not isinstance(arr, dict):
+                new = np.asarray(arr, np.float32)
+        info = r.tensors[name]
+        if new is not None and tuple(new.shape) == tuple(
+                int(s) for s in info.shape):
+            w.add_tensor(name, new, GGMLType.F32)
+        else:
+            w.add_tensor(name, np.empty(info.shape),
+                         ggml_type=info.ggml_type,
+                         raw=np.asarray(r.tensor_raw(name)))
+    w.write(dest)
+    return dest

@@ -247,7 +247,7 @@ class ServerState:
                  api_key: str | None = None, api_prefix: str = "",
                  no_slots_ep: bool = False, props_rw: bool = False,
                  chat_template_kwargs: dict | None = None,
-                 no_webui: bool = False):
+                 no_webui: bool = False, spm_infill: bool = False):
         self.engine = engine
         self.model_name = model_name
         # --chat-template NAME: force a builtin dialect (templates.py)
@@ -266,6 +266,7 @@ class ServerState:
         self.api_prefix = api_prefix.rstrip("/")
         self.no_slots_ep = no_slots_ep  # --no-slots
         self.no_webui = no_webui  # --no-webui: disable the / chat UI
+        self.spm_infill = spm_infill  # --spm-infill default token order
         self.props_rw = props_rw  # --props enables POST /props
         self.chat_template_kwargs = chat_template_kwargs or {}
 
@@ -682,7 +683,8 @@ def make_handler(state: ServerState):
                 n_batch=int(body.get("n_batch", 2048)),
                 n_predict=int(body.get("n_predict", 128)),
                 n_ctx=(engine.ctx or engine.encoder).p.n_ctx,
-                spm_infill=bool(body.get("spm_infill", False)),
+                spm_infill=bool(body.get("spm_infill",
+                                         state.spm_infill)),
                 tokens_prompt=vocab.tokenize(prompt, add_special=False) if prompt else None,
             )
             stop = body.get("stop") or []
@@ -1035,7 +1037,7 @@ def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
           no_slots_ep: bool = False, props_rw: bool = False,
           timeout: int = 0, ssl_cert: str = "", ssl_key: str = "",
           chat_template_kwargs: dict | None = None,
-          no_webui: bool = False):
+          no_webui: bool = False, spm_infill: bool = False):
     base_model = None
     lora_entries = []
     if loras:
@@ -1064,7 +1066,7 @@ def serve(model, host: str = "127.0.0.1", port: int = 8080, n_slots: int = 4,
                         chat_template=chat_template,
                         api_key=api_key, api_prefix=api_prefix,
                         no_slots_ep=no_slots_ep, props_rw=props_rw,
-                        no_webui=no_webui,
+                        no_webui=no_webui, spm_infill=spm_infill,
                         chat_template_kwargs=chat_template_kwargs)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     if ssl_cert and ssl_key:
@@ -1172,6 +1174,7 @@ def main(argv=None):
           api_key=api_key, api_prefix=args.api_prefix,
           no_slots_ep=args.no_slots, props_rw=args.props,
           no_webui=getattr(args, "no_webui", False),
+          spm_infill=getattr(args, "spm_infill", False),
           timeout=args.timeout, ssl_cert=args.ssl_cert_file,
           ssl_key=args.ssl_key_file, chat_template_kwargs=ctk)
 

@@ -29,6 +29,8 @@ class Flag:
     scopes: tuple = ("cli", "server", "perplexity", "bench", "embedding",
                      "mtmd", "tokenize", "imatrix")
     action: str | None = None  # "store_true" for bool switches
+    nargs: object = None
+    metavar: object = None
     choices: tuple | None = None
     required: bool = False
     # flags the reference exposes whose mechanism dissolves on this
@@ -130,7 +132,8 @@ FLAGS = [
     Flag(("--typical",), dest="typical_p", type=float, default=1.0, scopes=GEN),
     Flag(("--xtc-probability",), type=float, default=0.0, scopes=GEN),
     Flag(("--xtc-threshold",), type=float, default=0.1, scopes=GEN),
-    Flag(("--top-n-sigma",), type=float, default=-1.0, scopes=GEN),
+    Flag(("--top-n-sigma", "--top-nsigma"), type=float, default=-1.0,
+         scopes=GEN),
     Flag(("--repeat-penalty",), type=float, default=1.0, scopes=GEN),
     Flag(("--repeat-last-n",), type=int, default=64, scopes=GEN),
     Flag(("--presence-penalty",), type=float, default=0.0, scopes=GEN),
@@ -425,7 +428,225 @@ FLAGS = [
          "not the RPC backend"),
     Flag(("--list-devices",), action="store_true",
          help="print available accelerator devices and exit"),
+    # ---- round-5 full common/arg.cpp audit: every remaining reference
+    # flag gets a row here — wired where the capability exists, noop=
+    # with the reason where the mechanism dissolves on this backend.
+    Flag(("-cl", "--cache-list"), action="cache_list",
+         help="list cached models (models.download cache) and exit"),
+    Flag(("--no-display-prompt",), action="store_true", scopes=("cli", "mtmd"),
+         help="don't echo the prompt before generation"),
+    Flag(("-co", "--color"), action="store_true", scopes=("cli",),
+         help="colorize generated output"),
+    Flag(("--context-shift",), action="store_true", scopes=GEN,
+         env="LLAMA_ARG_CONTEXT_SHIFT",
+         help="enable automatic context shift (pairs --no-context-shift)"),
+    Flag(("--spm-infill",), action="store_true", scopes=SRV,
+         help="suffix-prefix-middle infill token order"),
+    Flag(("-lcs", "--lookup-cache-static"), default="", scopes=("cli",),
+         help="static n-gram cache for lookup decoding"),
+    Flag(("-lcd", "--lookup-cache-dynamic"), default="", scopes=("cli",),
+         help="dynamic n-gram cache path (updated + saved)"),
+    Flag(("--control-vector-scaled",), action="append", nargs=2,
+         metavar=("FILE", "SCALE"), scopes=GEN,
+         help="control vector with a custom strength (repeatable)"),
+    Flag(("--control-vector-layer-range",), nargs=2, type=int,
+         metavar=("START", "END"), scopes=GEN, default=None,
+         help="apply control vectors only to layers [START, END]"),
+    Flag(("-hfv", "-hfrv", "--hf-repo-v"), dest="hf_repo_v", default="",
+         env="LLAMA_ARG_HF_REPO_V", scopes=("cli",),
+         help="vocoder model -hf spec (tts)"),
+    Flag(("-hffv", "--hf-file-v"), dest="hf_file_v", default="",
+         env="LLAMA_ARG_HF_FILE_V", scopes=("cli",)),
+    Flag(("-ns", "--sequences"), dest="sequences", type=int, default=1,
+         scopes=("perplexity", "bench"),
+         noop="parallel sequence count is driven by -np/--parallel here"),
+    Flag(("-cb", "--cont-batching"), action="store_true", scopes=SRV,
+         env="LLAMA_ARG_CONT_BATCHING",
+         noop="continuous batching is structural in this engine (always on)"),
+    Flag(("-nocb", "--no-cont-batching"), action="store_true", scopes=SRV,
+         env="LLAMA_ARG_NO_CONT_BATCHING",
+         noop="continuous batching cannot be disabled on this engine"),
+    Flag(("-dt", "--defrag-thold"), type=float, default=0.1,
+         env="LLAMA_ARG_DEFRAG_THOLD",
+         noop="the bitset cell pool + scatter writes never fragment"),
+    Flag(("--ctx-checkpoints", "--swa-checkpoints"), type=int, default=8,
+         env="LLAMA_ARG_CTX_CHECKPOINTS", scopes=SRV,
+         noop="full per-slot KV stays device-resident; SWA rollback "
+              "recompute checkpoints are not needed"),
+    Flag(("--cache-ram", "-cram"), type=int, default=-1,
+         env="LLAMA_ARG_CACHE_RAM", scopes=SRV,
+         noop="no host-RAM KV offload tier on this backend"),
+    Flag(("--no-host",), action="store_true", env="LLAMA_ARG_NO_HOST",
+         noop="no host-pinned weight buffers on this backend"),
+    Flag(("--attention",), default="", choices=("", "causal", "non-causal"),
+         scopes=("embedding", "server"),
+         noop="attention causality follows the model arch (encoders run "
+              "non-causal)"),
+    Flag(("--image-min-tokens",), type=int, default=-1,
+         scopes=("mtmd", "server"), env="LLAMA_ARG_IMAGE_MIN_TOKENS",
+         noop="image token budget is fixed by each projector family's "
+              "preprocessing spec"),
+    Flag(("--image-max-tokens",), type=int, default=-1,
+         scopes=("mtmd", "server"), env="LLAMA_ARG_IMAGE_MAX_TOKENS",
+         noop="image token budget is fixed by each projector family's "
+              "preprocessing spec"),
+    Flag(("--no-mmproj",), action="store_true", scopes=("cli", "server", "mtmd"),
+         env="LLAMA_ARG_NO_MMPROJ",
+         noop="mmproj is only loaded when --mmproj is passed explicitly"),
+    Flag(("--no-mmproj-offload",), action="store_true",
+         scopes=("cli", "server", "mtmd"), env="LLAMA_ARG_NO_MMPROJ_OFFLOAD",
+         noop="single-backend execution; nothing to offload"),
+    Flag(("--mmproj-backend",), default="", scopes=("cli", "server", "mtmd"),
+         noop="single-backend execution"),
+    Flag(("--mmproj-url",), default="", scopes=("cli", "server", "mtmd"),
+         env="LLAMA_ARG_MMPROJ_URL",
+         noop="this environment performs no network fetches"),
+    Flag(("-mu", "--model-url"), default="", env="LLAMA_ARG_MODEL_URL",
+         noop="this environment performs no network fetches"),
+    Flag(("-dr", "--docker-repo"), default="",
+         noop="this environment performs no network fetches"),
+    Flag(("--simple-io",), action="store_true", scopes=("cli",),
+         noop="plain stdio is already the only console mode"),
+    # retrieval / passkey / parallel example flags: those demos are not
+    # shipped; the capabilities they demonstrate (embeddings, long
+    # context, parallel decoding) are covered by the server + tests
+    Flag(("--context-file",), action="append",
+         noop="retrieval demo not shipped; /v1/embeddings covers it"),
+    Flag(("--chunk-size",), type=int, default=64,
+         noop="retrieval demo not shipped"),
+    Flag(("--chunk-separator",), default="\n",
+         noop="retrieval demo not shipped"),
+    Flag(("--junk",), type=int, default=250,
+         noop="passkey demo not shipped; long-context covered by tests"),
+    Flag(("--pos",), type=int, default=-1,
+         noop="passkey demo not shipped"),
+    # CPU affinity / polling / priority family: XLA's TFRT runtime owns
+    # host threading — same disposition as -t/--threads
+    Flag(("-C", "--cpu-mask"), default="", noop="XLA owns host threading"),
+    Flag(("-Cr", "--cpu-range"), default="", noop="XLA owns host threading"),
+    Flag(("-Cb", "--cpu-mask-batch"), default="",
+         noop="XLA owns host threading"),
+    Flag(("-Crb", "--cpu-range-batch"), default="",
+         noop="XLA owns host threading"),
+    Flag(("--cpu-strict-batch",), type=int, default=0,
+         noop="XLA owns host threading"),
+    Flag(("--prio-batch",), type=int, default=0,
+         noop="XLA owns host threading"),
+    Flag(("--poll-batch",), type=int, default=50,
+         noop="XLA owns host threading"),
+    Flag(("-td", "--threads-draft"), type=int, default=-1, scopes=GEN,
+         noop="XLA owns host threading"),
+    Flag(("-tbd", "--threads-batch-draft"), type=int, default=-1, scopes=GEN,
+         noop="XLA owns host threading"),
+    Flag(("-Cd", "--cpu-mask-draft"), default="", scopes=GEN,
+         noop="XLA owns host threading"),
+    Flag(("-Crd", "--cpu-range-draft"), default="", scopes=GEN,
+         noop="XLA owns host threading"),
+    Flag(("--cpu-strict-draft",), type=int, default=0, scopes=GEN,
+         noop="XLA owns host threading"),
+    Flag(("--prio-draft",), type=int, default=0, scopes=GEN,
+         noop="XLA owns host threading"),
+    Flag(("--poll-draft",), type=int, default=50, scopes=GEN,
+         noop="XLA owns host threading"),
+    Flag(("-Cbd", "--cpu-mask-batch-draft"), default="", scopes=GEN,
+         noop="XLA owns host threading"),
+    Flag(("-Crbd", "--cpu-range-batch-draft"), default="", scopes=GEN,
+         noop="XLA owns host threading"),
+    Flag(("--cpu-strict-batch-draft",), type=int, default=0, scopes=GEN,
+         noop="XLA owns host threading"),
+    Flag(("--prio-batch-draft",), type=int, default=0, scopes=GEN,
+         noop="XLA owns host threading"),
+    Flag(("--poll-batch-draft",), type=int, default=50, scopes=GEN,
+         noop="XLA owns host threading"),
+    Flag(("-devd", "--device-draft"), default="", scopes=GEN,
+         noop="the draft model runs on the same TPU devices"),
+    Flag(("-ngld", "--gpu-layers-draft", "--n-gpu-layers-draft"),
+         type=int, default=-1, scopes=GEN, env="LLAMA_ARG_N_GPU_LAYERS_DRAFT",
+         noop="all layers always run on device (no CPU offload tier)"),
+    Flag(("--override-tensor-draft", "-otd"), action="append", scopes=GEN,
+         noop="no per-tensor host/device placement on this backend"),
+    Flag(("--cpu-moe-draft", "-cmoed"), action="store_true", scopes=GEN,
+         env="LLAMA_ARG_CPU_MOE_DRAFT",
+         noop="no CPU offload tier for expert tensors"),
+    Flag(("--n-cpu-moe-draft", "-ncmoed"), type=int, default=0, scopes=GEN,
+         env="LLAMA_ARG_N_CPU_MOE_DRAFT",
+         noop="no CPU offload tier for expert tensors"),
+    # training (tools/finetune.py drives runtime/train.py with these)
+    Flag(("-lr", "--learning-rate"), dest="learning_rate", type=float,
+         default=1e-4, scopes=("finetune",)),
+    Flag(("-lr-min", "--learning-rate-min"), dest="learning_rate_min",
+         type=float, default=0.0, scopes=("finetune",)),
+    Flag(("-decay-epochs", "--learning-rate-decay-epochs"),
+         dest="decay_epochs", type=float, default=-1, scopes=("finetune",)),
+    Flag(("-wd", "--weight-decay"), dest="weight_decay", type=float,
+         default=0.0, scopes=("finetune",)),
+    Flag(("-val-split", "--val-split"), dest="val_split", type=float,
+         default=0.05, scopes=("finetune",)),
+    Flag(("-epochs", "--epochs"), dest="epochs", type=int, default=2,
+         scopes=("finetune",)),
+    Flag(("-opt", "--optimizer"), dest="optimizer", default="adamw",
+         choices=("adamw", "sgd"), scopes=("finetune",)),
+    Flag(("--lora-init-without-apply",), action="store_true",
+         scopes=("finetune",),
+         help="initialize LoRA weights without merging into the base"),
 ]
+
+# -hf model-preset shortcuts (arg.cpp:3000+ *-default/-spec entries):
+# each pre-fills hf_repo (and the draft repo for the -spec pairs); the
+# cache-only resolver then maps them to local files
+HF_PRESETS = {
+    "--tts-oute-default": ("OuteAI/OuteTTS-0.2-500M-GGUF:Q8_0", ""),
+    "--embd-gemma-default": ("ggml-org/embeddinggemma-300M-qat-q4_0-GGUF", ""),
+    "--fim-qwen-1.5b-default": ("ggml-org/Qwen2.5-Coder-1.5B-Q8_0-GGUF", ""),
+    "--fim-qwen-3b-default": ("ggml-org/Qwen2.5-Coder-3B-Q8_0-GGUF", ""),
+    "--fim-qwen-7b-default": ("ggml-org/Qwen2.5-Coder-7B-Q8_0-GGUF", ""),
+    "--fim-qwen-7b-spec": ("ggml-org/Qwen2.5-Coder-7B-Q8_0-GGUF",
+                           "ggml-org/Qwen2.5-Coder-0.5B-Q8_0-GGUF"),
+    "--fim-qwen-14b-spec": ("ggml-org/Qwen2.5-Coder-14B-Q8_0-GGUF",
+                            "ggml-org/Qwen2.5-Coder-0.5B-Q8_0-GGUF"),
+    "--fim-qwen-30b-default": ("ggml-org/Qwen3-Coder-30B-A3B-Instruct-Q8_0-GGUF", ""),
+    "--gpt-oss-20b-default": ("ggml-org/gpt-oss-20b-GGUF", ""),
+    "--gpt-oss-120b-default": ("ggml-org/gpt-oss-120b-GGUF", ""),
+    "--vision-gemma-4b-default": ("ggml-org/gemma-3-4b-it-qat-GGUF", ""),
+    "--vision-gemma-12b-default": ("ggml-org/gemma-3-12b-it-qat-GGUF", ""),
+}
+
+
+class _PresetAction(argparse.Action):
+    """arg.cpp *-default/-spec shortcuts: pre-fill hf_repo (+ draft)."""
+
+    def __call__(self, parser, ns, values, option_string=None):
+        repo, draft = HF_PRESETS[option_string]
+        ns.hf_repo = repo
+        if draft and hasattr(ns, "hf_repo_draft"):
+            ns.hf_repo_draft = draft
+
+
+class _CacheListAction(argparse.Action):
+    def __call__(self, parser, ns, values, option_string=None):
+        from ..models.download import cache_dir, list_cached_models
+
+        ents = list_cached_models()
+        print(f"cache dir: {cache_dir()}")
+        for e in ents:
+            print(f"  {e['name']}  {e['size'] / 2**20:.1f} MiB")
+        if not ents:
+            print("  (empty)")
+        parser.exit(0)
+
+
+class _CompletionBashAction(argparse.Action):
+    def __call__(self, parser, ns, values, option_string=None):
+        opts = " ".join(
+            s for a in parser._actions for s in a.option_strings)
+        prog = parser.prog
+        fn = "_" + prog.replace("-", "_")
+        print(f"""{fn}() {{
+  local cur=${{COMP_WORDS[COMP_CWORD]}}
+  COMPREPLY=( $(compgen -W "{opts}" -- "$cur") )
+}}
+complete -F {fn} {prog}""")
+        parser.exit(0)
 
 
 def build_parser(scope: str, prog: str, description: str = "",
@@ -438,7 +659,9 @@ def build_parser(scope: str, prog: str, description: str = "",
             continue
         kw: dict = {"help": fl.help or None, "dest": fl.dest}
         envval = os.environ.get(fl.env) if fl.env else None
-        if fl.action == "append":
+        if fl.action == "cache_list":
+            kw.update(action=_CacheListAction, nargs=0)
+        elif fl.action == "append":
             kw.update(action="append", default=[])
         elif fl.action == "store_true":
             act = "store_true" if fl.noop is None else _warn_action(
@@ -455,9 +678,26 @@ def build_parser(scope: str, prog: str, description: str = "",
                                             fl.flags[-1])
             if fl.choices:
                 kw["choices"] = list(fl.choices)
+        if fl.nargs is not None:
+            kw["nargs"] = fl.nargs
+            kw.pop("type", None) if fl.type is str else None
+        if fl.metavar is not None:
+            kw["metavar"] = fl.metavar
         if kw["dest"] is None:
             del kw["dest"]
         ap.add_argument(*fl.flags, **kw)
+    if scope in ("cli", "server", "mtmd", "bench", "perplexity"):
+        # --version / -cl / --completion-bash: informational exits
+        from .. import __version__
+
+        ap.add_argument("--version", action="version",
+                        version=f"tpullama {__version__}")
+        ap.add_argument("--completion-bash", action=_CompletionBashAction,
+                        nargs=0, help="print a bash completion script")
+        # -hf model-preset shortcuts
+        for opt in HF_PRESETS:
+            ap.add_argument(opt, action=_PresetAction, nargs=0,
+                            help=argparse.SUPPRESS)
     if model_required and scope != "server":
         # match the reference: -m is required unless the env mirror set
         # it — or unless -hf provides a resolvable spec (arg.cpp:220

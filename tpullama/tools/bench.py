@@ -95,6 +95,8 @@ def main(argv=None) -> int:
     ap.add_argument("-r", "--reps", type=int, default=3)
     ap.add_argument("--batched", action="store_true")
     ap.add_argument("-B", "--batch-sizes", default="1,2,4")
+    ap.add_argument("-tgs", default="", help="comma list of tg lengths "
+                    "for the batched grid (overrides --tg)")
     ap.add_argument("-o", "--output", choices=["json", "md"], default="md")
     ap.add_argument("--device", default=None)
     ap.add_argument("--dtype", default="float32")
@@ -110,9 +112,14 @@ def main(argv=None) -> int:
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype]
     model = load_model(args.model, dtype=dtype)
     if args.batched:
-        rows = bench_batched(
-            model, args.pp, args.tg, [int(b) for b in args.batch_sizes.split(",")]
-        )
+        tg_list = ([int(t) for t in args.tgs.split(",")] if args.tgs
+                   else [args.tg])
+        rows = []
+        for tg in tg_list:
+            rows += bench_batched(
+                model, args.pp, tg,
+                [int(b) for b in args.batch_sizes.split(",")]
+            )
         if args.output == "json":
             print(json.dumps(rows))
         else:

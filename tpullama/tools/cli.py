@@ -19,7 +19,6 @@ def build_parser() -> argparse.ArgumentParser:
     from .args import build_parser as common_parser
 
     ap = common_parser("cli", prog="tpullama-cli", description=__doc__)
-    ap.add_argument("--no-display-prompt", action="store_true")
     ap.add_argument("-i", "--interactive", action="store_true")
     ap.add_argument("--burst", type=int, default=16,
                     help="greedy decode chunk size for fused on-device steps")
@@ -40,6 +39,10 @@ def main(argv=None) -> int:
             print(f"{i}: {d}")
         return 0
     args = build_parser().parse_args(argv)
+    if getattr(args, "color", False) and sys.stdout.isatty():
+        _c0, _c1 = "\033[33m", "\033[0m"
+    else:
+        _c0 = _c1 = ""
     if args.device:
         import jax
 
@@ -103,11 +106,17 @@ def main(argv=None) -> int:
     sampler = sampler_from_args(args, vocab=model.vocab,
                                 n_vocab=model.hparams.n_vocab)
 
-    for cv in args.control_vector:
+    cv_specs = [(p.partition(":")[0],
+                 float(p.partition(":")[2]) if ":" in p else 1.0)
+                for p in args.control_vector]
+    cv_specs += [(p, float(s))
+                 for p, s in getattr(args, "control_vector_scaled", []) or []]
+    for path_s, strength in cv_specs:
         from ..runtime.cvec import apply_control_vector
 
-        path_s, _, strength = cv.partition(":")
-        apply_control_vector(model, path_s, float(strength) if strength else 1.0)
+        apply_control_vector(
+            model, path_s, strength,
+            layer_range=getattr(args, "control_vector_layer_range", None))
         if args.verbose:
             print(f"[cvec] applied {path_s}", file=sys.stderr)
 
@@ -132,6 +141,25 @@ def main(argv=None) -> int:
         )
         if args.verbose:
             print(f"[draft] {args.model_draft} arch={draft.arch}", file=sys.stderr)
+
+    lookup_cache = None
+    if spec is None and (getattr(args, "lookup_cache_static", "")
+                         or getattr(args, "lookup_cache_dynamic", "")):
+        # lookup decoding (examples/lookup): n-gram drafts verified by
+        # the target — -lcs seeds from a static cache, -lcd persists the
+        # dynamically-updated cache on exit
+        from ..runtime.ngram_cache import NgramCache
+
+        lookup_cache = NgramCache()
+        lcs = args.lookup_cache_static
+        if lcs and os.path.exists(lcs):
+            lookup_cache = NgramCache.load(lcs)
+        lcd = args.lookup_cache_dynamic
+        if lcd and os.path.exists(lcd):
+            dyn = NgramCache.load(lcd)
+            for k, stats in dyn.data.items():
+                for t, c in stats.items():
+                    lookup_cache.data[k][t] += c
 
     render_special = bool(getattr(args, "special", False))
     rev_prompts = list(getattr(args, "reverse_prompt", None) or [])
@@ -158,10 +186,26 @@ def main(argv=None) -> int:
             for tok in out:
                 if vocab.is_eog(tok):
                     break
-                sys.stdout.write(vocab.token_to_piece(tok, special=False))
+                sys.stdout.write(_c0 + vocab.token_to_piece(tok, special=False) + _c1)
             sys.stdout.write("\n")
             if args.verbose:
                 print(f"[spec] drafted={stats.get('n_drafted')} "
+                      f"accepted={stats.get('n_accepted')}", file=sys.stderr)
+            return
+        if lookup_cache is not None:
+            from ..runtime.ngram_cache import generate_lookup
+
+            out, stats = generate_lookup(ctx, lookup_cache, toks,
+                                         n_predict=n, sampler=sampler)
+            for tok in out:
+                if vocab.is_eog(tok):
+                    break
+                sys.stdout.write(_c0 + vocab.token_to_piece(tok, special=False) + _c1)
+            sys.stdout.write("\n")
+            if args.lookup_cache_dynamic:
+                lookup_cache.save(args.lookup_cache_dynamic)
+            if args.verbose:
+                print(f"[lookup] drafted={stats.get('n_drafted')} "
                       f"accepted={stats.get('n_accepted')}", file=sys.stderr)
             return
         if sampler is None and not args.interactive:
@@ -170,7 +214,7 @@ def main(argv=None) -> int:
             for tok in out:
                 if vocab.is_eog(tok):
                     break
-                sys.stdout.write(vocab.token_to_piece(tok, special=False))
+                sys.stdout.write(_c0 + vocab.token_to_piece(tok, special=False) + _c1)
             sys.stdout.write("\n")
             sys.stdout.flush()
             return
@@ -184,7 +228,7 @@ def main(argv=None) -> int:
             if vocab.is_eog(tok) and not args.ignore_eos:
                 break
             piece = vocab.token_to_piece(tok, special=render_special)
-            sys.stdout.write(piece)
+            sys.stdout.write(_c0 + piece + _c1 if _c0 else piece)
             sys.stdout.flush()
             if rev_prompts:
                 tail = (tail + piece)[-64:]

@@ -84,7 +84,26 @@ def collect_imatrix(model, text: str, n_ctx: int = 512, verbose: bool = True) ->
     return {k: (np.asarray(sums[k], np.float32), counts[k]) for k in sums}
 
 
-def save_imatrix(stats: dict, dest):
+def save_imatrix(stats: dict, dest, fmt: str = "gguf"):
+    if fmt == "dat":
+        # legacy imatrix.dat layout (tools/imatrix pre-GGUF container):
+        # i32 n_entries, then per entry: i32 len + name bytes, i32 ncall,
+        # i32 nval + f32 values; trailer: i32 last_call + dataset string
+        import struct
+
+        with open(dest, "wb") as f:
+            f.write(struct.pack("<i", len(stats)))
+            for name, (s, count) in stats.items():
+                nb = name.encode("utf-8")
+                vals = np.asarray(s, np.float32)
+                f.write(struct.pack("<i", len(nb)) + nb)
+                f.write(struct.pack("<ii", int(count), vals.size))
+                f.write(vals.tobytes())
+            f.write(struct.pack("<i", int(max(
+                (c for _, c in stats.values()), default=0))))
+            ds = b"tpullama"
+            f.write(struct.pack("<i", len(ds)) + ds)
+        return
     w = GGUFWriter()
     w.add_str("general.type", "imatrix")
     for name, (s, count) in stats.items():
@@ -114,7 +133,13 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tpullama-imatrix")
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("-f", "--file", required=True, help="calibration text")
+    ap.add_argument("--in-file", action="append", dest="in_files",
+                    default=[], help="additional calibration file "
+                    "(repeatable; concatenated after -f)")
     ap.add_argument("-o", "--output", default="imatrix.gguf")
+    ap.add_argument("--output-format", default="gguf",
+                    choices=("gguf", "dat"),
+                    help="imatrix container (gguf, or the legacy .dat)")
     ap.add_argument("-c", "--ctx-size", type=int, default=512)
     ap.add_argument("--device", default=None)
     args = ap.parse_args(argv)
@@ -127,8 +152,11 @@ def main(argv=None) -> int:
     model = load_model(args.model)
     with open(args.file, encoding="utf-8") as f:
         text = f.read()
+    for extra in args.in_files:  # --in-file: concatenated calibration
+        with open(extra, encoding="utf-8") as f:
+            text += "\n" + f.read()
     stats = collect_imatrix(model, text, n_ctx=args.ctx_size)
-    save_imatrix(stats, args.output)
+    save_imatrix(stats, args.output, fmt=args.output_format)
     print(f"saved imatrix for {len(stats)} tensors to {args.output}")
     return 0
 

@@ -167,7 +167,11 @@ def kl_divergence(model, text: str, base_path: str, n_ctx: int = 512, n_batch: i
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tpullama-perplexity")
     ap.add_argument("-m", "--model", required=True)
-    ap.add_argument("-f", "--file", required=True)
+    ap.add_argument("-f", "--file", required=False, default="")
+    ap.add_argument("-bf", "--binary-file", default="",
+                    help="input read in binary mode (decoded latin-1)")
+    ap.add_argument("--in-file", action="append", dest="in_files",
+                    default=[], help="additional input file (repeatable)")
     ap.add_argument("-c", "--ctx-size", type=int, default=512)
     ap.add_argument("-b", "--batch-size", type=int, default=512)
     ap.add_argument("--kl-divergence-base", default=None,
@@ -207,8 +211,17 @@ def main(argv=None) -> int:
         )
         print(f"Final result: {acc:.4f} +/- nan")
         return 0
-    with open(args.file, encoding="utf-8") as f:
-        text = f.read()
+    if args.binary_file:
+        with open(args.binary_file, "rb") as f:
+            text = f.read().decode("latin-1")
+    elif args.file:
+        with open(args.file, encoding="utf-8") as f:
+            text = f.read()
+    else:
+        ap.error("one of -f/--file or -bf/--binary-file is required")
+    for extra in args.in_files:
+        with open(extra, encoding="utf-8") as f:
+            text += "\n" + f.read()
     if args.hellaswag:
         from .evals import hellaswag_score
 

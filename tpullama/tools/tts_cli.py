@@ -119,7 +119,10 @@ def main(argv=None) -> int:
         description="OuteTTS text-to-speech (llama-tts analog)")
     ap.add_argument("-m", "--model", required=True,
                     help="text-to-codes model GGUF (OuteTTS)")
-    ap.add_argument("-mv", "--model-vocoder", required=True,
+    ap.add_argument("-hfv", "-hfrv", "--hf-repo-v", dest="hf_repo_v",
+                    default="", help="vocoder -hf spec (cache-resolved)")
+    ap.add_argument("-hffv", "--hf-file-v", dest="hf_file_v", default="")
+    ap.add_argument("-mv", "--model-vocoder", required=False, default="",
                     help="codes-to-speech vocoder GGUF (wavtokenizer-dec)")
     ap.add_argument("-p", "--prompt", required=True, help="text to speak")
     ap.add_argument("-o", "--output", default="output.wav")
@@ -131,6 +134,12 @@ def main(argv=None) -> int:
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--seed", type=int, default=0xFFFFFFFF)
     args = ap.parse_args(argv)
+    if not args.model_vocoder and args.hf_repo_v:
+        from ..models.download import resolve
+
+        args.model_vocoder = resolve(args.hf_repo_v, args.hf_file_v)
+    if not args.model_vocoder:
+        ap.error("-mv/--model-vocoder (or -hfv) is required")
 
     import numpy as np
 
