@@ -109,18 +109,32 @@ def _selective_scan(ssm_state, x, dt, A, B, C, last_idx=None):
 
 
 def _mamba_layer(x, lp, conv_state, ssm_state, hp: HParams, quant_meta=None,
-                 last_idx=None):
-    """One mamba block (build_mamba_layer). x: (B, T, n_embd)."""
+                 last_idx=None, tp_axis=None):
+    """One mamba block (build_mamba_layer). x: (B, T, n_embd).
+
+    tp_axis: Megatron-style tensor parallelism over d_inner (inside
+    shard_map): every per-channel tensor (conv, A, D, dt rows, the x/z
+    projection halves) holds this device's d_inner shard; the two
+    cross-channel contractions (ssm_x and the output projection) run
+    locally and psum — 2 collectives per layer. The fused [x|z] ssm_in
+    arrives reshaped (2, d_inner_local, n_embd) so the halves shard on
+    the right boundary (parallel/rtp.py)."""
     qm = quant_meta or {}
 
     def lin(h, name):
         return _linear(h, lp[name], qm.get(name))
 
-    d_inner = hp.ssm_d_inner
+    # d_inner from the per-channel weights: under TP these are the LOCAL
+    # shard, so every downstream shape follows automatically
+    d_inner = lp["ssm_a"].shape[-2]
     dt_rank = hp.ssm_dt_rank
     d_state = hp.ssm_d_state
 
-    xz = lin(x, "ssm_in")  # (B, T, 2*d_inner)
+    w_in = lp["ssm_in"]
+    if w_in.ndim == 3:  # TP layout (2, d_inner_local, n_embd)
+        xz = _linear(x, w_in.reshape(2 * d_inner, w_in.shape[-1]))
+    else:
+        xz = lin(x, "ssm_in")  # (B, T, 2*d_inner)
     xi, z = xz[..., :d_inner], xz[..., d_inner:]
 
     xi, conv_state = _causal_conv(
@@ -129,6 +143,9 @@ def _mamba_layer(x, lp, conv_state, ssm_state, hp: HParams, quant_meta=None,
     xi = jax.nn.silu(xi)
 
     x_db = lin(xi, "ssm_x")  # (B, T, dt_rank + 2*d_state)
+    if tp_axis is not None:
+        # ssm_x contracts the sharded d_inner: partial sums -> psum
+        x_db = jax.lax.psum(x_db, tp_axis)
     dt = x_db[..., :dt_rank]
     Bm = x_db[..., dt_rank : dt_rank + d_state]
     Cm = x_db[..., dt_rank + d_state :]
@@ -152,13 +169,20 @@ def _mamba_layer(x, lp, conv_state, ssm_state, hp: HParams, quant_meta=None,
     )
     y = y + xi.astype(jnp.float32) * lp["ssm_d"][None, None, :].astype(jnp.float32)
     y = (y * jax.nn.silu(z.astype(jnp.float32))).astype(x.dtype)
-    return lin(y, "ssm_out"), conv_state, ssm_state
+    out = lin(y, "ssm_out")
+    if tp_axis is not None:
+        out = jax.lax.psum(out, tp_axis)  # contracts sharded d_inner
+    return out, conv_state, ssm_state
 
 
 def _mamba2_layer(x, lp, conv_state, ssm_state, hp: HParams, quant_meta=None,
-                  last_idx=None):
+                  last_idx=None, tp_axis=None):
     """One mamba-2 block (build_mamba2_layer): fused z/xBC/dt projection,
     conv over x+B+C channels, per-head scalar decay, grouped RMS norm."""
+    if tp_axis is not None:
+        raise NotImplementedError(
+            "tensor parallelism is wired for mamba-1 blocks only; mamba-2's "
+            "fused z/xBC/dt projection needs its own shard layout")
     qm = quant_meta or {}
 
     def lin(h, name):
@@ -223,6 +247,7 @@ def mamba_forward(
     quant_meta=None,
     return_embd: bool = False,
     last_idx=None,
+    tp_axis=None,
 ):
     """Full mamba forward. tokens: (B, T) int32.
     conv_state: (L, B, d_conv-1, d_inner); ssm_state: (L, B, d_inner, d_state).
@@ -238,7 +263,8 @@ def mamba_forward(
     def scan_body(h, layer):
         lp, cs, ss = layer
         hin = rms_norm(h, lp["attn_norm"], eps=hp.f_norm_rms_eps)
-        out, cs, ss = layer_fn(hin, lp, cs, ss, hp, lq, last_idx)
+        out, cs, ss = layer_fn(hin, lp, cs, ss, hp, lq, last_idx,
+                               tp_axis=tp_axis)
         return h + out, (cs, ss)
 
     unroll = int(os.environ.get("TPULLAMA_SCAN_UNROLL", 1))

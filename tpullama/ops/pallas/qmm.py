@@ -176,11 +176,13 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
     # (a VPU-matvec decode path was measured at 308-482 GB/s vs this
     # kernel's ~540 on v5e — the MXU dot with in-kernel dequant wins, so
     # no VPU branch exists; see scripts/mxu_probe.py)
-    # fast-path unpack strategy for 4-bit planes: "v1" (concat + one MXU
-    # dot, all-bf16 dequant — one fewer VPU op/element than v0's f32
-    # ladder) | "v0" (f32 ladder) | "split"/"fp" (two half-width dots,
-    # no lane concat — ~8% slower on v5e, kept for A/B testing)
-    unpack_mode = os.environ.get("TPULLAMA_QMM_UNPACK", "v1")
+    # fast-path unpack strategy for 4-bit planes: "v0" (concat + one MXU
+    # dot, f32 dequant ladder — fastest measured: the VPU runs f32
+    # elementwise ops at full lane rate while bf16 elementwise ops pay a
+    # pack/unpack tax, so the "one fewer op" all-bf16 v1 ladder measured
+    # 104 vs 124 t/s on 8B decode) | "v1" (all-bf16, kept for A/B) |
+    # "split"/"fp" (two half-width dots, ~8% slower)
+    unpack_mode = os.environ.get("TPULLAMA_QMM_UNPACK", "v0")
     stacked = layer is not None
     field_names = [n for n in pq_fields]
     has_minv = "minv" in pq_fields
@@ -296,7 +298,7 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
         # op per element than the f32 ladder — decode is VPU-dequant-
         # bound, so this is throughput. TPULLAMA_QMM_UNPACK=v0 restores
         # the f32 ladder.
-        wdt = jnp.float32 if (exact or unpack_mode == "v0") else jnp.bfloat16
+        wdt = jnp.bfloat16 if (unpack_mode == "v1" and not exact) else jnp.float32
         if not use_split:
             val = _unpack_stripes(fields, ggml_type, wdt)
             # scale/minv planes may be stored f16 (halves their HBM
@@ -436,10 +438,11 @@ def _qmm_ktiled(x, xgsum, pq_fields, field_names, ggml_type, group,
             for k, r in zip(field_names, field_tiles)
         }
         kidx = pl.program_id(2)
-        scale = fields["scale"][...].astype(jnp.bfloat16)  # (tn, K/group)
+        scale = fields["scale"][...].astype(jnp.float32)  # (tn, K/group)
         sh = _repeat_lanes(scale, ce // (K // group))  # (tn, ce)
         if stripes == 1:
-            w = fields["q8"][...].astype(jnp.bfloat16) * sh
+            w = (fields["q8"][...].astype(jnp.float32) * sh
+                 ).astype(jnp.bfloat16)
             acc = jax.lax.dot_general(
                 x_ref[...].reshape(tt, ce).astype(jnp.bfloat16), w,
                 (((1,), (1,)), ((), ())),
@@ -448,8 +451,8 @@ def _qmm_ktiled(x, xgsum, pq_fields, field_names, ggml_type, group,
         else:
             if "q4" in fields:
                 q = fields["q4"][...].astype(jnp.int32)
-                lo = (q & 0xF).astype(jnp.bfloat16)
-                hi = (q >> 4).astype(jnp.bfloat16)
+                lo = (q & 0xF).astype(jnp.float32)
+                hi = (q >> 4).astype(jnp.float32)
             else:
                 q = fields["q4_lut"][...].astype(jnp.int32)
 
@@ -458,17 +461,17 @@ def _qmm_ktiled(x, xgsum, pq_fields, field_names, ggml_type, group,
                         (jnp.uint32(_MXFP4_LUT) >> ((idx & 7).astype(jnp.uint32) * 4))
                         & 0xF
                     ).astype(jnp.int32)
-                    return jnp.where((idx >> 3) != 0, -m, m).astype(jnp.bfloat16)
+                    return jnp.where((idx >> 3) != 0, -m, m).astype(jnp.float32)
 
                 lo, hi = mag(q & 0xF), mag(q >> 4)
             xr = x_ref[...]
             acc = jax.lax.dot_general(
-                xr[:, 0].astype(jnp.bfloat16), lo * sh,
+                xr[:, 0].astype(jnp.bfloat16), (lo * sh).astype(jnp.bfloat16),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             acc = acc + jax.lax.dot_general(
-                xr[:, 1].astype(jnp.bfloat16), hi * sh,
+                xr[:, 1].astype(jnp.bfloat16), (hi * sh).astype(jnp.bfloat16),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -636,7 +639,9 @@ def quantized_matmul_gathered(
             for k, r in zip(field_names, field_tiles)
         }
         minv_tile = fields["minv"][...].astype(jnp.float32) if has_minv else None
-        wdt = jnp.float32 if exact else jnp.bfloat16
+        wdt = (jnp.bfloat16 if (not exact and
+                                os.environ.get("TPULLAMA_QMM_UNPACK") == "v1")
+               else jnp.float32)
         val = _unpack_stripes(fields, ggml_type, wdt)
         scale = _repeat_lanes(fields["scale"][...].astype(wdt), group)
         xr = x_ref[...].reshape(tt, K)
@@ -751,6 +756,13 @@ def _qmm_gathered_t(x, pq_fields, sel, ggml_type, group, N, K, tile_n, tt,
         }
         wdt = jnp.float32 if exact else jnp.bfloat16
         prec = jax.lax.Precision.HIGHEST if exact else None
+        # dequant ladder dtype: f32 elementwise runs at full VPU lane
+        # rate; bf16 elementwise pays a pack/unpack tax (see
+        # quantized_matmul unpack_mode note) — dot operands still cast
+        # to bf16 inside tdot
+        ldt = (jnp.bfloat16
+               if os.environ.get("TPULLAMA_QMM_UNPACK") == "v1" and not exact
+               else jnp.float32)
 
         def tdot(a, b):
             return jax.lax.dot_general(
@@ -758,24 +770,24 @@ def _qmm_gathered_t(x, pq_fields, sel, ggml_type, group, N, K, tile_n, tt,
                 preferred_element_type=jnp.float32, precision=prec,
             )
 
-        scale_t = fields["scale"][:gcols, :].astype(wdt)  # (g, tn)
+        scale_t = fields["scale"][:gcols, :].astype(ldt)  # (g, tn)
         xr = x_ref[...].reshape(tt, K)
         if ggml_type == GGMLType.Q8_0:
             sh = _sub_repeat(scale_t, group)  # (K, tn)
-            acc = tdot(xr, fields["q8"][...].astype(wdt) * sh)
+            acc = tdot(xr, fields["q8"][...].astype(ldt) * sh)
         else:
             qname = "q4" if "q4" in fields else "q4_lut"
             q = fields[qname][...].astype(jnp.int32)  # (K/2, tn)
             if qname == "q4":
-                lo = (q & 0xF).astype(wdt)
-                hi = (q >> 4).astype(wdt)
+                lo = (q & 0xF).astype(ldt)
+                hi = (q >> 4).astype(ldt)
             else:
                 def mag(idx):
                     m = (
                         (jnp.uint32(_MXFP4_LUT)
                          >> ((idx & 7).astype(jnp.uint32) * 4)) & 0xF
                     ).astype(jnp.int32)
-                    return jnp.where((idx >> 3) != 0, -m, m).astype(wdt)
+                    return jnp.where((idx >> 3) != 0, -m, m).astype(ldt)
 
                 lo, hi = mag(q & 0xF), mag(q >> 4)
             sh = _sub_repeat(scale_t, group // 2)  # (K/2, tn)
