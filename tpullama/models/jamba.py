@@ -354,6 +354,10 @@ def jamba_forward(
     ssm_state,
     quant_meta=None,
     last_idx=None,
+    tp_axis=None,  # Megatron TP inside shard_map: attention heads +
+    # mamba d_inner + FFN intermediate shard; experts shard on E (EP).
+    # Collectives: one psum after each attn_output / ffn_down / moe /
+    # mamba block (parallel/rtp.py lays out the shards)
 ):
     if hp.arch == "qwen3next":
         return _qwen3next_forward(
@@ -368,6 +372,8 @@ def jamba_forward(
     B, T = tokens.shape
     Dk, Dv = hp.n_embd_head_k, hp.n_embd_head_v
     Hq = hp.n_head
+    if tp_axis is not None:
+        Hq = Hq // jax.lax.axis_size(tp_axis)
     batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
     fh1 = hp.arch == "falcon-h1"
     lfm2 = hp.arch in ("lfm2", "lfm2moe")
@@ -395,6 +401,8 @@ def jamba_forward(
     new_k, new_v = [], []
 
     def attn_out(h, lp, n_kv):
+        if tp_axis is not None:
+            n_kv = n_kv // jax.lax.axis_size(tp_axis)
         q = _linear(h, lp["attn_q"])
         k = _linear(h, lp["attn_k"])
         v = _linear(h, lp["attn_v"])
@@ -414,6 +422,8 @@ def jamba_forward(
         vc = scatter_rows(kv_v[ai], cache_slots, v)
         att = attention(q, kc, vc, mask=attn_mask, scale=kq_scale)
         out = _linear(att.reshape(B, T, Hq * Dv), lp["attn_output"])
+        if tp_axis is not None:
+            out = jax.lax.psum(out, tp_axis)  # contracts sharded heads
         if "attn_output_bias" in lp:
             out = out + lp["attn_output_bias"]
         return out, kc, vc
@@ -450,7 +460,8 @@ def jamba_forward(
                 out = out + lp["ffn_down_bias"]
         elif hp.n_head_kv_layers[il] == 0:
             out, cs, ss = mamba_layer(
-                h, lp, conv_state[ri], ssm_state[ri], hp, None, last_idx
+                h, lp, conv_state[ri], ssm_state[ri], hp, None, last_idx,
+                tp_axis=tp_axis,
             )
             new_conv.append(cs)
             new_ssm.append(ss)
@@ -477,18 +488,26 @@ def jamba_forward(
                 norm_w=hp.moe_norm_topk,
                 w_scale=0.0, gating=hp.expert_gating_func,
                 exp_probs_b=lp.get("exp_probs_b"),
+                ep_axis=tp_axis,
             )
+            if tp_axis is not None:
+                down = jax.lax.psum(down, tp_axis)  # EP partial outputs
             if "ffn_gate_shexp" in lp:
                 # granite MoE shared expert
                 gate = _linear(h, lp["ffn_gate_shexp"])
                 up = _linear(h, lp["ffn_up_shexp"])
                 act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
-                down = down + _linear(act, lp["ffn_down_shexp"])
+                sh_out = _linear(act, lp["ffn_down_shexp"])
+                if tp_axis is not None:
+                    sh_out = jax.lax.psum(sh_out, tp_axis)
+                down = down + sh_out
         else:
             gate = _linear(h, lp["ffn_gate"])
             up = _linear(h, lp["ffn_up"])
             act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
             down = _linear(act, lp["ffn_down"])
+            if tp_axis is not None:
+                down = jax.lax.psum(down, tp_axis)  # contracts sharded F
         if hp.f_residual_scale:
             down = down * hp.f_residual_scale
         x = x + down

@@ -32,7 +32,47 @@ class HybridContext:
         )
         self.n_past = np.zeros(B, np.int32)
         self.perf = PerfCounters()
-        self._fn = jax.jit(self._step)
+        self._tp_axis = None
+        if self.p.parallel == "tp":
+            # --split-mode row for jamba-family hybrids: attention heads,
+            # FFN intermediate and mamba d_inner shard; experts shard on
+            # E (parallel/rtp.py); KV + recurrent cells shard the same
+            # axes so state stays device-local
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.rtp import (make_rtp_mesh, place,
+                                        prepare_recurrent_tp, state_specs,
+                                        supports_tp)
+
+            if not supports_tp(self.hp) or self.hp.arch not in (
+                    "jamba", "granite-hybrid"):
+                raise NotImplementedError(
+                    f"--split-mode row for hybrid arch {self.hp.arch!r}")
+            n_tp = self.p.n_tp or len(jax.devices())
+            self._mesh = make_rtp_mesh(n_tp)
+            params2, pspecs = prepare_recurrent_tp(
+                model.params, self.hp, n_tp)
+            model.params = place(params2, pspecs, self._mesh)
+            self._pspecs = pspecs
+            k_spec, v_spec, cs_spec, ss_spec = state_specs(
+                self.hp, hybrid=True)
+            self._state_specs = (k_spec, v_spec, cs_spec, ss_spec)
+            put = lambda a, s: jax.device_put(
+                a, NamedSharding(self._mesh, s))
+            self.kv_k = put(self.kv_k, k_spec)
+            self.kv_v = put(self.kv_v, v_spec)
+            self.conv_state = put(self.conv_state, cs_spec)
+            self.ssm_state = put(self.ssm_state, ss_spec)
+            self._tp_axis = "tp"
+            self._fn = jax.jit(jax.shard_map(
+                self._step, mesh=self._mesh,
+                in_specs=(pspecs, P(), P(), P(), P(),
+                          k_spec, v_spec, cs_spec, ss_spec),
+                out_specs=(P(), k_spec, v_spec, cs_spec, ss_spec),
+                check_vma=False,
+            ))
+        else:
+            self._fn = jax.jit(self._step)
 
     def _step(self, params, tokens, n_past, last_idx, seq, kv_k, kv_v, conv, ssm):
         B1, T = tokens.shape
@@ -52,6 +92,7 @@ class HybridContext:
         logits, (kk, vv, cs, ss) = jamba_forward(
             params, self.hp, tokens, pos, kk, vv, slots, mask, cs, ss,
             quant_meta=self.model.quant_meta, last_idx=last_idx,
+            tp_axis=self._tp_axis,
         )
         kv_k = jax.lax.dynamic_update_slice_in_dim(kv_k, kk, seq, axis=1)
         kv_v = jax.lax.dynamic_update_slice_in_dim(kv_v, vv, seq, axis=1)

@@ -61,6 +61,42 @@ class RecurrentContext:
         self.conv_state, self.ssm_state = self._init(self.hp, B)
         self.n_past = np.zeros(B, np.int32)
         self.perf = PerfCounters()
+        self._tp_axis = None
+        if self.p.parallel == "tp":
+            # --split-mode row for mamba-1: d_inner shards over the mesh
+            # (parallel/rtp.py); the selective scan and conv are fully
+            # per-channel so the state stays local too
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.rtp import (make_rtp_mesh, place,
+                                        prepare_recurrent_tp, state_specs,
+                                        supports_tp)
+
+            if not supports_tp(self.hp):
+                raise NotImplementedError(
+                    f"--split-mode row for recurrent arch {self.hp.arch!r} "
+                    "(mamba-1 families only; mamba-2's fused projection "
+                    "needs its own shard layout)")
+            n_tp = self.p.n_tp or len(jax.devices())
+            self._mesh = make_rtp_mesh(n_tp)
+            params2, pspecs = prepare_recurrent_tp(
+                model.params, self.hp, n_tp)
+            model.params = place(params2, pspecs, self._mesh)
+            self._pspecs = pspecs
+            cs_spec, ss_spec = state_specs(self.hp, hybrid=False)
+            self._state_specs = (cs_spec, ss_spec)
+            self.conv_state = jax.device_put(
+                self.conv_state, NamedSharding(self._mesh, cs_spec))
+            self.ssm_state = jax.device_put(
+                self.ssm_state, NamedSharding(self._mesh, ss_spec))
+            self._tp_axis = "tp"
+            self._fn = jax.jit(jax.shard_map(
+                self._step, mesh=self._mesh,
+                in_specs=(pspecs, P(), cs_spec, ss_spec, P(), P()),
+                out_specs=(P(), cs_spec, ss_spec),
+                check_vma=False,
+            ))
+            return
         self._fn = jax.jit(self._step)
 
     def _step(self, params, tokens, conv, ssm, last_idx, seq):
@@ -68,9 +104,10 @@ class RecurrentContext:
         new states scattered back into the per-seq arrays)."""
         cs = jax.lax.dynamic_slice_in_dim(conv, seq, 1, axis=1)
         ss = jax.lax.dynamic_slice_in_dim(ssm, seq, 1, axis=1)
+        tp_kw = {"tp_axis": self._tp_axis} if self._tp_axis else {}
         logits, (cs, ss) = self._fwd(
             params, self.hp, tokens, cs, ss,
-            quant_meta=self.model.quant_meta, last_idx=last_idx,
+            quant_meta=self.model.quant_meta, last_idx=last_idx, **tp_kw,
         )
         # states are carried f32 regardless of weight dtype (the shift
         # snapshot comes back in activation dtype under bf16 loads)
@@ -114,17 +151,31 @@ class RecurrentContext:
         server's batched-decode program). tokens/active: (n_seqs,).
         Inactive lanes keep their state. Returns (n_seqs, n_vocab)."""
         if not hasattr(self, "_fn_all"):
+            tp_kw = {"tp_axis": self._tp_axis} if self._tp_axis else {}
+
             def step_all(params, tokens, conv, ssm, active):
                 logits, (conv_u, ssm_u) = self._fwd(
                     params, self.hp, tokens[:, None], conv, ssm,
                     quant_meta=self.model.quant_meta, last_idx=jnp.int32(0),
+                    **tp_kw,
                 )
                 def keep(new, old):
                     m = active.reshape((1, -1) + (1,) * (old.ndim - 2))
                     return jnp.where(m, new.astype(old.dtype), old)
                 return (logits[:, 0], keep(conv_u, conv), keep(ssm_u, ssm))
 
-            self._fn_all = jax.jit(step_all)
+            if self._tp_axis:
+                from jax.sharding import PartitionSpec as P
+
+                cs_spec, ss_spec = self._state_specs
+                self._fn_all = jax.jit(jax.shard_map(
+                    step_all, mesh=self._mesh,
+                    in_specs=(self._pspecs, P(), cs_spec, ss_spec, P()),
+                    out_specs=(P(), cs_spec, ss_spec),
+                    check_vma=False,
+                ))
+            else:
+                self._fn_all = jax.jit(step_all)
         t0 = time.time()
         logits, self.conv_state, self.ssm_state = self._fn_all(
             self.model.params, jnp.asarray(tokens, jnp.int32),
@@ -141,6 +192,14 @@ class RecurrentContext:
     def reset(self, seq_id: int | None = None):
         if seq_id is None:
             self.conv_state, self.ssm_state = self._init(self.hp, self.p.n_seqs)
+            if self._tp_axis:
+                from jax.sharding import NamedSharding
+
+                cs_spec, ss_spec = self._state_specs
+                self.conv_state = jax.device_put(
+                    self.conv_state, NamedSharding(self._mesh, cs_spec))
+                self.ssm_state = jax.device_put(
+                    self.ssm_state, NamedSharding(self._mesh, ss_spec))
             self.n_past[:] = 0
         else:
             self.conv_state = self.conv_state.at[:, seq_id].set(0.0)
@@ -200,11 +259,16 @@ def make_context(model: LoadedModel, params: ContextParams | None = None):
             or model.hparams.is_encoder
         )
     ):
-        raise NotImplementedError(
-            f"--split-mode for arch {model.hparams.arch!r} "
-            "(recurrent/hybrid/encoder contexts have no multi-device "
-            "serving mode yet)"
-        )
+        from ..parallel.rtp import supports_tp
+
+        if not (params.parallel == "tp" and supports_tp(model.hparams)):
+            raise NotImplementedError(
+                f"--split-mode {params.parallel!r} for arch "
+                f"{model.hparams.arch!r} (tensor parallelism covers the "
+                "mamba-1 and jamba/granite-hybrid families; other "
+                "recurrent/hybrid/encoder contexts have no multi-device "
+                "serving mode yet)"
+            )
     if model.hparams.is_encoder_decoder:
         from .seq2seq import Seq2SeqContext
 
