@@ -302,17 +302,19 @@ def test_tp_context_serving_mla():
     assert got == ref
 
 
-def test_tp_context_serving_rejects_alibi():
+def test_tp_context_serving_rejects_unsupported():
     """A multi-device flag must never silently serve single-device:
-    unsupported archs raise at Context construction."""
+    genuinely-unsupported archs (full-width qk norms) raise at Context
+    construction. (ALiBi gained TP support in round 5 — the slope
+    schedule now slices the global head range per shard.)"""
     from tpullama.runtime import Context, ContextParams
 
     path = tempfile.mktemp(suffix=".gguf")
     make_tiny_llama_gguf(path, n_embd=64, n_layer=2, n_head=8, n_head_kv=8,
-                         n_ff=128, arch="mpt")  # ALiBi arch
+                         n_ff=128, arch="olmo2")  # qk_norm_full arch
     m = load_model(path)
-    if m.hparams.f_max_alibi_bias <= 0:
-        pytest.skip("fixture arch is not ALiBi")
+    if not m.hparams.qk_norm_full:
+        pytest.skip("fixture arch has no full-width qk norm")
     with pytest.raises(NotImplementedError):
         Context(m, ContextParams(n_ctx=64, parallel="tp", n_tp=4))
 
@@ -365,3 +367,22 @@ def test_ep_packed_gptoss_mxfp4_matches_single():
     ctx = Context(m_tp, ContextParams(n_ctx=64, parallel="tp", n_tp=2))
     got_logits = ctx.decode(prompt, n_logits=2)
     np.testing.assert_allclose(got_logits, ref_logits, rtol=2e-3, atol=2e-3)
+
+
+def test_tp_alibi_matches_single():
+    """ALiBi slope schedule under TP: slopes follow the GLOBAL head
+    index (each shard slices its contiguous head range; llama.py
+    alibi schedule + ggml_soft_max_ext slopes)."""
+    path = tempfile.mktemp(suffix=".gguf")
+    make_tiny_llama_gguf(path, n_embd=64, n_layer=2, n_head=8, n_head_kv=4,
+                         n_ff=128, arch="jais")
+    m = load_model(path)
+    from tpullama.parallel.tp import unfuse_params
+
+    m.params, m.hparams = unfuse_params(m.params, m.hparams)
+    assert m.hparams.f_max_alibi_bias > 0
+    B, T, S = 1, 4, 16
+    args = _inputs(m.hparams, B, T, S)
+    ref = _single_device_logits(m, *args)
+    got = _tp_logits(m, make_mesh(n_dp=1, n_tp=4), *args)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

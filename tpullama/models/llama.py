@@ -245,16 +245,24 @@ def llama_forward(
     alibi_slopes = None
     if hp.f_max_alibi_bias > 0.0:
         # ggml_soft_max_ext slope schedule (ggml-cpu/ops.cpp soft_max):
-        # geometric per-head slopes below max_bias; mask carries -|Δpos|
+        # geometric per-head slopes below max_bias; mask carries -|Δpos|.
+        # Under TP the schedule runs over the GLOBAL head count and each
+        # device takes its contiguous slice (slopes depend on absolute
+        # head index, not the local one).
         import math
 
-        n2 = 1 << int(math.floor(math.log2(Hq)))
+        n_rep = jax.lax.axis_size(tp_axis) if tp_axis else 1
+        Hg = Hq * n_rep
+        n2 = 1 << int(math.floor(math.log2(Hg)))
         m0 = 2.0 ** (-hp.f_max_alibi_bias / n2)
         m1 = 2.0 ** (-hp.f_max_alibi_bias / 2.0 / n2)
         alibi_slopes = jnp.asarray(
-            [m0 ** (h + 1) if h < n2 else m1 ** (2 * (h - n2) + 1) for h in range(Hq)],
+            [m0 ** (h + 1) if h < n2 else m1 ** (2 * (h - n2) + 1) for h in range(Hg)],
             jnp.float32,
         )
+        if tp_axis:
+            alibi_slopes = jax.lax.dynamic_slice_in_dim(
+                alibi_slopes, jax.lax.axis_index(tp_axis) * Hq, Hq)
 
     batch_idx = jnp.arange(B, dtype=jnp.int32)[:, None]  # (B,1) for scatter
 

@@ -66,6 +66,7 @@ _LAYER_SPECS = {
     "ffn_up": P(None, "tp", None),
     "ffn_down": P(None, None, "tp"),
     "ffn_up_bias": P(None, "tp"),
+    "ffn_gate_bias": P(None, "tp"),
     "ffn_down_bias": P(None, None),  # added after the row-TP psum
     # MoE: experts stacked (L, n_expert, n_out, n_in) — expert parallelism
     # shards the expert axis; the router and its biases stay replicated

@@ -46,10 +46,6 @@ def localize_hparams(hp, n_tp: int):
         raise ValueError(
             f"n_head={hp.n_head} / n_head_kv={hp.n_head_kv} not divisible by tp={n_tp}"
         )
-    if hp.f_max_alibi_bias > 0.0:
-        # ALiBi slopes depend on the GLOBAL head index; the local forward
-        # would compute wrong slopes (llama.py alibi schedule)
-        raise NotImplementedError("ALiBi models not supported under TP yet")
     if hp.qk_norm_full:
         raise NotImplementedError(
             "full-width qk norms act on the unsharded projection; not supported under TP"
