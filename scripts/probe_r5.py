@@ -474,6 +474,108 @@ def probe_v1():
 
 PROBES["v1"] = probe_v1  # defined after the dict literal
 
+
+
+# ---------------------------------------------------------------- probe 7
+def probe_i8unpack():
+    """Native int8-lane bitwise ops: if Mosaic runs i8 elementwise at
+    packed (4/lane) rate, the unpack ladder quarters."""
+    N, K = 2048, 4096
+    q = jnp.asarray(np.random.randint(0, 256, (N, K // 2)), jnp.uint8)
+    sc = jnp.asarray(np.random.randn(N, K // 32) * 0.1, jnp.bfloat16)
+    tn = 256
+
+    def kern_i8(sc_ref, q_ref, out_ref):
+        qb = q_ref[...]
+        lo = (qb & jnp.uint8(0xF)).astype(jnp.bfloat16)
+        hi = (qb >> 4).astype(jnp.bfloat16)
+        w = jnp.concatenate([lo, hi], axis=-1)
+        sh = pltpu.repeat(sc_ref[...].astype(jnp.bfloat16), 32, axis=1)
+        out_ref[...] = jnp.sum(w * sh, axis=1, keepdims=True
+                               ).astype(jnp.float32)
+
+    def kern_u4(sc_ref, q_ref, out_ref):
+        q4 = pltpu.bitcast(q_ref[...], jnp.uint4)  # (tn, K) nibbles?
+        w = q4.astype(jnp.bfloat16)
+        sh = pltpu.repeat(sc_ref[...].astype(jnp.bfloat16), 32, axis=1)
+        out_ref[...] = jnp.sum(w * sh, axis=1, keepdims=True
+                               ).astype(jnp.float32)
+
+    for name, kern in (("i8native", kern_i8), ("u4cast", kern_u4)):
+        f = lambda sc, q, kern=kern: pl.pallas_call(
+            kern,
+            grid=(N // tn,),
+            in_specs=[
+                pl.BlockSpec((tn, K // 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn, K // 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tn, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((N, 1), jnp.float32),
+            compiler_params=CP,
+        )(sc, q)
+        try:
+            s, _ = timeit(f, sc, q)
+            emit(f"unpack {name}", s, N * K // 2,
+                 extra=f"({N * K / s / 1e9:.1f} Gelem/s)")
+        except Exception as e:
+            print(f"[unpack {name}] FAILED: {type(e).__name__}: {str(e)[:140]}",
+                  flush=True)
+
+
+# ---------------------------------------------------------------- probe 8
+def probe_moe_batch():
+    """B=32 MoE shapes: gathered tiles (tile_t 8/16) vs ONE dense
+    full-stack matmul over all experts (every expert is hit at B=32, so
+    streaming + unpacking the whole stack once is the same bytes/VPU —
+    but through the dense kernel's pipeline)."""
+    from tpullama.gguf.constants import GGMLType
+    from tpullama.ops.pallas.qmm import (quantized_matmul,
+                                         quantized_matmul_gathered)
+
+    rng = np.random.default_rng(0)
+    E, K, F2 = 32, 2880, 6144  # fused gateup rows (padded)
+    S = 128  # B=32 * topk 4
+    x = jnp.asarray(rng.standard_normal((S, K)), jnp.float32)
+    nbytes = E * (K // 2 * F2 + 96 * F2 * 2)
+
+    # gathered transposed (current production path)
+    qf = jnp.asarray(rng.integers(0, 256, (E, K // 2, F2)), jnp.uint8)
+    scf = jnp.asarray(rng.standard_normal((E, 96, F2)) * 0.01, jnp.bfloat16)
+    for tt in (8, 16):
+        P_rows = E * tt
+        xg = jnp.zeros((P_rows, K), jnp.float32).at[:S].set(x)
+        sel = jnp.repeat(jnp.arange(E, dtype=jnp.int32), 1)
+        f = functools.partial(
+            quantized_matmul_gathered, ggml_type=GGMLType.MXFP4, group=32,
+            n_out=F2, n_in=K, tile_t=tt, planes_t=True)
+        try:
+            s, _ = timeit(lambda xg: f(xg, {"q4_lut": qf, "scale": scf}, sel),
+                          xg)
+            emit(f"moe-b32 gathered tt={tt}", s, nbytes)
+        except Exception as e:
+            print(f"[moe-b32 tt={tt}] FAILED: {type(e).__name__}: {str(e)[:140]}")
+
+    # dense full-stack: (S, K) @ (E*F2, K)^T row-major planes
+    qd = jnp.asarray(rng.integers(0, 256, (E * F2, K // 2)), jnp.uint8)
+    scd = jnp.asarray(rng.standard_normal((E * F2, K // 32)) * 0.01,
+                      jnp.bfloat16)
+    for tn in (512, 1024, 2048):
+        f = functools.partial(
+            quantized_matmul, ggml_type=GGMLType.MXFP4, group=32,
+            n_out=E * F2, n_in=K, tile_n=tn)
+        try:
+            os.environ["TPULLAMA_QMM_TILE_N"] = str(tn)
+            s, _ = timeit(lambda x: f(x, {"q4_lut": qd, "scale": scd}), x)
+            emit(f"moe-b32 dense tn={tn}", s, nbytes)
+        except Exception as e:
+            print(f"[moe-b32 dense tn={tn}] FAILED: {type(e).__name__}: {str(e)[:140]}")
+        finally:
+            os.environ.pop("TPULLAMA_QMM_TILE_N", None)
+
+
+PROBES["i8unpack"] = probe_i8unpack
+PROBES["moe_batch"] = probe_moe_batch
+
 if __name__ == "__main__":
     names = sys.argv[1:] or list(PROBES)
     print(f"device: {jax.devices()}", flush=True)
