@@ -487,19 +487,20 @@ def probe_i8unpack():
 
     def kern_i8(sc_ref, q_ref, out_ref):
         qb = q_ref[...]
-        lo = (qb & jnp.uint8(0xF)).astype(jnp.bfloat16)
-        hi = (qb >> 4).astype(jnp.bfloat16)
+        lo = (qb & jnp.uint8(0xF)).astype(jnp.int8).astype(jnp.float32)
+        hi = (qb >> 4).astype(jnp.int8).astype(jnp.float32)
         w = jnp.concatenate([lo, hi], axis=-1)
-        sh = pltpu.repeat(sc_ref[...].astype(jnp.bfloat16), 32, axis=1)
+        sh = pltpu.repeat(sc_ref[...].astype(jnp.float32), 32, axis=1)
         out_ref[...] = jnp.sum(w * sh, axis=1, keepdims=True
                                ).astype(jnp.float32)
 
     def kern_u4(sc_ref, q_ref, out_ref):
-        q4 = pltpu.bitcast(q_ref[...], jnp.uint4)  # (tn, K) nibbles?
-        w = q4.astype(jnp.bfloat16)
-        sh = pltpu.repeat(sc_ref[...].astype(jnp.bfloat16), 32, axis=1)
-        out_ref[...] = jnp.sum(w * sh, axis=1, keepdims=True
-                               ).astype(jnp.float32)
+        q4 = pltpu.bitcast(q_ref[...], jnp.uint4)  # sublane-doubled
+        w = q4.astype(jnp.bfloat16)  # one wide convert op?
+        scbump = sc_ref[0:1, 0:1].astype(jnp.float32)
+        out_ref[...] = (jnp.sum(w.astype(jnp.float32),
+                                axis=1)[:w.shape[0] // 2, None][
+                        :out_ref.shape[0]] + scbump)
 
     for name, kern in (("i8native", kern_i8), ("u4cast", kern_u4)):
         f = lambda sc, q, kern=kern: pl.pallas_call(
@@ -550,7 +551,7 @@ def probe_moe_batch():
             n_out=F2, n_in=K, tile_t=tt, planes_t=True)
         try:
             s, _ = timeit(lambda xg: f(xg, {"q4_lut": qf, "scale": scf}, sel),
-                          xg)
+                          xg, scan_len=8)
             emit(f"moe-b32 gathered tt={tt}", s, nbytes)
         except Exception as e:
             print(f"[moe-b32 tt={tt}] FAILED: {type(e).__name__}: {str(e)[:140]}")
@@ -565,7 +566,8 @@ def probe_moe_batch():
             n_out=E * F2, n_in=K, tile_n=tn)
         try:
             os.environ["TPULLAMA_QMM_TILE_N"] = str(tn)
-            s, _ = timeit(lambda x: f(x, {"q4_lut": qd, "scale": scd}), x)
+            s, _ = timeit(lambda x: f(x, {"q4_lut": qd, "scale": scd}), x,
+                          scan_len=8)
             emit(f"moe-b32 dense tn={tn}", s, nbytes)
         except Exception as e:
             print(f"[moe-b32 dense tn={tn}] FAILED: {type(e).__name__}: {str(e)[:140]}")

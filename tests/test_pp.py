@@ -146,3 +146,52 @@ def test_pp_serving_swa_mask_pair_gemma3_class():
     ctx = Context(m2, ContextParams(n_ctx=64, parallel="pp", n_pp=4))
     got = ctx.generate(prompt, n_predict=8)
     assert got == ref
+
+
+def test_pp_tp_composed_mesh_matches(tiny_model):
+    """pp x tp composed mesh: layers over the outer axis, heads/FFN
+    Megatron shards over the inner axis (make_pp_tp_mesh); logits must
+    match single-device for prefill + decode."""
+    from tpullama.parallel.pp import make_pp_tp_mesh
+
+    m = tiny_model
+    hp = m.hparams
+    B, T, S = 1, 8, 16
+    mesh = make_pp_tp_mesh(2, 2)
+
+    rng = np.random.default_rng(3)
+    toks = jnp.asarray(rng.integers(3, 200, size=(B, T)), jnp.int32)
+    pos = jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1))
+    slots = pos
+    kv_pos = jnp.where(jnp.arange(S) < T, jnp.arange(S), -1)
+    mask = _mask(pos, kv_pos)
+    kv_k = jnp.zeros((hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_k), jnp.float32)
+    kv_v = jnp.zeros((hp.n_layer, B, hp.n_head_kv, S, hp.n_embd_head_v), jnp.float32)
+
+    ref_logits, (ref_kk, _) = llama_forward(
+        m.params, hp, toks, pos, kv_k, kv_v, slots, mask
+    )
+    logits, (kk, vv) = jax.jit(
+        lambda p, kk, vv: pp_forward(
+            p, hp, toks, pos, kk, vv, slots, mask, mesh, n_micro=2
+        )
+    )(m.params, kv_k, kv_v)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(kk[:, :, :, :T]),
+                               np.asarray(ref_kk[:, :, :, :T]),
+                               rtol=2e-4, atol=2e-4)
+
+    # decode step over the composed-mesh cache
+    tok2 = jnp.asarray([[7]], jnp.int32)
+    pos2 = jnp.asarray([[T]], jnp.int32)
+    kv_pos2 = jnp.where(jnp.arange(S) <= T, jnp.arange(S), -1)
+    mask2 = _mask(pos2, kv_pos2)
+    ref2, _ = llama_forward(m.params, hp, tok2, pos2, ref_kk, _, pos2, mask2)
+    out2, _ = jax.jit(
+        lambda p, kk, vv: pp_forward(
+            p, hp, tok2, pos2, kk, vv, pos2, mask2, mesh, n_micro=1
+        )
+    )(m.params, kk, vv)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=2e-4, atol=2e-4)

@@ -44,6 +44,19 @@ def make_pp_mesh(n_pp: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:n_pp]), ("pp",))
 
 
+def make_pp_tp_mesh(n_pp: int, n_tp: int, devices=None) -> Mesh:
+    """Composed pipeline x tensor mesh: layer stages on the outer axis
+    (cross-stage activation hops), head/FFN shards on the inner axis
+    (per-layer psums ride the faster inner ring)."""
+    devices = devices if devices is not None else jax.devices()
+    if n_pp * n_tp > len(devices):
+        raise ValueError(
+            f"pp={n_pp} x tp={n_tp} needs {n_pp * n_tp} devices, "
+            f"have {len(devices)}")
+    return Mesh(np.asarray(devices[: n_pp * n_tp]).reshape(n_pp, n_tp),
+                ("pp", "tp"))
+
+
 def pp_param_specs(params: dict) -> dict:
     """Layer stacks shard axis 0 over "pp"; everything else replicated."""
 
@@ -67,6 +80,7 @@ def pp_forward(params, hp, tokens, positions, kv_k, kv_v, cache_slots,
     divisible by n_micro; kv_k/kv_v: (L, B, Hkv, S, D) stacks (sharded or
     to-be-sharded over "pp" on L). Returns (logits, (kv_k, kv_v))."""
     n_pp = mesh.shape["pp"]
+    n_tp = mesh.shape.get("tp", 1)
     L = hp.n_layer
     if L % n_pp:
         raise ValueError(f"n_layer={L} not divisible by pp={n_pp}")
@@ -78,6 +92,15 @@ def pp_forward(params, hp, tokens, positions, kv_k, kv_v, cache_slots,
 
     hp_local = copy.copy(hp)
     hp_local.n_layer = L // n_pp
+    tp_axis = None
+    if n_tp > 1:
+        # composed pp x tp: heads/FFN additionally shard the inner mesh
+        # axis; llama_forward's tp_axis hooks insert the per-layer psums
+        from .tp import localize_hparams, localize_quant_meta
+
+        hp_local = localize_hparams(hp_local, n_tp)
+        quant_meta = localize_quant_meta(quant_meta, n_tp)
+        tp_axis = "tp"
 
     # micro-batch stacks (n_micro, B, Tm, ...)
     def chunk(a, axis):
@@ -132,7 +155,7 @@ def pp_forward(params, hp, tokens, positions, kv_k, kv_v, cache_slots,
                 {"layers": lp, "tok_embd": tok_embd}, hp_local,
                 jnp.zeros_like(toks), pick(pos_mb), kvk, kvv, slots,
                 jax.tree.map(pick, mask_mb), quant_meta=quant_meta,
-                inputs_embd=x_in, skip_output=True,
+                inputs_embd=x_in, skip_output=True, tp_axis=tp_axis,
             )
             x_out = x_out.astype(jnp.float32)
             out = jnp.where(
@@ -148,14 +171,39 @@ def pp_forward(params, hp, tokens, positions, kv_k, kv_v, cache_slots,
         x_recv, kvk, kvv, out = jax.lax.fori_loop(
             0, n_micro + n_pp - 1, tick, (x_recv, kvk, kvv, out0)
         )
-        # replicate the last stage's outputs (zeros elsewhere -> psum)
+        # replicate the last stage's outputs (zeros elsewhere -> psum);
+        # under pp x tp every tp peer of the last stage holds the full
+        # psum'd activations already, so divide by the tp copies
         out = jax.lax.psum(
             jnp.where(sid == n_pp - 1, out, jnp.zeros_like(out)), "pp"
         )
+        if tp_axis is not None:
+            out = jax.lax.pmean(out, tp_axis)
         return out, kvk, kvv
 
-    lspecs = pp_param_specs({"layers": lp})["layers"]
-    kv_spec = P("pp")
+    if n_tp > 1:
+        # layer stacks: leading L on pp, the Megatron axis on tp (the
+        # stacked _LAYER_SPECS already carry a leading None for L)
+        from .sharding import _LAYER_SPECS
+
+        def _pp_tp_spec(name, v):
+            base = tuple(_LAYER_SPECS.get(name, None) or ())
+            if not base:
+                spec = P("pp")
+            else:
+                spec = P("pp", *base[1:])
+            if isinstance(v, dict):
+                return {k: spec for k in v}
+            return spec
+
+        lspecs = {name: _pp_tp_spec(name, v) for name, v in lp.items()}
+        kv_spec = P("pp", None, "tp", None, None)
+        if hp.n_head_kv and hp.n_head_kv // n_tp == 0:
+            raise ValueError(
+                f"n_head_kv={hp.n_head_kv} not divisible by tp={n_tp}")
+    else:
+        lspecs = pp_param_specs({"layers": lp})["layers"]
+        kv_spec = P("pp")
     mask_specs = jax.tree.map(lambda _: P(), mask_mb)
     if "token_embd_norm" in top:
         raise NotImplementedError(
