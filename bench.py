@@ -66,6 +66,9 @@ def build_params(hp, dtype, seed=0, quant=None, abstract=False):
             "MXFP4": [("q4_lut", 4)], "Q2_K": [("q2", 2)],
             "Q3_K": [("q2", 2), ("q1", 1)],
         }[qt]
+        if qt == "MXFP4" and os.environ.get("BENCH_MXFP4_AR", "0") == "1":
+            # A/r re-coded planes (qweights.mxfp4_to_ar): 5.25 bits/w
+            bitmap = [("q4a", 4), ("q1r", 1)]
         import jax
 
         def plane(kcols):

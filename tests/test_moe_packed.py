@@ -196,3 +196,67 @@ def test_moe_packed_fused_gateup_matches_split(T):
         quant_meta_exps={"gateup": gu_meta, "down": d_meta},
     ))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("planes_t", [False, True])
+def test_mxfp4_ar_recode_matches(planes_t):
+    """A/r re-coded MXFP4 planes (qweights.mxfp4_to_ar: 4-bit biased
+    half + odd-bit plane, v = 2*(a-8)+r) must reproduce the LUT path
+    exactly — the re-code is loss-free."""
+    import os
+
+    from tpullama.ops.qweights import mxfp4_to_ar, transpose_planes
+
+    E, K, D, F, B, T = 4, 2, 256, 256, 1, 1
+    qtype = GGMLType.MXFP4
+    rng = np.random.default_rng(5)
+    x = jnp.asarray((rng.standard_normal((B, T, D)) * 0.3).astype(np.float32))
+    gate_inp = jnp.asarray(rng.standard_normal((E, D)).astype(np.float32) * 0.05)
+    g_dense, g_packed, g_meta = build_packed_experts(E, F, D, qtype, 1)
+    u_dense, u_packed, u_meta = build_packed_experts(E, F, D, qtype, 2)
+    d_dense, d_packed, d_meta = build_packed_experts(E, D, F, qtype, 3)
+
+    want = np.asarray(moe_ffn(
+        x, gate_inp, g_packed, u_packed, d_packed, n_expert_used=K,
+        quant_meta_exps={"gate": g_meta, "up": u_meta, "down": d_meta},
+    ))
+
+    def ar(fields, n_out):
+        f2 = {k: np.asarray(v) for k, v in fields.items()}
+        f2 = mxfp4_to_ar(f2)
+        if planes_t:
+            f3 = {k: v.reshape(E, n_out, -1) for k, v in f2.items()}
+            f3 = transpose_planes(f3)
+            return {k: jnp.asarray(v) for k, v in f3.items()}
+        return {k: jnp.asarray(v) for k, v in f2.items()}
+
+    from tpullama.models.loader import QuantMeta
+
+    if planes_t:
+        # transposed planes need 128-padded rows
+        def pad_fields(fields, n_out):
+            f2 = {k: np.asarray(v).reshape(E, n_out, -1) for k, v in fields.items()}
+            pad = (-n_out) % 128
+            f2 = {k: np.pad(v, ((0, 0), (0, pad), (0, 0))) for k, v in f2.items()}
+            f2 = mxfp4_to_ar({k: v.reshape(E * (n_out + pad), -1)
+                              for k, v in f2.items()})
+            f2 = {k: v.reshape(E, n_out + pad, -1) for k, v in f2.items()}
+            return {k: jnp.asarray(v) for k, v in transpose_planes(f2).items()}
+
+        g_ar = pad_fields(g_packed, F)
+        u_ar = pad_fields(u_packed, F)
+        d_ar = pad_fields(d_packed, D)
+        metas = {
+            "gate": QuantMeta(qtype, 32, E * F, D, planes_t=True),
+            "up": QuantMeta(qtype, 32, E * F, D, planes_t=True),
+            "down": QuantMeta(qtype, 32, E * D, F, planes_t=True),
+        }
+    else:
+        g_ar, u_ar, d_ar = ar(g_packed, F), ar(u_packed, F), ar(d_packed, D)
+        metas = {"gate": g_meta, "up": u_meta, "down": d_meta}
+
+    got = np.asarray(moe_ffn(
+        x, gate_inp, g_ar, u_ar, d_ar, n_expert_used=K,
+        quant_meta_exps=metas,
+    ))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

@@ -550,6 +550,17 @@ def load_model(
                 and (not is_exps or exps_group_ok)
             ):
                 pqs = [fetch_packed(t, k_sh) for t in tnames]
+                if (os.environ.get("TPULLAMA_MXFP4_AR", "0") == "1"
+                        and pqs[0].ggml_type == GGMLType.MXFP4):
+                    # A/r re-coded MXFP4 (qweights.mxfp4_to_ar): +1
+                    # bit/weight of HBM for ~1.4x cheaper VPU unpack —
+                    # worth it when decode is dequant-bound and the
+                    # model still fits
+                    from ..ops.qweights import mxfp4_to_ar
+
+                    pqs = [PlanarQuant(pq.ggml_type, pq.shape,
+                                       mxfp4_to_ar(pq.fields), pq.group)
+                           for pq in pqs]
                 if is_exps:
                     # expert planes store FLAT (L·E, rows128, kcols):
                     # per-expert rows zero-padded to the gathered
@@ -596,7 +607,7 @@ def load_model(
                     # the row-major kernel instead of silently dropping
                     # high bits
                     planes_t = planes_t and set(fields_np) <= {
-                        "q4", "q4_lut", "q8", "scale", "minv"}
+                        "q4", "q4_lut", "q4a", "q1r", "q8", "scale", "minv"}
                     planes_t = planes_t and all(
                         v.shape[-1] % (32 if v.dtype.itemsize == 1 else 16)
                         == 0

@@ -81,6 +81,14 @@ def _unpack_stripes(field_refs: dict, ggml_type: GGMLType, dtype=jnp.float32):
             (jnp.uint32(_MXFP4_LUT) >> ((idx & 7).astype(jnp.uint32) * 4)) & 0xF
         ).astype(jnp.int32)
         return jnp.where((idx >> 3) != 0, -mag, mag).astype(dtype)
+    if "q4a" in field_refs:
+        # A/r re-coded MXFP4 (qweights.mxfp4_to_ar): v = 2*(a-8) + r —
+        # plain shift/mask ladder, no per-element LUT or sign select
+        qa = field_refs["q4a"][...].astype(jnp.int32)
+        a = jnp.concatenate([qa & 0xF, qa >> 4], axis=-1)
+        qr = field_refs["q1r"][...].astype(jnp.int32)
+        r = jnp.concatenate([(qr >> j) & 1 for j in range(8)], axis=-1)
+        return (((a - 8) << 1) + r).astype(dtype)
     return val.astype(dtype)
 
 
@@ -242,7 +250,8 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
         )
         return out[:T, :n_out] if (pad_t or pad_n) else out
 
-    bits = {"q4": 4, "q4_lut": 4, "q2": 2, "q1": 1, "q8": 8}
+    bits = {"q4": 4, "q4_lut": 4, "q4a": 4, "q1r": 1, "q2": 2, "q1": 1,
+            "q8": 8}
 
     def xmap(t, n, *s):
         return (t, 0)
@@ -554,7 +563,8 @@ def quantized_matmul_gathered(
         # the transposed kernel unpacks only single-stripe-width fields;
         # multi-stripe types (Q5/Q6/Q3/Q2_K) would silently drop their
         # q1/q2 high-bit planes here — refuse rather than corrupt
-        assert set(pq_fields) <= {"q4", "q4_lut", "q8", "scale", "minv"}, (
+        assert set(pq_fields) <= {"q4", "q4_lut", "q4a", "q1r", "q8",
+                                  "scale", "minv"}, (
             f"planes_t unsupported for field set {sorted(pq_fields)}; "
             "store this tensor row-major (loader gates on the same rule)")
         return _qmm_gathered_t(x, pq_fields, sel, ggml_type, group, N, K,
@@ -591,7 +601,8 @@ def quantized_matmul_gathered(
     xgsum = jnp.sum(xg, axis=2) if (not exact and has_minv) else None
     x = xg.swapaxes(1, 2).reshape(Trows, K)
 
-    bits = {"q4": 4, "q4_lut": 4, "q2": 2, "q1": 1, "q8": 8}
+    bits = {"q4": 4, "q4_lut": 4, "q4a": 4, "q1r": 1, "q2": 2, "q1": 1,
+            "q8": 8}
 
     # x/xgsum/out ride with a unit middle axis so the per-tile block's
     # last-2 dims equal the array dims (Mosaic's (8, 128)-divisibility
@@ -698,7 +709,7 @@ def _qmm_gathered_t(x, pq_fields, sel, ggml_type, group, N, K, tile_n, tt,
         tn //= 2
     field_names = [n for n in pq_fields]
     has_minv = "minv" in pq_fields
-    bits = {"q4": 4, "q4_lut": 4, "q8": 8}
+    bits = {"q4": 4, "q4_lut": 4, "q4a": 4, "q1r": 1, "q8": 8}
     gcols = K // group  # true group count; stored plane is 16-padded
     Trows = x.shape[0]
     grid = (n_tiles, Np // tn)
@@ -775,6 +786,17 @@ def _qmm_gathered_t(x, pq_fields, sel, ggml_type, group, N, K, tile_n, tt,
         if ggml_type == GGMLType.Q8_0:
             sh = _sub_repeat(scale_t, group)  # (K, tn)
             acc = tdot(xr, fields["q8"][...].astype(ldt) * sh)
+        elif "q4a" in fields:
+            # A/r re-coded MXFP4: v = 2*(a-8) + r via shift/mask only
+            # (stored element p = sublane p; the 4-bit halves and the 8
+            # bit sub-stripes concatenate along sublanes in stored order)
+            qa = fields["q4a"][...].astype(jnp.int32)  # (K/2, tn)
+            a = jnp.concatenate([qa & 0xF, qa >> 4], axis=0)  # (K, tn)
+            qr = fields["q1r"][...].astype(jnp.int32)  # (K/8, tn)
+            r = jnp.concatenate([(qr >> j) & 1 for j in range(8)], axis=0)
+            v = (((a - 8) << 1) + r).astype(ldt)
+            sh = _sub_repeat(scale_t, group)  # (K, tn)
+            acc = tdot(xr, v * sh)
         else:
             qname = "q4" if "q4" in fields else "q4_lut"
             q = fields[qname][...].astype(jnp.int32)  # (K/2, tn)

@@ -380,10 +380,33 @@ def dequant_planar_np(pq: PlanarQuant, k_shards: int = 1) -> np.ndarray:
         idx = stripe_unpack_np(f["q4_lut"], 4)
         out = KVALUES_MXFP4[idx].astype(np.float32) * tile_scale(f["scale"])
         return group_unpermute(out, g)
+    if "q4a" in f:  # A/r re-coded MXFP4 (mxfp4_to_ar)
+        a = stripe_unpack_np(f["q4a"], 4).astype(np.int32)
+        r = stripe_unpack_np(f["q1r"], 1).astype(np.int32)
+        v = ((a - 8) << 1) + r
+        out = v.astype(np.float32) * tile_scale(f["scale"])
+        return group_unpermute(out, g)
     out = val.astype(np.float32) * tile_scale(f["scale"])
     if "minv" in f:
         out = out - tile_scale(f["minv"])
     return group_unpermute(out, g)
+
+
+def mxfp4_to_ar(fields: dict) -> dict:
+    """Re-code MXFP4 planes for a cheaper VPU unpack: instead of the
+    4-bit e2m1 index (whose LUT+sign decode costs ~11 VPU ops/element —
+    the measured MoE-decode floor), store the SIGNED value v in two
+    planes: q4a = (v >> 1) + 8 (4-bit biased half) and q1r = v & 1 (odd
+    bit); v = ((q4a - 8) << 1) + q1r. Costs +1 bit/weight of HBM
+    (5.25 vs 4.25) and buys ~1.4x unpack throughput (probe_r5).
+    Loss-free: every e2m1 x E8M0 value round-trips exactly."""
+    idx = stripe_unpack_np(fields["q4_lut"], 4)
+    v = KVALUES_MXFP4[idx].astype(np.int32)  # signed values in [-12, 12]
+    a = ((v >> 1) + 8).astype(np.uint8)
+    r = (v & 1).astype(np.uint8)
+    out = {"q4a": _stripe_pack(a, 4), "q1r": _stripe_pack(r, 1)}
+    out.update({k: f for k, f in fields.items() if k != "q4_lut"})
+    return out
 
 
 def transpose_planes(fields: dict, sublane_pad: int = 16) -> dict:
