@@ -43,6 +43,8 @@ def deepseek2_forward(
     # hp then carries LOCAL head counts (parallel/tp.py localize_hparams)
     inputs_embd=None,  # (B, T, n_embd): raw embedding inputs instead of
     # token ids (mtmd image chunks)
+    skip_output=False,  # pipeline stage: return raw hidden states; final
+    # norm + lm_head run on the last stage only (parallel/pp_hetero.py)
 ):
     B, T = tokens.shape
     H = hp.n_head
@@ -185,6 +187,8 @@ def deepseek2_forward(
             down = down * hp.f_residual_scale
         x = x + down
 
+    if skip_output:
+        return x, (jnp.stack(new_k), jnp.stack(new_v))
     x = rms_norm(x, params["output_norm"], hp.f_norm_rms_eps)
     if hp.final_logit_scale:
         # minicpm3 lm-head scale 256/n_embd (minicpm3.cpp:187-190)

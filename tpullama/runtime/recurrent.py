@@ -283,4 +283,15 @@ def make_context(model: LoadedModel, params: ContextParams | None = None):
         from .encoder import EncoderContext
 
         return EncoderContext(model, params)
+    if (
+        params is not None
+        and params.parallel == "pp"
+        and "layer_list" in model.params
+    ):
+        # heterogeneous layer stacks (deepseek2/MLA, mixed dense+MoE)
+        # cannot ride the shard_map pipeline — serve through the
+        # device-placed stage chain instead (parallel/pp_hetero.py)
+        from ..parallel.pp_hetero import HeteroPPContext
+
+        return HeteroPPContext(model, params)
     return Context(model, params)
