@@ -323,10 +323,19 @@ def main():
     dt = best_dt
     tps = N_STEPS / dt
 
-    # HBM roofline: each decoded token must stream all weights + KV once
+    # HBM roofline over STREAMED bytes: each decoded token streams every
+    # weight except the embedding table (gather-only: one row per token)
+    # plus the KV cache. The r4 headline divided by TOTAL param bytes —
+    # the embedding's 0.5 GiB inflated the denominator and flattered
+    # vs_baseline by ~0.19; the strict accounting matches the matrix
+    # cells' vs_roofline.
     hbm_bw = float(os.environ.get("BENCH_HBM_GBPS", 819)) * 1e9  # v5e
     kv_bytes = int(np.prod(kv_k.shape)) * kv_k.dtype.itemsize * 2
-    roofline = hbm_bw / (n_param_bytes + kv_bytes)
+    embd_bytes = sum(
+        int(np.prod(x.shape)) * x.dtype.itemsize
+        for x in jax.tree.leaves(params["tok_embd"])
+    )
+    roofline = hbm_bw / (n_param_bytes - embd_bytes + kv_bytes)
 
     detail = {
         "compile_s": round(compile_s, 1),
@@ -340,7 +349,7 @@ def main():
     # by scripts/bench_matrix.py and consolidated per round
     matrix_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        ".bench", "matrix_r4_final.json",
+        ".bench", "matrix_r5_final.json",
     )
     if os.path.exists(matrix_path):
         detail["matrix"] = json.load(open(matrix_path))
