@@ -326,8 +326,9 @@ def _flash_decode_batched(q, k, v, mask, scale, softcap, sinks, alibi_slopes,
 
 def flash_decode(q, k, v, mask, scale: float, softcap: float = 0.0,
                  sinks=None, alibi_slopes=None, k_scale=None, v_scale=None,
-                 block_s: int = 1024, interpret: bool = False, layer=None,
-                 batch_major: bool | None = None, kv_t: bool = False):
+                 block_s: int | None = None, interpret: bool = False,
+                 layer=None, batch_major: bool | None = None,
+                 kv_t: bool = False):
     """q: (B, Tq, Hq, D) with small Tq (decode); k, v: (B, Hkv, S, D)
     head-major cache — consumed in place, no transpose/retile.
     k_scale/v_scale: (B, Hkv, S) int8-KV scales. mask: additive fp32
@@ -345,6 +346,13 @@ def flash_decode(q, k, v, mask, scale: float, softcap: float = 0.0,
     ~0.7 ms/layer of XLA slice-copy at depth 32768 otherwise; same trick
     as the qmm `layer` arg)."""
     B, Tq, Hq, D = q.shape
+    if block_s is None:
+        # cache-block rows per grid step: at depth 32k the per-step grid
+        # overhead dominates (S/bs * Hkv steps per layer), so bigger
+        # blocks win once S is large; VMEM cost is bs*D*2dtypes*2buffers
+        import os as _os
+
+        block_s = int(_os.environ.get("TPULLAMA_FD_BLOCK", 1024))
     if batch_major is None:
         batch_major = B > 1
     if batch_major and B > 1:
