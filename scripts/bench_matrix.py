@@ -50,6 +50,9 @@ def make_hp(model: str = "llama8b"):
 
     if os.environ.get("BENCH_SMOKE"):  # tiny shapes for CPU smoke tests
         moe = dict(n_expert=4, n_expert_used=2) if model == "gptoss20b" else {}
+        if model == "gptoss20b" and os.environ.get("BENCH_MOE_SWA", "1") == "1":
+            moe.update(n_swa=128, swa_layers=(True, False),
+                       rope_freq_base_swa=10000.0)
         return HParams(
             arch="llama", n_vocab=256, n_ctx_train=2048, n_embd=64,
             n_layer=2, n_ff=128, n_head=2, n_head_kv=2, n_embd_head_k=32,
@@ -59,16 +62,27 @@ def make_hp(model: str = "llama8b"):
     if model == "gptoss20b":
         # gpt-oss-20B shape (BASELINE.md MoE rows): 24 layers, d=2880,
         # 32 experts top-4, expert F=2880, 64 q heads / 8 kv heads @64.
-        # Benches full attention (no SWA interleave) — pessimistic at
-        # depth vs the reference's half-SWA-128 layers. BENCH_MOE_LAYERS
-        # trims the stack when XLA's compress-remat pass pushes the
-        # full 12 GB model over the 16 GB single chip.
+        # The real model interleaves sliding-window-128 attention on the
+        # even layers (llama.cpp set_swa_pattern(2), llama-model.cpp
+        # gpt-oss: is_swa = il % 2 == 0) — benching full attention on all
+        # 24 layers overstates KV traffic ~2x at depth. BENCH_MOE_SWA=0
+        # restores the old all-full-attention pessimistic config.
+        # BENCH_MOE_LAYERS trims the stack when XLA's compress-remat pass
+        # pushes the full 12 GB model over the 16 GB single chip.
+        n_layer = int(os.environ.get("BENCH_MOE_LAYERS", 24))
+        swa = {}
+        if os.environ.get("BENCH_MOE_SWA", "1") == "1":
+            swa = dict(
+                n_swa=128,
+                swa_layers=tuple(il % 2 == 0 for il in range(n_layer)),
+                rope_freq_base_swa=150000.0,
+            )
         hp = HParams(
             arch="llama", n_vocab=201088, n_ctx_train=131072, n_embd=2880,
-            n_layer=int(os.environ.get("BENCH_MOE_LAYERS", 24)),
+            n_layer=n_layer,
             n_ff=2880, n_head=64, n_head_kv=8, n_embd_head_k=64,
             n_embd_head_v=64, n_rot=64, rope_freq_base=150000.0, rope_type=2,
-            n_expert=32, n_expert_used=4, moe_act="swiglu_oai",
+            n_expert=32, n_expert_used=4, moe_act="swiglu_oai", **swa,
         )
         if os.environ.get("BENCH_FUSED", "1") == "1":
             hp.ffn_fused_up = True  # fused [Q|K|V] (experts fuse via
@@ -128,18 +142,35 @@ def make_decode_fn(hp, quant_meta, B, S, unroll, donate=False,
     os.environ["TPULLAMA_SCAN_UNROLL"] = str(unroll)
     from tpullama.models.llama import llama_forward
 
+    two_stack = bool(hp.swa_layers) and any(hp.swa_layers)
+
     def decode_loop(params, kv_k, kv_v, first_tokens, n_past0, n_steps):
         def step(carry, i):
             toks, kk, vv = carry
-            pos = jnp.broadcast_to((n_past0 + i)[None, None], (B, 1))
+            p = n_past0 + i
+            pos = jnp.broadcast_to(p[None, None], (B, 1))
             slots = pos
             kv_pos = jnp.arange(S)
-            vis = kv_pos <= (n_past0 + i)
+            vis = kv_pos <= p
             mask = jnp.where(vis, 0.0, -1e30).astype(jnp.float32)[None, None, None, :]
             mask = jnp.broadcast_to(mask, (B, 1, 1, S))
+            slots_swa = None
+            if two_stack:
+                # SWA ring (SWA_RING == n_swa cells): slot = pos % ring;
+                # cell j holds position p - ((w - j) mod ring), visible
+                # iff it is a real position (>= 0) — the window bound
+                # (delta < n_swa) is the whole ring when ring == n_swa
+                Ss = SWA_RING
+                w = p % Ss
+                slots_swa = jnp.broadcast_to(w[None, None], (B, 1))
+                delta = (w - jnp.arange(Ss)) % Ss
+                vis_w = (delta < hp.n_swa) & (p - delta >= 0)
+                m_swa = jnp.where(vis_w, 0.0, -1e30).astype(jnp.float32)
+                m_swa = jnp.broadcast_to(m_swa[None, None, None, :], (B, 1, 1, Ss))
+                mask = (mask, m_swa)
             logits, (kk, vv) = llama_forward(
                 params, hp, toks, pos, kk, vv, slots, mask,
-                quant_meta=quant_meta,
+                quant_meta=quant_meta, cache_slots_swa=slots_swa,
             )
             nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
             return (nxt, kk, vv), nxt[:, 0]
@@ -177,6 +208,13 @@ def make_prefill_fn(hp, quant_meta, T, unroll):
         kv_pos = jnp.arange(S)
         vis = kv_pos[None, :] <= pos[0][:, None]
         mask = jnp.where(vis, 0.0, -1e30).astype(jnp.float32)[None, None]
+        if bool(hp.swa_layers) and any(hp.swa_layers):
+            # iswa prefill: single full-size stack for both layer kinds
+            # with a windowed mask on the SWA layers (the non-two-stack
+            # per-layer mask select in llama_forward)
+            vis_w = vis & (kv_pos[None, :] > pos[0][:, None] - hp.n_swa)
+            mask = (mask,
+                    jnp.where(vis_w, 0.0, -1e30).astype(jnp.float32)[None, None])
         logits, (kv_k, kv_v) = llama_forward(
             params, hp, tokens, pos, kv_k, kv_v, slots, mask,
             quant_meta=quant_meta,
@@ -186,20 +224,31 @@ def make_prefill_fn(hp, quant_meta, T, unroll):
     return jax.jit(prefill), S
 
 
-def kv_struct(hp, B, S, abstract, dtype, kv_mode="bf16"):
+SWA_RING = 128  # iswa decode ring cells (== n_swa; a 1-chunk fd cache)
+
+
+def swa_layer_counts(hp):
+    """(n_full_layers, n_swa_layers) — (L, 0) for non-iswa models."""
+    n_swa = sum(map(bool, hp.swa_layers)) if hp.swa_layers else 0
+    return hp.n_layer - n_swa, n_swa
+
+
+def kv_struct(hp, B, S, abstract, dtype, kv_mode="bf16", two_stack=False):
     """kv_mode: bf16 | q8 (int8 + per-row scales) | bf16t / q8t (D-major
-    transposed cache — the un-padded layout for D < 128 heads)."""
+    transposed cache — the un-padded layout for D < 128 heads).
+    two_stack: iswa {full, swa} stacks — SWA layers keep only a
+    SWA_RING-cell ring instead of S lanes (src/llama-kv-cache-iswa.h)."""
     import jax
     import jax.numpy as jnp
 
-    L, H, Dk, Dv = hp.n_layer, hp.n_head_kv, hp.n_embd_head_k, hp.n_embd_head_v
+    H, Dk, Dv = hp.n_head_kv, hp.n_embd_head_k, hp.n_embd_head_v
     t = kv_mode.endswith("t")
     qdt = jnp.int8 if kv_mode.startswith("q8") else dtype
 
     def mk(shape, dt):
         return jax.ShapeDtypeStruct(shape, dt) if abstract else jnp.zeros(shape, dt)
 
-    def one(D):
+    def one(D, L, S):
         arr = mk((L, B, H, D, S) if t else (L, B, H, S, D), qdt)
         leaf = {"qT": arr} if t else arr
         if kv_mode.startswith("q8"):
@@ -208,23 +257,36 @@ def kv_struct(hp, B, S, abstract, dtype, kv_mode="bf16"):
             leaf["s"] = mk((L, B, H, S), jnp.float32)
         return leaf
 
-    return one(Dk), one(Dv)
+    if two_stack:
+        Lf, Ls = swa_layer_counts(hp)
+        return (
+            {"full": one(Dk, Lf, S), "swa": one(Dk, Ls, SWA_RING)},
+            {"full": one(Dv, Lf, S), "swa": one(Dv, Ls, SWA_RING)},
+        )
+    return one(Dk, hp.n_layer, S), one(Dv, hp.n_layer, S)
 
 
-def kv_streamed_bytes(hp, S, dtype, kv_mode="bf16"):
+def kv_streamed_bytes(hp, S, dtype, kv_mode="bf16", two_stack=False):
     """Honest per-sequence KV bytes READ per decode step: row-major
     (…, S, D) tiles pad the lane dim to 128, and the padding is part of
-    the HBM tiles actually streamed."""
+    the HBM tiles actually streamed. iswa two-stack: SWA layers read
+    only their SWA_RING ring cells."""
     import numpy as np
 
-    L, H = hp.n_layer, hp.n_head_kv
+    H = hp.n_head_kv
     isz = 1 if kv_mode.startswith("q8") else np.dtype(dtype).itemsize
+    if two_stack:
+        Lf, Ls = swa_layer_counts(hp)
+        stacks = [(Lf, S), (Ls, SWA_RING)]
+    else:
+        stacks = [(hp.n_layer, S)]
     tot = 0
-    for D in (hp.n_embd_head_k, hp.n_embd_head_v):
-        D_eff = D if kv_mode.endswith("t") else -(-D // 128) * 128
-        tot += L * H * S * D_eff * isz
-    if kv_mode.startswith("q8"):
-        tot += 2 * L * H * S * 4  # f32 scale planes
+    for L, SS in stacks:
+        for D in (hp.n_embd_head_k, hp.n_embd_head_v):
+            D_eff = D if kv_mode.endswith("t") else -(-D // 128) * 128
+            tot += L * H * SS * D_eff * isz
+        if kv_mode.startswith("q8"):
+            tot += 2 * L * H * SS * 4  # f32 scale planes
     return tot
 
 
@@ -307,7 +369,8 @@ def main():
         kv_mode = kv_mode or args.kv
         S = depth + max(256, -(-n_steps // 128) * 128)  # 128-multiple: the
         # flash-decode kernel tiles the cache in 128-row chunks
-        kv_bytes_seq = kv_streamed_bytes(hp, S, dtype, kv_mode)
+        two_stack = bool(hp.swa_layers) and any(hp.swa_layers)
+        kv_bytes_seq = kv_streamed_bytes(hp, S, dtype, kv_mode, two_stack)
         # donate the KV carry (otherwise XLA holds input + output copies —
         # 2× the 4.4 GiB cache at depth 32768 OOMs the chip)
         fmts = (row_major_formats(params)
@@ -315,7 +378,7 @@ def main():
                 else None)
         fn = make_decode_fn(hp, quant_meta, B, S, unroll, donate=True,
                             param_formats=fmts)
-        kv_k, kv_v = kv_struct(hp, B, S, args.aot, dtype, kv_mode)
+        kv_k, kv_v = kv_struct(hp, B, S, args.aot, dtype, kv_mode, two_stack)
         first = (
             jax.ShapeDtypeStruct((B, 1), jnp.int32)
             if args.aot

@@ -145,3 +145,36 @@ def test_seq_div_raises(tmp_path):
     small.decode(np.arange(3, 3 + 12))
     with pytest.raises(RuntimeError, match="swa_full"):
         small.seq_div(0, 12, 2)
+
+
+def test_two_stack_flash_decode_matches(tmp_path, monkeypatch):
+    """Decode through the layer-indexed flash kernel (T==1 path) on the
+    two-stack cache must match the jnp fallback — the full-attn layers
+    of an iswa model take the fd path whenever S_full % 128 == 0."""
+    import jax.numpy as jnp
+
+    from tpullama.models import load_model
+
+    path = str(tmp_path / "swa-fd.gguf")
+    make_tiny_llama_gguf(
+        path, n_embd=64, n_layer=4, n_head=4, n_head_kv=2, seed=11,
+        arch="gemma2", n_ctx=128,
+    )
+    m = load_model(path)
+    kw = dict(n_ctx=128, n_ubatch=16, dtype=jnp.float32)
+    prompt = np.arange(3, 3 + 40)
+    monkeypatch.setenv("TPULLAMA_FLASH", "0")
+    ref = Context(m, ContextParams(swa_full=False, **kw))
+    lr = [ref.decode(prompt, n_logits=1)]
+    for t in (60, 61, 62):
+        lr.append(ref.decode(np.asarray([t])))
+    monkeypatch.setenv("TPULLAMA_FLASH", "1")  # interpret-mode fd on CPU
+    fd = Context(m, ContextParams(swa_full=False, **kw))
+    lf = [fd.decode(prompt, n_logits=1)]
+    for t in (60, 61, 62):
+        lf.append(fd.decode(np.asarray([t])))
+    for a, b in zip(lr, lf):
+        # fd computes the qk dot in bf16 (same tolerance as the kernel's
+        # own oracle tests); slot/mask errors would be O(0.1-1)
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+        assert int(np.argmax(a[-1])) == int(np.argmax(b[-1]))

@@ -609,19 +609,20 @@ def llama_forward(
 
             def _full_branch(opr):
                 kf, vf, ks_, vs_ = opr
-                att, kc, vc = attend(
-                    _kv_index(kf, sidx), _kv_index(vf, sidx),
-                    cache_slots, mask_full,
+                # attend_stacked keeps decode (T==1) on the layer-indexed
+                # flash-decode kernel — no per-layer cache slice copy; the
+                # non-fd shapes fall back to the slice+attend round-trip
+                att, kf, vf = attend_stacked(
+                    kf, vf, sidx, cache_slots, mask_full
                 )
-                return att, _kv_update(kf, sidx, kc), _kv_update(vf, sidx, vc), ks_, vs_
+                return att, kf, vf, ks_, vs_
 
             def _swa_branch(opr):
                 kf, vf, ks_, vs_ = opr
-                att, kc, vc = attend(
-                    _kv_index(ks_, sidx), _kv_index(vs_, sidx),
-                    cache_slots_swa, mask_swa,
+                att, ks_, vs_ = attend_stacked(
+                    ks_, vs_, sidx, cache_slots_swa, mask_swa
                 )
-                return att, kf, vf, _kv_update(ks_, sidx, kc), _kv_update(vs_, sidx, vc)
+                return att, kf, vf, ks_, vs_
 
             att, kf, vf, ks_, vs_ = jax.lax.cond(
                 w["_is_swa"], _swa_branch, _full_branch, (kf, vf, ks_, vs_)
