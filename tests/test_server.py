@@ -895,3 +895,43 @@ def test_split_mode_unknown_raises(tmp_path):
     with pytest.raises(NotImplementedError):
         ServerEngine(model, n_slots=1, n_ctx=64, split_mode="row",
                      kv_unified=True)
+
+
+def test_engine_burst_matches_stepwise(tmp_path, monkeypatch):
+    """Device-side burst decode (TPULLAMA_ENGINE_BURST) must emit exactly
+    the tokens the one-step-per-round path emits for greedy slots, and a
+    mid-burst stop must roll the KV tail back so later requests on the
+    slot still serve correct tokens."""
+    import jax.numpy as jnp
+
+    from tpullama.models import load_model
+    from tpullama.server.engine import ServerEngine, Task
+
+    path = str(tmp_path / "m.gguf")
+    make_tiny_llama_gguf(path, seed=41)
+    m = load_model(path)
+    prompts = [list(range(3, 3 + 9)), list(range(50, 50 + 7)),
+               list(range(120, 120 + 11))]
+
+    def run(burst):
+        monkeypatch.setenv("TPULLAMA_ENGINE_BURST", str(burst))
+        eng = ServerEngine(m, n_slots=4, n_ctx=128, n_ubatch=16,
+                           dtype=jnp.float32)
+        tasks = [eng.submit(Task(prompt_tokens=list(p), n_predict=13))
+                 for p in prompts]
+        for _ in range(600):
+            if all(t.done.is_set() for t in tasks):
+                break
+            eng.step()
+        assert all(t.done.is_set() for t in tasks)
+        follow = eng.submit(Task(prompt_tokens=[5, 6, 7], n_predict=5))
+        for _ in range(200):
+            if follow.done.is_set():
+                break
+            eng.step()
+        assert follow.done.is_set()
+        return [t.out_tokens for t in tasks] + [follow.out_tokens]
+
+    base = run(0)
+    burst = run(8)
+    assert burst == base

@@ -297,6 +297,10 @@ class Context:
         self._multi_fn = jax.jit(self._step_multi, donate_argnums=(1, 2))
         self._burst_fn = jax.jit(self._burst, static_argnames=("n_steps",),
                                  donate_argnums=(1, 2))
+        self._batch_burst_fn = jax.jit(
+            self._batch_burst, static_argnames=("n_steps",),
+            donate_argnums=(1, 2),
+        )
         self._burst_sampled_fn = jax.jit(
             self._burst_sampled, static_argnames=("n_steps", "spec"),
             donate_argnums=(1, 2),
@@ -557,6 +561,34 @@ class Context:
         out = jnp.take_along_axis(
             logits, last_idx[:, None, None].astype(jnp.int32), axis=1
         )[:, 0]
+        return out, kv_k, kv_v, kv_pos
+
+    def _batch_burst(self, params, kv_k, kv_v, kv_pos, first_toks, pos0,
+                     active, n_steps: int):
+        """Fused greedy decode of n_steps tokens for EVERY active lane at
+        once — the continuous-batching analog of _burst. Each step picks
+        every lane's first free cell on-device (ascending, matching the
+        host _pos_host mirror's free-list order), writes K/V there, and
+        feeds the argmax back. Inactive lanes park on the scratch cell
+        with position -1 and echo their input token."""
+        S = self._S
+
+        def step(carry, _):
+            toks, kk, vv, kp, npast = carry  # toks (B,1), npast (B,)
+            kpf = kp["full"] if isinstance(kp, dict) else kp
+            free = jnp.argmax(kpf[:, : S - 1] < 0, axis=1).astype(jnp.int32)
+            slots = jnp.where(active, free, S - 1)[:, None]
+            pos = jnp.where(active, npast, -1).astype(jnp.int32)[:, None]
+            logits, _, kk, vv, kp = self._forward(
+                params, kk, vv, kp, toks, pos, slots
+            )
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+            nxt = jnp.where(active[:, None], nxt, toks)
+            return (nxt, kk, vv, kp, npast + active.astype(jnp.int32)), nxt[:, 0]
+
+        (toks, kv_k, kv_v, kv_pos, _), out = jax.lax.scan(
+            step, (first_toks, kv_k, kv_v, kv_pos, pos0), None, length=n_steps
+        )
         return out, kv_k, kv_v, kv_pos
 
     def _burst(self, params, kv_k, kv_v, kv_pos, first_tok, n_past0, n_steps: int):
@@ -885,6 +917,46 @@ class Context:
         self.perf.t_decode_ms += (time.perf_counter() - t0) * 1000
         self.perf.n_decode += int(active.sum())
         self.n_past[active] += 1
+        return out
+
+    def decode_batch_burst(self, tokens: np.ndarray, active: np.ndarray,
+                           n_steps: int) -> np.ndarray:
+        """Greedy-decode n_steps tokens for every active lane in ONE
+        device dispatch (the continuous-batching decode_burst: the server
+        engine's per-token host round-trip collapses to one per burst).
+        tokens: (B,) last sampled token per lane. Returns (n_steps, B)
+        generated ids (inactive columns echo their input). Each active
+        lane's cache advances n_steps (inputs token, out[0], ...,
+        out[n_steps-2])."""
+        B = self.p.n_seqs
+        S = self._S
+        tokens = np.asarray(tokens, np.int32).reshape(B, 1)
+        active = np.asarray(active, bool)
+        act_idx = np.nonzero(active)[0]
+        frees = {}
+        for b in act_idx:
+            if int(self.n_past[b]) + n_steps > self.p.n_ctx:
+                raise ValueError(f"context overflow for burst on seq {b}")
+            free = np.nonzero(self._pos_host[b, : S - 1] < 0)[0]
+            if len(free) < n_steps:
+                raise ValueError(f"no free KV cells for burst on seq {b}")
+            frees[b] = free[:n_steps]
+        pos0 = self.n_past.astype(np.int32)
+        t0 = time.perf_counter()
+        out, self.kv_k, self.kv_v, self.kv_pos = self._batch_burst_fn(
+            self.model.params, self.kv_k, self.kv_v, self.kv_pos,
+            jnp.asarray(tokens), jnp.asarray(pos0), jnp.asarray(active),
+            n_steps=n_steps,
+        )
+        out = np.asarray(out)
+        self.perf.t_decode_ms += (time.perf_counter() - t0) * 1000
+        self.perf.n_decode += n_steps * len(act_idx)
+        for b in act_idx:
+            # device picks ascending first-free cells, matching this order
+            self._pos_host[b, frees[b]] = np.arange(
+                int(self.n_past[b]), int(self.n_past[b]) + n_steps
+            )
+            self.n_past[b] += n_steps
         return out
 
     def decode_multi(self, chunks: list) -> dict:

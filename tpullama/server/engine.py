@@ -16,6 +16,7 @@ prompt reuse; llama_memory_seq_rm for the tail).
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -143,6 +144,8 @@ class ServerEngine:
 
         self._partial_reuse = isinstance(self.ctx, (Context, _U))
         self.n_ubatch = n_ubatch
+        # fused multi-step decode for uniform greedy slots (see _burst_len)
+        self.burst = int(os.environ.get("TPULLAMA_ENGINE_BURST", "8"))
         self.slots = [Slot(i) for i in range(n_slots)]
         self.queue: "queue.Queue[Task]" = queue.Queue()
         self._control_queue: "queue.Queue[Callable[[], None]]" = queue.Queue()
@@ -495,6 +498,9 @@ class ServerEngine:
                     self._emit(s, self._sample(s, row))
             return True
         if hasattr(self.ctx, "decode_batch"):
+            K = self._burst_len(gen)
+            if K > 1:
+                return self._burst_decode(gen, tokens, active, K)
             logits = self.ctx.decode_batch(tokens, active)
             for s in gen:
                 tok = self._sample(s, logits[s.id])
@@ -508,6 +514,60 @@ class ServerEngine:
                 )[-1]
                 tok = self._sample(s, row)
                 self._emit(s, tok)
+        return True
+
+    def _burst_len(self, gen) -> int:
+        """Device-side burst width for this decode round, or 1 for the
+        classic one-step path. Bursting is legal when every generating
+        slot samples pure-greedy with no grammar (the on-device argmax IS
+        the sampler), has already emitted its first token (so TTFT stays
+        honest), and no prompt work is waiting (so new requests aren't
+        delayed by a whole burst). Width: largest power of two <= every
+        slot's remaining budget, capped by TPULLAMA_ENGINE_BURST
+        (default 8; 0 disables)."""
+        cap = self.burst
+        if cap <= 1 or self.draft_model is not None:
+            return 1
+        if not hasattr(self.ctx, "decode_batch_burst"):
+            return 1
+        if not self.queue.empty():
+            return 1
+        for s in self.slots:
+            if s.state == SlotState.PROMPT:
+                return 1
+        room = cap
+        for s in gen:
+            t = s.task
+            if t.sampler is not None or t.grammar is not None:
+                return 1
+            if not t.t_first_token:
+                return 1
+            room = min(room,
+                       t.n_predict - len(t.out_tokens),
+                       self.ctx.p.n_ctx - int(self.ctx.n_past[s.id]))
+        if room < 2:
+            return 1
+        K = 1
+        while K * 2 <= room:
+            K *= 2
+        return min(K, cap)
+
+    def _burst_decode(self, gen, tokens, active, K: int) -> bool:
+        """Run K fused greedy steps on-device, then emit host-side. A slot
+        that stops mid-burst (EOG / stop string / n_predict) rolls its KV
+        tail back to the last emitted token, like spec-decode rejects."""
+        past0 = {s.id: int(self.ctx.n_past[s.id]) for s in gen}
+        out = self.ctx.decode_batch_burst(tokens, active, K)  # (K, B)
+        for s in gen:
+            done_at = None
+            for j in range(K):
+                if not self._emit(s, int(out[j, s.id])):
+                    done_at = j
+                    break
+            if done_at is not None and done_at < K - 1:
+                # inputs were written through position past0+K-1; valid
+                # prefix ends at past0+done_at (input = last emitted tok)
+                self.ctx.rollback_to(past0[s.id] + done_at + 1, seq_id=s.id)
         return True
 
     def _spec_step(self, slot: Slot):
