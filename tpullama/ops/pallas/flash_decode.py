@@ -37,6 +37,26 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _pick_bs(S: int, cap: int) -> int:
+    """Largest 128-multiple divisor of S that is <= cap.
+
+    The old fallback (`while S % bs: bs //= 2`) collapsed to bs=256 for
+    any S ≡ 256 (mod 1024) — e.g. the bench/serving S = depth + 256 —
+    giving S/256 grid steps whose ~0.5 us/step issue overhead tripled
+    depth-decode time (measured: S=33024 at bs=256 streams ~220 GB/s;
+    at bs=5504, ~700 GB/s — scripts/fd_probe7.py). S is always a
+    multiple of 128 here (the cache allocators round it)."""
+    best = 0
+    m = S // 128
+    for d in range(1, m + 1):
+        if m % d == 0:
+            bs = (m // d) * 128
+            if bs <= cap:
+                best = bs
+                break
+    return best or 128
+
+
 def _fd_kernel(*refs, scale, softcap, bs, g, d, tq, has_alibi, has_sinks,
                has_kv_scale, stacked=False, kv_t=False):
     if stacked:
@@ -218,9 +238,7 @@ def _flash_decode_batched(q, k, v, mask, scale, softcap, sinks, alibi_slopes,
 
     cap_mb = int(_os.environ.get("TPULLAMA_FDB_CAP_MB", 2))
     bs_cap = max(128, (cap_mb * 1024 * 1024) // (B * D) // 128 * 128)
-    bs = min(block_s, S, bs_cap)
-    while S % bs:
-        bs //= 2
+    bs = _pick_bs(S, min(block_s, S, bs_cap))
     has_kv_scale = k_scale is not None
     has_alibi = alibi_slopes is not None
     has_sinks = sinks is not None
@@ -350,9 +368,10 @@ def flash_decode(q, k, v, mask, scale: float, softcap: float = 0.0,
         # cache-block rows per grid step: at depth 32k the per-step grid
         # overhead dominates (S/bs * Hkv steps per layer), so bigger
         # blocks win once S is large; VMEM cost is bs*D*2dtypes*2buffers
+        # (8192 rows @ D=128 -> 8 MiB of the 100 MiB budget)
         import os as _os
 
-        block_s = int(_os.environ.get("TPULLAMA_FD_BLOCK", 1024))
+        block_s = int(_os.environ.get("TPULLAMA_FD_BLOCK", 8192))
     if batch_major is None:
         batch_major = B > 1
     if batch_major and B > 1:
@@ -365,9 +384,7 @@ def flash_decode(q, k, v, mask, scale: float, softcap: float = 0.0,
     Hkv = k.shape[koff + 1]
     S = k.shape[koff + 3] if kv_t else k.shape[koff + 2]
     G = Hq // Hkv
-    bs = min(block_s, S)
-    while S % bs:
-        bs //= 2
+    bs = _pick_bs(S, min(block_s, S))
     has_kv_scale = k_scale is not None
     has_alibi = alibi_slopes is not None
     has_sinks = sinks is not None
