@@ -935,3 +935,40 @@ def test_engine_burst_matches_stepwise(tmp_path, monkeypatch):
     base = run(0)
     burst = run(8)
     assert burst == base
+
+
+def test_engine_auto_ring_prefill(tmp_path, monkeypatch):
+    """Long fresh prompts on a multi-device rig auto-select the
+    sequence-parallel ring prefill (Context.prefill_ring) for the
+    device-multiple prefix; output tokens must match the chunked path."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpullama.models import load_model
+    from tpullama.server.engine import ServerEngine, Task
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    path = str(tmp_path / "m.gguf")
+    make_tiny_llama_gguf(path, seed=43, n_ctx=2048)
+    m = load_model(path)
+    prompt = [int(3 + (i * 7) % 200) for i in range(700)]
+
+    def run(ring_min):
+        monkeypatch.setenv("TPULLAMA_RING_PREFILL_MIN", str(ring_min))
+        monkeypatch.setenv("TPULLAMA_ENGINE_BURST", "0")
+        eng = ServerEngine(m, n_slots=2, n_ctx=1024, n_ubatch=64,
+                           dtype=jnp.float32)
+        t = eng.submit(Task(prompt_tokens=list(prompt), n_predict=4))
+        for _ in range(400):
+            if t.done.is_set():
+                break
+            eng.step()
+        assert t.done.is_set()
+        return t.out_tokens, eng.metrics.get("n_ring_prefills", 0)
+
+    toks_ring, n_ring = run(512)
+    assert n_ring == 1, "ring prefill did not engage"
+    toks_chunk, n0 = run(0)
+    assert n0 == 0
+    assert toks_ring == toks_chunk

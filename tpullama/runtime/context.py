@@ -769,36 +769,45 @@ class Context:
         n_sp = n_sp or len(jax.devices())
         if T % n_sp or T + 1 > self.p.n_ctx:
             raise ValueError(f"T={T} must divide sp={n_sp} and fit n_ctx")
-        mesh = make_sp_mesh(n_sp)
-        Hkv, Dk, Dv = hp.kv_cache_dims
-        L = hp.n_layer
+        cached = getattr(self, "_sp_cache", None)
+        if cached is not None and cached[0] == n_sp:
+            _, fn, sp_params = cached
+        else:
+            mesh = make_sp_mesh(n_sp)
+            Hkv, Dk, Dv = hp.kv_cache_dims
+            L = hp.n_layer
 
-        def body(params, toks, pos):
-            from ..models.llama import llama_forward
+            def body(params, toks, pos):
+                from ..models.llama import llama_forward
 
-            Tl = toks.shape[1]
-            kk = jnp.zeros((L, 1, Hkv, Tl, Dk), self.p.dtype)
-            vv = jnp.zeros((L, 1, Hkv, Tl, Dv), self.p.dtype)
-            slots = jnp.broadcast_to(jnp.arange(Tl, dtype=jnp.int32), (1, Tl))
-            mask = jnp.zeros((1, 1, Tl, Tl), jnp.float32)  # unused under sp
-            logits, (kk, vv) = llama_forward(
-                params, hp, toks, pos, kk, vv, slots, mask,
-                quant_meta=self.model.quant_meta, sp_axis="sp",
-            )
-            return logits, kk, vv
+                Tl = toks.shape[1]
+                kk = jnp.zeros((L, 1, Hkv, Tl, Dk), self.p.dtype)
+                vv = jnp.zeros((L, 1, Hkv, Tl, Dv), self.p.dtype)
+                slots = jnp.broadcast_to(jnp.arange(Tl, dtype=jnp.int32), (1, Tl))
+                mask = jnp.zeros((1, 1, Tl, Tl), jnp.float32)  # unused under sp
+                logits, (kk, vv) = llama_forward(
+                    params, hp, toks, pos, kk, vv, slots, mask,
+                    quant_meta=self.model.quant_meta, sp_axis="sp",
+                )
+                return logits, kk, vv
 
-        sp = lambda *axes: P(*axes)
-        fn = jax.jit(jax.shard_map(
-            body, mesh=mesh,
-            in_specs=(P(), sp(None, "sp"), sp(None, "sp")),
-            out_specs=(sp(None, "sp", None),
-                       sp(None, None, None, "sp", None),
-                       sp(None, None, None, "sp", None)),
-            check_vma=False,
-        ))
+            sp = lambda *axes: P(*axes)
+            fn = jax.jit(jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), sp(None, "sp"), sp(None, "sp")),
+                out_specs=(sp(None, "sp", None),
+                           sp(None, None, None, "sp", None),
+                           sp(None, None, None, "sp", None)),
+                check_vma=False,
+            ))
+            # replicate the params over the ring ONCE: repeated calls must
+            # not pay a per-call broadcast of the whole model
+            sp_params = jax.device_put(
+                self.model.params, NamedSharding(mesh, P()))
+            self._sp_cache = (n_sp, fn, sp_params)
         pos = np.arange(T, dtype=np.int32)[None]
         t0 = time.perf_counter()
-        logits, kk, vv = fn(self.model.params, jnp.asarray(tokens[None]),
+        logits, kk, vv = fn(sp_params, jnp.asarray(tokens[None]),
                             jnp.asarray(pos))
         # bulk-write the computed rows into this context's cache lane
         upd = lambda c, new: jax.lax.dynamic_update_slice(

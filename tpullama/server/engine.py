@@ -406,6 +406,7 @@ class ServerEngine:
             if slot.task.chunks is not None:
                 self._process_chunk_prompt(slot)
                 return True
+            self._maybe_ring_prefill(slot)
             text_slots.append(slot)
         if not text_slots:
             return False
@@ -438,6 +439,49 @@ class ServerEngine:
                     continue
                 slot.state = SlotState.GENERATING
         return True
+
+    def _maybe_ring_prefill(self, slot: Slot):
+        """Auto-select sequence-parallel ring-attention prefill for long
+        fresh prompts on multi-device rigs (Context.prefill_ring): the
+        largest device-count-multiple PREFIX runs as one sharded step
+        (per-device attention memory O(T / n_devices)); the tail
+        continues through the normal ubatch chunk loop. Unsupported
+        archs / sharded contexts fall back silently. Threshold:
+        TPULLAMA_RING_PREFILL_MIN tokens (default max(1024, 4*n_ubatch);
+        0 disables)."""
+        import jax
+
+        if slot.n_prompt_done or not hasattr(self.ctx, "prefill_ring"):
+            return
+        if getattr(self.ctx, "_tp_mesh", None) is not None or \
+                getattr(self.ctx, "_pp_mesh", None) is not None:
+            return
+        n_dev = len(jax.devices())
+        if n_dev < 2:
+            return
+        ring_min = int(os.environ.get(
+            "TPULLAMA_RING_PREFILL_MIN", max(1024, 4 * self.n_ubatch)))
+        prompt = slot.task.prompt_tokens
+        if ring_min <= 0 or len(prompt) < ring_min:
+            return
+        if int(self.ctx.n_past[slot.id]) != 0:
+            return  # prefix reuse active: ring needs a fresh sequence
+        # keep >= 1 tail token so final logits/sampling flow through the
+        # regular chunk path
+        T = (len(prompt) - 1) // n_dev * n_dev
+        if T < n_dev:
+            return
+        try:
+            self.ctx.prefill_ring(
+                np.asarray(prompt[:T], np.int32), n_sp=n_dev,
+                seq_id=slot.id)
+        except (NotImplementedError, ValueError):
+            return  # unsupported arch/shape: normal chunked prefill
+        slot.n_prompt_done = T
+        slot.cache_tokens = list(prompt[:T])
+        self.metrics["n_prompt_tokens_processed"] += T
+        self.metrics["n_ring_prefills"] = self.metrics.get(
+            "n_ring_prefills", 0) + 1
 
     def _process_chunk_prompt(self, slot: Slot):
         """Advance a multimodal prompt by one text ubatch or one media
