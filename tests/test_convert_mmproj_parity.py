@@ -505,3 +505,55 @@ def test_mmproj_lightonocr(tmp_path):
                         ("feed_forward.down_proj", (E, F))):
             t[p + nm + ".weight"] = rnd(rng, *shp)
     run_case(tmp_path, "lightonocr", cfg, t)
+
+
+def test_mmproj_qwen25omni(tmp_path):
+    """Qwen2.5-Omni DUAL mmproj (Qwen25OmniModel): qwen2.5-vl vision
+    merger + whisper audio tower + synthesized sinusoid positions in one
+    file with both encoder flags."""
+    rng = np.random.default_rng(22)
+    E, F, L, P = 48, 96, 2, 8
+    cfg = dict(
+        architectures=["Qwen2_5OmniModel"],
+        model_type="qwen2_5_omni",
+        thinker_config=dict(
+            vision_config=dict(
+                model_type="qwen2_5_omni_vision", depth=L, hidden_size=E,
+                intermediate_size=F, num_heads=4, patch_size=P,
+                fullatt_block_indexes=[1], spatial_merge_size=2,
+            ),
+            audio_config=dict(AUDIO_CFG),
+            text_config=dict(hidden_size=32),
+        ),
+    )
+    t = {}
+    t["thinker.visual.patch_embed.proj.weight"] = rnd(rng, E, 3, 2, P, P)
+    for i in range(L):
+        p = f"thinker.visual.blocks.{i}."
+        t[p + "attn.qkv.weight"] = rnd(rng, 3 * E, E)
+        t[p + "attn.qkv.bias"] = rnd(rng, 3 * E)
+        t[p + "attn.proj.weight"] = rnd(rng, E, E)
+        t[p + "attn.proj.bias"] = rnd(rng, E)
+        t[p + "norm1.weight"] = 1.0 + rnd(rng, E)
+        t[p + "norm2.weight"] = 1.0 + rnd(rng, E)
+        t[p + "mlp.gate_proj.weight"] = rnd(rng, F, E)
+        t[p + "mlp.gate_proj.bias"] = rnd(rng, F)
+        t[p + "mlp.up_proj.weight"] = rnd(rng, F, E)
+        t[p + "mlp.up_proj.bias"] = rnd(rng, F)
+        t[p + "mlp.down_proj.weight"] = rnd(rng, E, F)
+        t[p + "mlp.down_proj.bias"] = rnd(rng, E)
+    t["thinker.visual.merger.ln_q.weight"] = 1.0 + rnd(rng, E)
+    t["thinker.visual.merger.mlp.0.weight"] = rnd(rng, 64, E * 4)
+    t["thinker.visual.merger.mlp.0.bias"] = rnd(rng, 64)
+    t["thinker.visual.merger.mlp.2.weight"] = rnd(rng, 32, 64)
+    t["thinker.visual.merger.mlp.2.bias"] = rnd(rng, 32)
+    # audio tower (whisper-style, thinker-prefixed; no embed_positions —
+    # both converters synthesize the sinusoid table)
+    audio = {f"thinker.{k}": v for k, v in whisper_tower(rng).items()
+             if "embed_positions" not in k and "layer_norm." not in k}
+    t.update(audio)
+    t["thinker.audio_tower.ln_post.weight"] = 1.0 + rnd(rng, 48)
+    t["thinker.audio_tower.ln_post.bias"] = rnd(rng, 48)
+    t["thinker.audio_tower.proj.weight"] = rnd(rng, 32, 48)
+    t["thinker.audio_tower.proj.bias"] = rnd(rng, 32)
+    run_case(tmp_path, "qwen25omni", cfg, t)

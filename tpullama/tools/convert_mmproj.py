@@ -48,6 +48,9 @@ def convert_mmproj(model_dir: str, outfile: str, outtype: str = "f16",
     elif (hf_arch.startswith(("Llava", "VipLlava")) or
           mtype in ("llava", "vipllava")) and vis_mtype != "pixtral":
         proj = "mlp"
+    elif hf_arch == "Qwen2_5OmniModel" or mtype == "qwen2_5_omni":
+        return _convert_qwen25omni(model_dir, outfile, config, outtype,
+                                   verbose)
     elif hf_arch.startswith("Qwen2_5_VL") or mtype == "qwen2_5_vl":
         proj = "qwen2.5vl_merger"
     elif hf_arch.startswith("Qwen2VL") or mtype == "qwen2_vl":
@@ -312,6 +315,175 @@ def _convert_qwen2vl(model_dir, outfile, config, proj, verbose):
             emit("mm.2.weight", data)
         elif name.endswith("merger.mlp.2.bias"):
             emit("mm.2.bias", data)
+        elif verbose:
+            print(f"skip {name}", file=sys.stderr)
+    w.write(outfile)
+    if verbose:
+        print(f"wrote {outfile} ({stats['tensors']} tensors)", file=sys.stderr)
+    return stats
+
+
+def _convert_qwen25omni(model_dir, outfile, config, outtype, verbose):
+    """Qwen2.5-Omni DUAL (vision+audio) mmproj (Qwen25OmniModel,
+    convert_hf_to_gguf.py:3845): the Qwen2.5-VL vision merger and a
+    whisper-style audio tower in ONE file with both encoder flags, plus
+    the synthesized sinusoid audio position table the HF checkpoint does
+    not store (generate_extra_tensors)."""
+    tcfg = config["thinker_config"]
+    vc = tcfg["vision_config"]
+    ac = tcfg["audio_config"]
+    text = {**config, **tcfg.get("text_config", {})}
+    pre = _read_preproc(model_dir)
+    qt = GGMLType.F16 if outtype.lower() == "f16" else GGMLType.F32
+    n_text = int(text.get("hidden_size", text.get("n_embd", 0)))
+
+    w = GGUFWriter()
+    w.add_str("general.architecture", "clip")
+    w.add_str("general.name", os.path.basename(os.path.abspath(model_dir)))
+    # vision metadata (MmprojModel.set_gguf_parameters +
+    # Qwen2VLVisionModel.set_gguf_parameters with model_type qwen2_5_omni)
+    w.add_bool("clip.has_vision_encoder", True)
+    w.add_u32("clip.vision.projection_dim", n_text)
+    w.add_u32("clip.vision.image_size", int(vc.get("image_size", 560)))
+    w.add_u32("clip.vision.patch_size", int(vc["patch_size"]))
+    w.add_u32("clip.vision.embedding_length", int(vc["hidden_size"]))
+    w.add_u32("clip.vision.feed_forward_length", int(vc["intermediate_size"]))
+    w.add_u32("clip.vision.block_count", int(vc["depth"]))
+    w.add_u32("clip.vision.attention.head_count", int(vc["num_heads"]))
+    w.add_array("clip.vision.image_mean",
+                np.asarray(pre.get("image_mean", [0.5] * 3), np.float32))
+    w.add_array("clip.vision.image_std",
+                np.asarray(pre.get("image_std", [0.5] * 3), np.float32))
+    w.add_str("clip.projector_type", "qwen2.5o")
+    w.add_bool("clip.use_silu", True)
+    fab = vc["fullatt_block_indexes"]
+    n_wa = int(fab[0]) + 1
+    for i in range(1, len(fab)):
+        if fab[i] - fab[i - 1] != n_wa:
+            raise ValueError(f"invalid fullatt_block_indexes {fab}")
+    w.add_u32("clip.vision.n_wa_pattern", n_wa)
+    w.add_f32("clip.vision.attention.layer_norm_epsilon",
+              float(config.get("rms_norm_eps", 1e-6)))
+    # audio metadata (has_audio_encoder branch + Qwen25OmniModel's
+    # d_model/encoder_ffn_dim/encoder_attention_heads renames)
+    w.add_bool("clip.has_audio_encoder", True)
+    w.add_u32("clip.audio.projection_dim", n_text)
+    w.add_u32("clip.audio.embedding_length",
+              int(ac.get("hidden_size", ac.get("d_model", 0))))
+    w.add_u32("clip.audio.feed_forward_length",
+              int(ac.get("intermediate_size", ac.get("encoder_ffn_dim", 0))))
+    w.add_u32("clip.audio.block_count", int(
+        next(ac[k] for k in ("n_layers", "num_hidden_layers", "n_layer",
+                             "num_layers", "depth", "encoder_layers")
+             if k in ac)))
+    w.add_u32("clip.audio.attention.head_count", int(
+        ac.get("num_attention_heads", ac.get("encoder_attention_heads", 0))))
+    w.add_u32("clip.audio.num_mel_bins", int(ac.get("num_mel_bins", 128)))
+    w.add_f32("clip.audio.attention.layer_norm_epsilon",
+              float(ac.get("layer_norm_eps", 1e-5)))
+
+    stats = {"tensors": 0}
+
+    def emit(gname, data, force_f32=False, force_f16=False):
+        if force_f16 or (qt == GGMLType.F16 and not force_f32
+                         and data.ndim >= 2 and "embd" not in gname):
+            w.add_tensor(gname, data.astype(np.float16), GGMLType.F16)
+        else:
+            w.add_tensor(gname, data.astype(np.float32), GGMLType.F32)
+        stats["tensors"] += 1
+        if verbose:
+            print(f"  -> {gname}", file=sys.stderr)
+
+    # SinusoidsPositionEmbedding (generate_extra_tensors): the HF
+    # checkpoint computes it at runtime; the GGUF stores it
+    ch = int(ac.get("hidden_size", ac.get("d_model")))
+    inc = np.log(10000.0) / (ch // 2 - 1)
+    try:
+        # torch's f32 exp/sin differ from numpy's by 1 ULP on some
+        # inputs, and t = 1500 * inv amplifies that to ~1e-4; use torch
+        # when importable so the table is bit-identical to the
+        # reference's, with a numpy fallback (same values to ~1e-4)
+        import torch
+
+        inv = torch.exp(-inc * torch.arange(ch // 2).float())
+        t = torch.arange(1500)[:, None] * inv[None, :]
+        pos = torch.cat([torch.sin(t), torch.cos(t)], dim=1).numpy()
+    except ImportError:
+        inv = np.exp((-inc * np.arange(ch // 2, dtype=np.float32))
+                     .astype(np.float32)).astype(np.float32)
+        t = (np.arange(1500, dtype=np.float32)[:, None] * inv[None, :]
+             ).astype(np.float32)
+        pos = np.concatenate([np.sin(t), np.cos(t)], axis=1)
+    emit("a.position_embd.weight", pos.astype(np.float32), force_f32=True)
+
+    vis_blk = [
+        (r"attn\.proj\.(weight|bias)$", "attn_out.{suf}"),
+        (r"norm1\.(weight|bias)$", "ln1.{suf}"),
+        (r"norm2\.(weight|bias)$", "ln2.{suf}"),
+        (r"mlp\.gate_proj\.(weight|bias)$", "ffn_gate.{suf}"),
+        (r"mlp\.up_proj\.(weight|bias)$", "ffn_up.{suf}"),
+        (r"mlp\.down_proj\.(weight|bias)$", "ffn_down.{suf}"),
+    ]
+    for name, data in iter_hf_tensors(model_dir):
+        if name.startswith("thinker."):
+            name = name[len("thinker."):]
+        if name.startswith("audio_tower."):
+            if "audio_bos_eos_token" in name:
+                continue  # unused by transformers; dropped (:3898)
+            m = re.search(r"audio_tower\.layers\.(\d+)\.(.+)$", name)
+            mm = re.search(r"audio_tower\.conv(\d)\.(weight|bias)$", name)
+            if m:
+                bid, rest = m.group(1), m.group(2)
+                for pat, repl in _AUDIO_BLK:
+                    r2 = re.search(pat, rest)
+                    if r2:
+                        emit(f"a.blk.{bid}." + repl.format(suf=r2.group(1)),
+                             data)
+                        break
+            elif mm:
+                d = data[..., None] if mm.group(2) == "bias" else data
+                emit(f"a.conv1d.{mm.group(1)}.{mm.group(2)}", d,
+                     force_f16=mm.group(2) == "weight")
+            elif name.endswith("audio_tower.ln_post.weight"):
+                emit("a.post_ln.weight", data)
+            elif name.endswith("audio_tower.ln_post.bias"):
+                emit("a.post_ln.bias", data)
+            elif re.search(r"audio_tower\.proj\.(weight|bias)$", name):
+                emit("mm.a.fc." + name.rsplit(".", 1)[1], data)
+            elif verbose:
+                print(f"skip {name}", file=sys.stderr)
+            continue
+        if not name.startswith("visual."):
+            continue
+        m = re.search(r"blocks\.(\d+)\.(.+)$", name)
+        if m:
+            bid, rest = m.group(1), m.group(2)
+            r2 = re.match(r"attn\.qkv\.(weight|bias)$", rest)
+            if r2:
+                suf = r2.group(1)
+                third = data.shape[0] // 3
+                emit(f"v.blk.{bid}.attn_q.{suf}", data[:third])
+                emit(f"v.blk.{bid}.attn_k.{suf}", data[third : 2 * third])
+                emit(f"v.blk.{bid}.attn_v.{suf}", data[2 * third :])
+                continue
+            for pat, repl in vis_blk:
+                r2 = re.search(pat, rest)
+                if r2:
+                    emit(f"v.blk.{bid}." + repl.format(suf=r2.group(1)), data)
+                    break
+            else:
+                if verbose:
+                    print(f"skip {name}", file=sys.stderr)
+        elif name.endswith("patch_embed.proj.weight"):
+            emit("v.patch_embd.weight", data[:, :, 0])
+            emit("v.patch_embd.weight.1", data[:, :, 1])
+        elif name.endswith("merger.ln_q.weight"):
+            emit("v.post_ln.weight", data)
+        elif name.endswith("merger.ln_q.bias"):
+            emit("v.post_ln.bias", data)
+        elif re.search(r"merger\.mlp\.(\d)\.(weight|bias)$", name):
+            r2 = re.search(r"merger\.mlp\.(\d)\.(weight|bias)$", name)
+            emit(f"mm.{r2.group(1)}.{r2.group(2)}", data)
         elif verbose:
             print(f"skip {name}", file=sys.stderr)
     w.write(outfile)
