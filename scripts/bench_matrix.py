@@ -392,8 +392,21 @@ def main():
             emit({"cell": name, "mode": "aot", "compile_s": round(time.time() - t0, 1),
                   "B": B, "depth": depth, "unroll": unroll})
             return
-        toks, kv_k, kv_v, params = fn(
-            params, kv_k, kv_v, first, npast, n_steps)
+        if os.environ.get("BENCH_XLA_OPTS"):
+            # per-compile proto-backed XLA options ("k=v;k=v"), e.g.
+            # xla_tpu_memory_bound_loop_optimizer_options=enabled:false —
+            # that optimizer's compressed-remat copies of the vocab-sized
+            # tensors cost ~1.4 GiB of HLO temps at gpt-oss batch32 and
+            # are pure overhead when the argument space is the constraint
+            opts = dict(kv.split("=", 1) for kv in
+                        os.environ["BENCH_XLA_OPTS"].split(";") if kv)
+            compiled = fn.lower(params, kv_k, kv_v, first, npast,
+                                n_steps).compile(compiler_options=opts)
+            fn = lambda *a, **kw: compiled(*a[:5])  # n_steps baked in
+            toks, kv_k, kv_v, params = fn(params, kv_k, kv_v, first, npast)
+        else:
+            toks, kv_k, kv_v, params = fn(
+                params, kv_k, kv_v, first, npast, n_steps)
         np.asarray(toks)
         compile_s = time.time() - t0
         best = float("inf")

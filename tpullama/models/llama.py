@@ -23,6 +23,16 @@ from ..ops.rope import RopeParams, apply_rope, rope_cache
 from .hparams import HParams
 
 
+# keys whose presence disqualifies the fused post-attention megakernel
+# (each one is an extra op the fused kernel does not model)
+_FUSED_EXCLUDE = (
+    "attn_gate", "attn_sub_norm", "attn_output_scale", "attn_output_bias",
+    "post_attn_norm", "attn_norm_2", "ffn_norm_bias", "post_ffn_norm",
+    "ffn_up_bias", "ffn_down_bias", "ffn_up_scale", "ffn_down_scale",
+    "ffn_sub_norm", "_cvec", "_deepstack", "_xielu",
+)
+
+
 def _linear(x, w, meta=None):
     """x: (..., n_in) @ w: (n_out, n_in) -> (..., n_out); weights keep the
     GGUF row-major (n_out, n_in) layout so quantized blocks stay contiguous
@@ -645,206 +655,240 @@ def llama_forward(
             # bitnet: RMS norm on the attention output BEFORE the
             # o-projection (models/bitnet.cpp:88-92)
             att = rms_norm(att, w["attn_sub_norm"], hp.f_norm_rms_eps)
-        att_in = att
-        att = _tp_reduce(_linear(att, w["attn_output"], lmeta.get("attn_output")))
-        if "attn_output_scale" in w:
-            att = att * w["attn_output_scale"]
-        if "attn_output_bias" in w:
-            att = att + w["attn_output_bias"]
-        if "post_attn_norm" in w:
-            att = rms_norm(att, w["post_attn_norm"], hp.f_norm_rms_eps)
-        if hp.f_residual_scale:
-            att = att * hp.f_residual_scale
-        if hp.parallel_residual:
-            # falcon/phi2/command-r: FFN reads the attn-norm output; both
-            # deltas sum onto x. gptneox par-res has its own ffn_norm on
-            # the layer input; old falcon-40b uses a second attn norm.
-            if "ffn_norm" in w:
-                h = norm_fn(x, w["ffn_norm"], w.get("ffn_norm_bias"))
-            elif "attn_norm_2" in w:
-                h = norm_fn(x, w["attn_norm_2"], w.get("attn_norm_2_bias"))
-            else:
-                h = h_attn
-        else:
-            x = x + att
-            if hp.pre_norm:
-                h = norm_fn(x, w.get("ffn_norm"), w.get("ffn_norm_bias"))
-            elif hp.swin_norm:
-                # chameleon swin: the FFN reads the post-normed ATTENTION
-                # OUTPUT, not the residual sum — `cur` is never reassigned
-                # to ffn_inp in the swin path (models/chameleon.cpp:114-127)
-                h = att
-            else:
-                h = x
-        act_saved = None
-        if "ffn_gate_inp" in w:
-            # MoE branch (src/models/llama.cpp:110-128: SILU, norm_w=true,
-            # softmax gating)
-            from ..ops.moe import moe_ffn
+        fused_done = False
+        import os as _os
 
-            moe_h = h
-            if "ffn_norm_exps" in w:
-                # arctic: the MoE branch reads the LAYER INPUT normed by its
-                # own ffn_norm_exps, parallel to the dense FFN over ffn_inp
-                # (models/arctic.cpp:96-110)
-                moe_h = rms_norm(x_in, w["ffn_norm_exps"], hp.f_norm_rms_eps)
-            down = moe_ffn(
-                moe_h,
-                w["ffn_gate_inp"],
-                None if "ffn_gateup_exps" in w else w.get("ffn_gate_exps"),
-                w.get("ffn_gateup_exps", w.get("ffn_up_exps")),
-                w["ffn_down_exps"],
-                n_expert_used=hp.n_expert_used,
-                norm_w=hp.moe_norm_topk,
-                w_scale=hp.expert_weights_scale,
-                gating=hp.expert_gating_func,
-                act=hp.moe_act,
-                exp_probs_b=w.get("exp_probs_b"),
-                gate_inp_b=w.get("ffn_gate_inp_b"),
-                up_exps_b=w.get("ffn_up_exps_b"),
-                gate_exps_b=w.get("ffn_gate_exps_b"),
-                down_exps_b=w.get("ffn_down_exps_b"),
-                select_logits=hp.moe_select_logits,
-                weight_before_ffn=hp.moe_weight_before_ffn,
-                x_router=x_in if hp.moe_router_raw_input else None,
-                select_sigmoid=hp.moe_select_sigmoid,
-                n_expert_groups=hp.n_expert_groups,
-                n_group_used=hp.n_group_used,
-                ep_axis=tp_axis,
-                quant_meta_exps=(
-                    {"gateup": lmeta["ffn_gateup_exps"],
-                     "down": lmeta["ffn_down_exps"]}
-                    if "ffn_gateup_exps" in lmeta else
-                    {"gate": lmeta.get("ffn_gate_exps"),
-                     "up": lmeta["ffn_up_exps"],
-                     "down": lmeta["ffn_down_exps"]}
-                    if "ffn_up_exps" in lmeta else None
-                ),
-            )
-            if "ffn_up_chexps" in w:
-                # grovemoe adjustment experts: second MoE over the first
-                # pass's OUTPUT, sharing the router (same logits from h),
-                # ids divided into chunks, scaled add
-                # (models/grovemoe.cpp:100-116)
-                n_chunk = hp.n_expert // max(hp.n_group_experts, 1)
-                chunk = moe_ffn(
-                    down,
+        if (T == 1 and tp_axis is None and hp.pre_norm
+                and not hp.parallel_residual and hp.ffn_fused_up
+                and hp.norm_type != "layer" and not hp.swin_norm
+                and not hp.f_residual_scale and not collect_imatrix
+                and "ffn_gate_inp" not in w and "ffn_norm" in w
+                and not any(k in w for k in _FUSED_EXCLUDE)
+                and _os.environ.get("TPULLAMA_FUSED_LAYER", "1") != "0"
+                and (jax.default_backend() == "tpu"
+                     # CPU keeps the exact-mode qmm path (token-exact
+                     # oracle tests); "force" runs the fused kernel in
+                     # interpret mode for its own unit tests
+                     or _os.environ.get("TPULLAMA_FUSED_LAYER") == "force")):
+            # fused post-attention megakernel: attn_output + rms_norm +
+            # [gate|up] + swiglu + down + both residuals in ONE pallas
+            # grid — a serialized kernel chain exposes each kernel's
+            # DMA-pipeline fill (~9% of the matvec stream, see
+            # ops/pallas/fused_layer.py)
+            from ..ops.pallas.fused_layer import fused_ok, fused_postattn
+
+            if fused_ok(hp, w, lmeta):
+                o_f, _lidx = w["attn_output"]
+                y = fused_postattn(
+                    att.reshape(1, -1), x.reshape(1, -1), o_f,
+                    w["ffn_norm"], w["ffn_up"][0], w["ffn_down"][0],
+                    group=lmeta["attn_output"].group,
+                    eps=hp.f_norm_rms_eps, layer=_lidx,
+                    interpret=jax.default_backend() == "cpu",
+                )
+                x = y.reshape(B, T, -1).astype(x.dtype)
+                fused_done = True
+        if not fused_done:
+            att_in = att
+            att = _tp_reduce(_linear(att, w["attn_output"], lmeta.get("attn_output")))
+            if "attn_output_scale" in w:
+                att = att * w["attn_output_scale"]
+            if "attn_output_bias" in w:
+                att = att + w["attn_output_bias"]
+            if "post_attn_norm" in w:
+                att = rms_norm(att, w["post_attn_norm"], hp.f_norm_rms_eps)
+            if hp.f_residual_scale:
+                att = att * hp.f_residual_scale
+            if hp.parallel_residual:
+                # falcon/phi2/command-r: FFN reads the attn-norm output; both
+                # deltas sum onto x. gptneox par-res has its own ffn_norm on
+                # the layer input; old falcon-40b uses a second attn norm.
+                if "ffn_norm" in w:
+                    h = norm_fn(x, w["ffn_norm"], w.get("ffn_norm_bias"))
+                elif "attn_norm_2" in w:
+                    h = norm_fn(x, w["attn_norm_2"], w.get("attn_norm_2_bias"))
+                else:
+                    h = h_attn
+            else:
+                x = x + att
+                if hp.pre_norm:
+                    h = norm_fn(x, w.get("ffn_norm"), w.get("ffn_norm_bias"))
+                elif hp.swin_norm:
+                    # chameleon swin: the FFN reads the post-normed ATTENTION
+                    # OUTPUT, not the residual sum — `cur` is never reassigned
+                    # to ffn_inp in the swin path (models/chameleon.cpp:114-127)
+                    h = att
+                else:
+                    h = x
+            act_saved = None
+            if "ffn_gate_inp" in w:
+                # MoE branch (src/models/llama.cpp:110-128: SILU, norm_w=true,
+                # softmax gating)
+                from ..ops.moe import moe_ffn
+
+                moe_h = h
+                if "ffn_norm_exps" in w:
+                    # arctic: the MoE branch reads the LAYER INPUT normed by its
+                    # own ffn_norm_exps, parallel to the dense FFN over ffn_inp
+                    # (models/arctic.cpp:96-110)
+                    moe_h = rms_norm(x_in, w["ffn_norm_exps"], hp.f_norm_rms_eps)
+                down = moe_ffn(
+                    moe_h,
                     w["ffn_gate_inp"],
-                    w.get("ffn_gate_chexps"),
-                    w["ffn_up_chexps"],
-                    w["ffn_down_chexps"],
-                    n_expert_used=min(hp.n_expert_used, n_chunk),
+                    None if "ffn_gateup_exps" in w else w.get("ffn_gate_exps"),
+                    w.get("ffn_gateup_exps", w.get("ffn_up_exps")),
+                    w["ffn_down_exps"],
+                    n_expert_used=hp.n_expert_used,
                     norm_w=hp.moe_norm_topk,
-                    w_scale=0.0,
+                    w_scale=hp.expert_weights_scale,
                     gating=hp.expert_gating_func,
                     act=hp.moe_act,
-                    select_sigmoid=True,
-                    expert_div=hp.n_group_experts,
-                    x_router=h,
+                    exp_probs_b=w.get("exp_probs_b"),
+                    gate_inp_b=w.get("ffn_gate_inp_b"),
+                    up_exps_b=w.get("ffn_up_exps_b"),
+                    gate_exps_b=w.get("ffn_gate_exps_b"),
+                    down_exps_b=w.get("ffn_down_exps_b"),
+                    select_logits=hp.moe_select_logits,
+                    weight_before_ffn=hp.moe_weight_before_ffn,
+                    x_router=x_in if hp.moe_router_raw_input else None,
+                    select_sigmoid=hp.moe_select_sigmoid,
+                    n_expert_groups=hp.n_expert_groups,
+                    n_group_used=hp.n_group_used,
                     ep_axis=tp_axis,
                     quant_meta_exps=(
-                        {"gate": lmeta.get("ffn_gate_chexps"),
-                         "up": lmeta["ffn_up_chexps"],
-                         "down": lmeta["ffn_down_chexps"]}
-                        if "ffn_up_chexps" in lmeta else None
+                        {"gateup": lmeta["ffn_gateup_exps"],
+                         "down": lmeta["ffn_down_exps"]}
+                        if "ffn_gateup_exps" in lmeta else
+                        {"gate": lmeta.get("ffn_gate_exps"),
+                         "up": lmeta["ffn_up_exps"],
+                         "down": lmeta["ffn_down_exps"]}
+                        if "ffn_up_exps" in lmeta else None
                     ),
                 )
-                down = down + chunk * hp.expert_group_scale
-            if "ffn_gate_shexp" in w:
-                # shared expert; qwen2moe gates it with its own sigmoid
-                # router (llm_build_qwen2moe:104-119)
-                gate = _linear(h, w["ffn_gate_shexp"], lmeta.get("ffn_gate_shexp"))
-                up = _linear(h, w["ffn_up_shexp"], lmeta.get("ffn_up_shexp"))
+                if "ffn_up_chexps" in w:
+                    # grovemoe adjustment experts: second MoE over the first
+                    # pass's OUTPUT, sharing the router (same logits from h),
+                    # ids divided into chunks, scaled add
+                    # (models/grovemoe.cpp:100-116)
+                    n_chunk = hp.n_expert // max(hp.n_group_experts, 1)
+                    chunk = moe_ffn(
+                        down,
+                        w["ffn_gate_inp"],
+                        w.get("ffn_gate_chexps"),
+                        w["ffn_up_chexps"],
+                        w["ffn_down_chexps"],
+                        n_expert_used=min(hp.n_expert_used, n_chunk),
+                        norm_w=hp.moe_norm_topk,
+                        w_scale=0.0,
+                        gating=hp.expert_gating_func,
+                        act=hp.moe_act,
+                        select_sigmoid=True,
+                        expert_div=hp.n_group_experts,
+                        x_router=h,
+                        ep_axis=tp_axis,
+                        quant_meta_exps=(
+                            {"gate": lmeta.get("ffn_gate_chexps"),
+                             "up": lmeta["ffn_up_chexps"],
+                             "down": lmeta["ffn_down_chexps"]}
+                            if "ffn_up_chexps" in lmeta else None
+                        ),
+                    )
+                    down = down + chunk * hp.expert_group_scale
+                if "ffn_gate_shexp" in w:
+                    # shared expert; qwen2moe gates it with its own sigmoid
+                    # router (llm_build_qwen2moe:104-119)
+                    gate = _linear(h, w["ffn_gate_shexp"], lmeta.get("ffn_gate_shexp"))
+                    up = _linear(h, w["ffn_up_shexp"], lmeta.get("ffn_up_shexp"))
+                    act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
+                    shexp = _linear(act, w["ffn_down_shexp"], lmeta.get("ffn_down_shexp"))
+                    if "ffn_gate_inp_shexp" in w:
+                        g = _linear(h, w["ffn_gate_inp_shexp"]).astype(jnp.float32)
+                        shexp = shexp * jax.nn.sigmoid(g).astype(shexp.dtype)
+                    down = down + shexp
+                if "ffn_gate" in w:  # parallel dense FFN alongside experts (grok)
+                    gate = _linear(h, w["ffn_gate"], lmeta.get("ffn_gate"))
+                    up = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
+                    gf = gate.astype(jnp.float32)
+                    act = (
+                        jax.nn.gelu(gf, approximate=True) if hp.act == "gelu" else jax.nn.silu(gf)
+                    ).astype(gate.dtype) * up
+                    down = down + _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
+                    if hp.moe_dense_scale != 1.0:
+                        # grok: (moe_out + ffn_out) * sqrt(2)/2 (models/grok.cpp:118)
+                        down = down * hp.moe_dense_scale
+                # one combine for the whole MoE block: EP expert partials,
+                # row-TP shexp partial, and the grok dense partial are all
+                # linear in the psum
+                down = _tp_reduce(down)
+            elif hp.ffn_fused_up:
+                # fused gate+up (phi3: LLM_FFN_SWIGLU on a 2*n_ff projection;
+                # ggml_swiglu: first half activated, second half linear)
+                up2 = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
+                n_ff = up2.shape[-1] // 2
+                gate, up = up2[..., :n_ff], up2[..., n_ff:]
                 act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
-                shexp = _linear(act, w["ffn_down_shexp"], lmeta.get("ffn_down_shexp"))
-                if "ffn_gate_inp_shexp" in w:
-                    g = _linear(h, w["ffn_gate_inp_shexp"]).astype(jnp.float32)
-                    shexp = shexp * jax.nn.sigmoid(g).astype(shexp.dtype)
-                down = down + shexp
-            if "ffn_gate" in w:  # parallel dense FFN alongside experts (grok)
-                gate = _linear(h, w["ffn_gate"], lmeta.get("ffn_gate"))
+                act_saved = act
+                down = _tp_reduce(_linear(act, w["ffn_down"], lmeta.get("ffn_down")))
+            elif not hp.ffn_gated:
+                # plain up -> act -> down with biases (starcoder2/gpt2 family,
+                # LLM_FFN_GELU + LLM_FFN_SEQ)
                 up = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
+                if "ffn_up_bias" in w:
+                    up = up + w["ffn_up_bias"]
+                if hp.act == "gelu":
+                    act = jax.nn.gelu(up.astype(jnp.float32), approximate=True).astype(up.dtype)
+                elif hp.act == "relu_sqr":
+                    # LLM_FFN_RELU_SQR (nemotron/arcee): relu(x)^2
+                    act = (jnp.maximum(up.astype(jnp.float32), 0) ** 2).astype(up.dtype)
+                elif hp.act == "xielu":
+                    # apertus xIELU (ggml-cpu/unary-ops.cpp op_xielu): x>0 ->
+                    # a_p*x^2 + b*x; else (expm1(min(x,eps)) - x)*a_n + b*x
+                    a_n, a_p, b_, e_ = (w["_xielu"][i] for i in range(4))
+                    uf = up.astype(jnp.float32)
+                    act = jnp.where(
+                        uf > 0,
+                        a_p * uf * uf + b_ * uf,
+                        (jnp.expm1(jnp.minimum(uf, e_)) - uf) * a_n + b_ * uf,
+                    ).astype(up.dtype)
+                else:
+                    act = jax.nn.silu(up.astype(jnp.float32)).astype(up.dtype)
+                act_saved = act
+                down = _tp_reduce(_linear(act, w["ffn_down"], lmeta.get("ffn_down")))
+                if "ffn_down_bias" in w:
+                    down = down + w["ffn_down_bias"]
+            else:
+                gate = _linear(h, w["ffn_gate"], lmeta.get("ffn_gate"))
+                if "ffn_gate_scale" in w:  # bitnet scalar scales
+                    gate = gate * w["ffn_gate_scale"]
+                if "ffn_gate_bias" in w:
+                    gate = gate + w["ffn_gate_bias"]
+                up = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
+                if "ffn_up_scale" in w:
+                    up = up * w["ffn_up_scale"]
+                if "ffn_up_bias" in w:
+                    up = up + w["ffn_up_bias"]
                 gf = gate.astype(jnp.float32)
-                act = (
-                    jax.nn.gelu(gf, approximate=True) if hp.act == "gelu" else jax.nn.silu(gf)
-                ).astype(gate.dtype) * up
-                down = down + _linear(act, w["ffn_down"], lmeta.get("ffn_down"))
-                if hp.moe_dense_scale != 1.0:
-                    # grok: (moe_out + ffn_out) * sqrt(2)/2 (models/grok.cpp:118)
-                    down = down * hp.moe_dense_scale
-            # one combine for the whole MoE block: EP expert partials,
-            # row-TP shexp partial, and the grok dense partial are all
-            # linear in the psum
-            down = _tp_reduce(down)
-        elif hp.ffn_fused_up:
-            # fused gate+up (phi3: LLM_FFN_SWIGLU on a 2*n_ff projection;
-            # ggml_swiglu: first half activated, second half linear)
-            up2 = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
-            n_ff = up2.shape[-1] // 2
-            gate, up = up2[..., :n_ff], up2[..., n_ff:]
-            act = jax.nn.silu(gate.astype(jnp.float32)).astype(gate.dtype) * up
-            act_saved = act
-            down = _tp_reduce(_linear(act, w["ffn_down"], lmeta.get("ffn_down")))
-        elif not hp.ffn_gated:
-            # plain up -> act -> down with biases (starcoder2/gpt2 family,
-            # LLM_FFN_GELU + LLM_FFN_SEQ)
-            up = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
-            if "ffn_up_bias" in w:
-                up = up + w["ffn_up_bias"]
-            if hp.act == "gelu":
-                act = jax.nn.gelu(up.astype(jnp.float32), approximate=True).astype(up.dtype)
-            elif hp.act == "relu_sqr":
-                # LLM_FFN_RELU_SQR (nemotron/arcee): relu(x)^2
-                act = (jnp.maximum(up.astype(jnp.float32), 0) ** 2).astype(up.dtype)
-            elif hp.act == "xielu":
-                # apertus xIELU (ggml-cpu/unary-ops.cpp op_xielu): x>0 ->
-                # a_p*x^2 + b*x; else (expm1(min(x,eps)) - x)*a_n + b*x
-                a_n, a_p, b_, e_ = (w["_xielu"][i] for i in range(4))
-                uf = up.astype(jnp.float32)
-                act = jnp.where(
-                    uf > 0,
-                    a_p * uf * uf + b_ * uf,
-                    (jnp.expm1(jnp.minimum(uf, e_)) - uf) * a_n + b_ * uf,
-                ).astype(up.dtype)
+                if hp.act == "gelu":
+                    act = jax.nn.gelu(gf, approximate=True).astype(gate.dtype) * up
+                else:
+                    act = jax.nn.silu(gf).astype(gate.dtype) * up
+                if "ffn_sub_norm" in w:
+                    # bitnet: RMS norm between the GLU and the down-projection
+                    act = rms_norm(act, w["ffn_sub_norm"], hp.f_norm_rms_eps)
+                act_saved = act
+                down = _tp_reduce(_linear(act, w["ffn_down"], lmeta.get("ffn_down")))
+                if "ffn_down_scale" in w:
+                    down = down * w["ffn_down_scale"]
+                if "ffn_down_bias" in w:
+                    down = down + w["ffn_down_bias"]
+            if "post_ffn_norm" in w:
+                down = rms_norm(down, w["post_ffn_norm"], hp.f_norm_rms_eps)
+            if hp.f_residual_scale:
+                down = down * hp.f_residual_scale
+            if hp.parallel_residual:
+                x = x + att + down
             else:
-                act = jax.nn.silu(up.astype(jnp.float32)).astype(up.dtype)
-            act_saved = act
-            down = _tp_reduce(_linear(act, w["ffn_down"], lmeta.get("ffn_down")))
-            if "ffn_down_bias" in w:
-                down = down + w["ffn_down_bias"]
-        else:
-            gate = _linear(h, w["ffn_gate"], lmeta.get("ffn_gate"))
-            if "ffn_gate_scale" in w:  # bitnet scalar scales
-                gate = gate * w["ffn_gate_scale"]
-            if "ffn_gate_bias" in w:
-                gate = gate + w["ffn_gate_bias"]
-            up = _linear(h, w["ffn_up"], lmeta.get("ffn_up"))
-            if "ffn_up_scale" in w:
-                up = up * w["ffn_up_scale"]
-            if "ffn_up_bias" in w:
-                up = up + w["ffn_up_bias"]
-            gf = gate.astype(jnp.float32)
-            if hp.act == "gelu":
-                act = jax.nn.gelu(gf, approximate=True).astype(gate.dtype) * up
-            else:
-                act = jax.nn.silu(gf).astype(gate.dtype) * up
-            if "ffn_sub_norm" in w:
-                # bitnet: RMS norm between the GLU and the down-projection
-                act = rms_norm(act, w["ffn_sub_norm"], hp.f_norm_rms_eps)
-            act_saved = act
-            down = _tp_reduce(_linear(act, w["ffn_down"], lmeta.get("ffn_down")))
-            if "ffn_down_scale" in w:
-                down = down * w["ffn_down_scale"]
-            if "ffn_down_bias" in w:
-                down = down + w["ffn_down_bias"]
-        if "post_ffn_norm" in w:
-            down = rms_norm(down, w["post_ffn_norm"], hp.f_norm_rms_eps)
-        if hp.f_residual_scale:
-            down = down * hp.f_residual_scale
-        if hp.parallel_residual:
-            x = x + att + down
-        else:
-            x = x + down
+                x = x + down
         if "_cvec" in w:
             # control-vector adapter (llama_adapter_cvec::apply_to)
             x = x + w["_cvec"]
