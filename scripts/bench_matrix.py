@@ -460,6 +460,11 @@ def main():
         model = LoadedModel(hparams=hp, params=params, reader=None,
                             vocab=_V(), quant_meta=quant_meta)
         os.environ["TPULLAMA_SCAN_UNROLL"] = str(args.unroll)
+        if os.environ.get("BENCH_XLA_OPTS"):
+            # same per-compile proto options as the raw decode cells
+            # (Context reads TPULLAMA_XLA_OPTS at construction)
+            os.environ.setdefault("TPULLAMA_XLA_OPTS",
+                                  os.environ["BENCH_XLA_OPTS"])
         engine = ServerEngine(model, n_slots=B, n_ctx=pp + tg + 136,
                               dtype=jnp.bfloat16)
         rng = np.random.default_rng(0)

@@ -664,7 +664,12 @@ def llama_forward(
                 and not hp.f_residual_scale and not collect_imatrix
                 and "ffn_gate_inp" not in w and "ffn_norm" in w
                 and not any(k in w for k in _FUSED_EXCLUDE)
-                and _os.environ.get("TPULLAMA_FUSED_LAYER", "1") != "0"
+                # default OFF: the in-kernel group permute/group-sum
+                # reshapes ((1,K)->(K/g,g)) are rejected by the current
+                # Mosaic compiler ("infer-vector-layout: unsupported
+                # shape cast") — opt in with TPULLAMA_FUSED_LAYER=1
+                # once the lane-shuffle-free variant lands
+                and _os.environ.get("TPULLAMA_FUSED_LAYER", "0") not in ("0", "")
                 and (jax.default_backend() == "tpu"
                      # CPU keeps the exact-mode qmm path (token-exact
                      # oracle tests); "force" runs the fused kernel in

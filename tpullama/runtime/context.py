@@ -22,6 +22,7 @@ jit — no host round-trip in the decode loop.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -287,21 +288,35 @@ class Context:
         # donate the cache args (positions 1, 2): every step rebinds the
         # returned cache, and without donation the scan-carry init copies
         # the whole multi-GB cache each call
-        self._seq_fn = jax.jit(self._step_seq, static_argnames=("n_logits",),
-                               donate_argnums=(1, 2))
-        self._seq_embd_fn = jax.jit(
+        # TPULLAMA_XLA_OPTS="k=v;k=v" forwards proto-backed XLA options
+        # to every context program (the serving-path analog of the bench
+        # driver's BENCH_XLA_OPTS). In particular
+        # xla_tpu_memory_bound_loop_optimizer_options=enabled:false
+        # disables the loop memory optimizer whose compressed-remat
+        # copies of the multi-GiB KV carry blow the HLO-temp budget at
+        # large batch (the gpt-oss batch32 / engine32 OOM class).
+        xopts = os.environ.get("TPULLAMA_XLA_OPTS", "")
+        copts = (dict(kv.split("=", 1) for kv in xopts.split(";") if kv)
+                 or None)
+
+        def _jit(fn, **kw):
+            return jax.jit(fn, compiler_options=copts, **kw)
+
+        self._seq_fn = _jit(self._step_seq, static_argnames=("n_logits",),
+                            donate_argnums=(1, 2))
+        self._seq_embd_fn = _jit(
             self._step_seq_embd, static_argnames=("n_logits", "causal"),
             donate_argnums=(1, 2),
         )
-        self._all_fn = jax.jit(self._step_all, donate_argnums=(1, 2))
-        self._multi_fn = jax.jit(self._step_multi, donate_argnums=(1, 2))
-        self._burst_fn = jax.jit(self._burst, static_argnames=("n_steps",),
-                                 donate_argnums=(1, 2))
-        self._batch_burst_fn = jax.jit(
+        self._all_fn = _jit(self._step_all, donate_argnums=(1, 2))
+        self._multi_fn = _jit(self._step_multi, donate_argnums=(1, 2))
+        self._burst_fn = _jit(self._burst, static_argnames=("n_steps",),
+                              donate_argnums=(1, 2))
+        self._batch_burst_fn = _jit(
             self._batch_burst, static_argnames=("n_steps",),
             donate_argnums=(1, 2),
         )
-        self._burst_sampled_fn = jax.jit(
+        self._burst_sampled_fn = _jit(
             self._burst_sampled, static_argnames=("n_steps", "spec"),
             donate_argnums=(1, 2),
         )
