@@ -102,8 +102,17 @@ def build_params(hp, dtype, seed=0, quant=None, abstract=False):
                     * scale, dtype=jnp.bfloat16
                 )
         if meta_slot is not None:
+            # fourblock stored order for the fused-megakernel names when
+            # the megakernel is enabled (random synthetic planes: only
+            # the meta tag matters for the bench; real models convert in
+            # the loader via qweights.to_fourblock)
+            order = "stripe"
+            if (os.environ.get("TPULLAMA_FUSED_LAYER", "0") not in ("0", "")
+                    and meta_key in ("attn_output", "ffn_up", "ffn_down")
+                    and not transpose and qt == "Q4_K"):
+                order = "fourblock"
             meta_slot[meta_key] = QuantMeta(t, group, N, K,
-                                            planes_t=transpose)
+                                            planes_t=transpose, order=order)
         return fields
 
     L, E, F = hp.n_layer, hp.n_embd, hp.n_ff

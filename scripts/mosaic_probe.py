@@ -23,6 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 K = 4096
 G = 32
+INTERPRET = os.environ.get("PROBE_INTERPRET", "0") == "1"
 
 
 def run(name, kernel, in_shapes, out_shape, check=None):
@@ -32,6 +33,7 @@ def run(name, kernel, in_shapes, out_shape, check=None):
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            interpret=INTERPRET,
         )(*args)
         out = jax.block_until_ready(out)
         status = "OK"
@@ -119,3 +121,60 @@ run("fourblock_T", four_block, [(1, K)], (32, 128),
     check=lambda x, o: np.allclose(
         o, np.concatenate([x.reshape(32, 128)[:, 32 * m:32 * (m + 1)].T
                            for m in range(4)], axis=1)))
+
+# 13. nonsquare transpose (112, 32) -> (32, 112) (the Fd=14336 case)
+run("transpose_112x32", lambda x, o: o.__setitem__((...,), x[...].T),
+    [(112, 32)], (32, 112),
+    check=lambda x, o: np.allclose(o, x.T))
+
+# 14. full fourblock permute + flatten for K=4096 (the E-case chain)
+def four_flat(x, o):
+    y = x[...].reshape(32, 128)
+    parts = [y[:, 32 * m:32 * (m + 1)].T for m in range(4)]
+    o[...] = jnp.concatenate(parts, axis=1).reshape(1, K)
+def four_flat_np(x):
+    y = x.reshape(32, 128)
+    return np.concatenate([y[:, 32 * m:32 * (m + 1)].T for m in range(4)],
+                          axis=1).reshape(1, K)
+run("fourblock_flat_4096", four_flat, [(1, K)], (1, K),
+    check=lambda x, o: np.allclose(o, four_flat_np(x)))
+
+# 15. full fourblock chain for K=14336 (collapse minor 448)
+K2 = 14336
+def four_flat2(x, o):
+    y = x[...].reshape(K2 // 128, 128)
+    parts = [y[:, 32 * m:32 * (m + 1)].T for m in range(4)]
+    o[...] = jnp.concatenate(parts, axis=1).reshape(1, K2)
+def four_flat2_np(x):
+    y = x.reshape(K2 // 128, 128)
+    return np.concatenate([y[:, 32 * m:32 * (m + 1)].T for m in range(4)],
+                          axis=1).reshape(1, K2)
+run("fourblock_flat_14336", four_flat2, [(1, K2)], (1, K2),
+    check=lambda x, o: np.allclose(o, four_flat2_np(x)))
+
+# 16. column-sum of the fourblock view (group sums): (32,448)->(1,448)
+def colsum(x, o):
+    y = x[...].reshape(K2 // 128, 128)
+    parts = [y[:, 32 * m:32 * (m + 1)].T for m in range(4)]
+    o[...] = jnp.sum(jnp.concatenate(parts, axis=1), axis=0, keepdims=True)
+run("fourblock_colsum_448", colsum, [(1, K2)], (1, K2 // 32),
+    check=lambda x, o: np.allclose(
+        o, np.concatenate(
+            [x.reshape(K2 // 128, 128)[:, 32 * m:32 * (m + 1)].T
+             for m in range(4)], axis=1).sum(0, keepdims=True), rtol=1e-5,
+        atol=1e-4))
+
+# 17. 32 accumulated row-dots (flatten-free fallback):
+#     acc[n] = sum_a dot(XP[a], V[:, a, :])
+def rowdots(x, w, o):
+    acc = jnp.zeros((1, 256), jnp.float32)
+    xp = x[...]
+    for a in range(8):  # 8 rows is enough to prove lowering
+        acc = acc + jax.lax.dot_general(
+            xp[a:a + 1, :], w[...][:, a, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o[...] = acc
+run("rowdots_8", rowdots, [(32, 128), (256, 32, 128)], (1, 256),
+    check=lambda x, w, o: np.allclose(
+        o, np.einsum("aq,naq->n", x[:8], w[:, :8, :]).reshape(1, 256),
+        rtol=3e-5, atol=3e-3))

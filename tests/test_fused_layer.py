@@ -29,6 +29,10 @@ def test_fused_matches_unfused(monkeypatch):
 
     from tpullama.models.llama import llama_forward
 
+    # build with the megakernel enabled so the synthetic planes are
+    # TAGGED fourblock (bench.qmat); both the unfused qmm path and the
+    # fused kernel then interpret the same random bytes consistently
+    monkeypatch.setenv("TPULLAMA_FUSED_LAYER", "force")
     hp, params, qm = _build()
     B, S = 1, 128
     kv = lambda D: jnp.zeros((hp.n_layer, B, hp.n_head_kv, S, D), jnp.float32)
@@ -64,6 +68,7 @@ def test_fused_kernel_unit(monkeypatch):
     from tpullama.gguf.quants import dequantize
     from tpullama.ops.pallas.fused_layer import fused_postattn
 
+    monkeypatch.setenv("TPULLAMA_FUSED_LAYER", "force")
     hp, params, qm = _build()
     E = hp.n_embd
     rng = np.random.default_rng(3)
@@ -81,7 +86,8 @@ def test_fused_kernel_unit(monkeypatch):
         from tpullama.ops.qweights import PlanarQuant, dequant_planar_np
 
         return dequant_planar_np(
-            PlanarQuant(m.ggml_type, (m.n_out, m.n_in), fields, m.group))
+            PlanarQuant(m.ggml_type, (m.n_out, m.n_in), fields, m.group,
+                        order=m.order))
 
     wo = dense("attn_output")
     wgu = dense("ffn_up")
@@ -95,11 +101,51 @@ def test_fused_kernel_unit(monkeypatch):
     act = gate / (1 + np.exp(-gate)) * up
     want = r1 + act @ wd.T
 
-    got = np.asarray(fused_postattn(
+    o_f = params["layers"]["attn_output"]
+    if isinstance(o_f, tuple):
+        o_f = o_f[0]
+    gu_f = params["layers"]["ffn_up"]
+    if isinstance(gu_f, tuple):
+        gu_f = gu_f[0]
+    got_act, got_r1 = fused_postattn(
         jnp.asarray(att), jnp.asarray(x),
-        params["layers"]["attn_output"], params["layers"]["ffn_norm"][L],
-        params["layers"]["ffn_up"], params["layers"]["ffn_down"],
+        o_f, params["layers"]["ffn_norm"][L], gu_f,
         group=lmeta["attn_output"].group, eps=hp.f_norm_rms_eps,
         layer=L, interpret=True,
-    ))
+    )
+    np.testing.assert_allclose(np.asarray(got_r1), r1, rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(got_act), act, rtol=3e-2,
+                               atol=3e-2)
+    got = np.asarray(got_r1) + np.asarray(got_act) @ wd.T
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_fourblock_roundtrip_and_qmm():
+    """to_fourblock preserves dequantized values exactly, and the qmm
+    fourblock path matches the stripe path on real Q4_K data."""
+    import jax.numpy as jnp
+
+    from tpullama.gguf.constants import GGMLType
+    from tpullama.gguf.quants import quantize
+    from tpullama.ops.pallas.qmm import quantized_matmul
+    from tpullama.ops.qweights import (
+        dequant_planar_np, repack, to_fourblock)
+
+    rng = np.random.default_rng(0)
+    N, K = 64, 512
+    w = rng.standard_normal((N, K)).astype(np.float32)
+    raw = quantize(w, GGMLType.Q4_K)
+    pq = repack(raw, GGMLType.Q4_K, (N, K))
+    fb = to_fourblock(pq)
+    assert fb.order == "fourblock"
+    np.testing.assert_array_equal(
+        dequant_planar_np(pq), dequant_planar_np(fb))
+
+    x = rng.standard_normal((3, K)).astype(np.float32)
+    ys = np.asarray(quantized_matmul(
+        jnp.asarray(x), {k: jnp.asarray(v) for k, v in pq.fields.items()},
+        GGMLType.Q4_K, pq.group, N, K, interpret=True))
+    yf = np.asarray(quantized_matmul(
+        jnp.asarray(x), {k: jnp.asarray(v) for k, v in fb.fields.items()},
+        GGMLType.Q4_K, fb.group, N, K, interpret=True, order="fourblock"))
+    np.testing.assert_allclose(yf, ys, rtol=1e-5, atol=1e-4)

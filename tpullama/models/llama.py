@@ -58,7 +58,7 @@ def _linear(x, w, meta=None):
         interpret = jax.default_backend() == "cpu"
         y = quantized_matmul(
             x2, w, meta.ggml_type, meta.group, meta.n_out, meta.n_in,
-            interpret=interpret, layer=layer,
+            interpret=interpret, layer=layer, order=meta.order,
         )
         return y.reshape(*lead, meta.n_out).astype(x.dtype)
     return jax.lax.dot_general(
@@ -684,13 +684,18 @@ def llama_forward(
 
             if fused_ok(hp, w, lmeta):
                 o_f, _lidx = w["attn_output"]
-                y = fused_postattn(
+                act, r1 = fused_postattn(
                     att.reshape(1, -1), x.reshape(1, -1), o_f,
-                    w["ffn_norm"], w["ffn_up"][0], w["ffn_down"][0],
+                    w["ffn_norm"], w["ffn_up"][0],
                     group=lmeta["attn_output"].group,
                     eps=hp.f_norm_rms_eps, layer=_lidx,
                     interpret=jax.default_backend() == "cpu",
                 )
+                # ffn_down through the regular qmm (its fourblock
+                # activation permute runs outside the kernel)
+                dn = _linear(act.reshape(1, 1, -1), w["ffn_down"],
+                             lmeta.get("ffn_down"))
+                y = r1.reshape(1, 1, -1) + dn.astype(jnp.float32)
                 x = y.reshape(B, T, -1).astype(x.dtype)
                 fused_done = True
         if not fused_done:

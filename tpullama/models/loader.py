@@ -258,6 +258,9 @@ class QuantMeta:
     # transposed planes (..., kcols, rows) for gathered expert stacks —
     # see ops.pallas.qmm.quantized_matmul_gathered planes_t
     planes_t: bool = False
+    # stored element order (qweights.PlanarQuant.order): "stripe" or
+    # "fourblock" (the fused-megakernel-compatible order)
+    order: str = "stripe"
 
 
 @dataclass
@@ -623,6 +626,20 @@ def load_model(
                     }
                 else:
                     planes_t = False
+                    if (os.environ.get("TPULLAMA_FUSED_LAYER", "0")
+                            not in ("0", "")
+                            and key in ("attn_output", "ffn_up", "ffn_down")
+                            and k_sh == 1
+                            and set(pqs[0].fields) == {"q4", "scale", "minv"}
+                            and pqs[0].shape[1] % 128 == 0
+                            and 128 % pqs[0].group == 0):
+                        # fused-megakernel layers: re-encode to the
+                        # fourblock stored order whose activation
+                        # permute is Mosaic-legal in-kernel
+                        # (qweights.to_fourblock; value-preserving)
+                        from ..ops.qweights import to_fourblock
+
+                        pqs = [to_fourblock(pq) for pq in pqs]
                     stacked[key] = {
                         fk: jnp.asarray(np.stack([pq.fields[fk] for pq in pqs]))
                         for fk in pqs[0].fields
@@ -630,6 +647,7 @@ def load_model(
                 layer_meta[key] = QuantMeta(
                     pqs[0].ggml_type, pqs[0].group, *pqs[0].shape,
                     k_shards=k_sh, planes_t=is_exps and planes_t,
+                    order=pqs[0].order,
                 )
             else:
                 mats = [fetch(t) for t in tnames]

@@ -142,7 +142,8 @@ def _kchunks_valid(nk: int, K: int, group: int, field_names) -> bool:
 def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group: int,
                      n_out: int, n_in: int, *, tile_n: int = 512, tile_t: int = 256,
                      interpret: bool = False, exact: bool | None = None,
-                     layer=None, tile_k_chunks: int | None = None) -> jnp.ndarray:
+                     layer=None, tile_k_chunks: int | None = None,
+                     order: str = "stripe") -> jnp.ndarray:
     """y = x @ W^T with W packed. x: (T, n_in). Returns (T, n_out) f32.
 
     Grid tiles T (activations) and N (output rows); each program streams a
@@ -233,15 +234,26 @@ def quantized_matmul(x: jnp.ndarray, pq_fields: dict, ggml_type: GGMLType, group
     grid = (Tp // tt, N // tn)
 
     x = x.astype(jnp.float32)
-    # permute x into the stored group-transposed element order (see
-    # qweights.group_permute) so in-kernel tile-repeated scales align
+    # permute x into the stored element order (qweights.group_permute /
+    # fourblock_permute) so in-kernel tile-repeated scales align
     xg = x.reshape(Tp, K // group, group)
     if not exact and has_minv:
         # group sums for the hoisted min term: y -= xgsum @ minv^T
+        # (column order must match the stored scale/min plane order)
         xgsum = jnp.sum(xg, axis=2)  # (Tp, K/group)
     else:
         xgsum = None
-    x = xg.swapaxes(1, 2).reshape(Tp, K)
+    if order == "fourblock":
+        from ..qweights import fourblock_scale_perm
+
+        R = K // 128
+        x = (x.reshape(Tp, R, 128 // group, group).transpose(0, 3, 2, 1)
+             .reshape(Tp, K))
+        if xgsum is not None:
+            xgsum = xgsum[:, fourblock_scale_perm(K, group)]
+        nk = 1  # K-chunk grids assume the stripe per-chunk invariant
+    else:
+        x = xg.swapaxes(1, 2).reshape(Tp, K)
 
     if nk > 1 and not exact and _kchunks_valid(nk, K, group, field_names):
         out = _qmm_ktiled(

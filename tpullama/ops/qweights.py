@@ -47,6 +47,11 @@ class PlanarQuant:
     shape: tuple[int, int]  # (n_out, n_in)
     fields: dict  # name -> array
     group: int  # elements per scale group (32 or 16)
+    # stored element order: "stripe" (group_permute — the canonical
+    # layout every kernel consumes) or "fourblock" (fourblock_permute —
+    # the megakernel-compatible order whose activation permutation is
+    # Mosaic-legal in-kernel; see to_fourblock)
+    order: str = "stripe"
 
     def nbytes(self) -> int:
         return sum(a.nbytes for a in self.fields.values())
@@ -72,6 +77,64 @@ def group_unpermute(vals: np.ndarray, g: int) -> np.ndarray:
     return np.ascontiguousarray(
         vals.reshape(N, g, K // g).swapaxes(1, 2).reshape(N, K)
     )
+
+
+def fourblock_permute(vals: np.ndarray, g: int) -> np.ndarray:
+    """Natural element order -> "fourblock" stored order.
+
+    Stored position p = a*(K/g) + m*R + s (a < g, m < 128/g, s < R=K/128)
+    holds element s*128 + m*g + a. Like group_permute, each stored lane
+    column (p mod K/g) maps to exactly one quant group — so the in-kernel
+    tile-repeated scale plane aligns — but unlike group_permute the
+    ACTIVATION-side permutation decomposes into Mosaic-legal primitives
+    (reshape (1,K)->(K/128,128), per-g-column-block transposes, concat):
+    the fused megakernel (ops/pallas/fused_layer.py) can build it
+    in-kernel, which the group_permute order cannot
+    ("infer-vector-layout: unsupported shape cast").
+    The group living at lane column b = m*R + s is s*(128/g) + m —
+    scale/min planes must be column-permuted by fourblock_scale_perm."""
+    N, K = vals.shape[0], vals.shape[-1]
+    R, nb = K // 128, 128 // g
+    v = vals.reshape(N, R, nb, g)          # element s*128+m*g+a -> [s,m,a]
+    return np.ascontiguousarray(v.transpose(0, 3, 2, 1).reshape(N, K))
+
+
+def fourblock_unpermute(vals: np.ndarray, g: int) -> np.ndarray:
+    N, K = vals.shape[0], vals.shape[-1]
+    R, nb = K // 128, 128 // g
+    v = vals.reshape(N, g, nb, R)
+    return np.ascontiguousarray(v.transpose(0, 3, 2, 1).reshape(N, K))
+
+
+def fourblock_scale_perm(K: int, g: int) -> np.ndarray:
+    """Column permutation for scale/min planes in fourblock order:
+    stored column b holds the scale of natural group (b % R)*(128/g) +
+    b // R (R = K/128)."""
+    R, nb = K // 128, 128 // g
+    b = np.arange(K // g)
+    return (b % R) * nb + b // R
+
+
+def to_fourblock(pq: PlanarQuant) -> PlanarQuant:
+    """Re-encode a stripe-order fast-path ({q4, scale, minv}) PlanarQuant
+    into fourblock stored order (same bytes-per-weight; a load-time numpy
+    transform). Only the 4-bit single-plane layouts are supported — the
+    set the fused megakernel consumes."""
+    if pq.order != "stripe":
+        return pq
+    if set(pq.fields) - {"q4", "scale", "minv"}:
+        raise ValueError(f"fourblock unsupported for fields {set(pq.fields)}")
+    N, K = pq.shape
+    g = pq.group
+    if K % 128 or 128 % g:
+        raise ValueError(f"fourblock needs K%128==0 and g|128, got {K}, {g}")
+    vals_nat = group_unpermute(stripe_unpack_np(pq.fields["q4"], 4), g)
+    perm = fourblock_scale_perm(K, g)
+    fields = {"q4": _stripe_pack(fourblock_permute(vals_nat, g), 4)}
+    for name in ("scale", "minv"):
+        if name in pq.fields:
+            fields[name] = np.ascontiguousarray(pq.fields[name][..., perm])
+    return PlanarQuant(pq.ggml_type, pq.shape, fields, g, order="fourblock")
 
 
 def _stripe_pack(values: np.ndarray, bits: int) -> np.ndarray:
@@ -364,9 +427,11 @@ def dequant_planar_np(pq: PlanarQuant, k_shards: int = 1) -> np.ndarray:
     def tile_scale(plane):
         return np.tile(plane, (1, g))
 
+    unperm = group_unpermute if pq.order == "stripe" else fourblock_unpermute
+
     if pq.ggml_type == GGMLType.Q8_0:
         out = f["q8"].astype(np.float32) * tile_scale(f["scale"])
-        return group_unpermute(out, g)
+        return unperm(out, g)
     val = None
     if "q4" in f:
         val = stripe_unpack_np(f["q4"], 4).astype(np.int32)
@@ -379,17 +444,17 @@ def dequant_planar_np(pq: PlanarQuant, k_shards: int = 1) -> np.ndarray:
     if "q4_lut" in f:
         idx = stripe_unpack_np(f["q4_lut"], 4)
         out = KVALUES_MXFP4[idx].astype(np.float32) * tile_scale(f["scale"])
-        return group_unpermute(out, g)
+        return unperm(out, g)
     if "q4a" in f:  # A/r re-coded MXFP4 (mxfp4_to_ar)
         a = stripe_unpack_np(f["q4a"], 4).astype(np.int32)
         r = stripe_unpack_np(f["q1r"], 1).astype(np.int32)
         v = ((a - 8) << 1) + r
         out = v.astype(np.float32) * tile_scale(f["scale"])
-        return group_unpermute(out, g)
+        return unperm(out, g)
     out = val.astype(np.float32) * tile_scale(f["scale"])
     if "minv" in f:
         out = out - tile_scale(f["minv"])
-    return group_unpermute(out, g)
+    return unperm(out, g)
 
 
 def mxfp4_to_ar(fields: dict) -> dict:
