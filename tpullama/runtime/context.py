@@ -295,8 +295,17 @@ class Context:
         # disables the loop memory optimizer whose compressed-remat
         # copies of the multi-GiB KV carry blow the HLO-temp budget at
         # large batch (the gpt-oss batch32 / engine32 OOM class).
-        xopts = os.environ.get("TPULLAMA_XLA_OPTS", "")
-        copts = (dict(kv.split("=", 1) for kv in xopts.split(";") if kv)
+        xopts = os.environ.get("TPULLAMA_XLA_OPTS")
+        if xopts is None and jax.default_backend() == "tpu":
+            # default ON for TPU: the optimizer's compressed-remat
+            # copies of the donated KV carry are pure overhead for
+            # decode programs (the argument space, not HLO temps, is
+            # the constraint) and OOM 16 GiB chips at B=32
+            # (validated: engine32 bench cell). TPULLAMA_XLA_OPTS=""
+            # restores the compiler default.
+            xopts = "xla_tpu_memory_bound_loop_optimizer_options=enabled:false"
+        copts = (dict(kv.split("=", 1) for kv in (xopts or "").split(";")
+                      if kv)
                  or None)
 
         def _jit(fn, **kw):
